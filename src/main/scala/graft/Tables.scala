@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver-generated TPC-H-ish test data
+  * (TESTDATA.md) plus shared numeric-determinism helpers.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos-since-epoch BIGINT behind this legacy flag; [[eventTime]] turns
+    * it back into a microsecond TimestampType column when needed.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
+
+  /** Event time as TimestampType (micros) from the nanos BIGINT column. */
+  def eventTime(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact fixed-point view of a 2-decimal monetary double: cents as BIGINT.
+    * The true value of `x*100` is an integer, so `round` is unambiguous and
+    * the downstream integer sums are bit-identical across engines — this is
+    * what makes aggregate queries hash-comparable against the DuckDB oracle
+    * (double-sum reassociation never enters the plan).
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+}

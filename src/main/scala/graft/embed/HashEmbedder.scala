@@ -1,0 +1,55 @@
+package graft.embed
+
+import scala.util.hashing.MurmurHash3
+
+/** Pluggable embedding interface.
+  *
+  * The reference delegates embedding to external model APIs
+  * (`src/server/utils/models.py:123-141`) and its own tests substitute a
+  * deterministic mock (`tests/server/test_endpoints_embed.py:98-112`).
+  * The engine therefore treats the embedder as an injected, deterministic
+  * function `text -> ARRAY<FLOAT>` so every downstream vector operator is
+  * exactly testable.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+}
+
+/** Deterministic feature-hashing embedder: tokens are hashed into `dim`
+  * signed buckets and the vector is L2-normalized. Pure JVM, no state,
+  * identical on every executor — the Spark analog of the reference's
+  * MockEmbeddings.
+  */
+final case class HashEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder {
+  def embed(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text != null) {
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        // manual tokenizer: runs of letters/digits, lowercased
+        while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+        val start = i
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
+        if (i > start) {
+          val tok = text.substring(start, i).toLowerCase
+          val h = MurmurHash3.stringHash(tok, seed)
+          val bucket = java.lang.Math.floorMod(h >>> 1, dim)
+          val sign = if ((h & 1) == 0) 1.0f else -1.0f
+          v(bucket) += sign
+        }
+      }
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+    }
+    v
+  }
+}

@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational operator parity queries over the driver's TPC-H-ish tables.
+  *
+  * Each entry re-expresses one operator family from SURVEY.md §2 as an
+  * idiomatic DataFrame plan, with an exactly-matching DuckDB oracle in
+  * [[Relational.oracles]]. Determinism rules:
+  *   - monetary doubles go through [[graft.Tables.cents]] (exact BIGINT
+  *     fixed-point) before any aggregation;
+  *   - every query ends in a total ORDER BY over its output key;
+  *   - ratio columns are exact-integer divisions evaluated once in double.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A2-family aggregation (reference correctness means,
+    // src/server/utils/testbed.py:334-348) in TPC-H Q1 shape.
+    "agg_pricing_summary" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_shipdate" <= to_timestamp(lit("1999-01-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("long")).as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_c"),
+          sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("sum_disc_c2"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty", $"sum_qty".cast("double") / $"n_rows")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // P-family projection+filter; predicates and the 4-column read schema
+    // must reach the parquet scan (PushedFilters / ReadSchema).
+    "filter_project_pushdown" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .filter(
+          $"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+            $"l_shipdate" < to_timestamp(lit("1997-01-01")) &&
+            $"l_discount" >= 0.02 && $"l_discount" <= 0.04 &&
+            $"l_quantity" < 10)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("long").as("qty"),
+          cents($"l_extendedprice").as("price_c"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // 3-way join + aggregation + top-k (TPC-H Q3 shape); the customer
+    // dimension is broadcast so only lineitem⋈orders shuffles.
+    "join_agg_topk" -> ((s, d) => {
+      import s.implicits._
+      val c = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      broadcast(c)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey")
+        .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("revenue_c2"))
+        .orderBy($"revenue_c2".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // Left-semi join (EXISTS shape, reference first-match lookups P4).
+    "semi_join_exists" -> ((s, d) => {
+      import s.implicits._
+      val returned = lineitem(s, d).filter($"l_returnflag" === "R")
+      orders(s, d)
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_orderkey")
+        .limit(100)
+    }),
+
+    // Left-anti join — the reference's idempotent merge-dedup insert
+    // (S15/J2, src/server/utils/embedding.py:352-358) as NOT EXISTS.
+    "anti_join_merge" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Catalog scan join + LIKE (J1, src/server/utils/embedding.py:47-51);
+    // tiny dimension → broadcast hash join, no shuffle.
+    "join_catalog_like" -> ((s, d) => {
+      import s.implicits._
+      nation(s, d)
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name".like("A%"))
+        .select($"n_name", $"r_name")
+        .orderBy($"n_name")
+    }),
+
+    // Distinct facet values (A5, st_common.py:381-394).
+    "distinct_facets" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d).select($"c_mktsegment").distinct().orderBy($"c_mktsegment")
+    }),
+
+    // Global sort + top-k limit (A7/A12) → TakeOrderedAndProject.
+    "sort_limit_topk" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select($"o_orderkey", cents($"o_totalprice").as("total_c"))
+        .orderBy($"total_c".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // Ordered string aggregation (A9 context concat,
+    // src/server/agents/chatbot.py:76-81): sort inside the array for a
+    // deterministic concatenation.
+    "string_agg_context" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          concat_ws("|", array_sort(collect_list($"c_name"))).as("names"))
+        .orderBy($"n_name")
+    }),
+
+    // Union/append accumulation (A10/A11).
+    "union_append" -> ((s, d) => {
+      import s.implicits._
+      supplier(s, d).select(lit("supplier").as("kind"), $"s_name".as("name"))
+        .union(customer(s, d).select(lit("customer").as("kind"), $"c_name".as("name")))
+        .orderBy($"kind", $"name")
+        .limit(200)
+    }),
+
+    // Window row_number — the chunk-id metadata enrichment pattern
+    // (§2.7, src/server/utils/embedding.py:78-89).
+    "window_rank_metadata" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn", $"o_orderkey", cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Window lag delta over an ordered per-key stream (P8 family).
+    "window_lag_delta" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      events(s, d)
+        .withColumn("prev_c", lag(cents($"value"), 1).over(w))
+        .filter($"prev_c".isNotNull)
+        .select($"user_id", $"event_id", (cents($"value") - $"prev_c").as("dv_c"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Message-stream cleaning (P8, src/server/agents/chatbot.py:50-73):
+    // drop 'error' events AND their immediate predecessor per key —
+    // the ToolMessage pop-the-previous-message semantics.
+    "history_clean" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      events(s, d)
+        .withColumn("nxt", coalesce(lead($"event_type", 1).over(w), lit("")))
+        .filter($"event_type" =!= "error" && $"nxt" =!= "error")
+        .select($"user_id", $"event_id", $"event_type")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Conditional aggregation — grade-routing / boolean sums (V6/A6).
+    "conditional_routing_agg" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"))
+        .withColumn("frac_f", $"n_f".cast("double") / $"n")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Store-name derivation string pipeline (§2.6,
+    // src/common/functions.py:47-75): upper + non-word→'_'.
+    "storename_derivation" -> ((s, d) => {
+      import s.implicits._
+      part(s, d)
+        .select(upper(regexp_replace(concat($"p_brand", lit("_"), $"p_type"), "[^A-Za-z0-9]", "_")).as("store_name"))
+        .distinct()
+        .orderBy($"store_name")
+        .limit(100)
+    }),
+
+    // Timestamp bucketing (§2.6 TO_TIMESTAMP/to_char family).
+    "date_buckets" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("total_c"))
+        .orderBy($"month")
+    }),
+
+    // JSON scalar extraction (§2.6 json.loads family) over events.props.
+    "json_extract" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+        .orderBy($"event_type")
+    }),
+
+    // Deterministic key generation + hex rendering (§2.6 SYS_GUID/.hex
+    // analog — content-derived key instead of a random GUID).
+    "key_gen_md5" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .select($"c_custkey", md5($"c_name".cast("binary")).as("h"))
+        .orderBy($"c_custkey")
+        .limit(100)
+    }),
+
+    // Evaluation aggregate A2: overall correctness mean.
+    "eval_overall" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"value" > 5.0, 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("correctness", $"n_correct".cast("double") / $"n")
+    }),
+
+    // Evaluation aggregate A3: correctness by topic.
+    "eval_by_topic" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"value" > 5.0, 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("correctness", $"n_correct".cast("double") / $"n")
+        .orderBy($"event_type")
+    }),
+
+    // Evaluation subset A4: failures.
+    "eval_failures" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .filter(!($"value" > 5.0))
+        .select($"event_id", $"event_type")
+        .orderBy($"event_id")
+        .limit(100)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c2,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "filter_project_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_agg_topk" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue_c2 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "semi_join_exists" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "anti_join_merge" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_catalog_like" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name LIKE 'A%' ORDER BY n_name""".stripMargin,
+    "distinct_facets" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders ORDER BY total_c DESC, o_orderkey LIMIT 10""".stripMargin,
+    "string_agg_context" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "union_append" ->
+      """SELECT * FROM (
+        |  SELECT 'supplier' AS kind, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT 'customer' AS kind, c_name AS name FROM customer)
+        |ORDER BY kind, name LIMIT 200""".stripMargin,
+    "window_rank_metadata" ->
+      """SELECT o_custkey, rn, o_orderkey, total_c FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_lag_delta" ->
+      """SELECT user_id, event_id, value_c - prev_c AS dv_c FROM (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS value_c,
+        |    lag(CAST(round(value*100) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_c
+        |  FROM events)
+        |WHERE prev_c IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+    "history_clean" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    COALESCE(lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id), '') AS nxt
+        |  FROM events)
+        |WHERE event_type <> 'error' AND nxt <> 'error'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "conditional_routing_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "storename_derivation" ->
+      """SELECT DISTINCT upper(regexp_replace(p_brand || '_' || p_type, '[^A-Za-z0-9]', '_', 'g')) AS store_name
+        |FROM part ORDER BY store_name LIMIT 100""".stripMargin,
+    "date_buckets" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "key_gen_md5" ->
+      "SELECT c_custkey, md5(c_name) AS h FROM customer ORDER BY c_custkey LIMIT 100",
+    "eval_overall" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS correctness
+        |FROM events""".stripMargin,
+    "eval_by_topic" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS correctness
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "eval_failures" ->
+      """SELECT event_id, event_type FROM events WHERE NOT (value > 5.0)
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+  )
+}
