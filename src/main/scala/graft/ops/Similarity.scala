@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Vector-search operators (SURVEY.md §2.5 V2-V4, J4).
+  *
+  * The reference delegates these to Oracle's `VECTOR` search via OracleVS
+  * (`src/server/agents/chatbot.py:183-210`); here they are declarative
+  * DataFrame plans over an `ARRAY<FLOAT>` column so Catalyst keeps scan
+  * pruning/codegen, and the single-query search generalizes to a batch
+  * *similarity join* (query set × corpus) — the shape that matters at
+  * 100 TB, where per-query loops would be driver-bound.
+  *
+  * Score convention: for COSINE and DOT_PRODUCT larger is better; for
+  * EUCLIDEAN_DISTANCE smaller is better. `orderedScore` returns the score
+  * column plus its sort ordering so every operator shares one definition.
+  */
+object Similarity {
+
+  /** Metrics as declared by the reference (`src/common/schema.py:18`). */
+  val Metrics = Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE")
+
+  private def ordering(metric: String, score: Column): Column = metric match {
+    case "EUCLIDEAN_DISTANCE" => score.asc
+    case _                    => score.desc
+  }
+
+  /** V2: top-k rows nearest to one query vector.
+    *
+    * Plan shape: narrow scan → codegen'd distance projection →
+    * TakeOrderedAndProject (no shuffle of the corpus; the global top-k is
+    * merged from per-partition top-ks). This is exactly the plan that
+    * scales: at 1000 executors each partition computes its own top-k and
+    * only k rows per partition reach the driver-side merge.
+    */
+  def knn(corpus: DataFrame, embCol: String, queryVec: Array[Float], k: Int,
+          metric: String = "COSINE", scoreName: String = "score"): DataFrame = {
+    val score = VectorFunctions.score(metric)(col(embCol), typedlit(queryVec))
+    corpus
+      .withColumn(scoreName, score)
+      .orderBy(ordering(metric, col(scoreName)), col(corpus.columns.head))
+      .limit(k)
+  }
+
+  /** V3: similarity search keeping only scores past a threshold
+    * (reference `score_threshold`, `src/common/schema.py:177`). For
+    * EUCLIDEAN the threshold is a max distance; otherwise a min score.
+    */
+  def scoreThreshold(corpus: DataFrame, embCol: String, queryVec: Array[Float],
+                     threshold: Double, metric: String = "COSINE",
+                     scoreName: String = "score"): DataFrame = {
+    val score = VectorFunctions.score(metric)(col(embCol), typedlit(queryVec))
+    val keep = if (metric == "EUCLIDEAN_DISTANCE") col(scoreName) <= threshold
+               else col(scoreName) >= threshold
+    corpus.withColumn(scoreName, score).filter(keep)
+  }
+
+  /** J4/north-star: batch similarity join — for every row of `queries`,
+    * the top-k nearest rows of `corpus`.
+    *
+    * The query side is broadcast (it is the small side by construction:
+    * a query batch), so the corpus is scanned exactly once with no
+    * shuffle; ranking shuffles only (queryId, score) pairs. `rankName`
+    * is the 1-based pick order per query.
+    */
+  def similarityJoin(queries: DataFrame, corpus: DataFrame,
+                     queryIdCol: String, queryEmbCol: String,
+                     corpusIdCol: String, corpusEmbCol: String,
+                     k: Int, metric: String = "COSINE",
+                     scoreName: String = "score", rankName: String = "rank"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("__qid"), col(queryEmbCol).as("__qemb"))
+    val score = VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(ordering(metric, col(scoreName)), col(corpusIdCol))
+    corpus
+      .crossJoin(broadcast(q))
+      .withColumn(scoreName, score)
+      .withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= k)
+      .select(col("__qid").as(queryIdCol), col(rankName), col(corpusIdCol), col(scoreName))
+  }
+
+  /** V4: Maximal Marginal Relevance re-rank (reference
+    * `src/server/agents/chatbot.py:199-206`): fetch `fetchK` candidates by
+    * similarity, then greedily select `k` maximizing
+    * `lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s)`.
+    *
+    * The greedy phase is inherently sequential, so it runs driver-side
+    * over the collected candidates — bounded by the reference's own cap
+    * (`fetch_k <= 10000`, `src/common/schema.py:180`); the fetch phase is
+    * the distributed [[knn]]. Returns (id, mmr_rank, score) in pick order.
+    */
+  def mmr(corpus: DataFrame, idCol: String, embCol: String, queryVec: Array[Float],
+          k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): Seq[(Long, Int, Double)] = {
+    require(fetchK <= 10000, "fetch_k capped at 10000 (reference schema.py:180)")
+    val cand = knn(corpus.select(col(idCol), col(embCol)), embCol, queryVec, fetchK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    if (cand.isEmpty) return Seq.empty
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val remaining = scala.collection.mutable.LinkedHashSet(cand.indices: _*)
+    while (selected.size < math.min(k, cand.length)) {
+      val best = remaining.maxBy { i =>
+        val rel = lambdaMult * cand(i)._3
+        val div = if (selected.isEmpty) 0.0
+                  else (1 - lambdaMult) * selected.map(s => cos(cand(i)._2, cand(s)._2)).max
+        rel - div
+      }
+      selected += best
+      remaining -= best
+    }
+    selected.zipWithIndex.map { case (i, rank) => (cand(i)._1, rank + 1, cand(i)._3) }.toSeq
+  }
+}

@@ -79,10 +79,12 @@ object Relational {
 
     // Left-anti join — the reference's idempotent merge-dedup insert
     // (S15/J2, src/server/utils/embedding.py:352-358) as NOT EXISTS.
+    // (Filtered right side so the result is non-empty at every sf.)
     "anti_join_merge" -> ((s, d) => {
       import s.implicits._
+      val bigOrders = orders(s, d).filter($"o_totalprice" > 400000.0)
       customer(s, d)
-        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     }),
@@ -287,7 +289,8 @@ object Relational {
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "anti_join_merge" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
     "join_catalog_like" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.embed.{EmbedText, HashEmbedder}
+import graft.ops.Similarity
+
+/** Vector-search parity queries (SURVEY.md §2.5) over the `embeddings`
+  * table. Scores are rounded to 6 decimals in the *output only* (top-k
+  * selection runs on the raw double): DuckDB's list_* kernels and our
+  * codegen'd expressions agree to ~1e-15 but not to the last ulp.
+  */
+object VectorSearch {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The query vector: embeddings row vec_id=0 (a query parameter, like
+    * the reference's embedded question — a 1-row driver-side lookup).
+    */
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+
+  private def knnQuery(metric: String): Q = (s, d) => {
+    import s.implicits._
+    val qv = queryVec(s, d)
+    Similarity.knn(
+        embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
+        "embedding", qv, k = 10, metric = metric)
+      .select($"vec_id", round($"score", 6).as("sim"))
+      .orderBy(if (metric == "EUCLIDEAN_DISTANCE") $"sim".asc else $"sim".desc, $"vec_id")
+  }
+
+  private def knnOracle(fn: String, desc: Boolean): String = {
+    val ord = if (desc) "DESC" else "ASC"
+    s"""SELECT vec_id, round(s, 6) AS sim FROM (
+       |  SELECT e.vec_id, $fn(e.embedding::DOUBLE[],
+       |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+       |  FROM embeddings e WHERE e.vec_id <> 0
+       |  ORDER BY s $ord, e.vec_id LIMIT 10)
+       |ORDER BY sim $ord, vec_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    // V2 similarity top-k under each declared metric (schema.py:18).
+    "knn_cosine_topk" -> knnQuery("COSINE"),
+    "knn_euclidean_topk" -> knnQuery("EUCLIDEAN_DISTANCE"),
+    "knn_dot_topk" -> knnQuery("DOT_PRODUCT"),
+
+    // V3 score-threshold search (relevance >= t).
+    "score_threshold_search" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      Similarity.scoreThreshold(
+          embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
+          "embedding", qv, threshold = 0.15)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"vec_id")
+    }),
+
+    // J4 batch similarity join: 10 query vectors × corpus, top-4 each.
+    "similarity_join_topk" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+      val c = e.filter($"vec_id" >= 10).select($"vec_id", $"embedding")
+      Similarity.similarityJoin(q, c, "query_id", "embedding", "vec_id", "embedding", k = 4)
+        .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+          round($"score", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // V4 MMR re-rank: greedy diversification over fetch_k=20 candidates
+    // (driver-side, bounded by the reference's fetch_k cap). No SQL oracle
+    // — covered by the rows-check here and by MMR unit properties.
+    "mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val picks = Similarity.mmr(
+        embeddings(s, d).filter($"vec_id" =!= 0), "vec_id", "embedding", qv,
+        k = 4, fetchK = 20, lambdaMult = 0.5)
+      picks.toDF("vec_id", "mmr_rank", "sim")
+        .select($"vec_id", $"mmr_rank".cast("long").as("mmr_rank"), round($"sim", 6).as("sim"))
+        .orderBy($"mmr_rank")
+    }),
+
+    // V1 batch embedding over documents through the pluggable embedder
+    // expression; output is shape/norm evidence (unit vectors), the
+    // embedding itself is engine-defined (no SQL oracle).
+    "embed_documents" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("embedding", EmbedText.embedText($"text", HashEmbedder(64)))
+        .select($"doc_id", size($"embedding").as("dim"),
+          round(sqrt(aggregate($"embedding", lit(0.0d), (acc, x) => acc + x * x)), 4).as("l2norm"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
+    "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),
+    "knn_dot_topk" -> knnOracle("list_inner_product", desc = true),
+    "score_threshold_search" ->
+      """SELECT vec_id, round(s, 6) AS sim FROM (
+        |  SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+        |  FROM embeddings e WHERE e.vec_id <> 0)
+        |WHERE s >= 0.15 ORDER BY vec_id""".stripMargin,
+    "similarity_join_topk" ->
+      """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+  )
+}

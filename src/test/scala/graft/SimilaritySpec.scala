@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed.HashEmbedder
+import graft.functions.{VectorFunctions, VectorKernels}
+import graft.ops.Similarity
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("graft-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+  private lazy val all: Array[(Long, Array[Float])] =
+    emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  private lazy val qv = all.find(_._1 == 0L).get._2
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("knn matches brute-force reference for every metric") {
+    val corpus = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    for (metric <- Similarity.Metrics) {
+      val got = Similarity.knn(corpus, "embedding", qv, 5, metric)
+        .select($"vec_id").as[Long].collect().toSeq
+      val scored = all.filter(_._1 != 0L).map { case (id, v) =>
+        val s = metric match {
+          case "COSINE"             => cosRef(v, qv)
+          case "DOT_PRODUCT"        => v.zip(qv).map { case (x, y) => x.toDouble * y }.sum
+          case "EUCLIDEAN_DISTANCE" => math.sqrt(v.zip(qv).map { case (x, y) => val d = x.toDouble - y; d * d }.sum)
+        }
+        (id, s)
+      }
+      val want = (if (metric == "EUCLIDEAN_DISTANCE") scored.sortBy(t => (t._2, t._1))
+                  else scored.sortBy(t => (-t._2, t._1))).take(5).map(_._1).toSeq
+      assert(got == want, s"metric $metric")
+    }
+  }
+
+  test("similarityJoin rank 1 equals per-query knn top-1") {
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val c = emb.filter($"vec_id" >= 3).select($"vec_id", $"embedding")
+    val joined = Similarity.similarityJoin(q, c, "query_id", "embedding", "vec_id", "embedding", 3)
+      .filter($"rank" === 1).select($"query_id", $"vec_id").as[(Long, Long)].collect().toMap
+    for (qid <- 0L to 2L) {
+      val qvec = all.find(_._1 == qid).get._2
+      val want = all.filter(_._1 >= 3).map { case (id, v) => (id, cosRef(v, qvec)) }
+        .maxBy(t => (t._2, -t._1))._1
+      assert(joined(qid) == want, s"query $qid")
+    }
+  }
+
+  test("mmr: first pick is top-1 similarity; picks are distinct; lambda=1 degenerates to knn") {
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val picks = Similarity.mmr(corpus, "vec_id", "embedding", qv, k = 4, fetchK = 10)
+    assert(picks.map(_._1).distinct.size == 4)
+    val top1 = Similarity.knn(corpus.select($"vec_id", $"embedding"), "embedding", qv, 1)
+      .select($"vec_id").as[Long].head()
+    assert(picks.head._1 == top1)
+    val pure = Similarity.mmr(corpus, "vec_id", "embedding", qv, k = 4, fetchK = 10, lambdaMult = 1.0)
+    val knn4 = Similarity.knn(corpus.select($"vec_id", $"embedding"), "embedding", qv, 4)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(pure.map(_._1) == knn4)
+  }
+
+  test("score threshold keeps exactly the rows past the threshold") {
+    val corpus = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+    val got = Similarity.scoreThreshold(corpus, "embedding", qv, 0.1)
+      .select($"vec_id").as[Long].collect().toSet
+    val want = all.filter(_._1 != 0L).filter(t => cosRef(t._2, qv) >= 0.1).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("vector expressions agree with interpreted kernels and handle edge shapes") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.cosineSim($"a", $"b"),
+      VectorFunctions.dotProduct($"a", $"b"),
+      VectorFunctions.euclidean($"a", $"b")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 32.0 / math.sqrt(14.0 * 77.0)) < 1e-12)
+    assert(rows(0).getDouble(1) == 32.0)
+    assert(math.abs(rows(0).getDouble(2) - math.sqrt(27.0)) < 1e-12)
+    assert(rows(1).getDouble(0) == 0.0) // zero vector -> 0, not NaN
+  }
+
+  test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
+    val e = HashEmbedder(dim = 16)
+    val v1 = e.embed("spark catalyst engine")
+    val v2 = e.embed("spark catalyst engine")
+    assert(v1.toSeq == v2.toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(e.embed("").forall(_ == 0f))
+  }
+}
