@@ -16,9 +16,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.VectorSearch.queries
+      graft.queries.VectorSearch.queries ++
+      graft.queries.DedupQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.VectorSearch.oracles
+      graft.queries.VectorSearch.oracles ++
+      graft.queries.DedupQueries.oracles
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference only needs exact content dedup (P5,
+  * `src/server/utils/embedding.py:296-304`, a hash-set scan) and the
+  * id-keyed merge anti-join (S15). This module keeps those semantics and
+  * adds the near-dup family a 100 TB corpus needs: MinHash+LSH banding,
+  * SimHash fingerprints, exact n-gram Jaccard via an inverted-index join
+  * (never an all-pairs cross join), and embedding-cosine near-dup with a
+  * sign-random-projection LSH path.
+  *
+  * Scale notes, per operator, are on each method — the common theme: all
+  * candidate generation is equi-join-shaped (shuffle on a key), so every
+  * step partitions cleanly across executors; nothing collects to the
+  * driver.
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per distinct value of `byCol`
+    * (deterministic representative — `dropDuplicates` keeps an arbitrary
+    * row, which is not oracle-checkable). One hash-aggregate shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, byCol: String): DataFrame =
+    df.groupBy(col(byCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct word n-grams of a text column, e.g. n=3 → "a b c" shingles.
+    * Pure Catalyst (split/sequence/transform/slice) — no UDF.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = split(text, "\\s+")
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over the shingle set of xxhash64(shingle, seed). Pure
+    * Catalyst; `numHashes` passes over the shingle array per row (cheap
+    * next to the shuffle the candidates need).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(shingles, s => xxhash64(s, lit(j))))): _*)
+
+  /** LSH band hashes: signature split into `bands` bands of `rowsPerBand`
+    * values, each band hashed to one long. Docs sharing any band hash are
+    * near-dup candidates.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      xxhash64((lit(b.toLong) +: cols): _*)
+    }: _*)
+
+  /** MinHash+LSH near-dup pairs: shingle → signature → band → bucket
+    * equi-join for candidates → exact Jaccard verify on the candidates
+    * only. Returns (idA, idB, jaccard) with idA < idB.
+    *
+    * Scale: the only join key is (band, bandHash) — a plain shuffle
+    * equi-join; candidate verification touches |candidates| rows, not
+    * |corpus|². Recall is the standard 1-(1-j^r)^b curve, so this is the
+    * approximate scale path; [[ngramJaccardPairs]] is the exact one.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, n: Int = 3,
+                          numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val banded = shingled
+      .select(col("id"), posexplode(bandHashes(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted-index join: explode
+    * shingles, self-join on the shingle, count shared shingles per pair,
+    * then jaccard = inter / (|A| + |B| - inter).
+    *
+    * Scale: avoids both the all-pairs cross join and per-pair array
+    * intersection — the heavy step is a shuffle on the shingle key and a
+    * pair-count aggregation, both linear in the number of (pair, shared
+    * shingle) occurrences. Pairs sharing no shingle (jaccard 0) never
+    * materialize.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val inv = shingled.select(col("id"), explode(col("sh")).as("shingle"))
+    val sizes = shingled.select(col("id"), size(col("sh")).as("sz"))
+    inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact embedding-cosine near-dup pairs (a < b, cosine > threshold).
+    * Quadratic by definition — the correctness oracle for
+    * [[embeddingNearDupLsh]], and fine up to ~10^4 vectors per run; at
+    * corpus scale use the LSH variant.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Deterministic Gaussian hyperplanes for sign-random-projection LSH. */
+  def randomPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Sign-random-projection bucket id: bit b set iff dot(v, plane_b) >= 0.
+    * Cosine-similar vectors land in the same bucket with probability
+    * (1 - theta/pi)^nBits.
+    */
+  def srpBucket(emb: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(VectorFunctions.dotProduct(emb, typedlit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate embedding near-dup: `nTables` independent SRP bucket
+    * joins generate candidates (equi-join on the bucket id, no cross
+    * join), verified with the exact cosine. Subset of
+    * [[embeddingNearDupPairs]] by construction; recall grows with
+    * nTables and shrinks with nBits.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, embCol: String,
+                          threshold: Double, nTables: Int = 4, nBits: Int = 8,
+                          seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val cand = (0 until nTables).map { t =>
+      val planes = randomPlanes(nBits, dim, seed + t)
+      val bucketed = base.withColumn("bucket", srpBucket(col("emb"), planes))
+      bucketed.as("x").join(bucketed.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    }.reduce(_ union _).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

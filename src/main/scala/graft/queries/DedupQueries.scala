@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.SimHash64
+import graft.ops.Dedup
+
+/** Dedup-suite parity queries over the `documents` / `embeddings` tables.
+  * Jaccard and ratio columns are exact small-integer divisions, so they
+  * hash-match DuckDB without rounding; cosine outputs are rounded to 6
+  * (cross-engine ulp noise).
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P5 exact dedup with deterministic representative (min doc_id).
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exact(documents(s, d), "doc_id", "text").orderBy($"doc_id")
+    }),
+
+    // Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // MinHash+LSH near-dup pairs — approximate candidate generation,
+    // exact verify. No SQL oracle (xxhash64 seeds are engine-defined);
+    // DedupSpec asserts it is a subset of the exact pairs with high
+    // recall at the planted-dup threshold.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text", threshold = 0.2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash fingerprints (rows-only; hash function engine-defined).
+    "fingerprint_simhash" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", SimHash64.simhash64(split($"text", "\\s+")).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Exact embedding-cosine near-dup pairs.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      import s.implicits._
+      Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SRP-LSH approximate variant (rows-only; subset property in spec).
+    "dedup_embedding_lsh" -> ((s, d) => {
+      import s.implicits._
+      Dedup.embeddingNearDupLsh(embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35, nTables = 6, nBits = 6)
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """SELECT id_a, id_b, round(s, 6) AS sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE s > 0.35 ORDER BY id_a, id_b""".stripMargin,
+  )
+}

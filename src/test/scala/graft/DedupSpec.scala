@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SimHash64
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text").orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("wordShingles builds distinct n-grams and handles short texts") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+    val got = df.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+    assert(got(2).isEmpty)
+  }
+
+  test("ngramJaccardPairs matches per-pair array jaccard on planted dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different words appear in this one here"),
+      (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val jac14 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
+      .filter($"id_a" === 1 && $"id_b" === 4).select($"jaccard").as[Double].head()
+    assert(jac14 == 1.0)
+  }
+
+  test("minhash LSH pairs are a subset of exact pairs with full recall on planted dups") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // high-similarity pairs (>=0.5) must all be caught by 8 bands of 4
+    val strong = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(strong.subsetOf(lsh), s"missed strong pairs: ${strong -- lsh}")
+  }
+
+  test("simhash: identical tokens → identical hash; near-identical → small hamming distance") {
+    val df = Seq(
+      (1L, "spark catalyst optimizes declarative query plans for distributed execution engines"),
+      (2L, "spark catalyst optimizes declarative query plans for distributed execution engines"),
+      (3L, "spark catalyst optimizes declarative query plans for distributed storage engines"),
+      (4L, "entirely unrelated content about cooking pasta with garlic and fresh basil leaves")
+    ).toDF("id", "text")
+      .select($"id", SimHash64.simhash64(split($"text", "\\s+")).as("h"))
+    val h = df.as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) <= 16, s"near-dup hamming ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(4L)) > ham(h(1L), h(3L)))
+  }
+
+  test("embedding LSH near-dup pairs are a subset of exact pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 0.3, nTables = 6, nBits = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty == exact.nonEmpty)
+  }
+}
