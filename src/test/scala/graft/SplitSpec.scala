@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Split
+
+/** Property tests for the splitters over seeded random corpora (hand-
+  * rolled generation — deterministic across runs).
+  */
+class SplitSpec extends AnyFunSuite {
+
+  private val words = Array("alpha", "beta", "gamma", "d", "epsilon", "zz")
+  private val seps = Array(" ", " ", " ", "\n", "\n\n")
+
+  private def randomTexts(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(60)
+      (0 until len).map(_ => words(rnd.nextInt(words.length)) + seps(rnd.nextInt(seps.length)))
+        .mkString.trim
+    }.filter(_.nonEmpty)
+  }
+
+  test("fixedWindow: offsets stride correctly and cover the text") {
+    for (t <- randomTexts(80); size <- Seq(8, 15, 30); stride <- Seq(5, 15)) {
+      if (stride <= size) {
+        val chunks = Split.fixedWindow(t, size, stride)
+        assert(chunks.head.start == 0)
+        assert(chunks.map(_.idx) == chunks.indices)
+        chunks.foreach(c =>
+          assert(c.text == t.substring(c.start, math.min(c.start + size, t.length))))
+        assert(chunks.last.start + chunks.last.text.length == t.length)
+      }
+    }
+  }
+
+  test("recursive: true offsets, bounded length, forward progress, full coverage") {
+    for (t <- randomTexts(80); size <- Seq(10, 24, 40); overlap <- Seq(0, 5, 9)) {
+      val chunks = Split.recursive(t, size, overlap)
+      assert(chunks.nonEmpty)
+      chunks.foreach(c => assert(t.startsWith(c.text, c.start), s"offset mismatch at ${c.start}"))
+      val maxAtom = t.split("[ \n]").map(_.length + 2).foldLeft(0)(math.max)
+      chunks.foreach(c => assert(c.text.length <= math.max(size, maxAtom),
+        s"chunk len ${c.text.length} > max($size, $maxAtom)"))
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(b.start > a.start, "no forward progress")
+        case _         =>
+      }
+      assert(chunks.head.start == 0)
+      assert(chunks.last.start + chunks.last.text.length == t.length)
+    }
+  }
+
+  test("recursive: respects paragraph boundaries when they fit") {
+    val t = "first paragraph here\n\nsecond paragraph text\n\nthird one"
+    val chunks = Split.recursive(t, 25, 0)
+    assert(chunks.forall(_.text.length <= 25))
+    assert(chunks.head.text == "first paragraph here\n\n")
+  }
+
+  test("recursive: overlap re-serves at most `overlap` trailing chars") {
+    val t = ("word " * 50).trim
+    val chunks = Split.recursive(t, 20, 10)
+    assert(chunks.length > 3)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        val aEnd = a.start + a.text.length
+        assert(b.start <= aEnd, "chunks must not leave gaps")
+        assert(aEnd - b.start <= 10, s"overlap ${aEnd - b.start} exceeds requested 10")
+      case _ =>
+    }
+  }
+
+  test("chunkDocs assigns reference-style 1-based chunk ids") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((7L, "aaaa bbbb cccc dddd")).toDF("doc_id", "text")
+    val got = Split.chunkDocs(df, "doc_id", "text", t => Split.fixedWindow(t, 10, 5))
+      .select($"chunk_id").as[String].collect().toSeq
+    assert(got.head == "7_1")
+  }
+}
