@@ -50,6 +50,73 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass MinHash banding: from a shingle array straight to the LSH
+  * band-hash array. One imperative pass computes all `numHashes` seeded
+  * minima (seed-mixed 64-bit murmur finalizer), then folds each band of
+  * `numHashes/bands` signature values into one hash.
+  *
+  * This replaces the equivalent `transform`/`array_min` composition: the
+  * higher-order functions are interpreted and get re-evaluated per
+  * reference after projection collapse, turning O(shingles·hashes) into
+  * O(shingles·hashes²) — measured 15× slower at sf0.1.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  private val seeds: Array[Long] =
+    Array.tabulate(numHashes)(j => MinHashBands.fmix64(0x9e3779b97f4a7c15L * (j + 1)))
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = SimHash64.hash64(arr.get(i, StringType).asInstanceOf[UTF8String].toString)
+        var j = 0
+        while (j < numHashes) {
+          val h = MinHashBands.fmix64(base ^ seeds(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L + b
+      var k = 0
+      while (k < r) { h = MinHashBands.fmix64(h ^ sig(b * r + k)); k += 1 }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashBands {
+  /** Murmur3 64-bit finalizer — the standard avalanche mix. */
+  def fmix64(k0: Long): Long = {
+    var h = k0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+  def minhashBands(shingles: Column, numHashes: Int, bands: Int): Column =
+    ColumnShim.column(MinHashBands(ColumnShim.expression(shingles), numHashes, bands))
+}
+
 object SimHash64 {
   /** Deterministic 64-bit token hash from two seeded 32-bit murmurs. */
   def hash64(tok: String): Long =

@@ -43,25 +43,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the shingle set of xxhash64(shingle, seed). Pure
-    * Catalyst; `numHashes` passes over the shingle array per row (cheap
-    * next to the shuffle the candidates need).
-    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(shingles, s => xxhash64(s, lit(j))))): _*)
-
-  /** LSH band hashes: signature split into `bands` bands of `rowsPerBand`
-    * values, each band hashed to one long. Docs sharing any band hash are
-    * near-dup candidates.
-    */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
-      xxhash64((lit(b.toLong) +: cols): _*)
-    }: _*)
-
   /** MinHash+LSH near-dup pairs: shingle → signature → band → bucket
     * equi-join for candidates → exact Jaccard verify on the candidates
     * only. Returns (idA, idB, jaccard) with idA < idB.
@@ -70,14 +51,20 @@ object Dedup {
     * equi-join; candidate verification touches |candidates| rows, not
     * |corpus|². Recall is the standard 1-(1-j^r)^b curve, so this is the
     * approximate scale path; [[ngramJaccardPairs]] is the exact one.
+    * The shingle table is persisted: it feeds both the banding pass and
+    * the verification joins, and signature+banding is a single-pass
+    * custom expression ([[graft.functions.MinHashBands]]) — composing
+    * interpreted `transform`/`array_min` here re-evaluates the shingle
+    * array per reference (measured 15× slower at sf0.1).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, n: Int = 3,
                           numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
-      .select(col("id"), posexplode(bandHashes(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
+      .select(col("id"), posexplode(
+        graft.functions.MinHashBands.minhashBands(col("sh"), numHashes, bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -106,9 +93,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-    val inv = shingled.select(col("id"), explode(col("sh")).as("shingle"))
-    val sizes = shingled.select(col("id"), size(col("sh")).as("sz"))
+    // persist the exploded index: it is scanned twice by the self-join
+    // (and shingle construction is interpreted HOF work worth one pass)
+    val inv = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF-style approximate nearest-neighbor index (SURVEY.md §4: the
+  * reference's HNSW/IVF vector index S16 has no Catalyst equivalent; the
+  * scale story is coarse clustering + partition pruning).
+  *
+  * Fit: deterministic k-means (hash-seeded init + a few distributed Lloyd
+  * iterations — assignment is a broadcast top-1 centroid join, update is a
+  * posexplode/groupBy mean, only k×dim floats ever reach the driver).
+  *
+  * Serve: write the corpus `partitionBy(cluster_id)`; a query embeds,
+  * ranks centroids driver-side (k tiny), and scans only the `nProbe`
+  * nearest clusters — on a partitioned store that is real partition
+  * pruning: `nProbe/k` of the data read, visible as partition filters in
+  * the scan node. `nProbe = k` degenerates to exact brute force (the
+  * correctness oracle).
+  */
+object Ivf {
+
+  case class IvfModel(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+    /** Centroid ids nearest to the query, best first (driver-side; k is small). */
+    def probeOrder(queryVec: Array[Float]): Array[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        val n = math.min(c.length, queryVec.length)
+        while (j < n) { val d = c(j).toDouble - queryVec(j); s += d * d; j += 1 }
+        (i, s)
+      }.sortBy(t => (t._2, t._1)).map(_._1)
+  }
+
+  /** Assign each row its nearest centroid id (broadcast join + window
+    * top-1; no shuffle of the corpus beyond the rank).
+    */
+  def assign(df: DataFrame, embCol: String, model: IvfModel,
+             clusterCol: String = "cluster_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__cid", "__cemb")
+    val dist = VectorFunctions.euclidean(col(embCol), col("__cemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__row")).orderBy(dist.asc, col("__cid"))
+    df.withColumn("__row", monotonically_increasing_id())
+      .crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cemb")
+      .withColumnRenamed("__cid", clusterCol)
+      .drop("__row")
+  }
+
+  /** Deterministic k-means fit. Init: the k rows with smallest
+    * xxhash64(id) (a seeded pseudo-random sample). `iters` Lloyd rounds.
+    */
+  def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
+          iters: Int = 2): IvfModel = {
+    val init = df.select(col(idCol), col(embCol))
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    var model = IvfModel(init)
+    for (_ <- 0 until iters) {
+      val assigned = assign(df.select(col(embCol)), embCol, model)
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col(embCol)))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      val dim = model.centroids.head.length
+      val next = model.centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val v = new Array[Float](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            v
+          case None => model.centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+      model = IvfModel(next)
+    }
+    model
+  }
+
+  /** Write an IVF-partitioned store: parquet partitioned by cluster id so
+    * probe-time filters prune whole partitions.
+    */
+  def writePartitioned(df: DataFrame, embCol: String, model: IvfModel, path: String): Unit =
+    assign(df, embCol, model)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** Top-k search probing only the `nProbe` nearest clusters. On a
+    * cluster-partitioned store the `isin` filter is partition pruning.
+    */
+  def search(store: DataFrame, embCol: String, model: IvfModel,
+             queryVec: Array[Float], topK: Int, nProbe: Int,
+             metric: String = "COSINE"): DataFrame = {
+    val probes = model.probeOrder(queryVec).take(math.max(1, nProbe)).toSeq
+    Similarity.knn(
+      store.filter(col("cluster_id").isin(probes: _*)),
+      embCol, queryVec, topK, metric)
+  }
+}

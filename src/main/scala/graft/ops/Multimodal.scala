@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed batch-at-a-time inside the executors.
+  *
+  * The decode step is STUBBED (this container ships no image/audio codecs)
+  * behind [[MediaDecoder]]; everything Spark-side — the schema, the
+  * binaryFile source, partition sizing, the batch-shaped executor loop,
+  * and the feature pipeline into the vector operators — is real and
+  * tested. Swapping [[FakeDecoder]] for a JNI/codec-backed implementation
+  * changes no plan shape.
+  */
+object Multimodal {
+
+  /** Canonical media row schema: `(media_id, kind, bytes, meta)`. */
+  val mediaSchemaDDL: String =
+    "media_id STRING, kind STRING, bytes BINARY, meta MAP<STRING,STRING>"
+
+  /** Pluggable decode/feature-extract surface. Real implementations wrap
+    * a codec; the deterministic fake derives features from the raw bytes
+    * so the downstream pipeline is exactly testable.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Fixed-length feature vector from one media payload. */
+    def features(kind: String, bytes: Array[Byte]): Array[Float]
+    /** Per-item metadata the decode would surface (dims, duration...). */
+    def probe(kind: String, bytes: Array[Byte]): Map[String, String]
+    def dim: Int
+  }
+
+  /** Deterministic stand-in decoder: byte-histogram features, L2-normed —
+    * a stable fake with the same signature a real decoder would have.
+    */
+  final case class FakeDecoder(dim: Int = 32) extends MediaDecoder {
+    def features(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { v(java.lang.Math.floorMod(bytes(i).toInt, dim)) += 1f; i += 1 }
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+      if (norm > 0) { val inv = (1.0 / math.sqrt(norm)).toFloat; j = 0; while (j < dim) { v(j) *= inv; j += 1 } }
+      v
+    }
+    def probe(kind: String, bytes: Array[Byte]): Map[String, String] =
+      Map("size_bytes" -> bytes.length.toString, "kind" -> kind)
+  }
+
+  /** Read a directory of media files as the canonical schema via Spark's
+    * binaryFile source (one row per file; files >
+    * `spark.sql.files.maxPartitionBytes` stay one row — binary payloads
+    * are opaque).
+    */
+  def readMediaDir(spark: SparkSession, dir: String, kind: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("media_id"),
+        lit(kind).as("kind"),
+        col("content").as("bytes"),
+        map(lit("length"), col("length").cast("string"),
+          lit("mtime"), col("modificationTime").cast("string")).as("meta"))
+
+  /** Decode + feature-extract, batch-shaped: `mapPartitions` so a real
+    * decoder can amortize model/codec init per partition (the Scala
+    * analog of a pandas batch UDF). Output keeps the input columns minus
+    * bytes, plus `features ARRAY<FLOAT>` and the probe metadata.
+    */
+  def extractFeatures(df: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id STRING, kind STRING, features ARRAY<FLOAT>, probe MAP<STRING,STRING>")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select("media_id", "kind", "bytes").mapPartitions { it =>
+      // per-partition decoder init happens here in a real implementation
+      it.map { r =>
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        org.apache.spark.sql.Row(r.getString(0), kind,
+          decoder.features(kind, bytes).toSeq, decoder.probe(kind, bytes))
+      }
+    }(enc)
+  }
+
+  /** Frame/segment sampling plumbing: split a payload into fixed-size
+    * byte segments (the real version samples frames/windows) — one row
+    * per segment with its index, ready for per-segment feature extract.
+    */
+  def sampleSegments(df: DataFrame, segmentBytes: Int): DataFrame = {
+    require(segmentBytes > 0)
+    val seg = udf((bytes: Array[Byte]) =>
+      bytes.grouped(segmentBytes).zipWithIndex.map { case (b, i) => (i, b) }.toSeq)
+    df.withColumn("__seg", explode(seg(col("bytes"))))
+      .select(col("media_id"), col("kind"),
+        col("__seg._1").cast("long").as("segment_idx"), col("__seg._2").as("segment_bytes"))
+  }
+
+  /** Bridge into the text/vector pipeline: media features are first-class
+    * vectors for [[Similarity]] / [[Dedup.embeddingNearDupPairs]].
+    */
+  def featureColumn(df: DataFrame): Column = col("features")
+}

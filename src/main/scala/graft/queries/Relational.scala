@@ -226,6 +226,16 @@ object Relational {
         .limit(100)
     }),
 
+    // P14 regex validation predicate (reference OCID/alias patterns).
+    "filter_regex_valid" -> ((s, d) => {
+      import s.implicits._
+      part(s, d)
+        .filter($"p_type".rlike("OMY$") && $"p_name".rlike("^[a-z]+ [a-z]+$"))
+        .select($"p_partkey", $"p_type")
+        .orderBy($"p_partkey")
+        .limit(100)
+    }),
+
     // Evaluation aggregate A2: overall correctness mean.
     "eval_overall" -> ((s, d) => {
       import s.implicits._
@@ -348,6 +358,10 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "key_gen_md5" ->
       "SELECT c_custkey, md5(c_name) AS h FROM customer ORDER BY c_custkey LIMIT 100",
+    "filter_regex_valid" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE regexp_matches(p_type, 'OMY$') AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+        |ORDER BY p_partkey LIMIT 100""".stripMargin,
     "eval_overall" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,

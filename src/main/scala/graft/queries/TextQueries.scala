@@ -93,9 +93,11 @@ object TextQueries {
     // (doc_id < 250) — the ingest anti-join as a pure query.
     "ingest_antijoin_chunks" -> ((s, d) => {
       import s.implicits._
+      // persisted: the chunk set feeds both sides of the anti-join
       val chunks = Split.chunkDocs(documents(s, d), "doc_id", "text",
           t => Split.fixedWindow(t, 200, 150))
         .withColumn("ckey", Split.contentKey($"chunk_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val existing = chunks.filter($"doc_id" < 250).select($"ckey").distinct()
       chunks.join(existing, Seq("ckey"), "left_anti")
         .select($"doc_id", $"chunk_idx")

@@ -85,6 +85,19 @@ object VectorSearch {
         .orderBy($"mmr_rank")
     }),
 
+    // S16/§4 IVF index at full probe: fit 8 centroids, search probing all
+    // of them — must equal exact brute-force knn, so it shares the knn
+    // oracle. (Partial-probe pruning is covered in ScaleOpsSpec.)
+    "ann_ivf_full_probe" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val model = graft.ops.Ivf.fit(e, "vec_id", "embedding", k = 8)
+      val assigned = graft.ops.Ivf.assign(e.filter($"vec_id" =!= 0), "embedding", model)
+      graft.ops.Ivf.search(assigned, "embedding", model, queryVec(s, d), topK = 10, nProbe = 8)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // V1 batch embedding over documents through the pluggable embedder
     // expression; output is shape/norm evidence (unit vectors), the
     // embedding itself is engine-defined (no SQL oracle).
@@ -100,6 +113,7 @@ object VectorSearch {
 
   val oracles: Map[String, String] = Map(
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
+    "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),
     "knn_dot_topk" -> knnOracle("list_inner_product", desc = true),
     "score_threshold_search" ->

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document loaders (SURVEY.md §2.1 S1-S4, S9): every loader lands on the
+  * same `(doc_id STRING, text STRING, metadata MAP)` shape the splitter
+  * consumes, mirroring the reference's per-extension dispatch
+  * (`src/server/utils/embedding.py:179-189`). Network staging (S5-S8) is
+  * a pre-step outside the engine: Spark reads a staged directory.
+  */
+object DocumentSources {
+
+  /** S3: whole-file text/markdown — one row per file. */
+  def readText(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.option("wholetext", "true").text(pathGlob)
+      .withColumn("path", input_file_name())
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("doc_id"),
+        col("value").as("text"),
+        map(lit("source"), col("path")).as("metadata"))
+
+  /** S4: CSV — one Document per row (reference CSVLoader semantics): the
+    * row rendered as `col: value` lines, keyed `{filestem}_{rownum}`.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true").csv(path)
+    val cols = df.columns
+    val rendered = concat_ws("\n", cols.map(c => concat_ws(": ", lit(c), col(c))): _*)
+    df.withColumn("path", input_file_name())
+      .withColumn("__rn", monotonically_increasing_id())
+      .select(
+        concat(regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1), lit("_"), col("__rn")).as("doc_id"),
+        rendered.as("text"),
+        map(lit("source"), col("path")).as("metadata"))
+  }
+
+  /** S2: HTML — tags stripped, whitespace collapsed (the UnstructuredHTML
+    * flattening, minus layout heuristics). Pure column expressions.
+    */
+  def readHtml(spark: SparkSession, pathGlob: String): DataFrame =
+    readText(spark, pathGlob)
+      .withColumn("text",
+        trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "(?s)<(script|style)[^>]*>.*?</\\1>", " "),
+          "<[^>]+>", " "),
+          "\\s+", " ")))
+
+  /** HTML section split (reference HTMLSectionSplitter, h1-h5 headers
+    * become section keys): one row per header-led section.
+    */
+  def readHtmlSections(spark: SparkSession, pathGlob: String): DataFrame = {
+    val raw = readText(spark, pathGlob)
+    val sectioned = raw.withColumn("__sec",
+      split(col("text"), "(?i)(?=<h[1-5][^>]*>)"))
+    sectioned
+      .select(col("doc_id"), posexplode(col("__sec")))
+      .withColumnRenamed("pos", "section_idx")
+      .withColumn("header",
+        trim(regexp_replace(regexp_extract(col("col"), "(?is)<h[1-5][^>]*>(.*?)</h[1-5]>", 1), "<[^>]+>", " ")))
+      .withColumn("text",
+        trim(regexp_replace(regexp_replace(col("col"), "<[^>]+>", " "), "\\s+", " ")))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("section_idx"), col("header"), col("text"))
+  }
+
+  /** S1: PDF — binaryFile plumbing with a pluggable page extractor. The
+    * extractor is STUBBED (no PDF codec in this container): the default
+    * fake treats the payload as latin-1 text pages split on form-feed,
+    * preserving the one-row-per-page contract a real extractor has.
+    */
+  def readPdf(spark: SparkSession, pathGlob: String,
+              extractPages: Array[Byte] => Seq[String] = FakePdfExtractor): DataFrame = {
+    import spark.implicits._
+    val ex = udf(extractPages)
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("stem"),
+        posexplode(ex(col("content"))))
+      .select(
+        concat(col("stem"), lit("_p"), col("pos")).as("doc_id"),
+        col("col").as("text"),
+        map(lit("page"), col("pos").cast("string")).as("metadata"))
+  }
+
+  /** Deterministic stand-in for a PDF text extractor. */
+  val FakePdfExtractor: Array[Byte] => Seq[String] =
+    bytes => new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .split("\f").toSeq.filter(_.nonEmpty)
+
+  /** S9: re-hydrate split chunks from a JSON dump (reference
+    * `embedding.py:268-282` reads `kwargs.page_content` / metadata).
+    */
+  def readChunksJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+      .select(col("id").cast("string").as("doc_id"), col("page_content").as("text"),
+        col("metadata"))
+}

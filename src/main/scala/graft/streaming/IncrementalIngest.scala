@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.embed.{EmbedText, Embedder}
+import graft.ops.Split
+
+/** Incremental ingest as a Structured Streaming job (SURVEY.md §2.8).
+  *
+  * The reference has no data-stream processing — it makes re-running the
+  * batch pipeline idempotent via the S15 anti-join. The streaming rebuild
+  * keeps exactly that contract: new document files landing in a directory
+  * are split/embedded incrementally, and each micro-batch merges into the
+  * store through the same content-keyed anti-join (foreachBatch), so
+  * replays and overlapping files cannot duplicate rows.
+  *
+  * At scale this is the standard continuous-ingest shape: the narrow
+  * split/embed work distributes per file-partition; only the anti-join
+  * shuffles, keyed on the content id.
+  */
+object IncrementalIngest {
+
+  /** Start a streaming ingest from `inputDir` (json lines with doc_id,
+    * text) into `storePath`. Returns the query; callers drive it with
+    * `processAllAvailable()` in tests or let the trigger run it.
+    */
+  def start(spark: SparkSession, inputDir: String, storePath: String,
+            embedder: Embedder, chunkSize: Int, chunkOverlap: Int,
+            checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    val stream = spark.readStream.schema(schema).json(inputDir)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, storePath, embedder, chunkSize, chunkOverlap)
+      }
+      .start()
+  }
+
+  /** One micro-batch: split → content key → dedup → embed → anti-join
+    * against the store → append. Same semantics as the batch
+    * [[graft.ops.Ingest.ingest]].
+    */
+  private[streaming] def mergeBatch(batch: DataFrame, storePath: String,
+                                    embedder: Embedder, chunkSize: Int,
+                                    chunkOverlap: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val chunks = Split.chunkDocs(batch, "doc_id", "text",
+        t => Split.recursive(t, chunkSize, chunkOverlap))
+      .withColumn("id", Split.contentKey(col("chunk_text")))
+      .select(col("id"), col("chunk_text").as("text"),
+        map(lit("source"), col("doc_id").cast("string"),
+          lit("chunk_id"), col("chunk_id")).as("metadata"))
+      .dropDuplicates("id")
+      .withColumn("embedding", EmbedText.embedText(col("text"), embedder))
+    val exists = new java.io.File(storePath).exists()
+    val toAppend =
+      if (exists)
+        chunks.join(spark.read.parquet(storePath).select("id"), Seq("id"), "left_anti")
+      else chunks
+    toAppend.write.mode("append").parquet(storePath)
+  }
+
+  /** Windowed event aggregation over a stream — the watermark/tumbling-
+    * window shape (§2.8's Spark mapping), exposed for the events table:
+    * per (window, event_type) counts and exact value cents.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String, windowLen: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed.HashEmbedder
+import graft.ops.{Ivf, Multimodal, Similarity}
+import graft.sources.DocumentSources
+import graft.streaming.IncrementalIngest
+
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streaming incremental ingest merges micro-batches idempotently") {
+    val in = Files.createTempDirectory("stream-in").toString
+    val store = Files.createTempDirectory("stream-store").toString + "/chunks"
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(java.nio.file.Paths.get(in, name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n"))
+
+    writeDocs("b1.json", Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")))
+    val q = IncrementalIngest.start(spark, in, store, HashEmbedder(16), 64, 0, ckpt)
+    try {
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(store).count()
+      assert(n1 == 2)
+      // second batch: one duplicate doc (same content) + one new
+      writeDocs("b2.json", Seq((3L, "alpha beta gamma delta"), (4L, "iota kappa lambda mu")))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(store)
+      assert(rows.count() == 3, "duplicate content must not re-append")
+      assert(rows.select("id").distinct().count() == 3)
+      assert(rows.schema.fieldNames.contains("embedding"))
+    } finally q.stop()
+  }
+
+  test("windowed event aggregation matches batch groupBy on the events table") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts2", Tables.eventTime($"ts"))
+    val agg = IncrementalIngest.windowedEventCounts(ev, "ts2", "1 hour", "1 minute")
+    val total = agg.agg(sum($"n")).head().getLong(0)
+    assert(total == ev.count())
+  }
+
+  test("multimodal: binaryFile read, segment sampling, and feature extraction into the vector ops") {
+    val dir = Files.createTempDirectory("media").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.img"), Array.fill[Byte](100)(7))
+    Files.write(java.nio.file.Paths.get(dir, "b.img"), Array.tabulate[Byte](300)(i => (i % 97).toByte))
+    val media = Multimodal.readMediaDir(spark, dir, "image")
+    assert(media.count() == 2)
+    assert(media.schema.fieldNames.toSet == Set("media_id", "kind", "bytes", "meta"))
+
+    val segs = Multimodal.sampleSegments(media, 128)
+    assert(segs.filter($"media_id" === "b.img").count() == 3)
+
+    val feats = Multimodal.extractFeatures(media, Multimodal.FakeDecoder(16))
+    val rows = feats.collect()
+    assert(rows.forall(_.getAs[Seq[Float]]("features").length == 16))
+    assert(rows.forall(_.getAs[Map[String, String]]("probe").contains("size_bytes")))
+    // features flow into the similarity operator unchanged
+    val qv = rows.head.getAs[Seq[Float]]("features").toArray
+    val knn = Similarity.knn(feats.select($"media_id", $"features"), "features", qv, 1)
+    assert(knn.select($"media_id").as[String].head() == rows.head.getString(0))
+  }
+
+  test("IVF: full probe equals brute force; partial probe prunes partitions and stays a subset") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Ivf.fit(emb, "vec_id", "embedding", k = 8)
+    assert(model.centroids.length == 8)
+
+    val dir = Files.createTempDirectory("ivf").toString + "/store"
+    Ivf.writePartitioned(emb, "embedding", model, dir)
+    val store = spark.read.parquet(dir)
+    assert(store.schema.fieldNames.contains("cluster_id"))
+
+    val qv = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    val exact = Similarity.knn(emb.select($"vec_id", $"embedding"), "embedding", qv, 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val full = Ivf.search(store, "embedding", model, qv, 10, nProbe = 8)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(full == exact, "nProbe = k must equal brute force")
+
+    val partial = Ivf.search(store, "embedding", model, qv, 10, nProbe = 2)
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.contains("cluster_id"), "probe filter must reach the partitioned scan")
+    val got = partial.select($"vec_id").as[Long].collect().toSeq
+    assert(got.size == 10)
+    val recall = got.count(exact.contains) / 10.0
+    assert(recall > 0.0, "partial probe should find at least some true neighbors")
+  }
+
+  test("document sources: text, csv, html, pdf-stub, chunk json all land on the splitter schema") {
+    val dir = Files.createTempDirectory("docs").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "note.txt"), "plain text file body")
+    Files.writeString(java.nio.file.Paths.get(dir, "page.html"),
+      "<html><head><style>x{}</style></head><body><h1>Title</h1><p>Hello <b>world</b></p></body></html>")
+    Files.writeString(java.nio.file.Paths.get(dir, "table.csv"), "name,role\nada,engineer\ngrace,admiral")
+    Files.write(java.nio.file.Paths.get(dir, "doc.pdf"), "page one\fpage two".getBytes)
+    Files.writeString(java.nio.file.Paths.get(dir, "chunks.json"),
+      """{"id": "c1", "page_content": "chunk text", "metadata": {"source": "s"}}""")
+
+    val txt = DocumentSources.readText(spark, s"$dir/note.txt").collect()
+    assert(txt.head.getString(0) == "note" && txt.head.getString(1) == "plain text file body")
+
+    val html = DocumentSources.readHtml(spark, s"$dir/page.html").collect()
+    assert(html.head.getString(1) == "Title Hello world")
+
+    val csv = DocumentSources.readCsv(spark, s"$dir/table.csv").collect()
+    assert(csv.length == 2)
+    assert(csv.head.getString(1) == "name: ada\nrole: engineer")
+
+    val pdf = DocumentSources.readPdf(spark, s"$dir/doc.pdf").collect()
+    assert(pdf.map(_.getString(0)).toSeq == Seq("doc_p0", "doc_p1"))
+    assert(pdf.map(_.getString(1)).toSeq == Seq("page one", "page two"))
+
+    val chunks = DocumentSources.readChunksJson(spark, s"$dir/chunks.json").collect()
+    assert(chunks.head.getString(1) == "chunk text")
+  }
+}
