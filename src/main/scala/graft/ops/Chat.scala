@@ -86,6 +86,35 @@ object Chat {
   case class RagAnswer(question: String, rewrittenQuery: String, answer: String,
                        context: String, retrievedIds: Seq[Long], relevant: Boolean)
 
+  /** V9: OpenAI-shape response assembly (`src/server/agents/chatbot.py:
+    * 93-133`; schema `src/common/schema.py:213-257`): wrap the final
+    * answer with id/created/usage/choices, normalizing the finish reason
+    * (`COMPLETE→stop`, `MAX_TOKENS→length`).
+    */
+  case class Usage(prompt_tokens: Long, completion_tokens: Long, total_tokens: Long)
+  case class Choice(index: Int, role: String, content: String, finish_reason: String)
+  case class ChatResponse(id: String, created: Long, model: String,
+                          usage: Usage, choices: Seq[Choice])
+
+  def toResponse(ans: RagAnswer, model: String, createdEpoch: Long,
+                 rawFinishReason: String = "COMPLETE"): ChatResponse = {
+    val finish = rawFinishReason match {
+      case "COMPLETE"   => "stop"
+      case "MAX_TOKENS" => "length"
+      case other        => other.toLowerCase
+    }
+    def tok(s: String): Long = s.split("\\s+").count(_.nonEmpty).toLong
+    val prompt = tok(ans.question) + tok(ans.context)
+    val completion = tok(ans.answer)
+    ChatResponse(
+      id = "chatcmpl-" + java.util.UUID.nameUUIDFromBytes(
+        (ans.question + ans.answer).getBytes).toString,
+      created = createdEpoch,
+      model = model,
+      usage = Usage(prompt, completion, prompt + completion),
+      choices = Seq(Choice(0, "assistant", ans.answer, finish)))
+  }
+
   /** The 3.1 pipeline for one question: rewrite → embed → top-k retrieve
     * → grade → grounded or plain generation, with provenance (V10) in the
     * result. The retrieval is pure Spark ([[Similarity.knn]]); the model

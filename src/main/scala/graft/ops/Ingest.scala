@@ -78,6 +78,17 @@ object Ingest {
     IngestResult(chunksIn, dedupedN, appendedN, total)
   }
 
+  /** S13 chunk JSON sink (`src/server/utils/embedding.py:61-75`): dump
+    * split chunks as JSON in the LangChain Document dump shape that
+    * [[graft.sources.DocumentSources.readChunksJson]] (S9) re-hydrates.
+    */
+  def writeChunksJson(chunks: DataFrame, path: String): Unit =
+    chunks.select(
+        col("id"),
+        col("text").as("page_content"),
+        col("metadata"))
+      .write.mode(SaveMode.Overwrite).json(path)
+
   def readStore(spark: SparkSession, storeDir: String, config: StoreConfig): Option[DataFrame] = {
     val path = new java.io.File(s"$storeDir/${config.tableName}")
     if (path.exists()) Some(spark.read.parquet(path.toString)) else None

@@ -62,4 +62,48 @@ object Testbed {
     val key = reference.split("\\s+").headOption.getOrElse("")
     key.nonEmpty && answer.toLowerCase.contains(key.toLowerCase)
   }
+
+  /** S18 testset upsert: idempotent overwrite keyed on the testset id —
+    * the Spark shape of the reference's PL/SQL lookup/update/delete-
+    * children/insert loop (`src/server/utils/testbed.py:155-203`): drop
+    * any rows for `tid`, append the new ones atomically per partition
+    * directory.
+    */
+  def upsertTestset(spark: SparkSession, tablePath: String, tid: String,
+                    name: String, qa: DataFrame): Unit = {
+    val incoming = qa
+      .withColumn("tid", lit(tid))
+      .withColumn("name", lit(name))
+      .withColumn("created", current_timestamp())
+    val merged = if (new java.io.File(tablePath).exists()) {
+      spark.read.parquet(tablePath).filter(col("tid") =!= tid)
+        .unionByName(incoming, allowMissingColumns = true)
+    } else incoming
+    // two-phase write: parquet source can't overwrite a path it reads
+    val tmp = tablePath + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** S19 evaluation sink: append one evaluation row plus its per-question
+    * report rows (a real table, not a pickled blob).
+    */
+  def appendEvaluation(spark: SparkSession, evalPath: String, reportPath: String,
+                       tid: String, report: DataFrame): String = {
+    import spark.implicits._
+    val eid = java.util.UUID.nameUUIDFromBytes(
+      (tid + report.count()).getBytes).toString
+    val correctness = overall(report).select(col("correctness")).head().getDouble(0)
+    Seq((eid, tid, correctness)).toDF("eid", "tid", "correctness")
+      .withColumn("evaluated", current_timestamp())
+      .write.mode("append").parquet(evalPath)
+    report.withColumn("eid", lit(eid)).write.mode("append").parquet(reportPath)
+    eid
+  }
 }

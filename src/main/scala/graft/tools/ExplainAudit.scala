@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit main: prints the formatted physical plan of selected
+  * queries and greps for the scale-relevant properties (pushed filters,
+  * broadcast joins, take-ordered top-k, whole-stage codegen spans).
+  * Run: sbt "runMain graft.tools.ExplainAudit [queryName ...]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "filter_project_pushdown", "join_agg_topk", "sort_limit_topk",
+      "knn_cosine_topk", "similarity_join_topk", "dedup_ngram_jaccard",
+      "agg_pricing_summary")
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(plan.linesIterator.filter { l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("TakeOrderedAndProject") || l.contains("Exchange") ||
+        l.startsWith("(")
+      }.mkString("\n"))
+      println("-- codegen spans: " +
+        "WholeStageCodegen".r.findAllIn(df.queryExecution.executedPlan.toString).length)
+    }
+    spark.stop()
+  }
+}

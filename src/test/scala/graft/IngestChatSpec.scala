@@ -94,6 +94,42 @@ class IngestChatSpec extends AnyFunSuite {
     assert(plain.retrievedIds.isEmpty && plain.context.isEmpty)
   }
 
+  test("testset upsert is idempotent per tid and chunk JSON round-trips (S18, S13/S9)") {
+    val base = Files.createTempDirectory("graft-ts").toString
+    val path = s"$base/testsets"
+    val qa1 = Seq(Testbed.QaRecord("q1", "a1", "c1", "t")).toDF()
+    val qa2 = Seq(Testbed.QaRecord("q2", "a2", "c2", "t"),
+      Testbed.QaRecord("q3", "a3", "c3", "t")).toDF()
+    Testbed.upsertTestset(spark, path, "tid-1", "set one", qa1)
+    Testbed.upsertTestset(spark, path, "tid-2", "set two", qa2)
+    assert(spark.read.parquet(path).count() == 3)
+    // re-upsert tid-1 with different content: replaces, not appends
+    Testbed.upsertTestset(spark, path, "tid-1", "set one v2", qa2)
+    val rows = spark.read.parquet(path)
+    assert(rows.count() == 4)
+    assert(rows.filter($"tid" === "tid-1").count() == 2)
+
+    // S13 -> S9 round trip
+    val chunksJson = s"$base/chunks"
+    val chunks = Seq(("c1", "chunk text", Map("source" -> "s")))
+      .toDF("id", "text", "metadata")
+    graft.ops.Ingest.writeChunksJson(chunks, chunksJson)
+    val back = graft.sources.DocumentSources.readChunksJson(spark, chunksJson).collect()
+    assert(back.head.getString(1) == "chunk text")
+  }
+
+  test("V9 response assembly normalizes finish reasons and counts usage") {
+    val ans = Chat.RagAnswer("what is x", "what is x", "x is y", "ctx one\n\nctx two",
+      Seq(1L, 2L), relevant = true)
+    val r = Chat.toResponse(ans, "template-model", createdEpoch = 1700000000L)
+    assert(r.choices.head.finish_reason == "stop")
+    assert(Chat.toResponse(ans, "m", 0L, "MAX_TOKENS").choices.head.finish_reason == "length")
+    assert(r.usage.prompt_tokens == 3 + 4)
+    assert(r.usage.completion_tokens == 3)
+    assert(r.usage.total_tokens == r.usage.prompt_tokens + r.usage.completion_tokens)
+    assert(r.id == Chat.toResponse(ans, "m", 5L).id, "id is content-derived, deterministic")
+  }
+
   test("testbed evaluate: report aggregates match hand-computed means (A2-A4)") {
     val qa = Seq(
       Testbed.QaRecord("what is spark", "spark is an engine", "ctx", "tech"),
