@@ -26,8 +26,12 @@ object Tables {
     table(s, d, "events")
   }
 
-  /** Event time as TimestampType (micros) from the nanos BIGINT column. */
-  def eventTime(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+  /** Event time as TimestampType (micros) from the nanos BIGINT column.
+    * Integer `div`, not `/`: nanos (~1.7e18) exceed 2^53, so a double
+    * division would lose sub-microsecond exactness.
+    */
+  def eventTime(c: Column): Column =
+    timestamp_micros((c.cast("decimal(38,0)") / 1000).cast("long"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

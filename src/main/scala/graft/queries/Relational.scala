@@ -226,6 +226,19 @@ object Relational {
         .limit(100)
     }),
 
+    // §2.8 tumbling-window aggregation as a batch query (same window()
+    // expression the streaming path uses — oracle: date_trunc to hour).
+    "stream_window_counts" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("ts2", eventTime($"ts"))
+        .groupBy(window($"ts2", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_c"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH").as("hour"),
+          $"event_type", $"n", $"value_c")
+        .orderBy($"hour", $"event_type")
+    }),
+
     // P14 regex validation predicate (reference OCID/alias patterns).
     "filter_regex_valid" -> ((s, d) => {
       import s.implicits._
@@ -358,6 +371,10 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "key_gen_md5" ->
       "SELECT c_custkey, md5(c_name) AS h FROM customer ORDER BY c_custkey LIMIT 100",
+    "stream_window_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "filter_regex_valid" ->
       """SELECT p_partkey, p_type FROM part
         |WHERE regexp_matches(p_type, 'OMY$') AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')

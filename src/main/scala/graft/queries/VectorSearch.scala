@@ -98,6 +98,26 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // The full RAG retrieval shape in one oracle-checked query: V2 top-k
+    // over embeddings → J3 lookup join to documents (vec_id ≡ doc_id in
+    // the test data) → A9 rank-ordered context concatenation
+    // (src/server/agents/chatbot.py:76-81).
+    "rag_context_assembly" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val topk = Similarity.knn(
+          embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
+          "embedding", qv, k = 4)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"score".desc, $"vec_id")).cast("long"))
+      topk.join(documents(s, d), $"vec_id" === $"doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          concat_ws(" | ", transform(
+            array_sort(collect_list(struct($"rank", substring($"text", 1, 30).as("snip")))),
+            x => x.getField("snip"))).as("context"))
+    }),
+
     // V1 batch embedding over documents through the pluggable embedder
     // expression; output is shape/norm evidence (unit vectors), the
     // embedding itself is engine-defined (no SQL oracle).
@@ -116,6 +136,16 @@ object VectorSearch {
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),
     "knn_dot_topk" -> knnOracle("list_inner_product", desc = true),
+    "rag_context_assembly" ->
+      """WITH topk AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id) AS rank
+        |  FROM embeddings e WHERE e.vec_id <> 0
+        |  ORDER BY rank LIMIT 4)
+        |SELECT COUNT(*) AS n_docs,
+        |  string_agg(substr(text, 1, 30), ' | ' ORDER BY rank) AS context
+        |FROM topk JOIN documents ON vec_id = doc_id""".stripMargin,
     "score_threshold_search" ->
       """SELECT vec_id, round(s, 6) AS sim FROM (
         |  SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
