@@ -52,39 +52,44 @@ object Chat {
   }
 
   /** P8 message-stream cleaning (`src/server/agents/chatbot.py:50-73`)
-    * over a message table `(session, seq, role, content)`:
-    *   - drop system messages;
-    *   - drop tool messages AND the message immediately preceding each
-    *     (the reference pops the prior message when it sees a ToolMessage);
+    * over a message table `(session, seq, role, content)` with the
+    * reference's exact sequential pop semantics:
+    *   - system messages are skipped;
+    *   - each tool message pops the last *surviving* message (so
+    *     consecutive tool messages pop repeatedly — a window lead/lag
+    *     cannot express this);
     *   - if `useHistory` is false keep only the last surviving message
     *     per session;
     *   - prepend `sysPrompt` as a fresh system message per session.
-    * One window over (session, seq) — no self-joins.
+    *
+    * Implemented as `groupByKey(session).flatMapGroups`: the per-session
+    * replay is inherently sequential, but sessions distribute across
+    * executors and a chat history is small by construction.
     */
   def cleanHistory(messages: DataFrame, useHistory: Boolean, sysPrompt: String): DataFrame = {
-    val w = Window.partitionBy(col("session")).orderBy(col("seq"))
-    val cleaned = messages
-      .withColumn("__next_role", lead(col("role"), 1).over(w))
-      .filter(col("role") =!= "system" && col("role") =!= "tool" &&
-        (col("__next_role").isNull || col("__next_role") =!= "tool"))
-      .drop("__next_role")
-    val kept =
-      if (useHistory) cleaned
-      else {
-        val wd = Window.partitionBy(col("session")).orderBy(col("seq").desc)
-        cleaned.withColumn("__rn", row_number().over(wd)).filter(col("__rn") === 1).drop("__rn")
+    val spark = messages.sparkSession
+    import spark.implicits._
+    messages.select(col("session"), col("seq").cast("long"), col("role"), col("content"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (session, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String, String)]()
+        it.toSeq.sortBy(_._2).foreach { m =>
+          m._3 match {
+            case "system" =>                                       // skip
+            case "tool"   => if (buf.nonEmpty) buf.remove(buf.length - 1)
+            case _        => buf += m
+          }
+        }
+        val kept = if (useHistory) buf.toSeq else buf.toSeq.takeRight(1)
+        (session, -1L, "system", sysPrompt) +: kept
       }
-    val sessions = messages.select(col("session")).distinct()
-    val prompts = sessions
-      .withColumn("seq", lit(-1L))
-      .withColumn("role", lit("system"))
-      .withColumn("content", lit(sysPrompt))
-    prompts.unionByName(kept.select("session", "seq", "role", "content"))
+      .toDF("session", "seq", "role", "content")
       .orderBy(col("session"), col("seq"))
   }
 
   case class RagAnswer(question: String, rewrittenQuery: String, answer: String,
-                       context: String, retrievedIds: Seq[Long], relevant: Boolean)
+                       context: String, retrievedIds: Seq[String], relevant: Boolean)
 
   /** V9: OpenAI-shape response assembly (`src/server/agents/chatbot.py:
     * 93-133`; schema `src/common/schema.py:213-257`): wrap the final
@@ -133,13 +138,13 @@ object Chat {
     val q = model.rewrite(question, history)
     val qv = embedder.embed(q)
     val hits = Similarity.knn(store.select(col(idCol), col(textCol), col(embCol)), embCol, qv, topK, metric)
-      .select(col(idCol), col(textCol)).collect()
+      .select(col(idCol).cast("string"), col(textCol)).collect()
     // A9 context concat (chatbot.py:76-81)
     val context = hits.map(_.getString(1)).mkString("\n\n")
     val rel = grader.relevant(q, context)
     val ans =
       if (rel) model.generate(sysPrompt, context, q)
       else model.generate(sysPrompt, "", q)
-    RagAnswer(q, q, ans, context, hits.map(_.getLong(0)).toSeq, rel)
+    RagAnswer(question, q, ans, context, hits.map(_.getString(0)).toSeq, rel)
   }
 }

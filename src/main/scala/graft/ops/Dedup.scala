@@ -62,7 +62,11 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle-less docs (< n words) would all share the empty-set
+    // signature and collide into one bucket per band — a quadratic
+    // candidate blowup; they can't clear any jaccard threshold anyway.
     val banded = shingled
+      .filter(size(col("sh")) > 0)
       .select(col("id"), posexplode(
         graft.functions.MinHashBands.minhashBands(col("sh"), numHashes, bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
@@ -149,7 +153,9 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, idCol: String, embCol: String,
                           threshold: Double, nTables: Int = 4, nBits: Int = 8,
                           seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val dimRow = df.select(size(col(embCol))).head(1)
+    if (dimRow.isEmpty) return embeddingNearDupPairs(df, idCol, embCol, threshold)
+    val dim = dimRow.head.getInt(0)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
     val cand = (0 until nTables).map { t =>
       val planes = randomPlanes(nBits, dim, seed + t)

@@ -72,7 +72,7 @@ object Ingest {
     val appendedN = toAppend.count()
     if (appendedN > 0 || existing.isEmpty)
       toAppend.write.mode(SaveMode.Append).parquet(path)
-    writeManifest(storeDir, config)
+    writeManifest(spark, storeDir, config)
     val total = spark.read.parquet(path).count()
     deduped.unpersist()
     IngestResult(chunksIn, dedupedN, appendedN, total)
@@ -90,25 +90,19 @@ object Ingest {
       .write.mode(SaveMode.Overwrite).json(path)
 
   def readStore(spark: SparkSession, storeDir: String, config: StoreConfig): Option[DataFrame] = {
-    val path = new java.io.File(s"$storeDir/${config.tableName}")
-    if (path.exists()) Some(spark.read.parquet(path.toString)) else None
+    val path = s"$storeDir/${config.tableName}"
+    if (graft.Fs.exists(spark, path)) Some(spark.read.parquet(path)) else None
   }
 
   /** S17: catalog manifest sidecar (one JSON line per store). */
-  private def writeManifest(storeDir: String, config: StoreConfig): Unit = {
-    val f = java.nio.file.Paths.get(storeDir, s"${config.tableName}.manifest.json")
-    java.nio.file.Files.writeString(f, config.toJson)
-  }
+  private def writeManifest(spark: SparkSession, storeDir: String, config: StoreConfig): Unit =
+    graft.Fs.writeString(spark, s"$storeDir/${config.tableName}.manifest.json", config.toJson)
 
   /** S12: catalog scan — list store configs from the manifest sidecars. */
   def listStores(spark: SparkSession, storeDir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(storeDir)
-    val rows =
-      if (!java.nio.file.Files.exists(dir)) Seq.empty[String]
-      else java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".manifest.json"))
-        .map(p => java.nio.file.Files.readString(p)).toSeq
+    val rows = graft.Fs.list(spark, storeDir)
+      .filter(_.endsWith(".manifest.json"))
+      .map(p => graft.Fs.readString(spark, p))
     import spark.implicits._
     val df = rows.toDF("json")
     df.select(from_json(col("json"),

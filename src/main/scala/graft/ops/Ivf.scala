@@ -34,26 +34,20 @@ object Ivf {
       }.sortBy(t => (t._2, t._1)).map(_._1)
   }
 
-  /** Assign each row its nearest centroid id (broadcast join + window
-    * top-1; no shuffle of the corpus beyond the rank).
+  /** Assign each row its nearest centroid id. Fully narrow: one
+    * projection computes all k distances as an array of (dist, cid)
+    * structs and `array_min`'s struct ordering gives the argmin with a
+    * cid tie-break — no join, no shuffle, no row ids, safe under task
+    * retries.
     */
   def assign(df: DataFrame, embCol: String, model: IvfModel,
              clusterCol: String = "cluster_id"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cents = model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("__cid", "__cemb")
-    val dist = VectorFunctions.euclidean(col(embCol), col("__cemb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__row")).orderBy(dist.asc, col("__cid"))
-    df.withColumn("__row", monotonically_increasing_id())
-      .crossJoin(broadcast(cents))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__cemb")
-      .withColumnRenamed("__cid", clusterCol)
-      .drop("__row")
+    val distStructs = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.euclidean(col(embCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cid"))
+    }: _*)
+    df.withColumn(clusterCol, array_min(distStructs).getField("cid"))
   }
 
   /** Deterministic k-means fit. Init: the k rows with smallest

@@ -20,10 +20,18 @@ object Testbed {
     * object, array, or line-delimited — spark.read.json covers
     * line-delimited natively; multiLine handles arrays).
     */
-  def readTestset(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame =
-    spark.read.option("multiLine", multiLine).json(path)
-      .select(col("question"), col("reference_answer"), col("reference_context"),
-        coalesce(col("metadata.topic"), lit("Others")).as("topic"))
+  def readTestset(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame = {
+    val raw = spark.read.option("multiLine", multiLine).json(path)
+    // metadata (and metadata.topic) may be absent entirely — an
+    // unconditional col("metadata.topic") would fail analysis.
+    val topic = raw.schema.find(_.name == "metadata").map(_.dataType) match {
+      case Some(st: org.apache.spark.sql.types.StructType) if st.fieldNames.contains("topic") =>
+        coalesce(col("metadata.topic"), lit("Others"))
+      case _ => lit("Others")
+    }
+    raw.select(col("question"), col("reference_answer"), col("reference_context"),
+      topic.as("topic"))
+  }
 
   /** Evaluate: answer every question (a distributed map — each executor
     * runs the answer function on its partition), judge, and return the
@@ -75,7 +83,7 @@ object Testbed {
       .withColumn("tid", lit(tid))
       .withColumn("name", lit(name))
       .withColumn("created", current_timestamp())
-    val merged = if (new java.io.File(tablePath).exists()) {
+    val merged = if (graft.Fs.exists(spark, tablePath)) {
       spark.read.parquet(tablePath).filter(col("tid") =!= tid)
         .unionByName(incoming, allowMissingColumns = true)
     } else incoming
@@ -83,22 +91,16 @@ object Testbed {
     val tmp = tablePath + ".staging"
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
-    deleteRecursively(new java.io.File(tmp))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+    graft.Fs.delete(spark, tmp)
   }
 
   /** S19 evaluation sink: append one evaluation row plus its per-question
     * report rows (a real table, not a pickled blob).
     */
   def appendEvaluation(spark: SparkSession, evalPath: String, reportPath: String,
-                       tid: String, report: DataFrame): String = {
+                       tid: String, report: DataFrame,
+                       eid: String = java.util.UUID.randomUUID().toString): String = {
     import spark.implicits._
-    val eid = java.util.UUID.nameUUIDFromBytes(
-      (tid + report.count()).getBytes).toString
     val correctness = overall(report).select(col("correctness")).head().getDouble(0)
     Seq((eid, tid, correctness)).toDF("eid", "tid", "correctness")
       .withColumn("evaluated", current_timestamp())

@@ -58,7 +58,7 @@ object IncrementalIngest {
           lit("chunk_id"), col("chunk_id")).as("metadata"))
       .dropDuplicates("id")
       .withColumn("embedding", EmbedText.embedText(col("text"), embedder))
-    val exists = new java.io.File(storePath).exists()
+    val exists = graft.Fs.exists(spark, storePath)
     val toAppend =
       if (exists)
         chunks.join(spark.read.parquet(storePath).select("id"), Seq("id"), "left_anti")

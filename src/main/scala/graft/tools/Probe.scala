@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Scratch probe main: drives the public library surface end-to-end
   * against real data/files — used by the verification workflow, not by
-  * the driver. Currently: testset upsert + evaluation sinks, chunk JSON
-  * round trip, V9 response assembly.
+  * the driver. Currently: review-fix drives (string-keyed RAG store,
+  * sequential history cleaning, short-doc minhash, metadata-less
+  * testsets, IVF narrow assign plan).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -14,39 +15,48 @@ object Probe {
       .config("spark.ui.enabled", "false").config("spark.sql.shuffle.partitions", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.ops.{Chat, Ingest, Testbed}
-    import java.nio.file.Files
+    import graft.ops.{Chat, Dedup, Ingest, Ivf, Testbed}
+    import graft.embed.HashEmbedder
+    import java.nio.file.{Files, Paths}
 
-    val base = Files.createTempDirectory("probe-tb").toString
+    // RAG answer over the md5-string-keyed store (no synthetic ids)
+    val dir = Files.createTempDirectory("probe-rag").toString
+    val cfg = Ingest.StoreConfig("probe", "hash-64", 200, 40)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, HashEmbedder(64))
+    val store = Ingest.readStore(spark, dir, cfg).get
+    val ans = Chat.answer(spark, "merge batch table join", store, "id", "text", "embedding", HashEmbedder(64))
+    println(s"RAG-STRING-ID: relevant=${ans.relevant} ids=${ans.retrievedIds.map(_.take(8)).mkString(",")} q='${ans.question}' rq='${ans.rewrittenQuery}'")
 
-    // S18: upsert, then re-upsert the same tid with different content
-    val qa1 = Seq(Testbed.QaRecord("what is a join", "join combines tables", "c", "sql")).toDF()
-    val qa2 = Seq(
-      Testbed.QaRecord("what is a scan", "scan reads data", "c", "sql"),
-      Testbed.QaRecord("what is a sort", "sort orders rows", "c", "sql")).toDF()
-    Testbed.upsertTestset(spark, s"$base/testsets", "tid-A", "first", qa1)
-    Testbed.upsertTestset(spark, s"$base/testsets", "tid-A", "first-v2", qa2)
-    val ts = spark.read.parquet(s"$base/testsets")
-    println("UPSERT rows after replace: " + ts.count() + " names=" +
-      ts.select("name").distinct().as[String].collect().mkString(","))
+    // non-identity rewriter preserves the original question
+    val rewriter = new Chat.ChatModel {
+      def rewrite(q: String, h: Seq[String]): String = q + " rewritten"
+      def generate(s: String, c: String, q: String): String = s"ans($q)"
+    }
+    val ans2 = Chat.answer(spark, "original q", store, "id", "text", "embedding", HashEmbedder(64), model = rewriter)
+    println(s"REWRITE: question='${ans2.question}' rewritten='${ans2.rewrittenQuery}'")
 
-    // S19: evaluate + append evaluation
-    val report = Testbed.evaluate(qa2.select($"question", $"reference_answer", $"reference_context", $"topic"),
-      q => s"surely ${q.split(" ").last} works", Testbed.keywordJudge)
-    val eid = Testbed.appendEvaluation(spark, s"$base/evals", s"$base/reports", "tid-A", report)
-    println("EVAL row: " + spark.read.parquet(s"$base/evals").collect().mkString)
-    println("REPORT rows: " + spark.read.parquet(s"$base/reports").count() + " eid=" + eid)
+    // sequential pop semantics on consecutive tools
+    val par = Seq(("p", 0L, "human", "q"), ("p", 1L, "ai", "call"),
+      ("p", 2L, "tool", "r1"), ("p", 3L, "tool", "r2")).toDF("session", "seq", "role", "content")
+    Chat.cleanHistory(par, useHistory = true, sysPrompt = "sys").show(false)
 
-    // S13 -> S9 chunk JSON round trip
-    Ingest.writeChunksJson(Seq(("k1", "round trip text", Map("s" -> "v"))).toDF("id", "text", "metadata"),
-      s"$base/chunks")
-    println("CHUNK-JSON back: " + graft.sources.DocumentSources.readChunksJson(spark, s"$base/chunks")
-      .select("text").as[String].head())
+    // minhash with short (shingle-less) docs must not blow up or pair them
+    val shorties = (0L until 50L).map(i => (i, "hi")) ++ Seq((100L, "a b c d e f g"), (101L, "a b c d e f g"))
+    val pairs = Dedup.minhashNearDupPairs(shorties.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+    println("MINHASH short-doc pairs: " + pairs.collect().mkString(", "))
 
-    // V9 response assembly
-    val ans = Chat.RagAnswer("q words here", "q words here", "an answer", "ctx a\n\nctx b", Seq(1L), relevant = true)
-    println("V9: " + Chat.toResponse(ans, "template", 1723400000L))
-    println("V9 max_tokens: " + Chat.toResponse(ans, "template", 0L, "MAX_TOKENS").choices.head.finish_reason)
+    // metadata-less testset JSON reads with default topic
+    val ts = Files.createTempDirectory("probe-ts").toString
+    Files.writeString(Paths.get(ts, "qa.jsonl"),
+      """{"question":"q1","reference_answer":"a1","reference_context":"c1"}""")
+    Testbed.readTestset(spark, ts + "/qa.jsonl").show(false)
+
+    // IVF assign is narrow: no Exchange in the plan
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val model = Ivf.fit(emb, "vec_id", "embedding", 8)
+    val assignPlan = Ivf.assign(emb, "embedding", model).queryExecution.executedPlan.toString
+    println("IVF-ASSIGN exchanges: " + "Exchange".r.findAllIn(assignPlan).length)
     spark.stop()
   }
 }

@@ -69,6 +69,15 @@ class IngestChatSpec extends AnyFunSuite {
       .filter($"session" === "s1" && $"role" =!= "system")
       .select($"seq").as[Long].collect().toSeq
     assert(last == Seq(5L))
+    // consecutive tool messages pop repeatedly (parallel tool calls):
+    // reference semantics leave nothing but the fresh system prompt
+    val par = Seq(
+      ("p", 0L, "human", "q"), ("p", 1L, "ai", "call"),
+      ("p", 2L, "tool", "r1"), ("p", 3L, "tool", "r2")
+    ).toDF("session", "seq", "role", "content")
+    val survivors = Chat.cleanHistory(par, useHistory = true, sysPrompt = "sys")
+      .filter($"role" =!= "system").count()
+    assert(survivors == 0, "tool(2) pops ai(1), tool(3) pops human(0)")
   }
 
   test("rag answer pipeline: retrieval grounds the template answer with provenance") {
@@ -80,17 +89,20 @@ class IngestChatSpec extends AnyFunSuite {
       (3L, "cooking pasta requires boiling water")
     ).toDF("doc_id", "text")
     Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    // the store's natural key is the md5 STRING content id — answer must
+    // accept it directly (no synthetic numeric id)
     val store = Ingest.readStore(spark, dir, cfg).get
-      .withColumn("num_id", monotonically_increasing_id())
     val ans = Chat.answer(spark, "how does spark plan queries", store,
-      "num_id", "text", "embedding", embedder, topK = 2)
+      "id", "text", "embedding", embedder, topK = 2)
     assert(ans.relevant, "overlap grader should find 'spark' in context")
     assert(ans.retrievedIds.size == 2)
+    assert(ans.retrievedIds.forall(_.length == 32), "ids are md5 strings")
+    assert(ans.question == "how does spark plan queries")
     assert(ans.answer.contains("grounded on 2 chunks"))
     assert(ans.context.contains("spark"))
     // use_rag=false routes to plain generation (V8)
     val plain = Chat.answer(spark, "how does spark plan queries", store,
-      "num_id", "text", "embedding", embedder, useRag = false)
+      "id", "text", "embedding", embedder, useRag = false)
     assert(plain.retrievedIds.isEmpty && plain.context.isEmpty)
   }
 
@@ -120,7 +132,7 @@ class IngestChatSpec extends AnyFunSuite {
 
   test("V9 response assembly normalizes finish reasons and counts usage") {
     val ans = Chat.RagAnswer("what is x", "what is x", "x is y", "ctx one\n\nctx two",
-      Seq(1L, 2L), relevant = true)
+      Seq("1", "2"), relevant = true)
     val r = Chat.toResponse(ans, "template-model", createdEpoch = 1700000000L)
     assert(r.choices.head.finish_reason == "stop")
     assert(Chat.toResponse(ans, "m", 0L, "MAX_TOKENS").choices.head.finish_reason == "length")
