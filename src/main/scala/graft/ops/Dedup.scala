@@ -62,6 +62,9 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization: the banding self-join scans this twice and
+    // concurrent cache population would compute the shingles twice
+    shingled.count()
     // shingle-less docs (< n words) would all share the empty-set
     // signature and collide into one bucket per band — a quadratic
     // candidate blowup; they can't clear any jaccard threshold anyway.
@@ -75,7 +78,9 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cand
+    // candidates are few by construction — broadcast them through the
+    // verify joins rather than shuffling the (wide) shingle arrays
+    broadcast(cand)
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -98,9 +103,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3): DataFrame = {
     // persist the exploded index: it is scanned twice by the self-join
-    // (and shingle construction is interpreted HOF work worth one pass)
-    val inv = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+    // (and shingle construction is interpreted HOF work worth one pass).
+    // The join key is the shingle's 64-bit hash, not the string — same
+    // counts (collision odds ~|shingles|²/2^64), smaller shuffle.
+    val inv = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    inv.count() // eager: the self-join scans it twice
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
@@ -164,7 +173,7 @@ object Dedup {
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     }.reduce(_ union _).distinct()
-    cand
+    broadcast(cand)
       .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
       .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))

@@ -46,6 +46,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** V3 score normalization: map a raw metric score to a relevance in
+    * [0,1] (larger = more relevant) so one threshold convention covers
+    * all metrics. The reference inherits LangChain's convention and its
+    * Oracle backend even raises NotImplementedError for thresholds
+    * (`st_common.py:262-265`), so the engine defines and documents one:
+    * COSINE → (1+cos)/2; EUCLIDEAN → 1/(1+dist); DOT_PRODUCT → sigmoid.
+    */
+  def relevance(metric: String, score: Column): Column = metric match {
+    case "COSINE"             => (score + 1.0) / 2.0
+    case "EUCLIDEAN_DISTANCE" => lit(1.0) / (score + 1.0)
+    case "DOT_PRODUCT"        => lit(1.0) / (lit(1.0) + exp(-score))
+    case other                => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
   /** V3: similarity search keeping only scores past a threshold
     * (reference `score_threshold`, `src/common/schema.py:177`). For
     * EUCLIDEAN the threshold is a max distance; otherwise a min score.

@@ -111,4 +111,12 @@ object Split {
     * its merge on a content-derived ID, `embedding.py:264-266`).
     */
   def contentKey(chunkText: Column): Column = md5(chunkText.cast("binary"))
+
+  /** Sentence-boundary chunking — the testbed's KB splitter shape
+    * (llama-index SentenceSplitter(chunk_size=2048),
+    * `src/server/utils/testbed.py:241-243`): the recursive splitter with
+    * sentence-first separators.
+    */
+  def sentences(text: String, size: Int = 2048, overlap: Int = 0): Seq[TextChunk] =
+    recursive(text, size, overlap, Seq(". ", "! ", "? ", "\n", " "))
 }

@@ -93,6 +93,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "partial probe should find at least some true neighbors")
   }
 
+  test("hierarchy rollup builds root-to-node paths via iterative broadcast self-join (A13)") {
+    val nodes = Seq(
+      (1L, None, "root"),
+      (2L, Some(1L), "teamA"),
+      (3L, Some(1L), "teamB"),
+      (4L, Some(2L), "proj1"),
+      (5L, Some(4L), "svc")
+    ).toDF("id", "parent", "name")
+    val got = graft.ops.Hierarchy.buildPaths(nodes, "id", "parent", "name")
+      .select($"id", $"path").as[(Long, String)].collect().toMap
+    assert(got(1L) == "root")
+    assert(got(4L) == "root/teamA/proj1")
+    assert(got(5L) == "root/teamA/proj1/svc")
+    // cycle guard: a->b->a terminates at maxDepth instead of hanging
+    val cyc = Seq((1L, Some(2L), "a"), (2L, Some(1L), "b")).toDF("id", "parent", "name")
+    val paths = graft.ops.Hierarchy.buildPaths(cyc, "id", "parent", "name", maxDepth = 4)
+      .select($"path").as[String].collect()
+    assert(paths.forall(_.split("/").length <= 6))
+  }
+
+  test("relevance normalization maps every metric into [0,1], monotone toward relevant") {
+    import graft.ops.Similarity
+    val df = Seq((-1.0, 0.0), (0.0, 1.0), (1.0, 5.0)).toDF("cos", "dist")
+    val rows = df.select(
+      Similarity.relevance("COSINE", $"cos").as("rc"),
+      Similarity.relevance("EUCLIDEAN_DISTANCE", $"dist").as("re"),
+      Similarity.relevance("DOT_PRODUCT", $"cos").as("rd")).collect()
+    val rc = rows.map(_.getDouble(0)); val re = rows.map(_.getDouble(1)); val rd = rows.map(_.getDouble(2))
+    assert(rc.toSeq == Seq(0.0, 0.5, 1.0))
+    assert(re(0) == 1.0 && re(1) == 0.5 && re(2) < 0.2)
+    assert(rd.forall(x => x >= 0 && x <= 1) && rd(0) < rd(1) && rd(1) < rd(2))
+  }
+
+  test("sentence splitter prefers sentence boundaries") {
+    val t = "First sentence here. Second one is a bit longer. Third closes it."
+    val chunks = graft.ops.Split.sentences(t, size = 30, overlap = 0)
+    assert(chunks.head.text == "First sentence here. ")
+    assert(chunks.forall(_.text.length <= 30))
+  }
+
   test("document sources: text, csv, html, pdf-stub, chunk json all land on the splitter schema") {
     val dir = Files.createTempDirectory("docs").toString
     Files.writeString(java.nio.file.Paths.get(dir, "note.txt"), "plain text file body")
