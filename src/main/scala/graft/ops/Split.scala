@@ -119,4 +119,22 @@ object Split {
     */
   def sentences(text: String, size: Int = 2048, overlap: Int = 0): Seq[TextChunk] =
     recursive(text, size, overlap, Seq(". ", "! ", "? ", "\n", " "))
+
+  /** Token-counted chunking (the reference's
+    * `CharacterTextSplitter.from_tiktoken_encoder` mode,
+    * `embedding.py:108-116`, with whitespace tokens standing in for the
+    * tokenizer): windows of `maxTokens` tokens advancing by
+    * `maxTokens - overlapTokens`. `start` is the 0-based token offset.
+    */
+  def tokenWindows(text: String, maxTokens: Int, overlapTokens: Int = 0): Seq[TextChunk] = {
+    require(maxTokens > 0 && overlapTokens >= 0 && overlapTokens < maxTokens)
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Seq.empty
+    else {
+      val stride = maxTokens - overlapTokens
+      (0 until toks.length by stride).zipWithIndex.map { case (off, i) =>
+        TextChunk(i, off, toks.slice(off, math.min(off + maxTokens, toks.length)).mkString(" "))
+      }
+    }
+  }
 }

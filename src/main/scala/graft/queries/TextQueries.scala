@@ -78,6 +78,17 @@ object TextQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // §2.7 token-counted chunking: 40-token windows, 10-token overlap
+    // (whitespace tokens stand in for the tokenizer; SQL-expressible via
+    // list slicing → oracle).
+    "split_token_window" -> ((s, d) => {
+      import s.implicits._
+      Split.chunkDocs(documents(s, d), "doc_id", "text",
+          t => Split.tokenWindows(t, maxTokens = 40, overlapTokens = 10))
+        .select($"doc_id", $"chunk_idx", $"chunk_start".as("token_start"), $"chunk_text")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // §2.7 recursive boundary splitter (engine-defined boundaries —
     // rows-only here; invariants are property-tested in SplitSpec).
     "split_recursive" -> ((s, d) => {
@@ -152,6 +163,12 @@ object TextQueries {
         |  substr(text, (i*150+1)::INT, 200) AS chunk_text
         |FROM documents, UNNEST(range(0, (len(text)-1)//150 + 1)) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "split_token_window" ->
+      s"""SELECT doc_id, i AS chunk_idx, (i*30)::BIGINT AS token_start,
+         |  array_to_string(w[(i*30+1)::INT : (i*30+40)::INT], ' ') AS chunk_text
+         |FROM (SELECT doc_id, $docTokens AS w FROM documents),
+         |  UNNEST(range(0, (len(w)-1)//30 + 1)) AS t(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "ingest_antijoin_chunks" ->
       """WITH chunks AS (
         |  SELECT doc_id, i AS chunk_idx, md5(substr(text, (i*150+1)::INT, 200)) AS ckey
