@@ -93,6 +93,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "partial probe should find at least some true neighbors")
   }
 
+  test("bucketed tables join without an Exchange; salted ops preserve exact results") {
+    import graft.ops.Layout
+    val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, sf).select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    for (t <- Seq("b_orders", "b_lines")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.Fs.delete(spark, spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+    }
+    Layout.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Layout.writeBucketed(l, "b_lines", "o_orderkey", 8)
+    // at test scale the planner would broadcast the small side (also
+    // shuffle-free but trivially so) — disable it to observe the
+    // bucketed sort-merge path a 100 TB join would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.bucketedJoin(spark, "b_orders", "b_lines", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == l.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // salted aggregation == plain aggregation
+    val plain = l.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity".cast("long")).as("total"))
+      .orderBy($"o_orderkey").collect()
+    val salted = Layout.saltedSumCount(l, "o_orderkey", $"l_quantity".cast("long"), 4)
+      .orderBy($"o_orderkey").collect()
+    assert(plain.toSeq == salted.toSeq)
+
+    // salted join == plain join (row multiset)
+    val plainJoin = l.join(o, "o_orderkey").count()
+    val saltJoin = Layout.saltedJoin(l, o, "o_orderkey", 4).count()
+    assert(plainJoin == saltJoin)
+  }
+
   test("hierarchy rollup builds root-to-node paths via iterative broadcast self-join (A13)") {
     val nodes = Seq(
       (1L, None, "root"),
