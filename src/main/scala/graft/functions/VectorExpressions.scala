@@ -44,7 +44,14 @@ object VectorKernels {
   }
 }
 
-/** Base for binary `ARRAY<FLOAT> -> DOUBLE` vector expressions. */
+/** Base for binary `ARRAY<FLOAT> -> DOUBLE` vector expressions.
+  *
+  * Null handling: a null ARRAY input yields null (BinaryExpression's
+  * null-safe contract); null *elements* inside the arrays are read as
+  * 0.0f (primitive access) — embeddings produced by this engine
+  * (UnsafeArrayData from primitive float[]) never contain null elements,
+  * and external stores should be ingested with `containsNull = false`.
+  */
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = {
