@@ -239,6 +239,23 @@ object Relational {
         .orderBy($"hour", $"event_type")
     }),
 
+    // Gap-based sessionization (training-pipeline windowing): a new
+    // session starts after >30 min of per-user inactivity; session index
+    // via cumulative sum of session starts. ts stays in exact nanos.
+    "sessionize_events" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull || ($"ts" - $"prev_ts") > 1800L * 1000000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum($"new_sess").over(wc))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))
+        .orderBy($"user_id", $"session_idx")
+    }),
+
     // P14 regex validation predicate (reference OCID/alias patterns).
     "filter_regex_valid" -> ((s, d) => {
       import s.implicits._
@@ -375,6 +392,20 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "sessionize_events" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "filter_regex_valid" ->
       """SELECT p_partkey, p_type FROM part
         |WHERE regexp_matches(p_type, 'OMY$') AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
