@@ -50,6 +50,79 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass distinct word n-grams: `STRING -> ARRAY<STRING>` in one
+  * imperative scan — replaces the `split`/`sequence`/`transform`/`slice`/
+  * `array_distinct` composition whose interpreted evaluation dominated the
+  * dedup operators. Tokenization replicates Spark's `split(text, "\\s+")`
+  * exactly (Java regex split with limit -1): a leading whitespace run
+  * yields a leading empty token and a trailing run a trailing empty token
+  * — property-tested equal to the native composition.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = WordNGrams.splitWs(text)
+    if (toks.length < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordNGrams {
+  /** Exactly the regex `\s` class (NOT Character.isWhitespace, which is
+    * a wider Unicode set).
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Java `text.split("\\s+", -1)`-equivalent whitespace tokenizer. */
+  def splitWs(text: String): Array[String] = {
+    if (text.isEmpty) return Array("")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = text.length
+    var tokenStart = 0
+    while (i < len) {
+      if (isWs(text.charAt(i))) {
+        out += text.substring(tokenStart, i)
+        while (i < len && isWs(text.charAt(i))) i += 1
+        tokenStart = i
+      } else i += 1
+    }
+    out += text.substring(tokenStart, len)
+    out.toArray
+  }
+
+  def wordNGrams(text: Column, n: Int): Column =
+    ColumnShim.column(WordNGrams(ColumnShim.expression(text), n))
+}
+
 /** Single-pass MinHash banding: from a shingle array straight to the LSH
   * band-hash array. One imperative pass computes all `numHashes` seeded
   * minima (seed-mixed 64-bit murmur finalizer), then folds each band of

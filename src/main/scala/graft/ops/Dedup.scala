@@ -32,9 +32,18 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
 
   /** Distinct word n-grams of a text column, e.g. n=3 → "a b c" shingles.
-    * Pure Catalyst (split/sequence/transform/slice) — no UDF.
+    * Single-pass custom expression; [[wordShinglesNative]] is the
+    * equivalent built-in composition kept as the parity reference (the
+    * interpreted higher-order functions evaluate ~10× slower and get
+    * re-evaluated per reference after projection collapse).
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordNGrams.wordNGrams(text, n)
+
+  /** Reference implementation of [[wordShingles]] from Catalyst built-ins
+    * (property-tested equal; used nowhere hot).
+    */
+  def wordShinglesNative(text: Column, n: Int): Column = {
     val w = split(text, "\\s+")
     when(size(w) >= n,
       array_distinct(transform(

@@ -24,6 +24,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2).isEmpty)
   }
 
+  test("WordNGrams expression equals the native Catalyst composition on whitespace edge cases") {
+    val rnd = new scala.util.Random(7)
+    val pieces = Array("a", "bb", "ccc", " ", "  ", "\t", "\n")
+    val texts = Seq("", " ", "a", " a", "a ", "a  b", " a b ", "\ta\nb\t") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val pairs = df.select(
+        Dedup.wordShingles($"text", n).as("fast"),
+        Dedup.wordShinglesNative($"text", n).as("ref")).collect()
+      pairs.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text=${t.replace("\n", "\\n").replace("\t", "\\t")}'")
+      }
+    }
+  }
+
   test("ngramJaccardPairs matches per-pair array jaccard on planted dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
