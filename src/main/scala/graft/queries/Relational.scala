@@ -239,6 +239,20 @@ object Relational {
         .orderBy($"hour", $"event_type")
     }),
 
+    // Exact percentiles with linear interpolation (quantile aggregate
+    // family) over exact integer cents; interpolation results rounded to
+    // 4 (the one place the two engines' arithmetic can differ in the
+    // last ulps).
+    "percentile_values" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(percentile(cents($"value"), lit(0.5)), 4).as("p50_c"),
+          round(percentile(cents($"value"), lit(0.9)), 4).as("p90_c"))
+        .orderBy($"event_type")
+    }),
+
     // Gap-based sessionization (training-pipeline windowing): a new
     // session starts after >30 min of per-user inactivity; session index
     // via cumulative sum of session starts. ts stays in exact nanos.
@@ -392,6 +406,11 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "percentile_values" ->
+      """SELECT event_type,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4) AS p50_c,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4) AS p90_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sessionize_events" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
