@@ -107,6 +107,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 0.0) // zero vector -> 0, not NaN
   }
 
+  test("registered SQL functions work from spark.sql") {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |  cosine_similarity(embedding, embedding) AS self_cos,
+        |  dot_product_f(embedding, embedding) AS self_dot,
+        |  euclidean_distance(embedding, embedding) AS self_dist
+        |FROM emb_sql LIMIT 5""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, "self cosine = 1")
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) == 0.0, "self distance = 0")
+    }
+  }
+
   test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
     val e = HashEmbedder(dim = 16)
     val v1 = e.embed("spark catalyst engine")
