@@ -4,35 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch probe main: drives the public library surface end-to-end —
   * used by the verification workflow, not by the driver. Currently:
-  * bucketed co-located join and salted aggregation/join equivalence.
+  * the explode_chunks SQL generator over the real documents table.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
-      .config("spark.ui.enabled", "false").config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("probe-wh").toString)
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").config("spark.sql.shuffle.partitions", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    import graft.ops.Layout
-
-    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select($"o_orderkey", $"o_custkey")
-    val l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
-    Layout.writeBucketed(o, "b_orders", "o_orderkey", 8)
-    Layout.writeBucketed(l, "b_lines", "o_orderkey", 8)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val joined = Layout.bucketedJoin(spark, "b_orders", "b_lines", "o_orderkey")
-    val plan = joined.queryExecution.executedPlan.toString
-    println("BUCKETED: rows=" + joined.count()
-      + " bucketedScan=" + plan.contains("Bucketed: true")
-      + " shuffles=" + "Exchange hashpartitioning".r.findAllIn(plan).length)
-
-    val plain = l.groupBy($"o_orderkey").count().count()
-    val salted = Layout.saltedSumCount(l, "o_orderkey", $"l_quantity".cast("long"), 4).count()
-    println(s"SALTED-AGG groups: plain=$plain salted=$salted")
-    println("SALTED-JOIN rows: plain=" + l.join(o, "o_orderkey").count()
-      + " salted=" + Layout.saltedJoin(l, o, "o_orderkey", 4).count())
+    graft.functions.ExplodeChunks.register(spark)
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").createOrReplaceTempView("docs")
+    spark.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk_start, substr(c.chunk_text, 1, 30) AS head
+        |FROM docs LATERAL VIEW explode_chunks(text, 200, 150) c
+        |WHERE doc_id < 2 ORDER BY doc_id, chunk_idx""".stripMargin).show(false)
+    println("TOTAL CHUNKS via SQL: " + spark.sql(
+      "SELECT count(*) FROM docs LATERAL VIEW explode_chunks(text, 200, 150) c").head.getLong(0))
+    // error path: non-literal size must fail analysis cleanly
+    try spark.sql("SELECT c.* FROM docs LATERAL VIEW explode_chunks(text, doc_id, 10) c").collect()
+    catch { case e: Exception => println("TYPECHECK-ERR: " + e.getMessage.take(120)) }
     spark.stop()
   }
 }

@@ -71,6 +71,26 @@ class SplitSpec extends AnyFunSuite {
     }
   }
 
+  test("explode_chunks generator matches the splitter through LATERAL VIEW SQL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.ExplodeChunks.register(spark)
+    Seq((1L, "aaaa bbbb cccc dddd eeee")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ec_docs")
+    val got = spark.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk_start, c.chunk_text
+        |FROM ec_docs LATERAL VIEW explode_chunks(text, 10, 8) c
+        |ORDER BY chunk_idx""".stripMargin)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    val want = graft.ops.Split.fixedWindow("aaaa bbbb cccc dddd eeee", 10, 8)
+      .map(c => (1L, c.idx, c.start, c.text))
+    assert(got == want)
+    val rec = spark.sql(
+      "SELECT c.chunk_text FROM ec_docs LATERAL VIEW explode_chunks_recursive(text, 10, 2) c")
+      .as[String].collect()
+    assert(rec.nonEmpty && rec.forall(_.length <= 10))
+  }
+
   test("chunkDocs assigns reference-style 1-based chunk ids") {
     val spark = TestSpark.spark
     import spark.implicits._
