@@ -4,24 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch probe main: drives the public library surface end-to-end —
   * used by the verification workflow, not by the driver. Currently:
-  * the explode_chunks SQL generator over the real documents table.
+  * stateful streaming session history (flatMapGroupsWithState).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").config("spark.sql.shuffle.partitions", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.ExplodeChunks.register(spark)
-    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").createOrReplaceTempView("docs")
-    spark.sql(
-      """SELECT doc_id, c.chunk_idx, c.chunk_start, substr(c.chunk_text, 1, 30) AS head
-        |FROM docs LATERAL VIEW explode_chunks(text, 200, 150) c
-        |WHERE doc_id < 2 ORDER BY doc_id, chunk_idx""".stripMargin).show(false)
-    println("TOTAL CHUNKS via SQL: " + spark.sql(
-      "SELECT count(*) FROM docs LATERAL VIEW explode_chunks(text, 200, 150) c").head.getLong(0))
-    // error path: non-literal size must fail analysis cleanly
-    try spark.sql("SELECT c.* FROM docs LATERAL VIEW explode_chunks(text, doc_id, 10) c").collect()
-    catch { case e: Exception => println("TYPECHECK-ERR: " + e.getMessage.take(120)) }
+    import graft.streaming.SessionState
+    import graft.streaming.SessionState.Msg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    val q = SessionState.track(stream.toDS())
+      .writeStream.format("memory").queryName("probe_sess").outputMode("append").start()
+    stream.addData(Msg("a", 1, "human", "q1"), Msg("a", 2, "ai", "a1"), Msg("b", 1, "human", "x"))
+    q.processAllAvailable()
+    stream.addData(Msg("a", 3, "tool", "r"), Msg("b", 2, "reset", ""))
+    q.processAllAvailable()
+    println("SESSION UPDATES:")
+    spark.table("probe_sess").orderBy("session", "lastSeq").show(false)
+    q.stop()
     spark.stop()
   }
 }

@@ -46,6 +46,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total == ev.count())
   }
 
+  test("stateful session history tracks across micro-batches with pop and reset semantics") {
+    import graft.streaming.SessionState
+    import graft.streaming.SessionState.Msg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    val q = SessionState.track(stream.toDS())
+      .writeStream.format("memory").queryName("sess_updates").outputMode("append").start()
+    try {
+      stream.addData(Msg("s1", 1, "human", "hi"), Msg("s1", 2, "ai", "hello"))
+      q.processAllAvailable()
+      // second batch: tool pops the previous surviving (ai) message
+      stream.addData(Msg("s1", 3, "tool", "result"), Msg("s1", 4, "human", "next"))
+      q.processAllAvailable()
+      // third batch: reset clears the session (new-client-id behavior)
+      stream.addData(Msg("s1", 5, "reset", ""))
+      q.processAllAvailable()
+      val updates = spark.table("sess_updates")
+        .select($"historyLen").as[Int].collect().toSeq
+      assert(updates == Seq(2, 2, 0),
+        "batch1: [human,ai]=2; batch2: tool pops ai, +human => 2; batch3: reset => 0")
+    } finally q.stop()
+  }
+
   test("multimodal: binaryFile read, segment sampling, and feature extraction into the vector ops") {
     val dir = Files.createTempDirectory("media").toString
     Files.write(java.nio.file.Paths.get(dir, "a.img"), Array.fill[Byte](100)(7))
