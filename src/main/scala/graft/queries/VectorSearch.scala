@@ -118,6 +118,44 @@ object VectorSearch {
             x => x.getField("snip"))).as("context"))
     }),
 
+    // §3.3 evaluation pipeline end-to-end as one query (rows-only: the
+    // RAG answer text is engine-defined): build an in-memory vector
+    // store from documents, derive a deterministic QA set (question =
+    // doc's first 5 tokens, reference = the doc itself, topic = lang),
+    // answer every question through retrieval + template generation,
+    // keyword-judge, and report correctness by topic (A2/A3).
+    "testbed_eval_report" -> ((s, d) => {
+      import s.implicits._
+      import graft.embed.{EmbedText, HashEmbedder}
+      import graft.ops.{Similarity, Testbed}
+      val embedder = HashEmbedder(64)
+      val store = documents(s, d)
+        .select($"doc_id", $"text", EmbedText.embedText($"text", embedder).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      store.count()
+      val qa = documents(s, d).filter($"doc_id" < 50)
+        .select(
+          concat_ws(" ", slice(split($"text", "\\s+"), 1, 5)).as("question"),
+          $"text".as("reference_answer"),
+          $"text".as("reference_context"),
+          $"lang".as("topic"))
+      // distributed retrieval for the whole question batch at once
+      // (similarity join), then grounded "generation" = top-1 context.
+      val answered = Similarity.similarityJoin(
+          qa.withColumn("embedding", EmbedText.embedText($"question", embedder))
+            .withColumn("qid", xxhash64($"question")),
+          store, "qid", "embedding", "doc_id", "embedding", k = 1)
+        .filter($"rank" === 1)
+        .join(store.select($"doc_id", $"text".as("answer")), "doc_id")
+        .select($"qid", $"answer")
+      val report = qa.withColumn("qid", xxhash64($"question"))
+        .join(answered, "qid")
+        .withColumn("correct",
+          udf(Testbed.keywordJudge _).apply($"answer", $"reference_answer"))
+        .select($"question", $"topic", $"answer", $"correct")
+      Testbed.byTopic(report)
+    }),
+
     // V1 batch embedding over documents through the pluggable embedder
     // expression; output is shape/norm evidence (unit vectors), the
     // embedding itself is engine-defined (no SQL oracle).

@@ -107,6 +107,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 0.0) // zero vector -> 0, not NaN
   }
 
+  test("vector expressions: codegen and interpreted paths agree bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    def values(): Seq[(Double, Double, Double)] = {
+      import spark.implicits._
+      val q = emb.select($"embedding").head.getSeq[Float](0).toArray
+      emb.select(
+        graft.functions.VectorFunctions.cosineSim($"embedding", typedlit(q)),
+        graft.functions.VectorFunctions.dotProduct($"embedding", typedlit(q)),
+        graft.functions.VectorFunctions.euclidean($"embedding", typedlit(q)))
+        .as[(Double, Double, Double)].collect().toSeq
+    }
+    val withCodegen = values()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = values()
+      assert(withCodegen == interpreted, "doGenCode must match nullSafeEval exactly")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("registered SQL functions work from spark.sql") {
     graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
