@@ -31,13 +31,27 @@ case class ExplodeChunks(text: Expression, size: Expression, stride: Expression,
     StructField("chunk_start", IntegerType, nullable = false),
     StructField("chunk_text", StringType, nullable = false)))
 
+  // size/stride are foldable, so their values are checked here at
+  // analysis time: non-null, positive, and within Int range (a BIGINT
+  // literal above Int.MaxValue would otherwise silently wrap via
+  // intValue(), chunking with the wrong size).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (text.dataType == StringType &&
+    if (!(text.dataType == StringType &&
         Seq(size.dataType, stride.dataType).forall(t => t == IntegerType || t == LongType) &&
-        size.foldable && stride.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "explode_chunks(text STRING, size INT literal, stride INT literal)")
+        size.foldable && stride.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "explode_chunks(text STRING, size INT literal, stride INT literal)")
+    else (size.eval(), stride.eval()) match {
+      case (null, _) | (_, null) =>
+        TypeCheckResult.TypeCheckFailure("explode_chunks: size/stride must be non-null literals")
+      case (s: Number, st: Number)
+          if s.longValue() < 1 || s.longValue() > Int.MaxValue ||
+             st.longValue() < 1 || st.longValue() > Int.MaxValue =>
+        TypeCheckResult.TypeCheckFailure(
+          s"explode_chunks: size/stride must be in [1, ${Int.MaxValue}], " +
+            s"got (${s.longValue()}, ${st.longValue()})")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
 
   @transient private lazy val sizeV: Int =
     size.eval().asInstanceOf[Number].intValue()

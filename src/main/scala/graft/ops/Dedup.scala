@@ -87,9 +87,10 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // candidates are few by construction — broadcast them through the
-    // verify joins rather than shuffling the (wide) shingle arrays
-    broadcast(cand)
+    // candidates are usually few, but a single large duplicate cluster
+    // makes the pair set quadratic in the cluster size — never force a
+    // broadcast (driver collect) here; AQE picks broadcast when small
+    cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -182,7 +183,9 @@ object Dedup {
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     }.reduce(_ union _).distinct()
-    broadcast(cand)
+    // as in minhashNearDupPairs: the pair set is unbounded under heavy
+    // duplication — plain shuffle join, AQE may still broadcast it
+    cand
       .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
       .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))

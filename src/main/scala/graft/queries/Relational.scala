@@ -255,15 +255,20 @@ object Relational {
 
     // Gap-based sessionization (training-pipeline windowing): a new
     // session starts after >30 min of per-user inactivity; session index
-    // via cumulative sum of session starts. ts stays in exact nanos.
+    // via cumulative sum of session starts. Gap and order compare at
+    // MICROsecond precision (`ts div 1000`): the oracle engine reads the
+    // nanos parquet column as a us-precision timestamp, so a nanos-side
+    // comparison would sessionize gaps within 1 us of the 30-min
+    // boundary differently across engines.
     "sessionize_events" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tsUs = expr("ts div 1000")
+      val w = Window.partitionBy($"user_id").orderBy(tsUs, $"event_id")
       val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
-        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("prev_us", lag(tsUs, 1).over(w))
         .withColumn("new_sess",
-          when($"prev_ts".isNull || ($"ts" - $"prev_ts") > 1800L * 1000000000L, 1L).otherwise(0L))
+          when($"prev_us".isNull || (tsUs - $"prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("session_idx", sum($"new_sess").over(wc))
         .groupBy($"user_id", $"session_idx")
         .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))

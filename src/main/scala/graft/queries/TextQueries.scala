@@ -166,7 +166,8 @@ object TextQueries {
     "split_token_window" ->
       s"""SELECT doc_id, i AS chunk_idx, (i*30)::BIGINT AS token_start,
          |  array_to_string(w[(i*30+1)::INT : (i*30+40)::INT], ' ') AS chunk_text
-         |FROM (SELECT doc_id, $docTokens AS w FROM documents),
+         |FROM (SELECT doc_id, $docTokens AS w FROM documents
+         |      WHERE len(trim(text)) > 0),
          |  UNNEST(range(0, (len(w)-1)//30 + 1)) AS t(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
     "ingest_antijoin_chunks" ->

@@ -132,28 +132,36 @@ object VectorSearch {
       val store = documents(s, d)
         .select($"doc_id", $"text", EmbedText.embedText($"text", embedder).as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      store.count()
+      // qa (with its qid) feeds both the retrieval batch and the report
+      // join — persist so the documents scan + embed runs once, not twice
       val qa = documents(s, d).filter($"doc_id" < 50)
         .select(
           concat_ws(" ", slice(split($"text", "\\s+"), 1, 5)).as("question"),
           $"text".as("reference_answer"),
           $"text".as("reference_context"),
           $"lang".as("topic"))
+        .withColumn("qid", xxhash64($"question"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // distributed retrieval for the whole question batch at once
-      // (similarity join), then grounded "generation" = top-1 context.
+      // (similarity join, k=1 already enforces rank 1), then grounded
+      // "generation" = top-1 context.
       val answered = Similarity.similarityJoin(
-          qa.withColumn("embedding", EmbedText.embedText($"question", embedder))
-            .withColumn("qid", xxhash64($"question")),
+          qa.withColumn("embedding", EmbedText.embedText($"question", embedder)),
           store, "qid", "embedding", "doc_id", "embedding", k = 1)
-        .filter($"rank" === 1)
         .join(store.select($"doc_id", $"text".as("answer")), "doc_id")
         .select($"qid", $"answer")
-      val report = qa.withColumn("qid", xxhash64($"question"))
+      val report = qa
         .join(answered, "qid")
         .withColumn("correct",
           udf(Testbed.keywordJudge _).apply($"answer", $"reference_answer"))
         .select($"question", $"topic", $"answer", $"correct")
-      Testbed.byTopic(report)
+      // the by-topic report is a handful of rows: materialize it eagerly
+      // (localCheckpoint) so the caches can be released before returning —
+      // otherwise store+qa stay pinned for the rest of the query run.
+      val result = Testbed.byTopic(report).localCheckpoint()
+      store.unpersist()
+      qa.unpersist()
+      result
     }),
 
     // V1 batch embedding over documents through the pluggable embedder

@@ -39,21 +39,43 @@ object SessionState {
 
   /** Attach the stateful operator to a stream of messages. Emits one
     * [[SessionUpdate]] per (session, micro-batch).
+    *
+    * State hygiene at scale: an emptied history (reset / all popped) is
+    * `state.remove()`d rather than stored as an empty entry — otherwise
+    * the state store grows with all-time sessions, not live ones. Pass
+    * `idleTimeout = Some("30 minutes")` to additionally expire idle
+    * sessions by processing time (opt-in: with a timeout set, the
+    * streaming engine schedules batches even without new data to fire
+    * expirations, which makes `processAllAvailable`-style test drives
+    * spin — production churny-session deployments want it on).
     */
-  def track(messages: Dataset[Msg]): Dataset[SessionUpdate] = {
+  def track(messages: Dataset[Msg],
+            idleTimeout: Option[String] = None): Dataset[SessionUpdate] = {
     implicit val stateEnc = Encoders.product[HistoryState]
     implicit val outEnc = Encoders.product[SessionUpdate]
     import messages.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     messages
       .groupByKey(_.session)
       .flatMapGroupsWithState[HistoryState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (session: String, msgs: Iterator[Msg], state: GroupState[HistoryState]) =>
-          val current = state.getOption.map(_.messages).getOrElse(Nil)
-          val next = applyMsgs(current, msgs.toSeq)
-          state.update(HistoryState(next))
-          Iterator.single(SessionUpdate(session, next.length,
-            next.lastOption.map(_._1).getOrElse(-1L)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val current = state.getOption.map(_.messages).getOrElse(Nil)
+            val next = applyMsgs(current, msgs.toSeq)
+            if (next.isEmpty) state.remove()
+            else {
+              state.update(HistoryState(next))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            Iterator.single(SessionUpdate(session, next.length,
+              next.lastOption.map(_._1).getOrElse(-1L)))
+          }
       }
   }
 }
