@@ -275,6 +275,23 @@ object Relational {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // A13 hierarchy rollup (reference compartment path build,
+    // src/server/utils/oci.py:117-130) — parent chain derived
+    // deterministically from part keys (parent = key div 10, keys < 10
+    // are roots, always ≤ 4 levels on contiguous TPC-H keys), so DuckDB
+    // can check the '/'-joined root-to-node paths with a recursive CTE.
+    "hierarchy_paths" -> ((s, d) => {
+      import s.implicits._
+      val nodes = part(s, d).filter($"p_partkey" <= 2000)
+        .select(
+          $"p_partkey".as("id"),
+          when($"p_partkey" >= 10, expr("p_partkey div 10")).as("parent"),
+          concat(lit("n"), $"p_partkey").as("name"))
+      graft.ops.Hierarchy.buildPaths(nodes, "id", "parent", "name")
+        .select($"id", $"path")
+        .orderBy($"id")
+    }),
+
     // P14 regex validation predicate (reference OCID/alias patterns).
     "filter_regex_valid" -> ((s, d) => {
       import s.implicits._
@@ -430,6 +447,18 @@ object Relational {
         |  FROM g)
         |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "hierarchy_paths" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent,
+        |    'n' || p_partkey AS name
+        |  FROM part WHERE p_partkey <= 2000),
+        |paths AS (
+        |  SELECT id, name AS path FROM nodes WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT n.id, p.path || '/' || n.name
+        |  FROM nodes n JOIN paths p ON n.parent = p.id)
+        |SELECT id, path FROM paths ORDER BY id""".stripMargin,
     "filter_regex_valid" ->
       """SELECT p_partkey, p_type FROM part
         |WHERE regexp_matches(p_type, 'OMY$') AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
