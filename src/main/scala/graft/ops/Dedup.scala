@@ -119,9 +119,20 @@ object Dedup {
     val inv = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    inv.count() // eager: the self-join scans it twice
+    inv.count() // eager: scanned by sizes, the df-filter, and the self-join
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    inv.as("x").join(inv.as("y"),
+    // document-frequency pruning: a shingle present in a single document
+    // (the vast majority, in natural text) cannot produce a candidate
+    // pair — drop it before the quadratic step. Exact: pair intersection
+    // counts only involve shingles shared by ≥2 docs, and |A|/|B| sizes
+    // are taken from the unpruned index above. The groupBy and the
+    // semi-join share the self-join's shingle partitioning, so this adds
+    // no extra exchange on the hot path.
+    val shared = inv.join(
+      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select(col("shingle")),
+      Seq("shingle"), "left_semi")
+    shared.as("x").join(shared.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
