@@ -100,46 +100,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted-index join: explode
-    * shingles, self-join on the shingle, count shared shingles per pair,
-    * then jaccard = inter / (|A| + |B| - inter).
+  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index join
+    * (AllPairs/PPJoin candidate generation): order every document's
+    * shingles by a global rarest-first total order (ascending document
+    * frequency, hash tiebreak) and index only each document's *prefix* —
+    * its first |d| − ⌈t·|d|⌉ + 1 shingles. Two sets with J(A,B) ≥ t must
+    * overlap by ≥ ⌈t·|d|⌉ elements on each side, so they necessarily
+    * share a shingle inside both prefixes; the equi-join on prefix
+    * shingles therefore finds every qualifying pair. Candidates are then
+    * verified *exactly* on the full shingle arrays (strings — the 64-bit
+    * hash is only a join/ordering key, so a cross-document collision can
+    * only add candidates, and a jaccard value is never perturbed; the one
+    * theoretical loss mode, a collision *within* one document shortening
+    * its effective prefix, has odds ~|sh|²/2⁶⁵ per document).
     *
-    * Scale: avoids both the all-pairs cross join and per-pair array
-    * intersection — the heavy step is a shuffle on the shingle key and a
-    * pair-count aggregation, both linear in the number of (pair, shared
-    * shingle) occurrences. Pairs sharing no shingle (jaccard 0) never
-    * materialize.
+    * Scale: the naive inverted-index self-join is quadratic in
+    * per-shingle document frequency, and hot shingles (stopword
+    * trigrams, df ~10⁶ at corpus scale) make that blow up. Rarest-first
+    * prefixes bound it: a hot shingle sits at the *end* of the global
+    * order, so it falls outside almost every document's prefix and never
+    * becomes a join key unless a document consists of nothing but hot
+    * shingles. The added cost is linear — one df aggregation and one
+    * per-document sort (a window over the id partitioning). df=1 pruning
+    * composes: a prefix shingle unique to one document cannot match.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3): DataFrame = {
-    // persist the exploded index: it is scanned twice by the self-join
-    // (and shingle construction is interpreted HOF work worth one pass).
-    // The join key is the shingle's 64-bit hash, not the string — same
-    // counts (collision odds ~|shingles|²/2^64), smaller shuffle.
-    val inv = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shingle"))
+    // persist the shingle arrays: they feed the inverted index and the
+    // exact verify joins (shingle construction is worth exactly one pass)
+    val docs = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    inv.count() // eager: scanned by sizes, the df-filter, and the self-join
-    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // document-frequency pruning: a shingle present in a single document
-    // (the vast majority, in natural text) cannot produce a candidate
-    // pair — drop it before the quadratic step. Exact: pair intersection
-    // counts only involve shingles shared by ≥2 docs, and |A|/|B| sizes
-    // are taken from the unpruned index above. The groupBy and the
-    // semi-join share the self-join's shingle partitioning, so this adds
-    // no extra exchange on the hot path.
-    val shared = inv.join(
-      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1).select(col("shingle")),
-      Seq("shingle"), "left_semi")
-    shared.as("x").join(shared.as("y"),
+    docs.count() // eager: concurrent cache population would shingle twice
+    val inv = docs
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
+    // Prefix length |d| − ⌈t·|d|⌉ + 1; the epsilon only ever *lengthens*
+    // the prefix under float rounding (extra candidates are harmless,
+    // a shortened prefix would lose pairs).
+    val prefix = inv.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .filter(col("docfreq") > 1)
+      .select(col("id"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact verification on the string arrays; as in minhashNearDupPairs,
+    // never force-broadcast the unbounded candidate set (AQE decides)
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

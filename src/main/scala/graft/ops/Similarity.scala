@@ -78,8 +78,15 @@ object Similarity {
     *
     * The query side is broadcast (it is the small side by construction:
     * a query batch), so the corpus is scanned exactly once with no
-    * shuffle; ranking shuffles only (queryId, score) pairs. `rankName`
-    * is the 1-based pick order per query.
+    * shuffle. Before the global ranking window, a per-partition bounded
+    * top-k ([[LocalTopK]]) reduces each scan partition to at most
+    * k rows per query, so the window's Exchange moves at most
+    * k × |queries| × numPartitions rows — independent of corpus size
+    * (a naive `row_number` window alone would shuffle the entire scored
+    * corpus into query-id partitions). Rows with a null score are
+    * dropped (a null embedding has no defined distance). `rankName` is
+    * the 1-based pick order per query; ties break on `corpusIdCol`
+    * ascending, which therefore must be Comparable and non-null.
     */
   def similarityJoin(queries: DataFrame, corpus: DataFrame,
                      queryIdCol: String, queryEmbCol: String,
@@ -88,14 +95,56 @@ object Similarity {
                      scoreName: String = "score", rankName: String = "rank"): DataFrame = {
     val q = queries.select(col(queryIdCol).as("__qid"), col(queryEmbCol).as("__qemb"))
     val score = VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb"))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(ordering(metric, col(scoreName)), col(corpusIdCol))
-    corpus
+    val scored = corpus
       .crossJoin(broadcast(q))
       .withColumn(scoreName, score)
+      .filter(col(scoreName).isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    val reduced = scored.mapPartitions(
+      new LocalTopK(k, asc = metric == "EUCLIDEAN_DISTANCE", qidIdx = 0, idIdx = 1, scoreIdx = 2))(
+      org.apache.spark.sql.Encoders.row(scored.schema))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(ordering(metric, col(scoreName)), col(corpusIdCol))
+    reduced
       .withColumn(rankName, row_number().over(w))
       .filter(col(rankName) <= k)
       .select(col("__qid").as(queryIdCol), col(rankName), col(corpusIdCol), col(scoreName))
+  }
+
+  /** Per-partition bounded top-k reducer for [[similarityJoin]]: keeps, for
+    * every query id seen in a partition, the k best (score, id) rows under
+    * exactly the final window's ordering (score per metric, then id
+    * ascending), so pre-pruning can never change the global result. Memory
+    * is O(|queries| × k) per partition — bounded, because the query side is
+    * a broadcast batch.
+    */
+  private final class LocalTopK(k: Int, asc: Boolean, qidIdx: Int, idIdx: Int, scoreIdx: Int)
+      extends (Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row])
+      with Serializable {
+    import org.apache.spark.sql.Row
+    // Orders rows by "badness": compare(a, b) > 0 iff a ranks strictly
+    // after b in the final sort, so the priority queue's head is the
+    // worst kept row (the one to evict).
+    private val worstFirst: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val byScore =
+          if (asc) java.lang.Double.compare(a.getDouble(scoreIdx), b.getDouble(scoreIdx))
+          else java.lang.Double.compare(b.getDouble(scoreIdx), a.getDouble(scoreIdx))
+        if (byScore != 0) byScore
+        else a.get(idIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(idIdx))
+      }
+    }
+    def apply(rows: Iterator[Row]): Iterator[Row] = {
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      rows.foreach { r =>
+        val heap = heaps.getOrElseUpdate(r.get(qidIdx),
+          scala.collection.mutable.PriorityQueue.empty[Row](worstFirst))
+        if (heap.size < k) heap.enqueue(r)
+        else if (worstFirst.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
   }
 
   /** V4: Maximal Marginal Relevance re-rank (reference

@@ -1,11 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch probe main: drives the public library surface end-to-end —
   * used by the verification workflow, not by the driver. Currently:
-  * document-frequency pruning in ngramJaccardPairs (timing + result
-  * equality vs the driver-checked output).
+  * prefix filtering in ngramJaccardPairs (timing + candidate-pair count
+  * vs the unfiltered inverted-index join it replaced).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -14,10 +15,37 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100000).selectExpr("sum(id)").collect()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val t = 0.2
+
+    // candidate-pair counts: full df>1-pruned inverted index (what the
+    // pre-prefix implementation joined on) vs the rarest-first prefix index
+    val inv = docs
+      .select(col("doc_id").as("id"), graft.ops.Dedup.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
+      .persist()
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
+    val full = inv.join(dfreq.filter(col("docfreq") > 1), "shingle")
+      .select(col("id"), col("shingle"))
+    val prefix = inv.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
+      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+      .filter(col("docfreq") > 1)
+      .select(col("id"), col("shingle"))
+    def candCount(ix: org.apache.spark.sql.DataFrame): Long =
+      ix.as("x").join(ix.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id")).distinct().count()
+    println(s"ngram_jaccard sf0.1 t=$t candidates: full-index=${candCount(full)} prefix=${candCount(prefix)}")
+    inv.unpersist()
+
     for (i <- 1 to 3) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val n = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.2).count()
+      val n = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", t).count()
       println(f"ngram_jaccard sf0.1 run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs")
     }
     spark.stop()

@@ -63,10 +63,14 @@ class DedupSpec extends AnyFunSuite {
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.2)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
-    // high-similarity pairs (>=0.5) must all be caught by 8 bands of 4
-    val strong = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    // full recall is only a sound assertion where the S-curve is ~1:
+    // with 8 bands of 4 the detection probability 1-(1-j^4)^8 is ~40%
+    // at j=0.5 but >99.9% at j=0.9 — asserting at 0.5 would hold on the
+    // current fixture only by luck of the planted dups' similarity
+    val strong = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(strong.subsetOf(lsh), s"missed strong pairs: ${strong -- lsh}")
+    assert(strong.nonEmpty, "fixture must plant at least one j>=0.9 pair")
   }
 
   test("simhash: identical tokens → identical hash; near-identical → small hamming distance") {

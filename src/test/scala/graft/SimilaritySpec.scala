@@ -71,6 +71,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("similarityJoin local top-k: partitioning-invariant, ties break by id, matches naive ranking") {
+    // plant an exact duplicate of every corpus vector under a shifted id
+    // so every score ties at least once — the id tiebreak must decide,
+    // including at the k boundary, identically in the per-partition heaps
+    // and the global window
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val base = emb.filter($"vec_id" >= 3 && $"vec_id" < 43).select($"vec_id", $"embedding")
+    val corpus = base.union(base.select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+    def run(parts: Int): Set[(Long, Int, Long)] =
+      Similarity.similarityJoin(q, corpus.repartition(parts), "query_id", "embedding",
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)].collect().toSet
+    val got = run(7)
+    assert(got == run(1), "result must not depend on corpus partitioning")
+    val corpusLocal = all.filter(t => t._1 >= 3 && t._1 < 43)
+      .flatMap(t => Seq(t, (t._1 + 1000, t._2)))
+    for (qid <- 0L to 2L) {
+      val qvec = all.find(_._1 == qid).get._2
+      val want = corpusLocal.map { case (id, v) => (id, cosRef(v, qvec)) }
+        .sortBy(t => (-t._2, t._1)).take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }.toSet
+      assert(got.filter(_._1 == qid) == want, s"query $qid")
+    }
+    // the pre-pruning map step must be in the physical plan (it is what
+    // bounds the ranking Exchange at k rows per query per partition)
+    val plan = Similarity.similarityJoin(q, corpus, "query_id", "embedding",
+      "vec_id", "embedding", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"expected MapPartitions in:\n$plan")
+  }
+
   test("mmr: first pick is top-1 similarity; picks are distinct; lambda=1 degenerates to knn") {
     val corpus = emb.filter($"vec_id" =!= 0)
     val picks = Similarity.mmr(corpus, "vec_id", "embedding", qv, k = 4, fetchK = 10)
