@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/classloading/file-index so the first measured query
     // doesn't absorb session startup

@@ -17,14 +17,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanos-since-epoch BIGINT behind this legacy flag; [[eventTime]] turns
-    * it back into a microsecond TimestampType column when needed.
+  /** Session bootstrap — settings every Graft session needs, applied once
+    * at session construction time by every entry point (Bench, Verify,
+    * tools, the test session). Deliberately NOT a table-loader side
+    * effect: a mid-session conf flip would silently change how unrelated
+    * nanos-parquet reads behave after the first `events()` call.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def bootstrap(s: SparkSession): SparkSession = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    // nanos-since-epoch BIGINT behind this legacy flag; [[eventTime]]
+    // turns it back into a microsecond TimestampType column when needed.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    s
   }
+
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 
   /** Event time as TimestampType (micros) from the nanos BIGINT column.
     * Integer `div`, not `/`: nanos (~1.7e18) exceed 2^53, so a double

@@ -50,6 +50,12 @@ case class ExplodeChunks(text: Expression, size: Expression, stride: Expression,
         TypeCheckResult.TypeCheckFailure(
           s"explode_chunks: size/stride must be in [1, ${Int.MaxValue}], " +
             s"got (${s.longValue()}, ${st.longValue()})")
+      // recursive mode's stride is the overlap, which Split.recursive
+      // requires < size — fail analysis, not one exception per row
+      case (s: Number, st: Number) if mode == "recursive" && st.longValue() >= s.longValue() =>
+        TypeCheckResult.TypeCheckFailure(
+          s"explode_chunks_recursive: overlap (stride) must be < size, " +
+            s"got (size=${s.longValue()}, overlap=${st.longValue()})")
       case _ => TypeCheckResult.TypeCheckSuccess
     }
 

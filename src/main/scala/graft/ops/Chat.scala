@@ -147,4 +147,57 @@ object Chat {
       else model.generate(sysPrompt, "", q)
     RagAnswer(question, q, ans, context, hits.map(_.getString(0)).toSeq, rel)
   }
+
+  /** Batch counterpart of [[answer]] for a whole question set: ONE
+    * distributed [[Similarity.similarityJoin]] retrieves top-k for every
+    * question at once (the corpus is scanned once, not once per
+    * question), then rewrite/grade/generate run as per-row expressions
+    * over the joined result. This is the shape evaluation pipelines must
+    * use — calling [[answer]] from a per-row UDF would launch Spark jobs
+    * from inside executors, which Spark forbids.
+    *
+    * Semantics match [[answer]] per row (same rewrite → retrieve → A9
+    * context concat → grade → grounded/plain generation, history-less);
+    * returns `(qid, question, rewritten_query, answer, context,
+    * retrieved_ids, relevant)`. A question with no retrievable context
+    * (empty store) keeps its row with an empty context, like the
+    * reference's no-context turn.
+    */
+  def answerBatch(questions: DataFrame, qidCol: String, questionCol: String,
+                  store: DataFrame, idCol: String, textCol: String, embCol: String,
+                  embedder: Embedder, model: ChatModel = TemplateModel,
+                  grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
+                  topK: Int = 4, metric: String = "COSINE"): DataFrame = {
+    val rewriteUdf = udf((q: String) => model.rewrite(q, Seq.empty))
+    val q = questions
+      .select(col(qidCol).as("__qid2"), col(questionCol).as("question"))
+      .withColumn("rewritten_query", rewriteUdf(col("question")))
+      .withColumn("__emb", graft.embed.EmbedText.embedText(col("rewritten_query"), embedder))
+    val hits = Similarity.similarityJoin(
+      q, store.select(col(idCol), col(embCol)),
+      "__qid2", "__emb", idCol, embCol, k = topK, metric = metric)
+    // rank-ordered context + provenance per question (A9/V10); the hits
+    // side is k×|questions| rows — AQE broadcasts it against the store
+    val perQ = hits
+      .join(store.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("__qid2"))
+      .agg(concat_ws("\n\n", transform(
+          array_sort(collect_list(struct(col("rank"), col(textCol).as("t")))),
+          x => x.getField("t"))).as("context"),
+        transform(
+          array_sort(collect_list(struct(col("rank"), col(idCol).cast("string").as("i")))),
+          x => x.getField("i")).as("retrieved_ids"))
+    val gradeUdf = udf((rq: String, c: String) => grader.relevant(rq, c))
+    val genUdf = udf((c: String, rq: String) => model.generate(sysPrompt, c, rq))
+    q.join(perQ, Seq("__qid2"), "left")
+      .withColumn("context", coalesce(col("context"), lit("")))
+      .withColumn("retrieved_ids",
+        coalesce(col("retrieved_ids"), array().cast("array<string>")))
+      .withColumn("relevant", gradeUdf(col("rewritten_query"), col("context")))
+      .withColumn("answer",
+        when(col("relevant"), genUdf(col("context"), col("rewritten_query")))
+          .otherwise(genUdf(lit(""), col("rewritten_query"))))
+      .select(col("__qid2").as(qidCol), col("question"), col("rewritten_query"),
+        col("answer"), col("context"), col("retrieved_ids"), col("relevant"))
+  }
 }

@@ -54,28 +54,39 @@ object Ingest {
           lit("source"), col(idCol).cast("string"),
           lit("start_index"), col("chunk_start").cast("string"),
           lit("chunk_id"), col("chunk_id")).as("metadata"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the split runs exactly once: this count materializes the cache the
+    // dedup pass reads (previously the count re-ran the whole split UDF)
     val chunksIn = chunks.count()
 
     // P5 exact dedup by content (embedding.py:296-304) — content-keyed id
     // makes dropDuplicates(id) equivalent to dedup-by-text.
     val deduped = chunks.dropDuplicates("id")
       .withColumn("embedding", EmbedText.embedText(col("text"), embedder))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dedupedN = deduped.count()
+    chunks.unpersist()
 
     // S15 idempotent merge: anti-join against the existing store.
     val existing = readStore(spark, storeDir, config)
+    // count(*) over parquet decodes no columns — near-metadata cost,
+    // unlike a full post-append table re-read
+    val existingN = existing.map(_.count()).getOrElse(0L)
     val toAppend = existing match {
       case Some(st) => deduped.join(st.select("id"), Seq("id"), "left_anti")
       case None     => deduped
     }
-    val appendedN = toAppend.count()
-    if (appendedN > 0 || existing.isEmpty)
-      toAppend.write.mode(SaveMode.Append).parquet(path)
+    // the appended count is observed during the write action itself, so
+    // the anti-join (a full scan of the store's id column, at scale) runs
+    // once — not count-then-write twice. A no-op re-ingest writes at most
+    // one AQE-coalesced empty part file.
+    val obs = new org.apache.spark.sql.Observation()
+    toAppend.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(path)
+    val appendedN = obs.get("n").asInstanceOf[Long]
     writeManifest(spark, storeDir, config)
-    val total = spark.read.parquet(path).count()
     deduped.unpersist()
-    IngestResult(chunksIn, dedupedN, appendedN, total)
+    IngestResult(chunksIn, dedupedN, appendedN, existingN + appendedN)
   }
 
   /** S13 chunk JSON sink (`src/server/utils/embedding.py:61-75`): dump

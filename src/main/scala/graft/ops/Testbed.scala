@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The evaluation pipeline (SURVEY.md §3.3): run every test-set question
@@ -33,15 +33,118 @@ object Testbed {
       topic.as("topic"))
   }
 
+  /** Question generator for [[generateTestset]] — the pluggable seam where
+    * the reference drives giskard's LLM-backed simple/complex question
+    * generators (`src/server/utils/testbed.py:283-291`). The interface is
+    * column-level so a deterministic generator stays a pure Catalyst plan
+    * (codegen'd, no UDF); an LLM-backed implementation would return a
+    * `mapInPandas`/UDF column instead.
+    */
+  trait QaGenerator extends Serializable {
+    /** `kind` is "simple" or "complex" (giskard's two generator classes). */
+    def question(chunk: Column, kind: Column): Column
+    def referenceAnswer(chunk: Column, kind: Column): Column
+  }
+
+  /** Deterministic default generator: a "simple" question asks about the
+    * chunk's first 5 tokens, a "complex" one asks to explain its first 8;
+    * the reference answer is the chunk itself (in giskard's QATestset the
+    * KB chunk is likewise the ground truth the judge scores against).
+    */
+  object LeadQaGenerator extends QaGenerator {
+    private def lead(chunk: Column, k: Int): Column =
+      concat_ws(" ", slice(split(trim(chunk), "\\s+"), 1, k))
+    def question(chunk: Column, kind: Column): Column =
+      when(kind === "complex", concat(lit("Explain the context of: "), lead(chunk, 8)))
+        .otherwise(concat(lit("What is mentioned about "), lead(chunk, 5), lit("?")))
+    def referenceAnswer(chunk: Column, kind: Column): Column = chunk
+  }
+
+  /** §3.3 producer half: generate an n-question QA test set from a
+    * knowledge base of text chunks (the reference's `build_knowledge_base`
+    * → `generate_testset` flow, `testbed.py:247-297`; the KB side is the
+    * sentence-split corpus — [[Split.sentences]] mirrors its
+    * SentenceSplitter(chunk_size=2048)).
+    *
+    * Chunk selection is deterministic and scale-safe: chunks rank by
+    * content hash (md5 — stable across engines, runs, and partitionings)
+    * and the global top-n plans as TakeOrderedAndProject, so only n rows
+    * per partition reach the merge — never a full sort of the KB. Kinds
+    * alternate simple/complex by rank parity, matching the reference's
+    * round-robin over its generator list. Output is the
+    * [[QaRecord]] shape that [[readTestset]]/[[upsertTestset]] consume.
+    */
+  def generateTestset(kb: DataFrame, textCol: String, n: Int,
+                      topicCol: Option[String] = None,
+                      generator: QaGenerator = LeadQaGenerator): DataFrame = {
+    val topic = topicCol.map(col).getOrElse(lit("Others"))
+    val sampled = kb
+      .filter(length(trim(col(textCol))) > 0)
+      .select(md5(col(textCol).cast("binary")).as("__key"),
+        col(textCol).as("__chunk"), topic.as("topic"))
+      .orderBy(col("__key"), col("topic")).limit(n)
+    // the window input is the already-sampled n rows — a bounded sort;
+    // topic tiebreak keeps identical texts under different topics
+    // deterministic
+    val kind = when(
+      pmod(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__key"), col("topic"))), lit(2)) === 1,
+      lit("simple")).otherwise(lit("complex"))
+    sampled
+      .withColumn("__kind", kind)
+      .select(
+        generator.question(col("__chunk"), col("__kind")).as("question"),
+        generator.referenceAnswer(col("__chunk"), col("__kind")).as("reference_answer"),
+        col("__chunk").as("reference_context"),
+        col("topic"))
+  }
+
+  /** JSONL testset sink in the reference's upload shape
+    * (`src/client/content/testbed.py:165-212`) — the exact fields
+    * [[readTestset]] re-hydrates, topic nested under `metadata`.
+    */
+  def writeTestset(qa: DataFrame, path: String): Unit =
+    qa.select(col("question"), col("reference_answer"), col("reference_context"),
+        struct(col("topic").as("topic")).as("metadata"))
+      .write.mode("overwrite").json(path)
+
   /** Evaluate: answer every question (a distributed map — each executor
     * runs the answer function on its partition), judge, and return the
     * per-question report `(question, topic, answer, correct)`.
+    *
+    * `answerFn` runs inside executors, so it MUST be a pure local
+    * function — it cannot touch a SparkSession or call [[Chat.answer]]
+    * (nested Spark jobs are forbidden). For retrieval-grounded answers
+    * use [[Chat.answerBatch]] ([[evaluateRag]] wires it up): one
+    * distributed similarity join answers the whole set.
     */
   def evaluate(qa: DataFrame, answerFn: String => String,
                judge: (String, String) => Boolean): DataFrame = {
     val ansUdf = udf(answerFn)
     val judgeUdf = udf(judge)
     qa.withColumn("answer", ansUdf(col("question")))
+      .withColumn("correct", judgeUdf(col("answer"), col("reference_answer")))
+      .select(col("question"), col("topic"), col("answer"), col("correct"))
+  }
+
+  /** Batch RAG evaluation — the distributed counterpart of [[evaluate]]:
+    * the whole test set is answered by ONE [[Chat.answerBatch]] similarity
+    * join (corpus scanned once), then judged. Returns the same
+    * per-question report shape as [[evaluate]].
+    */
+  def evaluateRag(qa: DataFrame, store: DataFrame, idCol: String, textCol: String,
+                  embCol: String, embedder: graft.embed.Embedder,
+                  model: Chat.ChatModel = Chat.TemplateModel,
+                  grader: Chat.Grader = Chat.OverlapGrader,
+                  topK: Int = 4,
+                  judge: (String, String) => Boolean = keywordJudge): DataFrame = {
+    val withId = qa.withColumn("__qid", xxhash64(col("question")))
+    val answered = Chat.answerBatch(
+      withId.select(col("__qid"), col("question")).dropDuplicates("__qid"),
+      "__qid", "question", store, idCol, textCol, embCol,
+      embedder, model, grader, topK = topK)
+    val judgeUdf = udf(judge)
+    withId.join(answered.select(col("__qid"), col("answer")), Seq("__qid"))
       .withColumn("correct", judgeUdf(col("answer"), col("reference_answer")))
       .select(col("question"), col("topic"), col("answer"), col("correct"))
   }
@@ -73,26 +176,25 @@ object Testbed {
 
   /** S18 testset upsert: idempotent overwrite keyed on the testset id —
     * the Spark shape of the reference's PL/SQL lookup/update/delete-
-    * children/insert loop (`src/server/utils/testbed.py:155-203`): drop
-    * any rows for `tid`, append the new ones atomically per partition
-    * directory.
+    * children/insert loop (`src/server/utils/testbed.py:155-203`).
+    *
+    * The table is `partitionBy(tid)` and the write uses *dynamic*
+    * partition overwrite, so only the `tid=<tid>` directory is rewritten:
+    * O(|incoming|) I/O regardless of table size, other testsets' files
+    * untouched, and no read-all/staging/copy-back phase (which was
+    * O(table) per upsert and lost the table if interrupted between its
+    * two writes).
     */
   def upsertTestset(spark: SparkSession, tablePath: String, tid: String,
-                    name: String, qa: DataFrame): Unit = {
-    val incoming = qa
-      .withColumn("tid", lit(tid))
-      .withColumn("name", lit(name))
+                    name: String, qa: DataFrame): Unit =
+    qa.withColumn("name", lit(name))
       .withColumn("created", current_timestamp())
-    val merged = if (graft.Fs.exists(spark, tablePath)) {
-      spark.read.parquet(tablePath).filter(col("tid") =!= tid)
-        .unionByName(incoming, allowMissingColumns = true)
-    } else incoming
-    // two-phase write: parquet source can't overwrite a path it reads
-    val tmp = tablePath + ".staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
-    graft.Fs.delete(spark, tmp)
-  }
+      .withColumn("tid", lit(tid))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tid")
+      .parquet(tablePath)
 
   /** S19 evaluation sink: append one evaluation row plus its per-question
     * report rows (a real table, not a pickled blob).

@@ -302,6 +302,18 @@ object Relational {
         .limit(100)
     }),
 
+    // §3.3 testset generation (producer): sentence-split KB → n
+    // deterministic QA records through the pluggable generator. Every
+    // test doc is < 2048 chars, so the sentence splitter yields one
+    // chunk per doc and the oracle can treat chunk = text.
+    "testbed_generate" -> ((s, d) => {
+      import s.implicits._
+      val splitUdf = udf((t: String) => graft.ops.Split.sentences(t, 2048).map(_.text))
+      val kb = documents(s, d).select(explode(splitUdf($"text")).as("chunk"), $"lang")
+      graft.ops.Testbed.generateTestset(kb, "chunk", n = 40, topicCol = Some("lang"))
+        .orderBy($"question", $"reference_answer", $"topic")
+    }),
+
     // Evaluation aggregate A2: overall correctness mean.
     "eval_overall" -> ((s, d) => {
       import s.implicits._
@@ -435,16 +447,18 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sessionize_events" ->
       """WITH g AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events),
+        |  FROM g),
         |s AS (
         |  SELECT user_id, event_id,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM g)
+        |  FROM m)
         |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "hierarchy_paths" ->
@@ -463,6 +477,22 @@ object Relational {
       """SELECT p_partkey, p_type FROM part
         |WHERE regexp_matches(p_type, 'OMY$') AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
         |ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "testbed_generate" ->
+      """WITH kb AS (
+        |  SELECT text AS chunk, lang AS topic, md5(text) AS key
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |sampled AS (SELECT chunk, topic, key FROM kb ORDER BY key, topic LIMIT 40),
+        |ranked AS (
+        |  SELECT chunk, topic, row_number() OVER (ORDER BY key, topic) AS rk FROM sampled)
+        |SELECT
+        |  CASE WHEN rk % 2 = 1
+        |    THEN 'What is mentioned about ' ||
+        |      array_to_string(list_slice(regexp_split_to_array(trim(chunk), '\s+'), 1, 5), ' ') || '?'
+        |    ELSE 'Explain the context of: ' ||
+        |      array_to_string(list_slice(regexp_split_to_array(trim(chunk), '\s+'), 1, 8), ' ')
+        |  END AS question,
+        |  chunk AS reference_answer, chunk AS reference_context, topic
+        |FROM ranked ORDER BY question, reference_answer, topic""".stripMargin,
     "eval_overall" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,

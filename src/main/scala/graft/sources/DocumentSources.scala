@@ -21,16 +21,28 @@ object DocumentSources {
         map(lit("source"), col("path")).as("metadata"))
 
   /** S4: CSV — one Document per row (reference CSVLoader semantics): the
-    * row rendered as `col: value` lines, keyed `{filestem}_{rownum}`.
+    * row rendered as `col: value` lines, keyed `{filestem}_{rownum}` with
+    * `rownum` the row's true 0-based position in its file — stable across
+    * partitionings, task retries, and re-runs, as an ingest provenance key
+    * must be. (`monotonically_increasing_id` would encode the partition
+    * layout into the id and change under retries.) Line positions come
+    * from reading each file whole and numbering lines; each line is then
+    * parsed with `from_csv` against the header-derived schema. Records
+    * must therefore be single-line (no embedded newlines in quoted
+    * fields) — the shape the reference's CSV corpus uses.
     */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.option("header", "true").csv(path)
-    val cols = df.columns
-    val rendered = concat_ws("\n", cols.map(c => concat_ws(": ", lit(c), col(c))): _*)
-    df.withColumn("path", input_file_name())
-      .withColumn("__rn", monotonically_increasing_id())
+    val schema = spark.read.option("header", "true").csv(path).schema
+    val rendered = concat_ws("\n",
+      schema.fieldNames.map(c => concat_ws(": ", lit(c), col("row").getField(c))): _*)
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("path", input_file_name())
+      .select(col("path"), posexplode(split(col("value"), "\r?\n")))
+      .filter(col("pos") > 0 && length(trim(col("col"))) > 0)
+      .withColumn("row", from_csv(col("col"), schema, Map.empty[String, String]))
       .select(
-        concat(regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1), lit("_"), col("__rn")).as("doc_id"),
+        concat(regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1),
+          lit("_"), (col("pos") - 1).cast("string")).as("doc_id"),
         rendered.as("text"),
         map(lit("source"), col("path")).as("metadata"))
   }

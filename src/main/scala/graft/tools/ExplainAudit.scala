@@ -13,6 +13,7 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
+    graft.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(

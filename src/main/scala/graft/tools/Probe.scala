@@ -12,6 +12,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.ui.enabled", "false").config("spark.sql.shuffle.partitions", "32").getOrCreate()
+    graft.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100000).selectExpr("sum(id)").collect()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")

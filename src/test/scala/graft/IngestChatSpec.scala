@@ -106,6 +106,39 @@ class IngestChatSpec extends AnyFunSuite {
     assert(plain.retrievedIds.isEmpty && plain.context.isEmpty)
   }
 
+  test("answerBatch equals per-question answer on the same store") {
+    val dir = Files.createTempDirectory("graft-batch").toString
+    val cfg = Ingest.StoreConfig("batch", "hash-32", 200, 0)
+    val docs = Seq(
+      (1L, "spark catalyst optimizer plans queries"),
+      (2L, "parquet files store columnar data"),
+      (3L, "cooking pasta requires boiling water"),
+      (4L, "streaming watermarks bound state growth")
+    ).toDF("doc_id", "text")
+    Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    val store = Ingest.readStore(spark, dir, cfg).get
+    val questions = Seq("how does spark plan queries", "what stores columnar data",
+      "how to cook pasta")
+    val batch = Chat.answerBatch(
+        questions.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("qid", "question"),
+        "qid", "question", store, "id", "text", "embedding", embedder, topK = 2)
+      .collect().map(r => r.getAs[String]("question") -> r).toMap
+    questions.foreach { qtext =>
+      val single = Chat.answer(spark, qtext, store, "id", "text", "embedding", embedder, topK = 2)
+      val b = batch(qtext)
+      assert(b.getAs[String]("rewritten_query") == single.rewrittenQuery, qtext)
+      assert(b.getAs[String]("answer") == single.answer, qtext)
+      assert(b.getAs[String]("context") == single.context, qtext)
+      assert(b.getAs[scala.collection.Seq[String]]("retrieved_ids").toSeq == single.retrievedIds, qtext)
+      assert(b.getAs[Boolean]("relevant") == single.relevant, qtext)
+    }
+    // evaluateRag produces the evaluate-shaped report from the batch path
+    val qa = questions.map(q => Testbed.QaRecord(q, q.split(" ").last, "ctx", "t")).toDF()
+    val report = Testbed.evaluateRag(qa, store, "id", "text", "embedding", embedder, topK = 2)
+    assert(report.columns.toSeq == Seq("question", "topic", "answer", "correct"))
+    assert(report.count() == 3)
+  }
+
   test("testset upsert is idempotent per tid and chunk JSON round-trips (S18, S13/S9)") {
     val base = Files.createTempDirectory("graft-ts").toString
     val path = s"$base/testsets"
@@ -115,11 +148,21 @@ class IngestChatSpec extends AnyFunSuite {
     Testbed.upsertTestset(spark, path, "tid-1", "set one", qa1)
     Testbed.upsertTestset(spark, path, "tid-2", "set two", qa2)
     assert(spark.read.parquet(path).count() == 3)
+    // dynamic partition overwrite: a tid-1 upsert must not touch tid-2's
+    // files and must not stage a full-table copy
+    def tidFiles(tid: String): Set[(String, Long)] = {
+      val fs = new java.io.File(s"$path/tid=$tid")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      fs.map(f => (f.getName, f.lastModified)).toSet
+    }
+    val tid2Before = tidFiles("tid-2")
     // re-upsert tid-1 with different content: replaces, not appends
     Testbed.upsertTestset(spark, path, "tid-1", "set one v2", qa2)
     val rows = spark.read.parquet(path)
     assert(rows.count() == 4)
     assert(rows.filter($"tid" === "tid-1").count() == 2)
+    assert(tidFiles("tid-2") == tid2Before, "other tids' files must be untouched")
+    assert(!new java.io.File(path + ".staging").exists(), "no staging copy")
 
     // S13 -> S9 round trip
     val chunksJson = s"$base/chunks"
@@ -128,6 +171,29 @@ class IngestChatSpec extends AnyFunSuite {
     graft.ops.Ingest.writeChunksJson(chunks, chunksJson)
     val back = graft.sources.DocumentSources.readChunksJson(spark, chunksJson).collect()
     assert(back.head.getString(1) == "chunk text")
+  }
+
+  test("testset generation: deterministic sampling, alternating kinds, JSONL round-trip (§3.3)") {
+    val kb = Tables.documents(spark, sf).select($"text".as("chunk"), $"lang")
+    val qa = Testbed.generateTestset(kb, "chunk", n = 10, topicCol = Some("lang"))
+    val rows = qa.collect()
+    assert(rows.length == 10)
+    // sampling is content-hash-ranked: invariant to input partitioning
+    val again = Testbed
+      .generateTestset(kb.repartition(7), "chunk", n = 10, topicCol = Some("lang")).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    val qs = rows.map(_.getString(0))
+    assert(qs.exists(_.startsWith("What is mentioned about ")), "simple kind present")
+    assert(qs.exists(_.startsWith("Explain the context of: ")), "complex kind present")
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), "answer = context = KB chunk"))
+    // JSONL round-trip through the reference upload shape, then upsert
+    val base = Files.createTempDirectory("graft-gen").toString
+    Testbed.writeTestset(qa, s"$base/ts.jsonl")
+    val back = Testbed.readTestset(spark, s"$base/ts.jsonl")
+    assert(back.columns.sorted.toSeq == Seq("question", "reference_answer", "reference_context", "topic"))
+    assert(back.select($"question").as[String].collect().toSet == qs.toSet)
+    Testbed.upsertTestset(spark, s"$base/testsets", "tid-gen", "generated", back)
+    assert(spark.read.parquet(s"$base/testsets").filter($"tid" === "tid-gen").count() == 10)
   }
 
   test("V9 response assembly normalizes finish reasons and counts usage") {

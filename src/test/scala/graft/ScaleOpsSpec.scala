@@ -211,9 +211,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     val html = DocumentSources.readHtml(spark, s"$dir/page.html").collect()
     assert(html.head.getString(1) == "Title Hello world")
 
-    val csv = DocumentSources.readCsv(spark, s"$dir/table.csv").collect()
-    assert(csv.length == 2)
-    assert(csv.head.getString(1) == "name: ada\nrole: engineer")
+    // second file: row numbering is per-file and position-derived
+    Files.writeString(java.nio.file.Paths.get(dir, "other.csv"), "name,role\nlin,captain")
+    val csv = DocumentSources.readCsv(spark, s"$dir/*.csv")
+      .orderBy("doc_id").collect()
+    assert(csv.map(_.getString(0)).toSeq == Seq("other_0", "table_0", "table_1"),
+      "doc ids must be {filestem}_{file-position}, not partition-layout ids")
+    assert(csv.map(_.getString(0)).toSeq ==
+      DocumentSources.readCsv(spark, s"$dir/*.csv").orderBy("doc_id")
+        .collect().map(_.getString(0)).toSeq, "ids stable across reads")
+    assert(csv(1).getString(1) == "name: ada\nrole: engineer")
+    assert(csv(2).getString(1) == "name: grace\nrole: admiral")
 
     val pdf = DocumentSources.readPdf(spark, s"$dir/doc.pdf").collect()
     assert(pdf.map(_.getString(0)).toSeq == Seq("doc_p0", "doc_p1"))

@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    Tables.bootstrap(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -89,6 +89,13 @@ class SplitSpec extends AnyFunSuite {
       "SELECT c.chunk_text FROM ec_docs LATERAL VIEW explode_chunks_recursive(text, 10, 2) c")
       .as[String].collect()
     assert(rec.nonEmpty && rec.forall(_.length <= 10))
+    // recursive overlap >= size must fail at analysis, not per-row at runtime
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT c.chunk_text FROM ec_docs LATERAL VIEW explode_chunks_recursive(text, 10, 10) c")
+        .collect()
+    }
+    assert(err.getMessage.contains("overlap"), err.getMessage)
   }
 
   test("chunkDocs assigns reference-style 1-based chunk ids") {
