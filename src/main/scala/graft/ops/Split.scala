@@ -120,11 +120,99 @@ object Split {
   def sentences(text: String, size: Int = 2048, overlap: Int = 0): Seq[TextChunk] =
     recursive(text, size, overlap, Seq(". ", "! ", "? ", "\n", " "))
 
+  /** Pluggable tokenizer for token-counted splitting (the length function
+    * of the reference's tiktoken mode, `embedding.py:108-116`).
+    */
+  trait Tokenizer extends Serializable {
+    def tokenize(text: String): Seq[String]
+    def count(text: String): Int = tokenize(text).length
+  }
+
+  /** Whitespace tokens — the coarse stand-in [[tokenWindows]] uses. */
+  object WhitespaceTokenizer extends Tokenizer {
+    def tokenize(text: String): Seq[String] =
+      text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+  }
+
+  /** Deterministic byte-pair tokenizer over a fixed tiny merge table —
+    * real BPE inference (repeatedly merge the highest-priority adjacent
+    * symbol pair) with a hand-fixed vocabulary of frequent English pairs
+    * standing in for a learned one, so token counts are subword-shaped
+    * (≥ words, ≤ characters) and bit-deterministic with no model file.
+    */
+  object BpeTokenizer extends Tokenizer {
+    // order = merge priority (highest first), the shape of a BPE ranks file
+    private val merges = Seq(
+      "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n", "r" -> "e",
+      "o" -> "n", "a" -> "t", "e" -> "n", "n" -> "d", "t" -> "i", "e" -> "s",
+      "o" -> "r", "a" -> "r", "te" -> "r", "a" -> "l", "s" -> "t", "in" -> "g",
+      "o" -> "u", "q" -> "u", "c" -> "h", "e" -> "d", "o" -> "f", "i" -> "s")
+    private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    def tokenize(text: String): Seq[String] =
+      WhitespaceTokenizer.tokenize(text).flatMap(bpeWord)
+    private[graft] def bpeWord(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var done = syms.length <= 1
+      while (!done) {
+        val best = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+          .minOption
+        best match {
+          case Some((_, i)) => syms = syms.patch(i, Seq(syms(i) + syms(i + 1)), 2)
+          case None         => done = true
+        }
+        if (syms.length <= 1) done = true
+      }
+      syms
+    }
+  }
+
+  /** Token-*measured* chunking through a pluggable [[Tokenizer]]: pack
+    * whole whitespace words greedily while the chunk's tokenizer count
+    * stays ≤ `maxTokens`, then restart the next chunk carrying back up to
+    * `overlapTokens` tokens' worth of trailing words — the honest version
+    * of the reference's `CharacterTextSplitter.from_tiktoken_encoder`
+    * (split on separators, measure in tokens). A single word whose own
+    * token count exceeds `maxTokens` is emitted alone (as the reference's
+    * splitter emits oversized pieces). `start` is the exact char offset.
+    */
+  def tokenPack(text: String, maxTokens: Int, overlapTokens: Int = 0,
+                tokenizer: Tokenizer = BpeTokenizer): Seq[TextChunk] = {
+    require(maxTokens > 0 && overlapTokens >= 0 && overlapTokens < maxTokens)
+    if (text == null || text.isEmpty) return Seq.empty
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    val words = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    while (m.find()) words += ((m.start(), m.group()))
+    if (words.isEmpty) return Seq.empty
+    val costs = words.map { case (_, w) => math.max(1, tokenizer.count(w)) }
+    val out = Seq.newBuilder[TextChunk]
+    var i = 0
+    var idx = 0
+    while (i < words.length) {
+      var j = i
+      var tok = costs(i)
+      while (j + 1 < words.length && tok + costs(j + 1) <= maxTokens) { j += 1; tok += costs(j) }
+      val start = words(i)._1
+      val end = words(j)._1 + words(j)._2.length
+      out += TextChunk(idx, start, text.substring(start, end))
+      idx += 1
+      if (j + 1 >= words.length) i = words.length
+      else {
+        var k = j + 1
+        var carry = 0
+        while (k - 1 > i && carry + costs(k - 1) <= overlapTokens) { k -= 1; carry += costs(k - 1) }
+        i = k
+      }
+    }
+    out.result()
+  }
+
   /** Token-counted chunking (the reference's
     * `CharacterTextSplitter.from_tiktoken_encoder` mode,
     * `embedding.py:108-116`, with whitespace tokens standing in for the
-    * tokenizer): windows of `maxTokens` tokens advancing by
-    * `maxTokens - overlapTokens`. `start` is the 0-based token offset.
+    * tokenizer — [[tokenPack]] is the subword-measured variant): windows
+    * of `maxTokens` tokens advancing by `maxTokens - overlapTokens`.
+    * `start` is the 0-based token offset.
     */
   def tokenWindows(text: String, maxTokens: Int, overlapTokens: Int = 0): Seq[TextChunk] = {
     require(maxTokens > 0 && overlapTokens >= 0 && overlapTokens < maxTokens)

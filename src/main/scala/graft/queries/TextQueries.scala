@@ -89,6 +89,18 @@ object TextQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // §2.7 token-measured packing through the deterministic BPE
+    // tokenizer (tiktoken mode; rows-only — BPE merge inference is not
+    // SQL-expressible, the chunk-count bound is property-tested in
+    // SplitSpec).
+    "split_token_pack" -> ((s, d) => {
+      import s.implicits._
+      Split.chunkDocs(documents(s, d), "doc_id", "text",
+          t => Split.tokenPack(t, maxTokens = 60, overlapTokens = 15))
+        .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_text")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // §2.7 recursive boundary splitter (engine-defined boundaries —
     // rows-only here; invariants are property-tested in SplitSpec).
     "split_recursive" -> ((s, d) => {

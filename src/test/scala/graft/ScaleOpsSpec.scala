@@ -110,11 +110,39 @@ class ScaleOpsSpec extends AnyFunSuite {
 
     val partial = Ivf.search(store, "embedding", model, qv, 10, nProbe = 2)
     val plan = partial.queryExecution.executedPlan.toString
-    assert(plan.contains("cluster_id"), "probe filter must reach the partitioned scan")
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"probe filter must be a partition filter in the scan node:\n$plan")
     val got = partial.select($"vec_id").as[Long].collect().toSeq
     assert(got.size == 10)
     val recall = got.count(exact.contains) / 10.0
     assert(recall > 0.0, "partial probe should find at least some true neighbors")
+  }
+
+  test("IVF partial probe: recall@10 = 1 on planted clusters, one probed partition") {
+    // four orthogonal, widely-separated clusters with tiny jitter: a
+    // 1-probe search must find the full exact top-10 (the probed
+    // partition contains the whole true cluster), measured — not just
+    // recall > 0. The model is constructed directly so k-means init
+    // randomness cannot blur what partial-probe search guarantees.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.tabulate(4)(c => Array.tabulate(dim)(i => if (i / 4 == c) 10f else 0f))
+    val pts = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(v => v + rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Ivf.IvfModel(centers)
+    val dir = Files.createTempDirectory("ivf-planted").toString + "/store"
+    Ivf.writePartitioned(df, "embedding", model, dir)
+    val store = spark.read.parquet(dir)
+    for (c <- 0 until 4) {
+      val exact = Similarity.knn(df, "embedding", centers(c), 10)
+        .select($"vec_id").as[Long].collect().toSet
+      val got = Ivf.search(store, "embedding", model, centers(c), 10, nProbe = 1)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(got.count(exact.contains) == 10, s"cluster $c: recall@10 must be 1.0")
+    }
   }
 
   test("bucketed tables join without an Exchange; salted ops preserve exact results") {

@@ -98,6 +98,45 @@ class SplitSpec extends AnyFunSuite {
     assert(err.getMessage.contains("overlap"), err.getMessage)
   }
 
+  test("BPE tokenizer + tokenPack: deterministic merges, chunk token counts bounded (tiktoken mode)") {
+    val bpe = Split.BpeTokenizer
+    assert(bpe.tokenize("the quick brown fox") == bpe.tokenize("the quick brown fox"))
+    assert(bpe.bpeWord("the").mkString == "the", "subwords must reassemble the word")
+    assert(bpe.bpeWord("the").length < 3, "frequent pairs must merge below char count")
+    assert(bpe.bpeWord("x") == Seq("x"))
+    assert(bpe.tokenize(" ").isEmpty)
+    // seeded property sweep: every chunk's measured token count <= max
+    // (single oversized words excepted), offsets exact, text covered to
+    // the end, and the packing is deterministic
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("the", "thermal", "spark", "in", "under", "tiny", "question",
+      "answer", "x", "internationalization", "of", "thunder")
+    for (_ <- 0 until 50) {
+      val words = (0 until 1 + rnd.nextInt(60)).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val text = words.mkString(" ")
+      val max = 1 + rnd.nextInt(12)
+      val overlap = rnd.nextInt(max)
+      val chunks = Split.tokenPack(text, max, overlap)
+      assert(chunks.nonEmpty)
+      assert(chunks == Split.tokenPack(text, max, overlap), "deterministic")
+      chunks.foreach { c =>
+        assert(text.substring(c.start, c.start + c.text.length) == c.text, "offset exact")
+        val n = bpe.count(c.text)
+        assert(n <= max || !c.text.contains(" "),
+          s"chunk '${c.text}' measures $n tokens > $max")
+      }
+      assert(chunks.last.start + chunks.last.text.length == text.length, "covers to the end")
+      assert(chunks.map(_.idx) == chunks.indices.toSeq)
+    }
+    // wired through the DataFrame splitter surface
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "the question of thermal thunder under tiny spark")).toDF("doc_id", "text")
+    val got = Split.chunkDocs(df, "doc_id", "text", t => Split.tokenPack(t, 6, 2))
+      .select($"chunk_text").as[String].collect()
+    assert(got.nonEmpty && got.forall(c => bpe.count(c) <= 6))
+  }
+
   test("chunkDocs assigns reference-style 1-based chunk ids") {
     val spark = TestSpark.spark
     import spark.implicits._
