@@ -197,17 +197,46 @@ object Testbed {
       .parquet(tablePath)
 
   /** S19 evaluation sink: append one evaluation row plus its per-question
-    * report rows (a real table, not a pickled blob).
+    * report rows (a real table, not a pickled blob). Both tables are
+    * `partitionBy(tid)` so a testset's whole evaluation history is one
+    * directory — [[deleteTestset]]'s cascade is a directory drop, and
+    * [[listEvaluations]] prunes to one partition.
     */
   def appendEvaluation(spark: SparkSession, evalPath: String, reportPath: String,
                        tid: String, report: DataFrame,
                        eid: String = java.util.UUID.randomUUID().toString): String = {
     import spark.implicits._
     val correctness = overall(report).select(col("correctness")).head().getDouble(0)
-    Seq((eid, tid, correctness)).toDF("eid", "tid", "correctness")
+    Seq((eid, correctness)).toDF("eid", "correctness")
       .withColumn("evaluated", current_timestamp())
-      .write.mode("append").parquet(evalPath)
-    report.withColumn("eid", lit(eid)).write.mode("append").parquet(reportPath)
+      .withColumn("tid", lit(tid))
+      .write.mode("append").partitionBy("tid").parquet(evalPath)
+    report.withColumn("eid", lit(eid)).withColumn("tid", lit(tid))
+      .write.mode("append").partitionBy("tid").parquet(reportPath)
     eid
   }
+
+  /** Evaluations listing for one testset, newest first — the reference's
+    * `get_evaluations` surface (`src/server/utils/testbed.py:131,328`,
+    * `ORDER BY evaluated DESC`). The tid filter is partition pruning on
+    * the [[appendEvaluation]] layout; eid tiebreak keeps the order total.
+    */
+  def listEvaluations(spark: SparkSession, evalPath: String, tid: String): DataFrame =
+    spark.read.parquet(evalPath)
+      .filter(col("tid") === tid)
+      .select(col("eid"), col("evaluated"), col("correctness"))
+      .orderBy(col("evaluated").desc, col("eid"))
+
+  /** P13 delete-by-key with cascade — the reference's PL/SQL
+    * delete-children loop (`testbed.py:155-169`: delete a testset ⇒ its
+    * QA rows, its evaluations, and their reports go too). On the
+    * tid-partitioned layout every child set is exactly one partition
+    * directory, so the cascade is three directory drops: O(deleted)
+    * I/O, no read or rewrite of surviving testsets.
+    */
+  def deleteTestset(spark: SparkSession, tablePath: String, tid: String,
+                    evalPath: Option[String] = None,
+                    reportPath: Option[String] = None): Unit =
+    (Seq(tablePath) ++ evalPath ++ reportPath)
+      .foreach(base => graft.Fs.delete(spark, s"$base/tid=$tid"))
 }

@@ -196,6 +196,28 @@ class IngestChatSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/testsets").filter($"tid" === "tid-gen").count() == 10)
   }
 
+  test("evaluation sink: partitioned append, newest-first listing, per-tid delete cascade (S19, P13)") {
+    val base = Files.createTempDirectory("graft-eval").toString
+    val ts = s"$base/testsets"; val ev = s"$base/evals"; val rp = s"$base/reports"
+    val qa = Seq(Testbed.QaRecord("q1", "a1", "c1", "t")).toDF()
+    Testbed.upsertTestset(spark, ts, "tid-a", "a", qa)
+    Testbed.upsertTestset(spark, ts, "tid-b", "b", qa)
+    val report = Testbed.evaluate(qa, _ => "a1 indeed", Testbed.keywordJudge)
+    Testbed.appendEvaluation(spark, ev, rp, "tid-a", report, eid = "e-1")
+    Testbed.appendEvaluation(spark, ev, rp, "tid-a", report, eid = "e-2")
+    Testbed.appendEvaluation(spark, ev, rp, "tid-b", report, eid = "e-3")
+    val listed = Testbed.listEvaluations(spark, ev, "tid-a").collect()
+    assert(listed.map(_.getString(0)).toSet == Set("e-1", "e-2"))
+    assert(!listed.head.getTimestamp(1).before(listed.last.getTimestamp(1)), "newest first")
+    // cascade delete tid-a: QA partition, evaluations, reports all go;
+    // tid-b survives untouched
+    Testbed.deleteTestset(spark, ts, "tid-a", Some(ev), Some(rp))
+    assert(spark.read.parquet(ts).select($"tid").distinct().as[String].collect().toSeq == Seq("tid-b"))
+    assert(Testbed.listEvaluations(spark, ev, "tid-a").isEmpty)
+    assert(spark.read.parquet(rp).filter($"tid" === "tid-a").count() == 0)
+    assert(spark.read.parquet(rp).filter($"tid" === "tid-b").count() == 1)
+  }
+
   test("V9 response assembly normalizes finish reasons and counts usage") {
     val ans = Chat.RagAnswer("what is x", "what is x", "x is y", "ctx one\n\nctx two",
       Seq("1", "2"), relevant = true)
