@@ -69,7 +69,8 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, n: Int = 3,
                           numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val shingled = df.select(col(idCol).as("id"),
+        array_sort(wordShingles(col(textCol), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager materialization: the banding self-join scans this twice and
     // concurrent cache population would compute the shingles twice
@@ -94,8 +95,7 @@ object Dedup {
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -128,7 +128,11 @@ object Dedup {
                         threshold: Double, n: Int = 3): DataFrame = {
     // persist the shingle arrays: they feed the inverted index and the
     // exact verify joins (shingle construction is worth exactly one pass)
-    val docs = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    // arrays are sorted once here (cached) so the verify step can use
+    // the allocation-free merge-scan jaccard; shingle→index explode and
+    // sizes are order-insensitive
+    val docs = df.select(col(idCol).as("id"),
+        array_sort(wordShingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager: concurrent cache population would shingle twice
@@ -157,8 +161,7 @@ object Dedup {
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

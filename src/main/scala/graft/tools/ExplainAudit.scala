@@ -19,7 +19,7 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "filter_project_pushdown", "join_agg_topk", "sort_limit_topk",
       "knn_cosine_topk", "similarity_join_topk", "dedup_ngram_jaccard",
-      "agg_pricing_summary")
+      "agg_pricing_summary", "testbed_generate")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)

@@ -49,6 +49,50 @@ object Probe {
       val n = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", t).count()
       println(f"ngram_jaccard sf0.1 run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs")
     }
+
+    // phase breakdown (cold cache each phase-set); the verify phase here
+    // deliberately uses the OLD array_intersect/array_union composition so
+    // its cost stays measurable against the jaccard_sorted merge scan the
+    // library now uses
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.catalog.clearCache()
+      def time[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"phase $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val dd = time("shingle+persist") {
+        val d = docs.select(col("doc_id").as("id"), graft.ops.Dedup.wordShingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0).persist()
+        d.count(); d
+      }
+      val inv = dd.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+        .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
+      val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
+      val prefix = time("prefix build+persist") {
+        val p = inv.join(dfreq, "shingle")
+          .withColumn("rk", row_number().over(Window.partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
+          .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+          .filter(col("docfreq") > 1)
+          .select(col("id"), col("shingle")).persist()
+        p.count(); p
+      }
+      val cand = time("cand self-join+distinct") {
+        val c = prefix.as("x").join(prefix.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct().persist()
+        c.count(); c
+      }
+      time("verify arrays") {
+        cand.join(dd.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(dd.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jaccard") >= t).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -73,6 +73,42 @@ class DedupSpec extends AnyFunSuite {
     assert(strong.nonEmpty, "fixture must plant at least one j>=0.9 pair")
   }
 
+  test("jaccard_sorted merge scan equals the intersect/union composition, codegen ≡ interpreted") {
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0 until 300).map { _ =>
+      (rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)),
+        rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)))
+    } :+ ((Seq("x"), Seq.empty[String]))
+    val df = rows.toDF("a0", "b0")
+      .select(array_sort($"a0").as("a"), array_sort($"b0").as("b"))
+    def values(): Seq[(Double, Double)] = df.select(
+        graft.functions.SetFunctions.jaccardSorted($"a", $"b"),
+        size(array_intersect($"a", $"b")).cast("double") / size(array_union($"a", $"b")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    def same(x: Double, y: Double): Boolean = x == y || (x.isNaN && y.isNaN)
+    val gen = values()
+    gen.foreach { case (x, y) => assert(same(x, y), s"$x != $y") }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = values()
+      gen.zip(interp).foreach { case ((x, _), (ix, _)) =>
+        assert(same(x, ix), "doGenCode must match nullSafeEval")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // empty ∩ empty: the kernel yields NaN (total function; the ANSI
+    // built-in composition would throw DIVIDE_BY_ZERO) — dropped by any
+    // `>= t` filter, as the verify step applies
+    val nan = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(graft.functions.SetFunctions.jaccardSorted($"a", $"b"))
+      .head().getDouble(0)
+    assert(nan.isNaN)
+  }
+
   test("simhash: identical tokens → identical hash; near-identical → small hamming distance") {
     val df = Seq(
       (1L, "spark catalyst optimizes declarative query plans for distributed execution engines"),
