@@ -26,27 +26,31 @@ object Hierarchy {
     val lookup = broadcast(base.select(
       col("__id").as("__aid"), col("__parent").as("__aparent"), col("__name").as("__aname")))
 
-    // Each round is materialized via localCheckpoint (eager): the
-    // remaining-work probe and the next round's join then read the
-    // previous round's result once, instead of re-executing the whole
-    // accumulated join chain per iteration (O(d) joins total, not O(d²),
-    // and the logical plan stays one level deep for the analyzer).
-    var cur = base
-      .withColumn("path", col("__name"))
-      .withColumn("__next", col("__parent"))
-      .localCheckpoint()
+    // Each round is materialized via localCheckpoint (eager): the next
+    // round's join reads the previous round's result once, instead of
+    // re-executing the whole accumulated join chain per iteration (O(d)
+    // joins total, not O(d²), and the logical plan stays one level deep
+    // for the analyzer). The remaining-work probe rides the checkpoint
+    // action as an observed metric — one job per level, not two.
+    def checkpointCounting(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(col("__next")).as("n")).localCheckpoint()
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (cur, remaining) = checkpointCounting(
+      base.withColumn("path", col("__name")).withColumn("__next", col("__parent")))
     var depth = 0
-    var remaining = !cur.filter(col("__next").isNotNull).isEmpty
-    while (remaining && depth < maxDepth) {
-      cur = cur.join(lookup, cur("__next") === lookup("__aid"), "left")
-        .select(
-          col("__id"), col("__parent"), col("__name"),
-          when(col("__aname").isNotNull, concat(col("__aname"), lit("/"), col("path")))
-            .otherwise(col("path")).as("path"),
-          col("__aparent").as("__next"))
-        .localCheckpoint()
+    while (remaining > 0 && depth < maxDepth) {
+      val (next, n) = checkpointCounting(
+        cur.join(lookup, cur("__next") === lookup("__aid"), "left")
+          .select(
+            col("__id"), col("__parent"), col("__name"),
+            when(col("__aname").isNotNull, concat(col("__aname"), lit("/"), col("path")))
+              .otherwise(col("path")).as("path"),
+            col("__aparent").as("__next")))
+      cur = next
+      remaining = n
       depth += 1
-      remaining = !cur.filter(col("__next").isNotNull).isEmpty
     }
     df.join(
       cur.select(col("__id").as(s"__join_$idCol"), col("path")),
