@@ -197,10 +197,16 @@ object Dedup {
     }.reduce(_ + _)
 
   /** Approximate embedding near-dup: `nTables` independent SRP bucket
-    * joins generate candidates (equi-join on the bucket id, no cross
+    * tables generate candidates (equi-join on (table, bucket) — no cross
     * join), verified with the exact cosine. Subset of
     * [[embeddingNearDupPairs]] by construction; recall grows with
     * nTables and shrinks with nBits.
+    *
+    * All tables' buckets are computed in one projection and exploded, so
+    * candidate generation is ONE self-join keyed (table, bucket) over
+    * nTables×|corpus| narrow rows — the MinHash banding shape — rather
+    * than nTables separate joins unioned (same candidate set, one
+    * exchange, one plan).
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, embCol: String,
                           threshold: Double, nTables: Int = 4, nBits: Int = 8,
@@ -209,13 +215,17 @@ object Dedup {
     if (dimRow.isEmpty) return embeddingNearDupPairs(df, idCol, embCol, threshold)
     val dim = dimRow.head.getInt(0)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val cand = (0 until nTables).map { t =>
-      val planes = randomPlanes(nBits, dim, seed + t)
-      val bucketed = base.withColumn("bucket", srpBucket(col("emb"), planes))
-      bucketed.as("x").join(bucketed.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    }.reduce(_ union _).distinct()
+    val allBuckets = array((0 until nTables).map { t =>
+      srpBucket(col("emb"), randomPlanes(nBits, dim, seed + t))
+    }: _*)
+    val bucketed = base
+      .select(col("id"), posexplode(allBuckets))
+      .select(col("id"), col("pos").as("t"), col("col").as("bucket"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
     // as in minhashNearDupPairs: the pair set is unbounded under heavy
     // duplication — plain shuffle join, AQE may still broadcast it
     cand
