@@ -169,10 +169,15 @@ object Chat {
                   grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
                   topK: Int = 4, metric: String = "COSINE"): DataFrame = {
     val rewriteUdf = udf((q: String) => model.rewrite(q, Seq.empty))
+    // materialized eagerly: q feeds two subtrees of the final plan (the
+    // broadcast retrieval side and the output join), and Catalyst would
+    // re-evaluate the rewrite UDF — a model call per question — in each;
+    // the question batch is small by construction, like MMR's candidates
     val q = questions
       .select(col(qidCol).as("__qid2"), col(questionCol).as("question"))
       .withColumn("rewritten_query", rewriteUdf(col("question")))
       .withColumn("__emb", graft.embed.EmbedText.embedText(col("rewritten_query"), embedder))
+      .localCheckpoint()
     val hits = Similarity.similarityJoin(
       q, store.select(col(idCol), col(embCol)),
       "__qid2", "__emb", idCol, embCol, k = topK, metric = metric)

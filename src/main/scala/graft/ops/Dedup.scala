@@ -100,6 +100,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Rarest-first prefix index over an exploded `(id, sz, shingle)`
+    * shingle index: keeps each doc's first |d| − ⌈t·|d|⌉ + 1 shingles
+    * under the (global docfreq asc, shingle) order, df=1-pruned. The
+    * epsilon only ever *lengthens* the prefix under float rounding (extra
+    * candidates are harmless, a shortened prefix would lose pairs).
+    * Shared with `tools.Probe`'s candidate-count measurement so the
+    * published numbers can never drift from the shipped formula.
+    */
+  private[graft] def prefixIndex(inv: DataFrame, threshold: Double): DataFrame =
+    inv.join(inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq")), "shingle")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .filter(col("docfreq") > 1)
+      .select(col("id"), col("shingle"))
+
   /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index join
     * (AllPairs/PPJoin candidate generation): order every document's
     * shingles by a global rarest-first total order (ascending document
@@ -139,17 +156,7 @@ object Dedup {
     val inv = docs
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
-    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
-    // Prefix length |d| − ⌈t·|d|⌉ + 1; the epsilon only ever *lengthens*
-    // the prefix under float rounding (extra candidates are harmless,
-    // a shortened prefix would lose pairs).
-    val prefix = inv.join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .filter(col("docfreq") > 1)
-      .select(col("id"), col("shingle"))
+    val prefix = prefixIndex(inv, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))

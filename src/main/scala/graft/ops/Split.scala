@@ -200,7 +200,9 @@ object Split {
       else {
         var k = j + 1
         var carry = 0
-        while (k - 1 > i && carry + costs(k - 1) <= overlapTokens) { k -= 1; carry += costs(k - 1) }
+        // admit trailing words while the carried token budget holds; the
+        // admitted word after the decrement is costs(k), not costs(k-1)
+        while (k - 1 > i && carry + costs(k - 1) <= overlapTokens) { k -= 1; carry += costs(k) }
         i = k
       }
     }

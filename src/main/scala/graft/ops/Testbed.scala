@@ -187,7 +187,11 @@ object Testbed {
     */
   def upsertTestset(spark: SparkSession, tablePath: String, tid: String,
                     name: String, qa: DataFrame): Unit =
-    qa.withColumn("name", lit(name))
+    // dynamic overwrite only touches partitions PRESENT in the data: an
+    // empty incoming set would silently keep the tid's old rows, so the
+    // upsert-as-replace contract needs the explicit partition drop there
+    if (qa.isEmpty) deleteTestset(spark, tablePath, tid)
+    else qa.withColumn("name", lit(name))
       .withColumn("created", current_timestamp())
       .withColumn("tid", lit(tid))
       .write
@@ -236,7 +240,13 @@ object Testbed {
     */
   def deleteTestset(spark: SparkSession, tablePath: String, tid: String,
                     evalPath: Option[String] = None,
-                    reportPath: Option[String] = None): Unit =
+                    reportPath: Option[String] = None): Unit = {
+    // partition VALUES are Hive-escaped in directory names (':' → '%3A'
+    // etc.) — a raw s"tid=$tid" path would silently miss any tid with a
+    // special character and no-op the cascade
+    val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString("tid", tid)
     (Seq(tablePath) ++ evalPath ++ reportPath)
-      .foreach(base => graft.Fs.delete(spark, s"$base/tid=$tid"))
+      .foreach(base => graft.Fs.delete(spark, s"$base/$dir"))
+  }
 }

@@ -35,14 +35,24 @@ object DocumentSources {
     val schema = spark.read.option("header", "true").csv(path).schema
     val rendered = concat_ws("\n",
       schema.fieldNames.map(c => concat_ws(": ", lit(c), col("row").getField(c))): _*)
+    // blank lines are dropped BEFORE numbering (Spark's CSV reader skips
+    // them around the header the same way), so `rownum` enumerates actual
+    // data rows 0,1,… like the reference's CSVLoader; the first non-blank
+    // line is the header. wholetext caps a single file at the 2 GB string
+    // limit — the reference ingests small config-like CSVs; a 100 TB
+    // corpus arrives as many files, which parallelize per file.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("pos"))
     spark.read.option("wholetext", "true").text(path)
       .withColumn("path", input_file_name())
       .select(col("path"), posexplode(split(col("value"), "\r?\n")))
-      .filter(col("pos") > 0 && length(trim(col("col"))) > 0)
+      .filter(length(trim(col("col"))) > 0)
+      .withColumn("__ln", row_number().over(w))
+      .filter(col("__ln") > 1)
       .withColumn("row", from_csv(col("col"), schema, Map.empty[String, String]))
       .select(
         concat(regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1),
-          lit("_"), (col("pos") - 1).cast("string")).as("doc_id"),
+          lit("_"), (col("__ln") - 2).cast("string")).as("doc_id"),
         rendered.as("text"),
         map(lit("source"), col("path")).as("metadata"))
   }

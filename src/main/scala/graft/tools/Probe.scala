@@ -29,13 +29,7 @@ object Probe {
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
     val full = inv.join(dfreq.filter(col("docfreq") > 1), "shingle")
       .select(col("id"), col("shingle"))
-    val prefix = inv.join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
-      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
-      .filter(col("docfreq") > 1)
-      .select(col("id"), col("shingle"))
+    val prefix = graft.ops.Dedup.prefixIndex(inv, t)
     def candCount(ix: org.apache.spark.sql.DataFrame): Long =
       ix.as("x").join(ix.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))

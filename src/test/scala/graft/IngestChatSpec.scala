@@ -216,6 +216,19 @@ class IngestChatSpec extends AnyFunSuite {
     assert(Testbed.listEvaluations(spark, ev, "tid-a").isEmpty)
     assert(spark.read.parquet(rp).filter($"tid" === "tid-a").count() == 0)
     assert(spark.read.parquet(rp).filter($"tid" === "tid-b").count() == 1)
+    // tids with Hive-escaped characters must still upsert/delete their
+    // (escaped) partition directory, and an empty upsert clears the tid
+    val ts2 = s"$base/testsets2"
+    Testbed.upsertTestset(spark, ts2, "keeper", "k", qa)
+    Testbed.upsertTestset(spark, ts2, "set:v1", "colon", qa)
+    assert(spark.read.parquet(ts2).filter($"tid" === "set:v1").count() == 1)
+    Testbed.deleteTestset(spark, ts2, "set:v1")
+    assert(spark.read.parquet(ts2).filter($"tid" === "set:v1").count() == 0)
+    Testbed.upsertTestset(spark, ts2, "emptyme", "e", qa)
+    Testbed.upsertTestset(spark, ts2, "emptyme", "e", qa.limit(0))
+    assert(spark.read.parquet(ts2).filter($"tid" === "emptyme").count() == 0,
+      "empty upsert must clear the tid's rows (replace contract)")
+    assert(spark.read.parquet(ts2).filter($"tid" === "keeper").count() == 1)
   }
 
   test("V9 response assembly normalizes finish reasons and counts usage") {

@@ -239,17 +239,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     val html = DocumentSources.readHtml(spark, s"$dir/page.html").collect()
     assert(html.head.getString(1) == "Title Hello world")
 
-    // second file: row numbering is per-file and position-derived
+    // second file: row numbering is per-file and position-derived; third:
+    // blank lines (leading — which the header detection must skip past —
+    // and interior) never consume a rownum
     Files.writeString(java.nio.file.Paths.get(dir, "other.csv"), "name,role\nlin,captain")
+    Files.writeString(java.nio.file.Paths.get(dir, "blanky.csv"),
+      "\nname,role\nada2,x\n\ngrace2,y\n")
     val csv = DocumentSources.readCsv(spark, s"$dir/*.csv")
       .orderBy("doc_id").collect()
-    assert(csv.map(_.getString(0)).toSeq == Seq("other_0", "table_0", "table_1"),
-      "doc ids must be {filestem}_{file-position}, not partition-layout ids")
+    assert(csv.map(_.getString(0)).toSeq ==
+      Seq("blanky_0", "blanky_1", "other_0", "table_0", "table_1"),
+      "doc ids must be {filestem}_{data-row-number}, not partition-layout ids")
+    assert(csv(0).getString(1) == "name: ada2\nrole: x")
+    assert(csv(1).getString(1) == "name: grace2\nrole: y")
     assert(csv.map(_.getString(0)).toSeq ==
       DocumentSources.readCsv(spark, s"$dir/*.csv").orderBy("doc_id")
         .collect().map(_.getString(0)).toSeq, "ids stable across reads")
-    assert(csv(1).getString(1) == "name: ada\nrole: engineer")
-    assert(csv(2).getString(1) == "name: grace\nrole: admiral")
+    assert(csv(3).getString(1) == "name: ada\nrole: engineer")
+    assert(csv(4).getString(1) == "name: grace\nrole: admiral")
 
     val pdf = DocumentSources.readPdf(spark, s"$dir/doc.pdf").collect()
     assert(pdf.map(_.getString(0)).toSeq == Seq("doc_p0", "doc_p1"))

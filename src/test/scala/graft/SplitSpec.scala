@@ -127,6 +127,18 @@ class SplitSpec extends AnyFunSuite {
       }
       assert(chunks.last.start + chunks.last.text.length == text.length, "covers to the end")
       assert(chunks.map(_.idx) == chunks.indices.toSeq)
+      // the carried-over region between consecutive chunks must respect
+      // the overlap token budget
+      chunks.sliding(2).foreach {
+        case Seq(prev, next) =>
+          val prevEnd = prev.start + prev.text.length
+          if (next.start < prevEnd) {
+            val carried = bpe.count(text.substring(next.start, prevEnd))
+            assert(carried <= overlap,
+              s"carried '${text.substring(next.start, prevEnd)}' = $carried tokens > overlap $overlap")
+          }
+        case _ =>
+      }
     }
     // wired through the DataFrame splitter surface
     val spark = TestSpark.spark
