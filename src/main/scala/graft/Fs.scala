@@ -35,6 +35,11 @@ object Fs {
     finally in.close()
   }
 
+  def rename(spark: SparkSession, from: String, to: String): Boolean = {
+    val f = new Path(from)
+    f.getFileSystem(spark.sparkContext.hadoopConfiguration).rename(f, new Path(to))
+  }
+
   def list(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

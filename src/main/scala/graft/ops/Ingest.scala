@@ -89,6 +89,35 @@ object Ingest {
     IngestResult(chunksIn, dedupedN, appendedN, existingN + appendedN)
   }
 
+  /** Store compaction — the small-files remedy an append-mode store
+    * needs at scale: idempotent re-ingests and streaming micro-batches
+    * accumulate small (or empty) part files, and at 100 TB file-listing
+    * and task-granularity costs start to dominate before data volume
+    * does. Rewrites the table into ceil(rows / rowsPerFile) files and
+    * swaps directories through a `.bak` step, so a crash at any point
+    * leaves either the original or the `.bak` directory intact (restore
+    * = rename it back) — never no table. (A log-backed format would
+    * bin-pack only the under-sized files instead of rewriting; without a
+    * transaction log the full rewrite is the variant with a no-loss
+    * recovery story.) Returns the new file count.
+    */
+  def compactStore(spark: SparkSession, storeDir: String, config: StoreConfig,
+                   rowsPerFile: Long = 1L << 20): Int = {
+    require(rowsPerFile > 0)
+    val path = s"$storeDir/${config.tableName}"
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path + ".compact"
+    val bak = path + ".bak"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    graft.Fs.delete(spark, bak)
+    graft.Fs.rename(spark, path, bak)
+    graft.Fs.rename(spark, tmp, path)
+    graft.Fs.delete(spark, bak)
+    nFiles
+  }
+
   /** S13 chunk JSON sink (`src/server/utils/embedding.py:61-75`): dump
     * split chunks as JSON in the LangChain Document dump shape that
     * [[graft.sources.DocumentSources.readChunksJson]] (S9) re-hydrates.

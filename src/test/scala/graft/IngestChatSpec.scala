@@ -32,6 +32,26 @@ class IngestChatSpec extends AnyFunSuite {
     assert(r3.storeRows == r1.storeRows + r3.appended)
   }
 
+  test("compactStore collapses accumulated small files, preserving content exactly") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val cfg = Ingest.StoreConfig("cmp", "hash-32", 120, 20)
+    // five tiny ingests accumulate many small part files
+    for (i <- 0 until 5) {
+      val docs = Tables.documents(spark, sf).filter($"doc_id" >= i * 10 && $"doc_id" < (i + 1) * 10)
+      Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    }
+    val path = s"$dir/${cfg.tableName}"
+    def partFiles(): Seq[String] =
+      graft.Fs.list(spark, path).filter(_.endsWith(".parquet"))
+    val before = spark.read.parquet(path).select($"id").as[String].collect().sorted.toSeq
+    assert(partFiles().size > 2, "fixture must actually have accumulated files")
+    val n = Ingest.compactStore(spark, dir, cfg, rowsPerFile = 1000)
+    assert(n == 1 && partFiles().size == 1, "all rows fit one target file")
+    val after = spark.read.parquet(path).select($"id").as[String].collect().sorted.toSeq
+    assert(after == before, "compaction must preserve rows exactly")
+    assert(!new java.io.File(path + ".bak").exists() && !new java.io.File(path + ".compact").exists())
+  }
+
   test("store config derives the reference's table name and round-trips the catalog") {
     val cfg = Ingest.StoreConfig("TEST", "mock-embed.model", 100, 20, "COSINE", "HNSW")
     assert(cfg.tableName == "TEST_MOCK_EMBED_MODEL_100_20_COSINE_HNSW")
