@@ -173,6 +173,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup edge list
+    * `(id_a, id_b)`: returns `(id, component)` for every node that
+    * appears in an edge, where `component` is the smallest id reachable
+    * — the canonical representative, matching [[exact]]'s min-id
+    * convention. Iterative min-label propagation: each round every node
+    * adopts the minimum label among itself and its neighbors, so it
+    * converges in O(component diameter) rounds — near-dup clusters are
+    * dense and shallow, so a handful of rounds in practice. Each round
+    * is one equi-join + aggregation (all shuffles key on node id);
+    * rounds are localCheckpoint-materialized with the changed-label
+    * count observed on the same action (the Hierarchy pattern — one job
+    * per round). For adversarially long path-graphs the
+    * large-star/small-star variant halves rounds; dedup graphs don't
+    * need it.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("c")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("c")).as("nbr"))
+      val obs = new org.apache.spark.sql.Observation()
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+          (coalesce(col("nbr"), col("component")) < col("component")).as("__chg"))
+        .observe(obs, count(when(col("__chg"), 1)).as("n"))
+        .select(col("id"), col("component"))
+        .localCheckpoint()
+      changed = obs.get("n").asInstanceOf[Long]
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup survivors: drop every document whose component
+    * representative is a different (smaller-id) document — the "keep one
+    * per duplicate cluster" step a training-data pipeline runs after
+    * pair generation. Documents in no pair survive untouched.
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact embedding-cosine near-dup pairs (a < b, cosine > threshold).
     * Quadratic by definition — the correctness oracle for
     * [[embeddingNearDupLsh]], and fine up to ~10^4 vectors per run; at

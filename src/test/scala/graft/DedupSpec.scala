@@ -73,6 +73,17 @@ class DedupSpec extends AnyFunSuite {
     assert(strong.nonEmpty, "fixture must plant at least one j>=0.9 pair")
   }
 
+  test("connected components match hand-computed clusters; survivors keep min-id per cluster") {
+    // chain 1-2-3 plus 7-3 (one component, diameter > 1 exercises
+    // multi-round propagation), pair 5-6, and doc 9 in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 7L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val surv = Dedup.nearDupSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet
+    assert(surv == Set(1L, 5L, 9L), "keep the min id per cluster plus untouched docs")
+  }
+
   test("jaccard_sorted merge scan equals the intersect/union composition, codegen ≡ interpreted") {
     val rnd = new scala.util.Random(3)
     val vocab = (0 until 40).map(i => s"w$i")
