@@ -49,6 +49,16 @@ object DedupQueries {
         .orderBy($"id")
     }),
 
+    // Survivor selection: the corpus minus every doc whose cluster
+    // representative is a smaller id (the actual "dedup the corpus" step).
+    "dedup_survivors" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.nearDupSurvivors(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2))
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // SimHash fingerprints (rows-only; hash function engine-defined).
     "fingerprint_simhash" -> ((s, d) => {
       import s.implicits._
@@ -111,6 +121,30 @@ object DedupQueries {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_survivors" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |  WHERE id <> component)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT id_a, id_b, round(s, 6) AS sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
