@@ -194,8 +194,12 @@ object Dedup {
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // init = one aggregation that already folds in the first propagation
+    // round (component₀ = min(id, min neighbor)) — it also replaces the
+    // node-set distinct, saving two shuffles before the loop starts
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("component"))
       .localCheckpoint()
     var changed = 1L
     var it = 0
@@ -205,12 +209,24 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("c")).as("nbr"))
       val obs = new org.apache.spark.sql.Observation()
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
           (coalesce(col("nbr"), col("component")) < col("component")).as("__chg"))
         .observe(obs, count(when(col("__chg"), 1)).as("n"))
         .select(col("id"), col("component"))
+      // pointer jump: follow the adopted component one more hop through
+      // the PREVIOUS round's materialized labels (labels only shrink, so
+      // any such min-combination stays ≥ the true component min and the
+      // fixpoint is unchanged) — compresses long chains toward
+      // O(log diameter) rounds without re-computing the propagation
+      // subtree. At the neighbor-min fixpoint (changed = 0) labels are
+      // component-constant and the jump is a no-op, so the observed
+      // neighbor-min change count remains the convergence test.
+      labels = propagated
+        .join(labels.select(col("id").as("component"), col("component").as("cc")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("cc"), col("component")).as("component"))
         .localCheckpoint()
       changed = obs.get("n").asInstanceOf[Long]
       it += 1
