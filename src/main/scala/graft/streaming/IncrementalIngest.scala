@@ -66,6 +66,22 @@ object IncrementalIngest {
     toAppend.write.mode("append").parquet(storePath)
   }
 
+  /** Streaming exact dedup with BOUNDED state: drop re-occurrences of
+    * `keyCol` arriving within the watermark delay through Spark's state
+    * store, instead of anti-joining the full historical table every
+    * micro-batch. In a continuous ingest the two compose: this absorbs
+    * the common case (duplicates arriving close together — retries,
+    * re-delivered files) with O(keys within the watermark) state, and
+    * the store anti-join in [[mergeBatch]] stays the cross-restart /
+    * long-range backstop. At 100 TB the distinction is what keeps the
+    * state store from growing with all-time history.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String, keyCol: String,
+                           watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Windowed event aggregation over a stream — the watermark/tumbling-
     * window shape (§2.8's Spark mapping), exposed for the events table:
     * per (window, event_type) counts and exact value cents.

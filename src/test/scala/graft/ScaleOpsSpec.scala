@@ -38,6 +38,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops close-arriving duplicates with bounded state") {
+    val in = Files.createTempDirectory("sdedup-in").toString
+    val out = Files.createTempDirectory("sdedup-out").toString + "/rows"
+    val ckpt = Files.createTempDirectory("sdedup-ckpt").toString
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit =
+      Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (k, ts) => s"""{"key":"$k","ts":"$ts"}""" }.mkString("\n"))
+    writeBatch("b1.json", Seq(
+      ("a", "2026-01-01T10:00:00"), ("a", "2026-01-01T10:00:05"), ("b", "2026-01-01T10:00:10")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("key STRING, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = IncrementalIngest
+      .dedupWithinWatermark(stream, "ts", "key", watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    try {
+      q.processAllAvailable()
+      // duplicate in a later micro-batch, still inside the watermark
+      writeBatch("b2.json", Seq(("b", "2026-01-01T10:01:00"), ("c", "2026-01-01T10:01:05")))
+      q.processAllAvailable()
+      val keys = spark.read.parquet(out).select($"key").as[String].collect().sorted.toSeq
+      assert(keys == Seq("a", "b", "c"), s"one row per key within the watermark, got $keys")
+    } finally q.stop()
+  }
+
   test("windowed event aggregation matches batch groupBy on the events table") {
     val ev = Tables.events(spark, sf)
       .withColumn("ts2", Tables.eventTime($"ts"))
