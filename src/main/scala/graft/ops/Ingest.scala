@@ -110,7 +110,11 @@ object Ingest {
     val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     val tmp = path + ".compact"
     val bak = path + ".bak"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // coalesce, not repartition: merging small files needs no shuffle —
+    // partitions concatenate locally and the whole table never crosses
+    // the network. Output files can be uneven when input files are; an
+    // even-file-size compaction would pay the full repartition shuffle.
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
     graft.Fs.delete(spark, bak)
     graft.Fs.rename(spark, path, bak)
     graft.Fs.rename(spark, tmp, path)
