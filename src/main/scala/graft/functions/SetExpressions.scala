@@ -77,4 +77,9 @@ object SetFunctions {
     */
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSorted(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Register `jaccard_sorted` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
 }

@@ -82,6 +82,18 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
     val surv = Dedup.nearDupSurvivors(docs, "doc_id", pairs).as[Long].collect().toSet
     assert(surv == Set(1L, 5L, 9L), "keep the min id per cluster plus untouched docs")
+    // no pairs → everything survives (and the loop terminates immediately)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupSurvivors(docs, "doc_id", noPairs).count() == docs.count())
+  }
+
+  test("jaccard_sorted is SQL-registered") {
+    graft.functions.SetFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT jaccard_sorted(array_sort(array('a','b','c')),
+        |                      array_sort(array('b','c','d'))) AS j""".stripMargin)
+      .head().getDouble(0)
+    assert(r == 0.5)
   }
 
   test("jaccard_sorted merge scan equals the intersect/union composition, codegen ≡ interpreted") {
