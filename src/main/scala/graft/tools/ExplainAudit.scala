@@ -31,8 +31,12 @@ object ExplainAudit {
         l.contains("TakeOrderedAndProject") || l.contains("Exchange") ||
         l.startsWith("(")
       }.mkString("\n"))
-      println("-- codegen spans: " +
-        "WholeStageCodegen".r.findAllIn(df.queryExecution.executedPlan.toString).length)
+      // under AQE codegen markers (*(n) prefixes) only exist on the FINAL
+      // plan, which materializes on collect of this exact plan instance
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet
+      println("-- codegen spans: " + spans.size)
     }
     spark.stop()
   }
