@@ -85,9 +85,16 @@ object ExplodeChunks {
   /** Register `explode_chunks` (fixed) and `explode_chunks_recursive`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def arity3(name: String)(es: Seq[Expression]): Seq[Expression] = {
+      require(es.length == 3, s"$name requires exactly 3 arguments, got ${es.length}")
+      es
+    }
     reg.createOrReplaceTempFunction("explode_chunks",
-      es => ExplodeChunks(es(0), es(1), es(2), "fixed"), "built-in")
+      es => { val a = arity3("explode_chunks")(es); ExplodeChunks(a(0), a(1), a(2), "fixed") },
+      "built-in")
     reg.createOrReplaceTempFunction("explode_chunks_recursive",
-      es => ExplodeChunks(es(0), es(1), es(2), "recursive"), "built-in")
+      es => { val a = arity3("explode_chunks_recursive")(es)
+        ExplodeChunks(a(0), a(1), a(2), "recursive") },
+      "built-in")
   }
 }

@@ -81,5 +81,11 @@ object SetFunctions {
   /** Register `jaccard_sorted` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
+      "jaccard_sorted", es => {
+        // report wrong arity with a clear analysis-time message, not an
+        // IndexOutOfBounds from inside the builder
+        require(es.length == 2,
+          s"jaccard_sorted requires exactly 2 arguments, got ${es.length}")
+        JaccardSorted(es(0), es(1))
+      }, "built-in")
 }

@@ -190,9 +190,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    // both directions from ONE pass over pairs (a union of two selects
+    // would execute the upstream pair-generation plan twice — for the
+    // dedup queries that upstream is the whole prefix join + verify);
+    // persisted because every propagation round joins against it
     val edges = pairs
-      .select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .select(explode(array(
+        struct(col(idACol).as("src"), col(idBCol).as("dst")),
+        struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init = one aggregation that already folds in the first propagation
     // round (component₀ = min(id, min neighbor)) — it also replaces the

@@ -100,6 +100,11 @@ object Ingest {
     * bin-pack only the under-sized files instead of rewriting; without a
     * transaction log the full rewrite is the variant with a no-loss
     * recovery story.) Returns the new file count.
+    *
+    * Writers MUST be quiesced for the duration: an append committing
+    * between the snapshot read and the directory swap would land in the
+    * directory being retired and be lost with it. A log-backed format
+    * lifts that restriction; a directory-swap compaction cannot.
     */
   def compactStore(spark: SparkSession, storeDir: String, config: StoreConfig,
                    rowsPerFile: Long = 1L << 20): Int = {
@@ -110,14 +115,26 @@ object Ingest {
     val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     val tmp = path + ".compact"
     val bak = path + ".bak"
-    // coalesce, not repartition: merging small files needs no shuffle —
-    // partitions concatenate locally and the whole table never crosses
-    // the network. Output files can be uneven when input files are; an
-    // even-file-size compaction would pay the full repartition shuffle.
-    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // coalesce when shrinking — merging small files needs no shuffle,
+    // partitions concatenate locally (files can be uneven; even sizing
+    // would pay the shuffle). The scan may pack many small files into
+    // FEWER splits than nFiles, and coalesce cannot grow a partition
+    // count — repartition there, or the promised file count is a lie.
+    val sized =
+      if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
+      else df.coalesce(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Hadoop rename reports most failures by returning false (and
+    // renaming INTO a still-existing destination directory would nest
+    // it) — a swap step that didn't happen must abort, not fall through
+    def renameOrAbort(from: String, to: String): Unit =
+      if (!graft.Fs.rename(spark, from, to))
+        throw new java.io.IOException(
+          s"compaction swap failed renaming $from -> $to; " +
+            s"table is intact (original or $bak)")
     graft.Fs.delete(spark, bak)
-    graft.Fs.rename(spark, path, bak)
-    graft.Fs.rename(spark, tmp, path)
+    renameOrAbort(path, bak)
+    renameOrAbort(tmp, path)
     graft.Fs.delete(spark, bak)
     nFiles
   }

@@ -32,7 +32,10 @@ object ExplainAudit {
         l.startsWith("(")
       }.mkString("\n"))
       // under AQE codegen markers (*(n) prefixes) only exist on the FINAL
-      // plan, which materializes on collect of this exact plan instance
+      // plan, which materializes on collect of this exact plan instance.
+      // (Distinct ids can conflate across subquery scopes, which restart
+      // numbering — a slight undercount there; tree traversal can't see
+      // inside materialized QueryStageExec nodes at all, which is worse.)
       df.collect()
       val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet
