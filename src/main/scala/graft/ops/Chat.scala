@@ -157,7 +157,8 @@ object Chat {
     * from inside executors, which Spark forbids.
     *
     * Semantics match [[answer]] per row (same rewrite → retrieve → A9
-    * context concat → grade → grounded/plain generation, history-less);
+    * context concat → grade → grounded/plain generation; per-question
+    * history for the rewrite via the optional ARRAY<STRING> `historyCol`);
     * returns `(qid, question, rewritten_query, answer, context,
     * retrieved_ids, relevant)`. A question with no retrievable context
     * (empty store) keeps its row with an empty context, like the
@@ -167,15 +168,22 @@ object Chat {
                   store: DataFrame, idCol: String, textCol: String, embCol: String,
                   embedder: Embedder, model: ChatModel = TemplateModel,
                   grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
-                  topK: Int = 4, metric: String = "COSINE"): DataFrame = {
-    val rewriteUdf = udf((q: String) => model.rewrite(q, Seq.empty))
+                  topK: Int = 4, metric: String = "COSINE",
+                  historyCol: Option[String] = None): DataFrame = {
+    // per-question chat history (ARRAY<STRING>) feeds the rewrite, as in
+    // the single-question path; absent means history-less questions
+    val rewriteUdf = udf((q: String, h: Seq[String]) =>
+      model.rewrite(q, Option(h).getOrElse(Seq.empty)))
+    val hist = historyCol.map(col).getOrElse(typedlit(Seq.empty[String]))
     // materialized eagerly: q feeds two subtrees of the final plan (the
     // broadcast retrieval side and the output join), and Catalyst would
     // re-evaluate the rewrite UDF — a model call per question — in each;
     // the question batch is small by construction, like MMR's candidates
     val q = questions
-      .select(col(qidCol).as("__qid2"), col(questionCol).as("question"))
-      .withColumn("rewritten_query", rewriteUdf(col("question")))
+      .select(col(qidCol).as("__qid2"), col(questionCol).as("question"),
+        hist.as("__hist"))
+      .withColumn("rewritten_query", rewriteUdf(col("question"), col("__hist")))
+      .drop("__hist")
       .withColumn("__emb", graft.embed.EmbedText.embedText(col("rewritten_query"), embedder))
       .localCheckpoint()
     val hits = Similarity.similarityJoin(
