@@ -102,19 +102,19 @@ object DedupQueries {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "dedup_near_clusters" ->
-      """WITH RECURSIVE g AS (
+      """WITH RECURSIVE g AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(w)-1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |      len(list_intersect(a.sh, b.sh))::DOUBLE /
         |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |  WHERE jaccard >= 0.2),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |reach AS (
         |  SELECT src AS id, src AS r FROM e
@@ -122,19 +122,19 @@ object DedupQueries {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "dedup_survivors" ->
-      """WITH RECURSIVE g AS (
+      """WITH RECURSIVE g AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(w)-1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |      len(list_intersect(a.sh, b.sh))::DOUBLE /
         |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |  WHERE jaccard >= 0.2),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |reach AS (
         |  SELECT src AS id, src AS r FROM e
