@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.ops.{Split, TextAnalysis}
+import graft.ops.{Dedup, Split, TextAnalysis}
 
 /** Text-analysis + splitter parity queries over `documents`. Ratios are
   * exact integer divisions (hash-stable); counts cast to BIGINT on both
@@ -36,6 +36,22 @@ object TextQueries {
           (TextAnalysis.stopwordHits(t, TextAnalysis.StopwordsEn).cast("double") / size(t)).as("stop_ratio"),
           TextAnalysis.avgWordLen($"text", t).as("avg_word_len"),
           TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // End-to-end corpus curation — the composition a training-data
+    // pipeline actually runs before a corpus ships: exact-dedup
+    // representative ∧ quality gate ∧ language gate. All three legs are
+    // independently oracle-checked (dedup_exact, text_quality_score);
+    // this checks their composition.
+    "curation_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val reps = Dedup.exact(docs, "doc_id", "text").select($"doc_id")
+      docs.join(reps, Seq("doc_id"))
+        .select($"doc_id", $"lang",
+          TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn).as("quality"))
+        .filter($"quality" >= 0.38 && ($"lang" === "en" || $"lang" === "de"))
         .orderBy($"doc_id")
     }),
 
@@ -150,6 +166,20 @@ object TextQueries {
          |    ${hits(enList)}::DOUBLE / len($docTokens) AS stop_ratio,
          |    len(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len($docTokens) AS avg_word_len
          |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "curation_pipeline" ->
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    0.4*distinct_ratio + 0.3*stop_ratio + 0.3*least(n_tokens/100.0, 1.0) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      len($docTokens)::BIGINT AS n_tokens,
+         |      len(list_distinct($docTokens))::DOUBLE / len($docTokens) AS distinct_ratio,
+         |      ${hits(enList)}::DOUBLE / len($docTokens) AS stop_ratio
+         |    FROM documents))
+         |SELECT doc_id, lang, quality FROM q JOIN reps USING (doc_id)
+         |WHERE quality >= 0.38 AND lang IN ('en', 'de')
          |ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, en_hits, es_hits, de_hits,
