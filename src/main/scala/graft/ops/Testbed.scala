@@ -38,7 +38,7 @@ object Testbed {
     * generators (`src/server/utils/testbed.py:283-291`). The interface is
     * column-level so a deterministic generator stays a pure Catalyst plan
     * (codegen'd, no UDF); an LLM-backed implementation would return a
-    * `mapInPandas`/UDF column instead.
+    * UDF-backed column calling its client instead.
     */
   trait QaGenerator extends Serializable {
     /** `kind` is "simple" or "complex" (giskard's two generator classes). */
