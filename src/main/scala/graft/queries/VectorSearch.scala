@@ -165,8 +165,9 @@ object VectorSearch {
     }),
 
     // V1 batch embedding over documents through the pluggable embedder
-    // expression; output is shape/norm evidence (unit vectors), the
-    // embedding itself is engine-defined (no SQL oracle).
+    // expression. The embedding VALUES are engine-defined, so the query
+    // emits exactly the declared invariants — dimension and unit L2 norm
+    // (zero for token-less docs) — which ARE oracle-checkable.
     "embed_documents" -> ((s, d) => {
       import s.implicits._
       documents(s, d)
@@ -178,6 +179,10 @@ object VectorSearch {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_documents" ->
+      """SELECT doc_id, 64::INT AS dim,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),
