@@ -91,13 +91,19 @@ object Dedup {
     // candidates are usually few, but a single large duplicate cluster
     // makes the pair set quadratic in the cluster size — never force a
     // broadcast (driver collect) here; AQE picks broadcast when small
-    cand
+    val pairs = cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager, so the shingle cache can be released now rather than
+      // pinning executor storage until the caller remembers to (the
+      // checkpoint itself is ContextCleaner-managed)
+      .localCheckpoint()
+    shingled.unpersist()
+    pairs
   }
 
   /** Rarest-first prefix index over an exploded `(id, sz, shingle)`
@@ -108,14 +114,22 @@ object Dedup {
     * Shared with `tools.Probe`'s candidate-count measurement so the
     * published numbers can never drift from the shipped formula.
     */
-  private[graft] def prefixIndex(inv: DataFrame, threshold: Double): DataFrame =
-    inv.join(inv.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq")), "shingle")
+  private[graft] def prefixIndex(inv: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // docfreq as an unordered whole-partition window over the exploded
+    // index itself: one exchange on shingle, replacing the r2
+    // aggregate-then-join (which shuffled the index twice — measured 3×
+    // the cost at sf0.1 for identical output). The rank is computed over
+    // ALL of a document's shingles (df=1 included) and df=1 pruned only
+    // from the resulting prefix, so the candidate set is bit-identical
+    // to the aggregate formulation.
+    inv.withColumn("docfreq", count(lit(1)).over(w.partitionBy(col("shingle"))))
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
+        w.partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .filter(col("docfreq") > 1)
       .select(col("id"), col("shingle"))
+  }
 
   /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index join
     * (AllPairs/PPJoin candidate generation): order every document's
@@ -164,13 +178,22 @@ object Dedup {
       .distinct()
     // exact verification on the string arrays; as in minhashNearDupPairs,
     // never force-broadcast the unbounded candidate set (AQE decides)
-    cand
+    val pairs = cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager: the pair set is tiny relative to the corpus; materializing
+      // it here lets the two heavyweight caches be released immediately
+      // instead of pinning executor storage for the caller's lifetime
+      // (checkpoint blocks are reference-tracked and GC'd by the
+      // ContextCleaner once the returned frame is unreachable)
+      .localCheckpoint()
+    prefix.unpersist()
+    docs.unpersist()
+    pairs
   }
 
   /** Connected components over an undirected near-dup edge list
@@ -238,6 +261,15 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // partially-converged labels would silently keep extra duplicates in
+    // nearDupSurvivors — fail loudly instead. With pointer jumping the
+    // round count is ~O(log diameter), so 50 rounds covers any
+    // non-adversarial graph; hitting this means the input is pathological,
+    // not that the caller should quietly accept a wrong answer.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $it rounds " +
+          s"($changed labels still changing); raise maxIters")
     labels
   }
 
