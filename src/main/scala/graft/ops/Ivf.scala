@@ -102,4 +102,66 @@ object Ivf {
       store.filter(col("cluster_id").isin(probes: _*)),
       embCol, queryVec, topK, metric)
   }
+
+  /** IVF-probed *batch* similarity join: for every query row, the top-k
+    * nearest store rows searching only that query's `nProbe` nearest
+    * clusters — the composition a RAG evaluation runs at corpus scale
+    * (reference: every retrieval is a similarity search against the
+    * HNSW/IVF-indexed store, `src/server/agents/chatbot.py:188-210` +
+    * `src/server/utils/embedding.py:348-368`; batched here instead of
+    * per-question loops).
+    *
+    * Plan shape: the scan carries a static `cluster_id IN (union of all
+    * probed clusters)` predicate — real partition pruning on a
+    * [[writePartitioned]] store, so at nProbe ≪ k only that fraction of
+    * the corpus is read at all. Within the scanned union, a broadcast
+    * equi-join on cluster id pairs each corpus row with exactly the
+    * queries probing its cluster (not the whole batch — the per-row work
+    * is nProbe-bounded, unlike the crossJoin in
+    * [[Similarity.similarityJoin]]), and the shared bounded-rank tail
+    * (per-partition top-k heap + rank window) keeps the Exchange
+    * corpus-size-independent. `nProbe = model.k` is exhaustive and equals
+    * [[Similarity.similarityJoin]] bit-for-bit (same scores, same
+    * ordering, same tiebreak).
+    *
+    * The query batch is collected to rank centroids per query — bounded
+    * by the same contract that lets [[Similarity.similarityJoin]]
+    * broadcast it (a broadcast is itself a driver collect); queries with
+    * a null embedding are dropped, matching the join's null-score drop.
+    */
+  def searchBatch(queries: DataFrame, store: DataFrame,
+                  queryIdCol: String, queryEmbCol: String,
+                  corpusIdCol: String, corpusEmbCol: String,
+                  model: IvfModel, topK: Int, nProbe: Int,
+                  metric: String = "COSINE", scoreName: String = "score",
+                  rankName: String = "rank",
+                  clusterCol: String = "cluster_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val p = math.max(1, math.min(nProbe, model.k))
+    val qdf = queries.select(col(queryIdCol), col(queryEmbCol))
+    val probeRows = new java.util.ArrayList[Row]()
+    qdf.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val emb = r.getSeq[Float](1).toArray
+        model.probeOrder(emb).take(p).foreach(c => probeRows.add(Row(r.get(0), r.get(1), c)))
+      }
+    }
+    val probeDf = store.sparkSession
+      .createDataFrame(probeRows, qdf.schema.add(StructField("__probe", IntegerType, nullable = false)))
+      .withColumnRenamed(queryIdCol, "__qid")
+      .withColumnRenamed(queryEmbCol, "__qemb")
+    val union = (0 until probeRows.size()).map(probeRows.get(_).getInt(2)).distinct
+    // literal IN on the partition column = static pruning at the scan;
+    // an empty batch must still return an empty frame of the right shape
+    val pruned =
+      if (union.isEmpty) store.filter(lit(false))
+      else store.filter(col(clusterCol).isin(union: _*))
+    val scored = pruned
+      .join(broadcast(probeDf), col(clusterCol) === col("__probe"))
+      .withColumn(scoreName, VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb")))
+      .filter(col(scoreName).isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    Similarity.boundedRank(scored, queryIdCol, corpusIdCol, topK, metric, scoreName, rankName)
+  }
 }

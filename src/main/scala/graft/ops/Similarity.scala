@@ -100,6 +100,19 @@ object Similarity {
       .withColumn(scoreName, score)
       .filter(col(scoreName).isNotNull)
       .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    boundedRank(scored, queryIdCol, corpusIdCol, k, metric, scoreName, rankName)
+  }
+
+  /** Shared ranking tail of every batch retrieval ([[similarityJoin]],
+    * [[Ivf.searchBatch]]): per-partition bounded top-k pre-prune
+    * ([[LocalTopK]]) followed by the global per-query rank window.
+    * `scored` must have exactly the columns (`__qid`, corpusIdCol,
+    * scoreName) in that order; the pre-prune uses the window's exact
+    * ordering, so it can never change the global result.
+    */
+  private[ops] def boundedRank(scored: DataFrame, queryIdCol: String,
+                               corpusIdCol: String, k: Int, metric: String,
+                               scoreName: String, rankName: String): DataFrame = {
     val reduced = scored.mapPartitions(
       new LocalTopK(k, asc = metric == "EUCLIDEAN_DISTANCE", qidIdx = 0, idIdx = 1, scoreIdx = 2))(
       org.apache.spark.sql.Encoders.row(scored.schema))

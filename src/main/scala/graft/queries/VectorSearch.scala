@@ -98,6 +98,26 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // S16 × J4: IVF-probed batch similarity join at full probe — every
+    // query ranks all 8 centroids, so the probed union is the whole
+    // corpus and the result must equal the exhaustive batch join
+    // bit-for-bit; it shares similarity_join_topk's oracle. (Partial
+    // probe — real partition pruning + planted-cluster batch recall —
+    // is covered in ScaleOpsSpec.)
+    "ann_ivf_batch_probe" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val model = graft.ops.Ivf.fit(e, "vec_id", "embedding", k = 8)
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+      val c = graft.ops.Ivf.assign(
+        e.filter($"vec_id" >= 10).select($"vec_id", $"embedding"), "embedding", model)
+      graft.ops.Ivf.searchBatch(q, c, "query_id", "embedding", "vec_id", "embedding",
+          model, topK = 4, nProbe = 8)
+        .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+          round($"score", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // The full RAG retrieval shape in one oracle-checked query: V2 top-k
     // over embeddings → J3 lookup join to documents (vec_id ≡ doc_id in
     // the test data) → A9 rank-ordered context concatenation
@@ -203,6 +223,16 @@ object VectorSearch {
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
         |  FROM embeddings e WHERE e.vec_id <> 0)
         |WHERE s >= 0.15 ORDER BY vec_id""".stripMargin,
+    // full probe ≡ exhaustive batch join, so the oracle is identical
+    "ann_ivf_batch_probe" ->
+      """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
     "similarity_join_topk" ->
       """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -172,6 +172,69 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF batch: full probe equals the exhaustive similarity join; partial probe prunes to the probed union") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Ivf.fit(emb, "vec_id", "embedding", k = 8)
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val c = emb.filter($"vec_id" >= 10).select($"vec_id", $"embedding")
+
+    val exhaustive = Similarity
+      .similarityJoin(q, c, "query_id", "embedding", "vec_id", "embedding", k = 4)
+      .select($"query_id", $"rank", $"vec_id", round($"score", 9).as("s"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val batchFull = Ivf
+      .searchBatch(q, Ivf.assign(c, "embedding", model), "query_id", "embedding",
+        "vec_id", "embedding", model, topK = 4, nProbe = 8)
+      .select($"query_id", $"rank", $"vec_id", round($"score", 9).as("s"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(batchFull == exhaustive, "nProbe = k must equal similarityJoin bit-for-bit")
+
+    // partial probe over a written partitioned store: the scan's
+    // PartitionFilters must carry the cluster predicate (static pruning
+    // of everything outside the probed union)
+    val dir = Files.createTempDirectory("ivf-batch").toString + "/store"
+    Ivf.writePartitioned(c, "embedding", model, dir)
+    val store = spark.read.parquet(dir)
+    val partial = Ivf.searchBatch(q, store, "query_id", "embedding",
+      "vec_id", "embedding", model, topK = 4, nProbe = 2)
+    val plan = partial.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"probe union must be a partition filter in the scan node:\n$plan")
+    // every query still gets k results, each from its own probed clusters
+    val rows = partial.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    assert(rows.size == 10 && rows.values.forall(_ == 4))
+  }
+
+  test("IVF batch partial probe: recall@10 = 1 per query on planted clusters, scan limited to probed union") {
+    // same planted geometry as the single-query spec: 4 orthogonal
+    // clusters; a batch of 4 queries (one per center) at nProbe=1 must
+    // each recover their full exact top-10, and the scan must read only
+    // the 4 probed partitions (here: all distinct, union of size 4).
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.tabulate(4)(c => Array.tabulate(dim)(i => if (i / 4 == c) 10f else 0f))
+    val pts = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(v => v + rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Ivf.IvfModel(centers)
+    val dir = Files.createTempDirectory("ivf-batch-planted").toString + "/store"
+    Ivf.writePartitioned(df, "embedding", model, dir)
+    val store = spark.read.parquet(dir)
+    val queries = centers.zipWithIndex
+      .map { case (v, i) => (1000L + i, v.toSeq) }.toSeq.toDF("query_id", "embedding")
+    val got = Ivf.searchBatch(queries, store, "query_id", "embedding",
+        "vec_id", "embedding", model, topK = 10, nProbe = 1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    for (c <- 0 until 4) {
+      val exact = Similarity.knn(df, "embedding", centers(c), 10)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(got(1000L + c).count(exact.contains) == 10, s"query $c: batch recall@10 must be 1.0")
+    }
+  }
+
   test("bucketed tables join without an Exchange; salted ops preserve exact results") {
     import graft.ops.Layout
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
