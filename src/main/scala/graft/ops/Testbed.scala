@@ -210,13 +210,22 @@ object Testbed {
                        tid: String, report: DataFrame,
                        eid: String = java.util.UUID.randomUUID().toString): String = {
     import spark.implicits._
-    val correctness = overall(report).select(col("correctness")).head().getDouble(0)
+    // the correctness mean is observed on the report write itself (the
+    // Ingest.ingest Observation pattern), so the report plan — under
+    // evaluateRag a full similarity join + generation — executes exactly
+    // once; a separate overall() action would run it twice. An empty
+    // report records correctness 0.0 over n=0.
+    val obs = new org.apache.spark.sql.Observation()
+    report.withColumn("eid", lit(eid)).withColumn("tid", lit(tid))
+      .observe(obs, count(lit(1)).as("n"), sum(col("correct").cast("int")).as("ok"))
+      .write.mode("append").partitionBy("tid").parquet(reportPath)
+    val n = obs.get("n").asInstanceOf[Long]
+    val ok = Option(obs.get("ok")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val correctness = if (n == 0) 0.0 else ok.toDouble / n
     Seq((eid, correctness)).toDF("eid", "correctness")
       .withColumn("evaluated", current_timestamp())
       .withColumn("tid", lit(tid))
       .write.mode("append").partitionBy("tid").parquet(evalPath)
-    report.withColumn("eid", lit(eid)).withColumn("tid", lit(tid))
-      .write.mode("append").partitionBy("tid").parquet(reportPath)
     eid
   }
 

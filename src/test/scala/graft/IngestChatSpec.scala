@@ -251,6 +251,27 @@ class IngestChatSpec extends AnyFunSuite {
     assert(spark.read.parquet(ts2).filter($"tid" === "keeper").count() == 1)
   }
 
+  test("appendEvaluation executes the report plan exactly once (correctness via Observation)") {
+    val base = Files.createTempDirectory("graft-eval-once").toString
+    // the judge runs once per report row per plan execution — an
+    // accumulator counts total invocations, so a double-executed report
+    // (the round-2 defect: overall() action + write action) shows as 2n
+    val acc = spark.sparkContext.longAccumulator("judgeCalls")
+    val qa = Seq(
+      Testbed.QaRecord("q1", "a1", "c1", "t"),
+      Testbed.QaRecord("q2", "a2", "c2", "t"),
+      Testbed.QaRecord("q3", "a3", "c3", "t")).toDF()
+    val report = Testbed.evaluate(qa, q => q.replace("q", "a"), (ans, ref) => {
+      acc.add(1); Testbed.keywordJudge(ans, ref)
+    })
+    Testbed.appendEvaluation(spark, s"$base/ev", s"$base/rp", "tid-x", report, eid = "e-once")
+    assert(acc.value == 3,
+      s"judge ran ${acc.value} times for 3 questions — the report plan must execute exactly once")
+    val ev = spark.read.parquet(s"$base/ev").filter($"eid" === "e-once").collect()
+    assert(ev.length == 1 && ev.head.getAs[Double]("correctness") == 1.0)
+    assert(spark.read.parquet(s"$base/rp").filter($"tid" === "tid-x").count() == 3)
+  }
+
   test("V9 response assembly normalizes finish reasons and counts usage") {
     val ans = Chat.RagAnswer("what is x", "what is x", "x is y", "ctx one\n\nctx two",
       Seq("1", "2"), relevant = true)
