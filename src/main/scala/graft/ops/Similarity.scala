@@ -176,15 +176,62 @@ object Similarity {
     val cand = knn(corpus.select(col(idCol), col(embCol)), embCol, queryVec, fetchK)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    mmrGreedy(cand, k, lambdaMult)
+  }
+
+  /** V4 batched: MMR re-rank for a whole query batch — the fetch phase is
+    * ONE distributed [[similarityJoin]] (corpus scanned once for the
+    * batch), and the greedy phase runs *inside executors*, one group per
+    * query id via `flatMapGroups` over ≤ fetchK candidate rows each — so
+    * an evaluation pipeline diversifies without a driver loop per
+    * question. Per query this is byte-identical to [[mmr]] (same fetch
+    * ordering and tiebreak, same [[mmrGreedy]] code). Ids must be
+    * numeric (cast to long), matching [[mmr]]'s signature. Returns
+    * (queryIdCol, corpusIdCol, mmr_rank, score) in pick order per query.
+    */
+  def mmrBatch(queries: DataFrame, corpus: DataFrame,
+               queryIdCol: String, queryEmbCol: String,
+               corpusIdCol: String, corpusEmbCol: String,
+               k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): DataFrame = {
+    require(fetchK <= 10000, "fetch_k capped at 10000 (reference schema.py:180)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kk = k
+    val lm = lambdaMult
+    // fetch: distributed top-fetchK per query; candidate embeddings come
+    // back via an equi-join on the (bounded) candidate set — AQE
+    // broadcasts the k×|queries| side, the corpus is not re-shuffled
+    val fetched = similarityJoin(queries, corpus, queryIdCol, queryEmbCol,
+        corpusIdCol, corpusEmbCol, k = fetchK)
+      .join(corpus.select(col(corpusIdCol), col(corpusEmbCol).as("__cemb")), corpusIdCol)
+      .select(col(queryIdCol).cast("long").as("qid"), col("rank"),
+        col(corpusIdCol).cast("long").as("cid"), col("score"), col("__cemb"))
+      .as[(Long, Int, Long, Double, Seq[Float])]
+    fetched.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Int, Long, Double, Seq[Float])]) =>
+        // sort by fetch rank so candidate order — and therefore greedy
+        // tie-breaking — matches the single-query path exactly
+        val cand = it.toArray.sortBy(_._2).map(t => (t._3, t._5.toArray, t._4))
+        mmrGreedy(cand, kk, lm).map { case (id, r, s) => (qid, id, r, s) }
+      }
+      .toDF(queryIdCol, corpusIdCol, "mmr_rank", "score")
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** The sequential greedy MMR core shared by [[mmr]] (driver-side) and
+    * [[mmrBatch]] (inside flatMapGroups): candidates in fetch-rank order,
+    * select argmax of `λ·rel − (1−λ)·max_sim_to_selected`, first-wins on
+    * ties (iteration order = candidate order).
+    */
+  private[ops] def mmrGreedy(cand: Array[(Long, Array[Float], Double)],
+                             k: Int, lambdaMult: Double): Seq[(Long, Int, Double)] = {
     if (cand.isEmpty) return Seq.empty
-
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-    }
-
     val selected = scala.collection.mutable.ArrayBuffer[Int]()
     val remaining = scala.collection.mutable.LinkedHashSet(cand.indices: _*)
     while (selected.size < math.min(k, cand.length)) {

@@ -115,6 +115,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pure.map(_._1) == knn4)
   }
 
+  test("mmrBatch equals single-query mmr for every query in the batch") {
+    // 10 queries × the rest of the corpus: the distributed flatMapGroups
+    // greedy must reproduce the driver-side mmr pick-for-pick (ids,
+    // ranks, and scores) for each query id
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val batch = Similarity.mmrBatch(queries, corpus, "query_id", "embedding",
+        "vec_id", "embedding", k = 4, fetchK = 10)
+      .select($"query_id", $"vec_id", $"mmr_rank", $"score")
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        (q, rows.sortBy(_._3).map(t => (t._2, t._3, t._4)).toSeq)
+      }
+    assert(batch.size == 10)
+    for (qid <- 0L until 10L) {
+      val qvec = all.find(_._1 == qid).get._2
+      val single = Similarity.mmr(corpus, "vec_id", "embedding", qvec, k = 4, fetchK = 10)
+      assert(batch(qid) == single, s"query $qid: batch and single MMR must agree")
+    }
+  }
+
   test("score threshold keeps exactly the rows past the threshold") {
     val corpus = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
     val got = Similarity.scoreThreshold(corpus, "embedding", qv, 0.1)
