@@ -20,36 +20,70 @@ object DocumentSources {
         col("value").as("text"),
         map(lit("source"), col("path")).as("metadata"))
 
+  /** Quote-aware CSV record split (RFC 4180): record boundaries are
+    * newlines *outside* double quotes, so quoted fields may embed
+    * newlines — the reference CSVLoader's (python csv) behavior. A
+    * doubled quote toggles the state twice, leaving it unchanged, which
+    * is exactly the escaped-quote semantics a boundary scanner needs.
+    * Runs once per *file*, not per row — not a hot-path UDF.
+    */
+  private[sources] def splitCsvRecords(content: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    val n = content.length
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c == '"') { inQuotes = !inQuotes; sb.append(c) }
+      else if (c == '\n' && !inQuotes) { out += sb.result(); sb.clear() }
+      else if (c == '\r' && !inQuotes) {
+        if (i + 1 < n && content.charAt(i + 1) == '\n') i += 1
+        out += sb.result(); sb.clear()
+      }
+      else sb.append(c)
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.result()
+    out.toSeq
+  }
+
   /** S4: CSV — one Document per row (reference CSVLoader semantics): the
     * row rendered as `col: value` lines, keyed `{filestem}_{rownum}` with
     * `rownum` the row's true 0-based position in its file — stable across
     * partitionings, task retries, and re-runs, as an ingest provenance key
     * must be. (`monotonically_increasing_id` would encode the partition
-    * layout into the id and change under retries.) Line positions come
-    * from reading each file whole and numbering lines; each line is then
-    * parsed with `from_csv` against the header-derived schema. Records
-    * must therefore be single-line (no embedded newlines in quoted
-    * fields) — the shape the reference's CSV corpus uses.
+    * layout into the id and change under retries.) Record positions come
+    * from reading each file whole and splitting on [[splitCsvRecords]]'s
+    * quote-aware boundaries — quoted fields may embed newlines, matching
+    * the reference's CSVLoader; each record is then parsed with
+    * `from_csv` against the header-derived schema in FAILFAST mode, so a
+    * malformed record fails the read instead of silently becoming an
+    * all-null "col:" document.
     */
   def readCsv(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.option("header", "true").csv(path).schema
+    // escape = '"' selects RFC 4180 doubled-quote escaping (python csv /
+    // reference CSVLoader convention); Spark's default is backslash
+    val csvOpts = Map("header" -> "true", "multiLine" -> "true", "escape" -> "\"")
+    val schema = spark.read.options(csvOpts).csv(path).schema
     val rendered = concat_ws("\n",
       schema.fieldNames.map(c => concat_ws(": ", lit(c), col("row").getField(c))): _*)
-    // blank lines are dropped BEFORE numbering (Spark's CSV reader skips
+    // blank records are dropped BEFORE numbering (Spark's CSV reader skips
     // them around the header the same way), so `rownum` enumerates actual
     // data rows 0,1,… like the reference's CSVLoader; the first non-blank
-    // line is the header. wholetext caps a single file at the 2 GB string
+    // record is the header. wholetext caps a single file at the 2 GB string
     // limit — the reference ingests small config-like CSVs; a 100 TB
     // corpus arrives as many files, which parallelize per file.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("path")).orderBy(col("pos"))
+    val records = udf(splitCsvRecords _)
     spark.read.option("wholetext", "true").text(path)
       .withColumn("path", input_file_name())
-      .select(col("path"), posexplode(split(col("value"), "\r?\n")))
+      .select(col("path"), posexplode(records(col("value"))))
       .filter(length(trim(col("col"))) > 0)
       .withColumn("__ln", row_number().over(w))
       .filter(col("__ln") > 1)
-      .withColumn("row", from_csv(col("col"), schema, Map.empty[String, String]))
+      .withColumn("row", from_csv(col("col"), schema, Map("mode" -> "FAILFAST", "escape" -> "\"")))
       .select(
         concat(regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1),
           lit("_"), (col("__ln") - 2).cast("string")).as("doc_id"),

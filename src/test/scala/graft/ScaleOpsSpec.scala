@@ -348,6 +348,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(csv(3).getString(1) == "name: ada\nrole: engineer")
     assert(csv(4).getString(1) == "name: grace\nrole: admiral")
 
+    // multi-line records: a quoted field with embedded newlines (and an
+    // escaped "" quote) is ONE record — the reference CSVLoader's python
+    // csv semantics — and rownums keep counting records, not lines
+    Files.writeString(java.nio.file.Paths.get(dir, "multi.csv"),
+      "name,role\n\"li\nsa \"\"l\"\"\",\"first\nresponder\"\nsolo,pilot\n")
+    val multi = DocumentSources.readCsv(spark, s"$dir/multi.csv").orderBy("doc_id").collect()
+    assert(multi.map(_.getString(0)).toSeq == Seq("multi_0", "multi_1"))
+    assert(multi(0).getString(1) == "name: li\nsa \"l\"\nrole: first\nresponder",
+      "quoted embedded newlines and doubled quotes must survive into the row text")
+    assert(multi(1).getString(1) == "name: solo\nrole: pilot")
+
     val pdf = DocumentSources.readPdf(spark, s"$dir/doc.pdf").collect()
     assert(pdf.map(_.getString(0)).toSeq == Seq("doc_p0", "doc_p1"))
     assert(pdf.map(_.getString(1)).toSeq == Seq("page one", "page two"))
