@@ -87,6 +87,20 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDupSurvivors(docs, "doc_id", noPairs).count() == docs.count())
   }
 
+  test("connected components converge in O(log n) rounds on a 10^4-node path graph") {
+    // the adversarial worst case for plain min-label propagation: one
+    // chain of 10,000 nodes (diameter 9,999). Pointer jumping through the
+    // previous round's labels must compress it in ~log2(n) rounds —
+    // maxIters = 20 IS the round-count assertion, because
+    // connectedComponents now throws when it exhausts maxIters
+    // unconverged.
+    val n = 10000
+    val pairs = spark.range(n - 1).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val comp = Dedup.connectedComponents(pairs, maxIters = 20)
+    assert(comp.count() == n)
+    assert(comp.filter(col("component") =!= 0).count() == 0, "single chain: every node labels to 0")
+  }
+
   test("jaccard_sorted is SQL-registered") {
     graft.functions.SetFunctions.register(spark)
     val r = spark.sql(
