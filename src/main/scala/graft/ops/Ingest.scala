@@ -8,7 +8,9 @@ import graft.embed.{EmbedText, Embedder}
 /** The ingestion pipeline (SURVEY.md §3.2): load → split → metadata ids →
   * exact dedup → embed → idempotent merge into a vector-store table.
   *
-  * The store is a Parquet table with the reference's chunk schema
+  * The store is a [[VersionedStore]] parquet table (immutable segments +
+  * an atomically-swapped manifest pointer — the transactionality the
+  * reference inherits from Oracle) with the reference's chunk schema
   * (`id, text, metadata MAP, embedding ARRAY<FLOAT>`; FIXTURES.md §2) and
   * a JSON sidecar manifest playing the role of the `GENAI:` table-comment
   * catalog (S12/S17, `src/server/utils/embedding.py:43-58,370-373`).
@@ -76,14 +78,13 @@ object Ingest {
       case Some(st) => deduped.join(st.select("id"), Seq("id"), "left_anti")
       case None     => deduped
     }
-    // the appended count is observed during the write action itself, so
-    // the anti-join (a full scan of the store's id column, at scale) runs
-    // once — not count-then-write twice. A no-op re-ingest writes at most
-    // one AQE-coalesced empty part file.
-    val obs = new org.apache.spark.sql.Observation()
-    toAppend.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(path)
-    val appendedN = obs.get("n").asInstanceOf[Long]
+    // the append goes through the versioned manifest (atomic publish —
+    // concurrent readers see the old or the new complete table, never a
+    // half-written append), with the count observed on the segment write
+    // itself so the anti-join (a full scan of the store's id column, at
+    // scale) runs once — not count-then-write twice. A no-op re-ingest
+    // publishes nothing.
+    val appendedN = VersionedStore.appendNonEmpty(spark, path, toAppend)
     writeManifest(spark, storeDir, config)
     deduped.unpersist()
     IngestResult(chunksIn, dedupedN, appendedN, existingN + appendedN)
@@ -91,53 +92,26 @@ object Ingest {
 
   /** Store compaction — the small-files remedy an append-mode store
     * needs at scale: idempotent re-ingests and streaming micro-batches
-    * accumulate small (or empty) part files, and at 100 TB file-listing
-    * and task-granularity costs start to dominate before data volume
-    * does. Rewrites the table into ceil(rows / rowsPerFile) files and
-    * swaps directories through a `.bak` step, so a crash at any point
-    * leaves either the original or the `.bak` directory intact (restore
-    * = rename it back) — never no table. (A log-backed format would
-    * bin-pack only the under-sized files instead of rewriting; without a
-    * transaction log the full rewrite is the variant with a no-loss
-    * recovery story.) Returns the new file count.
-    *
-    * Writers MUST be quiesced for the duration: an append committing
-    * between the snapshot read and the directory swap would land in the
-    * directory being retired and be lost with it. A log-backed format
-    * lifts that restriction; a directory-swap compaction cannot.
+    * accumulate small part files, and at 100 TB file-listing and
+    * task-granularity costs start to dominate before data volume does.
+    * Rewrites the live segments into ceil(rows / rowsPerFile) files and
+    * publishes the swap through the [[VersionedStore]] manifest, so
+    * writers need NO quiescence (an append committing mid-compaction
+    * survives — the manifest CAS retries subtracting only the rewritten
+    * segments) and a crash at any point leaves the previous state
+    * committed and readable. Retired segments stay on disk for in-flight
+    * snapshot readers; [[vacuumStore]] reclaims them. Returns the new
+    * file count.
     */
   def compactStore(spark: SparkSession, storeDir: String, config: StoreConfig,
-                   rowsPerFile: Long = 1L << 20): Int = {
-    require(rowsPerFile > 0)
-    val path = s"$storeDir/${config.tableName}"
-    val df = spark.read.parquet(path)
-    val rows = df.count()
-    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = path + ".compact"
-    val bak = path + ".bak"
-    // coalesce when shrinking — merging small files needs no shuffle,
-    // partitions concatenate locally (files can be uneven; even sizing
-    // would pay the shuffle). The scan may pack many small files into
-    // FEWER splits than nFiles, and coalesce cannot grow a partition
-    // count — repartition there, or the promised file count is a lie.
-    val sized =
-      if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
-      else df.coalesce(nFiles)
-    sized.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // Hadoop rename reports most failures by returning false (and
-    // renaming INTO a still-existing destination directory would nest
-    // it) — a swap step that didn't happen must abort, not fall through
-    def renameOrAbort(from: String, to: String): Unit =
-      if (!graft.Fs.rename(spark, from, to))
-        throw new java.io.IOException(
-          s"compaction swap failed renaming $from -> $to; " +
-            s"table is intact (original or $bak)")
-    graft.Fs.delete(spark, bak)
-    renameOrAbort(path, bak)
-    renameOrAbort(tmp, path)
-    graft.Fs.delete(spark, bak)
-    nFiles
-  }
+                   rowsPerFile: Long = 1L << 20): Int =
+    VersionedStore.compact(spark, s"$storeDir/${config.tableName}", rowsPerFile)._2
+
+  /** Reclaim segments retired by [[compactStore]] and crash-orphaned
+    * files, once no reader still holds the old snapshot.
+    */
+  def vacuumStore(spark: SparkSession, storeDir: String, config: StoreConfig): Seq[String] =
+    VersionedStore.vacuum(spark, s"$storeDir/${config.tableName}")
 
   /** S13 chunk JSON sink (`src/server/utils/embedding.py:61-75`): dump
     * split chunks as JSON in the LangChain Document dump shape that
@@ -150,10 +124,8 @@ object Ingest {
         col("metadata"))
       .write.mode(SaveMode.Overwrite).json(path)
 
-  def readStore(spark: SparkSession, storeDir: String, config: StoreConfig): Option[DataFrame] = {
-    val path = s"$storeDir/${config.tableName}"
-    if (graft.Fs.exists(spark, path)) Some(spark.read.parquet(path)) else None
-  }
+  def readStore(spark: SparkSession, storeDir: String, config: StoreConfig): Option[DataFrame] =
+    VersionedStore.read(spark, s"$storeDir/${config.tableName}")
 
   /** S17: catalog manifest sidecar (one JSON line per store). */
   private def writeManifest(spark: SparkSession, storeDir: String, config: StoreConfig): Unit =

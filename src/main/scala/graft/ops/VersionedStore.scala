@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Poor-man's transaction log for parquet store tables — the atomicity
+  * the reference gets for free from Oracle (its S15 merge runs inside a
+  * DB transaction, `src/server/utils/embedding.py:352-358`) rebuilt as a
+  * versioned-manifest pointer over immutable segment directories, without
+  * adopting a table format.
+  *
+  * Layout under one table directory:
+  * {{{
+  *   TABLE/seg-<uuid8>/part-*.parquet     immutable data segments
+  *   TABLE/_manifests/m-<%016d>.json      {"version":N,"segments":[...]}
+  * }}}
+  *
+  * The table's state IS the highest-numbered manifest; a segment is
+  * visible only once a committed manifest lists it. That gives:
+  *
+  *  - '''Atomic commits''': a manifest is written to a temp name and
+  *    renamed into its final `m-<version>` name — readers see the old
+  *    complete state or the new complete state, never a half-written
+  *    table. A crash before the rename leaves orphan files the next
+  *    [[vacuum]] reclaims; the current state is untouched.
+  *  - '''Optimistic concurrency''': the version number is the
+  *    compare-and-swap token. [[commit]] re-reads the state and re-applies
+  *    its transform when the target version was taken by a concurrent
+  *    committer — so compaction needs NO writer quiescence: an append
+  *    landing mid-compaction wins or forces a retry that preserves its
+  *    segment (the retired-segment set is subtracted, not the whole list
+  *    replaced). On HDFS the no-overwrite rename makes the CAS exact; on
+  *    a POSIX local FS (rename overwrites) the pre-rename existence check
+  *    narrows the race to microseconds — and S3A/ABFS committers sit on
+  *    the HDFS side of this line.
+  *  - '''Snapshot reads''': [[compact]] retires segments from the
+  *    manifest but does not delete them, so an in-flight reader holding
+  *    the previous state keeps scanning valid files; [[vacuum]] deletes
+  *    segments no longer referenced once old readers are done.
+  *
+  * At 100 TB scale: every state read is one small-directory listing plus
+  * one tiny JSON read (no data I/O); appends touch only their own new
+  * segment; compaction rewrites data once and swaps a pointer.
+  */
+object VersionedStore {
+
+  /** A committed table state: the manifest version and its live segment
+    * directory names (relative to the table path).
+    */
+  case class State(version: Long, segments: Seq[String])
+
+  private def manifestDir(table: String): String = s"$table/_manifests"
+  private def manifestPath(table: String, v: Long): String =
+    f"${manifestDir(table)}/m-$v%016d.json"
+
+  private def render(v: Long, segments: Seq[String]): String =
+    s"""{"version":$v,"segments":[${segments.map(s => "\"" + s + "\"").mkString(",")}]}"""
+
+  // we control the writer, so a regex parse of the two fields is exact
+  private def parse(json: String): State = {
+    val v = "\"version\":(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(s"bad manifest: $json")).group(1).toLong
+    val segs = "\"segments\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(s"bad manifest: $json")).group(1)
+    State(v, segs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+  }
+
+  /** Latest committed state, if any manifest exists. Zero-padded version
+    * numbers make the lexicographic max the numeric max.
+    */
+  def currentState(spark: SparkSession, table: String): Option[State] = {
+    val ms = graft.Fs.list(spark, manifestDir(table))
+      .filter(_.matches(".*/m-\\d{16}\\.json"))
+    if (ms.isEmpty) None
+    else Some(parse(graft.Fs.readString(spark, ms.max)))
+  }
+
+  /** The table as of its latest committed manifest — None before the
+    * first commit, an empty-segment state reads as None too (a table
+    * with no live data rows has nothing to scan and no schema to carry).
+    */
+  def read(spark: SparkSession, table: String): Option[DataFrame] =
+    currentState(spark, table).filter(_.segments.nonEmpty)
+      .map(st => spark.read.parquet(st.segments.map(s => s"$table/$s"): _*))
+
+  /** Write a new immutable segment (not yet visible — nothing references
+    * it until a [[commit]] lists it). Returns the segment name.
+    */
+  def writeSegment(spark: SparkSession, table: String, df: DataFrame): String = {
+    val seg = "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$seg")
+    seg
+  }
+
+  /** Commit a state transition: re-reads the current segment list, applies
+    * `transform`, and publishes it as version current+1 via temp-write +
+    * rename. If a concurrent committer took the version first, re-reads
+    * and re-applies `transform` on the fresh state — so `transform` must
+    * be expressible against ANY base state (appends add their segment;
+    * compaction subtracts exactly the segments it rewrote).
+    */
+  def commit(spark: SparkSession, table: String,
+             transform: Seq[String] => Seq[String], maxRetries: Int = 20): State = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = currentState(spark, table)
+      val next = State(cur.map(_.version).getOrElse(0L) + 1,
+        transform(cur.map(_.segments).getOrElse(Nil)))
+      val target = manifestPath(table, next.version)
+      val tmp = s"$target.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.Fs.writeString(spark, tmp, render(next.version, next.segments))
+      if (!graft.Fs.exists(spark, target) && graft.Fs.rename(spark, tmp, target))
+        return next
+      graft.Fs.delete(spark, tmp) // lost the race (or rename failed): retry on fresh state
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"manifest commit for $table lost the version race $maxRetries times")
+  }
+
+  /** Append `df` as a new segment and publish it. The write happens
+    * before the commit, so a crash between the two leaves an orphan
+    * segment (vacuumable) and an unchanged table.
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame): State = {
+    val seg = writeSegment(spark, table, df)
+    commit(spark, table, cur => cur :+ seg)
+  }
+
+  /** [[append]] with the row count observed on the segment write itself
+    * (one execution of `df`'s plan), committing only when rows > 0 — a
+    * no-op append (e.g. an idempotent re-ingest whose anti-join left
+    * nothing) publishes no manifest version and leaves no empty segment.
+    * Returns the appended row count.
+    */
+  def appendNonEmpty(spark: SparkSession, table: String, df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = new org.apache.spark.sql.Observation()
+    val seg = writeSegment(spark, table, df.observe(obs, count(lit(1)).as("n")))
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0) commit(spark, table, cur => cur :+ seg)
+    else graft.Fs.delete(spark, s"$table/$seg")
+    n
+  }
+
+  /** Compact the current live segments into ceil(rows/rowsPerFile) files
+    * in ONE new segment and swap the manifest to it — concurrent appends
+    * survive (the commit subtracts exactly the rewritten segments, so a
+    * segment appended mid-compaction stays listed), and concurrent
+    * readers keep their snapshot (retired segments are not deleted here —
+    * run [[vacuum]] once old readers are done). Returns the new state and
+    * the file count of the compacted segment.
+    */
+  def compact(spark: SparkSession, table: String, rowsPerFile: Long = 1L << 20): (State, Int) = {
+    require(rowsPerFile > 0)
+    val st = currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed state to compact at $table"))
+    if (st.segments.isEmpty) return (st, 0)
+    val df = spark.read.parquet(st.segments.map(s => s"$table/$s"): _*)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    // coalesce when shrinking (no shuffle — partitions concatenate
+    // locally); the scan may pack small files into FEWER splits than
+    // nFiles and coalesce cannot grow a partition count — repartition
+    // there, or the promised file count is a lie
+    val sized =
+      if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
+      else df.coalesce(nFiles)
+    val seg = writeSegment(spark, table, sized)
+    val newState = commit(spark, table,
+      cur => cur.filterNot(st.segments.toSet) :+ seg)
+    (newState, nFiles)
+  }
+
+  /** Delete segment directories no committed manifest references (crash
+    * leftovers and compaction-retired segments) plus stale manifest temp
+    * files. Safe whenever no reader still holds a retired snapshot.
+    * Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val live = currentState(spark, table).map(_.segments.toSet).getOrElse(Set.empty)
+    val deadSegs = graft.Fs.list(spark, table)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("seg-"))
+      .filterNot(p => live.contains(p.substring(p.lastIndexOf('/') + 1)))
+    val deadTmp = graft.Fs.list(spark, manifestDir(table)).filter(_.contains(".tmp-"))
+    val dead = deadSegs ++ deadTmp
+    dead.foreach(graft.Fs.delete(spark, _))
+    dead
+  }
+}

@@ -58,12 +58,15 @@ object IncrementalIngest {
           lit("chunk_id"), col("chunk_id")).as("metadata"))
       .dropDuplicates("id")
       .withColumn("embedding", EmbedText.embedText(col("text"), embedder))
-    val exists = graft.Fs.exists(spark, storePath)
-    val toAppend =
-      if (exists)
-        chunks.join(spark.read.parquet(storePath).select("id"), Seq("id"), "left_anti")
-      else chunks
-    toAppend.write.mode("append").parquet(storePath)
+    // each micro-batch publishes through the versioned manifest: readers
+    // querying the store mid-stream see complete batch boundaries, never
+    // a half-committed append, and a batch whose anti-join leaves nothing
+    // publishes no manifest version
+    val toAppend = graft.ops.VersionedStore.read(spark, storePath) match {
+      case Some(st) => chunks.join(st.select("id"), Seq("id"), "left_anti")
+      case None     => chunks
+    }
+    graft.ops.VersionedStore.appendNonEmpty(spark, storePath, toAppend): Unit
   }
 
   /** Streaming exact dedup with BOUNDED state: drop re-occurrences of

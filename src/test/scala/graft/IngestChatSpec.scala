@@ -35,21 +35,65 @@ class IngestChatSpec extends AnyFunSuite {
   test("compactStore collapses accumulated small files, preserving content exactly") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val cfg = Ingest.StoreConfig("cmp", "hash-32", 120, 20)
-    // five tiny ingests accumulate many small part files
+    // five tiny ingests accumulate five single-file segments
     for (i <- 0 until 5) {
       val docs = Tables.documents(spark, sf).filter($"doc_id" >= i * 10 && $"doc_id" < (i + 1) * 10)
       Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
     }
     val path = s"$dir/${cfg.tableName}"
-    def partFiles(): Seq[String] =
-      graft.Fs.list(spark, path).filter(_.endsWith(".parquet"))
-    val before = spark.read.parquet(path).select($"id").as[String].collect().sorted.toSeq
-    assert(partFiles().size > 2, "fixture must actually have accumulated files")
+    def liveFiles(): Seq[String] = {
+      val st = graft.ops.VersionedStore.currentState(spark, path).get
+      st.segments.flatMap(s => graft.Fs.list(spark, s"$path/$s")).filter(_.endsWith(".parquet"))
+    }
+    def readIds(): Seq[String] =
+      Ingest.readStore(spark, dir, cfg).get.select($"id").as[String].collect().sorted.toSeq
+    val before = readIds()
+    assert(liveFiles().size > 2, "fixture must actually have accumulated files")
+    // snapshot reader resolved BEFORE compaction: must stay scannable
+    // (retired segments survive until vacuum)
+    val snapshot = Ingest.readStore(spark, dir, cfg).get
     val n = Ingest.compactStore(spark, dir, cfg, rowsPerFile = 1000)
-    assert(n == 1 && partFiles().size == 1, "all rows fit one target file")
-    val after = spark.read.parquet(path).select($"id").as[String].collect().sorted.toSeq
-    assert(after == before, "compaction must preserve rows exactly")
-    assert(!new java.io.File(path + ".bak").exists() && !new java.io.File(path + ".compact").exists())
+    assert(n == 1 && liveFiles().size == 1, "all rows fit one target file")
+    assert(readIds() == before, "compaction must preserve rows exactly")
+    assert(snapshot.count() == before.size, "pre-compaction snapshot reader still sees its state")
+    // vacuum reclaims the five retired segments; the live state is intact
+    val dead = Ingest.vacuumStore(spark, dir, cfg)
+    assert(dead.nonEmpty)
+    assert(readIds() == before)
+    assert(graft.Fs.list(spark, path).count(p =>
+      p.substring(p.lastIndexOf('/') + 1).startsWith("seg-")) == 1)
+  }
+
+  test("versioned store: crash mid-compaction leaves the table readable; mid-compaction append survives the manifest swap") {
+    import graft.ops.VersionedStore
+    val table = Files.createTempDirectory("graft-vstore").toString + "/T"
+    VersionedStore.appendNonEmpty(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v")): Unit
+    val v1 = VersionedStore.currentState(spark, table).get
+
+    // crash mid-compaction = a segment written but never committed: the
+    // current state is untouched and the orphan is vacuumable
+    VersionedStore.writeSegment(spark, table, Seq((9L, "orphan")).toDF("id", "v"))
+    assert(VersionedStore.currentState(spark, table).get == v1)
+    assert(VersionedStore.read(spark, table).get.count() == 2, "crash leaves old state readable")
+    assert(VersionedStore.vacuum(spark, table).nonEmpty)
+    assert(VersionedStore.read(spark, table).get.count() == 2)
+
+    // compaction interleaved with an append: the append takes the next
+    // version first, so the compactor's commit must retry — subtracting
+    // only the segments it rewrote and keeping the concurrent append
+    val preState = VersionedStore.currentState(spark, table).get
+    val compactedSeg = VersionedStore.writeSegment(spark, table,
+      spark.read.parquet(preState.segments.map(s => s"$table/$s"): _*).coalesce(1))
+    VersionedStore.appendNonEmpty(spark, table, Seq((3L, "c")).toDF("id", "v")): Unit
+    VersionedStore.commit(spark, table,
+      cur => cur.filterNot(preState.segments.toSet) :+ compactedSeg): Unit
+    val ids = VersionedStore.read(spark, table).get.select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), "concurrent append must survive the compaction swap")
+    // no-op append publishes no version
+    val vBefore = VersionedStore.currentState(spark, table).get.version
+    assert(VersionedStore.appendNonEmpty(spark, table,
+      Seq.empty[(Long, String)].toDF("id", "v")) == 0L)
+    assert(VersionedStore.currentState(spark, table).get.version == vBefore)
   }
 
   test("store config derives the reference's table name and round-trips the catalog") {

@@ -26,12 +26,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val q = IncrementalIngest.start(spark, in, store, HashEmbedder(16), 64, 0, ckpt)
     try {
       q.processAllAvailable()
-      val n1 = spark.read.parquet(store).count()
+      val n1 = graft.ops.VersionedStore.read(spark, store).get.count()
       assert(n1 == 2)
       // second batch: one duplicate doc (same content) + one new
       writeDocs("b2.json", Seq((3L, "alpha beta gamma delta"), (4L, "iota kappa lambda mu")))
       q.processAllAvailable()
-      val rows = spark.read.parquet(store)
+      val rows = graft.ops.VersionedStore.read(spark, store).get
       assert(rows.count() == 3, "duplicate content must not re-append")
       assert(rows.select("id").distinct().count() == 3)
       assert(rows.schema.fieldNames.contains("embedding"))
