@@ -163,13 +163,24 @@ object Chat {
     * retrieved_ids, relevant)`. A question with no retrievable context
     * (empty store) keeps its row with an empty context, like the
     * reference's no-context turn.
+    *
+    * `index = Some((ivfModel, nProbe))` routes retrieval through
+    * [[Ivf.searchBatch]] instead of the exhaustive join — the
+    * reference's real serving shape (retrieval against the HNSW/IVF-
+    * indexed store, `src/server/utils/embedding.py:348-368`): on a
+    * cluster-partitioned store each question scans only its probed
+    * partitions. If the store lacks a `cluster_id` column it is assigned
+    * on the fly (correct, but without the partition pruning a written
+    * [[Ivf.writePartitioned]] store gives). At `nProbe = model.k` the
+    * answers equal the exhaustive path bit-for-bit.
     */
   def answerBatch(questions: DataFrame, qidCol: String, questionCol: String,
                   store: DataFrame, idCol: String, textCol: String, embCol: String,
                   embedder: Embedder, model: ChatModel = TemplateModel,
                   grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
                   topK: Int = 4, metric: String = "COSINE",
-                  historyCol: Option[String] = None): DataFrame = {
+                  historyCol: Option[String] = None,
+                  index: Option[(Ivf.IvfModel, Int)] = None): DataFrame = {
     // per-question chat history (ARRAY<STRING>) feeds the rewrite, as in
     // the single-question path; absent means history-less questions
     val rewriteUdf = udf((q: String, h: Seq[String]) =>
@@ -186,9 +197,18 @@ object Chat {
       .drop("__hist")
       .withColumn("__emb", graft.embed.EmbedText.embedText(col("rewritten_query"), embedder))
       .localCheckpoint()
-    val hits = Similarity.similarityJoin(
-      q, store.select(col(idCol), col(embCol)),
-      "__qid2", "__emb", idCol, embCol, k = topK, metric = metric)
+    val hits = index match {
+      case Some((ivfModel, nProbe)) =>
+        val clustered =
+          if (store.columns.contains("cluster_id"))
+            store.select(col(idCol), col(embCol), col("cluster_id"))
+          else Ivf.assign(store.select(col(idCol), col(embCol)), embCol, ivfModel)
+        Ivf.searchBatch(q, clustered, "__qid2", "__emb", idCol, embCol,
+          ivfModel, topK, nProbe, metric)
+      case None => Similarity.similarityJoin(
+        q, store.select(col(idCol), col(embCol)),
+        "__qid2", "__emb", idCol, embCol, k = topK, metric = metric)
+    }
     // rank-ordered context + provenance per question (A9/V10); the hits
     // side is k×|questions| rows — AQE broadcasts it against the store
     val perQ = hits

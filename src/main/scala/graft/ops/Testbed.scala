@@ -137,12 +137,13 @@ object Testbed {
                   model: Chat.ChatModel = Chat.TemplateModel,
                   grader: Chat.Grader = Chat.OverlapGrader,
                   topK: Int = 4,
-                  judge: (String, String) => Boolean = keywordJudge): DataFrame = {
+                  judge: (String, String) => Boolean = keywordJudge,
+                  index: Option[(Ivf.IvfModel, Int)] = None): DataFrame = {
     val withId = qa.withColumn("__qid", xxhash64(col("question")))
     val answered = Chat.answerBatch(
       withId.select(col("__qid"), col("question")).dropDuplicates("__qid"),
       "__qid", "question", store, idCol, textCol, embCol,
-      embedder, model, grader, topK = topK)
+      embedder, model, grader, topK = topK, index = index)
     val judgeUdf = udf(judge)
     withId.join(answered.select(col("__qid"), col("answer")), Seq("__qid"))
       .withColumn("correct", judgeUdf(col("answer"), col("reference_answer")))

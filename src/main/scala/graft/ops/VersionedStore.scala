@@ -134,6 +134,11 @@ object VersionedStore {
     */
   def appendNonEmpty(spark: SparkSession, table: String, df: DataFrame): Long = {
     import org.apache.spark.sql.functions.{count, lit}
+    // caveat: an Observation accumulates over task attempts, so stage
+    // retries / speculative duplicates can over-count relative to the
+    // rows actually committed — accepted to keep the plan single-pass;
+    // reconcile with a cheap count() over read() when a caller needs the
+    // committed number exactly
     val obs = new org.apache.spark.sql.Observation()
     val seg = writeSegment(spark, table, df.observe(obs, count(lit(1)).as("n")))
     val n = obs.get("n").asInstanceOf[Long]

@@ -201,6 +201,26 @@ class IngestChatSpec extends AnyFunSuite {
     val report = Testbed.evaluateRag(qa, store, "id", "text", "embedding", embedder, topK = 2)
     assert(report.columns.toSeq == Seq("question", "topic", "answer", "correct"))
     assert(report.count() == 3)
+
+    // IVF-indexed retrieval (the reference's serving shape): at full
+    // probe the whole pipeline — retrieval, grading, generation,
+    // provenance — must equal the exhaustive path row-for-row
+    val ivfModel = graft.ops.Ivf.fit(store, "id", "embedding", k = 2)
+    val qdf = questions.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("qid", "question")
+    val exhaustive = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2)
+      .orderBy($"qid").collect().toSeq
+    val indexed = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2, index = Some((ivfModel, 2)))
+      .orderBy($"qid").collect().toSeq
+    assert(indexed == exhaustive, "full-probe IVF answerBatch must equal the exhaustive join")
+    // partial probe still answers every question (subset retrieval)
+    val partial = Chat.answerBatch(qdf, "qid", "question", store,
+      "id", "text", "embedding", embedder, topK = 2, index = Some((ivfModel, 1)))
+    assert(partial.count() == 3)
+    val ivfReport = Testbed.evaluateRag(qa, store, "id", "text", "embedding", embedder,
+      topK = 2, index = Some((ivfModel, 2)))
+    assert(ivfReport.count() == 3)
   }
 
   test("testset upsert is idempotent per tid and chunk JSON round-trips (S18, S13/S9)") {
