@@ -285,6 +285,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Test-set decontamination, the flag half: ids of corpus documents
+    * sharing at least one word n-gram with any evaluation-set document —
+    * the leakage check a training-data pipeline runs before training so
+    * benchmark text cannot leak into the corpus.
+    *
+    * Scale: the eval-set shingle set is small by construction (eval sets
+    * are thousands of rows, not corpus-sized), so it is broadcast and the
+    * corpus side never shuffles at all — a narrow explode feeding a
+    * broadcast semi-join, then a distinct on the (already tiny) flagged
+    * ids. The corpus is scanned exactly once.
+    */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+                      evalSet: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    val evalShingles = evalSet
+      .select(explode(wordShingles(col(evalTextCol), n)).as("__s"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__s"))
+      .join(broadcast(evalShingles), Seq("__s"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Test-set decontamination, the drop half: the corpus minus every
+    * [[contaminatedIds]] document. Documents with fewer than `n` words
+    * have no n-grams and always survive.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    evalSet: DataFrame, evalTextCol: String, n: Int = 8): DataFrame =
+    corpus.join(contaminatedIds(corpus, idCol, textCol, evalSet, evalTextCol, n),
+      Seq(idCol), "left_anti")
+
   /** Exact embedding-cosine near-dup pairs (a < b, cosine > threshold).
     * Quadratic by definition — the correctness oracle for
     * [[embeddingNearDupLsh]], and fine up to ~10^4 vectors per run; at

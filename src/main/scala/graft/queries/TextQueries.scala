@@ -55,6 +55,30 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Stratified quota sampling (domain mixing): per-language targets,
+    // md5-of-id rank — the deterministic, engine-portable "sample the
+    // corpus to these proportions" step, with the bounded per-partition
+    // pre-prune keeping the shuffle corpus-size-independent.
+    "sample_stratified_quota" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.stratifiedQuota(
+          documents(s, d).select($"doc_id", $"lang"), "lang", "doc_id",
+          Map("en" -> 40, "de" -> 25, "fr" -> 15), defaultQuota = 10)
+        .orderBy($"doc_id")
+    }),
+
+    // Test-set decontamination: docs doc_id < 20 stand in for the eval
+    // set; corpus docs sharing any word 4-gram with them are dropped
+    // (the leakage gate before training). Broadcast semi-join — the
+    // corpus side never shuffles.
+    "decontaminate_survivors" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.decontaminate(docs.filter($"doc_id" >= 20), "doc_id", "text",
+          docs.filter($"doc_id" < 20), "text", n = 4)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // n-gram-heuristic language ID: stopword-hit scores + argmax.
     "text_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -152,6 +176,30 @@ object TextQueries {
   private val deList = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25
+        |                      WHEN 'fr' THEN 15 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    "decontaminate_survivors" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+        |  FROM (SELECT regexp_split_to_array(text, '\s+') AS w
+        |        FROM documents WHERE doc_id < 20)),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-2),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+        |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+        |          FROM documents WHERE doc_id >= 20)) c
+        |  JOIN ev USING (s))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id, len($docTokens)::BIGINT AS n_tokens,
          |  len(text)::BIGINT AS n_chars

@@ -101,6 +101,24 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.filter(col("component") =!= 0).count() == 0, "single chain: every node labels to 0")
   }
 
+  test("decontaminate drops exactly the corpus docs sharing an n-gram with the eval set") {
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox here"), // shares "the quick brown fox"
+      (2L, "completely unrelated words in this doc"),
+      (3L, "quick brown fox jumps away")                // shares "quick brown fox jumps"
+    ).toDF("doc_id", "text")
+    val bad = Dedup.contaminatedIds(corpus, "doc_id", "text", eval, "text", n = 4)
+      .as[Long].collect().toSet
+    assert(bad == Set(1L, 3L))
+    val surv = Dedup.decontaminate(corpus, "doc_id", "text", eval, "text", n = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(surv == Set(2L))
+    // docs with < n words have no n-grams and always survive
+    val short = Seq((4L, "quick brown fox")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(short, "doc_id", "text", eval, "text", n = 4).count() == 1)
+  }
+
   test("jaccard_sorted is SQL-registered") {
     graft.functions.SetFunctions.register(spark)
     val r = spark.sql(

@@ -235,6 +235,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified quota sampling: exact quotas, partitioning-invariant, pre-prune cannot change the result") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    val quotas = Map("en" -> 7, "de" -> 3)
+    def run(parts: Int): Set[(Long, String)] = Sampling.stratifiedQuota(
+        docs.repartition(parts), "lang", "doc_id", quotas, defaultQuota = 2)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    val got = run(13)
+    assert(got == run(1), "sample must not depend on partitioning")
+    val byLang = got.groupBy(_._2).map { case (l, v) => (l, v.size) }
+    assert(byLang("en") == 7 && byLang("de") == 3)
+    assert(byLang.view.filterKeys(!quotas.contains(_)).values.forall(_ == 2),
+      "unmapped strata get the default quota")
+    // the bounded heap keeps exactly what the full-window formulation ranks
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+    val naive = docs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= when($"lang" === "en", 7).when($"lang" === "de", 3).otherwise(2))
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(got == naive, "pre-pruned sample must equal the window-only formulation")
+    // zero default: only mapped strata survive; the pre-prune map step is
+    // in the physical plan (what bounds the window Exchange)
+    val onlyMapped = Sampling.stratifiedQuota(docs, "lang", "doc_id", quotas, defaultQuota = 0)
+    assert(onlyMapped.select($"lang").distinct().as[String].collect().toSet == Set("en", "de"))
+    val plan = onlyMapped.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"expected MapPartitions pre-prune in:\n$plan")
+  }
+
   test("bucketed tables join without an Exchange; salted ops preserve exact results") {
     import graft.ops.Layout
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
