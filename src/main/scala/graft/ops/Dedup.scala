@@ -285,6 +285,51 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SimHash near-dup pairs: 64-bit token-weight fingerprints, banded
+    * candidate generation, exact Hamming verify. Pigeonhole completeness:
+    * two fingerprints within Hamming distance `maxHamming` differ in at
+    * most `maxHamming` of the `bands` disjoint bit bands, so with
+    * `bands >= maxHamming + 1` they agree EXACTLY on at least one band —
+    * the equi-join on (band, bandValue) finds every qualifying pair, and
+    * the Hamming filter on the (few) candidates is exact. Returns
+    * (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Scale: the MinHash-banding join shape — candidates key on a
+    * (band, bits) equi-join over bands×|corpus| narrow rows, never
+    * all-pairs; fingerprints are a single-pass expression. Token-less
+    * documents are dropped before banding (they all share fingerprint 0
+    * and would collide into one quadratic bucket while meaning nothing).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands >= maxHamming + 1")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashed = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash64.simhash64(split(trim(col(textCol)), "\\s+")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // eager: the banding self-join scans this twice
+    val banded = hashed.select(col("id"), col("h"), posexplode(array(
+        (0 until bands).map(b => shiftright(col("h"), b * width).bitwiseAND(lit(mask))): _*)))
+      .select(col("id"), col("h"), col("pos").as("band"), col("col").as("bv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("x.h").as("h_a"),
+        col("y.id").as("id_b"), col("y.h").as("h_b"))
+      .distinct()
+    val pairs = cand
+      .withColumn("hamming", graft.functions.SimHash64.hamming64(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint() // as in ngramJaccardPairs: release the cache now
+    hashed.unpersist()
+    pairs
+  }
+
   /** Test-set decontamination, the flag half: ids of corpus documents
     * sharing at least one word n-gram with any evaluation-set document —
     * the leakage check a training-data pipeline runs before training so

@@ -59,6 +59,16 @@ object DedupQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // SimHash near-dup pairs: banded candidate join + exact Hamming
+    // verify (rows-only: the fingerprint function is engine-defined;
+    // DedupSpec asserts the banded join EQUALS brute-force all-pairs at
+    // the pigeonhole-complete threshold).
+    "dedup_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text", maxHamming = 3, bands = 4)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // SimHash fingerprints (rows-only; hash function engine-defined).
     "fingerprint_simhash" -> ((s, d) => {
       import s.implicits._

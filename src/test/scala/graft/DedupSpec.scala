@@ -101,6 +101,24 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.filter(col("component") =!= 0).count() == 0, "single chain: every node labels to 0")
   }
 
+  test("simhash banded pairs equal brute-force all-pairs at the pigeonhole-complete threshold") {
+    // pigeonhole (bands = 4 > maxHamming = 3) makes the banded join
+    // EXACT, not approximate — assert full equality with the quadratic
+    // reference on the real corpus sample
+    val docs = Tables.documents(spark, sf).limit(200)
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val h = docs.select($"doc_id".as("id"),
+      graft.functions.SimHash64.simhash64(split(trim($"text"), "\\s+")).as("h"))
+    val want = h.as("a").join(h.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        graft.functions.SimHash64.hamming64($"a.h", $"b.h").as("d"))
+      .filter($"d" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want, "banded candidate generation must find every pair within maxHamming")
+    assert(want.nonEmpty, "fixture should contain simhash-close pairs")
+  }
+
   test("decontaminate drops exactly the corpus docs sharing an n-gram with the eval set") {
     val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val corpus = Seq(
