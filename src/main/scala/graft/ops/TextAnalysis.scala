@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -60,4 +60,37 @@ object TextAnalysis {
     */
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
+
+  /** Gopher-style repetition metric: per document, the fraction of word
+    * n-gram slots covered by the single most frequent n-gram —
+    * boilerplate and degenerate generations repeat one phrase, natural
+    * text does not. Returns `(idCol, n_grams, top_n, rep_ratio,
+    * repetitive)` where `rep_ratio = top_n / n_grams` (exact
+    * integer-over-integer, hash-stable) and `repetitive` gates at
+    * `maxRatio`. Documents with fewer than `n` tokens have no n-grams
+    * and report ratio 0 (never flagged).
+    *
+    * Scale: one narrow n-gram explode, a (doc, gram) partial-aggregating
+    * count, and a per-doc max — two hash-aggregate exchanges keyed on the
+    * doc id, no windows, no driver state.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2, maxRatio: Double = 0.2): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val grams = base.select(col(idCol), explode(
+        when(size(col("__w")) >= n, transform(
+          sequence(lit(0), size(col("__w")) - n),
+          i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+    val top = grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("top_n"))
+    val ratio = when(col("n_grams") > 0,
+      col("top_n").cast("double") / col("n_grams")).otherwise(lit(0.0))
+    base.select(col(idCol),
+        greatest(size(col("__w")) - n + 1, lit(0)).cast("long").as("n_grams"))
+      .join(top, Seq(idCol), "left")
+      .withColumn("top_n", coalesce(col("top_n"), lit(0L)))
+      .withColumn("rep_ratio", ratio)
+      .withColumn("repetitive", col("rep_ratio") > maxRatio)
+  }
 }

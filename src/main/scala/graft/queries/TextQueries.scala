@@ -55,6 +55,15 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style repetition gate: fraction of 2-gram slots covered by
+    // the most frequent 2-gram — the boilerplate/degenerate-text filter
+    // in standard corpus-quality rule sets. Exact integer ratios.
+    "quality_repetition" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.repetitionStats(documents(s, d), "doc_id", "text", n = 2, maxRatio = 0.2)
+        .orderBy($"doc_id")
+    }),
+
     // Stratified quota sampling (domain mixing): per-language targets,
     // md5-of-id rank — the deterministic, engine-portable "sample the
     // corpus to these proportions" step, with the bounded per-partition
@@ -176,6 +185,23 @@ object TextQueries {
   private val deList = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "quality_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |           FROM documents),
+        |top AS (
+        |  SELECT doc_id, max(n) AS top_n FROM (
+        |    SELECT doc_id, g, count(*) AS n FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |        i -> w[i]||' '||w[i+1])) AS g FROM t)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, greatest(len(w)-1, 0)::BIGINT AS n_grams,
+        |  coalesce(top_n, 0)::BIGINT AS top_n,
+        |  CASE WHEN len(w) > 1 THEN coalesce(top_n, 0)::DOUBLE / (len(w)-1)
+        |       ELSE 0.0 END AS rep_ratio,
+        |  CASE WHEN len(w) > 1 THEN coalesce(top_n, 0)::DOUBLE / (len(w)-1) > 0.2
+        |       ELSE false END AS repetitive
+        |FROM t LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
     "sample_stratified_quota" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

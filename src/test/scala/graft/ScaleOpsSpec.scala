@@ -235,6 +235,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats flag the degenerate doc and spare natural text") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),     // "buy now" covers 4 of 7 2-gram slots
+      (2L, "the quick brown fox jumps over dogs"), // all 2-grams unique
+      (3L, "one")                                  // too short for any 2-gram
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got(0) == ((1L, 7L, 4L, 4.0 / 7, true)))
+    assert(got(1)._2 == 6L && got(1)._3 == 1L && !got(1)._5)
+    assert(got(2) == ((3L, 0L, 0L, 0.0, false)))
+  }
+
   test("stratified quota sampling: exact quotas, partitioning-invariant, pre-prune cannot change the result") {
     import graft.ops.Sampling
     import org.apache.spark.sql.expressions.Window
