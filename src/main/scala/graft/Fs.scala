@@ -40,6 +40,16 @@ object Fs {
     f.getFileSystem(spark.sparkContext.hadoopConfiguration).rename(f, new Path(to))
   }
 
+  def mkdirs(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  def modTime(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getModificationTime
+  }
+
   def list(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

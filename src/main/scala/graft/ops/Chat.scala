@@ -172,7 +172,12 @@ object Chat {
     * partitions. If the store lacks a `cluster_id` column it is assigned
     * on the fly (correct, but without the partition pruning a written
     * [[Ivf.writePartitioned]] store gives). At `nProbe = model.k` the
-    * answers equal the exhaustive path bit-for-bit.
+    * answers equal the exhaustive path bit-for-bit — PROVIDED an existing
+    * `cluster_id` column was assigned by THIS model: a store partitioned
+    * by a different/stale model puts rows in clusters the probe union
+    * never selects, silently losing them (the probe predicate prunes at
+    * the scan, so no runtime check can see the missing rows — keep the
+    * model artifact with the store it wrote).
     */
   def answerBatch(questions: DataFrame, qidCol: String, questionCol: String,
                   store: DataFrame, idCol: String, textCol: String, embCol: String,

@@ -108,10 +108,13 @@ object Ingest {
     VersionedStore.compact(spark, s"$storeDir/${config.tableName}", rowsPerFile)._2
 
   /** Reclaim segments retired by [[compactStore]] and crash-orphaned
-    * files, once no reader still holds the old snapshot.
+    * files, once no reader still holds the old snapshot. `graceMs`
+    * protects in-flight writers' uncommitted segments (see
+    * [[VersionedStore.vacuum]]); pass 0 only under known quiescence.
     */
-  def vacuumStore(spark: SparkSession, storeDir: String, config: StoreConfig): Seq[String] =
-    VersionedStore.vacuum(spark, s"$storeDir/${config.tableName}")
+  def vacuumStore(spark: SparkSession, storeDir: String, config: StoreConfig,
+                  graceMs: Long = 60L * 60 * 1000): Seq[String] =
+    VersionedStore.vacuum(spark, s"$storeDir/${config.tableName}", graceMs)
 
   /** S13 chunk JSON sink (`src/server/utils/embedding.py:61-75`): dump
     * split chunks as JSON in the LangChain Document dump shape that

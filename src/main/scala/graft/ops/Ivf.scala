@@ -122,7 +122,11 @@ object Ivf {
     * (per-partition top-k heap + rank window) keeps the Exchange
     * corpus-size-independent. `nProbe = model.k` is exhaustive and equals
     * [[Similarity.similarityJoin]] bit-for-bit (same scores, same
-    * ordering, same tiebreak).
+    * ordering, same tiebreak) — PROVIDED `clusterCol` was assigned by
+    * THIS `model`: a store partitioned by a different or stale model
+    * holds rows in clusters the probe union never selects, and the scan
+    * predicate prunes them before any runtime check could notice. Keep
+    * the model artifact with the store it wrote.
     *
     * The query batch is collected to rank centroids per query — bounded
     * by the same contract that lets [[Similarity.similarityJoin]]

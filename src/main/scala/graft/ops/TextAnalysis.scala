@@ -76,21 +76,29 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, maxRatio: Double = 0.2): DataFrame = {
-    val base = df.select(col(idCol), tokens(col(textCol)).as("__w"))
-    val grams = base.select(col(idCol), explode(
+    val grams = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(
         when(size(col("__w")) >= n, transform(
           sequence(lit(0), size(col("__w")) - n),
           i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
           .otherwise(array().cast("array<string>"))).as("__g"))
+    // n_grams = sum of per-gram counts in the SAME aggregation that takes
+    // the max, so only the id column feeds the second plan branch (docs
+    // with no n-grams must still report a zero row) — the gram branch
+    // tokenizes once, and the id branch prunes to a near-free scan.
+    // Callers whose df is itself expensive should persist it upstream
+    // (no cross-branch CSE in Catalyst).
     val top = grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(max(col("__c")).as("top_n"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("top_n"), sum(col("__c")).as("n_grams"))
     val ratio = when(col("n_grams") > 0,
       col("top_n").cast("double") / col("n_grams")).otherwise(lit(0.0))
-    base.select(col(idCol),
-        greatest(size(col("__w")) - n + 1, lit(0)).cast("long").as("n_grams"))
+    df.select(col(idCol))
       .join(top, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
       .withColumn("top_n", coalesce(col("top_n"), lit(0L)))
       .withColumn("rep_ratio", ratio)
       .withColumn("repetitive", col("rep_ratio") > maxRatio)
+      .select(col(idCol), col("n_grams"), col("top_n"), col("rep_ratio"), col("repetitive"))
   }
 }

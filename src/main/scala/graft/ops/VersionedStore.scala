@@ -77,10 +77,46 @@ object VersionedStore {
   /** The table as of its latest committed manifest — None before the
     * first commit, an empty-segment state reads as None too (a table
     * with no live data rows has nothing to scan and no schema to carry).
+    * A pre-manifest flat-layout table (loose part files, no manifests)
+    * reads as-is, so legacy stores stay visible to pure readers; the
+    * first write through [[appendNonEmpty]]/[[compact]] adopts them into
+    * a committed segment.
     */
   def read(spark: SparkSession, table: String): Option[DataFrame] =
     currentState(spark, table).filter(_.segments.nonEmpty)
       .map(st => spark.read.parquet(st.segments.map(s => s"$table/$s"): _*))
+      .orElse {
+        val loose = looseParquet(spark, table)
+        if (loose.isEmpty) None else Some(spark.read.parquet(loose: _*))
+      }
+
+  /** Data files sitting loose in the table root — the pre-manifest flat
+    * layout (segment data lives under seg-* directories, never here).
+    */
+  private def looseParquet(spark: SparkSession, table: String): Seq[String] =
+    graft.Fs.list(spark, table).filter { p =>
+      p.substring(p.lastIndexOf('/') + 1).endsWith(".parquet")
+    }
+
+  /** Migrate a flat pre-manifest table in place: move its loose part
+    * files into one committed segment. No-op when a manifest already
+    * exists or there is nothing loose. Called by every writer before it
+    * acts, so old stores keep their rows (and their anti-join
+    * idempotency) instead of becoming silently invisible.
+    */
+  private def adoptLegacy(spark: SparkSession, table: String): Unit = {
+    val loose = looseParquet(spark, table)
+    if (loose.nonEmpty && currentState(spark, table).isEmpty) {
+      val seg = "seg-legacy" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      graft.Fs.mkdirs(spark, s"$table/$seg")
+      loose.foreach { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        if (!graft.Fs.rename(spark, p, s"$table/$seg/$name"))
+          throw new java.io.IOException(s"legacy adoption failed moving $p into $seg")
+      }
+      commit(spark, table, cur => cur :+ seg): Unit
+    }
+  }
 
   /** Write a new immutable segment (not yet visible — nothing references
     * it until a [[commit]] lists it). Returns the segment name.
@@ -134,6 +170,7 @@ object VersionedStore {
     */
   def appendNonEmpty(spark: SparkSession, table: String, df: DataFrame): Long = {
     import org.apache.spark.sql.functions.{count, lit}
+    adoptLegacy(spark, table)
     // caveat: an Observation accumulates over task attempts, so stage
     // retries / speculative duplicates can over-count relative to the
     // rows actually committed — accepted to keep the plan single-pass;
@@ -155,8 +192,11 @@ object VersionedStore {
     * run [[vacuum]] once old readers are done). Returns the new state and
     * the file count of the compacted segment.
     */
+  private final class ConcurrentCompaction extends RuntimeException
+
   def compact(spark: SparkSession, table: String, rowsPerFile: Long = 1L << 20): (State, Int) = {
     require(rowsPerFile > 0)
+    adoptLegacy(spark, table)
     val st = currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed state to compact at $table"))
     if (st.segments.isEmpty) return (st, 0)
@@ -171,22 +211,45 @@ object VersionedStore {
       if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
       else df.coalesce(nFiles)
     val seg = writeSegment(spark, table, sized)
-    val newState = commit(spark, table,
-      cur => cur.filterNot(st.segments.toSet) :+ seg)
-    (newState, nFiles)
+    // "subtract what I rewrote" is only valid while every rewritten
+    // segment is still live: if another compactor already swapped them
+    // out, committing would publish BOTH full rewrites and silently
+    // double every row — abandon this rewrite instead (the other
+    // compactor's result stands)
+    try {
+      val newState = commit(spark, table, cur => {
+        if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
+        cur.filterNot(st.segments.toSet) :+ seg
+      })
+      (newState, nFiles)
+    } catch {
+      case _: ConcurrentCompaction =>
+        graft.Fs.delete(spark, s"$table/$seg")
+        (currentState(spark, table).getOrElse(st), 0)
+    }
   }
 
   /** Delete segment directories no committed manifest references (crash
     * leftovers and compaction-retired segments) plus stale manifest temp
-    * files. Safe whenever no reader still holds a retired snapshot.
-    * Returns the deleted paths.
+    * files, skipping anything modified within `graceMs`: an unreferenced
+    * RECENT segment may be an in-flight writer's not-yet-committed data —
+    * deleting it would let that writer publish a manifest pointing at a
+    * missing directory. The default hour dwarfs any write-to-commit gap;
+    * pass 0 only when all writers are known quiesced (tests). Readers
+    * holding a retired snapshot need the same consideration: vacuum once
+    * they are done. Returns the deleted paths.
     */
-  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+  def vacuum(spark: SparkSession, table: String,
+             graceMs: Long = 60L * 60 * 1000): Seq[String] = {
     val live = currentState(spark, table).map(_.segments.toSet).getOrElse(Set.empty)
+    val cutoff = System.currentTimeMillis() - graceMs
     val deadSegs = graft.Fs.list(spark, table)
       .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("seg-"))
       .filterNot(p => live.contains(p.substring(p.lastIndexOf('/') + 1)))
-    val deadTmp = graft.Fs.list(spark, manifestDir(table)).filter(_.contains(".tmp-"))
+      .filter(p => graft.Fs.modTime(spark, p) < cutoff)
+    val deadTmp = graft.Fs.list(spark, manifestDir(table))
+      .filter(_.contains(".tmp-"))
+      .filter(p => graft.Fs.modTime(spark, p) < cutoff)
     val dead = deadSegs ++ deadTmp
     dead.foreach(graft.Fs.delete(spark, _))
     dead

@@ -57,7 +57,10 @@ class IngestChatSpec extends AnyFunSuite {
     assert(readIds() == before, "compaction must preserve rows exactly")
     assert(snapshot.count() == before.size, "pre-compaction snapshot reader still sees its state")
     // vacuum reclaims the five retired segments; the live state is intact
-    val dead = Ingest.vacuumStore(spark, dir, cfg)
+    // (graceMs = 0: the test knows all writers are done — the default
+    // hour-long grace would rightly refuse to touch such fresh segments)
+    assert(Ingest.vacuumStore(spark, dir, cfg).isEmpty, "default grace must spare fresh segments")
+    val dead = Ingest.vacuumStore(spark, dir, cfg, graceMs = 0L)
     assert(dead.nonEmpty)
     assert(readIds() == before)
     assert(graft.Fs.list(spark, path).count(p =>
@@ -71,11 +74,15 @@ class IngestChatSpec extends AnyFunSuite {
     val v1 = VersionedStore.currentState(spark, table).get
 
     // crash mid-compaction = a segment written but never committed: the
-    // current state is untouched and the orphan is vacuumable
+    // current state is untouched and the orphan is vacuumable — but only
+    // past the grace window (a FRESH unreferenced segment may belong to
+    // an in-flight writer whose commit hasn't landed yet)
     VersionedStore.writeSegment(spark, table, Seq((9L, "orphan")).toDF("id", "v"))
     assert(VersionedStore.currentState(spark, table).get == v1)
     assert(VersionedStore.read(spark, table).get.count() == 2, "crash leaves old state readable")
-    assert(VersionedStore.vacuum(spark, table).nonEmpty)
+    assert(VersionedStore.vacuum(spark, table).isEmpty,
+      "default grace must not delete a possibly-in-flight segment")
+    assert(VersionedStore.vacuum(spark, table, graceMs = 0L).nonEmpty)
     assert(VersionedStore.read(spark, table).get.count() == 2)
 
     // compaction interleaved with an append: the append takes the next
@@ -94,6 +101,39 @@ class IngestChatSpec extends AnyFunSuite {
     assert(VersionedStore.appendNonEmpty(spark, table,
       Seq.empty[(Long, String)].toDF("id", "v")) == 0L)
     assert(VersionedStore.currentState(spark, table).get.version == vBefore)
+
+    // two racing compactors must never duplicate rows: the loser detects
+    // its rewritten segments are gone and abandons its own rewrite
+    val n0 = VersionedStore.read(spark, table).get.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = Future.sequence(Seq(
+      Future(VersionedStore.compact(spark, table, rowsPerFile = 1000)),
+      Future(VersionedStore.compact(spark, table, rowsPerFile = 1000))))
+    Await.result(racers, 5.minutes)
+    assert(VersionedStore.read(spark, table).get.count() == n0,
+      "concurrent compaction must not duplicate rows")
+    assert(VersionedStore.read(spark, table).get.select($"id").distinct().count() == n0)
+  }
+
+  test("versioned store adopts a legacy flat-layout table on first write") {
+    import graft.ops.VersionedStore
+    val table = Files.createTempDirectory("graft-legacy").toString + "/T"
+    // a pre-manifest store: loose part files written directly
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(table)
+    // pure readers see the flat layout as-is
+    assert(VersionedStore.read(spark, table).get.count() == 3)
+    assert(VersionedStore.currentState(spark, table).isEmpty)
+    // the first write adopts the loose files into a committed segment —
+    // old rows stay visible alongside the new ones (no silent data loss,
+    // and an anti-join against read() still sees the legacy rows)
+    VersionedStore.appendNonEmpty(spark, table, Seq((4L, "d")).toDF("id", "v")): Unit
+    val ids = VersionedStore.read(spark, table).get.select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    val st = VersionedStore.currentState(spark, table).get
+    assert(st.segments.exists(_.startsWith("seg-legacy")) && st.segments.size == 2)
   }
 
   test("store config derives the reference's table name and round-trips the catalog") {
