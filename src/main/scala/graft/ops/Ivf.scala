@@ -85,11 +85,38 @@ object Ivf {
   }
 
   /** Write an IVF-partitioned store: parquet partitioned by cluster id so
-    * probe-time filters prune whole partitions.
+    * probe-time filters prune whole partitions. The model that assigned
+    * the clusters is persisted INSIDE the store directory (`_ivf_model`;
+    * underscore-prefixed files are invisible to Spark's file index), so
+    * the artifact that makes the partitioning meaningful travels with the
+    * data — probing with a different model silently loses rows (see
+    * [[searchBatch]]); [[loadModel]] recovers the right one.
     */
-  def writePartitioned(df: DataFrame, embCol: String, model: IvfModel, path: String): Unit =
+  def writePartitioned(df: DataFrame, embCol: String, model: IvfModel, path: String): Unit = {
     assign(df, embCol, model)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    saveModel(df.sparkSession, s"$path/_ivf_model", model)
+  }
+
+  /** Persist centroids as text: line 1 = "k dim", then one
+    * space-separated centroid per line — engine-portable, no codec.
+    */
+  def saveModel(spark: SparkSession, path: String, model: IvfModel): Unit = {
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    val body = s"${model.k} $dim\n" +
+      model.centroids.map(_.mkString(" ")).mkString("\n")
+    graft.Fs.writeString(spark, path, body)
+  }
+
+  /** Load the model [[writePartitioned]]/[[saveModel]] persisted. */
+  def loadModel(spark: SparkSession, path: String): IvfModel = {
+    val lines = graft.Fs.readString(spark, path).split("\n")
+    val Array(k, dim) = lines.head.trim.split(" ").map(_.toInt)
+    val cents = lines.tail.take(k).map(_.trim.split(" ").map(_.toFloat))
+    require(cents.length == k && cents.forall(_.length == dim),
+      s"corrupt IVF model at $path")
+    IvfModel(cents)
+  }
 
   /** Top-k search probing only the `nProbe` nearest clusters. On a
     * cluster-partitioned store the `isin` filter is partition pruning.

@@ -195,6 +195,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("ivf-batch").toString + "/store"
     Ivf.writePartitioned(c, "embedding", model, dir)
     val store = spark.read.parquet(dir)
+    // the model artifact travels with the store it partitioned (probing
+    // with a different model silently loses rows) and round-trips exactly
+    // (Float.toString is shortest-exact); the _-prefixed sidecar is
+    // invisible to the parquet scan
+    val loaded = Ivf.loadModel(spark, s"$dir/_ivf_model")
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    assert(store.count() == c.count(), "model sidecar must not pollute the scan")
     val partial = Ivf.searchBatch(q, store, "query_id", "embedding",
       "vec_id", "embedding", model, topK = 4, nProbe = 2)
     val plan = partial.queryExecution.executedPlan.toString
