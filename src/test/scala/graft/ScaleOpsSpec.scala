@@ -408,6 +408,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       "quoted embedded newlines and doubled quotes must survive into the row text")
     assert(multi(1).getString(1) == "name: solo\nrole: pilot")
 
+    // property loop (hand-rolled, seeded): randomized cells over a
+    // quote/comma/newline-heavy alphabet, encoded per RFC 4180, must
+    // round-trip through the state-machine record split + from_csv into
+    // exactly the source cells
+    {
+      val rnd = new scala.util.Random(7)
+      val alphabet = Seq("a", "b", ",", "\"", "\n", " ", "x")
+      def cell(): String =
+        (0 to rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      def enc(v: String): String =
+        if (Seq(",", "\"", "\n").exists(v.contains)) "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      val pdir = Files.createTempDirectory("csv-prop").toString
+      for (trial <- 0 until 15) {
+        val rows = (0 until (1 + rnd.nextInt(4))).map(_ => (cell(), cell()))
+        Files.writeString(java.nio.file.Paths.get(pdir, s"t$trial.csv"),
+          "c1,c2\n" + rows.map(r => enc(r._1) + "," + enc(r._2)).mkString("\n") + "\n")
+        val got = DocumentSources.readCsv(spark, s"$pdir/t$trial.csv")
+          .orderBy(length($"doc_id"), $"doc_id")
+          .select($"text").as[String].collect().toSeq
+        val want = rows.map(r => s"c1: ${r._1}\nc2: ${r._2}")
+        assert(got == want, s"trial $trial: $rows")
+      }
+    }
+
     val pdf = DocumentSources.readPdf(spark, s"$dir/doc.pdf").collect()
     assert(pdf.map(_.getString(0)).toSeq == Seq("doc_p0", "doc_p1"))
     assert(pdf.map(_.getString(1)).toSeq == Seq("page one", "page two"))
