@@ -55,6 +55,27 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // The WHOLE corpus-prep pipeline as one oracle-checked plan — what a
+    // training-data run actually ships: exact-dedup representative ∧
+    // repetition gate ∧ quality gate ∧ test-set decontamination, then a
+    // stratified per-language quota sample of the survivors. Every leg
+    // is independently oracle-green; this checks their composition.
+    "corpus_prep_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val reps = Dedup.exact(docs, "doc_id", "text").select($"doc_id")
+      val notRep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .filter(!$"repetitive").select($"doc_id")
+      val pool = docs.join(reps, Seq("doc_id")).join(notRep, Seq("doc_id"))
+        .withColumn("quality", TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn))
+        .filter($"quality" >= 0.3 && $"doc_id" >= 20)
+      val clean = Dedup.decontaminate(pool, "doc_id", "text",
+        docs.filter($"doc_id" < 20), "text", n = 4)
+      graft.ops.Sampling.stratifiedQuota(clean.select($"doc_id", $"lang"), "lang", "doc_id",
+          Map("en" -> 30, "de" -> 15), defaultQuota = 5)
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style repetition gate: fraction of 2-gram slots covered by
     // the most frequent 2-gram — the boilerplate/degenerate-text filter
     // in standard corpus-quality rule sets. Exact integer ratios.
@@ -185,6 +206,46 @@ object TextQueries {
   private val deList = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "corpus_prep_pipeline" ->
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |qual AS (
+         |  SELECT doc_id, lang,
+         |    0.4*(len(list_distinct($docTokens))::DOUBLE/len($docTokens)) +
+         |    0.3*(${hits(enList)}::DOUBLE/len($docTokens)) +
+         |    0.3*least(len($docTokens)/100.0, 1.0) AS quality
+         |  FROM documents),
+         |rep AS (
+         |  SELECT t.doc_id FROM (SELECT doc_id, $docTokens AS w FROM documents) t
+         |  LEFT JOIN (
+         |    SELECT doc_id, max(n) AS top_n FROM (
+         |      SELECT doc_id, g, count(*) AS n FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |          i -> w[i]||' '||w[i+1])) AS g
+         |        FROM (SELECT doc_id, $docTokens AS w FROM documents))
+         |      GROUP BY doc_id, g)
+         |    GROUP BY doc_id) x USING (doc_id)
+         |  WHERE NOT (CASE WHEN len(w) > 1
+         |             THEN coalesce(top_n, 0)::DOUBLE / (len(w)-1) > 0.2
+         |             ELSE false END)),
+         |ev AS (SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+         |  FROM (SELECT $docTokens AS w FROM documents WHERE doc_id < 20)),
+         |bad AS (SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)-2),
+         |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+         |    FROM (SELECT doc_id, $docTokens AS w FROM documents WHERE doc_id >= 20)) c
+         |  JOIN ev USING (s)),
+         |clean AS (
+         |  SELECT q.doc_id, q.lang FROM qual q
+         |  JOIN reps USING (doc_id) JOIN rep USING (doc_id)
+         |  WHERE q.quality >= 0.3 AND q.doc_id >= 20
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM bad))
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         |  FROM clean)
+         |WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 15 ELSE 5 END
+         |ORDER BY doc_id""".stripMargin,
     "quality_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |           FROM documents),
