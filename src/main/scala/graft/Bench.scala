@@ -30,16 +30,8 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // full JSON string escape (as in Verify): a tab or stray \r in an
-    // exception message must not invalidate the whole bench line
-    def esc(s: String): String = s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    }
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + esc(e) + "\""
+      s"\"" + k + "\":\"" + Jsons.escape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -40,6 +40,15 @@ object Fs {
     f.getFileSystem(spark.sparkContext.hadoopConfiguration).rename(f, new Path(to))
   }
 
+  def copyFile(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new Path(from); val t = new Path(to)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      f.getFileSystem(conf), f, t.getFileSystem(conf), t,
+      false /* keep source */, true /* overwrite */, conf)
+    if (!ok) throw new java.io.IOException(s"copy failed: $from -> $to")
+  }
+
   def mkdirs(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)

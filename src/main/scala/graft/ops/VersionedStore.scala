@@ -98,11 +98,23 @@ object VersionedStore {
       p.substring(p.lastIndexOf('/') + 1).endsWith(".parquet")
     }
 
-  /** Migrate a flat pre-manifest table in place: move its loose part
-    * files into one committed segment. No-op when a manifest already
-    * exists or there is nothing loose. Called by every writer before it
-    * acts, so old stores keep their rows (and their anti-join
-    * idempotency) instead of becoming silently invisible.
+  private final class AdoptionRace extends RuntimeException
+
+  /** Migrate a flat pre-manifest table in place: COPY its loose part
+    * files into one segment, then commit that segment as the table's
+    * first manifest. No-op when a manifest already exists or there is
+    * nothing loose. Called by every writer before it acts, so old stores
+    * keep their rows (and their anti-join idempotency) instead of
+    * becoming silently invisible.
+    *
+    * Copy — not move — keeps this atomic for readers and crash-safe: the
+    * loose files stay the complete readable table (the [[read]] fallback)
+    * until the manifest lands, a crash mid-copy leaves only a vacuumable
+    * orphan, and a retry starts fresh. The commit is conditional on the
+    * state still being empty, so two racing adopters cannot each publish
+    * a copy of the legacy rows (the loser deletes its segment — the
+    * winner's adoption already carries them). The now-redundant loose
+    * files are reclaimed by [[vacuum]] once a manifest exists.
     */
   private def adoptLegacy(spark: SparkSession, table: String): Unit = {
     val loose = looseParquet(spark, table)
@@ -111,10 +123,15 @@ object VersionedStore {
       graft.Fs.mkdirs(spark, s"$table/$seg")
       loose.foreach { p =>
         val name = p.substring(p.lastIndexOf('/') + 1)
-        if (!graft.Fs.rename(spark, p, s"$table/$seg/$name"))
-          throw new java.io.IOException(s"legacy adoption failed moving $p into $seg")
+        graft.Fs.copyFile(spark, p, s"$table/$seg/$name")
       }
-      commit(spark, table, cur => cur :+ seg): Unit
+      try commit(spark, table, cur => {
+        if (cur.nonEmpty) throw new AdoptionRace
+        Seq(seg)
+      }): Unit
+      catch {
+        case _: AdoptionRace => graft.Fs.delete(spark, s"$table/$seg")
+      }
     }
   }
 
@@ -158,6 +175,8 @@ object VersionedStore {
     * segment (vacuumable) and an unchanged table.
     */
   def append(spark: SparkSession, table: String, df: DataFrame): State = {
+    adoptLegacy(spark, table) // every writer adopts, or a first append
+                              // would hide a legacy table's loose rows
     val seg = writeSegment(spark, table, df)
     commit(spark, table, cur => cur :+ seg)
   }
@@ -241,16 +260,27 @@ object VersionedStore {
     */
   def vacuum(spark: SparkSession, table: String,
              graceMs: Long = 60L * 60 * 1000): Seq[String] = {
-    val live = currentState(spark, table).map(_.segments.toSet).getOrElse(Set.empty)
+    val state = currentState(spark, table)
+    val live = state.map(_.segments.toSet).getOrElse(Set.empty)
     val cutoff = System.currentTimeMillis() - graceMs
+    // a racing actor (empty-append cleanup, losing compactor, another
+    // vacuum) may delete a listed path before we stat it — a vanished
+    // path is simply not ours to reclaim, never a crash
+    def reclaimable(p: String): Boolean =
+      scala.util.Try(graft.Fs.modTime(spark, p)).toOption.exists(_ < cutoff)
     val deadSegs = graft.Fs.list(spark, table)
       .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("seg-"))
       .filterNot(p => live.contains(p.substring(p.lastIndexOf('/') + 1)))
-      .filter(p => graft.Fs.modTime(spark, p) < cutoff)
+      .filter(reclaimable)
     val deadTmp = graft.Fs.list(spark, manifestDir(table))
       .filter(_.contains(".tmp-"))
-      .filter(p => graft.Fs.modTime(spark, p) < cutoff)
-    val dead = deadSegs ++ deadTmp
+      .filter(reclaimable)
+    // loose flat-layout files are redundant once a manifest exists (the
+    // adoption COPIED them into a committed segment)
+    val deadLoose =
+      if (state.isEmpty) Seq.empty
+      else looseParquet(spark, table).filter(reclaimable)
+    val dead = deadSegs ++ deadTmp ++ deadLoose
     dead.foreach(graft.Fs.delete(spark, _))
     dead
   }

@@ -229,11 +229,13 @@ object TextQueries {
          |             ELSE false END)),
          |ev AS (SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),
          |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
-         |  FROM (SELECT $docTokens AS w FROM documents WHERE doc_id < 20)),
+         |  FROM (SELECT regexp_split_to_array(text, '\\s+') AS w
+         |        FROM documents WHERE doc_id < 20)),
          |bad AS (SELECT DISTINCT doc_id FROM (
          |    SELECT doc_id, unnest(list_transform(range(1, len(w)-2),
          |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
-         |    FROM (SELECT doc_id, $docTokens AS w FROM documents WHERE doc_id >= 20)) c
+         |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+         |          FROM documents WHERE doc_id >= 20)) c
          |  JOIN ev USING (s)),
          |clean AS (
          |  SELECT q.doc_id, q.lang FROM qual q

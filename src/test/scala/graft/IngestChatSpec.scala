@@ -134,6 +134,18 @@ class IngestChatSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L))
     val st = VersionedStore.currentState(spark, table).get
     assert(st.segments.exists(_.startsWith("seg-legacy")) && st.segments.size == 2)
+    // adoption COPIES (crash-safe for readers); the redundant loose
+    // originals are reclaimed by vacuum and the table stays complete
+    assert(VersionedStore.vacuum(spark, table, graceMs = 0L).nonEmpty)
+    assert(VersionedStore.read(spark, table).get.select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // the plain append writer adopts too — a first append on a legacy
+    // table must not publish a manifest that hides the loose rows
+    val t2 = Files.createTempDirectory("graft-legacy2").toString + "/T"
+    Seq((7L, "x")).toDF("id", "v").write.parquet(t2)
+    VersionedStore.append(spark, t2, Seq((8L, "y")).toDF("id", "v")): Unit
+    assert(VersionedStore.read(spark, t2).get.select($"id").as[Long].collect().sorted.toSeq
+      == Seq(7L, 8L))
   }
 
   test("store config derives the reference's table name and round-trips the catalog") {
