@@ -40,6 +40,31 @@ object Fs {
     f.getFileSystem(spark.sparkContext.hadoopConfiguration).rename(f, new Path(to))
   }
 
+  /** Publish `from` at `to` iff `to` does not exist, ATOMICALLY — the
+    * compare-and-swap primitive for manifest commits. On the local
+    * filesystem a plain rename OVERWRITES an existing destination
+    * (POSIX rename(2)), so an exists-check + rename leaves a TOCTOU
+    * window; hardlink creation (`link(2)`) fails with EEXIST atomically,
+    * which makes the local CAS exact. On HDFS, rename to an existing
+    * file already fails, so exists+rename is exact there too.
+    * Returns true iff this caller won the publish.
+    */
+  def publishExclusive(spark: SparkSession, from: String, to: String): Boolean = {
+    val f = new Path(from)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(new Path(to).toUri.getPath),
+          java.nio.file.Paths.get(f.toUri.getPath))
+        fs.delete(f, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(new Path(to)) && fs.rename(f, new Path(to))
+  }
+
   def copyFile(spark: SparkSession, from: String, to: String): Unit = {
     val f = new Path(from); val t = new Path(to)
     val conf = spark.sparkContext.hadoopConfiguration

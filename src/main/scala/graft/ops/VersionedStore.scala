@@ -28,10 +28,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    committer — so compaction needs NO writer quiescence: an append
   *    landing mid-compaction wins or forces a retry that preserves its
   *    segment (the retired-segment set is subtracted, not the whole list
-  *    replaced). On HDFS the no-overwrite rename makes the CAS exact; on
-  *    a POSIX local FS (rename overwrites) the pre-rename existence check
-  *    narrows the race to microseconds — and S3A/ABFS committers sit on
-  *    the HDFS side of this line.
+  *    replaced). The publish is EXACT on both filesystem families: on
+  *    HDFS rename to an existing file fails, and on a POSIX local FS
+  *    hardlink creation fails with EEXIST atomically
+  *    ([[graft.Fs.publishExclusive]]) — so a lost race is always
+  *    detected, never a silent overwrite.
   *  - '''Snapshot reads''': [[compact]] retires segments from the
   *    manifest but does not delete them, so an in-flight reader holding
   *    the previous state keeps scanning valid files; [[vacuum]] deletes
@@ -161,9 +162,9 @@ object VersionedStore {
       val target = manifestPath(table, next.version)
       val tmp = s"$target.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
       graft.Fs.writeString(spark, tmp, render(next.version, next.segments))
-      if (!graft.Fs.exists(spark, target) && graft.Fs.rename(spark, tmp, target))
+      if (graft.Fs.publishExclusive(spark, tmp, target))
         return next
-      graft.Fs.delete(spark, tmp) // lost the race (or rename failed): retry on fresh state
+      graft.Fs.delete(spark, tmp) // lost the race: retry on fresh state
       attempt += 1
     }
     throw new java.io.IOException(

@@ -117,6 +117,26 @@ class IngestChatSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, table).get.select($"id").distinct().count() == n0)
   }
 
+  test("versioned store: 8 concurrent appends all land exactly once (manifest CAS)") {
+    import graft.ops.VersionedStore
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = Files.createTempDirectory("graft-cas").toString + "/T"
+    val n = 8
+    // all writers race the same initial versions; the hardlink-exclusive
+    // publish must serialize them — any lost-but-undetected race shows as
+    // a missing id (its segment absent from the winning manifest chain)
+    val racers = (0 until n).map(i => Future {
+      VersionedStore.appendNonEmpty(spark, table, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    })
+    Await.result(Future.sequence(racers), 5.minutes)
+    val got = VersionedStore.read(spark, table).get.select($"id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until n.toLong), s"every concurrent append must be visible exactly once: $got")
+    assert(VersionedStore.currentState(spark, table).get.version == n,
+      "8 appends = exactly 8 committed versions")
+  }
+
   test("versioned store adopts a legacy flat-layout table on first write") {
     import graft.ops.VersionedStore
     val table = Files.createTempDirectory("graft-legacy").toString + "/T"
