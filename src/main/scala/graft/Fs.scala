@@ -61,6 +61,12 @@ object Fs {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // 'file'-scheme mounts without link(2) (CIFS, FAT, some FUSE
+          // drivers): degrade to the exists+rename publish rather than
+          // making the store unusable — exactness shrinks back to the
+          // HDFS-style check on those mounts
+          !fs.exists(new Path(to)) && fs.rename(f, new Path(to))
       }
     } else !fs.exists(new Path(to)) && fs.rename(f, new Path(to))
   }

@@ -118,6 +118,11 @@ object VersionedStore {
     * files are reclaimed by [[vacuum]] once a manifest exists.
     */
   private def adoptLegacy(spark: SparkSession, table: String): Unit = {
+    // manifest check first: after the first commit adoption is a
+    // guaranteed no-op, and listing the small _manifests dir is far
+    // cheaper than listing a table root that grows a seg-* dir per
+    // append (an O(#segments) RPC per micro-batch on object stores)
+    if (currentState(spark, table).nonEmpty) return
     val loose = looseParquet(spark, table)
     if (loose.nonEmpty && currentState(spark, table).isEmpty) {
       val seg = "seg-legacy" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -161,10 +166,18 @@ object VersionedStore {
         transform(cur.map(_.segments).getOrElse(Nil)))
       val target = manifestPath(table, next.version)
       val tmp = s"$target.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      graft.Fs.writeString(spark, tmp, render(next.version, next.segments))
+      val rendered = render(next.version, next.segments)
+      graft.Fs.writeString(spark, tmp, rendered)
       if (graft.Fs.publishExclusive(spark, tmp, target))
         return next
-      graft.Fs.delete(spark, tmp) // lost the race: retry on fresh state
+      // a retransmitted link(2) on NFS can report EEXIST for a publish
+      // that actually landed — the manifest content (which names this
+      // caller's unique segments) is the tiebreaker: ours means we won
+      if (scala.util.Try(graft.Fs.readString(spark, target)).toOption.contains(rendered)) {
+        graft.Fs.delete(spark, tmp)
+        return next
+      }
+      graft.Fs.delete(spark, tmp) // genuinely lost the race: retry on fresh state
       attempt += 1
     }
     throw new java.io.IOException(
@@ -276,11 +289,19 @@ object VersionedStore {
     val deadTmp = graft.Fs.list(spark, manifestDir(table))
       .filter(_.contains(".tmp-"))
       .filter(reclaimable)
-    // loose flat-layout files are redundant once a manifest exists (the
-    // adoption COPIED them into a committed segment)
-    val deadLoose =
-      if (state.isEmpty) Seq.empty
-      else looseParquet(spark, table).filter(reclaimable)
+    // loose flat-layout files older than the FIRST manifest were present
+    // when adoption committed, so a committed segment carries their
+    // copies — redundant, reclaimable. Loose files NEWER than manifest 1
+    // were never adopted (an external/old-binary writer landed them
+    // after the table went versioned): deleting those would destroy the
+    // only copy, so they are left shadowed on disk for manual recovery.
+    val deadLoose = (for {
+      _ <- state
+      adoptedAt <- scala.util.Try(graft.Fs.modTime(spark, manifestPath(table, 1))).toOption
+    } yield looseParquet(spark, table)
+      .filter(p => scala.util.Try(graft.Fs.modTime(spark, p)).toOption
+        .exists(t => t < cutoff && t <= adoptedAt))
+    ).getOrElse(Seq.empty)
     val dead = deadSegs ++ deadTmp ++ deadLoose
     dead.foreach(graft.Fs.delete(spark, _))
     dead

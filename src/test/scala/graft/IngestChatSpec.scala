@@ -159,6 +159,16 @@ class IngestChatSpec extends AnyFunSuite {
     assert(VersionedStore.vacuum(spark, table, graceMs = 0L).nonEmpty)
     assert(VersionedStore.read(spark, table).get.select($"id").as[Long].collect().sorted.toSeq
       == Seq(1L, 2L, 3L, 4L))
+    // a loose file landing AFTER the table went versioned (external /
+    // old-binary writer) is the only copy of its rows — vacuum must
+    // leave it shadowed on disk, not destroy it
+    Seq((9L, "ext")).toDF("id", "v").write.mode("append").parquet(table)
+    VersionedStore.vacuum(spark, table, graceMs = 0L)
+    assert(graft.Fs.list(spark, table).exists(p =>
+      p.substring(p.lastIndexOf('/') + 1).endsWith(".parquet")),
+      "post-adoption loose files must survive vacuum")
+    assert(VersionedStore.read(spark, table).get.count() == 4, "manifest state unchanged")
+
     // the plain append writer adopts too — a first append on a legacy
     // table must not publish a manifest that hides the loose rows
     val t2 = Files.createTempDirectory("graft-legacy2").toString + "/T"
