@@ -53,3 +53,34 @@ final case class HashEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder {
     v
   }
 }
+
+/** Requests-per-minute throttle around any [[Embedder]] — the engine
+  * side of the reference's embed-API rate limit, which sleeps
+  * `60 / rate_limit` seconds between ingestion batches
+  * (`src/server/utils/embedding.py:335-338`). The token interval is
+  * enforced per EXECUTOR-CORE instance (each deserialized task closure
+  * gets its own clock), so the effective cluster-wide rate is
+  * `rpm × parallelism` — size `rpm` accordingly, exactly as the
+  * reference sizes it per worker. `rpm <= 0` disables the throttle.
+  */
+final case class RateLimitedEmbedder(inner: Embedder, rpm: Int) extends Embedder {
+  def dim: Int = inner.dim
+  @transient private lazy val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def throttle(): Unit = if (rpm > 0) {
+    val intervalMs = 60000L / rpm
+    while (true) {
+      val last = clock.get()
+      val now = System.currentTimeMillis()
+      val next = math.max(now, last + intervalMs)
+      if (clock.compareAndSet(last, next)) {
+        if (next > now) Thread.sleep(next - now)
+        return
+      }
+    }
+  }
+  def embed(text: String): Array[Float] = { throttle(); inner.embed(text) }
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    throttle() // the reference throttles per BATCH, not per text
+    texts.map(inner.embed)
+  }
+}

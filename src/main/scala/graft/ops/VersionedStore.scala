@@ -91,6 +91,27 @@ object VersionedStore {
         if (loose.isEmpty) None else Some(spark.read.parquet(loose: _*))
       }
 
+  /** All committed states, oldest first — manifests are never deleted,
+    * so the full version history is one directory listing.
+    */
+  def history(spark: SparkSession, table: String): Seq[State] =
+    graft.Fs.list(spark, manifestDir(table))
+      .filter(_.matches(".*/m-\\d{16}\\.json"))
+      .sorted
+      .map(p => parse(graft.Fs.readString(spark, p)))
+
+  /** Time-travel read: the table exactly as of `version`. Valid for any
+    * committed version whose segments have not been [[vacuum]]ed (a
+    * compaction retires segments from the CURRENT state; older manifests
+    * referencing them stay readable until vacuum reclaims the files).
+    */
+  def readAt(spark: SparkSession, table: String, version: Long): Option[DataFrame] = {
+    val json = scala.util.Try(
+      graft.Fs.readString(spark, manifestPath(table, version))).toOption
+    json.map(parse).filter(_.segments.nonEmpty)
+      .map(st => spark.read.parquet(st.segments.map(s => s"$table/$s"): _*))
+  }
+
   /** Data files sitting loose in the table root — the pre-manifest flat
     * layout (segment data lives under seg-* directories, never here).
     */

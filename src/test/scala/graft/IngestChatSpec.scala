@@ -115,6 +115,14 @@ class IngestChatSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, table).get.count() == n0,
       "concurrent compaction must not duplicate rows")
     assert(VersionedStore.read(spark, table).get.select($"id").distinct().count() == n0)
+
+    // time travel: manifests are never deleted, so every committed
+    // version stays readable until its segments are vacuumed
+    assert(VersionedStore.readAt(spark, table, 1L).get.count() == 2,
+      "version 1 (the first two rows) must still be readable")
+    val cur = VersionedStore.currentState(spark, table).get.version
+    assert(VersionedStore.history(spark, table).map(_.version) == (1L to cur),
+      "history lists every committed version in order")
   }
 
   test("versioned store: 8 concurrent appends all land exactly once (manifest CAS)") {

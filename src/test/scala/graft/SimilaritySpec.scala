@@ -199,6 +199,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rate-limited embedder preserves values and enforces the batch interval") {
+    import graft.embed.{HashEmbedder, RateLimitedEmbedder}
+    val inner = HashEmbedder(16)
+    val rl = RateLimitedEmbedder(inner, rpm = 6000) // 10 ms between calls
+    assert(rl.embed("hello world").toSeq == inner.embed("hello world").toSeq,
+      "throttling must not change values")
+    val t0 = System.nanoTime()
+    (1 to 3).foreach(_ => rl.embed("x"))
+    assert((System.nanoTime() - t0) / 1e6 >= 20.0, "3 calls at a 10 ms interval need >= 20 ms")
+    // rpm <= 0 disables; batch values unchanged either way
+    val off = RateLimitedEmbedder(inner, rpm = 0)
+    assert(off.embedBatch(Seq("a", "b")).map(_.toSeq) ==
+      inner.embedBatch(Seq("a", "b")).map(_.toSeq))
+  }
+
   test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
     val e = HashEmbedder(dim = 16)
     val v1 = e.embed("spark catalyst engine")
