@@ -61,6 +61,22 @@ object TextAnalysis {
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 
+  /** PII redaction — the scrubbing pass every large-corpus pipeline runs
+    * before training: emails, URLs, IPv4 addresses, and phone-like digit
+    * runs become typed placeholder tokens. Pure codegen'd
+    * `regexp_replace` chain (no UDF); patterns stay inside the RE2∩Java
+    * common subset so a SQL oracle evaluates them identically. Order
+    * matters: emails and URLs first (they contain digits an IP/phone
+    * pattern would otherwise chew on), then IPs, then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    val ip = regexp_replace(url, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
+  }
+
   /** Gopher-style repetition metric: per document, the fraction of word
     * n-gram slots covered by the single most frequent n-gram —
     * boilerplate and degenerate generations repeat one phrase, natural

@@ -76,6 +76,21 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction over deterministic planted PII: the synthetic corpus
+    // text is clean by construction, so both engines append the same
+    // derived email/URL/IP/phone per doc and the scrubber must replace
+    // all four with typed placeholders — value-exact vs the oracle.
+    "text_pii_redaction" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("dirty", concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com see http://ex.org/p?i="),
+          $"doc_id", lit(" ip 10.0."), $"doc_id" % 256, lit(".7 tel +1 555 01"),
+          ($"doc_id" % 90) + 10))
+        .select($"doc_id", TextAnalysis.redactPii($"dirty").as("clean"))
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style repetition gate: fraction of 2-gram slots covered by
     // the most frequent 2-gram — the boilerplate/degenerate-text filter
     // in standard corpus-quality rule sets. Exact integer ratios.
@@ -248,6 +263,20 @@ object TextQueries {
          |  FROM clean)
          |WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 15 ELSE 5 END
          |ORDER BY doc_id""".stripMargin,
+    "text_pii_redaction" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' contact user' || doc_id || '@example.com see http://ex.org/p?i='
+        |               || doc_id || ' ip 10.0.' || (doc_id % 256) || '.7 tel +1 555 01'
+        |               || ((doc_id % 90) + 10),
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "quality_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |           FROM documents),
