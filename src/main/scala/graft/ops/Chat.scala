@@ -130,15 +130,27 @@ object Chat {
              embedder: Embedder, model: ChatModel = TemplateModel,
              grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
              topK: Int = 4, metric: String = "COSINE",
-             history: Seq[String] = Seq.empty, useRag: Boolean = true): RagAnswer = {
+             history: Seq[String] = Seq.empty, useRag: Boolean = true,
+             index: Option[(Ivf.IvfModel, Int)] = None): RagAnswer = {
     if (!useRag) {
       val ans = model.generate(sysPrompt, "", question)
       return RagAnswer(question, question, ans, "", Seq.empty, relevant = false)
     }
     val q = model.rewrite(question, history)
     val qv = embedder.embed(q)
-    val hits = Similarity.knn(store.select(col(idCol), col(textCol), col(embCol)), embCol, qv, topK, metric)
-      .select(col(idCol).cast("string"), col(textCol)).collect()
+    // with an index, retrieval probes only the question's nProbe nearest
+    // clusters (Ivf.search partition pruning — same stale-model caveat as
+    // answerBatch: cluster_id must come from THIS model)
+    val hits = (index match {
+      case Some((ivfModel, nProbe)) =>
+        val clustered =
+          if (store.columns.contains("cluster_id"))
+            store.select(col(idCol), col(textCol), col(embCol), col("cluster_id"))
+          else Ivf.assign(store.select(col(idCol), col(textCol), col(embCol)), embCol, ivfModel)
+        Ivf.search(clustered, embCol, ivfModel, qv, topK, nProbe, metric)
+      case None =>
+        Similarity.knn(store.select(col(idCol), col(textCol), col(embCol)), embCol, qv, topK, metric)
+    }).select(col(idCol).cast("string"), col(textCol)).collect()
     // A9 context concat (chatbot.py:76-81)
     val context = hits.map(_.getString(1)).mkString("\n\n")
     val rel = grader.relevant(q, context)

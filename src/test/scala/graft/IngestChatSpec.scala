@@ -258,6 +258,12 @@ class IngestChatSpec extends AnyFunSuite {
     val plain = Chat.answer(spark, "how does spark plan queries", store,
       "id", "text", "embedding", embedder, useRag = false)
     assert(plain.retrievedIds.isEmpty && plain.context.isEmpty)
+    // single-question IVF retrieval at full probe equals the exhaustive
+    // path (same scores, same id tiebreak)
+    val ivfModel = graft.ops.Ivf.fit(store, "id", "embedding", k = 2)
+    val viaIndex = Chat.answer(spark, "how does spark plan queries", store,
+      "id", "text", "embedding", embedder, topK = 2, index = Some((ivfModel, 2)))
+    assert(viaIndex == ans, "full-probe indexed answer must equal the exhaustive answer")
   }
 
   test("answerBatch equals per-question answer on the same store") {
