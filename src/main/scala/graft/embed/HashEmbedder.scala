@@ -66,14 +66,17 @@ final case class HashEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder {
 final case class RateLimitedEmbedder(inner: Embedder, rpm: Int) extends Embedder {
   def dim: Int = inner.dim
   @transient private lazy val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  // nanosecond interval: a millisecond quantum would truncate to ZERO
+  // (= unthrottled) for any rpm above 60000
   private def throttle(): Unit = if (rpm > 0) {
-    val intervalMs = 60000L / rpm
+    val intervalNs = 60000000000L / rpm
     while (true) {
       val last = clock.get()
-      val now = System.currentTimeMillis()
-      val next = math.max(now, last + intervalMs)
+      val now = System.nanoTime()
+      val next = math.max(now, last + intervalNs)
       if (clock.compareAndSet(last, next)) {
-        if (next > now) Thread.sleep(next - now)
+        val waitNs = next - now
+        if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
         return
       }
     }
@@ -81,6 +84,7 @@ final case class RateLimitedEmbedder(inner: Embedder, rpm: Int) extends Embedder
   def embed(text: String): Array[Float] = { throttle(); inner.embed(text) }
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
     throttle() // the reference throttles per BATCH, not per text
-    texts.map(inner.embed)
+    inner.embedBatch(texts) // and the inner batch implementation (e.g. a
+                            // single batched API call) must be preserved
   }
 }

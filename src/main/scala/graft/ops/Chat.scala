@@ -139,8 +139,11 @@ object Chat {
     val q = model.rewrite(question, history)
     val qv = embedder.embed(q)
     // with an index, retrieval probes only the question's nProbe nearest
-    // clusters (Ivf.search partition pruning — same stale-model caveat as
-    // answerBatch: cluster_id must come from THIS model)
+    // clusters. The pruning is real I/O savings ONLY on a
+    // writePartitioned store that carries cluster_id (same stale-model
+    // caveat as answerBatch); assigning on the fly is semantics-
+    // preserving but strictly extra work for a single question — prefer
+    // the plain path unless the store is partitioned.
     val hits = (index match {
       case Some((ivfModel, nProbe)) =>
         val clustered =

@@ -65,14 +65,18 @@ object TextAnalysis {
     * before training: emails, URLs, IPv4 addresses, and phone-like digit
     * runs become typed placeholder tokens. Pure codegen'd
     * `regexp_replace` chain (no UDF); patterns stay inside the RE2∩Java
-    * common subset so a SQL oracle evaluates them identically. Order
-    * matters: emails and URLs first (they contain digits an IP/phone
-    * pattern would otherwise chew on), then IPs, then phones.
+    * common subset so a SQL oracle evaluates them identically — which is
+    * why the URL terminator spells the whitespace class out explicitly:
+    * Java's `\s` includes vertical tab (\x0B), RE2's does not, and that
+    * one-character disagreement would silently break cross-engine
+    * parity on real text. Order matters: emails and URLs first (they
+    * contain digits an IP/phone pattern would otherwise chew on), then
+    * IPs, then phones.
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
-    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    val url = regexp_replace(email, "https?://[^ \\t\\n\\x0B\\f\\r]+", "<URL>")
     val ip = regexp_replace(url, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }

@@ -65,14 +65,21 @@ object VersionedStore {
     State(v, segs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
   }
 
+  private def listManifests(spark: SparkSession, table: String): Seq[String] =
+    graft.Fs.list(spark, manifestDir(table))
+      .filter(_.matches(".*/m-\\d{16}\\.json"))
+      .sorted
+
+  private def readState(spark: SparkSession, table: String, st: State): DataFrame =
+    spark.read.parquet(st.segments.map(s => s"$table/$s"): _*)
+
   /** Latest committed state, if any manifest exists. Zero-padded version
     * numbers make the lexicographic max the numeric max.
     */
   def currentState(spark: SparkSession, table: String): Option[State] = {
-    val ms = graft.Fs.list(spark, manifestDir(table))
-      .filter(_.matches(".*/m-\\d{16}\\.json"))
+    val ms = listManifests(spark, table)
     if (ms.isEmpty) None
-    else Some(parse(graft.Fs.readString(spark, ms.max)))
+    else Some(parse(graft.Fs.readString(spark, ms.last)))
   }
 
   /** The table as of its latest committed manifest — None before the
@@ -85,31 +92,35 @@ object VersionedStore {
     */
   def read(spark: SparkSession, table: String): Option[DataFrame] =
     currentState(spark, table).filter(_.segments.nonEmpty)
-      .map(st => spark.read.parquet(st.segments.map(s => s"$table/$s"): _*))
+      .map(st => readState(spark, table, st))
       .orElse {
         val loose = looseParquet(spark, table)
         if (loose.isEmpty) None else Some(spark.read.parquet(loose: _*))
       }
 
-  /** All committed states, oldest first — manifests are never deleted,
-    * so the full version history is one directory listing.
+  /** All committed states, oldest first. Manifests are never deleted, so
+    * the listing is complete — but materializing the states costs one
+    * small read per version: an introspection surface, not a hot path
+    * (a long-lived streaming table accumulates one version per
+    * micro-batch; list versions via the listing if the contents are not
+    * needed).
     */
   def history(spark: SparkSession, table: String): Seq[State] =
-    graft.Fs.list(spark, manifestDir(table))
-      .filter(_.matches(".*/m-\\d{16}\\.json"))
-      .sorted
-      .map(p => parse(graft.Fs.readString(spark, p)))
+    listManifests(spark, table).map(p => parse(graft.Fs.readString(spark, p)))
 
-  /** Time-travel read: the table exactly as of `version`. Valid for any
-    * committed version whose segments have not been [[vacuum]]ed (a
-    * compaction retires segments from the CURRENT state; older manifests
-    * referencing them stay readable until vacuum reclaims the files).
+  /** Time-travel read: the table exactly as of `version`. None when the
+    * version was never committed OR when any of its segments has since
+    * been [[vacuum]]ed away (a compaction retires segments from the
+    * CURRENT state; older manifests referencing them stay readable until
+    * vacuum reclaims the files) — the Option holds for both, never an
+    * eager missing-path failure.
     */
   def readAt(spark: SparkSession, table: String, version: Long): Option[DataFrame] = {
     val json = scala.util.Try(
       graft.Fs.readString(spark, manifestPath(table, version))).toOption
     json.map(parse).filter(_.segments.nonEmpty)
-      .map(st => spark.read.parquet(st.segments.map(s => s"$table/$s"): _*))
+      .filter(_.segments.forall(s => graft.Fs.exists(spark, s"$table/$s")))
+      .map(st => readState(spark, table, st))
   }
 
   /** Data files sitting loose in the table root — the pre-manifest flat
@@ -254,7 +265,7 @@ object VersionedStore {
     val st = currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed state to compact at $table"))
     if (st.segments.isEmpty) return (st, 0)
-    val df = spark.read.parquet(st.segments.map(s => s"$table/$s"): _*)
+    val df = readState(spark, table, st)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     // coalesce when shrinking (no shuffle — partitions concatenate

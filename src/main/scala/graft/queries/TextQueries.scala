@@ -273,7 +273,7 @@ object TextQueries {
         |               || doc_id || ' ip 10.0.' || (doc_id % 256) || '.7 tel +1 555 01'
         |               || ((doc_id % 90) + 10),
         |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |        'https?://[^\s]+', '<URL>', 'g'),
+        |        'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -123,6 +123,13 @@ class IngestChatSpec extends AnyFunSuite {
     val cur = VersionedStore.currentState(spark, table).get.version
     assert(VersionedStore.history(spark, table).map(_.version) == (1L to cur),
       "history lists every committed version in order")
+
+    // after vacuum reclaims the retired segments, time travel to the old
+    // version degrades to None — never an eager missing-path failure
+    VersionedStore.vacuum(spark, table, graceMs = 0L)
+    assert(VersionedStore.readAt(spark, table, 1L).isEmpty,
+      "a vacuumed version reads as None, not a path error")
+    assert(VersionedStore.read(spark, table).get.count() == n0, "current state unaffected")
   }
 
   test("versioned store: 8 concurrent appends all land exactly once (manifest CAS)") {

@@ -212,6 +212,17 @@ class SimilaritySpec extends AnyFunSuite {
     val off = RateLimitedEmbedder(inner, rpm = 0)
     assert(off.embedBatch(Seq("a", "b")).map(_.toSeq) ==
       inner.embedBatch(Seq("a", "b")).map(_.toSeq))
+    // the inner embedder's own batch implementation (e.g. one batched
+    // API call) must be delegated to, not unrolled into per-text calls
+    val counting = new graft.embed.Embedder {
+      var batchCalls = 0
+      def dim = 4
+      def embed(t: String): Array[Float] = Array.fill(4)(1f)
+      override def embedBatch(ts: Seq[String]): Seq[Array[Float]] =
+        { batchCalls += 1; ts.map(embed) }
+    }
+    RateLimitedEmbedder(counting, rpm = 0).embedBatch(Seq("a", "b", "c")): Unit
+    assert(counting.batchCalls == 1, "inner embedBatch must be called exactly once")
   }
 
   test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
