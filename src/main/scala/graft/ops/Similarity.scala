@@ -113,6 +113,10 @@ object Similarity {
   private[ops] def boundedRank(scored: DataFrame, queryIdCol: String,
                                corpusIdCol: String, k: Int, metric: String,
                                scoreName: String, rankName: String): DataFrame = {
+    require(queryIdCol != corpusIdCol,
+      s"query and corpus id columns must differ (both '$queryIdCol'): the output " +
+        "would carry two identically-named columns that silently shadow each other " +
+        "— alias one side before the join")
     val reduced = scored.mapPartitions(
       new LocalTopK(k, asc = metric == "EUCLIDEAN_DISTANCE", qidIdx = 0, idIdx = 1, scoreIdx = 2))(
       org.apache.spark.sql.Encoders.row(scored.schema))
