@@ -48,11 +48,24 @@ object Fs {
     * which makes the local CAS exact. On HDFS, rename to an existing
     * file already fails, so exists+rename is exact there too.
     * Returns true iff this caller won the publish.
+    *
+    * Any OTHER scheme is REJECTED: on object stores (s3a/gs/abfs…)
+    * rename is copy+delete with no destination-exists atomicity, so two
+    * concurrent commits could both "win" the same manifest version and
+    * one append's segment would be silently dropped — fail fast instead
+    * of risking silent data loss. Supporting an object store needs a
+    * conditional-create publish (e.g. S3 conditional PUT) first.
     */
   def publishExclusive(spark: SparkSession, from: String, to: String): Boolean = {
     val f = new Path(from)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getScheme == "file") {
+    val scheme = fs.getScheme
+    if (scheme != "file" && scheme != "hdfs" && scheme != "viewfs")
+      throw new UnsupportedOperationException(
+        s"publishExclusive requires an atomic no-overwrite publish, which scheme " +
+          s"'$scheme' cannot guarantee (object-store rename is copy+delete): " +
+          s"refusing to commit at $to — use a file:// or hdfs:// table path")
+    if (scheme == "file") {
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(new Path(to).toUri.getPath),

@@ -18,11 +18,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.VectorSearch.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.KeywordQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.VectorSearch.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.KeywordQueries.oracles
 }

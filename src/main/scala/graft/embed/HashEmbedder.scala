@@ -58,14 +58,20 @@ final case class HashEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder {
   * side of the reference's embed-API rate limit, which sleeps
   * `60 / rate_limit` seconds between ingestion batches
   * (`src/server/utils/embedding.py:335-338`). The token interval is
-  * enforced per EXECUTOR-CORE instance (each deserialized task closure
-  * gets its own clock), so the effective cluster-wide rate is
-  * `rpm × parallelism` — size `rpm` accordingly, exactly as the
+  * enforced per EXECUTOR JVM: all task closures that deserialize an
+  * equal embedder (same inner, same rpm) share one process-wide clock
+  * ([[RateLimitedEmbedder.clocks]]), so rapid task churn cannot reset
+  * the interval and the effective cluster-wide rate is bounded by
+  * `rpm × numExecutors` — size `rpm` accordingly, exactly as the
   * reference sizes it per worker. `rpm <= 0` disables the throttle.
   */
 final case class RateLimitedEmbedder(inner: Embedder, rpm: Int) extends Embedder {
   def dim: Int = inner.dim
-  @transient private lazy val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  // resolved through the companion's JVM-wide map, NOT a per-instance
+  // field: a @transient per-instance clock would restart at 0 in every
+  // deserialized task, letting each task's first call through unthrottled
+  @transient private lazy val clock = RateLimitedEmbedder.clocks
+    .computeIfAbsent(this, _ => new java.util.concurrent.atomic.AtomicLong(0L))
   // nanosecond interval: a millisecond quantum would truncate to ZERO
   // (= unthrottled) for any rpm above 60000
   private def throttle(): Unit = if (rpm > 0) {
@@ -87,4 +93,16 @@ final case class RateLimitedEmbedder(inner: Embedder, rpm: Int) extends Embedder
     inner.embedBatch(texts) // and the inner batch implementation (e.g. a
                             // single batched API call) must be preserved
   }
+}
+
+object RateLimitedEmbedder {
+  /** One clock per distinct (inner, rpm) embedder identity per JVM —
+    * case-class equality makes every deserialized copy of the same
+    * logical embedder land on the same entry. Entries are one AtomicLong
+    * each and embedder identities are few, so the map never needs
+    * eviction.
+    */
+  private[embed] val clocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      RateLimitedEmbedder, java.util.concurrent.atomic.AtomicLong]()
 }

@@ -32,6 +32,13 @@ object Sampling {
   def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
                       quotas: Map[String, Int], defaultQuota: Int = 0): DataFrame = {
     require(defaultQuota >= 0 && quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    // the per-partition reducer reads the stratum via getString, and the
+    // quota map is keyed by strings — reject other types HERE instead of
+    // surfacing as a ClassCastException deep inside mapPartitions (cast
+    // the column to string at the call site to stratify by e.g. an int id)
+    require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"strata column '$strataCol' must be STRING, found " +
+        s"${df.schema(strataCol).dataType.sql} — cast it to string first")
     // stringify-then-hash keeps the ranking portable: md5 of the key's
     // canonical string form is the same bytes in any engine
     val withKey = df.withColumn("__smp", md5(col(keyCol).cast("string").cast("binary")))

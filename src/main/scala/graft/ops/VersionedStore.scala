@@ -131,6 +131,25 @@ object VersionedStore {
       p.substring(p.lastIndexOf('/') + 1).endsWith(".parquet")
     }
 
+  /** Loose parquet files landed AFTER the table went versioned — an
+    * external or old-binary writer dropping flat-layout files under a
+    * versioned table. Such rows are invisible to [[read]] (the manifest
+    * shadows them) yet spared by [[vacuum]] (deleting would destroy the
+    * only copy), so without this check they silently vanish from queries.
+    * Run it from an audit/ops path — it costs a table-root listing, which
+    * is exactly what the manifest layout keeps OFF the hot read path.
+    * Empty for unversioned tables (the loose files ARE the table there).
+    */
+  def shadowedLooseFiles(spark: SparkSession, table: String): Seq[String] =
+    (for {
+      _ <- currentState(spark, table)
+      adoptedAt <- scala.util.Try(
+        graft.Fs.modTime(spark, manifestPath(table, 1))).toOption
+    } yield looseParquet(spark, table)
+      .filter(p => scala.util.Try(graft.Fs.modTime(spark, p)).toOption
+        .exists(_ > adoptedAt))
+    ).getOrElse(Seq.empty)
+
   private final class AdoptionRace extends RuntimeException
 
   /** Migrate a flat pre-manifest table in place: COPY its loose part
@@ -303,6 +322,13 @@ object VersionedStore {
     * pass 0 only when all writers are known quiesced (tests). Readers
     * holding a retired snapshot need the same consideration: vacuum once
     * they are done. Returns the deleted paths.
+    *
+    * Clock-skew caveat: the grace window compares the DRIVER's
+    * `currentTimeMillis` against FILESYSTEM modification times, which on
+    * HDFS/NFS come from the remote server's clock — skew between the two
+    * silently shrinks (or inflates) the protection window. The default
+    * grace of an hour dwarfs any plausible skew; keep custom values well
+    * above your clock-sync bound.
     */
   def vacuum(spark: SparkSession, table: String,
              graceMs: Long = 60L * 60 * 1000): Seq[String] = {
@@ -335,6 +361,16 @@ object VersionedStore {
         .exists(t => t < cutoff && t <= adoptedAt))
     ).getOrElse(Seq.empty)
     val dead = deadSegs ++ deadTmp ++ deadLoose
+    // vacuum already paid for the root listing — surface what it spares:
+    // post-adoption loose files are invisible to read() yet protected
+    // from deletion, a state an operator must hear about to ever fix
+    val shadowed = shadowedLooseFiles(spark, table)
+    if (shadowed.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"versioned table $table has ${shadowed.size} loose parquet file(s) " +
+          s"written after adoption — invisible to read() and spared by vacuum; " +
+          s"re-ingest them through append() or remove them: " +
+          shadowed.take(5).mkString(", "))
     dead.foreach(graft.Fs.delete(spark, _))
     dead
   }

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.ops.{Keyword, Similarity}
+
+/** Lexical retrieval + hybrid-fusion parity queries. The BM25 formula is
+  * evaluated in the same operation order in both engines; scores are
+  * rounded to 6 decimals in the output only (ranking runs on the raw
+  * double, ties broken by id) — the vector-search determinism
+  * conventions applied to the lexical leg.
+  */
+object KeywordQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Terms = Seq("spark", "vector", "merge", "window")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The BM25 CTE pipeline in DuckDB SQL, mirroring [[Keyword.bm25]]
+    * term by term. Constants are interpolated from the SAME Scala
+    * doubles the Spark plan uses — shortest-round-trip printing parses
+    * back to the identical IEEE value in DuckDB.
+    */
+  private def bm25Sql(where: String, limit: Int): String = {
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    s"""base AS (
+       |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      t -> t IN ($termList)) AS qw
+       |  FROM documents $where),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(qw) AS term FROM base)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |kw AS (
+       |  SELECT doc_id, round(sum(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ${K1 + 1.0}) /
+       |      (tf + $K1 * (1.0 - $B + $B * dl / (sumdl::DOUBLE / n)))
+       |    ), 6) AS bm25
+       |  FROM tf JOIN df USING (term), stats
+       |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT $limit)""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    // BM25 top-20 for a fixed query over the documents corpus.
+    "bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      Keyword.bm25(documents(s, d), "doc_id", "text", Terms, K1, B, topK = 20)
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
+    // Hybrid search: BM25 leg + cosine-kNN leg (vec_id ≡ doc_id in the
+    // test data), fused by reciprocal rank — the retrieval shape a
+    // production RAG stack runs. Both legs top-50, fusion top-10.
+    "hybrid_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val qv = embeddings(s, d).filter($"vec_id" === 0)
+        .select($"embedding").head.getSeq[Float](0).toArray
+      val vecRank = Similarity.knn(
+          embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
+          "embedding", qv, k = 50)
+        .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"rank")
+      val kwRank = Keyword.bm25(
+          documents(s, d).filter($"doc_id" =!= 0), "doc_id", "text", Terms, K1, B, topK = 50)
+        .withColumn("rank", row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        .select($"doc_id", $"rank")
+      Keyword.rrfFuse(Seq(vecRank, kwRank), "doc_id", "rank", c = 60, topK = 10)
+        .orderBy($"rrf".desc, $"doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH ${bm25Sql(where = "", limit = 20)}
+         |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
+    "hybrid_rrf_fusion" ->
+      s"""WITH ${bm25Sql(where = "WHERE doc_id <> 0", limit = 50)},
+         |kwr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM kw),
+         |vecr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT vec_id AS doc_id, row_number() OVER (
+         |      ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+         |        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+         |      vec_id) AS rank
+         |    FROM embeddings WHERE vec_id <> 0)
+         |  WHERE rank <= 50),
+         |u AS (
+         |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM kwr
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vecr)
+         |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
+         |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+  )
+}

@@ -345,6 +345,83 @@ object Relational {
         .orderBy($"event_id")
         .limit(100)
     }),
+
+    // As-of join (beyond-reference temporal operator): each click joined
+    // to the user's most recent purchase at-or-before it — union +
+    // running-carry plan, one key shuffle, no per-key cartesian. The
+    // oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    // formulation of the same semantics. Purchases are pre-reduced to
+    // one row per (user, microsecond) so the at-tie payload is
+    // deterministic in both engines.
+    "asof_join_events" -> ((s, d) => {
+      import s.implicits._
+      val tsUs = expr("ts div 1000")
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", tsUs.as("tus"), $"event_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", tsUs.as("tus"),
+          $"event_id".as("p_event"), cents($"value").as("p_val_c"))
+        .groupBy($"user_id", $"tus")
+        .agg(max_by(struct($"p_event", $"p_val_c"), $"p_event").as("p"))
+        .select($"user_id", $"tus", $"p.p_event".as("p_event"), $"p.p_val_c".as("p_val_c"))
+      graft.ops.AsOf.asOfJoin(clicks, purchases, "user_id", "tus")
+        .select($"user_id", $"event_id", $"asof_p_event", $"asof_p_val_c")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Range join via bin equi-join (beyond-reference): parts within ±25
+    // of each anchor part's retail price. The binned plan shuffles on
+    // bin ids (hash exchange) where the naive BETWEEN join is a
+    // broadcast-nested-loop; the oracle IS that naive inequality join.
+    "range_join_price_bands" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d)
+      val anchors = p.filter($"p_partkey" <= 100)
+        .select($"p_partkey".as("anchor_key"),
+          ($"p_retailprice" - 25.0).as("lo"), ($"p_retailprice" + 25.0).as("hi"))
+      val pts = p.select($"p_partkey".as("cand_key"), $"p_retailprice".as("price"))
+      graft.ops.RangeJoin.binned(pts, "price", anchors, "lo", "hi", binWidth = 50.0)
+        .groupBy($"anchor_key")
+        .agg(count(lit(1)).as("n_in_band"), sum(cents($"price")).as("sum_price_c"))
+        .orderBy($"anchor_key")
+    }),
+
+    // Hierarchical aggregation (ROLLUP) — subtotals + grand total in one
+    // pass, the report shape every corpus-stats dashboard needs.
+    "rollup_pricing" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(cents($"l_extendedprice")).as("sum_base_c"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Pivot (long→wide): order counts per priority × status matrix.
+    "pivot_status_matrix" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Set operations INTERSECT/EXCEPT: customers with orders AND a
+    // positive balance, minus the BUILDING segment.
+    "set_ops_except_intersect" -> ((s, d) => {
+      import s.implicits._
+      val active = orders(s, d).select($"o_custkey".as("custkey")).distinct()
+      val positive = customer(s, d).filter($"c_acctbal" > 0)
+        .select($"c_custkey".as("custkey"))
+      val building = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("custkey"))
+      active.intersect(positive).except(building).orderBy($"custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -506,5 +583,45 @@ object Relational {
     "eval_failures" ->
       """SELECT event_id, event_type FROM events WHERE NOT (value > 5.0)
         |ORDER BY event_id LIMIT 100""".stripMargin,
+    "asof_join_events" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    arg_max(event_id, event_id) AS p_event,
+        |    arg_max(CAST(round(value*100) AS BIGINT), event_id) AS p_val_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id,
+        |  r.p_event AS asof_p_event, r.p_val_c AS asof_p_val_c
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "range_join_price_bands" ->
+      """SELECT a.p_partkey AS anchor_key, COUNT(*) AS n_in_band,
+        |  CAST(SUM(CAST(round(b.p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM part a JOIN part b
+        |  ON b.p_retailprice >= a.p_retailprice - 25.0
+        | AND b.p_retailprice <= a.p_retailprice + 25.0
+        |WHERE a.p_partkey <= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "pivot_status_matrix" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "set_ops_except_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
   )
 }

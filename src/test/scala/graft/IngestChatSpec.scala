@@ -471,4 +471,51 @@ class IngestChatSpec extends AnyFunSuite {
     assert(Testbed.overall(report2).as[(Long, Double)].head() == ((3L, 0.0)))
     assert(Testbed.failures(report2).count() == 3)
   }
+
+  test("shadowedLooseFiles surfaces post-adoption external writes; empty pre-adoption") {
+    import graft.ops.VersionedStore
+    val table = Files.createTempDirectory("graft-shadow").toString + "/T"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(table)
+    // unversioned: the loose files ARE the table, nothing is shadowed
+    assert(VersionedStore.shadowedLooseFiles(spark, table).isEmpty)
+    VersionedStore.append(spark, table, Seq((2L, "b")).toDF("id", "v")): Unit
+    // adoption-era loose files are carried by the committed segment —
+    // still not shadowed (their rows remain visible through read())
+    assert(VersionedStore.shadowedLooseFiles(spark, table).isEmpty)
+    // an external flat-layout write AFTER versioning is invisible to
+    // read() — the check must name it
+    Thread.sleep(1100) // parquet mtime granularity can be a full second
+    Seq((9L, "ext")).toDF("id", "v").write.mode("append").parquet(table)
+    val shadowed = VersionedStore.shadowedLooseFiles(spark, table)
+    assert(shadowed.nonEmpty && shadowed.forall(_.endsWith(".parquet")))
+    assert(VersionedStore.read(spark, table).get.count() == 2,
+      "shadowed rows stay invisible — the check is the discovery surface")
+  }
+
+  test("publishExclusive refuses schemes without an atomic no-overwrite publish") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    val dir = Files.createTempDirectory("graft-scheme").toString
+    graft.Fs.writeString(spark, s"$dir/src.json", "{}")
+    val ex = intercept[UnsupportedOperationException] {
+      graft.Fs.publishExclusive(spark, s"mockobj://bucket$dir/src.json",
+        s"mockobj://bucket$dir/dst.json")
+    }
+    assert(ex.getMessage.contains("mockobj"))
+    // and therefore a VersionedStore commit on such a scheme fails fast
+    // instead of silently risking a lost manifest version
+    intercept[UnsupportedOperationException] {
+      graft.ops.VersionedStore.append(spark, s"mockobj://bucket$dir/T",
+        Seq((1L, "a")).toDF("id", "v"))
+    }: Unit
+  }
+}
+
+/** A 'file'-backed FileSystem masquerading as an object store scheme —
+  * lets the spec exercise the publishExclusive scheme guard without a
+  * real s3a/gs connector in the container.
+  */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockobj"
+  override def getUri: java.net.URI = java.net.URI.create("mockobj://bucket/")
 }

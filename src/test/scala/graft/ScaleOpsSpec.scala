@@ -282,6 +282,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(onlyMapped.select($"lang").distinct().as[String].collect().toSet == Set("en", "de"))
     val plan = onlyMapped.queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions"), s"expected MapPartitions pre-prune in:\n$plan")
+    // a non-string strata column is rejected at the API boundary, not as
+    // a ClassCastException inside a task
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratifiedQuota(docs, "doc_id", "lang", Map("1" -> 1))
+    }
+    assert(ex.getMessage.contains("must be STRING"))
   }
 
   test("bucketed tables join without an Exchange; salted ops preserve exact results") {

@@ -225,6 +225,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counting.batchCalls == 1, "inner embedBatch must be called exactly once")
   }
 
+  test("equal rate-limited embedders share one JVM-wide clock (task churn cannot reset it)") {
+    import graft.embed.{HashEmbedder, RateLimitedEmbedder}
+    val inner = HashEmbedder(8, seed = 777) // distinct identity from other specs
+    // two equal instances = the same embedder deserialized into two
+    // tasks; their calls must share the interval, not each start fresh
+    val a = RateLimitedEmbedder(inner, rpm = 3000) // 20 ms interval
+    val b = RateLimitedEmbedder(inner, rpm = 3000)
+    val t0 = System.nanoTime()
+    a.embed("x"); b.embed("x"); a.embed("x")
+    assert((System.nanoTime() - t0) / 1e6 >= 40.0,
+      "3 calls across equal instances at a 20 ms interval need >= 40 ms")
+    // a different rpm is a different throttle identity — independent clock
+    val c = RateLimitedEmbedder(inner, rpm = 1)
+    val t1 = System.nanoTime()
+    c.embed("x")
+    assert((System.nanoTime() - t1) / 1e6 < 5000.0, "first call on a fresh identity is unthrottled")
+  }
+
   test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
     val e = HashEmbedder(dim = 16)
     val v1 = e.embed("spark catalyst engine")
