@@ -55,7 +55,10 @@ def main(sf_dir, out_dir):
             for col in want.columns:
                 for i, (a, b) in enumerate(zip(want[col], got[col])):
                     if isinstance(a, float) and isinstance(b, float):
-                        if a != b:
+                        # NaN == NaN here: the driver compares stringified
+                        # values ("nan" == "nan"), so a NaN-vs-NaN cell is
+                        # a match, not a diff
+                        if a != b and not (math.isnan(a) and math.isnan(b)):
                             tag = "EXACT-DIFF" if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12) else "DIFF"
                             errs.append(f"{tag} {col}[{i}]: want={a!r} got={b!r}")
                     elif a != b and str(a) != str(b):

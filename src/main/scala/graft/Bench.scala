@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+
+/** Benchmark driver: times every [[SparkEntry.queries]] entry on the
+  * scale-factor directory in `SPARK_GRAFT_SF_DIR` and prints ONE JSON
+  * line.
+  *
+  * Stall-resilient by design: this sandbox intermittently freezes a
+  * single query 10-100x (a 318 s wall on a trivial distinct was
+  * observed on identical code that otherwise runs it in 7 s), so a
+  * single-shot timing is not a signal. Each query therefore runs
+  * K times (default 3, `SPARK_GRAFT_BENCH_RUNS`); the headline
+  * `queries` map and `value` total report the MIN wall time (the run
+  * least contaminated by the environment), `queries_max` preserves the
+  * worst run, and `stalled` lists queries whose max/min ratio exceeds
+  * 3x together with that ratio — so a contaminated round is
+  * self-evident from the artifact instead of requiring a manual
+  * re-derivation. `cpu_util` records per-query process-CPU-seconds /
+  * wall-seconds for the min run: a genuinely expensive query shows
+  * utilization >> 1 on local[N]; an environment stall shows ~0.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,30 +32,54 @@ object Bench {
       .getOrCreate()
     Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg
     // warm up codegen/classloading/file-index so the first measured query
     // doesn't absorb session startup
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a broken query must surface in the JSON (err + sentinel -1
-      // timing), never masquerade as a plausible wall-clock number
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
+      val samples = (1 to runs).map { _ =>
+        val cpu0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        // a broken query must surface in the JSON (err + sentinel -1
+        // timing), never masquerade as a plausible wall-clock number
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - cpu0) / 1e9
+        // operators that persist reuse-boundaries would otherwise pin
+        // cache across all queries and skew later timings
+        spark.catalog.clearCache()
+        (wall, cpu, err)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators that persist reuse-boundaries would otherwise pin cache
-      // across all queries and skew later timings
-      spark.catalog.clearCache()
-      (name, if (err.isDefined) -1.0 else dt, err)
+      val err = samples.collectFirst { case (_, _, Some(e)) => e }
+      val best = samples.minBy(_._1)
+      val worst = samples.maxBy(_._1)
+      val util = if (best._1 > 0) best._2 / best._1 else 0.0
+      (name, if (err.isDefined) -1.0 else best._1, worst._1, util, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def num(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val qmax = results.map { case (k, _, mx, _, _) => s"\"" + k + "\":" + num(mx) }
+      .mkString("{", ",", "}")
+    val utils = results.map { case (k, _, _, u, _) => s"\"" + k + "\":" + num(u) }
+      .mkString("{", ",", "}")
+    val stalled = results.collect {
+      case (k, mn, mx, _, None) if mn > 0 && mx / mn > 3.0 =>
+        s"\"" + k + "\":" + num(mx / mn)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) =>
       s"\"" + k + "\":\"" + Jsons.escape(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}""")
     spark.stop()
   }
 }

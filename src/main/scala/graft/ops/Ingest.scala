@@ -83,8 +83,16 @@ object Ingest {
     // half-written append), with the count observed on the segment write
     // itself so the anti-join (a full scan of the store's id column, at
     // scale) runs once — not count-then-write twice. A no-op re-ingest
-    // publishes nothing.
-    val appendedN = VersionedStore.appendNonEmpty(spark, path, toAppend)
+    // publishes nothing. An IVF-indexed store (it carries a model
+    // sidecar) appends through Ivf.appendAssigned so its
+    // cluster-partitioned layout — and probe-time partition pruning —
+    // survives continuous ingestion, mirroring the reference's
+    // re-index-after-merge (`src/server/utils/embedding.py:348-368`)
+    // without rewriting existing data.
+    val appendedN =
+      if (graft.Fs.exists(spark, Ivf.modelPath(path)))
+        Ivf.appendAssigned(spark, path, toAppend, "embedding")
+      else VersionedStore.appendNonEmpty(spark, path, toAppend)
     writeManifest(spark, storeDir, config)
     deduped.unpersist()
     IngestResult(chunksIn, dedupedN, appendedN, existingN + appendedN)
@@ -104,8 +112,15 @@ object Ingest {
     * file count.
     */
   def compactStore(spark: SparkSession, storeDir: String, config: StoreConfig,
-                   rowsPerFile: Long = 1L << 20): Int =
-    VersionedStore.compact(spark, s"$storeDir/${config.tableName}", rowsPerFile)._2
+                   rowsPerFile: Long = 1L << 20): Int = {
+    val path = s"$storeDir/${config.tableName}"
+    // an indexed store must stay cluster-partitioned through compaction,
+    // or one compact would undo the layout every probe depends on
+    if (graft.Fs.exists(spark, Ivf.modelPath(path)))
+      VersionedStore.compact(spark, path, rowsPerFile,
+        partitionBy = Seq("cluster_id"))._2
+    else VersionedStore.compact(spark, path, rowsPerFile)._2
+  }
 
   /** Reclaim segments retired by [[compactStore]] and crash-orphaned
     * files, once no reader still holds the old snapshot. `graceMs`

@@ -32,6 +32,45 @@ object Ivf {
         while (j < n) { val d = c(j).toDouble - queryVec(j); s += d * d; j += 1 }
         (i, s)
       }.sortBy(t => (t._2, t._1)).map(_._1)
+    /** Content hash of the centroids (MD5 over their exact text
+      * rendering, so save → load round-trips to the same value). Two
+      * models agree on every cluster assignment iff their fingerprints
+      * match — the token [[search]]/[[searchBatch]] check against a
+      * store's persisted model to turn a stale-model probe (which would
+      * silently prune away matching rows) into a loud error.
+      */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val body = centroids.map(_.mkString(" ")).mkString("\n")
+      md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
+  /** The model sidecar path inside a store table directory (underscore
+    * prefix keeps it invisible to Spark's file index).
+    */
+  def modelPath(table: String): String = s"$table/_ivf_model"
+
+  /** Fail loudly if `model` is not the model that assigned `table`'s
+    * cluster layout — probing a partitioned store with a different model
+    * silently loses rows (the scan predicate prunes them before any
+    * runtime check can see the gap), so every path that knows the store
+    * location must call this before building probe predicates.
+    */
+  def requireModelMatch(spark: SparkSession, table: String, model: IvfModel): Unit = {
+    val path = modelPath(table)
+    require(graft.Fs.exists(spark, path),
+      s"store $table carries no _ivf_model — it was not written by " +
+        "writePartitioned/indexStore; probing it with cluster predicates would " +
+        "silently lose rows")
+    val persisted = loadModel(spark, path)
+    require(persisted.fingerprint == model.fingerprint,
+      s"IVF model mismatch for store $table: supplied model fingerprint " +
+        s"${model.fingerprint} != persisted ${persisted.fingerprint} — the store's " +
+        "partitions were assigned by a different model, so probing with this one " +
+        "would silently drop matching rows. Load the store's own model via " +
+        s"Ivf.loadModel(spark, \"$path\") or re-index with Ivf.indexStore.")
   }
 
   /** Assign each row its nearest centroid id. Fully narrow: one
@@ -98,32 +137,51 @@ object Ivf {
     saveModel(df.sparkSession, s"$path/_ivf_model", model)
   }
 
-  /** Persist centroids as text: line 1 = "k dim", then one
-    * space-separated centroid per line — engine-portable, no codec.
+  /** Persist centroids as text: line 1 = "k dim fingerprint", then one
+    * space-separated centroid per line — engine-portable, no codec. The
+    * fingerprint in the header lets [[loadModel]] detect a corrupted or
+    * hand-edited file, and [[requireModelMatch]] compare models without
+    * re-reading centroid payloads elsewhere.
     */
   def saveModel(spark: SparkSession, path: String, model: IvfModel): Unit = {
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
-    val body = s"${model.k} $dim\n" +
+    val body = s"${model.k} $dim ${model.fingerprint}\n" +
       model.centroids.map(_.mkString(" ")).mkString("\n")
     graft.Fs.writeString(spark, path, body)
   }
 
-  /** Load the model [[writePartitioned]]/[[saveModel]] persisted. */
+  /** Load the model [[writePartitioned]]/[[saveModel]] persisted. Files
+    * from before the fingerprint header (two-field "k dim") still load;
+    * a three-field header must round-trip to its own fingerprint.
+    */
   def loadModel(spark: SparkSession, path: String): IvfModel = {
     val lines = graft.Fs.readString(spark, path).split("\n")
-    val Array(k, dim) = lines.head.trim.split(" ").map(_.toInt)
+    val header = lines.head.trim.split(" ")
+    val k = header(0).toInt
+    val dim = header(1).toInt
     val cents = lines.tail.take(k).map(_.trim.split(" ").map(_.toFloat))
     require(cents.length == k && cents.forall(_.length == dim),
       s"corrupt IVF model at $path")
-    IvfModel(cents)
+    val model = IvfModel(cents)
+    if (header.length >= 3)
+      require(model.fingerprint == header(2),
+        s"corrupt IVF model at $path: stored fingerprint ${header(2)} != " +
+          s"recomputed ${model.fingerprint}")
+    model
   }
 
   /** Top-k search probing only the `nProbe` nearest clusters. On a
     * cluster-partitioned store the `isin` filter is partition pruning.
+    * Pass `storePath` whenever the store location is known: the probe
+    * then verifies `model` is the one that assigned the store's layout
+    * ([[requireModelMatch]]) instead of silently pruning away rows a
+    * stale model put in unprobed clusters.
     */
   def search(store: DataFrame, embCol: String, model: IvfModel,
              queryVec: Array[Float], topK: Int, nProbe: Int,
-             metric: String = "COSINE"): DataFrame = {
+             metric: String = "COSINE",
+             storePath: Option[String] = None): DataFrame = {
+    storePath.foreach(p => requireModelMatch(store.sparkSession, p, model))
     val probes = model.probeOrder(queryVec).take(math.max(1, nProbe)).toSeq
     Similarity.knn(
       store.filter(col("cluster_id").isin(probes: _*)),
@@ -153,7 +211,9 @@ object Ivf {
     * THIS `model`: a store partitioned by a different or stale model
     * holds rows in clusters the probe union never selects, and the scan
     * predicate prunes them before any runtime check could notice. Keep
-    * the model artifact with the store it wrote.
+    * the model artifact with the store it wrote — and pass `storePath`
+    * whenever the location is known, so [[requireModelMatch]] turns that
+    * silent row loss into a loud error.
     *
     * The query batch is collected to rank centroids per query — bounded
     * by the same contract that lets [[Similarity.similarityJoin]]
@@ -166,9 +226,11 @@ object Ivf {
                   model: IvfModel, topK: Int, nProbe: Int,
                   metric: String = "COSINE", scoreName: String = "score",
                   rankName: String = "rank",
-                  clusterCol: String = "cluster_id"): DataFrame = {
+                  clusterCol: String = "cluster_id",
+                  storePath: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField}
+    storePath.foreach(p => requireModelMatch(store.sparkSession, p, model))
     val p = math.max(1, math.min(nProbe, model.k))
     val qdf = queries.select(col(queryIdCol), col(queryEmbCol))
     val probeRows = new java.util.ArrayList[Row]()
@@ -194,5 +256,53 @@ object Ivf {
       .filter(col(scoreName).isNotNull)
       .select(col("__qid"), col(corpusIdCol), col(scoreName))
     Similarity.boundedRank(scored, queryIdCol, corpusIdCol, topK, metric, scoreName, rankName)
+  }
+
+  /** Index (or re-index) a [[VersionedStore]] table in place: fit a
+    * k-means model on the current live rows, rewrite them into ONE
+    * cluster-partitioned segment through the store's race-safe manifest
+    * swap, and persist the model sidecar — the reference's
+    * rebuild-index-after-merge step (`src/server/utils/embedding.py:
+    * 348-368`, drop + recreate `<table>_IDX`) as a manifest transition.
+    * Concurrent appends survive exactly as under
+    * [[VersionedStore.compact]]; concurrent readers keep their snapshot.
+    * The model is written only after the swap commits, so a lost
+    * compaction race cannot leave a sidecar describing a layout that
+    * never landed. Returns the fitted model.
+    */
+  def indexStore(spark: SparkSession, table: String, idCol: String, embCol: String,
+                 k: Int, iters: Int = 2, rowsPerFile: Long = 1L << 20): IvfModel = {
+    val df = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to index at $table"))
+    val model = fit(df, idCol, embCol, k, iters)
+    val (_, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
+      reshape = assign(_, embCol, model), partitionBy = Seq("cluster_id"))
+    // nFiles == 0 means another compactor swapped mid-rewrite and our
+    // layout was abandoned — persisting this model would claim a
+    // clustering the table does not have
+    require(nFiles > 0,
+      s"indexStore lost a concurrent-compaction race at $table; retry")
+    saveModel(spark, modelPath(table), model)
+    model
+  }
+
+  /** Append rows into an indexed store WITHOUT degrading its layout:
+    * assign each row its cluster under the store's own persisted model
+    * and write the segment cluster-partitioned, so probe-time partition
+    * pruning keeps holding as the store grows. This is the maintenance
+    * step a continuously-ingesting store needs — a plain append would
+    * land unclustered segments and the probed search would silently
+    * degrade to full scans (or worse, miss the new rows entirely under a
+    * cluster predicate). Returns the appended row count. The rows must
+    * carry `embCol`; callers that already hold the model pass it to skip
+    * the sidecar read, but it must match the persisted one
+    * ([[requireModelMatch]]).
+    */
+  def appendAssigned(spark: SparkSession, table: String, df: DataFrame, embCol: String,
+                     model: Option[IvfModel] = None): Long = {
+    val persisted = loadModel(spark, modelPath(table))
+    model.foreach(m => requireModelMatch(spark, table, m))
+    VersionedStore.appendNonEmpty(spark, table,
+      assign(df, embCol, persisted), partitionBy = Seq("cluster_id"))
   }
 }

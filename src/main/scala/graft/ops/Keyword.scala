@@ -14,22 +14,37 @@ import org.apache.spark.sql.functions._
   * Scale shape: document length comes from the token array WITHOUT a
   * full-corpus token explode — only tokens matching the (tiny) query
   * term set are exploded, so the heavy shuffle is O(matches), not
-  * O(corpus tokens). Corpus stats (N, avg doclen) and per-term document
-  * frequencies are broadcast; the final top-k is a
+  * O(corpus tokens). The tokenized projection is cached and the corpus
+  * stats (N, avg doclen) are taken as driver literals on the same
+  * action, so the corpus parquet is scanned ONCE per query — without
+  * the cache, Catalyst re-derives the tokenize subtree under the stats
+  * aggregation, the document-frequency broadcast, and the final join
+  * (three scans; at 100 TB two of them are pure waste). Per-term
+  * document frequencies are broadcast; the final top-k is a
   * TakeOrderedAndProject.
   */
 object Keyword {
 
   /** BM25 score of every document containing at least one of
     * `queryTerms`, highest first, top `topK`. Output: `(idCol,
-    * bm25 DOUBLE)` with the score rounded to 6 decimals — ranking runs
-    * on the raw double; rounding only stabilizes the emitted value
-    * cross-engine (same convention as the vector-search queries).
+    * bm25 DOUBLE)` with the score rounded to 6 decimals; RANKING runs on
+    * the rounded score with an id tiebreak — deliberately, because the
+    * DuckDB oracle evaluates the same formula in a different engine and
+    * last-ulp divergence on the raw double could flip which documents
+    * make the top-k cut; rounding first makes the cut itself
+    * cross-engine stable (same convention as the vector-search queries,
+    * whose oracles also order by the rounded score).
     *
     * Standard Robertson/Sparck-Jones BM25 with the +1 idf floor
     * (Lucene's variant, always positive):
     * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
     * `score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+    *
+    * Eager: the corpus stats land as driver literals via one action that
+    * also populates the cache of the tokenized projection (id, doclen,
+    * query-term hits — small per row), and the tiny top-k result is
+    * localCheckpoint-materialized so the cache is released before
+    * returning (the [[Dedup.ngramJaccardPairs]] lifecycle).
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
@@ -38,26 +53,117 @@ object Keyword {
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
       .select(col(idCol), size(col("__w")).cast("long").as("__dl"),
         filter(col("__w"), t => t.isin(queryTerms: _*)).as("__qw"))
-    // avgdl over the WHOLE corpus (docs with zero query-term hits count)
-    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // avgdl over the WHOLE corpus (docs with zero query-term hits count);
+    // this single action is the one pass over the parquet scan — N and
+    // Σdl come back as literals, so no stats subtree survives in the
+    // returned plan to re-derive the scan
+    val statsRow = base.agg(count(lit(1)), sum(col("__dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val avgdl = if (nDocs == 0) 1.0 else sumdl.toDouble / nDocs
     val tf = base
       .select(col(idCol), col("__dl"), explode(col("__qw")).as("__term"))
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    val avgdl = col("__sumdl").cast("double") / col("__n")
     val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val denom = col("__tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl)
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))
     val termScore = idf * (col("__tf") * lit(k1 + 1.0)) / denom
-    tf.join(broadcast(df), "__term")
-      .crossJoin(broadcast(stats))
+    val result = tf.join(broadcast(df), "__term")
       .withColumn("__s", termScore)
       .groupBy(col(idCol))
       .agg(sum(col("__s")).as("__raw"))
       .select(col(idCol), round(col("__raw"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+      .localCheckpoint() // topK rows — tiny; lets the cache go now
+    base.unpersist()
+    result
+  }
+
+  /** Build the persistent lexical index for [[bm25Indexed]]: the
+    * production shape for a store queried repeatedly, where [[bm25]]'s
+    * per-query corpus scan (tokenize + filter) is the dominant cost.
+    * Pays the full tokenize + explode ONCE at build time and writes:
+    *
+    *   - `path/postings`: `(term, id, tf)` — the inverted index,
+    *     partitioned by `bucket = xxhash64(term) % buckets` so a query's
+    *     term set prunes to its buckets at the file index (plus row-group
+    *     term stats inside each bucket);
+    *   - `path/doclen`: `(id, dl)` — per-document token count (the BM25
+    *     length normalization);
+    *   - `path/_stats`: `"N sumdl"` — corpus totals as one tiny text
+    *     file, so query time reads no corpus-sized aggregate at all.
+    *
+    * The analog of the reference's persistent store index (S16,
+    * `src/server/utils/embedding.py:348-368`) for the lexical leg.
+    * Rebuild after appends — like [[Ivf.indexStore]], the sidecar
+    * describes the corpus as of build time.
+    */
+  def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action populates the cache and yields the stats sidecar
+    val statsRow = toks.agg(count(lit(1)), sum(size(col("__w")).cast("long"))).head()
+    val n = statsRow.getLong(0)
+    val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    toks.select(col("id"), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    toks.select(col("id"), size(col("__w")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    graft.Fs.writeString(spark, s"$path/_stats", s"$n $sumdl $buckets")
+    toks.unpersist(): Unit
+  }
+
+  /** [[bm25]] against a [[buildLexicalIndex]] sidecar instead of the
+    * corpus: scores and ranking are IDENTICAL (same formula, same
+    * rounded-rank + id tiebreak), but the plan touches no corpus text —
+    * the term set prunes the postings table to its hash buckets
+    * (partition pruning + row-group term stats), document frequencies
+    * aggregate from those postings, corpus totals are literals from the
+    * stats file, and the only O(N) touch is the narrow (id, dl) join for
+    * length normalization, against which AQE broadcasts the tiny
+    * postings side. Repeated queries therefore scale with O(matches),
+    * not O(corpus).
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                  queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 10, idName: String = "id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val stats = graft.Fs.readString(spark, s"$indexPath/_stats").trim.split(" ")
+    val (nDocs, sumdl, buckets) = (stats(0).toLong, stats(1).toLong, stats(2).toInt)
+    val avgdl = if (nDocs == 0) 1.0 else sumdl.toDouble / nDocs
+    // bucket ids must be computed by the ENGINE's own hash (xxhash64),
+    // not re-implemented driver-side — one expression evaluation keeps
+    // the two in lockstep with the build-time assignment
+    val bucketOf = spark.range(0, 1).select(
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        pmod(xxhash64(lit(t)), lit(buckets)).cast("int").as(s"__b$i")
+      }: _*).head()
+    val prunedBuckets = queryTerms.indices.map(bucketOf.getInt(_)).distinct
+    val tf = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(prunedBuckets: _*) && col("term").isin(queryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val doclen = spark.read.parquet(s"$indexPath/doclen")
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    tf.join(broadcast(df), "term")
+      .join(doclen, "id")
+      .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
+      .groupBy(col("id"))
+      .agg(sum(col("__s")).as("__raw"))
+      .select(col("id").as(idName), round(col("__raw"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idName))
       .limit(topK)
   }
 

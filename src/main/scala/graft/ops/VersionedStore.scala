@@ -70,8 +70,20 @@ object VersionedStore {
       .filter(_.matches(".*/m-\\d{16}\\.json"))
       .sorted
 
+  /** One scan per segment, unioned by name: Hive-partitioned segments
+    * (e.g. an [[Ivf]]-clustered store, `cluster_id=N/` dirs inside each
+    * segment) discover their partition columns per segment root — a
+    * single multi-path read would reject them as "conflicting directory
+    * structures" since each segment is its own discovery base. Catalyst
+    * pushes filters through the Union into every child scan, so
+    * partition pruning holds per segment; the plan carries one scan node
+    * per segment, which compaction keeps bounded. The union is strict
+    * (no missing columns): a store mixing partitioned and flat segments
+    * must fail loudly — silently null-filling `cluster_id` would let a
+    * cluster predicate prune away every row of the flat segments.
+    */
   private def readState(spark: SparkSession, table: String, st: State): DataFrame =
-    spark.read.parquet(st.segments.map(s => s"$table/$s"): _*)
+    st.segments.map(s => spark.read.parquet(s"$table/$s")).reduce(_.unionByName(_))
 
   /** Latest committed state, if any manifest exists. Zero-padded version
     * numbers make the lexicographic max the numeric max.
@@ -194,10 +206,19 @@ object VersionedStore {
 
   /** Write a new immutable segment (not yet visible — nothing references
     * it until a [[commit]] lists it). Returns the segment name.
+    *
+    * `partitionBy` lays the segment out Hive-style (`col=value/` dirs)
+    * inside the segment directory: reads across a mix of segments all
+    * partitioned on the same columns recover those columns via partition
+    * discovery (each segment path is its own discovery root), and
+    * predicates on them prune at the file index — this is how an
+    * [[Ivf]]-clustered store stays partition-pruned as appends land.
     */
-  def writeSegment(spark: SparkSession, table: String, df: DataFrame): String = {
+  def writeSegment(spark: SparkSession, table: String, df: DataFrame,
+                   partitionBy: Seq[String] = Nil): String = {
     val seg = "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$seg")
+    df.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partitionBy: _*).parquet(s"$table/$seg")
     seg
   }
 
@@ -239,10 +260,11 @@ object VersionedStore {
     * before the commit, so a crash between the two leaves an orphan
     * segment (vacuumable) and an unchanged table.
     */
-  def append(spark: SparkSession, table: String, df: DataFrame): State = {
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil): State = {
     adoptLegacy(spark, table) // every writer adopts, or a first append
                               // would hide a legacy table's loose rows
-    val seg = writeSegment(spark, table, df)
+    val seg = writeSegment(spark, table, df, partitionBy)
     commit(spark, table, cur => cur :+ seg)
   }
 
@@ -252,7 +274,8 @@ object VersionedStore {
     * nothing) publishes no manifest version and leaves no empty segment.
     * Returns the appended row count.
     */
-  def appendNonEmpty(spark: SparkSession, table: String, df: DataFrame): Long = {
+  def appendNonEmpty(spark: SparkSession, table: String, df: DataFrame,
+                     partitionBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{count, lit}
     adoptLegacy(spark, table)
     // caveat: an Observation accumulates over task attempts, so stage
@@ -261,7 +284,8 @@ object VersionedStore {
     // reconcile with a cheap count() over read() when a caller needs the
     // committed number exactly
     val obs = new org.apache.spark.sql.Observation()
-    val seg = writeSegment(spark, table, df.observe(obs, count(lit(1)).as("n")))
+    val seg = writeSegment(spark, table,
+      df.observe(obs, count(lit(1)).as("n")), partitionBy)
     val n = obs.get("n").asInstanceOf[Long]
     if (n > 0) commit(spark, table, cur => cur :+ seg)
     else graft.Fs.delete(spark, s"$table/$seg")
@@ -278,13 +302,19 @@ object VersionedStore {
     */
   private final class ConcurrentCompaction extends RuntimeException
 
-  def compact(spark: SparkSession, table: String, rowsPerFile: Long = 1L << 20): (State, Int) = {
+  def compact(spark: SparkSession, table: String, rowsPerFile: Long = 1L << 20,
+              reshape: DataFrame => DataFrame = identity,
+              partitionBy: Seq[String] = Nil): (State, Int) = {
     require(rowsPerFile > 0)
     adoptLegacy(spark, table)
     val st = currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed state to compact at $table"))
     if (st.segments.isEmpty) return (st, 0)
-    val df = readState(spark, table, st)
+    // `reshape` lets a caller rewrite the rows while they are being
+    // rewritten anyway (e.g. [[Ivf.indexStore]] assigning cluster ids) —
+    // the swap's race handling is identical, so re-layout costs exactly
+    // one extra projection, not a second full rewrite
+    val df = reshape(readState(spark, table, st))
     val rows = df.count()
     val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     // coalesce when shrinking (no shuffle — partitions concatenate
@@ -294,7 +324,7 @@ object VersionedStore {
     val sized =
       if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
       else df.coalesce(nFiles)
-    val seg = writeSegment(spark, table, sized)
+    val seg = writeSegment(spark, table, sized, partitionBy)
     // "subtract what I rewrote" is only valid while every rewritten
     // segment is still live: if another compactor already swapped them
     // out, committing would publish BOTH full rewrites and silently

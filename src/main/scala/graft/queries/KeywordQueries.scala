@@ -9,9 +9,9 @@ import graft.ops.{Keyword, Similarity}
 
 /** Lexical retrieval + hybrid-fusion parity queries. The BM25 formula is
   * evaluated in the same operation order in both engines; scores are
-  * rounded to 6 decimals in the output only (ranking runs on the raw
-  * double, ties broken by id) — the vector-search determinism
-  * conventions applied to the lexical leg.
+  * rounded to 6 decimals and BOTH engines rank on the rounded value with
+  * an id tiebreak (see [[Keyword.bm25]] — raw-double ranking would leave
+  * the top-k cut vulnerable to last-ulp cross-engine divergence).
   */
 object KeywordQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -55,6 +55,18 @@ object KeywordQueries {
         .orderBy($"bm25".desc, $"doc_id")
     }),
 
+    // Same ranking through the materialized inverted index: build the
+    // postings/doclen/stats sidecars, then score WITHOUT touching the
+    // corpus — must match bm25_topk's oracle exactly (the index is a
+    // layout change, never a semantics change).
+    "bm25_indexed_topk" -> ((s, d) => {
+      import s.implicits._
+      val idx = java.nio.file.Files.createTempDirectory("lexidx").toString
+      Keyword.buildLexicalIndex(documents(s, d), "doc_id", "text", idx)
+      Keyword.bm25Indexed(s, idx, Terms, K1, B, topK = 20, idName = "doc_id")
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
     // Hybrid search: BM25 leg + cosine-kNN leg (vec_id ≡ doc_id in the
     // test data), fused by reciprocal rank — the retrieval shape a
     // production RAG stack runs. Both legs top-50, fusion top-10.
@@ -78,6 +90,9 @@ object KeywordQueries {
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" ->
+      s"""WITH ${bm25Sql(where = "", limit = 20)}
+         |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
+    "bm25_indexed_topk" ->
       s"""WITH ${bm25Sql(where = "", limit = 20)}
          |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
     "hybrid_rrf_fusion" ->

@@ -32,6 +32,54 @@ class IngestChatSpec extends AnyFunSuite {
     assert(r3.storeRows == r1.storeRows + r3.appended)
   }
 
+  test("ingest keeps an IVF-indexed store cluster-partitioned across appends and compaction") {
+    import graft.ops.{Ivf, Similarity, VersionedStore}
+    val dir = Files.createTempDirectory("graft-ivf-ingest").toString
+    val cfg = Ingest.StoreConfig("ivfing", "hash-32", 120, 20)
+    Ingest.ingest(spark, Tables.documents(spark, sf).limit(40), "doc_id", "text",
+      dir, cfg, embedder)
+    val table = s"$dir/${cfg.tableName}"
+    val model = Ivf.indexStore(spark, table, "id", "embedding", k = 4)
+    var total = VersionedStore.read(spark, table).get.count()
+    // three growing ingests: the anti-join appends only the new chunks,
+    // and because the store carries _ivf_model each append lands
+    // cluster-assigned (the reference re-indexes after every merge)
+    for (r <- 1 to 3) {
+      val res = Ingest.ingest(spark, Tables.documents(spark, sf).limit(40 + 10 * r),
+        "doc_id", "text", dir, cfg, embedder)
+      assert(res.appended > 0, s"ingest $r should add new chunks")
+      total += res.appended
+    }
+    val store = VersionedStore.read(spark, table).get
+    assert(store.schema.fieldNames.contains("cluster_id"),
+      "appends must keep the clustered layout")
+    assert(store.count() == total)
+    val persisted = Ivf.loadModel(spark, Ivf.modelPath(table))
+    assert(persisted.fingerprint == model.fingerprint,
+      "the sidecar still holds the indexing model")
+    // probed search on the grown store: pruning still real, full probe
+    // still exact vs brute force over the same rows
+    val qv = embedder.embed("the quick brown fox")
+    val partial = Ivf.search(store, "embedding", persisted, qv, 5, nProbe = 2,
+      storePath = Some(table))
+    val plan = partial.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"probe filter must stay a partition filter after appends:\n$plan")
+    assert(partial.count() == 5)
+    val exact = Similarity.knn(store.select($"id", $"embedding"), "embedding", qv, 5)
+      .select($"id").as[String].collect().toSeq
+    val full = Ivf.search(store, "embedding", persisted, qv, 5, nProbe = persisted.k,
+        storePath = Some(table))
+      .select($"id").as[String].collect().toSeq
+    assert(full == exact, "full probe must equal brute force on the grown store")
+    // compaction must preserve the layout too — one compact would
+    // otherwise undo what every probe depends on
+    assert(Ingest.compactStore(spark, dir, cfg) > 0)
+    val compacted = VersionedStore.read(spark, table).get
+    assert(compacted.schema.fieldNames.contains("cluster_id"))
+    assert(compacted.count() == total)
+  }
+
   test("compactStore collapses accumulated small files, preserving content exactly") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val cfg = Ingest.StoreConfig("cmp", "hash-32", 120, 20)

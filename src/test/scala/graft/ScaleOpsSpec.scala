@@ -242,6 +242,83 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF maintenance: indexStore partitions a versioned store, assigned appends keep pruning, mismatched models throw") {
+    import graft.ops.VersionedStore
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val n = emb.count()
+    val table = Files.createTempDirectory("ivf-maint").toString + "/store"
+    VersionedStore.append(spark, table, emb.filter($"vec_id" % 4 === 0))
+    val model = Ivf.indexStore(spark, table, "vec_id", "embedding", k = 8)
+    // grow by 3 appends through the maintenance path (what Ingest.ingest
+    // uses once a store carries a model sidecar)
+    for (r <- 1 to 3) {
+      val part = emb.filter($"vec_id" % 4 === r)
+      assert(Ivf.appendAssigned(spark, table, part, "embedding") == part.count())
+    }
+    val store = VersionedStore.read(spark, table).get
+    assert(store.count() == n, "all appended rows must stay visible")
+    assert(store.schema.fieldNames.contains("cluster_id"),
+      "appends must not degrade the clustered layout")
+
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val exhaustive = Similarity
+      .similarityJoin(q, emb, "query_id", "embedding", "vec_id", "embedding", k = 4)
+      .select($"query_id", $"rank", $"vec_id", round($"score", 9).as("s"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Ivf.searchBatch(q, store, "query_id", "embedding", "vec_id", "embedding",
+        model, topK = 4, nProbe = 8, storePath = Some(table))
+      .select($"query_id", $"rank", $"vec_id", round($"score", 9).as("s"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exhaustive,
+      "full probe on the grown store must equal the exhaustive join bit-for-bit")
+
+    val partial = Ivf.searchBatch(q, store, "query_id", "embedding", "vec_id", "embedding",
+      model, topK = 4, nProbe = 2, storePath = Some(table))
+    val plan = partial.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"probe union must stay a partition filter on the grown store:\n$plan")
+
+    // a stale/foreign model must throw loudly instead of silently
+    // pruning away matching rows (the scan predicate hides the loss)
+    val other = Ivf.IvfModel(model.centroids.map(_.map(_ + 1f)))
+    val err = intercept[IllegalArgumentException] {
+      Ivf.searchBatch(q, store, "query_id", "embedding", "vec_id", "embedding",
+        other, topK = 4, nProbe = 2, storePath = Some(table))
+    }
+    assert(err.getMessage.contains("fingerprint"))
+    intercept[IllegalArgumentException] {
+      Ivf.search(store, "embedding", other, model.centroids(0), 4, nProbe = 2,
+        storePath = Some(table))
+    }
+    // without a sidecar there is nothing to verify against: also loud
+    intercept[IllegalArgumentException] {
+      Ivf.search(store, "embedding", model, model.centroids(0), 4, nProbe = 2,
+        storePath = Some(table + "-nonexistent"))
+    }
+  }
+
+  test("bm25: indexed path equals the scan path bit-for-bit; postings prune by term bucket; result re-derives no corpus scan") {
+    import graft.ops.Keyword
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "vector", "merge", "window")
+    val direct = Keyword.bm25(docs, "doc_id", "text", terms, topK = 15)
+    // the returned frame is materialized: a consumer that references the
+    // ranking twice (both hybrid-fusion legs, a join plus a filter...)
+    // must never re-derive the corpus tokenize subtree
+    assert(!direct.queryExecution.executedPlan.toString.contains("FileScan"),
+      "bm25 result must be a materialized local scan, not a live corpus plan")
+    val idx = Files.createTempDirectory("lexidx").toString
+    Keyword.buildLexicalIndex(docs, "doc_id", "text", idx)
+    val indexed = Keyword.bm25Indexed(spark, idx, terms, topK = 15, idName = "doc_id")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"query terms must prune postings buckets at the file index:\n$plan")
+    val a = direct.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
+    val b = indexed.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
+    assert(a == b, "the index is a layout change, never a semantics change")
+    assert(a.nonEmpty, "fixture terms must actually hit the corpus")
+  }
+
   test("repetition stats flag the degenerate doc and spare natural text") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now"),     // "buy now" covers 4 of 7 2-gram slots
