@@ -88,6 +88,30 @@ object Chat {
       .orderBy(col("session"), col("seq"))
   }
 
+  /** Mirror of the reference's per-request retrieval dispatch
+    * (`RagSettings.search_type`, `src/common/schema.py:168-183`; routed
+    * at `src/server/agents/chatbot.py:188-210`): `Similarity` = plain
+    * top-k (V2); `ScoreThreshold` = top-k among rows whose NORMALIZED
+    * relevance ([[Similarity.relevance]], in [0,1] like the reference's
+    * `score_threshold` field) clears the bound (V3); `Mmr` = maximal
+    * marginal relevance with the reference's `fetch_k`/`lambda_mult`
+    * knobs (V4). The MMR legs fetch and diversify on COSINE regardless
+    * of the configured metric — the reference's LangChain MMR likewise
+    * computes cosine over raw embeddings whatever the store metric.
+    */
+  sealed trait SearchType extends Serializable
+  object SearchType {
+    case object Similarity extends SearchType
+    final case class ScoreThreshold(scoreThreshold: Double) extends SearchType {
+      require(scoreThreshold >= 0.0 && scoreThreshold <= 1.0,
+        "score_threshold is a relevance in [0,1] (reference schema.py:176-178)")
+    }
+    final case class Mmr(fetchK: Int = 20, lambdaMult: Double = 0.5) extends SearchType {
+      require(fetchK >= 1 && fetchK <= 10000, "fetch_k in [1,10000] (schema.py:180)")
+      require(lambdaMult >= 0.0 && lambdaMult <= 1.0, "lambda_mult in [0,1] (schema.py:181)")
+    }
+  }
+
   case class RagAnswer(question: String, rewrittenQuery: String, answer: String,
                        context: String, retrievedIds: Seq[String], relevant: Boolean)
 
@@ -131,7 +155,9 @@ object Chat {
              grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
              topK: Int = 4, metric: String = "COSINE",
              history: Seq[String] = Seq.empty, useRag: Boolean = true,
-             index: Option[(Ivf.IvfModel, Int)] = None): RagAnswer = {
+             index: Option[(Ivf.IvfModel, Int)] = None,
+             searchType: SearchType = SearchType.Similarity,
+             indexStorePath: Option[String] = None): RagAnswer = {
     if (!useRag) {
       val ans = model.generate(sysPrompt, "", question)
       return RagAnswer(question, question, ans, "", Seq.empty, relevant = false)
@@ -140,27 +166,49 @@ object Chat {
     val qv = embedder.embed(q)
     // with an index, retrieval probes only the question's nProbe nearest
     // clusters. The pruning is real I/O savings ONLY on a
-    // writePartitioned store that carries cluster_id (same stale-model
-    // caveat as answerBatch); assigning on the fly is semantics-
-    // preserving but strictly extra work for a single question — prefer
-    // the plain path unless the store is partitioned.
-    val hits = (index match {
+    // writePartitioned store that carries cluster_id (pass
+    // `indexStorePath` so the model-fingerprint guard runs); assigning
+    // on the fly is semantics-preserving but strictly extra work for a
+    // single question — prefer the plain path unless the store is
+    // partitioned.
+    def fetch(n: Int, m: String): DataFrame = index match {
       case Some((ivfModel, nProbe)) =>
         val clustered =
           if (store.columns.contains("cluster_id"))
             store.select(col(idCol), col(textCol), col(embCol), col("cluster_id"))
           else Ivf.assign(store.select(col(idCol), col(textCol), col(embCol)), embCol, ivfModel)
-        Ivf.search(clustered, embCol, ivfModel, qv, topK, nProbe, metric)
+        Ivf.search(clustered, embCol, ivfModel, qv, n, nProbe, m, indexStorePath)
       case None =>
-        Similarity.knn(store.select(col(idCol), col(textCol), col(embCol)), embCol, qv, topK, metric)
-    }).select(col(idCol).cast("string"), col(textCol)).collect()
+        Similarity.knn(store.select(col(idCol), col(textCol), col(embCol)), embCol, qv, n, m)
+    }
+    val hits: Seq[(String, String)] = searchType match {
+      case SearchType.Similarity =>
+        fetch(topK, metric).select(col(idCol).cast("string"), col(textCol)).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      case SearchType.ScoreThreshold(t) =>
+        // top-k then threshold ≡ threshold then top-k: relevance is
+        // monotone in the score ordering, so any kept prefix agrees
+        fetch(topK, metric)
+          .filter(Similarity.relevance(metric, col("score")) >= t)
+          .select(col(idCol).cast("string"), col(textCol)).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      case SearchType.Mmr(fetchK, lm) =>
+        val cand = fetch(fetchK, "COSINE")
+          .select(col(idCol).cast("string"), col(textCol), col(embCol), col("score"))
+          .collect()
+        val textOf = cand.map(r => r.getString(0) -> r.getString(1)).toMap
+        Similarity
+          .mmrGreedy(cand.map(r => (r.getString(0), r.getSeq[Float](2).toArray, r.getDouble(3))),
+            topK, lm)
+          .map { case (id, _, _) => (id, textOf(id)) }
+    }
     // A9 context concat (chatbot.py:76-81)
-    val context = hits.map(_.getString(1)).mkString("\n\n")
+    val context = hits.map(_._2).mkString("\n\n")
     val rel = grader.relevant(q, context)
     val ans =
       if (rel) model.generate(sysPrompt, context, q)
       else model.generate(sysPrompt, "", q)
-    RagAnswer(question, q, ans, context, hits.map(_.getString(0)).toSeq, rel)
+    RagAnswer(question, q, ans, context, hits.map(_._1), rel)
   }
 
   /** Batch counterpart of [[answer]] for a whole question set: ONE
@@ -200,7 +248,9 @@ object Chat {
                   grader: Grader = OverlapGrader, sysPrompt: String = "you are helpful",
                   topK: Int = 4, metric: String = "COSINE",
                   historyCol: Option[String] = None,
-                  index: Option[(Ivf.IvfModel, Int)] = None): DataFrame = {
+                  index: Option[(Ivf.IvfModel, Int)] = None,
+                  searchType: SearchType = SearchType.Similarity,
+                  indexStorePath: Option[String] = None): DataFrame = {
     // per-question chat history (ARRAY<STRING>) feeds the rewrite, as in
     // the single-question path; absent means history-less questions
     val rewriteUdf = udf((q: String, h: Seq[String]) =>
@@ -217,17 +267,34 @@ object Chat {
       .drop("__hist")
       .withColumn("__emb", graft.embed.EmbedText.embedText(col("rewritten_query"), embedder))
       .localCheckpoint()
-    val hits = index match {
+    def fetch(n: Int, m: String): DataFrame = index match {
       case Some((ivfModel, nProbe)) =>
         val clustered =
           if (store.columns.contains("cluster_id"))
             store.select(col(idCol), col(embCol), col("cluster_id"))
           else Ivf.assign(store.select(col(idCol), col(embCol)), embCol, ivfModel)
         Ivf.searchBatch(q, clustered, "__qid2", "__emb", idCol, embCol,
-          ivfModel, topK, nProbe, metric)
+          ivfModel, n, nProbe, m, storePath = indexStorePath)
       case None => Similarity.similarityJoin(
         q, store.select(col(idCol), col(embCol)),
-        "__qid2", "__emb", idCol, embCol, k = topK, metric = metric)
+        "__qid2", "__emb", idCol, embCol, k = n, metric = m)
+    }
+    val hits = searchType match {
+      case SearchType.Similarity => fetch(topK, metric)
+      case SearchType.ScoreThreshold(t) =>
+        // kept rows are a rank prefix (relevance is monotone in the
+        // score ordering), matching the single-question leg exactly
+        fetch(topK, metric).filter(Similarity.relevance(metric, col("score")) >= t)
+      case SearchType.Mmr(fetchK, lm) =>
+        // fetch (exhaustive join or IVF-probed) feeds the shared
+        // distributed greedy; COSINE throughout, like the reference's
+        // LangChain MMR (cosine over raw embeddings whatever the metric)
+        val fetched = fetch(fetchK, "COSINE")
+          .join(store.select(col(idCol), col(embCol).as("__cemb")), idCol)
+          .select(col("__qid2").as("__qid"), col("rank"),
+            col(idCol).as("__cid"), col("score"), col("__cemb"))
+        Similarity.mmrRerankFetched(fetched, "__qid2", idCol, topK, lm)
+          .withColumnRenamed("mmr_rank", "rank")
     }
     // rank-ordered context + provenance per question (A9/V10); the hits
     // side is k×|questions| rows — AQE broadcasts it against the store

@@ -175,22 +175,33 @@ object Similarity {
     * the distributed [[knn]]. Returns (id, mmr_rank, score) in pick order.
     */
   def mmr(corpus: DataFrame, idCol: String, embCol: String, queryVec: Array[Float],
-          k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): Seq[(Long, Int, Double)] = {
+          k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): Seq[(Long, Int, Double)] =
+    mmrAny(corpus, idCol, embCol, queryVec, k, fetchK, lambdaMult)
+      .map { case (id, r, s) => (id.asInstanceOf[Long], r, s) }
+
+  /** [[mmr]] for any id type (chunk stores key on md5 strings): same
+    * fetch, same greedy, ids passed through untouched.
+    */
+  def mmrAny(corpus: DataFrame, idCol: String, embCol: String, queryVec: Array[Float],
+             k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): Seq[(Any, Int, Double)] = {
     require(fetchK <= 10000, "fetch_k capped at 10000 (reference schema.py:180)")
     val cand = knn(corpus.select(col(idCol), col(embCol)), embCol, queryVec, fetchK)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
     mmrGreedy(cand, k, lambdaMult)
   }
 
   /** V4 batched: MMR re-rank for a whole query batch — the fetch phase is
     * ONE distributed [[similarityJoin]] (corpus scanned once for the
-    * batch), and the greedy phase runs *inside executors*, one group per
-    * query id via `flatMapGroups` over ≤ fetchK candidate rows each — so
-    * an evaluation pipeline diversifies without a driver loop per
-    * question. Per query this is byte-identical to [[mmr]] (same fetch
-    * ordering and tiebreak, same [[mmrGreedy]] code). Ids must be
-    * numeric (cast to long), matching [[mmr]]'s signature. Returns
+    * batch), and the greedy phase runs *inside executors*: candidates
+    * shuffle once on query id, sort within partitions by (qid, fetch
+    * rank), and a streaming mapPartitions runs the greedy per
+    * consecutive group over ≤ fetchK rows each — so an evaluation
+    * pipeline diversifies without a driver loop per question, and ids of
+    * ANY type pass through untouched (md5-string chunk ids included; the
+    * partition/sort replaces `groupByKey`, whose key encoder would pin
+    * the id type). Per query this is byte-identical to [[mmr]] (same
+    * fetch ordering and tiebreak, same [[mmrGreedy]] code). Returns
     * (queryIdCol, corpusIdCol, mmr_rank, score) in pick order per query.
     */
   def mmrBatch(queries: DataFrame, corpus: DataFrame,
@@ -198,27 +209,62 @@ object Similarity {
                corpusIdCol: String, corpusEmbCol: String,
                k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): DataFrame = {
     require(fetchK <= 10000, "fetch_k capped at 10000 (reference schema.py:180)")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val kk = k
-    val lm = lambdaMult
     // fetch: distributed top-fetchK per query; candidate embeddings come
     // back via an equi-join on the (bounded) candidate set — AQE
     // broadcasts the k×|queries| side, the corpus is not re-shuffled
     val fetched = similarityJoin(queries, corpus, queryIdCol, queryEmbCol,
         corpusIdCol, corpusEmbCol, k = fetchK)
       .join(corpus.select(col(corpusIdCol), col(corpusEmbCol).as("__cemb")), corpusIdCol)
-      .select(col(queryIdCol).cast("long").as("qid"), col("rank"),
-        col(corpusIdCol).cast("long").as("cid"), col("score"), col("__cemb"))
-      .as[(Long, Int, Long, Double, Seq[Float])]
-    fetched.groupByKey(_._1)
-      .flatMapGroups { (qid: Long, it: Iterator[(Long, Int, Long, Double, Seq[Float])]) =>
-        // sort by fetch rank so candidate order — and therefore greedy
-        // tie-breaking — matches the single-query path exactly
-        val cand = it.toArray.sortBy(_._2).map(t => (t._3, t._5.toArray, t._4))
-        mmrGreedy(cand, kk, lm).map { case (id, r, s) => (qid, id, r, s) }
-      }
-      .toDF(queryIdCol, corpusIdCol, "mmr_rank", "score")
+      .select(col(queryIdCol).as("__qid"), col("rank"),
+        col(corpusIdCol).as("__cid"), col("score"), col("__cemb"))
+    mmrRerankFetched(fetched, queryIdCol, corpusIdCol, k, lambdaMult)
+  }
+
+  /** The distributed greedy tail of [[mmrBatch]], reusable by any fetch
+    * plan (e.g. an IVF-probed fetch in [[Chat.answerBatch]]): `fetched`
+    * must carry exactly `(__qid, rank, __cid, score, __cemb)` — the
+    * per-query candidates with their fetch rank and embeddings. One
+    * shuffle on query id, in-partition sort by (qid, fetch rank), then a
+    * streaming per-group greedy.
+    */
+  private[ops] def mmrRerankFetched(fetched: DataFrame, queryIdCol: String,
+                                    corpusIdCol: String, k: Int,
+                                    lambdaMult: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val kk = k
+    val lm = lambdaMult
+    val outSchema = StructType(Seq(
+      StructField(queryIdCol, fetched.schema("__qid").dataType),
+      StructField(corpusIdCol, fetched.schema("__cid").dataType),
+      StructField("mmr_rank", IntegerType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    fetched
+      .repartition(col("__qid"))
+      .sortWithinPartitions(col("__qid"), col("rank"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Row] {
+          private var out: Iterator[Row] = Iterator.empty
+          def hasNext: Boolean = out.hasNext || buf.hasNext
+          def next(): Row = {
+            if (!out.hasNext) {
+              // consecutive rows share a qid after the sort; candidate
+              // order within the group is fetch-rank order, so greedy
+              // tie-breaking matches the single-query path exactly
+              val qid = buf.head.get(0)
+              val cand = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float], Double)]
+              while (buf.hasNext && buf.head.get(0) == qid)  {
+                val r = buf.next()
+                cand += ((r.get(2), r.getSeq[Float](4).toArray, r.getDouble(3)))
+              }
+              out = mmrGreedy(cand.toArray, kk, lm)
+                .map { case (id, rank, s) => Row(qid, id, rank, s) }.iterator
+            }
+            out.next()
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   private def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -229,12 +275,12 @@ object Similarity {
   }
 
   /** The sequential greedy MMR core shared by [[mmr]] (driver-side) and
-    * [[mmrBatch]] (inside flatMapGroups): candidates in fetch-rank order,
+    * [[mmrBatch]] (inside mapPartitions): candidates in fetch-rank order,
     * select argmax of `λ·rel − (1−λ)·max_sim_to_selected`, first-wins on
     * ties (iteration order = candidate order).
     */
-  private[ops] def mmrGreedy(cand: Array[(Long, Array[Float], Double)],
-                             k: Int, lambdaMult: Double): Seq[(Long, Int, Double)] = {
+  private[ops] def mmrGreedy[I](cand: Array[(I, Array[Float], Double)],
+                                k: Int, lambdaMult: Double): Seq[(I, Int, Double)] = {
     if (cand.isEmpty) return Seq.empty
     val selected = scala.collection.mutable.ArrayBuffer[Int]()
     val remaining = scala.collection.mutable.LinkedHashSet(cand.indices: _*)

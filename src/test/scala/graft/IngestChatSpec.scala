@@ -374,6 +374,65 @@ class IngestChatSpec extends AnyFunSuite {
     assert(ivfReport.count() == 3)
   }
 
+  test("search-type dispatch: threshold and MMR legs route through the pipeline, batch equals per-question") {
+    import graft.ops.Chat.SearchType
+    val dir = Files.createTempDirectory("graft-dispatch").toString
+    val cfg = Ingest.StoreConfig("disp", "hash-32", 200, 0)
+    val docs = Seq(
+      (1L, "spark catalyst optimizer plans queries"),
+      (2L, "spark catalyst rules rewrite plans"),
+      (3L, "parquet files store columnar data"),
+      (4L, "cooking pasta requires boiling water"),
+      (5L, "streaming watermarks bound state growth")
+    ).toDF("doc_id", "text")
+    Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    val store = Ingest.readStore(spark, dir, cfg).get
+    val questions = Seq("how does spark plan queries", "what stores columnar data")
+    val qdf = questions.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("qid", "question")
+
+    for (st <- Seq(SearchType.ScoreThreshold(0.55), SearchType.Mmr(fetchK = 4, lambdaMult = 0.3))) {
+      val batch = Chat.answerBatch(qdf, "qid", "question", store,
+          "id", "text", "embedding", embedder, topK = 2, searchType = st)
+        .collect().map(r => r.getAs[String]("question") -> r).toMap
+      questions.foreach { qtext =>
+        val single = Chat.answer(spark, qtext, store, "id", "text", "embedding",
+          embedder, topK = 2, searchType = st)
+        val b = batch(qtext)
+        assert(b.getAs[String]("answer") == single.answer, s"$st / $qtext")
+        assert(b.getAs[String]("context") == single.context, s"$st / $qtext")
+        assert(b.getAs[scala.collection.Seq[String]]("retrieved_ids").toSeq
+          == single.retrievedIds, s"$st / $qtext")
+        assert(b.getAs[Boolean]("relevant") == single.relevant, s"$st / $qtext")
+      }
+    }
+    // threshold semantics: an unreachable relevance bound empties the
+    // retrieval but keeps the question row (no-context turn), and the
+    // default Similarity leg is unchanged by the dispatch
+    val strict = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2, searchType = SearchType.ScoreThreshold(0.9999))
+    assert(strict.retrievedIds.isEmpty && strict.context.isEmpty && !strict.relevant)
+    val viaDefault = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2)
+    val viaSimilarity = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2, searchType = SearchType.Similarity)
+    assert(viaDefault == viaSimilarity)
+    // the MMR leg composes with the IVF index: full probe ≡ exhaustive
+    val ivfModel = graft.ops.Ivf.fit(store, "id", "embedding", k = 2)
+    val mmrExh = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2,
+        searchType = SearchType.Mmr(fetchK = 4, lambdaMult = 0.3))
+      .orderBy($"qid").collect().toSeq
+    val mmrIvf = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2, index = Some((ivfModel, 2)),
+        searchType = SearchType.Mmr(fetchK = 4, lambdaMult = 0.3))
+      .orderBy($"qid").collect().toSeq
+    assert(mmrIvf == mmrExh, "full-probe IVF MMR must equal exhaustive MMR")
+    // λ=1 degenerates to plain similarity: same picks as the top-k leg
+    val lam1 = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2, searchType = SearchType.Mmr(fetchK = 4, lambdaMult = 1.0))
+    assert(lam1.retrievedIds == viaDefault.retrievedIds)
+  }
+
   test("testset upsert is idempotent per tid and chunk JSON round-trips (S18, S13/S9)") {
     val base = Files.createTempDirectory("graft-ts").toString
     val path = s"$base/testsets"
