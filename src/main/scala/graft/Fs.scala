@@ -55,6 +55,12 @@ object Fs {
     * one append's segment would be silently dropped — fail fast instead
     * of risking silent data loss. Supporting an object store needs a
     * conditional-create publish (e.g. S3 conditional PUT) first.
+    *
+    * viewfs caveat: viewfs is a client-side mount table and this guard
+    * inspects only the OUTER scheme — a viewfs mount whose target is an
+    * object store passes the check yet loses the no-overwrite
+    * atomicity. Keep versioned tables on mounts backed by HDFS (or
+    * resolve the target filesystem before trusting the commit).
     */
   def publishExclusive(spark: SparkSession, from: String, to: String): Boolean = {
     val f = new Path(from)

@@ -98,9 +98,19 @@ final case class RateLimitedEmbedder(inner: Embedder, rpm: Int) extends Embedder
 object RateLimitedEmbedder {
   /** One clock per distinct (inner, rpm) embedder identity per JVM —
     * case-class equality makes every deserialized copy of the same
-    * logical embedder land on the same entry. Entries are one AtomicLong
-    * each and embedder identities are few, so the map never needs
-    * eviction.
+    * logical embedder land on the same entry.
+    *
+    * CONTRACT: `inner` must implement VALUE equality (be a case class,
+    * or override equals/hashCode on its configuration). A user-supplied
+    * class with default reference equality makes every deserialized task
+    * copy its own map entry — silently reinstating exactly the
+    * per-task unthrottled-first-call bug this map exists to fix (and
+    * leaking one entry per task). Relatedly, entries are never evicted
+    * (one AtomicLong per logical embedder — fine for the intended
+    * handful of static identities) and the map strongly retains the
+    * embedder instances: do NOT mint embedder identities dynamically
+    * (e.g. a fresh config object per request), or the map grows without
+    * bound.
     */
   private[embed] val clocks =
     new java.util.concurrent.ConcurrentHashMap[

@@ -370,6 +370,28 @@ object Relational {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // As-of with a max-gap tolerance: purchases more than 10 minutes
+    // older than the click yield nulls, as if absent — checked against
+    // DuckDB's native ASOF LEFT JOIN with the same gap bound applied to
+    // the matched pair.
+    "asof_join_tolerance" -> ((s, d) => {
+      import s.implicits._
+      val tsUs = expr("ts div 1000")
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", tsUs.as("tus"), $"event_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", tsUs.as("tus"),
+          $"event_id".as("p_event"), cents($"value").as("p_val_c"))
+        .groupBy($"user_id", $"tus")
+        .agg(max_by(struct($"p_event", $"p_val_c"), $"p_event").as("p"))
+        .select($"user_id", $"tus", $"p.p_event".as("p_event"), $"p.p_val_c".as("p_val_c"))
+      graft.ops.AsOf.asOfJoin(clicks, purchases, "user_id", "tus",
+          tolerance = Some(lit(600000000L))) // 10 min in microseconds
+        .select($"user_id", $"event_id", $"asof_p_event", $"asof_p_val_c")
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Range join via bin equi-join (beyond-reference): parts within ±25
     // of each anchor part's retail price. The binned plan shuffles on
     // bin ids (hash exchange) where the naive BETWEEN join is a
@@ -594,6 +616,21 @@ object Relational {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.user_id, l.event_id,
         |  r.p_event AS asof_p_event, r.p_val_c AS asof_p_val_c
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "asof_join_tolerance" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    arg_max(event_id, event_id) AS p_event,
+        |    arg_max(CAST(round(value*100) AS BIGINT), event_id) AS p_val_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id,
+        |  CASE WHEN l.tus - r.tus <= 600000000 THEN r.p_event END AS asof_p_event,
+        |  CASE WHEN l.tus - r.tus <= 600000000 THEN r.p_val_c END AS asof_p_val_c
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.tus >= r.tus
         |ORDER BY l.user_id, l.event_id""".stripMargin,

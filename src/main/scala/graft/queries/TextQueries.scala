@@ -196,6 +196,37 @@ object TextQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // The recursive splitter's contract as an oracle-checked query: the
+    // boundaries are engine-defined (split_recursive stays rows-only),
+    // but the INVARIANTS every chunking must satisfy are not — the
+    // oracle states them as constants per document and the Spark side
+    // proves them from the actual chunks: every chunk fits the size cap,
+    // offsets index the source text exactly, coverage starts at 0,
+    // reaches the end, leaves no gaps, and strictly advances.
+    "split_recursive_invariants" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length($"text") > 0)
+      val chunks = Split.chunkDocs(docs, "doc_id", "text",
+        t => Split.recursive(t, 200, 40))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"chunk_idx")
+      chunks
+        .join(docs.select($"doc_id", $"text"), "doc_id")
+        .withColumn("chunk_end", $"chunk_start" + length($"chunk_text"))
+        .withColumn("prev_end", lag($"chunk_end", 1).over(w))
+        .withColumn("prev_start", lag($"chunk_start", 1).over(w))
+        .groupBy($"doc_id")
+        .agg(
+          bool_and(length($"chunk_text") <= 200).as("within_size"),
+          bool_and($"chunk_text" ===
+            expr("substring(text, chunk_start + 1, length(chunk_text))")).as("offsets_exact"),
+          (min($"chunk_start") === 0).as("starts_at_zero"),
+          (max($"chunk_end") === max(length($"text"))).as("covers_end"),
+          bool_and(coalesce($"chunk_start" <= $"prev_end", lit(true))).as("no_gaps"),
+          bool_and(coalesce($"chunk_start" > $"prev_start", lit(true))).as("advances"))
+        .orderBy($"doc_id")
+    }),
+
     // S15 content-keyed idempotent merge over split chunks: chunks whose
     // md5 content key is NOT already present in the "existing" half
     // (doc_id < 250) — the ingest anti-join as a pure query.
@@ -221,6 +252,14 @@ object TextQueries {
   private val deList = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the invariants ARE the oracle: per non-empty document the expected
+    // value of every contract bit is a constant true — a hash mismatch
+    // pinpoints the doc and the violated invariant
+    "split_recursive_invariants" ->
+      """SELECT doc_id, true AS within_size, true AS offsets_exact,
+        |  true AS starts_at_zero, true AS covers_end, true AS no_gaps,
+        |  true AS advances
+        |FROM documents WHERE len(text) > 0 ORDER BY doc_id""".stripMargin,
     "corpus_prep_pipeline" ->
       s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          |qual AS (

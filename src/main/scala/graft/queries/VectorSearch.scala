@@ -85,6 +85,21 @@ object VectorSearch {
         .orderBy($"mmr_rank")
     }),
 
+    // V4 at λ=1 the greedy's relevance term alone orders the picks, so
+    // MMR degenerates to plain top-k and shares the knn oracle — an
+    // oracle-checked anchor for the otherwise engine-defined MMR family
+    // (the diversity term, exercised at λ<1, stays covered by mmr_rerank
+    // rows + the SimilaritySpec properties).
+    "mmr_lambda1_equals_knn" -> ((s, d) => {
+      import s.implicits._
+      val picks = Similarity.mmr(
+        embeddings(s, d).filter($"vec_id" =!= 0), "vec_id", "embedding", queryVec(s, d),
+        k = 10, fetchK = 10, lambdaMult = 1.0)
+      picks.toDF("vec_id", "mmr_rank", "sim")
+        .select($"vec_id", round($"sim", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // S16/§4 IVF index at full probe: fit 8 centroids, search probing all
     // of them — must equal exact brute-force knn, so it shares the knn
     // oracle. (Partial-probe pruning is covered in ScaleOpsSpec.)
@@ -205,6 +220,7 @@ object VectorSearch {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
+    "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),
     "knn_dot_topk" -> knnOracle("list_inner_product", desc = true),
     "rag_context_assembly" ->

@@ -297,6 +297,62 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join: bin equi-join matches naive BETWEEN; an over-cap interval fails loudly instead of OOMing") {
+    import graft.ops.RangeJoin
+    val pts = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("pid", "v")
+    val iv = Seq((1L, 10.0, 30.0), (2L, 95.5, 120.5), (3L, 180.0, 180.0))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(pts, "v", iv, "lo", "hi", binWidth = 7.0)
+      .select($"iid", $"pid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (iid, lo, hi) <- Seq((1L, 10.0, 30.0), (2L, 95.5, 120.5), (3L, 180.0, 180.0))
+      p <- 1 to 200 if p >= lo && p <= hi
+    } yield (iid, p.toLong)).toSet
+    assert(got == want)
+    // one pathological interval must fail the query loudly — the explode
+    // would otherwise materialize the full bin array and OOM the task
+    val bad = Seq((9L, 0.0, 1.0e12)).toDF("iid", "lo", "hi")
+    val err = intercept[Exception] {
+      RangeJoin.binned(pts, "v", bad, "lo", "hi", binWidth = 1.0,
+        maxBinsPerInterval = 1000).count()
+    }
+    assert(err.toString.contains("bins") || err.getCause != null)
+  }
+
+  test("as-of join: tolerance nulls far matches; null keys/times never match; exclusive skips same-instant rows") {
+    import graft.ops.AsOf
+    val left = Seq(
+      (Option(1L), Option(10L), "a"), (Option(1L), Option(100L), "b"),
+      (Option.empty[Long], Option(50L), "x"), (Option(2L), Option.empty[Long], "y"),
+      (Option(3L), Option(7L), "z")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(8L), "p8"), (Option(1L), Option(15L), "p15"),
+      (Option.empty[Long], Option(1L), "pn"), (Option(3L), Option.empty[Long], "pz"),
+      (Option(2L), Option(3L), "p2")
+    ).toDF("k", "t", "pay")
+    def run(tol: Option[org.apache.spark.sql.Column]) =
+      AsOf.asOfJoin(left, right, "k", "t", tolerance = tol)
+        .select($"tag", $"asof_pay").as[(String, Option[String])]
+        .collect().toMap
+    val plain = run(None)
+    assert(plain("a").contains("p8") && plain("b").contains("p15"))
+    assert(plain("x").isEmpty, "null-keyed left row must not match null-keyed right rows")
+    assert(plain("y").isEmpty, "null-timed left row has no defined position, so no match")
+    assert(plain("z").isEmpty, "null-timed right rows are dropped")
+    val tol = run(Some(lit(5L)))
+    assert(tol("a").contains("p8"), "gap 2 <= 5 keeps the match")
+    assert(tol("b").isEmpty, "gap 85 > 5 nulls the payload as if absent")
+    // exclusive: a same-instant right row is invisible
+    val at15 = Seq((Option(1L), Option(15L), "e")).toDF("k", "t", "tag")
+    val excl = AsOf.asOfJoin(at15, right, "k", "t", inclusive = false)
+      .select($"asof_pay").as[String].head()
+    assert(excl == "p8")
+    val incl = AsOf.asOfJoin(at15, right, "k", "t")
+      .select($"asof_pay").as[String].head()
+    assert(incl == "p15")
+  }
+
   test("bm25: indexed path equals the scan path bit-for-bit; postings prune by term bucket; result re-derives no corpus scan") {
     import graft.ops.Keyword
     val docs = Tables.documents(spark, sf)
