@@ -83,20 +83,30 @@ object Ingest {
     // half-written append), with the count observed on the segment write
     // itself so the anti-join (a full scan of the store's id column, at
     // scale) runs once — not count-then-write twice. A no-op re-ingest
-    // publishes nothing. An IVF-indexed store (it carries a model
-    // sidecar) appends through Ivf.appendAssigned so its
-    // cluster-partitioned layout — and probe-time partition pruning —
-    // survives continuous ingestion, mirroring the reference's
-    // re-index-after-merge (`src/server/utils/embedding.py:348-368`)
-    // without rewriting existing data.
-    val appendedN =
-      if (graft.Fs.exists(spark, Ivf.modelPath(path)))
-        Ivf.appendAssigned(spark, path, toAppend, "embedding")
-      else VersionedStore.appendNonEmpty(spark, path, toAppend)
+    // publishes nothing.
+    val appendedN = appendRespectingLayout(spark, path, toAppend)
     writeManifest(spark, storeDir, config)
     deduped.unpersist()
     IngestResult(chunksIn, dedupedN, appendedN, existingN + appendedN)
   }
+
+  /** Append chunk rows into a store table WITHOUT degrading its layout:
+    * an IVF-indexed store (it carries a model sidecar) appends through
+    * [[Ivf.appendAssigned]] so its cluster-partitioned layout — and
+    * probe-time partition pruning — survives continuous ingestion,
+    * mirroring the reference's re-index-after-merge
+    * (`src/server/utils/embedding.py:348-368`) without rewriting
+    * existing data; an unindexed store appends flat. Every writer into a
+    * store table (batch [[ingest]], streaming
+    * [[graft.streaming.IncrementalIngest]]) must come through here: a
+    * flat segment landing in a clustered store fails the next read
+    * loudly (strict union), and this is the seam that prevents it.
+    */
+  def appendRespectingLayout(spark: SparkSession, table: String, df: DataFrame,
+                             embCol: String = "embedding"): Long =
+    if (graft.Fs.exists(spark, Ivf.modelPath(table)))
+      Ivf.appendAssigned(spark, table, df, embCol)
+    else VersionedStore.appendNonEmpty(spark, table, df)
 
   /** Store compaction — the small-files remedy an append-mode store
     * needs at scale: idempotent re-ingests and streaming micro-batches

@@ -137,16 +137,16 @@ object Testbed {
                   model: Chat.ChatModel = Chat.TemplateModel,
                   grader: Chat.Grader = Chat.OverlapGrader,
                   topK: Int = 4,
-                  judge: (String, String) => Boolean = keywordJudge,
+                  judge: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column = keywordJudgeCol,
                   index: Option[(Ivf.IvfModel, Int)] = None): DataFrame = {
     val withId = qa.withColumn("__qid", xxhash64(col("question")))
     val answered = Chat.answerBatch(
       withId.select(col("__qid"), col("question")).dropDuplicates("__qid"),
       "__qid", "question", store, idCol, textCol, embCol,
       embedder, model, grader, topK = topK, index = index)
-    val judgeUdf = udf(judge)
     withId.join(answered.select(col("__qid"), col("answer")), Seq("__qid"))
-      .withColumn("correct", judgeUdf(col("answer"), col("reference_answer")))
+      .withColumn("correct", judge(col("answer"), col("reference_answer")))
       .select(col("question"), col("topic"), col("answer"), col("correct"))
   }
 
@@ -173,6 +173,19 @@ object Testbed {
   def keywordJudge(answer: String, reference: String): Boolean = {
     val key = reference.split("\\s+").headOption.getOrElse("")
     key.nonEmpty && answer.toLowerCase.contains(key.toLowerCase)
+  }
+
+  /** [[keywordJudge]] as a Catalyst column — the deterministic default
+    * stays inside whole-stage codegen instead of paying a per-row UDF;
+    * the column-function seam still accepts a custom judge (an LLM judge
+    * wraps its call in `udf` and plugs in here). Exact [[keywordJudge]]
+    * parity: first whitespace token of the reference, case-insensitive
+    * containment, empty key (or null inputs) → false.
+    */
+  def keywordJudgeCol(answer: org.apache.spark.sql.Column,
+                      reference: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val key = element_at(split(reference, "\\s+"), 1)
+    coalesce(length(key) > 0 && contains(lower(answer), lower(key)), lit(false))
   }
 
   /** S18 testset upsert: idempotent overwrite keyed on the testset id —

@@ -188,7 +188,7 @@ object VectorSearch {
       val report = qa
         .join(answered, "qid")
         .withColumn("correct",
-          udf(Testbed.keywordJudge _).apply($"answer", $"reference_answer"))
+          Testbed.keywordJudgeCol($"answer", $"reference_answer"))
         .select($"question", $"topic", $"answer", $"correct")
       // the by-topic report is a handful of rows: materialize it eagerly
       // (localCheckpoint) so the caches can be released before returning —

@@ -61,12 +61,13 @@ object IncrementalIngest {
     // each micro-batch publishes through the versioned manifest: readers
     // querying the store mid-stream see complete batch boundaries, never
     // a half-committed append, and a batch whose anti-join leaves nothing
-    // publishes no manifest version
+    // publishes no manifest version. The layout-respecting append keeps
+    // an IVF-indexed store cluster-partitioned as the stream grows it.
     val toAppend = graft.ops.VersionedStore.read(spark, storePath) match {
       case Some(st) => chunks.join(st.select("id"), Seq("id"), "left_anti")
       case None     => chunks
     }
-    graft.ops.VersionedStore.appendNonEmpty(spark, storePath, toAppend): Unit
+    graft.ops.Ingest.appendRespectingLayout(spark, storePath, toAppend): Unit
   }
 
   /** Streaming exact dedup with BOUNDED state: drop re-occurrences of

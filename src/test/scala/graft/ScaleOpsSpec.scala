@@ -35,6 +35,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(rows.count() == 3, "duplicate content must not re-append")
       assert(rows.select("id").distinct().count() == 3)
       assert(rows.schema.fieldNames.contains("embedding"))
+      // index the store mid-stream: micro-batches after it must land
+      // cluster-assigned, or the mixed layout would fail the next read
+      graft.ops.Ivf.indexStore(spark, store, "id", "embedding", k = 2)
+      writeDocs("b3.json", Seq((5L, "nu xi omicron pi rho")))
+      q.processAllAvailable()
+      val grown = graft.ops.VersionedStore.read(spark, store).get
+      assert(grown.count() == 4)
+      assert(grown.schema.fieldNames.contains("cluster_id"),
+        "streamed appends must keep the clustered layout")
     } finally q.stop()
   }
 
