@@ -90,10 +90,16 @@ object Dedup {
       .distinct()
     // candidates are usually few, but a single large duplicate cluster
     // makes the pair set quadratic in the cluster size — never force a
-    // broadcast (driver collect) here; AQE picks broadcast when small
+    // broadcast (driver collect) here. SHUFFLE_HASH on the array side:
+    // the default sort-merge join would SORT rows carrying the shingle
+    // arrays, and sorting KB-sized variable-length payloads is a
+    // measured 15x CPU cliff (see ngramJaccardPairs); a hash join moves
+    // them exactly once and never sorts them
     val pairs = cand
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("jaccard",
         graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -179,8 +185,15 @@ object Dedup {
     // exact verification on the string arrays; as in minhashNearDupPairs,
     // never force-broadcast the unbounded candidate set (AQE decides)
     val pairs = cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // SHUFFLE_HASH: at 1x AQE happily broadcasts this side, but past
+      // the broadcast threshold the default becomes a sort-merge join
+      // that sorts the candidate rows WITH their KB-sized shingle
+      // arrays twice — measured 60x CPU (3915 s vs 256 s hashed) on the
+      // 4x scale probe. Hash joins move the arrays once, sort nothing.
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("jaccard",
         graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -422,10 +435,14 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // as in minhashNearDupPairs: the pair set is unbounded under heavy
-    // duplication — plain shuffle join, AQE may still broadcast it
+    // duplication — plain shuffle join, AQE may still broadcast it.
+    // SHUFFLE_HASH keeps the float-array payloads out of any sort
+    // (same measured cliff as the ngram verify join)
     cand
-      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

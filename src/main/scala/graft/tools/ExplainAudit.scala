@@ -19,7 +19,11 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "filter_project_pushdown", "join_agg_topk", "sort_limit_topk",
       "knn_cosine_topk", "similarity_join_topk", "dedup_ngram_jaccard",
-      "agg_pricing_summary", "testbed_generate")
+      "agg_pricing_summary", "testbed_generate",
+      // round-4/5 surfaces: the lexical legs (single-scan + indexed),
+      // the probed batch ANN, and the carry/bin joins
+      "bm25_topk", "bm25_indexed_topk", "hybrid_rrf_fusion",
+      "ann_ivf_batch_probe", "asof_join_tolerance", "range_join_price_bands")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)

@@ -92,6 +92,73 @@ object ScaleProbe {
       time(graft.ops.TextAnalysis.repetitionStats(docs1, "doc_id", "text").count()),
       time(graft.ops.TextAnalysis.repetitionStats(docsN, "doc_id", "text").count()))
 
+    // ---- round-4/5 operators ----
+
+    // bm25 wants term matches to grow with the corpus, so its scale-up
+    // replicates text UNperturbed (df, postings, and avgdl all scale N×;
+    // the per-shard prefix above would instead strand the query terms in
+    // shard 0). Result size is constant (topK); ideal time ≈ N×.
+    val docsNsame = (0 until n).map { i =>
+      docs1.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text", $"lang")
+    }.reduce(_ union _).localCheckpoint()
+    val terms = Seq("spark", "vector", "merge", "window")
+    report("bm25_scan",
+      time(graft.ops.Keyword.bm25(docs1, "doc_id", "text", terms, topK = 20).count()),
+      time(graft.ops.Keyword.bm25(docsNsame, "doc_id", "text", terms, topK = 20).count()))
+
+    // lexical index: build pays the full tokenize+explode (ideal N×);
+    // the indexed query touches postings buckets + the (id, dl) join —
+    // its cost should scale with matches, far below the scan path's
+    val idx1 = java.nio.file.Files.createTempDirectory("lexidx1").toString
+    val idxN = java.nio.file.Files.createTempDirectory("lexidxN").toString
+    val (_, tB1) = time(graft.ops.Keyword.buildLexicalIndex(docs1, "doc_id", "text", idx1))
+    val (_, tBN) = time(graft.ops.Keyword.buildLexicalIndex(docsNsame, "doc_id", "text", idxN))
+    report("lexical_index_build", (docs1.count(), tB1), (docsNsame.count(), tBN))
+    report("bm25_indexed_query",
+      time(graft.ops.Keyword.bm25Indexed(spark, idx1, terms, topK = 20).count()),
+      time(graft.ops.Keyword.bm25Indexed(spark, idxN, terms, topK = 20).count()))
+
+    // as-of join: events replicate with shifted user ids (per-shard
+    // timeline identical), so matches and output rows scale N× on one
+    // key exchange — the plan that replaces the per-key cartesian
+    val ev1 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select($"user_id", $"event_id", $"event_type", expr("ts div 1000").as("tus"))
+      .localCheckpoint()
+    val evN = (0 until n).map { i =>
+      ev1.select(($"user_id" + lit(i * 1000000L)).as("user_id"),
+        ($"event_id" + lit(i * 100000000L)).as("event_id"), $"event_type", $"tus")
+    }.reduce(_ union _).localCheckpoint()
+    def asof(ev: DataFrame) = {
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"tus", $"event_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"tus").agg(max($"event_id").as("p_event"))
+      graft.ops.AsOf.asOfJoin(clicks, purchases, "user_id", "tus",
+        tolerance = Some(lit(600000000L)))
+    }
+    report("asof_join_tolerance",
+      time(asof(ev1).count()), time(asof(evN).count()))
+
+    // range join: per-shard point values repeat (doc_id mod shard), so a
+    // fixed 100-interval set matches N× the points through the same
+    // bin-count hash shuffle
+    def rangeJoin(docs: DataFrame) = {
+      val pts = docs.select($"doc_id", ($"doc_id" % 1000000L).cast("double").as("v"))
+      val iv = spark.range(100).select($"id".as("iid"),
+        ($"id" * 37 + 10).cast("double").as("lo"), ($"id" * 37 + 60).cast("double").as("hi"))
+      graft.ops.RangeJoin.binned(pts, "v", iv, "lo", "hi", binWidth = 50.0)
+    }
+    report("range_join_binned",
+      time(rangeJoin(docs1).count()), time(rangeJoin(docsN).count()))
+
+    // batch MMR: fixed 10-query batch, corpus N× — fetch is the bounded
+    // similarity join, greedy is per-query over ≤ fetchK rows (constant)
+    report("mmr_batch",
+      time(graft.ops.Similarity.mmrBatch(q, emb1.filter($"vec_id" >= 10),
+        "query_id", "embedding", "vec_id", "embedding", k = 4, fetchK = 20).count()),
+      time(graft.ops.Similarity.mmrBatch(q, embN.filter($"vec_id" % 1000000 >= 10),
+        "query_id", "embedding", "vec_id", "embedding", k = 4, fetchK = 20).count()))
+
     spark.stop()
   }
 }
