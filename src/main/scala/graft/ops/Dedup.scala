@@ -295,7 +295,14 @@ object Dedup {
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    // SHUFFLE_HASH: the loser set scales with corpus duplication (a 30%
+    // dup rate means billions of ids at 100 TB — unbroadcastable), and
+    // the sort-merge fallback would sort the corpus rows WITH their text
+    // payloads (the measured payload-sort cliff). Hash anti-join builds
+    // on bare ids, streams the wide rows, sorts nothing. (Contrast
+    // decontaminate: its id list is bounded by the eval set, so the
+    // broadcast AQE picks there is the right plan and it stays unhinted.)
+    df.join(losers.hint("SHUFFLE_HASH"), Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 64-bit token-weight fingerprints, banded

@@ -74,9 +74,16 @@ object Ingest {
     // count(*) over parquet decodes no columns — near-metadata cost,
     // unlike a full post-append table re-read
     val existingN = existing.map(_.count()).getOrElse(0L)
+    // SHUFFLE_HASH on the store-id side: when the store's id column
+    // outgrows the broadcast threshold (it does — it's the whole corpus)
+    // the default anti-join becomes sort-merge, which sorts the NEW
+    // chunk rows together with their text + embedding payloads — the
+    // same measured payload-sort cliff as the dedup verify joins. The
+    // hash anti-join builds on the bare ids and streams the wide rows.
     val toAppend = existing match {
-      case Some(st) => deduped.join(st.select("id"), Seq("id"), "left_anti")
-      case None     => deduped
+      case Some(st) =>
+        deduped.join(st.select("id").hint("SHUFFLE_HASH"), Seq("id"), "left_anti")
+      case None => deduped
     }
     // the append goes through the versioned manifest (atomic publish —
     // concurrent readers see the old or the new complete table, never a

@@ -238,7 +238,9 @@ object TextQueries {
         .withColumn("ckey", Split.contentKey($"chunk_text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val existing = chunks.filter($"doc_id" < 250).select($"ckey").distinct()
-      chunks.join(existing, Seq("ckey"), "left_anti")
+      // SHUFFLE_HASH as in Ingest.ingest: build on the bare keys, never
+      // sort the wide chunk rows
+      chunks.join(existing.hint("SHUFFLE_HASH"), Seq("ckey"), "left_anti")
         .select($"doc_id", $"chunk_idx")
         .orderBy($"doc_id", $"chunk_idx")
     }),

@@ -64,8 +64,11 @@ object IncrementalIngest {
     // publishes no manifest version. The layout-respecting append keeps
     // an IVF-indexed store cluster-partitioned as the stream grows it.
     val toAppend = graft.ops.VersionedStore.read(spark, storePath) match {
-      case Some(st) => chunks.join(st.select("id"), Seq("id"), "left_anti")
-      case None     => chunks
+      // SHUFFLE_HASH: build on the bare store ids, stream the wide
+      // chunk rows — see Ingest.ingest (payload-sort cliff)
+      case Some(st) =>
+        chunks.join(st.select("id").hint("SHUFFLE_HASH"), Seq("id"), "left_anti")
+      case None => chunks
     }
     graft.ops.Ingest.appendRespectingLayout(spark, storePath, toAppend): Unit
   }
