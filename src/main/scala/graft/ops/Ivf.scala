@@ -100,20 +100,30 @@ object Ivf {
       .collect()
       .map(_.getSeq[Float](1).toArray)
     var model = IvfModel(init)
-    for (_ <- 0 until iters) {
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until (if (dim == 0) 0 else iters)) {
       val assigned = assign(df.select(col(embCol)), embCol, model)
+      // per-element avg as dim separate aggregate expressions: partial
+      // aggregation runs map-side and the shuffle carries k×dim doubles —
+      // the posexplode formulation this replaces shuffled corpus×dim
+      // exploded ROWS per Lloyd round, the dominant fit cost at scale.
+      // avg skips nulls per element, so ragged arrays mean exactly what
+      // the exploded groupBy(cluster, pos) computed.
       val means = assigned
-        .select(col("cluster_id"), posexplode(col(embCol)))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(avg(col(embCol).getItem(0)).as("m0"),
+          (1 until dim).map(i => avg(col(embCol).getItem(i)).as(s"m$i")): _*)
         .collect()
-      val byCluster = means.groupBy(_.getInt(0))
-      val dim = model.centroids.head.length
+      val byCluster = means.map(r => r.getInt(0) -> r).toMap
       val next = model.centroids.indices.map { c =>
         byCluster.get(c) match {
-          case Some(rows) =>
+          case Some(r) =>
             val v = new Array[Float](dim)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            var i = 0
+            while (i < dim) {
+              if (!r.isNullAt(i + 1)) v(i) = r.getDouble(i + 1).toFloat
+              i += 1
+            }
             v
           case None => model.centroids(c) // empty cluster keeps its centroid
         }
