@@ -186,6 +186,46 @@ object TextQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // tokenPack's contract as an oracle-checked query, like
+    // split_recursive_invariants: BPE boundaries stay engine-defined
+    // (split_token_pack is rows-only) but the packing invariants are
+    // not — every multi-word chunk fits the token budget under the SAME
+    // tokenizer, offsets index the source exactly, coverage spans first
+    // to last word, inter-chunk gaps are whitespace only, and chunks
+    // strictly advance.
+    "split_token_pack_invariants" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+      val chunks = Split.chunkDocs(docs, "doc_id", "text",
+        t => Split.tokenPack(t, maxTokens = 60, overlapTokens = 15))
+      val tokCost = udf((t: String) =>
+        "\\S+".r.findAllIn(t).map(w => math.max(1, Split.BpeTokenizer.count(w))).sum)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"chunk_idx")
+      chunks
+        .join(docs.select($"doc_id", $"text"), "doc_id")
+        .withColumn("chunk_end", $"chunk_start" + length($"chunk_text"))
+        .withColumn("prev_end", lag($"chunk_end", 1).over(w))
+        .withColumn("prev_start", lag($"chunk_start", 1).over(w))
+        .groupBy($"doc_id")
+        .agg(
+          // a single word costing more than the budget legally becomes
+          // its own over-budget chunk — exempt exactly that case
+          bool_and(tokCost($"chunk_text") <= 60 ||
+            size(split(trim($"chunk_text"), "\\s+")) === 1).as("within_budget"),
+          bool_and($"chunk_text" ===
+            expr("substring(text, chunk_start + 1, length(chunk_text))")).as("offsets_exact"),
+          (min($"chunk_start") === max(length($"text") - length(ltrim($"text")))).as("covers_first_word"),
+          (max($"chunk_end") === max(length(rtrim($"text")))).as("covers_last_word"),
+          bool_and(coalesce(
+            when($"chunk_start" > $"prev_end",
+              length(trim(expr("substring(text, prev_end + 1, chunk_start - prev_end)"))) === 0)
+              .otherwise(lit(true)),
+            lit(true))).as("gaps_whitespace_only"),
+          bool_and(coalesce($"chunk_start" > $"prev_start", lit(true))).as("advances"))
+        .orderBy($"doc_id")
+    }),
+
     // §2.7 recursive boundary splitter (engine-defined boundaries —
     // rows-only here; invariants are property-tested in SplitSpec).
     "split_recursive" -> ((s, d) => {
@@ -262,6 +302,11 @@ object TextQueries {
         |  true AS starts_at_zero, true AS covers_end, true AS no_gaps,
         |  true AS advances
         |FROM documents WHERE len(text) > 0 ORDER BY doc_id""".stripMargin,
+    "split_token_pack_invariants" ->
+      """SELECT doc_id, true AS within_budget, true AS offsets_exact,
+        |  true AS covers_first_word, true AS covers_last_word,
+        |  true AS gaps_whitespace_only, true AS advances
+        |FROM documents WHERE len(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
     "corpus_prep_pipeline" ->
       s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          |qual AS (
