@@ -27,7 +27,14 @@ object Dedup {
     * row, which is not oracle-checkable). One hash-aggregate shuffle.
     */
   def exact(df: DataFrame, idCol: String, byCol: String): DataFrame =
-    df.groupBy(col(byCol))
+    // group on the md5 digest, not the raw column: the exchange key for
+    // a KB-sized text column would carry the whole corpus text through
+    // the shuffle (map-side partial agg collapses within-partition dups,
+    // but every UNIQUE text still ships in full) — the digest is 16
+    // bytes regardless of document size. Same identity convention as
+    // the ingest content key (Split.contentKey); a cross-text md5
+    // collision is the accepted negligible-odds trade both share.
+    df.groupBy(md5(col(byCol).cast("binary")).as("__k"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
