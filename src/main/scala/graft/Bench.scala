@@ -54,8 +54,12 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - cpu0) / 1e9
         // operators that persist reuse-boundaries would otherwise pin
-        // cache across all queries and skew later timings
+        // cache across all queries and skew later timings; checkpoint
+        // blocks are reference-tracked, so nudge the GC or they
+        // accumulate heap pressure across queries (identical workloads
+        // measured up to 8x CPU apart from that state alone)
         spark.catalog.clearCache()
+        System.gc()
         (wall, cpu, err)
       }
       val err = samples.collectFirst { case (_, _, Some(e)) => e }
