@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same single-JVM hygiene as Bench: released caches and
+      // checkpoint blocks are only reclaimed when a GC runs, and the
+      // accumulated heap pressure measurably drags later queries
+      spark.catalog.clearCache()
+      System.gc()
     }
     // a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness
