@@ -306,7 +306,10 @@ object Ivf {
     * cluster predicate). Returns the appended row count. The rows must
     * carry `embCol`; callers that already hold the model pass it to skip
     * the sidecar read, but it must match the persisted one
-    * ([[requireModelMatch]]).
+    * ([[requireModelMatch]]). Rows with a NULL embedding get a null
+    * cluster (Hive default partition): visible to full reads, but
+    * unreachable by probed search — the same contract as the similarity
+    * join, which drops null-embedding rows via their null score.
     */
   def appendAssigned(spark: SparkSession, table: String, df: DataFrame, embCol: String,
                      model: Option[IvfModel] = None): Long = {

@@ -382,6 +382,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val b = indexed.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
     assert(a == b, "the index is a layout change, never a semantics change")
     assert(a.nonEmpty, "fixture terms must actually hit the corpus")
+    // edge contract: no-hit terms and an empty corpus return empty
+    // frames, never errors (the eager stats pass must tolerate both)
+    assert(Keyword.bm25(docs, "doc_id", "text",
+      Seq("zzz_not_a_token_qqq"), topK = 5).count() == 0)
+    assert(Keyword.bm25(docs.filter($"doc_id" < 0), "doc_id", "text",
+      terms, topK = 5).count() == 0)
   }
 
   test("repetition stats flag the degenerate doc and spare natural text") {
