@@ -139,12 +139,17 @@ object Testbed {
                   topK: Int = 4,
                   judge: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
                     org.apache.spark.sql.Column = keywordJudgeCol,
-                  index: Option[(Ivf.IvfModel, Int)] = None): DataFrame = {
+                  index: Option[(Ivf.IvfModel, Int)] = None,
+                  searchType: Chat.SearchType = Chat.SearchType.Similarity): DataFrame = {
     val withId = qa.withColumn("__qid", xxhash64(col("question")))
+    // the evaluation answers through the same dispatch the serving path
+    // uses (the reference evaluates under the client's RAG settings,
+    // search_type included)
     val answered = Chat.answerBatch(
       withId.select(col("__qid"), col("question")).dropDuplicates("__qid"),
       "__qid", "question", store, idCol, textCol, embCol,
-      embedder, model, grader, topK = topK, index = index)
+      embedder, model, grader, topK = topK, index = index,
+      searchType = searchType)
     withId.join(answered.select(col("__qid"), col("answer")), Seq("__qid"))
       .withColumn("correct", judge(col("answer"), col("reference_answer")))
       .select(col("question"), col("topic"), col("answer"), col("correct"))
