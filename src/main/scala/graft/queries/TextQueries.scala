@@ -195,7 +195,11 @@ object TextQueries {
     // strictly advance.
     "split_token_pack_invariants" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+      // rlike("\\S"), not trim: SQL trim strips SPACES only (in Spark
+      // AND DuckDB), while tokenPack treats all whitespace as
+      // separators — a "\n\n"-only doc must be excluded on both sides
+      // or it produces zero chunks against an expected oracle row
+      val docs = documents(s, d).filter($"text".rlike("\\S"))
       val chunks = Split.chunkDocs(docs, "doc_id", "text",
         t => Split.tokenPack(t, maxTokens = 60, overlapTokens = 15))
       val tokCost = udf((t: String) =>
@@ -215,11 +219,17 @@ object TextQueries {
             size(split(trim($"chunk_text"), "\\s+")) === 1).as("within_budget"),
           bool_and($"chunk_text" ===
             expr("substring(text, chunk_start + 1, length(chunk_text))")).as("offsets_exact"),
-          (min($"chunk_start") === max(length($"text") - length(ltrim($"text")))).as("covers_first_word"),
-          (max($"chunk_end") === max(length(rtrim($"text")))).as("covers_last_word"),
+          // regexp word boundaries, not ltrim/rtrim (space-only): the
+          // first/last \S position is what the packer anchors to
+          (min($"chunk_start") ===
+            max(length(regexp_extract($"text", "^\\s*", 0)))).as("covers_first_word"),
+          (max($"chunk_end") ===
+            max(length($"text") - length(regexp_extract($"text", "\\s*$", 0)))).as("covers_last_word"),
           bool_and(coalesce(
             when($"chunk_start" > $"prev_end",
-              length(trim(expr("substring(text, prev_end + 1, chunk_start - prev_end)"))) === 0)
+              length(regexp_replace(
+                expr("substring(text, prev_end + 1, chunk_start - prev_end)"),
+                "\\s", "")) === 0)
               .otherwise(lit(true)),
             lit(true))).as("gaps_whitespace_only"),
           bool_and(coalesce($"chunk_start" > $"prev_start", lit(true))).as("advances"))
@@ -306,7 +316,7 @@ object TextQueries {
       """SELECT doc_id, true AS within_budget, true AS offsets_exact,
         |  true AS covers_first_word, true AS covers_last_word,
         |  true AS gaps_whitespace_only, true AS advances
-        |FROM documents WHERE len(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE regexp_matches(text, '\S') ORDER BY doc_id""".stripMargin,
     "corpus_prep_pipeline" ->
       s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          |qual AS (
