@@ -260,11 +260,39 @@ object VersionedStore {
     * before the commit, so a crash between the two leaves an orphan
     * segment (vacuumable) and an unchanged table.
     */
+  /** A segment is Hive-partitioned iff it contains `key=value` child
+    * dirs. Appends must match the table's existing layout: committing a
+    * flat segment into a partitioned table (or vice versa) would make
+    * every subsequent [[read]] fail on the schema mismatch — this check
+    * turns that corruption into a loud error at WRITE time, before the
+    * manifest ever references the bad segment. One child listing per
+    * append; the empty-layout cases (first segment, empty table) pass.
+    */
+  private def segPartitioned(spark: SparkSession, table: String, seg: String): Boolean =
+    graft.Fs.list(spark, s"$table/$seg")
+      .exists(p => p.substring(p.lastIndexOf('/') + 1).contains("="))
+
+  private def requireLayoutMatch(spark: SparkSession, table: String, seg: String): Unit =
+    currentState(spark, table).map(_.segments).getOrElse(Nil).headOption.foreach { live =>
+      val newPart = segPartitioned(spark, table, seg)
+      val livePart = segPartitioned(spark, table, live)
+      if (newPart != livePart) {
+        graft.Fs.delete(spark, s"$table/$seg")
+        throw new IllegalStateException(
+          s"append layout mismatch at $table: new segment is " +
+            s"${if (newPart) "partitioned" else "flat"} but the table's live segments are " +
+            s"${if (livePart) "partitioned" else "flat"} — committing it would break every " +
+            "read. For an IVF-indexed store append through Ivf.appendAssigned / " +
+            "Ingest.appendRespectingLayout (or re-run Ivf.indexStore).")
+      }
+    }
+
   def append(spark: SparkSession, table: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): State = {
     adoptLegacy(spark, table) // every writer adopts, or a first append
                               // would hide a legacy table's loose rows
     val seg = writeSegment(spark, table, df, partitionBy)
+    requireLayoutMatch(spark, table, seg)
     commit(spark, table, cur => cur :+ seg)
   }
 
@@ -287,8 +315,10 @@ object VersionedStore {
     val seg = writeSegment(spark, table,
       df.observe(obs, count(lit(1)).as("n")), partitionBy)
     val n = obs.get("n").asInstanceOf[Long]
-    if (n > 0) commit(spark, table, cur => cur :+ seg)
-    else graft.Fs.delete(spark, s"$table/$seg")
+    if (n > 0) {
+      requireLayoutMatch(spark, table, seg)
+      commit(spark, table, cur => cur :+ seg): Unit
+    } else graft.Fs.delete(spark, s"$table/$seg")
     n
   }
 

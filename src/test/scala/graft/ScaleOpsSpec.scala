@@ -304,6 +304,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       Ivf.search(store, "embedding", model, model.centroids(0), 4, nProbe = 2,
         storePath = Some(table + "-nonexistent"))
     }
+    // a FLAT append into the clustered store must be refused at write
+    // time (it would break every subsequent read), and the refused
+    // segment must not leak into the table
+    val err2 = intercept[IllegalStateException] {
+      VersionedStore.appendNonEmpty(spark, table, emb.limit(5))
+    }
+    assert(err2.getMessage.contains("layout mismatch"))
+    assert(VersionedStore.read(spark, table).get.count() == n,
+      "the refused append must leave the table untouched")
   }
 
   test("range join: bin equi-join matches naive BETWEEN; an over-cap interval fails loudly instead of OOMing") {
