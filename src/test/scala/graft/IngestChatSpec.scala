@@ -405,6 +405,20 @@ class IngestChatSpec extends AnyFunSuite {
         assert(b.getAs[Boolean]("relevant") == single.relevant, s"$st / $qtext")
       }
     }
+    // the threshold leg must also commute under EUCLIDEAN ordering
+    // (relevance decreasing in distance — the kept rows are still a
+    // rank prefix, just of the ascending sort)
+    val stE = SearchType.ScoreThreshold(0.5)
+    val batchE = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2,
+        metric = "EUCLIDEAN_DISTANCE", searchType = stE)
+      .collect().map(r => r.getAs[String]("question") -> r).toMap
+    questions.foreach { qtext =>
+      val single = Chat.answer(spark, qtext, store, "id", "text", "embedding",
+        embedder, topK = 2, metric = "EUCLIDEAN_DISTANCE", searchType = stE)
+      assert(batchE(qtext).getAs[scala.collection.Seq[String]]("retrieved_ids").toSeq
+        == single.retrievedIds, s"euclidean threshold / $qtext")
+    }
     // threshold semantics: an unreachable relevance bound empties the
     // retrieval but keeps the question row (no-context turn), and the
     // default Similarity leg is unchanged by the dispatch
