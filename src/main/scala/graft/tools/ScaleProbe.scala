@@ -151,6 +151,13 @@ object ScaleProbe {
     report("range_join_binned",
       time(rangeJoin(docs1).count()), time(rangeJoin(docsN).count()))
 
+    // k-means fit: 2 Lloyd rounds over an N× corpus — the per-element
+    // aggregate update ships k×dim doubles per round regardless of
+    // corpus size (rows column = corpus vectors fitted)
+    report("ivf_fit",
+      time { graft.ops.Ivf.fit(emb1, "vec_id", "embedding", k = 8); emb1.count() },
+      time { graft.ops.Ivf.fit(embN, "vec_id", "embedding", k = 8); embN.count() })
+
     // batch MMR: fixed 10-query batch, corpus N× — fetch is the bounded
     // similarity join, greedy is per-query over ≤ fetchK rows (constant)
     report("mmr_batch",
