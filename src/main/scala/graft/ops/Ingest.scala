@@ -131,12 +131,15 @@ object Ingest {
   def compactStore(spark: SparkSession, storeDir: String, config: StoreConfig,
                    rowsPerFile: Long = 1L << 20): Int = {
     val path = s"$storeDir/${config.tableName}"
-    // an indexed store must stay cluster-partitioned through compaction,
-    // or one compact would undo the layout every probe depends on
-    if (graft.Fs.exists(spark, Ivf.modelPath(path)))
+    // an indexed store must stay cluster-partitioned through compaction
+    // (or one compact would undo the layout every probe depends on) and
+    // the compacted segment re-stamped, or the probe-time stamp check
+    // would reject it as foreign
+    if (graft.Fs.exists(spark, Ivf.modelPath(path))) {
+      val fp = Ivf.loadModel(spark, Ivf.modelPath(path)).fingerprint
       VersionedStore.compact(spark, path, rowsPerFile,
-        partitionBy = Seq("cluster_id"))._2
-    else VersionedStore.compact(spark, path, rowsPerFile)._2
+        partitionBy = Seq("cluster_id"), marker = Some(fp))._2
+    } else VersionedStore.compact(spark, path, rowsPerFile)._2
   }
 
   /** Reclaim segments retired by [[compactStore]] and crash-orphaned

@@ -71,6 +71,19 @@ object Ivf {
         "partitions were assigned by a different model, so probing with this one " +
         "would silently drop matching rows. Load the store's own model via " +
         s"Ivf.loadModel(spark, \"$path\") or re-index with Ivf.indexStore.")
+    // sidecar equality is not enough on a versioned store: a re-index
+    // racing an assigned append can leave a segment whose rows were
+    // assigned under the PREVIOUS model (the swap preserves concurrent
+    // appends by design). Every assigned write stamps its segment with
+    // the fingerprint that assigned it — require all live segments carry
+    // the sidecar's stamp, so the stale-assignment race is loud too.
+    val unstamped = VersionedStore.liveSegments(spark, table)
+      .filterNot(s => graft.Fs.exists(spark, s"$table/$s/_marker-${persisted.fingerprint}"))
+    require(unstamped.isEmpty,
+      s"IVF store $table has ${unstamped.size} live segment(s) not assigned by the " +
+        s"sidecar model (fingerprint ${persisted.fingerprint}): " +
+        s"${unstamped.take(3).mkString(", ")} — a re-index raced an assigned append, " +
+        "or a writer bypassed Ivf.appendAssigned; re-run Ivf.indexStore.")
   }
 
   /** Assign each row its nearest centroid id. Fully narrow: one
@@ -286,7 +299,8 @@ object Ivf {
       throw new IllegalStateException(s"no rows to index at $table"))
     val model = fit(df, idCol, embCol, k, iters)
     val (_, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
-      reshape = assign(_, embCol, model), partitionBy = Seq("cluster_id"))
+      reshape = assign(_, embCol, model), partitionBy = Seq("cluster_id"),
+      marker = Some(model.fingerprint))
     // nFiles == 0 means another compactor swapped mid-rewrite and our
     // layout was abandoned — persisting this model would claim a
     // clustering the table does not have
@@ -314,8 +328,10 @@ object Ivf {
   def appendAssigned(spark: SparkSession, table: String, df: DataFrame, embCol: String,
                      model: Option[IvfModel] = None): Long = {
     val persisted = loadModel(spark, modelPath(table))
-    model.foreach(m => requireModelMatch(spark, table, m))
+    model.foreach(m => require(m.fingerprint == persisted.fingerprint,
+      s"supplied model (${m.fingerprint}) != store sidecar (${persisted.fingerprint})"))
     VersionedStore.appendNonEmpty(spark, table,
-      assign(df, embCol, persisted), partitionBy = Seq("cluster_id"))
+      assign(df, embCol, persisted), partitionBy = Seq("cluster_id"),
+      marker = Some(persisted.fingerprint))
   }
 }

@@ -85,6 +85,13 @@ object VersionedStore {
   private def readState(spark: SparkSession, table: String, st: State): DataFrame =
     st.segments.map(s => spark.read.parquet(s"$table/$s")).reduce(_.unionByName(_))
 
+  /** Live segment directory names of the latest committed state (empty
+    * for unversioned/plain tables) — the audit surface for per-segment
+    * invariants like [[graft.ops.Ivf.requireModelMatch]]'s stamps.
+    */
+  def liveSegments(spark: SparkSession, table: String): Seq[String] =
+    currentState(spark, table).map(_.segments).getOrElse(Nil)
+
   /** Latest committed state, if any manifest exists. Zero-padded version
     * numbers make the lexicographic max the numeric max.
     */
@@ -215,10 +222,18 @@ object VersionedStore {
     * [[Ivf]]-clustered store stays partition-pruned as appends land.
     */
   def writeSegment(spark: SparkSession, table: String, df: DataFrame,
-                   partitionBy: Seq[String] = Nil): String = {
+                   partitionBy: Seq[String] = Nil,
+                   marker: Option[String] = None): String = {
     val seg = "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     df.write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionBy: _*).parquet(s"$table/$seg")
+    // an underscore-named marker file (invisible to the file index)
+    // records which derivation stamped this segment — e.g. the IVF model
+    // fingerprint that assigned its cluster layout, so a probe can
+    // verify EVERY live segment was assigned by the sidecar's model,
+    // not just that a sidecar exists (a re-index racing an assigned
+    // append would otherwise leave stale-cluster rows undetectable)
+    marker.foreach(m => graft.Fs.writeString(spark, s"$table/$seg/_marker-$m", m))
     seg
   }
 
@@ -303,7 +318,8 @@ object VersionedStore {
     * Returns the appended row count.
     */
   def appendNonEmpty(spark: SparkSession, table: String, df: DataFrame,
-                     partitionBy: Seq[String] = Nil): Long = {
+                     partitionBy: Seq[String] = Nil,
+                     marker: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{count, lit}
     adoptLegacy(spark, table)
     // caveat: an Observation accumulates over task attempts, so stage
@@ -313,7 +329,7 @@ object VersionedStore {
     // committed number exactly
     val obs = new org.apache.spark.sql.Observation()
     val seg = writeSegment(spark, table,
-      df.observe(obs, count(lit(1)).as("n")), partitionBy)
+      df.observe(obs, count(lit(1)).as("n")), partitionBy, marker)
     val n = obs.get("n").asInstanceOf[Long]
     if (n > 0) {
       requireLayoutMatch(spark, table, seg)
@@ -334,7 +350,8 @@ object VersionedStore {
 
   def compact(spark: SparkSession, table: String, rowsPerFile: Long = 1L << 20,
               reshape: DataFrame => DataFrame = identity,
-              partitionBy: Seq[String] = Nil): (State, Int) = {
+              partitionBy: Seq[String] = Nil,
+              marker: Option[String] = None): (State, Int) = {
     require(rowsPerFile > 0)
     adoptLegacy(spark, table)
     val st = currentState(spark, table).getOrElse(
@@ -354,7 +371,7 @@ object VersionedStore {
     val sized =
       if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
       else df.coalesce(nFiles)
-    val seg = writeSegment(spark, table, sized, partitionBy)
+    val seg = writeSegment(spark, table, sized, partitionBy, marker)
     // "subtract what I rewrote" is only valid while every rewritten
     // segment is still live: if another compactor already swapped them
     // out, committing would publish BOTH full rewrites and silently

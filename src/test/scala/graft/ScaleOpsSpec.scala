@@ -313,6 +313,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("layout mismatch"))
     assert(VersionedStore.read(spark, table).get.count() == n,
       "the refused append must leave the table untouched")
+    // stale-assignment race: a segment whose rows were assigned under a
+    // DIFFERENT model (bypassing appendAssigned) passes the sidecar
+    // fingerprint check but must fail the per-segment stamp check
+    VersionedStore.appendNonEmpty(spark, table,
+      Ivf.assign(emb.limit(3), "embedding", other),
+      partitionBy = Seq("cluster_id"), marker = Some(other.fingerprint))
+    val err3 = intercept[IllegalArgumentException] {
+      Ivf.searchBatch(q, VersionedStore.read(spark, table).get,
+        "query_id", "embedding", "vec_id", "embedding",
+        model, topK = 4, nProbe = 2, storePath = Some(table))
+    }
+    assert(err3.getMessage.contains("not assigned by"))
   }
 
   test("range join: bin equi-join matches naive BETWEEN; an over-cap interval fails loudly instead of OOMing") {
