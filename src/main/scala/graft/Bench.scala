@@ -68,7 +68,10 @@ object Bench {
       val util = if (best._1 > 0) best._2 / best._1 else 0.0
       (name, if (err.isDefined) -1.0 else best._1, worst._1, util, err)
     }
-    def num(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f"" interpolator honors the JVM default locale, and
+    // a comma decimal separator would make the emitted line invalid JSON
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val qmax = results.map { case (k, _, mx, _, _) => s"\"" + k + "\":" + num(mx) }

@@ -61,6 +61,11 @@ object AsOf {
                tolerance: Option[Column] = None): DataFrame = {
     val payload = right.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
     require(payload.nonEmpty, "right side must carry at least one payload column")
+    // the carried struct leads with an internal __rt field (the matched
+    // right time, for the tolerance check); a payload column of the same
+    // name would duplicate the struct field and make __c.__rt ambiguous
+    require(!payload.contains("__rt"),
+      "right payload column '__rt' collides with the internal matched-time field; rename it")
     require(left.columns.contains(keyCol) && left.columns.contains(timeCol),
       s"left side must contain '$keyCol' and '$timeCol'")
     // the carried struct leads with the matched right time so the

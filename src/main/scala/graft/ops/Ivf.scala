@@ -90,7 +90,11 @@ object Ivf {
     * projection computes all k distances as an array of (dist, cid)
     * structs and `array_min`'s struct ordering gives the argmin with a
     * cid tie-break — no join, no shuffle, no row ids, safe under task
-    * retries.
+    * retries. A NULL embedding yields a NULL cluster id (the Hive
+    * default partition on a partitioned write) — without the explicit
+    * branch, array_min's nulls-first struct ordering would resolve the
+    * all-null distance row to (null, cid=0) and silently file the row
+    * in cluster 0's partition.
     */
   def assign(df: DataFrame, embCol: String, model: IvfModel,
              clusterCol: String = "cluster_id"): DataFrame = {
@@ -99,7 +103,8 @@ object Ivf {
         VectorFunctions.euclidean(col(embCol), typedlit(c.toSeq)).as("d"),
         lit(i).as("cid"))
     }: _*)
-    df.withColumn(clusterCol, array_min(distStructs).getField("cid"))
+    df.withColumn(clusterCol,
+      when(col(embCol).isNotNull, array_min(distStructs).getField("cid")))
   }
 
   /** Deterministic k-means fit. Init: the k rows with smallest
@@ -115,7 +120,10 @@ object Ivf {
     var model = IvfModel(init)
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until (if (dim == 0) 0 else iters)) {
-      val assigned = assign(df.select(col(embCol)), embCol, model)
+      // null-embedding rows assign to a null cluster — they carry no
+      // coordinates, so they must not contribute a (null-keyed) group
+      val assigned = assign(
+        df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, model)
       // per-element avg as dim separate aggregate expressions: partial
       // aggregation runs map-side and the shuffle carries k×dim doubles —
       // the posexplode formulation this replaces shuffled corpus×dim

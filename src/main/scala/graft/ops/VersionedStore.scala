@@ -83,7 +83,17 @@ object VersionedStore {
     * cluster predicate prune away every row of the flat segments.
     */
   private def readState(spark: SparkSession, table: String, st: State): DataFrame =
-    st.segments.map(s => spark.read.parquet(s"$table/$s")).reduce(_.unionByName(_))
+    try st.segments.map(s => spark.read.parquet(s"$table/$s")).reduce(_.unionByName(_))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        // a schema mismatch across live segments means a mixed-layout
+        // commit slipped in (e.g. through an out-of-band writer) — point
+        // at the recovery path instead of leaving the table read-dead
+        throw new IllegalStateException(
+          s"live segments of $table do not union (mixed layout?): ${e.getMessage} — " +
+            "run VersionedStore.repairMixedLayout(spark, table), then re-index " +
+            "(Ivf.indexStore) if the table was cluster-partitioned.", e)
+    }
 
   /** Live segment directory names of the latest committed state (empty
     * for unversioned/plain tables) — the audit surface for per-segment
@@ -287,10 +297,10 @@ object VersionedStore {
     graft.Fs.list(spark, s"$table/$seg")
       .exists(p => p.substring(p.lastIndexOf('/') + 1).contains("="))
 
-  private def requireLayoutMatch(spark: SparkSession, table: String, seg: String): Unit =
-    currentState(spark, table).map(_.segments).getOrElse(Nil).headOption.foreach { live =>
-      val newPart = segPartitioned(spark, table, seg)
-      val livePart = segPartitioned(spark, table, live)
+  private def requireLayoutMatchIn(spark: SparkSession, table: String, seg: String,
+                                   newPart: Boolean, live: Seq[String]): Unit =
+    live.headOption.foreach { liveSeg =>
+      val livePart = segPartitioned(spark, table, liveSeg)
       if (newPart != livePart) {
         graft.Fs.delete(spark, s"$table/$seg")
         throw new IllegalStateException(
@@ -302,13 +312,31 @@ object VersionedStore {
       }
     }
 
+  /** Commit `seg` as an append with the layout check run INSIDE the
+    * commit transform, i.e. against the FRESH segment list on every CAS
+    * attempt. A check before the commit alone has a window: a flat
+    * append validating against a still-flat table can lose the version
+    * race to a compact-to-partitioned swap (Ivf.indexStore) and would
+    * then publish a flat segment into the newly clustered table —
+    * after which the strict [[readState]] union fails on every read,
+    * including the recovery paths. Re-checking on each attempt turns
+    * that race into a loud pre-publication error (the segment is
+    * deleted, nothing was committed).
+    */
+  private[graft] def commitAppend(spark: SparkSession, table: String, seg: String): State = {
+    val newPart = segPartitioned(spark, table, seg) // our own layout: stat once
+    commit(spark, table, cur => {
+      requireLayoutMatchIn(spark, table, seg, newPart, cur)
+      cur :+ seg
+    })
+  }
+
   def append(spark: SparkSession, table: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): State = {
     adoptLegacy(spark, table) // every writer adopts, or a first append
                               // would hide a legacy table's loose rows
     val seg = writeSegment(spark, table, df, partitionBy)
-    requireLayoutMatch(spark, table, seg)
-    commit(spark, table, cur => cur :+ seg)
+    commitAppend(spark, table, seg)
   }
 
   /** [[append]] with the row count observed on the segment write itself
@@ -331,10 +359,8 @@ object VersionedStore {
     val seg = writeSegment(spark, table,
       df.observe(obs, count(lit(1)).as("n")), partitionBy, marker)
     val n = obs.get("n").asInstanceOf[Long]
-    if (n > 0) {
-      requireLayoutMatch(spark, table, seg)
-      commit(spark, table, cur => cur :+ seg): Unit
-    } else graft.Fs.delete(spark, s"$table/$seg")
+    if (n > 0) commitAppend(spark, table, seg): Unit
+    else graft.Fs.delete(spark, s"$table/$seg")
     n
   }
 
@@ -372,21 +398,71 @@ object VersionedStore {
       if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
       else df.coalesce(nFiles)
     val seg = writeSegment(spark, table, sized, partitionBy, marker)
+    val newPart = segPartitioned(spark, table, seg)
     // "subtract what I rewrote" is only valid while every rewritten
     // segment is still live: if another compactor already swapped them
     // out, committing would publish BOTH full rewrites and silently
     // double every row — abandon this rewrite instead (the other
-    // compactor's result stands)
+    // compactor's result stands). Likewise a layout-CHANGING compaction
+    // (Ivf.indexStore's flat→clustered swap) must abandon when a
+    // concurrent append landed a segment of the OLD layout: preserving
+    // it would publish a mixed-layout table no read can union. Both are
+    // re-checked on every CAS attempt, against the fresh list.
     try {
       val newState = commit(spark, table, cur => {
         if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
-        cur.filterNot(st.segments.toSet) :+ seg
+        val survivors = cur.filterNot(st.segments.toSet)
+        if (survivors.exists(s => segPartitioned(spark, table, s) != newPart))
+          throw new ConcurrentCompaction
+        survivors :+ seg
       })
       (newState, nFiles)
     } catch {
       case _: ConcurrentCompaction =>
         graft.Fs.delete(spark, s"$table/$seg")
         (currentState(spark, table).getOrElse(st), 0)
+    }
+  }
+
+  /** Recovery for a table whose live segments no longer share one layout
+    * (a mixed flat/partitioned state that slipped past the write-time
+    * guards — e.g. an out-of-band writer, or a crash of an older binary):
+    * reads every live segment individually, unions them with null-filled
+    * missing columns (a flat segment's absent partition column becomes a
+    * null data column), and swaps the result in as ONE flat segment via
+    * the same race-safe subtract-what-I-rewrote commit as [[compact]].
+    * After repair the table reads again; a previously cluster-partitioned
+    * store must then be re-indexed (Ivf.indexStore) — its probe guard
+    * rejects the repaired flat segment until then, loudly.
+    *
+    * Returns Some(newState) when a repair was published, None when the
+    * table was not mixed (no-op) or a concurrent committer won the swap
+    * (re-run after inspecting the fresh state).
+    */
+  def repairMixedLayout(spark: SparkSession, table: String,
+                        rowsPerFile: Long = 1L << 20): Option[State] = {
+    require(rowsPerFile > 0)
+    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+    if (stOpt.isEmpty) return None
+    val st = stOpt.get
+    if (st.segments.map(s => segPartitioned(spark, table, s)).distinct.size <= 1)
+      return None // one consistent layout — nothing to repair
+    val df = st.segments.map(s => spark.read.parquet(s"$table/$s"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val sized =
+      if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
+      else df.coalesce(nFiles)
+    val seg = writeSegment(spark, table, sized)
+    try Some(commit(spark, table, cur => {
+      if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
+      cur.filterNot(st.segments.toSet) :+ seg
+    }))
+    catch {
+      case _: ConcurrentCompaction =>
+        graft.Fs.delete(spark, s"$table/$seg")
+        None
     }
   }
 

@@ -327,6 +327,72 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(err3.getMessage.contains("not assigned by"))
   }
 
+  test("versioned store: a flat append racing a clustered swap is refused at COMMIT time; repairMixedLayout recovers a mixed table") {
+    import graft.ops.VersionedStore
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val evens = emb.filter($"vec_id" % 2 === 0)
+    val table = Files.createTempDirectory("vs-race").toString + "/store"
+    VersionedStore.append(spark, table, evens)
+    // interleaving: the append's segment lands while the table is still
+    // flat (a pre-commit layout check would pass here)...
+    val flatSeg = VersionedStore.writeSegment(spark, table, emb.limit(5))
+    // ...then the clustered swap wins the version race
+    Ivf.indexStore(spark, table, "vec_id", "embedding", k = 4)
+    // the commit must re-check layout against the FRESH segment list on
+    // its CAS attempt — publishing flatSeg would make every read throw
+    val err = intercept[IllegalStateException] {
+      VersionedStore.commitAppend(spark, table, flatSeg)
+    }
+    assert(err.getMessage.contains("layout mismatch"))
+    val n = evens.count()
+    assert(VersionedStore.read(spark, table).get.count() == n,
+      "the refused racing append must leave the table intact")
+
+    // opposite interleaving: the flat append COMMITS first, mid-swap —
+    // preserving it would publish a mixed table, so the layout-changing
+    // compaction must abandon (loud retry, never corruption)
+    val table2 = Files.createTempDirectory("vs-race2").toString + "/store"
+    VersionedStore.append(spark, table2, evens)
+    val model = Ivf.fit(evens, "vec_id", "embedding", k = 4)
+    val (_, nFiles) = VersionedStore.compact(spark, table2,
+      reshape = df => {
+        VersionedStore.append(spark, table2, emb.limit(3)): Unit // the racing flat append
+        Ivf.assign(df, "embedding", model)
+      },
+      partitionBy = Seq("cluster_id"))
+    assert(nFiles == 0, "a layout-changing swap over a flat survivor must abandon")
+    val after = VersionedStore.read(spark, table2).get
+    assert(after.count() == n + 3, "both the original rows and the racing append survive")
+    assert(!after.schema.fieldNames.contains("cluster_id"),
+      "the abandoned swap must not have published its layout")
+
+    // recovery: force a mixed state through a raw commit (an out-of-band
+    // writer) — reads fail loudly with a pointer at the repair, and the
+    // repair restores a readable flat table with every row intact
+    val rogue = VersionedStore.writeSegment(spark, table, emb.limit(5))
+    VersionedStore.commit(spark, table, cur => cur :+ rogue)
+    val readErr = intercept[IllegalStateException] {
+      VersionedStore.read(spark, table).get.count()
+    }
+    assert(readErr.getMessage.contains("repairMixedLayout"))
+    assert(VersionedStore.repairMixedLayout(spark, table).isDefined)
+    assert(VersionedStore.read(spark, table).get.count() == n + 5)
+    assert(VersionedStore.repairMixedLayout(spark, table).isEmpty,
+      "a consistent table is a no-op repair")
+  }
+
+  test("IVF assign: a NULL embedding lands in the null partition, never cluster 0") {
+    val model = Ivf.IvfModel(Array(Array(0f, 0f), Array(10f, 10f)))
+    val rows = Seq(
+      (1L, Some(Seq(0.1f, 0.2f))), (2L, Option.empty[Seq[Float]])
+    ).toDF("id", "embedding")
+    val got = Ivf.assign(rows, "embedding", model)
+      .select($"id", $"cluster_id").as[(Long, Option[Int])].collect().toMap
+    assert(got(1L).contains(0))
+    assert(got(2L).isEmpty,
+      "null embedding must yield a null cluster id (Hive default partition)")
+  }
+
   test("range join: bin equi-join matches naive BETWEEN; an over-cap interval fails loudly instead of OOMing") {
     import graft.ops.RangeJoin
     val pts = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("pid", "v")
@@ -381,6 +447,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     val incl = AsOf.asOfJoin(at15, right, "k", "t")
       .select($"asof_pay").as[String].head()
     assert(incl == "p15")
+    // a right payload column named like the internal matched-time field
+    // would duplicate struct fields — refused up front, not a silent
+    // ambiguous resolution
+    val clash = Seq((Option(1L), Option(8L), "v")).toDF("k", "t", "__rt")
+    val collErr = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(at15, clash, "k", "t")
+    }
+    assert(collErr.getMessage.contains("__rt"))
   }
 
   test("bm25: indexed path equals the scan path bit-for-bit; postings prune by term bucket; result re-derives no corpus scan") {
