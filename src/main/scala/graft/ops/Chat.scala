@@ -110,6 +110,26 @@ object Chat {
       require(fetchK >= 1 && fetchK <= 10000, "fetch_k in [1,10000] (schema.py:180)")
       require(lambdaMult >= 0.0 && lambdaMult <= 1.0, "lambda_mult in [0,1] (schema.py:181)")
     }
+    /** Hybrid retrieval: a vector leg and a BM25 lexical leg, each top
+      * `fetchKPerLeg`, fused by reciprocal rank ([[Keyword.rrfFuse]],
+      * constant `c`) — the production retrieval shape the reference's
+      * vector-only dispatch lacks. `terms` derives the lexical leg's
+      * term set from the REWRITTEN query (default: lowercase whitespace
+      * tokens); a question yielding no terms degrades to the vector leg
+      * alone. The lexical leg scans the store once per request batch
+      * ([[Keyword.bm25BatchRank]] in the batch path) — serving stacks
+      * with a maintained [[Keyword.buildLexicalIndex]] sidecar can
+      * pre-rank outside the dispatch instead.
+      */
+    final case class Hybrid(terms: String => Seq[String] = Hybrid.whitespaceTerms,
+                            c: Int = 60, fetchKPerLeg: Int = 50) extends SearchType {
+      require(c >= 0, "rrf constant must be non-negative")
+      require(fetchKPerLeg >= 1 && fetchKPerLeg <= 10000, "fetchKPerLeg in [1,10000]")
+    }
+    object Hybrid {
+      val whitespaceTerms: String => Seq[String] =
+        q => q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    }
   }
 
   case class RagAnswer(question: String, rewrittenQuery: String, answer: String,
@@ -201,6 +221,25 @@ object Chat {
           .mmrGreedy(cand.map(r => (r.getString(0), r.getSeq[Float](2).toArray, r.getDouble(3))),
             topK, lm)
           .map { case (id, _, _) => (id, textOf(id)) }
+      case SearchType.Hybrid(termsOf, c, fetchK) =>
+        val vec = fetch(fetchK, metric)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+          .select(col(idCol), col("rank"))
+        val terms = termsOf(q)
+        val legs =
+          if (terms.isEmpty) Seq(vec)
+          else Seq(vec,
+            Keyword.bm25(store.select(col(idCol), col(textCol)), idCol, textCol,
+                terms, topK = fetchK)
+              .withColumn("rank",
+                row_number().over(Window.orderBy(col("bm25").desc, col(idCol))))
+              .select(col(idCol), col("rank")))
+        Keyword.rrfFuse(legs, idCol, "rank", c, topK)
+          .join(store.select(col(idCol), col(textCol)), Seq(idCol))
+          .orderBy(col("rrf").desc, col(idCol))
+          .select(col(idCol).cast("string"), col(textCol)).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
     }
     // A9 context concat (chatbot.py:76-81)
     val context = hits.map(_._2).mkString("\n\n")
@@ -295,6 +334,43 @@ object Chat {
             col(idCol).as("__cid"), col("score"), col("__cemb"))
         Similarity.mmrRerankFetched(fetched, "__qid2", idCol, topK, lm)
           .withColumnRenamed("mmr_rank", "rank")
+      case SearchType.Hybrid(termsOf, cRrf, fetchK) =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        // per-question term sets come from the REWRITTEN queries —
+        // driver-side, bounded by the same contract that broadcasts the
+        // question batch; distinct pairs so no term double-counts
+        val pairs = new java.util.ArrayList[Row]()
+        q.select(col("__qid2"), col("rewritten_query")).collect().foreach { r =>
+          termsOf(r.getString(1)).distinct.foreach(t => pairs.add(Row(r.get(0), t)))
+        }
+        val vec = fetch(fetchK, metric).select(col("__qid2"), col(idCol), col("rank"))
+        val contrib = lit(1.0) / (lit(cRrf) + col("rank"))
+        val legs =
+          if (pairs.isEmpty) vec.select(col("__qid2"), col(idCol), contrib.as("__c"))
+          else {
+            val qt = questions.sparkSession.createDataFrame(pairs, StructType(Seq(
+              q.schema("__qid2").copy(name = "__qid2"),
+              StructField("__term", StringType, nullable = false))))
+            // ONE corpus scan ranks every question's term set (the
+            // per-question bm25 loop this replaces re-scanned per row);
+            // questions with no terms simply have no lexical rows —
+            // their fusion degrades to the vector leg, like `answer`
+            val kw = Keyword.bm25BatchRank(store.select(col(idCol), col(textCol)),
+              idCol, textCol, qt, topKPerQuery = fetchK)
+            vec.select(col("__qid2"), col(idCol), contrib.as("__c"))
+              .unionByName(kw.select(col("__qid2"), col(idCol), contrib.as("__c")))
+          }
+        // per-question reciprocal-rank fusion — the [[Keyword.rrfFuse]]
+        // algebra with the qid added to every key (same rounding, same
+        // rank tiebreak), so batch ≡ per-question bit for bit
+        legs.groupBy(col("__qid2"), col(idCol))
+          .agg(sum(col("__c")).as("__raw"))
+          .select(col("__qid2"), col(idCol), round(col("__raw"), 6).as("__rrf"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("__qid2")).orderBy(col("__rrf").desc, col(idCol))))
+          .filter(col("rank") <= topK)
+          .select(col("__qid2"), col(idCol), col("rank"))
     }
     // rank-ordered context + provenance per question (A9/V10); the hits
     // side is k×|questions| rows — AQE broadcasts it against the store

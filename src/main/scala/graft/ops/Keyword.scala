@@ -89,23 +89,37 @@ object Keyword {
     * per-query corpus scan (tokenize + filter) is the dominant cost.
     * Pays the full tokenize + explode ONCE at build time and writes:
     *
-    *   - `path/postings`: `(term, id, tf)` — the inverted index,
+    *   - `path/postings`: `(term, id, tf, dl)` — the inverted index,
     *     partitioned by `bucket = xxhash64(term) % buckets` so a query's
     *     term set prunes to its buckets at the file index (plus row-group
-    *     term stats inside each bucket);
-    *   - `path/doclen`: `(id, dl)` — per-document token count (the BM25
-    *     length normalization);
-    *   - `path/_stats`: `"N sumdl"` — corpus totals as one tiny text
-    *     file, so query time reads no corpus-sized aggregate at all.
+    *     term stats inside each bucket). The document length rides ON the
+    *     posting (standard impact-ordered-index denormalization, +8 bytes
+    *     per posting) so query-time length normalization never touches a
+    *     corpus-sized table — query cost is strictly O(matched postings);
+    *   - `path/_stats`: `"N sumdl buckets stamp"` — corpus totals plus the
+    *     staleness stamp, one tiny text file, so query time reads no
+    *     corpus-sized aggregate at all.
     *
     * The analog of the reference's persistent store index (S16,
-    * `src/server/utils/embedding.py:348-368`) for the lexical leg.
-    * Rebuild after appends — like [[Ivf.indexStore]], the sidecar
-    * describes the corpus as of build time.
+    * `src/server/utils/embedding.py:348-368`) for the lexical leg — and
+    * like the reference, which rebuilds its index after every merge,
+    * the sidecar describes the corpus AS OF BUILD TIME. Pass `store`
+    * (the [[VersionedStore]] table `docs` was read from) to stamp the
+    * store's manifest version into `_stats`: [[bm25Indexed]] given the
+    * same store then REFUSES to serve once the store has moved on,
+    * instead of silently ranking without the appended rows (the exact
+    * [[Ivf.requireModelMatch]] treatment for the lexical leg). If the
+    * store commits a new version mid-build the build itself fails —
+    * a stamp must never promise a snapshot the index doesn't hold.
+    * Without `store` (a plain parquet corpus) the stamp is `-` and
+    * staleness is the caller's contract.
     */
   def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
-                        path: String, buckets: Int = 64): Unit = {
+                        path: String, buckets: Int = 64,
+                        store: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    val stamp = store.map(t => VersionedStore.currentState(spark, t)
+      .map(_.version).getOrElse(0L))
     val toks = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -113,14 +127,20 @@ object Keyword {
     val statsRow = toks.agg(count(lit(1)), sum(size(col("__w")).cast("long"))).head()
     val n = statsRow.getLong(0)
     val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    toks.select(col("id"), explode(col("__w")).as("term"))
-      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+    toks.select(col("id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    toks.select(col("id"), size(col("__w")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    graft.Fs.writeString(spark, s"$path/_stats", s"$n $sumdl $buckets")
-    toks.unpersist(): Unit
+    toks.unpersist()
+    stamp.foreach { v0 =>
+      val v1 = VersionedStore.currentState(spark, store.get).map(_.version).getOrElse(0L)
+      require(v1 == v0,
+        s"store ${store.get} moved from version $v0 to $v1 during the index build — " +
+          "the postings describe a superseded snapshot; rebuild")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$n $sumdl $buckets ${stamp.map("v" + _).getOrElse("-")}")
   }
 
   /** [[bm25]] against a [[buildLexicalIndex]] sidecar instead of the
@@ -128,18 +148,42 @@ object Keyword {
     * rounded-rank + id tiebreak), but the plan touches no corpus text —
     * the term set prunes the postings table to its hash buckets
     * (partition pruning + row-group term stats), document frequencies
-    * aggregate from those postings, corpus totals are literals from the
-    * stats file, and the only O(N) touch is the narrow (id, dl) join for
-    * length normalization, against which AQE broadcasts the tiny
-    * postings side. Repeated queries therefore scale with O(matches),
-    * not O(corpus).
+    * aggregate from those postings, document length rides on each
+    * posting, and corpus totals are literals from the stats file.
+    * Repeated queries therefore scale with O(matched postings), not
+    * O(corpus) — no per-query touch grows with the corpus at all.
+    *
+    * Staleness contract: pass `store` (the [[VersionedStore]] table the
+    * index was built over) and the query REQUIRES the index's build-time
+    * stamp to equal the store's current manifest version — an append
+    * since the build makes new docs invisible and df/N/avgdl wrong, so
+    * a stale index is a loud error demanding a rebuild, never silently
+    * wrong rankings (the reference rebuilds its index after every
+    * merge, `src/server/utils/embedding.py:348-368`; this is the
+    * query-side enforcement of that contract). Passing `store` to an
+    * index built without one fails too: an unstamped index makes no
+    * snapshot promise, so it cannot back a versioned-store query.
     */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                   queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-                  topK: Int = 10, idName: String = "id"): DataFrame = {
+                  topK: Int = 10, idName: String = "id",
+                  store: Option[String] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val stats = graft.Fs.readString(spark, s"$indexPath/_stats").trim.split(" ")
     val (nDocs, sumdl, buckets) = (stats(0).toLong, stats(1).toLong, stats(2).toInt)
+    val stamp = if (stats.length >= 4) stats(3) else "-"
+    store.foreach { t =>
+      require(stamp.startsWith("v"),
+        s"lexical index at $indexPath carries no store stamp — it was not built " +
+          s"against a versioned store, so it cannot serve queries for $t; rebuild " +
+          "with buildLexicalIndex(..., store = Some(table))")
+      val cur = VersionedStore.currentState(spark, t).map(_.version).getOrElse(0L)
+      require(stamp.drop(1).toLong == cur,
+        s"lexical index at $indexPath is stale: built at store version ${stamp.drop(1)} " +
+          s"but $t is now at version $cur — appended rows would be invisible and " +
+          "df/N/avgdl wrong. Rebuild with buildLexicalIndex (the reference rebuilds " +
+          "after every merge).")
+    }
     val avgdl = if (nDocs == 0) 1.0 else sumdl.toDouble / nDocs
     // bucket ids must be computed by the ENGINE's own hash (xxhash64),
     // not re-implemented driver-side — one expression evaluation keeps
@@ -152,19 +196,71 @@ object Keyword {
     val tf = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(prunedBuckets: _*) && col("term").isin(queryTerms: _*))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val doclen = spark.read.parquet(s"$indexPath/doclen")
     val idf = log(lit(1.0) +
       (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val denom = col("tf") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
     tf.join(broadcast(df), "term")
-      .join(doclen, "id")
       .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
       .groupBy(col("id"))
       .agg(sum(col("__s")).as("__raw"))
       .select(col("id").as(idName), round(col("__raw"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idName))
       .limit(topK)
+  }
+
+  /** Batch [[bm25]]: rank every query's term set against the corpus in
+    * ONE corpus scan (a per-question [[bm25]] loop would re-tokenize the
+    * corpus once per question — the same job-per-row trap
+    * [[Chat.answerBatch]] exists to avoid). `queryTerms` carries DISTINCT
+    * `(qid, term)` pairs — query-batch-sized, so it broadcasts.
+    *
+    * Per question the scores and ranking are IDENTICAL to [[bm25]]:
+    * df/N/avgdl are corpus-global (shared across questions), tf is per
+    * (doc, term), and each question sums exactly its own term rows via
+    * the broadcast pair join; rounding (6 decimals) and the rank
+    * tiebreak (rounded score desc, id) match term for term. Output:
+    * `(qidName, id, rank)` with rank ≤ `topKPerQuery`.
+    */
+  def bm25BatchRank(docs: DataFrame, idCol: String, textCol: String,
+                    queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+                    topKPerQuery: Int = 10): DataFrame = {
+    val Seq(qidName, termName) = queryTerms.columns.toSeq
+    val allTerms = queryTerms.select(col(termName)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "queryTerms must carry at least one (qid, term) pair")
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("__dl"),
+        filter(col("__w"), t => t.isin(allTerms: _*)).as("__qw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsRow = base.agg(count(lit(1)), sum(col("__dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val avgdl = if (nDocs == 0) 1.0 else sumdl.toDouble / nDocs
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__qw")).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val denom = col("__tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidName)).orderBy(col("__bm25").desc, col(idCol))
+    val result = tf.join(broadcast(df), "__term")
+      .join(broadcast(queryTerms.withColumnRenamed(termName, "__term")), "__term")
+      .withColumn("__s", idf * (col("__tf") * lit(k1 + 1.0)) / denom)
+      .groupBy(col(qidName), col(idCol))
+      .agg(sum(col("__s")).as("__raw"))
+      .select(col(qidName), col(idCol), round(col("__raw"), 6).as("__bm25"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topKPerQuery)
+      .select(col(qidName), col(idCol), col("rank"))
+      .localCheckpoint() // ≤ topK×|batch| rows; releases the cache now
+    base.unpersist()
+    result
   }
 
   /** Reciprocal-rank fusion of independent rankings: each input carries

@@ -20,6 +20,26 @@ object KeywordQueries {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** One lexical index per corpus directory per JVM: the QUERY entry must
+    * measure what the operator claims (bucket-pruned postings, no corpus
+    * touch), not the one-time build it amortizes — a per-invocation build
+    * made the indexed path look slower than the scan it exists to beat.
+    * The BUILD cost is measured by its own entry (`lexical_index_build`).
+    */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedIndex(s: SparkSession, d: String): String =
+    idxCache.computeIfAbsent(d, _ => {
+      val idx = java.nio.file.Files.createTempDirectory("lexidx-session").toString
+      Keyword.buildLexicalIndex(graft.Tables.documents(s, d), "doc_id", "text", idx)
+      idx
+    })
+
+  // the build entry overwrites ONE fixed dir per corpus (build is
+  // mode("overwrite")), so repeated bench runs measure a fresh build
+  // without accumulating temp dirs
+  private def buildDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-lexidx-${Integer.toHexString(d.hashCode)}"
+
   /** The BM25 CTE pipeline in DuckDB SQL, mirroring [[Keyword.bm25]]
     * term by term. Constants are interpolated from the SAME Scala
     * doubles the Spark plan uses — shortest-round-trip printing parses
@@ -55,16 +75,32 @@ object KeywordQueries {
         .orderBy($"bm25".desc, $"doc_id")
     }),
 
-    // Same ranking through the materialized inverted index: build the
-    // postings/doclen/stats sidecars, then score WITHOUT touching the
-    // corpus — must match bm25_topk's oracle exactly (the index is a
-    // layout change, never a semantics change).
+    // Same ranking through the materialized inverted index — built once
+    // per session (cachedIndex), so this entry measures the QUERY path
+    // the operator claims: bucket-pruned postings with dl on the posting,
+    // zero corpus touch. Must match bm25_topk's oracle exactly (the index
+    // is a layout change, never a semantics change).
     "bm25_indexed_topk" -> ((s, d) => {
       import s.implicits._
-      val idx = java.nio.file.Files.createTempDirectory("lexidx").toString
-      Keyword.buildLexicalIndex(documents(s, d), "doc_id", "text", idx)
-      Keyword.bm25Indexed(s, idx, Terms, K1, B, topK = 20, idName = "doc_id")
+      Keyword.bm25Indexed(s, cachedIndex(s, d), Terms, K1, B, topK = 20, idName = "doc_id")
         .orderBy($"bm25".desc, $"doc_id")
+    }),
+
+    // The one-time index BUILD, measured on its own: full tokenize +
+    // explode into bucket-partitioned postings. Output is the index's
+    // summary statistics — corpus-derived and deterministic, so the
+    // oracle recomputes them relationally from the documents table.
+    "lexical_index_build" -> ((s, d) => {
+      import s.implicits._
+      val dir = buildDir(d)
+      Keyword.buildLexicalIndex(documents(s, d), "doc_id", "text", dir)
+      val stats = graft.Fs.readString(s, s"$dir/_stats").trim.split(" ")
+      s.read.parquet(s"$dir/postings")
+        .agg(count(lit(1)).as("n_postings"),
+          count_distinct($"term").as("n_terms"))
+        .select($"n_postings", $"n_terms",
+          lit(stats(0).toLong).as("n_docs"), lit(stats(1).toLong).as("sum_dl"))
+        .orderBy($"n_postings")
     }),
 
     // Hybrid search: BM25 leg + cosine-kNN leg (vec_id ≡ doc_id in the
@@ -95,6 +131,16 @@ object KeywordQueries {
     "bm25_indexed_topk" ->
       s"""WITH ${bm25Sql(where = "", limit = 20)}
          |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
+    "lexical_index_build" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms,
+        |  (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT sum(len(regexp_split_to_array(trim(text), '\s+'))) FROM documents) AS sum_dl
+        |FROM tf ORDER BY n_postings""".stripMargin,
     "hybrid_rrf_fusion" ->
       s"""WITH ${bm25Sql(where = "WHERE doc_id <> 0", limit = 50)},
          |kwr AS (

@@ -390,7 +390,8 @@ class IngestChatSpec extends AnyFunSuite {
     val questions = Seq("how does spark plan queries", "what stores columnar data")
     val qdf = questions.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("qid", "question")
 
-    for (st <- Seq(SearchType.ScoreThreshold(0.55), SearchType.Mmr(fetchK = 4, lambdaMult = 0.3))) {
+    for (st <- Seq(SearchType.ScoreThreshold(0.55), SearchType.Mmr(fetchK = 4, lambdaMult = 0.3),
+                   SearchType.Hybrid(fetchKPerLeg = 4), SearchType.Hybrid(c = 1, fetchKPerLeg = 5))) {
       val batch = Chat.answerBatch(qdf, "qid", "question", store,
           "id", "text", "embedding", embedder, topK = 2, searchType = st)
         .collect().map(r => r.getAs[String]("question") -> r).toMap
@@ -445,6 +446,20 @@ class IngestChatSpec extends AnyFunSuite {
     val lam1 = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
       embedder, topK = 2, searchType = SearchType.Mmr(fetchK = 4, lambdaMult = 1.0))
     assert(lam1.retrievedIds == viaDefault.retrievedIds)
+    // hybrid degradation law: a question yielding NO lexical terms fuses
+    // the vector leg alone, and 1/(c+rank) is monotone in the vector
+    // rank — the picks must equal plain similarity's
+    val noTerms = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2,
+      searchType = SearchType.Hybrid(terms = _ => Seq.empty, fetchKPerLeg = 4))
+    assert(noTerms.retrievedIds == viaDefault.retrievedIds,
+      "terms-less hybrid must degrade to the vector ranking")
+    // and the lexical leg genuinely moves the fusion: an exact-phrase
+    // question must surface its verbatim document in the hybrid picks
+    val hyb = Chat.answer(spark, "boiling pasta water", store, "id", "text", "embedding",
+      embedder, topK = 2, searchType = SearchType.Hybrid(fetchKPerLeg = 5))
+    assert(hyb.context.contains("pasta"),
+      s"the BM25 leg must pull the verbatim-match doc into the fused picks: ${hyb.context}")
   }
 
   test("testset upsert is idempotent per tid and chunk JSON round-trips (S18, S13/S9)") {

@@ -473,6 +473,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val plan = indexed.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"query terms must prune postings buckets at the file index:\n$plan")
+    // dl rides on the posting: the query must touch NOTHING that grows
+    // with the corpus — no doclen table, no second scan of any kind
+    assert(!plan.contains("doclen"),
+      s"length normalization must come from the posting rows, not an O(N) doclen join:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("FileScan")).forall(_.contains("postings")),
+      s"the indexed query must scan only the pruned postings:\n$plan")
     val a = direct.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
     val b = indexed.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
     assert(a == b, "the index is a layout change, never a semantics change")
@@ -483,6 +489,48 @@ class ScaleOpsSpec extends AnyFunSuite {
       Seq("zzz_not_a_token_qqq"), topK = 5).count() == 0)
     assert(Keyword.bm25(docs.filter($"doc_id" < 0), "doc_id", "text",
       terms, topK = 5).count() == 0)
+  }
+
+  test("lexical index staleness guard: an append after build fails the query loudly; a rebuild serves again") {
+    import graft.ops.{Keyword, VersionedStore}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val store = Files.createTempDirectory("lex-stale").toString + "/docs"
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 2 === 0))
+    val idx = Files.createTempDirectory("lex-stale-idx").toString
+    val terms = Seq("spark", "vector", "merge", "window")
+    Keyword.buildLexicalIndex(VersionedStore.read(spark, store).get,
+      "doc_id", "text", idx, store = Some(store))
+    val fresh = Keyword.bm25Indexed(spark, idx, terms, topK = 10,
+      idName = "doc_id", store = Some(store))
+    assert(fresh.count() > 0, "a fresh stamped index serves")
+    // the second ingest: the index now describes a superseded corpus —
+    // serving it would hide the new docs and skew df/N/avgdl
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 2 === 1))
+    val err = intercept[IllegalArgumentException] {
+      Keyword.bm25Indexed(spark, idx, terms, topK = 10,
+        idName = "doc_id", store = Some(store))
+    }
+    assert(err.getMessage.contains("stale"))
+    // rebuild-after-merge (the reference's contract): green again
+    Keyword.buildLexicalIndex(VersionedStore.read(spark, store).get,
+      "doc_id", "text", idx, store = Some(store))
+    val rebuilt = Keyword.bm25Indexed(spark, idx, terms, topK = 10,
+      idName = "doc_id", store = Some(store))
+    assert(rebuilt.count() > 0)
+    // parity against the direct scan over the same corpus: the rebuilt
+    // index is a layout change, never a semantics change
+    val direct = Keyword.bm25(VersionedStore.read(spark, store).get,
+      "doc_id", "text", terms, topK = 10)
+    assert(rebuilt.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq ==
+      direct.orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq)
+    // an UNSTAMPED index cannot back a versioned-store query
+    val plainIdx = Files.createTempDirectory("lex-plain-idx").toString
+    Keyword.buildLexicalIndex(docs, "doc_id", "text", plainIdx)
+    val err2 = intercept[IllegalArgumentException] {
+      Keyword.bm25Indexed(spark, plainIdx, terms, topK = 10,
+        idName = "doc_id", store = Some(store))
+    }
+    assert(err2.getMessage.contains("no store stamp"))
   }
 
   test("repetition stats flag the degenerate doc and spare natural text") {
