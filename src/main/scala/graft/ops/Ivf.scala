@@ -52,13 +52,33 @@ object Ivf {
     */
   def modelPath(table: String): String = s"$table/_ivf_model"
 
+  // a (table, manifest version, model fingerprint) triple that passed
+  // the full guard once cannot regress without a NEW manifest commit
+  // (every mutation through the public API — appendAssigned, indexStore,
+  // streaming appends — publishes a version, and indexStore writes its
+  // sidecar only after its swap commits), so repeated probes at the same
+  // version cost one tiny state read instead of a sidecar read plus
+  // O(live segments) exists() round trips per probe
+  private val guardPassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, String)]()
+  /** Count of full (non-memoized) guard evaluations — test observability. */
+  private[graft] val guardFullChecks = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Fail loudly if `model` is not the model that assigned `table`'s
     * cluster layout — probing a partitioned store with a different model
     * silently loses rows (the scan predicate prunes them before any
     * runtime check can see the gap), so every path that knows the store
-    * location must call this before building probe predicates.
+    * location must call this before building probe predicates. Memoized
+    * per (table, manifest version, fingerprint): a hot serving path pays
+    * one manifest-state read per probe, not per-segment FS chatter.
+    * Unversioned tables (no manifest) are never memoized — nothing
+    * version-stamps their mutations.
     */
   def requireModelMatch(spark: SparkSession, table: String, model: IvfModel): Unit = {
+    val state = VersionedStore.currentState(spark, table)
+    val key = state.map(st => (table, st.version, model.fingerprint))
+    if (key.exists(guardPassed.contains)) return
+    guardFullChecks.incrementAndGet()
     val path = modelPath(table)
     require(graft.Fs.exists(spark, path),
       s"store $table carries no _ivf_model — it was not written by " +
@@ -77,13 +97,18 @@ object Ivf {
     // appends by design). Every assigned write stamps its segment with
     // the fingerprint that assigned it — require all live segments carry
     // the sidecar's stamp, so the stale-assignment race is loud too.
-    val unstamped = VersionedStore.liveSegments(spark, table)
+    val unstamped = state.map(_.segments).getOrElse(Nil)
       .filterNot(s => graft.Fs.exists(spark, s"$table/$s/_marker-${persisted.fingerprint}"))
     require(unstamped.isEmpty,
       s"IVF store $table has ${unstamped.size} live segment(s) not assigned by the " +
         s"sidecar model (fingerprint ${persisted.fingerprint}): " +
         s"${unstamped.take(3).mkString(", ")} — a re-index raced an assigned append, " +
         "or a writer bypassed Ivf.appendAssigned; re-run Ivf.indexStore.")
+    // bounded: the set grows one entry per committed version actually
+    // probed; clear wholesale in the (pathological) long-lived-driver
+    // case rather than tracking LRU order
+    if (guardPassed.size > 10000) guardPassed.clear()
+    key.foreach(k => guardPassed.add(k): Unit)
   }
 
   /** Assign each row its nearest centroid id. Fully narrow: one

@@ -93,6 +93,46 @@ object DedupQueries {
         .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
         .orderBy($"id_a", $"id_b")
     }),
+
+    // Oracle anchor for the MinHash family (its pair SET is seed-defined,
+    // so dedup_minhash_lsh stays rows-only — but its CONTRACT is not):
+    // every emitted pair must be an exact-Jaccard pair at the same
+    // threshold with the identical jaccard value (the LSH path verifies
+    // exactly), and the banding must find at least one pair on a corpus
+    // with planted duplicates. The expected value of each bit is a
+    // constant — a hash mismatch names the violated invariant.
+    "dedup_minhash_subset_invariant" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.2)
+        .select($"id_a", $"id_b", $"jaccard".as("__j_lsh"))
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+        .select($"id_a", $"id_b", $"jaccard".as("__j_exact"))
+      lsh.join(exact, Seq("id_a", "id_b"), "left")
+        .agg(
+          bool_and($"__j_exact".isNotNull).as("subset_of_exact"),
+          bool_and(coalesce($"__j_lsh" === $"__j_exact", lit(false)))
+            .as("jaccard_matches_exact"),
+          (count(lit(1)) >= 1).as("found_pairs"))
+    }),
+
+    // Same anchor shape for the SRP-LSH embedding family: verified pairs
+    // are a subset of the exact cosine pairs with identical sims.
+    "dedup_embedding_lsh_subset_invariant" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+          threshold = 0.35, nTables = 6, nBits = 6)
+        .select($"id_a", $"id_b", $"sim".as("__s_lsh"))
+      val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+        .select($"id_a", $"id_b", $"sim".as("__s_exact"))
+      lsh.join(exact, Seq("id_a", "id_b"), "left")
+        .agg(
+          bool_and($"__s_exact".isNotNull).as("subset_of_exact"),
+          bool_and(coalesce($"__s_lsh" === $"__s_exact", lit(false)))
+            .as("sim_matches_exact"),
+          (count(lit(1)) >= 1).as("found_pairs"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,5 +201,14 @@ object DedupQueries {
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE s > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    // the invariants ARE the oracle: the expected value of every
+    // contract bit is a constant true (the LSH pair sets themselves
+    // stay engine-defined)
+    "dedup_minhash_subset_invariant" ->
+      """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
+        |  true AS found_pairs""".stripMargin,
+    "dedup_embedding_lsh_subset_invariant" ->
+      """SELECT true AS subset_of_exact, true AS sim_matches_exact,
+        |  true AS found_pairs""".stripMargin,
   )
 }

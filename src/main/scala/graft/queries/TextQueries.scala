@@ -294,6 +294,57 @@ object TextQueries {
         .select($"doc_id", $"chunk_idx")
         .orderBy($"doc_id", $"chunk_idx")
     }),
+
+    // Multimodal plumbing end-to-end with the deterministic stub decoder
+    // (Multimodal.scala — this container ships no codecs, so documents'
+    // UTF-8 bytes stand in as opaque media payloads): segment-sample the
+    // payload, feature-extract every segment, and emit per-media
+    // invariants. Two columns are INDEPENDENTLY recomputable by the
+    // oracle (segment count = ceil(bytes/256), total bytes =
+    // octet_length); the rest are constant-truth contract bits —
+    // contiguous 0..n-1 indices, hex-exact reassembly to the original
+    // payload, unit-L2 features from the stub decoder.
+    "multimodal_segment_invariants" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      // media_id is STRING per the canonical media schema (filenames in
+      // readMediaDir); cast back to BIGINT at the end for a numeric sort
+      val media = documents(s, d).filter(length($"text") > 0)
+        .select($"doc_id".cast("string").as("media_id"), lit("doc").as("kind"),
+          encode($"text", "UTF-8").as("bytes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val segs = Multimodal.sampleSegments(media, segmentBytes = 256)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val feats = Multimodal.extractFeatures(
+        segs.select($"media_id", $"kind", $"segment_bytes".as("bytes")),
+        Multimodal.FakeDecoder(32))
+      val unitNorm = feats
+        .select($"media_id",
+          (abs(sqrt(aggregate($"features", lit(0.0d), (a, x) => a + x * x)) - 1.0d) < 1e-3)
+            .as("__u"))
+        .groupBy($"media_id").agg(bool_and($"__u").as("features_unit_norm"))
+      val shape = segs
+        .groupBy($"media_id")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          (max($"segment_idx") === count(lit(1)) - 1 &&
+            count_distinct($"segment_idx") === count(lit(1))).as("contiguous"),
+          sum(length($"segment_bytes")).as("total_bytes"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct($"segment_idx", hex($"segment_bytes").as("h")))),
+            x => x.getField("h"))).as("__hexcat"))
+      val result = shape
+        .join(media.select($"media_id", hex($"bytes").as("__hexorig")), "media_id")
+        .join(unitNorm, "media_id")
+        .select($"media_id".cast("long").as("media_id"), $"n_segments", $"total_bytes",
+          $"contiguous", ($"__hexcat" === $"__hexorig").as("reassembles"),
+          $"features_unit_norm")
+        .orderBy($"media_id")
+        .localCheckpoint() // one row per doc; releases both caches now
+      segs.unpersist()
+      media.unpersist()
+      result
+    }),
   )
 
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
@@ -317,6 +368,14 @@ object TextQueries {
         |  true AS covers_first_word, true AS covers_last_word,
         |  true AS gaps_whitespace_only, true AS advances
         |FROM documents WHERE regexp_matches(text, '\S') ORDER BY doc_id""".stripMargin,
+    // segment count and byte totals recomputed independently from the
+    // payload length; the contract bits are constant-truth
+    "multimodal_segment_invariants" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_segments,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
+        |  true AS contiguous, true AS reassembles, true AS features_unit_norm
+        |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
     "corpus_prep_pipeline" ->
       s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          |qual AS (

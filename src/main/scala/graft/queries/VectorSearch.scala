@@ -159,44 +159,22 @@ object VectorSearch {
     // doc's first 5 tokens, reference = the doc itself, topic = lang),
     // answer every question through retrieval + template generation,
     // keyword-judge, and report correctness by topic (A2/A3).
-    "testbed_eval_report" -> ((s, d) => {
+    "testbed_eval_report" -> ((s, d) => evalReportByTopic(s, d)),
+
+    // Oracle anchor for the report family (the report's correctness
+    // VALUES hinge on engine-defined answer text, so testbed_eval_report
+    // stays rows-only — but its aggregate contract does not): every
+    // per-topic correctness lies in [0,1] (constant-truth), and the
+    // question/topic coverage is INDEPENDENTLY recomputable — one report
+    // row per QA question (sum(n) = count of source docs) over exactly
+    // the topics those docs carry (count of distinct langs).
+    "testbed_eval_report_invariants" -> ((s, d) => {
       import s.implicits._
-      import graft.embed.{EmbedText, HashEmbedder}
-      import graft.ops.{Similarity, Testbed}
-      val embedder = HashEmbedder(64)
-      val store = documents(s, d)
-        .select($"doc_id", $"text", EmbedText.embedText($"text", embedder).as("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // qa (with its qid) feeds both the retrieval batch and the report
-      // join — persist so the documents scan + embed runs once, not twice
-      val qa = documents(s, d).filter($"doc_id" < 50)
-        .select(
-          concat_ws(" ", slice(split($"text", "\\s+"), 1, 5)).as("question"),
-          $"text".as("reference_answer"),
-          $"text".as("reference_context"),
-          $"lang".as("topic"))
-        .withColumn("qid", xxhash64($"question"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // distributed retrieval for the whole question batch at once
-      // (similarity join, k=1 already enforces rank 1), then grounded
-      // "generation" = top-1 context.
-      val answered = Similarity.similarityJoin(
-          qa.withColumn("embedding", EmbedText.embedText($"question", embedder)),
-          store, "qid", "embedding", "doc_id", "embedding", k = 1)
-        .join(store.select($"doc_id", $"text".as("answer")), "doc_id")
-        .select($"qid", $"answer")
-      val report = qa
-        .join(answered, "qid")
-        .withColumn("correct",
-          Testbed.keywordJudgeCol($"answer", $"reference_answer"))
-        .select($"question", $"topic", $"answer", $"correct")
-      // the by-topic report is a handful of rows: materialize it eagerly
-      // (localCheckpoint) so the caches can be released before returning —
-      // otherwise store+qa stay pinned for the rest of the query run.
-      val result = Testbed.byTopic(report).localCheckpoint()
-      store.unpersist()
-      qa.unpersist()
-      result
+      evalReportByTopic(s, d).agg(
+        bool_and($"correctness" >= 0.0 && $"correctness" <= 1.0)
+          .as("correctness_in_unit"),
+        sum($"n").as("n_questions"),
+        count(lit(1)).as("n_topics"))
     }),
 
     // V1 batch embedding over documents through the pluggable embedder
@@ -213,7 +191,61 @@ object VectorSearch {
     }),
   )
 
+  /** §3.3 evaluation pipeline end-to-end (rows-only as a report: the RAG
+    * answer text is engine-defined): build an in-memory vector store from
+    * documents, derive a deterministic QA set (question = doc's first 5
+    * tokens, reference = the doc itself, topic = lang), answer every
+    * question through retrieval + template generation, keyword-judge, and
+    * report correctness by topic (A2/A3). Shared by `testbed_eval_report`
+    * and its oracle-anchored invariants sibling.
+    */
+  private def evalReportByTopic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.embed.{EmbedText, HashEmbedder}
+    import graft.ops.{Similarity, Testbed}
+    val embedder = HashEmbedder(64)
+    val store = documents(s, d)
+      .select($"doc_id", $"text", EmbedText.embedText($"text", embedder).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // qa (with its qid) feeds both the retrieval batch and the report
+    // join — persist so the documents scan + embed runs once, not twice
+    val qa = documents(s, d).filter($"doc_id" < 50)
+      .select(
+        concat_ws(" ", slice(split($"text", "\\s+"), 1, 5)).as("question"),
+        $"text".as("reference_answer"),
+        $"text".as("reference_context"),
+        $"lang".as("topic"))
+      .withColumn("qid", xxhash64($"question"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distributed retrieval for the whole question batch at once
+    // (similarity join, k=1 already enforces rank 1), then grounded
+    // "generation" = top-1 context.
+    val answered = Similarity.similarityJoin(
+        qa.withColumn("embedding", EmbedText.embedText($"question", embedder)),
+        store, "qid", "embedding", "doc_id", "embedding", k = 1)
+      .join(store.select($"doc_id", $"text".as("answer")), "doc_id")
+      .select($"qid", $"answer")
+    val report = qa
+      .join(answered, "qid")
+      .withColumn("correct",
+        Testbed.keywordJudgeCol($"answer", $"reference_answer"))
+      .select($"question", $"topic", $"answer", $"correct")
+    // the by-topic report is a handful of rows: materialize it eagerly
+    // (localCheckpoint) so the caches can be released before returning —
+    // otherwise store+qa stay pinned for the rest of the query run.
+    val result = Testbed.byTopic(report).localCheckpoint()
+    store.unpersist()
+    qa.unpersist()
+    result
+  }
+
   val oracles: Map[String, String] = Map(
+    // coverage recomputed independently from the QA source slice; the
+    // [0,1] bound is constant-truth
+    "testbed_eval_report_invariants" ->
+      """SELECT true AS correctness_in_unit,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_questions,
+        |  (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 50) AS n_topics""".stripMargin,
     "embed_documents" ->
       """SELECT doc_id, 64::INT AS dim,
         |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm

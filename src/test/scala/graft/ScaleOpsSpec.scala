@@ -327,6 +327,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(err3.getMessage.contains("not assigned by"))
   }
 
+  test("model guard memoizes per (table, manifest version): one full check per version, re-armed by a commit") {
+    import graft.ops.VersionedStore
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val table = Files.createTempDirectory("ivf-memo").toString + "/store"
+    VersionedStore.append(spark, table, emb.filter($"vec_id" % 2 === 0))
+    val model = Ivf.indexStore(spark, table, "vec_id", "embedding", k = 4)
+    val q = model.centroids(0)
+    val store = VersionedStore.read(spark, table).get
+    val c0 = Ivf.guardFullChecks.get()
+    Ivf.search(store, "embedding", model, q, 4, nProbe = 2, storePath = Some(table)).count()
+    Ivf.search(store, "embedding", model, q, 4, nProbe = 2, storePath = Some(table)).count()
+    assert(Ivf.guardFullChecks.get() == c0 + 1,
+      "repeated probes at one version must pay ONE full per-segment check")
+    // a commit (assigned append) publishes a new version — the guard
+    // must re-verify rather than trust the memo
+    Ivf.appendAssigned(spark, table, emb.filter($"vec_id" % 2 === 1), "embedding")
+    val grown = VersionedStore.read(spark, table).get
+    Ivf.search(grown, "embedding", model, q, 4, nProbe = 2, storePath = Some(table)).count()
+    assert(Ivf.guardFullChecks.get() == c0 + 2, "a new commit re-arms the full check")
+    // the re-armed check still rejects a foreign model (never memoized
+    // for a fingerprint that did not pass)
+    val other = Ivf.IvfModel(model.centroids.map(_.map(_ + 1f)))
+    intercept[IllegalArgumentException] {
+      Ivf.search(grown, "embedding", other, q, 4, nProbe = 2, storePath = Some(table))
+    }
+  }
+
   test("versioned store: a flat append racing a clustered swap is refused at COMMIT time; repairMixedLayout recovers a mixed table") {
     import graft.ops.VersionedStore
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
