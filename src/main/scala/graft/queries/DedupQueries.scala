@@ -116,6 +116,33 @@ object DedupQueries {
           (count(lit(1)) >= 1).as("found_pairs"))
     }),
 
+    // Oracle anchor for the SimHash family (fingerprints are
+    // engine-defined, so dedup_simhash_pairs stays rows-only — but the
+    // banding's pigeonhole contract is total): with bands > maxHamming,
+    // the banded candidate join must find EXACTLY the brute-force
+    // all-pairs set at the same Hamming bound, with identical distances.
+    "dedup_simhash_equivalence_invariant" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .select($"id_a", $"id_b", $"hamming".as("__hb"))
+      // narrow (id, 8-byte fingerprint) rows: the quadratic pass is a
+      // hamming evaluation per pair, not a payload shuffle — the same
+      // documented ≤10^4-docs oracle bound as dedup_embedding_cosine
+      val hashed = docs.filter(length(trim($"text")) > 0)
+        .select($"doc_id", SimHash64.simhash64(split(trim($"text"), "\\s+")).as("h"))
+      val brute = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+        .withColumn("__h", graft.functions.SimHash64.hamming64($"a.h", $"b.h"))
+        .filter($"__h" <= 3)
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"__h")
+      banded.join(brute, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          bool_and($"__hb".isNotNull && $"__h".isNotNull && $"__hb" === $"__h")
+            .as("banded_equals_bruteforce"),
+          (count(lit(1)) >= 1).as("found_pairs"))
+    }),
+
     // Same anchor shape for the SRP-LSH embedding family: verified pairs
     // are a subset of the exact cosine pairs with identical sims.
     "dedup_embedding_lsh_subset_invariant" -> ((s, d) => {
@@ -207,6 +234,8 @@ object DedupQueries {
     "dedup_minhash_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
         |  true AS found_pairs""".stripMargin,
+    "dedup_simhash_equivalence_invariant" ->
+      """SELECT true AS banded_equals_bruteforce, true AS found_pairs""",
     "dedup_embedding_lsh_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS sim_matches_exact,
         |  true AS found_pairs""".stripMargin,
