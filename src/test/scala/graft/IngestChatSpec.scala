@@ -446,6 +446,17 @@ class IngestChatSpec extends AnyFunSuite {
     val lam1 = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
       embedder, topK = 2, searchType = SearchType.Mmr(fetchK = 4, lambdaMult = 1.0))
     assert(lam1.retrievedIds == viaDefault.retrievedIds)
+    // the hybrid leg composes with the IVF index too: the vector leg at
+    // full probe is the exhaustive ranking, so the fused answers match
+    val hybExh = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2,
+        searchType = SearchType.Hybrid(fetchKPerLeg = 4))
+      .orderBy($"qid").collect().toSeq
+    val hybIvf = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2, index = Some((ivfModel, 2)),
+        searchType = SearchType.Hybrid(fetchKPerLeg = 4))
+      .orderBy($"qid").collect().toSeq
+    assert(hybIvf == hybExh, "full-probe IVF hybrid must equal exhaustive hybrid")
     // hybrid degradation law: a question yielding NO lexical terms fuses
     // the vector leg alone, and 1/(c+rank) is monotone in the vector
     // rank — the picks must equal plain similarity's
