@@ -116,13 +116,18 @@ object Chat {
       * vector-only dispatch lacks. `terms` derives the lexical leg's
       * term set from the REWRITTEN query (default: lowercase whitespace
       * tokens); a question yielding no terms degrades to the vector leg
-      * alone. The lexical leg scans the store once per request batch
-      * ([[Keyword.bm25BatchRank]] in the batch path) — serving stacks
-      * with a maintained [[Keyword.buildLexicalIndex]] sidecar can
-      * pre-rank outside the dispatch instead.
+      * alone. Without `lexicalIndexPath` the lexical leg scans the
+      * store once per request batch ([[Keyword.bm25BatchRank]] in the
+      * batch path); with it, the leg ranks from the maintained
+      * [[Keyword.buildLexicalIndex]] sidecar instead — zero corpus
+      * touch, same scores/ranks — and inherits its staleness contract:
+      * when the chat call also knows the store table
+      * (`indexStorePath`), a stale index fails the request loudly
+      * rather than serving rankings that cannot see appended rows.
       */
     final case class Hybrid(terms: String => Seq[String] = Hybrid.whitespaceTerms,
-                            c: Int = 60, fetchKPerLeg: Int = 50) extends SearchType {
+                            c: Int = 60, fetchKPerLeg: Int = 50,
+                            lexicalIndexPath: Option[String] = None) extends SearchType {
       require(c >= 0, "rrf constant must be non-negative")
       require(fetchKPerLeg >= 1 && fetchKPerLeg <= 10000, "fetchKPerLeg in [1,10000]")
     }
@@ -221,7 +226,7 @@ object Chat {
           .mmrGreedy(cand.map(r => (r.getString(0), r.getSeq[Float](2).toArray, r.getDouble(3))),
             topK, lm)
           .map { case (id, _, _) => (id, textOf(id)) }
-      case SearchType.Hybrid(termsOf, c, fetchK) =>
+      case SearchType.Hybrid(termsOf, c, fetchK, lexIdx) =>
         val vec = fetch(fetchK, metric)
           .withColumn("rank",
             row_number().over(Window.orderBy(col("score").desc, col(idCol))))
@@ -229,12 +234,20 @@ object Chat {
         val terms = termsOf(q)
         val legs =
           if (terms.isEmpty) Seq(vec)
-          else Seq(vec,
-            Keyword.bm25(store.select(col(idCol), col(textCol)), idCol, textCol,
-                terms, topK = fetchK)
+          else {
+            val ranked = lexIdx match {
+              // maintained index: no corpus touch, staleness-guarded
+              // against the store table when the caller names it
+              case Some(idx) => Keyword.bm25Indexed(spark, idx, terms,
+                topK = fetchK, idName = idCol, store = indexStorePath)
+              case None => Keyword.bm25(store.select(col(idCol), col(textCol)),
+                idCol, textCol, terms, topK = fetchK)
+            }
+            Seq(vec, ranked
               .withColumn("rank",
                 row_number().over(Window.orderBy(col("bm25").desc, col(idCol))))
               .select(col(idCol), col("rank")))
+          }
         Keyword.rrfFuse(legs, idCol, "rank", c, topK)
           .join(store.select(col(idCol), col(textCol)), Seq(idCol))
           .orderBy(col("rrf").desc, col(idCol))
@@ -334,7 +347,7 @@ object Chat {
             col(idCol).as("__cid"), col("score"), col("__cemb"))
         Similarity.mmrRerankFetched(fetched, "__qid2", idCol, topK, lm)
           .withColumnRenamed("mmr_rank", "rank")
-      case SearchType.Hybrid(termsOf, cRrf, fetchK) =>
+      case SearchType.Hybrid(termsOf, cRrf, fetchK, lexIdx) =>
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
         // per-question term sets come from the REWRITTEN queries —
@@ -352,12 +365,18 @@ object Chat {
             val qt = questions.sparkSession.createDataFrame(pairs, StructType(Seq(
               q.schema("__qid2").copy(name = "__qid2"),
               StructField("__term", StringType, nullable = false))))
-            // ONE corpus scan ranks every question's term set (the
-            // per-question bm25 loop this replaces re-scanned per row);
-            // questions with no terms simply have no lexical rows —
-            // their fusion degrades to the vector leg, like `answer`
-            val kw = Keyword.bm25BatchRank(store.select(col(idCol), col(textCol)),
-              idCol, textCol, qt, topKPerQuery = fetchK)
+            // ONE pruned postings read (maintained index) or ONE corpus
+            // scan ranks every question's term set — never a per-question
+            // loop; questions with no terms simply have no lexical rows,
+            // so their fusion degrades to the vector leg, like `answer`
+            val kw = lexIdx match {
+              case Some(idx) => Keyword.bm25IndexedBatchRank(
+                  questions.sparkSession, idx, qt, topKPerQuery = fetchK,
+                  store = indexStorePath)
+                .withColumnRenamed("id", idCol)
+              case None => Keyword.bm25BatchRank(store.select(col(idCol), col(textCol)),
+                idCol, textCol, qt, topKPerQuery = fetchK)
+            }
             vec.select(col("__qid2"), col(idCol), contrib.as("__c"))
               .unionByName(kw.select(col("__qid2"), col(idCol), contrib.as("__c")))
           }

@@ -169,6 +169,61 @@ object Keyword {
                   topK: Int = 10, idName: String = "id",
                   store: Option[String] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val (nDocs, avgdl, tf) = indexedPostings(spark, indexPath, queryTerms, store)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    tf.join(broadcast(df), "term")
+      .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
+      .groupBy(col("id"))
+      .agg(sum(col("__s")).as("__raw"))
+      .select(col("id").as(idName), round(col("__raw"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idName))
+      .limit(topK)
+  }
+
+  /** Batch [[bm25Indexed]]: rank every query's term set from a
+    * [[buildLexicalIndex]] sidecar — the serving shape for a request
+    * batch against a maintained index: ONE pruned postings read for the
+    * union of all term sets (no corpus touch at all), the same staleness
+    * contract as [[bm25Indexed]] (`store`), per question identical
+    * scores/ranking to [[bm25]]/[[bm25Indexed]]. `queryTerms` carries
+    * DISTINCT `(qid, term)` pairs; output `(qidName, id, rank)` with
+    * rank ≤ `topKPerQuery`.
+    */
+  def bm25IndexedBatchRank(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                           queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+                           topKPerQuery: Int = 10,
+                           store: Option[String] = None): DataFrame = {
+    val Seq(qidName, termName) = queryTerms.columns.toSeq
+    val allTerms = queryTerms.select(col(termName)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "queryTerms must carry at least one (qid, term) pair")
+    val (nDocs, avgdl, tf) = indexedPostings(spark, indexPath, allTerms, store)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    val scored = tf.join(broadcast(df), "term")
+      .join(broadcast(queryTerms.withColumnRenamed(termName, "term")), "term")
+      .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
+      .groupBy(col(qidName), col("id"))
+      .agg(sum(col("__s")).as("__raw"))
+      .select(col(qidName).as("__qid"), col("id"), round(col("__raw"), 6).as("__bm25"))
+    Similarity.boundedRank(scored, qidName, "id", topKPerQuery, "COSINE", "__bm25", "rank")
+      .select(col(qidName), col("id"), col("rank"))
+  }
+
+  /** Shared index-read head of [[bm25Indexed]]/[[bm25IndexedBatchRank]]:
+    * staleness-guarded stats plus the postings pruned to the query
+    * terms' hash buckets. Returns (N, avgdl, postings(term,id,tf,dl)).
+    */
+  private def indexedPostings(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                              queryTerms: Seq[String],
+                              store: Option[String]): (Long, Double, DataFrame) = {
     val stats = graft.Fs.readString(spark, s"$indexPath/_stats").trim.split(" ")
     val (nDocs, sumdl, buckets) = (stats(0).toLong, stats(1).toLong, stats(2).toInt)
     val stamp = if (stats.length >= 4) stats(3) else "-"
@@ -195,18 +250,7 @@ object Keyword {
     val prunedBuckets = queryTerms.indices.map(bucketOf.getInt(_)).distinct
     val tf = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(prunedBuckets: _*) && col("term").isin(queryTerms: _*))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val denom = col("tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
-    tf.join(broadcast(df), "term")
-      .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
-      .groupBy(col("id"))
-      .agg(sum(col("__s")).as("__raw"))
-      .select(col("id").as(idName), round(col("__raw"), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col(idName))
-      .limit(topK)
+    (nDocs, avgdl, tf)
   }
 
   /** Batch [[bm25]]: rank every query's term set against the corpus in
@@ -247,16 +291,18 @@ object Keyword {
       (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val denom = col("__tf") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qidName)).orderBy(col("__bm25").desc, col(idCol))
-    val result = tf.join(broadcast(df), "__term")
+    val scored = tf.join(broadcast(df), "__term")
       .join(broadcast(queryTerms.withColumnRenamed(termName, "__term")), "__term")
       .withColumn("__s", idf * (col("__tf") * lit(k1 + 1.0)) / denom)
       .groupBy(col(qidName), col(idCol))
       .agg(sum(col("__s")).as("__raw"))
-      .select(col(qidName), col(idCol), round(col("__raw"), 6).as("__bm25"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topKPerQuery)
+      .select(col(qidName).as("__qid"), col(idCol), round(col("__raw"), 6).as("__bm25"))
+    // the shared bounded-rank tail (per-partition top-k heap before the
+    // rank window, exactly the final ordering: rounded score desc, id) —
+    // the rank exchange carries ≤ k×|batch| rows per partition instead
+    // of every matched (question, doc) row
+    val result = Similarity
+      .boundedRank(scored, qidName, idCol, topKPerQuery, "COSINE", "__bm25", "rank")
       .select(col(qidName), col(idCol), col("rank"))
       .localCheckpoint() // ≤ topK×|batch| rows; releases the cache now
     base.unpersist()

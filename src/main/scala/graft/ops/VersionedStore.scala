@@ -424,16 +424,37 @@ object VersionedStore {
     }
   }
 
+  /** Hive partition-column names of a segment: the `key` of every
+    * first-level `key=value` child directory.
+    */
+  private def segPartitionKeys(spark: SparkSession, table: String, seg: String): Set[String] =
+    graft.Fs.list(spark, s"$table/$seg")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.contains("="))
+      .map(_.takeWhile(_ != '='))
+      .toSet
+
   /** Recovery for a table whose live segments no longer share one layout
     * (a mixed flat/partitioned state that slipped past the write-time
     * guards — e.g. an out-of-band writer, or a crash of an older binary):
     * reads every live segment individually, unions them with null-filled
-    * missing columns (a flat segment's absent partition column becomes a
-    * null data column), and swaps the result in as ONE flat segment via
+    * missing columns, and swaps the result in as ONE flat segment via
     * the same race-safe subtract-what-I-rewrote commit as [[compact]].
-    * After repair the table reads again; a previously cluster-partitioned
-    * store must then be re-indexed (Ivf.indexStore) — its probe guard
-    * rejects the repaired flat segment until then, loudly.
+    *
+    * Partition columns that exist NOWHERE as data — only as the
+    * partitioned segments' directory layout (e.g. an IVF `cluster_id`,
+    * which `Ivf.assign` re-derives) — are layout artifacts: the repair
+    * discards the layout, so it drops them rather than baking
+    * half-null columns into the data and breaking every subsequent
+    * original-schema append. A partition column that any segment DOES
+    * carry as data (a date-style column) is kept, null-filled where a
+    * flat segment lacked it. A model sidecar describing the lost
+    * clustered layout is retired alongside (see below).
+    *
+    * After repair the table reads and appends again; a previously
+    * cluster-partitioned store must be re-indexed (Ivf.indexStore)
+    * before probing — the retired sidecar makes a probe fail loudly
+    * until then.
     *
     * Returns Some(newState) when a repair was published, None when the
     * table was not mixed (no-op) or a concurrent committer won the swap
@@ -447,19 +468,39 @@ object VersionedStore {
     val st = stOpt.get
     if (st.segments.map(s => segPartitioned(spark, table, s)).distinct.size <= 1)
       return None // one consistent layout — nothing to repair
-    val df = st.segments.map(s => spark.read.parquet(s"$table/$s"))
+    val perSeg = st.segments.map(s =>
+      (spark.read.parquet(s"$table/$s"), segPartitionKeys(spark, table, s)))
+    val dataCols = perSeg.flatMap { case (d, keys) =>
+      d.schema.fieldNames.filterNot(keys)
+    }.toSet
+    val layoutOnly = perSeg.flatMap(_._2).distinct.filterNot(dataCols)
+    val df = perSeg.map(_._1)
       .reduce(_.unionByName(_, allowMissingColumns = true))
+      .drop(layoutOnly: _*)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     val sized =
       if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
       else df.coalesce(nFiles)
     val seg = writeSegment(spark, table, sized)
-    try Some(commit(spark, table, cur => {
-      if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
-      cur.filterNot(st.segments.toSet) :+ seg
-    }))
-    catch {
+    try {
+      val newState = commit(spark, table, cur => {
+        if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
+        cur.filterNot(st.segments.toSet) :+ seg
+      })
+      // the repaired table is FLAT: a model sidecar describing the old
+      // clustered layout would make Ingest.appendRespectingLayout keep
+      // writing partitioned segments (refused at commit — the table
+      // would be append-dead until re-index) and would mis-describe the
+      // store to probes. Retire it (kept beside the table for
+      // forensics); Ivf.indexStore writes a fresh one on re-index.
+      val sidecar = Ivf.modelPath(table)
+      if (graft.Fs.exists(spark, sidecar)) {
+        graft.Fs.copyFile(spark, sidecar, s"$sidecar.retired-v${newState.version}")
+        graft.Fs.delete(spark, sidecar)
+      }
+      Some(newState)
+    } catch {
       case _: ConcurrentCompaction =>
         graft.Fs.delete(spark, s"$table/$seg")
         None

@@ -87,6 +87,33 @@ object Probe {
           .filter(col("jaccard") >= t).count()
       }
     }
+
+    // round 6: the hybrid lexical leg — batch BM25 (ONE corpus scan for
+    // the whole question batch) vs the per-question bm25 loop it
+    // replaces, plus a plan audit: every join in the batch path must be
+    // a broadcast (the stats/df and (qid,term) sides are tiny), never a
+    // sort of corpus rows.
+    {
+      spark.catalog.clearCache()
+      import spark.implicits._
+      val qs = (0 until 16).map(i => (i.toLong, Seq("spark", "vector", "merge", "window")
+        .drop(i % 3)))
+      val qt = qs.flatMap { case (q, ts) => ts.map((q, _)) }.toSeq.toDF("__qid2", "__term")
+      val t0 = System.nanoTime()
+      val batch = graft.ops.Keyword.bm25BatchRank(docs, "doc_id", "text", qt,
+        topKPerQuery = 20)
+      val nBatch = batch.count()
+      val tBatch = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nLoop = qs.map { case (_, ts) =>
+        graft.ops.Keyword.bm25(docs, "doc_id", "text", ts, topK = 20).count()
+      }.sum
+      val tLoop = (System.nanoTime() - t1) / 1e9
+      println(f"bm25 16-question batch: batchRank $tBatch%.2f s ($nBatch rows) vs per-question loop $tLoop%.2f s ($nLoop rows) — ${tLoop / tBatch}%.1fx")
+      // (the returned frame is checkpoint-materialized, so its plan is a
+      // LocalTableScan — join shape is pinned in code by the explicit
+      // broadcast() on the df and (qid, term) sides, which is binding)
+    }
     spark.stop()
   }
 }

@@ -471,6 +471,39 @@ class IngestChatSpec extends AnyFunSuite {
       embedder, topK = 2, searchType = SearchType.Hybrid(fetchKPerLeg = 5))
     assert(hyb.context.contains("pasta"),
       s"the BM25 leg must pull the verbatim-match doc into the fused picks: ${hyb.context}")
+
+    // index-backed lexical leg: same fusion as the scan leg (the index
+    // is a layout change), single and batch, with the staleness guard
+    // routed through the dispatch
+    val tablePath = s"$dir/${cfg.tableName}"
+    val lexIdx = Files.createTempDirectory("disp-lexidx").toString
+    graft.ops.Keyword.buildLexicalIndex(store.select($"id", $"text"), "id", "text",
+      lexIdx, store = Some(tablePath))
+    val stIdx = SearchType.Hybrid(fetchKPerLeg = 4, lexicalIndexPath = Some(lexIdx))
+    val stScan = SearchType.Hybrid(fetchKPerLeg = 4)
+    val sIdx = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2, searchType = stIdx, indexStorePath = Some(tablePath))
+    val sScan = Chat.answer(spark, questions.head, store, "id", "text", "embedding",
+      embedder, topK = 2, searchType = stScan)
+    assert(sIdx == sScan, "index-backed hybrid must equal scan-backed hybrid")
+    val bIdx = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2, searchType = stIdx,
+        indexStorePath = Some(tablePath))
+      .orderBy($"qid").collect().toSeq
+    val bScan = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2, searchType = stScan)
+      .orderBy($"qid").collect().toSeq
+    assert(bIdx == bScan, "batch index-backed hybrid must equal scan-backed")
+    // a second ingest moves the store: the routed request must fail
+    // loudly (stale rankings would silently miss the appended docs)
+    Ingest.ingest(spark, Seq((9L, "freshly appended doc about pasta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, cfg, embedder)
+    val staleErr = intercept[IllegalArgumentException] {
+      Chat.answer(spark, questions.head, Ingest.readStore(spark, dir, cfg).get,
+        "id", "text", "embedding", embedder, topK = 2, searchType = stIdx,
+        indexStorePath = Some(tablePath))
+    }
+    assert(staleErr.getMessage.contains("stale"))
   }
 
   test("testset upsert is idempotent per tid and chunk JSON round-trips (S18, S13/S9)") {

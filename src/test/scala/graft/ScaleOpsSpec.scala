@@ -406,6 +406,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, table).get.count() == n + 5)
     assert(VersionedStore.repairMixedLayout(spark, table).isEmpty,
       "a consistent table is a no-op repair")
+    // post-repair lifecycle: the stale model sidecar is retired, so (a)
+    // layout-respecting appends degrade to FLAT (an assigned append into
+    // the flat table would be refused and leave the store append-dead),
+    // (b) probes fail loudly until re-index, (c) indexStore restores the
+    // clustered layout and probes serve again
+    assert(!graft.Fs.exists(spark, Ivf.modelPath(table)),
+      "repair must retire the sidecar describing the lost layout")
+    val n2 = graft.ops.Ingest.appendRespectingLayout(spark, table, emb.limit(7))
+    assert(n2 == 7, "a repaired store must accept appends (flat) again")
+    val probeErr = intercept[IllegalArgumentException] {
+      Ivf.search(VersionedStore.read(spark, table).get, "embedding",
+        Ivf.IvfModel(Array(Array(0f))), Array(0f), 4, nProbe = 1,
+        storePath = Some(table))
+    }
+    assert(probeErr.getMessage.contains("no _ivf_model"))
+    val m2 = Ivf.indexStore(spark, table, "vec_id", "embedding", k = 4)
+    assert(Ivf.search(VersionedStore.read(spark, table).get, "embedding",
+      m2, m2.centroids(0), 4, nProbe = 4, storePath = Some(table)).count() == 4)
   }
 
   test("IVF assign: a NULL embedding lands in the null partition, never cluster 0") {
