@@ -77,6 +77,26 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // Oracle anchor for the fingerprint family: a fingerprint is a pure
+    // function of the text. The corpus is unioned with itself so EVERY
+    // text group carries two independently-evaluated fingerprints (the
+    // test corpus has no planted exact dups at sf0.01 — without the
+    // doubling the invariant would be vacuous); each group must then
+    // hold exactly one distinct value, and the group count is
+    // independently recomputable by the oracle.
+    "fingerprint_consistency_invariant" -> ((s, d) => {
+      import s.implicits._
+      val fp = documents(s, d)
+        .select($"text", SimHash64.simhash64(split($"text", "\\s+")).as("__fp"))
+      fp.union(fp)
+        .groupBy($"text")
+        .agg(count_distinct($"__fp").as("__nfp"), count(lit(1)).as("__n"))
+        .agg(
+          bool_and($"__nfp" === 1).as("identical_texts_identical_fingerprints"),
+          bool_and($"__n" >= 2).as("every_group_checked"),
+          count(lit(1)).as("n_text_groups"))
+    }),
+
     // Exact embedding-cosine near-dup pairs.
     "dedup_embedding_cosine" -> ((s, d) => {
       import s.implicits._
@@ -236,6 +256,10 @@ object DedupQueries {
         |  true AS found_pairs""".stripMargin,
     "dedup_simhash_equivalence_invariant" ->
       """SELECT true AS banded_equals_bruteforce, true AS found_pairs""",
+    "fingerprint_consistency_invariant" ->
+      """SELECT true AS identical_texts_identical_fingerprints,
+        |  true AS every_group_checked,
+        |  (SELECT count(DISTINCT text) FROM documents) AS n_text_groups""".stripMargin,
     "dedup_embedding_lsh_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS sim_matches_exact,
         |  true AS found_pairs""".stripMargin,
