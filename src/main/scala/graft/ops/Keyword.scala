@@ -131,6 +131,12 @@ object Keyword {
         explode(col("__w")).as("term"))
       .groupBy(col("term"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+      // co-locate each bucket before the Hive-partitioned write: without
+      // this every write task spills a file into every bucket directory —
+      // O(tasks × buckets) small files, a real file-index cost at scale;
+      // with it each bucket is one task's output (one exchange of narrow
+      // posting rows buys a bounded file count)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     toks.unpersist()
     stamp.foreach { v0 =>
