@@ -196,7 +196,8 @@ object Keyword {
     * union of all term sets (no corpus touch at all), the same staleness
     * contract as [[bm25Indexed]] (`store`), per question identical
     * scores/ranking to [[bm25]]/[[bm25Indexed]]. `queryTerms` carries
-    * DISTINCT `(qid, term)` pairs; output `(qidName, id, rank)` with
+    * `(qid, term)` pairs (deduplicated here — a duplicate would double
+    * its term's contribution); output `(qidName, id, rank)` with
     * rank ≤ `topKPerQuery`.
     */
   def bm25IndexedBatchRank(spark: org.apache.spark.sql.SparkSession, indexPath: String,
@@ -204,7 +205,10 @@ object Keyword {
                            topKPerQuery: Int = 10,
                            store: Option[String] = None): DataFrame = {
     val Seq(qidName, termName) = queryTerms.columns.toSeq
-    val allTerms = queryTerms.select(col(termName)).distinct()
+    // deduped defensively: a duplicate (qid, term) pair would silently
+    // double that term's contribution through the fan-out join
+    val queryTermsD = queryTerms.distinct()
+    val allTerms = queryTermsD.select(col(termName)).distinct()
       .collect().map(_.getString(0)).toSeq
     require(allTerms.nonEmpty, "queryTerms must carry at least one (qid, term) pair")
     val (nDocs, avgdl, tf) = indexedPostings(spark, indexPath, allTerms, store)
@@ -214,7 +218,7 @@ object Keyword {
     val denom = col("tf") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
     val scored = tf.join(broadcast(df), "term")
-      .join(broadcast(queryTerms.withColumnRenamed(termName, "term")), "term")
+      .join(broadcast(queryTermsD.withColumnRenamed(termName, "term")), "term")
       .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
       .groupBy(col(qidName), col("id"))
       .agg(sum(col("__s")).as("__raw"))
@@ -262,8 +266,10 @@ object Keyword {
   /** Batch [[bm25]]: rank every query's term set against the corpus in
     * ONE corpus scan (a per-question [[bm25]] loop would re-tokenize the
     * corpus once per question — the same job-per-row trap
-    * [[Chat.answerBatch]] exists to avoid). `queryTerms` carries DISTINCT
-    * `(qid, term)` pairs — query-batch-sized, so it broadcasts.
+    * [[Chat.answerBatch]] exists to avoid). `queryTerms` carries
+    * `(qid, term)` pairs — query-batch-sized, so it broadcasts;
+    * deduplicated here, since a duplicate pair would silently double
+    * that term's contribution.
     *
     * Per question the scores and ranking are IDENTICAL to [[bm25]]:
     * df/N/avgdl are corpus-global (shared across questions), tf is per
@@ -276,7 +282,10 @@ object Keyword {
                     queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
                     topKPerQuery: Int = 10): DataFrame = {
     val Seq(qidName, termName) = queryTerms.columns.toSeq
-    val allTerms = queryTerms.select(col(termName)).distinct()
+    // deduped defensively: a duplicate (qid, term) pair would silently
+    // double that term's contribution through the fan-out join
+    val queryTermsD = queryTerms.distinct()
+    val allTerms = queryTermsD.select(col(termName)).distinct()
       .collect().map(_.getString(0)).toSeq
     require(allTerms.nonEmpty, "queryTerms must carry at least one (qid, term) pair")
     val base = docs
@@ -298,7 +307,7 @@ object Keyword {
     val denom = col("__tf") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))
     val scored = tf.join(broadcast(df), "__term")
-      .join(broadcast(queryTerms.withColumnRenamed(termName, "__term")), "__term")
+      .join(broadcast(queryTermsD.withColumnRenamed(termName, "__term")), "__term")
       .withColumn("__s", idf * (col("__tf") * lit(k1 + 1.0)) / denom)
       .groupBy(col(qidName), col(idCol))
       .agg(sum(col("__s")).as("__raw"))

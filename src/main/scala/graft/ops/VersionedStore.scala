@@ -486,7 +486,14 @@ object VersionedStore {
     try {
       val newState = commit(spark, table, cur => {
         if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
-        cur.filterNot(st.segments.toSet) :+ seg
+        // a concurrent PARTITIONED append (the stale sidecar is retired
+        // only after this commit, so Ivf.appendAssigned may still race
+        // in) would re-publish the very mixed state being repaired —
+        // abandon and let the caller re-run, same as compact
+        val survivors = cur.filterNot(st.segments.toSet)
+        if (survivors.exists(s => segPartitioned(spark, table, s)))
+          throw new ConcurrentCompaction
+        survivors :+ seg
       })
       // the repaired table is FLAT: a model sidecar describing the old
       // clustered layout would make Ingest.appendRespectingLayout keep
