@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Int8 scalar quantization for the embedding column — the scan-IO lever
+  * the float vector path lacks at 100 TB. The embedding column dominates
+  * a vector store's bytes (dim × 4 per row); quantizing it per vector to
+  * `ARRAY<TINYINT>` plus two float parameters cuts the candidate scan to
+  * ~¼ of the bytes, and the exact float column is then touched only for
+  * the overfetched candidate set through an id-pruned scan. This is the
+  * standard SQ8 coarse-then-rescore shape (e.g. FAISS's scalar
+  * quantizer; the reference's Oracle HNSW index likewise serves from a
+  * compressed structure and rescans rows only for results) re-expressed
+  * as two Spark scans over one parquet store:
+  *
+  *   1. '''coarse''': scan ONLY `(id, emb_q, emb_qmin, emb_qscale,
+  *      emb_qnorm)` (column pruning keeps the float column out of the
+  *      read schema — spec-asserted), score the dequantized
+  *      approximation with a codegen'd dot product, keep the top
+  *      `k × overfetch` per the metric's ordering;
+  *   2. '''rescore''': scan `(id, emb)` for exactly those candidate ids
+  *      (a literal IN predicate — row-group pruning at the file index),
+  *      score exactly, return the top `k`.
+  *
+  * The result EQUALS exact [[Similarity.knn]] whenever the true top-k
+  * survives the coarse cut — per-vector int8 keeps relative ranks close,
+  * so modest overfetch (default 4×) covers it; the parity query
+  * `knn_quantized_rescore` shares the exact kNN oracle, making any
+  * fixture-visible rank loss a loud correctness failure rather than a
+  * silent recall drop.
+  */
+object Quantize {
+
+  /** Quantization parameters + codes for `embCol`, appended as four
+    * columns (the float column is kept — the rescore path needs it):
+    *
+    *   - `<emb>_qmin FLOAT`, `<emb>_qscale FLOAT`: per-vector affine
+    *     range, `value ≈ qmin + (code + 128) · qscale`;
+    *   - `<emb>_q ARRAY<TINYINT>`: codes in [-128, 127];
+    *   - `<emb>_qnorm FLOAT`: L2 norm of the DEQUANTIZED vector — the
+    *     coarse cosine/euclidean denominators come from the same
+    *     approximation the dot product uses, so coarse scores are
+    *     internally consistent.
+    *
+    * A constant vector (max = min) quantizes to all -128 with scale 0
+    * and dequantizes exactly to qmin. Null embeddings yield null codes
+    * (same contract as [[Ivf.assign]]).
+    */
+  def withQuantized(df: DataFrame, embCol: String): DataFrame = {
+    val mn = array_min(col(embCol))
+    val scale = ((array_max(col(embCol)) - mn) / lit(255.0f)).cast("float")
+    val codes = transform(col(embCol), v =>
+      least(greatest(round((v - col(s"${embCol}_qmin")) / col(s"${embCol}_qscale")) - 128,
+        lit(-128)), lit(127)).cast("byte"))
+    val deq = (q: Column) =>
+      col(s"${embCol}_qmin") + (q.cast("double") + lit(128.0d)) * col(s"${embCol}_qscale")
+    df.withColumn(s"${embCol}_qmin", mn)
+      .withColumn(s"${embCol}_qscale", scale)
+      .withColumn(s"${embCol}_q",
+        when(col(s"${embCol}_qscale") === 0.0f,
+          transform(col(embCol), _ => lit(-128).cast("byte")))
+          .otherwise(codes))
+      .withColumn(s"${embCol}_qnorm",
+        sqrt(aggregate(col(s"${embCol}_q"), lit(0.0d),
+          (acc, q) => acc + deq(q) * deq(q))).cast("float"))
+  }
+
+  private def ordering(metric: String, score: Column): Column = metric match {
+    case "EUCLIDEAN_DISTANCE" => score.asc
+    case _                    => score.desc
+  }
+
+  /** Coarse top-`n` candidates scored on the quantized columns only.
+    * The dot product against the int8 codes distributes over the affine
+    * dequantization, so per row it is ONE codegen'd integer-array dot
+    * plus two multiply-adds:
+    * `approxDot = qscale · (dot(qv, q) + 128 · Σqv) + qmin · Σqv`.
+    */
+  private[graft] def coarseCandidates(store: DataFrame, idCol: String, embCol: String,
+                                      queryVec: Array[Float], n: Int,
+                                      metric: String): DataFrame = {
+    val needed = Seq(s"${embCol}_q", s"${embCol}_qmin", s"${embCol}_qscale", s"${embCol}_qnorm")
+    require(needed.forall(store.columns.contains),
+      s"store lacks ${needed.mkString(", ")} — write it through Quantize.withQuantized first")
+    val sQv = queryVec.map(_.toDouble).sum
+    val qvNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+    val dotInt = VectorFunctions.dotProduct(
+      col(s"${embCol}_q").cast("array<float>"), typedlit(queryVec))
+    val approxDot = col(s"${embCol}_qscale").cast("double") * (dotInt + lit(128.0d * sQv)) +
+      col(s"${embCol}_qmin").cast("double") * lit(sQv)
+    val qn = col(s"${embCol}_qnorm").cast("double")
+    val approx = metric match {
+      case "COSINE" =>
+        when(qn === 0.0d || lit(qvNorm) === 0.0d, lit(0.0d))
+          .otherwise(approxDot / (qn * lit(qvNorm)))
+      case "DOT_PRODUCT" => approxDot
+      case "EUCLIDEAN_DISTANCE" =>
+        sqrt(greatest(qn * qn - lit(2.0d) * approxDot + lit(qvNorm * qvNorm), lit(0.0d)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    store
+      .select((idCol +: needed).map(col): _*)
+      .withColumn("__approx", approx)
+      .filter(col("__approx").isNotNull)
+      .orderBy(ordering(metric, col("__approx")), col(idCol))
+      .limit(n)
+  }
+
+  /** Top-k nearest rows via the quantized coarse pass + exact rescore.
+    * Output `(idCol, score)` exactly as [[Similarity.knn]] scores it —
+    * identical to the exact path whenever the true top-k survives the
+    * `k × overfetch` coarse cut. The candidate id set is a driver
+    * literal (bounded by k × overfetch, the same contract every batch
+    * collect in this engine rides on), so the rescore scan prunes at
+    * the file index instead of re-reading the corpus.
+    */
+  def knnQuantizedRescore(store: DataFrame, idCol: String, embCol: String,
+                          queryVec: Array[Float], k: Int,
+                          metric: String = "COSINE", overfetch: Int = 4,
+                          scoreName: String = "score"): DataFrame = {
+    require(k >= 1 && overfetch >= 1)
+    val ids = coarseCandidates(store, idCol, embCol, queryVec, k * overfetch, metric)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val pruned =
+      if (ids.isEmpty) store.filter(lit(false))
+      else store.filter(col(idCol).isin(ids: _*))
+    pruned
+      .select(col(idCol), col(embCol))
+      .withColumn(scoreName, VectorFunctions.score(metric)(col(embCol), typedlit(queryVec)))
+      .filter(col(scoreName).isNotNull)
+      .orderBy(ordering(metric, col(scoreName)), col(idCol))
+      .limit(k)
+  }
+}

@@ -42,11 +42,40 @@ object VectorSearch {
        |ORDER BY sim $ord, vec_id""".stripMargin
   }
 
+  /** One SQ8-quantized copy of the embeddings table per corpus per JVM
+    * (parquet, so the coarse pass's column pruning is real scan IO): the
+    * query entry measures the SEARCH, not the one-time quantization —
+    * the same session-cache discipline as the lexical index.
+    */
+  private val qstoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedQuantStore(s: SparkSession, d: String): String =
+    qstoreCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("qstore-session").toString + "/emb"
+      graft.ops.Quantize.withQuantized(
+        embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+        .write.parquet(dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
     // V2 similarity top-k under each declared metric (schema.py:18).
     "knn_cosine_topk" -> knnQuery("COSINE"),
     "knn_euclidean_topk" -> knnQuery("EUCLIDEAN_DISTANCE"),
     "knn_dot_topk" -> knnQuery("DOT_PRODUCT"),
+
+    // SQ8 coarse + exact rescore: the coarse pass scans only the int8
+    // codes (~¼ the bytes of the float column), the rescore touches the
+    // float column for k×overfetch ids via a literal IN — and the result
+    // must EQUAL exact knn (shares its oracle), so fixture-visible rank
+    // loss is a loud correctness failure, never a silent recall drop.
+    "knn_quantized_rescore" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val store = s.read.parquet(cachedQuantStore(s, d)).filter($"vec_id" =!= 0)
+      graft.ops.Quantize.knnQuantizedRescore(store, "vec_id", "embedding", qv, k = 10)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
 
     // V3 score-threshold search (relevance >= t).
     "score_threshold_search" -> ((s, d) => {
@@ -251,6 +280,7 @@ object VectorSearch {
         |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
+    "knn_quantized_rescore" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),

@@ -426,6 +426,42 @@ class ScaleOpsSpec extends AnyFunSuite {
       m2, m2.centroids(0), 4, nProbe = 4, storePath = Some(table)).count() == 4)
   }
 
+  test("SQ8 coarse + exact rescore equals exact knn on every metric; the coarse scan never reads the float column") {
+    import graft.ops.Quantize
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val dir = Files.createTempDirectory("qstore").toString + "/emb"
+    Quantize.withQuantized(emb, "embedding").write.parquet(dir)
+    val store = spark.read.parquet(dir)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    val corpus = store.filter($"vec_id" =!= 0)
+    for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE")) {
+      val exact = Similarity.knn(corpus.select($"vec_id", $"embedding"),
+          "embedding", qv, 10, metric)
+        .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+      val quant = Quantize.knnQuantizedRescore(corpus, "vec_id", "embedding", qv, 10, metric)
+        .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+      assert(quant == exact,
+        s"$metric: the true top-10 must survive the 4x coarse cut and rescore exactly")
+    }
+    // the coarse pass is the scan-IO win: its read schema must carry the
+    // int8 codes + params, never the float embedding column
+    val coarsePlan = Quantize.coarseCandidates(store, "vec_id", "embedding", qv, 40, "COSINE")
+      .queryExecution.executedPlan.toString
+    val schemas = coarsePlan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding:array<float>")),
+      s"coarse candidates must scan only quantized columns:\n$coarsePlan")
+    // degenerate vectors: a constant vector round-trips exactly (scale
+    // 0, deq = qmin); a null embedding yields null codes and is dropped
+    // from search like everywhere else in the engine
+    val weird = Quantize.withQuantized(
+      Seq((1L, Some(Seq(2f, 2f, 2f))), (2L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"), "embedding")
+    val got = Quantize.knnQuantizedRescore(weird, "vec_id", "embedding",
+        Array(1f, 1f, 1f), k = 2, metric = "DOT_PRODUCT")
+      .select($"vec_id", round($"score", 6).as("s")).as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 6.0)), s"constant vector must dequantize exactly: $got")
+  }
+
   test("IVF assign: a NULL embedding lands in the null partition, never cluster 0") {
     val model = Ivf.IvfModel(Array(Array(0f, 0f), Array(10f, 10f)))
     val rows = Seq(
