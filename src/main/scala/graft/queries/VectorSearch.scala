@@ -57,6 +57,21 @@ object VectorSearch {
       dir
     })
 
+  /** Quantized AND cluster-partitioned store (the composed serving
+    * layout): probe filters prune partitions, the coarse pass reads int8
+    * codes inside them, the rescore reads floats for candidate ids only.
+    */
+  private val ivfqCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedIvfQuantStore(s: SparkSession, d: String): String =
+    ivfqCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ivfq-session").toString + "/emb"
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val model = graft.ops.Ivf.fit(emb, "vec_id", "embedding", k = 8)
+      graft.ops.Ivf.writePartitioned(
+        graft.ops.Quantize.withQuantized(emb, "embedding"), "embedding", model, dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
     // V2 similarity top-k under each declared metric (schema.py:18).
     "knn_cosine_topk" -> knnQuery("COSINE"),
@@ -72,6 +87,24 @@ object VectorSearch {
       import s.implicits._
       val qv = queryVec(s, d)
       val store = s.read.parquet(cachedQuantStore(s, d)).filter($"vec_id" =!= 0)
+      graft.ops.Quantize.knnQuantizedRescore(store, "vec_id", "embedding", qv, k = 10)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
+    // The composed ANN serving stack: IVF cluster partitioning (probe =
+    // partition pruning) × SQ8 coarse scan (int8 codes only) × exact
+    // float rescore. At full probe it must equal exact knn bit for bit —
+    // the same oracle — so BOTH approximation layers are pinned to the
+    // exact path on the fixture.
+    "ann_ivf_quantized_probe" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val path = cachedIvfQuantStore(s, d)
+      val model = graft.ops.Ivf.loadModel(s, graft.ops.Ivf.modelPath(path))
+      val probes = model.probeOrder(qv).toSeq // full probe: every cluster
+      val store = s.read.parquet(path)
+        .filter($"cluster_id".isin(probes: _*) && $"vec_id" =!= 0)
       graft.ops.Quantize.knnQuantizedRescore(store, "vec_id", "embedding", qv, k = 10)
         .select($"vec_id", round($"score", 6).as("sim"))
         .orderBy($"sim".desc, $"vec_id")
@@ -281,6 +314,7 @@ object VectorSearch {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_quantized_rescore" -> knnOracle("list_cosine_similarity", desc = true),
+    "ann_ivf_quantized_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),

@@ -450,6 +450,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     val schemas = coarsePlan.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding:array<float>")),
       s"coarse candidates must scan only quantized columns:\n$coarsePlan")
+    // composed serving stack: IVF-partitioned + quantized store — one
+    // coarse plan carries BOTH partition pruning (probed clusters) and
+    // the float-free read schema; full probe + rescore equals exact knn
+    val ivfqDir = Files.createTempDirectory("ivfq").toString + "/emb"
+    val model = Ivf.fit(emb, "vec_id", "embedding", k = 4)
+    Ivf.writePartitioned(graft.ops.Quantize.withQuantized(emb, "embedding"),
+      "embedding", model, ivfqDir)
+    val ivfq = spark.read.parquet(ivfqDir)
+    val probes2 = model.probeOrder(qv).take(2).toSeq
+    val partialPlan = Quantize.coarseCandidates(
+        ivfq.filter($"cluster_id".isin(probes2: _*)), "vec_id", "embedding", qv, 40, "COSINE")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(partialPlan).isDefined,
+      s"probe must prune partitions on the quantized store:\n$partialPlan")
+    assert(partialPlan.linesIterator.filter(_.contains("ReadSchema"))
+      .forall(!_.contains("embedding:array<float>")),
+      s"the pruned coarse scan must stay float-free:\n$partialPlan")
+    val fullProbe = Quantize.knnQuantizedRescore(
+        ivfq.filter($"cluster_id".isin(model.probeOrder(qv).toSeq: _*) && $"vec_id" =!= 0),
+        "vec_id", "embedding", qv, 10)
+      .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    val exactAll = Similarity.knn(emb.filter($"vec_id" =!= 0), "embedding", qv, 10)
+      .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    assert(fullProbe == exactAll,
+      "full-probe quantized IVF must equal exact knn bit for bit")
+
     // degenerate vectors: a constant vector round-trips exactly (scale
     // 0, deq = qmin); a null embedding yields null codes and is dropped
     // from search like everywhere else in the engine
