@@ -114,6 +114,43 @@ object Probe {
       // LocalTableScan — join shape is pinned in code by the explicit
       // broadcast() on the df and (qid, term) sides, which is binding)
     }
+
+    // round 6: SQ8 quantization — the claimed scan-IO win, measured.
+    // Writes the float store and the quantized-columns projection as
+    // separate parquet dirs (what each pass actually reads) and compares
+    // on-disk bytes + min-of-3 query times.
+    {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      def dirBytes(p: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .select($"vec_id", $"embedding")
+      val base = java.nio.file.Files.createTempDirectory("sq8probe").toString
+      emb.write.parquet(s"$base/float")
+      val quant = graft.ops.Quantize.withQuantized(emb, "embedding")
+      quant.select($"vec_id", $"embedding_q", $"embedding_qmin",
+          $"embedding_qscale", $"embedding_qnorm")
+        .write.parquet(s"$base/q")
+      quant.write.parquet(s"$base/full") // the real store: both layouts
+      println(f"SQ8 bytes sf0.1: float-store ${dirBytes(s"$base/float")}%10d | " +
+        f"coarse-cols ${dirBytes(s"$base/q")}%10d " +
+        f"(${dirBytes(s"$base/q").toDouble / dirBytes(s"$base/float")}%.2fx)")
+      val store = spark.read.parquet(s"$base/full")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      def minOf3(f: => Long): Double =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      val tExact = minOf3(graft.ops.Similarity.knn(
+        store.filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
+        "embedding", qv, 10).count())
+      val tQuant = minOf3(graft.ops.Quantize.knnQuantizedRescore(
+        store.filter($"vec_id" =!= 0), "vec_id", "embedding", qv, 10).count())
+      println(f"SQ8 sf0.1 min-of-3: exact knn $tExact%.2f s | coarse+rescore $tQuant%.2f s")
+    }
     spark.stop()
   }
 }
