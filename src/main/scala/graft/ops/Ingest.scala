@@ -110,10 +110,19 @@ object Ingest {
     * loudly (strict union), and this is the seam that prevents it.
     */
   def appendRespectingLayout(spark: SparkSession, table: String, df: DataFrame,
-                             embCol: String = "embedding"): Long =
+                             embCol: String = "embedding"): Long = {
+    // a quantized store ([[Quantize.quantizeStore]]) carries four extra
+    // columns on every row; appending bare rows would fail every
+    // subsequent read on the strict union — derive them on the way in
+    val df2 =
+      if (graft.Fs.exists(spark, Quantize.markerPath(table)))
+        Quantize.withQuantized(df,
+          graft.Fs.readString(spark, Quantize.markerPath(table)).trim)
+      else df
     if (graft.Fs.exists(spark, Ivf.modelPath(table)))
-      Ivf.appendAssigned(spark, table, df, embCol)
-    else VersionedStore.appendNonEmpty(spark, table, df)
+      Ivf.appendAssigned(spark, table, df2, embCol)
+    else VersionedStore.appendNonEmpty(spark, table, df2)
+  }
 
   /** Store compaction — the small-files remedy an append-mode store
     * needs at scale: idempotent re-ingests and streaming micro-batches

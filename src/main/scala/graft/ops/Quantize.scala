@@ -117,6 +117,33 @@ object Quantize {
     * collect in this engine rides on), so the rescore scan prunes at
     * the file index instead of re-reading the corpus.
     */
+  /** The quantization marker sidecar inside a [[VersionedStore]] table
+    * (underscore-named: invisible to the file index). Its CONTENT is the
+    * quantized embedding column's name — [[Ingest.appendRespectingLayout]]
+    * reads it to quantize incoming rows, so appends keep the store
+    * searchable by [[knnQuantizedRescore]].
+    */
+  def markerPath(table: String): String = s"$table/_sq8"
+
+  /** Quantize a [[VersionedStore]] table in place: rewrite the live rows
+    * with the four quantization columns through the store's race-safe
+    * compaction swap, then persist the marker — the same
+    * rewrite-then-sidecar order as [[Ivf.indexStore]], so a lost
+    * compaction race cannot leave a marker describing columns the table
+    * does not have. After this, every append through
+    * [[Ingest.appendRespectingLayout]] carries the quantized columns
+    * automatically (a bare append of unquantized rows would make the
+    * strict union fail every read).
+    */
+  def quantizeStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                    embCol: String, rowsPerFile: Long = 1L << 20): Unit = {
+    val (_, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
+      reshape = withQuantized(_, embCol))
+    require(nFiles > 0,
+      s"quantizeStore lost a concurrent-compaction race at $table; retry")
+    graft.Fs.writeString(spark, markerPath(table), embCol)
+  }
+
   def knnQuantizedRescore(store: DataFrame, idCol: String, embCol: String,
                           queryVec: Array[Float], k: Int,
                           metric: String = "COSINE", overfetch: Int = 4,

@@ -488,6 +488,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 6.0)), s"constant vector must dequantize exactly: $got")
   }
 
+  test("quantized store maintenance: the seam derives SQ8 columns on append; composes with IVF; search stays exact") {
+    import graft.ops.{Quantize, VersionedStore}
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val table = Files.createTempDirectory("sq8-maint").toString + "/store"
+    VersionedStore.append(spark, table, emb.filter($"vec_id" % 2 === 0))
+    Quantize.quantizeStore(spark, table, "embedding")
+    assert(graft.Fs.readString(spark, Quantize.markerPath(table)).trim == "embedding")
+    // an append of BARE rows through the seam must arrive quantized —
+    // without the derivation the strict union would kill every read
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    assert(graft.ops.Ingest.appendRespectingLayout(spark, table, odd) == odd.count())
+    val grown = VersionedStore.read(spark, table).get
+    assert(grown.schema.fieldNames.contains("embedding_q"),
+      "appends must keep the quantized layout")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    assert(
+      asPairs(Quantize.knnQuantizedRescore(grown.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", qv, 10)) ==
+      asPairs(Similarity.knn(emb.filter($"vec_id" =!= 0), "embedding", qv, 10)),
+      "quantized search on the grown store must equal exact knn")
+    // compose with IVF maintenance: index the quantized store in place,
+    // then append again — rows arrive quantized AND cluster-assigned
+    Ivf.indexStore(spark, table, "vec_id", "embedding", k = 2)
+    val extra = emb.limit(5).select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    assert(graft.ops.Ingest.appendRespectingLayout(spark, table, extra) == 5)
+    val both = VersionedStore.read(spark, table).get
+    assert(both.schema.fieldNames.contains("embedding_q") &&
+      both.schema.fieldNames.contains("cluster_id"),
+      "the seam must maintain BOTH layouts at once")
+    assert(both.count() == emb.count() + 5)
+  }
+
   test("IVF assign: a NULL embedding lands in the null partition, never cluster 0") {
     val model = Ivf.IvfModel(Array(Array(0f, 0f), Array(10f, 10f)))
     val rows = Seq(
