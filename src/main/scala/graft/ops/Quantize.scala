@@ -130,15 +130,23 @@ object Quantize {
     * compaction swap, then persist the marker — the same
     * rewrite-then-sidecar order as [[Ivf.indexStore]], so a lost
     * compaction race cannot leave a marker describing columns the table
-    * does not have. After this, every append through
-    * [[Ingest.appendRespectingLayout]] carries the quantized columns
-    * automatically (a bare append of unquantized rows would make the
-    * strict union fail every read).
+    * does not have. An IVF-indexed store keeps its cluster-partitioned
+    * layout (and its per-segment model stamp) through the rewrite — the
+    * two layouts compose in either order. After this, every append
+    * through [[Ingest.appendRespectingLayout]] carries the quantized
+    * columns automatically (a bare append of unquantized rows would
+    * make the strict union fail every read).
     */
   def quantizeStore(spark: org.apache.spark.sql.SparkSession, table: String,
                     embCol: String, rowsPerFile: Long = 1L << 20): Unit = {
+    val fp =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table)))
+        Some(Ivf.loadModel(spark, Ivf.modelPath(table)).fingerprint)
+      else None
     val (_, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
-      reshape = withQuantized(_, embCol))
+      reshape = withQuantized(_, embCol),
+      partitionBy = fp.map(_ => Seq("cluster_id")).getOrElse(Nil),
+      marker = fp)
     require(nFiles > 0,
       s"quantizeStore lost a concurrent-compaction race at $table; retry")
     graft.Fs.writeString(spark, markerPath(table), embCol)

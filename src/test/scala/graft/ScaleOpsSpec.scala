@@ -520,6 +520,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       both.schema.fieldNames.contains("cluster_id"),
       "the seam must maintain BOTH layouts at once")
     assert(both.count() == emb.count() + 5)
+
+    // reverse order — index FIRST, then quantize: the rewrite must keep
+    // the clustered layout and re-stamp the segment, so the probe guard
+    // still passes and probed search serves the quantized store
+    val table2 = Files.createTempDirectory("sq8-maint2").toString + "/store"
+    VersionedStore.append(spark, table2, emb)
+    val m2 = Ivf.indexStore(spark, table2, "vec_id", "embedding", k = 2)
+    Quantize.quantizeStore(spark, table2, "embedding")
+    val st2 = VersionedStore.read(spark, table2).get
+    assert(st2.schema.fieldNames.contains("cluster_id") &&
+      st2.schema.fieldNames.contains("embedding_q"))
+    val probed = Ivf.search(st2, "embedding", m2, qv, 4, nProbe = 2,
+      storePath = Some(table2)) // stamp check must accept the rewritten segment
+    assert(probed.count() == 4)
   }
 
   test("IVF assign: a NULL embedding lands in the null partition, never cluster 0") {
