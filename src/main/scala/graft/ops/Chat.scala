@@ -132,8 +132,15 @@ object Chat {
       require(fetchKPerLeg >= 1 && fetchKPerLeg <= 10000, "fetchKPerLeg in [1,10000]")
     }
     object Hybrid {
+      /** Default term derivation: whitespace tokens, CASE-PRESERVED —
+        * the BM25 legs tokenize documents with the engine tokenizer
+        * (`TextAnalysis.tokens`, case-sensitive), so lowercasing here
+        * would silently unmatch every capitalized occurrence. Supply a
+        * custom function (and a matching normalization at index/corpus
+        * build) for case-insensitive retrieval.
+        */
       val whitespaceTerms: String => Seq[String] =
-        q => q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+        q => q.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     }
   }
 
@@ -227,9 +234,13 @@ object Chat {
             topK, lm)
           .map { case (id, _, _) => (id, textOf(id)) }
       case SearchType.Hybrid(termsOf, c, fetchK, lexIdx) =>
+        // metric-aware leg ranking: EUCLIDEAN is a distance (ascending =
+        // best); score.desc would hand rank 1 to the FARTHEST fetched row
+        // and diverge from the batch path's boundedRank ordering
+        val vecOrd =
+          if (metric == "EUCLIDEAN_DISTANCE") col("score").asc else col("score").desc
         val vec = fetch(fetchK, metric)
-          .withColumn("rank",
-            row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+          .withColumn("rank", row_number().over(Window.orderBy(vecOrd, col(idCol))))
           .select(col(idCol), col("rank"))
         val terms = termsOf(q)
         val legs =

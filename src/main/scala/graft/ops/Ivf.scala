@@ -137,7 +137,10 @@ object Ivf {
     */
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
           iters: Int = 2): IvfModel = {
+    // null embeddings are searchable-nowhere by contract (null cluster,
+    // null score) — they must not seed centroids either, or getSeq NPEs
     val init = df.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
       .orderBy(xxhash64(col(idCol)).asc, col(idCol))
       .limit(k)
       .collect()

@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Keyword {
 
+  /** The BM25 per-(doc, term) score expression — ONE definition shared
+    * by the scan, indexed, single-query, and batch paths, whose
+    * bit-for-bit parity is a spec'd and oracle-pinned contract
+    * (`bm25_indexed_topk` shares `bm25_topk`'s oracle; batch ≡
+    * per-question in the dispatch specs). Robertson/Sparck-Jones with
+    * the +1 idf floor:
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+    * `score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+    */
+  private def termScore(tf: Column, dl: Column, df: Column,
+                        nDocs: Long, avgdl: Double, k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5)))
+    val denom = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl))
+    idf * (tf * lit(k1 + 1.0)) / denom
+  }
+
   /** BM25 score of every document containing at least one of
     * `queryTerms`, highest first, top `topK`. Output: `(idCol,
     * bm25 DOUBLE)` with the score rounded to 6 decimals; RANKING runs on
@@ -67,13 +83,9 @@ object Keyword {
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val denom = col("__tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))
-    val termScore = idf * (col("__tf") * lit(k1 + 1.0)) / denom
     val result = tf.join(broadcast(df), "__term")
-      .withColumn("__s", termScore)
+      .withColumn("__s",
+        termScore(col("__tf"), col("__dl"), col("__df"), nDocs, avgdl, k1, b))
       .groupBy(col(idCol))
       .agg(sum(col("__s")).as("__raw"))
       .select(col(idCol), round(col("__raw"), 6).as("bm25"))
@@ -114,12 +126,45 @@ object Keyword {
     * Without `store` (a plain parquet corpus) the stamp is `-` and
     * staleness is the caller's contract.
     */
+  /** [[buildLexicalIndex]] with the store snapshot taken INSIDE the
+    * build, in stamp-safe order: the version is captured strictly BEFORE
+    * the rows are read, so the stamp can never claim a newer snapshot
+    * than the postings hold (the dangerous direction — a stale index
+    * serving as fresh). Any commit landing between the capture and the
+    * sidecar write fails the build loudly; rebuild. Prefer this over
+    * passing store-read rows to [[buildLexicalIndex]] yourself, where a
+    * commit between YOUR read and the build call slips under the stamp
+    * (that variant's end-of-build recheck only catches commits after
+    * ITS version capture).
+    */
+  def buildLexicalIndexForStore(spark: org.apache.spark.sql.SparkSession,
+                                table: String, idCol: String, textCol: String,
+                                path: String, buckets: Int = 64): Unit = {
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val docs = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to index at $table"))
+    buildIndexImpl(docs, idCol, textCol, path, buckets, Some((table, v0)))
+  }
+
   def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
                         path: String, buckets: Int = 64,
                         store: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val stamp = store.map(t => VersionedStore.currentState(spark, t)
-      .map(_.version).getOrElse(0L))
+    buildIndexImpl(docs, idCol, textCol, path, buckets,
+      store.map(t => (t, VersionedStore.currentState(spark, t)
+        .map(_.version).getOrElse(0L))))
+  }
+
+  private def buildIndexImpl(docs: DataFrame, idCol: String, textCol: String,
+                             path: String, buckets: Int,
+                             storeStamp: Option[(String, Long)]): Unit = {
+    val spark = docs.sparkSession
+    // retire the previous stats FIRST: the postings overwrite below is
+    // not atomic with the stats write, so a build that fails mid-way
+    // (including the moved-during-build recheck) must leave an index
+    // that refuses to serve ("no stats") rather than one that silently
+    // scores fresh postings under the superseded corpus totals
+    graft.Fs.delete(spark, s"$path/_stats")
     val toks = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -139,14 +184,14 @@ object Keyword {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     toks.unpersist()
-    stamp.foreach { v0 =>
-      val v1 = VersionedStore.currentState(spark, store.get).map(_.version).getOrElse(0L)
+    storeStamp.foreach { case (table, v0) =>
+      val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
       require(v1 == v0,
-        s"store ${store.get} moved from version $v0 to $v1 during the index build — " +
+        s"store $table moved from version $v0 to $v1 during the index build — " +
           "the postings describe a superseded snapshot; rebuild")
     }
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"$n $sumdl $buckets ${stamp.map("v" + _).getOrElse("-")}")
+      s"$n $sumdl $buckets ${storeStamp.map("v" + _._2).getOrElse("-")}")
   }
 
   /** [[bm25]] against a [[buildLexicalIndex]] sidecar instead of the
@@ -177,12 +222,9 @@ object Keyword {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val (nDocs, avgdl, tf) = indexedPostings(spark, indexPath, queryTerms, store)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val denom = col("tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
     tf.join(broadcast(df), "term")
-      .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
+      .withColumn("__s",
+        termScore(col("tf"), col("dl"), col("__df"), nDocs, avgdl, k1, b))
       .groupBy(col("id"))
       .agg(sum(col("__s")).as("__raw"))
       .select(col("id").as(idName), round(col("__raw"), 6).as("bm25"))
@@ -213,13 +255,10 @@ object Keyword {
     require(allTerms.nonEmpty, "queryTerms must carry at least one (qid, term) pair")
     val (nDocs, avgdl, tf) = indexedPostings(spark, indexPath, allTerms, store)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val denom = col("tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
     val scored = tf.join(broadcast(df), "term")
       .join(broadcast(queryTermsD.withColumnRenamed(termName, "term")), "term")
-      .withColumn("__s", idf * (col("tf") * lit(k1 + 1.0)) / denom)
+      .withColumn("__s",
+        termScore(col("tf"), col("dl"), col("__df"), nDocs, avgdl, k1, b))
       .groupBy(col(qidName), col("id"))
       .agg(sum(col("__s")).as("__raw"))
       .select(col(qidName).as("__qid"), col("id"), round(col("__raw"), 6).as("__bm25"))
@@ -302,13 +341,10 @@ object Keyword {
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val denom = col("__tf") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))
     val scored = tf.join(broadcast(df), "__term")
       .join(broadcast(queryTermsD.withColumnRenamed(termName, "__term")), "__term")
-      .withColumn("__s", idf * (col("__tf") * lit(k1 + 1.0)) / denom)
+      .withColumn("__s",
+        termScore(col("__tf"), col("__dl"), col("__df"), nDocs, avgdl, k1, b))
       .groupBy(col(qidName), col(idCol))
       .agg(sum(col("__s")).as("__raw"))
       .select(col(qidName).as("__qid"), col(idCol), round(col("__raw"), 6).as("__bm25"))

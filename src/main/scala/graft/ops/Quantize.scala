@@ -109,14 +109,6 @@ object Quantize {
       .limit(n)
   }
 
-  /** Top-k nearest rows via the quantized coarse pass + exact rescore.
-    * Output `(idCol, score)` exactly as [[Similarity.knn]] scores it —
-    * identical to the exact path whenever the true top-k survives the
-    * `k × overfetch` coarse cut. The candidate id set is a driver
-    * literal (bounded by k × overfetch, the same contract every batch
-    * collect in this engine rides on), so the rescore scan prunes at
-    * the file index instead of re-reading the corpus.
-    */
   /** The quantization marker sidecar inside a [[VersionedStore]] table
     * (underscore-named: invisible to the file index). Its CONTENT is the
     * quantized embedding column's name — [[Ingest.appendRespectingLayout]]
@@ -152,6 +144,14 @@ object Quantize {
     graft.Fs.writeString(spark, markerPath(table), embCol)
   }
 
+  /** Top-k nearest rows via the quantized coarse pass + exact rescore.
+    * Output `(idCol, score)` exactly as [[Similarity.knn]] scores it —
+    * identical to the exact path whenever the true top-k survives the
+    * `k × overfetch` coarse cut. The candidate id set is a driver
+    * literal (bounded by k × overfetch, the same contract every batch
+    * collect in this engine rides on), so the rescore scan prunes at
+    * the file index instead of re-reading the corpus.
+    */
   def knnQuantizedRescore(store: DataFrame, idCol: String, embCol: String,
                           queryVec: Array[Float], k: Int,
                           metric: String = "COSINE", overfetch: Int = 4,

@@ -86,14 +86,31 @@ object VersionedStore {
     try st.segments.map(s => spark.read.parquet(s"$table/$s")).reduce(_.unionByName(_))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
-        // a schema mismatch across live segments means a mixed-layout
-        // commit slipped in (e.g. through an out-of-band writer) — point
-        // at the recovery path instead of leaving the table read-dead
-        throw new IllegalStateException(
-          s"live segments of $table do not union (mixed layout?): ${e.getMessage} — " +
-            "run VersionedStore.repairMixedLayout(spark, table), then re-index " +
-            "(Ivf.indexStore) if the table was cluster-partitioned.", e)
+        // diagnose before blaming: only claim a mixed state (and point at
+        // the repair) when the live segments genuinely disagree on layout
+        // or column sets — a vacuumed-away path or engine-level analysis
+        // failure must not send the operator to a no-op repair
+        val mixed = scala.util.Try {
+          st.segments.map(s => segPartitioned(spark, table, s)).distinct.size > 1 ||
+            st.segments.map(s => segColumns(spark, table, s)).distinct.size > 1
+        }.getOrElse(false)
+        if (mixed)
+          throw new IllegalStateException(
+            s"live segments of $table carry mixed layouts/schemas: ${e.getMessage} — " +
+              "run VersionedStore.repairMixedLayout(spark, table), then re-index " +
+              "(Ivf.indexStore) if the table was cluster-partitioned.", e)
+        else throw e
     }
+
+  /** Column-name set of a segment (footer read; includes discovered
+    * partition columns). The write-time guards compare these so a
+    * segment whose SCHEMA disagrees with the table (e.g. bare rows into
+    * a [[graft.ops.Quantize.quantizeStore]]d table) is refused before a
+    * manifest references it — the strict union would otherwise fail
+    * every subsequent read.
+    */
+  private def segColumns(spark: SparkSession, table: String, seg: String): Set[String] =
+    spark.read.parquet(s"$table/$seg").schema.fieldNames.toSet
 
   /** Live segment directory names of the latest committed state (empty
     * for unversioned/plain tables) — the audit surface for per-segment
@@ -298,7 +315,8 @@ object VersionedStore {
       .exists(p => p.substring(p.lastIndexOf('/') + 1).contains("="))
 
   private def requireLayoutMatchIn(spark: SparkSession, table: String, seg: String,
-                                   newPart: Boolean, live: Seq[String]): Unit =
+                                   newPart: Boolean, newCols: Set[String],
+                                   live: Seq[String]): Unit =
     live.headOption.foreach { liveSeg =>
       val livePart = segPartitioned(spark, table, liveSeg)
       if (newPart != livePart) {
@@ -309,6 +327,16 @@ object VersionedStore {
             s"${if (livePart) "partitioned" else "flat"} — committing it would break every " +
             "read. For an IVF-indexed store append through Ivf.appendAssigned / " +
             "Ingest.appendRespectingLayout (or re-run Ivf.indexStore).")
+      }
+      val liveCols = segColumns(spark, table, liveSeg)
+      if (newCols != liveCols) {
+        graft.Fs.delete(spark, s"$table/$seg")
+        throw new IllegalStateException(
+          s"append schema mismatch at $table: new segment carries columns " +
+            s"${newCols.toSeq.sorted.mkString(",")} but the table's live segments carry " +
+            s"${liveCols.toSeq.sorted.mkString(",")} — committing it would break every " +
+            "read (strict union). Append through Ingest.appendRespectingLayout, which " +
+            "derives maintained layouts (SQ8 columns, cluster assignment) on the way in.")
       }
     }
 
@@ -325,8 +353,9 @@ object VersionedStore {
     */
   private[graft] def commitAppend(spark: SparkSession, table: String, seg: String): State = {
     val newPart = segPartitioned(spark, table, seg) // our own layout: stat once
+    val newCols = segColumns(spark, table, seg)
     commit(spark, table, cur => {
-      requireLayoutMatchIn(spark, table, seg, newPart, cur)
+      requireLayoutMatchIn(spark, table, seg, newPart, newCols, cur)
       cur :+ seg
     })
   }
@@ -399,20 +428,23 @@ object VersionedStore {
       else df.coalesce(nFiles)
     val seg = writeSegment(spark, table, sized, partitionBy, marker)
     val newPart = segPartitioned(spark, table, seg)
+    val newCols = segColumns(spark, table, seg)
     // "subtract what I rewrote" is only valid while every rewritten
     // segment is still live: if another compactor already swapped them
     // out, committing would publish BOTH full rewrites and silently
     // double every row — abandon this rewrite instead (the other
-    // compactor's result stands). Likewise a layout-CHANGING compaction
-    // (Ivf.indexStore's flat→clustered swap) must abandon when a
-    // concurrent append landed a segment of the OLD layout: preserving
-    // it would publish a mixed-layout table no read can union. Both are
-    // re-checked on every CAS attempt, against the fresh list.
+    // compactor's result stands). Likewise a layout- or SCHEMA-changing
+    // compaction (Ivf.indexStore's flat→clustered swap, quantizeStore's
+    // column-adding rewrite) must abandon when a concurrent append
+    // landed a segment of the OLD shape: preserving it would publish a
+    // mixed table no read can union. All are re-checked on every CAS
+    // attempt, against the fresh list.
     try {
       val newState = commit(spark, table, cur => {
         if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
         val survivors = cur.filterNot(st.segments.toSet)
-        if (survivors.exists(s => segPartitioned(spark, table, s) != newPart))
+        if (survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
+            segColumns(spark, table, s) != newCols))
           throw new ConcurrentCompaction
         survivors :+ seg
       })
@@ -466,8 +498,12 @@ object VersionedStore {
     val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
     if (stOpt.isEmpty) return None
     val st = stOpt.get
-    if (st.segments.map(s => segPartitioned(spark, table, s)).distinct.size <= 1)
-      return None // one consistent layout — nothing to repair
+    val layoutsMixed =
+      st.segments.map(s => segPartitioned(spark, table, s)).distinct.size > 1
+    val colsMixed =
+      st.segments.map(s => segColumns(spark, table, s)).distinct.size > 1
+    if (!layoutsMixed && !colsMixed)
+      return None // one consistent shape — nothing to repair
     val perSeg = st.segments.map(s =>
       (spark.read.parquet(s"$table/$s"), segPartitionKeys(spark, table, s)))
     val dataCols = perSeg.flatMap { case (d, keys) =>
@@ -483,15 +519,18 @@ object VersionedStore {
       if (df.rdd.getNumPartitions < nFiles) df.repartition(nFiles)
       else df.coalesce(nFiles)
     val seg = writeSegment(spark, table, sized)
+    val repairedCols = segColumns(spark, table, seg)
     try {
       val newState = commit(spark, table, cur => {
         if (!st.segments.forall(cur.contains)) throw new ConcurrentCompaction
-        // a concurrent PARTITIONED append (the stale sidecar is retired
-        // only after this commit, so Ivf.appendAssigned may still race
-        // in) would re-publish the very mixed state being repaired —
+        // a concurrent PARTITIONED or schema-divergent append (the stale
+        // sidecars are retired only after this commit, so
+        // Ivf.appendAssigned / quantized appends may still race in)
+        // would re-publish the very mixed state being repaired —
         // abandon and let the caller re-run, same as compact
         val survivors = cur.filterNot(st.segments.toSet)
-        if (survivors.exists(s => segPartitioned(spark, table, s)))
+        if (survivors.exists(s => segPartitioned(spark, table, s) ||
+            segColumns(spark, table, s) != repairedCols))
           throw new ConcurrentCompaction
         survivors :+ seg
       })

@@ -457,6 +457,24 @@ class IngestChatSpec extends AnyFunSuite {
         searchType = SearchType.Hybrid(fetchKPerLeg = 4))
       .orderBy($"qid").collect().toSeq
     assert(hybIvf == hybExh, "full-probe IVF hybrid must equal exhaustive hybrid")
+    // hybrid under EUCLIDEAN: the vector leg must rank ascending (it is
+    // a distance — rank 1 = nearest), and batch must equal per-question
+    val stHe = SearchType.Hybrid(fetchKPerLeg = 4)
+    val bHe = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, topK = 2,
+        metric = "EUCLIDEAN_DISTANCE", searchType = stHe)
+      .collect().map(r => r.getAs[String]("question") -> r).toMap
+    questions.foreach { qtext =>
+      val single = Chat.answer(spark, qtext, store, "id", "text", "embedding",
+        embedder, topK = 2, metric = "EUCLIDEAN_DISTANCE", searchType = stHe)
+      assert(bHe(qtext).getAs[scala.collection.Seq[String]]("retrieved_ids").toSeq
+        == single.retrievedIds, s"euclidean hybrid / $qtext")
+      assert(single.retrievedIds.nonEmpty, s"euclidean hybrid retrieves / $qtext")
+    }
+    // default terms are case-PRESERVED: the BM25 legs tokenize documents
+    // case-sensitively, so lowercasing here would unmatch 'Spark' docs
+    assert(SearchType.Hybrid.whitespaceTerms("How Spark Uses Catalyst")
+      == Seq("How", "Spark", "Uses", "Catalyst"))
     // hybrid degradation law: a question yielding NO lexical terms fuses
     // the vector leg alone, and 1/(c+rank) is monotone in the vector
     // rank — the picks must equal plain similarity's
@@ -477,8 +495,8 @@ class IngestChatSpec extends AnyFunSuite {
     // routed through the dispatch
     val tablePath = s"$dir/${cfg.tableName}"
     val lexIdx = Files.createTempDirectory("disp-lexidx").toString
-    graft.ops.Keyword.buildLexicalIndex(store.select($"id", $"text"), "id", "text",
-      lexIdx, store = Some(tablePath))
+    // the stamp-safe builder: version captured before the rows resolve
+    graft.ops.Keyword.buildLexicalIndexForStore(spark, tablePath, "id", "text", lexIdx)
     val stIdx = SearchType.Hybrid(fetchKPerLeg = 4, lexicalIndexPath = Some(lexIdx))
     val stScan = SearchType.Hybrid(fetchKPerLeg = 4)
     val sIdx = Chat.answer(spark, questions.head, store, "id", "text", "embedding",

@@ -502,6 +502,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val grown = VersionedStore.read(spark, table).get
     assert(grown.schema.fieldNames.contains("embedding_q"),
       "appends must keep the quantized layout")
+    // a BARE append around the seam (e.g. racing the marker write) must
+    // be refused at COMMIT time on the schema-set check — publishing it
+    // would kill every read on the strict union
+    val bareErr = intercept[IllegalStateException] {
+      VersionedStore.appendNonEmpty(spark, table, emb.limit(3))
+    }
+    assert(bareErr.getMessage.contains("schema mismatch"))
+    assert(VersionedStore.read(spark, table).get.count() == grown.count(),
+      "the refused bare append must leave the table untouched")
     val qv = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
     def asPairs(df: org.apache.spark.sql.DataFrame) =
       df.select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
@@ -653,8 +662,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     VersionedStore.append(spark, store, docs.filter($"doc_id" % 2 === 0))
     val idx = Files.createTempDirectory("lex-stale-idx").toString
     val terms = Seq("spark", "vector", "merge", "window")
-    Keyword.buildLexicalIndex(VersionedStore.read(spark, store).get,
-      "doc_id", "text", idx, store = Some(store))
+    Keyword.buildLexicalIndexForStore(spark, store, "doc_id", "text", idx)
     val fresh = Keyword.bm25Indexed(spark, idx, terms, topK = 10,
       idName = "doc_id", store = Some(store))
     assert(fresh.count() > 0, "a fresh stamped index serves")
@@ -667,8 +675,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("stale"))
     // rebuild-after-merge (the reference's contract): green again
-    Keyword.buildLexicalIndex(VersionedStore.read(spark, store).get,
-      "doc_id", "text", idx, store = Some(store))
+    Keyword.buildLexicalIndexForStore(spark, store, "doc_id", "text", idx)
     val rebuilt = Keyword.bm25Indexed(spark, idx, terms, topK = 10,
       idName = "doc_id", store = Some(store))
     assert(rebuilt.count() > 0)
@@ -686,6 +693,15 @@ class ScaleOpsSpec extends AnyFunSuite {
         idName = "doc_id", store = Some(store))
     }
     assert(err2.getMessage.contains("no store stamp"))
+    // a build that died between the postings overwrite and the stats
+    // write (e.g. the moved-during-build recheck) must leave an index
+    // that REFUSES to serve — the build retires _stats first, so the
+    // half-built state is loud (no stats), never fresh postings scored
+    // under superseded corpus totals
+    graft.Fs.delete(spark, s"$plainIdx/_stats")
+    intercept[java.io.FileNotFoundException] {
+      Keyword.bm25Indexed(spark, plainIdx, terms, topK = 10, idName = "doc_id")
+    }
   }
 
   test("repetition stats flag the degenerate doc and spare natural text") {
