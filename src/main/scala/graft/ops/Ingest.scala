@@ -119,9 +119,16 @@ object Ingest {
         Quantize.withQuantized(df,
           graft.Fs.readString(spark, Quantize.markerPath(table)).trim)
       else df
-    if (graft.Fs.exists(spark, Ivf.modelPath(table)))
-      Ivf.appendAssigned(spark, table, df2, embCol)
-    else VersionedStore.appendNonEmpty(spark, table, df2)
+    val n =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table)))
+        Ivf.appendAssigned(spark, table, df2, embCol)
+      else VersionedStore.appendNonEmpty(spark, table, df2)
+    // a registered lexical index ([[Keyword.registerLexicalIndex]]) is
+    // maintained by the same seam: the committed rows fold in at
+    // O(new docs), so continuous ingestion — batch and streaming — never
+    // trips the query-time staleness guard
+    if (n > 0) Keyword.maintainRegisteredIndex(spark, table)
+    n
   }
 
   /** Store compaction — the small-files remedy an append-mode store
@@ -144,11 +151,18 @@ object Ingest {
     // (or one compact would undo the layout every probe depends on) and
     // the compacted segment re-stamped, or the probe-time stamp check
     // would reject it as foreign
-    if (graft.Fs.exists(spark, Ivf.modelPath(path))) {
-      val fp = Ivf.loadModel(spark, Ivf.modelPath(path)).fingerprint
-      VersionedStore.compact(spark, path, rowsPerFile,
-        partitionBy = Seq("cluster_id"), marker = Some(fp))._2
-    } else VersionedStore.compact(spark, path, rowsPerFile)._2
+    val preVersion = VersionedStore.currentState(spark, path).map(_.version).getOrElse(0L)
+    val (post, files) =
+      if (graft.Fs.exists(spark, Ivf.modelPath(path))) {
+        val fp = Ivf.loadModel(spark, Ivf.modelPath(path)).fingerprint
+        VersionedStore.compact(spark, path, rowsPerFile,
+          partitionBy = Seq("cluster_id"), marker = Some(fp))
+      } else VersionedStore.compact(spark, path, rowsPerFile)
+    // a compaction preserves rows, so a registered lexical index is
+    // restamped in O(1) when that is provable (sole commit, no survivor
+    // segments) and rebuilt otherwise — either way it keeps serving
+    Keyword.maintainRegisteredIndexAfterCompact(spark, path, preVersion, post, files)
+    files
   }
 
   /** Reclaim segments retired by [[compactStore]] and crash-orphaned

@@ -165,10 +165,30 @@ object Keyword {
     // that refuses to serve ("no stats") rather than one that silently
     // scores fresh postings under the superseded corpus totals
     graft.Fs.delete(spark, s"$path/_stats")
+    val (n, sumdl) = writePostings(docs, idCol, textCol, path, buckets, "overwrite")
+    storeStamp.foreach { case (table, v0) =>
+      val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+      require(v1 == v0,
+        s"store $table moved from version $v0 to $v1 during the index build — " +
+          "the postings describe a superseded snapshot; rebuild")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$n $sumdl $buckets ${storeStamp.map("v" + _._2).getOrElse("-")}")
+  }
+
+  /** Tokenize `docs` and write their `(term, id, tf, dl)` postings into
+    * `path/postings` under the bucket layout; returns (nDocs, Σdl) of
+    * exactly the rows written. Shared by the full build ("overwrite")
+    * and the incremental appender ("append" — postings rows are
+    * per-(doc, term) facts, so new-doc rows land next to the old ones
+    * and query-time df/tf aggregation needs no merge step at all).
+    */
+  private def writePostings(docs: DataFrame, idCol: String, textCol: String,
+                            path: String, buckets: Int, mode: String): (Long, Long) = {
     val toks = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one action populates the cache and yields the stats sidecar
+    // one action populates the cache and yields the stats totals
     val statsRow = toks.agg(count(lit(1)), sum(size(col("__w")).cast("long"))).head()
     val n = statsRow.getLong(0)
     val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
@@ -182,17 +202,178 @@ object Keyword {
       // with it each bucket is one task's output (one exchange of narrow
       // posting rows buys a bounded file count)
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     toks.unpersist()
-    storeStamp.foreach { case (table, v0) =>
-      val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-      require(v1 == v0,
-        s"store $table moved from version $v0 to $v1 during the index build — " +
-          "the postings describe a superseded snapshot; rebuild")
-    }
-    graft.Fs.writeString(spark, s"$path/_stats",
-      s"$n $sumdl $buckets ${storeStamp.map("v" + _._2).getOrElse("-")}")
+    (n, sumdl)
   }
+
+  /** Incremental index maintenance: fold the rows appended to `table`
+    * since the index's stamp into an existing [[buildLexicalIndexForStore]]
+    * index, and advance the stamp — O(new docs) tokenize + postings
+    * append instead of the full O(corpus) rebuild, the lexical analog of
+    * [[Ivf.appendAssigned]]. Exact, not approximate: postings are
+    * per-(doc, term) facts and df/N/avgdl are derived at query time /
+    * from the stats sidecar, so serving the maintained index is
+    * bit-for-bit identical to a fresh rebuild at the same store version.
+    *
+    * Valid ONLY while the store history since the stamp is pure append —
+    * a compaction/repair/re-index rewrites old rows into new segments,
+    * and appending postings for those would double-count every rewritten
+    * doc; that history fails loudly (rebuild). Crash-safety follows the
+    * build's stamp-first discipline: `_stats` is retired before postings
+    * are appended, so a maintenance that dies mid-way leaves an index
+    * that refuses to serve, never one scoring partial postings under
+    * stale totals.
+    */
+  def appendToLexicalIndexForStore(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, idCol: String, textCol: String,
+                                   path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    val (n0, sumdl0, buckets) = (stats(0).toLong, stats(1).toLong, stats(2).toInt)
+    val stamp = if (stats.length >= 4) stats(3) else "-"
+    require(stamp.startsWith("v"),
+      s"lexical index at $path carries no store stamp — incremental maintenance " +
+        "needs the build-time snapshot version; rebuild with buildLexicalIndexForStore")
+    val v0 = stamp.drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return // already fresh
+    require(cur.version > v0,
+      s"index stamp v$v0 is ahead of $table's current version ${cur.version} — " +
+        "the index describes a store state that no longer exists; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild " +
+          "with buildLexicalIndexForStore"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append (a compaction/" +
+        "repair/re-index rewrote segments the index already covers) — incremental " +
+        "postings would double-count rewritten rows; rebuild with " +
+        "buildLexicalIndexForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    // stamp-first: a failure below leaves a loud no-stats index
+    graft.Fs.delete(spark, s"$path/_stats")
+    val (nNew, sumdlNew) =
+      if (newSegs.isEmpty) (0L, 0L)
+      else {
+        val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+          .reduce(_.unionByName(_))
+        writePostings(docs, idCol, textCol, path, buckets, "append")
+      }
+    // no moved-during-maintenance recheck needed, unlike the build: the
+    // rows came from EXPLICIT immutable segment directories, so this run
+    // is snapshot-isolated by construction — a commit landing meanwhile
+    // just means the stamped version is already behind, which the
+    // query-time staleness guard reports and the NEXT incremental run
+    // folds in (segments are never mutated; vacuum only reclaims
+    // segments retired from the live set, which pure-append never does)
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"${n0 + nNew} ${sumdl0 + sumdlNew} $buckets v${cur.version}")
+  }
+
+  /** The lexical-registration sidecar inside a [[VersionedStore]] table
+    * (underscore-named: invisible to the file index). Content: three
+    * lines — index path, id column, text column. Its presence makes
+    * every writer coming through [[Ingest.appendRespectingLayout]] (all
+    * batch AND streaming writers) maintain the index automatically.
+    */
+  def lexicalMarkerPath(table: String): String = s"$table/_lexical"
+
+  /** Register a lexical index to `table` and (re)build it fresh — from
+    * here on the append seam keeps it maintained: each append folds its
+    * own rows in (O(new docs), [[appendToLexicalIndexForStore]]) and a
+    * compaction restamps in O(1) when provably exact, so a continuously
+    * ingested store serves [[bm25Indexed]] without ever tripping the
+    * staleness guard. The registration builds BEFORE writing the marker:
+    * a half-registered state is an unmarked (ignored) index, never a
+    * marked-but-missing one.
+    */
+  def registerLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, idCol: String, textCol: String,
+                           indexPath: String): Unit = {
+    buildLexicalIndexForStore(spark, table, idCol, textCol, indexPath)
+    graft.Fs.writeString(spark, lexicalMarkerPath(table),
+      s"$indexPath\n$idCol\n$textCol")
+  }
+
+  private def registeredIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String): Option[(String, String, String)] =
+    if (!graft.Fs.exists(spark, lexicalMarkerPath(table))) None
+    else {
+      val lines = graft.Fs.readString(spark, lexicalMarkerPath(table)).trim
+        .split("\n").map(_.trim)
+      Some((lines(0), lines(1), lines(2)))
+    }
+
+  // Maintenance mutates the index directory (postings append / stats
+  // swap), which unlike the store itself has no manifest CAS — so
+  // same-driver concurrent writers (streaming micro-batches racing a
+  // batch ingest) serialize per table here. All maintenance runs
+  // driver-side, so a JVM lock covers one Spark application; writers
+  // from SEPARATE drivers against one table must serialize maintenance
+  // themselves (or accept a rebuild) — a torn maintenance is loud at
+  // query time (no/stale stamp), never silently served.
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Bring `table`'s registered lexical index (if any) up to the current
+    * store version: incremental fold when the history since the stamp is
+    * pure append, full rebuild otherwise (first append after a
+    * compaction/repair, or a half-built index left by a crashed
+    * maintenance) — self-healing, never silently stale. Called by the
+    * append seam after every committed append; a no-op for unregistered
+    * tables.
+    */
+  def maintainRegisteredIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String): Unit =
+    registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
+      maintenanceLocks.computeIfAbsent(table, _ => new Object).synchronized {
+        try appendToLexicalIndexForStore(spark, table, idCol, textCol, idx)
+        catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: java.io.FileNotFoundException) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"incremental lexical maintenance of $idx failed (${e.getMessage}); " +
+                "rebuilding from the store")
+            buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
+        }
+      }
+    }
+
+  /** O(1) maintenance of a registered index across a compaction: a
+    * compaction preserves rows, so an index fresh at the rewritten
+    * version still describes the table — only the stamp moved. Restamps
+    * ONLY when that is provable from the artifacts alone:
+    * the compaction committed (`files > 0`), it was the sole commit
+    * since `preVersion` (`post.version == preVersion + 1` — any
+    * interleaved append, seam or out-of-band, bumps past that), the
+    * index was fresh at `preVersion`, and no survivor segments rode
+    * along. Every other shape falls back to
+    * [[maintainRegisteredIndex]]'s rebuild path, proportionate next to
+    * an operation that already rewrote the whole table.
+    */
+  def maintainRegisteredIndexAfterCompact(spark: org.apache.spark.sql.SparkSession,
+                                          table: String, preVersion: Long,
+                                          post: VersionedStore.State,
+                                          files: Int): Unit =
+    registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
+      val statsPath = s"$idx/_stats"
+      val provablyExact = files > 0 && post.version == preVersion + 1 &&
+        post.segments.size == 1 && graft.Fs.exists(spark, statsPath) && {
+          val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
+          stats.length >= 4 && stats(3) == s"v$preVersion"
+        }
+      if (provablyExact) {
+        val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
+        graft.Fs.writeString(spark, statsPath,
+          s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
+      } else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"compaction of $table not provably row-preserving for the registered " +
+            s"index $idx; rebuilding")
+        buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
+      }
+    }
 
   /** [[bm25]] against a [[buildLexicalIndex]] sidecar instead of the
     * corpus: scores and ranking are IDENTICAL (same formula, same

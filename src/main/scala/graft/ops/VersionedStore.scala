@@ -169,6 +169,18 @@ object VersionedStore {
       .map(st => readState(spark, table, st))
   }
 
+  /** The committed manifest of `version` alone — segment names, no data
+    * read, no liveness check (segments may have been vacuumed since).
+    * The segment-set diff surface for incremental maintainers
+    * ([[graft.ops.Keyword.appendToLexicalIndexForStore]] diffs this
+    * against [[currentState]] to find exactly the rows appended since an
+    * index was stamped). None when `version` was never committed or its
+    * manifest is unreadable.
+    */
+  def stateAt(spark: SparkSession, table: String, version: Long): Option[State] =
+    scala.util.Try(
+      graft.Fs.readString(spark, manifestPath(table, version))).toOption.map(parse)
+
   /** Data files sitting loose in the table root — the pre-manifest flat
     * layout (segment data lives under seg-* directories, never here).
     */

@@ -103,6 +103,30 @@ object KeywordQueries {
         .orderBy($"n_postings")
     }),
 
+    // Incremental index maintenance, end to end: half the corpus into a
+    // versioned store + full build, the other half appended, then
+    // appendToLexicalIndexForStore folds ONLY the appended rows in
+    // (O(new docs), the lexical analog of Ivf.appendAssigned). Serving
+    // the maintained index must be bit-for-bit the full-corpus ranking —
+    // the oracle is bm25_topk's full-corpus CTE, so the hash pins
+    // incremental ≡ rebuild. Store + index are rebuilt fresh per
+    // invocation (this entry MEASURES the maintenance sequence).
+    "lexical_index_incremental" -> ((s, d) => {
+      import s.implicits._
+      val root = buildDir(d) + "-incr"
+      graft.Fs.delete(s, root)
+      val store = s"$root/store"
+      val idx = s"$root/idx"
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, store, docs.filter($"doc_id" % 2 === 0))
+      Keyword.buildLexicalIndexForStore(s, store, "doc_id", "text", idx)
+      graft.ops.VersionedStore.append(s, store, docs.filter($"doc_id" % 2 =!= 0))
+      Keyword.appendToLexicalIndexForStore(s, store, "doc_id", "text", idx)
+      Keyword.bm25Indexed(s, idx, Terms, K1, B, topK = 20, idName = "doc_id",
+          store = Some(store))
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
     // Hybrid search: BM25 leg + cosine-kNN leg (vec_id ≡ doc_id in the
     // test data), fused by reciprocal rank — the retrieval shape a
     // production RAG stack runs. Both legs top-50, fusion top-10.
@@ -129,6 +153,11 @@ object KeywordQueries {
       s"""WITH ${bm25Sql(where = "", limit = 20)}
          |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
     "bm25_indexed_topk" ->
+      s"""WITH ${bm25Sql(where = "", limit = 20)}
+         |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
+    // incremental maintenance must serve the FULL-corpus ranking —
+    // sharing bm25_topk's oracle pins incremental ≡ rebuild by hash
+    "lexical_index_incremental" ->
       s"""WITH ${bm25Sql(where = "", limit = 20)}
          |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
     "lexical_index_build" ->

@@ -44,6 +44,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(grown.count() == 4)
       assert(grown.schema.fieldNames.contains("cluster_id"),
         "streamed appends must keep the clustered layout")
+      // register a lexical index mid-stream: subsequent micro-batches come
+      // through the same seam, so the index stays fresh and the staleness
+      // guard never trips — continuous ingestion serves BM25 throughout
+      val lexIdx = Files.createTempDirectory("stream-lexidx").toString
+      graft.ops.Keyword.registerLexicalIndex(spark, store, "id", "text", lexIdx)
+      writeDocs("b4.json", Seq((6L, "sigma tau upsilon phi")))
+      q.processAllAvailable()
+      val hits = graft.ops.Keyword.bm25Indexed(spark, lexIdx, Seq("sigma", "alpha"),
+        topK = 5, store = Some(store))
+      assert(hits.count() >= 2, "both the pre-registration and streamed docs must rank")
     } finally q.stop()
   }
 
@@ -702,6 +712,94 @@ class ScaleOpsSpec extends AnyFunSuite {
     intercept[java.io.FileNotFoundException] {
       Keyword.bm25Indexed(spark, plainIdx, terms, topK = 10, idName = "doc_id")
     }
+  }
+
+  test("incremental lexical maintenance: append-only fold equals rebuild; rewritten history refuses") {
+    import graft.ops.{Keyword, VersionedStore}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val store = Files.createTempDirectory("lex-incr").toString + "/docs"
+    val idx = Files.createTempDirectory("lex-incr-idx").toString
+    val terms = Seq("spark", "vector", "merge", "window")
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 3 === 0))
+    Keyword.buildLexicalIndexForStore(spark, store, "doc_id", "text", idx)
+    // two appends, one maintenance call: the diff must cover BOTH new
+    // segments (v_stamp .. v_current, not just the latest commit)
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 3 === 1))
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 3 === 2))
+    Keyword.appendToLexicalIndexForStore(spark, store, "doc_id", "text", idx)
+    val served = Keyword.bm25Indexed(spark, idx, terms, topK = 20,
+        idName = "doc_id", store = Some(store))
+      .orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
+    val rebuiltIdx = Files.createTempDirectory("lex-incr-rebuilt").toString
+    Keyword.buildLexicalIndexForStore(spark, store, "doc_id", "text", rebuiltIdx)
+    val rebuilt = Keyword.bm25Indexed(spark, rebuiltIdx, terms, topK = 20,
+        idName = "doc_id", store = Some(store))
+      .orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
+    assert(served == rebuilt,
+      "incrementally maintained index must serve the full rebuild's ranking bit-for-bit")
+    assert(served.nonEmpty)
+    // stats sidecar totals advanced exactly (N, Σdl of the whole corpus)
+    val stats = graft.Fs.readString(spark, s"$idx/_stats").trim.split(" ")
+    val full = graft.Fs.readString(spark, s"$rebuiltIdx/_stats").trim.split(" ")
+    assert(stats.toSeq == full.toSeq, "maintained stats must equal rebuilt stats")
+    // a no-op maintenance (already fresh) is a cheap return, still serves
+    Keyword.appendToLexicalIndexForStore(spark, store, "doc_id", "text", idx)
+    assert(Keyword.bm25Indexed(spark, idx, terms, topK = 5,
+      idName = "doc_id", store = Some(store)).count() == 5)
+    // compaction rewrites covered rows into new segments — incremental
+    // postings would double-count them; the fold must refuse loudly
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 3 === 0).limit(5))
+    VersionedStore.compact(spark, store)
+    val err = intercept[IllegalArgumentException] {
+      Keyword.appendToLexicalIndexForStore(spark, store, "doc_id", "text", idx)
+    }
+    assert(err.getMessage.contains("pure-append"))
+    // rebuild recovers, as the error instructs
+    Keyword.buildLexicalIndexForStore(spark, store, "doc_id", "text", idx)
+    assert(Keyword.bm25Indexed(spark, idx, terms, topK = 5,
+      idName = "doc_id", store = Some(store)).count() == 5)
+  }
+
+  test("registered lexical index: the append seam maintains it; compaction restamps O(1) or rebuilds") {
+    import graft.ops.{Ingest, Keyword, VersionedStore}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val storeDir = Files.createTempDirectory("lex-reg").toString
+    val cfg = Ingest.StoreConfig("lexreg", "m", 100, 0)
+    val store = s"$storeDir/${cfg.tableName}"
+    val idx = Files.createTempDirectory("lex-reg-idx").toString
+    val terms = Seq("spark", "vector", "merge", "window")
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 3 === 0))
+    Keyword.registerLexicalIndex(spark, store, "doc_id", "text", idx)
+    // appends through the seam keep the index fresh — no staleness error,
+    // and the served ranking equals a fresh rebuild's
+    Ingest.appendRespectingLayout(spark, store, docs.filter($"doc_id" % 3 === 1))
+    Ingest.appendRespectingLayout(spark, store, docs.filter($"doc_id" % 3 === 2))
+    def serve() = Keyword.bm25Indexed(spark, idx, terms, topK = 20,
+        idName = "doc_id", store = Some(store))
+      .orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
+    val maintained = serve()
+    val freshIdx = Files.createTempDirectory("lex-reg-fresh").toString
+    Keyword.buildLexicalIndexForStore(spark, store, "doc_id", "text", freshIdx)
+    assert(maintained == Keyword.bm25Indexed(spark, freshIdx, terms, topK = 20,
+        idName = "doc_id", store = Some(store))
+      .orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq)
+    assert(maintained.nonEmpty)
+    // clean compaction: sole commit, no survivors — the index must be
+    // restamped in O(1), not rebuilt: totals identical, stamp advanced
+    val statsBefore = graft.Fs.readString(spark, s"$idx/_stats").trim.split(" ")
+    Ingest.compactStore(spark, storeDir, cfg)
+    val statsAfter = graft.Fs.readString(spark, s"$idx/_stats").trim.split(" ")
+    assert(statsAfter.take(3).toSeq == statsBefore.take(3).toSeq,
+      "restamp must not touch the totals")
+    assert(statsAfter(3) != statsBefore(3), "restamp must advance the stamp")
+    assert(serve() == maintained, "a compaction never changes the ranking")
+    // an out-of-band append (bypassing the seam) leaves the stamp behind;
+    // the next compaction cannot prove row preservation and must REBUILD
+    // (self-heal) — after which serving reflects the full corpus again
+    VersionedStore.append(spark, store, docs.filter($"doc_id" % 3 === 0).limit(7))
+    intercept[IllegalArgumentException] { serve() } // stale, loud
+    Ingest.compactStore(spark, storeDir, cfg)
+    assert(serve().nonEmpty, "post-rebuild the index serves the compacted corpus")
   }
 
   test("repetition stats flag the degenerate doc and spare natural text") {
