@@ -87,12 +87,18 @@ object Dedup {
     // candidate blowup; they can't clear any jaccard threshold anyway.
     val banded = shingled
       .filter(size(col("sh")) > 0)
-      .select(col("id"), posexplode(
+      .select(col("id"), size(col("sh")).as("sz"), posexplode(
         graft.functions.MinHashBands.minhashBands(col("sh"), numHashes, bands)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+      .select(col("id"), col("sz"), col("pos").as("band"), col("col").as("bh"))
+    // length filter in the bucket join: J ≥ t forces min(|A|,|B|) ≥
+    // t·max(|A|,|B|), so size-incompatible bucket collisions (which the
+    // exact verify would reject anyway) never reach the verify join —
+    // same output, strictly fewer candidate rows through the shuffle
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-9) &&
+          col("y.sz") >= lit(threshold) * col("x.sz") - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // candidates are usually few, but a single large duplicate cluster
@@ -124,6 +130,9 @@ object Dedup {
     * under the (global docfreq asc, shingle) order, df=1-pruned. The
     * epsilon only ever *lengthens* the prefix under float rounding (extra
     * candidates are harmless, a shortened prefix would lose pairs).
+    * Carries `sz` (the document's full shingle count) and `rk` (the
+    * shingle's 1-based position in the document's globally-ordered list)
+    * so the candidate join can apply the length and positional filters.
     * Shared with `tools.Probe`'s candidate-count measurement so the
     * published numbers can never drift from the shipped formula.
     */
@@ -141,7 +150,7 @@ object Dedup {
         w.partitionBy(col("id")).orderBy(col("docfreq"), col("shingle"))))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .filter(col("docfreq") > 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("sz"), col("rk"), col("shingle"))
   }
 
   /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index join
@@ -185,10 +194,37 @@ object Dedup {
       .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
     val prefix = prefixIndex(inv, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Length filter at the join: J(A,B) ≥ t forces min(|A|,|B|) ≥
+    // t·max(|A|,|B|) (overlap ≤ min, ≥ t·max); size-incompatible prefix
+    // matches never leave the join. Epsilon loosens only (extra
+    // candidates are harmless; dropping a qualifying one would lose a
+    // pair).
+    val tl = lit(threshold)
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
+          col("x.sz") >= tl * col("y.sz") - lit(1e-9) &&
+          col("y.sz") >= tl * col("x.sz") - lit(1e-9))
+      // Positional filter (PPJoin): the matched shingle sits at 1-based
+      // position rk in each document's globally-ordered shingle list,
+      // and both lists are sorted by the SAME total order — so shared
+      // elements ordered before it number ≤ min(rk)−1 and those at/after
+      // number ≤ 1 + min(sz−rk): overlap ≤ min(rk) + min(sz−rk). The
+      // bound holds at EVERY match, so the min over a pair's matches is
+      // a valid overlap bound, checked against the required overlap
+      // α = ⌈t·(|A|+|B|)/(1+t)⌉ (from o/(|A|+|B|−o) ≥ t; the epsilon
+      // only ever lowers α → keeps more). Within-document hash-collision
+      // ties could in principle perturb a position — the same ~|sh|²/2⁶⁵
+      // risk class as the prefix construction itself, documented above.
+      // The groupBy replaces the distinct() the pre-filter version
+      // needed anyway, so the filter costs no extra exchange.
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (least(col("x.rk"), col("y.rk")) +
+          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("ob"),
+        ceil(tl / (tl + lit(1)) * (col("x.sz") + col("y.sz")) - lit(1e-9)).as("alpha"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("ob")).as("ob"), first(col("alpha")).as("alpha"))
+      .filter(col("ob") >= col("alpha"))
+      .select(col("id_a"), col("id_b"))
     // exact verification on the string arrays; as in minhashNearDupPairs,
     // never force-broadcast the unbounded candidate set (AQE decides)
     val pairs = cand
