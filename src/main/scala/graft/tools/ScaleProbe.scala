@@ -166,6 +166,96 @@ object ScaleProbe {
       time(graft.ops.Similarity.mmrBatch(q, embN.filter($"vec_id" % 1000000 >= 10),
         "query_id", "embedding", "vec_id", "embedding", k = 4, fetchK = 20).count()))
 
+    // ---- round-6 operators ----
+
+    // IVF + SQ8 composed serving: corpus N× behind the same k=8
+    // clustering, single query probing nprobe=2 of 8 clusters via
+    // partition pruning, int8 coarse scan, exact top-10 rescore. Rows
+    // constant (k); ideal wall ≈ N× of the probed quarter — well under
+    // the exhaustive path's N×. Recall@10 vs exhaustive printed
+    // alongside (the approximation's other axis; a fast low-recall
+    // probe is not a win).
+    import java.nio.file.Files
+    val qv = emb1.filter($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    def ivfQuantStore(emb: DataFrame): String = {
+      val t = Files.createTempDirectory("sp-ivfq").toString + "/t"
+      graft.ops.VersionedStore.append(spark, t, emb)
+      graft.ops.Ivf.indexStore(spark, t, "vec_id", "embedding", k = 8)
+      graft.ops.Quantize.quantizeStore(spark, t, "embedding")
+      t
+    }
+    val (qs1, tQB1) = time(ivfQuantStore(emb1))
+    val (qsN, tQBN) = time(ivfQuantStore(embN))
+    report("ivf_sq8_store_build", (emb1.count(), tQB1), (embN.count(), tQBN))
+    def quantProbe(path: String): Set[Long] = {
+      val model = graft.ops.Ivf.loadModel(spark, graft.ops.Ivf.modelPath(path))
+      val probes = model.probeOrder(qv).take(2).toSeq
+      val st = graft.ops.VersionedStore.read(spark, path).get
+        .filter($"cluster_id".isin(probes: _*) && $"vec_id" =!= 0)
+      graft.ops.Quantize.knnQuantizedRescore(st, "vec_id", "embedding", qv, k = 10)
+        .select($"vec_id").as[Long].collect().toSet
+    }
+    val (hits1, tQP1) = time(quantProbe(qs1))
+    val (hitsN, tQPN) = time(quantProbe(qsN))
+    report("ivf_sq8_probe2of8", (hits1.size.toLong, tQP1), (hitsN.size.toLong, tQPN))
+    val exact1 = graft.ops.Similarity.knn(emb1.filter($"vec_id" =!= 0),
+      "embedding", qv, k = 10).select($"vec_id").as[Long].collect().toSet
+    val exactN = graft.ops.Similarity.knn(embN.filter($"vec_id" % 1000000 =!= 0),
+      "embedding", qv, k = 10).select($"vec_id").as[Long].collect().toSet
+    println(f"SCALE ivf_sq8_recall@10          1x: ${hits1.intersect(exact1).size / 10.0}%4.2f | ${n}x: ${hitsN.intersect(exactN).size / 10.0}%4.2f (nprobe=2)")
+    // the recall/cost knob: sweep nprobe on the 1× store — full probe
+    // must recover the exact set (recall 1.0, the CORRECTNESS anchor)
+    val model1 = graft.ops.Ivf.loadModel(spark, graft.ops.Ivf.modelPath(qs1))
+    val sweep = Seq(1, 2, 4, 8).map { p =>
+      val probes = model1.probeOrder(qv).take(p).toSeq
+      val st = graft.ops.VersionedStore.read(spark, qs1).get
+        .filter($"cluster_id".isin(probes: _*) && $"vec_id" =!= 0)
+      val got = graft.ops.Quantize.knnQuantizedRescore(st, "vec_id", "embedding", qv, k = 10)
+        .select($"vec_id").as[Long].collect().toSet
+      f"nprobe=$p:${got.intersect(exact1).size / 10.0}%4.2f"
+    }
+    println(s"SCALE ivf_sq8_recall_sweep       ${sweep.mkString("  ")}")
+
+    // Incremental lexical maintenance: the O(new docs) claim. Both
+    // stores take the SAME one-shard append; only the pre-existing
+    // corpus differs (1 shard vs N). Ideal time ratio ≈ 1.0× — the fold
+    // tokenizes the appended segments only, never the corpus (a full
+    // rebuild would be N×).
+    def lexAppendMaintain(base: DataFrame): Double = {
+      val st = Files.createTempDirectory("sp-lexincr").toString + "/t"
+      val ix = Files.createTempDirectory("sp-lexincr-ix").toString
+      graft.ops.VersionedStore.append(spark, st, base)
+      graft.ops.Keyword.buildLexicalIndexForStore(spark, st, "doc_id", "text", ix)
+      val extra = docs1.select(($"doc_id" + lit(900000000L)).as("doc_id"), $"text")
+      graft.ops.VersionedStore.append(spark, st, extra)
+      val (_, tm) = time(
+        graft.ops.Keyword.appendToLexicalIndexForStore(spark, st, "doc_id", "text", ix))
+      tm
+    }
+    val tLM1 = lexAppendMaintain(docs1.select($"doc_id", $"text"))
+    val tLMN = lexAppendMaintain(docsNsame.select($"doc_id", $"text"))
+    report("lexical_incr_maintain", (docs1.count(), tLM1), (docs1.count(), tLMN))
+
+    // Hybrid RRF serving: BM25 leg + kNN leg, both top-50, fused top-10
+    // — corpus N× on both legs, constant output; ideal ≈ N× (each leg is
+    // a linear scan at this fixture; the indexed variants above are the
+    // sub-linear serving path).
+    import org.apache.spark.sql.expressions.Window
+    def hybrid(docs: DataFrame, emb: DataFrame): Long = {
+      val vecRank = graft.ops.Similarity.knn(emb, "embedding", qv, k = 50)
+        .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"rank")
+      val kwRank = graft.ops.Keyword.bm25(docs, "doc_id", "text", terms, topK = 50)
+        .withColumn("rank", row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        .select($"doc_id", $"rank")
+      graft.ops.Keyword.rrfFuse(Seq(vecRank, kwRank), "doc_id", "rank",
+        c = 60, topK = 10).count()
+    }
+    report("hybrid_rrf_serving",
+      time(hybrid(docs1.select($"doc_id", $"text"), emb1)),
+      time(hybrid(docsNsame.select($"doc_id", $"text"), embN)))
+
     spark.stop()
   }
 }
