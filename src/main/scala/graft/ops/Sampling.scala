@@ -90,4 +90,93 @@ object Sampling {
       heaps.valuesIterator.flatMap(_.iterator)
     }
   }
+
+  /** Deterministic global shuffle: append `posName` = the row's 1-based
+    * rank under `(md5(key ":" seed), key)` — a seeded pseudo-random
+    * permutation every engine reproduces bit-for-bit, independent of
+    * partition layout (unlike `df.orderBy(rand(seed))`, whose draw is
+    * keyed to the physical split). The epoch shuffle a training run
+    * feeds its data loader: change the seed, get an uncorrelated order.
+    *
+    * Plan shape: one range exchange + per-partition sort on the hash
+    * (the same work as any global `orderBy`), then the position is
+    * assigned by the two-pass zipWithIndex pattern — per-partition
+    * counts, driver prefix-sum of ONE long per partition, local offsets
+    * — so no single task ever sees more than its own partition. No
+    * window-over-everything, no driver collect of data rows.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String,
+                           posName: String = "position"): DataFrame = {
+    val sorted = df
+      .withColumn("__shk",
+        md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")))
+      .orderBy(col("__shk"), col(keyCol))
+    val spark = df.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(posName,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    // zipWithIndex = one count job + the indexed pass; global order is
+    // the range-partition order, which is exactly the sort order above
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, outSchema).drop("__shk")
+  }
+
+  /** First-8-hex-digits threshold for a cumulative fraction: a row
+    * belongs below the threshold iff `substr(md5, 1, 8) < hexThreshold
+    * (cum)`. Hex-string comparison == numeric comparison (fixed width,
+    * lowercase), so the SAME split assignment is a pure string CASE in
+    * any engine with md5 — that is the portability contract train/test
+    * splits live or die on (a row must never migrate between splits
+    * because the pipeline re-ran elsewhere).
+    */
+  def hexThreshold(cum: Double): String =
+    f"${math.min((cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+
+  /** Hash-based split assignment (train/val/test): append `splitName`
+    * naming the split whose cumulative-weight interval contains the
+    * row's hash point `substr(md5(key ":" seed), 1, 8)`. Deterministic
+    * per key — re-runs, backfills, and other engines agree row-by-row;
+    * membership is a pure map-side expression (no shuffle, no state).
+    * Weights must sum to 1 (±1e-6). 32 hash bits bound quantization:
+    * each boundary lands within 2⁻³² of its weight.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                seed: String, splitName: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "weights must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val point = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")), 1, 8)
+    val cums: Seq[Double] = splits.scanLeft(0.0)(_ + _._2).tail
+    // fold from the LAST split: each earlier boundary overrides below it
+    val label = splits.zip(cums).init
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), cum), acc) =>
+          when(point < lit(hexThreshold(cum)), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitName, label)
+  }
+
+  /** Per-stratum integer upsampling (epoch mixing): emit each row
+    * `factors(stratum)` times (default `defaultFactor`), tagged 1..n in
+    * `epochName`; factor 0 drops the stratum. The "2 epochs of
+    * wikipedia, 1 of web, none of spam" recipe every LLM data mix
+    * specifies. Map-side explode of a literal-bounded sequence — row
+    * count multiplies, but no shuffle and no skew (each source row
+    * expands locally).
+    */
+  def upsampleByStratum(df: DataFrame, strataCol: String, factors: Map[String, Int],
+                        defaultFactor: Int = 1, epochName: String = "epoch"): DataFrame = {
+    require(defaultFactor >= 0 && factors.values.forall(_ >= 0),
+      "factors must be >= 0")
+    val factorCol = factors.foldLeft(lit(defaultFactor)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn(epochName,
+        explode(when(factorCol >= 1, sequence(lit(1L), factorCol.cast("long")))
+          .otherwise(array().cast("array<long>"))))
+  }
 }

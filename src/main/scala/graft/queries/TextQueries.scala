@@ -112,6 +112,38 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic epoch shuffle: seeded md5 permutation of the corpus
+    // with a contiguous 1-based position — reproducible across engines
+    // and partition layouts (df.orderBy(rand(seed)) is neither).
+    "shuffle_deterministic" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.deterministicShuffle(
+          documents(s, d).select($"doc_id"), "doc_id", seed = "epoch0")
+        .orderBy($"position")
+    }),
+
+    // Hash-based train/val/test assignment: 80/10/10 by md5 interval —
+    // membership is per-key deterministic, so backfills and re-runs
+    // never migrate a row between splits. Pure map-side expression.
+    "split_train_assign" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.hashSplit(
+          documents(s, d).select($"doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
+        .orderBy($"doc_id")
+    }),
+
+    // Per-domain epoch upsampling: en×3, de×2, fr dropped, others ×1 —
+    // the "k epochs of domain X" training-mix recipe as a map-side
+    // explode (no shuffle; expansion is local to each row).
+    "mix_upsample" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.upsampleByStratum(
+          documents(s, d).select($"doc_id", $"lang"), "lang",
+          Map("en" -> 3, "de" -> 2, "fr" -> 0), defaultFactor = 1)
+        .orderBy($"doc_id", $"epoch")
+    }),
+
     // Test-set decontamination: docs doc_id < 20 stand in for the eval
     // set; corpus docs sharing any word 4-gram with them are dropped
     // (the leakage gate before training). Broadcast semi-join — the
@@ -457,6 +489,25 @@ object TextQueries {
         |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25
         |                      WHEN 'fr' THEN 15 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    "shuffle_deterministic" ->
+      """SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(doc_id::VARCHAR || ':epoch0'), doc_id) AS position
+        |FROM documents ORDER BY position""".stripMargin,
+    // thresholds are Sampling.hexThreshold(0.8) / (0.9) — fixed-width
+    // lowercase hex compares like the number it encodes
+    "split_train_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substring(md5(doc_id::VARCHAR || ':s1'), 1, 8)
+         |            < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'
+         |       WHEN substring(md5(doc_id::VARCHAR || ':s1'), 1, 8)
+         |            < '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mix_upsample" ->
+      """SELECT doc_id, lang, unnest(range(1, 1 + CASE lang
+        |    WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'fr' THEN 0
+        |    ELSE 1 END)) AS epoch
+        |FROM documents ORDER BY doc_id, epoch""".stripMargin,
     "decontaminate_survivors" ->
       """WITH ev AS (
         |  SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),

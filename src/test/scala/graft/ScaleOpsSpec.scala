@@ -850,6 +850,55 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must be STRING"))
   }
 
+  test("shuffle/split/upsample: deterministic, partitioning-invariant, complete") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    val n = docs.count()
+
+    // deterministic shuffle: a contiguous 1..N permutation, identical
+    // across partition layouts; a different seed gives a different order
+    def shuffled(parts: Int, seed: String): Seq[(Long, Long)] =
+      Sampling.deterministicShuffle(docs.repartition(parts).select($"doc_id"),
+          "doc_id", seed)
+        .select($"doc_id", $"position").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    val s1 = shuffled(13, "e0")
+    assert(s1 == shuffled(1, "e0"), "shuffle order must not depend on partitioning")
+    assert(s1.map(_._2) == (1L to n).toSeq, "positions must be a contiguous 1..N")
+    assert(s1.map(_._1).toSet == docs.select($"doc_id").as[Long].collect().toSet)
+    assert(s1.map(_._1) != shuffled(13, "e1").map(_._1),
+      "a different seed must permute differently")
+
+    // hash split: every row assigned exactly once, assignment stable
+    // under re-run, fractions near the weights (32-bit quantization)
+    val split = Sampling.hashSplit(docs.select($"doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
+      .as[(Long, String)].collect().toMap
+    assert(split.size == n, "every key assigned exactly once")
+    val frac = split.values.groupBy(identity).map { case (k, v) => (k, v.size.toDouble / n) }
+    assert(math.abs(frac("train") - 0.8) < 0.06 &&
+      math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05 &&
+      math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05,
+      s"split fractions far from weights: $frac")
+    val again = Sampling.hashSplit(docs.repartition(7).select($"doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
+      .as[(Long, String)].collect().toMap
+    assert(split == again, "assignment must be per-key deterministic")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "s")
+    }
+
+    // upsample: factor-k strata emit k tagged copies, factor-0 drop
+    val up = Sampling.upsampleByStratum(docs, "lang",
+        Map("en" -> 3, "fr" -> 0), defaultFactor = 1)
+      .groupBy($"lang").agg(count(lit(1)).as("c"),
+        countDistinct($"doc_id").as("d"), max($"epoch").as("me"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(up("en")._2 == up("en")._3 * 3 && up("en")._4 == 3L)
+    assert(!up.contains("fr"), "factor 0 drops the stratum")
+    assert(up.filterKeys(k => k != "en" && k != "fr").values
+      .forall(r => r._2 == r._3 && r._4 == 1L), "default factor is 1 copy")
+  }
+
   test("bucketed tables join without an Exchange; salted ops preserve exact results") {
     import graft.ops.Layout
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
