@@ -895,7 +895,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(up("en")._2 == up("en")._3 * 3 && up("en")._4 == 3L)
     assert(!up.contains("fr"), "factor 0 drops the stratum")
-    assert(up.filterKeys(k => k != "en" && k != "fr").values
+    assert(up.view.filterKeys(k => k != "en" && k != "fr").values
       .forall(r => r._2 == r._3 && r._4 == 1L), "default factor is 1 copy")
   }
 
