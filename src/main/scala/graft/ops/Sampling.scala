@@ -160,6 +160,36 @@ object Sampling {
     df.withColumn(splitName, label)
   }
 
+  /** Deliver the corpus as fixed-size training shards: a seeded
+    * [[deterministicShuffle]], then `shard = (position-1) / rowsPerShard`
+    * written as one parquet file per `shard=k` directory, rows inside
+    * each file sorted by position — the layout a data loader streams
+    * sequentially while shards themselves shuffle cheaply per epoch.
+    * Every shard holds exactly `rowsPerShard` rows except the last;
+    * re-running with the same seed rewrites byte-identical membership.
+    * One extra hash exchange on the shard id co-locates each shard into
+    * exactly one task (so exactly one file); shard sizes are uniform by
+    * construction — no skew. Returns the shard count.
+    */
+  def writeShards(df: DataFrame, keyCol: String, seed: String,
+                  rowsPerShard: Long, path: String,
+                  posName: String = "position"): Long = {
+    require(rowsPerShard >= 1, "rowsPerShard must be >= 1")
+    val shuffled = deterministicShuffle(df, keyCol, seed, posName)
+    shuffled
+      // integer `div`, not `/`: Column./ on longs is DOUBLE division,
+      // exact only below 2^53 — div is exact at any position
+      .withColumn("shard", expr(s"(`$posName` - 1) div $rowsPerShard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col(posName))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // shard comes back via partition-directory inference (int-typed for
+    // small counts) — normalize before reading the scalar
+    val n = df.sparkSession.read.parquet(path)
+      .agg(max(col("shard").cast("long"))).head().getLong(0)
+    n + 1
+  }
+
   /** Per-stratum integer upsampling (epoch mixing): emit each row
     * `factors(stratum)` times (default `defaultFactor`), tagged 1..n in
     * `epochName`; factor 0 drops the stratum. The "2 epochs of

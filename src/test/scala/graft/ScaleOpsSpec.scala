@@ -899,6 +899,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       .forall(r => r._2 == r._3 && r._4 == 1L), "default factor is 1 copy")
   }
 
+  test("training shards: uniform sizes, loader order inside each file, one file per shard") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val n = docs.count()
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/c"
+    val rows = 64L
+    val nShards = Sampling.writeShards(docs, "doc_id", "e0", rows, out)
+    assert(nShards == (n + rows - 1) / rows, "shard count = ceil(N / rowsPerShard)")
+    val back = spark.read.parquet(out)
+    // full shards hold exactly rowsPerShard rows; only the last is short
+    val sizes = back.groupBy($"shard").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.count(_._2 != rows) <= 1 && sizes.values.sum == n)
+    // membership matches the seeded shuffle: shard = (position-1) / rows
+    val pos = Sampling.deterministicShuffle(docs, "doc_id", "e0")
+      .as[(Long, Long)].collect().toMap
+    assert(back.select($"doc_id", $"shard").as[(Long, Long)].collect()
+      .forall { case (id, sh) => (pos(id) - 1) / rows == sh })
+    // one parquet file per shard directory, rows inside it position-sorted
+    val shardDirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == nShards)
+    shardDirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"expected one file in ${d.getName}, got ${files.length}")
+      val inFile = spark.read.parquet(files.head.toString)
+        .select($"position").as[Long].collect().toSeq
+      assert(inFile == inFile.sorted, s"${d.getName} not position-sorted")
+    }
+  }
+
   test("bucketed tables join without an Exchange; salted ops preserve exact results") {
     import graft.ops.Layout
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
