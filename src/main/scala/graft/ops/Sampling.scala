@@ -109,7 +109,8 @@ object Sampling {
                            posName: String = "position"): DataFrame = {
     val sorted = df
       .withColumn("__shk",
-        md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")))
+        md5(concat(checkedKey(keyCol, "deterministicShuffle"), lit(":" + seed))
+          .cast("binary")))
       .orderBy(col("__shk"), col(keyCol))
     val spark = df.sparkSession
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -123,6 +124,20 @@ object Sampling {
     }
     spark.createDataFrame(indexed, outSchema).drop("__shk")
   }
+
+  /** The hash key as a string, with nulls rejected IN the expression
+    * (the [[RangeJoin]] raise_error pattern): a null key would
+    * otherwise hash to null and silently sort first
+    * ([[deterministicShuffle]]) or fall through every threshold into
+    * the LAST split ([[hashSplit]] — quiet test-set contamination).
+    * Duplicate keys are the caller's contract (use the id column):
+    * ties hash identically, which leaves their relative order — and
+    * their split — well-defined but their positions arbitrary.
+    */
+  private def checkedKey(keyCol: String, op: String) =
+    when(col(keyCol).isNotNull, col(keyCol).cast("string"))
+      .otherwise(raise_error(lit(
+        s"$op: null $keyCol — seeded membership needs a non-null key")))
 
   /** First-8-hex-digits threshold for a cumulative fraction: a row
     * belongs below the threshold iff `substr(md5, 1, 8) < hexThreshold
@@ -149,7 +164,7 @@ object Sampling {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val point = substring(
-      md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")), 1, 8)
+      md5(concat(checkedKey(keyCol, "hashSplit"), lit(":" + seed)).cast("binary")), 1, 8)
     val cums: Seq[Double] = splits.scanLeft(0.0)(_ + _._2).tail
     // fold from the LAST split: each earlier boundary overrides below it
     val label = splits.zip(cums).init

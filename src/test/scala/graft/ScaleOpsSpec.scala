@@ -887,6 +887,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "s")
     }
 
+    // a null key must fail loudly, not sort first / land in the last split
+    val withNull = docs.select(when($"doc_id" === 3L, lit(null)).otherwise($"doc_id").as("doc_id"))
+    intercept[Exception] {
+      Sampling.hashSplit(withNull, "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1), "s").collect()
+    }
+    intercept[Exception] {
+      Sampling.deterministicShuffle(withNull, "doc_id", "e0").collect()
+    }
+
     // upsample: factor-k strata emit k tagged copies, factor-0 drop
     val up = Sampling.upsampleByStratum(docs, "lang",
         Map("en" -> 3, "fr" -> 0), defaultFactor = 1)
