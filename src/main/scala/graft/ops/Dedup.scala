@@ -252,6 +252,71 @@ object Dedup {
     pairs
   }
 
+  /** Cross-corpus exact n-gram Jaccard join: `(id_a, id_b, jaccard)`
+    * for every left-right pair with J ≥ threshold — the scored
+    * generalization of [[decontaminate]] (which only answers "shares
+    * any n-gram"): overlap analysis between an incoming batch and the
+    * corpus, scored eval-set leakage reports, corpus-vs-corpus audits.
+    *
+    * Same AllPairs/PPJoin machinery as [[ngramJaccardPairs]], made
+    * bipartite: document frequencies are computed over the UNION of
+    * both corpora — the prefix theorem needs one total order shared by
+    * both sides, and the union df order is rarest-first for the
+    * combined workload (df=1 pruning composes: a union-unique shingle
+    * cannot match cross-side). Candidates come from the cross-side
+    * prefix equi-join under the length filter, pruned by the positional
+    * bound, verified exactly on the full arrays. Sides are tracked
+    * through a `(side, id)` struct key, so the two id spaces may
+    * overlap freely.
+    */
+  def ngramJaccardJoin(left: DataFrame, leftIdCol: String, leftTextCol: String,
+                       right: DataFrame, rightIdCol: String, rightTextCol: String,
+                       threshold: Double, n: Int = 3): DataFrame = {
+    def prep(df: DataFrame, idCol: String, textCol: String, side: Int) =
+      df.select(struct(lit(side).as("side"), col(idCol).as("i")).as("id"),
+          array_sort(wordShingles(col(textCol), n)).as("sh"))
+        .filter(size(col("sh")) > 0)
+    val docs = prep(left, leftIdCol, leftTextCol, 0)
+      .unionByName(prep(right, rightIdCol, rightTextCol, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // eager: both the index and the verify read this cache
+    val inv = docs
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
+    val prefix = prefixIndex(inv, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pl = prefix.filter(col("id.side") === 0)
+    val pr = prefix.filter(col("id.side") === 1)
+    val tl = lit(threshold)
+    val cand = pl.as("x").join(pr.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.sz") >= tl * col("y.sz") - lit(1e-9) &&
+          col("y.sz") >= tl * col("x.sz") - lit(1e-9))
+      .select(col("x.id.i").as("id_a"), col("y.id.i").as("id_b"),
+        (least(col("x.rk"), col("y.rk")) +
+          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("ob"),
+        ceil(tl / (tl + lit(1)) * (col("x.sz") + col("y.sz")) - lit(1e-9)).as("alpha"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("ob")).as("ob"), first(col("alpha")).as("alpha"))
+      .filter(col("ob") >= col("alpha"))
+      .select(col("id_a"), col("id_b"))
+    val pairs = cand
+      .join(docs.filter(col("id.side") === 0)
+        .select(col("id.i").as("id_a"), col("sh").as("sh_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(docs.filter(col("id.side") === 1)
+        .select(col("id.i").as("id_b"), col("sh").as("sh_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("jaccard",
+        graft.functions.SetFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint()
+    prefix.unpersist()
+    docs.unpersist()
+    pairs
+  }
+
   /** Connected components over an undirected near-dup edge list
     * `(id_a, id_b)`: returns `(id, component)` for every node that
     * appears in an edge, where `component` is the smallest id reachable

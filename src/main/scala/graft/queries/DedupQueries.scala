@@ -29,6 +29,19 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Cross-corpus scored overlap: docs < 250 as the incoming batch,
+    // the rest as the standing corpus — every cross pair with J >= 0.2,
+    // exactly (bipartite AllPairs/PPJoin; the scored generalization of
+    // decontaminate).
+    "crosscorpus_jaccard_join" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.ngramJaccardJoin(
+          docs.filter($"doc_id" < 250), "doc_id", "text",
+          docs.filter($"doc_id" >= 250), "doc_id", "text", threshold = 0.2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // MinHash+LSH near-dup pairs — approximate candidate generation,
     // exact verify. No SQL oracle (xxhash64 seeds are engine-defined);
     // DedupSpec asserts it is a subset of the exact pairs with high
@@ -197,6 +210,18 @@ object DedupQueries {
         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "crosscorpus_jaccard_join" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < 250 AND b.doc_id >= 250)
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "dedup_near_clusters" ->
       """WITH RECURSIVE g AS MATERIALIZED (

@@ -56,6 +56,29 @@ class DedupSpec extends AnyFunSuite {
     assert(jac14 == 1.0)
   }
 
+  test("cross-corpus jaccard join equals the self-join restricted to cross pairs; overlapping id spaces are safe") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val l = docs.filter($"doc_id" % 2 === 0)
+    val r = docs.filter($"doc_id" % 2 =!= 0)
+    val cross = Dedup.ngramJaccardJoin(l, "doc_id", "text", r, "doc_id", "text", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    // the self-join over the union finds all pairs; its cross-side slice
+    // (one even id, one odd — in either order, renormalized to L,R) must
+    // be exactly what the bipartite join emits
+    val self = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.2)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }.toSet
+    assert(cross == self, "bipartite join must equal the cross-side slice of the self-join")
+    assert(cross.nonEmpty, "fixture must exercise cross-corpus pairs")
+    // identical id values on both sides must not alias: doc 1's text on
+    // BOTH sides under the SAME id still reports the (1, 1) pair
+    val one = docs.filter($"doc_id" === 1)
+    val dup = Dedup.ngramJaccardJoin(one, "doc_id", "text", one, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(dup == Seq((1L, 1L, 1.0)), s"got $dup")
+  }
+
   test("minhash LSH pairs are a subset of exact pairs with full recall on planted dups") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.2)

@@ -907,6 +907,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!up.contains("fr"), "factor 0 drops the stratum")
     assert(up.view.filterKeys(k => k != "en" && k != "fr").values
       .forall(r => r._2 == r._3 && r._4 == 1L), "default factor is 1 copy")
+
+    // the map-side claims, asserted on the plan: split assignment and
+    // upsampling ship no Exchange (they compose under any upstream
+    // partitioning without forcing a shuffle)
+    val splitPlan = Sampling.hashSplit(docs.select($"doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2), "s1").queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"hashSplit must be map-side:\n$splitPlan")
+    val upPlan = Sampling.upsampleByStratum(docs, "lang", Map("en" -> 2))
+      .queryExecution.executedPlan.toString
+    assert(!upPlan.contains("Exchange"), s"upsample must be map-side:\n$upPlan")
   }
 
   test("training shards: uniform sizes, loader order inside each file, one file per shard") {
