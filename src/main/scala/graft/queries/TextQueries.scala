@@ -187,6 +187,39 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Sketch profiling with a constant-truth anchor: HLL++ distinct
+    // (approx_count_distinct) and the quantile sketch (percentile_approx)
+    // per source, each CHECKED in-plan against the exact value — the
+    // booleans and exact columns are what the oracle verifies, so a
+    // sketch drifting out of its error bound is a loud CORRECTNESS
+    // failure, not a silent profiling lie. At 100 TB the sketches are
+    // the only affordable profiling pass (one map-side sketch vs an
+    // exact distinct's full shuffle); the fixture pins their contract.
+    "sketch_profile_invariants" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("n_chars", length($"text").cast("long"))
+        .groupBy($"source")
+        .agg(
+          countDistinct($"doc_id").as("exact_distinct"),
+          approx_count_distinct($"doc_id", 0.05).as("__approx"),
+          expr("percentile_approx(n_chars, 0.5, 10000)").as("__p50"),
+          expr("percentile(n_chars, 0.5)").as("__exact_p50"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .select($"source", $"exact_distinct",
+          // 0.05 rsd is one std dev — 3x is the robust bound
+          (abs($"__approx" - $"exact_distinct").cast("double") <=
+            greatest($"exact_distinct" * 0.15, lit(1.0))).as("distinct_ok"),
+          // the quantile sketch at accuracy 10000 must land within the
+          // group's value range and within 5% of range from the exact
+          ($"__p50" >= $"min_chars" && $"__p50" <= $"max_chars" &&
+            abs($"__p50" - $"__exact_p50") <=
+              greatest(($"max_chars" - $"min_chars") * 0.05, lit(1.0)))
+            .as("quantile_ok"),
+          $"min_chars", $"max_chars")
+        .orderBy($"source")
+    }),
+
     // §2.7 splitter, fixed-window variant (SQL-expressible → oracle).
     "split_fixed_window" -> ((s, d) => {
       import s.implicits._
@@ -571,6 +604,12 @@ object TextQueries {
         |  CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "sketch_profile_invariants" ->
+      """SELECT source, COUNT(DISTINCT doc_id) AS exact_distinct,
+        |  true AS distinct_ok, true AS quantile_ok,
+        |  CAST(MIN(len(text)) AS BIGINT) AS min_chars,
+        |  CAST(MAX(len(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "split_fixed_window" ->
       """SELECT doc_id, i AS chunk_idx, (i*150)::BIGINT AS chunk_start,
