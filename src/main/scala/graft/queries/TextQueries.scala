@@ -360,6 +360,24 @@ object TextQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // Snapshot reproducibility as a CORRECTNESS fact: two committed
+    // appends, then a time-travel read of version 1 — exactly the first
+    // commit's rows, byte-for-byte, while the live table serves both.
+    // The training-run pin ("train on table@v1") the manifest layout
+    // exists for; the oracle recomputes commit 1's contents relationally.
+    "store_time_travel" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("ttravel").toString + "/t"
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 === 0))
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 =!= 0))
+      val v1 = graft.ops.VersionedStore.readAt(s, root, version = 1).get
+      val live = graft.ops.VersionedStore.read(s, root).get
+      v1.select($"doc_id", length($"text").as("n_chars"))
+        .join(live.select($"doc_id").as("l"), Seq("doc_id"), "semi")
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal plumbing end-to-end with the deterministic stub decoder
     // (Multimodal.scala — this container ships no codecs, so documents'
     // UTF-8 bytes stand in as opaque media payloads): segment-sample the
@@ -623,6 +641,9 @@ object TextQueries {
          |      WHERE len(trim(text)) > 0),
          |  UNNEST(range(0, (len(w)-1)//30 + 1)) AS t(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "store_time_travel" ->
+      """SELECT doc_id, len(text)::BIGINT AS n_chars FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     "ingest_antijoin_chunks" ->
       """WITH chunks AS (
         |  SELECT doc_id, i AS chunk_idx, md5(substr(text, (i*150+1)::INT, 200)) AS ckey
