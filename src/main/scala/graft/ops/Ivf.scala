@@ -333,8 +333,9 @@ object Ivf {
                  k: Int, iters: Int = 2, rowsPerFile: Long = 1L << 20): IvfModel = {
     val df = VersionedStore.read(spark, table).getOrElse(
       throw new IllegalStateException(s"no rows to index at $table"))
+    val preVersion = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
     val model = fit(df, idCol, embCol, k, iters)
-    val (_, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
+    val (post, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
       reshape = assign(_, embCol, model), partitionBy = Seq("cluster_id"),
       marker = Some(model.fingerprint))
     // nFiles == 0 means another compactor swapped mid-rewrite and our
@@ -343,6 +344,10 @@ object Ivf {
     require(nFiles > 0,
       s"indexStore lost a concurrent-compaction race at $table; retry")
     saveModel(spark, modelPath(table), model)
+    // a re-clustering rewrites rows but preserves them — a registered
+    // lexical index stays valid and only needs its stamp moved (or a
+    // rebuild when that is not provable), same as any other compaction
+    Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 

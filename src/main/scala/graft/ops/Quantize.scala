@@ -135,13 +135,17 @@ object Quantize {
       if (graft.Fs.exists(spark, Ivf.modelPath(table)))
         Some(Ivf.loadModel(spark, Ivf.modelPath(table)).fingerprint)
       else None
-    val (_, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
+    val preVersion = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val (post, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
       reshape = withQuantized(_, embCol),
       partitionBy = fp.map(_ => Seq("cluster_id")).getOrElse(Nil),
       marker = fp)
     require(nFiles > 0,
       s"quantizeStore lost a concurrent-compaction race at $table; retry")
     graft.Fs.writeString(spark, markerPath(table), embCol)
+    // the rewrite adds code columns but preserves rows — restamp (or
+    // rebuild) a registered lexical index so BM25 serving survives
+    Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
   }
 
   /** Top-k nearest rows via the quantized coarse pass + exact rescore.

@@ -802,6 +802,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(serve().nonEmpty, "post-rebuild the index serves the compacted corpus")
   }
 
+  test("indexStore/quantizeStore on a lexically-registered table keep BM25 serving (restamp, not rebuild)") {
+    import graft.ops.{Ingest, Ivf, Keyword, Quantize, VersionedStore}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val embs = Tables.embeddings(spark, sf).select($"vec_id".as("doc_id"), $"embedding")
+    val rows = docs.join(embs, "doc_id")
+    val store = Files.createTempDirectory("lex-ivfq").toString + "/t"
+    val idx = Files.createTempDirectory("lex-ivfq-idx").toString
+    val terms = Seq("spark", "vector", "merge", "window")
+    VersionedStore.append(spark, store, rows)
+    Keyword.registerLexicalIndex(spark, store, "doc_id", "text", idx)
+    def serve() = Keyword.bm25Indexed(spark, idx, terms, topK = 10,
+        idName = "doc_id", store = Some(store))
+      .orderBy($"bm25".desc, $"doc_id").as[(Long, Double)].collect().toSeq
+    val before = serve()
+    assert(before.nonEmpty)
+    // re-clustering rewrites every row; the index must be restamped in
+    // O(1) (totals untouched) and keep serving the same ranking
+    val stats0 = graft.Fs.readString(spark, s"$idx/_stats").trim.split(" ")
+    Ivf.indexStore(spark, store, "doc_id", "embedding", k = 4)
+    val stats1 = graft.Fs.readString(spark, s"$idx/_stats").trim.split(" ")
+    assert(stats1.take(3).toSeq == stats0.take(3).toSeq, "restamp must not touch totals")
+    assert(stats1(3) != stats0(3), "stamp must advance across indexStore")
+    assert(serve() == before, "re-clustering must not change the BM25 ranking")
+    // SQ8 rewrite adds code columns, preserves rows — same contract
+    Quantize.quantizeStore(spark, store, "embedding")
+    val stats2 = graft.Fs.readString(spark, s"$idx/_stats").trim.split(" ")
+    assert(stats2.take(3).toSeq == stats0.take(3).toSeq && stats2(3) != stats1(3))
+    assert(serve() == before, "quantization must not change the BM25 ranking")
+    // and the vector side still probes after both rewrites
+    val model = Ivf.loadModel(spark, Ivf.modelPath(store))
+    val qv = embs.filter($"doc_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    assert(Ivf.search(VersionedStore.read(spark, store).get, "embedding", model, qv,
+      topK = 5, nProbe = 4, storePath = Some(store)).count() == 5)
+  }
+
   test("repetition stats flag the degenerate doc and spare natural text") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now"),     // "buy now" covers 4 of 7 2-gram slots
