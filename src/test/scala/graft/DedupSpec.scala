@@ -79,6 +79,49 @@ class DedupSpec extends AnyFunSuite {
     assert(dup == Seq((1L, 1L, 1.0)), s"got $dup")
   }
 
+  test("prefix+length+positional filtering never loses a pair: randomized brute-force cross-check") {
+    // adversarial guard for the candidate filters (length + positional):
+    // they must only ever PRUNE non-qualifying pairs. Random small-vocab
+    // corpora maximize overlap structure; checked at three thresholds
+    // including one high enough for the filters to bite hard.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def mkDocs(n: Int, off: Long) = (0 until n).map { i =>
+      val len = 3 + rnd.nextInt(12)
+      (off + i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingles(t: String, n: Int): Set[String] = {
+      val w = t.split("\\s+")
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    val docsA = mkDocs(60, 0)
+    val docsB = mkDocs(60, 1000)
+    val all = (docsA ++ docsB).toDF("doc_id", "text")
+    val shMap = (docsA ++ docsB).map { case (id, t) => id -> shingles(t, 3) }.toMap
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val expectedSelf = (for {
+        (a, sa) <- shMap; (b, sb) <- shMap
+        if a < b && sa.nonEmpty && sb.nonEmpty && jac(sa, sb) >= t
+      } yield (a, b)).toSet
+      val gotSelf = Dedup.ngramJaccardPairs(all, "doc_id", "text", t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(gotSelf == expectedSelf, s"self-join pairs diverge at t=$t")
+      val expectedCross = (for {
+        (a, _) <- docsA; (b, _) <- docsB
+        if shMap(a).nonEmpty && shMap(b).nonEmpty && jac(shMap(a), shMap(b)) >= t
+      } yield (a, b)).toSet
+      val gotCross = Dedup.ngramJaccardJoin(
+          docsA.toDF("doc_id", "text"), "doc_id", "text",
+          docsB.toDF("doc_id", "text"), "doc_id", "text", t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(gotCross == expectedCross, s"bipartite pairs diverge at t=$t")
+    }
+  }
+
   test("minhash LSH pairs are a subset of exact pairs with full recall on planted dups") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.2)
