@@ -200,6 +200,34 @@ class IngestChatSpec extends AnyFunSuite {
       "8 appends = exactly 8 committed versions")
   }
 
+  test("registered lexical index survives concurrent seam appends (maintenance lock)") {
+    import graft.ops.{Ingest, Keyword, VersionedStore}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = Files.createTempDirectory("lex-race").toString + "/T"
+    val idx = Files.createTempDirectory("lex-race-idx").toString
+    VersionedStore.append(spark, table,
+      Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+    Keyword.registerLexicalIndex(spark, table, "doc_id", "text", idx)
+    // 4 writers race through the seam; the per-table maintenance lock
+    // serializes the index folds, and the last fold (or a racer's
+    // incremental catch-up — each fold covers ALL segments since the
+    // stamp) must leave the index fresh and complete
+    val racers = (1 to 4).map(i => Future {
+      Ingest.appendRespectingLayout(spark, table,
+        Seq((i.toLong, s"omega$i sigma$i tau$i upsilon$i")).toDF("doc_id", "text"))
+    })
+    Await.result(Future.sequence(racers), 5.minutes)
+    // a stale index would throw here (staleness guard); a torn one would
+    // miss a doc. Final state must serve every appended doc.
+    (1 to 4).foreach { i =>
+      val hits = Keyword.bm25Indexed(spark, idx, Seq(s"omega$i"), topK = 5,
+        idName = "doc_id", store = Some(table))
+      assert(hits.count() == 1, s"doc $i must be indexed and ranked")
+    }
+  }
+
   test("versioned store adopts a legacy flat-layout table on first write") {
     import graft.ops.VersionedStore
     val table = Files.createTempDirectory("graft-legacy").toString + "/T"
