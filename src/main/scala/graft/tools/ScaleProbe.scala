@@ -256,6 +256,26 @@ object ScaleProbe {
       time(hybrid(docs1.select($"doc_id", $"text"), emb1)),
       time(hybrid(docsNsame.select($"doc_id", $"text"), embN)))
 
+    // Deterministic shuffle: the only new training-mix op with a global
+    // exchange (range sort + the zipWithIndex count pass) — ideal N×
+    report("deterministic_shuffle",
+      time(graft.ops.Sampling.deterministicShuffle(
+        docs1.select($"doc_id"), "doc_id", "e0").count()),
+      time(graft.ops.Sampling.deterministicShuffle(
+        docsN.select($"doc_id"), "doc_id", "e0").count()))
+
+    // Cross-corpus join: left fixed (one shard), right grows N× — ideal
+    // candidates/pairs ≈ N× of the 1× cross slice, time ≈ N×
+    report("crosscorpus_jaccard",
+      time(graft.ops.Dedup.ngramJaccardJoin(
+        docs1.select($"doc_id", $"text"), "doc_id", "text",
+        docs1.select(($"doc_id" + 500000000L).as("doc_id"), $"text"), "doc_id", "text",
+        0.2).count()),
+      time(graft.ops.Dedup.ngramJaccardJoin(
+        docs1.select($"doc_id", $"text"), "doc_id", "text",
+        docsNsame.select(($"doc_id" + 500000000L).as("doc_id"), $"text"), "doc_id", "text",
+        0.2).count()))
+
     spark.stop()
   }
 }
