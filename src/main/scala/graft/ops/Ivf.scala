@@ -111,6 +111,43 @@ object Ivf {
     key.foreach(k => guardPassed.add(k): Unit)
   }
 
+  /** Per-cluster row counts plus the imbalance summary a re-index
+    * decision needs. Continuous ingestion via [[appendAssigned]] keeps
+    * the layout clustered but NOT balanced: the model is frozen at fit
+    * time, so drifted data piles into few clusters — probe-time pruning
+    * then reads a growing fraction of the store and the `nProbe/k` cost
+    * model quietly erodes. This is the monitoring surface: one
+    * count-by-partition-column aggregation (metadata-cheap — the scan
+    * reads zero data columns), returning `(cluster_id, n)` with null
+    * for the null-embedding partition.
+    */
+  def clusterStats(spark: SparkSession, table: String): DataFrame = {
+    val df = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows at $table"))
+    df.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+  }
+
+  /** True when the store's cluster sizes have drifted past
+    * `maxImbalance` (largest cluster vs the ideal rows/k share, null
+    * partition excluded) — the "re-run [[indexStore]]" advisory. The
+    * threshold is a cost statement: probing the hottest cluster costs
+    * `imbalance`× the uniform-share estimate the nProbe knob assumes.
+    * (Cluster COUNT is deliberately not a signal: k-means legitimately
+    * leaves clusters empty when the data fills fewer than k regions,
+    * and a re-fit would not resurrect them.)
+    */
+  def needsReindex(spark: SparkSession, table: String,
+                   maxImbalance: Double = 4.0): Boolean = {
+    require(maxImbalance >= 1.0, "maxImbalance is a ratio >= 1")
+    val model = loadModel(spark, modelPath(table))
+    val stats = clusterStats(spark, table)
+      .filter(col("cluster_id").isNotNull)
+      .agg(sum(col("n")), max(col("n"))).head()
+    if (stats.isNullAt(0)) return false // empty store: nothing to probe
+    val (total, largest) = (stats.getLong(0), stats.getLong(1))
+    largest > maxImbalance * (total.toDouble / model.k)
+  }
+
   /** Assign each row its nearest centroid id. Fully narrow: one
     * projection computes all k distances as an array of (dist, cid)
     * structs and `array_min`'s struct ordering gives the argmin with a

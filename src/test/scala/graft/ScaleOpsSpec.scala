@@ -54,6 +54,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       val hits = graft.ops.Keyword.bm25Indexed(spark, lexIdx, Seq("sigma", "alpha"),
         topK = 5, store = Some(store))
       assert(hits.count() >= 2, "both the pre-registration and streamed docs must rank")
+      // training-mix expressions are stateless and map-side, so they
+      // compose into the stream's output unchanged: split assignment on
+      // the streamed store must equal the batch assignment key-by-key
+      val streamedSplit = graft.ops.Sampling.hashSplit(
+          graft.ops.VersionedStore.read(spark, store).get.select($"id"), "id",
+          Seq("train" -> 0.8, "test" -> 0.2), seed = "s1")
+        .as[(String, String)].collect().toMap
+      val batchSplit = graft.ops.Sampling.hashSplit(
+          streamedSplit.keys.toSeq.toDF("id"), "id",
+          Seq("train" -> 0.8, "test" -> 0.2), seed = "s1")
+        .as[(String, String)].collect().toMap
+      assert(streamedSplit == batchSplit,
+        "split membership must be identical however the rows arrived")
     } finally q.stop()
   }
 
@@ -835,6 +848,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     val qv = embs.filter($"doc_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
     assert(Ivf.search(VersionedStore.read(spark, store).get, "embedding", model, qv,
       topK = 5, nProbe = 4, storePath = Some(store)).count() == 5)
+  }
+
+  test("cluster drift advisor: skewed appends trip needsReindex; re-index clears it") {
+    import graft.ops.{Ivf, VersionedStore}
+    val embs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val store = Files.createTempDirectory("drift").toString + "/t"
+    VersionedStore.append(spark, store, embs)
+    Ivf.indexStore(spark, store, "vec_id", "embedding", k = 8)
+    assert(!Ivf.needsReindex(spark, store, maxImbalance = 4.0),
+      "a freshly fitted index is balanced")
+    // drift: pile 3x the corpus into ONE cluster by appending copies of
+    // a single vector — the frozen model files them all together
+    val one = embs.limit(1).select($"embedding").head.getSeq[Float](0)
+    val drifted = (0 until (embs.count().toInt * 3)).map(i =>
+      (1000000L + i, one)).toDF("vec_id", "embedding")
+    Ivf.appendAssigned(spark, store, drifted, "embedding")
+    assert(Ivf.needsReindex(spark, store, maxImbalance = 4.0),
+      "3x corpus in one cluster must trip the 4x-imbalance advisory")
+    // the advised action restores balance under a fresh fit
+    Ivf.indexStore(spark, store, "vec_id", "embedding", k = 8)
+    assert(!Ivf.needsReindex(spark, store, maxImbalance = 8.0),
+      "re-index must spread the duplicated mass (duplicates cap one cluster's share)")
+    // stats surface: per-cluster counts sum to the corpus
+    val total = Ivf.clusterStats(spark, store).agg(sum($"n")).head().getLong(0)
+    assert(total == embs.count() + drifted.count())
   }
 
   test("repetition stats flag the degenerate doc and spare natural text") {
