@@ -153,6 +153,39 @@ object Dedup {
       .select(col("id"), col("sz"), col("rk"), col("shingle"))
   }
 
+  /** The shared AllPairs/PPJoin candidate stage over two [[prefixIndex]]
+    * frames (aliased "x" and "y"): equi-join on the prefix shingle under
+    * `extraCond`, length filter as a join predicate (J≥t forces
+    * min(|A|,|B|) ≥ t·max(|A|,|B|)), then the positional filter — a
+    * match at 1-based positions (rk_x, rk_y) of two lists sorted by the
+    * SAME global order bounds overlap ≤ min(rk) + min(sz−rk); the min of
+    * that bound over a pair's matches is checked against the required
+    * overlap α = ⌈t·(|A|+|B|)/(1+t)⌉ inside the groupBy that replaces a
+    * plain distinct (zero extra exchanges). Epsilons only ever loosen.
+    * Within-document hash-collision ties could in principle perturb a
+    * position — the same ~|sh|²/2⁶⁵ risk class as the prefix
+    * construction itself. ONE definition shared by [[ngramJaccardPairs]],
+    * [[ngramJaccardJoin]], and `tools.Probe`'s candidate measurement, so
+    * the measured formula can never drift from the shipped one.
+    */
+  private[graft] def ppjoinCandidates(x: DataFrame, y: DataFrame, threshold: Double,
+                                      extraCond: Column, idA: Column,
+                                      idB: Column): DataFrame = {
+    val tl = lit(threshold)
+    x.as("x").join(y.as("y"),
+        col("x.shingle") === col("y.shingle") && extraCond &&
+          col("x.sz") >= tl * col("y.sz") - lit(1e-9) &&
+          col("y.sz") >= tl * col("x.sz") - lit(1e-9))
+      .select(idA.as("id_a"), idB.as("id_b"),
+        (least(col("x.rk"), col("y.rk")) +
+          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("ob"),
+        ceil(tl / (tl + lit(1)) * (col("x.sz") + col("y.sz")) - lit(1e-9)).as("alpha"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("ob")).as("ob"), first(col("alpha")).as("alpha"))
+      .filter(col("ob") >= col("alpha"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index join
     * (AllPairs/PPJoin candidate generation): order every document's
     * shingles by a global rarest-first total order (ascending document
@@ -194,37 +227,8 @@ object Dedup {
       .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
     val prefix = prefixIndex(inv, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Length filter at the join: J(A,B) ≥ t forces min(|A|,|B|) ≥
-    // t·max(|A|,|B|) (overlap ≤ min, ≥ t·max); size-incompatible prefix
-    // matches never leave the join. Epsilon loosens only (extra
-    // candidates are harmless; dropping a qualifying one would lose a
-    // pair).
-    val tl = lit(threshold)
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
-          col("x.sz") >= tl * col("y.sz") - lit(1e-9) &&
-          col("y.sz") >= tl * col("x.sz") - lit(1e-9))
-      // Positional filter (PPJoin): the matched shingle sits at 1-based
-      // position rk in each document's globally-ordered shingle list,
-      // and both lists are sorted by the SAME total order — so shared
-      // elements ordered before it number ≤ min(rk)−1 and those at/after
-      // number ≤ 1 + min(sz−rk): overlap ≤ min(rk) + min(sz−rk). The
-      // bound holds at EVERY match, so the min over a pair's matches is
-      // a valid overlap bound, checked against the required overlap
-      // α = ⌈t·(|A|+|B|)/(1+t)⌉ (from o/(|A|+|B|−o) ≥ t; the epsilon
-      // only ever lowers α → keeps more). Within-document hash-collision
-      // ties could in principle perturb a position — the same ~|sh|²/2⁶⁵
-      // risk class as the prefix construction itself, documented above.
-      // The groupBy replaces the distinct() the pre-filter version
-      // needed anyway, so the filter costs no extra exchange.
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (least(col("x.rk"), col("y.rk")) +
-          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("ob"),
-        ceil(tl / (tl + lit(1)) * (col("x.sz") + col("y.sz")) - lit(1e-9)).as("alpha"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("ob")).as("ob"), first(col("alpha")).as("alpha"))
-      .filter(col("ob") >= col("alpha"))
-      .select(col("id_a"), col("id_b"))
+    val cand = ppjoinCandidates(prefix, prefix, threshold,
+      col("x.id") < col("y.id"), col("x.id"), col("y.id"))
     // exact verification on the string arrays; as in minhashNearDupPairs,
     // never force-broadcast the unbounded candidate set (AQE decides)
     val pairs = cand
@@ -285,21 +289,9 @@ object Dedup {
       .select(col("id"), col("sz"), xxhash64(col("s")).as("shingle"))
     val prefix = prefixIndex(inv, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pl = prefix.filter(col("id.side") === 0)
-    val pr = prefix.filter(col("id.side") === 1)
-    val tl = lit(threshold)
-    val cand = pl.as("x").join(pr.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.sz") >= tl * col("y.sz") - lit(1e-9) &&
-          col("y.sz") >= tl * col("x.sz") - lit(1e-9))
-      .select(col("x.id.i").as("id_a"), col("y.id.i").as("id_b"),
-        (least(col("x.rk"), col("y.rk")) +
-          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("ob"),
-        ceil(tl / (tl + lit(1)) * (col("x.sz") + col("y.sz")) - lit(1e-9)).as("alpha"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("ob")).as("ob"), first(col("alpha")).as("alpha"))
-      .filter(col("ob") >= col("alpha"))
-      .select(col("id_a"), col("id_b"))
+    val cand = ppjoinCandidates(
+      prefix.filter(col("id.side") === 0), prefix.filter(col("id.side") === 1),
+      threshold, lit(true), col("x.id.i"), col("y.id.i"))
     val pairs = cand
       .join(docs.filter(col("id.side") === 0)
         .select(col("id.i").as("id_a"), col("sh").as("sh_a"))

@@ -290,11 +290,12 @@ object Keyword {
     */
   def registerLexicalIndex(spark: org.apache.spark.sql.SparkSession,
                            table: String, idCol: String, textCol: String,
-                           indexPath: String): Unit = {
-    buildLexicalIndexForStore(spark, table, idCol, textCol, indexPath)
-    graft.Fs.writeString(spark, lexicalMarkerPath(table),
-      s"$indexPath\n$idCol\n$textCol")
-  }
+                           indexPath: String): Unit =
+    maintenanceLock(table).synchronized {
+      buildLexicalIndexForStore(spark, table, idCol, textCol, indexPath)
+      graft.Fs.writeString(spark, lexicalMarkerPath(table),
+        s"$indexPath\n$idCol\n$textCol")
+    }
 
   private def registeredIndex(spark: org.apache.spark.sql.SparkSession,
                               table: String): Option[(String, String, String)] =
@@ -315,6 +316,8 @@ object Keyword {
   // query time (no/stale stamp), never silently served.
   private val maintenanceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def maintenanceLock(table: String): Object =
+    maintenanceLocks.computeIfAbsent(table, _ => new Object)
 
   /** Bring `table`'s registered lexical index (if any) up to the current
     * store version: incremental fold when the history since the stamp is
@@ -327,7 +330,7 @@ object Keyword {
   def maintainRegisteredIndex(spark: org.apache.spark.sql.SparkSession,
                               table: String): Unit =
     registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
-      maintenanceLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      maintenanceLock(table).synchronized {
         try appendToLexicalIndexForStore(spark, table, idCol, textCol, idx)
         catch {
           case e @ (_: IllegalArgumentException | _: IllegalStateException |
@@ -356,22 +359,29 @@ object Keyword {
                                           table: String, preVersion: Long,
                                           post: VersionedStore.State,
                                           files: Int): Unit =
+    // same per-table lock as the append-seam maintenance: a compaction's
+    // restamp-or-rebuild racing a seam fold lock-free could overwrite
+    // the postings directory mid-append and stamp the result fresh —
+    // double-counted df/tf served silently, the one failure mode the
+    // stamp discipline exists to prevent
     registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
-      val statsPath = s"$idx/_stats"
-      val provablyExact = files > 0 && post.version == preVersion + 1 &&
-        post.segments.size == 1 && graft.Fs.exists(spark, statsPath) && {
+      maintenanceLock(table).synchronized {
+        val statsPath = s"$idx/_stats"
+        val provablyExact = files > 0 && post.version == preVersion + 1 &&
+          post.segments.size == 1 && graft.Fs.exists(spark, statsPath) && {
+            val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
+            stats.length >= 4 && stats(3) == s"v$preVersion"
+          }
+        if (provablyExact) {
           val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
-          stats.length >= 4 && stats(3) == s"v$preVersion"
+          graft.Fs.writeString(spark, statsPath,
+            s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
+        } else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"compaction of $table not provably row-preserving for the registered " +
+              s"index $idx; rebuilding")
+          buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
         }
-      if (provablyExact) {
-        val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
-        graft.Fs.writeString(spark, statsPath,
-          s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
-      } else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"compaction of $table not provably row-preserving for the registered " +
-            s"index $idx; rebuilding")
-        buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
       }
     }
 

@@ -118,10 +118,15 @@ object Sampling {
         org.apache.spark.sql.types.StructField(posName,
           org.apache.spark.sql.types.LongType, nullable = false))
     // zipWithIndex = one count job + the indexed pass; global order is
-    // the range-partition order, which is exactly the sort order above
+    // the range-partition order, which is exactly the sort order above.
+    // Persisted so the count job's execution feeds the data pass and
+    // later actions instead of re-running the sort's reduce side each
+    // time (map-side shuffle output is already reused across jobs, but
+    // the reduce-side sort is not); the ContextCleaner reclaims the
+    // blocks once the returned frame is unreachable.
     val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.createDataFrame(indexed, outSchema).drop("__shk")
   }
 
@@ -198,11 +203,11 @@ object Sampling {
       .repartition(col("shard"))
       .sortWithinPartitions(col(posName))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    // shard comes back via partition-directory inference (int-typed for
-    // small counts) — normalize before reading the scalar
-    val n = df.sparkSession.read.parquet(path)
-      .agg(max(col("shard").cast("long"))).head().getLong(0)
-    n + 1
+    // shard count from the shuffle itself (cached by deterministicShuffle,
+    // so this costs no recompute) — a read-back would crash on the
+    // empty-corpus case, where the write emits no data files at all
+    val total = shuffled.count()
+    (total + rowsPerShard - 1) / rowsPerShard
   }
 
   /** Per-stratum integer upsampling (epoch mixing): emit each row

@@ -178,8 +178,10 @@ object VersionedStore {
     * manifest is unreadable.
     */
   def stateAt(spark: SparkSession, table: String, version: Long): Option[State] =
+    // parse inside the Try: a truncated/corrupt manifest is "unreadable"
+    // per this method's contract, not a crash
     scala.util.Try(
-      graft.Fs.readString(spark, manifestPath(table, version))).toOption.map(parse)
+      parse(graft.Fs.readString(spark, manifestPath(table, version)))).toOption
 
   /** Data files sitting loose in the table root — the pre-manifest flat
     * layout (segment data lives under seg-* directories, never here).

@@ -367,7 +367,12 @@ object TextQueries {
     // exists for; the oracle recomputes commit 1's contents relationally.
     "store_time_travel" -> ((s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("ttravel").toString + "/t"
+      // fixed per-corpus dir, recreated per invocation (this entry
+      // MEASURES the two-commit + readAt sequence) — repeated runs must
+      // not accumulate temp stores
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-ttravel-${d.replaceAll("[^A-Za-z0-9]", "_")}/t"
+      graft.Fs.delete(s, root)
       val docs = documents(s, d).select($"doc_id", $"text")
       graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 === 0))
       graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 =!= 0))

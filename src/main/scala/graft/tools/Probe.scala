@@ -34,22 +34,10 @@ object Probe {
       ix.as("x").join(ix.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
         .select(col("x.id"), col("y.id")).distinct().count()
-    // the shipped candidate generation: prefix + length filter at the
-    // join + PPJoin positional filter (min-over-matches overlap bound
-    // vs required overlap α) — mirrors ngramJaccardPairs exactly
-    val tl = lit(t)
-    val filtered = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
-          col("x.sz") >= tl * col("y.sz") - lit(1e-9) &&
-          col("y.sz") >= tl * col("x.sz") - lit(1e-9))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (least(col("x.rk"), col("y.rk")) +
-          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("ob"),
-        ceil(tl / (tl + lit(1)) * (col("x.sz") + col("y.sz")) - lit(1e-9)).as("alpha"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("ob")).as("ob"), first(col("alpha")).as("alpha"))
-      .filter(col("ob") >= col("alpha"))
-      .count()
+    // the shipped candidate generation — the SAME ppjoinCandidates the
+    // library runs, so the measured formula cannot drift from it
+    val filtered = graft.ops.Dedup.ppjoinCandidates(prefix, prefix, t,
+      col("x.id") < col("y.id"), col("x.id"), col("y.id")).count()
     println(s"ngram_jaccard sf0.1 t=$t candidates: full-index=${candCount(full)} " +
       s"prefix=${candCount(prefix)} prefix+len+pos=$filtered")
     inv.unpersist()

@@ -191,8 +191,10 @@ object ScaleProbe {
     def quantProbe(path: String): Set[Long] = {
       val model = graft.ops.Ivf.loadModel(spark, graft.ops.Ivf.modelPath(path))
       val probes = model.probeOrder(qv).take(2).toSeq
+      // % 1000000: the N× shards clone the query vector at ids i*1e6 —
+      // the exclusion must match exactN's or recall is understated
       val st = graft.ops.VersionedStore.read(spark, path).get
-        .filter($"cluster_id".isin(probes: _*) && $"vec_id" =!= 0)
+        .filter($"cluster_id".isin(probes: _*) && $"vec_id" % 1000000 =!= 0)
       graft.ops.Quantize.knnQuantizedRescore(st, "vec_id", "embedding", qv, k = 10)
         .select($"vec_id").as[Long].collect().toSet
     }
