@@ -210,6 +210,56 @@ object Sampling {
     (total + rowsPerShard - 1) / rowsPerShard
   }
 
+  /** GPT-style sequence packing: concatenate documents in the seeded
+    * shuffle order and cut the stream into fixed `budget`-token training
+    * windows. Emits, per document: its shuffle `position`, its token
+    * `offset` in the concatenated stream, and the `first_window` /
+    * `last_window` it lands in (`offset div budget` /
+    * `(offset+tokens-1) div budget` — a document may straddle windows,
+    * exactly as pretraining packing does). Deterministic per
+    * (key, seed): any engine reproduces the same windows.
+    *
+    * Scale shape: the offset is a prefix sum over the shuffle order,
+    * computed with the same two-pass pattern as the position itself —
+    * per-partition token sums, a driver prefix-scan of ONE long per
+    * partition, then a per-partition running add. No
+    * window-over-everything: the plan's only wide step is the shuffle's
+    * own range exchange.
+    */
+  def packWindows(df: DataFrame, keyCol: String, tokensCol: String,
+                  budget: Long, seed: String,
+                  posName: String = "position"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val spark = df.sparkSession
+    val shuffled = deterministicShuffle(df, keyCol, seed, posName)
+      .withColumn(tokensCol, col(tokensCol).cast("long"))
+    val tokIdx = shuffled.columns.indexOf(tokensCol)
+    val rdd = shuffled.rdd
+    // pass 1: one long per partition crosses the driver, never data rows
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_.getLong(tokIdx)).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val starts = perPart.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(starts)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bc.value(i)
+      it.map { r =>
+        val t = r.getLong(tokIdx)
+        require(t >= 0, s"negative token count $t")
+        val off = run; run += t
+        Row.fromSeq(r.toSeq :+ off)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      shuffled.schema.fields :+
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(out, schema)
+      .withColumn("first_window", expr(s"offset div $budget"))
+      .withColumn("last_window",
+        expr(s"(offset + greatest(`$tokensCol` - 1, 0)) div $budget"))
+  }
+
   /** Per-stratum integer upsampling (epoch mixing): emit each row
     * `factors(stratum)` times (default `defaultFactor`), tagged 1..n in
     * `epochName`; factor 0 drops the stratum. The "2 epochs of

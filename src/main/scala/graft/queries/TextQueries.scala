@@ -144,6 +144,21 @@ object TextQueries {
         .orderBy($"doc_id", $"epoch")
     }),
 
+    // GPT-style sequence packing: concatenate the corpus in seeded
+    // shuffle order, cut into 512-token training windows — per doc its
+    // stream offset and first/last window (docs straddle windows, as
+    // pretraining packing does). Offsets via the two-pass prefix sum,
+    // no global window in the plan.
+    "pack_sequence_windows" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("tokens"))
+      graft.ops.Sampling.packWindows(docs, "doc_id", "tokens",
+          budget = 512, seed = "e0")
+        .select($"doc_id", $"position", $"offset", $"first_window", $"last_window")
+        .orderBy($"position")
+    }),
+
     // Test-set decontamination: docs doc_id < 20 stand in for the eval
     // set; corpus docs sharing any word 4-gram with them are dropped
     // (the leakage gate before training). Broadcast semi-join — the
@@ -545,6 +560,20 @@ object TextQueries {
         |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25
         |                      WHEN 'fr' THEN 15 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    "pack_sequence_windows" ->
+      """SELECT doc_id, position, "offset",
+        |  "offset" // 512 AS first_window,
+        |  ("offset" + greatest(tokens - 1, 0)) // 512 AS last_window
+        |FROM (
+        |  SELECT doc_id, tokens,
+        |    row_number() OVER w AS position,
+        |    coalesce(sum(tokens) OVER (
+        |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+        |  FROM (SELECT doc_id,
+        |          len(regexp_split_to_array(text, '\s+'))::BIGINT AS tokens
+        |        FROM documents)
+        |  WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':e0'), doc_id))
+        |ORDER BY position""".stripMargin,
     "shuffle_deterministic" ->
       """SELECT doc_id, row_number() OVER (
         |    ORDER BY md5(doc_id::VARCHAR || ':epoch0'), doc_id) AS position

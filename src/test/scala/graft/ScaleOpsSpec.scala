@@ -992,6 +992,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!upPlan.contains("Exchange"), s"upsample must be map-side:\n$upPlan")
   }
 
+  test("sequence packing: contiguous offsets, straddling windows, partitioning-invariant") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("tokens"))
+    def run(parts: Int) = Sampling.packWindows(docs.repartition(parts), "doc_id",
+        "tokens", budget = 100, seed = "e0")
+      .select($"doc_id", $"position", $"tokens", $"offset", $"first_window", $"last_window")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    val got = run(13)
+    assert(got == run(1), "packing must not depend on partitioning")
+    // the concatenated stream: each doc starts where the previous ended
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 == a._4 + a._3, s"offset gap between position ${a._2} and ${b._2}")
+    }
+    assert(got.head._4 == 0L, "stream starts at offset 0")
+    // window arithmetic: first = offset div B, last covers the doc's end
+    got.foreach { case (_, _, t, off, fw, lw) =>
+      assert(fw == off / 100 && lw == (off + math.max(t - 1, 0)) / 100)
+    }
+    // with 100-token budget and multi-hundred-token docs, straddles exist
+    assert(got.exists(r => r._6 > r._5), "fixture must exercise window straddling")
+  }
+
   test("training shards: uniform sizes, loader order inside each file, one file per shard") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, sf).select($"doc_id")
