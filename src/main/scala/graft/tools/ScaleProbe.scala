@@ -266,6 +266,14 @@ object ScaleProbe {
       time(graft.ops.Sampling.deterministicShuffle(
         docsN.select($"doc_id"), "doc_id", "e0").count()))
 
+    // Sequence packing: shuffle + two-pass prefix sum — ideal N× rows
+    // at ≈ N× wall (the only wide step is the shuffle's range exchange)
+    def pack(docs: DataFrame) = graft.ops.Sampling.packWindows(
+      docs.select($"doc_id", size(split($"text", "\\s+")).cast("long").as("tokens")),
+      "doc_id", "tokens", budget = 512, seed = "e0").count()
+    report("pack_sequence_windows",
+      time(pack(docs1)), time(pack(docsN)))
+
     // Cross-corpus join: left fixed (one shard), right grows N× — ideal
     // candidates/pairs ≈ N× of the 1× cross slice, time ≈ N×
     report("crosscorpus_jaccard",
