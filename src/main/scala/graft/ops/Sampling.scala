@@ -106,7 +106,17 @@ object Sampling {
     * window-over-everything, no driver collect of data rows.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String,
-                           posName: String = "position"): DataFrame = {
+                           posName: String = "position"): DataFrame =
+    shuffleIndexed(df, keyCol, seed, posName)._1
+
+  /** [[deterministicShuffle]] plus a handle on its persisted backing RDD
+    * so multi-action callers ([[writeShards]]) can unpersist explicitly
+    * once done; other callers rely on the ContextCleaner reclaiming the
+    * blocks when the returned frame becomes unreachable.
+    */
+  private def shuffleIndexed(df: DataFrame, keyCol: String, seed: String,
+                             posName: String)
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val sorted = df
       .withColumn("__shk",
         md5(concat(checkedKey(keyCol, "deterministicShuffle"), lit(":" + seed))
@@ -122,12 +132,11 @@ object Sampling {
     // Persisted so the count job's execution feeds the data pass and
     // later actions instead of re-running the sort's reduce side each
     // time (map-side shuffle output is already reused across jobs, but
-    // the reduce-side sort is not); the ContextCleaner reclaims the
-    // blocks once the returned frame is unreachable.
+    // the reduce-side sort is not).
     val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spark.createDataFrame(indexed, outSchema).drop("__shk")
+    (spark.createDataFrame(indexed, outSchema).drop("__shk"), indexed)
   }
 
   /** The hash key as a string, with nulls rejected IN the expression
@@ -195,7 +204,7 @@ object Sampling {
                   rowsPerShard: Long, path: String,
                   posName: String = "position"): Long = {
     require(rowsPerShard >= 1, "rowsPerShard must be >= 1")
-    val shuffled = deterministicShuffle(df, keyCol, seed, posName)
+    val (shuffled, backing) = shuffleIndexed(df, keyCol, seed, posName)
     shuffled
       // integer `div`, not `/`: Column./ on longs is DOUBLE division,
       // exact only below 2^53 — div is exact at any position
@@ -203,10 +212,11 @@ object Sampling {
       .repartition(col("shard"))
       .sortWithinPartitions(col(posName))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    // shard count from the shuffle itself (cached by deterministicShuffle,
-    // so this costs no recompute) — a read-back would crash on the
-    // empty-corpus case, where the write emits no data files at all
+    // shard count from the shuffle itself (cached, so no recompute) — a
+    // read-back would crash on the empty-corpus case, where the write
+    // emits no data files at all
     val total = shuffled.count()
+    backing.unpersist(blocking = false) // both actions done; release now
     (total + rowsPerShard - 1) / rowsPerShard
   }
 
@@ -217,7 +227,10 @@ object Sampling {
     * `last_window` it lands in (`offset div budget` /
     * `(offset+tokens-1) div budget` — a document may straddle windows,
     * exactly as pretraining packing does). Deterministic per
-    * (key, seed): any engine reproduces the same windows.
+    * (key, seed): any engine reproduces the same windows — which
+    * requires UNIQUE keys, as duplicate keys tie in the order and their
+    * relative placement (hence their offsets) is partition-dependent;
+    * after [[upsampleByStratum]], key on (id, epoch).
     *
     * Scale shape: the offset is a prefix sum over the shuffle order,
     * computed with the same two-pass pattern as the position itself —
@@ -235,16 +248,23 @@ object Sampling {
       .withColumn(tokensCol, col(tokensCol).cast("long"))
     val tokIdx = shuffled.columns.indexOf(tokensCol)
     val rdd = shuffled.rdd
+    // a null token count would unbox to 0L and silently shift every
+    // later offset — reject loudly, like checkedKey does for null keys
+    def tok(r: Row): Long = {
+      require(!r.isNullAt(tokIdx),
+        s"packWindows: null $tokensCol — every document needs a token count")
+      r.getLong(tokIdx)
+    }
     // pass 1: one long per partition crosses the driver, never data rows
     val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator((i, it.map(_.getLong(tokIdx)).sum))
+      Iterator((i, it.map(tok).sum))
     }.collect().sortBy(_._1).map(_._2)
     val starts = perPart.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(starts)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var run = bc.value(i)
       it.map { r =>
-        val t = r.getLong(tokIdx)
+        val t = tok(r)
         require(t >= 0, s"negative token count $t")
         val off = run; run += t
         Row.fromSeq(r.toSeq :+ off)

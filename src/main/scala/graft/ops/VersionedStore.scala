@@ -162,9 +162,11 @@ object VersionedStore {
     * eager missing-path failure.
     */
   def readAt(spark: SparkSession, table: String, version: Long): Option[DataFrame] = {
-    val json = scala.util.Try(
-      graft.Fs.readString(spark, manifestPath(table, version))).toOption
-    json.map(parse).filter(_.segments.nonEmpty)
+    // parse inside the Try (as in stateAt): a torn manifest is
+    // "unreadable" per the contract above, never an eager crash
+    val json = scala.util.Try(parse(
+      graft.Fs.readString(spark, manifestPath(table, version)))).toOption
+    json.filter(_.segments.nonEmpty)
       .filter(_.segments.forall(s => graft.Fs.exists(spark, s"$table/$s")))
       .map(st => readState(spark, table, st))
   }

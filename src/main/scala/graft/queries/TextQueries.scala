@@ -382,11 +382,14 @@ object TextQueries {
     // exists for; the oracle recomputes commit 1's contents relationally.
     "store_time_travel" -> ((s, d) => {
       import s.implicits._
-      // fixed per-corpus dir, recreated per invocation (this entry
-      // MEASURES the two-commit + readAt sequence) — repeated runs must
-      // not accumulate temp stores
+      // fixed per-corpus-per-PROCESS dir, recreated per invocation (this
+      // entry MEASURES the two-commit + readAt sequence): repeated runs
+      // inside one process reuse-and-replace one dir instead of leaking
+      // tempdirs, and the pid keeps concurrent drivers (bench racing
+      // verify) off each other's store
       val root = java.lang.System.getProperty("java.io.tmpdir") +
-        s"/graft-ttravel-${d.replaceAll("[^A-Za-z0-9]", "_")}/t"
+        s"/graft-ttravel-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
       graft.Fs.delete(s, root)
       val docs = documents(s, d).select($"doc_id", $"text")
       graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 === 0))
