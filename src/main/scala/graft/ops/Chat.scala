@@ -114,8 +114,9 @@ object Chat {
       * `fetchKPerLeg`, fused by reciprocal rank ([[Keyword.rrfFuse]],
       * constant `c`) — the production retrieval shape the reference's
       * vector-only dispatch lacks. `terms` derives the lexical leg's
-      * term set from the REWRITTEN query (default: lowercase whitespace
-      * tokens); a question yielding no terms degrades to the vector leg
+      * term set from the REWRITTEN query (default: case-preserved
+      * whitespace tokens — see [[Hybrid.whitespaceTerms]]); a
+      * question yielding no terms degrades to the vector leg
       * alone. Without `lexicalIndexPath` the lexical leg scans the
       * store once per request batch ([[Keyword.bm25BatchRank]] in the
       * batch path); with it, the leg ranks from the maintained

@@ -52,15 +52,19 @@ object Ivf {
     */
   def modelPath(table: String): String = s"$table/_ivf_model"
 
-  // a (table, manifest version, model fingerprint) triple that passed
-  // the full guard once cannot regress without a NEW manifest commit
-  // (every mutation through the public API — appendAssigned, indexStore,
-  // streaming appends — publishes a version, and indexStore writes its
-  // sidecar only after its swap commits), so repeated probes at the same
-  // version cost one tiny state read instead of a sidecar read plus
-  // O(live segments) exists() round trips per probe
+  // a (table, manifest version, manifest mtime, model fingerprint) tuple
+  // that passed the full guard once cannot regress without a NEW manifest
+  // commit (every mutation through the public API — appendAssigned,
+  // indexStore, streaming appends — publishes a version, and indexStore
+  // writes its sidecar only after its swap commits), so repeated probes
+  // at the same version cost two tiny FS reads instead of a sidecar read
+  // plus O(live segments) exists() round trips per probe. The mtime term
+  // covers the one hole version numbers leave: an out-of-band
+  // delete-and-recreate of the table restarts numbering, and a long-lived
+  // driver that memoized the ORIGINAL v3 must not skip the per-segment
+  // stamp check against the recreated store's v3.
   private val guardPassed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, Long, String)]()
   /** Count of full (non-memoized) guard evaluations — test observability. */
   private[graft] val guardFullChecks = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -76,7 +80,8 @@ object Ivf {
     */
   def requireModelMatch(spark: SparkSession, table: String, model: IvfModel): Unit = {
     val state = VersionedStore.currentState(spark, table)
-    val key = state.map(st => (table, st.version, model.fingerprint))
+    val key = state.map(st => (table, st.version,
+      VersionedStore.manifestModTime(spark, table, st.version), model.fingerprint))
     if (key.exists(guardPassed.contains)) return
     guardFullChecks.incrementAndGet()
     val path = modelPath(table)

@@ -367,20 +367,44 @@ object Keyword {
     registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
       maintenanceLock(table).synchronized {
         val statsPath = s"$idx/_stats"
-        val provablyExact = files > 0 && post.version == preVersion + 1 &&
-          post.segments.size == 1 && graft.Fs.exists(spark, statsPath) && {
-            val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
-            stats.length >= 4 && stats(3) == s"v$preVersion"
+        def stamp: Option[String] =
+          if (!graft.Fs.exists(spark, statsPath)) None
+          else {
+            val st = graft.Fs.readString(spark, statsPath).trim.split(" ")
+            if (st.length >= 4) Some(st(3)) else None
           }
-        if (provablyExact) {
-          val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
-          graft.Fs.writeString(spark, statsPath,
-            s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
-        } else {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"compaction of $table not provably row-preserving for the registered " +
-              s"index $idx; rebuilding")
-          buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
+        // an abandoned compaction (files == 0: the in-flight rewrite lost
+        // its race and committed nothing) changed neither rows nor version
+        // — an index fresh at the current version needs no maintenance,
+        // and rebuilding here would risk failing an operation that
+        // already (vacuously) succeeded
+        if (files == 0 && stamp.contains(s"v${post.version}")) ()
+        else {
+          val provablyExact = files > 0 && post.version == preVersion + 1 &&
+            post.segments.size == 1 && stamp.contains(s"v$preVersion")
+          if (provablyExact) {
+            val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
+            graft.Fs.writeString(spark, statsPath,
+              s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
+          } else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"compaction of $table not provably row-preserving for the registered " +
+                s"index $idx; rebuilding")
+            // same catch-and-warn contract as maintainRegisteredIndex: the
+            // store operation this maintenance rides on has ALREADY
+            // committed, so a mid-rebuild concurrent commit must degrade
+            // to a loudly-stale index (healed by the next seam append),
+            // never fail the committed operation retroactively
+            try buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
+            catch {
+              case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                        _: java.io.FileNotFoundException) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"post-compaction rebuild of $idx failed (${e.getMessage}); " +
+                    "index left stale — the staleness guard refuses to serve it " +
+                    "until the next append's maintenance heals it")
+            }
+          }
         }
       }
     }
@@ -465,8 +489,14 @@ object Keyword {
                               queryTerms: Seq[String],
                               store: Option[String]): (Long, Double, DataFrame) = {
     val stats = graft.Fs.readString(spark, s"$indexPath/_stats").trim.split(" ")
+    // pre-dl-on-posting indexes wrote a 3-field _stats and a doclen/ dir;
+    // serving one would die deep in Catalyst on the missing `dl` posting
+    // column — detect the layout here and name the remedy instead
+    require(stats.length >= 4 && !graft.Fs.exists(spark, s"$indexPath/doclen"),
+      s"old lexical index format at $indexPath (3-field _stats / separate doclen " +
+        "directory, predating dl-on-posting) — rebuild with buildLexicalIndex")
     val (nDocs, sumdl, buckets) = (stats(0).toLong, stats(1).toLong, stats(2).toInt)
-    val stamp = if (stats.length >= 4) stats(3) else "-"
+    val stamp = stats(3)
     store.foreach { t =>
       require(stamp.startsWith("v"),
         s"lexical index at $indexPath carries no store stamp — it was not built " +

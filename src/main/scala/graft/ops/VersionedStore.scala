@@ -119,6 +119,17 @@ object VersionedStore {
   def liveSegments(spark: SparkSession, table: String): Seq[String] =
     currentState(spark, table).map(_.segments).getOrElse(Nil)
 
+  /** Modification time of the committed manifest file for `version`
+    * (0 if absent). A cheap table-incarnation proxy: an out-of-band
+    * delete-and-recreate of the table restarts version NUMBERING, but
+    * cannot reproduce the original manifest file's mtime — so a cache
+    * keyed on (version, mtime) cannot mistake the recreated store's
+    * v3 for the one it validated.
+    */
+  def manifestModTime(spark: SparkSession, table: String, version: Long): Long =
+    if (!graft.Fs.exists(spark, manifestPath(table, version))) 0L
+    else graft.Fs.modTime(spark, manifestPath(table, version))
+
   /** Latest committed state, if any manifest exists. Zero-padded version
     * numbers make the lexicographic max the numeric max.
     */

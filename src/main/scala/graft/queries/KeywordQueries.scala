@@ -34,11 +34,15 @@ object KeywordQueries {
       idx
     })
 
-  // the build entry overwrites ONE fixed dir per corpus (build is
-  // mode("overwrite")), so repeated bench runs measure a fresh build
-  // without accumulating temp dirs
+  // the build entry overwrites ONE fixed dir per corpus PER PROCESS
+  // (build is mode("overwrite")), so repeated bench runs measure a fresh
+  // build without accumulating temp dirs — and the pid keeps concurrent
+  // drivers (bench racing verify) off each other's postings, exactly the
+  // store_time_travel treatment: a shared dir let another JVM's overwrite
+  // race this one's read and flake the hash
   private def buildDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-lexidx-${Integer.toHexString(d.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft-lexidx-" +
+      s"${Integer.toHexString(d.hashCode)}-${java.lang.ProcessHandle.current().pid()}"
 
   /** The BM25 CTE pipeline in DuckDB SQL, mirroring [[Keyword.bm25]]
     * term by term. Constants are interpolated from the SAME Scala
