@@ -109,8 +109,28 @@ object Ingest {
     * flat segment landing in a clustered store fails the next read
     * loudly (strict union), and this is the seam that prevents it.
     */
+  /** The append seam's cluster-drift advisory: after an append into an
+    * IVF-indexed store, the largest-cluster load vs the balanced ideal,
+    * and whether a re-index is advised at `threshold`. Continuous-ingest
+    * users read the LAST advisory per table here ([[driftAdvisory]])
+    * instead of polling [[Ivf.needsReindex]] themselves; crossing the
+    * threshold is also WARN-logged by the seam.
+    */
+  final case class DriftAdvisory(table: String, imbalance: Double,
+                                 threshold: Double) {
+    def reindexAdvised: Boolean = imbalance > threshold
+  }
+  private val driftAdvisories =
+    new java.util.concurrent.ConcurrentHashMap[String, DriftAdvisory]()
+  /** Latest [[DriftAdvisory]] the seam computed for `table` (this JVM) —
+    * None before the first post-append check or for unindexed stores.
+    */
+  def driftAdvisory(table: String): Option[DriftAdvisory] =
+    Option(driftAdvisories.get(table))
+
   def appendRespectingLayout(spark: SparkSession, table: String, df: DataFrame,
-                             embCol: String = "embedding"): Long = {
+                             embCol: String = "embedding",
+                             driftThreshold: Double = 4.0): Long = {
     // a quantized store ([[Quantize.quantizeStore]]) carries four extra
     // columns on every row; appending bare rows would fail every
     // subsequent read on the strict union — derive them on the way in
@@ -119,15 +139,31 @@ object Ingest {
         Quantize.withQuantized(df,
           graft.Fs.readString(spark, Quantize.markerPath(table)).trim)
       else df
+    val indexed = graft.Fs.exists(spark, Ivf.modelPath(table))
     val n =
-      if (graft.Fs.exists(spark, Ivf.modelPath(table)))
-        Ivf.appendAssigned(spark, table, df2, embCol)
+      if (indexed) Ivf.appendAssigned(spark, table, df2, embCol)
       else VersionedStore.appendNonEmpty(spark, table, df2)
     // a registered lexical index ([[Keyword.registerLexicalIndex]]) is
     // maintained by the same seam: the committed rows fold in at
     // O(new docs), so continuous ingestion — batch and streaming — never
     // trips the query-time staleness guard
     if (n > 0) Keyword.maintainRegisteredIndex(spark, table)
+    // drift advisory: the model is frozen at fit time, so drifted
+    // appends pile into few clusters and the nProbe/k probe-cost model
+    // quietly erodes — surface it at the write, when the erosion
+    // happens, not at the probe, when it is already paid. One
+    // partition-column-only aggregation per committed append.
+    if (n > 0 && indexed) {
+      Ivf.imbalanceRatio(spark, table).foreach { ratio =>
+        val adv = DriftAdvisory(table, ratio, driftThreshold)
+        driftAdvisories.put(adv.table, adv): Unit
+        if (adv.reindexAdvised)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"IVF store $table drifted: largest cluster at ${ratio}%.2fx the " +
+              f"balanced load (threshold ${driftThreshold}%.1fx) — probe-time " +
+              "pruning is eroding; re-run Ivf.indexStore")
+      }
+    }
     n
   }
 

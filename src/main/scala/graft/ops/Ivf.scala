@@ -144,13 +144,24 @@ object Ivf {
   def needsReindex(spark: SparkSession, table: String,
                    maxImbalance: Double = 4.0): Boolean = {
     require(maxImbalance >= 1.0, "maxImbalance is a ratio >= 1")
+    imbalanceRatio(spark, table).exists(_ > maxImbalance)
+  }
+
+  /** Largest-cluster load relative to the balanced ideal `total/k` —
+    * the number [[needsReindex]] thresholds and the append seam's drift
+    * advisory reports. None for an empty store. One partition-column
+    * aggregation (metadata-cheap, reads zero data columns).
+    */
+  def imbalanceRatio(spark: SparkSession, table: String): Option[Double] = {
     val model = loadModel(spark, modelPath(table))
     val stats = clusterStats(spark, table)
       .filter(col("cluster_id").isNotNull)
       .agg(sum(col("n")), max(col("n"))).head()
-    if (stats.isNullAt(0)) return false // empty store: nothing to probe
-    val (total, largest) = (stats.getLong(0), stats.getLong(1))
-    largest > maxImbalance * (total.toDouble / model.k)
+    if (stats.isNullAt(0)) None // empty store: nothing to probe
+    else {
+      val (total, largest) = (stats.getLong(0), stats.getLong(1))
+      Some(largest / (total.toDouble / model.k))
+    }
   }
 
   /** Assign each row its nearest centroid id. Fully narrow: one

@@ -410,6 +410,21 @@ object TextQueries {
     // octet_length); the rest are constant-truth contract bits —
     // contiguous 0..n-1 indices, hex-exact reassembly to the original
     // payload, unit-L2 features from the stub decoder.
+    // S1/S11 front door, end to end on REAL PDF bytes: the committed
+    // fixture PDFs (fixtures/pdf, regenerated deterministically by
+    // Test/runMain graft.GenPdfFixtures, byte-asserted in PdfSpec) are
+    // parsed by the pure-JVM PdfCodec — object scan, page tree,
+    // FlateDecode, Tj/TJ/'/T* text ops — one row per page in page-tree
+    // order. The oracle pins the expected page texts as literals: the
+    // engine side must EXTRACT them from the binary.
+    "pdf_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources.readPdf(s, "/root/repo/fixtures/pdf/*.pdf")
+        .select($"doc_id", $"text",
+          element_at($"metadata", "page").cast("long").as("page"))
+        .orderBy($"doc_id")
+    }),
+
     "multimodal_segment_invariants" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
@@ -474,6 +489,17 @@ object TextQueries {
         |  true AS covers_first_word, true AS covers_last_word,
         |  true AS gaps_whitespace_only, true AS advances
         |FROM documents WHERE regexp_matches(text, '\S') ORDER BY doc_id""".stripMargin,
+    // the expected page texts as literals — the engine side must extract
+    // them from the committed PDF binaries (PdfSpec byte-asserts the
+    // fixtures against the deterministic generator)
+    "pdf_extract" ->
+      """SELECT doc_id, text, page FROM (VALUES
+        |  ('flate_p0', 'Compressed alpha alpha alpha alpha', 0::BIGINT),
+        |  ('flate_p1', 'part one' || chr(10) || 'part two', 1::BIGINT),
+        |  ('flate_p2', 'first' || chr(10) || 'second', 2::BIGINT),
+        |  ('manual_p0', 'Hello, (graft) World!' || chr(10) || '50% off & more', 0::BIGINT),
+        |  ('manual_p1', 'Spark extracts page two' || chr(10) || 'hex string', 1::BIGINT)
+        |) t(doc_id, text, page) ORDER BY doc_id""".stripMargin,
     // segment count and byte totals recomputed independently from the
     // payload length; the contract bits are constant-truth
     "multimodal_segment_invariants" ->

@@ -120,13 +120,17 @@ object DocumentSources {
       .select(col("doc_id"), col("section_idx"), col("header"), col("text"))
   }
 
-  /** S1: PDF — binaryFile plumbing with a pluggable page extractor. The
-    * extractor is STUBBED (no PDF codec in this container): the default
-    * fake treats the payload as latin-1 text pages split on form-feed,
-    * preserving the one-row-per-page contract a real extractor has.
+  /** S1: PDF — one row per page in page-tree order (the reference's
+    * `PyPDFLoader` contract, `embedding.py:180-181`). The default
+    * extractor is [[PdfCodec.extractPages]], a self-contained pure-JVM
+    * parser (xref-free object scan → page tree → FlateDecode → Tj/TJ/'/"
+    * text operators); the parameter stays a pluggable seam for corpora
+    * needing a heavier codec (scanned/OCR, exotic CID fonts). Parsing is
+    * per FILE inside the binaryFile scan — the work distributes with the
+    * files.
     */
   def readPdf(spark: SparkSession, pathGlob: String,
-              extractPages: Array[Byte] => Seq[String] = FakePdfExtractor): DataFrame = {
+              extractPages: Array[Byte] => Seq[String] = PdfCodec.extractPages): DataFrame = {
     import spark.implicits._
     val ex = udf(extractPages)
     spark.read.format("binaryFile").load(pathGlob)

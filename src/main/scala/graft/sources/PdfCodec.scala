@@ -1,0 +1,460 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal pure-JVM PDF text extractor: one string per page, in page-tree
+  * order — the contract of the reference's ingestion front door
+  * (`PyPDFLoader`, one Document per page,
+  * `/root/reference/src/server/utils/embedding.py:180-181`), re-homed as
+  * a self-contained parser so [[DocumentSources.readPdf]] needs no codec
+  * dependency in the container.
+  *
+  * Scope (deliberately the common denominator of machine-written PDFs):
+  *   - classic cross-reference tables AND xref-stream files (objects are
+  *     discovered by a full `N G obj` scan, so both layouts parse; the
+  *     trailer/catalog is located structurally, not via offsets — a
+  *     damaged or split xref cannot hide pages);
+  *   - object graph: dicts, arrays, names, numbers, booleans, null,
+  *     literal + hex strings, indirect references (including indirect
+  *     `/Length`), streams;
+  *   - filters: `FlateDecode` (java.util.zip.Inflater) and unfiltered;
+  *     anything else fails loudly with the filter name;
+  *   - text operators inside content streams: `Tj`, `'`, `"`, `TJ`
+  *     (strings concatenated; kerning numbers ignored), line breaks from
+  *     `T*`/`Td`/`TD` (dy ≠ 0) — the same order-of-appearance extraction
+  *     a layout-free extractor performs. Font `/Encoding` maps are NOT
+  *     applied: bytes decode as PDFDoc/Latin-1, UTF-16BE for BOM-tagged
+  *     strings — correct for the standard-font PDFs the reference
+  *     ingests, and the accepted failure mode (garbled exotic CID text,
+  *     never a crash) degrades the same way `pypdf` without font data
+  *     does.
+  *
+  * Parsing is per-FILE inside a `binaryFile` scan, so the work
+  * distributes with the files; a 100 TB corpus is many PDFs, not one.
+  */
+object PdfCodec {
+
+  private final case class Name(v: String)
+  private final case class Ref(n: Long, g: Long)
+  private final case class Str(bytes: Array[Byte])
+  /** A stream object: its dict plus the byte offset where data starts. */
+  private final case class StreamObj(dict: Map[String, Any], dataStart: Int)
+
+  /** Extract page texts from raw PDF bytes. Throws IllegalArgumentException
+    * on structurally un-parseable input (not a PDF, unsupported filter).
+    */
+  def extractPages(bytes: Array[Byte]): Seq[String] = {
+    // latin-1 maps bytes 0-255 to chars 0-255 one to one, so string
+    // indexes ARE byte offsets — binary stream payloads pass through
+    // undamaged and substring slicing stays exact
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    require(s.startsWith("%PDF-"), "not a PDF (missing %PDF- header)")
+    val objects = scanObjects(s)
+    val catalog = findCatalog(s, objects)
+    val pagesRef = catalog.get("Pages") match {
+      case Some(r: Ref) => r
+      case other => throw new IllegalArgumentException(s"catalog has no /Pages ref: $other")
+    }
+    val pages = collectPages(pagesRef, objects, new scala.collection.mutable.HashSet[Ref])
+    pages.map { page =>
+      val content = page.get("Contents") match {
+        case Some(r: Ref) => decodedStream(r, objects, s)
+        case Some(a: Vector[Any] @unchecked) =>
+          a.collect { case r: Ref => decodedStream(r, objects, s) }.mkString("\n")
+        case _ => ""
+      }
+      extractText(content)
+    }
+  }
+
+  // ---- object scan ----------------------------------------------------
+
+  private val ObjRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
+
+  /** Every `N G obj` body in the file, parsed. Later definitions of the
+    * same (N, G) win — incremental-update files append the live version.
+    */
+  private def scanObjects(s: String): Map[Ref, Any] = {
+    val out = scala.collection.mutable.LinkedHashMap[Ref, Any]()
+    for (m <- ObjRe.findAllMatchIn(s)) {
+      // an "N G obj" matched inside a stream payload is possible in
+      // principle; a failed parse there must not kill the real objects
+      try {
+        val p = new Parser(s, m.end)
+        val v = p.parseValue()
+        p.ws()
+        val value =
+          if (s.startsWith("stream", p.i)) {
+            v match {
+              case d: Map[String, Any] @unchecked =>
+                var ds = p.i + "stream".length
+                if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+                if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+                StreamObj(d, ds)
+              case _ => v
+            }
+          } else v
+        out(Ref(m.group(1).toLong, m.group(2).toLong)) = value
+      } catch { case _: Exception => () }
+    }
+    out.toMap
+  }
+
+  /** The document catalog: last `trailer` dict's /Root when present
+    * (classic xref), else the unique object with /Type /Catalog
+    * (xref-stream files carry the trailer inside the xref stream's dict,
+    * which this offset-free parser does not read).
+    */
+  private def findCatalog(s: String, objects: Map[Ref, Any]): Map[String, Any] = {
+    val trailerRoots =
+      """trailer""".r.findAllMatchIn(s).toSeq.reverseIterator.flatMap { m =>
+        try {
+          val p = new Parser(s, m.end)
+          p.parseValue() match {
+            case d: Map[String, Any] @unchecked => d.get("Root").collect { case r: Ref => r }
+            case _ => None
+          }
+        } catch { case _: Exception => None }
+      }
+    val rootRef = trailerRoots.flatMap(r => objects.get(r).map(_ => r)).take(1).toSeq.headOption
+    val cat = rootRef.map(resolve(_, objects)).orElse {
+      objects.values.collectFirst {
+        case d: Map[String, Any] @unchecked if d.get("Type").contains(Name("Catalog")) => d
+      }
+    }
+    cat match {
+      case Some(d: Map[String, Any] @unchecked) => d
+      case _ => throw new IllegalArgumentException("no document catalog found")
+    }
+  }
+
+  private def resolve(v: Any, objects: Map[Ref, Any]): Any = v match {
+    case r: Ref => objects.getOrElse(r,
+      throw new IllegalArgumentException(s"dangling object reference $r"))
+    case other => other
+  }
+
+  /** Depth-first page-tree walk: /Pages nodes recurse through /Kids in
+    * order, /Page leaves collect — cycle-guarded (a malformed tree is a
+    * loud error, not an infinite loop).
+    */
+  private def collectPages(ref: Ref, objects: Map[Ref, Any],
+                           seen: scala.collection.mutable.HashSet[Ref]): Vector[Map[String, Any]] = {
+    require(seen.add(ref), s"cycle in page tree at $ref")
+    resolve(ref, objects) match {
+      case d: Map[String, Any] @unchecked =>
+        d.get("Type") match {
+          case Some(Name("Page")) => Vector(d)
+          case _ =>
+            d.get("Kids") match {
+              case Some(kids: Vector[Any] @unchecked) =>
+                kids.collect { case r: Ref => r }
+                  .flatMap(collectPages(_, objects, seen)).toVector
+              case _ => Vector.empty
+            }
+        }
+      case _ => Vector.empty
+    }
+  }
+
+  // ---- stream decoding ------------------------------------------------
+
+  private def decodedStream(ref: Ref, objects: Map[Ref, Any], s: String): String =
+    resolve(ref, objects) match {
+      case StreamObj(dict, dataStart) =>
+        val len = resolve(dict.getOrElse("Length",
+          throw new IllegalArgumentException("stream without /Length")), objects) match {
+          case n: Long => n.toInt
+          case n: Double => n.toInt
+          case other => throw new IllegalArgumentException(s"bad /Length: $other")
+        }
+        val raw = new Array[Byte](len)
+        var k = 0
+        while (k < len) { raw(k) = s.charAt(dataStart + k).toByte; k += 1 }
+        val filters = dict.get("Filter") match {
+          case None => Nil
+          case Some(Name(f)) => Seq(f)
+          case Some(a: Vector[Any] @unchecked) => a.collect { case Name(f) => f }
+          case Some(other) => throw new IllegalArgumentException(s"bad /Filter: $other")
+        }
+        val decoded = filters.foldLeft(raw) {
+          case (data, "FlateDecode") => inflate(data)
+          case (_, f) =>
+            throw new IllegalArgumentException(s"unsupported stream filter /$f — " +
+              "PdfCodec handles FlateDecode and unfiltered streams")
+        }
+        new String(decoded, StandardCharsets.ISO_8859_1)
+      case other =>
+        throw new IllegalArgumentException(s"content ref $ref is not a stream: $other")
+    }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) {
+          throw new IllegalArgumentException("truncated FlateDecode stream")
+        }
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt FlateDecode stream: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  // ---- content-stream text extraction ---------------------------------
+
+  /** Order-of-appearance text from one decoded content stream. */
+  private[sources] def extractText(content: String): String = {
+    val sb = new StringBuilder
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    val p = new Parser(content, 0)
+    // operand stack: operators consume what precedes them
+    val operands = scala.collection.mutable.ArrayBuffer[Any]()
+    while (p.hasMore) {
+      p.ws()
+      if (!p.hasMore) ()
+      else if (p.peekDelim) {
+        try operands += p.parseValue()
+        catch { case _: Exception => p.i += 1 } // skip junk byte, keep going
+      } else {
+        val op = p.parseBareWord()
+        op match {
+          case "Tj" =>
+            operands.lastOption.collect { case t: Str => sb.append(decodeString(t)) }: Unit
+          case "'" =>
+            newline()
+            operands.lastOption.collect { case t: Str => sb.append(decodeString(t)) }: Unit
+          case "\"" =>
+            newline()
+            operands.lastOption.collect { case t: Str => sb.append(decodeString(t)) }: Unit
+          case "TJ" =>
+            operands.lastOption.collect { case a: Vector[Any] @unchecked =>
+              a.foreach { case t: Str => sb.append(decodeString(t)); case _ => () }
+            }: Unit
+          case "T*" => newline()
+          // each BT..ET text object is a block: break between blocks
+          // (consecutive Tj inside one object stay on one line)
+          case "ET" => newline()
+          case "Td" | "TD" =>
+            // dy is the last-but-zero operand pair: [tx ty Td]
+            val dy = operands.takeRight(1).headOption
+            dy match {
+              case Some(n: Long) if n != 0L => newline()
+              case Some(n: Double) if n != 0.0 => newline()
+              case _ => ()
+            }
+          case "BI" =>
+            // inline image: skip to EI (binary payload would desync the lexer)
+            val ei = content.indexOf("EI", p.i)
+            p.i = if (ei < 0) content.length else ei + 2
+          case _ => ()
+        }
+        operands.clear()
+      }
+    }
+    sb.result().trim
+  }
+
+  /** PDF string bytes → text: UTF-16BE when BOM-tagged, else
+    * PDFDocEncoding ≈ Latin-1.
+    */
+  private def decodeString(t: Str): String =
+    if (t.bytes.length >= 2 && (t.bytes(0) & 0xff) == 0xfe && (t.bytes(1) & 0xff) == 0xff)
+      new String(t.bytes, 2, t.bytes.length - 2, StandardCharsets.UTF_16BE)
+    else new String(t.bytes, StandardCharsets.ISO_8859_1)
+
+  // ---- recursive-descent value parser ---------------------------------
+
+  /** Parses one COS value at `i`; shared by the object scan, trailer
+    * dicts, and the content-stream tokenizer.
+    */
+  private final class Parser(s: String, var i: Int) {
+    def hasMore: Boolean = i < s.length
+
+    def ws(): Unit = {
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) i += 1
+        else if (c == '%') { while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1 }
+        else return
+      }
+    }
+
+    /** True when the next token is a VALUE start (not an operator word). */
+    def peekDelim: Boolean = {
+      val c = s.charAt(i)
+      c == '<' || c == '[' || c == '(' || c == '/' || c == '+' || c == '-' ||
+        c == '.' || (c >= '0' && c <= '9')
+    }
+
+    def parseValue(): Any = {
+      ws()
+      require(i < s.length, "unexpected end of input")
+      s.charAt(i) match {
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => parseDict()
+        case '<' => parseHexString()
+        case '[' => parseArray()
+        case '(' => parseLiteralString()
+        case '/' => parseName()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') => parseNumberOrRef()
+        case _ =>
+          parseBareWord() match {
+            case "true" => true
+            case "false" => false
+            case "null" => null
+            case w => throw new IllegalArgumentException(s"unexpected token '$w' at $i")
+          }
+      }
+    }
+
+    def parseBareWord(): String = {
+      val start = i
+      while (i < s.length && !" \t\r\n\f ()<>[]{}/%".contains(s.charAt(i))) i += 1
+      require(i > start, s"empty token at $i")
+      s.substring(start, i)
+    }
+
+    private def parseName(): Name = {
+      i += 1 // '/'
+      val start = i
+      while (i < s.length && !" \t\r\n\f ()<>[]{}/%".contains(s.charAt(i))) i += 1
+      val raw = s.substring(start, i)
+      // #xx hex escapes in names
+      val out = new StringBuilder
+      var k = 0
+      while (k < raw.length) {
+        if (raw.charAt(k) == '#' && k + 2 < raw.length) {
+          out.append(Integer.parseInt(raw.substring(k + 1, k + 3), 16).toChar); k += 3
+        } else { out.append(raw.charAt(k)); k += 1 }
+      }
+      Name(out.result())
+    }
+
+    private def parseDict(): Map[String, Any] = {
+      i += 2 // '<<'
+      val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+      while ({ ws(); !(i + 1 < s.length && s.charAt(i) == '>' && s.charAt(i + 1) == '>') }) {
+        val key = parseValue() match {
+          case Name(n) => n
+          case other => throw new IllegalArgumentException(s"dict key must be a name, got $other")
+        }
+        out(key) = parseValue()
+      }
+      i += 2 // '>>'
+      out.toMap
+    }
+
+    private def parseArray(): Vector[Any] = {
+      i += 1 // '['
+      val out = Vector.newBuilder[Any]
+      while ({ ws(); s.charAt(i) != ']' }) out += parseValue()
+      i += 1 // ']'
+      out.result()
+    }
+
+    private def parseLiteralString(): Str = {
+      i += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        require(i < s.length, "unterminated string")
+        val c = s.charAt(i)
+        c match {
+          case '\\' =>
+            i += 1
+            val e = s.charAt(i)
+            e match {
+              case 'n' => out.write('\n'); i += 1
+              case 'r' => out.write('\r'); i += 1
+              case 't' => out.write('\t'); i += 1
+              case 'b' => out.write('\b'); i += 1
+              case 'f' => out.write('\f'); i += 1
+              case '(' => out.write('('); i += 1
+              case ')' => out.write(')'); i += 1
+              case '\\' => out.write('\\'); i += 1
+              case '\r' => i += 1; if (i < s.length && s.charAt(i) == '\n') i += 1 // line continuation
+              case '\n' => i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                  v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other.toInt); i += 1
+            }
+          case '(' => depth += 1; out.write('('); i += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+            i += 1
+          case other => out.write(other.toInt); i += 1
+        }
+      }
+      Str(out.toByteArray)
+    }
+
+    private def parseHexString(): Str = {
+      i += 1 // '<'
+      val hex = new StringBuilder
+      while (s.charAt(i) != '>') {
+        val c = s.charAt(i)
+        if (!c.isWhitespace) hex.append(c)
+        i += 1
+      }
+      i += 1 // '>'
+      if (hex.length % 2 == 1) hex.append('0') // odd count: implicit trailing 0
+      val out = new Array[Byte](hex.length / 2)
+      var k = 0
+      while (k < out.length) {
+        out(k) = Integer.parseInt(hex.substring(2 * k, 2 * k + 2), 16).toByte
+        k += 1
+      }
+      Str(out)
+    }
+
+    /** `N G R` lookahead distinguishes a reference from a bare number. */
+    private def parseNumberOrRef(): Any = {
+      val first = parseNumber()
+      first match {
+        case n: Long if n >= 0 =>
+          val save = i
+          ws()
+          if (i < s.length && s.charAt(i).isDigit) {
+            val gStart = i
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+            val g = s.substring(gStart, i).toLong
+            ws()
+            if (i < s.length && s.charAt(i) == 'R' &&
+                (i + 1 >= s.length || " \t\r\n\f ()<>[]{}/%".contains(s.charAt(i + 1)))) {
+              i += 1
+              return Ref(n, g)
+            }
+          }
+          i = save
+          n
+        case other => other
+      }
+    }
+
+    private def parseNumber(): Any = {
+      val start = i
+      if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+      var isReal = false
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) {
+        if (s.charAt(i) == '.') isReal = true
+        i += 1
+      }
+      val raw = s.substring(start, i)
+      require(raw.nonEmpty && raw != "+" && raw != "-", s"bad number at $start")
+      if (isReal) raw.toDouble else raw.toLong
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Deterministic PDF fixture generator for [[graft.sources.PdfCodec]]:
+  * a from-scratch COS writer (objects + xref + trailer), byte-stable so
+  * committed fixtures under `fixtures/pdf/` can be asserted identical to
+  * the generator's output (any drift of either side is loud).
+  *
+  * Run `Test/runMain graft.GenPdfFixtures <dir>` to (re)write the
+  * committed files.
+  */
+object PdfFixtures {
+
+  final class Builder {
+    private val bodies = scala.collection.mutable.LinkedHashMap[Int, Array[Byte]]()
+    private var next = 1
+    def reserve(): Int = { val n = next; next += 1; n }
+    def set(n: Int, body: String): Unit = bodies(n) = body.getBytes(ISO_8859_1)
+    def setRaw(n: Int, body: Array[Byte]): Unit = bodies(n) = body
+    def add(body: String): Int = { val n = reserve(); set(n, body); n }
+    def addRaw(body: Array[Byte]): Int = { val n = reserve(); setRaw(n, body); n }
+
+    /** A content-stream object body, optionally FlateDecode-compressed. */
+    def streamBody(data: String, compress: Boolean,
+                   lengthRef: Option[Int] = None): Array[Byte] = {
+      val payload =
+        if (compress) deflate(data.getBytes(ISO_8859_1)) else data.getBytes(ISO_8859_1)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val len = lengthRef.map(r => s"$r 0 R").getOrElse(payload.length.toString)
+      s"<< /Length $len$filter >>\nstream\n".getBytes(ISO_8859_1) ++
+        payload ++ "\nendstream".getBytes(ISO_8859_1)
+    }
+
+    def build(root: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+      w("%PDF-1.4\n%âãÏÓ\n")
+      val offsets = scala.collection.mutable.Map[Int, Int]()
+      for ((n, body) <- bodies.toSeq.sortBy(_._1)) {
+        offsets(n) = out.size()
+        w(s"$n 0 obj\n"); out.write(body); w("\nendobj\n")
+      }
+      val xrefPos = out.size()
+      val maxN = bodies.keys.max
+      w(s"xref\n0 ${maxN + 1}\n0000000000 65535 f \n")
+      for (n <- 1 to maxN) w(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+      w(s"trailer\n<< /Size ${maxN + 1} /Root $root 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+      out.toByteArray
+    }
+  }
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Two uncompressed pages: escaped parens, `%` inside a string, a TJ
+    * kerning array, a hex string, T* line breaks, a flat page tree.
+    */
+  def manualPdf: Array[Byte] = {
+    val b = new Builder
+    val cat = b.reserve(); val pages = b.reserve()
+    val p0 = b.reserve(); val p1 = b.reserve()
+    val c0 = b.reserve(); val c1 = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p0 0 R $p1 0 R] /Count 2 >>")
+    b.set(p0, s"<< /Type /Page /Parent $pages 0 R /MediaBox [0 0 612 792] /Contents $c0 0 R >>")
+    b.set(p1, s"<< /Type /Page /Parent $pages 0 R /MediaBox [0 0 612 792] /Contents $c1 0 R >>")
+    b.setRaw(c0, b.streamBody(
+      "BT /F1 12 Tf 72 720 Td (Hello, \\(graft\\) World!) Tj T* (50% off & more) Tj ET",
+      compress = false))
+    b.setRaw(c1, b.streamBody(
+      "BT 72 720 Td [(Spark ) -250 (extracts) -250 ( page two)] TJ T* " +
+        "<68657820737472696e67> Tj ET",
+      compress = false))
+    b.build(cat)
+  }
+
+  /** Three FlateDecode pages: nested page tree (Pages → [Pages, Page]),
+    * an array-valued /Contents with an INDIRECT /Length, the `'`
+    * next-line-show operator.
+    */
+  def flatePdf: Array[Byte] = {
+    val b = new Builder
+    val cat = b.reserve(); val root = b.reserve(); val inner = b.reserve()
+    val p0 = b.reserve(); val p1 = b.reserve(); val p2 = b.reserve()
+    val c0 = b.reserve(); val c1a = b.reserve(); val c1b = b.reserve()
+    val c1bLen = b.reserve(); val c2 = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $root 0 R >>")
+    b.set(root, s"<< /Type /Pages /Kids [$inner 0 R $p2 0 R] /Count 3 >>")
+    b.set(inner, s"<< /Type /Pages /Parent $root 0 R /Kids [$p0 0 R $p1 0 R] /Count 2 >>")
+    b.set(p0, s"<< /Type /Page /Parent $inner 0 R /Contents $c0 0 R >>")
+    b.set(p1, s"<< /Type /Page /Parent $inner 0 R /Contents [$c1a 0 R $c1b 0 R] >>")
+    b.set(p2, s"<< /Type /Page /Parent $root 0 R /Contents $c2 0 R >>")
+    b.setRaw(c0, b.streamBody(
+      "BT (Compressed alpha alpha alpha alpha) Tj ET", compress = true))
+    b.setRaw(c1a, b.streamBody("BT (part one) Tj ET", compress = true))
+    val c1bPayload = deflate("BT (part two) Tj ET".getBytes(ISO_8859_1))
+    b.setRaw(c1b, b.streamBody("BT (part two) Tj ET", compress = true,
+      lengthRef = Some(c1bLen)))
+    b.set(c1bLen, c1bPayload.length.toString)
+    b.setRaw(c2, b.streamBody("BT (first) Tj (second) ' ET", compress = true))
+    b.build(cat)
+  }
+
+  /** Expected page texts, shared by the spec AND the `pdf_extract`
+    * driver-query oracle.
+    */
+  val expected: Seq[(String, String)] = Seq(
+    "flate_p0" -> "Compressed alpha alpha alpha alpha",
+    "flate_p1" -> "part one\npart two",
+    "flate_p2" -> "first\nsecond",
+    "manual_p0" -> "Hello, (graft) World!\n50% off & more",
+    "manual_p1" -> "Spark extracts page two\nhex string")
+}
+
+object GenPdfFixtures {
+  def main(args: Array[String]): Unit = {
+    val dir = java.nio.file.Paths.get(if (args.nonEmpty) args(0) else "fixtures/pdf")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("manual.pdf"), PdfFixtures.manualPdf)
+    java.nio.file.Files.write(dir.resolve("flate.pdf"), PdfFixtures.flatePdf)
+    println(s"wrote ${dir.toAbsolutePath}")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DocumentSources, PdfCodec}
+
+class PdfSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("manual.pdf: uncompressed streams, escapes, TJ arrays, hex strings, page order") {
+    val pages = PdfCodec.extractPages(PdfFixtures.manualPdf)
+    assert(pages == PdfFixtures.expected.filter(_._1.startsWith("manual")).map(_._2))
+  }
+
+  test("flate.pdf: FlateDecode, nested page tree, array /Contents, indirect /Length, ' operator") {
+    val pages = PdfCodec.extractPages(PdfFixtures.flatePdf)
+    assert(pages == PdfFixtures.expected.filter(_._1.startsWith("flate")).map(_._2))
+  }
+
+  test("committed fixtures are byte-identical to the generator (codec/fixture drift is loud)") {
+    val dir = java.nio.file.Paths.get("fixtures/pdf")
+    assert(Files.exists(dir.resolve("manual.pdf")),
+      "run Test/runMain graft.GenPdfFixtures to write fixtures/pdf")
+    assert(Files.readAllBytes(dir.resolve("manual.pdf")).toSeq ==
+      PdfFixtures.manualPdf.toSeq)
+    assert(Files.readAllBytes(dir.resolve("flate.pdf")).toSeq ==
+      PdfFixtures.flatePdf.toSeq)
+  }
+
+  test("string edge cases: octal escapes, line continuation, nested parens, UTF-16BE") {
+    // a one-page doc exercising the string decoder's corners directly
+    val b = new PdfFixtures.Builder
+    val cat = b.reserve(); val pages = b.reserve(); val p = b.reserve(); val c = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p 0 R] /Count 1 >>")
+    b.set(p, s"<< /Type /Page /Parent $pages 0 R /Contents $c 0 R >>")
+    // \101 = 'A'; backslash-newline is a continuation (no output);
+    // (nested (parens) balance); FEFF-tagged hex string is UTF-16BE
+    b.setRaw(c, b.streamBody(
+      "BT (\\101B\\\n C) Tj T* (nested (parens) ok) Tj T* <FEFF00480069> Tj ET",
+      compress = false))
+    val pdf = b.build(cat)
+    assert(PdfCodec.extractPages(pdf) == Seq("AB C\nnested (parens) ok\nHi"))
+  }
+
+  test("page without /Contents is an empty string; numbers/booleans/null parse in dicts") {
+    val b = new PdfFixtures.Builder
+    val cat = b.reserve(); val pages = b.reserve(); val p0 = b.reserve(); val p1 = b.reserve()
+    val c1 = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p0 0 R $p1 0 R] /Count 2 >>")
+    b.set(p0, s"<< /Type /Page /Parent $pages 0 R /Rotate 0 /UserUnit 1.0 " +
+      "/Annots null /B true >>")
+    b.set(p1, s"<< /Type /Page /Parent $pages 0 R /Contents $c1 0 R >>")
+    b.setRaw(c1, b.streamBody("BT (only page two speaks) Tj ET", compress = false))
+    assert(PdfCodec.extractPages(b.build(cat)) == Seq("", "only page two speaks"))
+  }
+
+  test("failure modes are loud and named: not-a-pdf, unsupported filter, page-tree cycle") {
+    val e1 = intercept[IllegalArgumentException] {
+      PdfCodec.extractPages("hello world".getBytes)
+    }
+    assert(e1.getMessage.contains("%PDF-"))
+
+    val b = new PdfFixtures.Builder
+    val cat = b.reserve(); val pages = b.reserve(); val p = b.reserve(); val c = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p 0 R] /Count 1 >>")
+    b.set(p, s"<< /Type /Page /Parent $pages 0 R /Contents $c 0 R >>")
+    b.set(c, "<< /Length 4 /Filter /LZWDecode >>\nstream\nabcd\nendstream")
+    val e2 = intercept[IllegalArgumentException] { PdfCodec.extractPages(b.build(cat)) }
+    assert(e2.getMessage.contains("LZWDecode"))
+
+    val b2 = new PdfFixtures.Builder
+    val cat2 = b2.reserve(); val pages2 = b2.reserve()
+    b2.set(cat2, s"<< /Type /Catalog /Pages $pages2 0 R >>")
+    // self-referencing Kids: must terminate with a cycle error
+    b2.set(pages2, s"<< /Type /Pages /Kids [$pages2 0 R] /Count 1 >>")
+    val e3 = intercept[IllegalArgumentException] { PdfCodec.extractPages(b2.build(cat2)) }
+    assert(e3.getMessage.contains("cycle"))
+  }
+
+  test("readPdf drives the standard split-embed pipeline from real PDF bytes") {
+    val dir = Files.createTempDirectory("pdfs").toString
+    Files.write(java.nio.file.Paths.get(dir, "manual.pdf"), PdfFixtures.manualPdf)
+    Files.write(java.nio.file.Paths.get(dir, "flate.pdf"), PdfFixtures.flatePdf)
+    val docs = DocumentSources.readPdf(spark, s"$dir/*.pdf")
+    val got = docs.select($"doc_id", $"text").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == PdfFixtures.expected)
+    // page provenance rides in metadata, reference PyPDFLoader-style
+    assert(docs.filter($"doc_id" === "flate_p2")
+      .select(element_at($"metadata", "page")).as[String].head() == "2")
+    // the standard downstream: fixed-window split + hash embed
+    val chunks = graft.ops.Split.chunkDocs(docs, "doc_id", "text",
+      graft.ops.Split.fixedWindow(_, size = 16, stride = 12))
+    assert(chunks.count() > got.size, "multi-chunk pages must split")
+    val embedded = chunks.withColumn("embedding",
+      graft.embed.EmbedText.embedText($"chunk_text", graft.embed.HashEmbedder(8)))
+    assert(embedded.select(size($"embedding")).distinct().as[Int].collect().toSeq == Seq(8))
+  }
+}

@@ -815,6 +815,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(serve().nonEmpty, "post-rebuild the index serves the compacted corpus")
   }
 
+  test("abandoned compaction (files=0) with a fresh index is a maintenance no-op; old index format fails loudly") {
+    import graft.ops.{Keyword, VersionedStore}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").limit(50)
+    val store = Files.createTempDirectory("lex-noop").toString + "/t"
+    val idx = Files.createTempDirectory("lex-noop-idx").toString
+    VersionedStore.append(spark, store, docs)
+    Keyword.registerLexicalIndex(spark, store, "doc_id", "text", idx)
+    val statsBefore = graft.Fs.readString(spark, s"$idx/_stats")
+    val post = VersionedStore.currentState(spark, store).get
+    // a compaction that lost its race commits nothing (files=0, version
+    // unchanged): the fresh index needs neither restamp nor rebuild
+    Keyword.maintainRegisteredIndexAfterCompact(spark, store,
+      preVersion = post.version, post = post, files = 0)
+    assert(graft.Fs.readString(spark, s"$idx/_stats") == statsBefore,
+      "no-op compaction must leave the index untouched")
+    // a pre-dl-on-posting index (3-field _stats) must be named as such,
+    // not die on a missing-column AnalysisException deep in Catalyst
+    val stats = statsBefore.trim.split(" ")
+    graft.Fs.writeString(spark, s"$idx/_stats",
+      s"${stats(0)} ${stats(1)} ${stats(2)}")
+    val e = intercept[IllegalArgumentException] {
+      Keyword.bm25Indexed(spark, idx, Seq("spark"), topK = 5, idName = "doc_id")
+    }
+    assert(e.getMessage.contains("old lexical index format"))
+  }
+
   test("indexStore/quantizeStore on a lexically-registered table keep BM25 serving (restamp, not rebuild)") {
     import graft.ops.{Ingest, Ivf, Keyword, Quantize, VersionedStore}
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
@@ -873,6 +899,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     // stats surface: per-cluster counts sum to the corpus
     val total = Ivf.clusterStats(spark, store).agg(sum($"n")).head().getLong(0)
     assert(total == embs.count() + drifted.count())
+  }
+
+  test("append seam surfaces the drift advisory: planted drift advises, healthy append is silent") {
+    import graft.ops.{Ingest, Ivf, VersionedStore}
+    val embs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val store = Files.createTempDirectory("drift-seam").toString + "/t"
+    VersionedStore.append(spark, store, embs.filter($"vec_id" % 2 === 0))
+    Ivf.indexStore(spark, store, "vec_id", "embedding", k = 8)
+    // healthy append: same distribution — advisory recorded, not advising
+    Ingest.appendRespectingLayout(spark, store, embs.filter($"vec_id" % 2 =!= 0)): Unit
+    val healthy = Ingest.driftAdvisory(store)
+    assert(healthy.exists(!_.reindexAdvised),
+      s"healthy append must not advise a re-index: $healthy")
+    // planted drift: 5x the corpus piled into one frozen cluster
+    val one = embs.limit(1).select($"embedding").head.getSeq[Float](0)
+    val drifted = (0 until (embs.count().toInt * 5)).map(i =>
+      (2000000L + i, one)).toDF("vec_id", "embedding")
+    Ingest.appendRespectingLayout(spark, store, drifted): Unit
+    val adv = Ingest.driftAdvisory(store)
+    assert(adv.exists(_.reindexAdvised), s"planted drift must advise: $adv")
+    assert(adv.exists(_.imbalance > 4.0))
+    // an unindexed store records no advisory
+    val flat = Files.createTempDirectory("drift-flat").toString + "/t"
+    Ingest.appendRespectingLayout(spark, flat, embs.limit(10)): Unit
+    assert(Ingest.driftAdvisory(flat).isEmpty)
   }
 
   test("repetition stats flag the degenerate doc and spare natural text") {
@@ -1123,13 +1174,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(chunks.forall(_.text.length <= 30))
   }
 
-  test("document sources: text, csv, html, pdf-stub, chunk json all land on the splitter schema") {
+  test("document sources: text, csv, html, pdf, chunk json all land on the splitter schema") {
     val dir = Files.createTempDirectory("docs").toString
     Files.writeString(java.nio.file.Paths.get(dir, "note.txt"), "plain text file body")
     Files.writeString(java.nio.file.Paths.get(dir, "page.html"),
       "<html><head><style>x{}</style></head><body><h1>Title</h1><p>Hello <b>world</b></p></body></html>")
     Files.writeString(java.nio.file.Paths.get(dir, "table.csv"), "name,role\nada,engineer\ngrace,admiral")
-    Files.write(java.nio.file.Paths.get(dir, "doc.pdf"), "page one\fpage two".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "doc.pdf"), PdfFixtures.manualPdf)
     Files.writeString(java.nio.file.Paths.get(dir, "chunks.json"),
       """{"id": "c1", "page_content": "chunk text", "metadata": {"source": "s"}}""")
 
@@ -1196,9 +1247,44 @@ class ScaleOpsSpec extends AnyFunSuite {
 
     val pdf = DocumentSources.readPdf(spark, s"$dir/doc.pdf").collect()
     assert(pdf.map(_.getString(0)).toSeq == Seq("doc_p0", "doc_p1"))
-    assert(pdf.map(_.getString(1)).toSeq == Seq("page one", "page two"))
+    assert(pdf.map(_.getString(1)).toSeq ==
+      PdfFixtures.expected.filter(_._1.startsWith("manual")).map(_._2))
 
     val chunks = DocumentSources.readChunksJson(spark, s"$dir/chunks.json").collect()
     assert(chunks.head.getString(1) == "chunk text")
+  }
+
+  // The driver once recorded a hash mismatch for this entry that no
+  // single-process reproduction could explain; this spec makes the
+  // artifact defend itself — if the driver reds again while this is
+  // green, the divergence is provably outside the engine's plan.
+  test("pack_sequence_windows entry: byte-identical under concurrent load and partition configs") {
+    val entry = SparkEntry.queries("pack_sequence_windows")
+    // all five projected columns are longs and the entry orders by
+    // position, so the exact row text IS the byte content
+    def render(): Seq[String] = entry(spark, sf).collect().map(_.mkString(",")).toSeq
+    val baseline = render()
+    assert(baseline.nonEmpty)
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (1 to 4).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          while (!stop.get())
+            Tables.documents(spark, sf).groupBy($"lang").count().collect(): Unit
+      })
+    }
+    try (1 to 2).foreach { i =>
+      assert(render() == baseline, s"run $i diverged under concurrent load")
+    } finally {
+      stop.set(true); pool.shutdown()
+      pool.awaitTermination(60, TimeUnit.SECONDS): Unit
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(render() == baseline, "entry must not depend on shuffle partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
