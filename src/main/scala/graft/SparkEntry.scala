@@ -19,12 +19,14 @@ object SparkEntry {
       graft.queries.VectorSearch.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.KeywordQueries.queries
+      graft.queries.KeywordQueries.queries ++
+      graft.queries.RagPipeline.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.VectorSearch.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.KeywordQueries.oracles
+      graft.queries.KeywordQueries.oracles ++
+      graft.queries.RagPipeline.oracles
 }
