@@ -219,6 +219,34 @@ object ScaleProbe {
     }
     println(s"SCALE ivf_sq8_recall_sweep       ${sweep.mkString("  ")}")
 
+    // The same sweep on a CLUSTERED fixture — the geometry IVF's premise
+    // (locality) holds on. The near-uniform embeddings table above shows
+    // the recall FLOOR (nprobe=1 ≈ 1/k); this shows the intended
+    // operating point: the true neighbors share the query's cluster, so
+    // small-nprobe recall is high and the advisor's imbalance thresholds
+    // have an empirical healthy baseline (printed alongside).
+    val (cdf0, ccenters) = Fixtures.clusteredEmbeddings(spark, k = 8,
+      perCluster = 2500, dim = 32)
+    val cdf = cdf0.persist()
+    val ct = Files.createTempDirectory("sp-ivfclu").toString + "/t"
+    graft.ops.VersionedStore.append(spark, ct, cdf)
+    val cmodel = graft.ops.Ivf.indexStore(spark, ct, "vec_id", "embedding", k = 8)
+    val cstore = graft.ops.VersionedStore.read(spark, ct).get.persist()
+    val csweep = Seq(1, 2, 4, 8).map { p =>
+      val rs = ccenters.map { q =>
+        val exact = graft.ops.Similarity.knn(cdf, "embedding", q, 10)
+          .select($"vec_id").as[Long].collect().toSet
+        val got = graft.ops.Ivf.search(cstore, "embedding", cmodel, q, 10, nProbe = p)
+          .select($"vec_id").as[Long].collect().toSet
+        got.count(exact.contains) / 10.0
+      }
+      f"nprobe=$p:${rs.sum / rs.length}%4.2f"
+    }
+    val cratio = graft.ops.Ivf.imbalanceRatio(spark, ct).get
+    println(s"SCALE ivf_clustered_recall_sweep ${csweep.mkString("  ")}" +
+      f"  (imbalance ${cratio}%.2fx)")
+    cdf.unpersist(); cstore.unpersist(): Unit
+
     // Incremental lexical maintenance: the O(new docs) claim. Both
     // stores take the SAME one-shard append; only the pre-existing
     // corpus differs (1 shard vs N). Ideal time ratio ≈ 1.0× — the fold

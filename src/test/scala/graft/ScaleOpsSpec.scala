@@ -274,6 +274,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF recall on a clustered fixture: fitted index, monotone nprobe sweep, full probe exact, near-balanced layout") {
+    // The planted-cluster specs above construct the model DIRECTLY to
+    // isolate what probe search guarantees; this one runs the REAL fit
+    // (indexStore) on a deterministic clustered fixture — the geometry
+    // IVF's premise holds on — so the recall/cost story is empirical:
+    // the near-uniform embeddings table gives nprobe=1 recall ≈ 1/k
+    // (every cluster equally plausible, SCALE.md), here it must be
+    // materially high, monotone in nprobe, and exact at full probe.
+    import graft.ops.VersionedStore
+    val (df0, centers) = graft.tools.Fixtures.clusteredEmbeddings(
+      spark, k = 8, perCluster = 250, dim = 32)
+    val df = df0.persist()
+    val table = Files.createTempDirectory("ivf-clustered").toString + "/store"
+    VersionedStore.append(spark, table, df)
+    val model = Ivf.indexStore(spark, table, "vec_id", "embedding", k = 8)
+    val store = VersionedStore.read(spark, table).get.persist()
+    // the fitted layout stays under the drift advisor's 4.0 threshold —
+    // its empirical healthy baseline. (Exactly 2.0 here: the hash init
+    // seeds two centroids in one planted cluster and Lloyd's local
+    // minimum keeps a merged pair — realistic k-means behavior, and
+    // precisely the case the probe sweep below must stay robust to.)
+    val ratio = Ivf.imbalanceRatio(spark, table).get
+    assert(ratio <= 2.5, f"fitted clustered layout should be well under the 4.0 " +
+      f"drift threshold, got ${ratio}%.2fx")
+    val exactByQ = centers.map { q =>
+      Similarity.knn(df, "embedding", q, 10).select($"vec_id").as[Long].collect().toSet
+    }
+    val recalls = Seq(1, 2, 4, 8).map { p =>
+      val perQ = centers.zip(exactByQ).map { case (q, exact) =>
+        val got = Ivf.search(store, "embedding", model, q, 10, nProbe = p,
+            storePath = Some(table))
+          .select($"vec_id").as[Long].collect().toSet
+        got.count(exact.contains) / 10.0
+      }
+      perQ.sum / perQ.length
+    }
+    df.unpersist(); store.unpersist(): Unit
+    assert(recalls == recalls.sorted, s"recall must be monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0, s"full probe must recover the exact top-10: $recalls")
+    assert(recalls.head >= 0.7,
+      s"on clustered data nprobe=1 recall must be materially above the 1/k floor: $recalls")
+  }
+
   test("IVF maintenance: indexStore partitions a versioned store, assigned appends keep pruning, mismatched models throw") {
     import graft.ops.VersionedStore
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
