@@ -31,7 +31,24 @@ object Tables {
     s
   }
 
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** Events with `ts` normalized to the canonical nanos-since-epoch
+    * BIGINT shape every downstream consumer computes against. The
+    * driver-generated parquet has shipped `ts` as both TIMESTAMP(NANOS)
+    * (read as a nanos BIGINT behind the [[bootstrap]] legacy flag) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ);
+    * normalizing at the loader keeps the query code format-agnostic.
+    * The NTZ→TS cast is exact under the UTC session timezone every
+    * Graft entry point sets.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+  }
 
   /** Event time as TimestampType (micros) from the nanos BIGINT column.
     * Integer `div`, not `/`: nanos (~1.7e18) exceed 2^53, so a double

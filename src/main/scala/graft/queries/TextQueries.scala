@@ -255,12 +255,18 @@ object TextQueries {
     }),
 
     // §2.7 token-measured packing through the deterministic BPE
-    // tokenizer (tiktoken mode; rows-only — BPE merge inference is not
-    // SQL-expressible, the chunk-count bound is property-tested in
-    // SplitSpec).
+    // tokenizer (tiktoken mode). Fully hash-anchored: the oracle
+    // re-runs the BPE merge inference itself as a recursive CTE over
+    // the distinct vocabulary (fuse the lowest-rank adjacent pair,
+    // ties leftmost) and replays the greedy packing + overlap carry
+    // via prefix-sum joins and a chunk-boundary chain. The oracle's
+    // word/offset arithmetic assumes single-space word separation, so
+    // both sides restrict to such documents (the whole corpus today;
+    // the unconstrained-whitespace path stays covered by
+    // split_token_pack_invariants and SplitSpec).
     "split_token_pack" -> ((s, d) => {
       import s.implicits._
-      Split.chunkDocs(documents(s, d), "doc_id", "text",
+      Split.chunkDocs(singleSpaceDocs(s, d, maxWordLen = 60), "doc_id", "text",
           t => Split.tokenPack(t, maxTokens = 60, overlapTokens = 15))
         .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_text")
         .orderBy($"doc_id", $"chunk_idx")
@@ -316,11 +322,19 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
-    // §2.7 recursive boundary splitter (engine-defined boundaries —
-    // rows-only here; invariants are property-tested in SplitSpec).
+    // §2.7 recursive boundary splitter. Fully hash-anchored: on
+    // single-space-separated documents the separator descent
+    // ("\n\n" -> "\n" -> " ") lands deterministically on space atoms,
+    // which the oracle reconstructs from word prefix sums and then
+    // replays the engine's exact greedy packing + overlap re-entry as
+    // a recursive chunk-boundary chain. Both sides restrict to such
+    // documents (the whole corpus today); multi-separator descent on
+    // arbitrary whitespace stays covered by split_recursive_invariants
+    // and the SplitSpec property tests.
     "split_recursive" -> ((s, d) => {
       import s.implicits._
-      Split.chunkDocs(documents(s, d), "doc_id", "text", t => Split.recursive(t, 200, 40))
+      Split.chunkDocs(singleSpaceDocs(s, d, maxWordLen = 199), "doc_id", "text",
+          t => Split.recursive(t, 200, 40))
         .select($"doc_id", $"chunk_idx", $"chunk_start",
           length($"chunk_text").cast("long").as("chunk_len"), $"chunk_id")
         .orderBy($"doc_id", $"chunk_idx")
@@ -468,6 +482,28 @@ object TextQueries {
     }),
   )
 
+  /** Documents whose text is strictly single-space-separated words (no
+    * other whitespace, no leading/trailing/double spaces) with every
+    * word at most `maxWordLen` chars — the precondition under which the
+    * exact split oracles' word-offset arithmetic holds. The DuckDB side
+    * applies the identical predicate ([[singleSpaceDocsSql]]), so both
+    * engines see the same row set; on the current corpus the filter is
+    * a no-op (SplitOracleSpec asserts this stays true).
+    */
+  private def singleSpaceDocs(s: SparkSession, d: String, maxWordLen: Int): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .filter(length($"text") > 0)
+      .filter(!$"text".rlike("[\\n\\t\\r]|  |^ | $"))
+      .filter(array_max(transform(split($"text", " "), w => length(w))) <= maxWordLen)
+  }
+
+  /** DuckDB rendering of [[singleSpaceDocs]]'s predicate. */
+  private def singleSpaceDocsSql(maxWordLen: Int): String =
+    s"""length(text) > 0
+       |    AND NOT regexp_matches(text, '[\\n\\t\\r]|  |^ | $$')
+       |    AND list_max(list_transform(string_split(text, ' '), w -> length(w))) <= $maxWordLen""".stripMargin
+
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
   private def hits(lst: String): String =
     s"len(list_filter($docTokens, t -> t IN ($lst)))::BIGINT"
@@ -475,7 +511,169 @@ object TextQueries {
   private val esList = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString(", ")
   private val deList = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
 
+  /** Exact oracle for `split_recursive`: on single-space documents the
+    * separator descent lands on word atoms (word + trailing space,
+    * last word bare), so atoms are reconstructible from prefix sums;
+    * the greedy packing (`j` = furthest atom whose end fits the size
+    * cap) and the overlap re-entry (`nxt` = earliest atom within
+    * `overlap` chars of the chunk end) are closed-form per start atom,
+    * and the chunk sequence is the transitive closure of `nxt` from
+    * atom 0 — a recursive CTE. Independently re-derives the exact
+    * boundary choice of `Split.recursive` (ops/Split.scala:44-91).
+    */
+  private def splitRecursiveOracle: String =
+    s"""WITH RECURSIVE
+       |docs AS (
+       |  SELECT doc_id, text, length(text) AS tlen FROM documents
+       |  WHERE ${singleSpaceDocsSql(199)}
+       |),
+       |wparts AS (
+       |  SELECT doc_id, tlen, string_split(text, ' ') AS parts FROM docs
+       |),
+       |words AS (
+       |  SELECT doc_id, tlen, g.i - 1 AS widx, parts[g.i] AS w, len(parts) AS nw
+       |  FROM wparts, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+       |),
+       |atoms0 AS (
+       |  SELECT doc_id, widx AS aidx, nw AS natoms,
+       |         coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY widx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS astart,
+       |         length(w) + CASE WHEN widx = nw - 1 THEN 0 ELSE 1 END AS alen
+       |  FROM words
+       |),
+       |atoms AS (
+       |  SELECT doc_id, 0 AS aidx, 0 AS astart, tlen AS aend, 1 AS natoms
+       |  FROM docs WHERE tlen <= 200
+       |  UNION ALL
+       |  SELECT a.doc_id, a.aidx, a.astart, a.astart + a.alen AS aend, a.natoms
+       |  FROM atoms0 a JOIN docs d USING (doc_id) WHERE d.tlen > 200
+       |),
+       |jc AS (
+       |  SELECT a.doc_id, a.aidx AS i, a.astart AS cstart,
+       |         max(b.aidx) AS j, max(b.aend) AS cend, max(a.natoms) AS natoms
+       |  FROM atoms a JOIN atoms b
+       |    ON b.doc_id = a.doc_id AND b.aidx >= a.aidx AND b.aend - a.astart <= 200
+       |  GROUP BY a.doc_id, a.aidx, a.astart
+       |),
+       |nc AS (
+       |  SELECT jc.doc_id, jc.i, jc.cstart, jc.cend, jc.j, jc.natoms,
+       |         coalesce(min(w2.aidx), jc.j + 1) AS nxt
+       |  FROM jc LEFT JOIN atoms w2
+       |    ON w2.doc_id = jc.doc_id AND w2.aidx > jc.i AND w2.aidx <= jc.j
+       |   AND jc.cend - w2.astart <= 40
+       |  GROUP BY jc.doc_id, jc.i, jc.cstart, jc.cend, jc.j, jc.natoms
+       |),
+       |chain AS (
+       |  SELECT doc_id, 0 AS i, 0 AS chunk_idx FROM docs
+       |  UNION ALL
+       |  SELECT c.doc_id, n.nxt AS i, c.chunk_idx + 1
+       |  FROM chain c JOIN nc n ON n.doc_id = c.doc_id AND n.i = c.i
+       |  WHERE n.j + 1 < n.natoms
+       |)
+       |SELECT c.doc_id,
+       |       CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(n.cstart AS BIGINT) AS chunk_start,
+       |       CAST(n.cend - n.cstart AS BIGINT) AS chunk_len,
+       |       c.doc_id || '_' || (c.chunk_idx + 1) AS chunk_id
+       |FROM chain c JOIN nc n ON n.doc_id = c.doc_id AND n.i = c.i
+       |ORDER BY c.doc_id, chunk_idx""".stripMargin
+
+  /** Exact oracle for `split_token_pack`: re-runs the engine's BPE
+    * merge inference itself (functions/Split.scala BpeTokenizer merge
+    * table) as a recursive CTE over the distinct vocabulary — each
+    * step fuses the adjacent pair with the lowest merge rank (ties
+    * leftmost, encoded rank*64+i so plain min() picks both), stopping
+    * when no pair is in the table; the terminal symbol count is the
+    * word's token cost. Greedy packing and the overlap token carry are
+    * then replayed over cost prefix sums exactly like the recursive
+    * splitter's chain.
+    */
+  private def splitTokenPackOracle: String =
+    s"""WITH RECURSIVE
+       |docs AS (
+       |  SELECT doc_id, text, length(text) AS tlen FROM documents
+       |  WHERE ${singleSpaceDocsSql(60)}
+       |),
+       |wparts AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS parts FROM docs
+       |),
+       |words AS (
+       |  SELECT doc_id, g.i - 1 AS widx, parts[g.i] AS w, len(parts) AS nw
+       |  FROM wparts, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+       |),
+       |vocab AS (SELECT DISTINCT w FROM words),
+       |bpe AS (
+       |  SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT w,
+       |    list_slice(syms, 1, (best % 64) - 1)
+       |      || [syms[best % 64] || syms[(best % 64) + 1]]
+       |      || list_slice(syms, (best % 64) + 2, len(syms)) AS syms
+       |  FROM (
+       |    SELECT w, syms,
+       |      list_aggregate(list_transform(generate_series(1, len(syms) - 1),
+       |        i -> (CASE syms[i] || '|' || syms[i + 1]
+       |              WHEN 't|h' THEN 0 WHEN 'th|e' THEN 1 WHEN 'i|n' THEN 2
+       |              WHEN 'e|r' THEN 3 WHEN 'a|n' THEN 4 WHEN 'r|e' THEN 5
+       |              WHEN 'o|n' THEN 6 WHEN 'a|t' THEN 7 WHEN 'e|n' THEN 8
+       |              WHEN 'n|d' THEN 9 WHEN 't|i' THEN 10 WHEN 'e|s' THEN 11
+       |              WHEN 'o|r' THEN 12 WHEN 'a|r' THEN 13 WHEN 'te|r' THEN 14
+       |              WHEN 'a|l' THEN 15 WHEN 's|t' THEN 16 WHEN 'in|g' THEN 17
+       |              WHEN 'o|u' THEN 18 WHEN 'q|u' THEN 19 WHEN 'c|h' THEN 20
+       |              WHEN 'e|d' THEN 21 WHEN 'o|f' THEN 22 WHEN 'i|s' THEN 23
+       |              END) * 64 + i), 'min') AS best
+       |    FROM bpe WHERE len(syms) > 1
+       |  ) WHERE best IS NOT NULL
+       |),
+       |wcost AS (
+       |  SELECT w, greatest(1, min(len(syms))) AS cost FROM bpe GROUP BY w
+       |),
+       |tw AS (
+       |  SELECT wo.doc_id, wo.widx, wo.nw, c.cost,
+       |         coalesce(sum(length(wo.w) + 1) OVER (PARTITION BY wo.doc_id ORDER BY wo.widx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart,
+       |         coalesce(sum(length(wo.w) + 1) OVER (PARTITION BY wo.doc_id ORDER BY wo.widx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(wo.w) AS wend,
+       |         sum(c.cost) OVER (PARTITION BY wo.doc_id ORDER BY wo.widx) AS pcost
+       |  FROM words wo JOIN wcost c ON c.w = wo.w
+       |),
+       |jc AS (
+       |  SELECT a.doc_id, a.widx AS i, a.wstart AS cstart,
+       |         max(b.widx) AS j, max(b.wend) AS cend, max(b.pcost) AS pj,
+       |         max(a.nw) AS nw
+       |  FROM tw a JOIN tw b
+       |    ON b.doc_id = a.doc_id AND b.widx >= a.widx
+       |   AND b.pcost - (a.pcost - a.cost) <= 60
+       |  GROUP BY a.doc_id, a.widx, a.wstart
+       |),
+       |nc AS (
+       |  SELECT jc.doc_id, jc.i, jc.cstart, jc.cend, jc.j, jc.nw,
+       |         coalesce(min(t2.widx), jc.j + 1) AS nxt
+       |  FROM jc LEFT JOIN tw t2
+       |    ON t2.doc_id = jc.doc_id AND t2.widx > jc.i AND t2.widx <= jc.j
+       |   AND jc.pj - (t2.pcost - t2.cost) <= 15
+       |  GROUP BY jc.doc_id, jc.i, jc.cstart, jc.cend, jc.j, jc.nw
+       |),
+       |chain AS (
+       |  SELECT doc_id, 0 AS i, 0 AS chunk_idx FROM docs
+       |  UNION ALL
+       |  SELECT c.doc_id, n.nxt AS i, c.chunk_idx + 1
+       |  FROM chain c JOIN nc n ON n.doc_id = c.doc_id AND n.i = c.i
+       |  WHERE n.j + 1 < n.nw
+       |)
+       |SELECT c.doc_id,
+       |       CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(n.cstart AS BIGINT) AS chunk_start,
+       |       substring(d.text, CAST(n.cstart AS INT) + 1, CAST(n.cend - n.cstart AS INT)) AS chunk_text
+       |FROM chain c
+       |JOIN nc n ON n.doc_id = c.doc_id AND n.i = c.i
+       |JOIN docs d ON d.doc_id = c.doc_id
+       |ORDER BY c.doc_id, chunk_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "split_recursive" -> splitRecursiveOracle,
+    "split_token_pack" -> splitTokenPackOracle,
     // the invariants ARE the oracle: per non-empty document the expected
     // value of every contract bit is a constant true — a hash mismatch
     // pinpoints the doc and the violated invariant
