@@ -139,10 +139,18 @@ object Ingest {
         Quantize.withQuantized(df,
           graft.Fs.readString(spark, Quantize.markerPath(table)).trim)
       else df
+    // a PQ-encoded store ([[Pq.pqStore]]) likewise carries a codes
+    // column on every row — re-derive it with the persisted codebooks
+    val df3 =
+      if (graft.Fs.exists(spark, Pq.markerPath(table)))
+        Pq.encode(df2,
+          graft.Fs.readString(spark, Pq.markerPath(table)).trim,
+          Pq.loadModel(spark, Pq.modelPath(table)))
+      else df2
     val indexed = graft.Fs.exists(spark, Ivf.modelPath(table))
     val n =
-      if (indexed) Ivf.appendAssigned(spark, table, df2, embCol)
-      else VersionedStore.appendNonEmpty(spark, table, df2)
+      if (indexed) Ivf.appendAssigned(spark, table, df3, embCol)
+      else VersionedStore.appendNonEmpty(spark, table, df3)
     // a registered lexical index ([[Keyword.registerLexicalIndex]]) is
     // maintained by the same seam: the committed rows fold in at
     // O(new docs), so continuous ingestion — batch and streaming — never

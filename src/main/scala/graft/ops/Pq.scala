@@ -1,0 +1,447 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Product quantization (PQ) for the embedding column — the memory/IO
+  * tier past [[Quantize]]'s SQ8. SQ8 keeps one code per DIMENSION
+  * (dim bytes/vector); PQ keeps one code per SUBSPACE (`m` bytes/vector
+  * at 256 centroids): the vector is split into `m` contiguous
+  * sub-vectors, each encoded as the id of its nearest sub-codebook
+  * centroid. At dim 64 / m 8 the candidate scan reads 8 bytes of codes
+  * per row instead of 256 of floats — 32× — which is what makes a 100 TB
+  * corpus's coarse pass tractable per query. This is the classic
+  * IVF-ADC shape (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011; FAISS `IndexPQ`) re-expressed as two
+  * Spark scans:
+  *
+  *   1. '''coarse (ADC)''': the query is turned into per-subspace
+  *      lookup tables (`m × ncent` doubles, a driver literal); each
+  *      row's approximate score is `m` literal-array lookups summed by
+  *      a codegen'd `zip_with`/`aggregate` — the scan reads ONLY
+  *      `(id, codes)`;
+  *   2. '''rescore''': exactly as [[Quantize.knnQuantizedRescore]] —
+  *      the float column is read for the `k × overfetch` surviving ids
+  *      only, scored exactly, top `k` returned.
+  *
+  * Like the SQ8 path, the fixture query (`knn_pq_rescore`) shares the
+  * exact kNN oracle: any fixture-visible rank loss from the coarse cut
+  * is a loud correctness failure, and the recall/overfetch trade-off is
+  * measured separately (SCALE.md sweep) instead of silently shipped.
+  */
+object Pq {
+
+  /** `m` sub-codebooks of `ncent` centroids of `dsub` floats each. */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def ncent: Int = codebooks.headOption.map(_.length).getOrElse(0)
+    def dsub: Int = codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    def dim: Int = m * dsub
+    /** Content digest — the cross-artifact compatibility stamp, same
+      * contract as [[Ivf.IvfModel.fingerprint]].
+      */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      codebooks.foreach(_.foreach(c => md.update(c.mkString(",").getBytes("UTF-8"))))
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  def codesCol(embCol: String): String = s"${embCol}_pq"
+  def modelPath(table: String): String = s"$table/_pq_model"
+  /** Marker sidecar: content = the encoded embedding column's name
+    * ([[Ingest.appendRespectingLayout]] reads it to encode incoming
+    * rows, exactly the [[Quantize.markerPath]] contract).
+    */
+  def markerPath(table: String): String = s"$table/_pq"
+
+  /** Deterministic PQ fit: `m` independent k-means (the [[Ivf.fit]]
+    * Lloyd loop, same seeded init) over the sub-vector slices of a
+    * bounded deterministic sample. The sample is a CACHED DataFrame,
+    * not a driver collect — the `m × iters` Lloyd aggregations run over
+    * `min(sampleN, corpus)` rows in memory, so fitting cost is flat in
+    * corpus size (codebook training on a bounded sample is the standard
+    * PQ practice at scale).
+    */
+  def fit(df: DataFrame, idCol: String, embCol: String, m: Int,
+          ncent: Int = 16, iters: Int = 2, sampleN: Int = 1 << 16): PqModel = {
+    require(m >= 1 && ncent >= 1 && ncent <= 256,
+      "ncent must fit a byte code (<= 256)")
+    val sample = df.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol))
+      .limit(sampleN)
+      .cache()
+    try {
+      val head = sample.select(col(embCol)).head(1)
+      if (head.isEmpty) return PqModel(Array.empty)
+      val dim = head(0).getSeq[Float](0).length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      val books = (0 until m).map { j =>
+        val sliced = sample.select(col(idCol),
+          slice(col(embCol), j * dsub + 1, dsub).as(embCol))
+        Ivf.fit(sliced, idCol, embCol, ncent, iters).centroids
+      }.toArray
+      PqModel(books)
+    } finally { sample.unpersist(): Unit }
+  }
+
+  /** Append the codes column: per subspace, the nearest sub-centroid id
+    * shifted to a byte (`cid - 128`) — `ARRAY<TINYINT>` of length `m`,
+    * 1 byte per subspace per row on disk. Same narrow argmin shape as
+    * [[Ivf.assign]] (all distances in one projection, `array_min`
+    * struct ordering breaks ties toward the lower cid); a NULL
+    * embedding yields NULL codes.
+    */
+  def encode(df: DataFrame, embCol: String, model: PqModel): DataFrame = {
+    require(model.m > 0, "empty PQ model")
+    val codes = array((0 until model.m).map { j =>
+      val sub = slice(col(embCol), j * model.dsub + 1, model.dsub)
+      val dists = array(model.codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          VectorFunctions.euclidean(sub, typedlit(c.toSeq)).as("d"),
+          lit(i).as("cid"))
+      }: _*)
+      (array_min(dists).getField("cid") - 128).cast("byte")
+    }: _*)
+    df.withColumn(codesCol(embCol), when(col(embCol).isNotNull, codes))
+  }
+
+  private def ordering(metric: String, score: Column): Column = metric match {
+    case "EUCLIDEAN_DISTANCE" => score.asc
+    case _                    => score.desc
+  }
+
+  /** Per-query ADC lookup tables as driver literals. For the dot/cosine
+    * family: `dot(j)(c) = <q_j, centroid_jc>` and the centroid norms
+    * `nrm2(j)(c) = |centroid_jc|²` (the cosine denominator of the
+    * RECONSTRUCTED vector — internally consistent with the numerator's
+    * approximation, the [[Quantize]] qnorm principle). For euclidean:
+    * `l2(j)(c) = |q_j - centroid_jc|²` summing to the exact squared
+    * distance to the reconstruction.
+    */
+  private def luts(model: PqModel, queryVec: Array[Float])
+      : (Seq[Seq[Double]], Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val dot = model.codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { c =>
+        var s = 0.0d; var i = 0
+        while (i < model.dsub) { s += c(i).toDouble * queryVec(j * model.dsub + i); i += 1 }
+        s
+      }.toSeq
+    }.toSeq
+    val nrm2 = model.codebooks.map(_.map { c =>
+      var s = 0.0d; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+      s
+    }.toSeq).toSeq
+    val l2 = model.codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { c =>
+        var s = 0.0d; var i = 0
+        while (i < model.dsub) {
+          val d = c(i).toDouble - queryVec(j * model.dsub + i); s += d * d; i += 1
+        }
+        s
+      }.toSeq
+    }.toSeq
+    (dot, nrm2, l2)
+  }
+
+  /** Sum of per-subspace LUT lookups: `zip_with` pairs each byte code
+    * with its subspace's literal table, `element_at` indexes it
+    * (1-based, code + 129 undoes the byte shift), `aggregate` sums —
+    * all codegen'd, no UDF.
+    */
+  private def adcSum(codes: Column, lut: Seq[Seq[Double]]): Column =
+    aggregate(
+      zip_with(codes, typedlit(lut),
+        (c, row) => element_at(row, c.cast("int") + 129)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Coarse top-`n` candidate ids via ADC over the codes column only. */
+  private[graft] def coarseCandidates(store: DataFrame, idCol: String, embCol: String,
+                                      queryVec: Array[Float], n: Int,
+                                      metric: String, model: PqModel): DataFrame = {
+    val cc = codesCol(embCol)
+    require(store.columns.contains(cc),
+      s"store lacks $cc — write it through Pq.encode first")
+    require(model.dim == queryVec.length,
+      s"query dim ${queryVec.length} != model dim ${model.dim}")
+    val (dot, nrm2, l2) = luts(model, queryVec)
+    val qvNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+    val approx = metric match {
+      case "COSINE" =>
+        val d = adcSum(col(cc), dot)
+        val rn = sqrt(adcSum(col(cc), nrm2))
+        when(rn === 0.0d || lit(qvNorm) === 0.0d, lit(0.0d))
+          .otherwise(d / (rn * lit(qvNorm)))
+      case "DOT_PRODUCT" => adcSum(col(cc), dot)
+      case "EUCLIDEAN_DISTANCE" => sqrt(greatest(adcSum(col(cc), l2), lit(0.0d)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    store
+      .select(col(idCol), col(cc))
+      .withColumn("__approx", approx)
+      .filter(col("__approx").isNotNull)
+      .orderBy(ordering(metric, col("__approx")), col(idCol))
+      .limit(n)
+  }
+
+  /** Top-k nearest rows via the ADC coarse pass + exact rescore —
+    * output `(idCol, score)` exactly as [[Similarity.knn]] scores it,
+    * identical to the exact path whenever the true top-k survives the
+    * `k × overfetch` coarse cut. PQ codes are coarser than SQ8's, so
+    * the default overfetch is wider; the candidate id set stays a
+    * bounded driver literal and the rescore scan prunes at the file
+    * index.
+    */
+  def knnPqRescore(store: DataFrame, idCol: String, embCol: String,
+                   queryVec: Array[Float], k: Int, model: PqModel,
+                   metric: String = "COSINE", overfetch: Int = 8,
+                   scoreName: String = "score"): DataFrame = {
+    require(k >= 1 && overfetch >= 1)
+    val ids = coarseCandidates(store, idCol, embCol, queryVec, k * overfetch, metric, model)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val pruned =
+      if (ids.isEmpty) store.filter(lit(false))
+      else store.filter(col(idCol).isin(ids: _*))
+    pruned
+      .select(col(idCol), col(embCol))
+      .withColumn(scoreName, VectorFunctions.score(metric)(col(embCol), typedlit(queryVec)))
+      .filter(col(scoreName).isNotNull)
+      .orderBy(ordering(metric, col(scoreName)), col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // Residual IVF-PQ: the composition that makes PQ useful WITHIN cells.
+  // Plain PQ quantizes clustered corpora to their cell centroids and
+  // loses in-cell ranking entirely (measured: recall@10 ~ 0 on the
+  // clustered fixture at any overfetch — every in-cell point shares one
+  // code word). Encoding the RESIDUAL v - centroid(cluster) instead
+  // (Jégou et al. 2011, §IV; FAISS IndexIVFPQ) spends the whole
+  // codebook on the in-cell jitter, so ADC distinguishes neighbors
+  // inside the probed cells — the coarse quantizer (IVF) carries the
+  // between-cell structure, PQ carries the within-cell structure.
+  // ------------------------------------------------------------------
+
+  /** The residual of `embCol` against the row's assigned IVF centroid
+    * (`clusterCol` must already be assigned — [[Ivf.assign]]).
+    */
+  private def residualCol(embCol: String, clusterCol: String,
+                          ivf: Ivf.IvfModel): Column = {
+    val cents = typedlit(ivf.centroids.map(_.toSeq).toSeq)
+    zip_with(col(embCol), element_at(cents, col(clusterCol) + 1),
+      (v, c) => (v - c).cast("float"))
+  }
+
+  /** PQ codebooks fit on IVF residuals: assign (or reuse) cluster ids,
+    * subtract each row's centroid, fit on the residual vectors. One
+    * shared codebook across cells (the FAISS default) — per-cell
+    * codebooks would multiply model size by k for marginal gain.
+    */
+  def fitResiduals(df: DataFrame, idCol: String, embCol: String,
+                   ivf: Ivf.IvfModel, m: Int, ncent: Int = 16,
+                   iters: Int = 2, sampleN: Int = 1 << 16): PqModel = {
+    val assigned = Ivf.assign(df.select(col(idCol), col(embCol)), embCol, ivf)
+    val resid = assigned
+      .filter(col(embCol).isNotNull)
+      .withColumn(embCol, residualCol(embCol, "cluster_id", ivf))
+    fit(resid, idCol, embCol, m, ncent, iters, sampleN)
+  }
+
+  /** Append the residual codes column (`<emb>_pq`): the row's residual
+    * against its assigned centroid, PQ-encoded. Requires `clusterCol`
+    * (an IVF-layout store already carries it).
+    */
+  def encodeResiduals(df: DataFrame, embCol: String, clusterCol: String,
+                      ivf: Ivf.IvfModel, model: PqModel): DataFrame = {
+    val cc = codesCol(embCol)
+    val withResid = df.withColumn(s"__resid_$embCol",
+      when(col(embCol).isNotNull && col(clusterCol).isNotNull,
+        residualCol(embCol, clusterCol, ivf)))
+    encode(withResid, s"__resid_$embCol", model)
+      .withColumn(cc, col(codesCol(s"__resid_$embCol")))
+      .drop(s"__resid_$embCol", codesCol(s"__resid_$embCol"))
+  }
+
+  /** Coarse ADC over residual codes: the approximate reconstruction is
+    * `centroid(cluster) + codebook(codes)`, so per probed cluster the
+    * score decomposes into a per-cluster scalar (query vs centroid) and
+    * the shared-LUT residual part, both driver literals:
+    *
+    *   - dot:    `<q, cent_cl> + Σ_j dotLUT(j)(code_j)`
+    *   - cosine: the dot above over `|recon|`, where `|recon|² =
+    *     |cent_cl|² + 2·Σ_j centDotLUT_cl(j)(code_j) + Σ_j nrm2LUT(j)(code_j)`
+    *   - euclid: `|q - cent_cl|² - 2·Σ_j qcLUT_cl(j)(code_j) + Σ_j nrm2LUT(j)(code_j)`
+    *     with `qcLUT_cl(j)(c) = <(q - cent_cl)_j, codebook_jc>`
+    *
+    * The per-cluster LUTs are one literal `array<array<array<double>>>`
+    * indexed by cluster id — `element_at` twice plus the zip_with sum,
+    * all codegen'd.
+    */
+  private[graft] def coarseResidualCandidates(store: DataFrame, idCol: String,
+                                              embCol: String, clusterCol: String,
+                                              queryVec: Array[Float], n: Int,
+                                              metric: String, ivf: Ivf.IvfModel,
+                                              model: PqModel): DataFrame = {
+    val cc = codesCol(embCol)
+    require(store.columns.contains(cc),
+      s"store lacks $cc — write it through Pq.encodeResiduals first")
+    val (_, nrm2, _) = luts(model, queryVec)
+    val qvNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+    // residual-space dot LUT: <q_j, codebook_jc> (query NOT shifted —
+    // the centroid term is separated out)
+    val dotQ = model.codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { c =>
+        var s = 0.0d; var i = 0
+        while (i < model.dsub) { s += c(i).toDouble * queryVec(j * model.dsub + i); i += 1 }
+        s
+      }.toSeq
+    }.toSeq
+    // per-cluster scalars and per-cluster residual LUTs
+    val centDot = ivf.centroids.map { cent =>
+      var s = 0.0d; var i = 0
+      while (i < cent.length) { s += cent(i).toDouble * queryVec(i); i += 1 }
+      s
+    }
+    val centNrm2 = ivf.centroids.map { cent =>
+      var s = 0.0d; var i = 0
+      while (i < cent.length) { s += cent(i).toDouble * cent(i); i += 1 }
+      s
+    }
+    // <cent_cl_j, codebook_jc> per cluster — cosine's cross term
+    val centDotBook: Seq[Seq[Seq[Double]]] = ivf.centroids.map { cent =>
+      model.codebooks.zipWithIndex.map { case (book, j) =>
+        book.map { c =>
+          var s = 0.0d; var i = 0
+          while (i < model.dsub) { s += c(i).toDouble * cent(j * model.dsub + i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+    }.toSeq
+    val cl = col(clusterCol)
+    val codes = col(cc)
+    def perClusterScalar(xs: Array[Double]): Column =
+      element_at(typedlit(xs.toSeq), cl.cast("int") + 1)
+    def perClusterLutSum(lut: Seq[Seq[Seq[Double]]]): Column =
+      aggregate(
+        zip_with(codes, element_at(typedlit(lut), cl.cast("int") + 1),
+          (c, row) => element_at(row, c.cast("int") + 129)),
+        lit(0.0d), (acc, x) => acc + x)
+    val residDot = adcSum(codes, dotQ)        // <q, rec_resid>
+    val residNrm2 = adcSum(codes, nrm2)       // |rec_resid|²
+    val approx = metric match {
+      case "COSINE" =>
+        val d = perClusterScalar(centDot) + residDot
+        val rn2 = perClusterScalar(centNrm2) +
+          lit(2.0d) * perClusterLutSum(centDotBook) + residNrm2
+        val rn = sqrt(greatest(rn2, lit(0.0d)))
+        when(rn === 0.0d || lit(qvNorm) === 0.0d, lit(0.0d))
+          .otherwise(d / (rn * lit(qvNorm)))
+      case "DOT_PRODUCT" => perClusterScalar(centDot) + residDot
+      case "EUCLIDEAN_DISTANCE" =>
+        // |q - cent - rec|² = |q - cent|² - 2<q - cent, rec> + |rec|²
+        //                   = |q-cent|² - 2(<q,rec> - <cent,rec>) + |rec|²
+        val qc2 = perClusterScalar(
+          centNrm2.zip(centDot).map { case (n2, d) => n2 - 2.0d * d + qvNorm * qvNorm })
+        sqrt(greatest(
+          qc2 - lit(2.0d) * (residDot - perClusterLutSum(centDotBook)) + residNrm2,
+          lit(0.0d)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    store
+      .select(col(idCol), codes, cl)
+      .withColumn("__approx", approx)
+      .filter(col("__approx").isNotNull)
+      .orderBy(ordering(metric, col("__approx")), col(idCol))
+      .limit(n)
+  }
+
+  /** IVF-PQ serve: probe the `nProbe` nearest cells (partition pruning
+    * on the IVF layout), rank the probed rows by residual ADC (codes +
+    * cluster id only — no float reads), exact-rescore the `k ×
+    * overfetch` survivors. The 100 TB read profile per query:
+    * `nProbe/k` of the corpus's CODE bytes + `k × overfetch` float
+    * rows.
+    */
+  def searchIvfPq(store: DataFrame, idCol: String, embCol: String,
+                  queryVec: Array[Float], k: Int,
+                  ivf: Ivf.IvfModel, model: PqModel,
+                  nProbe: Int, metric: String = "COSINE",
+                  overfetch: Int = 8, clusterCol: String = "cluster_id",
+                  scoreName: String = "score"): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && overfetch >= 1)
+    val probes = ivf.probeOrder(queryVec).take(nProbe).toSeq
+    val probed = store.filter(col(clusterCol).isin(probes: _*))
+    val ids = coarseResidualCandidates(probed, idCol, embCol, clusterCol,
+      queryVec, k * overfetch, metric, ivf, model)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val pruned =
+      if (ids.isEmpty) store.filter(lit(false))
+      else probed.filter(col(idCol).isin(ids: _*))
+    pruned
+      .select(col(idCol), col(embCol))
+      .withColumn(scoreName, VectorFunctions.score(metric)(col(embCol), typedlit(queryVec)))
+      .filter(col(scoreName).isNotNull)
+      .orderBy(ordering(metric, col(scoreName)), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the codebooks as text: line 1 `m ncent dsub fingerprint`,
+    * then `m × ncent` space-separated centroid lines in subspace-major
+    * order — the [[Ivf.saveModel]] portability contract.
+    */
+  def saveModel(spark: SparkSession, path: String, model: PqModel): Unit = {
+    val body = s"${model.m} ${model.ncent} ${model.dsub} ${model.fingerprint}\n" +
+      model.codebooks.flatMap(_.map(_.mkString(" "))).mkString("\n")
+    graft.Fs.writeString(spark, path, body)
+  }
+
+  /** Load and integrity-check a [[saveModel]] file. */
+  def loadModel(spark: SparkSession, path: String): PqModel = {
+    val lines = graft.Fs.readString(spark, path).split("\n")
+    val header = lines(0).split(" ")
+    val (m, ncent, dsub) = (header(0).toInt, header(1).toInt, header(2).toInt)
+    val flat = lines.drop(1).map(_.split(" ").map(_.toFloat))
+    require(flat.length == m * ncent,
+      s"PQ model at $path: expected ${m * ncent} centroid lines, got ${flat.length}")
+    require(flat.forall(_.length == dsub),
+      s"PQ model at $path: centroid width != $dsub")
+    val model = PqModel(flat.grouped(ncent).toArray)
+    require(model.fingerprint == header(3),
+      s"PQ model at $path fails its fingerprint — corrupted or hand-edited")
+    model
+  }
+
+  /** PQ-encode a [[VersionedStore]] table in place: fit on the live
+    * rows, rewrite them with the codes column through the store's
+    * race-safe compaction swap, then persist model + marker (the
+    * [[Quantize.quantizeStore]] rewrite-then-sidecar order, composing
+    * with an IVF layout the same way). After this, every append through
+    * [[Ingest.appendRespectingLayout]] re-derives codes automatically.
+    */
+  def pqStore(spark: SparkSession, table: String, embCol: String, m: Int,
+              ncent: Int = 16, iters: Int = 2, idCol: String = "id",
+              rowsPerFile: Long = 1L << 20): PqModel = {
+    val rows = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no store at $table"))
+    val model = fit(rows, idCol, embCol, m, ncent, iters)
+    val ivfFp =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table)))
+        Some(Ivf.loadModel(spark, Ivf.modelPath(table)).fingerprint)
+      else None
+    val preVersion = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val (post, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
+      reshape = encode(_, embCol, model),
+      partitionBy = ivfFp.map(_ => Seq("cluster_id")).getOrElse(Nil),
+      marker = ivfFp)
+    require(nFiles > 0, s"pqStore lost a concurrent-compaction race at $table; retry")
+    saveModel(spark, modelPath(table), model)
+    graft.Fs.writeString(spark, markerPath(table), embCol)
+    Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
+    model
+  }
+}

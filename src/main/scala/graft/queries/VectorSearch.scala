@@ -72,11 +72,79 @@ object VectorSearch {
       dir
     })
 
+  /** PQ-encoded copy of the embeddings table (parquet — the ADC coarse
+    * pass's codes-only read schema is real scan IO) plus its codebook,
+    * one per corpus per JVM.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.ops.Pq.PqModel)]()
+  private def cachedPqStore(s: SparkSession, d: String): (String, graft.ops.Pq.PqModel) =
+    pqCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("pqstore-session").toString + "/emb"
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val model = graft.ops.Pq.fit(emb, "vec_id", "embedding", m = 8, ncent = 16)
+      graft.ops.Pq.encode(emb, "embedding", model).write.parquet(dir)
+      (dir, model)
+    })
+
+  /** Residual IVF-PQ layout: cluster-partitioned store with residual
+    * codes — probe prunes partitions, ADC ranks inside them from codes
+    * + cluster id only, rescore reads floats for survivors.
+    */
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.ops.Ivf.IvfModel, graft.ops.Pq.PqModel)]()
+  private def cachedIvfPqStore(s: SparkSession, d: String)
+      : (String, graft.ops.Ivf.IvfModel, graft.ops.Pq.PqModel) =
+    ivfpqCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-session").toString + "/emb"
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val ivf = graft.ops.Ivf.fit(emb, "vec_id", "embedding", k = 8)
+      val pq = graft.ops.Pq.fitResiduals(emb, "vec_id", "embedding", ivf, m = 8, ncent = 16)
+      graft.ops.Pq.encodeResiduals(
+          graft.ops.Ivf.assign(emb, "embedding", ivf), "embedding", "cluster_id", ivf, pq)
+        .write.partitionBy("cluster_id").parquet(dir)
+      (dir, ivf, pq)
+    })
+
   val queries: Map[String, Q] = Map(
     // V2 similarity top-k under each declared metric (schema.py:18).
     "knn_cosine_topk" -> knnQuery("COSINE"),
     "knn_euclidean_topk" -> knnQuery("EUCLIDEAN_DISTANCE"),
     "knn_dot_topk" -> knnQuery("DOT_PRODUCT"),
+
+    // PQ (product quantization) coarse + exact rescore. The coarse scan
+    // reads 8 bytes of codes per row (vs 256 float bytes — the 100 TB
+    // scan-IO tier past SQ8); here the coarse cut is corpus-covering,
+    // so the result must EQUAL exact knn (shares its oracle) — the
+    // pin-to-exact contract of ann_ivf_full_probe. Operating-point
+    // recall vs overfetch is measured in tools.PqProbe / SCALE.md, not
+    // silently shipped.
+    "knn_pq_rescore" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val (dir, model) = cachedPqStore(s, d)
+      val store = s.read.parquet(dir).filter($"vec_id" =!= 0)
+      graft.ops.Pq.knnPqRescore(store, "vec_id", "embedding", qv, k = 10, model,
+          overfetch = 200)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
+    // Residual IVF-PQ (IVF cell selection × PQ-coded residuals × exact
+    // rescore — the classic IVF-ADC composition): at full probe + a
+    // corpus-covering coarse cut it must equal exact knn bit for bit on
+    // the same oracle, pinning the cell selection, the per-cluster ADC
+    // decomposition, and the rescore to the exact path.
+    "ann_ivf_pq_probe" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val (dir, ivf, pq) = cachedIvfPqStore(s, d)
+      val store = s.read.parquet(dir).filter($"vec_id" =!= 0)
+      graft.ops.Pq.searchIvfPq(store, "vec_id", "embedding", qv, k = 10, ivf, pq,
+          nProbe = ivf.k, overfetch = 200)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
 
     // SQ8 coarse + exact rescore: the coarse pass scans only the int8
     // codes (~¼ the bytes of the float column), the rescore touches the
@@ -315,6 +383,10 @@ object VectorSearch {
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_quantized_rescore" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_quantized_probe" -> knnOracle("list_cosine_similarity", desc = true),
+    // the PQ tiers pin to the same exact-knn oracle: corpus-covering
+    // coarse cuts make approximation a no-op by configuration
+    "knn_pq_rescore" -> knnOracle("list_cosine_similarity", desc = true),
+    "ann_ivf_pq_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),

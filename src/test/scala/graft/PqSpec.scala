@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ingest, Ivf, Pq, Similarity, VersionedStore}
+
+/** Product quantization: the PQ/IVF-PQ serving tier (ops/Pq.scala).
+  * The approximation is configuration — with a corpus-covering coarse
+  * cut the pipeline must EQUAL exact knn on every metric (the same
+  * pin-to-exact contract as the SQ8 and IVF full-probe paths); the ADC
+  * algebra is additionally checked numerically against driver-side
+  * reconstruction, since a silently wrong LUT would still pass the
+  * full-overfetch equality (rescore hides coarse ordering errors there).
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").cache()
+  private lazy val qv: Array[Float] =
+    emb.filter($"vec_id" === 0).head().getSeq[Float](1).toArray
+  private lazy val corpus = emb.filter($"vec_id" =!= 0)
+
+  test("PQ fit is deterministic; encode emits m byte codes; nulls yield null codes") {
+    val m1 = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
+    val m2 = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
+    assert(m1.fingerprint == m2.fingerprint, "same data, same seed, same model")
+    assert(m1.m == 8 && m1.ncent == 16 && m1.dsub == 8 && m1.dim == 64)
+    val enc = Pq.encode(corpus, "embedding", m1)
+    assert(enc.select(size($"embedding_pq")).distinct().as[Int].collect().toSeq == Seq(8))
+    val withNull = Seq((1L, Some(Seq.fill(64)(0.5f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val encN = Pq.encode(withNull, "embedding", m1)
+    assert(encN.filter($"vec_id" === 2 && $"embedding_pq".isNull).count() == 1)
+  }
+
+  test("PQ coarse+rescore with corpus-covering overfetch equals exact knn on every metric") {
+    val model = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
+    val enc = Pq.encode(corpus, "embedding", model).cache()
+    try for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE")) {
+      val exact = Similarity.knn(corpus, "embedding", qv, 10, metric)
+        .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+      val got = Pq.knnPqRescore(enc, "vec_id", "embedding", qv, 10, model,
+          metric, overfetch = 200)
+        .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+      assert(got == exact, s"$metric: full-overfetch PQ rescore must equal exact knn")
+    } finally { enc.unpersist(): Unit }
+  }
+
+  test("residual IVF-PQ at full probe + corpus overfetch equals exact knn on every metric") {
+    val ivf = Ivf.fit(corpus, "vec_id", "embedding", k = 4)
+    val model = Pq.fitResiduals(corpus, "vec_id", "embedding", ivf, m = 8, ncent = 16)
+    val enc = Pq.encodeResiduals(Ivf.assign(corpus, "embedding", ivf),
+      "embedding", "cluster_id", ivf, model).cache()
+    try for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE")) {
+      val exact = Similarity.knn(corpus, "embedding", qv, 10, metric)
+        .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+      val got = Pq.searchIvfPq(enc, "vec_id", "embedding", qv, 10, ivf, model,
+          nProbe = 4, metric = metric, overfetch = 200)
+        .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+      assert(got == exact, s"$metric: full-probe full-overfetch IVF-PQ must equal exact knn")
+    } finally { enc.unpersist(): Unit }
+  }
+
+  test("ADC approx scores equal driver-side reconstruction scores (plain and residual)") {
+    val model = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
+    val enc = Pq.encode(corpus, "embedding", model)
+    // plain path: recon = decode(codes)
+    val plain = Pq.coarseCandidates(enc, "vec_id", "embedding", qv, 25, "DOT_PRODUCT", model)
+      .join(enc.select($"vec_id", $"embedding_pq".as("codes")), "vec_id")
+      .select($"vec_id", $"__approx", $"codes").collect()
+    assert(plain.length == 25)
+    plain.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      val rec = codes.zipWithIndex.flatMap { case (c, j) => model.codebooks(j)(c + 128) }
+      val want = rec.zip(qv).map { case (a, b) => a.toDouble * b }.sum
+      assert(math.abs(r.getDouble(1) - want) < 1e-6,
+        s"vec ${r.getLong(0)}: ADC ${r.getDouble(1)} != recon $want")
+    }
+    // residual path: recon = centroid(cluster) + decode(codes); check
+    // all three metric formulas including the per-cluster LUT algebra
+    val ivf = Ivf.fit(corpus, "vec_id", "embedding", k = 4)
+    val rModel = Pq.fitResiduals(corpus, "vec_id", "embedding", ivf, m = 8, ncent = 16)
+    val rEnc = Pq.encodeResiduals(Ivf.assign(corpus, "embedding", ivf),
+      "embedding", "cluster_id", ivf, rModel)
+    val qvN = math.sqrt(qv.map(v => v.toDouble * v).sum)
+    for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE")) {
+      val rows = Pq.coarseResidualCandidates(rEnc, "vec_id", "embedding", "cluster_id",
+          qv, 25, metric, ivf, rModel)
+        .join(rEnc.select($"vec_id", $"embedding_pq".as("codes"), $"cluster_id".as("cl")), "vec_id")
+        .select($"vec_id", $"__approx", $"codes", $"cl").collect()
+      rows.foreach { r =>
+        val codes = r.getSeq[Byte](2)
+        val cl = r.getInt(3)
+        val rec = codes.zipWithIndex
+          .flatMap { case (c, j) => rModel.codebooks(j)(c + 128) }
+          .zip(ivf.centroids(cl)).map { case (a, b) => a.toDouble + b }
+        val dot = rec.zip(qv).map { case (a, b) => a * b }.sum
+        val want = metric match {
+          case "DOT_PRODUCT" => dot
+          case "COSINE" =>
+            val rn = math.sqrt(rec.map(v => v * v).sum)
+            if (rn == 0.0 || qvN == 0.0) 0.0 else dot / (rn * qvN)
+          case _ =>
+            math.sqrt(rec.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        assert(math.abs(r.getDouble(1) - want) < 1e-6,
+          s"$metric vec ${r.getLong(0)}: ADC ${r.getDouble(1)} != recon $want")
+      }
+    }
+  }
+
+  test("PQ coarse scan never reads the float column; IVF-PQ coarse also prunes partitions") {
+    val model = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
+    val dir = Files.createTempDirectory("pqstore").toString + "/emb"
+    Pq.encode(emb, "embedding", model).write.parquet(dir)
+    val store = spark.read.parquet(dir)
+    val plan = Pq.coarseCandidates(store, "vec_id", "embedding", qv, 40, "COSINE", model)
+      .queryExecution.executedPlan.toString
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding:array<float>")),
+      s"PQ coarse must scan codes only:\n$plan")
+    // residual layout: cluster-partitioned store, probe prunes partitions
+    val ivf = Ivf.fit(emb, "vec_id", "embedding", k = 4)
+    val rModel = Pq.fitResiduals(emb, "vec_id", "embedding", ivf, m = 8, ncent = 16)
+    val ivfpqDir = Files.createTempDirectory("ivfpq").toString + "/emb"
+    Pq.encodeResiduals(Ivf.assign(emb, "embedding", ivf), "embedding", "cluster_id", ivf, rModel)
+      .write.partitionBy("cluster_id").parquet(ivfpqDir)
+    val rStore = spark.read.parquet(ivfpqDir)
+    val probes = ivf.probeOrder(qv).take(2).toSeq
+    val rPlan = Pq.coarseResidualCandidates(
+        rStore.filter($"cluster_id".isin(probes: _*)), "vec_id", "embedding",
+        "cluster_id", qv, 40, "COSINE", ivf, rModel)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(rPlan).isDefined,
+      s"IVF-PQ probe must prune partitions:\n$rPlan")
+    assert(rPlan.linesIterator.filter(_.contains("ReadSchema"))
+      .forall(!_.contains("embedding:array<float>")),
+      s"the pruned ADC scan must stay float-free:\n$rPlan")
+  }
+
+  test("model save/load round-trips; tampering fails the fingerprint") {
+    val model = Pq.fit(corpus, "vec_id", "embedding", m = 4, ncent = 8)
+    val path = Files.createTempDirectory("pqmodel").toString + "/_pq_model"
+    Pq.saveModel(spark, path, model)
+    val back = Pq.loadModel(spark, path)
+    assert(back.fingerprint == model.fingerprint)
+    assert(back.m == 4 && back.ncent == 8 && back.dsub == 16)
+    val text = graft.Fs.readString(spark, path)
+    val lines = text.split("\n")
+    val tampered = (lines(0) +: lines(1).split(" ").updated(0, "9.9").mkString(" ")
+      +: lines.drop(2)).mkString("\n")
+    graft.Fs.writeString(spark, path, tampered)
+    val err = intercept[IllegalArgumentException] { Pq.loadModel(spark, path) }
+    assert(err.getMessage.contains("fingerprint"))
+  }
+
+  test("pqStore encodes a versioned store in place; the append seam maintains codes") {
+    val table = Files.createTempDirectory("pqvs").toString + "/store"
+    val rows = corpus.limit(100).select($"vec_id".as("id"), $"embedding")
+    VersionedStore.append(spark, table, rows)
+    val model = Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16)
+    assert(graft.Fs.exists(spark, Pq.markerPath(table)))
+    val live = VersionedStore.read(spark, table).get
+    assert(live.columns.contains("embedding_pq"))
+    assert(live.filter($"embedding_pq".isNull).count() == 0)
+    // bare rows through the seam must come out encoded (strict union survives)
+    val more = corpus.filter($"vec_id" >= 400).limit(50).select($"vec_id".as("id"), $"embedding")
+    val n = Ingest.appendRespectingLayout(spark, table, more)
+    assert(n == 50)
+    val after = VersionedStore.read(spark, table).get
+    assert(after.count() == 150 && after.filter($"embedding_pq".isNull).count() == 0)
+    // the maintained store serves: full-overfetch equality against exact
+    // knn over the same 150 rows
+    val exact = Similarity.knn(after.select($"id", $"embedding"), "embedding", qv, 5)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    val got = Pq.knnPqRescore(after, "id", "embedding", qv, 5,
+        Pq.loadModel(spark, Pq.modelPath(table)), overfetch = 100)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    assert(got == exact)
+  }
+}
