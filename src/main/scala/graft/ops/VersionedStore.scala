@@ -597,10 +597,35 @@ object VersionedStore {
     * grace of an hour dwarfs any plausible skew; keep custom values well
     * above your clock-sync bound.
     */
+  /** `retainVersions` adds an explicit TIME-TRAVEL HORIZON to vacuum:
+    * with `N >= 1`, segments referenced by any of the last `N`
+    * committed manifests stay live (so [[readAt]] keeps serving those
+    * versions after compactions), and manifests BELOW the horizon are
+    * reclaimed along with their exclusive segments — bounding both the
+    * segment count and the one-manifest-per-micro-batch accumulation a
+    * long-lived streaming table otherwise never sheds. The default `0`
+    * is the legacy contract: only the CURRENT manifest's segments are
+    * live and old manifests are kept as metadata (readable until their
+    * segments happen to be reclaimed).
+    */
   def vacuum(spark: SparkSession, table: String,
-             graceMs: Long = 60L * 60 * 1000): Seq[String] = {
+             graceMs: Long = 60L * 60 * 1000,
+             retainVersions: Int = 0): Seq[String] = {
+    require(retainVersions >= 0)
     val state = currentState(spark, table)
-    val live = state.map(_.segments.toSet).getOrElse(Set.empty)
+    val horizon = state.map(s => s.version - math.max(retainVersions, 1) + 1)
+      .getOrElse(Long.MaxValue)
+    val live: Set[String] = state match {
+      case None => Set.empty
+      case Some(st) if retainVersions <= 1 => st.segments.toSet
+      case Some(st) =>
+        // union of the retained manifests' segment sets; an unreadable
+        // (torn/missing) old manifest contributes nothing — its version
+        // was already unreadable per the stateAt contract
+        (horizon until st.version).flatMap(v =>
+          stateAt(spark, table, v).map(_.segments).getOrElse(Nil)
+        ).toSet ++ st.segments
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     // a racing actor (empty-append cleanup, losing compactor, another
     // vacuum) may delete a listed path before we stat it — a vanished
@@ -614,6 +639,19 @@ object VersionedStore {
     val deadTmp = graft.Fs.list(spark, manifestDir(table))
       .filter(_.contains(".tmp-"))
       .filter(reclaimable)
+    // manifests below the retention horizon: their versions are no
+    // longer served (readAt contract: None), so the metadata goes too —
+    // version numbers are parsed from the committed `m-<v>.json` names,
+    // tmp files never match
+    val deadManifests =
+      if (retainVersions == 0) Seq.empty
+      else graft.Fs.list(spark, manifestDir(table))
+        .filter { p =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          name.startsWith("m-") && name.endsWith(".json") &&
+            scala.util.Try(name.stripPrefix("m-").stripSuffix(".json").toLong)
+              .toOption.exists(_ < horizon)
+        }
     // loose flat-layout files older than the FIRST manifest were present
     // when adoption committed, so a committed segment carries their
     // copies — redundant, reclaimable. Loose files NEWER than manifest 1
@@ -627,7 +665,7 @@ object VersionedStore {
       .filter(p => scala.util.Try(graft.Fs.modTime(spark, p)).toOption
         .exists(t => t < cutoff && t <= adoptedAt))
     ).getOrElse(Seq.empty)
-    val dead = deadSegs ++ deadTmp ++ deadLoose
+    val dead = deadSegs ++ deadTmp ++ deadLoose ++ deadManifests
     // vacuum already paid for the root listing — surface what it spares:
     // post-adoption loose files are invisible to read() yet protected
     // from deletion, a state an operator must hear about to ever fix

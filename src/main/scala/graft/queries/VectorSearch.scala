@@ -202,8 +202,12 @@ object VectorSearch {
     }),
 
     // V4 MMR re-rank: greedy diversification over fetch_k=20 candidates
-    // (driver-side, bounded by the reference's fetch_k cap). No SQL oracle
-    // — covered by the rows-check here and by MMR unit properties.
+    // (driver-side, bounded by the reference's fetch_k cap). Fully
+    // hash-anchored: the oracle replays the greedy argmax chain as a
+    // recursive CTE — each step picks the remaining candidate
+    // maximizing λ·sim − (1−λ)·max-cos-to-selected via a LATERAL
+    // ORDER BY/LIMIT 1, ties toward the better fetch rank, exactly
+    // the engine's insertion-order maxBy.
     "mmr_rerank" -> ((s, d) => {
       import s.implicits._
       val qv = queryVec(s, d)
@@ -389,6 +393,43 @@ object VectorSearch {
     "ann_ivf_pq_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
+    // exact MMR oracle: the greedy selection IS the recursion — rnk n+1
+    // is the LATERAL argmax of λ·s − (1−λ)·max cos(candidate, chosen)
+    // over the not-yet-chosen candidates, ties to the better fetch rank
+    // (the engine's insertion-order maxBy); `chosen` accumulates as a
+    // list in the recursive state
+    "mmr_rerank" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cand0 AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY s DESC, e.vec_id LIMIT 20
+        |),
+        |cand AS (
+        |  SELECT row_number() OVER (ORDER BY s DESC, vec_id) AS fr, vec_id, v, s
+        |  FROM cand0
+        |),
+        |sel AS (
+        |  (SELECT 1 AS rnk, fr, vec_id, s, [fr] AS chosen
+        |   FROM cand ORDER BY 0.5 * s DESC, fr LIMIT 1)
+        |  UNION ALL
+        |  SELECT sel.rnk + 1, nxt.fr, nxt.vec_id, nxt.s, list_append(sel.chosen, nxt.fr)
+        |  FROM sel, LATERAL (
+        |    SELECT c2.fr, c2.vec_id, c2.s
+        |    FROM cand c2
+        |    WHERE NOT list_contains(sel.chosen, c2.fr)
+        |    ORDER BY 0.5 * c2.s - 0.5 * (
+        |        SELECT max(list_cosine_similarity(c2.v, c3.v))
+        |        FROM cand c3 WHERE list_contains(sel.chosen, c3.fr)) DESC,
+        |      c2.fr
+        |    LIMIT 1
+        |  ) nxt
+        |  WHERE sel.rnk < 4
+        |)
+        |SELECT vec_id, CAST(rnk AS BIGINT) AS mmr_rank, round(s, 6) AS sim
+        |FROM sel ORDER BY mmr_rank""".stripMargin,
     "knn_euclidean_topk" -> knnOracle("list_distance", desc = false),
     "knn_dot_topk" -> knnOracle("list_inner_product", desc = true),
     "rag_context_assembly" ->

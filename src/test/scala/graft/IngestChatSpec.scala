@@ -180,6 +180,38 @@ class IngestChatSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, table).get.count() == n0, "current state unaffected")
   }
 
+  test("vacuum retention horizon: the last N versions stay time-travel readable, older manifests are reclaimed") {
+    import graft.ops.VersionedStore
+    val table = Files.createTempDirectory("graft-retain").toString + "/T"
+    for (i <- 1 to 5)
+      VersionedStore.appendNonEmpty(spark, table, Seq((i.toLong, s"v$i")).toDF("id", "v")): Unit
+    // compact so versions 1-5's original segments are retired from current
+    VersionedStore.compact(spark, table, rowsPerFile = 1000): Unit
+    val cur = VersionedStore.currentState(spark, table).get.version // = 6
+    // retain the last 3 versions (4, 5, 6): their reads must survive the
+    // vacuum; versions below the horizon lose BOTH segments and manifests
+    VersionedStore.vacuum(spark, table, graceMs = 0L, retainVersions = 3)
+    assert(VersionedStore.readAt(spark, table, cur).get.count() == 5)
+    assert(VersionedStore.readAt(spark, table, cur - 1).get.count() == 5,
+      "version inside the horizon must stay readable")
+    assert(VersionedStore.readAt(spark, table, cur - 2).get.count() == 4,
+      "version inside the horizon must stay readable")
+    assert(VersionedStore.readAt(spark, table, cur - 3).isEmpty,
+      "version below the horizon reads as None")
+    assert(VersionedStore.history(spark, table).map(_.version) == (cur - 2 to cur),
+      "manifests below the horizon are gone from history")
+    assert(VersionedStore.read(spark, table).get.count() == 5, "current state unaffected")
+    // legacy default (retainVersions = 0) still keeps manifests: build a
+    // second table, vacuum without retention, history stays complete
+    val t2 = Files.createTempDirectory("graft-retain0").toString + "/T"
+    for (i <- 1 to 3)
+      VersionedStore.appendNonEmpty(spark, t2, Seq((i.toLong, s"v$i")).toDF("id", "v")): Unit
+    VersionedStore.compact(spark, t2, rowsPerFile = 1000): Unit
+    VersionedStore.vacuum(spark, t2, graceMs = 0L)
+    assert(VersionedStore.history(spark, t2).map(_.version) == (1L to 4L),
+      "legacy vacuum keeps every manifest")
+  }
+
   test("versioned store: 8 concurrent appends all land exactly once (manifest CAS)") {
     import graft.ops.VersionedStore
     import scala.concurrent.{Await, Future}
