@@ -241,7 +241,7 @@ object Chat {
         val vecOrd =
           if (metric == "EUCLIDEAN_DISTANCE") col("score").asc else col("score").desc
         val vec = fetch(fetchK, metric)
-          .withColumn("rank", row_number().over(Window.orderBy(vecOrd, col(idCol))))
+          .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy(vecOrd, col(idCol))))
           .select(col(idCol), col("rank"))
         val terms = termsOf(q)
         val legs =
@@ -257,7 +257,7 @@ object Chat {
             }
             Seq(vec, ranked
               .withColumn("rank",
-                row_number().over(Window.orderBy(col("bm25").desc, col(idCol))))
+                row_number().over(Window.partitionBy(lit(1)).orderBy(col("bm25").desc, col(idCol))))
               .select(col(idCol), col("rank")))
           }
         Keyword.rrfFuse(legs, idCol, "rank", c, topK)

@@ -88,7 +88,7 @@ object Testbed {
     // deterministic
     val kind = when(
       pmod(row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__key"), col("topic"))), lit(2)) === 1,
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy(col("__key"), col("topic"))), lit(2)) === 1,
       lit("simple")).otherwise(lit("complex"))
     sampled
       .withColumn("__kind", kind)

@@ -141,11 +141,11 @@ object KeywordQueries {
       val vecRank = Similarity.knn(
           embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
           "embedding", qv, k = 50)
-        .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"vec_id")))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy($"score".desc, $"vec_id")))
         .select($"vec_id".as("doc_id"), $"rank")
       val kwRank = Keyword.bm25(
           documents(s, d).filter($"doc_id" =!= 0), "doc_id", "text", Terms, K1, B, topK = 50)
-        .withColumn("rank", row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy($"bm25".desc, $"doc_id")))
         .select($"doc_id", $"rank")
       Keyword.rrfFuse(Seq(vecRank, kwRank), "doc_id", "rank", c = 60, topK = 10)
         .orderBy($"rrf".desc, $"doc_id")

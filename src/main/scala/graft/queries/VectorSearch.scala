@@ -278,7 +278,7 @@ object VectorSearch {
           embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
           "embedding", qv, k = 4)
         .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy($"score".desc, $"vec_id")).cast("long"))
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy($"score".desc, $"vec_id")).cast("long"))
       topk.join(documents(s, d), $"vec_id" === $"doc_id")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -247,6 +247,30 @@ object ScaleProbe {
       f"  (imbalance ${cratio}%.2fx)")
     cdf.unpersist(); cstore.unpersist(): Unit
 
+    // PQ tiers: fit is sample-bounded (ideal ≈ flat), encode is the
+    // linear full-corpus pass, the residual IVF-PQ serve is bounded by
+    // the probed fraction + k×overfetch rescore (ideal ≈ probed-rows
+    // proportional; both sides read codes, not floats).
+    val (pqm1, tPF1) = time(graft.ops.Pq.fit(emb1, "vec_id", "embedding", m = 8, ncent = 16))
+    val (pqmN, tPFN) = time(graft.ops.Pq.fit(embN, "vec_id", "embedding", m = 8, ncent = 16))
+    report("pq_fit_sampled", (emb1.count(), tPF1), (embN.count(), tPFN))
+    val (pqe1, tPE1) = time(graft.ops.Pq.encode(emb1, "embedding", pqm1)
+      .agg(sum(element_at(col("embedding_pq"), 1).cast("long"))).head().getLong(0))
+    val (pqeN, tPEN) = time(graft.ops.Pq.encode(embN, "embedding", pqmN)
+      .agg(sum(element_at(col("embedding_pq"), 1).cast("long"))).head().getLong(0))
+    report("pq_encode", (emb1.count(), tPE1), (embN.count(), tPEN))
+    def ivfPqServe(emb: DataFrame): (Long, Double) = {
+      val ivf = graft.ops.Ivf.fit(emb, "vec_id", "embedding", k = 8)
+      val rpq = graft.ops.Pq.fitResiduals(emb, "vec_id", "embedding", ivf, m = 8, ncent = 16)
+      val enc = graft.ops.Pq.encodeResiduals(
+        graft.ops.Ivf.assign(emb, "embedding", ivf), "embedding", "cluster_id", ivf, rpq)
+        .localCheckpoint()
+      val (rows, t) = time(graft.ops.Pq.searchIvfPq(enc, "vec_id", "embedding", qv, 10,
+        ivf, rpq, nProbe = 2).count())
+      (rows, t)
+    }
+    report("ivfpq_serve_2of8", ivfPqServe(emb1), ivfPqServe(embN))
+
     // Incremental lexical maintenance: the O(new docs) claim. Both
     // stores take the SAME one-shard append; only the pre-existing
     // corpus differs (1 shard vs N). Ideal time ratio ≈ 1.0× — the fold
@@ -274,10 +298,10 @@ object ScaleProbe {
     import org.apache.spark.sql.expressions.Window
     def hybrid(docs: DataFrame, emb: DataFrame): Long = {
       val vecRank = graft.ops.Similarity.knn(emb, "embedding", qv, k = 50)
-        .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"vec_id")))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy($"score".desc, $"vec_id")))
         .select($"vec_id".as("doc_id"), $"rank")
       val kwRank = graft.ops.Keyword.bm25(docs, "doc_id", "text", terms, topK = 50)
-        .withColumn("rank", row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy($"bm25".desc, $"doc_id")))
         .select($"doc_id", $"rank")
       graft.ops.Keyword.rrfFuse(Seq(vecRank, kwRank), "doc_id", "rank",
         c = 60, topK = 10).count()
