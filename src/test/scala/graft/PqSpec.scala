@@ -27,7 +27,18 @@ class PqSpec extends AnyFunSuite {
   test("PQ fit is deterministic; encode emits m byte codes; nulls yield null codes") {
     val m1 = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
     val m2 = Pq.fit(corpus, "vec_id", "embedding", m = 8, ncent = 16)
-    assert(m1.fingerprint == m2.fingerprint, "same data, same seed, same model")
+    // centroid-wise tolerance, not fingerprint equality: the Lloyd
+    // step's avg() merges partials in shuffle-arrival order, so two fits
+    // can differ in final ulps under concurrent load. The anchored
+    // queries are immune by construction (corpus-covering cut + exact
+    // rescore), but a bit-equality assertion here would flake.
+    m1.codebooks.zip(m2.codebooks).foreach { case (b1, b2) =>
+      b1.zip(b2).foreach { case (c1, c2) =>
+        c1.zip(c2).foreach { case (x1, x2) =>
+          assert(math.abs(x1 - x2) < 1e-5f, "same data, same seed, same model")
+        }
+      }
+    }
     assert(m1.m == 8 && m1.ncent == 16 && m1.dsub == 8 && m1.dim == 64)
     val enc = Pq.encode(corpus, "embedding", m1)
     assert(enc.select(size($"embedding_pq")).distinct().as[Int].collect().toSeq == Seq(8))
