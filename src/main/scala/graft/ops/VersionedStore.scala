@@ -644,7 +644,7 @@ object VersionedStore {
     // version numbers are parsed from the committed `m-<v>.json` names,
     // tmp files never match
     val deadManifests =
-      if (retainVersions == 0) Seq.empty
+      if (retainVersions == 0 || state.isEmpty) Seq.empty
       else graft.Fs.list(spark, manifestDir(table))
         .filter { p =>
           val name = p.substring(p.lastIndexOf('/') + 1)
