@@ -140,13 +140,18 @@ object Ingest {
           graft.Fs.readString(spark, Quantize.markerPath(table)).trim)
       else df
     // a PQ-encoded store ([[Pq.pqStore]]) likewise carries a codes
-    // column on every row — re-derive it with the persisted codebooks
-    val df3 =
-      if (graft.Fs.exists(spark, Pq.markerPath(table)))
-        Pq.encode(df2,
-          graft.Fs.readString(spark, Pq.markerPath(table)).trim,
-          Pq.loadModel(spark, Pq.modelPath(table)))
-      else df2
+    // column on every row — re-derive it with the persisted codebooks.
+    // Residual mode needs the row's cluster first; [[Ivf.appendAssigned]]
+    // recomputes the same assignment downstream (idempotent withColumn)
+    val df3 = Pq.readMarker(spark, table) match {
+      case Some(mk) if mk.residual =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Pq.encodeResiduals(Ivf.assign(df2, mk.embCol, ivf), mk.embCol,
+          "cluster_id", ivf, Pq.loadModel(spark, Pq.modelPath(table)))
+      case Some(mk) =>
+        Pq.encode(df2, mk.embCol, Pq.loadModel(spark, Pq.modelPath(table)))
+      case None => df2
+    }
     val indexed = graft.Fs.exists(spark, Ivf.modelPath(table))
     val n =
       if (indexed) Ivf.appendAssigned(spark, table, df3, embCol)

@@ -416,31 +416,51 @@ object Pq {
     model
   }
 
+  /** The `_pq` marker decoded: the encoded column name and whether the
+    * codes are residuals against the store's IVF model.
+    */
+  final case class PqMarker(embCol: String, residual: Boolean)
+  def readMarker(spark: SparkSession, table: String): Option[PqMarker] =
+    if (!graft.Fs.exists(spark, markerPath(table))) None
+    else {
+      val parts = graft.Fs.readString(spark, markerPath(table)).trim.split("\\s+")
+      Some(PqMarker(parts(0), parts.length > 1 && parts(1) == "residual"))
+    }
+
   /** PQ-encode a [[VersionedStore]] table in place: fit on the live
     * rows, rewrite them with the codes column through the store's
     * race-safe compaction swap, then persist model + marker (the
-    * [[Quantize.quantizeStore]] rewrite-then-sidecar order, composing
-    * with an IVF layout the same way). After this, every append through
-    * [[Ingest.appendRespectingLayout]] re-derives codes automatically.
+    * [[Quantize.quantizeStore]] rewrite-then-sidecar order). On an
+    * IVF-indexed table the codebook is fit on RESIDUALS and the codes
+    * are residual codes — the coherent composition ([[searchIvfPq]]
+    * serves it); the marker records the mode, so every append through
+    * [[Ingest.appendRespectingLayout]] re-derives codes the same way.
     */
   def pqStore(spark: SparkSession, table: String, embCol: String, m: Int,
               ncent: Int = 16, iters: Int = 2, idCol: String = "id",
               rowsPerFile: Long = 1L << 20): PqModel = {
     val rows = VersionedStore.read(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no store at $table"))
-    val model = fit(rows, idCol, embCol, m, ncent, iters)
-    val ivfFp =
+    val ivfModel =
       if (graft.Fs.exists(spark, Ivf.modelPath(table)))
-        Some(Ivf.loadModel(spark, Ivf.modelPath(table)).fingerprint)
+        Some(Ivf.loadModel(spark, Ivf.modelPath(table)))
       else None
+    val model = ivfModel match {
+      case Some(ivf) => fitResiduals(rows, idCol, embCol, ivf, m, ncent, iters)
+      case None      => fit(rows, idCol, embCol, m, ncent, iters)
+    }
     val preVersion = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
     val (post, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
-      reshape = encode(_, embCol, model),
-      partitionBy = ivfFp.map(_ => Seq("cluster_id")).getOrElse(Nil),
-      marker = ivfFp)
+      reshape = df => ivfModel match {
+        case Some(ivf) => encodeResiduals(df, embCol, "cluster_id", ivf, model)
+        case None      => encode(df, embCol, model)
+      },
+      partitionBy = ivfModel.map(_ => Seq("cluster_id")).getOrElse(Nil),
+      marker = ivfModel.map(_.fingerprint))
     require(nFiles > 0, s"pqStore lost a concurrent-compaction race at $table; retry")
     saveModel(spark, modelPath(table), model)
-    graft.Fs.writeString(spark, markerPath(table), embCol)
+    graft.Fs.writeString(spark, markerPath(table),
+      if (ivfModel.isDefined) s"$embCol residual" else embCol)
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }

@@ -193,4 +193,46 @@ class PqSpec extends AnyFunSuite {
       .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
     assert(got == exact)
   }
+
+  test("pqStore on an IVF-indexed table goes residual; the seam maintains residual codes") {
+    val table = Files.createTempDirectory("ivfpqvs").toString + "/store"
+    val rows = corpus.limit(100).select($"vec_id".as("id"), $"embedding")
+    VersionedStore.append(spark, table, rows)
+    val ivf = Ivf.indexStore(spark, table, "id", "embedding", k = 4)
+    Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16): Unit
+    assert(Pq.readMarker(spark, table).contains(Pq.PqMarker("embedding", residual = true)),
+      "an IVF-layout store must get residual codes")
+    // bare rows through the seam: assigned AND residual-encoded
+    val more = corpus.filter($"vec_id" >= 400).limit(50).select($"vec_id".as("id"), $"embedding")
+    assert(Ingest.appendRespectingLayout(spark, table, more) == 50)
+    val after = VersionedStore.read(spark, table).get
+    assert(after.count() == 150 && after.filter($"embedding_pq".isNull).count() == 0)
+    assert(after.columns.contains("cluster_id"), "IVF layout survives the PQ rewrite")
+    // the composed store serves through searchIvfPq: full probe +
+    // corpus-covering cut must equal exact knn over the 150 live rows
+    val pq = Pq.loadModel(spark, Pq.modelPath(table))
+    val exact = Similarity.knn(after.select($"id", $"embedding"), "embedding", qv, 5)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    val got = Pq.searchIvfPq(after, "id", "embedding", qv, 5, ivf, pq,
+        nProbe = ivf.k, overfetch = 100)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    assert(got == exact, "residual codes + full probe + rescore must equal exact knn")
+    // and the residual codes actually reconstruct better than the cell
+    // centroid alone: decoded residual norm is below the raw residual
+    // norm for most rows (the codebook carries in-cell information)
+    val sample = after.select($"id", $"embedding", $"embedding_pq", $"cluster_id")
+      .limit(30).collect()
+    val improved = sample.count { r =>
+      val v = r.getSeq[Float](1).toArray
+      val codes = r.getSeq[Byte](2).toArray
+      val cl = r.getInt(3)
+      val resid = v.zip(ivf.centroids(cl)).map { case (a, b) => (a - b).toDouble }
+      val rec = codes.zipWithIndex.flatMap { case (c, j) => pq.codebooks(j)(c + 128) }
+      val errQ = resid.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      val errZ = resid.map(a => a * a).sum
+      errQ < errZ
+    }
+    assert(improved > sample.length / 2,
+      s"residual codes should beat the zero-code baseline; improved $improved/${sample.length}")
+  }
 }
