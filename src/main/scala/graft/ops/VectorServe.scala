@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** One-call vector serving over a maintained [[VersionedStore]] table:
+  * reads the table's sidecars ([[Ivf.modelPath]], [[Pq.markerPath]],
+  * [[Quantize.markerPath]]) and dispatches to the cheapest serving
+  * path the layouts support — the user asks for neighbors, the store's
+  * own maintenance history decides how they are found. Every path ends
+  * in exact scoring of the returned rows, and every path inherits its
+  * layer's guard rails (model-fingerprint checks, staleness refusal),
+  * so upgrading a store in place (indexStore, quantizeStore, pqStore)
+  * upgrades its serving without a caller change.
+  */
+object VectorServe {
+
+  /** The dispatch decision, exposed for tests/operability. */
+  sealed trait Route
+  object Route {
+    /** Residual IVF-PQ: partition-pruned cells, codes-only ADC, rescore. */
+    case object IvfPq extends Route
+    /** Plain PQ codes over the whole table, rescore. */
+    case object PqOnly extends Route
+    /** IVF partitions probed, SQ8 coarse inside them, rescore. */
+    case object IvfSq8 extends Route
+    /** SQ8 coarse over the whole table, rescore. */
+    case object Sq8Only extends Route
+    /** IVF partition pruning, exact scoring inside probed cells. */
+    case object IvfExact extends Route
+    /** Exact brute-force scan. */
+    case object Exact extends Route
+  }
+
+  /** The route [[search]] will take for `table` as laid out right now. */
+  def route(spark: SparkSession, table: String): Route = {
+    val ivf = graft.Fs.exists(spark, Ivf.modelPath(table))
+    val pq = Pq.readMarker(spark, table)
+    val sq8 = graft.Fs.exists(spark, Quantize.markerPath(table))
+    pq match {
+      case Some(mk) if mk.residual && ivf => Route.IvfPq
+      case Some(_)                        => Route.PqOnly
+      case None if sq8 && ivf             => Route.IvfSq8
+      case None if sq8                    => Route.Sq8Only
+      case None if ivf                    => Route.IvfExact
+      case None                           => Route.Exact
+    }
+  }
+
+  /** Top-k rows of `table` nearest `queryVec`, output `(idCol, score)`
+    * scored exactly — the [[Similarity.knn]] contract — via [[route]].
+    * `nProbe` bounds the probed cells on IVF layouts (clamped to the
+    * model's k); `overfetch` bounds the coarse candidate cut on the
+    * quantized layouts. With `nProbe` and `overfetch` covering the
+    * corpus every route equals exact knn (the pin-to-exact contract
+    * the fixture queries and specs ride on).
+    */
+  def search(spark: SparkSession, table: String, idCol: String, embCol: String,
+             queryVec: Array[Float], k: Int, metric: String = "COSINE",
+             nProbe: Int = 2, overfetch: Int = 8): DataFrame = {
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no store at $table"))
+    val hits = route(spark, table) match {
+      case Route.IvfPq =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Ivf.requireModelMatch(spark, table, ivf)
+        val pq = Pq.loadModel(spark, Pq.modelPath(table))
+        Pq.searchIvfPq(store, idCol, embCol, queryVec, k, ivf, pq,
+          nProbe = math.min(nProbe, ivf.k), metric = metric, overfetch = overfetch)
+      case Route.PqOnly =>
+        val pq = Pq.loadModel(spark, Pq.modelPath(table))
+        Pq.knnPqRescore(store, idCol, embCol, queryVec, k, pq, metric, overfetch)
+      case Route.IvfSq8 =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Ivf.requireModelMatch(spark, table, ivf)
+        val probes = ivf.probeOrder(queryVec).take(math.min(nProbe, ivf.k)).toSeq
+        Quantize.knnQuantizedRescore(
+          store.filter(col("cluster_id").isin(probes: _*)),
+          idCol, embCol, queryVec, k, metric, overfetch)
+      case Route.Sq8Only =>
+        Quantize.knnQuantizedRescore(store, idCol, embCol, queryVec, k, metric, overfetch)
+      case Route.IvfExact =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Ivf.search(store, embCol, ivf, queryVec, k,
+          nProbe = math.min(nProbe, ivf.k), metric = metric,
+          storePath = Some(table))
+      case Route.Exact =>
+        Similarity.knn(store.select(col(idCol), col(embCol)), embCol, queryVec, k, metric)
+    }
+    hits.select(col(idCol), col("score"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ingest, Ivf, Pq, Quantize, Similarity, VectorServe, VersionedStore}
+import graft.ops.VectorServe.Route
+
+/** The sidecar-driven serving dispatch: upgrading a store's layout in
+  * place upgrades its serving route with no caller change, and every
+  * route pins to exact knn at corpus-covering settings.
+  */
+class VectorServeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+    .select($"vec_id".as("id"), $"embedding").limit(200).cache()
+  private lazy val qv: Array[Float] =
+    Tables.embeddings(spark, sf).filter($"vec_id" === 0)
+      .head().getSeq[Float](1).toArray
+
+  private def exactTop(table: String, k: Int): Seq[(Long, Double)] =
+    Similarity.knn(VersionedStore.read(spark, table).get.select($"id", $"embedding"),
+        "embedding", qv, k)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+
+  private def served(table: String, k: Int): Seq[(Long, Double)] =
+    VectorServe.search(spark, table, "id", "embedding", qv, k,
+        nProbe = 64, overfetch = 1000)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+
+  test("route upgrades with the store's layout; every route equals exact knn at covering settings") {
+    val table = Files.createTempDirectory("serve").toString + "/store"
+    VersionedStore.append(spark, table, emb)
+    assert(VectorServe.route(spark, table) == Route.Exact)
+    assert(served(table, 5) == exactTop(table, 5))
+
+    Quantize.quantizeStore(spark, table, "embedding")
+    assert(VectorServe.route(spark, table) == Route.Sq8Only)
+    assert(served(table, 5) == exactTop(table, 5))
+
+    Ivf.indexStore(spark, table, "id", "embedding", k = 4): Unit
+    assert(VectorServe.route(spark, table) == Route.IvfSq8)
+    assert(served(table, 5) == exactTop(table, 5))
+
+    Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16): Unit
+    assert(VectorServe.route(spark, table) == Route.IvfPq)
+    assert(served(table, 5) == exactTop(table, 5))
+
+    // appends through the seam keep the final composed layout servable
+    val more = Tables.embeddings(spark, sf)
+      .filter($"vec_id" >= 300).limit(50).select($"vec_id".as("id"), $"embedding")
+    assert(Ingest.appendRespectingLayout(spark, table, more) == 50)
+    assert(VectorServe.route(spark, table) == Route.IvfPq)
+    assert(served(table, 5) == exactTop(table, 5))
+  }
+
+  test("IVF-only and plain-PQ stores route to their own paths") {
+    val t1 = Files.createTempDirectory("serve-ivf").toString + "/store"
+    VersionedStore.append(spark, t1, emb)
+    Ivf.indexStore(spark, t1, "id", "embedding", k = 4): Unit
+    assert(VectorServe.route(spark, t1) == Route.IvfExact)
+    assert(served(t1, 5) == exactTop(t1, 5))
+
+    val t2 = Files.createTempDirectory("serve-pq").toString + "/store"
+    VersionedStore.append(spark, t2, emb)
+    Pq.pqStore(spark, t2, "embedding", m = 8, ncent = 16): Unit
+    assert(VectorServe.route(spark, t2) == Route.PqOnly)
+    assert(served(t2, 5) == exactTop(t2, 5))
+  }
+}
