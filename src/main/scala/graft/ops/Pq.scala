@@ -390,6 +390,140 @@ object Pq {
       .limit(k)
   }
 
+  /** ADC sum where the lookup table is a per-row COLUMN (the batch
+    * path: each broadcast probe row carries its query's LUT) instead of
+    * a literal.
+    */
+  private def adcSumCol(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (c, row) => element_at(row, c.cast("int") + 129)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Batch residual IVF-PQ: every query's top-k in ONE codes-only scan.
+    * The plan mirrors [[Ivf.searchBatch]] — a static `cluster_id IN
+    * (union of probed cells)` predicate prunes partitions at the scan,
+    * a broadcast equi-join on cluster id pairs each corpus row with
+    * exactly the queries probing its cell — but the pairing rows carry
+    * the query's ADC lookup tables and per-cluster scalars as COLUMNS,
+    * so the coarse score is the same codegen'd zip_with/aggregate with
+    * zero float reads. The bounded-rank tail cuts to `k × overfetch`
+    * per query, and one rescore join reads floats for exactly those
+    * candidate rows. Queries are collected to rank centroids and build
+    * LUTs — the bounded-batch contract every batch path here rides on;
+    * null-embedding queries drop like everywhere else.
+    *
+    * At `nProbe = ivf.k` and a corpus-covering `overfetch` this equals
+    * exact [[Similarity.similarityJoin]] per query (the pin-to-exact
+    * contract); at operating settings it reads `nProbe/k` of the
+    * corpus's CODE bytes once for the whole batch instead of per query.
+    */
+  def searchIvfPqBatch(queries: DataFrame, store: DataFrame,
+                       queryIdCol: String, queryEmbCol: String,
+                       corpusIdCol: String, corpusEmbCol: String,
+                       ivf: Ivf.IvfModel, model: PqModel,
+                       topK: Int, nProbe: Int,
+                       metric: String = "COSINE", overfetch: Int = 8,
+                       clusterCol: String = "cluster_id",
+                       scoreName: String = "score", rankName: String = "rank",
+                       storePath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(topK >= 1 && overfetch >= 1)
+    storePath.foreach(p => Ivf.requireModelMatch(store.sparkSession, p, ivf))
+    val p = math.max(1, math.min(nProbe, ivf.k))
+    val cc = codesCol(corpusEmbCol)
+    require(store.columns.contains(cc),
+      s"store lacks $cc — write it through Pq.encodeResiduals first")
+    val qdf = queries.select(col(queryIdCol), col(queryEmbCol))
+    val probeRows = new java.util.ArrayList[Row]()
+    qdf.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val qv = r.getSeq[Float](1).toArray
+        val (dot, nrm2, _) = luts(model, qv)
+        // residual-space dot LUT (query unshifted; centroid separated)
+        val dotQ = model.codebooks.zipWithIndex.map { case (book, j) =>
+          book.map { c =>
+            var s = 0.0d; var i = 0
+            while (i < model.dsub) { s += c(i).toDouble * qv(j * model.dsub + i); i += 1 }
+            s
+          }.toSeq
+        }.toSeq
+        val qvNorm = math.sqrt(qv.map(v => v.toDouble * v).sum)
+        ivf.probeOrder(qv).take(p).foreach { cl =>
+          val cent = ivf.centroids(cl)
+          var cd = 0.0d; var cn = 0.0d; var i = 0
+          while (i < cent.length) {
+            cd += cent(i).toDouble * qv(i); cn += cent(i).toDouble * cent(i); i += 1
+          }
+          val lutCb = model.codebooks.zipWithIndex.map { case (book, j) =>
+            book.map { c =>
+              var s = 0.0d; var k2 = 0
+              while (k2 < model.dsub) { s += c(k2).toDouble * cent(j * model.dsub + k2); k2 += 1 }
+              s
+            }.toSeq
+          }.toSeq
+          probeRows.add(Row(r.get(0), r.get(1), cl, dotQ, nrm2, lutCb,
+            cd, cn, qvNorm, cn - 2.0d * cd + qvNorm * qvNorm))
+        }
+      }
+    }
+    val lutType = ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    val probeSchema = StructType(qdf.schema.fields ++ Seq(
+      StructField("__probe", IntegerType, nullable = false),
+      StructField("__lutd", lutType), StructField("__lutn", lutType),
+      StructField("__lutcb", lutType),
+      StructField("__centdot", DoubleType, nullable = false),
+      StructField("__centnrm2", DoubleType, nullable = false),
+      StructField("__qnorm", DoubleType, nullable = false),
+      StructField("__qc2", DoubleType, nullable = false)))
+    val probeDf = store.sparkSession.createDataFrame(probeRows, probeSchema)
+      .withColumnRenamed(queryIdCol, "__qid")
+      .withColumnRenamed(queryEmbCol, "__qemb")
+    val union = (0 until probeRows.size()).map(probeRows.get(_).getInt(2)).distinct
+    val pruned =
+      if (union.isEmpty) store.filter(lit(false))
+      else store.filter(col(clusterCol).isin(union: _*))
+    val codes = col(cc)
+    val residDot = adcSumCol(codes, col("__lutd"))
+    val residNrm2 = adcSumCol(codes, col("__lutn"))
+    val centCb = adcSumCol(codes, col("__lutcb"))
+    val approx = metric match {
+      case "COSINE" =>
+        val d = col("__centdot") + residDot
+        val rn = sqrt(greatest(
+          col("__centnrm2") + lit(2.0d) * centCb + residNrm2, lit(0.0d)))
+        when(rn === 0.0d || col("__qnorm") === 0.0d, lit(0.0d))
+          .otherwise(d / (rn * col("__qnorm")))
+      case "DOT_PRODUCT" => col("__centdot") + residDot
+      case "EUCLIDEAN_DISTANCE" =>
+        sqrt(greatest(
+          col("__qc2") - lit(2.0d) * (residDot - centCb) + residNrm2, lit(0.0d)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    // coarse: codes-only scan, bounded-rank cut to k×overfetch per query
+    val coarse = pruned
+      .select(col(corpusIdCol), codes, col(clusterCol))
+      .join(broadcast(probeDf), col(clusterCol) === col("__probe"))
+      .withColumn("__approx", approx)
+      .filter(col("__approx").isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col("__approx"))
+    val cands = Similarity.boundedRank(coarse, queryIdCol, corpusIdCol,
+        topK * overfetch, metric, "__approx", "__crank")
+      .select(col(queryIdCol).as("__qid"), col(corpusIdCol))
+    // rescore: floats for the candidate rows only, exact score, top k
+    val qemb = probeDf.select(col("__qid"), col("__qemb")).distinct()
+    val rescored = pruned
+      .select(col(corpusIdCol), col(corpusEmbCol))
+      .join(cands, corpusIdCol)
+      .join(broadcast(qemb), "__qid")
+      .withColumn(scoreName,
+        VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb")))
+      .filter(col(scoreName).isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    Similarity.boundedRank(rescored, queryIdCol, corpusIdCol, topK, metric,
+      scoreName, rankName)
+  }
+
   /** Persist the codebooks as text: line 1 `m ncent dsub fingerprint`,
     * then `m × ncent` space-separated centroid lines in subspace-major
     * order — the [[Ivf.saveModel]] portability contract.

@@ -235,4 +235,47 @@ class PqSpec extends AnyFunSuite {
     assert(improved > sample.length / 2,
       s"residual codes should beat the zero-code baseline; improved $improved/${sample.length}")
   }
+
+  test("batch IVF-PQ equals the per-query path at every metric and probe setting") {
+    val ivf = Ivf.fit(corpus, "vec_id", "embedding", k = 4)
+    val model = Pq.fitResiduals(corpus, "vec_id", "embedding", ivf, m = 8, ncent = 16)
+    val enc = Pq.encodeResiduals(Ivf.assign(corpus, "embedding", ivf),
+      "embedding", "cluster_id", ivf, model).cache()
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding").cache()
+    try {
+      for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE");
+           np <- Seq(2, 4); of <- Seq(4, 200)) {
+        val batch = Pq.searchIvfPqBatch(queries, enc, "qid", "embedding",
+            "vec_id", "embedding", ivf, model, topK = 5, nProbe = np,
+            metric = metric, overfetch = of)
+          .select($"qid", $"rank", $"vec_id", round($"score", 9).as("s"))
+          .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+        val singles = queries.collect().flatMap { r =>
+          val qid = r.getLong(0)
+          val qv2 = r.getSeq[Float](1).toArray
+          Pq.searchIvfPq(enc, "vec_id", "embedding", qv2, 5, ivf, model,
+              nProbe = np, metric = metric, overfetch = of)
+            .select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)]
+            .collect().zipWithIndex
+            .map { case ((cid, s), i) => (qid, i + 1, cid, s) }
+        }.toSeq.sorted
+        assert(batch == singles, s"$metric np=$np of=$of: batch must equal per-query")
+      }
+      // one composed plan: partition pruning on the probed union AND a
+      // codes-only scan feeding the coarse stage (floats appear only in
+      // the rescore scan)
+      val dir = Files.createTempDirectory("pq-batch-plan").toString + "/emb"
+      enc.write.partitionBy("cluster_id").parquet(dir)
+      val plan = Pq.searchIvfPqBatch(queries, spark.read.parquet(dir),
+          "qid", "embedding", "vec_id", "embedding", ivf, model,
+          topK = 5, nProbe = 2, overfetch = 4)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+        s"batch coarse must prune partitions:\n$plan")
+      assert(plan.linesIterator.filter(_.contains("ReadSchema"))
+        .exists(!_.contains("embedding:array<float>")),
+        s"the coarse scan must be codes-only:\n$plan")
+    } finally { enc.unpersist(); queries.unpersist(): Unit }
+  }
 }
