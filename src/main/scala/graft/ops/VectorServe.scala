@@ -32,18 +32,29 @@ object VectorServe {
     case object Exact extends Route
   }
 
-  /** The route [[search]] will take for `table` as laid out right now. */
+  /** The route [[search]] will take for `table` as laid out right now.
+    * A residual PQ marker whose IVF model is gone (out-of-band
+    * deletion) is a corrupted layout: the codes are meaningless without
+    * the centroids they are residuals against, so serving them as
+    * plain codes would be silently wrong — refuse loudly instead, the
+    * same contract the append seam applies.
+    */
   def route(spark: SparkSession, table: String): Route = {
     val ivf = graft.Fs.exists(spark, Ivf.modelPath(table))
     val pq = Pq.readMarker(spark, table)
     val sq8 = graft.Fs.exists(spark, Quantize.markerPath(table))
     pq match {
-      case Some(mk) if mk.residual && ivf => Route.IvfPq
-      case Some(_)                        => Route.PqOnly
-      case None if sq8 && ivf             => Route.IvfSq8
-      case None if sq8                    => Route.Sq8Only
-      case None if ivf                    => Route.IvfExact
-      case None                           => Route.Exact
+      case Some(mk) if mk.residual && !ivf =>
+        throw new IllegalStateException(
+          s"store $table carries residual PQ codes but no ${Ivf.modelPath(table)} — " +
+            "the codes are undecodable without the IVF centroids; restore the model " +
+            "or re-run Pq.pqStore")
+      case Some(mk) if mk.residual => Route.IvfPq
+      case Some(_)                 => Route.PqOnly
+      case None if sq8 && ivf      => Route.IvfSq8
+      case None if sq8             => Route.Sq8Only
+      case None if ivf             => Route.IvfExact
+      case None                    => Route.Exact
     }
   }
 

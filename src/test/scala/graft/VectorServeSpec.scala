@@ -71,4 +71,14 @@ class VectorServeSpec extends AnyFunSuite {
     assert(VectorServe.route(spark, t2) == Route.PqOnly)
     assert(served(t2, 5) == exactTop(t2, 5))
   }
+
+  test("residual codes with a missing IVF model refuse to serve") {
+    val table = Files.createTempDirectory("serve-corrupt").toString + "/store"
+    VersionedStore.append(spark, table, emb)
+    Ivf.indexStore(spark, table, "id", "embedding", k = 4): Unit
+    Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16): Unit
+    graft.Fs.delete(spark, Ivf.modelPath(table))
+    val err = intercept[IllegalStateException] { VectorServe.route(spark, table) }
+    assert(err.getMessage.contains("residual PQ codes"))
+  }
 }
