@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: distribution-derived quality filtering,
+  * curriculum ordering, and semantic (cluster-balanced) sampling — the
+  * steps between "scored corpus" ([[TextAnalysis]]) and "training mix"
+  * ([[Sampling]]) in a large-scale pipeline.
+  *
+  * The reference stops at per-document scoring; these close the loop the
+  * way production pipelines do: thresholds come from the CORPUS
+  * DISTRIBUTION (keep the top half by quality), ordering comes from a
+  * curriculum (easy/clean phases first, seeded-shuffled within a phase),
+  * and sampling balances SEMANTIC clusters rather than only metadata
+  * strata.
+  */
+object Curation {
+
+  /** The corpus q-quantile of `scoreCol` as a double, or None on an
+    * empty/all-null corpus. `exact = true` uses `percentile` (sorts each
+    * group's values in memory — the oracle-parity path, fine to ~10^7
+    * values); the default `approx_percentile` is the 100 TB path: a
+    * fixed-memory Greenwald-Khanna sketch whose rank error is bounded by
+    * 1/`accuracy`, aggregated map-side like any partial agg.
+    */
+  def quantileThreshold(df: DataFrame, scoreCol: String, q: Double,
+                        exact: Boolean = false,
+                        accuracy: Int = 10000): Option[Double] = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val agg =
+      if (exact) expr(s"percentile(`$scoreCol`, ${q}d)")
+      else expr(s"approx_percentile(`$scoreCol`, ${q}d, $accuracy)")
+    val r = df.agg(agg.cast("double")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  /** Keep rows at or above the corpus q-quantile of `scoreCol` — the
+    * "drop the worst X% by quality" gate. Two jobs: the threshold
+    * aggregation, then a map-side filter at a driver-literal threshold
+    * (no join, no second shuffle — the plan the filter pushes straight
+    * into the scan). An empty/all-null corpus keeps nothing.
+    */
+  def filterByQuantile(df: DataFrame, scoreCol: String, q: Double,
+                       exact: Boolean = false): DataFrame =
+    quantileThreshold(df, scoreCol, q, exact) match {
+      case Some(thr) => df.filter(col(scoreCol) >= lit(thr))
+      case None      => df.filter(lit(false))
+    }
+
+  /** Curriculum ordering: a global 1-based `posName` position that walks
+    * `phase` groups in ascending order and seeded-shuffles WITHIN each
+    * phase (md5 of `keyCol:seed` — the [[Sampling.deterministicShuffle]]
+    * permutation, so within-phase order is uncorrelated across seeds and
+    * identical across engines/partitionings). The data-loader feed for
+    * staged training: cleanest/easiest phase first, random inside.
+    *
+    * `phase` must be non-null (the expression raises on null — a null
+    * phase would silently sort first and corrupt the curriculum);
+    * `keyCol` must be unique for positions to be well-defined. Plan
+    * shape: one range exchange + sort, then the two-pass zipWithIndex
+    * (per-partition counts, one long per partition through the driver).
+    */
+  def curriculumOrder(df: DataFrame, phase: Column, keyCol: String,
+                      seed: String, posName: String = "position"): DataFrame = {
+    val checkedPhase = when(phase.isNotNull, phase).otherwise(raise_error(lit(
+      "curriculumOrder: null phase — a curriculum needs every row staged")))
+    val keyed = df
+      .withColumn("__phase", checkedPhase)
+      .withColumn("__shk",
+        md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")))
+    Sampling.indexByOrder(keyed,
+        Seq(col("__phase"), col("__shk"), col(keyCol)), posName)
+      ._1.drop("__phase", "__shk")
+  }
+
+  /** Cluster-balanced sample: k-means the embedding space ([[Ivf.fit]] —
+    * deterministic seeded init), assign every row its cluster (narrow
+    * argmin projection, no shuffle), then keep the `perCluster` rows
+    * with the smallest md5(id) per cluster ([[Sampling.stratifiedQuota]]
+    * — per-partition bounded heaps, quota-bounded exchange). The
+    * semantic diversification a metadata-stratified mix can't express:
+    * over-represented topics are capped at the same quota as rare ones.
+    *
+    * Returns the sampled rows plus their `cluster_id`. Null embeddings
+    * carry no semantics and are dropped (they'd otherwise form a
+    * pseudo-cluster of unknowns).
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, embCol: String,
+                            k: Int, perCluster: Int,
+                            iters: Int = 2): DataFrame = {
+    val model = Ivf.fit(df, idCol, embCol, k, iters)
+    val assigned = Ivf.assign(df.filter(col(embCol).isNotNull), embCol, model)
+      .withColumn("cluster_id", col("cluster_id").cast("string"))
+    Sampling.stratifiedQuota(assigned, "cluster_id", idCol,
+        quotas = Map.empty, defaultQuota = perCluster)
+      .withColumn("cluster_id", col("cluster_id").cast("int"))
+  }
+}

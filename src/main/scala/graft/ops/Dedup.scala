@@ -481,6 +481,67 @@ object Dedup {
     corpus.join(contaminatedIds(corpus, idCol, textCol, evalSet, evalTextCol, n),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination, the flag half — the scale path of
+    * [[contaminatedIds]] for when the eval-shingle universe is too large
+    * to broadcast as raw strings (a multi-benchmark eval suite can carry
+    * 10^8+ distinct shingles: gigabytes as strings, tens of MB as a
+    * Bloom filter at the same fpp).
+    *
+    * Shape: one `stat.bloomFilter` treeAggregate folds the eval shingles
+    * into a single filter on the driver (never a collect of the shingle
+    * set), which broadcasts to every executor; the corpus scan explodes
+    * shingles and keeps only bloom-POSITIVE (id, shingle) rows — false
+    * negatives are impossible, so everything truly contaminated
+    * survives this map-side cut. The survivors (sized fpp×|corpus
+    * shingles| + true hits, not corpus-sized) then re-verify against
+    * the exact eval shingles with a SHUFFLED semi-join (no broadcast —
+    * the whole premise is that the eval side doesn't fit), where false
+    * positives die. The result therefore EQUALS [[contaminatedIds]]
+    * exactly; `fpp` only tunes how much of the corpus pays the
+    * exact-join shuffle.
+    *
+    * The membership test is a scala UDF over the broadcast sketch — the
+    * one place an expression can't substitute (the filter is runtime
+    * state, not a literal); the corpus scan + explode stay codegen'd and
+    * the UDF boundary costs one virtual call per shingle, repaid by the
+    * shuffle it prevents.
+    */
+  def contaminatedIdsBloom(corpus: DataFrame, idCol: String, textCol: String,
+                           evalSet: DataFrame, evalTextCol: String, n: Int = 8,
+                           fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalShingles = evalSet
+      .select(explode(wordShingles(col(evalTextCol), n)).as("__s"))
+      .distinct()
+    // one count job over the (already distinct) eval shingles sizes the
+    // filter honestly; an undersized bloom silently degrades to
+    // fpp ≈ 1 and the "map-side cut" stops cutting. An EMPTY eval set
+    // contaminates nothing (and Spark's bloomFilter aggregate NPEs on
+    // zero rows), so short-circuit before building the sketch.
+    val nShingles = evalShingles.count()
+    if (nShingles == 0) return corpus.select(col(idCol)).limit(0)
+    val bloom = evalShingles.stat.bloomFilter("__s", nShingles, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf { s: String =>
+      s != null && bloomBc.value.mightContainString(s)
+    }
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__s"))
+      .filter(mightContain(col("__s")))
+      .join(evalShingles, Seq("__s"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Bloom-filter decontamination, the drop half: exactly
+    * [[decontaminate]]'s output via [[contaminatedIdsBloom]]'s plan.
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         evalSet: DataFrame, evalTextCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame =
+    corpus.join(
+      contaminatedIdsBloom(corpus, idCol, textCol, evalSet, evalTextCol, n, fpp),
+      Seq(idCol), "left_anti")
+
   /** Exact embedding-cosine near-dup pairs (a < b, cosine > threshold).
     * Quadratic by definition — the correctness oracle for
     * [[embeddingNearDupLsh]], and fine up to ~10^4 vectors per run; at

@@ -128,9 +128,14 @@ object Ingest {
   def driftAdvisory(table: String): Option[DriftAdvisory] =
     Option(driftAdvisories.get(table))
 
-  def appendRespectingLayout(spark: SparkSession, table: String, df: DataFrame,
-                             embCol: String = "embedding",
-                             driftThreshold: Double = 4.0): Long = {
+  /** Derive the maintained columns a store's sidecars demand of every
+    * incoming row — SQ8 code columns for a [[Quantize.quantizeStore]]d
+    * table, PQ codes (residual or plain) for a [[Pq.pqStore]]d one —
+    * so appends AND merges land rows of the live schema (the strict
+    * read-time union refuses anything else).
+    */
+  private def deriveMaintainedColumns(spark: SparkSession, table: String,
+                                      df: DataFrame): DataFrame = {
     // a quantized store ([[Quantize.quantizeStore]]) carries four extra
     // columns on every row; appending bare rows would fail every
     // subsequent read on the strict union — derive them on the way in
@@ -143,7 +148,7 @@ object Ingest {
     // column on every row — re-derive it with the persisted codebooks.
     // Residual mode needs the row's cluster first; [[Ivf.appendAssigned]]
     // recomputes the same assignment downstream (idempotent withColumn)
-    val df3 = Pq.readMarker(spark, table) match {
+    Pq.readMarker(spark, table) match {
       case Some(mk) if mk.residual =>
         val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
         Pq.encodeResiduals(Ivf.assign(df2, mk.embCol, ivf), mk.embCol,
@@ -152,6 +157,12 @@ object Ingest {
         Pq.encode(df2, mk.embCol, Pq.loadModel(spark, Pq.modelPath(table)))
       case None => df2
     }
+  }
+
+  def appendRespectingLayout(spark: SparkSession, table: String, df: DataFrame,
+                             embCol: String = "embedding",
+                             driftThreshold: Double = 4.0): Long = {
+    val df3 = deriveMaintainedColumns(spark, table, df)
     val indexed = graft.Fs.exists(spark, Ivf.modelPath(table))
     val n =
       if (indexed) Ivf.appendAssigned(spark, table, df3, embCol)
@@ -178,6 +189,51 @@ object Ingest {
       }
     }
     n
+  }
+
+  /** Layout-respecting copy-on-write upsert — [[VersionedStore.merge]]
+    * with the store's own maintenance obligations honored: incoming
+    * rows get the maintained columns derived (SQ8/PQ codes), an
+    * IVF-indexed table keeps its cluster partitioning and fingerprint
+    * stamp on the rewritten segment (the probe guard would otherwise
+    * refuse the whole table), and a registered lexical index is
+    * maintained afterward — a merge REPLACES rows, so the incremental
+    * fold correctly refuses and the seam's rebuild path takes over.
+    * Returns the number of segments rewritten.
+    */
+  def mergeRespectingLayout(spark: SparkSession, table: String, updates: DataFrame,
+                            keyCol: String,
+                            embCol: String = "embedding"): Int = {
+    val derived = deriveMaintainedColumns(spark, table, updates)
+    val rewritten =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table))) {
+        val model = Ivf.loadModel(spark, Ivf.modelPath(table))
+        VersionedStore.merge(spark, table,
+          Ivf.assign(derived, embCol, model), keyCol,
+          partitionBy = Seq("cluster_id"),
+          marker = Some(model.fingerprint))._2
+      } else VersionedStore.merge(spark, table, derived, keyCol)._2
+    Keyword.maintainRegisteredIndex(spark, table)
+    rewritten
+  }
+
+  /** Layout-respecting copy-on-write delete — [[VersionedStore.deleteWhere]]
+    * plus the same obligations as [[mergeRespectingLayout]] (surviving
+    * rows already carry their maintained columns; the rewritten segment
+    * keeps the cluster layout + stamp; the lexical index rebuilds
+    * through the seam). Returns the number of segments rewritten.
+    */
+  def deleteRespectingLayout(spark: SparkSession, table: String,
+                             predicate: org.apache.spark.sql.Column): Int = {
+    val rewritten =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table))) {
+        val model = Ivf.loadModel(spark, Ivf.modelPath(table))
+        VersionedStore.deleteWhere(spark, table, predicate,
+          partitionBy = Seq("cluster_id"),
+          marker = Some(model.fingerprint))._2
+      } else VersionedStore.deleteWhere(spark, table, predicate)._2
+    Keyword.maintainRegisteredIndex(spark, table)
+    rewritten
   }
 
   /** Store compaction — the small-files remedy an append-mode store

@@ -117,11 +117,27 @@ object Sampling {
   private def shuffleIndexed(df: DataFrame, keyCol: String, seed: String,
                              posName: String)
       : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
-    val sorted = df
-      .withColumn("__shk",
-        md5(concat(checkedKey(keyCol, "deterministicShuffle"), lit(":" + seed))
-          .cast("binary")))
-      .orderBy(col("__shk"), col(keyCol))
+    val keyed = df.withColumn("__shk",
+      md5(concat(checkedKey(keyCol, "deterministicShuffle"), lit(":" + seed))
+        .cast("binary")))
+    val (out, rdd) = indexByOrder(keyed,
+      Seq(col("__shk"), col(keyCol)), posName)
+    (out.drop("__shk"), rdd)
+  }
+
+  /** Global 1-based position under an explicit total order — the
+    * zipWithIndex pattern [[deterministicShuffle]] and
+    * [[Curation.curriculumOrder]] share: one range exchange + sort,
+    * per-partition counts, a driver prefix-sum of ONE long per
+    * partition, local offsets. `sortCols` must be a TOTAL order
+    * (include a unique key last) or positions of tied rows are
+    * partition-layout-dependent.
+    */
+  private[ops] def indexByOrder(df: DataFrame,
+                                sortCols: Seq[org.apache.spark.sql.Column],
+                                posName: String)
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+    val sorted = df.orderBy(sortCols: _*)
     val spark = df.sparkSession
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
@@ -136,7 +152,7 @@ object Sampling {
     val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (spark.createDataFrame(indexed, outSchema).drop("__shk"), indexed)
+    (spark.createDataFrame(indexed, outSchema), indexed)
   }
 
   /** The hash key as a string, with nulls rejected IN the expression

@@ -81,6 +81,45 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  /** Corpus vocabulary profile: the `k` most frequent whitespace tokens
+    * with exact counts, ordered (count desc, token asc) — the total
+    * order makes the boundary deterministic under ties.
+    *
+    * Scale: the token explode is narrow; the count partial-aggregates
+    * map-side (the shuffle carries the VOCABULARY, not the token
+    * stream); the sort+limit compiles to TakeOrdered (per-partition
+    * top-k heaps, k rows to the driver) — never a global sort.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Count-min-sketch heavy-hitter estimates checked against the exact
+    * [[vocabTopK]] counts — the sketch is the 100 TB answer (one
+    * treeAggregate builds it; memory is O(1/eps × ln(1/(1-confidence))),
+    * independent of vocabulary size), and this returns per-token proof
+    * it honors its bound here: `(token, n, est, within_bound)` where
+    * CMS guarantees `n <= est <= n + eps*N` (overestimate-only; N =
+    * total token count). The exact top-k pass is test-time anchoring —
+    * at corpus scale you keep only the sketch.
+    */
+  def vocabTopKCmsChecked(df: DataFrame, textCol: String, k: Int,
+                          eps: Double = 0.001, confidence: Double = 0.99,
+                          seed: Int = 42): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val cms = toks.stat.countMinSketch("token", eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val bound = math.ceil(eps * cms.totalCount).toLong
+    // k rows — the UDF evaluates k times total, not per corpus row
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    vocabTopK(df, textCol, k)
+      .withColumn("est", est(col("token")))
+      .withColumn("within_bound", col("est") >= col("n") &&
+        col("est") <= col("n") + lit(bound))
+  }
+
   /** Gopher-style repetition metric: per document, the fraction of word
     * n-gram slots covered by the single most frequent n-gram —
     * boilerplate and degenerate generations repeat one phrase, natural

@@ -483,6 +483,171 @@ object VersionedStore {
     }
   }
 
+  /** The live rows with the segment each row came from — per-segment
+    * scans lit-tagged and unioned (exact, unlike regex-parsing
+    * `input_file_name`, and the same one-job union shape as
+    * [[readState]]). The minimal-rewrite mutations below use the tag to
+    * touch only the segments that actually contain affected rows.
+    */
+  private def taggedState(spark: SparkSession, table: String, st: State): DataFrame =
+    st.segments
+      .map(s => spark.read.parquet(s"$table/$s")
+        .withColumn("__seg", org.apache.spark.sql.functions.lit(s)))
+      .reduce(_.unionByName(_))
+
+  /** Copy-on-write upsert by key — the CDC mutation an append-only store
+    * lacks: every existing row whose `keyCol` appears in `updates` is
+    * replaced by the update rows with that key (delete-then-insert
+    * semantics, so multi-row updates per key are well-defined), rows
+    * with unmatched keys are inserted, and everything else is untouched.
+    *
+    * Minimal rewrite: one tagged scan finds the segments that actually
+    * CONTAIN a matched key (a shuffled semi-join — `updates` is never
+    * assumed broadcastable); only those are rewritten (their unmatched
+    * rows anti-joined against the update keys, unioned with `updates`,
+    * re-sized like [[compact]]), every other live segment is carried
+    * forward BY REFERENCE in the new manifest. At 100 TB a merge that
+    * touches 1% of segments reads and writes 1% of the table plus the
+    * updates — never a full rewrite. A merge into an empty table, or one
+    * whose keys match nothing, degrades to a plain append.
+    *
+    * Concurrency: the same subtract-what-I-rewrote CAS as [[compact]] —
+    * if any rewritten segment was swapped out by a concurrent
+    * compaction/merge, this rewrite abandons (nothing published, the
+    * segment deleted); a concurrent APPEND is preserved (its segment
+    * survives the manifest transform untouched). Retired segments stay
+    * on disk for snapshot readers; [[vacuum]] reclaims them. Time travel
+    * sees the pre-merge rows at the pre-merge version.
+    *
+    * Null keys: `updates` must not carry them (raise — an upsert keyed
+    * on null matches nothing and is always a bug); table rows with a
+    * null key never match and are kept.
+    *
+    * Returns (new state, number of segments rewritten); the state is the
+    * fresh current state when the rewrite abandoned.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            keyCol: String, rowsPerFile: Long = 1L << 20,
+            partitionBy: Seq[String] = Nil,
+            marker: Option[String] = None): (State, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, not, raise_error, when}
+    require(rowsPerFile > 0)
+    adoptLegacy(spark, table)
+    val checkedUpdates = updates.withColumn(keyCol,
+      when(col(keyCol).isNotNull, col(keyCol)).otherwise(raise_error(lit(
+        s"merge: null $keyCol in updates — an upsert keyed on null matches nothing"))))
+    val updKeys = checkedUpdates.select(col(keyCol)).distinct()
+    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+    val affected: Seq[String] = stOpt match {
+      case None => Nil
+      case Some(st) =>
+        taggedState(spark, table, st)
+          .join(updKeys, Seq(keyCol), "left_semi")
+          .select(col("__seg")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+    }
+    if (affected.isEmpty) {
+      // pure insert (or empty/first-write table): exactly an append
+      if (checkedUpdates.isEmpty) return (currentState(spark, table)
+        .getOrElse(State(0L, Nil)), 0)
+      val seg = writeSegment(spark, table, checkedUpdates, partitionBy, marker)
+      return (commitAppend(spark, table, seg), 0)
+    }
+    val st = stOpt.get
+    // re-read ONLY the affected segments (the detection scan read
+    // everything once; the rewrite must not)
+    val keep = affected
+      .map(s => spark.read.parquet(s"$table/$s"))
+      .reduce(_.unionByName(_))
+      .join(updKeys, Seq(keyCol), "left_anti")
+    val newData = keep.unionByName(checkedUpdates, allowMissingColumns = false)
+    val rows = newData.count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val sized =
+      if (newData.rdd.getNumPartitions < nFiles) newData.repartition(nFiles)
+      else newData.coalesce(nFiles)
+    val seg = writeSegment(spark, table, sized, partitionBy, marker)
+    val newPart = segPartitioned(spark, table, seg)
+    val newCols = segColumns(spark, table, seg)
+    val affectedSet = affected.toSet
+    try {
+      val newState = commit(spark, table, cur => {
+        // every rewritten segment must still be live, and the segment we
+        // wrote must match the survivors' layout — same rules as compact,
+        // re-checked against the fresh list on every CAS attempt
+        if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
+        val survivors = cur.filterNot(affectedSet)
+        if (survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
+            segColumns(spark, table, s) != newCols))
+          throw new ConcurrentCompaction
+        survivors :+ seg
+      })
+      (newState, affected.size)
+    } catch {
+      case _: ConcurrentCompaction =>
+        graft.Fs.delete(spark, s"$table/$seg")
+        (currentState(spark, table).getOrElse(st), 0)
+    }
+  }
+
+  /** Copy-on-write delete: removes every row where `predicate` is TRUE
+    * (SQL DELETE semantics — rows where it evaluates null are KEPT).
+    * Same minimal-rewrite shape as [[merge]]: one tagged scan finds the
+    * segments containing ≥1 matching row, only those are rewritten with
+    * their surviving rows, the rest ride forward by reference. A delete
+    * that empties every affected segment publishes no replacement
+    * segment at all. Returns (new state, segments rewritten).
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  rowsPerFile: Long = 1L << 20,
+                  partitionBy: Seq[String] = Nil,
+                  marker: Option[String] = None): (State, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(rowsPerFile > 0)
+    adoptLegacy(spark, table)
+    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+    if (stOpt.isEmpty) return (State(0L, Nil), 0)
+    val st = stOpt.get
+    val affected = taggedState(spark, table, st)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__seg")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return (st, 0)
+    val keep = affected
+      .map(s => spark.read.parquet(s"$table/$s"))
+      .reduce(_.unionByName(_))
+      .filter(not(coalesce(predicate, lit(false))))
+    val rows = keep.count()
+    val affectedSet = affected.toSet
+    val (segOpt, newPart, newCols) =
+      if (rows == 0) (None, false, Set.empty[String])
+      else {
+        val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+        val sized =
+          if (keep.rdd.getNumPartitions < nFiles) keep.repartition(nFiles)
+          else keep.coalesce(nFiles)
+        val s = writeSegment(spark, table, sized, partitionBy, marker)
+        (Some(s), segPartitioned(spark, table, s), segColumns(spark, table, s))
+      }
+    try {
+      val newState = commit(spark, table, cur => {
+        if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
+        val survivors = cur.filterNot(affectedSet)
+        if (segOpt.isDefined &&
+            survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
+              segColumns(spark, table, s) != newCols))
+          throw new ConcurrentCompaction
+        survivors ++ segOpt
+      })
+      (newState, affected.size)
+    } catch {
+      case _: ConcurrentCompaction =>
+        segOpt.foreach(s => graft.Fs.delete(spark, s"$table/$s"))
+        (currentState(spark, table).getOrElse(st), 0)
+    }
+  }
+
   /** Hive partition-column names of a segment: the `key` of every
     * first-level `key=value` child directory.
     */

@@ -171,6 +171,69 @@ object TextQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // Bloom-filter decontamination: SAME contract (and oracle) as
+    // decontaminate_survivors, different plan — a broadcast Bloom
+    // sketch map-side-cuts the corpus shingle stream, survivors verify
+    // against the exact eval shingles in a SHUFFLED semi-join (no
+    // broadcast of the raw shingle set anywhere — the scale path for
+    // eval suites too big to ship as strings). False negatives are
+    // impossible, false positives die in the verify, so the result is
+    // exact.
+    "decontaminate_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.decontaminateBloom(docs.filter($"doc_id" >= 20), "doc_id", "text",
+          docs.filter($"doc_id" < 20), "text", n = 4, fpp = 0.01)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // Corpus vocabulary profile: exact top-25 tokens by frequency
+    // (count desc, token asc — a total order, so the boundary is
+    // deterministic). Map-side partial agg + TakeOrdered.
+    "vocab_topk" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.vocabTopK(documents(s, d), "text", 25)
+    }),
+
+    // Count-min-sketch heavy hitters anchored on the exact counts: the
+    // sketch is the 100 TB profiler; per top-token, the CMS estimate
+    // must sit in [n, n + eps*N] (overestimate-only). The estimate
+    // itself is seed-defined, so it is projected away — the oracle
+    // recomputes the exact (token, n) pairs and the bound bit is
+    // constant truth.
+    "vocab_cms_invariants" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.vocabTopKCmsChecked(documents(s, d), "text", 25,
+          eps = 0.001, confidence = 0.99, seed = 42)
+        .select($"token", $"n", $"within_bound")
+    }),
+
+    // Quality-quantile gate: keep documents at or above the corpus
+    // median quality — the threshold comes from the corpus
+    // DISTRIBUTION, not a hand-picked constant. Exact percentile here
+    // (oracle parity); approx_percentile is the fixed-memory 100 TB
+    // path, spec-checked against the exact threshold's rank bound.
+    "quality_quantile_filter" -> ((s, d) => {
+      import s.implicits._
+      val scored = documents(s, d).select($"doc_id",
+        TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn).as("quality"))
+      graft.ops.Curation.filterByQuantile(scored, "quality", 0.5, exact = true)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // Curriculum ordering: long documents (>= 40 tokens) first, seeded
+    // shuffle within each phase — the staged data-loader feed. Exact
+    // cross-engine position via the md5 permutation + two-pass
+    // zipWithIndex (no global window).
+    "curriculum_order" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+      graft.ops.Curation.curriculumOrder(docs,
+          when($"n_tokens" >= 40, 0).otherwise(1), "doc_id", seed = "cur0")
+        .select($"doc_id", $"position").orderBy($"position")
+    }),
+
     // n-gram-heuristic language ID: stopword-hit scores + argmax.
     "text_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -412,6 +475,37 @@ object TextQueries {
       val live = graft.ops.VersionedStore.read(s, root).get
       v1.select($"doc_id", length($"text").as("n_chars"))
         .join(live.select($"doc_id").as("l"), Seq("doc_id"), "semi")
+        .orderBy($"doc_id")
+    }),
+
+    // Copy-on-write CDC on the versioned store, oracle-checked
+    // relationally: three appends (three segments), ONE merge that
+    // replaces every doc_id<150 multiple-of-7 (text + " v2") and
+    // inserts five shifted new ids, then a predicate delete. The merge's
+    // update keys all live in the FIRST segment, so the minimal-rewrite
+    // contract says exactly one segment is rewritten — surfaced as a
+    // constant column the oracle pins. The final live rows must equal
+    // the same upsert+delete computed relationally by DuckDB.
+    "store_merge_upsert" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-merge-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" < 150))
+      graft.ops.VersionedStore.append(s, root,
+        docs.filter($"doc_id" >= 150 && $"doc_id" < 300))
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" >= 300))
+      val updates = docs.filter($"doc_id" < 150 && $"doc_id" % 7 === 0)
+        .select($"doc_id", concat($"text", lit(" v2")).as("text"))
+        .unionByName(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      val (_, nRewritten) = graft.ops.VersionedStore.merge(s, root, updates, "doc_id")
+      graft.ops.VersionedStore.deleteWhere(s, root, $"doc_id" % 13 === 1)
+      graft.ops.VersionedStore.read(s, root).get
+        .select($"doc_id", md5($"text".cast("binary")).as("content_key"),
+          lit(nRewritten).as("merge_rewrote_segments"))
         .orderBy($"doc_id")
     }),
 
@@ -836,6 +930,49 @@ object TextQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    // identical to decontaminate_survivors BY DESIGN: the bloom path is
+    // a different plan for the same contract (sketch pre-filter + exact
+    // verify ≡ exact semi-join)
+    "decontaminate_bloom" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+        |  FROM (SELECT regexp_split_to_array(text, '\s+') AS w
+        |        FROM documents WHERE doc_id < 20)),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-2),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+        |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+        |          FROM documents WHERE doc_id >= 20)) c
+        |  JOIN ev USING (s))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""SELECT token, count(*)::BIGINT AS n
+         |FROM (SELECT unnest($docTokens) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    // exact (token, n) recomputed; the sketch bound bit is constant truth
+    "vocab_cms_invariants" ->
+      s"""SELECT token, count(*)::BIGINT AS n, true AS within_bound
+         |FROM (SELECT unnest($docTokens) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    "quality_quantile_filter" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    0.4*(len(list_distinct($docTokens))::DOUBLE/len($docTokens)) +
+         |    0.3*(${hits(enList)}::DOUBLE/len($docTokens)) +
+         |    0.3*least(len($docTokens)/100.0, 1.0) AS quality
+         |  FROM documents)
+         |SELECT doc_id FROM sc
+         |WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM sc)
+         |ORDER BY doc_id""".stripMargin,
+    "curriculum_order" ->
+      s"""SELECT doc_id, row_number() OVER (ORDER BY
+         |    CASE WHEN len($docTokens) >= 40 THEN 0 ELSE 1 END,
+         |    md5(doc_id::VARCHAR || ':cur0'), doc_id) AS position
+         |FROM documents ORDER BY position""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id, len($docTokens)::BIGINT AS n_tokens,
          |  len(text)::BIGINT AS n_chars
@@ -905,6 +1042,20 @@ object TextQueries {
     "store_time_travel" ->
       """SELECT doc_id, len(text)::BIGINT AS n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // the upsert + delete recomputed relationally; the rewrite count is
+    // pinned to 1 because every update key lives in the first segment
+    "store_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, text || ' v2' AS text FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 5),
+        |live AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT doc_id, text FROM upd)
+        |SELECT doc_id, md5(text) AS content_key, 1::INT AS merge_rewrote_segments
+        |FROM live WHERE doc_id % 13 <> 1 ORDER BY doc_id""".stripMargin,
     "ingest_antijoin_chunks" ->
       """WITH chunks AS (
         |  SELECT doc_id, i AS chunk_idx, md5(substr(text, (i*150+1)::INT, 200)) AS ckey

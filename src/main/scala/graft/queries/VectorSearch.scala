@@ -311,6 +311,34 @@ object VectorSearch {
         count(lit(1)).as("n_topics"))
     }),
 
+    // Cluster-balanced (semantic) sampling — Curation.clusterBalancedSample's
+    // composition with its contract checked in-plan: k-means the
+    // embedding space, cap every cluster at the same quota. Cluster
+    // sizes are engine-defined (k-means), so the output is the
+    // constant-truth contract bits: every cluster's sample count equals
+    // min(population, quota), at most k clusters exist, and the sample
+    // is nonempty. ONE assigned frame feeds both the sample and the
+    // population count, so centroid jitter can never split the two
+    // sides' view of the clustering.
+    "cluster_balanced_sample" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val model = graft.ops.Ivf.fit(emb, "vec_id", "embedding", k = 8)
+      val assigned = graft.ops.Ivf.assign(
+          emb.filter($"embedding".isNotNull), "embedding", model)
+        .withColumn("cluster_id", $"cluster_id".cast("string"))
+      val sample = graft.ops.Sampling.stratifiedQuota(
+        assigned, "cluster_id", "vec_id", quotas = Map.empty, defaultQuota = 5)
+      val pop = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("__pop"))
+      val got = sample.groupBy($"cluster_id").agg(count(lit(1)).as("__n"))
+      pop.join(got, Seq("cluster_id"), "left")
+        .agg(
+          bool_and(coalesce($"__n", lit(0L)) === least($"__pop", lit(5L)))
+            .as("quota_exact"),
+          (count(lit(1)) <= 8).as("at_most_k_clusters"),
+          (sum(coalesce($"__n", lit(0L))) >= 1).as("found_rows"))
+    }),
+
     // V1 batch embedding over documents through the pluggable embedder
     // expression. The embedding VALUES are engine-defined, so the query
     // emits exactly the declared invariants — dimension and unit L2 norm
@@ -380,6 +408,10 @@ object VectorSearch {
       """SELECT true AS correctness_in_unit,
         |  (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_questions,
         |  (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 50) AS n_topics""".stripMargin,
+    // the invariants ARE the oracle (cluster sizes stay engine-defined)
+    "cluster_balanced_sample" ->
+      """SELECT true AS quota_exact, true AS at_most_k_clusters,
+        |  true AS found_rows""".stripMargin,
     "embed_documents" ->
       """SELECT doc_id, 64::INT AS dim,
         |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // --- quantile filtering ---------------------------------------------------
+
+  test("filterByQuantile keeps exactly the rows at or above the exact quantile") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = Curation.filterByQuantile(df, "score", 0.5, exact = true)
+      .select($"id").as[Long].collect().sorted
+    // exact percentile(1..100, 0.5) = 50.5 -> keep 51..100
+    assert(kept.toSeq == (51L to 100L))
+    assert(Curation.filterByQuantile(df, "score", 0.0, exact = true).count() == 100)
+    assert(Curation.filterByQuantile(df, "score", 1.0, exact = true).count() == 1)
+  }
+
+  test("approx quantile threshold lands within the sketch's rank bound of exact") {
+    val df = (1 to 2000).map(i => (i.toLong, (i * 37 % 2000).toDouble)).toDF("id", "score")
+    val exact = Curation.quantileThreshold(df, "score", 0.5, exact = true).get
+    val approx = Curation.quantileThreshold(df, "score", 0.5, exact = false,
+      accuracy = 100).get
+    // GK bound: rank error <= n / accuracy = 20 ranks; values are dense
+    // integers so 20 ranks <= 21 in value
+    assert(math.abs(approx - exact) <= 21.0,
+      s"approx $approx vs exact $exact drifted past the rank bound")
+  }
+
+  test("filterByQuantile on an empty or all-null corpus keeps nothing") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "score")
+    assert(Curation.filterByQuantile(empty, "score", 0.5).count() == 0)
+    val nulls = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "score")
+    assert(Curation.filterByQuantile(nulls, "score", 0.5).count() == 0)
+  }
+
+  // --- curriculum ordering --------------------------------------------------
+
+  test("curriculumOrder walks phases in order and seeded-shuffles within each phase") {
+    val df = (1 to 60).map(i => (i.toLong, if (i % 3 == 0) 0 else 1)).toDF("id", "phase")
+    val got = Curation.curriculumOrder(df, $"phase", "id", seed = "s")
+      .select($"id", $"phase", $"position").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(got.map(_._3).toSeq == (1L to 60L), "positions must be contiguous 1..n")
+    // all phase-0 rows come before any phase-1 row
+    val phaseWalk = got.map(_._2).toSeq
+    assert(phaseWalk == phaseWalk.sorted, "phases must be visited in ascending order")
+    // within a phase, the order is the deterministicShuffle permutation
+    val expected = got.filter(_._2 == 0).map(_._1)
+      .sortBy(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:s".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got.filter(_._2 == 0).map(_._1).toSeq == expected.toSeq)
+  }
+
+  test("curriculumOrder is invariant to partition layout and sensitive to seed") {
+    val df = (1 to 200).map(i => (i.toLong, i % 4)).toDF("id", "phase")
+    def run(parts: Int, seed: String) =
+      Curation.curriculumOrder(df.repartition(parts), $"phase", "id", seed)
+        .select($"id", $"position").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(2, "a") == run(13, "a"), "partitioning must not change positions")
+    assert(run(4, "a") != run(4, "b"), "different seeds must give a different order")
+  }
+
+  test("curriculumOrder raises on a null phase") {
+    val df = Seq((1L, Some(0)), (2L, None)).toDF("id", "phase")
+    val e = intercept[Exception] {
+      Curation.curriculumOrder(df, $"phase", "id", "s").collect()
+    }
+    assert(e.getMessage.contains("null phase") ||
+      Option(e.getCause).exists(_.getMessage.contains("null phase")))
+  }
+
+  // --- cluster-balanced sampling --------------------------------------------
+
+  test("clusterBalancedSample caps every cluster at the quota and keeps small clusters whole") {
+    // three well-separated gaussian-ish blobs of very different sizes
+    val rnd = new scala.util.Random(11)
+    def blob(center: Float, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, Array.fill(8)(center + rnd.nextFloat() * 0.1f)))
+    val rows = blob(0f, 40, 0L) ++ blob(10f, 12, 100L) ++ blob(20f, 3, 200L)
+    val df = rows.toDF("vec_id", "embedding")
+    val sample = Curation.clusterBalancedSample(df, "vec_id", "embedding",
+      k = 3, perCluster = 5, iters = 4)
+    val counts = sample.groupBy($"cluster_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 5), s"quota exceeded: $counts")
+    assert(counts.values.sum >= 5 + 5 + 3 - 2,
+      s"well-separated blobs should fill their quotas, got $counts")
+    // sampled ids are a subset of the corpus
+    val ids = sample.select($"vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf(rows.map(_._1).toSet))
+    // null embeddings never sampled
+    val withNull = df.union(Seq((999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    val s2 = Curation.clusterBalancedSample(withNull, "vec_id", "embedding", 3, 5, 4)
+    assert(!s2.select($"vec_id").as[Long].collect().contains(999L))
+  }
+
+  // --- vocabulary profiling -------------------------------------------------
+
+  test("vocabTopK returns exact counts under the (count desc, token asc) total order") {
+    val df = Seq("a b a", "b c b", "a", "").toDF("text")
+    val got = TextAnalysis.vocabTopK(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    // counts: a=3 b=3 c=1 ""=1; order: (3,a),(3,b),(1,""),(1,c)
+    assert(got == Seq(("a", 3L), ("b", 3L), ("", 1L)))
+  }
+
+  test("vocabTopKCmsChecked estimates respect the count-min bound") {
+    val texts = (0 until 300).map(i => s"tok${i % 17} tok${i % 5} filler$i")
+    val df = texts.toDF("text")
+    val rows = TextAnalysis.vocabTopKCmsChecked(df, "text", 10,
+        eps = 0.01, confidence = 0.99, seed = 7)
+      .select($"token", $"n", $"est", $"within_bound").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"CMS bound violated for ${r.getString(0)}: " +
+        s"n=${r.getLong(1)} est=${r.getLong(2)}")
+      assert(r.getLong(2) >= r.getLong(1), "CMS must never underestimate")
+    }
+  }
+
+  // --- bloom decontamination ------------------------------------------------
+
+  test("decontaminateBloom equals the exact decontaminate on every fpp") {
+    val corpus = ((1 to 40).map(i => (i.toLong, s"unique document number $i with words w$i x$i y$i z$i")) ++
+      Seq((100L, "the secret benchmark answer is forty two ok"),
+          (101L, "another leaked eval question text appears right here")))
+      .toDF("doc_id", "text")
+    val eval = Seq("the secret benchmark answer is forty two indeed",
+        "another leaked eval question text appears right here too")
+      .toDF("text")
+    val exact = Dedup.decontaminate(corpus, "doc_id", "text", eval, "text", n = 4)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    for (fpp <- Seq(0.5, 0.05, 0.001)) {
+      val bloom = Dedup.decontaminateBloom(corpus, "doc_id", "text", eval, "text",
+          n = 4, fpp = fpp)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(bloom == exact, s"fpp=$fpp diverged from exact")
+    }
+    assert(!exact.contains(100L) && !exact.contains(101L))
+  }
+
+  test("decontaminateBloom with an empty eval set keeps the whole corpus") {
+    val corpus = (1 to 10).map(i => (i.toLong, s"doc $i has some words in it yes"))
+      .toDF("doc_id", "text")
+    val eval = Seq.empty[String].toDF("text")
+    assert(Dedup.decontaminateBloom(corpus, "doc_id", "text", eval, "text", n = 4)
+      .count() == 10)
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ingest, Ivf, Keyword, VersionedStore}
+
+/** Copy-on-write mutations (merge/deleteWhere) on the versioned store:
+  * upsert semantics, minimal segment rewrite, time travel across the
+  * mutation, and the layout-respecting seam on an indexed store.
+  */
+class MergeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"merge-$name").toString
+    s"$dir/t"
+  }
+
+  private def rows(table: String): Set[(Long, String)] =
+    VersionedStore.read(spark, table).get
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+
+  test("merge replaces matched keys, inserts unmatched, leaves the rest alone") {
+    val t = freshTable("basic")
+    VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val (st, rewritten) = VersionedStore.merge(spark, t,
+      Seq((2L, "B2"), (9L, "new")).toDF("id", "v"), "id")
+    assert(rewritten == 1)
+    assert(rows(t) == Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // time travel still serves the pre-merge rows
+    val before = VersionedStore.readAt(spark, t, st.version - 1).get
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    assert(before == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("merge rewrites ONLY the segments containing matched keys") {
+    val t = freshTable("minimal")
+    VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    VersionedStore.append(spark, t, Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+    VersionedStore.append(spark, t, Seq((20L, "p"), (21L, "q")).toDF("id", "v"))
+    val preSegs = VersionedStore.currentState(spark, t).get.segments
+    assert(preSegs.size == 3)
+    // keys only in the SECOND segment
+    val (st, rewritten) = VersionedStore.merge(spark, t,
+      Seq((10L, "X")).toDF("id", "v"), "id")
+    assert(rewritten == 1)
+    // segments 1 and 3 survive by reference; segment 2 was swapped
+    assert(st.segments.contains(preSegs(0)) && st.segments.contains(preSegs(2)))
+    assert(!st.segments.contains(preSegs(1)))
+    assert(st.segments.size == 3)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (10L, "X"), (11L, "y"),
+      (20L, "p"), (21L, "q")))
+  }
+
+  test("merge with unmatched keys degrades to a plain append; empty updates are a no-op") {
+    val t = freshTable("insertonly")
+    VersionedStore.append(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    val pre = VersionedStore.currentState(spark, t).get
+    val (st, rewritten) = VersionedStore.merge(spark, t,
+      Seq((2L, "b")).toDF("id", "v"), "id")
+    assert(rewritten == 0 && st.version == pre.version + 1)
+    assert(pre.segments.forall(st.segments.contains), "append keeps old segments")
+    val (st2, r2) = VersionedStore.merge(spark, t,
+      Seq.empty[(Long, String)].toDF("id", "v"), "id")
+    assert(r2 == 0 && st2.version == st.version, "empty merge publishes nothing")
+    // merge into a table that does not exist yet = first append
+    val t2 = freshTable("firstwrite")
+    val (st3, r3) = VersionedStore.merge(spark, t2,
+      Seq((5L, "e")).toDF("id", "v"), "id")
+    assert(r3 == 0 && st3.version == 1 && rows(t2) == Set((5L, "e")))
+  }
+
+  test("merge rejects null keys in updates; table rows with null keys are kept") {
+    val t = freshTable("nullkeys")
+    VersionedStore.append(spark, t,
+      Seq((Some(1L), "a"), (None, "nullrow")).toDF("id", "v"))
+    val e = intercept[Exception] {
+      VersionedStore.merge(spark, t,
+        Seq((Option.empty[Long], "boom")).toDF("id", "v"), "id")
+    }
+    assert(e.getMessage.contains("null id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null id")))
+    val (_, _) = VersionedStore.merge(spark, t, Seq((Some(1L), "A")).toDF("id", "v"), "id")
+    val got = VersionedStore.read(spark, t).get
+      .select($"id", $"v").as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "A"), (None, "nullrow")))
+  }
+
+  test("multi-row updates per key are delete-then-insert") {
+    val t = freshTable("multirow")
+    VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    VersionedStore.merge(spark, t,
+      Seq((1L, "a1"), (1L, "a2")).toDF("id", "v"), "id")
+    assert(rows(t) == Set((1L, "a1"), (1L, "a2"), (2L, "b")))
+  }
+
+  test("deleteWhere removes matching rows with minimal rewrite; null predicate rows are kept") {
+    val t = freshTable("delete")
+    VersionedStore.append(spark, t, Seq((1L, Some(5)), (2L, Some(50))).toDF("id", "n"))
+    VersionedStore.append(spark, t, Seq((3L, Some(7)), (4L, None)).toDF("id", "n"))
+    VersionedStore.append(spark, t, Seq((5L, Some(70))).toDF("id", "n"))
+    val preSegs = VersionedStore.currentState(spark, t).get.segments
+    // n > 10 matches segment 1 (50) and segment 3 (70); the null-n row
+    // evaluates null and must survive
+    val (st, rewritten) = VersionedStore.deleteWhere(spark, t, col("n") > 10)
+    assert(rewritten == 2)
+    assert(st.segments.contains(preSegs(1)), "untouched segment rides forward")
+    val got = VersionedStore.read(spark, t).get
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L))
+    // delete everything left in one segment: no replacement segment published
+    val (st2, r2) = VersionedStore.deleteWhere(spark, t, col("id") === 1L)
+    assert(r2 == 1 && st2.segments.size == st.segments.size - 1)
+    // no matches: the exact same state comes back, no version bump
+    val (st3, r3) = VersionedStore.deleteWhere(spark, t, col("id") === 999L)
+    assert(r3 == 0 && st3.version == st2.version)
+  }
+
+  test("mergeRespectingLayout keeps an IVF+SQ8 store serving correctly") {
+    val t = freshTable("ivfmerge")
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * (if (i % 2 == 0) 1f else 10f))))
+    VersionedStore.append(spark, t, base.toDF("vec_id", "embedding"))
+    Ivf.indexStore(spark, t, "vec_id", "embedding", k = 4)
+    graft.ops.Quantize.quantizeStore(spark, t, "embedding")
+    // replace one vector and insert a brand-new one through the seam
+    val target = Array.fill(8)(42.0f)
+    Ingest.mergeRespectingLayout(spark, t,
+      Seq((7L, target), (100L, target.map(_ + 0.01f))).toDF("vec_id", "embedding"),
+      "vec_id", embCol = "embedding")
+    // full-probe IVF search must see the NEW vectors as nearest to the target
+    val model = Ivf.loadModel(spark, Ivf.modelPath(t))
+    val got = Ivf.search(VersionedStore.read(spark, t).get, "embedding", model,
+        target, topK = 2, nProbe = model.k, storePath = Some(t))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(7L, 100L), s"post-merge probe must serve merged rows, got $got")
+    // the store still reads with a consistent schema (SQ8 columns derived)
+    val cols = VersionedStore.read(spark, t).get.columns.toSet
+    assert(cols.contains("embedding_q"),
+      s"quantized columns survived the merge: $cols")
+  }
+
+  test("deleteRespectingLayout drops rows from an indexed store and probes stay guarded") {
+    val t = freshTable("ivfdelete")
+    val rnd = new scala.util.Random(4)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+    VersionedStore.append(spark, t, base.toDF("vec_id", "embedding"))
+    Ivf.indexStore(spark, t, "vec_id", "embedding", k = 3)
+    val rewritten = Ingest.deleteRespectingLayout(spark, t, col("vec_id") < 5L)
+    assert(rewritten >= 1)
+    val model = Ivf.loadModel(spark, Ivf.modelPath(t))
+    val got = Ivf.search(VersionedStore.read(spark, t).get, "embedding", model,
+        base(6)._2, topK = 40, nProbe = model.k, storePath = Some(t))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == (5L until 40L).toSet)
+  }
+
+  test("merge maintains a registered lexical index via the rebuild path") {
+    val t = freshTable("lexmerge")
+    val dir = java.nio.file.Files.createTempDirectory("lexmerge-idx").toString + "/idx"
+    VersionedStore.append(spark, t,
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text"))
+    Keyword.registerLexicalIndex(spark, t, "doc_id", "text", dir)
+    Ingest.mergeRespectingLayout(spark, t,
+      Seq((2L, "replaced words entirely here")).toDF("doc_id", "text"), "doc_id")
+    // the index must serve the POST-merge corpus (staleness guard passes,
+    // and the replaced doc's old terms are gone)
+    val hits = Keyword.bm25Indexed(spark, dir, Seq("replaced"), topK = 5,
+        idName = "doc_id", store = Some(t))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(hits == Set(2L))
+    val stale = Keyword.bm25Indexed(spark, dir, Seq("delta"), topK = 5,
+        idName = "doc_id", store = Some(t))
+      .select($"doc_id").as[Long].collect()
+    assert(stale.isEmpty, "old terms of a replaced doc must not match")
+  }
+}
