@@ -236,6 +236,24 @@ object Ingest {
     rewritten
   }
 
+  /** Layout-respecting keyed delete — [[VersionedStore.deleteByKeys]]
+    * for tombstones arriving as data (never collected to the driver),
+    * with the same maintenance obligations as
+    * [[deleteRespectingLayout]]. Returns segments rewritten.
+    */
+  def deleteKeysRespectingLayout(spark: SparkSession, table: String,
+                                 keys: DataFrame, keyCol: String): Int = {
+    val rewritten =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table))) {
+        val model = Ivf.loadModel(spark, Ivf.modelPath(table))
+        VersionedStore.deleteByKeys(spark, table, keys, keyCol,
+          partitionBy = Seq("cluster_id"),
+          marker = Some(model.fingerprint))._2
+      } else VersionedStore.deleteByKeys(spark, table, keys, keyCol)._2
+    Keyword.maintainRegisteredIndex(spark, table)
+    rewritten
+  }
+
   /** Store compaction — the small-files remedy an append-mode store
     * needs at scale: idempotent re-ingests and streaming micro-batches
     * accumulate small part files, and at 100 TB file-listing and

@@ -590,6 +590,64 @@ object VersionedStore {
     }
   }
 
+  /** Copy-on-write delete BY KEY SET — [[deleteWhere]] for the CDC case
+    * where the doomed keys arrive as data (a changelog's tombstones),
+    * not as a predicate: `keys` is never collected to the driver (the
+    * detection semi-join and the rewrite anti-join both shuffle), so a
+    * micro-batch carrying millions of tombstones costs the same shape
+    * as a merge. Null keys in `keys` match nothing. Minimal rewrite and
+    * CAS semantics identical to [[merge]].
+    */
+  def deleteByKeys(spark: SparkSession, table: String, keys: DataFrame,
+                   keyCol: String, rowsPerFile: Long = 1L << 20,
+                   partitionBy: Seq[String] = Nil,
+                   marker: Option[String] = None): (State, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(rowsPerFile > 0)
+    adoptLegacy(spark, table)
+    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+    if (stOpt.isEmpty) return (State(0L, Nil), 0)
+    val st = stOpt.get
+    val keySet = keys.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val affected = taggedState(spark, table, st)
+      .join(keySet, Seq(keyCol), "left_semi")
+      .select(col("__seg")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return (st, 0)
+    val keep = affected
+      .map(s => spark.read.parquet(s"$table/$s"))
+      .reduce(_.unionByName(_))
+      .join(keySet, Seq(keyCol), "left_anti")
+    val rows = keep.count()
+    val affectedSet = affected.toSet
+    val (segOpt, newPart, newCols) =
+      if (rows == 0) (None, false, Set.empty[String])
+      else {
+        val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+        val sized =
+          if (keep.rdd.getNumPartitions < nFiles) keep.repartition(nFiles)
+          else keep.coalesce(nFiles)
+        val s = writeSegment(spark, table, sized, partitionBy, marker)
+        (Some(s), segPartitioned(spark, table, s), segColumns(spark, table, s))
+      }
+    try {
+      val newState = commit(spark, table, cur => {
+        if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
+        val survivors = cur.filterNot(affectedSet)
+        if (segOpt.isDefined &&
+            survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
+              segColumns(spark, table, s) != newCols))
+          throw new ConcurrentCompaction
+        survivors ++ segOpt
+      })
+      (newState, affected.size)
+    } catch {
+      case _: ConcurrentCompaction =>
+        segOpt.foreach(s => graft.Fs.delete(spark, s"$table/$s"))
+        (currentState(spark, table).getOrElse(st), 0)
+    }
+  }
+
   /** Copy-on-write delete: removes every row where `predicate` is TRUE
     * (SQL DELETE semantics — rows where it evaluates null are KEPT).
     * Same minimal-rewrite shape as [[merge]]: one tagged scan finds the

@@ -73,6 +73,76 @@ object IncrementalIngest {
     graft.ops.Ingest.appendRespectingLayout(spark, storePath, toAppend): Unit
   }
 
+  /** Start a CDC (changelog) stream into a versioned store: each
+    * micro-batch is collapsed to last-write-wins per key (`seqCol` is
+    * the changelog's own order — a Kafka offset, a source LSN) and
+    * applied as a layout-respecting copy-on-write upsert; rows whose
+    * `deleteFlagCol` is true are tombstones and apply as a keyed
+    * delete. The table-in-a-changelog shape: replays, retries, and
+    * out-of-order arrivals WITHIN a batch resolve by sequence, and each
+    * micro-batch lands as one (or two, with deletes) atomic manifest
+    * versions — a reader mid-stream sees complete batches only, and
+    * time travel replays the table as of any batch.
+    *
+    * Scale: the per-key last-wins window partitions by key (no global
+    * window); upserts and tombstones flow through
+    * [[graft.ops.Ingest.mergeRespectingLayout]] /
+    * [[graft.ops.Ingest.deleteKeysRespectingLayout]], so only the
+    * segments containing affected keys rewrite, per batch.
+    */
+  def startCdc(spark: SparkSession, inputDir: String, storePath: String,
+               schema: org.apache.spark.sql.types.StructType, keyCol: String,
+               seqCol: String, checkpointDir: String,
+               deleteFlagCol: Option[String] = None): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).json(inputDir)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(batch, storePath, keyCol, seqCol, deleteFlagCol)
+      }
+      .start()
+  }
+
+  private[graft] def applyCdcBatch(batch: DataFrame, storePath: String,
+                                       keyCol: String, seqCol: String,
+                                       deleteFlagCol: Option[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // last-write-wins per key within the batch; a TIE at the winning
+    // sequence is a malformed changelog (the final state of that key is
+    // ambiguous) — raise instead of picking silently. The raise rides
+    // ON the surviving row (count of rank-1 rows, evaluated after the
+    // row_number filter), so no predicate reordering can skip it; ties
+    // below the winner are harmless and ignored.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ntop",
+        sum(when(rank().over(w) === 1, 1).otherwise(0)).over(wKey))
+      .filter(col("__rn") === 1)
+      .withColumn(keyCol, when(col("__ntop") === 1, col(keyCol))
+        .otherwise(raise_error(lit(s"CDC batch carries a tied $seqCol for a " +
+          s"$keyCol — the changelog's final state for that key is ambiguous"))))
+      .drop("__rn", "__ntop")
+    deleteFlagCol match {
+      case Some(f) =>
+        val ups = latest.filter(!coalesce(col(f), lit(false))).drop(f, seqCol)
+        val dels = latest.filter(coalesce(col(f), lit(false))).select(col(keyCol))
+        if (!ups.isEmpty)
+          graft.ops.Ingest.mergeRespectingLayout(spark, storePath, ups, keyCol): Unit
+        if (!dels.isEmpty)
+          graft.ops.Ingest.deleteKeysRespectingLayout(
+            spark, storePath, dels, keyCol): Unit
+      case None =>
+        graft.ops.Ingest.mergeRespectingLayout(
+          spark, storePath, latest.drop(seqCol), keyCol): Unit
+    }
+  }
+
   /** Streaming exact dedup with BOUNDED state: drop re-occurrences of
     * `keyCol` arriving within the watermark delay through Spark's state
     * store, instead of anti-joining the full historical table every

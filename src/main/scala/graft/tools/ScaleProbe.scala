@@ -338,6 +338,66 @@ object ScaleProbe {
         docsNsame.select(($"doc_id" + 500000000L).as("doc_id"), $"text"), "doc_id", "text",
         0.2).count()))
 
+    // ---- round-7 operators ----
+
+    // Bloom decontamination: corpus grows N×, eval set FIXED (the real
+    // shape — eval suites don't grow with the corpus). The corpus-side
+    // explode+filter is the only N-proportional work; the verify join
+    // sees only bloom-positive survivors — ideal time ≈ N×
+    report("decontaminate_bloom",
+      time(graft.ops.Dedup.decontaminateBloom(
+        docs1.filter($"doc_id" % 1000000 >= 20), "doc_id", "text",
+        docs1.filter($"doc_id" % 1000000 < 20), "text", 4).count()),
+      time(graft.ops.Dedup.decontaminateBloom(
+        docsN.filter($"doc_id" % 1000000 >= 20), "doc_id", "text",
+        docs1.filter($"doc_id" % 1000000 < 20), "text", 4).count()))
+
+    // Vocabulary profile: explode + map-side partial agg + TakeOrdered —
+    // the shuffle carries the vocabulary (per-shard prefixes make it
+    // ≈N× here; real corpora sublinear), rows to driver stay k
+    report("vocab_topk",
+      time(graft.ops.TextAnalysis.vocabTopK(docs1, "text", 25).count()),
+      time(graft.ops.TextAnalysis.vocabTopK(docsN, "text", 25).count()))
+
+    // Curriculum ordering: same global range-sort + zipWithIndex shape
+    // as deterministic_shuffle with the phase prefix — ideal N×
+    def curriculum(docs: DataFrame) = graft.ops.Curation.curriculumOrder(
+      docs.select($"doc_id", length($"text").as("len")),
+      when($"len" >= 200, 0).otherwise(1), "doc_id", "e0").count()
+    report("curriculum_order", time(curriculum(docs1)), time(curriculum(docsN)))
+
+    // Quantile gate: one partial-agg job for the threshold (fixed-size
+    // GK sketch at scale) + a map-side filter — ideal N×
+    def qgate(docs: DataFrame) = graft.ops.Curation.filterByQuantile(
+      docs.select($"doc_id", length($"text").cast("double").as("len")),
+      "len", 0.5).count()
+    report("quality_quantile_gate", time(qgate(docs1)), time(qgate(docsN)))
+
+    // Copy-on-write merge: table of N× shards as N segments, updates
+    // touch ONE shard's keys — the rewrite must stay ≈ CONSTANT as the
+    // table grows (only detection's key-column scan grows N×). rows =
+    // segments rewritten (must be 1 at both scales)
+    val (_, tM1) = time {
+      val root = java.nio.file.Files.createTempDirectory("scaleprobe-merge").toString + "/t"
+      graft.ops.VersionedStore.append(spark, root, docs1.select($"doc_id", $"text"))
+      graft.ops.VersionedStore.merge(spark, root,
+        docs1.filter($"doc_id" % 50 === 0)
+          .select($"doc_id", concat($"text", lit(" u")).as("text")), "doc_id")
+    }
+    val (rwN, tMN) = time {
+      val root = java.nio.file.Files.createTempDirectory("scaleprobe-merge").toString + "/t"
+      (0 until n).foreach { i =>
+        graft.ops.VersionedStore.append(spark, root,
+          docs1.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text"))
+      }
+      // updates hit only shard 0's keys: exactly one of the n segments
+      // rewrites; detection reads the key column of all n
+      graft.ops.VersionedStore.merge(spark, root,
+        docs1.filter($"doc_id" % 50 === 0)
+          .select($"doc_id", concat($"text", lit(" u")).as("text")), "doc_id")
+    }
+    report("merge_one_of_n_segments", (1L, tM1), (rwN._2.toLong, tMN))
+
     spark.stop()
   }
 }

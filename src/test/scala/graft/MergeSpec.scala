@@ -158,6 +158,69 @@ class MergeSpec extends AnyFunSuite {
     assert(got == (5L until 40L).toSet)
   }
 
+  test("deleteByKeys drops exactly the keyed rows without collecting tombstones") {
+    val t = freshTable("delkeys")
+    VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    VersionedStore.append(spark, t, Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    val preSegs = VersionedStore.currentState(spark, t).get.segments
+    // tombstones: one real key, one absent key, one null (matches nothing)
+    val keys = Seq(Some(3L), Some(99L), None).toDF("id")
+    val (st, rewritten) = VersionedStore.deleteByKeys(spark, t, keys, "id")
+    assert(rewritten == 1)
+    assert(st.segments.contains(preSegs(0)), "untouched segment rides forward")
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (4L, "d")))
+    // no matching keys: same state back
+    val (st2, r2) = VersionedStore.deleteByKeys(spark, t,
+      Seq(100L).toDF("id"), "id")
+    assert(r2 == 0 && st2.version == st.version)
+  }
+
+  test("CDC stream applies last-write-wins upserts and tombstones per micro-batch") {
+    val in = java.nio.file.Files.createTempDirectory("cdc-in").toString
+    val store = java.nio.file.Files.createTempDirectory("cdc-store").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt").toString
+    def writeBatch(name: String, rows: Seq[(Long, String, Long, Boolean)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, v, seq, del) =>
+          s"""{"id":$id,"v":"$v","seq":$seq,"deleted":$del}"""
+        }.mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v STRING, seq LONG, deleted BOOLEAN")
+    // batch 1: inserts, including an intra-batch replay (id=1 twice,
+    // higher seq must win)
+    writeBatch("b1.json", Seq((1L, "stale", 10L, false), (1L, "fresh", 11L, false),
+      (2L, "b", 12L, false), (3L, "c", 13L, false)))
+    val q = graft.streaming.IncrementalIngest.startCdc(
+      spark, in, store, schema, "id", "seq", ckpt, deleteFlagCol = Some("deleted"))
+    try {
+      q.processAllAvailable()
+      assert(rows(store) == Set((1L, "fresh"), (2L, "b"), (3L, "c")))
+      // batch 2: update id=2, tombstone id=3, insert id=4
+      writeBatch("b2.json", Seq((2L, "B2", 20L, false), (3L, "", 21L, true),
+        (4L, "d", 22L, false)))
+      q.processAllAvailable()
+      assert(rows(store) == Set((1L, "fresh"), (2L, "B2"), (4L, "d")))
+      // time travel: the store replays as of batch 1
+      val hist = VersionedStore.history(spark, store)
+      val afterB1 = VersionedStore.readAt(spark, store, hist.map(_.version).min).get
+        .select($"id", $"v").as[(Long, String)].collect().toSet
+      assert(afterB1 == Set((1L, "fresh"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("CDC batch with a tied winning sequence fails loudly") {
+    val store = java.nio.file.Files.createTempDirectory("cdc-tie").toString + "/t"
+    val batch = Seq((1L, "x", 5L, false), (1L, "y", 5L, false))
+      .toDF("id", "v", "seq", "deleted")
+    val e = intercept[Exception] {
+      graft.streaming.IncrementalIngest.applyCdcBatch(
+        batch, store, "id", "seq", Some("deleted"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("tied seq")))
+  }
+
   test("merge maintains a registered lexical index via the rebuild path") {
     val t = freshTable("lexmerge")
     val dir = java.nio.file.Files.createTempDirectory("lexmerge-idx").toString + "/idx"
