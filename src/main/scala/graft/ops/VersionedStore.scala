@@ -495,6 +495,22 @@ object VersionedStore {
         .withColumn("__seg", org.apache.spark.sql.functions.lit(s)))
       .reduce(_.unionByName(_))
 
+  /** The live segments containing at least one row whose `keyCol`
+    * appears in `keys` — [[merge]]/[[deleteByKeys]]'s detection scan.
+    * Returned as the DataFrame BEFORE the collect so tests can assert
+    * the plan: the lit-tagged per-segment union projects only `keyCol`
+    * (column pruning pushes through the union and the semi-join), so
+    * detection over a wide table reads ONE column of it.
+    */
+  private[graft] def segmentsContaining(spark: SparkSession, table: String,
+                                        st: State, keys: DataFrame,
+                                        keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    taggedState(spark, table, st)
+      .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .select(col("__seg")).distinct()
+  }
+
   /** Copy-on-write upsert by key — the CDC mutation an append-only store
     * lacks: every existing row whose `keyCol` appears in `updates` is
     * replaced by the update rows with that key (delete-then-insert
@@ -541,9 +557,7 @@ object VersionedStore {
     val affected: Seq[String] = stOpt match {
       case None => Nil
       case Some(st) =>
-        taggedState(spark, table, st)
-          .join(updKeys, Seq(keyCol), "left_semi")
-          .select(col("__seg")).distinct()
+        segmentsContaining(spark, table, st, updKeys, keyCol)
           .collect().map(_.getString(0)).toSeq.sorted
     }
     if (affected.isEmpty) {
@@ -609,9 +623,7 @@ object VersionedStore {
     if (stOpt.isEmpty) return (State(0L, Nil), 0)
     val st = stOpt.get
     val keySet = keys.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
-    val affected = taggedState(spark, table, st)
-      .join(keySet, Seq(keyCol), "left_semi")
-      .select(col("__seg")).distinct()
+    val affected = segmentsContaining(spark, table, st, keySet, keyCol)
       .collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return (st, 0)
     val keep = affected

@@ -239,6 +239,19 @@ object Relational {
         .orderBy($"hour", $"event_type")
     }),
 
+    // One-pass table profiling (the ANALYZE report): per column, row /
+    // null counts, exact min/max, distinct count — a single aggregation
+    // job over one scan, unpivoted to one row per column. The HLL++
+    // estimate (the 100 TB path) is bound-checked IN the plan against
+    // the exact count; the oracle recomputes the exact stats and pins
+    // the bound bit to constant truth.
+    "table_profile" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profile.tableProfileChecked(orders(s, d),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy($"column")
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -539,6 +552,25 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "table_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_custkey) AS n_null,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    min(o_custkey)::VARCHAR AS min_value,
+        |    max(o_custkey)::VARCHAR AS max_value,
+        |    true AS distinct_within_rsd
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus), true
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority), min(o_orderpriority),
+        |    max(o_orderpriority), true
+        |  FROM orders)
+        |ORDER BY "column"""".stripMargin,
     "percentile_values" ->
       """SELECT event_type,
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4) AS p50_c,

@@ -127,6 +127,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // --- table profiling ------------------------------------------------------
+
+  test("tableProfile computes exact one-pass stats, one row per column") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (3L, None), (3L, Option("a")))
+      .toDF("k", "s")
+    val got = graft.ops.Profile.tableProfile(df, Seq("k", "s"), exactDistinct = true)
+      .orderBy($"column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got(0) == ("k", 4L, 0L, 3L, "1", "3"))
+    assert(got(1) == ("s", 4L, 1L, 2L, "a", "b"))
+  }
+
+  test("tableProfile is ONE aggregation job (no per-column scans)") {
+    val df = (1 to 100).map(i => (i.toLong, s"v${i % 7}", i % 3)).toDF("a", "b", "c")
+    val plan = graft.ops.Profile.tableProfile(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    // a single HashAggregate pair over one scan: no join, no union
+    assert(!plan.contains("Join") && !plan.contains("Union"),
+      s"profile must stay a single-pass aggregation:\n$plan")
+  }
+
+  test("tableProfileChecked's HLL bound bit holds on real cardinalities") {
+    val df = (1 to 5000).map(i => (i.toLong, s"g${i % 37}")).toDF("id", "g")
+    val rows = graft.ops.Profile.tableProfileChecked(df, Seq("id", "g"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("distinct_within_rsd"),
+        s"sketch out of bound for ${r.getString(0)}: $r")
+    }
+    val byCol = rows.map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(byCol("id") == 5000L && byCol("g") == 37L,
+      "checked profile reports the EXACT distinct counts")
+  }
+
   // --- bloom decontamination ------------------------------------------------
 
   test("decontaminateBloom equals the exact decontaminate on every fpp") {

@@ -158,6 +158,21 @@ class MergeSpec extends AnyFunSuite {
     assert(got == (5L until 40L).toSet)
   }
 
+  test("merge detection reads ONLY the key column of a wide table") {
+    val t = freshTable("pruning")
+    // wide rows: a fat payload column that pruned detection must not read
+    VersionedStore.append(spark, t,
+      (1 to 50).map(i => (i.toLong, "x" * 1000, i * 2.0)).toDF("id", "payload", "score"))
+    val st = VersionedStore.currentState(spark, t).get
+    val plan = VersionedStore.segmentsContaining(spark, t, st,
+        Seq(3L).toDF("id"), "id")
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toList
+      .filterNot(_.contains("struct<id:bigint>"))
+    assert(readSchemas.count(s => s.contains("payload") || s.contains("score")) == 0,
+      s"detection scan must prune to the key column:\n$plan")
+  }
+
   test("deleteByKeys drops exactly the keyed rows without collecting tombstones") {
     val t = freshTable("delkeys")
     VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
