@@ -115,4 +115,22 @@ object Fs {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.toString)
   }
+
+  /** All regular files under `dir` (recursive) with their sizes —
+    * metadata-only, one listing stream.
+    */
+  def listFilesRecursive(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += ((st.getPath.toString, st.getLen))
+      }
+      buf.toSeq
+    }
+  }
 }

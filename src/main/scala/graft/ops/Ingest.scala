@@ -268,8 +268,15 @@ object Ingest {
     * file count.
     */
   def compactStore(spark: SparkSession, storeDir: String, config: StoreConfig,
+                   rowsPerFile: Long = 1L << 20): Int =
+    compactTable(spark, s"$storeDir/${config.tableName}", rowsPerFile)
+
+  /** [[compactStore]] addressed by the table path directly — the entry
+    * maintenance loops (CDC auto-maintenance, cron compaction) use when
+    * no StoreConfig is in hand.
+    */
+  def compactTable(spark: SparkSession, path: String,
                    rowsPerFile: Long = 1L << 20): Int = {
-    val path = s"$storeDir/${config.tableName}"
     // an indexed store must stay cluster-partitioned through compaction
     // (or one compact would undo the layout every probe depends on) and
     // the compacted segment re-stamped, or the probe-time stamp check
@@ -287,6 +294,39 @@ object Ingest {
     Keyword.maintainRegisteredIndexAfterCompact(spark, path, preVersion, post, files)
     files
   }
+
+  /** Small-files / manifest-growth advisory — the [[DriftAdvisory]]
+    * analog for layout health: reports the live segment count, data
+    * file count, and mean file size, and advises a
+    * [[compactTable]] + [[VersionedStore.vacuum]] pass when segments
+    * exceed `maxSegments` (manifest-listing and task-granularity costs)
+    * or the mean data file runs smaller than `minAvgFileBytes` (scan
+    * open/seek overhead dominates). Metadata-only: one recursive
+    * listing, no data read. None for an uncommitted/empty table.
+    */
+  case class LayoutAdvisory(table: String, liveSegments: Int, dataFiles: Int,
+                            avgFileBytes: Long, maxSegments: Int,
+                            minAvgFileBytes: Long) {
+    def compactionAdvised: Boolean =
+      liveSegments > maxSegments ||
+        (dataFiles > 1 && avgFileBytes < minAvgFileBytes)
+  }
+
+  def layoutAdvisory(spark: SparkSession, table: String,
+                     maxSegments: Int = 64,
+                     minAvgFileBytes: Long = 32L << 20): Option[LayoutAdvisory] =
+    VersionedStore.currentState(spark, table).filter(_.segments.nonEmpty).map { st =>
+      val files = st.segments.flatMap(seg =>
+        graft.Fs.listFilesRecursive(spark, s"$table/$seg"))
+        .filter { case (p, _) =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          !name.startsWith("_") && !name.startsWith(".")
+        }
+      val bytes = files.map(_._2).sum
+      LayoutAdvisory(table, st.segments.size, files.size,
+        if (files.isEmpty) 0L else bytes / files.size,
+        maxSegments, minAvgFileBytes)
+    }
 
   /** Reclaim segments retired by [[compactStore]] and crash-orphaned
     * files, once no reader still holds the old snapshot. `graceMs`

@@ -90,20 +90,54 @@ object IncrementalIngest {
     * [[graft.ops.Ingest.deleteKeysRespectingLayout]], so only the
     * segments containing affected keys rewrite, per batch.
     */
+  /** Auto-maintenance policy for a long-lived CDC stream: every `every`
+    * micro-batches, consult [[graft.ops.Ingest.layoutAdvisory]] and —
+    * only when it advises — compact, then vacuum down to
+    * `retainVersions` time-travel-readable versions (`graceMs` guards
+    * in-flight snapshot readers). Without this, a months-long changelog
+    * accrues a segment and a manifest per batch and the listing costs
+    * eventually dominate the data.
+    */
+  case class CdcMaintenance(every: Int = 100, retainVersions: Int = 24,
+                            graceMs: Long = 60L * 60 * 1000,
+                            maxSegments: Int = 64,
+                            minAvgFileBytes: Long = 32L << 20) {
+    require(every > 0 && retainVersions >= 1)
+  }
+
   def startCdc(spark: SparkSession, inputDir: String, storePath: String,
                schema: org.apache.spark.sql.types.StructType, keyCol: String,
                seqCol: String, checkpointDir: String,
-               deleteFlagCol: Option[String] = None): StreamingQuery = {
+               deleteFlagCol: Option[String] = None,
+               maintenance: Option[CdcMaintenance] = None): StreamingQuery = {
     val stream = spark.readStream.schema(schema).json(inputDir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCdcBatch(batch, storePath, keyCol, seqCol, deleteFlagCol)
+        // keyed to the stream's own batchId so maintenance cadence
+        // survives restarts (the checkpoint replays ids, not wall time)
+        maintenance.foreach { m =>
+          if (batchId > 0 && batchId % m.every == 0) maintainCdcTable(spark, storePath, m)
+        }
       }
       .start()
   }
+
+  private[graft] def maintainCdcTable(spark: SparkSession, storePath: String,
+                                      m: CdcMaintenance): Unit =
+    graft.ops.Ingest.layoutAdvisory(spark, storePath, m.maxSegments, m.minAvgFileBytes)
+      .filter(_.compactionAdvised)
+      .foreach { adv =>
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"CDC maintenance at ${adv.table}: ${adv.liveSegments} segments, " +
+            s"${adv.dataFiles} files averaging ${adv.avgFileBytes}B — compacting")
+        graft.ops.Ingest.compactTable(spark, storePath): Unit
+        graft.ops.VersionedStore.vacuum(spark, storePath, m.graceMs,
+          m.retainVersions): Unit
+      }
 
   private[graft] def applyCdcBatch(batch: DataFrame, storePath: String,
                                        keyCol: String, seqCol: String,

@@ -236,6 +236,48 @@ class MergeSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("tied seq")))
   }
 
+  test("layoutAdvisory flags segment sprawl and small files; compactTable clears it") {
+    val t = freshTable("advisory")
+    // 12 one-row appends: 12 segments of tiny files
+    (1 to 12).foreach(i =>
+      VersionedStore.append(spark, t, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val adv = Ingest.layoutAdvisory(spark, t, maxSegments = 8).get
+    assert(adv.liveSegments == 12 && adv.compactionAdvised)
+    assert(Ingest.compactTable(spark, t) == 1)
+    val after = Ingest.layoutAdvisory(spark, t, maxSegments = 8,
+      minAvgFileBytes = 1L).get
+    assert(after.liveSegments == 1 && !after.compactionAdvised)
+    assert(rows(t).map(_._1) == (1L to 12L).toSet)
+    // empty table: no advisory
+    assert(Ingest.layoutAdvisory(spark, freshTable("none")).isEmpty)
+  }
+
+  test("CDC auto-maintenance compacts and bounds time-travel history when advised") {
+    val t = freshTable("cdcmaint")
+    (1 to 10).foreach(i =>
+      VersionedStore.append(spark, t, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val before = VersionedStore.currentState(spark, t).get
+    assert(before.segments.size == 10 && before.version == 10)
+    graft.streaming.IncrementalIngest.maintainCdcTable(spark, t,
+      graft.streaming.IncrementalIngest.CdcMaintenance(
+        every = 1, retainVersions = 2, graceMs = 0, maxSegments = 4))
+    val after = VersionedStore.currentState(spark, t).get
+    assert(after.segments.size == 1, "maintenance must compact the sprawl")
+    assert(rows(t).map(_._1) == (1L to 10L).toSet)
+    // old manifests beyond the retention horizon are reclaimed
+    val manifests = graft.Fs.list(spark, s"$t/_manifests")
+      .filterNot(_.contains(".tmp"))
+    assert(manifests.size <= 2, s"retention must bound manifests: $manifests")
+    // a healthy table stays untouched
+    val v0 = VersionedStore.currentState(spark, t).get.version
+    graft.streaming.IncrementalIngest.maintainCdcTable(spark, t,
+      graft.streaming.IncrementalIngest.CdcMaintenance(
+        every = 1, retainVersions = 2, graceMs = 0, maxSegments = 4,
+        minAvgFileBytes = 1L))
+    assert(VersionedStore.currentState(spark, t).get.version == v0,
+      "no compaction when the advisory is quiet")
+  }
+
   test("merge maintains a registered lexical index via the rebuild path") {
     val t = freshTable("lexmerge")
     val dir = java.nio.file.Files.createTempDirectory("lexmerge-idx").toString + "/idx"

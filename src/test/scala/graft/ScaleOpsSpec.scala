@@ -1177,6 +1177,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plainJoin == saltJoin)
   }
 
+  test("z-ordered layout prunes scans on EVERY clustered column; linear sort only on its leader") {
+    import graft.ops.Layout
+    // two independent dimensions, uniform in [0,1000)
+    val base = spark.range(0, 100000).select(
+      (col("id") % 1000).cast("double").as("a"),
+      ((col("id") * 7919) % 1000).cast("double").as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lin = s"$dir/linear"
+    val zed = s"$dir/zorder"
+    base.repartitionByRange(32, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(lin)
+    Layout.writeZOrdered(base, Seq("a", "b"), zed, bits = 5, nFiles = 32)
+
+    // rows EMITTED BY THE SCAN (after parquet row-group stat pruning,
+    // before the residual filter) — the IO a layout actually costs
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val q = spark.read.parquet(path).filter(pred).select("a", "b")
+      val result = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (scan.metrics("numOutputRows").value, result)
+    }
+    val pb = col("b") >= 100.0 && col("b") < 120.0
+    val (linScan, linRes) = scanRows(lin, pb)
+    val (zScan, zRes) = scanRows(zed, pb)
+    assert(linRes == zRes, "layouts must agree on the query result")
+    // the linear layout spreads b uniformly over every row group: the
+    // 2% filter on b reads ~everything; z-order localizes b, so the
+    // scan emits a small multiple of the selectivity
+    assert(linScan > 90000, s"control: linear layout should read ~all rows, got $linScan")
+    assert(zScan < linScan / 3,
+      s"z-order must prune the b-filter scan: z=$zScan vs linear=$linScan")
+    // and the leading column still prunes fine on BOTH layouts
+    val pa = col("a") >= 100.0 && col("a") < 120.0
+    val (linA, _) = scanRows(lin, pa)
+    val (zA, _) = scanRows(zed, pa)
+    assert(linA < 20000 && zA < 40000,
+      s"a-filter must stay pruned on both layouts: lin=$linA z=$zA")
+
+    // morton interleave unit contract: bits of col j land at i*n + j
+    val mk = Seq(lit(3), lit(0)) // a=0b11, b=0b00
+    val got = spark.range(1).select(Layout.mortonKey(mk, 2).as("z"))
+      .head.getLong(0)
+    assert(got == 5L, s"interleave(0b11, 0b00) must be 0b0101, got $got")
+  }
+
   test("hierarchy rollup builds root-to-node paths via iterative broadcast self-join (A13)") {
     val nodes = Seq(
       (1L, None, "root"),
