@@ -9,7 +9,7 @@ import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.util.hashing.MurmurHash3
+
 
 /** 64-bit SimHash over a token array: per token a 64-bit hash votes +1/-1
   * on each bit position; the fingerprint sets the bits with positive vote.
@@ -191,10 +191,27 @@ object MinHashBands {
 }
 
 object SimHash64 {
-  /** Deterministic 64-bit token hash from two seeded 32-bit murmurs. */
-  def hash64(tok: String): Long =
-    (MurmurHash3.stringHash(tok, 0x9747b28c).toLong << 32) |
-      (MurmurHash3.stringHash(tok, 0x85ebca6b).toLong & 0xffffffffL)
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Deterministic ENGINE-PORTABLE 64-bit token hash: the first 8 bytes
+    * of md5(utf8(token)), big-endian — i.e. the integer any SQL engine
+    * spells `('0x' || substr(md5(tok), 1, 16))::UBIGINT`. Chosen over a
+    * murmur mix precisely for that portability: it makes the SimHash
+    * fingerprint (and every pair set derived from it) recomputable
+    * bit-for-bit by the DuckDB oracle, turning the whole SimHash family
+    * from rows-only into hash-checked. md5 per token costs ~2× a murmur
+    * in the (CodegenFallback, already interpreter-bound) fingerprint
+    * pass — invisible next to the banding join it feeds.
+    */
+  def hash64(tok: String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))

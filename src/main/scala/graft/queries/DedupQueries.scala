@@ -73,20 +73,27 @@ object DedupQueries {
     }),
 
     // SimHash near-dup pairs: banded candidate join + exact Hamming
-    // verify (rows-only: the fingerprint function is engine-defined;
-    // DedupSpec asserts the banded join EQUALS brute-force all-pairs at
-    // the pigeonhole-complete threshold).
+    // verify. FULLY oracle-checked since the token hash became
+    // engine-portable (first 8 md5 bytes — the integer DuckDB spells
+    // ('0x'||substr(md5(t),1,16))::UBIGINT): the oracle recomputes
+    // every fingerprint and brute-forces all pairs; the banded join
+    // must equal it exactly (pigeonhole completeness, bands >
+    // maxHamming).
     "dedup_simhash_pairs" -> ((s, d) => {
       import s.implicits._
       Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text", maxHamming = 3, bands = 4)
         .orderBy($"id_a", $"id_b")
     }),
 
-    // SimHash fingerprints (rows-only; hash function engine-defined).
+    // SimHash fingerprints, hash-checked bit-for-bit (emitted as the
+    // 64-char binary string both engines can render without signed/
+    // unsigned casts — DuckDB's UBIGINT << 63 overflows, strings don't).
     "fingerprint_simhash" -> ((s, d) => {
       import s.implicits._
       documents(s, d)
-        .select($"doc_id", SimHash64.simhash64(split($"text", "\\s+")).as("simhash"))
+        .select($"doc_id",
+          lpad(bin(SimHash64.simhash64(split($"text", "\\s+"))), 64, "0")
+            .as("simhash_bits"))
         .orderBy($"doc_id")
     }),
 
@@ -273,9 +280,50 @@ object DedupQueries {
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE s > 0.35 ORDER BY id_a, id_b""".stripMargin,
-    // the invariants ARE the oracle: the expected value of every
-    // contract bit is a constant true (the LSH pair sets themselves
-    // stay engine-defined)
+    // the engine's simhash is md5-derived, so the oracle recomputes the
+    // fingerprints from scratch: per token the first 16 md5 hex chars as
+    // a u64, per bit a +1/-1 vote over ALL token occurrences, bit set on
+    // a positive vote — rendered as the 64-char binary string (bit 63
+    // first; DuckDB's UBIGINT << 63 overflows, strings don't)
+    "fingerprint_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(t),1,16))::UBIGINT AS h FROM tok),
+        |v AS (SELECT doc_id, b,
+        |        SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |      FROM h, UNNEST(range(0,64)) AS r(b) GROUP BY doc_id, b),
+        |fp AS (SELECT doc_id,
+        |         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |           ORDER BY b DESC) AS simhash_bits
+        |       FROM v GROUP BY doc_id)
+        |SELECT doc_id, simhash_bits FROM fp ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs over the recomputed fingerprints; the
+    // engine's banded join must equal it exactly at the
+    // pigeonhole-complete setting (trimmed tokenization + empty-text
+    // filter mirror Dedup.simhashNearDupPairs)
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(t),1,16))::UBIGINT AS h FROM tok),
+        |v AS (SELECT doc_id, b,
+        |        SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |      FROM h, UNNEST(range(0,64)) AS r(b) GROUP BY doc_id, b),
+        |fp AS (SELECT doc_id,
+        |         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |           ORDER BY b DESC) AS f
+        |       FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_filter(range(1,65), i -> substr(a.f,i,1) <> substr(b.f,i,1)))::BIGINT
+        |    AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1,65), i -> substr(a.f,i,1) <> substr(b.f,i,1))) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the invariants ARE the oracle for the MinHash/SRP families (their
+    // seeded fmix / gaussian-plane mixing is not SQL-portable): the
+    // expected value of every contract bit is a constant true, the pair
+    // sets themselves stay engine-defined
     "dedup_minhash_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
         |  true AS found_pairs""".stripMargin,
