@@ -53,8 +53,15 @@ object VersionedStore {
   private def manifestPath(table: String, v: Long): String =
     f"${manifestDir(table)}/m-$v%016d.json"
 
-  private def render(v: Long, segments: Seq[String]): String =
-    s"""{"version":$v,"segments":[${segments.map(s => "\"" + s + "\"").mkString(",")}]}"""
+  private def render(v: Long, segments: Seq[String], op: String): String =
+    s"""{"version":$v,"op":"$op","segments":[${segments.map(s => "\"" + s + "\"").mkString(",")}]}"""
+
+  /** The `op` field of a manifest, or "unknown" for manifests written
+    * before operations were recorded (parse tolerates both directions —
+    * old readers regex-extract only version/segments).
+    */
+  private def parseOp(json: String): String =
+    "\"op\":\"([a-z]+)\"".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("unknown")
 
   // we control the writer, so a regex parse of the two fields is exact
   private def parse(json: String): State = {
@@ -129,6 +136,29 @@ object VersionedStore {
   def manifestModTime(spark: SparkSession, table: String, version: Long): Long =
     if (!graft.Fs.exists(spark, manifestPath(table, version))) 0L
     else graft.Fs.modTime(spark, manifestPath(table, version))
+
+  /** The table's audit log as a DataFrame: one row per retained
+    * manifest — (version, committed_at millis, op, n_segments) — newest
+    * first. Metadata-only (one tiny JSON + one stat per manifest;
+    * [[vacuum]]'s retention horizon bounds the count). Manifests from
+    * before op recording report op "unknown"; a torn/unreadable
+    * manifest reports op "unreadable" rather than hiding the version.
+    */
+  def describeHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    listManifests(spark, table).reverse.map { m =>
+      val (v, op, nSegs) = scala.util.Try {
+        val json = graft.Fs.readString(spark, m)
+        val st = parse(json)
+        (st.version, parseOp(json), st.segments.size)
+      }.getOrElse {
+        val v = "m-(\\d{16})\\.json".r.findFirstMatchIn(m)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        (v, "unreadable", -1)
+      }
+      (v, graft.Fs.modTime(spark, m), op, nSegs)
+    }.toDF("version", "committed_at", "op", "n_segments")
+  }
 
   /** Latest committed state, if any manifest exists. Zero-padded version
     * numbers make the lexicographic max the numeric max.
@@ -258,7 +288,7 @@ object VersionedStore {
       try commit(spark, table, cur => {
         if (cur.nonEmpty) throw new AdoptionRace
         Seq(seg)
-      }): Unit
+      }, op = "adopt"): Unit
       catch {
         case _: AdoptionRace => graft.Fs.delete(spark, s"$table/$seg")
       }
@@ -299,7 +329,8 @@ object VersionedStore {
     * compaction subtracts exactly the segments it rewrote).
     */
   def commit(spark: SparkSession, table: String,
-             transform: Seq[String] => Seq[String], maxRetries: Int = 20): State = {
+             transform: Seq[String] => Seq[String], maxRetries: Int = 20,
+             op: String = "commit"): State = {
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = currentState(spark, table)
@@ -307,7 +338,7 @@ object VersionedStore {
         transform(cur.map(_.segments).getOrElse(Nil)))
       val target = manifestPath(table, next.version)
       val tmp = s"$target.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      val rendered = render(next.version, next.segments)
+      val rendered = render(next.version, next.segments, op)
       graft.Fs.writeString(spark, tmp, rendered)
       if (graft.Fs.publishExclusive(spark, tmp, target))
         return next
@@ -384,7 +415,7 @@ object VersionedStore {
     commit(spark, table, cur => {
       requireLayoutMatchIn(spark, table, seg, newPart, newCols, cur)
       cur :+ seg
-    })
+    }, op = "append")
   }
 
   def append(spark: SparkSession, table: String, df: DataFrame,
@@ -474,7 +505,7 @@ object VersionedStore {
             segColumns(spark, table, s) != newCols))
           throw new ConcurrentCompaction
         survivors :+ seg
-      })
+      }, op = "compact")
       (newState, nFiles)
     } catch {
       case _: ConcurrentCompaction =>
@@ -595,7 +626,7 @@ object VersionedStore {
             segColumns(spark, table, s) != newCols))
           throw new ConcurrentCompaction
         survivors :+ seg
-      })
+      }, op = "merge")
       (newState, affected.size)
     } catch {
       case _: ConcurrentCompaction =>
@@ -651,7 +682,7 @@ object VersionedStore {
               segColumns(spark, table, s) != newCols))
           throw new ConcurrentCompaction
         survivors ++ segOpt
-      })
+      }, op = "delete")
       (newState, affected.size)
     } catch {
       case _: ConcurrentCompaction =>
@@ -709,7 +740,7 @@ object VersionedStore {
               segColumns(spark, table, s) != newCols))
           throw new ConcurrentCompaction
         survivors ++ segOpt
-      })
+      }, op = "delete")
       (newState, affected.size)
     } catch {
       case _: ConcurrentCompaction =>
@@ -795,7 +826,7 @@ object VersionedStore {
             segColumns(spark, table, s) != repairedCols))
           throw new ConcurrentCompaction
         survivors :+ seg
-      })
+      }, op = "repair")
       // the repaired table is FLAT: a model sidecar describing the old
       // clustered layout would make Ingest.appendRespectingLayout keep
       // writing partitioned segments (refused at commit — the table

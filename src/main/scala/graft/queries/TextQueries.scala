@@ -509,6 +509,30 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Incrementally-maintained rollup: the per-language corpus stats
+    // table folded batch by batch (three doc_id ranges stand in for
+    // three ingest micro-batches) — history is never re-scanned, yet
+    // the final state must EQUAL the direct GROUP BY over the whole
+    // corpus, which is exactly what the oracle computes.
+    "rollup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-rollup-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/agg"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).select($"doc_id", $"lang",
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      Seq(docs.filter($"doc_id" < 150),
+          docs.filter($"doc_id" >= 150 && $"doc_id" < 300),
+          docs.filter($"doc_id" >= 300))
+        .foreach(b => graft.ops.Rollup.maintain(s, root, b,
+          Seq("lang"), Seq("n_tokens")))
+      graft.ops.Rollup.readRollup(s, root, Seq("n_tokens")).get
+        .select($"lang", $"n", $"sum_n_tokens", $"min_n_tokens", $"max_n_tokens",
+          round($"avg_n_tokens", 6).as("avg_n_tokens"))
+        .orderBy($"lang")
+    }),
+
     // Multimodal plumbing end-to-end with the deterministic stub decoder
     // (Multimodal.scala — this container ships no codecs, so documents'
     // UTF-8 bytes stand in as opaque media payloads): segment-sample the
@@ -1042,6 +1066,16 @@ object TextQueries {
     "store_time_travel" ->
       """SELECT doc_id, len(text)::BIGINT AS n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // the incremental fold must equal the direct GROUP BY — mergeable
+    // state (n/sum/min/max) makes that an identity, and the oracle
+    // checks it
+    "rollup_incremental" ->
+      s"""SELECT lang, count(*)::BIGINT AS n,
+         |  sum(len($docTokens))::BIGINT AS sum_n_tokens,
+         |  min(len($docTokens))::BIGINT AS min_n_tokens,
+         |  max(len($docTokens))::BIGINT AS max_n_tokens,
+         |  round(sum(len($docTokens))::DOUBLE / count(*), 6) AS avg_n_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the upsert + delete recomputed relationally; the rewrite count is
     // pinned to 1 because every update key lives in the first segment
     "store_merge_upsert" ->

@@ -236,6 +236,62 @@ class MergeSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("tied seq")))
   }
 
+  test("describeHistory records each mutation's operation, newest first") {
+    val t = freshTable("history")
+    VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    VersionedStore.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    VersionedStore.merge(spark, t, Seq((2L, "B")).toDF("id", "v"), "id")
+    VersionedStore.deleteWhere(spark, t, col("id") === 1L)
+    VersionedStore.compact(spark, t)
+    val hist = VersionedStore.describeHistory(spark, t)
+      .select($"version", $"op", $"n_segments")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(hist.map(_._1) == Seq(5L, 4L, 3L, 2L, 1L), "newest first")
+    assert(hist.map(_._2) == Seq("compact", "delete", "merge", "append", "append"))
+    assert(hist.head._3 == 1, "compaction folds to one segment")
+    // an old-format manifest (no op field) reports op = unknown
+    graft.Fs.writeString(spark, s"$t/_manifests/m-0000000000000006.json",
+      """{"version":6,"segments":[]}""")
+    val ops = VersionedStore.describeHistory(spark, t)
+      .select($"op").as[String].collect()
+    assert(ops.head == "unknown")
+  }
+
+  test("incremental rollup equals the direct aggregate after arbitrary batching") {
+    import graft.ops.Rollup
+    val t = freshTable("rollup") + "/agg"
+    val rnd = new scala.util.Random(5)
+    val all = (1 to 500).map(i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(1000).toLong))
+    val df = all.toDF("id", "g", "x")
+    // fold in 7 uneven batches
+    val cuts = Seq(0, 13, 80, 81, 200, 344, 420, 500)
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      Rollup.maintain(spark, t,
+        df.filter($"id" > a && $"id" <= b), Seq("g"), Seq("x")): Unit
+    }
+    val got = Rollup.readRollup(spark, t, Seq("x")).get
+      .select($"g", $"n", $"sum_x", $"min_x", $"max_x")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val direct = df.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"), min($"x").as("mn"), max($"x").as("mx"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == direct, "fold must equal the direct GROUP BY exactly")
+    // empty batch: no version published, state unchanged
+    val v0 = VersionedStore.currentState(spark, t).get.version
+    Rollup.maintain(spark, t, df.filter(lit(false)), Seq("g"), Seq("x")): Unit
+    assert(VersionedStore.currentState(spark, t).get.version == v0 + 1 ||
+      VersionedStore.currentState(spark, t).get.version == v0)
+    val after = Rollup.readRollup(spark, t, Seq("x")).get
+      .select($"g", $"n", $"sum_x", $"min_x", $"max_x")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(after == direct)
+    // the rollup time-travels: version 1 holds exactly the first batch
+    val v1 = VersionedStore.readAt(spark, t, 1L).get
+      .agg(sum($"n")).head.getLong(0)
+    assert(v1 == 13L, s"version 1 must hold the first batch's 13 rows, got $v1")
+  }
+
   test("layoutAdvisory flags segment sprawl and small files; compactTable clears it") {
     val t = freshTable("advisory")
     // 12 one-row appends: 12 segments of tiny files
