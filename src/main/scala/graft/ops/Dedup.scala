@@ -563,6 +563,27 @@ object Dedup {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic ENGINE-PORTABLE Rademacher (±1) hyperplanes:
+    * `plane[b][i] = +1` iff the first md5 hex digit of
+    * `"srp:<table>:<b>:<i>:<seed>"` is even — the sign any SQL engine
+    * spells `('0x'||substr(md5(...),1,1))::INT % 2 = 0`. Rademacher
+    * projections carry the same SRP-LSH guarantee as Gaussian ones
+    * (sign agreement probability 1 − θ/π in expectation over the
+    * planes), and being md5-derived makes the whole LSH pair set
+    * recomputable by the DuckDB oracle — which is why
+    * [[embeddingNearDupLsh]] uses these.
+    */
+  def rademacherPlanes(nBits: Int, dim: Int, table: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(nBits)(b => Array.tabulate(dim) { i =>
+      val hex = md5Hex(s"srp:$table:$b:$i:$seed")
+      if ((Character.digit(hex.charAt(0), 16) & 1) == 0) 1f else -1f
+    })
+
   /** Sign-random-projection bucket id: bit b set iff dot(v, plane_b) >= 0.
     * Cosine-similar vectors land in the same bucket with probability
     * (1 - theta/pi)^nBits.
@@ -592,7 +613,7 @@ object Dedup {
     val dim = dimRow.head.getInt(0)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
     val allBuckets = array((0 until nTables).map { t =>
-      srpBucket(col("emb"), randomPlanes(nBits, dim, seed + t))
+      srpBucket(col("emb"), rademacherPlanes(nBits, dim, t, seed))
     }: _*)
     val bucketed = base
       .select(col("id"), posexplode(allBuckets))

@@ -125,7 +125,10 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // SRP-LSH approximate variant (rows-only; subset property in spec).
+    // SRP-LSH approximate variant — fully oracle-checked since the
+    // hyperplanes became md5-derived Rademacher signs: the oracle
+    // regenerates every plane, recomputes every bucket, and replays the
+    // candidate join + exact-cosine verify relationally.
     "dedup_embedding_lsh" -> ((s, d) => {
       import s.implicits._
       Dedup.embeddingNearDupLsh(embeddings(s, d), "vec_id", "embedding",
@@ -279,6 +282,38 @@ object DedupQueries {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE s > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    // the SRP planes are md5-derived Rademacher signs
+    // (Dedup.rademacherPlanes), so the oracle regenerates them —
+    // plane[t][b][i] = +1 iff the first md5 hex digit of
+    // 'srp:t:b:i:42' is even — recomputes each vector's 6 bucket ids
+    // (bit b set iff dot >= 0), equi-joins candidates per table, and
+    // verifies with the exact cosine, exactly the engine's plan
+    "dedup_embedding_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |planes AS (
+        |  SELECT t, b, i,
+        |    CASE WHEN ('0x' || substr(md5('srp:'||t||':'||b||':'||(i-1)||':42'),1,1))::INT
+        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,6) r1(t), range(0,6) r2(b), range(1,65) r3(i)),
+        |dots AS (
+        |  SELECT e.vec_id, p.t, p.b, SUM(e.v[p.i::INT] * p.w) AS d
+        |  FROM e, planes p GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT vec_id, t,
+        |    SUM(CASE WHEN d >= 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(s, 6) AS sim FROM (
+        |  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS s
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.id_a
+        |  JOIN e eb ON eb.vec_id = c.id_b)
         |WHERE s > 0.35 ORDER BY id_a, id_b""".stripMargin,
     // the engine's simhash is md5-derived, so the oracle recomputes the
     // fingerprints from scratch: per token the first 16 md5 hex chars as
