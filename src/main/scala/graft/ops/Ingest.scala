@@ -295,6 +295,42 @@ object Ingest {
     files
   }
 
+  /** Schema evolution: add `newCols` (name → expression over the
+    * existing columns, e.g. a null literal, a derived score, a default)
+    * to EVERY live row in one layout-preserving rewrite — the
+    * strict-union read contract means columns cannot be added
+    * per-segment, so evolution is an explicit, atomic, versioned
+    * migration rather than a silent read-time null-fill (which would
+    * let half-evolved tables serve half-null columns unnoticed).
+    * Rides [[VersionedStore.compact]]'s race-safe swap: concurrent
+    * OLD-schema appends abandon the evolution (retry after they drain)
+    * rather than publishing a mixed table; after it commits, appends
+    * must carry the new columns (the write-time guard enforces it).
+    * Row-preserving, so a registered lexical index restamps in O(1).
+    * Returns the rewritten file count (0 = lost a race, retry).
+    */
+  def evolveSchema(spark: SparkSession, table: String,
+                   newCols: Seq[(String, org.apache.spark.sql.Column)],
+                   rowsPerFile: Long = 1L << 20): Int = {
+    require(newCols.nonEmpty, "evolveSchema needs at least one new column")
+    val preVersion = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val reshape: DataFrame => DataFrame = df => {
+      newCols.foreach { case (n, _) =>
+        require(!df.columns.contains(n),
+          s"evolveSchema: column $n already exists at $table")
+      }
+      newCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    }
+    val (post, files) =
+      if (graft.Fs.exists(spark, Ivf.modelPath(table))) {
+        val fp = Ivf.loadModel(spark, Ivf.modelPath(table)).fingerprint
+        VersionedStore.compact(spark, table, rowsPerFile, reshape,
+          partitionBy = Seq("cluster_id"), marker = Some(fp))
+      } else VersionedStore.compact(spark, table, rowsPerFile, reshape)
+    Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, files)
+    files
+  }
+
   /** Small-files / manifest-growth advisory — the [[DriftAdvisory]]
     * analog for layout health: reports the live segment count, data
     * file count, and mean file size, and advises a

@@ -542,6 +542,32 @@ object VersionedStore {
       .select(col("__seg")).distinct()
   }
 
+  /** Roll the table back to `version`'s row set by committing that
+    * version's segment list as a NEW version (op "restore") — the
+    * bad-batch undo: nothing is rewritten or deleted, history stays
+    * intact (the bad versions remain time-travel-readable until
+    * [[vacuum]]), and concurrent committers CAS as usual. Fails loudly
+    * if any of the target version's segments was already vacuumed —
+    * a restore cannot resurrect reclaimed data.
+    *
+    * Restoring a table whose LIVE layout has since changed shape (e.g.
+    * restored-to-flat after an [[graft.ops.Ivf.indexStore]] clustering)
+    * also restores the old layout; sidecars describing the newer layout
+    * (IVF model, lexical stamp) will then refuse to serve until their
+    * build re-runs — the same loud-refusal contract every other
+    * layout-changing path follows.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): State = {
+    val target = stateAt(spark, table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no readable manifest for version $version at $table"))
+    val missing = target.segments.filterNot(s => graft.Fs.exists(spark, s"$table/$s"))
+    require(missing.isEmpty,
+      s"cannot restore $table to v$version: segments ${missing.mkString(",")} " +
+        "were vacuumed — a restore cannot resurrect reclaimed data")
+    commit(spark, table, _ => target.segments, op = "restore")
+  }
+
   /** Copy-on-write upsert by key — the CDC mutation an append-only store
     * lacks: every existing row whose `keyCol` appears in `updates` is
     * replaced by the update rows with that key (delete-then-insert

@@ -398,6 +398,24 @@ object ScaleProbe {
     }
     report("merge_one_of_n_segments", (1L, tM1), (rwN._2.toLong, tMN))
 
+    // Incremental rollup: the fold reads the BATCH plus the per-key
+    // rollup rows, never history — fold time must stay flat as the
+    // already-folded history grows N× (rows = state rows, fixed by the
+    // key cardinality)
+    def rollupProbe(history: Int): (Long, Double) = {
+      val root = java.nio.file.Files.createTempDirectory("scaleprobe-rollup")
+        .toString + "/agg"
+      val batch = docs1.select($"doc_id", $"lang",
+        length($"text").cast("long").as("len"))
+      (0 until history).foreach(i =>
+        graft.ops.Rollup.maintain(spark, root,
+          batch.withColumn("doc_id", $"doc_id" + lit(i * 1000000L)),
+          Seq("lang"), Seq("len")): Unit)
+      time(graft.ops.Rollup.maintain(spark, root, batch,
+        Seq("lang"), Seq("len")))
+    }
+    report("rollup_fold_after_history", rollupProbe(1), rollupProbe(n))
+
     spark.stop()
   }
 }

@@ -236,6 +236,48 @@ class MergeSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("tied seq")))
   }
 
+  test("restore rolls back to a prior version without rewriting data") {
+    val t = freshTable("restore")
+    VersionedStore.append(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    VersionedStore.append(spark, t, Seq((2L, "bad")).toDF("id", "v"))
+    VersionedStore.merge(spark, t, Seq((1L, "worse")).toDF("id", "v"), "id")
+    val st = VersionedStore.restore(spark, t, 1L)
+    assert(st.version == 4L, "restore is a NEW version, not a manifest rewrite")
+    assert(rows(t) == Set((1L, "a")))
+    // the bad history stays time-travel-readable
+    assert(VersionedStore.readAt(spark, t, 3L).get.count() == 2)
+    val ops = VersionedStore.describeHistory(spark, t)
+      .select($"op").as[String].collect().toSeq
+    assert(ops == Seq("restore", "merge", "append", "append"))
+    // restoring a vacuumed-away version fails loudly
+    VersionedStore.append(spark, t, Seq((9L, "z")).toDF("id", "v"))
+    VersionedStore.vacuum(spark, t, graceMs = 0, retainVersions = 1): Unit
+    val e = intercept[IllegalArgumentException](VersionedStore.restore(spark, t, 2L))
+    assert(e.getMessage.contains("vacuum") || e.getMessage.contains("no readable"))
+  }
+
+  test("evolveSchema adds columns atomically; old-schema appends are then refused") {
+    val t = freshTable("evolve")
+    VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    VersionedStore.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    val files = Ingest.evolveSchema(spark, t,
+      Seq("score" -> lit(0.0), "v_len" -> length(col("v")).cast("long")))
+    assert(files >= 1)
+    val got = VersionedStore.read(spark, t).get
+      .select($"id", $"score", $"v_len").as[(Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 0.0, 1L), (2L, 0.0, 1L), (3L, 0.0, 1L)))
+    // an old-schema append is refused before it can corrupt the union
+    val e = intercept[IllegalStateException] {
+      VersionedStore.append(spark, t, Seq((4L, "d")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // duplicate column refused
+    val e2 = intercept[Exception] {
+      Ingest.evolveSchema(spark, t, Seq("score" -> lit(1.0)))
+    }
+    assert(e2.getMessage.contains("already exists"))
+  }
+
   test("describeHistory records each mutation's operation, newest first") {
     val t = freshTable("history")
     VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
