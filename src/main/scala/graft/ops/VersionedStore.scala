@@ -527,18 +527,58 @@ object VersionedStore {
       .reduce(_.unionByName(_))
 
   /** The live segments containing at least one row whose `keyCol`
-    * appears in `keys` — [[merge]]/[[deleteByKeys]]'s detection scan.
+    * appears in `keys` — [[merge]]/[[deleteByKeys]]'s detection scan,
+    * in two tiers:
+    *
+    *  1. '''Footer pruning (metadata-only)''': for an integral key, the
+    *     update keys' [min, max] (one tiny agg) is checked against each
+    *     segment's parquet-footer key range
+    *     ([[graft.ParquetFooters.longRange]]) — a disjoint segment is
+    *     dismissed without reading ANY data page. For time-ordered or
+    *     ranged keys (the common CDC shape: recent updates touch recent
+    *     segments) detection cost collapses from O(table key column) to
+    *     O(overlapping segments). A segment without usable stats simply
+    *     stays in tier 2 — pruning is never a correctness dependency.
+    *  2. '''Key-column scan''': the surviving segments' lit-tagged union
+    *     projects only `keyCol` into the shuffled semi-join (column
+    *     pruning pushes through union and join — plan-asserted).
+    *
     * Returned as the DataFrame BEFORE the collect so tests can assert
-    * the plan: the lit-tagged per-segment union projects only `keyCol`
-    * (column pruning pushes through the union and the semi-join), so
-    * detection over a wide table reads ONE column of it.
+    * both tiers from the plan (only overlapping segments appear as
+    * scans, and only the key column is read).
     */
   private[graft] def segmentsContaining(spark: SparkSession, table: String,
                                         st: State, keys: DataFrame,
                                         keyCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    taggedState(spark, table, st)
-      .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi")
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val keyed = keys.select(col(keyCol))
+    val integral = keys.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val candidates =
+      if (!integral || st.segments.size <= 1) st.segments
+      else {
+        val r = keyed.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+        if (r.isNullAt(0)) Nil // no non-null update keys: nothing can match
+        else {
+          val (kLo, kHi) = (r.getLong(0), r.getLong(1))
+          st.segments.filter { seg =>
+            graft.ParquetFooters.longRange(spark, s"$table/$seg", keyCol) match {
+              case Some((lo, hi)) => hi >= kLo && lo <= kHi // overlap possible
+              case None => true // no stats: must scan
+            }
+          }
+        }
+      }
+    if (candidates.isEmpty)
+      return keyed.filter(lit(false)).select(lit("").as("__seg")).limit(0)
+    candidates
+      .map(s => spark.read.parquet(s"$table/$s")
+        .withColumn("__seg", lit(s)))
+      .reduce(_.unionByName(_))
+      .join(keyed, Seq(keyCol), "left_semi")
       .select(col("__seg")).distinct()
   }
 

@@ -173,6 +173,36 @@ class MergeSpec extends AnyFunSuite {
       s"detection scan must prune to the key column:\n$plan")
   }
 
+  test("footer stats dismiss disjoint segments before any data scan") {
+    val t = freshTable("footers")
+    VersionedStore.append(spark, t,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    VersionedStore.append(spark, t,
+      (1000 to 1050).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    VersionedStore.append(spark, t,
+      (5000 to 5050).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val st = VersionedStore.currentState(spark, t).get
+    // keys inside the SECOND segment's range only
+    val plan = VersionedStore.segmentsContaining(spark, t, st,
+        Seq(1010L, 1020L).toDF("id"), "id")
+      .queryExecution.executedPlan.toString
+    val scans = "Location: [^\\n]*seg-".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"footer pruning must leave exactly the overlapping segment's scan:\n$plan")
+    // keys overlapping nothing: no scans at all, and merge is a pure append
+    val (st2, rewritten) = VersionedStore.merge(spark, t,
+      Seq((9999L, "new")).toDF("id", "v"), "id")
+    assert(rewritten == 0 && st2.segments.size == 4)
+    // correctness unchanged when keys span all segments
+    val (st3, r3) = VersionedStore.merge(spark, t,
+      Seq((1L, "A"), (1000L, "B"), (5050L, "C")).toDF("id", "v"), "id")
+    assert(r3 == 3)
+    val got = VersionedStore.read(spark, t).get
+      .filter(col("id").isin(1L, 1000L, 5050L, 9999L))
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (1000L, "B"), (5050L, "C"), (9999L, "new")))
+  }
+
   test("deleteByKeys drops exactly the keyed rows without collecting tombstones") {
     val t = freshTable("delkeys")
     VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
