@@ -239,6 +239,21 @@ object Relational {
         .orderBy($"hour", $"event_type")
     }),
 
+    // CUBE aggregation — all four grouping sets of (event_type, user
+    // bucket) in ONE pass (Catalyst expands the sets map-side; one
+    // exchange): the multi-dimensional report query of a metrics
+    // dashboard. grouping_id() disambiguates the null-as-total rows
+    // from genuine null keys.
+    "cube_event_stats" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("user_bucket", ($"user_id" % 10).cast("long"))
+        .cube($"event_type", $"user_bucket")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("sum_cents"),
+          grouping_id().as("gid"))
+        .orderBy($"gid", $"event_type", $"user_bucket")
+    }),
+
     // One-pass table profiling (the ANALYZE report): per column, row /
     // null counts, exact min/max, distinct count — a single aggregation
     // job over one scan, unpivoted to one row per column. The HLL++
@@ -552,6 +567,14 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "cube_event_stats" ->
+      """SELECT event_type, user_bucket, count(*)::BIGINT AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS sum_cents,
+        |  GROUPING(event_type, user_bucket)::BIGINT AS gid
+        |FROM (SELECT event_type, (user_id % 10)::BIGINT AS user_bucket, value
+        |      FROM events)
+        |GROUP BY CUBE(event_type, user_bucket)
+        |ORDER BY gid, event_type, user_bucket""".stripMargin,
     "table_profile" ->
       """SELECT * FROM (
         |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
