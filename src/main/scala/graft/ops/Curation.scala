@@ -65,10 +65,16 @@ object Curation {
                       seed: String, posName: String = "position"): DataFrame = {
     val checkedPhase = when(phase.isNotNull, phase).otherwise(raise_error(lit(
       "curriculumOrder: null phase — a curriculum needs every row staged")))
+    // null keys raise exactly as in deterministicShuffle: a null key
+    // would hash to null, tie with every other null-keyed row, and get
+    // a partition-layout-dependent position — silently nondeterministic
+    val checkedKey = when(col(keyCol).isNotNull, col(keyCol).cast("string"))
+      .otherwise(raise_error(lit(
+        s"curriculumOrder: null $keyCol — seeded ordering needs a non-null key")))
     val keyed = df
       .withColumn("__phase", checkedPhase)
       .withColumn("__shk",
-        md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")))
+        md5(concat(checkedKey, lit(":" + seed)).cast("binary")))
     Sampling.indexByOrder(keyed,
         Seq(col("__phase"), col("__shk"), col(keyCol)), posName)
       ._1.drop("__phase", "__shk")

@@ -510,16 +510,26 @@ object Dedup {
                            evalSet: DataFrame, evalTextCol: String, n: Int = 8,
                            fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
+    // persisted: the shingle explode+distinct (a full shuffle of the
+    // eval stream — the expensive side by premise) feeds THREE
+    // consumers — the sizing count, the bloomFilter treeAggregate, and
+    // the exact-verify semi-join. The blocks release via the
+    // ContextCleaner once the returned frame is done (same lifecycle
+    // note as deterministicShuffle's backing RDD).
     val evalShingles = evalSet
       .select(explode(wordShingles(col(evalTextCol), n)).as("__s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one count job over the (already distinct) eval shingles sizes the
     // filter honestly; an undersized bloom silently degrades to
     // fpp ≈ 1 and the "map-side cut" stops cutting. An EMPTY eval set
     // contaminates nothing (and Spark's bloomFilter aggregate NPEs on
     // zero rows), so short-circuit before building the sketch.
     val nShingles = evalShingles.count()
-    if (nShingles == 0) return corpus.select(col(idCol)).limit(0)
+    if (nShingles == 0) {
+      evalShingles.unpersist()
+      return corpus.select(col(idCol)).limit(0)
+    }
     val bloom = evalShingles.stat.bloomFilter("__s", nShingles, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf { s: String =>
@@ -555,12 +565,6 @@ object Dedup {
       .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-  }
-
-  /** Deterministic Gaussian hyperplanes for sign-random-projection LSH. */
-  def randomPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
   private def md5Hex(s: String): String =

@@ -57,20 +57,49 @@ object Rollup {
     val partial = partialState(batch, keyCols, measureCols)
     VersionedStore.currentState(spark, aggTable).filter(_.segments.nonEmpty) match {
       case None =>
-        VersionedStore.appendNonEmpty(spark, aggTable, partial)
+        // first fold: the plain append is only correct while the table
+        // is STILL empty at commit time — two concurrent first folds
+        // would otherwise both append and readRollup would serve two
+        // state rows per key. The CAS transform re-checks emptiness; a
+        // lost race falls through to the merge path with the same
+        // batch (the winner's state is now there to fold into).
+        val rows = partial.localCheckpoint()
+        if (rows.isEmpty) return VersionedStore.read(spark, aggTable)
+          .map(_.count()).getOrElse(0L)
+        val seg = VersionedStore.writeSegment(spark, aggTable, rows)
+        val won =
+          try {
+            VersionedStore.commit(spark, aggTable, cur => {
+              if (cur.nonEmpty) throw new FirstFoldRace
+              Seq(seg)
+            }, op = "append")
+            true
+          } catch {
+            case _: FirstFoldRace =>
+              graft.Fs.delete(spark, s"$aggTable/$seg")
+              false
+          }
+        if (won) rows.count()
+        else foldInto(spark, aggTable, rows, keyCols, measureCols)
       case Some(_) =>
         // localCheckpoint: the reshape lambda runs INSIDE compact and may
         // be re-evaluated on a CAS retry — the batch aggregate must not
         // recompute (or, for a streaming source, become unreadable)
-        val pinned = partial.localCheckpoint()
-        val (_, files) = VersionedStore.compact(spark, aggTable,
-          reshape = old => mergeStates(old.unionByName(pinned),
-            keyCols, measureCols))
-        if (files == 0)
-          throw new IllegalStateException(
-            s"rollup fold at $aggTable lost a concurrent-compaction race; retry the batch")
-        VersionedStore.read(spark, aggTable).map(_.count()).getOrElse(0L)
+        foldInto(spark, aggTable, partial.localCheckpoint(), keyCols, measureCols)
     }
+  }
+
+  private final class FirstFoldRace extends RuntimeException
+
+  private def foldInto(spark: SparkSession, aggTable: String, pinned: DataFrame,
+                       keyCols: Seq[String], measureCols: Seq[String]): Long = {
+    val (_, files) = VersionedStore.compact(spark, aggTable,
+      reshape = old => mergeStates(old.unionByName(pinned),
+        keyCols, measureCols))
+    if (files == 0)
+      throw new IllegalStateException(
+        s"rollup fold at $aggTable lost a concurrent-compaction race; retry the batch")
+    VersionedStore.read(spark, aggTable).map(_.count()).getOrElse(0L)
   }
 
   /** The rollup read back with derived averages: `avg_<c> = sum/n` per

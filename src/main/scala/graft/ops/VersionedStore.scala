@@ -624,81 +624,139 @@ object VersionedStore {
     * updates — never a full rewrite. A merge into an empty table, or one
     * whose keys match nothing, degrades to a plain append.
     *
-    * Concurrency: the same subtract-what-I-rewrote CAS as [[compact]] —
-    * if any rewritten segment was swapped out by a concurrent
-    * compaction/merge, this rewrite abandons (nothing published, the
-    * segment deleted); a concurrent APPEND is preserved (its segment
-    * survives the manifest transform untouched). Retired segments stay
-    * on disk for snapshot readers; [[vacuum]] reclaims them. Time travel
-    * sees the pre-merge rows at the pre-merge version.
+    * Concurrency: the same subtract-what-I-rewrote CAS as [[compact]],
+    * but a lost race RETRIES INTERNALLY (fresh detection against the
+    * fresh state, bounded attempts) instead of silently reporting a
+    * no-op — a mutation must either apply or raise, never vanish (the
+    * CDC seam checkpoints batches on normal return). A concurrent
+    * APPEND is preserved without retry (its segment survives the
+    * manifest transform untouched); a LAYOUT divergence (the written
+    * segment disagrees with the survivors — wrong `partitionBy`, or a
+    * concurrent re-clustering) raises IllegalStateException at once:
+    * retrying the same arguments can never fix it, re-run through
+    * [[graft.ops.Ingest.mergeRespectingLayout]] which re-reads the
+    * sidecars. Retired segments stay on disk for snapshot readers;
+    * [[vacuum]] reclaims them. Time travel sees the pre-merge rows at
+    * the pre-merge version.
     *
     * Null keys: `updates` must not carry them (raise — an upsert keyed
     * on null matches nothing and is always a bug); table rows with a
     * null key never match and are kept.
     *
-    * Returns (new state, number of segments rewritten); the state is the
-    * fresh current state when the rewrite abandoned.
+    * Returns (new state, number of segments rewritten); 0 rewritten
+    * UNAMBIGUOUSLY means nothing needed rewriting (pure insert or
+    * no-op) — an abandoned rewrite is an exception, never a return.
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             keyCol: String, rowsPerFile: Long = 1L << 20,
             partitionBy: Seq[String] = Nil,
             marker: Option[String] = None): (State, Int) = {
-    import org.apache.spark.sql.functions.{col, lit, not, raise_error, when}
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
     require(rowsPerFile > 0)
     adoptLegacy(spark, table)
     val checkedUpdates = updates.withColumn(keyCol,
       when(col(keyCol).isNotNull, col(keyCol)).otherwise(raise_error(lit(
         s"merge: null $keyCol in updates — an upsert keyed on null matches nothing"))))
     val updKeys = checkedUpdates.select(col(keyCol)).distinct()
-    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
-    val affected: Seq[String] = stOpt match {
-      case None => Nil
-      case Some(st) =>
-        segmentsContaining(spark, table, st, updKeys, keyCol)
-          .collect().map(_.getString(0)).toSeq.sorted
+    var attempt = 0
+    while (attempt < RewriteAttempts) {
+      val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+      val affected: Seq[String] = stOpt match {
+        case None => Nil
+        case Some(st) =>
+          segmentsContaining(spark, table, st, updKeys, keyCol)
+            .collect().map(_.getString(0)).toSeq.sorted
+      }
+      if (affected.isEmpty) {
+        // pure insert (or empty/first-write table): exactly an append
+        if (checkedUpdates.isEmpty) return (currentState(spark, table)
+          .getOrElse(State(0L, Nil)), 0)
+        val seg = writeSegment(spark, table, checkedUpdates, partitionBy, marker)
+        return (commitAppend(spark, table, seg), 0)
+      }
+      // re-read ONLY the affected segments (the detection scan read
+      // everything once; the rewrite must not)
+      val keep = affected
+        .map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+        .join(updKeys, Seq(keyCol), "left_anti")
+      val newData = keep.unionByName(checkedUpdates, allowMissingColumns = false)
+      try {
+        return (commitRewrite(spark, table, affected, newData,
+          rowsPerFile, partitionBy, marker, "merge"), affected.size)
+      } catch {
+        case _: RewriteRaceLost => attempt += 1
+      }
     }
-    if (affected.isEmpty) {
-      // pure insert (or empty/first-write table): exactly an append
-      if (checkedUpdates.isEmpty) return (currentState(spark, table)
-        .getOrElse(State(0L, Nil)), 0)
-      val seg = writeSegment(spark, table, checkedUpdates, partitionBy, marker)
-      return (commitAppend(spark, table, seg), 0)
-    }
-    val st = stOpt.get
-    // re-read ONLY the affected segments (the detection scan read
-    // everything once; the rewrite must not)
-    val keep = affected
-      .map(s => spark.read.parquet(s"$table/$s"))
-      .reduce(_.unionByName(_))
-      .join(updKeys, Seq(keyCol), "left_anti")
-    val newData = keep.unionByName(checkedUpdates, allowMissingColumns = false)
-    val rows = newData.count()
-    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-    val sized =
-      if (newData.rdd.getNumPartitions < nFiles) newData.repartition(nFiles)
-      else newData.coalesce(nFiles)
-    val seg = writeSegment(spark, table, sized, partitionBy, marker)
-    val newPart = segPartitioned(spark, table, seg)
-    val newCols = segColumns(spark, table, seg)
-    val affectedSet = affected.toSet
+    throw new IllegalStateException(
+      s"merge at $table lost the rewrite race $RewriteAttempts times — " +
+        "retry under less concurrent compaction")
+  }
+
+  private val RewriteAttempts = 5
+  private final class RewriteRaceLost extends RuntimeException
+  private final class LayoutDiverged extends RuntimeException
+
+  /** One copy-on-write rewrite attempt, shared by [[merge]] /
+    * [[deleteByKeys]] / [[deleteWhere]]: pin `newData` once
+    * (persist — the count and the segment write must not re-read the
+    * affected segments twice), write it sized like [[compact]] (no
+    * segment at all when it is empty — a rewrite may delete every row),
+    * and commit it as the replacement for `affected` under the
+    * subtract-what-I-rewrote rules. Throws [[RewriteRaceLost]]
+    * (internal — caller re-detects and retries) when an affected
+    * segment was already swapped out, and IllegalStateException when
+    * the written segment's layout/schema disagrees with the survivors
+    * (deterministic caller error; retrying the same arguments cannot
+    * fix it).
+    */
+  private def commitRewrite(spark: SparkSession, table: String,
+                            affected: Seq[String], newData: DataFrame,
+                            rowsPerFile: Long, partitionBy: Seq[String],
+                            marker: Option[String], op: String): State = {
+    val pinned = newData.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newState = commit(spark, table, cur => {
-        // every rewritten segment must still be live, and the segment we
-        // wrote must match the survivors' layout — same rules as compact,
-        // re-checked against the fresh list on every CAS attempt
-        if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
-        val survivors = cur.filterNot(affectedSet)
-        if (survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
-            segColumns(spark, table, s) != newCols))
-          throw new ConcurrentCompaction
-        survivors :+ seg
-      }, op = "merge")
-      (newState, affected.size)
-    } catch {
-      case _: ConcurrentCompaction =>
-        graft.Fs.delete(spark, s"$table/$seg")
-        (currentState(spark, table).getOrElse(st), 0)
-    }
+      val rows = pinned.count()
+      val segOpt =
+        if (rows == 0) None
+        else {
+          val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+          val sized =
+            if (pinned.rdd.getNumPartitions < nFiles) pinned.repartition(nFiles)
+            else pinned.coalesce(nFiles)
+          Some(writeSegment(spark, table, sized, partitionBy, marker))
+        }
+      val (newPart, newCols) = segOpt
+        .map(s => (segPartitioned(spark, table, s), segColumns(spark, table, s)))
+        .getOrElse((false, Set.empty[String]))
+      val affectedSet = affected.toSet
+      try {
+        commit(spark, table, cur => {
+          // every rewritten segment must still be live, and the segment
+          // we wrote must match the survivors' layout — same rules as
+          // compact, re-checked against the fresh list per CAS attempt
+          if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
+          val survivors = cur.filterNot(affectedSet)
+          if (segOpt.isDefined &&
+              survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
+                segColumns(spark, table, s) != newCols))
+            throw new LayoutDiverged
+          survivors ++ segOpt
+        }, op = op)
+      } catch {
+        case _: ConcurrentCompaction =>
+          segOpt.foreach(s => graft.Fs.delete(spark, s"$table/$s"))
+          throw new RewriteRaceLost
+        case _: LayoutDiverged =>
+          segOpt.foreach(s => graft.Fs.delete(spark, s"$table/$s"))
+          throw new IllegalStateException(
+            s"$op at $table: the rewritten segment's layout/schema disagrees " +
+              "with the table's surviving segments — wrong partitionBy, or the " +
+              "table was re-clustered/evolved concurrently. Re-run through " +
+              "Ingest.mergeRespectingLayout / deleteRespectingLayout, which " +
+              "derive the live layout from the store's own sidecars.")
+      }
+    } finally pinned.unpersist()
   }
 
   /** Copy-on-write delete BY KEY SET — [[deleteWhere]] for the CDC case
@@ -716,45 +774,29 @@ object VersionedStore {
     import org.apache.spark.sql.functions.col
     require(rowsPerFile > 0)
     adoptLegacy(spark, table)
-    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
-    if (stOpt.isEmpty) return (State(0L, Nil), 0)
-    val st = stOpt.get
     val keySet = keys.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
-    val affected = segmentsContaining(spark, table, st, keySet, keyCol)
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (affected.isEmpty) return (st, 0)
-    val keep = affected
-      .map(s => spark.read.parquet(s"$table/$s"))
-      .reduce(_.unionByName(_))
-      .join(keySet, Seq(keyCol), "left_anti")
-    val rows = keep.count()
-    val affectedSet = affected.toSet
-    val (segOpt, newPart, newCols) =
-      if (rows == 0) (None, false, Set.empty[String])
-      else {
-        val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-        val sized =
-          if (keep.rdd.getNumPartitions < nFiles) keep.repartition(nFiles)
-          else keep.coalesce(nFiles)
-        val s = writeSegment(spark, table, sized, partitionBy, marker)
-        (Some(s), segPartitioned(spark, table, s), segColumns(spark, table, s))
+    var attempt = 0
+    while (attempt < RewriteAttempts) {
+      val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+      if (stOpt.isEmpty) return (State(0L, Nil), 0)
+      val st = stOpt.get
+      val affected = segmentsContaining(spark, table, st, keySet, keyCol)
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return (st, 0)
+      val keep = affected
+        .map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+        .join(keySet, Seq(keyCol), "left_anti")
+      try {
+        return (commitRewrite(spark, table, affected, keep,
+          rowsPerFile, partitionBy, marker, "delete"), affected.size)
+      } catch {
+        case _: RewriteRaceLost => attempt += 1
       }
-    try {
-      val newState = commit(spark, table, cur => {
-        if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
-        val survivors = cur.filterNot(affectedSet)
-        if (segOpt.isDefined &&
-            survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
-              segColumns(spark, table, s) != newCols))
-          throw new ConcurrentCompaction
-        survivors ++ segOpt
-      }, op = "delete")
-      (newState, affected.size)
-    } catch {
-      case _: ConcurrentCompaction =>
-        segOpt.foreach(s => graft.Fs.delete(spark, s"$table/$s"))
-        (currentState(spark, table).getOrElse(st), 0)
     }
+    throw new IllegalStateException(
+      s"deleteByKeys at $table lost the rewrite race $RewriteAttempts times — " +
+        "retry under less concurrent compaction")
   }
 
   /** Copy-on-write delete: removes every row where `predicate` is TRUE
@@ -773,46 +815,30 @@ object VersionedStore {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(rowsPerFile > 0)
     adoptLegacy(spark, table)
-    val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
-    if (stOpt.isEmpty) return (State(0L, Nil), 0)
-    val st = stOpt.get
-    val affected = taggedState(spark, table, st)
-      .filter(coalesce(predicate, lit(false)))
-      .select(col("__seg")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (affected.isEmpty) return (st, 0)
-    val keep = affected
-      .map(s => spark.read.parquet(s"$table/$s"))
-      .reduce(_.unionByName(_))
-      .filter(not(coalesce(predicate, lit(false))))
-    val rows = keep.count()
-    val affectedSet = affected.toSet
-    val (segOpt, newPart, newCols) =
-      if (rows == 0) (None, false, Set.empty[String])
-      else {
-        val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-        val sized =
-          if (keep.rdd.getNumPartitions < nFiles) keep.repartition(nFiles)
-          else keep.coalesce(nFiles)
-        val s = writeSegment(spark, table, sized, partitionBy, marker)
-        (Some(s), segPartitioned(spark, table, s), segColumns(spark, table, s))
+    var attempt = 0
+    while (attempt < RewriteAttempts) {
+      val stOpt = currentState(spark, table).filter(_.segments.nonEmpty)
+      if (stOpt.isEmpty) return (State(0L, Nil), 0)
+      val st = stOpt.get
+      val affected = taggedState(spark, table, st)
+        .filter(coalesce(predicate, lit(false)))
+        .select(col("__seg")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return (st, 0)
+      val keep = affected
+        .map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+        .filter(not(coalesce(predicate, lit(false))))
+      try {
+        return (commitRewrite(spark, table, affected, keep,
+          rowsPerFile, partitionBy, marker, "delete"), affected.size)
+      } catch {
+        case _: RewriteRaceLost => attempt += 1
       }
-    try {
-      val newState = commit(spark, table, cur => {
-        if (!affected.forall(cur.contains)) throw new ConcurrentCompaction
-        val survivors = cur.filterNot(affectedSet)
-        if (segOpt.isDefined &&
-            survivors.exists(s => segPartitioned(spark, table, s) != newPart ||
-              segColumns(spark, table, s) != newCols))
-          throw new ConcurrentCompaction
-        survivors ++ segOpt
-      }, op = "delete")
-      (newState, affected.size)
-    } catch {
-      case _: ConcurrentCompaction =>
-        segOpt.foreach(s => graft.Fs.delete(spark, s"$table/$s"))
-        (currentState(spark, table).getOrElse(st), 0)
     }
+    throw new IllegalStateException(
+      s"deleteWhere at $table lost the rewrite race $RewriteAttempts times — " +
+        "retry under less concurrent compaction")
   }
 
   /** Hive partition-column names of a segment: the `key` of every

@@ -308,6 +308,29 @@ class MergeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("already exists"))
   }
 
+  test("two concurrent FIRST rollup folds both land without duplicate state rows") {
+    import graft.ops.Rollup
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for (round <- 1 to 3) {
+      val t = freshTable(s"rollupfirst$round") + "/agg"
+      val b1 = (1 to 100).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "x")
+      val b2 = (101 to 200).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "x")
+      val fs = Seq(b1, b2).map(b => Future {
+        Rollup.maintain(spark, t, b, Seq("g"), Seq("x"))
+      })
+      Await.result(Future.sequence(fs), 120.seconds)
+      val got = Rollup.readRollup(spark, t, Seq("x")).get
+        .select($"g", $"n", $"sum_x").as[(String, Long, Long)].collect().toSet
+      val direct = b1.union(b2).groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == direct,
+        s"round $round: concurrent first folds must merge, not duplicate: $got")
+    }
+  }
+
   test("describeHistory records each mutation's operation, newest first") {
     val t = freshTable("history")
     VersionedStore.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
