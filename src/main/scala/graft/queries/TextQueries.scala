@@ -533,6 +533,44 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Version rollback as a query: a good batch (even ids), a "bad"
+    // batch (odd ids), then restore(v=1) — the live table must serve
+    // exactly the good batch, which the oracle recomputes directly.
+    "store_restore" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-restore-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 === 0))
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" % 2 =!= 0))
+      graft.ops.VersionedStore.restore(s, root, version = 1L)
+      graft.ops.VersionedStore.read(s, root).get
+        .select($"doc_id", length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // Schema evolution as a query: ingest bare (doc_id, text), evolve
+    // the live table with a derived token-count column in one atomic
+    // rewrite, and serve the evolved rows — the oracle recomputes the
+    // derivation from the source table.
+    "store_evolve_schema" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-evolve-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" < 250))
+      graft.ops.VersionedStore.append(s, root, docs.filter($"doc_id" >= 250))
+      graft.ops.Ingest.evolveSchema(s, root,
+        Seq("n_tokens" -> TextAnalysis.tokenCount($"text")))
+      graft.ops.VersionedStore.read(s, root).get
+        .select($"doc_id", $"n_tokens")
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal plumbing end-to-end with the deterministic stub decoder
     // (Multimodal.scala — this container ships no codecs, so documents'
     // UTF-8 bytes stand in as opaque media payloads): segment-sample the
@@ -1076,6 +1114,12 @@ object TextQueries {
          |  max(len($docTokens))::BIGINT AS max_n_tokens,
          |  round(sum(len($docTokens))::DOUBLE / count(*), 6) AS avg_n_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "store_restore" ->
+      """SELECT doc_id, len(text)::BIGINT AS n_chars FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    "store_evolve_schema" ->
+      s"""SELECT doc_id, len($docTokens)::BIGINT AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // the upsert + delete recomputed relationally; the rewrite count is
     // pinned to 1 because every update key lives in the first segment
     "store_merge_upsert" ->
