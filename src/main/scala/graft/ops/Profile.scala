@@ -51,19 +51,34 @@ object Profile {
     * sketch path (the 100 TB profiler keeps only the sketch): adds
     * `distinct_within_rsd` = |est − exact| ≤ 4·rsd·exact (HLL++'s rsd
     * is a standard deviation; 4σ makes the bit deterministic in
-    * practice while still catching a broken sketch loudly).
+    * practice while still catching a broken sketch loudly). Exact and
+    * sketch aggregates ride the SAME single aggregation job — the
+    * anchored profile still scans the table once.
     */
   def tableProfileChecked(df: DataFrame, cols: Seq[String],
                           rsd: Double = 0.02): DataFrame = {
-    val est = tableProfile(df, cols, exactDistinct = false, rsd)
-      .withColumnRenamed("n_distinct", "__est")
-    val exact = tableProfile(df, cols, exactDistinct = true)
-      .select(col("column"), col("n_distinct"))
-    est.join(exact, Seq("column"))
-      .withColumn("distinct_within_rsd",
-        abs(col("__est") - col("n_distinct")) <=
-          lit(4.0) * lit(rsd) * col("n_distinct"))
-      .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
-        col("min_value"), col("max_value"), col("distinct_within_rsd"))
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__ad_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.flatMap { c =>
+      Seq(lit(c), col(s"__nn_$c"), col(s"__nd_$c"), col(s"__ad_$c"),
+        col(s"__mn_$c"), col(s"__mx_$c"))
+    }
+    wide.select(col("__n"),
+        stack((lit(cols.size) +: stackArgs): _*)
+          .as(Seq("column", "n_non_null", "n_distinct", "__est",
+            "min_value", "max_value")))
+      .select(col("column"), col("__n").as("n_rows"),
+        (col("__n") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        (abs(col("__est") - col("n_distinct")) <=
+          lit(4.0) * lit(rsd) * col("n_distinct")).as("distinct_within_rsd"))
   }
 }
