@@ -80,6 +80,52 @@ object Curation {
       ._1.drop("__phase", "__shk")
   }
 
+  /** Corpus-level boilerplate line removal (the CCNet/RefinedWeb cleanup
+    * step): any line that appears VERBATIM in more than `maxOccurrences`
+    * documents' worth of lines across the whole corpus is navigation /
+    * footer / cookie-banner boilerplate, and is stripped from every
+    * document while the surviving lines keep their original order.
+    *
+    * Returns `(idCol, clean_text, n_kept, n_removed)` — one row per input
+    * document, `clean_text = ""` when every line was boilerplate.
+    *
+    * Plan shape, sized for 100 TB: one narrow `posexplode` over the line
+    * split; a two-stage hash agg keyed by the line string (map-side
+    * partials collapse each heavy line to one row per partition, so the
+    * boilerplate lines themselves never become skewed shuffle keys); the
+    * heavy set is at most `totalLines / maxOccurrences` distinct lines —
+    * small by construction — so the anti-join BROADCASTS it and the
+    * corpus lines never shuffle for the filter; one final exchange
+    * regroups surviving lines by document. Two shuffles + one broadcast
+    * total. Null text is treated as empty.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             maxOccurrences: Long,
+                             delimiter: String = "\n"): DataFrame = {
+    require(maxOccurrences >= 1,
+      s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val delim = java.util.regex.Pattern.quote(delimiter)
+    val text = coalesce(col(textCol), lit(""))
+    val lines = df.select(col(idCol), posexplode(split(text, delim)))
+      .toDF(idCol, "__pos", "__line")
+    val heavy = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("__line"))
+    val kept = lines.join(broadcast(heavy), Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      concat_ws(delimiter,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x("__line"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(text, delim)).cast("long").as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Cluster-balanced sample: k-means the embedding space ([[Ivf.fit]] —
     * deterministic seeded init), assign every row its cluster (narrow
     * argmin projection, no shuffle), then keep the `perCluster` rows

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.SimHash64
-import graft.ops.Dedup
+import graft.ops.{Curation, Dedup}
 
 /** Dedup-suite parity queries over the `documents` / `embeddings` tables.
   * Jaccard and ratio columns are exact small-integer divisions, so they
@@ -40,6 +40,26 @@ object DedupQueries {
           docs.filter($"doc_id" < 250), "doc_id", "text",
           docs.filter($"doc_id" >= 250), "doc_id", "text", threshold = 0.2)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Corpus-level boilerplate line removal (CCNet/RefinedWeb cleanup):
+    // plant a universal header (500 occurrences), an even-doc banner
+    // (250), and 7 rotating footers (~71 each) around every document,
+    // then strip lines appearing in > 100 docs — header and banner go,
+    // footers and unique bodies survive in original order. The heavy set
+    // is broadcast; the corpus never shuffles for the filter.
+    "dedup_lines_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      val corpus = documents(s, d).select(
+        $"doc_id",
+        concat_ws("\n",
+          lit("HEADER: site nav"),
+          when($"doc_id" % 2 === 0, lit("SUBSCRIBE NOW")),
+          $"text",
+          concat(lit("FOOTER-"), ($"doc_id" % 7).cast("string"))).as("text"))
+      Curation.removeBoilerplateLines(corpus, "doc_id", "text",
+          maxOccurrences = 100)
+        .orderBy($"doc_id")
     }),
 
     // MinHash+LSH near-dup pairs — approximate candidate generation,
@@ -221,6 +241,31 @@ object DedupQueries {
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_lines_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'HEADER: site nav',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE NOW' END,
+        |    text,
+        |    'FOOTER-' || CAST(doc_id % 7 AS VARCHAR)) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM corpus),
+        |flat AS (
+        |  SELECT doc_id, pl.pos AS pos, pl.line AS line
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+        |          i -> {'pos': i, 'line': arr[i]})) AS pl FROM ls)),
+        |heavy AS (SELECT line FROM flat GROUP BY line HAVING count(*) > 100),
+        |kept AS (SELECT f.* FROM flat f ANTI JOIN heavy h ON f.line = h.line),
+        |rebuilt AS (SELECT doc_id,
+        |            string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |            count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS total
+        |        FROM corpus)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       t.total - coalesce(r.n_kept, 0) AS n_removed
+        |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "crosscorpus_jaccard_join" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -190,4 +190,46 @@ class CurationSpec extends AnyFunSuite {
     assert(Dedup.decontaminateBloom(corpus, "doc_id", "text", eval, "text", n = 4)
       .count() == 10)
   }
+
+  // --- boilerplate line removal ---------------------------------------------
+
+  test("removeBoilerplateLines strips heavy lines, keeps order, counts exactly") {
+    // 20 docs: shared header on all, banner on evens, unique body, one doc
+    // that is ALL boilerplate, one null-text doc
+    val docs = (1 to 20).map { i =>
+      val banner = if (i % 2 == 0) "SUBSCRIBE\n" else ""
+      (i.toLong, s"HEADER\n${banner}body line $i alpha\nbody line $i beta")
+    } ++ Seq((21L, "HEADER\nSUBSCRIBE"), (22L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(df, "doc_id", "text",
+        maxOccurrences = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.length == 22, "one row per input doc, empties included")
+    val m = out.map(t => t._1 -> t).toMap
+    // odd doc: header removed, body survives in order
+    assert(m(3L)._2 == "body line 3 alpha\nbody line 3 beta")
+    assert(m(3L)._3 == 2 && m(3L)._4 == 1)
+    // even doc: header AND banner removed (11 banners > 5)
+    assert(m(4L)._2 == "body line 4 alpha\nbody line 4 beta")
+    assert(m(4L)._3 == 2 && m(4L)._4 == 2)
+    // all-boilerplate doc: empty, everything removed
+    assert(m(21L) == ((21L, "", 0L, 2L)))
+    // null text = empty text = one empty line, which is NOT heavy (only 1)
+    assert(m(22L) == ((22L, "", 1L, 0L)))
+  }
+
+  test("removeBoilerplateLines broadcasts the heavy set and is partitioning-invariant") {
+    val docs = (1 to 30).map(i => (i.toLong, s"NAV BAR\nunique $i one\nunique $i two"))
+      .toDF("doc_id", "text")
+    val plan = Curation.removeBoilerplateLines(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"heavy-set anti-join must broadcast, got:\n$plan")
+    val a = Curation.removeBoilerplateLines(docs, "doc_id", "text", 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Curation.removeBoilerplateLines(docs.repartition(7), "doc_id", "text", 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "result must not depend on input partitioning")
+  }
 }
