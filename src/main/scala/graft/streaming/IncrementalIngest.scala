@@ -193,6 +193,35 @@ object IncrementalIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Watermarked stream-stream equi-join with a bounded event-time gap —
+    * the streaming enrichment shape (e.g. raw events joined to the
+    * document-ingest stream that produced them). Both sides carry a
+    * watermark and the join condition carries the ±`maxGap` time-range
+    * constraint, which is what lets Spark EVICT join state once the
+    * watermark passes: without it, each side's state store grows with
+    * all-time history and a 100 TB continuous join eventually dies. With
+    * it, state is O(rows within watermark + gap) per side.
+    *
+    * `joinType` supports "inner" and the watermark-mandatory outer
+    * variants ("leftOuter"/"rightOuter"); unmatched outer rows are
+    * emitted only after the watermark passes their eviction horizon —
+    * the streaming-correct semantics, asserted live in ScaleOpsSpec.
+    * Column names must be disjoint across the two sides (the usual
+    * Spark join contract; rename before joining).
+    */
+  def joinStreamsWithinGap(left: DataFrame, leftKey: String, leftTs: String,
+                           right: DataFrame, rightKey: String, rightTs: String,
+                           watermark: String, maxGap: String,
+                           joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val gap = expr(s"INTERVAL $maxGap")
+    val cond = col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - gap &&
+      col(rightTs) <= col(leftTs) + gap
+    l.join(r, cond, joinType)
+  }
+
   /** Windowed event aggregation over a stream — the watermark/tumbling-
     * window shape (§2.8's Spark mapping), exposed for the events table:
     * per (window, event_type) counts and exact value cents.

@@ -10,6 +10,12 @@ import graft.ops.{Ivf, Multimodal, Similarity}
 import graft.sources.DocumentSources
 import graft.streaming.IncrementalIngest
 
+object ScaleOpsSpec {
+  // stream-stream join fixtures (top-level so spark.implicits can derive encoders)
+  case class SsjL(lkey: String, lts: java.sql.Timestamp, lv: Int)
+  case class SsjR(rkey: String, rts: java.sql.Timestamp, rv: Int)
+}
+
 class ScaleOpsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
@@ -95,6 +101,44 @@ class ScaleOpsSpec extends AnyFunSuite {
       val keys = spark.read.parquet(out).select($"key").as[String].collect().sorted.toSeq
       assert(keys == Seq("a", "b", "c"), s"one row per key within the watermark, got $keys")
     } finally q.stop()
+  }
+
+  test("stream-stream gap join equals the batch join; outer rows wait for eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import ScaleOpsSpec.{SsjL => L, SsjR => R}
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val lRows = Seq(L("a", ts(0), 1), L("b", ts(2), 2), L("orphan", ts(3), 3))
+    val rRows = Seq(R("a", ts(1), 10), R("b", ts(20), 20)) // b outside the 5-min gap
+    val ls = MemoryStream[L]; val rs = MemoryStream[R]
+    val joined = IncrementalIngest.joinStreamsWithinGap(
+      ls.toDF(), "lkey", "lts", rs.toDF(), "rkey", "rts",
+      watermark = "1 minute", maxGap = "5 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      ls.addData(lRows: _*); rs.addData(rRows: _*)
+      q.processAllAvailable()
+      val inner = spark.table("ssj").filter($"rkey".isNotNull)
+        .select($"lkey", $"rv").as[(String, Int)].collect().toSet
+      assert(inner == Set(("a", 10)),
+        s"only the in-gap pair joins (b's match is 18 min away), got $inner")
+      // advance both watermarks far past the data, twice (the watermark
+      // is computed from the PREVIOUS batch's max event time)
+      ls.addData(L("z", ts(50), 0)); rs.addData(R("z", ts(50), 0))
+      q.processAllAvailable()
+      ls.addData(L("z2", ts(55), 0)); rs.addData(R("z2", ts(55), 0))
+      q.processAllAvailable()
+      val outer = spark.table("ssj").filter($"rkey".isNull)
+        .select($"lkey").as[String].collect().toSet
+      assert(Set("b", "orphan").subsetOf(outer),
+        s"unmatched left rows must surface after eviction, got $outer")
+    } finally q.stop()
+    // the same condition on the same data as a BATCH join gives the same matches
+    val batch = lRows.toDF().join(rRows.toDF(),
+        $"lkey" === $"rkey" && $"rts" >= $"lts" - expr("INTERVAL 5 minutes") &&
+          $"rts" <= $"lts" + expr("INTERVAL 5 minutes"), "left_outer")
+      .filter($"rkey".isNotNull).select($"lkey", $"rv").as[(String, Int)].collect().toSet
+    assert(batch == Set(("a", 10)), "stream result must equal the batch semantics")
   }
 
   test("windowed event aggregation matches batch groupBy on the events table") {
