@@ -640,4 +640,59 @@ object Dedup {
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Exact duplicated-SPAN removal — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2022), re-expressed relationally instead of via a corpus-wide
+    * suffix array: any run of `k` consecutive word tokens that occurs
+    * more than once ACROSS THE WHOLE CORPUS (including a second time in
+    * the same document) is a duplicated span, and every token covered by
+    * at least one duplicated k-gram is removed. Maximal duplicated runs
+    * longer than k are removed in full (their k-windows all duplicate),
+    * which is exactly the suffix-array semantics at granularity k.
+    *
+    * Returns `(idCol, clean_text, n_tokens, n_removed)` — one row per
+    * input document; documents shorter than k tokens are untouched.
+    *
+    * Plan shape, sized for 100 TB: the k-gram explode is narrow and the
+    * shuffle key is the 16-byte md5 of each gram, never the gram text
+    * (same digest convention as [[exact]]); the occurrence count is a
+    * two-stage hash agg, so a pathologically repeated gram collapses
+    * map-side instead of skewing the exchange; the duplicated-hash set
+    * joins back LEFT SEMI on fixed-width (id, pos, digest) rows — a hot
+    * digest streams through the probe side without amplification; one
+    * final exchange regroups covered positions per document and rebuilds
+    * the text with an index-aware array filter (O(tokens × covered) per
+    * doc — bounded by document length, not corpus). Three shuffles total.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    require(k >= 2, s"span granularity k must be >= 2, got $k")
+    val toks = df.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), "\\s+").as("__t"))
+    // (id, pos, digest) for every k-gram start position, 1-based
+    val grams = toks
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - k),
+        i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k))).cast("binary")))))
+      .toDF(idCol, "__pos0", "__h")
+    val dup = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("__h"))
+    val covered = grams.join(dup.hint("SHUFFLE_HASH"), Seq("__h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("__pos0") + 1, col("__pos0") + k)).as("__cpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__cpos")).as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__t"),
+          (_, i) => not(array_contains(
+            coalesce(col("__cov"), array().cast("array<int>")), i + 1))))
+          .as("clean_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"))
+  }
 }

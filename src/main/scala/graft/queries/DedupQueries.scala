@@ -62,6 +62,16 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // Exact duplicated-span removal (Lee et al. substring dedup at
+    // k-gram granularity): every 8-token run occurring twice anywhere in
+    // the corpus is stripped from all its occurrences; unique text is
+    // untouched. Digest-keyed shuffles, semi-join back, per-doc rebuild.
+    "dedup_span_removal" -> ((s, d) => {
+      import s.implicits._
+      Dedup.removeDuplicatedSpans(documents(s, d), "doc_id", "text", k = 8)
+        .orderBy($"doc_id")
+    }),
+
     // MinHash+LSH near-dup pairs — approximate candidate generation,
     // exact verify. No SQL oracle (xxhash64 seeds are engine-defined);
     // DedupSpec asserts it is a subset of the exact pairs with high
@@ -241,6 +251,26 @@ object DedupQueries {
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-8+2),
+        |        i -> {'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))})) AS pg
+        |      FROM t WHERE len(tk) >= 8),
+        |f AS (SELECT doc_id, pg.pos AS pos, pg.h AS h FROM g),
+        |d AS (SELECT h FROM f GROUP BY h HAVING count(*) >= 2),
+        |cv AS (SELECT DISTINCT doc_id, cpos FROM (
+        |  SELECT f.doc_id AS doc_id, unnest(range(f.pos, f.pos + 8)) AS cpos
+        |  FROM f SEMI JOIN d ON f.h = d.h)),
+        |cl AS (SELECT doc_id, list(cpos) AS cov FROM cv GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(1, len(tk)+1),
+        |      i -> NOT list_contains(coalesce(cl.cov, []), i)),
+        |    i -> tk[i]), ' '), '') AS clean_text,
+        |  len(tk) AS n_tokens,
+        |  coalesce(len(cl.cov), 0) AS n_removed
+        |FROM t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_lines_boilerplate" ->
       """WITH corpus AS (
         |  SELECT doc_id, concat_ws(chr(10),

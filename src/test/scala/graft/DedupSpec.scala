@@ -272,4 +272,33 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
     assert(lsh.nonEmpty == exact.nonEmpty)
   }
+
+  test("removeDuplicatedSpans strips cross-doc and within-doc k-gram runs, nothing else") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // a 10-token run
+    val docs = Seq(
+      (1L, s"alpha one two $shared tail1 t1b"),   // shares the run with doc 2
+      (2L, s"$shared beta three four five xx"),
+      (3L, "totally unique text with eight tokens here ok yes"), // untouched
+      (4L, "tiny doc"),                            // < k tokens: untouched
+      (5L, s"selfrep $shared middle filler words $shared end")) // within-doc repeat
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the shared 10-token run covers all its 8-gram windows => the whole
+    // run goes, in every doc that carries it; neighbors survive
+    assert(out(1L)._1 == "alpha one two tail1 t1b")
+    assert(out(1L)._3 == 10)
+    assert(out(2L)._1 == "beta three four five xx")
+    assert(out(3L) == (("totally unique text with eight tokens here ok yes", 9L, 0L)))
+    assert(out(4L) == (("tiny doc", 2L, 0L)))
+    // within-doc: BOTH occurrences of the run are covered
+    assert(out(5L)._1 == "selfrep middle filler words end")
+    assert(out(5L)._3 == 20)
+    // partitioning invariance
+    val b = Dedup.removeDuplicatedSpans(docs.repartition(7), "doc_id", "text", k = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val a = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
