@@ -220,3 +220,48 @@ object SimHash64 {
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
 }
+
+/** Canonical text normalization for training corpora: Unicode NFC
+  * composition (é as one codepoint however the source encoded it),
+  * locale-independent lowercase (Locale.ROOT — no Turkish-I surprises
+  * from the JVM default locale), and whitespace-run collapse to single
+  * spaces with ends trimmed. One imperative pass after NFC; the same
+  * `STRING -> STRING` shape DuckDB expresses as
+  * `trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g'))`,
+  * which is what makes the query oracle-checkable cross-engine.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "normalize_text"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      // ASCII \s exactly (Java and RE2 agree on this class; Unicode
+      // spaces like U+00A0 deliberately stay — neither engine's \s
+      // matches them)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (sb.length > 0) pendingSpace = true }
+      else { if (pendingSpace) { sb.append(' '); pendingSpace = false }; sb.append(c) }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NormalizeText {
+  def normalizeText(text: Column): Column =
+    ColumnShim.column(NormalizeText(ColumnShim.expression(text)))
+}

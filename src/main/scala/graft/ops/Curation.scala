@@ -118,8 +118,10 @@ object Curation {
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x("__line"))).as("clean_text"),
       count(lit(1)).as("n_kept"))
+    // SHUFFLE_HASH keeps the rebuilt clean_text payloads out of any
+    // sort (the round-5 array/CLOB-payload SMJ cliff)
     df.select(col(idCol), size(split(text, delim)).cast("long").as("__total"))
-      .join(rebuilt, Seq(idCol), "left")
+      .join(rebuilt.hint("SHUFFLE_HASH"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -686,7 +686,10 @@ object Dedup {
         explode(sequence(col("__pos0") + 1, col("__pos0") + k)).as("__cpos"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__cpos")).as("__cov"))
-    toks.join(covered, Seq(idCol), "left")
+    // SHUFFLE_HASH: a sort-merge choice here would SORT rows carrying
+    // the full token arrays — the measured 15-60× array-payload cliff
+    // (SCALE.md round-5); the hash join exchanges both sides sort-free
+    toks.join(covered.hint("SHUFFLE_HASH"), Seq(idCol), "left")
       .select(col(idCol),
         concat_ws(" ", filter(col("__t"),
           (_, i) => not(array_contains(

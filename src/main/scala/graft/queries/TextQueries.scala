@@ -235,6 +235,20 @@ object TextQueries {
     }),
 
     // n-gram-heuristic language ID: stopword-hit scores + argmax.
+    // Canonical normalization (NFC + ROOT lowercase + \s-run collapse):
+    // the corpus is ASCII, so the query plants the hard cases — a
+    // DECOMPOSED e+U+0301 (must compose then lowercase to é), Ω, Ü, and
+    // tab/multi-space runs — and both engines must agree byte-for-byte.
+    "text_normalize" -> ((s, d) => {
+      import s.implicits._
+      val planted = concat($"text",
+        lit("\tCAFE\u0301  \u03a9MEGA \u00dcBER  end "))
+      documents(s, d)
+        .select($"doc_id",
+          graft.functions.NormalizeText.normalizeText(planted).as("norm_text"))
+        .orderBy($"doc_id")
+    }),
+
     "text_lang_id" -> ((s, d) => {
       import s.implicits._
       val (en, es, de) = TextAnalysis.langScores($"text")
@@ -1064,6 +1078,12 @@ object TextQueries {
          |SELECT doc_id, lang, quality FROM q JOIN reps USING (doc_id)
          |WHERE quality >= 0.38 AND lang IN ('en', 'de')
          |ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(
+        |    text || chr(9) || 'CAFE' || chr(769) || '  ' || chr(937) ||
+        |    'MEGA ' || chr(220) || 'BER  end ')), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, en_hits, es_hits, de_hits,
          |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'

@@ -416,6 +416,25 @@ object ScaleProbe {
     }
     report("rollup_fold_after_history", rollupProbe(1), rollupProbe(n))
 
+    // Boilerplate line removal: the per-shard prefix means the planted
+    // header/footers are per-shard too — heavy-set size grows with
+    // shards but stays broadcast-small; time must stay ≈N×
+    def withBoiler(docs: DataFrame) = docs.select($"doc_id",
+      concat_ws("\n", lit("HDR"), $"text",
+        concat(lit("FTR-"), ($"doc_id" % 7).cast("string"))).as("text"))
+    report("boilerplate_lines",
+      time(graft.ops.Curation.removeBoilerplateLines(
+        withBoiler(docs1), "doc_id", "text", 100).count()),
+      time(graft.ops.Curation.removeBoilerplateLines(
+        withBoiler(docsN), "doc_id", "text", 100).count()))
+
+    // Duplicated-span removal: shards share no grams (token prefixes),
+    // so dup grams and covered tokens scale N× and the three digest-
+    // keyed shuffles must track it linearly
+    report("span_removal",
+      time(graft.ops.Dedup.removeDuplicatedSpans(docs1, "doc_id", "text", 8).count()),
+      time(graft.ops.Dedup.removeDuplicatedSpans(docsN, "doc_id", "text", 8).count()))
+
     spark.stop()
   }
 }

@@ -191,6 +191,34 @@ class CurationSpec extends AnyFunSuite {
       .count() == 10)
   }
 
+  // --- text normalization ----------------------------------------------------
+
+  test("normalizeText composes NFC, lowercases locale-free, collapses ASCII \\s runs") {
+    import graft.functions.NormalizeText.normalizeText
+    val rows = Seq(
+      ("decomposed", "CAFÉ"),          // E + combining acute
+      ("precomposed", "CAFÉ"),          // É as one codepoint
+      ("ws", " a\t\tb \r\n c  "),
+      ("nbsp", "a\u00a0b"),                  // U+00A0 is NOT \s — must stay
+      ("empty", ""),
+      ("null", null.asInstanceOf[String]))
+      .toDF("k", "t")
+    val got = rows.select($"k", normalizeText($"t").as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("decomposed") == "café", "NFC must compose before lowering")
+    assert(got("decomposed") == got("precomposed"),
+      "both encodings of É must normalize identically")
+    assert(got("ws") == "a b c")
+    assert(got("nbsp") == "a\u00a0b")
+    assert(got("empty") == "")
+    assert(got("null") == null)
+    // idempotence
+    val twice = rows.filter($"t".isNotNull)
+      .select(normalizeText(normalizeText($"t")) === normalizeText($"t"))
+      .collect().forall(_.getBoolean(0))
+    assert(twice, "normalization must be idempotent")
+  }
+
   // --- boilerplate line removal ---------------------------------------------
 
   test("removeBoilerplateLines strips heavy lines, keeps order, counts exactly") {
