@@ -308,6 +308,22 @@ object Relational {
     // deterministically from part keys (parent = key div 10, keys < 10
     // are roots, always ≤ 4 levels on contiguous TPC-H keys), so DuckDB
     // can check the '/'-joined root-to-node paths with a recursive CTE.
+    // PageRank over the customer→part purchase graph (3 power
+    // iterations, d=0.85): the link-analysis importance scoring a
+    // web-corpus pipeline runs per domain. Each iteration is one
+    // join + one agg over pre-weighted edges; the oracle replays the
+    // same three iterations as chained CTEs in pure double arithmetic.
+    "pagerank_purchase_graph" -> ((s, d) => {
+      import s.implicits._
+      val e = orders(s, d)
+        .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      graft.ops.GraphOps.pageRank(e, "src", "dst", iters = 3)
+        .select($"node", round($"rank", 8).as("rank"))
+        .orderBy($"node")
+    }),
+
     "hierarchy_paths" -> ((s, d) => {
       import s.implicits._
       val nodes = part(s, d).filter($"p_partkey" <= 2000)
@@ -615,6 +631,42 @@ object Relational {
         |  FROM m)
         |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "pagerank_purchase_graph" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |w AS (SELECT src, dst,
+        |        CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY src)) AS w
+        |      FROM e),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(0.15 AS DOUBLE) / nn.n +
+        |         CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN
+        |         (SELECT w.dst AS node, sum(r.rank * w.w) AS s
+        |          FROM w JOIN r0 r ON w.src = r.node GROUP BY w.dst) s
+        |       USING (node)),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(0.15 AS DOUBLE) / nn.n +
+        |         CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN
+        |         (SELECT w.dst AS node, sum(r.rank * w.w) AS s
+        |          FROM w JOIN r1 r ON w.src = r.node GROUP BY w.dst) s
+        |       USING (node)),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(0.15 AS DOUBLE) / nn.n +
+        |         CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN
+        |         (SELECT w.dst AS node, sum(r.rank * w.w) AS s
+        |          FROM w JOIN r2 r ON w.src = r.node GROUP BY w.dst) s
+        |       USING (node))
+        |SELECT node, round(rank, 8) AS rank FROM r3 ORDER BY node""".stripMargin,
+
     "hierarchy_paths" ->
       """WITH RECURSIVE nodes AS (
         |  SELECT p_partkey AS id,

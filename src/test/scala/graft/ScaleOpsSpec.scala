@@ -141,6 +141,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(batch == Set(("a", 10)), "stream result must equal the batch semantics")
   }
 
+  test("pageRank matches a hand-rolled power iteration and holds its invariants") {
+    import graft.ops.GraphOps
+    // cycle + dangling chain + duplicate edge (must collapse)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("a", "d"))
+      .toDF("s", "t")
+    val got = GraphOps.pageRank(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference power iteration (same simplified-dangling semantics)
+    val e = Set(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+    val nodes = Seq("a", "b", "c", "d")
+    val outDeg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var r = nodes.map(_ -> 1.0 / 4).toMap
+    for (_ <- 1 to 4) {
+      r = nodes.map { v =>
+        val in = e.filter(_._2 == v).toSeq.map(x => r(x._1) / outDeg(x._1)).sum
+        v -> (0.15 / 4 + 0.85 * in)
+      }.toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    // on a pure cycle the uniform distribution is a fixed point
+    val cyc = GraphOps.pageRank(
+        Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "t"), "s", "t", 5)
+      .collect().map(_.getDouble(1))
+    assert(cyc.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
   test("windowed event aggregation matches batch groupBy on the events table") {
     val ev = Tables.events(spark, sf)
       .withColumn("ts2", Tables.eventTime($"ts"))
