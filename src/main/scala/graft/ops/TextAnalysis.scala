@@ -160,4 +160,33 @@ object TextAnalysis {
       .withColumn("repetitive", col("rep_ratio") > maxRatio)
       .select(col(idCol), col("n_grams"), col("top_n"), col("rep_ratio"), col("repetitive"))
   }
+
+  /** Character-bigram Shannon entropy per document — the compressibility
+    * quality signal (low entropy = repetitive/boilerplate/degenerate
+    * text, high = natural prose; gibberish maximizes it). Uses the
+    * algebraic form H = log2(T) - (Σ n·log2 n)/T over per-bigram counts
+    * n with T = Σ n, so one narrow explode + two hash aggregations
+    * compute it with no second pass over the text. Documents shorter
+    * than 2 chars have no bigrams and are omitted (no entropy defined).
+    *
+    * Scale: the (doc, gram) count partial-aggregates map-side; both
+    * exchanges are keyed by the doc id. Same shape as
+    * [[repetitionStats]].
+    */
+  def charBigramEntropy(df: DataFrame, idCol: String, textCol: String,
+                        outCol: String = "entropy"): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(
+        when(length(col(textCol)) >= 2, transform(
+          sequence(lit(0), length(col(textCol)) - 2),
+          i => col(textCol).substr(i + lit(1), lit(2))))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+    grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__t"),
+        sum(col("__n").cast("double") * log2(col("__n").cast("double"))).as("__s"))
+      .select(col(idCol),
+        (log2(col("__t").cast("double")) - col("__s") / col("__t").cast("double"))
+          .as(outCol))
+  }
 }

@@ -235,6 +235,16 @@ object TextQueries {
     }),
 
     // n-gram-heuristic language ID: stopword-hit scores + argmax.
+    // Character-bigram Shannon entropy — the compressibility quality
+    // gate (H = log2 T − Σ n·log2 n / T, one explode + two doc-keyed
+    // aggs). Round-6: both engines sum ~200 doubles per doc.
+    "text_entropy" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.charBigramEntropy(documents(s, d), "doc_id", "text")
+        .select($"doc_id", round($"entropy", 6).as("entropy"))
+        .orderBy($"doc_id")
+    }),
+
     // Canonical normalization (NFC + ROOT lowercase + \s-run collapse):
     // the corpus is ASCII, so the query plants the hard cases — a
     // DECOMPOSED e+U+0301 (must compose then lowercase to é), Ω, Ü, and
@@ -1078,6 +1088,17 @@ object TextQueries {
          |SELECT doc_id, lang, quality FROM q JOIN reps USING (doc_id)
          |WHERE quality >= 0.38 AND lang IN ('en', 'de')
          |ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text)),
+        |    i -> substr(text, i, 2))) AS gr
+        |  FROM documents WHERE len(text) >= 2),
+        |c AS (SELECT doc_id, gr, count(*) AS n FROM g GROUP BY doc_id, gr),
+        |a AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t,
+        |        sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS s
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, round(log2(t) - s / t, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(nfc_normalize(

@@ -219,6 +219,21 @@ class CurationSpec extends AnyFunSuite {
     assert(twice, "normalization must be idempotent")
   }
 
+  test("charBigramEntropy matches hand-computed values") {
+    val df = Seq(
+      (1L, "aaaa"),   // bigrams aa,aa,aa -> H = 0
+      (2L, "abab"),   // ab,ba,ab -> log2(3) - 2/3
+      (3L, "abcd"),   // ab,bc,cd all distinct -> log2(3)
+      (4L, "x"))      // no bigrams -> omitted
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charBigramEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(got(1L)) < 1e-12)
+    assert(math.abs(got(2L) - (math.log(3) / math.log(2) - 2.0 / 3)) < 1e-12)
+    assert(math.abs(got(3L) - math.log(3) / math.log(2)) < 1e-12)
+  }
+
   // --- boilerplate line removal ---------------------------------------------
 
   test("removeBoilerplateLines strips heavy lines, keeps order, counts exactly") {
