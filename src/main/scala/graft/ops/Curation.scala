@@ -98,6 +98,12 @@ object Curation {
     * corpus lines never shuffle for the filter; one final exchange
     * regroups surviving lines by document. Two shuffles + one broadcast
     * total. Null text is treated as empty.
+    *
+    * The line split is evaluated once per consumer (the count branch and
+    * the anti-join branch — no cross-branch CSE in Catalyst); persisting
+    * the exploded lines would cost ≈ the corpus bytes again, so the
+    * deliberate choice is the second narrow scan. Callers whose input is
+    * itself an expensive plan should persist IT upstream.
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              maxOccurrences: Long,

@@ -671,12 +671,17 @@ object Dedup {
     val toks = df.select(col(idCol),
       split(coalesce(col(textCol), lit("")), "\\s+").as("__t"))
     // (id, pos, digest) for every k-gram start position, 1-based
+    // grams feeds BOTH the occurrence count and the semi-join probe;
+    // Catalyst has no cross-branch CSE, so without the persist the
+    // corpus would be re-read and re-exploded per consumer (the same
+    // two-consumer trade decontaminateBloom makes)
     val grams = toks
       .filter(size(col("__t")) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__t")) - k),
         i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k))).cast("binary")))))
       .toDF(idCol, "__pos0", "__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)

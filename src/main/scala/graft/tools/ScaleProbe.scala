@@ -435,6 +435,20 @@ object ScaleProbe {
       time(graft.ops.Dedup.removeDuplicatedSpans(docs1, "doc_id", "text", 8).count()),
       time(graft.ops.Dedup.removeDuplicatedSpans(docsN, "doc_id", "text", 8).count()))
 
+    // PageRank: synthetic fan-in graph (each doc links to doc_id/3 and
+    // doc_id/7) — N× docs give N× edges and ≈N× nodes; 3 iterations of
+    // join+agg must track linearly
+    def prEdges(docs: DataFrame) = docs
+      .select($"doc_id".as("src"), ($"doc_id" / 3).cast("long").as("dst"))
+      .union(docs.select($"doc_id".as("src"), ($"doc_id" / 7).cast("long").as("dst")))
+    report("pagerank_3iter",
+      time(graft.ops.GraphOps.pageRank(prEdges(docs1), "src", "dst", 3).count()),
+      time(graft.ops.GraphOps.pageRank(prEdges(docsN), "src", "dst", 3).count()))
+
+    report("char_bigram_entropy",
+      time(graft.ops.TextAnalysis.charBigramEntropy(docs1, "doc_id", "text").count()),
+      time(graft.ops.TextAnalysis.charBigramEntropy(docsN, "doc_id", "text").count()))
+
     spark.stop()
   }
 }
