@@ -223,12 +223,16 @@ object SimHash64 {
 
 /** Canonical text normalization for training corpora: Unicode NFC
   * composition (é as one codepoint however the source encoded it),
-  * locale-independent lowercase (Locale.ROOT — no Turkish-I surprises
-  * from the JVM default locale), and whitespace-run collapse to single
-  * spaces with ends trimmed. One imperative pass after NFC; the same
-  * `STRING -> STRING` shape DuckDB expresses as
-  * `trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g'))`,
-  * which is what makes the query oracle-checkable cross-engine.
+  * SIMPLE per-codepoint lowercase (`Character.toLowerCase` — the
+  * locale-free 1:1 mapping utf8proc/DuckDB `lower()` also applies, so
+  * İ→i and Σ→σ with no full/contextual mappings on either side), and
+  * whitespace-run collapse to single spaces with ends trimmed. The
+  * collapsed class is EXPLICITLY `[\t\n\f\r ]` — RE2's `\s` (Java's
+  * `\s` additionally matches U+000B; the oracle therefore spells the
+  * class out rather than writing `\s`). One imperative pass after NFC;
+  * DuckDB expresses the same `STRING -> STRING` shape as
+  * `trim(regexp_replace(lower(nfc_normalize(x)), '[\t\n\f\r ]+', ' ',
+  * 'g'))`, which is what makes the query oracle-checkable cross-engine.
   */
 case class NormalizeText(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "normalize_text"
@@ -241,20 +245,22 @@ case class NormalizeText(child: Expression) extends UnaryExpression with Codegen
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(nfc.length)
     var i = 0
     var pendingSpace = false
     while (i < nfc.length) {
-      val c = nfc.charAt(i)
-      // ASCII \s exactly (Java and RE2 agree on this class; Unicode
-      // spaces like U+00A0 deliberately stay — neither engine's \s
-      // matches them)
-      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-        c == '\f' || c == '\r'
+      val cp = nfc.codePointAt(i)
+      // the explicit [\t\n\f\r ] class — NOT \s (the engines disagree
+      // on U+000B); Unicode spaces like U+00A0 deliberately stay
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' ||
+        cp == '\f' || cp == '\r'
       if (ws) { if (sb.length > 0) pendingSpace = true }
-      else { if (pendingSpace) { sb.append(' '); pendingSpace = false }; sb.append(c) }
-      i += 1
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        // simple codepoint mapping = DuckDB/utf8proc lower() semantics
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

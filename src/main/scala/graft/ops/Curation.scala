@@ -82,22 +82,24 @@ object Curation {
 
   /** Corpus-level boilerplate line removal (the CCNet/RefinedWeb cleanup
     * step): any line that appears VERBATIM in more than `maxOccurrences`
-    * documents' worth of lines across the whole corpus is navigation /
-    * footer / cookie-banner boilerplate, and is stripped from every
-    * document while the surviving lines keep their original order.
+    * DISTINCT documents is navigation / footer / cookie-banner
+    * boilerplate, and is stripped from every document while the
+    * surviving lines keep their original order. Counting distinct
+    * documents (not raw occurrences — the papers' semantics) means one
+    * degenerate document repeating a line thousands of times cannot get
+    * that line deleted corpus-wide.
     *
     * Returns `(idCol, clean_text, n_kept, n_removed)` — one row per input
     * document, `clean_text = ""` when every line was boilerplate.
     *
     * Plan shape, sized for 100 TB: one narrow `posexplode` over the line
-    * split; a two-stage hash agg keyed by the line string (map-side
-    * partials collapse each heavy line to one row per partition, so the
-    * boilerplate lines themselves never become skewed shuffle keys); the
-    * heavy set is at most `totalLines / maxOccurrences` distinct lines —
-    * small by construction — so the anti-join BROADCASTS it and the
+    * split; a distinct-doc count (partial (line, doc) dedup map-side,
+    * then a two-stage agg keyed by the line — the boilerplate lines
+    * themselves never become skewed shuffle keys); with the default
+    * `broadcastHeavy` the anti-join BROADCASTS the heavy set and the
     * corpus lines never shuffle for the filter; one final exchange
-    * regroups surviving lines by document. Two shuffles + one broadcast
-    * total. Null text is treated as empty.
+    * regroups surviving lines by document. Null text is treated as
+    * empty.
     *
     * The line split is evaluated once per consumer (the count branch and
     * the anti-join branch — no cross-branch CSE in Catalyst); persisting
@@ -107,7 +109,8 @@ object Curation {
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              maxOccurrences: Long,
-                             delimiter: String = "\n"): DataFrame = {
+                             delimiter: String = "\n",
+                             broadcastHeavy: Boolean = true): DataFrame = {
     require(maxOccurrences >= 1,
       s"maxOccurrences must be >= 1, got $maxOccurrences")
     val delim = java.util.regex.Pattern.quote(delimiter)
@@ -115,10 +118,16 @@ object Curation {
     val lines = df.select(col(idCol), posexplode(split(text, delim)))
       .toDF(idCol, "__pos", "__line")
     val heavy = lines.groupBy(col("__line"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(countDistinct(col(idCol)).as("__n"))
       .filter(col("__n") > maxOccurrences)
       .select(col("__line"))
-    val kept = lines.join(broadcast(heavy), Seq("__line"), "left_anti")
+    // the heavy-set bound totalLines/maxOccurrences still grows with the
+    // corpus: when maxOccurrences is small relative to corpus size the
+    // set can exceed the driver/broadcast budget — flip broadcastHeavy
+    // off to anti-join through a sort-free shuffled hash join instead
+    val heavySide = if (broadcastHeavy) broadcast(heavy)
+                    else heavy.hint("SHUFFLE_HASH")
+    val kept = lines.join(heavySide, Seq("__line"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol)).agg(
       concat_ws(delimiter,
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

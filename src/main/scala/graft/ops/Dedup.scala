@@ -652,7 +652,12 @@ object Dedup {
     * which is exactly the suffix-array semantics at granularity k.
     *
     * Returns `(idCol, clean_text, n_tokens, n_removed)` — one row per
-    * input document; documents shorter than k tokens are untouched.
+    * input document. `clean_text` is the SURVIVING TOKEN STREAM rejoined
+    * with single spaces (original whitespace is not preserved — the
+    * operator is token-level by construction); documents shorter than k
+    * tokens lose no tokens. Null text is treated as empty, which
+    * tokenizes to one empty token (`n_tokens = 1`) — the same contract
+    * the oracle applies.
     *
     * Plan shape, sized for 100 TB: the k-gram explode is narrow and the
     * shuffle key is the 16-byte md5 of each gram, never the gram text
@@ -673,8 +678,9 @@ object Dedup {
     // (id, pos, digest) for every k-gram start position, 1-based
     // grams feeds BOTH the occurrence count and the semi-join probe;
     // Catalyst has no cross-branch CSE, so without the persist the
-    // corpus would be re-read and re-exploded per consumer (the same
-    // two-consumer trade decontaminateBloom makes)
+    // corpus would be re-read and re-exploded per consumer — and as in
+    // minhashNearDupPairs, the two branches run concurrently on first
+    // action, so population must be EAGER or both still explode
     val grams = toks
       .filter(size(col("__t")) >= k)
       .select(col(idCol), posexplode(transform(
@@ -682,15 +688,22 @@ object Dedup {
         i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k))).cast("binary")))))
       .toDF(idCol, "__pos0", "__h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count(): Unit
     val dup = grams.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
       .select(col("__h"))
+    // eager: one row per AFFECTED doc with its covered positions —
+    // small next to the corpus — so the gram cache can be released
+    // before the caller's first action instead of pinning executor
+    // storage (the checkpoint itself is ContextCleaner-managed)
     val covered = grams.join(dup.hint("SHUFFLE_HASH"), Seq("__h"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("__pos0") + 1, col("__pos0") + k)).as("__cpos"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__cpos")).as("__cov"))
+      .localCheckpoint()
+    grams.unpersist(): Unit
     // SHUFFLE_HASH: a sort-merge choice here would SORT rows carrying
     // the full token arrays — the measured 15-60× array-payload cliff
     // (SCALE.md round-5); the hash join exchanges both sides sort-free

@@ -252,7 +252,8 @@ object DedupQueries {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "dedup_span_removal" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+      """WITH t AS (SELECT doc_id,
+        |             regexp_split_to_array(coalesce(text, ''), '\s+') AS tk
         |           FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-8+2),
         |        i -> {'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))})) AS pg
@@ -284,7 +285,8 @@ object DedupQueries {
         |  SELECT doc_id, pl.pos AS pos, pl.line AS line
         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
         |          i -> {'pos': i, 'line': arr[i]})) AS pl FROM ls)),
-        |heavy AS (SELECT line FROM flat GROUP BY line HAVING count(*) > 100),
+        |heavy AS (SELECT line FROM flat GROUP BY line
+        |          HAVING count(DISTINCT doc_id) > 100),
         |kept AS (SELECT f.* FROM flat f ANTI JOIN heavy h ON f.line = h.line),
         |rebuilt AS (SELECT doc_id,
         |            string_agg(line, chr(10) ORDER BY pos) AS clean_text,

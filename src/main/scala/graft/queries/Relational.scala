@@ -303,11 +303,6 @@ object Relational {
         .orderBy($"user_id", $"session_idx")
     }),
 
-    // A13 hierarchy rollup (reference compartment path build,
-    // src/server/utils/oci.py:117-130) — parent chain derived
-    // deterministically from part keys (parent = key div 10, keys < 10
-    // are roots, always ≤ 4 levels on contiguous TPC-H keys), so DuckDB
-    // can check the '/'-joined root-to-node paths with a recursive CTE.
     // PageRank over the customer→part purchase graph (3 power
     // iterations, d=0.85): the link-analysis importance scoring a
     // web-corpus pipeline runs per domain. Each iteration is one
@@ -324,6 +319,11 @@ object Relational {
         .orderBy($"node")
     }),
 
+    // A13 hierarchy rollup (reference compartment path build,
+    // src/server/utils/oci.py:117-130) — parent chain derived
+    // deterministically from part keys (parent = key div 10, keys < 10
+    // are roots, always ≤ 4 levels on contiguous TPC-H keys), so DuckDB
+    // can check the '/'-joined root-to-node paths with a recursive CTE.
     "hierarchy_paths" -> ((s, d) => {
       import s.implicits._
       val nodes = part(s, d).filter($"p_partkey" <= 2000)

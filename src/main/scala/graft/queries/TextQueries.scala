@@ -1103,7 +1103,7 @@ object TextQueries {
       """SELECT doc_id,
         |  trim(regexp_replace(lower(nfc_normalize(
         |    text || chr(9) || 'CAFE' || chr(769) || '  ' || chr(937) ||
-        |    'MEGA ' || chr(220) || 'BER  end ')), '\s+', ' ', 'g')) AS norm_text
+        |    'MEGA ' || chr(220) || 'BER  end ')), '[\t\n\f\r ]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, en_hits, es_hits, de_hits,

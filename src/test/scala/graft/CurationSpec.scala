@@ -238,17 +238,19 @@ class CurationSpec extends AnyFunSuite {
 
   test("removeBoilerplateLines strips heavy lines, keeps order, counts exactly") {
     // 20 docs: shared header on all, banner on evens, unique body, one doc
-    // that is ALL boilerplate, one null-text doc
+    // that is ALL boilerplate, one null-text doc, one degenerate doc that
+    // repeats its own line 10 times (1 distinct doc — must NOT go heavy)
     val docs = (1 to 20).map { i =>
       val banner = if (i % 2 == 0) "SUBSCRIBE\n" else ""
       (i.toLong, s"HEADER\n${banner}body line $i alpha\nbody line $i beta")
-    } ++ Seq((21L, "HEADER\nSUBSCRIBE"), (22L, null.asInstanceOf[String]))
+    } ++ Seq((21L, "HEADER\nSUBSCRIBE"), (22L, null.asInstanceOf[String]),
+      (23L, Array.fill(10)("selfrepeat").mkString("\n")))
     val df = docs.toDF("doc_id", "text")
     val out = Curation.removeBoilerplateLines(df, "doc_id", "text",
         maxOccurrences = 5)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    assert(out.length == 22, "one row per input doc, empties included")
+    assert(out.length == 23, "one row per input doc, empties included")
     val m = out.map(t => t._1 -> t).toMap
     // odd doc: header removed, body survives in order
     assert(m(3L)._2 == "body line 3 alpha\nbody line 3 beta")
@@ -260,6 +262,10 @@ class CurationSpec extends AnyFunSuite {
     assert(m(21L) == ((21L, "", 0L, 2L)))
     // null text = empty text = one empty line, which is NOT heavy (only 1)
     assert(m(22L) == ((22L, "", 1L, 0L)))
+    // distinct-doc counting: 10 repeats inside ONE doc stay below the
+    // 5-distinct-docs threshold, so the degenerate doc keeps its lines
+    assert(m(23L)._3 == 10L && m(23L)._4 == 0L,
+      "a single doc's self-repeats must not become corpus-wide boilerplate")
   }
 
   test("removeBoilerplateLines broadcasts the heavy set and is partitioning-invariant") {
