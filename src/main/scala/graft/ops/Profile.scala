@@ -81,4 +81,62 @@ object Profile {
         (abs(col("__est") - col("n_distinct")) <=
           lit(4.0) * lit(rsd) * col("n_distinct")).as("distinct_within_rsd"))
   }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * distribution of `valueCol` — the drift monitor a training pipeline
+    * runs when a new corpus drop or feature snapshot arrives (PSI < 0.1
+    * stable, 0.1-0.25 moderate, > 0.25 shifted, by the usual credit-
+    * scoring convention).
+    *
+    * Bins are `nBins` fixed-width intervals over the reference's
+    * [min, max] (two driver literals from one agg); out-of-range current
+    * values CLAMP to the edge bins, so drift beyond the reference range
+    * lands in a boundary bin loudly instead of being dropped. Shares are
+    * Laplace-smoothed — (n_i + 1) / (N + nBins) — which keeps empty bins
+    * finite and the whole formula exactly reproducible relationally
+    * (no epsilon tuning). PSI = Σ (q_i − p_i) · ln(q_i / p_i).
+    *
+    * Returns one row per bin: `(bin, ref_n, cur_n, ref_share, cur_share,
+    * contribution)`; total PSI = sum(contribution), left per-bin so the
+    * evidence of WHERE the distribution moved stays visible.
+    *
+    * Scale: one min/max agg + one count-by-bin agg per side — three
+    * scans total, each reading only `valueCol`; the bin join is over
+    * `nBins` rows. Binning is a map-side closed-form expression (no
+    * quantile sketch), so the same doubles round-trip on any engine.
+    */
+  def populationStabilityIndex(ref: DataFrame, cur: DataFrame,
+                               valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val mm = ref.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    require(!mm.isNullAt(0), "reference has no non-null values")
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    val width = if (hi > lo) (hi - lo) / nBins else 1.0
+    def binCounts(df: DataFrame): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(
+          floor((col(valueCol).cast("double") - lit(lo)) / lit(width)),
+          lit(0L)), lit(nBins - 1L)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val bins = spark.range(nBins).select($"id".cast("long").as("bin"))
+    val joined = bins
+      .join(binCounts(ref).withColumnRenamed("n", "ref_n"), Seq("bin"), "left")
+      .join(binCounts(cur).withColumnRenamed("n", "cur_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .localCheckpoint()
+    val totals = joined.agg(sum(col("ref_n")), sum(col("cur_n"))).head()
+    val refTot = totals.getLong(0).toDouble + nBins
+    val curTot = totals.getLong(1).toDouble + nBins
+    joined.select(col("bin"), col("ref_n"), col("cur_n"),
+        ((col("ref_n") + lit(1L)).cast("double") / lit(refTot)).as("ref_share"),
+        ((col("cur_n") + lit(1L)).cast("double") / lit(curTot)).as("cur_share"))
+      .withColumn("contribution",
+        (col("cur_share") - col("ref_share")) * log(col("cur_share") / col("ref_share")))
+  }
 }

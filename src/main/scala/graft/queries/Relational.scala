@@ -303,6 +303,26 @@ object Relational {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // Population Stability Index on order prices: orders before 1998 as
+    // the reference distribution, 1998+ as the current — the drift
+    // monitor a pipeline runs on each corpus/feature drop. 20 fixed-
+    // width bins over the reference range, Laplace-smoothed shares;
+    // the oracle replays the identical closed-form binning and ln sum.
+    "drift_psi_price" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+      val split = lit("1998-01-01").cast("timestamp")
+      graft.ops.Profile.populationStabilityIndex(
+          o.filter($"o_orderdate" < split),
+          o.filter($"o_orderdate" >= split),
+          "o_totalprice", nBins = 20)
+        .select($"bin", $"ref_n", $"cur_n",
+          round($"ref_share", 8).as("ref_share"),
+          round($"cur_share", 8).as("cur_share"),
+          round($"contribution", 8).as("contribution"))
+        .orderBy($"bin")
+    }),
+
     // PageRank over the customer→part purchase graph (3 power
     // iterations, d=0.85): the link-analysis importance scoring a
     // web-corpus pipeline runs per domain. Each iteration is one
@@ -631,6 +651,35 @@ object Relational {
         |  FROM m)
         |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "drift_psi_price" ->
+      """WITH ref AS (SELECT o_totalprice AS x FROM orders
+        |             WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |cur AS (SELECT o_totalprice AS x FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |mm AS (SELECT CAST(min(x) AS DOUBLE) AS lo,
+        |         CASE WHEN max(x) > min(x)
+        |              THEN (CAST(max(x) AS DOUBLE) - CAST(min(x) AS DOUBLE)) / 20
+        |              ELSE CAST(1.0 AS DOUBLE) END AS width FROM ref),
+        |rb AS (SELECT least(greatest(CAST(floor(
+        |           (CAST(x AS DOUBLE) - mm.lo) / mm.width) AS BIGINT), 0), 19)
+        |         AS bin, count(*) AS n FROM ref, mm GROUP BY 1),
+        |cb AS (SELECT least(greatest(CAST(floor(
+        |           (CAST(x AS DOUBLE) - mm.lo) / mm.width) AS BIGINT), 0), 19)
+        |         AS bin, count(*) AS n FROM cur, mm GROUP BY 1),
+        |bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(20)),
+        |j AS (SELECT bins.bin, coalesce(rb.n, 0) AS ref_n,
+        |        coalesce(cb.n, 0) AS cur_n
+        |      FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+        |t AS (SELECT CAST(sum(ref_n) + 20 AS DOUBLE) AS rt,
+        |        CAST(sum(cur_n) + 20 AS DOUBLE) AS ct FROM j)
+        |SELECT j.bin, j.ref_n, j.cur_n,
+        |  round(CAST(j.ref_n + 1 AS DOUBLE) / t.rt, 8) AS ref_share,
+        |  round(CAST(j.cur_n + 1 AS DOUBLE) / t.ct, 8) AS cur_share,
+        |  round((CAST(j.cur_n + 1 AS DOUBLE) / t.ct -
+        |         CAST(j.ref_n + 1 AS DOUBLE) / t.rt) *
+        |        ln((CAST(j.cur_n + 1 AS DOUBLE) / t.ct) /
+        |           (CAST(j.ref_n + 1 AS DOUBLE) / t.rt)), 8) AS contribution
+        |FROM j CROSS JOIN t ORDER BY j.bin""".stripMargin,
     "pagerank_purchase_graph" ->
       """WITH e AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

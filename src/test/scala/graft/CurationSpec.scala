@@ -219,6 +219,27 @@ class CurationSpec extends AnyFunSuite {
     assert(twice, "normalization must be idempotent")
   }
 
+  test("populationStabilityIndex: zero on identical inputs, loud on a planted shift") {
+    import graft.ops.Profile
+    val ref = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Profile.populationStabilityIndex(ref, ref, "v", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(5)))
+    assert(same.length == 10, "one row per bin, empty bins included")
+    assert(same.forall(_._2 == 0.0),
+      "identical distributions must contribute exactly zero per bin")
+    // shift the whole distribution up by 80: most mass clamps into the
+    // top reference bins -> PSI far past the 0.25 'shifted' convention
+    val cur = (1 to 1000).map(i => (i % 100).toDouble + 80).toDF("v")
+    val psi = Profile.populationStabilityIndex(ref, cur, "v", 10)
+      .agg(sum($"contribution")).head().getDouble(0)
+    assert(psi > 0.25, s"planted shift must trip the PSI threshold, got $psi")
+    // out-of-range values land in the edge bin, never dropped
+    val far = Seq(1e9).toDF("v")
+    val edge = Profile.populationStabilityIndex(ref, far, "v", 10)
+      .filter($"bin" === 9).head()
+    assert(edge.getLong(2) == 1L, "out-of-range current value must clamp to the top bin")
+  }
+
   test("charBigramEntropy matches hand-computed values") {
     val df = Seq(
       (1L, "aaaa"),   // bigrams aa,aa,aa -> H = 0
