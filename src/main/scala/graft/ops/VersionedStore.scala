@@ -212,6 +212,49 @@ object VersionedStore {
       .map(st => readState(spark, table, st))
   }
 
+  /** Row-level snapshot diff between two committed versions — the
+    * "what changed between these two table states" audit a pipeline
+    * runs before trusting a CDC window or signing off a migration.
+    * Classifies by `keyCols`: `added` (key only in v2), `removed` (key
+    * only in v1), `changed` (key in both, any common non-key column
+    * differing — compared via an md5 over the canonical JSON of the
+    * sorted common value columns, so schema-evolved extra columns on
+    * one side don't flag every row). Returns `(keyCols…, change)`;
+    * None when either version is unreadable/vacuumed (same contract as
+    * [[readAt]]).
+    *
+    * Scale: both snapshots reduce to (keys, 16-byte row digest) before
+    * any join — two anti-joins + one inner join on scalar keys, never
+    * moving row payloads.
+    */
+  def diffVersions(spark: SparkSession, table: String, v1: Long, v2: Long,
+                   keyCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "diffVersions needs at least one key column")
+    for { a <- readAt(spark, table, v1); b <- readAt(spark, table, v2) } yield {
+      val common = a.columns.toSet.intersect(b.columns.toSet).toSeq.sorted
+      require(keyCols.forall(common.contains),
+        s"key columns ${keyCols.mkString(",")} must exist in both versions")
+      val valCols = common.filterNot(keyCols.contains)
+      val rowHash =
+        if (valCols.isEmpty) lit("")
+        else md5(to_json(struct(valCols.map(col): _*)).cast("binary"))
+      def prep(df: DataFrame) =
+        df.select(keyCols.map(col) :+ rowHash.as("__h"): _*)
+      val aK = prep(a)
+      val bK = prep(b)
+      val keys = keyCols.map(col)
+      val added = bK.join(aK.select(keys: _*), keyCols, "left_anti")
+        .select(keys: _*).withColumn("change", lit("added"))
+      val removed = aK.join(bK.select(keys: _*), keyCols, "left_anti")
+        .select(keys: _*).withColumn("change", lit("removed"))
+      val changed = aK.as("a").join(bK.as("b"), keyCols)
+        .filter(col("a.__h") =!= col("b.__h"))
+        .select(keys: _*).withColumn("change", lit("changed"))
+      added.unionByName(removed).unionByName(changed)
+    }
+  }
+
   /** The committed manifest of `version` alone — segment names, no data
     * read, no liveness check (segments may have been vacuumed since).
     * The segment-set diff surface for incremental maintainers

@@ -533,6 +533,31 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Snapshot diff between two store versions: commit everything (v1),
+    // merge-update the %7 docs under 150 + insert five shifted ids,
+    // then delete the %13==1 docs — diff(v1, live) must classify every
+    // key as added / removed / changed exactly as the oracle recomputes
+    // relationally (updated docs that were later deleted are REMOVED,
+    // not changed: the diff sees only endpoint states).
+    "store_version_diff" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-vdiff-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, root, docs)
+      val updates = docs.filter($"doc_id" < 150 && $"doc_id" % 7 === 0)
+        .select($"doc_id", concat($"text", lit(" v2")).as("text"))
+        .unionByName(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      graft.ops.VersionedStore.merge(s, root, updates, "doc_id"): Unit
+      graft.ops.VersionedStore.deleteWhere(s, root, $"doc_id" % 13 === 1): Unit
+      val live = graft.ops.VersionedStore.history(s, root).map(_.version).max
+      graft.ops.VersionedStore.diffVersions(s, root, 1L, live, Seq("doc_id")).get
+        .orderBy($"doc_id", $"change")
+    }),
+
     // Incrementally-maintained rollup: the per-language corpus stats
     // table folded batch by batch (three doc_id ranges stand in for
     // three ingest micro-batches) — history is never re-scanned, yet
@@ -1145,6 +1170,19 @@ object TextQueries {
     "store_time_travel" ->
       """SELECT doc_id, len(text)::BIGINT AS n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // endpoint-state diff recomputed relationally: inserts are added,
+    // %13==1 docs are removed (even the ones merge touched first),
+    // surviving %7 updates are changed
+    "store_version_diff" ->
+      """SELECT doc_id, change FROM (
+        |  SELECT doc_id + 10000 AS doc_id, 'added' AS change
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT doc_id, 'removed' FROM documents WHERE doc_id % 13 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 7 = 0 AND doc_id % 13 <> 1
+        |) ORDER BY doc_id, change""".stripMargin,
     // the incremental fold must equal the direct GROUP BY — mergeable
     // state (n/sum/min/max) makes that an identity, and the oracle
     // checks it

@@ -448,4 +448,31 @@ class MergeSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect()
     assert(stale.isEmpty, "old terms of a replaced doc must not match")
   }
+
+  test("diffVersions classifies added/removed/changed and tolerates evolved columns") {
+    val t = freshTable("vdiff")
+    VersionedStore.append(spark, t,
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "txt"))
+    VersionedStore.merge(spark, t,
+      Seq((2L, "two-v2"), (4L, "four")).toDF("id", "txt"), "id"): Unit
+    VersionedStore.deleteWhere(spark, t, col("id") === 3L): Unit
+    val live = VersionedStore.history(spark, t).map(_.version).max
+    val d = VersionedStore.diffVersions(spark, t, 1L, live, Seq("id")).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((4L, "added"), (3L, "removed"), (2L, "changed")))
+    // identical versions diff to empty
+    assert(VersionedStore.diffVersions(spark, t, live, live, Seq("id")).get.count() == 0)
+    // schema evolution: an extra column on one side must not flag
+    // every unchanged row (hash runs over COMMON value columns only)
+    val t2 = freshTable("vdiff2")
+    VersionedStore.append(spark, t2, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"))
+    graft.ops.Ingest.evolveSchema(spark, t2,
+      Seq("extra" -> lit("x"))): Unit
+    val live2 = VersionedStore.history(spark, t2).map(_.version).max
+    val d2 = VersionedStore.diffVersions(spark, t2, 1L, live2, Seq("id")).get
+    assert(d2.count() == 0,
+      "adding a column must not report unchanged rows as changed")
+    // unreadable version -> None (readAt contract)
+    assert(VersionedStore.diffVersions(spark, t, 99L, live, Seq("id")).isEmpty)
+  }
 }
