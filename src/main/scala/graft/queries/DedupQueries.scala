@@ -72,6 +72,27 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // The wave-3/4 operators composed as ONE plan — the canonical
+    // LLM-training-data prep: canonical-normalize → exact span dedup →
+    // keep docs that are mostly original AND above an entropy floor →
+    // deterministic train/val assignment → per-split token accounting.
+    // Every leg is individually hash-green; this pins the COMPOSITION.
+    "training_mix_e2e" -> ((s, d) => {
+      import s.implicits._
+      val norm = documents(s, d).select($"doc_id",
+        graft.functions.NormalizeText.normalizeText($"text").as("text"))
+      val spanned = Dedup.removeDuplicatedSpans(norm, "doc_id", "text", k = 8)
+      val ent = graft.ops.TextAnalysis.charBigramEntropy(norm, "doc_id", "text")
+      val kept = spanned.join(ent, "doc_id")
+        .filter($"n_removed" * 2 < $"n_tokens" && $"entropy" >= 5.0)
+      graft.ops.Sampling.hashSplit(kept, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.1), seed = "e2e")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens" - $"n_removed").as("kept_tokens"))
+        .orderBy($"split")
+    }),
+
     // MinHash+LSH near-dup pairs — approximate candidate generation,
     // exact verify. No SQL oracle (xxhash64 seeds are engine-defined);
     // DedupSpec asserts it is a subset of the exact pairs with high
@@ -251,6 +272,43 @@ object DedupQueries {
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "training_mix_e2e" ->
+      s"""WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(
+        |    text)), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS text FROM documents),
+        |t AS (SELECT doc_id,
+        |        regexp_split_to_array(coalesce(text, ''), '\\s+') AS tk
+        |      FROM nrm),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-8+2),
+        |        i -> {'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))})) AS pg
+        |      FROM t WHERE len(tk) >= 8),
+        |f AS (SELECT doc_id, pg.pos AS pos, pg.h AS h FROM g),
+        |d AS (SELECT h FROM f GROUP BY h HAVING count(*) >= 2),
+        |cv AS (SELECT DISTINCT doc_id, cpos FROM (
+        |  SELECT f.doc_id AS doc_id, unnest(range(f.pos, f.pos + 8)) AS cpos
+        |  FROM f SEMI JOIN d ON f.h = d.h)),
+        |cl AS (SELECT doc_id, list(cpos) AS cov FROM cv GROUP BY doc_id),
+        |span AS (SELECT t.doc_id, len(tk) AS n_tokens,
+        |           coalesce(len(cl.cov), 0) AS n_removed
+        |         FROM t LEFT JOIN cl USING (doc_id)),
+        |ge AS (SELECT doc_id, unnest(list_transform(range(1, len(text)),
+        |         i -> substr(text, i, 2))) AS gr
+        |       FROM nrm WHERE len(text) >= 2),
+        |ce AS (SELECT doc_id, gr, count(*) AS n FROM ge GROUP BY doc_id, gr),
+        |ae AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t2,
+        |         sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS s
+        |       FROM ce GROUP BY doc_id),
+        |ent AS (SELECT doc_id, log2(t2) - s / t2 AS entropy FROM ae),
+        |kept AS (SELECT span.doc_id, n_tokens, n_removed
+        |         FROM span JOIN ent USING (doc_id)
+        |         WHERE n_removed * 2 < n_tokens AND entropy >= 5.0),
+        |asg AS (SELECT doc_id, n_tokens, n_removed,
+        |          CASE WHEN substring(md5(doc_id::VARCHAR || ':e2e'), 1, 8)
+        |               < '${graft.ops.Sampling.hexThreshold(0.9)}'
+        |          THEN 'train' ELSE 'val' END AS split
+        |        FROM kept)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens - n_removed)::BIGINT AS kept_tokens
+        |FROM asg GROUP BY split ORDER BY split""".stripMargin,
     "dedup_span_removal" ->
       """WITH t AS (SELECT doc_id,
         |             regexp_split_to_array(coalesce(text, ''), '\s+') AS tk
