@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analytics over an event stream: how many users
+  * completed step 1, then step 2 strictly after their earliest step-1,
+  * and so on — the conversion-funnel report every event pipeline runs.
+  *
+  * Semantics: a user reaches step i+1 iff they have an event of that
+  * step's type strictly later than their EARLIEST qualifying step-i
+  * event (the standard greedy/min-timestamp funnel, which is exactly
+  * the existence semantics: if any ordered chain exists, the earliest
+  * chain exists). Ties at identical timestamps do NOT advance the
+  * funnel (strict `>`).
+  */
+object Funnel {
+
+  /** Per-step reach counts: one row per step, `(step, event_type,
+    * n_users)`, steps numbered from 1 in the given order.
+    *
+    * Plan shape, sized for 100 TB: each step is one type-filtered scan
+    * (predicate pushed to the source), one SHUFFLE_HASH join against
+    * the previous step's per-user frontier — a (user, ts) pair, never
+    * event payloads — and one per-user min agg. Steps are bounded and
+    * few; work per step is linear in that step's events. The timestamp
+    * column only needs a total order (the nanos BIGINT of the events
+    * table is used as-is — no truncation, so ties are exact).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur: DataFrame = null
+    val frames = steps.zipWithIndex.map { case (st, i) =>
+      cur =
+        if (i == 0)
+          events.filter(col(typeCol) === st)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__s"))
+        else
+          events.filter(col(typeCol) === st)
+            .join(cur.select(col(userCol), col("__s").as("__prev"))
+              .hint("SHUFFLE_HASH"), Seq(userCol))
+            .filter(col(tsCol) > col("__prev"))
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("__s"))
+      cur.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+}

@@ -303,6 +303,18 @@ object Relational {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // Ordered conversion funnel over the event stream: users reaching
+    // view → click-after-view → purchase-after-click, each step's
+    // frontier the user's EARLIEST qualifying time (greedy ≡ existence).
+    // Strict > on the exact nanos timestamps; the oracle replays the
+    // same three frontier joins.
+    "funnel_conversion" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Funnel.funnel(events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy($"step")
+    }),
+
     // Population Stability Index on order prices: orders before 1998 as
     // the reference distribution, 1998+ as the current — the drift
     // monitor a pipeline runs on each corpus/feature drop. 20 fixed-
@@ -651,6 +663,23 @@ object Relational {
         |  FROM m)
         |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+        |) ORDER BY step""".stripMargin,
     "drift_psi_price" ->
       """WITH ref AS (SELECT o_totalprice AS x FROM orders
         |             WHERE o_orderdate < TIMESTAMP '1998-01-01'),

@@ -141,6 +141,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(batch == Set(("a", 10)), "stream result must equal the batch semantics")
   }
 
+  test("funnel advances only on strictly-later events in step order") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1 completes the whole funnel in order
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // u2: B happens BEFORE A -> stuck at step 1 (the later B at t=15? none)
+      (2L, 12L, "B"), (2L, 14L, "A"),
+      // u3: B ties A's timestamp exactly -> strict > refuses the advance
+      (3L, 50L, "A"), (3L, 50L, "B"),
+      // u4: greedy-min works: earliest A at 1, B at 2 even though a
+      // second A at 5 comes after B
+      (4L, 1L, "A"), (4L, 5L, "A"), (4L, 2L, "B"), (4L, 3L, "C"),
+      // u5: only C -> reaches nothing (step order matters)
+      (5L, 9L, "C"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "A", 4L), (2, "B", 2L), (3, "C", 2L)),
+      s"u1..u4 have A (4); u1,u4 advance to B; u1,u4 to C — got ${got.toSeq}")
+  }
+
   test("pageRank matches a hand-rolled power iteration and holds its invariants") {
     import graft.ops.GraphOps
     // cycle + dangling chain + duplicate edge (must collapse)
