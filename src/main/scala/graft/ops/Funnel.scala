@@ -48,4 +48,28 @@ object Funnel {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Cohort retention: users grouped by the time bucket of their FIRST
+    * event (the cohort), then counted in every later bucket they were
+    * active in — `(cohort, week_offset, n_users)`, offset 0 being the
+    * cohort bucket itself. Buckets are exact integer division of the
+    * raw timestamp (nanos by default — `bucketNs` = one 7-day week), so
+    * the computation is wholly integer arithmetic and reproduces
+    * bit-for-bit on any engine.
+    *
+    * Plan shape: one (user, bucket) dedup agg, one per-user min agg,
+    * one SHUFFLE_HASH join of the two (both already keyed by user),
+    * one final (cohort, offset) agg — counts are plain `count` because
+    * the dedup already made (user, bucket) unique. Linear, no windows.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketNs: Long = 7L * 86400L * 1000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val wk = expr(s"`$tsCol` div ${bucketNs}L")
+    val active = events.select(col(userCol), wk.as("__wk")).distinct()
+    val cohorts = active.groupBy(col(userCol)).agg(min(col("__wk")).as("cohort"))
+    active.join(cohorts.hint("SHUFFLE_HASH"), Seq(userCol))
+      .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

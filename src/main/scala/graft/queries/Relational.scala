@@ -315,6 +315,15 @@ object Relational {
         .orderBy($"step")
     }),
 
+    // Cohort retention on the event stream: users bucketed by the epoch
+    // week of their first event, counted in every week they return —
+    // pure integer arithmetic on the exact nanos timestamps.
+    "cohort_retention" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Funnel.cohortRetention(events(s, d), "user_id", "ts")
+        .orderBy($"cohort", $"week_offset")
+    }),
+
     // Population Stability Index on order prices: orders before 1998 as
     // the reference distribution, 1998+ as the current — the drift
     // monitor a pipeline runs on each corpus/feature drop. 20 fixed-
@@ -663,6 +672,16 @@ object Relational {
         |  FROM m)
         |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (SELECT user_id,
+        |            epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM w)
+        |SELECT c.cohort, a.wk - c.cohort AS week_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY c.cohort, week_offset
+        |ORDER BY c.cohort, week_offset""".stripMargin,
     "funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

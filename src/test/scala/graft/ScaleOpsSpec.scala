@@ -162,6 +162,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"u1..u4 have A (4); u1,u4 advance to B; u1,u4 to C — got ${got.toSeq}")
   }
 
+  test("cohortRetention buckets by first-event week and counts returns exactly") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      (1L, 0L, "x"), (1L, 15L, "x"), (1L, 25L, "x"),  // cohort 0, buckets 0,1,2
+      (2L, 12L, "x"), (2L, 35L, "x"),                  // cohort 1, buckets 1,3
+      (2L, 13L, "x"))                                  // same bucket, must dedup
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts", bucketNs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
   test("pageRank matches a hand-rolled power iteration and holds its invariants") {
     import graft.ops.GraphOps
     // cycle + dangling chain + duplicate edge (must collapse)
