@@ -23,7 +23,11 @@ object ExplainAudit {
       // round-4/5 surfaces: the lexical legs (single-scan + indexed),
       // the probed batch ANN, and the carry/bin joins
       "bm25_topk", "bm25_indexed_topk", "hybrid_rrf_fusion",
-      "ann_ivf_batch_probe", "asof_join_tolerance", "range_join_price_bands")
+      "ann_ivf_batch_probe", "asof_join_tolerance", "range_join_price_bands",
+      // wave-3/4 surfaces: sub-document dedup (broadcast heavy set /
+      // digest semi-join), iterative graph, event analytics
+      "dedup_lines_boilerplate", "dedup_span_removal",
+      "pagerank_purchase_graph", "funnel_conversion", "cohort_retention")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)

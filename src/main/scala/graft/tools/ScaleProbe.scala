@@ -449,6 +449,24 @@ object ScaleProbe {
       time(graft.ops.TextAnalysis.charBigramEntropy(docs1, "doc_id", "text").count()),
       time(graft.ops.TextAnalysis.charBigramEntropy(docsN, "doc_id", "text").count()))
 
+    // Event analytics: shard-shifted user ids replicate the per-user
+    // structure exactly, so funnel reach and cohort rows scale with the
+    // user population and time must track linearly
+    val fev1 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select($"user_id", $"ts", $"event_type").localCheckpoint()
+    val fevN = (0 until n).map(i =>
+        fev1.select(($"user_id" + lit(i * 1000000L)).as("user_id"), $"ts", $"event_type"))
+      .reduce(_ union _).localCheckpoint()
+    def reach(ev: org.apache.spark.sql.DataFrame): Long =
+      graft.ops.Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .agg(sum($"n_users")).head().getLong(0)
+    report("funnel_3step",
+      time(reach(fev1)), time(reach(fevN)))
+    report("cohort_retention",
+      time(graft.ops.Funnel.cohortRetention(fev1, "user_id", "ts").count()),
+      time(graft.ops.Funnel.cohortRetention(fevN, "user_id", "ts").count()))
+
     spark.stop()
   }
 }
