@@ -171,6 +171,95 @@ object Testbed {
   def failures(report: DataFrame): DataFrame =
     report.filter(!col("correct"))
 
+  /** Ranking-quality panel for a retrieval run — recall@k, precision@k,
+    * reciprocal rank, nDCG@k, and AP@k per query, the standard IR
+    * metrics a RAG deployment tracks across retriever changes (the
+    * reference's testbed judges final ANSWERS; this judges the
+    * RETRIEVAL stage itself against labeled relevant documents, which
+    * is what makes an embedding/index/fusion change measurable before
+    * any LLM is involved).
+    *
+    * `run` carries one row per (query, retrieved doc) with a 1-based
+    * rank — exactly the shape [[Similarity.similarityJoin]] /
+    * [[Ivf.searchBatch]] emit; rows past rank `k` are ignored. `qrels`
+    * carries binary relevance as (query, doc) pairs; duplicates
+    * collapse. A query present in the run but absent from `qrels`
+    * scores 0 everywhere (n_rel = 0).
+    *
+    * Definitions (binary relevance): DCG@k = Σ_{hits} 1/log2(rank+1),
+    * IDCG@k = Σ_{i=1..min(n_rel,k)} 1/log2(i+1), AP@k =
+    * (Σ_{i-th hit at rank r} i/r) / min(n_rel, k), RR = 1/first hit
+    * rank.
+    *
+    * Scale: both inputs reduce to id/rank triples before any exchange —
+    * no text or embedding payloads move. The plan is one semi-join of
+    * the k-bounded run against the qrels (SHUFFLE_HASH: the run side is
+    * ≤ k rows per query, never worth sorting), one bounded rank window
+    * (≤ k rows per query partition), and two per-query hash aggs. IDCG
+    * is a closed-form fold over `sequence(1, min(n_rel, k))` — no join
+    * against a numbers table. Doubles are left unrounded; callers round
+    * for cross-engine comparison.
+    */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame,
+                     queryIdCol: String, docIdCol: String, rankCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val kL = lit(k.toLong)
+    val kept = run
+      .select(col(queryIdCol).as("__q"), col(docIdCol).as("__d"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= kL)
+    val rel = qrels.select(col(queryIdCol).as("__q"), col(docIdCol).as("__d"))
+      .dropDuplicates("__q", "__d")
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    // hits in rank order; __h = how many relevant docs appear at ranks
+    // <= this hit's rank (the precision-at-hit numerator AP needs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q")).orderBy(col("__r"))
+    val hits = kept.join(rel.hint("SHUFFLE_HASH"), Seq("__q", "__d"), "left_semi")
+      .withColumn("__h", row_number().over(w))
+    val hitAgg = hits.groupBy(col("__q")).agg(
+      count(lit(1)).as("hits"),
+      min(col("__r")).as("__first"),
+      sum(lit(1.0) / log2(col("__r") + lit(1))).as("__dcg"),
+      sum(col("__h").cast("double") / col("__r")).as("__apn"))
+    val idcg = when(col("n_rel") === 0, lit(0.0)).otherwise(
+      aggregate(sequence(lit(1L), least(col("n_rel"), kL)), lit(0.0),
+        (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
+    kept.select(col("__q")).distinct()
+      .join(nRel.hint("SHUFFLE_HASH"), Seq("__q"), "left")
+      .join(hitAgg.hint("SHUFFLE_HASH"), Seq("__q"), "left")
+      .na.fill(0L, Seq("n_rel", "hits"))
+      .withColumn("__idcg", idcg)
+      .select(
+        col("__q").as(queryIdCol),
+        col("n_rel"),
+        col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("precision_k"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("hits").cast("double") / col("n_rel")).as("recall_k"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__first")).as("rr"),
+        when(col("__idcg") === 0.0, lit(0.0))
+          .otherwise(coalesce(col("__dcg"), lit(0.0)) / col("__idcg")).as("ndcg"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(coalesce(col("__apn"), lit(0.0)) /
+            least(col("n_rel"), kL).cast("double")).as("ap"))
+  }
+
+  /** Macro-averaged summary of [[rankingMetrics]] — one row: mean of
+    * each metric over the run's queries (every query weighs the same
+    * regardless of its n_rel, the standard macro convention).
+    */
+  def rankingSummary(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      count(lit(1)).as("n_queries"),
+      avg(col("precision_k")).as("mean_precision"),
+      avg(col("recall_k")).as("mean_recall"),
+      avg(col("rr")).as("mrr"),
+      avg(col("ndcg")).as("mean_ndcg"),
+      avg(col("ap")).as("map"))
+
   /** Deterministic judge stand-in: correct iff the answer contains the
     * reference answer's first token (the reference's LLM judge is mocked
     * the same way in its tests).

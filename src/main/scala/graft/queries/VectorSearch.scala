@@ -351,6 +351,35 @@ object VectorSearch {
           round(sqrt(aggregate($"embedding", lit(0.0d), (acc, x) => acc + x * x)), 4).as("l2norm"))
         .orderBy($"doc_id")
     }),
+
+    // Retrieval ranking-quality panel: exact cosine top-10 for 8 query
+    // vectors, judged against label-match qrels (same `label` = relevant
+    // — the planted cluster structure of the embeddings table). The
+    // oracle recomputes the run with list_cosine_similarity, the qrels
+    // relationally, and every metric (recall/precision@10, RR, nDCG@10,
+    // AP@10) in the same closed forms. Ranks — not scores — carry all
+    // the information, so the 6-dp rounding only touches the metric
+    // outputs themselves.
+    "retrieval_eval_metrics" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
+      val c = e.filter($"vec_id" >= 8)
+      val run = Similarity.similarityJoin(
+        q, c, "qid", "qemb", "vec_id", "embedding", k = 10)
+      val qrels = q.select($"qid", $"qlabel")
+        .join(c.select($"vec_id", $"label"), $"qlabel" === $"label")
+        .select($"qid", $"vec_id")
+      graft.ops.Testbed.rankingMetrics(run, qrels, "qid", "vec_id", "rank", k = 10)
+        .select($"qid", $"n_rel", $"hits",
+          round($"precision_k", 6).as("precision_k"),
+          round($"recall_k", 6).as("recall_k"),
+          round($"rr", 6).as("rr"),
+          round($"ndcg", 6).as("ndcg"),
+          round($"ap", 6).as("ap"))
+        .orderBy($"qid")
+    }),
   )
 
   /** §3.3 evaluation pipeline end-to-end (rows-only as a report: the RAG
@@ -499,5 +528,46 @@ object VectorSearch {
         |               c.vec_id) AS rank
         |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+    // run + qrels recomputed relationally; metrics in the same closed
+    // forms the engine folds (DCG = Σ 1/log2(r+1) over hits, IDCG over
+    // the ideal prefix, AP normalized by min(n_rel, k)). Sum order
+    // differs across engines only in the last ulp; 6-dp rounding
+    // absorbs it (the established knn-score convention).
+    "retrieval_eval_metrics" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |      FROM embeddings WHERE vec_id >= 8),
+        |run AS (SELECT qid, vec_id, r FROM (
+        |  SELECT q.qid, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS r
+        |  FROM q, c) WHERE r <= 10),
+        |rel AS (SELECT q.qid, c.vec_id FROM q JOIN c ON q.qlabel = c.label),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+        |hits AS (SELECT run.qid, run.r,
+        |    row_number() OVER (PARTITION BY run.qid ORDER BY run.r) AS h
+        |  FROM run JOIN rel ON run.qid = rel.qid AND run.vec_id = rel.vec_id),
+        |hagg AS (SELECT qid, count(*) AS hits, min(r) AS fr,
+        |    sum(1.0 / log2(r + 1)) AS dcg,
+        |    sum(CAST(h AS DOUBLE) / r) AS apn FROM hits GROUP BY qid),
+        |nums AS (SELECT range + 1 AS i FROM range(10)),
+        |perq AS (SELECT q0.qid, coalesce(n.n_rel, 0) AS n_rel,
+        |    coalesce(hg.hits, 0) AS hits, hg.fr, hg.dcg, hg.apn
+        |  FROM (SELECT DISTINCT qid FROM run) q0
+        |  LEFT JOIN nrel n USING (qid) LEFT JOIN hagg hg USING (qid)),
+        |ideal AS (SELECT p.qid, sum(1.0 / log2(i + 1)) AS idcg
+        |  FROM perq p JOIN nums ON i <= least(p.n_rel, 10) GROUP BY p.qid)
+        |SELECT p.qid, p.n_rel, p.hits,
+        |  round(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_k,
+        |  round(CASE WHEN p.n_rel = 0 THEN 0.0
+        |             ELSE CAST(p.hits AS DOUBLE) / p.n_rel END, 6) AS recall_k,
+        |  round(CASE WHEN p.fr IS NULL THEN 0.0
+        |             ELSE CAST(1.0 AS DOUBLE) / p.fr END, 6) AS rr,
+        |  round(CASE WHEN coalesce(i.idcg, 0) = 0 THEN 0.0
+        |             ELSE coalesce(p.dcg, 0) / i.idcg END, 6) AS ndcg,
+        |  round(CASE WHEN p.n_rel = 0 THEN 0.0
+        |             ELSE coalesce(p.apn, 0) / least(p.n_rel, 10) END, 6) AS ap
+        |FROM perq p LEFT JOIN ideal i USING (qid) ORDER BY p.qid""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Testbed
+
+/** Hand-computed oracle for [[Testbed.rankingMetrics]]: every metric on a
+  * four-query fixture covering hits at mixed ranks, a single-relevant
+  * query, a query with no qrels at all, and a relevant doc just past the
+  * k cutoff. The closed forms are evaluated by hand below (log2 via
+  * math.log(x)/math.log(2), the same fold order as the plan).
+  */
+class RankingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def lg2(x: Double): Double = math.log(x) / math.log(2)
+
+  // run: (query, doc, rank)
+  private lazy val run = Seq(
+    ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+    ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3),
+    ("q3", "m", 1), ("q3", "n", 2),
+    ("q4", "r", 1), ("q4", "s", 2), ("q4", "t", 3), ("q4", "u", 4)
+  ).toDF("qid", "doc", "rank")
+
+  // qrels: q1 → {a, c, d, e}; q2 → {y} (duplicated row must collapse);
+  // q3 → none; q4 → {u} but u sits at rank 4 > k
+  private lazy val qrels = Seq(
+    ("q1", "a"), ("q1", "c"), ("q1", "d"), ("q1", "e"),
+    ("q2", "y"), ("q2", "y"),
+    ("q4", "u")
+  ).toDF("qid", "doc")
+
+  private lazy val out = Testbed.rankingMetrics(run, qrels, "qid", "doc", "rank", k = 3)
+    .collect().map(r => r.getString(0) -> r).toMap
+
+  test("hits at mixed ranks: every metric matches the hand computation") {
+    val r = out("q1")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L) // n_rel, hits
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-12)       // precision
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)           // recall
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)           // rr (hit at 1)
+    val dcg = 1.0 / lg2(2) + 1.0 / lg2(4)
+    val idcg = 1.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4)
+    assert(math.abs(r.getDouble(6) - dcg / idcg) < 1e-12)    // ndcg
+    assert(math.abs(r.getDouble(7) - (1.0 + 2.0 / 3) / 3) < 1e-12) // ap
+  }
+
+  test("single relevant doc at rank 2; duplicate qrel rows collapse") {
+    val r = out("q2")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)           // recall
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)           // rr
+    // dcg = 1/log2(3); idcg = 1 (one relevant) → ndcg = 1/log2(3)
+    assert(math.abs(r.getDouble(6) - 1.0 / lg2(3)) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 0.5) < 1e-12)           // ap = (1/2)/1
+  }
+
+  test("no qrels → all-zero metrics, not nulls or NaN") {
+    val r = out("q3")
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+    (3 to 7).foreach(i => assert(r.getDouble(i) == 0.0))
+  }
+
+  test("relevant doc past the k cutoff counts as a miss") {
+    val r = out("q4")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 &&
+      r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
+  }
+
+  test("summary macro-averages every metric over the run's queries") {
+    val m = Testbed.rankingMetrics(run, qrels, "qid", "doc", "rank", k = 3)
+    val s = Testbed.rankingSummary(m).collect()(0)
+    assert(s.getLong(0) == 4L)
+    val perQ = out.values.toSeq
+    def mean(i: Int): Double = perQ.map(_.getDouble(i)).sum / perQ.size
+    assert(math.abs(s.getDouble(2) - mean(4)) < 1e-12) // mean_recall
+    assert(math.abs(s.getDouble(3) - mean(5)) < 1e-12) // mrr
+    assert(math.abs(s.getDouble(4) - mean(6)) < 1e-12) // mean_ndcg
+    assert(math.abs(s.getDouble(5) - mean(7)) < 1e-12) // map
+  }
+
+  test("partitioning invariance: 1-partition and 7-partition inputs agree") {
+    val a = Testbed.rankingMetrics(run.repartition(1), qrels.repartition(7),
+      "qid", "doc", "rank", k = 3).orderBy("qid").collect().toSeq
+    val b = Testbed.rankingMetrics(run.repartition(7), qrels.repartition(1),
+      "qid", "doc", "rank", k = 3).orderBy("qid").collect().toSeq
+    assert(a == b)
+  }
+}
