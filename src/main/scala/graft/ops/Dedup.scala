@@ -641,6 +641,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic near-dup pairs (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): assign every embedding to its nearest
+    * centroid, then compare ONLY within a cluster — pairwise work drops
+    * from O(N²) to Σ|cluster|², the trick that makes exact-cosine
+    * semantic dedup tractable on a web-scale corpus. The centroids come
+    * from [[Ivf.fit]] in production (the SAME model that partitions the
+    * ANN store, so the dedup pass rides an assignment the pipeline
+    * already maintains) or any fixed vector set.
+    *
+    * Cross-cluster near-dups are invisible by design — the recall trade
+    * the paper makes explicit; shrink it with more centroids or catch
+    * the remainder with [[embeddingNearDupLsh]]. Null embeddings have
+    * no cluster and never pair.
+    *
+    * Scale: one exchange keyed on `cluster_id` (the equi-join key), the
+    * `id_a < id_b` halving and the cosine threshold evaluated inside
+    * the join; SHUFFLE_HASH keeps the float-array payloads out of any
+    * sort. A pathologically dominant cluster degrades toward quadratic
+    * — [[Ivf.clusterStats]]/`needsReindex` is the advisory that catches
+    * exactly that imbalance before this operator pays for it.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, embCol: String,
+                         model: Ivf.IvfModel, threshold: Double): DataFrame = {
+    val assigned = Ivf.assign(df.select(col(idCol), col(embCol)), embCol, model)
+      .filter(col("cluster_id").isNotNull)
+    val a = assigned.select(col("cluster_id"),
+      col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = assigned.select(col("cluster_id").as("__cb"),
+      col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b.hint("SHUFFLE_HASH"),
+        col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(col("cluster_id"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[semanticDedupPairs]] + the standard component/min-id survivor
+    * tail: one representative per within-cluster semantic-duplicate
+    * group, everything unpaired untouched — the whole SemDeDup pass as
+    * one call.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    model: Ivf.IvfModel, threshold: Double): DataFrame =
+    nearDupSurvivors(df, idCol,
+      semanticDedupPairs(df, idCol, embCol, model, threshold))
+
   /** Exact duplicated-SPAN removal — the substring-level dedup of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al., 2022), re-expressed relationally instead of via a corpus-wide

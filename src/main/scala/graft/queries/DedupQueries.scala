@@ -254,7 +254,45 @@ object DedupQueries {
             .as("sim_matches_exact"),
           (count(lit(1)) >= 1).as("found_pairs"))
     }),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs generated
+    // ONLY within nearest-centroid clusters — the Σ|cluster|² candidate
+    // bound that makes exact-cosine dedup web-scale. Centroids here are
+    // four fixed corpus vectors so the oracle can replay the argmin
+    // assignment (production uses the maintained Ivf.fit model — same
+    // code path, collected centroids either way).
+    "semantic_dedup_pairs" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val model = semanticModel(s, d)
+      Dedup.semanticDedupPairs(emb, "vec_id", "embedding", model, threshold = 0.35)
+        .select($"cluster_id".cast("long").as("cluster_id"), $"id_a", $"id_b",
+          round($"sim", 6).as("sim"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // The full SemDeDup pass: component/min-id survivors of the
+    // cluster-scoped pair graph. The oracle replays assignment, pairs,
+    // reachability, and the anti-join.
+    "semantic_dedup_survivors" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val model = semanticModel(s, d)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", model, threshold = 0.35)
+        .select($"vec_id", $"label")
+        .orderBy($"vec_id")
+    }),
   )
+
+  /** Fixed-centroid model for the semantic-dedup oracle queries: the
+    * first four embedding vectors (vec_id 0..3), the relationally-
+    * recomputable stand-in for a production [[graft.ops.Ivf.fit]] model.
+    */
+  private def semanticModel(s: SparkSession, d: String): graft.ops.Ivf.IvfModel =
+    graft.ops.Ivf.IvfModel(
+      embeddings(s, d).filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -506,5 +544,52 @@ object DedupQueries {
     "dedup_embedding_lsh_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS sim_matches_exact,
         |  true AS found_pairs""".stripMargin,
+    // SemDeDup: nearest-centroid assignment replayed as an argmin
+    // (row_number over distance, centroid-id tiebreak — the engine's
+    // array_min-over-structs order), then within-cluster pairs only
+    "semantic_dedup_pairs" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |              FROM embeddings WHERE vec_id < 4),
+        |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT c.vec_id, ct.cid, row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        |  FROM corp c, cent ct) WHERE rn = 1)
+        |SELECT CAST(a.cid AS BIGINT) AS cluster_id,
+        |  a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(ca.v, cb.v), 6) AS sim
+        |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |JOIN corp ca ON ca.vec_id = a.vec_id
+        |JOIN corp cb ON cb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ca.v, cb.v) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "semantic_dedup_survivors" ->
+      """WITH RECURSIVE cent AS MATERIALIZED (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |corp AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+        |  SELECT c.vec_id, ct.cid, row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_distance(c.v, ct.cv), ct.cid) AS rn
+        |  FROM corp c, cent ct) WHERE rn = 1),
+        |p AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN corp ca ON ca.vec_id = a.vec_id
+        |  JOIN corp cb ON cb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ca.v, cb.v) > 0.35),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |  WHERE id <> component)
+        |SELECT vec_id, label FROM corp
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
   )
 }

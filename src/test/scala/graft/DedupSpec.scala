@@ -301,4 +301,36 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("semanticDedup: within-cluster pairs found, cross-cluster blind by design") {
+    // two axis-aligned centroids; c/d share centroid 0 and are near-dups
+    // (paired); a/b are cosine-similar but straddle the cluster boundary
+    // (NOT paired — SemDeDup's documented recall trade); e is null
+    val model = graft.ops.Ivf.IvfModel(Array(
+      Array(1f, 0f), Array(0f, 1f)))
+    val emb = Seq(
+      (10L, Some(Seq(0.98f, 0.9f))),  // → cluster 0
+      (11L, Some(Seq(0.9f, 0.98f))),  // → cluster 1; cos(10,11) ≈ 0.996
+      (12L, Some(Seq(1.0f, 0.1f))),   // → cluster 0
+      (13L, Some(Seq(0.95f, 0.12f))), // → cluster 0; cos(12,13) ≈ 0.9997
+      (14L, None: Option[Seq[Float]]) // null: no cluster, never pairs
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(emb, "vec_id", "embedding", model, 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((12L, 13L)))
+    // the cross-cluster near-dup (10,11) IS a global exact pair at the
+    // same threshold — exactly the pair cluster-scoping gives up
+    val exact = Dedup.embeddingNearDupPairs(
+        emb.filter($"embedding".isNotNull), "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet == Set((10L, 11L), (12L, 13L)))
+    // every semantic pair is an exact global pair with the identical sim
+    val semWithSim = Dedup.semanticDedupPairs(emb, "vec_id", "embedding", model, 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    semWithSim.foreach { case (k, s) => assert(exact(k) == s) }
+    // survivors: min-id per component kept; unpaired and null untouched
+    val surv = Dedup.semanticDedup(emb, "vec_id", "embedding", model, 0.95)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(10L, 11L, 12L, 14L))
+  }
 }
