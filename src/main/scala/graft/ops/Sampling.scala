@@ -91,6 +91,61 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled mixing quotas — the multilingual sampling rule
+    * of XLM-R (Conneau et al. 2020) / mT5 (Xue et al. 2021): stratum s
+    * gets share ∝ c_s^alpha, alpha ∈ (0, 1] flattening the head
+    * (alpha = 1 is proportional, alpha → 0 approaches uniform). Ideal
+    * shares are turned into integer quotas summing exactly to `total`
+    * by largest-remainder allocation: floor every ideal, then hand the
+    * leftover +1s to the largest fractional parts (stratum ascending on
+    * ties). Pure arithmetic on the counts — no RNG — so the whole
+    * allocation replays relationally in any engine.
+    *
+    * Returns `(strataCol, n, quota)`. A quota may exceed its stratum's
+    * `n` (alpha < 1 upweights small strata); [[temperatureMix]] caps at
+    * `n` (without-replacement) — compose with [[upsampleByStratum]]
+    * when the mix calls for true repetition.
+    *
+    * Scale: one count agg reduces the corpus to |strata| rows; both
+    * windows below run over those rows only (strata are domains or
+    * languages — dozens, not documents), hence the `lit(1)` partition.
+    */
+  def temperatureQuotas(df: DataFrame, strataCol: String,
+                        alpha: Double, total: Long): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    require(total >= 0, s"total must be >= 0 (got $total)")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val byFrac = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("__frac").desc, col(strataCol).asc)
+    df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__w", pow(col("n").cast("double"), lit(alpha)))
+      .withColumn("__ideal",
+        lit(total.toDouble) * col("__w") / sum(col("__w")).over(whole))
+      .withColumn("__base", floor(col("__ideal")).cast("long"))
+      .withColumn("__frac", col("__ideal") - col("__base").cast("double"))
+      .withColumn("__rk", row_number().over(byFrac))
+      .withColumn("__left", lit(total) - sum(col("__base")).over(whole))
+      .select(col(strataCol), col("n"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), lit(1L)).otherwise(lit(0L))).as("quota"))
+  }
+
+  /** [[temperatureQuotas]] applied: the md5-rank stratified take at the
+    * temperature-allocated quotas (capped at each stratum's population —
+    * without-replacement). One driver round-trip collects the |strata|
+    * quota rows (the same boundedness as [[stratifiedQuota]]'s quota
+    * map); the corpus-side plan is exactly [[stratifiedQuota]]'s
+    * bounded-heap + rank window.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+                     alpha: Double, total: Long): DataFrame = {
+    val quotas = temperatureQuotas(df, strataCol, alpha, total)
+      .collect()
+      .map(r => r.getString(0) -> math.min(r.getLong(1), r.getLong(2)).toInt)
+      .toMap
+    stratifiedQuota(df, strataCol, keyCol, quotas)
+  }
+
   /** Deterministic global shuffle: append `posName` = the row's 1-based
     * rank under `(md5(key ":" seed), key)` — a seeded pseudo-random
     * permutation every engine reproduces bit-for-bit, independent of

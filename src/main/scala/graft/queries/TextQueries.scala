@@ -112,6 +112,29 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Temperature-scaled mixing quotas (XLM-R/mT5 sampling, alpha=0.5):
+    // share ∝ count^0.5 flattens the en-heavy corpus; integer quotas by
+    // largest-remainder allocation — pure arithmetic on the counts, so
+    // the oracle replays every step (pow, shares, floors, remainder
+    // ranking) and the quotas must sum to exactly 200.
+    "mix_temperature_quotas" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.temperatureQuotas(
+          documents(s, d).select($"doc_id", $"lang"), "lang",
+          alpha = 0.5, total = 200L)
+        .orderBy($"lang")
+    }),
+
+    // The allocated quotas applied as the md5-rank stratified take: the
+    // end-to-end "mix the corpus to temperature-τ proportions" step.
+    "mix_temperature_sample" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.temperatureMix(
+          documents(s, d).select($"doc_id", $"lang"), "lang", "doc_id",
+          alpha = 0.5, total = 200L)
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic epoch shuffle: seeded md5 permutation of the corpus
     // with a contiguous 1-based position — reproducible across engines
     // and partition layouts (df.orderBy(rand(seed)) is neither).
@@ -992,6 +1015,39 @@ object TextQueries {
         |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25
         |                      WHEN 'fr' THEN 15 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    // the largest-remainder allocation replayed step by step: counts →
+    // pow(n, 0.5) weights → ideal shares of 200 → floors → the leftover
+    // +1s to the largest fractional parts (lang ascending on ties)
+    "mix_temperature_quotas" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+        |i AS (SELECT lang, n,
+        |        CAST(200 AS DOUBLE) * w / sum(w) OVER () AS ideal FROM w),
+        |b AS (SELECT lang, n, CAST(floor(ideal) AS BIGINT) AS base,
+        |        ideal - floor(ideal) AS frac FROM i),
+        |r AS (SELECT lang, n, base,
+        |        row_number() OVER (ORDER BY frac DESC, lang ASC) AS rk,
+        |        200 - sum(base) OVER () AS leftn FROM b)
+        |SELECT lang, n,
+        |  base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS quota
+        |FROM r ORDER BY lang""".stripMargin,
+    "mix_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+        |i AS (SELECT lang, n,
+        |        CAST(200 AS DOUBLE) * w / sum(w) OVER () AS ideal FROM w),
+        |b AS (SELECT lang, n, CAST(floor(ideal) AS BIGINT) AS base,
+        |        ideal - floor(ideal) AS frac FROM i),
+        |r AS (SELECT lang, n, base,
+        |        row_number() OVER (ORDER BY frac DESC, lang ASC) AS rk,
+        |        200 - sum(base) OVER () AS leftn FROM b),
+        |q AS (SELECT lang, least(n,
+        |        base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END) AS qq FROM r)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents) d
+        |JOIN q USING (lang) WHERE d.rk <= q.qq ORDER BY doc_id""".stripMargin,
     "pack_sequence_windows" ->
       """SELECT doc_id, position, "offset",
         |  "offset" // 512 AS first_window,

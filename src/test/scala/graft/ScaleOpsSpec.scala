@@ -1123,6 +1123,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must be STRING"))
   }
 
+  test("temperature quotas: hand-computed allocation, exact-sum, cap at population") {
+    import graft.ops.Sampling
+    // 8 'a' rows, 2 'b' rows
+    val df = ((1 to 8).map(i => (i.toLong, "a")) ++ Seq((9L, "b"), (10L, "b")))
+      .toDF("id", "s")
+    // alpha = 1: proportional — ideal 4.0 / 1.0, no remainder
+    val prop = Sampling.temperatureQuotas(df, "s", alpha = 1.0, total = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prop == Map("a" -> 4L, "b" -> 1L))
+    // alpha = 0.5: w = 2.828/1.414 → ideal 3.333/1.667 → base 3/1,
+    // leftover 1 goes to the larger fraction (b, 0.667 > 0.333)
+    val t = Sampling.temperatureQuotas(df, "s", alpha = 0.5, total = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t == Map("a" -> 3L, "b" -> 2L))
+    assert(t.values.sum == 5L, "quotas must sum exactly to total")
+    // strong flattening can allocate b more than its 2 rows; the MIX
+    // caps at the population (without-replacement)
+    val q01 = Sampling.temperatureQuotas(df, "s", alpha = 0.01, total = 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q01("b") > 2L, s"expected b upweighted past its population, got $q01")
+    val mixed = Sampling.temperatureMix(df, "s", "id", alpha = 0.01, total = 8L)
+      .groupBy($"s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capped, not redistributed: a keeps its own allocation
+    assert(mixed == Map("a" -> q01("a"), "b" -> 2L), s"got $mixed")
+    // invalid alpha rejected
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureQuotas(df, "s", alpha = 0.0, total = 5L)
+    }
+  }
+
   test("shuffle/split/upsample: deterministic, partitioning-invariant, complete") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
