@@ -601,4 +601,47 @@ object Keyword {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Per-document keyword extraction: the top-`k` terms by TF-IDF
+    * (sklearn's smooth form: idf = ln((1+N)/(1+df)) + 1, score =
+    * tf · idf) — the "what is this document about" signal a curation
+    * pipeline uses for topic tagging, facet filters, and cheap
+    * relevance features. Same whitespace tokenization as [[bm25]];
+    * empty tokens (whitespace-only docs) never become terms.
+    *
+    * Returns `(idCol, rank, term, tf, df, score)`, rank 1-based per
+    * document, ties on score broken by term ascending.
+    *
+    * Scale: tf is one explode + hash agg keyed (doc, term); df is a
+    * term-keyed agg of THAT (never a second corpus pass). The df join
+    * is SHUFFLE_HASH on term — document frequencies span the whole
+    * vocabulary, which at corpus scale is far past broadcast range
+    * (contrast [[bm25]], whose df table is query-terms-bounded and
+    * broadcasts). N arrives by broadcasting a 1-row count aggregated
+    * from a second id-only scan (column-pruned — it reads no text).
+    * The top-k window partitions by document: its partitions are
+    * one doc's distinct terms, bounded by document length.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val tf = docs
+      .select(col(idCol),
+        explode(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0))
+          .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDf = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq.hint("SHUFFLE_HASH"), "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score",
+        col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
 }

@@ -150,6 +150,18 @@ object KeywordQueries {
       Keyword.rrfFuse(Seq(vecRank, kwRank), "doc_id", "rank", c = 60, topK = 10)
         .orderBy($"rrf".desc, $"doc_id")
     }),
+
+    // Per-document TF-IDF keyword extraction (sklearn smooth idf): the
+    // oracle replays tokenization, tf, df, N, and the identical
+    // arithmetic; ranks carry the result, the 6-dp rounding only
+    // touches the reported score.
+    "tfidf_top_terms" -> ((s, d) => {
+      import s.implicits._
+      Keyword.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 5)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df",
+          round($"score", 6).as("score"))
+        .orderBy($"doc_id", $"rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +205,22 @@ object KeywordQueries {
          |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vecr)
          |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
          |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term <> '' GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |        tf.tf * (ln((CAST(1.0 AS DOUBLE) + n.n) /
+        |                    (CAST(1.0 AS DOUBLE) + dfq.df)) +
+        |                 CAST(1.0 AS DOUBLE)) AS score
+        |      FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT s.*, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
   )
 }

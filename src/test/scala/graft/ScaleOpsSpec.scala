@@ -1123,6 +1123,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must be STRING"))
   }
 
+  test("tfidfTopTerms: hand-computed scores, rank semantics, empty-token hygiene") {
+    import graft.ops.Keyword
+    // N = 3; "cat" df=2, "dog" df=1, "the" df=3
+    val docs = Seq(
+      (1L, "the cat cat dog"),
+      (2L, "the cat"),
+      (3L, "the   "),            // whitespace run: only 'the' survives
+      (4L, "")                   // empty text: zero terms, zero rows
+    ).toDF("doc_id", "text")
+    val out = Keyword.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def idf(n: Long, df: Long): Double = math.log((1.0 + n) / (1.0 + df)) + 1.0
+    val n = 4L // doc 4 counts toward N even with no terms (it is a document)
+    // doc 1: cat tf=2 df=2 → 2·idf(4,2); dog tf=1 df=1 → idf(4,1); the tf=1 df=3
+    assert(out((1L, 1)) == (("cat", 2L, 2L, 2 * idf(n, 2))))
+    assert(out((1L, 2)) == (("dog", 1L, 1L, idf(n, 1))))
+    // doc 2: idf(the) = ln(5/4)+1 ≈ 1.22 < idf(cat) = ln(5/3)+1 ≈ 1.51
+    assert(out((2L, 1))._1 == "cat" && out((2L, 2))._1 == "the")
+    // doc 3 has exactly one term; doc 4 none
+    assert(out((3L, 1))._1 == "the" && !out.contains((3L, 2)))
+    assert(!out.exists { case ((d, _), _) => d == 4L })
+    assert(!out.values.exists(_._1.isEmpty), "empty tokens must never rank")
+  }
+
   test("temperature quotas: hand-computed allocation, exact-sum, cap at population") {
     import graft.ops.Sampling
     // 8 'a' rows, 2 'b' rows
