@@ -125,6 +125,21 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // BPE vocabulary training (Sennrich et al. 2016): 3 merge rounds
+    // learned from the corpus word-count table. The oracle unrolls the
+    // SAME three rounds relationally — weighted overlapping pair
+    // counts, argmax with (count desc, pair asc) tiebreak, and the
+    // left-to-right non-overlapping greedy application expressed as
+    // candidate runs with even offsets active. All-integer outputs.
+    "bpe_learn_merges" -> ((s, d) => {
+      import s.implicits._
+      val words = graft.ops.Bpe.wordCounts(documents(s, d), "text")
+      val (merges, _) = graft.ops.Bpe.learnMerges(words, nMerges = 3)
+      merges.toDF()
+        .select($"iteration", $"a".as("pair_a"), $"b".as("pair_b"), $"freq")
+        .orderBy($"iteration")
+    }),
+
     // The allocated quotas applied as the md5-rank stratified take: the
     // end-to-end "mix the corpus to temperature-τ proportions" step.
     "mix_temperature_sample" -> ((s, d) => {
@@ -899,7 +914,60 @@ object TextQueries {
        |JOIN docs d ON d.doc_id = c.doc_id
        |ORDER BY c.doc_id, chunk_idx""".stripMargin
 
+  /** One BPE round as CTEs (the pagerank unrolled-iteration pattern):
+    * from symbol table s{i} derive pair counts, the argmax pair
+    * best{i}, the non-overlapping active candidates (runs of
+    * consecutive candidate positions; even offsets within a run are the
+    * left-to-right greedy picks — a merged pair consumes its right
+    * symbol, so the next candidate in a run is blocked, the one after
+    * free), and the rewritten symbol table s{i+1}.
+    */
+  private def bpeIter(i: Int): String = {
+    val s = s"s$i"
+    s"""p$i AS (
+       |  SELECT s.word, s.cnt, CAST(t.i AS INT) AS pos,
+       |    s.syms[CAST(t.i AS INT)] AS a, s.syms[CAST(t.i AS INT) + 1] AS b
+       |  FROM $s s, UNNEST(range(1, len(s.syms))) AS t(i)),
+       |pc$i AS (SELECT a, b, sum(cnt) AS n FROM p$i GROUP BY a, b),
+       |best$i AS (SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
+       |cand$i AS (SELECT p.word, p.pos FROM p$i p, best$i x
+       |  WHERE p.a = x.a AND p.b = x.b),
+       |act$i AS (SELECT word, pos FROM (
+       |  SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, grp) AS off
+       |  FROM (SELECT word, pos,
+       |          pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+       |        FROM cand$i))
+       |  WHERE off % 2 = 0),
+       |s${i + 1} AS (
+       |  SELECT e.word, e.cnt, list(CASE WHEN a.pos IS NOT NULL
+       |      THEN e.sym || e.nxt ELSE e.sym END ORDER BY e.pos) AS syms
+       |  FROM (SELECT s.word, s.cnt, CAST(t.i AS INT) AS pos,
+       |          s.syms[CAST(t.i AS INT)] AS sym,
+       |          s.syms[CAST(t.i AS INT) + 1] AS nxt
+       |        FROM $s s, UNNEST(range(1, len(s.syms) + 1)) AS t(i)) e
+       |  LEFT JOIN act$i a ON a.word = e.word AND a.pos = e.pos
+       |  LEFT JOIN act$i c ON c.word = e.word AND c.pos = e.pos - 1
+       |  WHERE c.pos IS NULL
+       |  GROUP BY e.word, e.cnt)""".stripMargin
+  }
+
+  private val bpeLearnOracle: String =
+    s"""WITH w AS (SELECT term AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |    FROM documents) WHERE term <> '' GROUP BY term),
+       |s1 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1),
+       |        i -> substr(word, CAST(i AS INT), 1)) AS syms FROM w),
+       |${bpeIter(1)},
+       |${bpeIter(2)},
+       |${bpeIter(3)}
+       |SELECT * FROM (
+       |  SELECT 1 AS iteration, a AS pair_a, b AS pair_b, n AS freq FROM best1
+       |  UNION ALL SELECT 2, a, b, n FROM best2
+       |  UNION ALL SELECT 3, a, b, n FROM best3)
+       |ORDER BY iteration""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bpe_learn_merges" -> bpeLearnOracle,
     "split_recursive" -> splitRecursiveOracle,
     "split_token_pack" -> splitTokenPackOracle,
     // the invariants ARE the oracle: per non-empty document the expected
