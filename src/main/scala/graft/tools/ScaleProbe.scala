@@ -467,6 +467,52 @@ object ScaleProbe {
       time(graft.ops.Funnel.cohortRetention(fev1, "user_id", "ts").count()),
       time(graft.ops.Funnel.cohortRetention(fevN, "user_id", "ts").count()))
 
+    // SemDeDup: k grows with the corpus (constant expected cluster
+    // population — the paper's operating point); within-cluster pairwise
+    // work then scales with the corpus, not its square
+    val sem1 = graft.ops.Ivf.fit(emb1, "vec_id", "embedding", k = 32)
+    val semN = graft.ops.Ivf.fit(embN, "vec_id", "embedding", k = 32 * n)
+    report("semantic_dedup",
+      time(graft.ops.Dedup.semanticDedup(emb1, "vec_id", "embedding", sem1, 0.35).count()),
+      time(graft.ops.Dedup.semanticDedup(embN, "vec_id", "embedding", semN, 0.35).count()))
+
+    // retrieval evaluation: 16-query run + label qrels; the run is the
+    // batch similarity join (already probed), metrics add two id-keyed
+    // aggs — must track the join's own scaling
+    val lemb1 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id", $"embedding", $"label").localCheckpoint()
+    val lembN = (0 until n).map(i =>
+        lemb1.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"embedding", $"label"))
+      .reduce(_ union _).localCheckpoint()
+    def rankEval(e: DataFrame): Long = {
+      val q = e.filter($"vec_id" % 1000000L < 16)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
+      val c = e.filter($"vec_id" % 1000000L >= 16)
+      val run = graft.ops.Similarity.similarityJoin(
+        q, c, "qid", "qemb", "vec_id", "embedding", k = 10)
+      val qrels = q.select($"qid", $"qlabel")
+        .join(c.select($"vec_id", $"label"), $"qlabel" === $"label")
+        .select($"qid", $"vec_id")
+      graft.ops.Testbed.rankingMetrics(run, qrels, "qid", "vec_id", "rank", 10).count()
+    }
+    report("ranking_metrics", time(rankEval(lemb1)), time(rankEval(lembN)))
+
+    report("temperature_mix",
+      time(graft.ops.Sampling.temperatureMix(docs1, "lang", "doc_id", 0.5, 2000L).count()),
+      time(graft.ops.Sampling.temperatureMix(docsN, "lang", "doc_id", 0.5, 2000L * n).count()))
+
+    report("tfidf_top_terms",
+      time(graft.ops.Keyword.tfidfTopTerms(docs1, "doc_id", "text", 5).count()),
+      time(graft.ops.Keyword.tfidfTopTerms(docsN, "doc_id", "text", 5).count()))
+
+    // BPE: the word table is vocabulary-sized; the shard prefixes make
+    // the N× vocab genuinely N× larger, each round one agg + one map
+    report("bpe_learn_3merges",
+      time { val (m, s) = graft.ops.Bpe.learnMerges(
+        graft.ops.Bpe.wordCounts(docs1, "text"), 3); s.count() },
+      time { val (m, s) = graft.ops.Bpe.learnMerges(
+        graft.ops.Bpe.wordCounts(docsN, "text"), 3); s.count() })
+
     spark.stop()
   }
 }
