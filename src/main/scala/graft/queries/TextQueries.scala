@@ -125,6 +125,23 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Stupid Backoff trigram LM (Brants et al. 2007): counts from the
+    // held-out corpus (doc_id >= 10), scores for the first ten docs —
+    // genuine unseen grams exercise every backoff branch. The oracle
+    // rebuilds the count table and replays the exact backoff CASE
+    // (parenthesized to Spark's multiplication order).
+    "ngram_lm_score" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val counts = graft.ops.NgramLm.gramCounts(
+        docs.filter($"doc_id" >= 10), "text", maxN = 3)
+      graft.ops.NgramLm.scoreStupidBackoff(
+          docs.filter($"doc_id" < 10), "doc_id", "text", counts)
+        .select($"doc_id", $"n_tokens", $"n_zero",
+          round($"logprob", 6).as("logprob"))
+        .orderBy($"doc_id")
+    }),
+
     // BPE vocabulary training (Sennrich et al. 2016): 3 merge rounds
     // learned from the corpus word-count table. The oracle unrolls the
     // SAME three rounds relationally — weighted overlapping pair
@@ -966,7 +983,55 @@ object TextQueries {
        |  UNION ALL SELECT 3, a, b, n FROM best3)
        |ORDER BY iteration""".stripMargin
 
+  private val ngramLmOracle: String =
+    """WITH tokc AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t <> '') AS w FROM documents WHERE doc_id >= 10),
+      |gr AS (
+      |  SELECT 1 AS o, w[CAST(t.i AS INT)] AS gram
+      |  FROM tokc, UNNEST(range(1, len(w) + 1)) t(i)
+      |  UNION ALL
+      |  SELECT 2, w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1]
+      |  FROM tokc, UNNEST(range(1, len(w))) t(i)
+      |  UNION ALL
+      |  SELECT 3, w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1]
+      |    || ' ' || w[CAST(t.i AS INT) + 2]
+      |  FROM tokc, UNNEST(range(1, len(w) - 1)) t(i)),
+      |cnts AS (SELECT o, gram, count(*) AS c FROM gr GROUP BY o, gram),
+      |nn AS (SELECT count(*) AS n FROM gr WHERE o = 1),
+      |sd AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t <> '') AS w FROM documents WHERE doc_id < 10),
+      |sc AS (SELECT doc_id, CAST(t.i AS INT) AS i, w[CAST(t.i AS INT)] AS tk,
+      |    CASE WHEN CAST(t.i AS INT) >= 2 THEN w[CAST(t.i AS INT) - 1] END AS p1,
+      |    CASE WHEN CAST(t.i AS INT) >= 3 THEN w[CAST(t.i AS INT) - 2] END AS p2
+      |  FROM sd, UNNEST(range(1, len(w) + 1)) t(i)),
+      |j AS (SELECT s.doc_id, s.i,
+      |    cu.c AS c_u, c1.c AS c_c1, b.c AS c_b, cb.c AS c_cb, tr.c AS c_tr
+      |  FROM sc s
+      |  LEFT JOIN cnts cu ON cu.o = 1 AND cu.gram = s.tk
+      |  LEFT JOIN cnts c1 ON c1.o = 1 AND c1.gram = s.p1
+      |  LEFT JOIN cnts b ON b.o = 2 AND b.gram = s.p1 || ' ' || s.tk
+      |  LEFT JOIN cnts cb ON cb.o = 2 AND cb.gram = s.p2 || ' ' || s.p1
+      |  LEFT JOIN cnts tr ON tr.o = 3
+      |    AND tr.gram = s.p2 || ' ' || s.p1 || ' ' || s.tk),
+      |p AS (SELECT doc_id, i,
+      |    CASE WHEN i = 1 THEN coalesce(CAST(c_u AS DOUBLE) / nn.n, 0)
+      |         WHEN i = 2 THEN
+      |           CASE WHEN c_b IS NOT NULL THEN CAST(c_b AS DOUBLE) / c_c1
+      |                ELSE 0.4 * coalesce(CAST(c_u AS DOUBLE) / nn.n, 0) END
+      |         ELSE
+      |           CASE WHEN c_tr IS NOT NULL THEN CAST(c_tr AS DOUBLE) / c_cb
+      |                WHEN c_b IS NOT NULL THEN 0.4 * (CAST(c_b AS DOUBLE) / c_c1)
+      |                ELSE 0.4 * (0.4 * coalesce(CAST(c_u AS DOUBLE) / nn.n, 0))
+      |           END
+      |    END AS s
+      |  FROM j, nn)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |  round(sum(CASE WHEN s > 0 THEN ln(s) END), 6) AS logprob
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ngram_lm_score" -> ngramLmOracle,
     "bpe_learn_merges" -> bpeLearnOracle,
     "split_recursive" -> splitRecursiveOracle,
     "split_token_pack" -> splitTokenPackOracle,

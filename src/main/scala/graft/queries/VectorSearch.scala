@@ -352,6 +352,25 @@ object VectorSearch {
         .orderBy($"doc_id")
     }),
 
+    // Contrastive pair mining (DPR-style): per anchor, the single
+    // nearest SAME-label positive × the 3 most-similar WRONG-label
+    // hard negatives — the training triples an embedding-model trainer
+    // consumes. Ranks carry the result; the oracle replays both
+    // label-filtered rankings and the per-anchor join.
+    "contrastive_triples" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val anchors = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
+      val corpus = e.filter($"vec_id" >= 8)
+      graft.ops.Contrastive.triples(anchors, corpus,
+          "qid", "qemb", "qlabel", "vec_id", "embedding", "label", negK = 3)
+        .select($"qid", $"pos_id", round($"pos_score", 6).as("pos_sim"),
+          $"neg_rank".cast("long").as("neg_rank"), $"neg_id",
+          round($"neg_score", 6).as("neg_sim"))
+        .orderBy($"qid", $"neg_rank")
+    }),
+
     // Retrieval ranking-quality panel: exact cosine top-10 for 8 query
     // vectors, judged against label-match qrels (same `label` = relevant
     // — the planted cluster structure of the embeddings table). The
@@ -528,6 +547,24 @@ object VectorSearch {
         |               c.vec_id) AS rank
         |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+    "contrastive_triples" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |      FROM embeddings WHERE vec_id >= 8),
+        |pos AS (SELECT qid, vec_id AS pos_id, s AS ps FROM (
+        |  SELECT q.qid, c.vec_id, list_cosine_similarity(c.v, q.qv) AS s,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS r
+        |  FROM q JOIN c ON c.label = q.ql) WHERE r = 1),
+        |neg AS (SELECT qid, r AS neg_rank, vec_id AS neg_id, s AS ns FROM (
+        |  SELECT q.qid, c.vec_id, list_cosine_similarity(c.v, q.qv) AS s,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS r
+        |  FROM q JOIN c ON c.label <> q.ql) WHERE r <= 3)
+        |SELECT p.qid, p.pos_id, round(p.ps, 6) AS pos_sim,
+        |  n.neg_rank, n.neg_id, round(n.ns, 6) AS neg_sim
+        |FROM pos p JOIN neg n USING (qid) ORDER BY qid, neg_rank""".stripMargin,
     // run + qrels recomputed relationally; metrics in the same closed
     // forms the engine folds (DCG = Σ 1/log2(r+1) over hits, IDCG over
     // the ideal prefix, AP normalized by min(n_rel, k)). Sum order
