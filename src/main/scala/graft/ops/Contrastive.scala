@@ -88,6 +88,11 @@ object Contrastive {
         corpusIdCol, corpusEmbCol, corpusLabelCol, k = negK, metric)
       .select(col(anchorIdCol), col("rank").as("neg_rank"),
         col(corpusIdCol).as("neg_id"), col("score").as("neg_score"))
-    pos.join(neg, Seq(anchorIdCol))
+    // the positive leg is ONE row per anchor and anchors are broadcast-
+    // bounded by contract — broadcast it so the k-bounded negative leg
+    // is never re-exchanged (or sorted) for this join
+    neg.join(broadcast(pos), Seq(anchorIdCol))
+      .select(col(anchorIdCol), col("pos_id"), col("pos_score"),
+        col("neg_rank"), col("neg_id"), col("neg_score"))
   }
 }

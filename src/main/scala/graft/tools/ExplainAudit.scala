@@ -27,7 +27,11 @@ object ExplainAudit {
       // wave-3/4 surfaces: sub-document dedup (broadcast heavy set /
       // digest semi-join), iterative graph, event analytics
       "dedup_lines_boilerplate", "dedup_span_removal",
-      "pagerank_purchase_graph", "funnel_conversion", "cohort_retention")
+      "pagerank_purchase_graph", "funnel_conversion", "cohort_retention",
+      // wave-5/6 surfaces: cluster-scoped dedup, vocabulary-keyed joins,
+      // eval panels, contrastive mining, LM scoring
+      "semantic_dedup_pairs", "tfidf_top_terms", "retrieval_eval_metrics",
+      "contrastive_triples", "ngram_lm_score", "mix_temperature_sample")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)

@@ -513,6 +513,26 @@ object ScaleProbe {
       time { val (m, s) = graft.ops.Bpe.learnMerges(
         graft.ops.Bpe.wordCounts(docsN, "text"), 3); s.count() })
 
+    // contrastive mining: fixed 16-anchor batch, corpus grows — both
+    // label-filtered scans plus two k-bounded tails must stay linear
+    def mine(e: DataFrame): Long = {
+      val anc = e.filter($"vec_id" % 1000000L < 16)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
+      graft.ops.Contrastive.triples(anc, e.filter($"vec_id" % 1000000L >= 16),
+        "qid", "qemb", "qlabel", "vec_id", "embedding", "label", negK = 5).count()
+    }
+    report("contrastive_triples", time(mine(lemb1)), time(mine(lembN)))
+
+    // Stupid Backoff: count once per corpus, score a fixed 100-doc set —
+    // the count agg scales with the corpus, the probe join with the
+    // score set × count-table size
+    def lmScore(corpus: DataFrame): Long = {
+      val counts = graft.ops.NgramLm.gramCounts(corpus, "text", 3)
+      graft.ops.NgramLm.scoreStupidBackoff(
+        docs1.filter($"doc_id" < 100), "doc_id", "text", counts).count()
+    }
+    report("ngram_lm_score", time(lmScore(docs1)), time(lmScore(docsN)))
+
     spark.stop()
   }
 }
