@@ -247,6 +247,66 @@ object Testbed {
             least(col("n_rel"), kL).cast("double")).as("ap"))
   }
 
+  /** Sentence-level BLEU-N (Papineni et al. 2002) per candidate/
+    * reference pair — the generation-quality metric the evaluation
+    * pipeline reports alongside judged correctness. Unsmoothed: any
+    * zero modified precision (or an empty candidate) scores 0, so the
+    * number is exactly the textbook definition and exactly replayable.
+    *
+    * BLEU = BP · exp(Σ_{n=1..N} ln p_n / N), with p_n = clipped n-gram
+    * matches / candidate n-gram count and BP = min(1, e^(1 − r/c)).
+    * Tokenization is [[TextAnalysis.tokens]] (empty tokens dropped).
+    *
+    * Returns `(idCol, n_cand, n_ref, p1..pN, bleu)` — one row per input
+    * pair, including degenerate ones.
+    *
+    * Scale: both sides explode to (id, order, gram) counts; the clip is
+    * one left join keyed (id, order, gram) — candidate grams never
+    * leave their id's partition chain, reference text is never carried
+    * past its gram counts. Everything downstream is id-keyed aggs.
+    */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+           maxN: Int = 2): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
+    def toks(c: Column): Column =
+      filter(TextAnalysis.tokens(c), t => length(t) > 0)
+    val base = pairs.select(col(idCol), toks(col(candCol)).as("__cw"),
+      toks(col(refCol)).as("__rw"))
+    def grams(wcol: String): DataFrame = (1 to maxN).map { n =>
+      base.select(col(idCol), explode(when(size(col(wcol)) >= n,
+          transform(sequence(lit(1), size(col(wcol)) - (n - 1)),
+            i => array_join(slice(col(wcol), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+        .select(col(idCol), lit(n).as("__n"), col("gram"))
+    }.reduce(_ union _).groupBy(col(idCol), col("__n"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+    val cand = grams("__cw")
+    val ref = grams("__rw").withColumnRenamed("__c", "__r")
+    val clipped = cand
+      .join(ref.hint("SHUFFLE_HASH"), Seq(idCol, "__n", "gram"), "left")
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__clip"),
+        sum(col("__c")).as("__tot"))
+    val pAggs = (1 to maxN).map { n =>
+      max(when(col("__n") === n,
+        col("__clip").cast("double") / col("__tot"))).as(s"p$n")
+    }
+    val perN = clipped.groupBy(col(idCol)).agg(pAggs.head, pAggs.tail: _*)
+    val lens = base.select(col(idCol),
+      size(col("__cw")).cast("long").as("n_cand"),
+      size(col("__rw")).cast("long").as("n_ref"))
+    val pCols = (1 to maxN).map(n => col(s"p$n"))
+    val anyZero = pCols.map(p => coalesce(p, lit(0.0)) === 0.0).reduce(_ || _)
+    val bp = when(col("n_cand") >= col("n_ref"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("n_ref").cast("double") / col("n_cand")))
+    val geo = exp(pCols.map(p => log(p)).reduce(_ + _) / lit(maxN.toDouble))
+    lens.join(perN.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .withColumn("bleu",
+        when(col("n_cand") === 0 || anyZero, lit(0.0)).otherwise(bp * geo))
+      .select(col(idCol) +: col("n_cand") +: col("n_ref") +:
+        pCols.map(p => coalesce(p, lit(0.0)).as(p.toString)) :+ col("bleu"): _*)
+  }
+
   /** Macro-averaged summary of [[rankingMetrics]] — one row: mean of
     * each metric over the run's queries (every query weighs the same
     * regardless of its n_rel, the standard macro convention).

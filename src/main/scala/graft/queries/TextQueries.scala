@@ -125,6 +125,26 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Sentence-level BLEU-2 (Papineni et al. 2002): each doc's text as
+    // the reference, the NEXT doc's first-25-token prefix as the
+    // candidate — partial vocabulary overlap exercises clipping, the
+    // brevity penalty, and the zero-precision cutoff. The oracle
+    // replays gram counts, clip, and the exact closed form.
+    "eval_bleu" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter($"doc_id" < 20).select($"doc_id", $"text")
+      val ref = docs.select($"doc_id", $"text".as("ref_text"))
+      val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
+        array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
+          t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      graft.ops.Testbed.bleu(ref.join(cand, "doc_id"),
+          "doc_id", "cand_text", "ref_text", maxN = 2)
+        .select($"doc_id", $"n_cand", $"n_ref",
+          round($"p1", 6).as("p1"), round($"p2", 6).as("p2"),
+          round($"bleu", 6).as("bleu"))
+        .orderBy($"doc_id")
+    }),
+
     // Stupid Backoff trigram LM (Brants et al. 2007): counts from the
     // held-out corpus (doc_id >= 10), scores for the first ten docs —
     // genuine unseen grams exercise every backoff branch. The oracle
@@ -1030,7 +1050,48 @@ object TextQueries {
       |  round(sum(CASE WHEN s > 0 THEN ln(s) END), 6) AS logprob
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val bleuOracle: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+      |        '\s+'), t -> t <> '') AS w FROM documents WHERE doc_id < 20),
+      |pr AS (SELECT r.doc_id, r.w AS rw, c.cw FROM d r JOIN (
+      |    SELECT (doc_id + 19) % 20 AS doc_id,
+      |      w[1:least(len(w), 25)] AS cw FROM d) c USING (doc_id)),
+      |cg AS (
+      |  SELECT doc_id, 1 AS n, cw[CAST(t.i AS INT)] AS gram
+      |  FROM pr, UNNEST(range(1, len(cw) + 1)) t(i)
+      |  UNION ALL
+      |  SELECT doc_id, 2, cw[CAST(t.i AS INT)] || ' ' || cw[CAST(t.i AS INT) + 1]
+      |  FROM pr, UNNEST(range(1, len(cw))) t(i)),
+      |rg AS (
+      |  SELECT doc_id, 1 AS n, rw[CAST(t.i AS INT)] AS gram
+      |  FROM pr, UNNEST(range(1, len(rw) + 1)) t(i)
+      |  UNION ALL
+      |  SELECT doc_id, 2, rw[CAST(t.i AS INT)] || ' ' || rw[CAST(t.i AS INT) + 1]
+      |  FROM pr, UNNEST(range(1, len(rw))) t(i)),
+      |cc AS (SELECT doc_id, n, gram, count(*) AS c FROM cg GROUP BY doc_id, n, gram),
+      |rc AS (SELECT doc_id, n, gram, count(*) AS c FROM rg GROUP BY doc_id, n, gram),
+      |cl AS (SELECT cc.doc_id, cc.n,
+      |    sum(least(cc.c, coalesce(rc.c, 0))) AS clip, sum(cc.c) AS tot
+      |  FROM cc LEFT JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+      |    AND rc.gram = cc.gram
+      |  GROUP BY cc.doc_id, cc.n),
+      |pn AS (SELECT doc_id,
+      |    max(CASE WHEN n = 1 THEN CAST(clip AS DOUBLE) / tot END) AS p1,
+      |    max(CASE WHEN n = 2 THEN CAST(clip AS DOUBLE) / tot END) AS p2
+      |  FROM cl GROUP BY doc_id),
+      |l AS (SELECT doc_id, len(cw) AS n_cand, len(rw) AS n_ref FROM pr)
+      |SELECT l.doc_id, CAST(l.n_cand AS BIGINT) AS n_cand,
+      |  CAST(l.n_ref AS BIGINT) AS n_ref,
+      |  round(coalesce(p1, 0), 6) AS p1, round(coalesce(p2, 0), 6) AS p2,
+      |  round(CASE WHEN l.n_cand = 0 OR coalesce(p1, 0) = 0
+      |               OR coalesce(p2, 0) = 0 THEN 0.0
+      |        ELSE (CASE WHEN l.n_cand >= l.n_ref THEN 1.0
+      |              ELSE exp(1.0 - CAST(l.n_ref AS DOUBLE) / l.n_cand) END)
+      |             * exp((ln(p1) + ln(p2)) / 2) END, 6) AS bleu
+      |FROM l LEFT JOIN pn USING (doc_id) ORDER BY l.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "eval_bleu" -> bleuOracle,
     "ngram_lm_score" -> ngramLmOracle,
     "bpe_learn_merges" -> bpeLearnOracle,
     "split_recursive" -> splitRecursiveOracle,

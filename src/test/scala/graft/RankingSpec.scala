@@ -83,6 +83,30 @@ class RankingSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(5) - mean(7)) < 1e-12) // map
   }
 
+  test("bleu: hand-computed precisions, brevity penalty, clipping, degenerate rows") {
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat sat"),                  // identical
+      (2L, "the cat sat", "the cat sat on the mat"),       // short cand: BP
+      (3L, "the the the the", "the cat"),                  // clipping → p2 = 0
+      (4L, "", "the cat"),                                 // empty cand
+      (5L, "dog", "the cat")                               // 1 token: no bigrams
+    ).toDF("id", "cand", "ref")
+    val out = Testbed.bleu(pairs, "id", "cand", "ref", maxN = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1.0, 1.0, 1.0)))
+    val b2 = out(2L)
+    assert(b2._3 == 1.0 && b2._4 == 1.0)
+    assert(math.abs(b2._5 - math.exp(1.0 - 6.0 / 3)) < 1e-12)  // BP = e^-1
+    val b3 = out(3L)
+    assert(b3._3 == 0.25 && b3._4 == 0.0 && b3._5 == 0.0)      // clip(the)=1 of 4
+    assert(out(4L) == ((0L, 2L, 0.0, 0.0, 0.0)))
+    val b5 = out(5L)
+    assert(b5._3 == 0.0 && b5._4 == 0.0 && b5._5 == 0.0)       // dog unseen
+  }
+
   test("partitioning invariance: 1-partition and 7-partition inputs agree") {
     val a = Testbed.rankingMetrics(run.repartition(1), qrels.repartition(7),
       "qid", "doc", "rank", k = 3).orderBy("qid").collect().toSeq
