@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a table — the contract
+  * gate a pipeline runs before promoting a corpus drop (the Deequ /
+  * Great Expectations idea, reduced to its deterministic core so every
+  * report row is exactly replayable relationally).
+  *
+  * One call validates a rule set and returns one report row per rule:
+  * `(rule, column, observed, violations, passed)` — `observed` is the
+  * rule's measured quantity (null count, duplicate-extra rows,
+  * out-of-range count, mismatch count, row count), `violations` what
+  * breaks the expectation, `passed = violations == 0`.
+  *
+  * Scale: every row-level rule (null / range / regex) folds into ONE
+  * aggregation over ONE scan — adding rules adds conditional-sum
+  * columns, not passes. Each [[Validate.Unique]] rule needs its own
+  * exact distinct (a shuffle keyed on its column set) — the price of an
+  * exact uniqueness guarantee; use the sketch-based `tableProfile` when
+  * approximate suffices.
+  */
+object Validate {
+
+  sealed trait Rule
+  /** Expect no nulls in `column`. */
+  final case class NotNull(column: String) extends Rule
+  /** Expect `columns` to be a unique key. Violations = rows beyond the
+    * first of each duplicated key (n_rows − n_distinct).
+    */
+  final case class Unique(columns: Seq[String]) extends Rule
+  /** Expect non-null values of `column` within [lo, hi]. Nulls are
+    * [[NotNull]]'s business and never count here.
+    */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule
+  /** Expect non-null values of `column` to match `regex` (write in the
+    * RE2∩Java subset — the engine-portable convention).
+    */
+  final case class MatchesRegex(column: String, regex: String) extends Rule
+  /** Expect at least `n` rows. Observed = row count, violations = the
+    * shortfall.
+    */
+  final case class MinRows(n: Long) extends Rule
+
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    val scanRules = rules.collect {
+      case NotNull(c) =>
+        val v = sum(when(col(c).isNull, 1L).otherwise(0L))
+        ("not_null", c, v, v)
+      case InRange(c, lo, hi) =>
+        val v = sum(when(col(c).isNotNull &&
+          (col(c).cast("double") < lo || col(c).cast("double") > hi), 1L)
+          .otherwise(0L))
+        ("in_range", c, v, v)
+      case MatchesRegex(c, re) =>
+        val v = sum(when(col(c).isNotNull && !col(c).rlike(re), 1L).otherwise(0L))
+        ("matches_regex", c, v, v)
+      case MinRows(n) =>
+        (s"min_rows_$n", "*", count(lit(1)),
+          greatest(lit(0L), lit(n) - count(lit(1))))
+    }
+    val scanReport: Option[DataFrame] =
+      if (scanRules.isEmpty) None
+      else {
+        val structs = scanRules.map { case (kind, c, obs, vio) =>
+          struct(lit(kind).as("rule"), lit(c).as("column"),
+            coalesce(obs, lit(0L)).as("observed"),
+            coalesce(vio, lit(0L)).as("violations"))
+        }
+        Some(df.agg(array(structs: _*).as("__r"))
+          .select(explode(col("__r")).as("r"))
+          .select(col("r.rule"), col("r.column"), col("r.observed"),
+            col("r.violations")))
+      }
+    val uniqueReports = rules.collect { case Unique(cols) =>
+      df.agg(count(lit(1)).as("__n"),
+          count_distinct(struct(cols.map(col): _*)).as("__d"))
+        .select(lit("unique").as("rule"),
+          lit(cols.mkString(",")).as("column"),
+          (col("__n") - col("__d")).as("observed"),
+          (col("__n") - col("__d")).as("violations"))
+    }
+    (scanReport.toSeq ++ uniqueReports)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0L)
+  }
+}

@@ -125,6 +125,30 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Declarative data-quality gate: the five expectation kinds over
+    // documents with three planted violations (null text + negative
+    // n_chars, malformed lang, duplicate key). One scan for all
+    // row-level rules; the oracle recomputes every report row.
+    "validate_expectations" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Validate
+      val planted = Seq(
+        (100000L, Option.empty[String], "xx", "srcP", -5L),
+        (100001L, Some("ok text"), "GER", "srcP", 12L),
+        (100001L, Some("dup id"), "en", "srcP", 7L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val t = documents(s, d)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .unionByName(planted)
+      Validate.validate(t, Seq(
+          Validate.NotNull("text"),
+          Validate.Unique(Seq("doc_id")),
+          Validate.InRange("n_chars", 0, 100000),
+          Validate.MatchesRegex("lang", "^[a-z]{2}$"),
+          Validate.MinRows(100)))
+        .orderBy($"rule", $"column")
+    }),
+
     // Sentence-level BLEU-2 (Papineni et al. 2002): each doc's text as
     // the reference, the NEXT doc's first-25-token prefix as the
     // candidate — partial vocabulary overlap exercises clipping, the
@@ -1091,6 +1115,38 @@ object TextQueries {
       |FROM l LEFT JOIN pn USING (doc_id) ORDER BY l.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "validate_expectations" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL SELECT 100000, NULL, 'xx', -5
+        |  UNION ALL SELECT 100001, 'ok text', 'GER', 12
+        |  UNION ALL SELECT 100001, 'dup id', 'en', 7)
+        |SELECT rule, "column", observed, violations, violations = 0 AS passed
+        |FROM (
+        |  SELECT 'not_null' AS rule, 'text' AS "column",
+        |    count(*) FILTER (text IS NULL) AS observed,
+        |    count(*) FILTER (text IS NULL) AS violations FROM t
+        |  UNION ALL
+        |  SELECT 'unique', 'doc_id',
+        |    count(*) - count(DISTINCT doc_id),
+        |    count(*) - count(DISTINCT doc_id) FROM t
+        |  UNION ALL
+        |  SELECT 'in_range', 'n_chars',
+        |    count(*) FILTER (n_chars IS NOT NULL AND
+        |      (CAST(n_chars AS DOUBLE) < 0 OR CAST(n_chars AS DOUBLE) > 100000)),
+        |    count(*) FILTER (n_chars IS NOT NULL AND
+        |      (CAST(n_chars AS DOUBLE) < 0 OR CAST(n_chars AS DOUBLE) > 100000))
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'matches_regex', 'lang',
+        |    count(*) FILTER (lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$')),
+        |    count(*) FILTER (lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$')) FROM t
+        |  UNION ALL
+        |  SELECT 'min_rows_100', '*', count(*),
+        |    greatest(0, 100 - count(*)) FROM t)
+        |ORDER BY rule, "column"""".stripMargin,
     "eval_bleu" -> bleuOracle,
     "ngram_lm_score" -> ngramLmOracle,
     "bpe_learn_merges" -> bpeLearnOracle,

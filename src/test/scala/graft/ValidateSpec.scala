@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Validate
+
+class ValidateSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val t = Seq(
+    (1L, Some("a"), Some(5.0)),
+    (2L, Some("b"), Some(50.0)),
+    (2L, None: Option[String], Some(-1.0)), // dup key, null s, below range
+    (3L, Some("CC"), None: Option[Double])  // regex mismatch, null v
+  ).toDF("id", "s", "v")
+
+  private def run(rules: Seq[Validate.Rule]): Map[(String, String), (Long, Long, Boolean)] =
+    Validate.validate(t, rules).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("every rule kind: observed counts, violations, pass flags") {
+    val got = run(Seq(
+      Validate.NotNull("s"), Validate.NotNull("id"),
+      Validate.Unique(Seq("id")), Validate.Unique(Seq("id", "s")),
+      Validate.InRange("v", 0, 10), Validate.MatchesRegex("s", "^[a-z]+$"),
+      Validate.MinRows(3), Validate.MinRows(10)))
+    assert(got(("not_null", "s")) == ((1L, 1L, false)))
+    assert(got(("not_null", "id")) == ((0L, 0L, true)))
+    assert(got(("unique", "id")) == ((1L, 1L, false)))
+    assert(got(("unique", "id,s")) == ((0L, 0L, true)))
+    // v: -1 below, 50 above → 2 violations; the null v never counts
+    assert(got(("in_range", "v")) == ((2L, 2L, false)))
+    // s: "CC" mismatches; the null s never counts
+    assert(got(("matches_regex", "s")) == ((1L, 1L, false)))
+    assert(got(("min_rows_3", "*")) == ((4L, 0L, true)))
+    assert(got(("min_rows_10", "*")) == ((4L, 6L, false)))
+  }
+
+  test("empty table: zero observed everywhere, min_rows reports the full shortfall") {
+    val empty = t.filter($"id" < 0)
+    val got = Validate.validate(empty, Seq(
+        Validate.NotNull("s"), Validate.Unique(Seq("id")), Validate.MinRows(2)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("not_null") == ((0L, 0L)))
+    assert(got("unique") == ((0L, 0L)))
+    assert(got("min_rows_2") == ((0L, 2L)))
+  }
+
+  test("one scan serves all row-level rules (single aggregate subtree)") {
+    val report = Validate.validate(t, Seq(
+      Validate.NotNull("s"), Validate.InRange("v", 0, 10),
+      Validate.MatchesRegex("s", "^[a-z]+$"), Validate.MinRows(1)))
+    val scans = report.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans <= 1, "row-level rules must fold into one aggregation pass")
+  }
+}
