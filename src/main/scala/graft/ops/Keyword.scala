@@ -602,6 +602,50 @@ object Keyword {
       .limit(topK)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio's positive-only
+    * form, restricted to term selection): run the initial [[bm25]],
+    * take the top `fbDocs` documents as the feedback set, score every
+    * feedback-set term by (occurrences in the feedback docs) × (smooth
+    * corpus idf — [[tfidfTopTerms]]'s formula), and append the top
+    * `expandTerms` terms not already in the query. The deterministic,
+    * data-driven counterpart of the reference's LLM query-rewrite seam
+    * (V5): same goal — turn a sparse query into one that matches the
+    * corpus's vocabulary — computed from the corpus itself.
+    *
+    * Scale: one bm25 pass (its own documented shape), one corpus
+    * tokenize for the df table (vocabulary-keyed agg), and a
+    * feedback-docs-only tf agg (`fbDocs`-bounded ids pushed into the
+    * scan as an IN filter). Two driver round-trips, both bounded:
+    * `fbDocs` ids and `expandTerms` terms.
+    */
+  def prfExpandTerms(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], fbDocs: Int = 5, expandTerms: Int = 3,
+                     k1: Double = 1.2, b: Double = 0.75): Seq[String] = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1 (got $fbDocs)")
+    require(expandTerms >= 0, s"expandTerms must be >= 0 (got $expandTerms)")
+    if (expandTerms == 0) return queryTerms
+    val fb = bm25(docs, idCol, textCol, queryTerms, k1, b, topK = fbDocs)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    if (fb.isEmpty) return queryTerms
+    val toks = docs.select(col(idCol),
+      explode(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0))
+        .as("term"))
+    val dfreq = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col(idCol)).count()
+    val ftf = toks.filter(col(idCol).isin(fb: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("ftf"))
+    val added = ftf
+      .filter(!col("term").isin(queryTerms: _*))
+      .join(dfreq.hint("SHUFFLE_HASH"), "term")
+      .withColumn("sc", col("ftf") *
+        (log((lit(1.0) + lit(nDocs.toDouble)) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .orderBy(col("sc").desc, col("term").asc)
+      .limit(expandTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    queryTerms ++ added
+  }
+
   /** Per-document keyword extraction: the top-`k` terms by TF-IDF
     * (sklearn's smooth form: idf = ln((1+N)/(1+df)) + 1, score =
     * tf · idf) — the "what is this document about" signal a curation

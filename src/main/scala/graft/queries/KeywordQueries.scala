@@ -151,6 +151,20 @@ object KeywordQueries {
         .orderBy($"rrf".desc, $"doc_id")
     }),
 
+    // Pseudo-relevance-feedback expansion: initial BM25 → top-5
+    // feedback docs → Rocchio term selection (feedback tf × smooth
+    // corpus idf, 3 new terms) → BM25 re-run with the expanded query.
+    // The oracle replays the whole loop with the term set as a
+    // RELATION (no literals for the learned terms).
+    "prf_bm25_expanded" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val expanded = Keyword.prfExpandTerms(docs, "doc_id", "text", Terms,
+        fbDocs = 5, expandTerms = 3, K1, B)
+      Keyword.bm25(docs, "doc_id", "text", expanded, K1, B, topK = 20)
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
     // Per-document TF-IDF keyword extraction (sklearn smooth idf): the
     // oracle replays tokenization, tf, df, N, and the identical
     // arithmetic; ranks carry the result, the 6-dp rounding only
@@ -205,6 +219,49 @@ object KeywordQueries {
          |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vecr)
          |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
          |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "prf_bm25_expanded" -> {
+      val termList = Terms.map(t => s"'$t'").mkString(", ")
+      val score = s"""ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) * (tf * ${K1 + 1.0}) /
+         |      (tf + $K1 * (1.0 - $B + $B * dl.dl / (st.sumdl::DOUBLE / st.n)))""".stripMargin
+      s"""WITH base AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM base),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM base),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+         |kw0 AS (SELECT tf0.doc_id, round(sum(
+         |      $score
+         |    ), 6) AS bm25
+         |  FROM tf0 JOIN df0 USING (term)
+         |  JOIN dl ON dl.doc_id = tf0.doc_id, st
+         |  GROUP BY tf0.doc_id ORDER BY bm25 DESC, tf0.doc_id LIMIT 5),
+         |ctf AS (SELECT term, count(*) AS ftf FROM tok
+         |  WHERE doc_id IN (SELECT doc_id FROM kw0) AND term <> ''
+         |  GROUP BY term),
+         |cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |  WHERE term <> '' GROUP BY term),
+         |cand AS (SELECT c.term,
+         |    c.ftf * (ln((CAST(1.0 AS DOUBLE) + st.n) /
+         |             (CAST(1.0 AS DOUBLE) + d.df)) + CAST(1.0 AS DOUBLE)) AS sc
+         |  FROM ctf c JOIN cdf d USING (term), st
+         |  WHERE c.term NOT IN ($termList)),
+         |expt AS (SELECT term FROM cand ORDER BY sc DESC, term LIMIT 3),
+         |terms AS (SELECT term FROM expt
+         |  UNION ALL SELECT unnest([$termList]) AS term),
+         |tf1 AS (SELECT tok.doc_id, tok.term, count(*) AS tf
+         |  FROM tok JOIN terms USING (term) GROUP BY tok.doc_id, tok.term),
+         |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term)
+         |SELECT doc_id, bm25 FROM (
+         |  SELECT tf1.doc_id, round(sum(
+         |      $score
+         |    ), 6) AS bm25
+         |  FROM tf1 JOIN df1 USING (term)
+         |  JOIN dl ON dl.doc_id = tf1.doc_id, st
+         |  GROUP BY tf1.doc_id ORDER BY bm25 DESC, tf1.doc_id LIMIT 20)
+         |ORDER BY bm25 DESC, doc_id""".stripMargin
+    },
     "tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

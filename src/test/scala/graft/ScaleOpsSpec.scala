@@ -1123,6 +1123,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must be STRING"))
   }
 
+  test("prfExpandTerms: hand-computed Rocchio selection, tie order, degenerate queries") {
+    import graft.ops.Keyword
+    val docs = Seq(
+      (1L, "cat dog fish"), (2L, "cat dog bird"),
+      (3L, "mouse mouse horse"), (4L, "dog elephant")
+    ).toDF("doc_id", "text")
+    // feedback = the two cat docs; candidates: dog ftf=2 idf=ln(5/4)+1,
+    // fish/bird ftf=1 idf=ln(5/2)+1 → dog (2.446) > bird = fish (1.916),
+    // tie broken term-ascending
+    val got = Keyword.prfExpandTerms(docs, "doc_id", "text", Seq("cat"),
+      fbDocs = 2, expandTerms = 2)
+    assert(got == Seq("cat", "dog", "bird"))
+    // expandTerms = 0 and a no-hit query both return the original terms
+    assert(Keyword.prfExpandTerms(docs, "doc_id", "text", Seq("cat"),
+      fbDocs = 2, expandTerms = 0) == Seq("cat"))
+    assert(Keyword.prfExpandTerms(docs, "doc_id", "text", Seq("zzz"),
+      fbDocs = 2, expandTerms = 2) == Seq("zzz"))
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank semantics, empty-token hygiene") {
     import graft.ops.Keyword
     // N = 3; "cat" df=2, "dog" df=1, "the" df=3
