@@ -533,6 +533,26 @@ object ScaleProbe {
     }
     report("ngram_lm_score", time(lmScore(docs1)), time(lmScore(docsN)))
 
+    // BLEU: self-paired corpus (cand = 25-token prefix of the next doc)
+    // — pair count scales with the corpus, each pair's work is bounded
+    def bleuAll(d: DataFrame): Long = {
+      val ref = d.select($"doc_id", $"text".as("ref_text"))
+      val cand = d.select(($"doc_id" + lit(1L)).as("doc_id"),
+        $"text".as("cand_text"))
+      graft.ops.Testbed.bleu(ref.join(cand, "doc_id"),
+        "doc_id", "cand_text", "ref_text", maxN = 2).count()
+    }
+    report("eval_bleu_pairs", time(bleuAll(docs1)), time(bleuAll(docsN)))
+
+    // expectations gate: all row-level rules in one scan + one exact
+    // distinct for the uniqueness rule
+    def gate(d: DataFrame): Long = graft.ops.Validate.validate(d, Seq(
+      graft.ops.Validate.NotNull("text"),
+      graft.ops.Validate.Unique(Seq("doc_id")),
+      graft.ops.Validate.MatchesRegex("lang", "^[a-z]{2}$"),
+      graft.ops.Validate.MinRows(100))).count()
+    report("validate_expectations", time(gate(docs1)), time(gate(docsN)))
+
     spark.stop()
   }
 }
