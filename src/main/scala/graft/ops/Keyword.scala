@@ -485,9 +485,12 @@ object Keyword {
     * staleness-guarded stats plus the postings pruned to the query
     * terms' hash buckets. Returns (N, avgdl, postings(term,id,tf,dl)).
     */
-  private def indexedPostings(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                              queryTerms: Seq[String],
-                              store: Option[String]): (Long, Double, DataFrame) = {
+  /** Staleness-guarded `_stats` read shared by the pruned query path
+    * ([[indexedPostings]]) and the unpruned mining path
+    * ([[prfExpandTermsIndexed]]). Returns (nDocs, sumdl, buckets).
+    */
+  private def indexStats(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                         store: Option[String]): (Long, Long, Int) = {
     val stats = graft.Fs.readString(spark, s"$indexPath/_stats").trim.split(" ")
     // pre-dl-on-posting indexes wrote a 3-field _stats and a doclen/ dir;
     // serving one would die deep in Catalyst on the missing `dl` posting
@@ -495,7 +498,6 @@ object Keyword {
     require(stats.length >= 4 && !graft.Fs.exists(spark, s"$indexPath/doclen"),
       s"old lexical index format at $indexPath (3-field _stats / separate doclen " +
         "directory, predating dl-on-posting) — rebuild with buildLexicalIndex")
-    val (nDocs, sumdl, buckets) = (stats(0).toLong, stats(1).toLong, stats(2).toInt)
     val stamp = stats(3)
     store.foreach { t =>
       require(stamp.startsWith("v"),
@@ -509,6 +511,13 @@ object Keyword {
           "df/N/avgdl wrong. Rebuild with buildLexicalIndex (the reference rebuilds " +
           "after every merge).")
     }
+    (stats(0).toLong, stats(1).toLong, stats(2).toInt)
+  }
+
+  private def indexedPostings(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                              queryTerms: Seq[String],
+                              store: Option[String]): (Long, Double, DataFrame) = {
+    val (nDocs, sumdl, buckets) = indexStats(spark, indexPath, store)
     val avgdl = if (nDocs == 0) 1.0 else sumdl.toDouble / nDocs
     // bucket ids must be computed by the ENGINE's own hash (xxhash64),
     // not re-implemented driver-side — one expression evaluation keeps
@@ -635,6 +644,50 @@ object Keyword {
     val nDocs = docs.select(col(idCol)).count()
     val ftf = toks.filter(col(idCol).isin(fb: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("ftf"))
+    val added = ftf
+      .filter(!col("term").isin(queryTerms: _*))
+      .join(dfreq.hint("SHUFFLE_HASH"), "term")
+      .withColumn("sc", col("ftf") *
+        (log((lit(1.0) + lit(nDocs.toDouble)) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .orderBy(col("sc").desc, col("term").asc)
+      .limit(expandTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    queryTerms ++ added
+  }
+
+  /** [[prfExpandTerms]] served from a maintained [[buildLexicalIndex]]
+    * sidecar — the production shape: the initial ranking reads
+    * term-pruned postings ([[bm25Indexed]]), and candidate mining reads
+    * the POSTINGS table (term, id, tf — narrow fixed-width rows, a
+    * small fraction of raw text IO) instead of re-tokenizing the
+    * corpus. df = postings-per-term, feedback tf = Σ tf over the
+    * feedback ids' postings, N from `_stats` — term for term the same
+    * numbers as the scan path, so the two paths return IDENTICAL
+    * expansions (the index is a layout change, never a semantics
+    * change). Same staleness contract (`store`). The mining read is
+    * unpruned by construction — the candidate terms are unknown until
+    * read — which is exactly the scan the index makes cheap.
+    */
+  def prfExpandTermsIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                            queryTerms: Seq[String], fbDocs: Int = 5, expandTerms: Int = 3,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            store: Option[String] = None): Seq[String] = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1 (got $fbDocs)")
+    require(expandTerms >= 0, s"expandTerms must be >= 0 (got $expandTerms)")
+    if (expandTerms == 0) return queryTerms
+    val fb = bm25Indexed(spark, indexPath, queryTerms, k1, b, topK = fbDocs,
+        store = store)
+      .select(col("id")).collect().map(_.get(0)).toSeq
+    if (fb.isEmpty) return queryTerms
+    val (nDocs, _, _) = indexStats(spark, indexPath, store)
+    // the build indexes every token verbatim (including the '' a
+    // whitespace-only doc tokenizes to); mining must drop it exactly as
+    // the scan path's empty-token filter does
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(length(col("term")) > 0)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ftf = postings.filter(col("id").isin(fb: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("ftf"))
     val added = ftf
       .filter(!col("term").isin(queryTerms: _*))
       .join(dfreq.hint("SHUFFLE_HASH"), "term")

@@ -165,6 +165,20 @@ object KeywordQueries {
         .orderBy($"bm25".desc, $"doc_id")
     }),
 
+    // The same PRF loop served entirely from the maintained lexical
+    // index: pruned postings for the initial ranking, the narrow
+    // postings table (never corpus text) for candidate mining, pruned
+    // postings again for the expanded ranking. Shares the scan path's
+    // oracle — identical expansion, identical final ranking.
+    "prf_indexed_expanded" -> ((s, d) => {
+      import s.implicits._
+      val idx = cachedIndex(s, d)
+      val expanded = Keyword.prfExpandTermsIndexed(s, idx, Terms,
+        fbDocs = 5, expandTerms = 3, K1, B)
+      Keyword.bm25Indexed(s, idx, expanded, K1, B, topK = 20, idName = "doc_id")
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
     // Per-document TF-IDF keyword extraction (sklearn smooth idf): the
     // oracle replays tokenization, tf, df, N, and the identical
     // arithmetic; ranks carry the result, the 6-dp rounding only
@@ -177,6 +191,55 @@ object KeywordQueries {
         .orderBy($"doc_id", $"rank")
     }),
   )
+
+  /** The PRF loop replayed relationally — shared by the scan-path and
+    * index-path query entries (identical expansion, identical final
+    * ranking). The learned term set is a RELATION (expt/terms CTEs),
+    * never literals.
+    */
+  private lazy val prfOracle: String = {
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    val score = s"""ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) * (tf * ${K1 + 1.0}) /
+       |      (tf + $K1 * (1.0 - $B + $B * dl.dl / (st.sumdl::DOUBLE / st.n)))""".stripMargin
+    s"""WITH base AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM base),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM base),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+         |kw0 AS (SELECT tf0.doc_id, round(sum(
+         |      $score
+         |    ), 6) AS bm25
+         |  FROM tf0 JOIN df0 USING (term)
+         |  JOIN dl ON dl.doc_id = tf0.doc_id, st
+         |  GROUP BY tf0.doc_id ORDER BY bm25 DESC, tf0.doc_id LIMIT 5),
+         |ctf AS (SELECT term, count(*) AS ftf FROM tok
+         |  WHERE doc_id IN (SELECT doc_id FROM kw0) AND term <> ''
+         |  GROUP BY term),
+         |cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |  WHERE term <> '' GROUP BY term),
+         |cand AS (SELECT c.term,
+         |    c.ftf * (ln((CAST(1.0 AS DOUBLE) + st.n) /
+         |             (CAST(1.0 AS DOUBLE) + d.df)) + CAST(1.0 AS DOUBLE)) AS sc
+         |  FROM ctf c JOIN cdf d USING (term), st
+         |  WHERE c.term NOT IN ($termList)),
+         |expt AS (SELECT term FROM cand ORDER BY sc DESC, term LIMIT 3),
+         |terms AS (SELECT term FROM expt
+         |  UNION ALL SELECT unnest([$termList]) AS term),
+         |tf1 AS (SELECT tok.doc_id, tok.term, count(*) AS tf
+         |  FROM tok JOIN terms USING (term) GROUP BY tok.doc_id, tok.term),
+         |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term)
+         |SELECT doc_id, bm25 FROM (
+         |  SELECT tf1.doc_id, round(sum(
+         |      $score
+         |    ), 6) AS bm25
+         |  FROM tf1 JOIN df1 USING (term)
+         |  JOIN dl ON dl.doc_id = tf1.doc_id, st
+         |  GROUP BY tf1.doc_id ORDER BY bm25 DESC, tf1.doc_id LIMIT 20)
+         |ORDER BY bm25 DESC, doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" ->
@@ -219,49 +282,10 @@ object KeywordQueries {
          |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vecr)
          |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
          |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
-    "prf_bm25_expanded" -> {
-      val termList = Terms.map(t => s"'$t'").mkString(", ")
-      val score = s"""ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) * (tf * ${K1 + 1.0}) /
-         |      (tf + $K1 * (1.0 - $B + $B * dl.dl / (st.sumdl::DOUBLE / st.n)))""".stripMargin
-      s"""WITH base AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-         |tok AS (SELECT doc_id, unnest(w) AS term FROM base),
-         |dl AS (SELECT doc_id, len(w) AS dl FROM base),
-         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-         |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |  WHERE term IN ($termList) GROUP BY doc_id, term),
-         |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
-         |kw0 AS (SELECT tf0.doc_id, round(sum(
-         |      $score
-         |    ), 6) AS bm25
-         |  FROM tf0 JOIN df0 USING (term)
-         |  JOIN dl ON dl.doc_id = tf0.doc_id, st
-         |  GROUP BY tf0.doc_id ORDER BY bm25 DESC, tf0.doc_id LIMIT 5),
-         |ctf AS (SELECT term, count(*) AS ftf FROM tok
-         |  WHERE doc_id IN (SELECT doc_id FROM kw0) AND term <> ''
-         |  GROUP BY term),
-         |cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
-         |  WHERE term <> '' GROUP BY term),
-         |cand AS (SELECT c.term,
-         |    c.ftf * (ln((CAST(1.0 AS DOUBLE) + st.n) /
-         |             (CAST(1.0 AS DOUBLE) + d.df)) + CAST(1.0 AS DOUBLE)) AS sc
-         |  FROM ctf c JOIN cdf d USING (term), st
-         |  WHERE c.term NOT IN ($termList)),
-         |expt AS (SELECT term FROM cand ORDER BY sc DESC, term LIMIT 3),
-         |terms AS (SELECT term FROM expt
-         |  UNION ALL SELECT unnest([$termList]) AS term),
-         |tf1 AS (SELECT tok.doc_id, tok.term, count(*) AS tf
-         |  FROM tok JOIN terms USING (term) GROUP BY tok.doc_id, tok.term),
-         |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term)
-         |SELECT doc_id, bm25 FROM (
-         |  SELECT tf1.doc_id, round(sum(
-         |      $score
-         |    ), 6) AS bm25
-         |  FROM tf1 JOIN df1 USING (term)
-         |  JOIN dl ON dl.doc_id = tf1.doc_id, st
-         |  GROUP BY tf1.doc_id ORDER BY bm25 DESC, tf1.doc_id LIMIT 20)
-         |ORDER BY bm25 DESC, doc_id""".stripMargin
-    },
+    "prf_bm25_expanded" -> prfOracle,
+    // the index is a layout change, never a semantics change — the
+    // indexed PRF path must hash-match the identical relational replay
+    "prf_indexed_expanded" -> prfOracle,
     "tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

@@ -1142,6 +1142,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       fbDocs = 2, expandTerms = 2) == Seq("zzz"))
   }
 
+  test("prfExpandTermsIndexed: identical expansion to the scan path from a built index") {
+    import graft.ops.Keyword
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val idx = java.nio.file.Files.createTempDirectory("prf-idx").toString
+    Keyword.buildLexicalIndex(docs, "doc_id", "text", idx)
+    val terms = Seq("spark", "vector", "merge", "window")
+    val scan = Keyword.prfExpandTerms(docs, "doc_id", "text", terms,
+      fbDocs = 5, expandTerms = 3)
+    val indexed = Keyword.prfExpandTermsIndexed(spark, idx, terms,
+      fbDocs = 5, expandTerms = 3)
+    assert(indexed == scan, "the index is a layout change, never a semantics change")
+    assert(indexed.size == terms.size + 3 && indexed.startsWith(terms))
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank semantics, empty-token hygiene") {
     import graft.ops.Keyword
     // N = 3; "cat" df=2, "dog" df=1, "the" df=3
