@@ -41,14 +41,22 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Character-split expression with the empty/null guard:
+    * `sequence(1, 0)` in Spark is the DESCENDING [1, 0], so an
+    * unguarded split would turn "" into ["", ""]; empty and null words
+    * both become the empty symbol array.
+    */
+  private def charSplit(word: Column): Column =
+    when(length(word) > 0,
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Initial symbol table `(word, cnt, syms)`: every word split into
     * single characters (`Column.substr` takes the position as a column,
     * which the index-driven transform needs).
     */
   def charSymbols(words: DataFrame): DataFrame =
-    words.select(col("word"), col("cnt"),
-      transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))).as("syms"))
+    words.select(col("word"), col("cnt"), charSplit(col("word")).as("syms"))
 
   /** One learned merge: the pair, its weighted frequency, and the
     * 1-based round it was learned in.
@@ -112,9 +120,7 @@ object Bpe {
     */
   def segment(words: DataFrame, wordCol: String, merges: Seq[Merge],
               checkpointEvery: Int = 16): DataFrame = {
-    var out = words.withColumn("syms",
-      transform(sequence(lit(1), length(col(wordCol))),
-        i => col(wordCol).substr(i, lit(1))))
+    var out = words.withColumn("syms", charSplit(col(wordCol)))
     if (merges.isEmpty) return out
     merges.grouped(math.max(1, checkpointEvery)).foreach { batch =>
       val folded = batch.foldLeft(col("syms")) { (c, m) => mergeOnce(c, m.a, m.b) }

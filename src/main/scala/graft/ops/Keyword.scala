@@ -621,11 +621,12 @@ object Keyword {
     * (V5): same goal — turn a sparse query into one that matches the
     * corpus's vocabulary — computed from the corpus itself.
     *
-    * Scale: one bm25 pass (its own documented shape), one corpus
-    * tokenize for the df table (vocabulary-keyed agg), and a
-    * feedback-docs-only tf agg (`fbDocs`-bounded ids pushed into the
-    * scan as an IN filter). Two driver round-trips, both bounded:
-    * `fbDocs` ids and `expandTerms` terms.
+    * Scale: one bm25 pass (its own documented shape), then ONE corpus
+    * tokenize into a persisted per-(doc, term) tf table from which both
+    * the df table and the feedback tf derive (the feedback side is an
+    * `fbDocs`-bounded IN filter over it), plus an id-only count scan
+    * for N. Two driver round-trips, both bounded: `fbDocs` ids and
+    * `expandTerms` terms.
     */
   def prfExpandTerms(docs: DataFrame, idCol: String, textCol: String,
                      queryTerms: Seq[String], fbDocs: Int = 5, expandTerms: Int = 3,
@@ -636,24 +637,37 @@ object Keyword {
     val fb = bm25(docs, idCol, textCol, queryTerms, k1, b, topK = fbDocs)
       .select(col(idCol)).collect().map(_.get(0)).toSeq
     if (fb.isEmpty) return queryTerms
-    val toks = docs.select(col(idCol),
-      explode(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0))
-        .as("term"))
-    val dfreq = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // ONE tokenize pass: tf per (doc, term) feeds BOTH branches (df and
+    // the feedback tf) — persisted, since the two branches meet in one
+    // plan and would otherwise each re-derive the full corpus explode
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0))
+          .as("term"))
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ftf = tf.filter(col("__id").isin(fb: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("ftf"))
     val nDocs = docs.select(col(idCol)).count()
-    val ftf = toks.filter(col(idCol).isin(fb: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("ftf"))
-    val added = ftf
-      .filter(!col("term").isin(queryTerms: _*))
+    val added = rocchioSelect(ftf, dfreq, nDocs, queryTerms, expandTerms)
+    tf.unpersist()
+    queryTerms ++ added
+  }
+
+  /** Shared Rocchio candidate-selection tail of [[prfExpandTerms]] and
+    * [[prfExpandTermsIndexed]] — ONE implementation of the scoring
+    * formula and tiebreak is what makes the scan/index identity a
+    * structural fact rather than a convention.
+    */
+  private def rocchioSelect(ftf: DataFrame, dfreq: DataFrame, nDocs: Long,
+                            queryTerms: Seq[String], expandTerms: Int): Seq[String] =
+    ftf.filter(!col("term").isin(queryTerms: _*))
       .join(dfreq.hint("SHUFFLE_HASH"), "term")
       .withColumn("sc", col("ftf") *
         (log((lit(1.0) + lit(nDocs.toDouble)) / (lit(1.0) + col("df"))) + lit(1.0)))
       .orderBy(col("sc").desc, col("term").asc)
       .limit(expandTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
-    queryTerms ++ added
-  }
 
   /** [[prfExpandTerms]] served from a maintained [[buildLexicalIndex]]
     * sidecar — the production shape: the initial ranking reads
@@ -688,15 +702,7 @@ object Keyword {
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ftf = postings.filter(col("id").isin(fb: _*))
       .groupBy(col("term")).agg(sum(col("tf")).as("ftf"))
-    val added = ftf
-      .filter(!col("term").isin(queryTerms: _*))
-      .join(dfreq.hint("SHUFFLE_HASH"), "term")
-      .withColumn("sc", col("ftf") *
-        (log((lit(1.0) + lit(nDocs.toDouble)) / (lit(1.0) + col("df"))) + lit(1.0)))
-      .orderBy(col("sc").desc, col("term").asc)
-      .limit(expandTerms)
-      .select(col("term")).collect().map(_.getString(0)).toSeq
-    queryTerms ++ added
+    queryTerms ++ rocchioSelect(ftf, dfreq, nDocs, queryTerms, expandTerms)
   }
 
   /** Per-document keyword extraction: the top-`k` terms by TF-IDF

@@ -41,10 +41,7 @@ object NgramLm {
     val toks = docs.select(
       filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0).as("__w"))
     (1 to maxN).map { o =>
-      toks.select(explode(when(size(col("__w")) >= o,
-          transform(sequence(lit(1), size(col("__w")) - (o - 1)),
-            i => array_join(slice(col("__w"), i, lit(o)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+      toks.select(explode(TextAnalysis.wordGrams(col("__w"), o)).as("gram"))
         .select(lit(o).as("order"), col("gram"))
     }.reduce(_ union _)
       .groupBy(col("order"), col("gram"))

@@ -139,9 +139,23 @@ object Sampling {
     */
   def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
                      alpha: Double, total: Long): DataFrame = {
+    // the quota rows are read back as strings here — surface the
+    // friendly type error BEFORE a driver-side ClassCastException can
+    // (the same contract stratifiedQuota states for itself)
+    require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"strata column '$strataCol' must be STRING, found " +
+        s"${df.schema(strataCol).dataType.sql} — cast it to string first")
     val quotas = temperatureQuotas(df, strataCol, alpha, total)
       .collect()
-      .map(r => r.getString(0) -> math.min(r.getLong(1), r.getLong(2)).toInt)
+      .map { r =>
+        val q = math.min(r.getLong(1), r.getLong(2))
+        // the per-stratum bounded-heap take is Int-sized; a silent
+        // .toInt wrap would sample a dominant stratum at ~0 rows
+        require(q <= Int.MaxValue,
+          s"stratum '${r.getString(0)}' quota $q exceeds the Int-bounded " +
+            "stratified take — at that scale use hashSplit fractions instead")
+        r.getString(0) -> q.toInt
+      }
       .toMap
     stratifiedQuota(df, strataCol, keyCol, quotas)
   }

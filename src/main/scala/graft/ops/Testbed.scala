@@ -183,8 +183,14 @@ object Testbed {
     * rank — exactly the shape [[Similarity.similarityJoin]] /
     * [[Ivf.searchBatch]] emit; rows past rank `k` are ignored. `qrels`
     * carries binary relevance as (query, doc) pairs; duplicates
-    * collapse. A query present in the run but absent from `qrels`
-    * scores 0 everywhere (n_rel = 0).
+    * collapse. EVERY query appearing in either input emits a row: one
+    * in the run but absent from `qrels` scores 0 everywhere (n_rel =
+    * 0); one in `qrels` whose retriever returned nothing — or nothing
+    * within `k` — emits an all-zero row rather than vanishing (a
+    * retriever change that starts failing queries outright must DRAG
+    * the macro averages down, not inflate them by shrinking the
+    * denominator; trec_eval averages over qrels queries for the same
+    * reason).
     *
     * Definitions (binary relevance): DCG@k = Σ_{hits} 1/log2(rank+1),
     * IDCG@k = Σ_{i=1..min(n_rel,k)} 1/log2(i+1), AP@k =
@@ -226,7 +232,12 @@ object Testbed {
     val idcg = when(col("n_rel") === 0, lit(0.0)).otherwise(
       aggregate(sequence(lit(1L), least(col("n_rel"), kL)), lit(0.0),
         (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
-    kept.select(col("__q")).distinct()
+    // report base: queries from the FULL (unfiltered) run ∪ the qrels —
+    // a query whose hits all landed past k, or whose retriever returned
+    // nothing, still emits its (all-zero) row
+    val allQueries = run.select(col(queryIdCol).as("__q"))
+      .union(rel.select(col("__q"))).distinct()
+    allQueries
       .join(nRel.hint("SHUFFLE_HASH"), Seq("__q"), "left")
       .join(hitAgg.hint("SHUFFLE_HASH"), Seq("__q"), "left")
       .na.fill(0L, Seq("n_rel", "hits"))
@@ -273,10 +284,8 @@ object Testbed {
     val base = pairs.select(col(idCol), toks(col(candCol)).as("__cw"),
       toks(col(refCol)).as("__rw"))
     def grams(wcol: String): DataFrame = (1 to maxN).map { n =>
-      base.select(col(idCol), explode(when(size(col(wcol)) >= n,
-          transform(sequence(lit(1), size(col(wcol)) - (n - 1)),
-            i => array_join(slice(col(wcol), i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+      base.select(col(idCol),
+          explode(TextAnalysis.wordGrams(col(wcol), n)).as("gram"))
         .select(col(idCol), lit(n).as("__n"), col("gram"))
     }.reduce(_ union _).groupBy(col(idCol), col("__n"), col("gram"))
       .agg(count(lit(1)).as("__c"))

@@ -15,6 +15,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Space-joined word n-grams of order `n` over a token-array column —
+    * empty array when the document is shorter than `n`. The size guard
+    * matters: `sequence(1, 0)` in Spark is the DESCENDING [1, 0], so an
+    * unguarded transform would fabricate grams for short docs. Shared
+    * by [[NgramLm.gramCounts]] and [[Testbed.bleu]] so the two engines'
+    * gram definitions can never drift apart.
+    */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Count of tokens that appear in `stopwords`. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords: _*))).cast("long")

@@ -591,7 +591,7 @@ object VectorSearch {
         |nums AS (SELECT range + 1 AS i FROM range(10)),
         |perq AS (SELECT q0.qid, coalesce(n.n_rel, 0) AS n_rel,
         |    coalesce(hg.hits, 0) AS hits, hg.fr, hg.dcg, hg.apn
-        |  FROM (SELECT DISTINCT qid FROM run) q0
+        |  FROM (SELECT qid FROM q) q0
         |  LEFT JOIN nrel n USING (qid) LEFT JOIN hagg hg USING (qid)),
         |ideal AS (SELECT p.qid, sum(1.0 / log2(i + 1)) AS idcg
         |  FROM perq p JOIN nums ON i <= least(p.n_rel, 10) GROUP BY p.qid)

@@ -485,9 +485,12 @@ object ScaleProbe {
         lemb1.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"embedding", $"label"))
       .reduce(_ union _).localCheckpoint()
     def rankEval(e: DataFrame): Long = {
-      val q = e.filter($"vec_id" % 1000000L < 16)
+      // anchors from shard 0 ONLY (vec_id < 16, not id-mod — a per-shard
+      // selection would grow the broadcast batch with n and measure the
+      // probe's own quadratic, not the operator's scaling)
+      val q = e.filter($"vec_id" < 16)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
-      val c = e.filter($"vec_id" % 1000000L >= 16)
+      val c = e.filter($"vec_id" >= 16)
       val run = graft.ops.Similarity.similarityJoin(
         q, c, "qid", "qemb", "vec_id", "embedding", k = 10)
       val qrels = q.select($"qid", $"qlabel")
@@ -513,12 +516,13 @@ object ScaleProbe {
       time { val (m, s) = graft.ops.Bpe.learnMerges(
         graft.ops.Bpe.wordCounts(docsN, "text"), 3); s.count() })
 
-    // contrastive mining: fixed 16-anchor batch, corpus grows — both
-    // label-filtered scans plus two k-bounded tails must stay linear
+    // contrastive mining: fixed 16-anchor batch (shard 0 only — see
+    // rankEval), corpus grows — both label-filtered scans plus two
+    // k-bounded tails must stay linear
     def mine(e: DataFrame): Long = {
-      val anc = e.filter($"vec_id" % 1000000L < 16)
+      val anc = e.filter($"vec_id" < 16)
         .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
-      graft.ops.Contrastive.triples(anc, e.filter($"vec_id" % 1000000L >= 16),
+      graft.ops.Contrastive.triples(anc, e.filter($"vec_id" >= 16),
         "qid", "qemb", "qlabel", "vec_id", "embedding", "label", negK = 5).count()
     }
     report("contrastive_triples", time(mine(lemb1)), time(mine(lembN)))

@@ -82,6 +82,18 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("segment: empty and null words become empty symbol arrays, not [\"\",\"\"]") {
+    val (merges, _) = Bpe.learnMerges(fixtureDf, 1)
+    val got = Bpe.segment(
+        Seq(Some(""), Option.empty[String], Some("ab")).toDF("word"),
+        "word", merges)
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[String](1).toVector)
+      .toMap
+    assert(got(Some("")) == Vector.empty)
+    assert(got(None) == Vector.empty)
+    assert(got(Some("ab")).mkString == "ab")
+  }
+
   test("wordCounts: whitespace words, exact occurrence counts, empty tokens dropped") {
     val docs = Seq((1L, "x y  y"), (2L, "  "), (3L, "y")).toDF("doc_id", "text")
     val got = Bpe.wordCounts(docs, "text")

@@ -17,20 +17,23 @@ class RankingSpec extends AnyFunSuite {
 
   private def lg2(x: Double): Double = math.log(x) / math.log(2)
 
-  // run: (query, doc, rank)
+  // run: (query, doc, rank); q6's only row sits past the k cutoff
   private lazy val run = Seq(
     ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
     ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3),
     ("q3", "m", 1), ("q3", "n", 2),
-    ("q4", "r", 1), ("q4", "s", 2), ("q4", "t", 3), ("q4", "u", 4)
+    ("q4", "r", 1), ("q4", "s", 2), ("q4", "t", 3), ("q4", "u", 4),
+    ("q6", "zz", 4)
   ).toDF("qid", "doc", "rank")
 
   // qrels: q1 → {a, c, d, e}; q2 → {y} (duplicated row must collapse);
-  // q3 → none; q4 → {u} but u sits at rank 4 > k
+  // q3 → none; q4 → {u} but u sits at rank 4 > k; q5 has qrels but NO
+  // run rows at all; q6's run rows are all past k
   private lazy val qrels = Seq(
     ("q1", "a"), ("q1", "c"), ("q1", "d"), ("q1", "e"),
     ("q2", "y"), ("q2", "y"),
-    ("q4", "u")
+    ("q4", "u"),
+    ("q5", "p"), ("q6", "zz")
   ).toDF("qid", "doc")
 
   private lazy val out = Testbed.rankingMetrics(run, qrels, "qid", "doc", "rank", k = 3)
@@ -71,10 +74,21 @@ class RankingSpec extends AnyFunSuite {
       r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
   }
 
+  test("failed-retrieval queries emit all-zero rows instead of vanishing") {
+    // q5: in qrels, retriever returned nothing; q6: retrieved, but only
+    // past the k cutoff — both must drag the macro averages down
+    val r5 = out("q5")
+    assert(r5.getLong(1) == 1L && r5.getLong(2) == 0L)
+    (3 to 7).foreach(i => assert(r5.getDouble(i) == 0.0))
+    val r6 = out("q6")
+    assert(r6.getLong(1) == 1L && r6.getLong(2) == 0L)
+    (3 to 7).foreach(i => assert(r6.getDouble(i) == 0.0))
+  }
+
   test("summary macro-averages every metric over the run's queries") {
     val m = Testbed.rankingMetrics(run, qrels, "qid", "doc", "rank", k = 3)
     val s = Testbed.rankingSummary(m).collect()(0)
-    assert(s.getLong(0) == 4L)
+    assert(s.getLong(0) == 6L)
     val perQ = out.values.toSeq
     def mean(i: Int): Double = perQ.map(_.getDouble(i)).sum / perQ.size
     assert(math.abs(s.getDouble(2) - mean(4)) < 1e-12) // mean_recall
