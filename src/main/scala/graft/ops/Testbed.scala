@@ -316,6 +316,51 @@ object Testbed {
         pCols.map(p => coalesce(p, lit(0.0)).as(p.toString)) :+ col("bleu"): _*)
   }
 
+  /** ROUGE-N (Lin 2004) per candidate/reference pair: clipped n-gram
+    * overlap as RECALL against the reference (the summarization-eval
+    * complement of [[bleu]]'s precision view), plus the precision and
+    * F1 the modern toolkits report. One fixed order `n` per call —
+    * `(idCol, n_cand_grams, n_ref_grams, overlap, precision, recall,
+    * f1)`, one row per input pair; degenerate sides (doc shorter than
+    * n) score 0. Same [[TextAnalysis.wordGrams]] gram definition and
+    * (id, gram)-keyed clip join as [[bleu]] — payloads never move past
+    * their gram counts.
+    */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+             n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    def toks(c: Column): Column =
+      filter(TextAnalysis.tokens(c), t => length(t) > 0)
+    val base = pairs.select(col(idCol), toks(col(candCol)).as("__cw"),
+      toks(col(refCol)).as("__rw"))
+    def counts(wcol: String, cname: String): DataFrame =
+      base.select(col(idCol),
+          explode(TextAnalysis.wordGrams(col(wcol), n)).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as(cname))
+    val overlap = counts("__cw", "__c")
+      .join(counts("__rw", "__r").hint("SHUFFLE_HASH"), Seq(idCol, "gram"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("overlap"),
+        sum(col("__c")).as("__ctot"))
+    val refTot = counts("__rw", "__r").groupBy(col(idCol))
+      .agg(sum(col("__r")).as("__rtot"))
+    val p = when(col("n_cand_grams") === 0, lit(0.0))
+      .otherwise(col("overlap").cast("double") / col("n_cand_grams"))
+    val r = when(col("n_ref_grams") === 0, lit(0.0))
+      .otherwise(col("overlap").cast("double") / col("n_ref_grams"))
+    base.select(col(idCol))
+      .join(overlap.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .join(refTot.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ctot"), lit(0L)).as("n_cand_grams"),
+        coalesce(col("__rtot"), lit(0L)).as("n_ref_grams"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1", when(p + r === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * p * r / (p + r)))
+  }
+
   /** Macro-averaged summary of [[rankingMetrics]] — one row: mean of
     * each metric over the run's queries (every query weighs the same
     * regardless of its n_rel, the standard macro convention).

@@ -169,6 +169,25 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // ROUGE-2 over the same candidate/reference pairing as eval_bleu:
+    // clipped bigram overlap as recall/precision/F1. The oracle replays
+    // counts, clip, and the identical F1 arithmetic.
+    "eval_rouge2" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter($"doc_id" < 20).select($"doc_id", $"text")
+      val ref = docs.select($"doc_id", $"text".as("ref_text"))
+      val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
+        array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
+          t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      graft.ops.Testbed.rougeN(ref.join(cand, "doc_id"),
+          "doc_id", "cand_text", "ref_text", n = 2)
+        .select($"doc_id", $"n_cand_grams", $"n_ref_grams", $"overlap",
+          round($"precision", 6).as("precision"),
+          round($"recall", 6).as("recall"),
+          round($"f1", 6).as("f1"))
+        .orderBy($"doc_id")
+    }),
+
     // Stupid Backoff trigram LM (Brants et al. 2007): counts from the
     // held-out corpus (doc_id >= 10), scores for the first ten docs —
     // genuine unseen grams exercise every backoff branch. The oracle
@@ -1114,7 +1133,45 @@ object TextQueries {
       |             * exp((ln(p1) + ln(p2)) / 2) END, 6) AS bleu
       |FROM l LEFT JOIN pn USING (doc_id) ORDER BY l.doc_id""".stripMargin
 
+  private val rouge2Oracle: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+      |        '\s+'), t -> t <> '') AS w FROM documents WHERE doc_id < 20),
+      |pr AS (SELECT r.doc_id, r.w AS rw, c.cw FROM d r JOIN (
+      |    SELECT (doc_id + 19) % 20 AS doc_id,
+      |      w[1:least(len(w), 25)] AS cw FROM d) c USING (doc_id)),
+      |cg AS (SELECT doc_id, cw[CAST(t.i AS INT)] || ' ' ||
+      |    cw[CAST(t.i AS INT) + 1] AS gram
+      |  FROM pr, UNNEST(range(1, len(cw))) t(i)),
+      |rg AS (SELECT doc_id, rw[CAST(t.i AS INT)] || ' ' ||
+      |    rw[CAST(t.i AS INT) + 1] AS gram
+      |  FROM pr, UNNEST(range(1, len(rw))) t(i)),
+      |cc AS (SELECT doc_id, gram, count(*) AS c FROM cg GROUP BY doc_id, gram),
+      |rc AS (SELECT doc_id, gram, count(*) AS c FROM rg GROUP BY doc_id, gram),
+      |ov AS (SELECT cc.doc_id,
+      |    sum(least(cc.c, coalesce(rc.c, 0))) AS overlap,
+      |    sum(cc.c) AS ctot
+      |  FROM cc LEFT JOIN rc ON rc.doc_id = cc.doc_id AND rc.gram = cc.gram
+      |  GROUP BY cc.doc_id),
+      |rt AS (SELECT doc_id, sum(c) AS rtot FROM rc GROUP BY doc_id),
+      |m AS (SELECT pr.doc_id,
+      |    coalesce(ov.ctot, 0) AS n_cand_grams,
+      |    coalesce(rt.rtot, 0) AS n_ref_grams,
+      |    coalesce(ov.overlap, 0) AS overlap
+      |  FROM pr LEFT JOIN ov USING (doc_id) LEFT JOIN rt USING (doc_id)),
+      |pm AS (SELECT doc_id, n_cand_grams, n_ref_grams, overlap,
+      |    CASE WHEN n_cand_grams = 0 THEN 0.0
+      |         ELSE CAST(overlap AS DOUBLE) / n_cand_grams END AS p,
+      |    CASE WHEN n_ref_grams = 0 THEN 0.0
+      |         ELSE CAST(overlap AS DOUBLE) / n_ref_grams END AS r
+      |  FROM m)
+      |SELECT doc_id, n_cand_grams, n_ref_grams, overlap,
+      |  round(p, 6) AS precision, round(r, 6) AS recall,
+      |  round(CASE WHEN p + r = 0 THEN 0.0
+      |        ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+      |FROM pm ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "eval_rouge2" -> rouge2Oracle,
     "validate_expectations" ->
       """WITH t AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents

@@ -121,6 +121,29 @@ class RankingSpec extends AnyFunSuite {
     assert(b5._3 == 0.0 && b5._4 == 0.0 && b5._5 == 0.0)       // dog unseen
   }
 
+  test("rougeN: hand-computed recall/precision/F1 incl. degenerate rows") {
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat sat on the mat"), // cand bigrams ⊆ ref
+      (2L, "the the the", "the cat"),                // clip: overlap 0 bigrams
+      (3L, "", "the cat"),                           // empty cand
+      (4L, "a b", "")                                // empty ref
+    ).toDF("id", "cand", "ref")
+    val out = Testbed.rougeN(pairs, "id", "cand", "ref", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // 1: cand {the cat, cat sat} both in ref (5 ref bigrams):
+    //    p = 2/2, r = 2/5, f1 = 2·1·0.4/1.4
+    val b1 = out(1L)
+    assert(b1._1 == 2L && b1._2 == 5L && b1._3 == 2L)
+    assert(b1._4 == 1.0 && b1._5 == 0.4)
+    assert(math.abs(b1._6 - 2.0 * 1.0 * 0.4 / 1.4) < 1e-12)
+    // 2: cand {the the ×2}, ref {the cat} → overlap 0, all rates 0
+    assert(out(2L) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("partitioning invariance: 1-partition and 7-partition inputs agree") {
     val a = Testbed.rankingMetrics(run.repartition(1), qrels.repartition(7),
       "qid", "doc", "rank", k = 3).orderBy("qid").collect().toSeq
