@@ -41,6 +41,35 @@ object IncrementalIngest {
       .start()
   }
 
+  /** Data-contract gate per micro-batch: every arriving batch is
+    * validated against `rules` ([[graft.ops.Validate]] — the same
+    * single-scan fold the batch gate uses); a CLEAN batch flows to
+    * `process`, a violating batch is atomically quarantined (written
+    * under `quarantineDir/batch=<id>` alongside its report) and NEVER
+    * reaches the store — the streaming promotion gate a continuous
+    * corpus drop needs, with the failed drop preserved byte-for-byte
+    * for the operator to inspect and replay.
+    *
+    * The per-batch work is one validation aggregate over the batch plus
+    * `process` itself; the quarantine path touches only bad batches.
+    */
+  def gatedBatch(batch: DataFrame, rules: Seq[graft.ops.Validate.Rule],
+                 quarantineDir: String, batchId: Long)
+                (process: DataFrame => Unit): Boolean = {
+    if (batch.isEmpty) return true
+    val report = graft.ops.Validate.validate(batch, rules)
+      .localCheckpoint() // one validation pass, reused for check + write
+    val clean = report.filter(!col("passed")).isEmpty
+    if (clean) process(batch)
+    else {
+      batch.write.mode("overwrite")
+        .parquet(s"$quarantineDir/batch=$batchId/rows")
+      report.write.mode("overwrite")
+        .parquet(s"$quarantineDir/batch=$batchId/report")
+    }
+    clean
+  }
+
   /** One micro-batch: split → content key → dedup → embed → anti-join
     * against the store → append. Same semantics as the batch
     * [[graft.ops.Ingest.ingest]].

@@ -235,6 +235,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming expectations gate: clean batches flow, violating batches quarantine with their report") {
+    import graft.ops.Validate
+    import graft.streaming.IncrementalIngest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val qdir = Files.createTempDirectory("quarantine").toString
+    val rules = Seq(Validate.NotNull("text"), Validate.Unique(Seq("id")))
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        IncrementalIngest.gatedBatch(b, rules, qdir, bid) { clean =>
+          processed ++= clean.select($"id").as[Long].collect()
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1L, "ok"), (2L, "fine"))
+      q.processAllAvailable()
+      assert(processed.toSet == Set(1L, 2L), "clean batch must reach process")
+      // duplicate id violates Unique: batch quarantined, never processed
+      stream.addData((3L, "x"), (3L, "y"))
+      q.processAllAvailable()
+      assert(processed.toSet == Set(1L, 2L), "violating batch must not flow")
+      val qdirs = new java.io.File(qdir).listFiles().map(_.getName).toSeq
+      assert(qdirs.size == 1 && qdirs.head.startsWith("batch="))
+      val rows = spark.read.parquet(s"$qdir/${qdirs.head}/rows")
+      assert(rows.count() == 2, "the failed drop is preserved byte-for-byte")
+      val rep = spark.read.parquet(s"$qdir/${qdirs.head}/report")
+      val bad = rep.filter(!$"passed").select($"rule").as[String].collect().toSeq
+      assert(bad == Seq("unique"), "the report names the violated expectation")
+    } finally q.stop()
+  }
+
   test("multimodal: binaryFile read, segment sampling, and feature extraction into the vector ops") {
     val dir = Files.createTempDirectory("media").toString
     Files.write(java.nio.file.Paths.get(dir, "a.img"), Array.fill[Byte](100)(7))
