@@ -103,6 +103,59 @@ object Similarity {
     boundedRank(scored, queryIdCol, corpusIdCol, k, metric, scoreName, rankName)
   }
 
+  /** IVF-bucketed top-k similarity join — the scale path when the QUERY
+    * side is too large to broadcast (corpus×corpus linking, full-corpus
+    * kNN graphs): both sides are assigned to an [[Ivf.IvfModel]]'s
+    * cells, the query side to its `nProbe` NEAREST cells (the probe
+    * fan-out), and candidates are generated by the (cell) equi-join —
+    * Σ |q-cell|·|c-cell| pairwise work instead of |Q|·|C|, exactly the
+    * SemDeDup trade applied to a join. At `nProbe = model.k` every pair
+    * is considered and the result EQUALS [[similarityJoin]] rank for
+    * rank (the pin-to-exact contract of `ann_ivf_full_probe`); at
+    * partial probe, recall follows the measured nprobe sweep
+    * (SCALE.md).
+    *
+    * Plan shape: one exchange per side keyed on the cell id
+    * (SHUFFLE_HASH — embedding payloads never sort), then
+    * [[boundedRank]]'s per-partition heap pre-prune. A corpus row
+    * belongs to exactly ONE cell, so a (query, candidate) pair is
+    * generated at most once — no dedup pass exists between the join
+    * and the ranking. Null embeddings on either side drop: no cell,
+    * no distance.
+    */
+  def ivfJoinTopK(queries: DataFrame, corpus: DataFrame,
+                  queryIdCol: String, queryEmbCol: String,
+                  corpusIdCol: String, corpusEmbCol: String,
+                  model: Ivf.IvfModel, nProbe: Int, k: Int,
+                  metric: String = "COSINE",
+                  scoreName: String = "score", rankName: String = "rank"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"nProbe must be in [1, ${model.k}] (got $nProbe)")
+    // query side: the nProbe nearest cells, deterministic (distance,
+    // cell-id) order — array_sort on the (d, cid) struct is exactly the
+    // probeOrder the single-vector path uses
+    val distStructs = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.VectorFunctions.euclidean(col(queryEmbCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cid"))
+    }: _*)
+    val q = queries
+      .filter(col(queryEmbCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"), col(queryEmbCol).as("__qemb"),
+        explode(slice(array_sort(distStructs), 1, nProbe)).as("__p"))
+      .select(col("__qid"), col("__qemb"), col("__p.cid").as("__cell"))
+    val c = Ivf.assign(
+        corpus.select(col(corpusIdCol), col(corpusEmbCol)), corpusEmbCol, model,
+        clusterCol = "__cell")
+      .filter(col("__cell").isNotNull)
+    val score = VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb"))
+    val scored = q.join(c.hint("SHUFFLE_HASH"), Seq("__cell"))
+      .withColumn(scoreName, score)
+      .filter(col(scoreName).isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    boundedRank(scored, queryIdCol, corpusIdCol, k, metric, scoreName, rankName)
+  }
+
   /** Shared ranking tail of every batch retrieval ([[similarityJoin]],
     * [[Ivf.searchBatch]]): per-partition bounded top-k pre-prune
     * ([[LocalTopK]]) followed by the global per-query rank window.

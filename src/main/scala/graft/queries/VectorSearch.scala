@@ -352,6 +352,24 @@ object VectorSearch {
         .orderBy($"doc_id")
     }),
 
+    // IVF-bucketed similarity JOIN at full probe: the scale path for a
+    // query side too large to broadcast, pinned to the exact batch join
+    // by the full-probe contract — shares similarity_join_topk's
+    // oracle rank for rank (partial-probe recall is measured in
+    // SCALE.md, never silently shipped).
+    "ann_join_full_probe" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+      val c = e.filter($"vec_id" >= 10).select($"vec_id", $"embedding")
+      val model = graft.ops.Ivf.fit(c, "vec_id", "embedding", k = 8)
+      Similarity.ivfJoinTopK(q, c, "query_id", "embedding", "vec_id", "embedding",
+          model, nProbe = model.k, k = 4)
+        .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+          round($"score", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Contrastive pair mining (DPR-style): per anchor, the single
     // nearest SAME-label positive × the 3 most-similar WRONG-label
     // hard negatives — the training triples an embedding-model trainer
@@ -530,6 +548,16 @@ object VectorSearch {
         |WHERE s >= 0.15 ORDER BY vec_id""".stripMargin,
     // full probe ≡ exhaustive batch join, so the oracle is identical
     "ann_ivf_batch_probe" ->
+      """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+    // full-probe IVF join ≡ the exact batch join — same oracle
+    "ann_join_full_probe" ->
       """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,

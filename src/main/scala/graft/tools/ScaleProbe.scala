@@ -548,6 +548,18 @@ object ScaleProbe {
     }
     report("eval_bleu_pairs", time(bleuAll(docs1)), time(bleuAll(docsN)))
 
+    // full-corpus kNN graph via the IVF-bucketed join: the query side
+    // IS the corpus (unbroadcastable by design); cells grow with the
+    // corpus so expected cell population stays constant and the
+    // Σ|q-cell|·|c-cell| candidate work tracks the corpus
+    def annJoin(e: DataFrame, kCells: Int): Long = {
+      val m = graft.ops.Ivf.fit(e, "vec_id", "embedding", k = kCells)
+      graft.ops.Similarity.ivfJoinTopK(
+        e.select($"vec_id".as("qid"), $"embedding".as("qemb")), e,
+        "qid", "qemb", "vec_id", "embedding", m, nProbe = 2, k = 5).count()
+    }
+    report("ann_join_corpus_knn", time(annJoin(emb1, 32)), time(annJoin(embN, 32 * n)))
+
     // expectations gate: all row-level rules in one scan + one exact
     // distinct for the uniqueness rule
     def gate(d: DataFrame): Long = graft.ops.Validate.validate(d, Seq(

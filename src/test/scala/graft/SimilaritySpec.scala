@@ -243,6 +243,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert((System.nanoTime() - t1) / 1e6 < 5000.0, "first call on a fresh identity is unthrottled")
   }
 
+  test("ivfJoinTopK: full probe equals the exact batch join; partial probe is a subset; nulls drop") {
+    import graft.ops.Ivf
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+    val c = emb.filter($"vec_id" >= 10).select($"vec_id", $"embedding")
+    val model = Ivf.fit(c, "vec_id", "embedding", k = 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select($"query_id", $"rank", $"vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val exact = rows(Similarity.similarityJoin(q, c,
+      "query_id", "embedding", "vec_id", "embedding", k = 4))
+    val full = rows(Similarity.ivfJoinTopK(q, c,
+      "query_id", "embedding", "vec_id", "embedding", model, nProbe = 8, k = 4))
+    assert(full == exact, "full probe must equal the exact join rank for rank")
+    // partial probe: every (query, candidate) it returns is an exact-join
+    // candidate pair scored identically — ranks may shift (fewer
+    // candidates), membership per query is a subset of the probed cells'
+    // content, and nothing is fabricated
+    val part = Similarity.ivfJoinTopK(q, c,
+      "query_id", "embedding", "vec_id", "embedding", model, nProbe = 2, k = 4)
+    val partPairs = part.select($"query_id", $"vec_id", round($"score", 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactAll = Similarity.similarityJoin(q, c,
+        "query_id", "embedding", "vec_id", "embedding", k = c.count().toInt)
+      .select($"query_id", $"vec_id", round($"score", 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    partPairs.foreach { case (pair, s) =>
+      assert(exactAll(pair) == s, s"pair $pair must carry the exact score")
+    }
+    // a null query embedding probes nothing; a null corpus embedding has
+    // no cell — neither crashes nor emits rows
+    val qn = Seq((99L, Option.empty[Seq[Float]])).toDF("query_id", "embedding")
+    assert(Similarity.ivfJoinTopK(qn, c, "query_id", "embedding",
+      "vec_id", "embedding", model, nProbe = 2, k = 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfJoinTopK(q, c, "query_id", "embedding",
+        "vec_id", "embedding", model, nProbe = 0, k = 4)
+    }
+  }
+
   test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
     val e = HashEmbedder(dim = 16)
     val v1 = e.embed("spark catalyst engine")
