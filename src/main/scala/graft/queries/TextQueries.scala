@@ -220,6 +220,28 @@ object TextQueries {
         .orderBy($"iteration")
     }),
 
+    // The learned BPE merges APPLIED: vocabulary-level segmentation
+    // stats (fertility = symbol occurrences per word occurrence — the
+    // number a tokenizer change is judged by). The oracle replays the
+    // same 3 merge rounds and aggregates the resulting symbol table.
+    "bpe_segmentation_stats" -> ((s, d) => {
+      import s.implicits._
+      val words = graft.ops.Bpe.wordCounts(documents(s, d), "text")
+      val (_, syms) = graft.ops.Bpe.learnMerges(words, nMerges = 3)
+      val agg = syms.agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum($"cnt").as("n_word_occurrences"),
+        sum($"cnt" * size($"syms")).as("n_symbol_occurrences"))
+      val vocab = syms.select(explode($"syms").as("s"))
+        .agg(count_distinct($"s").as("n_vocab_symbols"))
+      agg.crossJoin(vocab)
+        .select($"n_distinct_words", $"n_word_occurrences",
+          $"n_symbol_occurrences",
+          round($"n_symbol_occurrences".cast("double") /
+            $"n_word_occurrences", 6).as("fertility"),
+          $"n_vocab_symbols")
+    }),
+
     // The allocated quotas applied as the md5-rank stratified take: the
     // end-to-end "mix the corpus to temperature-τ proportions" step.
     "mix_temperature_sample" -> ((s, d) => {
@@ -1170,7 +1192,25 @@ object TextQueries {
       |        ELSE 2.0 * p * r / (p + r) END, 6) AS f1
       |FROM pm ORDER BY doc_id""".stripMargin
 
+  private val bpeStatsOracle: String =
+    s"""WITH w AS (SELECT term AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |    FROM documents) WHERE term <> '' GROUP BY term),
+       |s1 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1),
+       |        i -> substr(word, CAST(i AS INT), 1)) AS syms FROM w),
+       |${bpeIter(1)},
+       |${bpeIter(2)},
+       |${bpeIter(3)}
+       |SELECT count(*) AS n_distinct_words,
+       |  sum(cnt) AS n_word_occurrences,
+       |  sum(cnt * len(syms)) AS n_symbol_occurrences,
+       |  round(CAST(sum(cnt * len(syms)) AS DOUBLE) / sum(cnt), 6) AS fertility,
+       |  (SELECT count(DISTINCT s) FROM
+       |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
+       |FROM s4""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bpe_segmentation_stats" -> bpeStatsOracle,
     "eval_rouge2" -> rouge2Oracle,
     "validate_expectations" ->
       """WITH t AS (
