@@ -361,6 +361,56 @@ object Testbed {
         .otherwise(lit(2.0) * p * r / (p + r)))
   }
 
+  /** chrF-style character n-gram F-score (Popović 2015) per candidate/
+    * reference pair: whitespace is stripped entirely (the chrF
+    * convention — char grams measure subword overlap, not spacing),
+    * then for each order n = 1..`maxN`: P_n = clipped matches /
+    * candidate grams, R_n likewise against the reference, F_n =
+    * (1+β²)·P·R / (β²·P + R) (zero when there is no overlap), and
+    * chrF = Σ F_n / maxN — a deterministic documented form (toolkit
+    * implementations differ in their epsilon/skip conventions; this one
+    * replays exactly relationally). β = 2 weights recall double, the
+    * standard chrF2.
+    *
+    * Returns `(idCol, n_cand_chars, n_ref_chars, chrf)`. Same
+    * (id, order, gram)-keyed clip join shape as [[bleu]]/[[rougeN]].
+    */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+           maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
+    require(beta > 0, s"beta must be > 0 (got $beta)")
+    def strip(c: Column): Column = regexp_replace(c, "\\s+", "")
+    val base = pairs.select(col(idCol), strip(col(candCol)).as("__cs"),
+      strip(col(refCol)).as("__rs"))
+    def counts(scol: String, cname: String): DataFrame = (1 to maxN).map { n =>
+      base.select(col(idCol), lit(n).as("__n"),
+        explode(TextAnalysis.charGrams(col(scol), n)).as("gram"))
+    }.reduce(_ union _)
+      .groupBy(col(idCol), col("__n"), col("gram")).agg(count(lit(1)).as(cname))
+    val ref = counts("__rs", "__r")
+    val perOrder = counts("__cs", "__c")
+      .join(ref.hint("SHUFFLE_HASH"), Seq(idCol, "__n", "gram"), "left")
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__clip"),
+        sum(col("__c")).as("__ctot"))
+      .join(ref.groupBy(col(idCol), col("__n")).agg(sum(col("__r")).as("__rtot"))
+        .hint("SHUFFLE_HASH"), Seq(idCol, "__n"), "left")
+    val p = col("__clip").cast("double") / col("__ctot")
+    val r = col("__clip").cast("double") / col("__rtot")
+    val b2 = beta * beta
+    val f = when(col("__clip") === 0L || col("__rtot").isNull, lit(0.0))
+      .otherwise(lit(1.0 + b2) * p * r / (lit(b2) * p + r))
+    val scored = perOrder
+      .withColumn("__f", f)
+      .groupBy(col(idCol))
+      .agg((sum(col("__f")) / lit(maxN.toDouble)).as("chrf"))
+    base.select(col(idCol),
+        length(col("__cs")).cast("long").as("n_cand_chars"),
+        length(col("__rs")).cast("long").as("n_ref_chars"))
+      .join(scored.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .withColumn("chrf", coalesce(col("chrf"), lit(0.0)))
+  }
+
   /** Macro-averaged summary of [[rankingMetrics]] — one row: mean of
     * each metric over the run's queries (every query weighs the same
     * regardless of its n_rel, the standard macro convention).

@@ -29,6 +29,17 @@ object TextAnalysis {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Character n-grams of order `n` over a string column — the char
+    * analog of [[wordGrams]], same descending-sequence guard; empty
+    * array for strings shorter than `n` (null string included).
+    */
+  def charGrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
   /** Count of tokens that appear in `stopwords`. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords: _*))).cast("long")

@@ -188,6 +188,24 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // chrF2 over the same candidate/reference pairing: whitespace
+    // stripped, char-gram orders 1..6, per-order F2 macro-averaged.
+    // The oracle regenerates every order's grams and replays the
+    // identical F arithmetic.
+    "eval_chrf" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter($"doc_id" < 20).select($"doc_id", $"text")
+      val ref = docs.select($"doc_id", $"text".as("ref_text"))
+      val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
+        array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
+          t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      graft.ops.Testbed.chrF(ref.join(cand, "doc_id"),
+          "doc_id", "cand_text", "ref_text", maxN = 6, beta = 2.0)
+        .select($"doc_id", $"n_cand_chars", $"n_ref_chars",
+          round($"chrf", 6).as("chrf"))
+        .orderBy($"doc_id")
+    }),
+
     // Stupid Backoff trigram LM (Brants et al. 2007): counts from the
     // held-out corpus (doc_id >= 10), scores for the first ten docs —
     // genuine unseen grams exercise every backoff branch. The oracle
@@ -1209,7 +1227,49 @@ object TextQueries {
        |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
        |FROM s4""".stripMargin
 
+  private val chrfOracle: String = {
+    def grams(src: String): String = (1 to 6).map { o =>
+      s"""SELECT doc_id, $o AS n, substr($src, CAST(t.i AS INT), $o) AS gram
+         |  FROM pr, UNNEST(range(1, length($src) - ${o - 1} + 1)) t(i)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH pr AS (
+       |  SELECT r.doc_id,
+       |    regexp_replace(r.text, '\\s+', '', 'g') AS rs,
+       |    regexp_replace(c.ctext, '\\s+', '', 'g') AS cs
+       |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20) r
+       |  JOIN (SELECT (doc_id + 19) % 20 AS doc_id,
+       |          array_to_string(list_filter(regexp_split_to_array(trim(text),
+       |            '\\s+'), t -> t <> '')[1:25], ' ') AS ctext
+       |        FROM documents WHERE doc_id < 20) c USING (doc_id)),
+       |cg AS (
+       |  ${grams("cs")}),
+       |rg AS (
+       |  ${grams("rs")}),
+       |cc AS (SELECT doc_id, n, gram, count(*) AS c FROM cg GROUP BY doc_id, n, gram),
+       |rc AS (SELECT doc_id, n, gram, count(*) AS c FROM rg GROUP BY doc_id, n, gram),
+       |cl AS (SELECT cc.doc_id, cc.n,
+       |    sum(least(cc.c, coalesce(rc.c, 0))) AS clip, sum(cc.c) AS ctot
+       |  FROM cc LEFT JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+       |    AND rc.gram = cc.gram
+       |  GROUP BY cc.doc_id, cc.n),
+       |rt AS (SELECT doc_id, n, sum(c) AS rtot FROM rc GROUP BY doc_id, n),
+       |fo AS (SELECT cl.doc_id,
+       |    CASE WHEN cl.clip = 0 OR rt.rtot IS NULL THEN 0.0
+       |         ELSE 5.0 * (CAST(cl.clip AS DOUBLE) / cl.ctot)
+       |                  * (CAST(cl.clip AS DOUBLE) / rt.rtot) /
+       |              (4.0 * (CAST(cl.clip AS DOUBLE) / cl.ctot)
+       |                   + (CAST(cl.clip AS DOUBLE) / rt.rtot)) END AS f
+       |  FROM cl LEFT JOIN rt ON rt.doc_id = cl.doc_id AND rt.n = cl.n),
+       |sc AS (SELECT doc_id, sum(f) / 6.0 AS chrf FROM fo GROUP BY doc_id)
+       |SELECT pr.doc_id,
+       |  CAST(length(cs) AS BIGINT) AS n_cand_chars,
+       |  CAST(length(rs) AS BIGINT) AS n_ref_chars,
+       |  round(coalesce(sc.chrf, 0), 6) AS chrf
+       |FROM pr LEFT JOIN sc USING (doc_id) ORDER BY pr.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "eval_chrf" -> chrfOracle,
     "bpe_segmentation_stats" -> bpeStatsOracle,
     "eval_rouge2" -> rouge2Oracle,
     "validate_expectations" ->

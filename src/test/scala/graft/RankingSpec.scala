@@ -144,6 +144,28 @@ class RankingSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("chrF: hand-computed per-order F2, whitespace stripped, degenerate rows") {
+    val pairs = Seq(
+      (1L, "ab cd", "abcd"),   // identical after stripping → chrF = 1
+      (2L, "ab", "zz"),        // zero overlap at every order
+      (3L, "", "abc")          // empty candidate
+    ).toDF("id", "cand", "ref")
+    val out = Testbed.chrF(pairs, "id", "cand", "ref", maxN = 2, beta = 2.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 1: stripped both "abcd": P=R=1 at both orders → F=1, chrF=1
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 0.0)))
+    assert(out(3L) == ((0L, 3L, 0.0)))
+    // asymmetric: cand "ab", ref "abab": order1 P=1, R=2/4; order2
+    // cand {ab} clip 1 of 1, ref {ab,ba,ab} → R=1/3
+    val a = Testbed.chrF(Seq((9L, "ab", "abab")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", maxN = 2, beta = 2.0).collect()(0).getDouble(3)
+    def f2(p: Double, r: Double) = 5.0 * p * r / (4.0 * p + r)
+    assert(math.abs(a - (f2(1.0, 0.5) + f2(1.0, 1.0 / 3)) / 2) < 1e-12)
+  }
+
   test("partitioning invariance: 1-partition and 7-partition inputs agree") {
     val a = Testbed.rankingMetrics(run.repartition(1), qrels.repartition(7),
       "qid", "doc", "rank", k = 3).orderBy("qid").collect().toSeq
