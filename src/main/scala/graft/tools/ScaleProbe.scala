@@ -548,6 +548,17 @@ object ScaleProbe {
     }
     report("eval_bleu_pairs", time(bleuAll(docs1)), time(bleuAll(docsN)))
 
+    // chrF explodes 6 char-gram orders per side — the heaviest of the
+    // generation metrics; pair count scales with the corpus
+    def chrfAll(d: DataFrame): Long = {
+      val ref = d.select($"doc_id", $"text".as("ref_text"))
+      val cand = d.select(($"doc_id" + lit(1L)).as("doc_id"),
+        $"text".as("cand_text"))
+      graft.ops.Testbed.chrF(ref.join(cand, "doc_id"),
+        "doc_id", "cand_text", "ref_text", maxN = 6).count()
+    }
+    report("eval_chrf_pairs", time(chrfAll(docs1)), time(chrfAll(docsN)))
+
     // full-corpus kNN graph via the IVF-bucketed join: the query side
     // IS the corpus (unbroadcastable by design); cells grow with the
     // corpus so expected cell population stays constant and the
