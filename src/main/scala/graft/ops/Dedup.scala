@@ -720,8 +720,10 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
     require(k >= 2, s"span granularity k must be >= 2, got $k")
+    // explicit class, not \s+: Java's \s includes U+000B, RE2's (the
+    // oracle engine's) does not — the NormalizeText convention
     val toks = df.select(col(idCol),
-      split(coalesce(col(textCol), lit("")), "\\s+").as("__t"))
+      split(coalesce(col(textCol), lit("")), "[\\t\\n\\f\\r ]+").as("__t"))
     // (id, pos, digest) for every k-gram start position, 1-based
     // grams feeds BOTH the occurrence count and the semi-join probe;
     // Catalyst has no cross-branch CSE, so without the persist the

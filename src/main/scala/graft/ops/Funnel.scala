@@ -52,10 +52,12 @@ object Funnel {
   /** Cohort retention: users grouped by the time bucket of their FIRST
     * event (the cohort), then counted in every later bucket they were
     * active in — `(cohort, week_offset, n_users)`, offset 0 being the
-    * cohort bucket itself. Buckets are exact integer division of the
-    * raw timestamp (nanos by default — `bucketNs` = one 7-day week), so
-    * the computation is wholly integer arithmetic and reproduces
-    * bit-for-bit on any engine.
+    * cohort bucket itself. Buckets are exact integer FLOOR division of
+    * the raw timestamp (nanos by default — `bucketNs` = one 7-day
+    * week), so the computation is wholly integer arithmetic and
+    * reproduces bit-for-bit on any engine — including pre-epoch
+    * (negative) timestamps, where Spark's `div` truncates toward zero
+    * but floor (and DuckDB's `//`) rounds down.
     *
     * Plan shape: one (user, bucket) dedup agg, one per-user min agg,
     * one SHUFFLE_HASH join of the two (both already keyed by user),
@@ -65,7 +67,12 @@ object Funnel {
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       bucketNs: Long = 7L * 86400L * 1000000000L): DataFrame = {
     require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
-    val wk = expr(s"`$tsCol` div ${bucketNs}L")
+    // integer floor division (not `div`, which truncates toward zero):
+    // stays in Long arithmetic — floor(ts / b) via DOUBLE would lose
+    // precision above 2^53 ns (~104 days)
+    val q = expr(s"`$tsCol` div ${bucketNs}L")
+    val r = expr(s"`$tsCol` % ${bucketNs}L")
+    val wk = when(r < 0, q - 1).otherwise(q)
     val active = events.select(col(userCol), wk.as("__wk")).distinct()
     val cohorts = active.groupBy(col(userCol)).agg(min(col("__wk")).as("cohort"))
     active.join(cohorts.hint("SHUFFLE_HASH"), Seq(userCol))

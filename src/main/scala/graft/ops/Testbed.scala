@@ -279,8 +279,11 @@ object Testbed {
   def bleu(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
            maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
+    // null text tokenizes as empty (not null): a NULL side must still
+    // report its gram/token counts as 0 on the "one row per pair"
+    // contract — size(NULL) would otherwise null the count columns
     def toks(c: Column): Column =
-      filter(TextAnalysis.tokens(c), t => length(t) > 0)
+      filter(TextAnalysis.tokens(coalesce(c, lit(""))), t => length(t) > 0)
     val base = pairs.select(col(idCol), toks(col(candCol)).as("__cw"),
       toks(col(refCol)).as("__rw"))
     def grams(wcol: String): DataFrame = (1 to maxN).map { n =>
@@ -329,8 +332,11 @@ object Testbed {
   def rougeN(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
              n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1 (got $n)")
+    // null text tokenizes as empty (not null): a NULL side must still
+    // report its gram/token counts as 0 on the "one row per pair"
+    // contract — size(NULL) would otherwise null the count columns
     def toks(c: Column): Column =
-      filter(TextAnalysis.tokens(c), t => length(t) > 0)
+      filter(TextAnalysis.tokens(coalesce(c, lit(""))), t => length(t) > 0)
     val base = pairs.select(col(idCol), toks(col(candCol)).as("__cw"),
       toks(col(refCol)).as("__rw"))
     def counts(wcol: String, cname: String): DataFrame =
@@ -379,7 +385,9 @@ object Testbed {
            maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
     require(beta > 0, s"beta must be > 0 (got $beta)")
-    def strip(c: Column): Column = regexp_replace(c, "\\s+", "")
+    // explicit class, not \s+: Java's \s includes U+000B (vertical tab),
+    // RE2's (the oracle engine's) does not — the NormalizeText convention
+    def strip(c: Column): Column = regexp_replace(c, "[\\t\\n\\f\\r ]+", "")
     val base = pairs.select(col(idCol), strip(col(candCol)).as("__cs"),
       strip(col(refCol)).as("__rs"))
     def counts(scol: String, cname: String): DataFrame = (1 to maxN).map { n =>

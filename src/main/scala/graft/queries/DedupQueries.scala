@@ -314,7 +314,8 @@ object DedupQueries {
       s"""WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(
         |    text)), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS text FROM documents),
         |t AS (SELECT doc_id,
-        |        regexp_split_to_array(coalesce(text, ''), '\\s+') AS tk
+        |        regexp_split_to_array(coalesce(text, ''),
+        |          '[\\t\\n\\f\\r ]+') AS tk
         |      FROM nrm),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-8+2),
         |        i -> {'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))})) AS pg
@@ -349,7 +350,8 @@ object DedupQueries {
         |FROM asg GROUP BY split ORDER BY split""".stripMargin,
     "dedup_span_removal" ->
       """WITH t AS (SELECT doc_id,
-        |             regexp_split_to_array(coalesce(text, ''), '\s+') AS tk
+        |             regexp_split_to_array(coalesce(text, ''),
+        |               '[\t\n\f\r ]+') AS tk
         |           FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-8+2),
         |        i -> {'pos': i, 'h': md5(array_to_string(tk[i:i+7], ' '))})) AS pg

@@ -196,6 +196,14 @@ object KeywordQueries {
     * index-path query entries (identical expansion, identical final
     * ranking). The learned term set is a RELATION (expt/terms CTEs),
     * never literals.
+    *
+    * The kw0/final CTEs rank on the ROUNDED score with an id tiebreak —
+    * deliberately matching the engine: [[Keyword.bm25]] (and
+    * `bm25Indexed`) order by `round(sum, 6)` then id (Keyword.scala:92,
+    * 446), so a raw-score near-tie rounds to equality and resolves by
+    * id identically in both engines. Ranking on the unrounded sum here
+    * would REINTRODUCE the last-ulp cross-engine cut this convention
+    * exists to remove.
     */
   private lazy val prfOracle: String = {
     val termList = Terms.map(t => s"'$t'").mkString(", ")
@@ -261,7 +269,8 @@ object KeywordQueries {
         |  GROUP BY term, doc_id)
         |SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms,
         |  (SELECT count(*) FROM documents) AS n_docs,
-        |  (SELECT sum(len(regexp_split_to_array(trim(text), '\s+'))) FROM documents) AS sum_dl
+        |  (SELECT sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+        |   FROM documents) AS sum_dl
         |FROM tf ORDER BY n_postings""".stripMargin,
     "hybrid_rrf_fusion" ->
       s"""WITH ${bm25Sql(where = "WHERE doc_id <> 0", limit = 50)},

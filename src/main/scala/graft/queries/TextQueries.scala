@@ -1081,9 +1081,10 @@ object TextQueries {
        |${bpeIter(2)},
        |${bpeIter(3)}
        |SELECT * FROM (
-       |  SELECT 1 AS iteration, a AS pair_a, b AS pair_b, n AS freq FROM best1
-       |  UNION ALL SELECT 2, a, b, n FROM best2
-       |  UNION ALL SELECT 3, a, b, n FROM best3)
+       |  SELECT 1 AS iteration, a AS pair_a, b AS pair_b,
+       |    n::BIGINT AS freq FROM best1
+       |  UNION ALL SELECT 2, a, b, n::BIGINT FROM best2
+       |  UNION ALL SELECT 3, a, b, n::BIGINT FROM best3)
        |ORDER BY iteration""".stripMargin
 
   private val ngramLmOracle: String =
@@ -1129,7 +1130,7 @@ object TextQueries {
       |    END AS s
       |  FROM j, nn)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
       |  round(sum(CASE WHEN s > 0 THEN ln(s) END), 6) AS logprob
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -1204,7 +1205,8 @@ object TextQueries {
       |    CASE WHEN n_ref_grams = 0 THEN 0.0
       |         ELSE CAST(overlap AS DOUBLE) / n_ref_grams END AS r
       |  FROM m)
-      |SELECT doc_id, n_cand_grams, n_ref_grams, overlap,
+      |SELECT doc_id, n_cand_grams::BIGINT AS n_cand_grams,
+      |  n_ref_grams::BIGINT AS n_ref_grams, overlap::BIGINT AS overlap,
       |  round(p, 6) AS precision, round(r, 6) AS recall,
       |  round(CASE WHEN p + r = 0 THEN 0.0
       |        ELSE 2.0 * p * r / (p + r) END, 6) AS f1
@@ -1220,8 +1222,8 @@ object TextQueries {
        |${bpeIter(2)},
        |${bpeIter(3)}
        |SELECT count(*) AS n_distinct_words,
-       |  sum(cnt) AS n_word_occurrences,
-       |  sum(cnt * len(syms)) AS n_symbol_occurrences,
+       |  sum(cnt)::BIGINT AS n_word_occurrences,
+       |  sum(cnt * len(syms))::BIGINT AS n_symbol_occurrences,
        |  round(CAST(sum(cnt * len(syms)) AS DOUBLE) / sum(cnt), 6) AS fertility,
        |  (SELECT count(DISTINCT s) FROM
        |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
@@ -1234,8 +1236,8 @@ object TextQueries {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH pr AS (
        |  SELECT r.doc_id,
-       |    regexp_replace(r.text, '\\s+', '', 'g') AS rs,
-       |    regexp_replace(c.ctext, '\\s+', '', 'g') AS cs
+       |    regexp_replace(r.text, '[\\t\\n\\f\\r ]+', '', 'g') AS rs,
+       |    regexp_replace(c.ctext, '[\\t\\n\\f\\r ]+', '', 'g') AS cs
        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20) r
        |  JOIN (SELECT (doc_id + 19) % 20 AS doc_id,
        |          array_to_string(list_filter(regexp_split_to_array(trim(text),
@@ -1456,9 +1458,9 @@ object TextQueries {
         |  FROM documents) d
         |JOIN q USING (lang) WHERE d.rk <= q.qq ORDER BY doc_id""".stripMargin,
     "pack_sequence_windows" ->
-      """SELECT doc_id, position, "offset",
-        |  "offset" // 512 AS first_window,
-        |  ("offset" + greatest(tokens - 1, 0)) // 512 AS last_window
+      """SELECT doc_id, position, "offset"::BIGINT AS "offset",
+        |  ("offset" // 512)::BIGINT AS first_window,
+        |  (("offset" + greatest(tokens - 1, 0)) // 512)::BIGINT AS last_window
         |FROM (
         |  SELECT doc_id, tokens,
         |    row_number() OVER w AS position,

@@ -44,11 +44,14 @@ object IncrementalIngest {
   /** Data-contract gate per micro-batch: every arriving batch is
     * validated against `rules` ([[graft.ops.Validate]] — the same
     * single-scan fold the batch gate uses); a CLEAN batch flows to
-    * `process`, a violating batch is atomically quarantined (written
-    * under `quarantineDir/batch=<id>` alongside its report) and NEVER
-    * reaches the store — the streaming promotion gate a continuous
-    * corpus drop needs, with the failed drop preserved byte-for-byte
-    * for the operator to inspect and replay.
+    * `process`, a violating batch is quarantined (rows + report written
+    * under `quarantineDir/batch=<id>`) and NEVER reaches the store —
+    * the streaming promotion gate a continuous corpus drop needs, with
+    * the failed drop preserved byte-for-byte for the operator to
+    * inspect and replay. The two quarantine writes are separate jobs, so
+    * a `_QUARANTINED` marker is written only after BOTH land — a rows
+    * dir without the marker is a detectable partial quarantine (a crash
+    * between the writes), not a complete drop.
     *
     * The per-batch work is one validation aggregate over the batch plus
     * `process` itself; the quarantine path touches only bad batches.
@@ -66,6 +69,8 @@ object IncrementalIngest {
         .parquet(s"$quarantineDir/batch=$batchId/rows")
       report.write.mode("overwrite")
         .parquet(s"$quarantineDir/batch=$batchId/report")
+      graft.Fs.writeString(batch.sparkSession,
+        s"$quarantineDir/batch=$batchId/_QUARANTINED", "")
     }
     clean
   }
