@@ -128,4 +128,29 @@ object Bpe {
     }
     out
   }
+
+  /** The tokenizer APPLIED to the corpus: per-document subword counts
+    * under a learned merge table — `(idCol, n_words, n_bpe_tokens)`,
+    * one row per document (0/0 for an empty one). The number a corpus
+    * owner actually budgets with: sequence lengths and packing windows
+    * are counted in THESE tokens, not whitespace words.
+    *
+    * Scale shape: segmentation runs once per DISTINCT word (the
+    * vocabulary — orders of magnitude smaller than the corpus), and the
+    * vocabulary-to-length table broadcasts to the per-document count
+    * join, so corpus rows never shuffle to be measured; the only
+    * corpus-sized exchange is the per-document agg keyed by id.
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge]): DataFrame = {
+    val words = docs.select(col(idCol), explode_outer(
+      filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)).as("word"))
+    val vocab = words.filter(col("word").isNotNull).select(col("word")).distinct()
+    val lens = segment(vocab, "word", merges)
+      .select(col("word"), size(col("syms")).cast("long").as("__len"))
+    words.join(broadcast(lens), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum(col("__len")), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -297,6 +297,33 @@ object Ivf {
     val probes = model.probeOrder(queryVec).take(math.max(1, nProbe)).toSeq
     Similarity.knn(
       store.filter(col("cluster_id").isin(probes: _*)),
+      embCol, queryVec, topK, metric)
+  }
+
+  /** Metadata-filtered ANN — the vector-store feature every production
+    * retrieval stack pairs with similarity search ("top-k docs about X
+    * *in English*, *from this source*"). Semantics are PRE-filter
+    * (filter-then-search): `predicate` is applied to the probed rows
+    * BEFORE scoring, so the result is the exact top-k of the filtered
+    * probed set and always returns `topK` rows when that many match.
+    * (Post-filtering a plain top-k would silently return fewer — up to
+    * zero — rows for selective predicates; that footgun is why this is
+    * an operator and not a `.filter` on [[search]]'s result.)
+    *
+    * Plan shape: partition pruning from the probe list composes with
+    * predicate pushdown — on a [[writePartitioned]] store BOTH reach
+    * the parquet scan, so a selective metadata filter cuts scan IO
+    * multiplicatively with nProbe. At `nProbe = model.k` the result is
+    * the exact filtered top-k (oracle-checkable).
+    */
+  def searchFiltered(store: DataFrame, embCol: String, model: IvfModel,
+                     queryVec: Array[Float], topK: Int, nProbe: Int,
+                     predicate: Column, metric: String = "COSINE",
+                     storePath: Option[String] = None): DataFrame = {
+    storePath.foreach(p => requireModelMatch(store.sparkSession, p, model))
+    val probes = model.probeOrder(queryVec).take(math.max(1, nProbe)).toSeq
+    Similarity.knn(
+      store.filter(col("cluster_id").isin(probes: _*)).filter(predicate),
       embCol, queryVec, topK, metric)
   }
 

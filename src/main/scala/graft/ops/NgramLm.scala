@@ -109,4 +109,32 @@ object NgramLm {
         sum(when(col("__s") === 0.0, 1L).otherwise(0L)).as("n_zero"),
         sum(when(col("__s") > 0, log(col("__s")))).as("logprob"))
   }
+
+  /** KenLM-style fluency gate: per-document perplexity against a
+    * [[gramCounts]] Stupid Backoff model, keeping documents with
+    * `ppl = exp(-logprob / n_tokens) ≤ maxPpl` — the standard "drop
+    * gibberish and boilerplate the LM finds implausible" curation
+    * filter. Documents with ANY zero-score chain (an OOV even at the
+    * unigram level) are dropped outright: their true perplexity is
+    * infinite, not the positive-position average.
+    *
+    * Returns `(idCol, n_tokens, ppl)` for survivors, ppl rounded to 6
+    * decimals with the CUT applied to the rounded value (the
+    * [[Keyword.bm25]] convention — a raw-double threshold would let
+    * last-ulp cross-engine drift flip membership).
+    *
+    * Scale shape is [[scoreStupidBackoff]]'s: the model table joins
+    * SHUFFLE_HASH against the probe stream, the gate itself is a
+    * map-side filter on the scored aggregate.
+    */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                       counts: DataFrame, maxPpl: Double,
+                       alpha: Double = 0.4): DataFrame = {
+    require(maxPpl > 0, s"maxPpl must be > 0 (got $maxPpl)")
+    scoreStupidBackoff(docs, idCol, textCol, counts, alpha)
+      .filter(col("n_zero") === 0)
+      .select(col(idCol), col("n_tokens"),
+        round(exp(-col("logprob") / col("n_tokens")), 6).as("ppl"))
+      .filter(col("ppl") <= maxPpl)
+  }
 }

@@ -223,6 +223,20 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // The LM as a quality gate: score EVERY doc against the held-out
+    // model, keep fluent ones (no OOV chain, ppl ≤ 20). Training docs
+    // self-score low; the unseen first ten survive or fall on their
+    // n-gram overlap — both regimes exercised in one filter.
+    "lm_perplexity_filter" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val counts = graft.ops.NgramLm.gramCounts(
+        docs.filter($"doc_id" >= 10), "text", maxN = 3)
+      graft.ops.NgramLm.perplexityFilter(docs, "doc_id", "text", counts,
+          maxPpl = 20.0)
+        .orderBy($"doc_id")
+    }),
+
     // BPE vocabulary training (Sennrich et al. 2016): 3 merge rounds
     // learned from the corpus word-count table. The oracle unrolls the
     // SAME three rounds relationally — weighted overlapping pair
@@ -236,6 +250,19 @@ object TextQueries {
       merges.toDF()
         .select($"iteration", $"a".as("pair_a"), $"b".as("pair_b"), $"freq")
         .orderBy($"iteration")
+    }),
+
+    // The learned tokenizer applied to every DOCUMENT: per-doc subword
+    // counts — what sequence budgeting and packing actually consume.
+    // The oracle replays the same 3 merge rounds and joins each doc's
+    // words to the resulting symbol table.
+    "bpe_encode_docs" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val (merges, _) = graft.ops.Bpe.learnMerges(
+        graft.ops.Bpe.wordCounts(docs, "text"), nMerges = 3)
+      graft.ops.Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .orderBy($"doc_id")
     }),
 
     // The learned BPE merges APPLIED: vocabulary-level segmentation
@@ -258,6 +285,20 @@ object TextQueries {
           round($"n_symbol_occurrences".cast("double") /
             $"n_word_occurrences", 6).as("fertility"),
           $"n_vocab_symbols")
+    }),
+
+    // DSIR importance selection (Xie et al. 2023): rank the corpus by
+    // hashed-unigram log-likelihood ratio toward a target domain (the
+    // English slice stands in for "docs like my target") and keep the
+    // 100 most target-like. Buckets, both distributions, and every
+    // document weight are md5-derived, so the oracle replays the whole
+    // model relationally.
+    "dsir_importance_select" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      graft.ops.Importance.dsirTopK(docs, docs.filter($"lang" === "en"),
+          "doc_id", "text", quota = 100)
+        .orderBy($"logweight".desc, $"doc_id")
     }),
 
     // The allocated quotas applied as the md5-rank stratified take: the
@@ -1087,9 +1128,14 @@ object TextQueries {
        |  UNION ALL SELECT 3, a, b, n::BIGINT FROM best3)
        |ORDER BY iteration""".stripMargin
 
-  private val ngramLmOracle: String =
-    """WITH tokc AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
-      |        t -> t <> '') AS w FROM documents WHERE doc_id >= 10),
+  /** The Stupid Backoff CTE chain through per-position scores `p` —
+    * shared by the scoring oracle and the perplexity-filter oracle
+    * (identical counts, probes, and backoff CASE; only the tail
+    * aggregation differs).
+    */
+  private def ngramLmCtes(trainWhere: String, scoreWhere: String): String =
+    s"""WITH tokc AS (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |        t -> t <> '') AS w FROM documents $trainWhere),
       |gr AS (
       |  SELECT 1 AS o, w[CAST(t.i AS INT)] AS gram
       |  FROM tokc, UNNEST(range(1, len(w) + 1)) t(i)
@@ -1102,8 +1148,8 @@ object TextQueries {
       |  FROM tokc, UNNEST(range(1, len(w) - 1)) t(i)),
       |cnts AS (SELECT o, gram, count(*) AS c FROM gr GROUP BY o, gram),
       |nn AS (SELECT count(*) AS n FROM gr WHERE o = 1),
-      |sd AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
-      |        t -> t <> '') AS w FROM documents WHERE doc_id < 10),
+      |sd AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |        t -> t <> '') AS w FROM documents $scoreWhere),
       |sc AS (SELECT doc_id, CAST(t.i AS INT) AS i, w[CAST(t.i AS INT)] AS tk,
       |    CASE WHEN CAST(t.i AS INT) >= 2 THEN w[CAST(t.i AS INT) - 1] END AS p1,
       |    CASE WHEN CAST(t.i AS INT) >= 3 THEN w[CAST(t.i AS INT) - 2] END AS p2
@@ -1128,11 +1174,31 @@ object TextQueries {
       |                ELSE 0.4 * (0.4 * coalesce(CAST(c_u AS DOUBLE) / nn.n, 0))
       |           END
       |    END AS s
-      |  FROM j, nn)
-      |SELECT doc_id, count(*) AS n_tokens,
+      |  FROM j, nn)""".stripMargin
+
+  // NOTE: the CTE chunk is already margin-stripped — concatenate, never
+  // re-stripMargin over it (its `|| ' ' ||` continuation lines would be
+  // eaten as margins)
+  private val ngramLmOracle: String =
+    ngramLmCtes("WHERE doc_id >= 10", "WHERE doc_id < 10") + "\n" +
+      """SELECT doc_id, count(*) AS n_tokens,
       |  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
       |  round(sum(CASE WHEN s > 0 THEN ln(s) END), 6) AS logprob
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Perplexity gate: score EVERY doc against the held-out-trained
+    * model, keep docs with no zero-score chain and 6dp-rounded
+    * ppl ≤ threshold — the KenLM-style fluency filter tail.
+    */
+  private def pplFilterOracle(maxPpl: Double): String =
+    ngramLmCtes("WHERE doc_id >= 10", "") + "\n" +
+      s"""SELECT doc_id, n_tokens, ppl FROM (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |    round(exp(-sum(CASE WHEN s > 0 THEN ln(s) END) / count(*)), 6) AS ppl
+      |  FROM p GROUP BY doc_id)
+      |WHERE n_zero = 0 AND ppl <= $maxPpl
+      |ORDER BY doc_id""".stripMargin
 
   private val bleuOracle: String =
     """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
@@ -1229,6 +1295,28 @@ object TextQueries {
        |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
        |FROM s4""".stripMargin
 
+  /** The tokenizer-apply oracle: the same three learned merge rounds
+    * ([[bpeIter]]), then each document's words joined to the final
+    * symbol table for per-doc subword counts.
+    */
+  private val bpeEncodeOracle: String =
+    s"""WITH w AS (SELECT term AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |    FROM documents) WHERE term <> '' GROUP BY term),
+       |s1 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1),
+       |        i -> substr(word, CAST(i AS INT), 1)) AS syms FROM w),
+       |${bpeIter(1)},
+       |${bpeIter(2)},
+       |${bpeIter(3)},
+       |dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text),
+       |        '\\s+'), t -> t <> '')) AS word FROM documents),
+       |ag AS (SELECT doc_id, count(*) AS n_words, sum(len(s4.syms)) AS n_bpe
+       |       FROM dw JOIN s4 USING (word) GROUP BY doc_id)
+       |SELECT doc.doc_id, coalesce(ag.n_words, 0)::BIGINT AS n_words,
+       |  coalesce(ag.n_bpe, 0)::BIGINT AS n_bpe_tokens
+       |FROM documents doc LEFT JOIN ag ON ag.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   private val chrfOracle: String = {
     def grams(src: String): String = (1 to 6).map { o =>
       s"""SELECT doc_id, $o AS n, substr($src, CAST(t.i AS INT), $o) AS gram
@@ -1273,6 +1361,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "eval_chrf" -> chrfOracle,
     "bpe_segmentation_stats" -> bpeStatsOracle,
+    "bpe_encode_docs" -> bpeEncodeOracle,
     "eval_rouge2" -> rouge2Oracle,
     "validate_expectations" ->
       """WITH t AS (
@@ -1308,6 +1397,7 @@ object TextQueries {
         |ORDER BY rule, "column"""".stripMargin,
     "eval_bleu" -> bleuOracle,
     "ngram_lm_score" -> ngramLmOracle,
+    "lm_perplexity_filter" -> pplFilterOracle(20.0),
     "bpe_learn_merges" -> bpeLearnOracle,
     "split_recursive" -> splitRecursiveOracle,
     "split_token_pack" -> splitTokenPackOracle,
@@ -1440,6 +1530,35 @@ object TextQueries {
         |SELECT lang, n,
         |  base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS quota
         |FROM r ORDER BY lang""".stripMargin,
+    // the whole DSIR model replayed: bucket = first 3 hex of md5 (12
+    // bits), additive smoothing α=1 on both distributions, log-ratio λ
+    // over ALL 4096 buckets, per-doc Σ cnt·λ rounded to 6dp, rank on
+    // the rounded weight with id tiebreak (the bm25 convention)
+    "dsir_importance_select" ->
+      """WITH tb AS (
+        |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 3))::INT AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_filter(regexp_split_to_array(trim(text),
+        |            '\s+'), t -> t <> '')) AS t
+        |        FROM documents)),
+        |sc AS (SELECT b, count(*) AS cs FROM tb GROUP BY b),
+        |tc AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        |st AS (SELECT (SELECT count(*) FROM tb) AS ts,
+        |              (SELECT count(*) FROM tb WHERE lang = 'en') AS tt),
+        |lam AS (
+        |  SELECT r.b,
+        |    ln((coalesce(tc.ct, 0) + 1.0) / (st.tt + 1.0 * 4096)) -
+        |    ln((coalesce(sc.cs, 0) + 1.0) / (st.ts + 1.0 * 4096)) AS lam
+        |  FROM (SELECT unnest(range(0, 4096))::INT AS b) r
+        |  LEFT JOIN sc ON sc.b = r.b LEFT JOIN tc ON tc.b = r.b, st),
+        |db AS (SELECT doc_id, b, count(*) AS cnt FROM tb GROUP BY doc_id, b),
+        |w AS (SELECT db.doc_id, sum(cnt) AS n_tokens,
+        |        round(sum(cnt * lam), 6) AS logweight
+        |      FROM db JOIN lam ON lam.b = db.b GROUP BY db.doc_id)
+        |SELECT doc.doc_id, coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(w.logweight, 0.0) AS logweight
+        |FROM documents doc LEFT JOIN w ON w.doc_id = doc.doc_id
+        |ORDER BY logweight DESC, doc.doc_id LIMIT 100""".stripMargin,
     "mix_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),

@@ -106,7 +106,39 @@ object VectorSearch {
       (dir, ivf, pq)
     })
 
+  /** Cluster-partitioned store carrying a METADATA column (lang, via
+    * the vec_id ≡ doc_id join) alongside the embedding — the layout
+    * filtered ANN serves from.
+    */
+  private val ivfmCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedIvfMetaStore(s: SparkSession, d: String): String =
+    ivfmCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ivfm-session").toString + "/emb"
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .join(documents(s, d).select(col("doc_id").as("vec_id"), col("lang")),
+          Seq("vec_id"))
+      val model = graft.ops.Ivf.fit(emb, "vec_id", "embedding", k = 8)
+      graft.ops.Ivf.writePartitioned(emb, "embedding", model, dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
+    // Metadata-filtered ANN (pre-filter semantics: predicate BEFORE
+    // scoring, so selective filters still return k rows): full probe +
+    // lang='en' must equal the exact filtered top-k — the oracle
+    // recomputes it from the raw tables with the same join.
+    "ann_ivf_filtered_probe" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val path = cachedIvfMetaStore(s, d)
+      val model = graft.ops.Ivf.loadModel(s, graft.ops.Ivf.modelPath(path))
+      val store = s.read.parquet(path).filter($"vec_id" =!= 0)
+      graft.ops.Ivf.searchFiltered(store, "embedding", model, qv, topK = 10,
+          nProbe = model.k, predicate = $"lang" === "en")
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // V2 similarity top-k under each declared metric (schema.py:18).
     "knn_cosine_topk" -> knnQuery("COSINE"),
     "knn_euclidean_topk" -> knnQuery("EUCLIDEAN_DISTANCE"),
@@ -468,6 +500,16 @@ object VectorSearch {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact filtered top-k from the raw tables: the same vec_id ≡
+    // doc_id metadata join, predicate applied BEFORE the top-k cut
+    "ann_ivf_filtered_probe" ->
+      """SELECT vec_id, round(s, 6) AS sim FROM (
+        |  SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |  WHERE e.vec_id <> 0 AND d.lang = 'en'
+        |  ORDER BY s DESC, e.vec_id LIMIT 10)
+        |ORDER BY sim DESC, vec_id""".stripMargin,
     // coverage recomputed independently from the QA source slice; the
     // [0,1] bound is constant-truth
     "testbed_eval_report_invariants" ->

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Bpe, Importance, Ivf, NgramLm, Similarity}
+
+/** Round-8 curation operators: DSIR importance weighting, the LM
+  * perplexity gate, metadata-filtered ANN, and corpus BPE encoding.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- DSIR ----
+
+  test("dsirLogWeights: target-like docs outrank off-target docs") {
+    // target speaks only of "alpha beta"; corpus doc 1 matches it,
+    // doc 2 is disjoint vocabulary, doc 3 mixes
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta alpha"), Tuple1("beta alpha"))
+      .toDF("text")
+    val w = Importance.dsirLogWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"expected target-affine ordering, got $w")
+    assert(w(1L) > 0 && w(2L) < 0)
+  }
+
+  test("dsirLogWeights: empty and null text score 0.0 over 0 tokens") {
+    val corpus = Seq((1L, "alpha"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha")).toDF("text")
+    val got = Importance.dsirLogWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(2L) == ((0L, 0.0)) && got(3L) == ((0L, 0.0)))
+    assert(got.size == 3)
+  }
+
+  test("dsirLogWeights plan: λ table joins broadcast, corpus never broadcast") {
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val plan = Importance.dsirLogWeights(corpus, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"λ join must broadcast the 4096-row table:\n$plan")
+  }
+
+  test("tokenBucket matches the md5-prefix hex convention, in [0, 4096)") {
+    val got = Seq("hello", "", "α").toDF("t")
+      .select(Importance.tokenBucket($"t")).as[Int].collect()
+    // first 3 hex chars of md5: hello → 5d4 = 1492
+    assert(got(0) == 0x5d4)
+    assert(got.forall(b => b >= 0 && b < 4096))
+  }
+
+  test("dsirTopK: quota cut on the rounded weight with id tiebreak") {
+    val corpus = (1L to 20L).map(i =>
+      (i, if (i <= 10) "alpha beta" else "gamma delta")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta")).toDF("text")
+    val ids = Importance.dsirTopK(corpus, target, "doc_id", "text", quota = 10)
+      .select($"doc_id").as[Long].collect()
+    assert(ids.toSeq == (1L to 10L), s"got ${ids.toSeq}")
+  }
+
+  // ---- perplexity filter ----
+
+  test("perplexityFilter: fluent docs survive, OOV-chain docs drop") {
+    val train = Seq("the cat sat", "the cat ran", "the dog sat").toDF("text")
+    val counts = NgramLm.gramCounts(train, "text", maxN = 3)
+    val docs = Seq(
+      (1L, "the cat sat"),          // fully seen — low ppl
+      (2L, "zz qq ww")              // all OOV — n_zero > 0, dropped
+    ).toDF("doc_id", "text")
+    val got = NgramLm.perplexityFilter(docs, "doc_id", "text", counts,
+      maxPpl = 1e6).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(got.head.getDouble(2) > 0)
+  }
+
+  test("perplexityFilter: the cut applies to the 6dp-rounded value") {
+    val train = Seq("a b c", "a b d").toDF("text")
+    val counts = NgramLm.gramCounts(train, "text", maxN = 3)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val ppl = NgramLm.perplexityFilter(docs, "doc_id", "text", counts,
+      maxPpl = 1e6).head.getDouble(2)
+    // survives at exactly its own rounded ppl, drops just below it
+    assert(NgramLm.perplexityFilter(docs, "doc_id", "text", counts,
+      maxPpl = ppl).count() == 1)
+    assert(NgramLm.perplexityFilter(docs, "doc_id", "text", counts,
+      maxPpl = ppl - 1e-6).count() == 0)
+  }
+
+  // ---- filtered ANN ----
+
+  private def planted(n: Int) = (0 until n).map { i =>
+    (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1f else 0f),
+      if (i % 2 == 0) "en" else "de")
+  }.toDF("vec_id", "embedding", "lang")
+
+  test("searchFiltered: pre-filter returns k rows where post-filter starves") {
+    val store = planted(64)
+    val model = Ivf.fit(store, "vec_id", "embedding", k = 4)
+    val assigned = Ivf.assign(store, "embedding", model)
+    val qv = Array(1f, 0f, 0f, 0f)
+    val pre = Ivf.searchFiltered(assigned, "embedding", model, qv,
+      topK = 8, nProbe = model.k, predicate = $"lang" === "de")
+    assert(pre.count() == 8)
+    assert(pre.select($"lang").distinct().as[String].collect().toSeq == Seq("de"))
+    // post-filtering the unfiltered top-8 finds mostly 'en' axis-aligned
+    // vectors — fewer than k survivors
+    val post = Ivf.search(assigned, "embedding", model, qv,
+      topK = 8, nProbe = model.k).filter($"lang" === "de")
+    assert(post.count() < 8)
+  }
+
+  test("searchFiltered at full probe equals exact filtered knn") {
+    val store = planted(64)
+    val model = Ivf.fit(store, "vec_id", "embedding", k = 4)
+    val assigned = Ivf.assign(store, "embedding", model)
+    val qv = Array(0.5f, 0.5f, 0f, 0f)
+    val got = Ivf.searchFiltered(assigned, "embedding", model, qv,
+        topK = 5, nProbe = model.k, predicate = $"lang" === "en")
+      .select($"vec_id", $"score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Similarity.knn(store.filter($"lang" === "en"), "embedding", qv, k = 5)
+      .select($"vec_id", $"score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  // ---- BPE encode ----
+
+  test("encodeStats: per-doc subword counts under learned merges") {
+    val docs = Seq(
+      (1L, "aaab aaab ab"),
+      (2L, "aaab"),
+      (3L, "")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), nMerges = 1)
+    // corpus pairs: "aa" in aaab (weight 2×2 non-overlap... greedy) and
+    // "ab"; merge 1 is the argmax — whatever it is, recompute expected
+    // lengths from segment() itself for the fixture's vocabulary
+    val lens = Bpe.segment(Seq("aaab", "ab").toDF("word"), "word", merges)
+      .select($"word", size($"syms")).as[(String, Int)].collect().toMap
+    val got = Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 2L * lens("aaab") + lens("ab"))))
+    assert(got(2L) == ((1L, lens("aaab").toLong)))
+    assert(got(3L) == ((0L, 0L)))
+  }
+
+  test("encodeStats plan: vocabulary lengths broadcast to the count join") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), nMerges = 1)
+    val plan = Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+  }
+}
