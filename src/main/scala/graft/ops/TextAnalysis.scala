@@ -214,4 +214,63 @@ object TextAnalysis {
         (log2(col("__t").cast("double")) - col("__s") / col("__t").cast("double"))
           .as(outCol))
   }
+
+  /** The Gopher quality rule battery (Rae et al. 2021, table A1) as one
+    * single-scan columnar projection — the word-level document filters
+    * a web-scale corpus runs before anything model-based:
+    *
+    *   - word count within `[minWords, maxWords]`
+    *   - mean word length within [3, 10] characters
+    *   - ≤ 10% of words are symbol-ish (contain `#` or `...`)
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≤ 90% of lines start like a bullet (`- ` or `•`)
+    *   - ≥ 2 stopword hits
+    *
+    * Every rule is evaluated as an EXACT integer cross-multiplication
+    * (`5·alpha ≥ 4·words`, never `alpha/words ≥ 0.8`), so rule outcomes
+    * are bit-identical in any engine with no float boundary to sit on.
+    * Returns one row per document: the raw counts, each rule's boolean,
+    * and the conjunction `passed` — keep the counts, they are what a
+    * corpus owner tunes thresholds against.
+    *
+    * Scale shape: pure narrow projection, no joins, no shuffle; the
+    * filter composes map-side with whatever scan feeds it.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] = StopwordsEn,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => length(l) > 0)
+    df.select(col(idCol), toks.as("__w"), lines.as("__l"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(col("__w"), lit(0L), (acc, t) => acc + length(t))
+          .as("n_word_chars"),
+        size(filter(col("__w"), t =>
+          t.contains("#") || t.contains("..."))).cast("long").as("n_symbol_words"),
+        size(filter(col("__w"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(col("__l")).cast("long").as("n_lines"),
+        size(filter(col("__l"), l =>
+          l.startsWith("- ") || l.startsWith("•"))).cast("long")
+          .as("n_bullet_lines"),
+        stopwordHits(col("__w"), stopwords).as("n_stopword_hits"))
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("n_word_chars") >= lit(3L) * col("n_words") &&
+          col("n_word_chars") <= lit(10L) * col("n_words") && col("n_words") > 0)
+      .withColumn("rule_symbol_ratio",
+        lit(10L) * col("n_symbol_words") <= col("n_words"))
+      .withColumn("rule_alpha_ratio",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("rule_bullet_ratio",
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+      .withColumn("rule_stopwords", col("n_stopword_hits") >= 2)
+      .withColumn("passed",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_alpha_ratio") &&
+          col("rule_bullet_ratio") && col("rule_stopwords"))
+  }
 }

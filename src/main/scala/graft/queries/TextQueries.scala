@@ -265,6 +265,24 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // The training-data shape end to end: learn the tokenizer, encode
+    // the corpus, pack the SUBWORD stream into 512-token windows — the
+    // pipeline a pretraining run actually budgets (packing on
+    // whitespace words, `pack_sequence_windows`, is the approximation
+    // this replaces).
+    "pack_bpe_windows" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val (merges, _) = graft.ops.Bpe.learnMerges(
+        graft.ops.Bpe.wordCounts(docs, "text"), nMerges = 3)
+      val enc = graft.ops.Bpe.encodeStats(docs, "doc_id", "text", merges)
+      graft.ops.Sampling.packWindows(
+          enc.select($"doc_id", $"n_bpe_tokens".as("tokens")),
+          "doc_id", "tokens", budget = 512, seed = "b0")
+        .select($"doc_id", $"position", $"offset", $"first_window", $"last_window")
+        .orderBy($"position")
+    }),
+
     // The learned BPE merges APPLIED: vocabulary-level segmentation
     // stats (fertility = symbol occurrences per word occurrence — the
     // number a tokenizer change is judged by). The oracle replays the
@@ -285,6 +303,16 @@ object TextQueries {
           round($"n_symbol_occurrences".cast("double") /
             $"n_word_occurrences", 6).as("fertility"),
           $"n_vocab_symbols")
+    }),
+
+    // The Gopher rule battery (Rae et al. 2021): every word-level
+    // document filter as exact integer comparisons — no float boundary
+    // can flip a rule between engines. Counts + per-rule booleans +
+    // the conjunction, one row per doc.
+    "quality_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.TextAnalysis.gopherRules(documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
     }),
 
     // DSIR importance selection (Xie et al. 2023): rank the corpus by
@@ -1295,11 +1323,13 @@ object TextQueries {
        |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
        |FROM s4""".stripMargin
 
-  /** The tokenizer-apply oracle: the same three learned merge rounds
-    * ([[bpeIter]]), then each document's words joined to the final
-    * symbol table for per-doc subword counts.
+  /** The tokenizer-apply CTE chain through per-doc counts `ag`: the
+    * same three learned merge rounds ([[bpeIter]]), then each
+    * document's words joined to the final symbol table. Shared by the
+    * encode-stats oracle and the BPE-window-packing oracle. Already
+    * margin-stripped — concatenate, never re-stripMargin.
     */
-  private val bpeEncodeOracle: String =
+  private val bpeDocCtes: String =
     s"""WITH w AS (SELECT term AS word, count(*) AS cnt FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
        |    FROM documents) WHERE term <> '' GROUP BY term),
@@ -1311,11 +1341,33 @@ object TextQueries {
        |dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text),
        |        '\\s+'), t -> t <> '')) AS word FROM documents),
        |ag AS (SELECT doc_id, count(*) AS n_words, sum(len(s4.syms)) AS n_bpe
-       |       FROM dw JOIN s4 USING (word) GROUP BY doc_id)
-       |SELECT doc.doc_id, coalesce(ag.n_words, 0)::BIGINT AS n_words,
+       |       FROM dw JOIN s4 USING (word) GROUP BY doc_id)""".stripMargin
+
+  private val bpeEncodeOracle: String =
+    bpeDocCtes + "\n" +
+      """SELECT doc.doc_id, coalesce(ag.n_words, 0)::BIGINT AS n_words,
        |  coalesce(ag.n_bpe, 0)::BIGINT AS n_bpe_tokens
        |FROM documents doc LEFT JOIN ag ON ag.doc_id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
+
+  /** Packing replayed on the BPE token stream: the same seeded-md5
+    * window as `pack_sequence_windows`, fed by `ag`'s subword counts.
+    */
+  private val bpePackOracle: String =
+    bpeDocCtes + ",\n" +
+      """tk AS (SELECT doc.doc_id, coalesce(ag.n_bpe, 0)::BIGINT AS tokens
+       |       FROM documents doc LEFT JOIN ag ON ag.doc_id = doc.doc_id)
+       |SELECT doc_id, position, "offset"::BIGINT AS "offset",
+       |  ("offset" // 512)::BIGINT AS first_window,
+       |  (("offset" + greatest(tokens - 1, 0)) // 512)::BIGINT AS last_window
+       |FROM (
+       |  SELECT doc_id, tokens,
+       |    row_number() OVER w AS position,
+       |    coalesce(sum(tokens) OVER (
+       |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+       |  FROM tk
+       |  WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':b0'), doc_id))
+       |ORDER BY position""".stripMargin
 
   private val chrfOracle: String = {
     def grams(src: String): String = (1 to 6).map { o =>
@@ -1362,6 +1414,7 @@ object TextQueries {
     "eval_chrf" -> chrfOracle,
     "bpe_segmentation_stats" -> bpeStatsOracle,
     "bpe_encode_docs" -> bpeEncodeOracle,
+    "pack_bpe_windows" -> bpePackOracle,
     "eval_rouge2" -> rouge2Oracle,
     "validate_expectations" ->
       """WITH t AS (
@@ -1530,6 +1583,47 @@ object TextQueries {
         |SELECT lang, n,
         |  base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS quota
         |FROM r ORDER BY lang""".stripMargin,
+    // every Gopher rule replayed with the same integer
+    // cross-multiplications over DuckDB's list kernels
+    "quality_gopher_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '') AS w,
+        |    list_filter(string_split(coalesce(text, ''), chr(10)),
+        |      l -> l <> '') AS l
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(w)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT
+        |      AS n_word_chars,
+        |    len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))
+        |      ::BIGINT AS n_symbol_words,
+        |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+        |      AS n_alpha_words,
+        |    len(l)::BIGINT AS n_lines,
+        |    len(list_filter(l, x -> x LIKE '- %' OR x LIKE '•%'))::BIGINT
+        |      AS n_bullet_lines,
+        |    len(list_filter(w, t -> t IN ('the', 'a', 'of', 'to', 'in',
+        |      'and', 'is')))::BIGINT AS n_stopword_hits
+        |  FROM b)
+        |SELECT doc_id, n_words, n_word_chars, n_symbol_words, n_alpha_words,
+        |  n_lines, n_bullet_lines, n_stopword_hits,
+        |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+        |  n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |    AND n_words > 0 AS rule_mean_word_len,
+        |  10 * n_symbol_words <= n_words AS rule_symbol_ratio,
+        |  5 * n_alpha_words >= 4 * n_words AS rule_alpha_ratio,
+        |  10 * n_bullet_lines <= 9 * n_lines AS rule_bullet_ratio,
+        |  n_stopword_hits >= 2 AS rule_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |         AND n_words > 0)
+        |    AND 10 * n_symbol_words <= n_words
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND n_stopword_hits >= 2 AS passed
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the whole DSIR model replayed: bucket = first 3 hex of md5 (12
     // bits), additive smoothing α=1 on both distributions, log-ratio λ
     // over ALL 4096 buckets, per-doc Σ cnt·λ rounded to 6dp, rank on

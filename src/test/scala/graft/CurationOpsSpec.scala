@@ -149,6 +149,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- Gopher rules ----
+
+  test("gopherRules: each rule fires on its planted violation") {
+    import graft.ops.TextAnalysis
+    val good = ("the quick brown fox jumped over a lazy dog " * 8).trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "the of short"),                        // too few words
+      (3L, ("x " * 60).trim),                      // 1-char words, no stopwords
+      (4L, (("the of " * 30) + "### #x " * 30).trim), // symbol-heavy
+      (5L, Seq.fill(60)("- the of bullet line").mkString("\n")), // all bullets
+      (6L, null.asInstanceOf[String])              // null text
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("passed"))
+    assert(!r(2L).getAs[Boolean]("rule_word_count"))
+    assert(!r(3L).getAs[Boolean]("rule_mean_word_len") &&
+      !r(3L).getAs[Boolean]("rule_stopwords"))
+    assert(!r(4L).getAs[Boolean]("rule_symbol_ratio") &&
+      !r(4L).getAs[Boolean]("rule_alpha_ratio"))
+    assert(!r(5L).getAs[Boolean]("rule_bullet_ratio"))
+    assert(r(6L).getAs[Long]("n_words") == 0L && !r(6L).getAs[Boolean]("passed"))
+  }
+
+  test("gopherRules plan: single narrow projection, no shuffle") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "the of a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rule battery must not shuffle:\n$plan")
+  }
+
   test("encodeStats plan: vocabulary lengths broadcast to the count join") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), nMerges = 1)
