@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for the round-8 curation operators (same protocol
+  * as [[ScaleProbe]]: sf0.1 vs an N× id-shifted, shingle-disjoint
+  * replication on fixed cores; linear-per-shard operators should show
+  * wall ≈ N×).
+  */
+object CurationProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    graft.Tables.bootstrap(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    val docs1 = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select($"doc_id", $"text", $"lang").localCheckpoint()
+    val docsN = (0 until n).map { i =>
+      docs1.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+        regexp_replace($"text", "(^|\\s)", "$1s" + i + "_").as("text"), $"lang")
+    }.reduce(_ union _).localCheckpoint()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def report(op: String, r1: (Long, Double), rN: (Long, Double)): Unit =
+      println(f"SCALE $op%-28s 1x: ${r1._1}%9d rows ${r1._2}%6.1f s | ${n}x: " +
+        f"${rN._1}%9d rows ${rN._2}%6.1f s | rows ${rN._1.toDouble / math.max(1, r1._1)}%4.1fx time ${rN._2 / r1._2}%4.1fx")
+
+    def dsir(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Importance.dsirLogWeights(
+        d, d.filter($"lang" === "en"), "doc_id", "text")
+    report("dsir_log_weights",
+      time(dsir(docs1).count()), time(dsir(docsN).count()))
+
+    def ppl(d: org.apache.spark.sql.DataFrame) = {
+      val counts = graft.ops.NgramLm.gramCounts(
+        d.filter($"doc_id" % 1000000 >= 10), "text", maxN = 3)
+      graft.ops.NgramLm.perplexityFilter(d, "doc_id", "text", counts, maxPpl = 1e9)
+    }
+    report("perplexity_filter",
+      time(ppl(docs1).count()), time(ppl(docsN).count()))
+
+    report("gopher_rules",
+      time(graft.ops.TextAnalysis.gopherRules(docs1, "doc_id", "text").count()),
+      time(graft.ops.TextAnalysis.gopherRules(docsN, "doc_id", "text").count()))
+
+    def bpeEnc(d: org.apache.spark.sql.DataFrame) = {
+      val (merges, _) = graft.ops.Bpe.learnMerges(
+        graft.ops.Bpe.wordCounts(d, "text"), nMerges = 3)
+      graft.ops.Bpe.encodeStats(d, "doc_id", "text", merges)
+    }
+    report("bpe_encode_stats",
+      time(bpeEnc(docs1).count()), time(bpeEnc(docsN).count()))
+
+    // filtered ANN: fixed store layout per scale, full-probe search
+    val emb1 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val embN = (0 until n).map { i =>
+      emb1.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"embedding")
+    }.reduce(_ union _).localCheckpoint()
+    val qv = emb1.filter($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    def filteredSearch(e: org.apache.spark.sql.DataFrame) = {
+      val withMeta = e.withColumn("lang",
+        when($"vec_id" % 2 === 0, "en").otherwise("de"))
+      val model = graft.ops.Ivf.fit(withMeta, "vec_id", "embedding", k = 8)
+      val assigned = graft.ops.Ivf.assign(withMeta, "embedding", model)
+      graft.ops.Ivf.searchFiltered(assigned, "embedding", model, qv,
+        topK = 10, nProbe = 2, predicate = $"lang" === "en")
+    }
+    report("ann_filtered_probe2",
+      time(filteredSearch(emb1).count()), time(filteredSearch(embN).count()))
+
+    spark.stop()
+  }
+}
