@@ -481,6 +481,47 @@ object Dedup {
     corpus.join(contaminatedIds(corpus, idCol, textCol, evalSet, evalTextCol, n),
       Seq(idCol), "left_anti")
 
+  /** Memorization audit — [[contaminatedIds]] from the EVAL side's point
+    * of view: for every eval document, how much of it the training
+    * corpus already contains — `(idCol, n_grams, n_memorized,
+    * overlap_ratio)`, one row per eval doc (0/0/0.0 for docs shorter
+    * than `n` words), where `n_memorized` counts the doc's DISTINCT
+    * word n-grams that occur anywhere in the corpus. The governance
+    * number a benchmark owner reports ("12% of this eval set is
+    * verbatim in train"), where decontamination only answers
+    * drop-or-keep.
+    *
+    * Scale: same broadcast discipline as [[contaminatedIds]] — the eval
+    * gram set is small by construction and broadcasts; the corpus scans
+    * once, never shuffles, and only its eval-matching gram HITS (⊆ the
+    * eval gram set, so equally small) come back to join per-doc counts.
+    */
+  def memorizationOverlap(evalSet: DataFrame, idCol: String, textCol: String,
+                          corpus: DataFrame, corpusTextCol: String,
+                          n: Int = 8): DataFrame = {
+    val evalGramRows = evalSet
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__s"))
+      .distinct()
+    val evalGrams = evalGramRows.select(col("__s")).distinct()
+    val hits = corpus
+      .select(explode(wordShingles(col(corpusTextCol), n)).as("__s"))
+      .join(broadcast(evalGrams), Seq("__s"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val counts = evalGramRows
+      .join(hits.hint("SHUFFLE_HASH"), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_memorized"))
+    evalSet.select(col(idCol)).distinct()
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_memorized"), lit(0L)).as("n_memorized"),
+        round(coalesce(col("n_memorized").cast("double") / col("n_grams"),
+          lit(0.0)), 6).as("overlap_ratio"))
+  }
+
   /** Bloom-filter decontamination, the flag half — the scale path of
     * [[contaminatedIds]] for when the eval-shingle universe is too large
     * to broadcast as raw strings (a multi-benchmark eval suite can carry

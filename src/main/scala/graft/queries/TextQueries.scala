@@ -398,6 +398,18 @@ object TextQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // The memorization audit — decontamination seen from the EVAL side:
+    // per eval doc, what fraction of its distinct word 4-grams the
+    // training corpus already contains. Same broadcast shape; the
+    // corpus never shuffles.
+    "memorization_overlap" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.memorizationOverlap(docs.filter($"doc_id" < 20), "doc_id", "text",
+          docs.filter($"doc_id" >= 20), "text", n = 4)
+        .orderBy($"doc_id")
+    }),
+
     // Bloom-filter decontamination: SAME contract (and oracle) as
     // decontaminate_survivors, different plan — a broadcast Bloom
     // sketch map-side-cuts the corpus shingle stream, survivors verify
@@ -1703,6 +1715,31 @@ object TextQueries {
         |    WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'fr' THEN 0
         |    ELSE 1 END)) AS epoch
         |FROM documents ORDER BY doc_id, epoch""".stripMargin,
+    // per-eval-doc distinct 4-gram sets left-joined against the distinct
+    // corpus gram universe; ratio on the distinct counts
+    "memorization_overlap" ->
+      """WITH eg AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-2),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+        |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+        |          FROM documents WHERE doc_id < 20))),
+        |cg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+        |  FROM (SELECT regexp_split_to_array(text, '\s+') AS w
+        |        FROM documents WHERE doc_id >= 20)),
+        |m AS (
+        |  SELECT eg.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN cg.s IS NOT NULL THEN 1 ELSE 0 END) AS n_mem
+        |  FROM eg LEFT JOIN cg ON cg.s = eg.s GROUP BY eg.doc_id)
+        |SELECT d.doc_id, coalesce(m.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(m.n_mem, 0)::BIGINT AS n_memorized,
+        |  round(coalesce(m.n_mem / (m.n_grams::DOUBLE), 0.0), 6)
+        |    AS overlap_ratio
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+        |LEFT JOIN m ON m.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "decontaminate_survivors" ->
       """WITH ev AS (
         |  SELECT DISTINCT unnest(list_transform(range(1, len(w)-2),

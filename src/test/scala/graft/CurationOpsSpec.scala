@@ -149,6 +149,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- memorization audit ----
+
+  test("memorizationOverlap: planted verbatim, partial, disjoint, and short docs") {
+    import graft.ops.Dedup
+    val corpus = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "one two three four five six seven eight"), // fully memorized
+      (2L, "one two three four nine ten eleven twelve"), // first 4-gram only
+      (3L, "alpha beta gamma delta epsilon"),            // disjoint
+      (4L, "too short")                                  // < n words
+    ).toDF("doc_id", "text")
+    val got = Dedup.memorizationOverlap(eval, "doc_id", "text",
+        corpus, "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((5L, 1L, 0.2)))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("memorizationOverlap plan: corpus side never exchanges") {
+    import graft.ops.Dedup
+    val corpus = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.memorizationOverlap(eval, "doc_id", "text", corpus, "text", 4)
+      .queryExecution.executedPlan.toString
+    // the corpus feeds a broadcast semi-join; its branch must contain no
+    // shuffle exchange before that join
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$plan")
+  }
+
   // ---- Gopher rules ----
 
   test("gopherRules: each rule fires on its planted violation") {
