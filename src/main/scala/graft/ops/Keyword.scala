@@ -611,6 +611,43 @@ object Keyword {
       .limit(topK)
   }
 
+  /** Relative-score (alpha-weighted) fusion — the other standard hybrid
+    * besides [[rrfFuse]]: each leg's scores are min-max normalized to
+    * [0,1] WITHIN its retrieved set, then blended as Σ weightᵢ·normᵢ
+    * (a document absent from a leg contributes 0 from it). The
+    * weighting knob RRF deliberately lacks: `alpha = 0.7` vector /
+    * `0.3` lexical is the tunable production default this models.
+    *
+    * Determinism contract: normalization runs on the 6dp-ROUNDED leg
+    * scores (both engines agree on those bits by the leg operators' own
+    * contracts), a degenerate leg (max = min) normalizes every present
+    * doc to 1.0, and the final cut ranks on the rounded fused score
+    * with an id tiebreak — the [[bm25]] convention end to end.
+    *
+    * Legs are top-k-bounded by construction, so the min/max aggregates
+    * and the fusion agg are driver-cheap at any corpus size.
+    */
+  def relativeScoreFuse(legs: Seq[(DataFrame, Double)], idCol: String,
+                        scoreCol: String, topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg")
+    require(legs.forall(_._2 >= 0), "leg weights must be >= 0")
+    legs.map { case (leg, weight) =>
+      val r = leg.select(col(idCol), round(col(scoreCol), 6).as("__s"))
+      val mm = r.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+      r.crossJoin(broadcast(mm))
+        .select(col(idCol),
+          (lit(weight) * when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("__s") - col("__mn")) / (col("__mx") - col("__mn"))))
+            .as("__c"))
+    }
+      .reduce(_ union _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__raw"))
+      .select(col(idCol), round(col("__raw"), 6).as("fused"))
+      .orderBy(col("fused").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio's positive-only
     * form, restricted to term selection): run the initial [[bm25]],
     * take the top `fbDocs` documents as the feedback set, score every

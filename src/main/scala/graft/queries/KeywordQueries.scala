@@ -151,6 +151,27 @@ object KeywordQueries {
         .orderBy($"rrf".desc, $"doc_id")
     }),
 
+    // Weighted hybrid (relative-score fusion): both legs min-max
+    // normalized within their top-50, blended 0.7 vector / 0.3 lexical
+    // — the tunable-alpha hybrid RRF deliberately isn't. Normalization
+    // runs on the 6dp-rounded leg scores; ranked on the rounded blend.
+    "hybrid_alpha_fusion" -> ((s, d) => {
+      import s.implicits._
+      val qv = embeddings(s, d).filter($"vec_id" === 0)
+        .select($"embedding").head.getSeq[Float](0).toArray
+      val vecLeg = Similarity.knn(
+          embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
+          "embedding", qv, k = 50)
+        .select($"vec_id".as("doc_id"), $"score")
+      val kwLeg = Keyword.bm25(
+          documents(s, d).filter($"doc_id" =!= 0), "doc_id", "text",
+          Terms, K1, B, topK = 50)
+        .select($"doc_id", $"bm25".as("score"))
+      Keyword.relativeScoreFuse(Seq((vecLeg, 0.7), (kwLeg, 0.3)),
+          "doc_id", "score", topK = 10)
+        .orderBy($"fused".desc, $"doc_id")
+    }),
+
     // Pseudo-relevance-feedback expansion: initial BM25 → top-5
     // feedback docs → Rocchio term selection (feedback tf × smooth
     // corpus idf, 3 new terms) → BM25 re-run with the expanded query.
@@ -291,6 +312,27 @@ object KeywordQueries {
          |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vecr)
          |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
          |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // min-max over each leg's rounded top-50 scores, 0.7/0.3 blend,
+    // rounded-rank cut — normalization and blend replayed term for term
+    "hybrid_alpha_fusion" ->
+      s"""WITH ${bm25Sql(where = "WHERE doc_id <> 0", limit = 50)},
+         |kmm AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM kw),
+         |vecn AS (
+         |  SELECT doc_id, round(s, 6) AS s FROM (
+         |    SELECT vec_id AS doc_id, list_cosine_similarity(
+         |        embedding::DOUBLE[],
+         |        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+         |    FROM embeddings WHERE vec_id <> 0
+         |    ORDER BY s DESC, vec_id LIMIT 50)),
+         |vmm AS (SELECT min(s) AS mn, max(s) AS mx FROM vecn),
+         |u AS (
+         |  SELECT doc_id, 0.7 * CASE WHEN vmm.mx = vmm.mn THEN 1.0
+         |    ELSE (s - vmm.mn) / (vmm.mx - vmm.mn) END AS c FROM vecn, vmm
+         |  UNION ALL
+         |  SELECT doc_id, 0.3 * CASE WHEN kmm.mx = kmm.mn THEN 1.0
+         |    ELSE (bm25 - kmm.mn) / (kmm.mx - kmm.mn) END FROM kw, kmm)
+         |SELECT doc_id, round(sum(c), 6) AS fused FROM u
+         |GROUP BY doc_id ORDER BY fused DESC, doc_id LIMIT 10""".stripMargin,
     "prf_bm25_expanded" -> prfOracle,
     // the index is a layout change, never a semantics change — the
     // indexed PRF path must hash-match the identical relational replay

@@ -149,6 +149,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- relative-score hybrid fusion ----
+
+  test("relativeScoreFuse: hand-computed min-max blend with absent docs") {
+    import graft.ops.Keyword
+    val vec = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1)).toDF("id", "score")
+    val kw = Seq((2L, 10.0), (4L, 5.0)).toDF("id", "score")
+    val got = Keyword.relativeScoreFuse(Seq((vec, 0.7), (kw, 0.3)), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // vec norms: 1 → 1.0, 2 → 0.5, 3 → 0.0; kw norms: 2 → 1.0, 4 → 0.0
+    assert(got(1L) == 0.7)
+    assert(got(2L) == 0.65) // round(0.7·0.5 + 0.3·1.0, 6)
+    assert(got(3L) == 0.0)
+    assert(got(4L) == 0.0)
+  }
+
+  test("relativeScoreFuse: degenerate leg (max = min) normalizes to 1.0") {
+    import graft.ops.Keyword
+    val flat = Seq((1L, 3.0), (2L, 3.0)).toDF("id", "score")
+    val got = Keyword.relativeScoreFuse(Seq((flat, 1.0)), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
   // ---- memorization audit ----
 
   test("memorizationOverlap: planted verbatim, partial, disjoint, and short docs") {
