@@ -427,4 +427,37 @@ object Chat {
       .select(col("__qid2").as(qidCol), col("question"), col("rewritten_query"),
         col("answer"), col("context"), col("retrieved_ids"), col("relevant"))
   }
+
+  /** SFT training-pair extraction — the chat-log-to-training-data prep
+    * step: one example per ASSISTANT turn, pairing its `response` with
+    * the formatted conversation `context` before it (most recent
+    * `maxContextTurns` turns as `"role: content"` lines, oldest first).
+    * Returns `(sessionCol, seqCol, n_context_turns, context, response)`
+    * ordered within session; an assistant turn opening its session
+    * gets an empty context over 0 turns.
+    *
+    * Scale shape: one per-SESSION window (conversations are bounded —
+    * tens of turns, never corpus-sized), so the exchange keys on
+    * session and no global ordering exists anywhere; the context
+    * assembly is a frame-ordered collect_list sliced to the turn cap,
+    * all map-side after the one partition exchange.
+    */
+  def sftPairs(messages: DataFrame, sessionCol: String, seqCol: String,
+               roleCol: String, contentCol: String,
+               maxContextTurns: Int = 4): DataFrame = {
+    require(maxContextTurns >= 0, s"maxContextTurns must be >= 0 (got $maxContextTurns)")
+    val w = Window.partitionBy(col(sessionCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    messages
+      .withColumn("__turn", concat(col(roleCol), lit(": "), col(contentCol)))
+      .withColumn("__ctx", collect_list(col("__turn")).over(w))
+      .filter(col(roleCol) === "assistant")
+      .select(col(sessionCol), col(seqCol),
+        least(size(col("__ctx")), lit(maxContextTurns)).cast("long")
+          .as("n_context_turns"),
+        concat_ws("\n", slice(col("__ctx"),
+          greatest(size(col("__ctx")) - maxContextTurns + 1, lit(1)),
+          lit(maxContextTurns))).as("context"),
+        col(contentCol).as("response"))
+  }
 }

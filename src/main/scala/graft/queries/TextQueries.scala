@@ -398,6 +398,24 @@ object TextQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // SFT pair extraction: deterministic synthetic conversations from
+    // the documents table (session = doc_id % 10, alternating roles,
+    // 8-token contents), one training example per assistant turn with
+    // its capped, formatted context. The chat-log-to-training-data step.
+    "sft_pair_extraction" -> ((s, d) => {
+      import s.implicits._
+      val msgs = documents(s, d).select(
+        ($"doc_id" % 10).as("session"), $"doc_id".as("seq"),
+        // (doc_id div 10) alternates parity WITHIN a session (members
+        // are k, k+10, k+20…), so every conversation interleaves roles
+        when(expr("doc_id div 10") % 2 === 0, "user")
+          .otherwise("assistant").as("role"),
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 8)).as("content"))
+      graft.ops.Chat.sftPairs(msgs, "session", "seq", "role", "content",
+          maxContextTurns = 4)
+        .orderBy($"session", $"seq")
+    }),
+
     // The memorization audit — decontamination seen from the EVAL side:
     // per eval doc, what fraction of its distinct word 4-grams the
     // training corpus already contains. Same broadcast shape; the
@@ -1715,6 +1733,29 @@ object TextQueries {
         |    WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'fr' THEN 0
         |    ELSE 1 END)) AS epoch
         |FROM documents ORDER BY doc_id, epoch""".stripMargin,
+    // same synthetic conversations; the frame-ordered list window and
+    // the last-4 slice replayed
+    "sft_pair_extraction" ->
+      """WITH m AS (
+        |  SELECT doc_id % 10 AS session, doc_id AS seq,
+        |    CASE WHEN (doc_id // 10) % 2 = 0 THEN 'user' ELSE 'assistant'
+        |      END AS role,
+        |    array_to_string(list_filter(regexp_split_to_array(trim(text),
+        |      '\s+'), t -> t <> '')[1:8], ' ') AS content
+        |  FROM documents),
+        |c AS (
+        |  SELECT session, seq, role, content,
+        |    coalesce(list(role || ': ' || content) OVER (
+        |      PARTITION BY session ORDER BY seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      []::VARCHAR[]) AS ctx
+        |  FROM m)
+        |SELECT session, seq,
+        |  least(len(ctx), 4)::BIGINT AS n_context_turns,
+        |  coalesce(array_to_string(ctx[greatest(len(ctx) - 3, 1):len(ctx)],
+        |    chr(10)), '') AS context,
+        |  content AS response
+        |FROM c WHERE role = 'assistant' ORDER BY session, seq""".stripMargin,
     // per-eval-doc distinct 4-gram sets left-joined against the distinct
     // corpus gram universe; ratio on the distinct counts
     "memorization_overlap" ->

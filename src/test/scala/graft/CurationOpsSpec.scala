@@ -149,6 +149,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- SFT pair extraction ----
+
+  test("sftPairs: one pair per assistant turn, capped oldest-dropped context") {
+    import graft.ops.Chat
+    val msgs = Seq(
+      ("s1", 1L, "user", "q1"), ("s1", 2L, "assistant", "a1"),
+      ("s1", 3L, "user", "q2"), ("s1", 4L, "assistant", "a2"),
+      ("s1", 5L, "user", "q3"), ("s1", 6L, "assistant", "a3"),
+      ("s2", 1L, "assistant", "opener")
+    ).toDF("session", "seq", "role", "content")
+    val got = Chat.sftPairs(msgs, "session", "seq", "role", "content",
+        maxContextTurns = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got(("s1", 2L)) == ((1L, "user: q1", "a1")))
+    assert(got(("s1", 4L)) == ((3L, "user: q1\nassistant: a1\nuser: q2", "a2")))
+    // 5 prior turns capped to the most recent 3
+    assert(got(("s1", 6L)) ==
+      ((3L, "user: q2\nassistant: a2\nuser: q3", "a3")))
+    assert(got(("s2", 1L)) == ((0L, "", "opener")))
+    assert(got.size == 4)
+  }
+
   // ---- relative-score hybrid fusion ----
 
   test("relativeScoreFuse: hand-computed min-max blend with absent docs") {
