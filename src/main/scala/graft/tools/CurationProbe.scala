@@ -79,6 +79,26 @@ object CurationProbe {
     report("ann_filtered_probe2",
       time(filteredSearch(emb1).count()), time(filteredSearch(embN).count()))
 
+    // memorization audit: eval side fixed (20 docs), corpus side scales —
+    // the broadcast discipline means wall should track the corpus scan
+    def memo(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.memorizationOverlap(
+        docs1.filter($"doc_id" < 20), "doc_id", "text",
+        d.filter($"doc_id" % 1000000 >= 20), "text", n = 4)
+    report("memorization_overlap",
+      time(memo(docs1).count()), time(memo(docsN).count()))
+
+    // SFT pair extraction: per-session windows over synthetic chats
+    def sft(d: org.apache.spark.sql.DataFrame) = {
+      val msgs = d.select(($"doc_id" % 1000).as("session"), $"doc_id".as("seq"),
+        when(expr("doc_id div 1000") % 2 === 0, "user")
+          .otherwise("assistant").as("role"),
+        substring($"text", 1, 40).as("content"))
+      graft.ops.Chat.sftPairs(msgs, "session", "seq", "role", "content", 4)
+    }
+    report("sft_pairs",
+      time(sft(docs1).count()), time(sft(docsN).count()))
+
     spark.stop()
   }
 }
