@@ -538,4 +538,34 @@ object Testbed {
     (Seq(tablePath) ++ evalPath ++ reportPath)
       .foreach(base => graft.Fs.delete(spark, s"$base/$dir"))
   }
+
+  /** Deterministic subsampling bootstrap for a per-row metric: `b`
+    * replicates, each the rows whose md5 hash point for that replicate
+    * falls under `sampleFrac` (the [[Sampling.hashSplit]] portability
+    * contract — membership is per-(key, replicate) deterministic, so
+    * any engine regenerates the identical replicate sets). Returns
+    * `(replicate, n_rows, mean_value)`, one row per replicate — the
+    * spread across replicates is the confidence interval an eval report
+    * should carry instead of a bare point estimate.
+    *
+    * Scale shape: the replicate fan-out is a map-side b× explode
+    * filtered in the same stage, collapsing straight into a b-key hash
+    * agg (partial map-side, tiny exchange). No row carries more than
+    * its value past the filter.
+    */
+  def bootstrapCi(results: DataFrame, idCol: String, valueCol: String,
+                  b: Int = 20, sampleFrac: Double = 0.8,
+                  seed: String = "ci0"): DataFrame = {
+    require(b >= 2, s"need >= 2 replicates (got $b)")
+    require(sampleFrac > 0 && sampleFrac <= 1, s"sampleFrac in (0,1] (got $sampleFrac)")
+    val threshold = Sampling.hexThreshold(sampleFrac)
+    results
+      .select(col(idCol), col(valueCol))
+      .crossJoin(results.sparkSession.range(1, b + 1).select(col("id").as("replicate")))
+      .filter(substring(md5(concat(lit(seed + ":"), col("replicate"),
+        lit(":"), col(idCol).cast("string")).cast("binary")), 1, 8) < threshold)
+      .groupBy(col("replicate"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col(valueCol)), 6).as("mean_value"))
+  }
 }

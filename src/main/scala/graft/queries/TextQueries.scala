@@ -398,6 +398,20 @@ object TextQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // Deterministic subsampling bootstrap: 20 replicates of the mean
+    // per-doc token count, each an md5-threshold 80% subset — the CI an
+    // eval report carries instead of a bare point estimate. Integer
+    // token counts sum exactly, so the replicate means are
+    // bit-identical cross-engine before any rounding.
+    "eval_bootstrap_ci" -> ((s, d) => {
+      import s.implicits._
+      val vals = documents(s, d).select($"doc_id",
+        graft.ops.TextAnalysis.tokenCount($"text").cast("double").as("value"))
+      graft.ops.Testbed.bootstrapCi(vals, "doc_id", "value",
+          b = 20, sampleFrac = 0.8, seed = "ci0")
+        .orderBy($"replicate")
+    }),
+
     // SFT pair extraction: deterministic synthetic conversations from
     // the documents table (session = doc_id % 10, alternating roles,
     // 8-token contents), one training example per assistant turn with
@@ -1733,6 +1747,20 @@ object TextQueries {
         |    WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'fr' THEN 0
         |    ELSE 1 END)) AS epoch
         |FROM documents ORDER BY doc_id, epoch""".stripMargin,
+    // replicate membership = the same md5 hash-point threshold; exact
+    // integer sums make the means identical before rounding
+    "eval_bootstrap_ci" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS value
+         |  FROM documents),
+         |s AS (SELECT r.replicate, v.value FROM v,
+         |    (SELECT unnest(range(1, 21)) AS replicate) r
+         |  WHERE substring(md5('ci0:' || replicate::VARCHAR || ':'
+         |      || doc_id::VARCHAR), 1, 8)
+         |    < '${graft.ops.Sampling.hexThreshold(0.8)}')
+         |SELECT replicate::BIGINT AS replicate, count(*)::BIGINT AS n_rows,
+         |  round(avg(value), 6) AS mean_value
+         |FROM s GROUP BY replicate ORDER BY replicate""".stripMargin,
     // same synthetic conversations; the frame-ordered list window and
     // the last-4 slice replayed
     "sft_pair_extraction" ->

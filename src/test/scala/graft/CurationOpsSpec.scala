@@ -149,6 +149,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- bootstrap CI ----
+
+  test("bootstrapCi: b replicates, ~frac membership, reproducible bit for bit") {
+    import graft.ops.Testbed
+    val vals = (1L to 400L).map(i => (i, i.toDouble)).toDF("id", "value")
+    val a = Testbed.bootstrapCi(vals, "id", "value", b = 10, sampleFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b2 = Testbed.bootstrapCi(vals, "id", "value", b = 10, sampleFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b2.toSeq)            // deterministic
+    assert(a.length == 10)
+    // each replicate holds ~50% of rows (binomial n=400 p=.5: ±5σ ≈ 50)
+    assert(a.forall(r => r._2 > 150 && r._2 < 250), a.map(_._2).toSeq.toString)
+    // replicates differ from each other (the seed varies per replicate)
+    assert(a.map(_._2).distinct.length > 1 || a.map(_._3).distinct.length > 1)
+  }
+
   // ---- SFT pair extraction ----
 
   test("sftPairs: one pair per assistant turn, capped oldest-dropped context") {
