@@ -539,6 +539,35 @@ object Testbed {
       .foreach(base => graft.Fs.delete(spark, s"$base/$dir"))
   }
 
+  /** Character edit-distance evaluation (the CER/TER-style complement
+    * of the n-gram metrics): per pair, the unit-cost Levenshtein
+    * distance between candidate and reference plus the
+    * reference-length-normalized rate (the number OCR/ASR-style
+    * pipelines report). Distances are exact integers — Spark's and any
+    * other engine's unit-cost `levenshtein` agree bit for bit — and the
+    * rate is one exact division rounded to 6dp. Null sides coalesce to
+    * empty (distance = other side's length, the standard convention).
+    * Returns `(idCol, n_cand_chars, n_ref_chars, edit_distance,
+    * edit_rate)`; an empty reference with an empty candidate rates 0.0,
+    * with a non-empty one 1.0-per-char normalized by the candidate
+    * (the max(len) denominator convention, so the rate stays in [0,1]).
+    *
+    * Pure codegen'd projection — no joins, no shuffle.
+    */
+  def editDistance(pairs: DataFrame, idCol: String, candCol: String,
+                   refCol: String): DataFrame = {
+    val c = coalesce(col(candCol), lit(""))
+    val r = coalesce(col(refCol), lit(""))
+    val dist = levenshtein(c, r).cast("long")
+    val denom = greatest(length(c), length(r)).cast("double")
+    pairs.select(col(idCol),
+      length(c).cast("long").as("n_cand_chars"),
+      length(r).cast("long").as("n_ref_chars"),
+      dist.as("edit_distance"),
+      round(when(denom === 0.0, lit(0.0))
+        .otherwise(dist.cast("double") / denom), 6).as("edit_rate"))
+  }
+
   /** Deterministic subsampling bootstrap for a per-row metric: `b`
     * replicates, each the rows whose md5 hash point for that replicate
     * falls under `sampleFrac` (the [[Sampling.hashSplit]] portability

@@ -169,6 +169,22 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Character edit distance (CER) over the same pairing as eval_bleu:
+    // exact unit-cost Levenshtein integers plus the max-length-
+    // normalized rate — the OCR/ASR-style complement of the n-gram
+    // metrics, bit-identical across engines.
+    "eval_edit_distance" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter($"doc_id" < 20).select($"doc_id", $"text")
+      val ref = docs.select($"doc_id", $"text".as("ref_text"))
+      val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
+        array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
+          t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      graft.ops.Testbed.editDistance(ref.join(cand, "doc_id"),
+          "doc_id", "cand_text", "ref_text")
+        .orderBy($"doc_id")
+    }),
+
     // ROUGE-2 over the same candidate/reference pairing as eval_bleu:
     // clipped bigram overlap as recall/precision/F1. The oracle replays
     // counts, clip, and the identical F1 arithmetic.
@@ -1493,6 +1509,23 @@ object TextQueries {
         |    greatest(0, 100 - count(*)) FROM t)
         |ORDER BY rule, "column"""".stripMargin,
     "eval_bleu" -> bleuOracle,
+    // exact unit-cost levenshtein in both engines; same pairing CTE as
+    // the n-gram metrics
+    "eval_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |pr AS (SELECT r.doc_id, r.text AS rt, c.ct FROM d r JOIN (
+        |    SELECT (doc_id + 19) % 20 AS doc_id,
+        |      array_to_string(list_filter(regexp_split_to_array(trim(text),
+        |        '\s+'), t -> t <> '')[1:25], ' ') AS ct
+        |    FROM d) c USING (doc_id))
+        |SELECT doc_id,
+        |  length(ct)::BIGINT AS n_cand_chars,
+        |  length(rt)::BIGINT AS n_ref_chars,
+        |  levenshtein(ct, rt)::BIGINT AS edit_distance,
+        |  round(CASE WHEN greatest(length(ct), length(rt)) = 0 THEN 0.0
+        |        ELSE levenshtein(ct, rt)::DOUBLE /
+        |             greatest(length(ct), length(rt)) END, 6) AS edit_rate
+        |FROM pr ORDER BY doc_id""".stripMargin,
     "ngram_lm_score" -> ngramLmOracle,
     "lm_perplexity_filter" -> pplFilterOracle(20.0),
     "bpe_learn_merges" -> bpeLearnOracle,

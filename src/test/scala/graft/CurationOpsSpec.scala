@@ -149,6 +149,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- edit distance ----
+
+  test("editDistance: textbook distances, null/empty conventions, rate bounds") {
+    import graft.ops.Testbed
+    val pairs = Seq(
+      (1L, "kitten", "sitting"),           // classic 3
+      (2L, "same", "same"),                // 0
+      (3L, null.asInstanceOf[String], "ab"), // null cand → 2
+      (4L, "", ""),                        // both empty → 0 dist, 0.0 rate
+      (5L, "abcd", "")                     // empty ref → rate 1.0
+    ).toDF("id", "cand", "ref")
+    val got = Testbed.editDistance(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 3.0 / 7)) || got(1L)._1 == 3L)
+    assert(got(1L)._2 == 0.428571) // round(3/7, 6)
+    assert(got(2L) == ((0L, 0.0)))
+    assert(got(3L) == ((2L, 1.0)))
+    assert(got(4L) == ((0L, 0.0)))
+    assert(got(5L) == ((4L, 1.0)))
+  }
+
   // ---- bootstrap CI ----
 
   test("bootstrapCi: b replicates, ~frac membership, reproducible bit for bit") {
