@@ -46,6 +46,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Parent-document retrieval (the small-to-big RAG pattern): search
+    * fine-grained CHUNK vectors for precision, return the top PARENT
+    * documents for context. Fetches the `kChunks` nearest chunks, rolls
+    * them up to their parents by best chunk score, and returns the top
+    * `kParents` parents — `(parentIdCol, n_hit_chunks, best_score)`,
+    * ranked on the 6dp-ROUNDED best score with a parent-id tiebreak
+    * (the [[graft.ops.Keyword.bm25]] cut convention).
+    *
+    * Scale shape: the chunk search is [[knn]]'s per-partition top-k
+    * merge (no corpus shuffle); everything after operates on the
+    * kChunks-bounded hit set — driver-cheap at any corpus size.
+    */
+  def parentTopK(chunks: DataFrame, parentIdCol: String, embCol: String,
+                 queryVec: Array[Float], kChunks: Int, kParents: Int,
+                 metric: String = "COSINE"): DataFrame = {
+    require(kChunks >= kParents, "fetch at least as many chunks as parents")
+    knn(chunks, embCol, queryVec, kChunks, metric)
+      .groupBy(col(parentIdCol))
+      .agg(count(lit(1)).as("n_hit_chunks"),
+        round(if (metric == "EUCLIDEAN_DISTANCE") min(col("score"))
+          else max(col("score")), 6).as("best_score"))
+      .orderBy(ordering(metric, col("best_score")), col(parentIdCol))
+      .limit(kParents)
+  }
+
   /** V3 score normalization: map a raw metric score to a relevance in
     * [0,1] (larger = more relevant) so one threshold convention covers
     * all metrics. The reference inherits LangChain's convention and its

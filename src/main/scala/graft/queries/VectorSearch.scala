@@ -139,6 +139,20 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // Parent-document retrieval (small-to-big): search chunk vectors
+    // (vec_id div 10 groups ten "chunks" per synthetic parent), return
+    // the top parents by best chunk score — the
+    // ParentDocumentRetriever pattern as one plan.
+    "parent_doc_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val qv = queryVec(s, d)
+      val chunks = embeddings(s, d).filter($"vec_id" =!= 0)
+        .select($"vec_id", expr("vec_id div 10").as("parent_id"), $"embedding")
+      Similarity.parentTopK(chunks, "parent_id", "embedding", qv,
+          kChunks = 40, kParents = 5)
+        .orderBy($"best_score".desc, $"parent_id")
+    }),
+
     // V2 similarity top-k under each declared metric (schema.py:18).
     "knn_cosine_topk" -> knnQuery("COSINE"),
     "knn_euclidean_topk" -> knnQuery("EUCLIDEAN_DISTANCE"),
@@ -500,6 +514,19 @@ object VectorSearch {
   }
 
   val oracles: Map[String, String] = Map(
+    // the chunk top-40 cut, the per-parent best-score rollup, and the
+    // rounded-rank parent cut replayed
+    "parent_doc_retrieval" ->
+      """SELECT parent_id, n_hit_chunks, best_score FROM (
+        |  SELECT parent_id, count(*)::BIGINT AS n_hit_chunks,
+        |    round(max(s), 6) AS best_score FROM (
+        |    SELECT vec_id // 10 AS parent_id, s FROM (
+        |      SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[],
+        |        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+        |      FROM embeddings WHERE vec_id <> 0
+        |      ORDER BY s DESC, vec_id LIMIT 40))
+        |  GROUP BY parent_id)
+        |ORDER BY best_score DESC, parent_id LIMIT 5""".stripMargin,
     // exact filtered top-k from the raw tables: the same vec_id ≡
     // doc_id metadata join, predicate applied BEFORE the top-k cut
     "ann_ivf_filtered_probe" ->

@@ -149,6 +149,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- parent-document retrieval ----
+
+  test("parentTopK: chunk hits roll up to parents by best score") {
+    import graft.ops.Similarity
+    // parent 1's chunks near the query axis; parent 2 orthogonal;
+    // parent 3 one strong chunk among weak ones
+    val chunks = Seq(
+      (10L, 1L, Array(1f, 0f)), (11L, 1L, Array(0.9f, 0.1f)),
+      (20L, 2L, Array(0f, 1f)), (21L, 2L, Array(0.1f, 0.9f)),
+      (30L, 3L, Array(0.8f, 0.2f)), (31L, 3L, Array(0f, 1f))
+    ).toDF("chunk_id", "parent_id", "embedding")
+    val got = Similarity.parentTopK(chunks, "parent_id", "embedding",
+        Array(1f, 0f), kChunks = 6, kParents = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // parent 1 best (2 strong chunks), parent 3 second (its 0.8 chunk)
+    assert(got.map(_._1) == Seq(1L, 3L), got.toString)
+    assert(got.head._2 == 2L)
+  }
+
   // ---- edit distance ----
 
   test("editDistance: textbook distances, null/empty conventions, rate bounds") {
