@@ -227,4 +227,53 @@ object Split {
       }
     }
   }
+
+  /** Chunk consolidation — the splitters' inverse half: greedily merge a
+    * document's ADJACENT small chunks (in `ordCol` order) into groups of
+    * at most `targetChars` constituent characters, starting a new group
+    * when the next chunk would overflow it. Over-sized single chunks get
+    * a group of their own (never split — splitting is the splitters'
+    * job). The RAG consolidation step for fragmented sources: tiny
+    * sentence/section chunks merged back to context-sized units before
+    * embedding, preserving order. Returns `(docCol, group, text,
+    * n_chunks, n_chars)` — `group` 1-based per doc, `text` the chunks
+    * joined with `sep`, `n_chars` the constituent-length sum (separators
+    * excluded, so the grouping invariant is checkable from the output).
+    *
+    * Greedy packing is inherently sequential per document, so this is
+    * one `flatMapGroups` over doc-keyed groups (documents are bounded —
+    * the legitimate per-group imperative case): one exchange on the doc
+    * key, O(chunks) work, nothing corpus-sized in memory.
+    */
+  def coalesceChunks(chunks: DataFrame, docCol: String, ordCol: String,
+                     textCol: String, targetChars: Int,
+                     sep: String = "\n\n"): DataFrame = {
+    require(targetChars >= 1, s"targetChars must be >= 1 (got $targetChars)")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(col(docCol).cast("long"), col(ordCol).cast("long"),
+        coalesce(col(textCol), lit("")))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val sorted = it.toSeq.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long, Long)]()
+        var grp = 1L
+        var cum = 0L
+        var cnt = 0L
+        var buf = scala.collection.mutable.ArrayBuffer[String]()
+        def flush(): Unit = if (cnt > 0) {
+          out += ((doc, grp, buf.mkString(sep), cnt, cum))
+          grp += 1; cum = 0L; cnt = 0L; buf = scala.collection.mutable.ArrayBuffer[String]()
+        }
+        sorted.foreach { case (_, _, t) =>
+          if (cnt > 0 && cum + t.length > targetChars) flush()
+          buf += t; cum += t.length; cnt += 1
+        }
+        flush()
+        out
+      }
+      .toDF(docCol, "group", "text", "n_chunks", "n_chars")
+  }
 }

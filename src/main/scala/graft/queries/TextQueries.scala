@@ -617,6 +617,19 @@ object TextQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // Chunk consolidation — the splitters' inverse half: adjacent
+    // 120-char fragments greedily merged back into ≤500-char context
+    // units, order preserved, oversized chunks kept whole. The oracle
+    // replays the sequential greedy as a recursive CTE.
+    "chunk_coalesce" -> ((s, d) => {
+      import s.implicits._
+      val chunks = Split.chunkDocs(documents(s, d), "doc_id", "text",
+        t => Split.fixedWindow(t, 120, 120))
+      Split.coalesceChunks(chunks, "doc_id", "chunk_idx", "chunk_text",
+          targetChars = 500)
+        .orderBy($"doc_id", $"group")
+    }),
+
     // §2.7 token-counted chunking: 40-token windows, 10-token overlap
     // (whitespace tokens stand in for the tokenizer; SQL-expressible via
     // list slicing → oracle).
@@ -1977,6 +1990,25 @@ object TextQueries {
         |  substr(text, (i*150+1)::INT, 200) AS chunk_text
         |FROM documents, UNNEST(range(0, (len(text)-1)//150 + 1)) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the greedy packing recurrence as a recursive CTE: group/cum carry
+    // forward chunk by chunk, resetting on overflow
+    "chunk_coalesce" ->
+      """WITH RECURSIVE ch AS (
+        |  SELECT doc_id, i + 1 AS i, substr(text, (i*120+1)::INT, 120) AS t,
+        |    length(substr(text, (i*120+1)::INT, 120))::BIGINT AS ln
+        |  FROM documents, UNNEST(range(0, (len(text)-1)//120 + 1)) AS u(i)),
+        |st AS (
+        |  SELECT doc_id, i, t, ln, 1::BIGINT AS grp, ln AS cum
+        |  FROM ch WHERE i = 1
+        |  UNION ALL
+        |  SELECT c.doc_id, c.i, c.t, c.ln,
+        |    CASE WHEN s.cum + c.ln > 500 THEN s.grp + 1 ELSE s.grp END,
+        |    CASE WHEN s.cum + c.ln > 500 THEN c.ln ELSE s.cum + c.ln END
+        |  FROM ch c JOIN st s ON s.doc_id = c.doc_id AND c.i = s.i + 1)
+        |SELECT doc_id, grp AS "group",
+        |  string_agg(t, chr(10)||chr(10) ORDER BY i) AS text,
+        |  count(*)::BIGINT AS n_chunks, sum(ln)::BIGINT AS n_chars
+        |FROM st GROUP BY doc_id, grp ORDER BY doc_id, "group"""".stripMargin,
     "split_token_window" ->
       s"""SELECT doc_id, i AS chunk_idx, (i*30)::BIGINT AS token_start,
          |  array_to_string(w[(i*30+1)::INT : (i*30+40)::INT], ' ') AS chunk_text

@@ -149,6 +149,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- chunk coalescing ----
+
+  test("coalesceChunks: greedy grouping, oversized chunk isolated, order kept") {
+    import graft.ops.Split
+    val chunks = Seq(
+      (1L, 0L, "aaaa"), (1L, 1L, "bbbb"),   // 8 ≤ 10 → group 1
+      (1L, 2L, "cccc"),                     // would make 12 → group 2
+      (1L, 3L, "x" * 25),                   // oversized → group 3 alone
+      (1L, 4L, "dd"),                       // group 4 (after oversized flush)
+      (2L, 0L, "ee")                        // other doc, group 1
+    ).toDF("doc_id", "chunk_idx", "chunk_text")
+    val got = Split.coalesceChunks(chunks, "doc_id", "chunk_idx", "chunk_text",
+        targetChars = 10, sep = "|")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, 1L)) == (("aaaa|bbbb", 2L, 8L)))
+    assert(got((1L, 2L)) == (("cccc", 1L, 4L)))
+    assert(got((1L, 3L)) == (("x" * 25, 1L, 25L)))
+    assert(got((1L, 4L)) == (("dd", 1L, 2L)))
+    assert(got((2L, 1L)) == (("ee", 1L, 2L)))
+    assert(got.size == 5)
+  }
+
   // ---- parent-document retrieval ----
 
   test("parentTopK: chunk hits roll up to parents by best score") {
