@@ -321,6 +321,29 @@ object TextQueries {
           $"n_vocab_symbols")
     }),
 
+    // The corpus health dashboard: one row summarizing what a data
+    // owner checks daily — volume, language spread, exact-dup mass,
+    // Gopher pass rate, token volume. One documents scan feeding the
+    // gopher projection, one tiny distinct-text agg, both collapsing
+    // into a single summary row.
+    "corpus_health_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val g = graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      val base = g.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"passed", 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum($"n_words").as("n_tokens"))
+      val langs = docs.agg(count_distinct($"lang").as("n_langs"))
+      val dups = docs.agg(
+        (count(lit(1)) - count_distinct($"text")).as("n_exact_dup_docs"))
+      base.crossJoin(langs).crossJoin(dups)
+        .select($"n_docs", $"n_langs", $"n_tokens", $"n_exact_dup_docs",
+          $"n_gopher_pass",
+          round($"n_gopher_pass".cast("double") / $"n_docs", 6)
+            .as("gopher_pass_rate"))
+    }),
+
     // The Gopher rule battery (Rae et al. 2021): every word-level
     // document filter as exact integer comparisons — no float boundary
     // can flip a rule between engines. Counts + per-rule booleans +
@@ -1396,6 +1419,33 @@ object TextQueries {
        |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
        |FROM s4""".stripMargin
 
+  /** The Gopher per-doc count CTEs through `c` — shared by the per-doc
+    * rule query and the corpus health rollup. Already margin-stripped —
+    * concatenate, never re-stripMargin.
+    */
+  private val gopherCtes: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t <> '') AS w,
+      |    list_filter(string_split(coalesce(text, ''), chr(10)),
+      |      l -> l <> '') AS l
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    len(w)::BIGINT AS n_words,
+      |    coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT
+      |      AS n_word_chars,
+      |    len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))
+      |      ::BIGINT AS n_symbol_words,
+      |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+      |      AS n_alpha_words,
+      |    len(l)::BIGINT AS n_lines,
+      |    len(list_filter(l, x -> x LIKE '- %' OR x LIKE '•%'))::BIGINT
+      |      AS n_bullet_lines,
+      |    len(list_filter(w, t -> t IN ('the', 'a', 'of', 'to', 'in',
+      |      'and', 'is')))::BIGINT AS n_stopword_hits
+      |  FROM b)""".stripMargin
+
   /** The tokenizer-apply CTE chain through per-doc counts `ag`: the
     * same three learned merge rounds ([[bpeIter]]), then each
     * document's words joined to the final symbol table. Shared by the
@@ -1673,30 +1723,37 @@ object TextQueries {
         |SELECT lang, n,
         |  base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS quota
         |FROM r ORDER BY lang""".stripMargin,
+    // the whole-corpus rollup of the gopher CTEs plus lang/dup/token
+    // aggregates — every count recomputed from the raw table
+    "corpus_health_report" ->
+      s"""$gopherCtes
+        |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+        |  (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+        |  sum(n_words)::BIGINT AS n_tokens,
+        |  ((SELECT count(*) FROM documents) -
+        |   (SELECT count(DISTINCT text) FROM documents))::BIGINT
+        |    AS n_exact_dup_docs,
+        |  sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |    AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |         AND n_words > 0)
+        |    AND 10 * n_symbol_words <= n_words
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_gopher_pass,
+        |  round(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |    AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |         AND n_words > 0)
+        |    AND 10 * n_symbol_words <= n_words
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*), 6) AS gopher_pass_rate
+        |FROM c""".stripMargin,
     // every Gopher rule replayed with the same integer
     // cross-multiplications over DuckDB's list kernels
     "quality_gopher_rules" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      t -> t <> '') AS w,
-        |    list_filter(string_split(coalesce(text, ''), chr(10)),
-        |      l -> l <> '') AS l
-        |  FROM documents),
-        |c AS (SELECT doc_id,
-        |    len(w)::BIGINT AS n_words,
-        |    coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT
-        |      AS n_word_chars,
-        |    len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))
-        |      ::BIGINT AS n_symbol_words,
-        |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
-        |      AS n_alpha_words,
-        |    len(l)::BIGINT AS n_lines,
-        |    len(list_filter(l, x -> x LIKE '- %' OR x LIKE '•%'))::BIGINT
-        |      AS n_bullet_lines,
-        |    len(list_filter(w, t -> t IN ('the', 'a', 'of', 'to', 'in',
-        |      'and', 'is')))::BIGINT AS n_stopword_hits
-        |  FROM b)
+      s"""$gopherCtes
         |SELECT doc_id, n_words, n_word_chars, n_symbol_words, n_alpha_words,
         |  n_lines, n_bullet_lines, n_stopword_hits,
         |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
