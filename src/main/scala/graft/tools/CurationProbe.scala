@@ -99,6 +99,34 @@ object CurationProbe {
     report("sft_pairs",
       time(sft(docs1).count()), time(sft(docsN).count()))
 
+    // chunk coalescing: 120-char fragments → ≤500-char groups, per-doc greedy
+    def coal(d: org.apache.spark.sql.DataFrame) = {
+      val chunks = graft.ops.Split.chunkDocs(d, "doc_id", "text",
+        t => graft.ops.Split.fixedWindow(t, 120, 120))
+      graft.ops.Split.coalesceChunks(chunks, "doc_id", "chunk_idx",
+        "chunk_text", targetChars = 500)
+    }
+    report("chunk_coalesce",
+      time(coal(docs1).count()), time(coal(docsN).count()))
+
+    // edit distance: adjacent-doc pairing, pure projection
+    def ed(d: org.apache.spark.sql.DataFrame) = {
+      val p = d.select($"doc_id", $"text".as("ref"),
+        substring($"text", 1, 120).as("cand"))
+      graft.ops.Testbed.editDistance(p, "doc_id", "cand", "ref")
+    }
+    report("edit_distance",
+      time(ed(docs1).count()), time(ed(docsN).count()))
+
+    // bootstrap CI: 20 replicates over the corpus token counts
+    def ci(d: org.apache.spark.sql.DataFrame) = {
+      val v = d.select($"doc_id",
+        graft.ops.TextAnalysis.tokenCount($"text").cast("double").as("value"))
+      graft.ops.Testbed.bootstrapCi(v, "doc_id", "value", b = 20)
+    }
+    report("bootstrap_ci",
+      time(ci(docs1).count()), time(ci(docsN).count()))
+
     spark.stop()
   }
 }
