@@ -806,4 +806,149 @@ object Dedup {
         size(col("__t")).cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"))
   }
+
+  // ---- incremental near-dup: the MinHash band sidecar ----
+
+  /** `(id, sz, band, bh)` band-hash rows — ONE shared derivation for the
+    * batch pair ops and the sidecar, so the two can never drift apart.
+    * Shingle-less docs are dropped here for the same quadratic-collision
+    * reason as [[minhashNearDupPairs]].
+    */
+  private def bandRows(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_sort(wordShingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("sz"), posexplode(
+        graft.functions.MinHashBands.minhashBands(col("sh"), numHashes, bands)))
+      .select(col("id"), col("sz"), col("pos").as("band"), col("col").as("bh"))
+
+  /** Build the MinHash band SIDECAR for a [[VersionedStore]] table — the
+    * layout that lets every future ingest batch near-dup-check against
+    * the WHOLE historical corpus without re-signaturing it:
+    * `path/bands` holds one `(id, sz, band, bh)` row per (doc, band),
+    * `path/_stats` stamps the parameters and the store snapshot version
+    * (the [[Keyword.buildLexicalIndexForStore]] staleness contract —
+    * stamp retired first, version captured before the read, recheck
+    * after the write).
+    */
+  def buildMinhashSidecarForStore(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, idCol: String, textCol: String,
+                                  path: String, n: Int = 3,
+                                  numHashes: Int = 32, bands: Int = 8): Unit = {
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val docs = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to signature at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    bandRows(docs, idCol, textCol, n, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == v0,
+      s"store $table moved from version $v0 to $v1 during the sidecar build — " +
+        "the bands describe a superseded snapshot; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats", s"$n $numHashes $bands v$v0")
+  }
+
+  /** Fold the store's NEW segments into the sidecar — O(appended docs),
+    * the [[Keyword.appendToLexicalIndexForStore]] discipline verbatim:
+    * fresh-stamp fast path, ahead-of-store and non-pure-append histories
+    * refuse loudly (a compaction rewrote rows the sidecar already
+    * covers — incremental bands would double-sign them), stamp retired
+    * before the append so a mid-fold failure leaves a loudly-unusable
+    * sidecar rather than a silently stale one. Band rows are
+    * per-(doc, band) facts, so appended rows land next to the old ones
+    * with no merge step.
+    */
+  def appendToMinhashSidecar(spark: org.apache.spark.sql.SparkSession,
+                             table: String, idCol: String, textCol: String,
+                             path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
+    require(stats.length >= 4 && stats(3).startsWith("v"),
+      s"sidecar at $path carries no store stamp; rebuild with buildMinhashSidecarForStore")
+    val v0 = stats(3).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"sidecar stamp v$v0 is ahead of $table's current version ${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; incremental " +
+        "bands would double-sign rewritten rows — rebuild with buildMinhashSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty) {
+      val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+      bandRows(docs, idCol, textCol, n, numHashes, bands)
+        .write.mode("append").parquet(s"$path/bands")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$n $numHashes $bands v${cur.version}")
+  }
+
+  /** Near-dup-check an arriving batch against the ENTIRE historical
+    * store through its maintained sidecar — the ingestion-time gate
+    * [[Ingest]]'s exact anti-join cannot provide (exact keys miss
+    * near-dups): batch bands equi-join the sidecar's, size-incompatible
+    * collisions pruned in the join, and ONLY the candidate store rows'
+    * text is read back (an id semi-join against the store — the corpus
+    * itself never re-signatures, never broadcasts, never fully scans
+    * for text*). Returns `(batch_id, store_id, jaccard)` for exact
+    * verified Jaccard ≥ `threshold`.
+    *
+    * *One id-projected store read builds the candidate filter; the text
+    * read is candidate-bounded. Refuses a STALE sidecar loudly (stamp ≠
+    * store version) — silently missing freshly-appended near-dups is
+    * exactly the bug class the stamp exists to kill.
+    */
+  def nearDupAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                          batch: DataFrame, idCol: String, textCol: String,
+                          table: String, path: String,
+                          threshold: Double): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats.length >= 4 && stats(3) == s"v$cur",
+      s"sidecar at $path (${stats.lift(3).getOrElse("-")}) is stale against " +
+        s"$table (v$cur) — run appendToMinhashSidecar first; a stale check " +
+        "silently misses near-dups of freshly appended rows")
+    val bShingled = batch.select(col(idCol).as("batch_id"),
+        array_sort(wordShingles(col(textCol), n)).as("sh_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bShingled.count(): Unit
+    val bBands = bShingled
+      .filter(size(col("sh_b")) > 0)
+      .select(col("batch_id"), size(col("sh_b")).as("bsz"), posexplode(
+        graft.functions.MinHashBands.minhashBands(col("sh_b"), numHashes, bands)))
+      .select(col("batch_id"), col("bsz"), col("pos").as("band"), col("col").as("bh"))
+    val sidecar = spark.read.parquet(s"$path/bands")
+    val cand = bBands.as("b").join(sidecar.as("s"),
+        col("b.band") === col("s.band") && col("b.bh") === col("s.bh") &&
+          col("b.bsz") >= lit(threshold) * col("s.sz") - lit(1e-9) &&
+          col("s.sz") >= lit(threshold) * col("b.bsz") - lit(1e-9))
+      .select(col("b.batch_id"), col("s.id").as("store_id"))
+      .distinct()
+      .localCheckpoint() // bounded: verified candidates, not corpus
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    val candStoreSh = store
+      .join(cand.select(col("store_id").as(idCol)).distinct()
+        .hint("SHUFFLE_HASH"), Seq(idCol), "left_semi")
+      .select(col(idCol).as("store_id"),
+        array_sort(wordShingles(col(textCol), n)).as("sh_s"))
+    val pairs = cand
+      .join(bShingled.hint("SHUFFLE_HASH"), "batch_id")
+      .join(candStoreSh.hint("SHUFFLE_HASH"), "store_id")
+      .withColumn("jaccard",
+        graft.functions.SetFunctions.jaccardSorted(col("sh_b"), col("sh_s")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("store_id"), col("jaccard"))
+      .localCheckpoint()
+    bShingled.unpersist()
+    pairs
+  }
 }

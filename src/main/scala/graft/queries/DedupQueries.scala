@@ -195,6 +195,45 @@ object DedupQueries {
     // exactly), and the banding must find at least one pair on a corpus
     // with planted duplicates. The expected value of each bit is a
     // constant — a hash mismatch names the violated invariant.
+    // The MinHash sidecar lifecycle end to end: half the corpus into a
+    // versioned store + sidecar build, the other half appended + folded
+    // (O(new docs)), then an arriving batch of 20 RE-KEYED store texts
+    // near-dup-checked against the WHOLE history through the sidecar.
+    // Anchor bits: every incremental pair sits in the exact bipartite
+    // PPJoin set with identical jaccard, and all 20 planted duplicates
+    // are found (J=1 ⇒ identical signatures ⇒ guaranteed candidates).
+    "incremental_neardup_check" -> ((s, d) => {
+      import s.implicits._
+      // pid-suffixed: concurrent driver/builder JVMs must never share
+      // the store dir (the store_time_travel treatment)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ndsc-" +
+        s"${Integer.toHexString(d.hashCode)}-${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val table = s"$root/store"
+      val side = s"$root/bands"
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 2 === 0))
+      Dedup.buildMinhashSidecarForStore(s, table, "doc_id", "text", side)
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 2 =!= 0))
+      Dedup.appendToMinhashSidecar(s, table, "doc_id", "text", side)
+      val batch = docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      val inc = Dedup.nearDupAgainstStore(s, batch, "doc_id", "text",
+          table, side, threshold = 0.2)
+        .select($"batch_id".as("id_a"), $"store_id".as("id_b"),
+          $"jaccard".as("__j_inc"))
+      val exact = Dedup.ngramJaccardJoin(batch, "doc_id", "text",
+          docs, "doc_id", "text", threshold = 0.2)
+        .select($"id_a", $"id_b", $"jaccard".as("__j_exact"))
+      inc.join(exact, Seq("id_a", "id_b"), "left")
+        .agg(
+          bool_and($"__j_exact".isNotNull).as("subset_of_exact"),
+          bool_and(coalesce($"__j_inc" === $"__j_exact", lit(false)))
+            .as("jaccard_matches_exact"),
+          (sum(when($"id_b" === $"id_a" - 100000L && $"__j_inc" >= 1.0, 1L)
+            .otherwise(0L)) === 20L).as("all_planted_found"))
+    }),
+
     "dedup_minhash_subset_invariant" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d)
@@ -537,6 +576,9 @@ object DedupQueries {
     "dedup_minhash_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
         |  true AS found_pairs""".stripMargin,
+    "incremental_neardup_check" ->
+      """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
+        |  true AS all_planted_found""".stripMargin,
     "dedup_simhash_equivalence_invariant" ->
       """SELECT true AS banded_equals_bruteforce, true AS found_pairs""",
     "fingerprint_consistency_invariant" ->

@@ -127,6 +127,25 @@ object CurationProbe {
     report("bootstrap_ci",
       time(ci(docs1).count()), time(ci(docsN).count()))
 
+    // incremental near-dup: a fixed 50-doc batch checked against a
+    // 1x vs Nx historical store through the maintained band sidecar —
+    // the check should track the sidecar equi-join, not re-signature
+    // the corpus
+    def ndup(d: org.apache.spark.sql.DataFrame, tag: String) = {
+      val root = java.nio.file.Files.createTempDirectory(s"ndsc-$tag").toString
+      graft.ops.VersionedStore.append(spark, s"$root/t", d)
+      graft.ops.Dedup.buildMinhashSidecarForStore(spark, s"$root/t",
+        "doc_id", "text", s"$root/sc")
+      // batch re-keys 50 docs of the store's OWN first shard, so the
+      // planted near-dups exist at every scale
+      val batch = d.filter($"doc_id" < 50)
+        .select(($"doc_id" + 900000000L).as("doc_id"), $"text")
+      graft.ops.Dedup.nearDupAgainstStore(spark, batch, "doc_id", "text",
+        s"$root/t", s"$root/sc", threshold = 0.2)
+    }
+    report("neardup_against_store",
+      time(ndup(docs1, "1x").count()), time(ndup(docsN, "nx").count()))
+
     spark.stop()
   }
 }

@@ -149,6 +149,77 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L)))
   }
 
+  // ---- MinHash sidecar (incremental near-dup) ----
+
+  private def tmpRoot(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(tag).toString
+    new java.io.File(p).delete()
+    p
+  }
+
+  test("minhash sidecar: fold over appends equals a full rebuild") {
+    import graft.ops.{Dedup, VersionedStore}
+    val root = tmpRoot("ndsc-fold")
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma token$i delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", docs.filter($"doc_id" <= 20))
+    Dedup.buildMinhashSidecarForStore(spark, s"$root/t", "doc_id", "text",
+      s"$root/inc")
+    VersionedStore.append(spark, s"$root/t", docs.filter($"doc_id" > 20))
+    Dedup.appendToMinhashSidecar(spark, s"$root/t", "doc_id", "text", s"$root/inc")
+    Dedup.buildMinhashSidecarForStore(spark, s"$root/t", "doc_id", "text",
+      s"$root/full")
+    val a = spark.read.parquet(s"$root/inc/bands")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$root/full/bands")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("minhash sidecar: stale check and non-pure-append history refuse") {
+    import graft.ops.{Dedup, VersionedStore}
+    val root = tmpRoot("ndsc-guard")
+    val docs = (1L to 10L).map(i =>
+      (i, s"alpha beta gamma token$i delta epsilon")).toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", docs.filter($"doc_id" <= 5))
+    Dedup.buildMinhashSidecarForStore(spark, s"$root/t", "doc_id", "text",
+      s"$root/sc")
+    VersionedStore.append(spark, s"$root/t", docs.filter($"doc_id" > 5))
+    // stale: the store moved but the sidecar didn't
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstStore(spark, docs, "doc_id", "text",
+        s"$root/t", s"$root/sc", threshold = 0.2)
+    }
+    assert(e1.getMessage.contains("stale"))
+    // compaction rewrites covered segments: the fold must refuse
+    VersionedStore.compact(spark, s"$root/t")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashSidecar(spark, s"$root/t", "doc_id", "text", s"$root/sc")
+    }
+    assert(e2.getMessage.contains("pure-append"))
+  }
+
+  test("nearDupAgainstStore finds planted near-dups of appended history") {
+    import graft.ops.{Dedup, VersionedStore}
+    val root = tmpRoot("ndsc-find")
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha beta gamma token$i delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", docs.filter($"doc_id" <= 15))
+    Dedup.buildMinhashSidecarForStore(spark, s"$root/t", "doc_id", "text",
+      s"$root/sc")
+    VersionedStore.append(spark, s"$root/t", docs.filter($"doc_id" > 15))
+    Dedup.appendToMinhashSidecar(spark, s"$root/t", "doc_id", "text", s"$root/sc")
+    // batch duplicates doc 20 — which arrived AFTER the build
+    val batch = Seq((999L,
+      "alpha beta gamma token20 delta epsilon zeta eta")).toDF("doc_id", "text")
+    val got = Dedup.nearDupAgainstStore(spark, batch, "doc_id", "text",
+        s"$root/t", s"$root/sc", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((999L, 20L, 1.0)))
+  }
+
   // ---- chunk coalescing ----
 
   test("coalesceChunks: greedy grouping, oversized chunk isolated, order kept") {
