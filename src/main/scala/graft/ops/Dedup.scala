@@ -890,6 +890,61 @@ object Dedup {
       s"$n $numHashes $bands v${cur.version}")
   }
 
+  private val sidecarLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def sidecarLock(table: String): Object =
+    sidecarLocks.computeIfAbsent(table, _ => new Object)
+
+  def sidecarMarkerPath(table: String): String = s"$table/_minhash_sidecar"
+
+  /** Register a MinHash sidecar to `table` and (re)build it fresh — the
+    * [[Keyword.registerLexicalIndex]] seam for near-dup: from here on
+    * every [[Ingest.appendRespectingLayout]] commit folds its own rows
+    * in at O(new docs), so ingestion-time [[nearDupAgainstStore]] checks
+    * never trip the staleness guard. Builds BEFORE writing the marker:
+    * a half-registered state is an unmarked (ignored) sidecar, never a
+    * marked-but-missing one.
+    */
+  def registerMinhashSidecar(spark: org.apache.spark.sql.SparkSession,
+                             table: String, idCol: String, textCol: String,
+                             path: String): Unit =
+    sidecarLock(table).synchronized {
+      buildMinhashSidecarForStore(spark, table, idCol, textCol, path)
+      graft.Fs.writeString(spark, sidecarMarkerPath(table),
+        s"$path\n$idCol\n$textCol")
+    }
+
+  private def registeredSidecar(spark: org.apache.spark.sql.SparkSession,
+                                table: String): Option[(String, String, String)] =
+    if (!graft.Fs.exists(spark, sidecarMarkerPath(table))) None
+    else {
+      val lines = graft.Fs.readString(spark, sidecarMarkerPath(table)).trim
+        .split("\n").map(_.trim)
+      Some((lines(0), lines(1), lines(2)))
+    }
+
+  /** The append seam's sidecar maintenance: fold the store's new
+    * segments in; on any fold refusal (non-pure-append history — e.g. a
+    * compaction rewrote covered segments — or a damaged stats file)
+    * fall back to a LOUD full rebuild rather than leaving a stale
+    * sidecar in place.
+    */
+  def maintainRegisteredSidecar(spark: org.apache.spark.sql.SparkSession,
+                                table: String): Unit =
+    registeredSidecar(spark, table).foreach { case (path, idCol, textCol) =>
+      sidecarLock(table).synchronized {
+        try appendToMinhashSidecar(spark, table, idCol, textCol, path)
+        catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: java.io.FileNotFoundException) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"incremental sidecar maintenance of $path failed (${e.getMessage}); " +
+                "rebuilding from the store")
+            buildMinhashSidecarForStore(spark, table, idCol, textCol, path)
+        }
+      }
+    }
+
   /** Near-dup-check an arriving batch against the ENTIRE historical
     * store through its maintained sidecar — the ingestion-time gate
     * [[Ingest]]'s exact anti-join cannot provide (exact keys miss

@@ -172,6 +172,10 @@ object Ingest {
     // O(new docs), so continuous ingestion — batch and streaming — never
     // trips the query-time staleness guard
     if (n > 0) Keyword.maintainRegisteredIndex(spark, table)
+    // same seam for a registered MinHash sidecar
+    // ([[Dedup.registerMinhashSidecar]]): near-dup checks against the
+    // growing history stay fresh without polling
+    if (n > 0) Dedup.maintainRegisteredSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion

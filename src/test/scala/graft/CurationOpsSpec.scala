@@ -200,6 +200,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pure-append"))
   }
 
+  test("registered sidecar: the append seam maintains it; compaction triggers rebuild") {
+    import graft.ops.{Dedup, Ingest, VersionedStore}
+    val root = tmpRoot("ndsc-seam")
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"alpha beta gamma token$i delta epsilon")).toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", mk(1 to 10))
+    Dedup.registerMinhashSidecar(spark, s"$root/t", "doc_id", "text", s"$root/sc")
+    // the seam folds the appended rows — a check right after must be fresh
+    Ingest.appendRespectingLayout(spark, s"$root/t", mk(11 to 20))
+    val got = Dedup.nearDupAgainstStore(spark,
+        Seq((99L, "alpha beta gamma token15 delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/t", s"$root/sc", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((99L, 15L)))
+    // compaction breaks pure-append; the NEXT seam append rebuilds loudly
+    VersionedStore.compact(spark, s"$root/t")
+    Ingest.appendRespectingLayout(spark, s"$root/t", mk(21 to 25))
+    val got2 = Dedup.nearDupAgainstStore(spark,
+        Seq((98L, "alpha beta gamma token23 delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/t", s"$root/sc", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq == Seq((98L, 23L)))
+  }
+
   test("nearDupAgainstStore finds planted near-dups of appended history") {
     import graft.ops.{Dedup, VersionedStore}
     val root = tmpRoot("ndsc-find")
