@@ -1006,4 +1006,19 @@ object Dedup {
     bShingled.unpersist()
     pairs
   }
+
+  /** The drop half of the ingestion near-dup gate: the batch minus every
+    * row [[nearDupAgainstStore]] matched — what actually flows to the
+    * store when near-dups of history are policy-rejected (the near-dup
+    * analog of [[Ingest]]'s exact anti-join). One anti-join against the
+    * (bounded) matched-id set.
+    */
+  def dropNearDupsAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                               batch: DataFrame, idCol: String, textCol: String,
+                               table: String, path: String,
+                               threshold: Double): DataFrame =
+    batch.join(
+      nearDupAgainstStore(spark, batch, idCol, textCol, table, path, threshold)
+        .select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

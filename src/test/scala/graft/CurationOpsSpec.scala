@@ -244,6 +244,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((999L, 20L, 1.0)))
   }
 
+  test("dropNearDupsAgainstStore: near-dups rejected, fresh rows pass") {
+    import graft.ops.{Dedup, VersionedStore}
+    val root = tmpRoot("ndsc-drop")
+    val docs = (1L to 10L).map(i =>
+      (i, s"alpha beta gamma token$i delta epsilon")).toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", docs)
+    Dedup.buildMinhashSidecarForStore(spark, s"$root/t", "doc_id", "text",
+      s"$root/sc")
+    val batch = Seq(
+      (101L, "alpha beta gamma token7 delta epsilon"), // dup of history
+      (102L, "totally unrelated fresh new content here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDupsAgainstStore(spark, batch, "doc_id", "text",
+        s"$root/t", s"$root/sc", threshold = 0.9)
+      .select($"doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(102L))
+  }
+
   // ---- chunk coalescing ----
 
   test("coalesceChunks: greedy grouping, oversized chunk isolated, order kept") {
