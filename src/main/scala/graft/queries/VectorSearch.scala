@@ -139,6 +139,29 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // Embedding-table health: the one-row check a vector store runs
+    // before trusting a new embedding drop — volume, nulls, degenerate
+    // zero vectors, dimension consistency, norm distribution. Per-row
+    // norms are order-identical across engines (one sequential fold per
+    // row); only the cross-row mean needs the 6dp round.
+    "embedding_health_report" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val norm = sqrt(aggregate($"embedding",
+        lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      e.select($"vec_id", $"embedding",
+          when($"embedding".isNull, lit(null)).otherwise(norm).as("__n"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when($"embedding".isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when($"__n" === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+          min(size($"embedding")).cast("long").as("dim_min"),
+          max(size($"embedding")).cast("long").as("dim_max"),
+          round(min($"__n"), 6).as("min_norm"),
+          round(max($"__n"), 6).as("max_norm"),
+          round(avg($"__n"), 6).as("avg_norm"))
+    }),
+
     // Parent-document retrieval (small-to-big): search chunk vectors
     // (vec_id div 10 groups ten "chunks" per synthetic parent), return
     // the top parents by best chunk score — the
@@ -514,6 +537,23 @@ object VectorSearch {
   }
 
   val oracles: Map[String, String] = Map(
+    // every statistic recomputed from the raw embedding lists
+    "embedding_health_report" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |         ELSE sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |           x -> x * x))) END AS nr
+        |  FROM embeddings)
+        |SELECT count(*)::BIGINT AS n_vectors,
+        |  sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  sum(CASE WHEN nr = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+        |  min(len(embedding))::BIGINT AS dim_min,
+        |  max(len(embedding))::BIGINT AS dim_max,
+        |  round(min(nr), 6) AS min_norm,
+        |  round(max(nr), 6) AS max_norm,
+        |  round(avg(nr), 6) AS avg_norm
+        |FROM n""".stripMargin,
     // the chunk top-40 cut, the per-parent best-score rollup, and the
     // rounded-rank parent cut replayed
     "parent_doc_retrieval" ->
