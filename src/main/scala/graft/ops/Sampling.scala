@@ -305,6 +305,30 @@ object Sampling {
     (total + rowsPerShard - 1) / rowsPerShard
   }
 
+  /** [[writeShards]] in JSONL — the delivery format most fine-tuning
+    * stacks ingest directly. Same deterministic layout contract: seeded
+    * md5 shuffle order, `rowsPerShard`-sized `shard=K` directories,
+    * rows sorted by position within each shard (Spark's JSON writer
+    * preserves partition-local order, so a shard file replays in
+    * training order). The `position` column rides in each JSON object —
+    * delivery should be auditable without the parquet sibling. Returns
+    * the shard count.
+    */
+  def writeJsonlShards(df: DataFrame, keyCol: String, seed: String,
+                       rowsPerShard: Long, path: String,
+                       posName: String = "position"): Long = {
+    require(rowsPerShard >= 1, "rowsPerShard must be >= 1")
+    val (shuffled, backing) = shuffleIndexed(df, keyCol, seed, posName)
+    shuffled
+      .withColumn("shard", expr(s"(`$posName` - 1) div $rowsPerShard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col(posName))
+      .write.mode("overwrite").partitionBy("shard").json(path)
+    val total = shuffled.count()
+    backing.unpersist(blocking = false)
+    (total + rowsPerShard - 1) / rowsPerShard
+  }
+
   /** GPT-style sequence packing: concatenate documents in the seeded
     * shuffle order and cut the stream into fixed `budget`-token training
     * windows. Emits, per document: its shuffle `position`, its token

@@ -365,6 +365,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  // ---- JSONL delivery ----
+
+  test("writeJsonlShards: shard layout, training order, parquet parity") {
+    import graft.ops.Sampling
+    val df = (1L to 25L).map(i => (i, s"text$i")).toDF("id", "text")
+    val root = tmpRoot("jsonl")
+    val nShards = Sampling.writeJsonlShards(df, "id", "e0", 10L, s"$root/j")
+    assert(nShards == 3)
+    val back = spark.read.json(s"$root/j")
+    assert(back.count() == 25)
+    // same deterministic order contract as the parquet sibling
+    Sampling.writeShards(df, "id", "e0", 10L, s"$root/p")
+    val a = back.select($"id", $"position", $"shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong))
+      .sortBy(_._2)
+    val b = spark.read.parquet(s"$root/p").select($"id", $"position", $"shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).toString.toLong)).sortBy(_._2)
+    assert(a.toSeq == b.toSeq)
+    // within a shard file, physical line order IS training order
+    val files = new java.io.File(s"$root/j/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    val lines = files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    val positions = lines.map(l => "\"position\":(\\d+)".r
+      .findFirstMatchIn(l).get.group(1).toLong)
+    assert(positions.toSeq == positions.sorted.toSeq && positions.length == 10)
+  }
+
   // ---- relative-score hybrid fusion ----
 
   test("relativeScoreFuse: hand-computed min-max blend with absent docs") {
