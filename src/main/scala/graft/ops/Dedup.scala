@@ -945,6 +945,56 @@ object Dedup {
       }
     }
 
+  /** O(1) maintenance of a registered sidecar across a compaction — the
+    * [[Keyword.maintainRegisteredIndexAfterCompact]] contract verbatim:
+    * band rows depend only on the (id, text) ROWS, which a compaction
+    * preserves, so a sidecar fresh at the pre-compaction version still
+    * describes the table and only the stamp moves. Restamps ONLY when
+    * provable from the artifacts alone (sole commit, single survivor
+    * segment, fresh pre-stamp); every other shape rebuilds, and a
+    * mid-rebuild failure degrades to a loudly-stale sidecar the next
+    * seam append heals — never a retroactive failure of the committed
+    * compaction.
+    */
+  def maintainRegisteredSidecarAfterCompact(spark: org.apache.spark.sql.SparkSession,
+                                            table: String, preVersion: Long,
+                                            post: VersionedStore.State,
+                                            files: Int): Unit =
+    registeredSidecar(spark, table).foreach { case (path, idCol, textCol) =>
+      sidecarLock(table).synchronized {
+        val statsPath = s"$path/_stats"
+        def stamp: Option[String] =
+          if (!graft.Fs.exists(spark, statsPath)) None
+          else {
+            val st = graft.Fs.readString(spark, statsPath).trim.split(" ")
+            if (st.length >= 4) Some(st(3)) else None
+          }
+        if (files == 0 && stamp.contains(s"v${post.version}")) ()
+        else {
+          val provablyExact = files > 0 && post.version == preVersion + 1 &&
+            post.segments.size == 1 && stamp.contains(s"v$preVersion")
+          if (provablyExact) {
+            val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
+            graft.Fs.writeString(spark, statsPath,
+              s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
+          } else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"compaction of $table not provably row-preserving for the " +
+                s"registered sidecar $path; rebuilding")
+            try buildMinhashSidecarForStore(spark, table, idCol, textCol, path)
+            catch {
+              case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                        _: java.io.FileNotFoundException) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"post-compaction sidecar rebuild of $path failed " +
+                    s"(${e.getMessage}); sidecar left stale — the staleness " +
+                    "guard refuses it until the next append heals it")
+            }
+          }
+        }
+      }
+    }
+
   /** Near-dup-check an arriving batch against the ENTIRE historical
     * store through its maintained sidecar — the ingestion-time gate
     * [[Ingest]]'s exact anti-join cannot provide (exact keys miss

@@ -296,6 +296,7 @@ object Ingest {
     // restamped in O(1) when that is provable (sole commit, no survivor
     // segments) and rebuilt otherwise — either way it keeps serving
     Keyword.maintainRegisteredIndexAfterCompact(spark, path, preVersion, post, files)
+    Dedup.maintainRegisteredSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 
@@ -332,6 +333,7 @@ object Ingest {
           partitionBy = Seq("cluster_id"), marker = Some(fp))
       } else VersionedStore.compact(spark, table, rowsPerFile, reshape)
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, files)
+    Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, files)
     files
   }
 

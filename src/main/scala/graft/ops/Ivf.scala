@@ -428,6 +428,7 @@ object Ivf {
     // lexical index stays valid and only needs its stamp moved (or a
     // rebuild when that is not provable), same as any other compaction
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
+    Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 

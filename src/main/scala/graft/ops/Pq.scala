@@ -596,6 +596,7 @@ object Pq {
     graft.Fs.writeString(spark, markerPath(table),
       if (ivfModel.isDefined) s"$embCol residual" else embCol)
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
+    Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 }

@@ -146,6 +146,7 @@ object Quantize {
     // the rewrite adds code columns but preserves rows — restamp (or
     // rebuild) a registered lexical index so BM25 serving survives
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
+    Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
   }
 
   /** Top-k nearest rows via the quantized coarse pass + exact rescore.

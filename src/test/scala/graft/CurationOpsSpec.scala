@@ -244,6 +244,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((999L, 20L, 1.0)))
   }
 
+  test("registered sidecar: compactTable restamps O(1), check stays fresh") {
+    import graft.ops.{Dedup, Ingest, VersionedStore}
+    val root = tmpRoot("ndsc-restamp")
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"alpha beta gamma token$i delta epsilon")).toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", mk(1 to 10))
+    Dedup.registerMinhashSidecar(spark, s"$root/t", "doc_id", "text", s"$root/sc")
+    val bandsBefore = spark.read.parquet(s"$root/sc/bands")
+      .inputFiles.toSet
+    Ingest.compactTable(spark, s"$root/t")
+    // the row-preserving compaction restamped — no rebuild (same band
+    // files on disk), and the check serves without tripping staleness
+    assert(spark.read.parquet(s"$root/sc/bands").inputFiles.toSet == bandsBefore)
+    val got = Dedup.nearDupAgainstStore(spark,
+        Seq((99L, "alpha beta gamma token3 delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/t", s"$root/sc", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((99L, 3L)))
+  }
+
   test("dropNearDupsAgainstStore: near-dups rejected, fresh rows pass") {
     import graft.ops.{Dedup, VersionedStore}
     val root = tmpRoot("ndsc-drop")
