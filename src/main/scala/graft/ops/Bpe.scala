@@ -136,10 +136,13 @@ object Bpe {
     * are counted in THESE tokens, not whitespace words.
     *
     * Scale shape: segmentation runs once per DISTINCT word (the
-    * vocabulary — orders of magnitude smaller than the corpus), and the
-    * vocabulary-to-length table broadcasts to the per-document count
-    * join, so corpus rows never shuffle to be measured; the only
-    * corpus-sized exchange is the per-document agg keyed by id.
+    * vocabulary — orders of magnitude smaller than the corpus, but
+    * UNBOUNDED on a web crawl: typos/URLs/numbers reach 10⁸+ distinct
+    * words, past any broadcast), so the word→length join is
+    * SHUFFLE_HASH on the narrow (word, len) table — the
+    * [[NgramLm.scoreStupidBackoff]] convention for unbounded model
+    * tables; the only other corpus-sized exchange is the per-document
+    * agg keyed by id.
     */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[Merge]): DataFrame = {
@@ -148,7 +151,7 @@ object Bpe {
     val vocab = words.filter(col("word").isNotNull).select(col("word")).distinct()
     val lens = segment(vocab, "word", merges)
       .select(col("word"), size(col("syms")).cast("long").as("__len"))
-    words.join(broadcast(lens), Seq("word"), "left")
+    words.join(lens.hint("SHUFFLE_HASH"), Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(col("word")).as("n_words"),
         coalesce(sum(col("__len")), lit(0L)).as("n_bpe_tokens"))

@@ -82,14 +82,7 @@ object Dedup {
     // eager materialization: the banding self-join scans this twice and
     // concurrent cache population would compute the shingles twice
     shingled.count()
-    // shingle-less docs (< n words) would all share the empty-set
-    // signature and collide into one bucket per band — a quadratic
-    // candidate blowup; they can't clear any jaccard threshold anyway.
-    val banded = shingled
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("sz"), posexplode(
-        graft.functions.MinHashBands.minhashBands(col("sh"), numHashes, bands)))
-      .select(col("id"), col("sz"), col("pos").as("band"), col("col").as("bh"))
+    val banded = bandRowsFromShingled(shingled, "id", "sh", numHashes, bands)
     // length filter in the bucket join: J ≥ t forces min(|A|,|B|) ≥
     // t·max(|A|,|B|), so size-incompatible bucket collisions (which the
     // exact verify would reject anyway) never reach the verify join —
@@ -809,19 +802,28 @@ object Dedup {
 
   // ---- incremental near-dup: the MinHash band sidecar ----
 
-  /** `(id, sz, band, bh)` band-hash rows — ONE shared derivation for the
-    * batch pair ops and the sidecar, so the two can never drift apart.
-    * Shingle-less docs are dropped here for the same quadratic-collision
-    * reason as [[minhashNearDupPairs]].
+  /** `(<id>, sz, band, bh)` band-hash rows from an already-shingled
+    * frame — THE single signature derivation: [[minhashNearDupPairs]],
+    * the sidecar build/fold, and [[nearDupAgainstStore]]'s batch side
+    * all band through here, so a change to banding can never
+    * desynchronize them. Shingle-less docs are dropped (they would all
+    * collide on the empty-set signature — a quadratic candidate blowup
+    * — and can't clear any jaccard threshold anyway).
     */
+  private def bandRowsFromShingled(sh: DataFrame, idName: String,
+                                   shName: String, numHashes: Int,
+                                   bands: Int): DataFrame =
+    sh.filter(size(col(shName)) > 0)
+      .select(col(idName), size(col(shName)).as("sz"), posexplode(
+        graft.functions.MinHashBands.minhashBands(col(shName), numHashes, bands)))
+      .select(col(idName), col("sz"), col("pos").as("band"), col("col").as("bh"))
+
   private def bandRows(df: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int, bands: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        array_sort(wordShingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("sz"), posexplode(
-        graft.functions.MinHashBands.minhashBands(col("sh"), numHashes, bands)))
-      .select(col("id"), col("sz"), col("pos").as("band"), col("col").as("bh"))
+    bandRowsFromShingled(
+      df.select(col(idCol).as("id"),
+        array_sort(wordShingles(col(textCol), n)).as("sh")),
+      "id", "sh", numHashes, bands)
 
   /** Build the MinHash band SIDECAR for a [[VersionedStore]] table — the
     * layout that lets every future ingest batch near-dup-check against
@@ -890,37 +892,21 @@ object Dedup {
       s"$n $numHashes $bands v${cur.version}")
   }
 
-  private val sidecarLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def sidecarLock(table: String): Object =
-    sidecarLocks.computeIfAbsent(table, _ => new Object)
-
   def sidecarMarkerPath(table: String): String = s"$table/_minhash_sidecar"
 
   /** Register a MinHash sidecar to `table` and (re)build it fresh — the
     * [[Keyword.registerLexicalIndex]] seam for near-dup: from here on
     * every [[Ingest.appendRespectingLayout]] commit folds its own rows
     * in at O(new docs), so ingestion-time [[nearDupAgainstStore]] checks
-    * never trip the staleness guard. Builds BEFORE writing the marker:
-    * a half-registered state is an unmarked (ignored) sidecar, never a
-    * marked-but-missing one.
+    * never trip the staleness guard. The whole register/maintain/restamp
+    * lifecycle is [[SidecarRegistry]]'s — shared with the lexical index.
     */
   def registerMinhashSidecar(spark: org.apache.spark.sql.SparkSession,
                              table: String, idCol: String, textCol: String,
                              path: String): Unit =
-    sidecarLock(table).synchronized {
+    SidecarRegistry.register(spark, table, sidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, idCol, textCol)) {
       buildMinhashSidecarForStore(spark, table, idCol, textCol, path)
-      graft.Fs.writeString(spark, sidecarMarkerPath(table),
-        s"$path\n$idCol\n$textCol")
-    }
-
-  private def registeredSidecar(spark: org.apache.spark.sql.SparkSession,
-                                table: String): Option[(String, String, String)] =
-    if (!graft.Fs.exists(spark, sidecarMarkerPath(table))) None
-    else {
-      val lines = graft.Fs.readString(spark, sidecarMarkerPath(table)).trim
-        .split("\n").map(_.trim)
-      Some((lines(0), lines(1), lines(2)))
     }
 
   /** The append seam's sidecar maintenance: fold the store's new
@@ -931,68 +917,26 @@ object Dedup {
     */
   def maintainRegisteredSidecar(spark: org.apache.spark.sql.SparkSession,
                                 table: String): Unit =
-    registeredSidecar(spark, table).foreach { case (path, idCol, textCol) =>
-      sidecarLock(table).synchronized {
-        try appendToMinhashSidecar(spark, table, idCol, textCol, path)
-        catch {
-          case e @ (_: IllegalArgumentException | _: IllegalStateException |
-                    _: java.io.FileNotFoundException) =>
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"incremental sidecar maintenance of $path failed (${e.getMessage}); " +
-                "rebuilding from the store")
-            buildMinhashSidecarForStore(spark, table, idCol, textCol, path)
-        }
-      }
+    SidecarRegistry.maintain(spark, table, sidecarMarkerPath(table),
+      "minhash sidecar") { reg =>
+      appendToMinhashSidecar(spark, table, reg.idCol, reg.textCol, reg.path)
+    } { reg =>
+      buildMinhashSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
     }
 
-  /** O(1) maintenance of a registered sidecar across a compaction — the
-    * [[Keyword.maintainRegisteredIndexAfterCompact]] contract verbatim:
-    * band rows depend only on the (id, text) ROWS, which a compaction
-    * preserves, so a sidecar fresh at the pre-compaction version still
-    * describes the table and only the stamp moves. Restamps ONLY when
-    * provable from the artifacts alone (sole commit, single survivor
-    * segment, fresh pre-stamp); every other shape rebuilds, and a
-    * mid-rebuild failure degrades to a loudly-stale sidecar the next
-    * seam append heals — never a retroactive failure of the committed
-    * compaction.
+  /** O(1) maintenance of a registered sidecar across a compaction: band
+    * rows depend only on the (id, text) ROWS, which a compaction
+    * preserves, so a provably row-preserving compaction only moves the
+    * stamp ([[SidecarRegistry.maintainAfterCompact]]); anything
+    * unprovable rebuilds loudly.
     */
   def maintainRegisteredSidecarAfterCompact(spark: org.apache.spark.sql.SparkSession,
                                             table: String, preVersion: Long,
                                             post: VersionedStore.State,
                                             files: Int): Unit =
-    registeredSidecar(spark, table).foreach { case (path, idCol, textCol) =>
-      sidecarLock(table).synchronized {
-        val statsPath = s"$path/_stats"
-        def stamp: Option[String] =
-          if (!graft.Fs.exists(spark, statsPath)) None
-          else {
-            val st = graft.Fs.readString(spark, statsPath).trim.split(" ")
-            if (st.length >= 4) Some(st(3)) else None
-          }
-        if (files == 0 && stamp.contains(s"v${post.version}")) ()
-        else {
-          val provablyExact = files > 0 && post.version == preVersion + 1 &&
-            post.segments.size == 1 && stamp.contains(s"v$preVersion")
-          if (provablyExact) {
-            val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
-            graft.Fs.writeString(spark, statsPath,
-              s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
-          } else {
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"compaction of $table not provably row-preserving for the " +
-                s"registered sidecar $path; rebuilding")
-            try buildMinhashSidecarForStore(spark, table, idCol, textCol, path)
-            catch {
-              case e @ (_: IllegalArgumentException | _: IllegalStateException |
-                        _: java.io.FileNotFoundException) =>
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"post-compaction sidecar rebuild of $path failed " +
-                    s"(${e.getMessage}); sidecar left stale — the staleness " +
-                    "guard refuses it until the next append heals it")
-            }
-          }
-        }
-      }
+    SidecarRegistry.maintainAfterCompact(spark, table, sidecarMarkerPath(table),
+      "minhash sidecar", preVersion, post, files) { reg =>
+      buildMinhashSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
     }
 
   /** Near-dup-check an arriving batch against the ENTIRE historical
@@ -1025,16 +969,13 @@ object Dedup {
         array_sort(wordShingles(col(textCol), n)).as("sh_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bShingled.count(): Unit
-    val bBands = bShingled
-      .filter(size(col("sh_b")) > 0)
-      .select(col("batch_id"), size(col("sh_b")).as("bsz"), posexplode(
-        graft.functions.MinHashBands.minhashBands(col("sh_b"), numHashes, bands)))
-      .select(col("batch_id"), col("bsz"), col("pos").as("band"), col("col").as("bh"))
+    val bBands = bandRowsFromShingled(bShingled, "batch_id", "sh_b",
+      numHashes, bands)
     val sidecar = spark.read.parquet(s"$path/bands")
     val cand = bBands.as("b").join(sidecar.as("s"),
         col("b.band") === col("s.band") && col("b.bh") === col("s.bh") &&
-          col("b.bsz") >= lit(threshold) * col("s.sz") - lit(1e-9) &&
-          col("s.sz") >= lit(threshold) * col("b.bsz") - lit(1e-9))
+          col("b.sz") >= lit(threshold) * col("s.sz") - lit(1e-9) &&
+          col("s.sz") >= lit(threshold) * col("b.sz") - lit(1e-9))
       .select(col("b.batch_id"), col("s.id").as("store_id"))
       .distinct()
       .localCheckpoint() // bounded: verified candidates, not corpus

@@ -218,6 +218,10 @@ object Ingest {
           marker = Some(model.fingerprint))._2
       } else VersionedStore.merge(spark, table, derived, keyCol)._2
     Keyword.maintainRegisteredIndex(spark, table)
+    // a merge/delete REPLACES rows, so the sidecar's append fold refuses
+    // (non-pure-append) and the maintenance falls through to its rebuild
+    // path — stale-but-marked is the one state this seam must never leave
+    Dedup.maintainRegisteredSidecar(spark, table)
     rewritten
   }
 
@@ -237,6 +241,10 @@ object Ingest {
           marker = Some(model.fingerprint))._2
       } else VersionedStore.deleteWhere(spark, table, predicate)._2
     Keyword.maintainRegisteredIndex(spark, table)
+    // a merge/delete REPLACES rows, so the sidecar's append fold refuses
+    // (non-pure-append) and the maintenance falls through to its rebuild
+    // path — stale-but-marked is the one state this seam must never leave
+    Dedup.maintainRegisteredSidecar(spark, table)
     rewritten
   }
 
@@ -255,6 +263,10 @@ object Ingest {
           marker = Some(model.fingerprint))._2
       } else VersionedStore.deleteByKeys(spark, table, keys, keyCol)._2
     Keyword.maintainRegisteredIndex(spark, table)
+    // a merge/delete REPLACES rows, so the sidecar's append fold refuses
+    // (non-pure-append) and the maintenance falls through to its rebuild
+    // path — stale-but-marked is the one state this seam must never leave
+    Dedup.maintainRegisteredSidecar(spark, table)
     rewritten
   }
 

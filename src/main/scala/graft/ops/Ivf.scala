@@ -319,13 +319,12 @@ object Ivf {
   def searchFiltered(store: DataFrame, embCol: String, model: IvfModel,
                      queryVec: Array[Float], topK: Int, nProbe: Int,
                      predicate: Column, metric: String = "COSINE",
-                     storePath: Option[String] = None): DataFrame = {
-    storePath.foreach(p => requireModelMatch(store.sparkSession, p, model))
-    val probes = model.probeOrder(queryVec).take(math.max(1, nProbe)).toSeq
-    Similarity.knn(
-      store.filter(col("cluster_id").isin(probes: _*)).filter(predicate),
-      embCol, queryVec, topK, metric)
-  }
+                     storePath: Option[String] = None): DataFrame =
+    // delegate: the predicate commutes with the probe's cluster filter
+    // (both push to the same scan), so this IS [[search]] over the
+    // filtered store — one probe/guard implementation to maintain
+    search(store.filter(predicate), embCol, model, queryVec, topK, nProbe,
+      metric, storePath)
 
   /** IVF-probed *batch* similarity join: for every query row, the top-k
     * nearest store rows searching only that query's `nProbe` nearest

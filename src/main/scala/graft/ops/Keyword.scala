@@ -291,33 +291,15 @@ object Keyword {
   def registerLexicalIndex(spark: org.apache.spark.sql.SparkSession,
                            table: String, idCol: String, textCol: String,
                            indexPath: String): Unit =
-    maintenanceLock(table).synchronized {
+    SidecarRegistry.register(spark, table, lexicalMarkerPath(table),
+      SidecarRegistry.Registration(indexPath, idCol, textCol)) {
       buildLexicalIndexForStore(spark, table, idCol, textCol, indexPath)
-      graft.Fs.writeString(spark, lexicalMarkerPath(table),
-        s"$indexPath\n$idCol\n$textCol")
     }
 
   private def registeredIndex(spark: org.apache.spark.sql.SparkSession,
                               table: String): Option[(String, String, String)] =
-    if (!graft.Fs.exists(spark, lexicalMarkerPath(table))) None
-    else {
-      val lines = graft.Fs.readString(spark, lexicalMarkerPath(table)).trim
-        .split("\n").map(_.trim)
-      Some((lines(0), lines(1), lines(2)))
-    }
-
-  // Maintenance mutates the index directory (postings append / stats
-  // swap), which unlike the store itself has no manifest CAS — so
-  // same-driver concurrent writers (streaming micro-batches racing a
-  // batch ingest) serialize per table here. All maintenance runs
-  // driver-side, so a JVM lock covers one Spark application; writers
-  // from SEPARATE drivers against one table must serialize maintenance
-  // themselves (or accept a rebuild) — a torn maintenance is loud at
-  // query time (no/stale stamp), never silently served.
-  private val maintenanceLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def maintenanceLock(table: String): Object =
-    maintenanceLocks.computeIfAbsent(table, _ => new Object)
+    SidecarRegistry.registered(spark, lexicalMarkerPath(table))
+      .map(r => (r.path, r.idCol, r.textCol))
 
   /** Bring `table`'s registered lexical index (if any) up to the current
     * store version: incremental fold when the history since the stamp is
@@ -329,18 +311,11 @@ object Keyword {
     */
   def maintainRegisteredIndex(spark: org.apache.spark.sql.SparkSession,
                               table: String): Unit =
-    registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
-      maintenanceLock(table).synchronized {
-        try appendToLexicalIndexForStore(spark, table, idCol, textCol, idx)
-        catch {
-          case e @ (_: IllegalArgumentException | _: IllegalStateException |
-                    _: java.io.FileNotFoundException) =>
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"incremental lexical maintenance of $idx failed (${e.getMessage}); " +
-                "rebuilding from the store")
-            buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
-        }
-      }
+    SidecarRegistry.maintain(spark, table, lexicalMarkerPath(table),
+      "lexical index") { reg =>
+      appendToLexicalIndexForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    } { reg =>
+      buildLexicalIndexForStore(spark, table, reg.idCol, reg.textCol, reg.path)
     }
 
   /** O(1) maintenance of a registered index across a compaction: a
@@ -359,54 +334,9 @@ object Keyword {
                                           table: String, preVersion: Long,
                                           post: VersionedStore.State,
                                           files: Int): Unit =
-    // same per-table lock as the append-seam maintenance: a compaction's
-    // restamp-or-rebuild racing a seam fold lock-free could overwrite
-    // the postings directory mid-append and stamp the result fresh —
-    // double-counted df/tf served silently, the one failure mode the
-    // stamp discipline exists to prevent
-    registeredIndex(spark, table).foreach { case (idx, idCol, textCol) =>
-      maintenanceLock(table).synchronized {
-        val statsPath = s"$idx/_stats"
-        def stamp: Option[String] =
-          if (!graft.Fs.exists(spark, statsPath)) None
-          else {
-            val st = graft.Fs.readString(spark, statsPath).trim.split(" ")
-            if (st.length >= 4) Some(st(3)) else None
-          }
-        // an abandoned compaction (files == 0: the in-flight rewrite lost
-        // its race and committed nothing) changed neither rows nor version
-        // — an index fresh at the current version needs no maintenance,
-        // and rebuilding here would risk failing an operation that
-        // already (vacuously) succeeded
-        if (files == 0 && stamp.contains(s"v${post.version}")) ()
-        else {
-          val provablyExact = files > 0 && post.version == preVersion + 1 &&
-            post.segments.size == 1 && stamp.contains(s"v$preVersion")
-          if (provablyExact) {
-            val stats = graft.Fs.readString(spark, statsPath).trim.split(" ")
-            graft.Fs.writeString(spark, statsPath,
-              s"${stats(0)} ${stats(1)} ${stats(2)} v${post.version}")
-          } else {
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"compaction of $table not provably row-preserving for the registered " +
-                s"index $idx; rebuilding")
-            // same catch-and-warn contract as maintainRegisteredIndex: the
-            // store operation this maintenance rides on has ALREADY
-            // committed, so a mid-rebuild concurrent commit must degrade
-            // to a loudly-stale index (healed by the next seam append),
-            // never fail the committed operation retroactively
-            try buildLexicalIndexForStore(spark, table, idCol, textCol, idx)
-            catch {
-              case e @ (_: IllegalArgumentException | _: IllegalStateException |
-                        _: java.io.FileNotFoundException) =>
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"post-compaction rebuild of $idx failed (${e.getMessage}); " +
-                    "index left stale — the staleness guard refuses to serve it " +
-                    "until the next append's maintenance heals it")
-            }
-          }
-        }
-      }
+    SidecarRegistry.maintainAfterCompact(spark, table, lexicalMarkerPath(table),
+      "lexical index", preVersion, post, files) { reg =>
+      buildLexicalIndexForStore(spark, table, reg.idCol, reg.textCol, reg.path)
     }
 
   /** [[bm25]] against a [[buildLexicalIndex]] sidecar instead of the
@@ -632,7 +562,12 @@ object Keyword {
     require(legs.nonEmpty, "need at least one leg")
     require(legs.forall(_._2 >= 0), "leg weights must be >= 0")
     legs.map { case (leg, weight) =>
+      // materialize the (topK-bounded) leg once: its plan feeds BOTH the
+      // min/max aggregate and the blend join, and Catalyst has no
+      // cross-branch CSE — a knn leg would otherwise re-run its corpus
+      // scan for the aggregate
       val r = leg.select(col(idCol), round(col(scoreCol), 6).as("__s"))
+        .localCheckpoint()
       val mm = r.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
       r.crossJoin(broadcast(mm))
         .select(col(idCol),

@@ -287,7 +287,15 @@ object Sampling {
     */
   def writeShards(df: DataFrame, keyCol: String, seed: String,
                   rowsPerShard: Long, path: String,
-                  posName: String = "position"): Long = {
+                  posName: String = "position"): Long =
+    writeShardsAs(df, keyCol, seed, rowsPerShard, path, posName, "parquet")
+
+  /** ONE implementation of the deterministic shard layout — the format
+    * is the only thing the public writers differ in.
+    */
+  private def writeShardsAs(df: DataFrame, keyCol: String, seed: String,
+                            rowsPerShard: Long, path: String,
+                            posName: String, format: String): Long = {
     require(rowsPerShard >= 1, "rowsPerShard must be >= 1")
     val (shuffled, backing) = shuffleIndexed(df, keyCol, seed, posName)
     shuffled
@@ -296,7 +304,7 @@ object Sampling {
       .withColumn("shard", expr(s"(`$posName` - 1) div $rowsPerShard"))
       .repartition(col("shard"))
       .sortWithinPartitions(col(posName))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode("overwrite").partitionBy("shard").format(format).save(path)
     // shard count from the shuffle itself (cached, so no recompute) — a
     // read-back would crash on the empty-corpus case, where the write
     // emits no data files at all
@@ -316,18 +324,8 @@ object Sampling {
     */
   def writeJsonlShards(df: DataFrame, keyCol: String, seed: String,
                        rowsPerShard: Long, path: String,
-                       posName: String = "position"): Long = {
-    require(rowsPerShard >= 1, "rowsPerShard must be >= 1")
-    val (shuffled, backing) = shuffleIndexed(df, keyCol, seed, posName)
-    shuffled
-      .withColumn("shard", expr(s"(`$posName` - 1) div $rowsPerShard"))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col(posName))
-      .write.mode("overwrite").partitionBy("shard").json(path)
-    val total = shuffled.count()
-    backing.unpersist(blocking = false)
-    (total + rowsPerShard - 1) / rowsPerShard
-  }
+                       posName: String = "position"): Long =
+    writeShardsAs(df, keyCol, seed, rowsPerShard, path, posName, "json")
 
   /** GPT-style sequence packing: concatenate documents in the seeded
     * shuffle order and cut the stream into fixed `budget`-token training

@@ -502,12 +502,15 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"rule battery must not shuffle:\n$plan")
   }
 
-  test("encodeStats plan: vocabulary lengths broadcast to the count join") {
+  test("encodeStats plan: vocab join is hash, never a payload sort-merge") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), nMerges = 1)
     val plan = Bpe.encodeStats(docs, "doc_id", "text", merges)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"vocab join must broadcast:\n$plan")
+    // SHUFFLE_HASH, not broadcast: a web-crawl vocabulary is unbounded
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab join must not sort-merge:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"vocab join must be a hash join:\n$plan")
   }
 }
