@@ -146,6 +146,21 @@ object CurationProbe {
     report("neardup_against_store",
       time(ndup(docs1, "1x").count()), time(ndup(docsN, "nx").count()))
 
+    // DSIR selection QUALITY (not timing): a CONTENT-defined target
+    // domain (the synthetic lang labels share one vocabulary, so no
+    // unigram model can separate them — that's the fixture, not the
+    // operator). Target = heavily "vector"-flavored docs; measure how
+    // much the selection enriches that trait vs the corpus baseline.
+    val trait_ = size(filter(split(trim($"text"), "\\s+"),
+      t => t === "vector")) >= 3
+    val nBase = docs1.filter(trait_).count().toDouble / docs1.count()
+    val sel = graft.ops.Importance.dsirTopK(docs1,
+      docs1.filter(trait_), "doc_id", "text", quota = 500)
+    val nSel = sel.join(docs1.select($"doc_id", $"text"), "doc_id")
+      .filter(trait_).count().toDouble / 500
+    println(f"DSIR-QUALITY corpus trait-fraction $nBase%.3f -> selected " +
+      f"$nSel%.3f (${nSel / nBase}%.1fx enrichment)")
+
     spark.stop()
   }
 }
