@@ -539,6 +539,37 @@ object Testbed {
       .foreach(base => graft.Fs.delete(spark, s"$base/$dir"))
   }
 
+  /** Retrieval score calibration: bin the run's [0,1] relevance scores
+    * and report per-bin empirical precision against the qrels — the
+    * calibration curve that tells a RAG stack whether a 0.8 similarity
+    * actually MEANS more than a 0.6 (and where to put a score
+    * threshold). Returns `(bin, n_scored, n_relevant, precision)` for
+    * the occupied bins, bin b covering `[b/nBins, (b+1)/nBins)` with
+    * the top edge closed.
+    *
+    * Cross-engine: binning floors the 6dp-ROUNDED relevance, so a bin
+    * edge can never flip on last-ulp score divergence. The run is
+    * k×|queries|-bounded, so everything here is driver-cheap; the qrels
+    * join is SHUFFLE_HASH (qrels can be corpus-scale).
+    */
+  def scoreCalibration(run: DataFrame, qrels: DataFrame, qidCol: String,
+                       docCol: String, scoreCol: String,
+                       metric: String = "COSINE", nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    val rel = round(Similarity.relevance(metric, col(scoreCol)), 6)
+    run.select(col(qidCol), col(docCol), rel.as("__rel"))
+      .join(qrels.select(col(qidCol), col(docCol)).distinct()
+        .withColumn("__hit", lit(1L)).hint("SHUFFLE_HASH"),
+        Seq(qidCol, docCol), "left")
+      .withColumn("bin",
+        least(floor(col("__rel") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_relevant"))
+      .withColumn("precision",
+        round(col("n_relevant").cast("double") / col("n_scored"), 6))
+  }
+
   /** Character edit-distance evaluation (the CER/TER-style complement
     * of the n-gram metrics): per pair, the unit-cost Levenshtein
     * distance between candidate and reference plus the

@@ -466,6 +466,24 @@ object VectorSearch {
     // AP@10) in the same closed forms. Ranks — not scores — carry all
     // the information, so the 6-dp rounding only touches the metric
     // outputs themselves.
+    // Score calibration: the same run/qrels as the ranking panel, the
+    // run's relevance scores binned into deciles with per-bin empirical
+    // precision — does a higher similarity actually mean relevant?
+    "retrieval_score_calibration" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"label".as("qlabel"))
+      val c = e.filter($"vec_id" >= 8)
+      val run = Similarity.similarityJoin(
+        q, c, "qid", "qemb", "vec_id", "embedding", k = 10)
+      val qrels = q.select($"qid", $"qlabel")
+        .join(c.select($"vec_id", $"label"), $"qlabel" === $"label")
+        .select($"qid", $"vec_id")
+      graft.ops.Testbed.scoreCalibration(run, qrels, "qid", "vec_id", "score")
+        .orderBy($"bin")
+    }),
+
     "retrieval_eval_metrics" -> ((s, d) => {
       import s.implicits._
       val e = embeddings(s, d)
@@ -707,6 +725,27 @@ object VectorSearch {
     // the ideal prefix, AP normalized by min(n_rel, k)). Sum order
     // differs across engines only in the last ulp; 6-dp rounding
     // absorbs it (the established knn-score convention).
+    // the run's rounded relevance floors into deciles; per-bin counts
+    // against the same label-match qrels
+    "retrieval_score_calibration" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |      FROM embeddings WHERE vec_id >= 8),
+        |run AS (SELECT qid, vec_id, s FROM (
+        |  SELECT q.qid, c.vec_id, list_cosine_similarity(c.v, q.qv) AS s,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS r
+        |  FROM q, c) WHERE r <= 10),
+        |rel AS (SELECT q.qid, c.vec_id FROM q JOIN c ON q.qlabel = c.label),
+        |b AS (SELECT least(floor(round((s + 1.0) / 2.0, 6) * 10), 9)::BIGINT AS bin,
+        |        CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM run LEFT JOIN rel
+        |        ON rel.qid = run.qid AND rel.vec_id = run.vec_id)
+        |SELECT bin, count(*)::BIGINT AS n_scored,
+        |  sum(hit)::BIGINT AS n_relevant,
+        |  round(sum(hit)::DOUBLE / count(*), 6) AS precision
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "retrieval_eval_metrics" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
         |           FROM embeddings WHERE vec_id < 8),

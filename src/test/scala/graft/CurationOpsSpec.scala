@@ -324,6 +324,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.head._2 == 2L)
   }
 
+  // ---- score calibration ----
+
+  test("scoreCalibration: planted scores bin correctly with per-bin precision") {
+    import graft.ops.Testbed
+    // COSINE relevance = (1+s)/2: s=0.8→0.9 (bin 9 via top-edge clamp on
+    // 1.0? no: 0.9*10=9), s=0.0→0.5 (bin 5), s=-0.5→0.25 (bin 2),
+    // s=1.0→1.0 (clamped to bin 9)
+    val run = Seq(
+      (1L, 10L, 0.8), (1L, 11L, 0.0), (2L, 12L, -0.5), (2L, 13L, 1.0))
+      .toDF("qid", "doc", "score")
+    val qrels = Seq((1L, 10L), (2L, 12L)).toDF("qid", "doc")
+    val got = Testbed.scoreCalibration(run, qrels, "qid", "doc", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(9L) == ((2L, 1L, 0.5)))  // s=0.8 (hit) and s=1.0 (miss)
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    assert(got(2L) == ((1L, 1L, 1.0)))
+    assert(got.size == 3)
+  }
+
   // ---- edit distance ----
 
   test("editDistance: textbook distances, null/empty conventions, rate bounds") {
