@@ -998,6 +998,167 @@ object Dedup {
     pairs
   }
 
+  // ---- incremental EMBEDDING near-dup: the SRP bucket sidecar ----
+
+  /** `(id, t, bucket)` SRP bucket rows — the single bucket derivation
+    * shared by [[embeddingNearDupLsh]]'s shape and the sidecar paths.
+    * Null embeddings are dropped (they'd all collide in bucket 0 and
+    * can't clear any cosine threshold).
+    */
+  private def srpBucketRows(df: DataFrame, idCol: String, embCol: String,
+                            dim: Int, nTables: Int, nBits: Int,
+                            seed: Long): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+      .select(col("id"), posexplode(array((0 until nTables).map { t =>
+        srpBucket(col("emb"), rademacherPlanes(nBits, dim, t, seed))
+      }: _*)))
+      .select(col("id"), col("pos").as("t"), col("col").as("bucket"))
+
+  def srpSidecarMarkerPath(table: String): String = s"$table/_srp_sidecar"
+
+  /** Build the SRP bucket sidecar for a [[VersionedStore]] table — the
+    * EMBEDDING-space twin of [[buildMinhashSidecarForStore]]: arriving
+    * batches near-dup-check their vectors against the whole history by
+    * bucket equi-join instead of a corpus-wide cosine join. Plane
+    * weights are the md5-derived Rademacher signs ([[rademacherPlanes]]),
+    * so the entire check — buckets, candidates, verified similarities —
+    * is recomputable by a SQL oracle. `_stats`:
+    * `"dim nTables nBits seed v<version>"` under the
+    * [[SidecarRegistry]] stamp discipline.
+    */
+  def buildSrpSidecarForStore(spark: org.apache.spark.sql.SparkSession,
+                              table: String, idCol: String, embCol: String,
+                              path: String, nTables: Int = 4, nBits: Int = 8,
+                              seed: Long = 42L): Unit = {
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val docs = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to bucket at $table"))
+    val dimRow = docs.filter(col(embCol).isNotNull).select(size(col(embCol))).head(1)
+    require(dimRow.nonEmpty, s"$table has no non-null $embCol to bucket")
+    val dim = dimRow.head.getInt(0)
+    graft.Fs.delete(spark, s"$path/_stats")
+    srpBucketRows(docs, idCol, embCol, dim, nTables, nBits, seed)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == v0,
+      s"store $table moved from version $v0 to $v1 during the sidecar build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats", s"$dim $nTables $nBits $seed v$v0")
+  }
+
+  /** Fold new segments into the SRP sidecar — the
+    * [[appendToMinhashSidecar]] discipline with the plane parameters
+    * read back from `_stats` (new rows MUST bucket under the build-time
+    * planes, dim included, or candidates silently stop matching).
+    */
+  def appendToSrpSidecar(spark: org.apache.spark.sql.SparkSession,
+                         table: String, idCol: String, embCol: String,
+                         path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    val (dim, nTables, nBits, seed) =
+      (stats(0).toInt, stats(1).toInt, stats(2).toInt, stats(3).toLong)
+    require(stats.length >= 5 && stats(4).startsWith("v"),
+      s"SRP sidecar at $path carries no store stamp; rebuild with buildSrpSidecarForStore")
+    val v0 = stats(4).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"SRP sidecar stamp v$v0 is ahead of $table's version ${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; rebuild " +
+        "with buildSrpSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty) {
+      val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+      srpBucketRows(docs, idCol, embCol, dim, nTables, nBits, seed)
+        .write.mode("append").parquet(s"$path/buckets")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$dim $nTables $nBits $seed v${cur.version}")
+  }
+
+  /** Embedding near-dup check of an arriving batch against the WHOLE
+    * historical store through its SRP sidecar: batch buckets equi-join
+    * the sidecar's, only candidate store rows' vectors are read back
+    * for the exact-cosine verify. Returns
+    * `(batch_id, store_id, sim)` with `sim > threshold`. Stale sidecars
+    * refuse loudly, exactly as [[nearDupAgainstStore]].
+    */
+  def embNearDupAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                             batch: DataFrame, idCol: String, embCol: String,
+                             table: String, path: String,
+                             threshold: Double): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    val (dim, nTables, nBits, seed) =
+      (stats(0).toInt, stats(1).toInt, stats(2).toInt, stats(3).toLong)
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats.length >= 5 && stats(4) == s"v$cur",
+      s"SRP sidecar at $path (${stats.lift(4).getOrElse("-")}) is stale against " +
+        s"$table (v$cur) — run appendToSrpSidecar first")
+    val bBase = batch.select(col(idCol).as("batch_id"), col(embCol).as("emb_b"))
+      .filter(col("emb_b").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bBase.count(): Unit
+    val bBuckets = srpBucketRows(bBase, "batch_id", "emb_b", dim, nTables,
+      nBits, seed).withColumnRenamed("id", "batch_id")
+    val sidecar = spark.read.parquet(s"$path/buckets")
+    val cand = bBuckets.as("b").join(sidecar.as("s"),
+        col("b.t") === col("s.t") && col("b.bucket") === col("s.bucket"))
+      .select(col("b.batch_id"), col("s.id").as("store_id"))
+      .distinct()
+      .localCheckpoint()
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    val candEmb = store
+      .join(cand.select(col("store_id").as(idCol)).distinct()
+        .hint("SHUFFLE_HASH"), Seq(idCol), "left_semi")
+      .select(col(idCol).as("store_id"), col(embCol).as("emb_s"))
+    val pairs = cand
+      .join(bBase.hint("SHUFFLE_HASH"), "batch_id")
+      .join(candEmb.hint("SHUFFLE_HASH"), "store_id")
+      .withColumn("sim", VectorFunctions.cosineSim(col("emb_b"), col("emb_s")))
+      .filter(col("sim") > threshold)
+      .select(col("batch_id"), col("store_id"), col("sim"))
+      .localCheckpoint()
+    bBase.unpersist()
+    pairs
+  }
+
+  /** Register the SRP sidecar on the maintenance seam — the second
+    * [[SidecarRegistry]] client, inheriting every append/merge/delete/
+    * compaction path the lexical index and MinHash sidecar ride.
+    */
+  def registerSrpSidecar(spark: org.apache.spark.sql.SparkSession,
+                         table: String, idCol: String, embCol: String,
+                         path: String): Unit =
+    SidecarRegistry.register(spark, table, srpSidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, idCol, embCol)) {
+      buildSrpSidecarForStore(spark, table, idCol, embCol, path)
+    }
+
+  def maintainRegisteredSrpSidecar(spark: org.apache.spark.sql.SparkSession,
+                                   table: String): Unit =
+    SidecarRegistry.maintain(spark, table, srpSidecarMarkerPath(table),
+      "srp sidecar") { reg =>
+      appendToSrpSidecar(spark, table, reg.idCol, reg.textCol, reg.path)
+    } { reg =>
+      buildSrpSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  def maintainRegisteredSrpSidecarAfterCompact(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      preVersion: Long, post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      srpSidecarMarkerPath(table), "srp sidecar", preVersion, post, files) { reg =>
+      buildSrpSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
   /** The drop half of the ingestion near-dup gate: the batch minus every
     * row [[nearDupAgainstStore]] matched — what actually flows to the
     * store when near-dups of history are policy-rejected (the near-dup

@@ -176,6 +176,7 @@ object Ingest {
     // ([[Dedup.registerMinhashSidecar]]): near-dup checks against the
     // growing history stay fresh without polling
     if (n > 0) Dedup.maintainRegisteredSidecar(spark, table)
+    if (n > 0) Dedup.maintainRegisteredSrpSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -218,10 +219,11 @@ object Ingest {
           marker = Some(model.fingerprint))._2
       } else VersionedStore.merge(spark, table, derived, keyCol)._2
     Keyword.maintainRegisteredIndex(spark, table)
-    // a merge/delete REPLACES rows, so the sidecar's append fold refuses
-    // (non-pure-append) and the maintenance falls through to its rebuild
+    // a merge/delete REPLACES rows, so the sidecars' append folds refuse
+    // (non-pure-append) and the maintenance falls through to the rebuild
     // path — stale-but-marked is the one state this seam must never leave
     Dedup.maintainRegisteredSidecar(spark, table)
+    Dedup.maintainRegisteredSrpSidecar(spark, table)
     rewritten
   }
 
@@ -241,10 +243,11 @@ object Ingest {
           marker = Some(model.fingerprint))._2
       } else VersionedStore.deleteWhere(spark, table, predicate)._2
     Keyword.maintainRegisteredIndex(spark, table)
-    // a merge/delete REPLACES rows, so the sidecar's append fold refuses
-    // (non-pure-append) and the maintenance falls through to its rebuild
+    // a merge/delete REPLACES rows, so the sidecars' append folds refuse
+    // (non-pure-append) and the maintenance falls through to the rebuild
     // path — stale-but-marked is the one state this seam must never leave
     Dedup.maintainRegisteredSidecar(spark, table)
+    Dedup.maintainRegisteredSrpSidecar(spark, table)
     rewritten
   }
 
@@ -263,10 +266,11 @@ object Ingest {
           marker = Some(model.fingerprint))._2
       } else VersionedStore.deleteByKeys(spark, table, keys, keyCol)._2
     Keyword.maintainRegisteredIndex(spark, table)
-    // a merge/delete REPLACES rows, so the sidecar's append fold refuses
-    // (non-pure-append) and the maintenance falls through to its rebuild
+    // a merge/delete REPLACES rows, so the sidecars' append folds refuse
+    // (non-pure-append) and the maintenance falls through to the rebuild
     // path — stale-but-marked is the one state this seam must never leave
     Dedup.maintainRegisteredSidecar(spark, table)
+    Dedup.maintainRegisteredSrpSidecar(spark, table)
     rewritten
   }
 
@@ -309,6 +313,7 @@ object Ingest {
     // segments) and rebuilt otherwise — either way it keeps serving
     Keyword.maintainRegisteredIndexAfterCompact(spark, path, preVersion, post, files)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, path, preVersion, post, files)
+    Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 
@@ -346,6 +351,7 @@ object Ingest {
       } else VersionedStore.compact(spark, table, rowsPerFile, reshape)
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, files)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, files)
+    Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, files)
     files
   }
 

@@ -428,6 +428,7 @@ object Ivf {
     // rebuild when that is not provable), same as any other compaction
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
+    Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 

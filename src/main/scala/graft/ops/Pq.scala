@@ -597,6 +597,7 @@ object Pq {
       if (ivfModel.isDefined) s"$embCol residual" else embCol)
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
+    Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 }

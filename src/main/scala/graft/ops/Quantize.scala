@@ -147,6 +147,7 @@ object Quantize {
     // rebuild) a registered lexical index so BM25 serving survives
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
+    Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, nFiles)
   }
 
   /** Top-k nearest rows via the quantized coarse pass + exact rescore.

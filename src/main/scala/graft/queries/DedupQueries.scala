@@ -234,6 +234,32 @@ object DedupQueries {
             .otherwise(0L)) === 20L).as("all_planted_found"))
     }),
 
+    // The EMBEDDING sidecar lifecycle, FULLY hash-checked (unlike the
+    // seed-defined MinHash set, SRP buckets are md5-derived, so the
+    // oracle regenerates every plane, bucket, candidate, and verified
+    // cosine): half the vectors into a store + sidecar build, the rest
+    // appended + folded, then 20 re-keyed vectors checked against the
+    // whole history.
+    "incremental_embdup_check" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-srpsc-" +
+        s"${Integer.toHexString(d.hashCode)}-${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val table = s"$root/store"
+      val side = s"$root/buckets"
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      graft.ops.VersionedStore.append(s, table, emb.filter($"vec_id" % 2 === 0))
+      Dedup.buildSrpSidecarForStore(s, table, "vec_id", "embedding", side)
+      graft.ops.VersionedStore.append(s, table, emb.filter($"vec_id" % 2 =!= 0))
+      Dedup.appendToSrpSidecar(s, table, "vec_id", "embedding", side)
+      val batch = emb.filter($"vec_id" < 20 && $"embedding".isNotNull)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      Dedup.embNearDupAgainstStore(s, batch, "vec_id", "embedding",
+          table, side, threshold = 0.35)
+        .select($"batch_id", $"store_id", round($"sim", 6).as("sim"))
+        .orderBy($"batch_id", $"store_id")
+    }),
+
     "dedup_minhash_subset_invariant" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d)
@@ -579,6 +605,41 @@ object DedupQueries {
     "incremental_neardup_check" ->
       """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
         |  true AS all_planted_found""".stripMargin,
+    // the ENTIRE incremental path replayed: md5 Rademacher planes,
+    // store + batch buckets, bipartite candidate join, exact cosine
+    "incremental_embdup_check" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |bat AS (SELECT vec_id + 1000000 AS bid, v FROM e WHERE vec_id < 20),
+        |planes AS (
+        |  SELECT t, b, i,
+        |    CASE WHEN ('0x' || substr(md5('srp:'||t||':'||b||':'||(i-1)||':42'),1,1))::INT
+        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,4) r1(t), range(0,8) r2(b), range(1,65) r3(i)),
+        |sdots AS (
+        |  SELECT e.vec_id, p.t, p.b, SUM(e.v[p.i::INT] * p.w) AS d
+        |  FROM e, planes p GROUP BY 1, 2, 3),
+        |sbuck AS (
+        |  SELECT vec_id, t,
+        |    SUM(CASE WHEN d >= 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS bucket
+        |  FROM sdots GROUP BY 1, 2),
+        |bdots AS (
+        |  SELECT bat.bid, p.t, p.b, SUM(bat.v[p.i::INT] * p.w) AS d
+        |  FROM bat, planes p GROUP BY 1, 2, 3),
+        |bbuck AS (
+        |  SELECT bid, t,
+        |    SUM(CASE WHEN d >= 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS bucket
+        |  FROM bdots GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT b.bid, s.vec_id AS sid
+        |  FROM bbuck b JOIN sbuck s ON b.t = s.t AND b.bucket = s.bucket)
+        |SELECT bid AS batch_id, sid AS store_id, round(s, 6) AS sim FROM (
+        |  SELECT c.bid, c.sid, list_cosine_similarity(bb.v, ss.v) AS s
+        |  FROM cand c
+        |  JOIN bat bb ON bb.bid = c.bid
+        |  JOIN e ss ON ss.vec_id = c.sid)
+        |WHERE s > 0.35 ORDER BY batch_id, store_id""".stripMargin,
     "dedup_simhash_equivalence_invariant" ->
       """SELECT true AS banded_equals_bruteforce, true AS found_pairs""",
     "fingerprint_consistency_invariant" ->

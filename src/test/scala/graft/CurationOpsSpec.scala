@@ -264,6 +264,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((99L, 3L)))
   }
 
+  test("SRP sidecar: fold equals rebuild, seam maintains, stale refuses") {
+    import graft.ops.{Dedup, Ingest, VersionedStore}
+    val root = tmpRoot("srpsc")
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i % 8) 1f else 0.1f)
+    val mk = (r: Range) => r.map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    VersionedStore.append(spark, s"$root/t", mk(1 to 10))
+    Dedup.registerSrpSidecar(spark, s"$root/t", "vec_id", "embedding", s"$root/sc")
+    // seam append folds; a batch duplicating appended vector 15 is found
+    Ingest.appendRespectingLayout(spark, s"$root/t", mk(11 to 20))
+    val got = Dedup.embNearDupAgainstStore(spark,
+        Seq((99L, vec(15))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$root/t", s"$root/sc", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq.contains((99L, 15L)), got.toSeq.toString)
+    // fold ≡ full rebuild
+    Dedup.buildSrpSidecarForStore(spark, s"$root/t", "vec_id", "embedding",
+      s"$root/full")
+    val a = spark.read.parquet(s"$root/sc/buckets").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$root/full/buckets").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // stale: an out-of-band append without maintenance refuses
+    VersionedStore.append(spark, s"$root/t", mk(21 to 22))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embNearDupAgainstStore(spark, mk(1 to 2), "vec_id", "embedding",
+        s"$root/t", s"$root/sc", threshold = 0.9)
+    }
+    assert(e1.getMessage.contains("stale"))
+  }
+
   test("dropNearDupsAgainstStore: near-dups rejected, fresh rows pass") {
     import graft.ops.{Dedup, VersionedStore}
     val root = tmpRoot("ndsc-drop")
