@@ -146,6 +146,20 @@ object CurationProbe {
     report("neardup_against_store",
       time(ndup(docs1, "1x").count()), time(ndup(docsN, "nx").count()))
 
+    // embedding near-dup against 1x vs Nx history through the SRP sidecar
+    def endup(e: org.apache.spark.sql.DataFrame, tag: String) = {
+      val root = java.nio.file.Files.createTempDirectory(s"srp-$tag").toString
+      graft.ops.VersionedStore.append(spark, s"$root/t", e)
+      graft.ops.Dedup.buildSrpSidecarForStore(spark, s"$root/t",
+        "vec_id", "embedding", s"$root/sc")
+      val batch = e.filter($"vec_id" < 50)
+        .select(($"vec_id" + 900000000L).as("vec_id"), $"embedding")
+      graft.ops.Dedup.embNearDupAgainstStore(spark, batch, "vec_id",
+        "embedding", s"$root/t", s"$root/sc", threshold = 0.9)
+    }
+    report("embdup_against_store",
+      time(endup(emb1, "1x").count()), time(endup(embN, "nx").count()))
+
     // DSIR selection QUALITY (not timing): a CONTENT-defined target
     // domain (the synthetic lang labels share one vocabulary, so no
     // unigram model can separate them — that's the fixture, not the
