@@ -344,6 +344,26 @@ object TextQueries {
             .as("gopher_pass_rate"))
     }),
 
+    // The health dashboard faceted by language — where the mixing
+    // decisions actually happen: per-lang volume, token mass, share,
+    // and gopher pass rate from the same single gopher projection.
+    "corpus_health_by_lang" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val g = graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+      val total = docs.count()
+      g.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_tokens"),
+          sum(when($"passed", 1L).otherwise(0L)).as("n_gopher_pass"))
+        .select($"lang", $"n_docs", $"n_tokens",
+          round($"n_docs".cast("double") / total, 6).as("doc_share"),
+          round($"n_gopher_pass".cast("double") / $"n_docs", 6)
+            .as("gopher_pass_rate"))
+        .orderBy($"lang")
+    }),
+
     // The Gopher rule battery (Rae et al. 2021): every word-level
     // document filter as exact integer comparisons — no float boundary
     // can flip a rule between engines. Counts + per-rule booleans +
@@ -1723,6 +1743,23 @@ object TextQueries {
         |SELECT lang, n,
         |  base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS quota
         |FROM r ORDER BY lang""".stripMargin,
+    // the same gopher CTEs faceted per language
+    "corpus_health_by_lang" ->
+      s"""$gopherCtes
+        |SELECT d.lang, count(*)::BIGINT AS n_docs,
+        |  sum(c.n_words)::BIGINT AS n_tokens,
+        |  round(count(*)::DOUBLE /
+        |    (SELECT count(*) FROM documents), 6) AS doc_share,
+        |  round(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |    AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |         AND n_words > 0)
+        |    AND 10 * n_symbol_words <= n_words
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*), 6) AS gopher_pass_rate
+        |FROM c JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // the whole-corpus rollup of the gopher CTEs plus lang/dup/token
     // aggregates — every count recomputed from the raw table
     "corpus_health_report" ->
