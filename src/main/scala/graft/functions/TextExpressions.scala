@@ -124,38 +124,62 @@ object WordNGrams {
 }
 
 /** Single-pass MinHash banding: from a shingle array straight to the LSH
-  * band-hash array. One imperative pass computes all `numHashes` seeded
-  * minima (seed-mixed 64-bit murmur finalizer), then folds each band of
-  * `numHashes/bands` signature values into one hash.
+  * band-key array. One imperative pass computes all `numHashes` seeded
+  * minima, then renders each band of `numHashes/bands` signature values
+  * as its comma-joined decimal string (the band's bucket key — INJECTIVE
+  * in the signature slice, so band-bucket collisions between different
+  * signatures cannot exist by construction).
   *
-  * This replaces the equivalent `transform`/`array_min` composition: the
-  * higher-order functions are interpreted and get re-evaluated per
-  * reference after projection collapse, turning O(shingles·hashes) into
-  * O(shingles·hashes²) — measured 15× slower at sf0.1.
+  * The hash family is ENGINE-PORTABLE by design (the [[SimHash64.hash64]]
+  * / SRP-plane discipline extended to MinHash): per hash function `j`,
+  *
+  *   h_j(s) = (a_j · x(s) + b_j) mod P,   P = 2³¹ − 1 (Mersenne prime)
+  *   x(s)   = u64(md5(s)[0:8]) mod P
+  *   a_j    = 1 + u64(md5("minhash-a:" + j)[0:8]) mod (P − 1)
+  *   b_j    = u64(md5("minhash-b:" + j)[0:8]) mod P
+  *
+  * Every operand is < 2³¹, so a_j·x + b_j < 2⁶³ — plain BIGINT
+  * arithmetic with NO u64 overflow wrap, which is exactly what DuckDB
+  * (whose checked UBIGINT multiply refuses to wrap) can replay: the
+  * oracle regenerates signatures, band keys, and candidate pairs
+  * bit-for-bit from `md5()` + integer ops. This is what turned
+  * `dedup_minhash_lsh` from rows-only into hash-checked; the murmur-fmix
+  * mixing it replaces was unportable precisely because it relied on
+  * wrapping u64 multiplies.
+  *
+  * Still one imperative pass (the `transform`/`array_min` composition is
+  * interpreted and re-evaluated per reference after projection collapse
+  * — measured 15× slower at sf0.1); the per-shingle cost is unchanged
+  * (one md5 + numHashes mod-muls).
   */
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression with CodegenFallback {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
   override def prettyName: String = "minhash_bands"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_bands requires ARRAY<STRING>, got ${other.catalogString}")
   }
-  private val seeds: Array[Long] =
-    Array.tabulate(numHashes)(j => MinHashBands.fmix64(0x9e3779b97f4a7c15L * (j + 1)))
+  private val as: Array[Long] = Array.tabulate(numHashes)(MinHashBands.aParam)
+  private val bs: Array[Long] = Array.tabulate(numHashes)(MinHashBands.bParam)
   override protected def nullSafeEval(input: Any): Any = {
+    val P = MinHashBands.P
     val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    // sentinel P is outside the hash range [0, P) — an empty shingle set
+    // yields the all-P signature (callers drop shingle-less docs before
+    // banding; the sentinel keeps the encoding total regardless)
+    val sig = Array.fill(numHashes)(P)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val base = SimHash64.hash64(arr.get(i, StringType).asInstanceOf[UTF8String].toString)
+        val x = java.lang.Long.remainderUnsigned(
+          SimHash64.hash64(arr.get(i, StringType).asInstanceOf[UTF8String].toString), P)
         var j = 0
         while (j < numHashes) {
-          val h = MinHashBands.fmix64(base ^ seeds(j))
+          val h = (as(j) * x + bs(j)) % P
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -163,29 +187,36 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
       i += 1
     }
     val r = numHashes / bands
-    val out = new Array[Long](bands)
+    val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
-      var h = 1125899906842597L + b
+      val sb = new java.lang.StringBuilder(r * 11)
       var k = 0
-      while (k < r) { h = MinHashBands.fmix64(h ^ sig(b * r + k)); k += 1 }
-      out(b) = h
+      while (k < r) {
+        if (k > 0) sb.append(',')
+        sb.append(sig(b * r + k))
+        k += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
       b += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object MinHashBands {
-  /** Murmur3 64-bit finalizer — the standard avalanche mix. */
-  def fmix64(k0: Long): Long = {
-    var h = k0
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    h
-  }
+  /** The Mersenne prime 2³¹ − 1 — the universal-hash modulus. */
+  val P: Long = 2147483647L
+  /** Multiplier of hash function `j`, in [1, P−1] — md5-derived, so any
+    * SQL engine recomputes it as
+    * `1 + ('0x'||substr(md5('minhash-a:'||j),1,16))::UBIGINT % (P−1)`.
+    */
+  def aParam(j: Int): Long =
+    1L + java.lang.Long.remainderUnsigned(SimHash64.hash64(s"minhash-a:$j"), P - 1)
+  /** Offset of hash function `j`, in [0, P−1] — md5-derived likewise. */
+  def bParam(j: Int): Long =
+    java.lang.Long.remainderUnsigned(SimHash64.hash64(s"minhash-b:$j"), P)
   def minhashBands(shingles: Column, numHashes: Int, bands: Int): Column =
     ColumnShim.column(MinHashBands(ColumnShim.expression(shingles), numHashes, bands))
 }

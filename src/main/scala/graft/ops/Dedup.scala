@@ -865,9 +865,14 @@ object Dedup {
                              table: String, idCol: String, textCol: String,
                              path: String): Unit = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
-    val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
+    // length-check BEFORE indexing: a truncated/partially-written _stats
+    // must surface as IllegalArgumentException so SidecarRegistry.maintain's
+    // fold-refusal catch triggers the documented LOUD rebuild (an
+    // ArrayIndexOutOfBoundsException would escape it and fail the
+    // already-committed append retroactively)
     require(stats.length >= 4 && stats(3).startsWith("v"),
-      s"sidecar at $path carries no store stamp; rebuild with buildMinhashSidecarForStore")
+      s"sidecar at $path has a damaged/unstamped _stats; rebuild with buildMinhashSidecarForStore")
+    val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
     val v0 = stats(3).drop(1).toLong
     val cur = VersionedStore.currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"$table has no committed state"))
@@ -959,9 +964,11 @@ object Dedup {
                           table: String, path: String,
                           threshold: Double): DataFrame = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 4,
+      s"sidecar at $path has a damaged _stats; rebuild with buildMinhashSidecarForStore")
     val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
     val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-    require(stats.length >= 4 && stats(3) == s"v$cur",
+    require(stats(3) == s"v$cur",
       s"sidecar at $path (${stats.lift(3).getOrElse("-")}) is stale against " +
         s"$table (v$cur) — run appendToMinhashSidecar first; a stale check " +
         "silently misses near-dups of freshly appended rows")
@@ -1015,6 +1022,20 @@ object Dedup {
       }: _*)))
       .select(col("id"), col("pos").as("t"), col("col").as("bucket"))
 
+  /** Vectors bucketing under the sidecar's build-time planes MUST have
+    * the stamped dim — a shorter/longer vector dots against the wrong
+    * plane length and lands in the wrong bucket, silently missing
+    * near-dups. One candidate-bounded scan (`limit(1)`) keeps the guard
+    * O(first offender), not O(rows).
+    */
+  private def requireSrpDim(df: DataFrame, embCol: String, dim: Int,
+                            what: String): Unit =
+    require(df.filter(col(embCol).isNotNull && size(col(embCol)) =!= dim)
+              .limit(1).count() == 0L,
+      s"$what carries embeddings whose dimension differs from the sidecar's " +
+        s"build-time dim $dim — mismatched planes would silently miss " +
+        "near-dups; re-embed or rebuild the sidecar at the new dim")
+
   def srpSidecarMarkerPath(table: String): String = s"$table/_srp_sidecar"
 
   /** Build the SRP bucket sidecar for a [[VersionedStore]] table — the
@@ -1055,10 +1076,13 @@ object Dedup {
                          table: String, idCol: String, embCol: String,
                          path: String): Unit = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    // length-check BEFORE indexing (see appendToMinhashSidecar): damaged
+    // stats must be IllegalArgumentException, the maintain seam's
+    // rebuild-triggering class
+    require(stats.length >= 5 && stats(4).startsWith("v"),
+      s"SRP sidecar at $path has a damaged/unstamped _stats; rebuild with buildSrpSidecarForStore")
     val (dim, nTables, nBits, seed) =
       (stats(0).toInt, stats(1).toInt, stats(2).toInt, stats(3).toLong)
-    require(stats.length >= 5 && stats(4).startsWith("v"),
-      s"SRP sidecar at $path carries no store stamp; rebuild with buildSrpSidecarForStore")
     val v0 = stats(4).drop(1).toLong
     val cur = VersionedStore.currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"$table has no committed state"))
@@ -1076,6 +1100,7 @@ object Dedup {
     if (newSegs.nonEmpty) {
       val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
         .reduce(_.unionByName(_))
+      requireSrpDim(docs, embCol, dim, s"appended segments of $table")
       srpBucketRows(docs, idCol, embCol, dim, nTables, nBits, seed)
         .write.mode("append").parquet(s"$path/buckets")
     }
@@ -1095,16 +1120,19 @@ object Dedup {
                              table: String, path: String,
                              threshold: Double): DataFrame = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 5,
+      s"SRP sidecar at $path has a damaged _stats; rebuild with buildSrpSidecarForStore")
     val (dim, nTables, nBits, seed) =
       (stats(0).toInt, stats(1).toInt, stats(2).toInt, stats(3).toLong)
     val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-    require(stats.length >= 5 && stats(4) == s"v$cur",
+    require(stats(4) == s"v$cur",
       s"SRP sidecar at $path (${stats.lift(4).getOrElse("-")}) is stale against " +
         s"$table (v$cur) — run appendToSrpSidecar first")
     val bBase = batch.select(col(idCol).as("batch_id"), col(embCol).as("emb_b"))
       .filter(col("emb_b").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bBase.count(): Unit
+    requireSrpDim(bBase, "emb_b", dim, "arriving batch")
     val bBuckets = srpBucketRows(bBase, "batch_id", "emb_b", dim, nTables,
       nBits, seed).withColumnRenamed("id", "batch_id")
     val sidecar = spark.read.parquet(s"$path/buckets")

@@ -249,31 +249,38 @@ object Split {
                      textCol: String, targetChars: Int,
                      sep: String = "\n\n"): DataFrame = {
     require(targetChars >= 1, s"targetChars must be >= 1 (got $targetChars)")
-    val spark = chunks.sparkSession
-    import spark.implicits._
-    chunks
-      .select(col(docCol).cast("long"), col(ordCol).cast("long"),
-        coalesce(col(textCol), lit("")))
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (doc, it) =>
-        val sorted = it.toSeq.sortBy(_._2)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long, Long)]()
-        var grp = 1L
-        var cum = 0L
-        var cnt = 0L
-        var buf = scala.collection.mutable.ArrayBuffer[String]()
-        def flush(): Unit = if (cnt > 0) {
-          out += ((doc, grp, buf.mkString(sep), cnt, cum))
-          grp += 1; cum = 0L; cnt = 0L; buf = scala.collection.mutable.ArrayBuffer[String]()
-        }
-        sorted.foreach { case (_, _, t) =>
-          if (cnt > 0 && cum + t.length > targetChars) flush()
-          buf += t; cum += t.length; cnt += 1
-        }
-        flush()
-        out
+    // doc/ord ids stay their ORIGINAL types (string/UUID doc ids are
+    // first-class, as in every other generic-id operator here): group
+    // with groupBy on the untouched doc column, order by sort_array over
+    // (ord, text) structs — deterministic for any orderable ord type —
+    // and run the greedy pack imperatively over the per-doc array (docs
+    // are bounded, so the collected list is too).
+    val packUdf = udf { (texts: Seq[String]) =>
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+      var grp = 1L
+      var cum = 0L
+      var cnt = 0L
+      var buf = scala.collection.mutable.ArrayBuffer[String]()
+      def flush(): Unit = if (cnt > 0) {
+        out += ((grp, buf.mkString(sep), cnt, cum))
+        grp += 1; cum = 0L; cnt = 0L; buf = scala.collection.mutable.ArrayBuffer[String]()
       }
-      .toDF(docCol, "group", "text", "n_chunks", "n_chars")
+      texts.foreach { t =>
+        if (cnt > 0 && cum + t.length > targetChars) flush()
+        buf += t; cum += t.length; cnt += 1
+      }
+      flush()
+      out
+    }
+    chunks
+      .groupBy(col(docCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("o"), coalesce(col(textCol), lit("")).as("t"))))
+        .as("__sorted"))
+      .select(col(docCol),
+        explode(packUdf(transform(col("__sorted"), s => s.getField("t"))))
+          .as("__g"))
+      .select(col(docCol), col("__g._1").as("group"), col("__g._2").as("text"),
+        col("__g._3").as("n_chunks"), col("__g._4").as("n_chars"))
   }
 }

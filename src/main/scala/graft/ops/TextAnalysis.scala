@@ -239,7 +239,11 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   stopwords: Seq[String] = StopwordsEn,
                   minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
-    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    // coalesce on BOTH sides: a null-text document must report zero
+    // counts and definite rule outcomes, not NULL booleans (the same
+    // asymmetry fix as bleu/rougeN)
+    val toks = filter(tokens(coalesce(col(textCol), lit(""))),
+      t => length(t) > 0)
     val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
       l => length(l) > 0)
     df.select(col(idCol), toks.as("__w"), lines.as("__l"))

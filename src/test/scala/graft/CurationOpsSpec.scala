@@ -264,6 +264,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((99L, 3L)))
   }
 
+  test("registered sidecar: truncated _stats heals via LOUD rebuild at the seam") {
+    import graft.ops.{Dedup, Ingest, VersionedStore}
+    val root = tmpRoot("ndsc-trunc")
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"alpha beta gamma token$i delta epsilon")).toDF("doc_id", "text")
+    VersionedStore.append(spark, s"$root/t", mk(1 to 10))
+    Dedup.registerMinhashSidecar(spark, s"$root/t", "doc_id", "text", s"$root/sc")
+    // damage the stats file to a truncated partial write
+    graft.Fs.delete(spark, s"$root/sc/_stats")
+    graft.Fs.writeString(spark, s"$root/sc/_stats", "3 32")
+    // the next seam append must NOT fail the committed store write —
+    // maintenance catches the damaged stats and rebuilds
+    Ingest.appendRespectingLayout(spark, s"$root/t", mk(11 to 15))
+    val got = Dedup.nearDupAgainstStore(spark,
+        Seq((99L, "alpha beta gamma token13 delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/t", s"$root/sc", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((99L, 13L)))
+  }
+
+  test("SRP sidecar: dim-mismatched batch or append refuses loudly") {
+    import graft.ops.{Dedup, VersionedStore}
+    val root = tmpRoot("srpdim")
+    def vec(i: Int, d: Int): Array[Float] =
+      Array.tabulate(d)(j => if (j == i % d) 1f else 0.1f)
+    VersionedStore.append(spark, s"$root/t",
+      (1 to 10).map(i => (i.toLong, vec(i, 8))).toDF("vec_id", "embedding"))
+    Dedup.buildSrpSidecarForStore(spark, s"$root/t", "vec_id", "embedding",
+      s"$root/sc")
+    // a 16-dim batch against an 8-dim sidecar must not silently miss
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embNearDupAgainstStore(spark,
+        Seq((99L, vec(3, 16))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$root/t", s"$root/sc", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("dim"))
+    // an appended segment with the wrong dim refuses in the fold too
+    VersionedStore.append(spark, s"$root/t",
+      (11 to 15).map(i => (i.toLong, vec(i, 16))).toDF("vec_id", "embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToSrpSidecar(spark, s"$root/t", "vec_id", "embedding", s"$root/sc")
+    }
+    assert(e2.getMessage.contains("dim"))
+  }
+
   test("SRP sidecar: fold equals rebuild, seam maintains, stale refuses") {
     import graft.ops.{Dedup, Ingest, VersionedStore}
     val root = tmpRoot("srpsc")
@@ -334,6 +379,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got((1L, 4L)) == (("dd", 1L, 2L)))
     assert(got((2L, 1L)) == (("ee", 1L, 2L)))
     assert(got.size == 5)
+  }
+
+  test("coalesceChunks: string/UUID doc ids keep their type and group correctly") {
+    import graft.ops.Split
+    val chunks = Seq(
+      ("doc-a", 0L, "aaaa"), ("doc-a", 1L, "bbbb"), ("doc-a", 2L, "cccc"),
+      ("7f3e-uuid-ish", 0L, "zz")
+    ).toDF("doc_id", "chunk_idx", "chunk_text")
+    val out = Split.coalesceChunks(chunks, "doc_id", "chunk_idx", "chunk_text",
+      targetChars = 10, sep = "|")
+    assert(out.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("doc-a", 1L)) == (("aaaa|bbbb", 2L, 8L)))
+    assert(got(("doc-a", 2L)) == (("cccc", 1L, 4L)))
+    assert(got(("7f3e-uuid-ish", 1L)) == (("zz", 1L, 2L)))
+    assert(got.size == 3)
   }
 
   // ---- parent-document retrieval ----
@@ -542,6 +605,10 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!r(4L).getAs[Boolean]("rule_symbol_ratio") &&
       !r(4L).getAs[Boolean]("rule_alpha_ratio"))
     assert(!r(5L).getAs[Boolean]("rule_bullet_ratio"))
+    // null text must yield DEFINITE zero counts and booleans, not NULLs
+    // that unbox silently (the bleu/rougeN asymmetry fix applied here)
+    assert(!r(6L).isNullAt(r(6L).fieldIndex("n_words")), "n_words must not be NULL")
+    assert(!r(6L).isNullAt(r(6L).fieldIndex("passed")), "passed must not be NULL")
     assert(r(6L).getAs[Long]("n_words") == 0L && !r(6L).getAs[Boolean]("passed"))
   }
 
