@@ -94,9 +94,13 @@ object DedupQueries {
     }),
 
     // MinHash+LSH near-dup pairs — approximate candidate generation,
-    // exact verify. No SQL oracle (xxhash64 seeds are engine-defined);
-    // DedupSpec asserts it is a subset of the exact pairs with high
-    // recall at the planted-dup threshold.
+    // exact verify. FULL hash oracle: the hash family is md5-derived
+    // universal hashing mod 2^31-1 (MinHashBands), so DuckDB replays
+    // signatures, band keys, and the candidate set bit-for-bit; the
+    // size filter is provably redundant against the J >= t verify
+    // (J >= t forces min_sz >= t*max_sz), so the oracle needs only
+    // band-collision ∩ verified-Jaccard. DedupSpec's subset/recall
+    // invariants stay as the banded ≡ brute-force guard.
     "dedup_minhash_lsh" -> ((s, d) => {
       import s.implicits._
       Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text", threshold = 0.2)
@@ -188,13 +192,14 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // Oracle anchor for the MinHash family (its pair SET is seed-defined,
-    // so dedup_minhash_lsh stays rows-only — but its CONTRACT is not):
-    // every emitted pair must be an exact-Jaccard pair at the same
-    // threshold with the identical jaccard value (the LSH path verifies
-    // exactly), and the banding must find at least one pair on a corpus
-    // with planted duplicates. The expected value of each bit is a
-    // constant — a hash mismatch names the violated invariant.
+    // Contract anchor for the MinHash family (dedup_minhash_lsh now also
+    // carries a FULL hash oracle via the md5-derived universal hashes —
+    // this invariant stays as the banded ≡ brute-force guard): every
+    // emitted pair must be an exact-Jaccard pair at the same threshold
+    // with the identical jaccard value (the LSH path verifies exactly),
+    // and the banding must find at least one pair on a corpus with
+    // planted duplicates. The expected value of each bit is a constant —
+    // a hash mismatch names the violated invariant.
     // The MinHash sidecar lifecycle end to end: half the corpus into a
     // versioned store + sidecar build, the other half appended + folded
     // (O(new docs)), then an arriving batch of 20 RE-KEYED store texts
@@ -363,6 +368,48 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // full MinHash+LSH replay: md5-derived universal hashes mod the
+    // Mersenne prime 2^31-1 (every product < 2^63 — no u64 wrap, which
+    // DuckDB's checked arithmetic cannot express), band keys as the
+    // comma-joined signature slices (injective — no bucket-collision
+    // ambiguity), candidates = equal (band, key), then the exact-Jaccard
+    // verify at the same threshold. Mirrors MinHashBands exactly.
+    "dedup_minhash_lsh" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT j,
+        |    (1 + ('0x'||substr(md5('minhash-a:'||j::VARCHAR),1,16))::UBIGINT
+        |         % 2147483646)::BIGINT AS a,
+        |    (('0x'||substr(md5('minhash-b:'||j::VARCHAR),1,16))::UBIGINT
+        |         % 2147483647)::BIGINT AS b
+        |  FROM range(32) t(j)),
+        |x AS (
+        |  SELECT doc_id,
+        |    (('0x'||substr(md5(s),1,16))::UBIGINT % 2147483647)::BIGINT AS x
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM g WHERE len(sh) > 0)),
+        |sigs AS (
+        |  SELECT doc_id, j, min((a * x + b) % 2147483647) AS sig
+        |  FROM x CROSS JOIN p GROUP BY doc_id, j),
+        |bk AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(sig::VARCHAR, ',' ORDER BY j) AS bh
+        |  FROM sigs GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(ga.sh, gb.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(ga.sh, gb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN g ga ON ga.doc_id = cand.id_a
+        |  JOIN g gb ON gb.doc_id = cand.id_b)
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -595,10 +642,9 @@ object DedupQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(1,65), i -> substr(a.f,i,1) <> substr(b.f,i,1))) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
-    // the invariants ARE the oracle for the MinHash/SRP families (their
-    // seeded fmix / gaussian-plane mixing is not SQL-portable): the
-    // expected value of every contract bit is a constant true, the pair
-    // sets themselves stay engine-defined
+    // dedup_minhash_lsh now carries a FULL hash oracle (md5-derived
+    // universal hashing, see above); these invariants remain as the
+    // banded ≡ brute-force CONTRACT guard — every bit constant-true
     "dedup_minhash_subset_invariant" ->
       """SELECT true AS subset_of_exact, true AS jaccard_matches_exact,
         |  true AS found_pairs""".stripMargin,
