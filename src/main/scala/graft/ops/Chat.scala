@@ -148,6 +148,33 @@ object Chat {
   case class RagAnswer(question: String, rewrittenQuery: String, answer: String,
                        context: String, retrievedIds: Seq[String], relevant: Boolean)
 
+  /** V5 contextualization POLICY — the reference's rewrite gating
+    * (`src/server/agents/chatbot.py:144-175`; duplicated at
+    * `src/server/agents/tools/oraclevs_retriever.py:33-66`), ported
+    * around the pluggable model: the query is rewritten ONLY when
+    *
+    *   1. history is enabled (`use_history`),
+    *   2. a contextualization prompt is configured (non-empty
+    *      `ctx_prompt.prompt`), and
+    *   3. there is actual prior conversation. The reference checks
+    *      `len(history) > 1` AFTER popping the question, counting the
+    *      system message [[cleanHistory]] prepends; `history` here
+    *      carries only prior TURNS (no system message, no question), so
+    *      the equivalent gate is `history.nonEmpty`.
+    *
+    * and the model's output REPLACES the query only if it differs
+    * (`result.content != retrieve_question` — value-inert, mirrored for
+    * fidelity with the reference's replace-only-if-changed log point).
+    * Outside the gate the question flows through untouched — the
+    * reference never invokes the rewrite model at all.
+    */
+  def contextualize(question: String, history: Seq[String], useHistory: Boolean,
+                    ctxPrompt: Option[String], model: ChatModel): String =
+    if (useHistory && ctxPrompt.exists(_.nonEmpty) && history.nonEmpty) {
+      val r = model.rewrite(question, history)
+      if (r != question) r else question
+    } else question
+
   /** V9: OpenAI-shape response assembly (`src/server/agents/chatbot.py:
     * 93-133`; schema `src/common/schema.py:213-257`): wrap the final
     * answer with id/created/usage/choices, normalizing the finish reason
@@ -190,12 +217,16 @@ object Chat {
              history: Seq[String] = Seq.empty, useRag: Boolean = true,
              index: Option[(Ivf.IvfModel, Int)] = None,
              searchType: SearchType = SearchType.Similarity,
-             indexStorePath: Option[String] = None): RagAnswer = {
+             indexStorePath: Option[String] = None,
+             useHistory: Boolean = true,
+             ctxPrompt: Option[String] = None): RagAnswer = {
     if (!useRag) {
       val ans = model.generate(sysPrompt, "", question)
       return RagAnswer(question, question, ans, "", Seq.empty, relevant = false)
     }
-    val q = model.rewrite(question, history)
+    // V5: the rewrite runs only inside the reference's gate — see
+    // [[contextualize]]; without a ctx prompt the model is never invoked
+    val q = contextualize(question, history, useHistory, ctxPrompt, model)
     val qv = embedder.embed(q)
     // with an index, retrieval probes only the question's nProbe nearest
     // clusters. The pruning is real I/O savings ONLY on a
@@ -314,11 +345,16 @@ object Chat {
                   historyCol: Option[String] = None,
                   index: Option[(Ivf.IvfModel, Int)] = None,
                   searchType: SearchType = SearchType.Similarity,
-                  indexStorePath: Option[String] = None): DataFrame = {
+                  indexStorePath: Option[String] = None,
+                  useHistory: Boolean = true,
+                  ctxPrompt: Option[String] = None): DataFrame = {
     // per-question chat history (ARRAY<STRING>) feeds the rewrite, as in
-    // the single-question path; absent means history-less questions
+    // the single-question path, under the SAME V5 gate ([[contextualize]]):
+    // the static conditions (useHistory ∧ ctx prompt set) are evaluated
+    // once, the per-question one (non-empty history) per row
     val rewriteUdf = udf((q: String, h: Seq[String]) =>
-      model.rewrite(q, Option(h).getOrElse(Seq.empty)))
+      contextualize(q, Option(h).getOrElse(Seq.empty), useHistory, ctxPrompt,
+        model))
     val hist = historyCol.map(col).getOrElse(typedlit(Seq.empty[String]))
     // materialized eagerly: q feeds two subtrees of the final plan (the
     // broadcast retrieval side and the output join), and Catalyst would

@@ -77,28 +77,51 @@ object RagPipeline {
       val model = Ivf.indexStore(s, store, "doc_id", "embedding", k = 8)
       Keyword.buildLexicalIndexForStore(s, store, "doc_id", "text", idx)
       val stored = VersionedStore.read(s, store).get
+      // V5 provenance leg: EVEN qids carry a one-turn history, so the
+      // contextualization gate (history-on ∧ ctx-prompt-set ∧ prior
+      // turns) rewrites their query — deterministically (question +
+      // last turn), so the oracle recomputes the rewritten string, the
+      // lexical-leg terms it feeds, the grading, and the template
+      // answer; ODD qids have no history and the gate declines
       val qa = joined.filter($"doc_id" < 20)
         .select($"doc_id".as("qid"),
           concat(lit("q"), $"doc_id".cast("string"), lit(" "),
             concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 5))).as("question"),
           $"text".as("reference_answer"), $"lang".as("topic"), $"embedding")
+        .withColumn("hist",
+          when($"qid" % 2 === 0,
+            array(concat(lit("prior turn about "), $"topic")))
+          .otherwise(array().cast("array<string>")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val qvecs = qa.select($"question", $"embedding").collect()
-        .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+      // the embedding lookup is primed for BOTH spellings of each
+      // question (raw and rewritten) with the SAME vector — the embed
+      // service contract: one semantic query, one vector
+      val qvecs = qa
+        .select($"question", $"embedding",
+          concat($"question", lit(" prior turn about "), $"topic").as("rw"))
+        .collect()
+        .flatMap(r => Seq(r.getString(0) -> r.getSeq[Float](1),
+                          r.getString(2) -> r.getSeq[Float](1))).toMap
+      object CtxRewriteModel extends Chat.ChatModel {
+        def rewrite(q: String, h: Seq[String]): String = s"$q ${h.last}"
+        def generate(sys: String, c: String, q: String): String =
+          Chat.TemplateModel.generate(sys, c, q)
+      }
       val answered = Chat.answerBatch(
-        qa.select($"qid", $"question"), "qid", "question",
+        qa.select($"qid", $"question", $"hist"), "qid", "question",
         stored, "doc_id", "text", "embedding",
-        LookupEmbedder(qvecs), Chat.TemplateModel, Chat.OverlapGrader,
-        topK = TopK, index = Some((model, 8)),
+        LookupEmbedder(qvecs), CtxRewriteModel, Chat.OverlapGrader,
+        topK = TopK, historyCol = Some("hist"), index = Some((model, 8)),
         searchType = Chat.SearchType.Hybrid(
           c = RrfC, fetchKPerLeg = FetchK, lexicalIndexPath = Some(idx)),
-        indexStorePath = Some(store))
+        indexStorePath = Some(store),
+        useHistory = true, ctxPrompt = Some("rephrase for retrieval"))
       val wTopic = Window.partitionBy($"topic")
       val wAll = Window.partitionBy(lit(1))
       val result = qa.select($"qid", $"reference_answer", $"topic")
         .join(answered, Seq("qid"))
         .withColumn("correct", Testbed.keywordJudgeCol($"answer", $"reference_answer"))
-        .select($"qid", $"topic",
+        .select($"qid", $"topic", $"rewritten_query",
           concat_ws(",", $"retrieved_ids").as("retrieved"),
           $"relevant", $"correct", $"answer",
           count(lit(1)).over(wTopic).as("n_topic"),
@@ -123,13 +146,19 @@ object RagPipeline {
          |  SELECT d.doc_id, d.text, e.embedding
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
          |  WHERE d.doc_id >= 20),
-         |qa AS (
+         |qa0 AS (
          |  SELECT d.doc_id AS qid,
          |    'q' || d.doc_id || ' ' ||
          |      array_to_string(regexp_split_to_array(trim(d.text), '\\s+')[1:5], ' ') AS question,
          |    d.text AS reference_answer, d.lang AS topic, e.embedding AS qemb
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
          |  WHERE d.doc_id < 20),
+         |qa AS (
+         |  SELECT qid, question, reference_answer, topic, qemb,
+         |    CASE WHEN qid % 2 = 0
+         |      THEN question || ' prior turn about ' || topic
+         |      ELSE question END AS rewritten
+         |  FROM qa0),
          |vecleg AS (
          |  SELECT qid, doc_id, rank FROM (
          |    SELECT q.qid, c.doc_id, row_number() OVER (PARTITION BY q.qid
@@ -139,7 +168,7 @@ object RagPipeline {
          |  WHERE rank <= $FetchK),
          |qterms AS (
          |  SELECT DISTINCT qid, term FROM (
-         |    SELECT qid, unnest(regexp_split_to_array(question, '\\s+')) AS term FROM qa)
+         |    SELECT qid, unnest(regexp_split_to_array(rewritten, '\\s+')) AS term FROM qa)
          |  WHERE term <> ''),
          |tf AS (
          |  SELECT doc_id, dl, term, count(*) AS tf FROM (
@@ -184,27 +213,28 @@ object RagPipeline {
          |  FROM top4 t JOIN corpus c ON t.doc_id = c.doc_id
          |  GROUP BY t.qid),
          |routed AS (
-         |  SELECT q.qid, q.topic, q.question, q.reference_answer, p.retrieved,
+         |  SELECT q.qid, q.topic, q.rewritten, q.reference_answer, p.retrieved,
          |    list_has_any(
-         |      list_filter(regexp_split_to_array(lower(q.question), '\\s+'), t -> t <> ''),
+         |      list_filter(regexp_split_to_array(lower(q.rewritten), '\\s+'), t -> t <> ''),
          |      regexp_split_to_array(lower(p.context), '\\s+')) AS relevant,
          |    p.context
          |  FROM qa q JOIN perq p ON p.qid = q.qid),
          |ans AS (
-         |  SELECT qid, topic, retrieved, relevant, reference_answer,
-         |    '[you are helpful] Q: ' || question || ' | grounded on ' ||
+         |  SELECT qid, topic, rewritten, retrieved, relevant, reference_answer,
+         |    '[you are helpful] Q: ' || rewritten || ' | grounded on ' ||
          |      len(list_filter(
          |        string_split(CASE WHEN relevant THEN context ELSE '' END,
          |          chr(10) || chr(10)), x -> x <> '')) || ' chunks' AS answer
          |  FROM routed),
          |judged AS (
-         |  SELECT qid, topic, retrieved, relevant, answer,
+         |  SELECT qid, topic, rewritten, retrieved, relevant, answer,
          |    coalesce(
          |      len(regexp_split_to_array(reference_answer, '\\s+')[1]) > 0 AND
          |      contains(lower(answer), lower(regexp_split_to_array(reference_answer, '\\s+')[1])),
          |      false) AS correct
          |  FROM ans)
-         |SELECT qid, topic, retrieved, relevant, correct, answer,
+         |SELECT qid, topic, rewritten AS rewritten_query, retrieved, relevant,
+         |  correct, answer,
          |  count(*) OVER (PARTITION BY topic) AS n_topic,
          |  round(avg(correct::INT) OVER (PARTITION BY topic), 6) AS topic_correctness,
          |  round(avg(correct::INT) OVER (), 6) AS overall_correctness

@@ -987,6 +987,71 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // S2 front door on committed HTML fixtures (fixtures/html), the
+    // pdf_extract treatment for the second-most-used loader: sectioning
+    // on h1-h5 (case-insensitive, attribute-tolerant), script/style
+    // stripped BEFORE sectioning (a header tag inside a script string
+    // must not open a section), preamble section with empty header,
+    // empty sections dropped AFTER numbering (mixed's idx gap at 1),
+    // entities NOT decoded, tags stripped + whitespace collapsed in
+    // header and text. The oracle pins the expected sections as
+    // literals: the engine must EXTRACT them from the markup.
+    "html_sections_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readHtmlSections(s, "/root/repo/fixtures/html/*.html")
+        .select($"doc_id", $"section_idx".cast("long").as("section_idx"),
+          $"header", $"text")
+        .orderBy($"doc_id", $"section_idx")
+    }),
+
+    // S4 front door on a committed CSV fixture: RFC 4180 doubled-quote
+    // escaping, a quoted embedded newline, a quoted comma — the oracle
+    // PARSES THE SAME FILE with DuckDB's read_csv (all_varchar, so both
+    // engines render fields verbatim), real cross-parser parity rather
+    // than pinned literals. The fixture's rid column equals the row's
+    // file position, letting the oracle reconstruct the position-derived
+    // doc_id without depending on scan order.
+    "csv_scan_docs" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readCsv(s, "/root/repo/fixtures/csv/people.csv")
+        .select($"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
+    // S9 front door: chunk JSONL re-hydration — unicode escapes,
+    // embedded newlines/quotes/tabs, nested metadata struct; the oracle
+    // re-reads the same file with read_json(newline_delimited).
+    "jsonl_chunks_scan" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readChunksJson(s, "/root/repo/fixtures/jsonl/chunks.jsonl")
+        .select($"doc_id", $"text",
+          $"metadata.source".as("source"), $"metadata.page".as("page"))
+        .orderBy($"doc_id")
+    }),
+
+    // S10 front door, line-delimited: missing metadata.topic defaults to
+    // 'Others' (the reference's normalization); same-file parity via
+    // read_json.
+    "jsonl_testset_scan" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Testbed
+        .readTestset(s, "/root/repo/fixtures/jsonl/testset.jsonl")
+        .orderBy($"question")
+    }),
+
+    // S10 array form: the multiLine normalization over a JSON array
+    // document, same oracle shape with format='array'.
+    "json_testset_array_scan" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Testbed
+        .readTestset(s, "/root/repo/fixtures/jsonl/testset_array.json",
+          multiLine = true)
+        .orderBy($"question")
+    }),
+
     "multimodal_segment_invariants" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
@@ -1630,6 +1695,47 @@ object TextQueries {
     // the expected page texts as literals — the engine side must extract
     // them from the committed PDF binaries (PdfSpec byte-asserts the
     // fixtures against the deterministic generator)
+    // same-file parity: DuckDB parses the identical CSV/JSON fixtures,
+    // so any quote/escape/multiline/unicode divergence between the two
+    // parsers fails the hash
+    "csv_scan_docs" ->
+      """SELECT 'people_' || rid AS doc_id,
+        |  'rid: ' || rid || chr(10) || 'name: ' || name || chr(10) ||
+        |  'role: ' || role || chr(10) || 'notes: ' || notes AS text
+        |FROM read_csv('/root/repo/fixtures/csv/people.csv',
+        |              header=true, all_varchar=true)
+        |ORDER BY doc_id""".stripMargin,
+    "jsonl_chunks_scan" ->
+      """SELECT id AS doc_id, page_content AS text,
+        |  metadata.source AS source, metadata.page AS page
+        |FROM read_json('/root/repo/fixtures/jsonl/chunks.jsonl',
+        |               format='newline_delimited')
+        |ORDER BY doc_id""".stripMargin,
+    "jsonl_testset_scan" ->
+      """SELECT question, reference_answer, reference_context,
+        |  coalesce(metadata.topic, 'Others') AS topic
+        |FROM read_json('/root/repo/fixtures/jsonl/testset.jsonl',
+        |               format='newline_delimited')
+        |ORDER BY question""".stripMargin,
+    "json_testset_array_scan" ->
+      """SELECT question, reference_answer, reference_context,
+        |  coalesce(metadata.topic, 'Others') AS topic
+        |FROM read_json('/root/repo/fixtures/jsonl/testset_array.json',
+        |               format='array')
+        |ORDER BY question""".stripMargin,
+    // the expected HTML sections as literals — header metadata, preamble,
+    // idx gap from the dropped empty section, undecoded entities
+    "html_sections_extract" ->
+      """SELECT doc_id, section_idx, header, text FROM (VALUES
+        |  ('guide', 0::BIGINT, '', 'Guide Preamble text before any header.'),
+        |  ('guide', 1::BIGINT, 'Getting Started',
+        |   'Getting Started Install the package &amp; run it.'),
+        |  ('guide', 2::BIGINT, 'Configuration', 'Configuration Set opt.level to 3.'),
+        |  ('guide', 3::BIGINT, 'Deep Dive', 'Deep Dive Details span multiple lines.'),
+        |  ('mixed', 0::BIGINT, 'Alpha', 'Alpha First section body.'),
+        |  ('mixed', 2::BIGINT, 'Beta &lt;tag&gt;', 'Beta &lt;tag&gt; Beta body here.'),
+        |  ('mixed', 3::BIGINT, 'Gamma', 'Gamma')
+        |) t(doc_id, section_idx, header, text) ORDER BY doc_id, section_idx""".stripMargin,
     "pdf_extract" ->
       """SELECT doc_id, text, page FROM (VALUES
         |  ('flate_p0', 'Compressed alpha alpha alpha alpha', 0::BIGINT),

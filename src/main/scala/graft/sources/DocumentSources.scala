@@ -102,18 +102,32 @@ object DocumentSources {
           "<[^>]+>", " "),
           "\\s+", " ")))
 
-  /** HTML section split (reference HTMLSectionSplitter, h1-h5 headers
-    * become section keys): one row per header-led section.
+  /** HTML section split (reference HTMLSectionSplitter semantics,
+    * `src/server/utils/embedding.py:126-133,140-146`: h1-h5 headers key
+    * the sections): one row per header-led section, `section_idx` the
+    * section's 0-based position in the document (empty sections are
+    * dropped AFTER numbering, so indices are stable provenance —
+    * gaps mark dropped empties), `header` the section's own header text
+    * (empty for a pre-header preamble). Script/style blocks are removed
+    * BEFORE sectioning ([[readHtml]]'s rule — a header tag inside a
+    * script string must not open a section); tags are stripped and
+    * whitespace collapsed in both header and text; HTML entities are NOT
+    * decoded (`&amp;` stays literal), matching the tag-flattening
+    * contract of [[readHtml]]. Pure column expressions per file.
     */
   def readHtmlSections(spark: SparkSession, pathGlob: String): DataFrame = {
     val raw = readText(spark, pathGlob)
+      .withColumn("text", regexp_replace(col("text"),
+        "(?s)<(script|style)[^>]*>.*?</\\1>", " "))
     val sectioned = raw.withColumn("__sec",
       split(col("text"), "(?i)(?=<h[1-5][^>]*>)"))
     sectioned
       .select(col("doc_id"), posexplode(col("__sec")))
       .withColumnRenamed("pos", "section_idx")
       .withColumn("header",
-        trim(regexp_replace(regexp_extract(col("col"), "(?is)<h[1-5][^>]*>(.*?)</h[1-5]>", 1), "<[^>]+>", " ")))
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(col("col"), "(?is)<h[1-5][^>]*>(.*?)</h[1-5]>", 1),
+          "<[^>]+>", " "), "\\s+", " ")))
       .withColumn("text",
         trim(regexp_replace(regexp_replace(col("col"), "<[^>]+>", " "), "\\s+", " ")))
       .filter(length(col("text")) > 0)

@@ -381,6 +381,79 @@ class IngestChatSpec extends AnyFunSuite {
     assert(viaIndex == ans, "full-probe indexed answer must equal the exhaustive answer")
   }
 
+  test("V5 contextualization gate: rewrite only when history-on AND ctx-prompt-set AND prior turns exist") {
+    val dir = Files.createTempDirectory("graft-v5").toString
+    val cfg = Ingest.StoreConfig("v5", "hash-32", 200, 0)
+    val docs = Seq(
+      (1L, "spark catalyst optimizer plans queries"),
+      (2L, "parquet files store columnar data")
+    ).toDF("doc_id", "text")
+    Ingest.ingest(spark, docs, "doc_id", "text", dir, cfg, embedder)
+    val store = Ingest.readStore(spark, dir, cfg).get
+    // non-identity deterministic rewriter: folds the last history turn in
+    object CtxModel extends Chat.ChatModel {
+      def rewrite(q: String, h: Seq[String]): String = s"$q ${h.last}"
+      def generate(sys: String, c: String, q: String): String =
+        Chat.TemplateModel.generate(sys, c, q)
+    }
+    val q = "how does spark plan queries"
+    val hist = Seq("we were discussing catalyst")
+    // all three gate conditions met -> the model rewrites
+    val on = Chat.answer(spark, q, store, "id", "text", "embedding", embedder,
+      model = CtxModel, topK = 1, history = hist,
+      useHistory = true, ctxPrompt = Some("rephrase for retrieval"))
+    assert(on.rewrittenQuery == s"$q we were discussing catalyst")
+    assert(on.question == q, "original question is preserved as provenance")
+    // history off -> no rewrite even with prompt + turns
+    val histOff = Chat.answer(spark, q, store, "id", "text", "embedding",
+      embedder, model = CtxModel, topK = 1, history = hist,
+      useHistory = false, ctxPrompt = Some("rephrase"))
+    assert(histOff.rewrittenQuery == q)
+    // no ctx prompt (the default) -> no rewrite; model never consulted
+    object ExplodingModel extends Chat.ChatModel {
+      def rewrite(qq: String, h: Seq[String]): String =
+        throw new IllegalStateException("rewrite must not run outside the gate")
+      def generate(sys: String, c: String, qq: String): String =
+        Chat.TemplateModel.generate(sys, c, qq)
+    }
+    val noPrompt = Chat.answer(spark, q, store, "id", "text", "embedding",
+      embedder, model = ExplodingModel, topK = 1, history = hist)
+    assert(noPrompt.rewrittenQuery == q)
+    // no prior turns -> no rewrite (the reference's len(history) > 1 after
+    // the pop, i.e. system + at least one turn)
+    val noTurns = Chat.answer(spark, q, store, "id", "text", "embedding",
+      embedder, model = ExplodingModel, topK = 1, history = Seq.empty,
+      useHistory = true, ctxPrompt = Some("rephrase"))
+    assert(noTurns.rewrittenQuery == q)
+    // replace-only-if-changed: a model echoing the question leaves it
+    object EchoModel extends Chat.ChatModel {
+      def rewrite(qq: String, h: Seq[String]): String = qq
+      def generate(sys: String, c: String, qq: String): String =
+        Chat.TemplateModel.generate(sys, c, qq)
+    }
+    val echo = Chat.answer(spark, q, store, "id", "text", "embedding",
+      embedder, model = EchoModel, topK = 1, history = hist,
+      useHistory = true, ctxPrompt = Some("rephrase"))
+    assert(echo.rewrittenQuery == q)
+
+    // batch path: the same gate per row — question 0 has history, 1 none
+    val qdf = Seq((0L, q, Seq("we were discussing catalyst")),
+                  (1L, "what stores columnar data", Seq.empty[String]))
+      .toDF("qid", "question", "hist")
+    val batch = Chat.answerBatch(qdf, "qid", "question", store,
+        "id", "text", "embedding", embedder, model = CtxModel, topK = 1,
+        historyCol = Some("hist"),
+        useHistory = true, ctxPrompt = Some("rephrase for retrieval"))
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[String]("rewritten_query")).toMap
+    assert(batch(0L) == s"$q we were discussing catalyst")
+    assert(batch(1L) == "what stores columnar data")
+    // batch ≡ single on the gated rewrite (retrieval included)
+    val single0 = Chat.answer(spark, q, store, "id", "text", "embedding",
+      embedder, model = CtxModel, topK = 1, history = hist,
+      useHistory = true, ctxPrompt = Some("rephrase for retrieval"))
+    assert(batch(0L) == single0.rewrittenQuery)
+  }
+
   test("answerBatch equals per-question answer on the same store") {
     val dir = Files.createTempDirectory("graft-batch").toString
     val cfg = Ingest.StoreConfig("batch", "hash-32", 200, 0)

@@ -1575,6 +1575,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(chunks.head.getString(1) == "chunk text")
   }
 
+  test("readHtmlSections: committed fixtures pin sectioning, preamble, idx gaps, script strip") {
+    val rows = DocumentSources
+      .readHtmlSections(spark, "/root/repo/fixtures/html/*.html")
+      .orderBy("doc_id", "section_idx")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("guide", 0, "", "Guide Preamble text before any header."),
+      ("guide", 1, "Getting Started",
+        "Getting Started Install the package &amp; run it."),
+      ("guide", 2, "Configuration", "Configuration Set opt.level to 3."),
+      ("guide", 3, "Deep Dive", "Deep Dive Details span multiple lines."),
+      ("mixed", 0, "Alpha", "Alpha First section body."),
+      // idx 1 is the dropped EMPTY <h4></h4> section — the gap is the
+      // provenance contract (indices number sections before the drop)
+      ("mixed", 2, "Beta &lt;tag&gt;", "Beta &lt;tag&gt; Beta body here."),
+      ("mixed", 3, "Gamma", "Gamma")))
+    // the fixture script contains "<h1>not a header</h1>" INSIDE a JS
+    // string — it must not have opened a section (guide has exactly 4)
+    assert(rows.count(_._1 == "guide") == 4)
+  }
+
   // The driver once recorded a hash mismatch for this entry that no
   // single-process reproduction could explain; this spec makes the
   // artifact defend itself — if the driver reds again while this is
