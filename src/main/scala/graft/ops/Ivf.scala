@@ -205,25 +205,30 @@ object Ivf {
       // coordinates, so they must not contribute a (null-keyed) group
       val assigned = assign(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, model)
-      // per-element avg as dim separate aggregate expressions: partial
-      // aggregation runs map-side and the shuffle carries k×dim doubles —
-      // the posexplode formulation this replaces shuffled corpus×dim
-      // exploded ROWS per Lloyd round, the dominant fit cost at scale.
-      // avg skips nulls per element, so ragged arrays mean exactly what
-      // the exploded groupBy(cluster, pos) computed.
+      // ONE vector-sum aggregate per group ([[graft.functions.VectorMean]]):
+      // partial aggregation runs map-side and the shuffle carries k×dim
+      // doubles — the same volume as the dim-wide avg-expression fan-out
+      // this replaces, but with O(1) aggregate EXPRESSIONS whatever the
+      // dim (the fan-out strained the planner and fell out of codegen at
+      // production embedding dims of 1,024-4,096; and the posexplode
+      // formulation before THAT shuffled corpus×dim exploded rows per
+      // Lloyd round). Per-element null-skip semantics are bit-identical
+      // to the fan-out — spec'd in IvfFitSpec.
       val means = assigned
         .groupBy(col("cluster_id"))
-        .agg(avg(col(embCol).getItem(0)).as("m0"),
-          (1 until dim).map(i => avg(col(embCol).getItem(i)).as(s"m$i")): _*)
+        .agg(graft.functions.VectorMean.vectorMean(col(embCol), dim).as("mean"))
         .collect()
-      val byCluster = means.map(r => r.getInt(0) -> r).toMap
+      val byCluster = means.map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
       val next = model.centroids.indices.map { c =>
         byCluster.get(c) match {
-          case Some(r) =>
+          case Some(m) =>
             val v = new Array[Float](dim)
             var i = 0
             while (i < dim) {
-              if (!r.isNullAt(i + 1)) v(i) = r.getDouble(i + 1).toFloat
+              m(i) match {
+                case d: java.lang.Double => v(i) = d.toFloat
+                case _ => // null element position keeps 0f, as the fan-out did
+              }
               i += 1
             }
             v

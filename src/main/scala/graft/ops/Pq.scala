@@ -149,18 +149,15 @@ object Pq {
     (dot, nrm2, l2)
   }
 
-  /** Sum of per-subspace LUT lookups: `zip_with` pairs each byte code
-    * with its subspace's literal table, `element_at` indexes it
-    * (1-based, code + 129 undoes the byte shift), `aggregate` sums —
-    * all codegen'd, no UDF.
+  /** Coarse top-`n` candidate ids via ADC over the codes column only.
+    * The per-query LUTs ride a BROADCAST 1-row frame (not plan
+    * literals): baking m×256 doubles into the expression tree forced a
+    * large codegen compile on every first execution (measured 18 s
+    * worst-run cold-start vs 0.5 s steady-state) — as data, the plan is
+    * query-independent and the JIT'd code is reused across queries.
+    * Same doubles, same arithmetic, bit-identical scores (PqSpec pins
+    * ADC ≡ reconstruction).
     */
-  private def adcSum(codes: Column, lut: Seq[Seq[Double]]): Column =
-    aggregate(
-      zip_with(codes, typedlit(lut),
-        (c, row) => element_at(row, c.cast("int") + 129)),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Coarse top-`n` candidate ids via ADC over the codes column only. */
   private[graft] def coarseCandidates(store: DataFrame, idCol: String, embCol: String,
                                       queryVec: Array[Float], n: Int,
                                       metric: String, model: PqModel): DataFrame = {
@@ -169,24 +166,30 @@ object Pq {
       s"store lacks $cc — write it through Pq.encode first")
     require(model.dim == queryVec.length,
       s"query dim ${queryVec.length} != model dim ${model.dim}")
+    val spark = store.sparkSession
+    import spark.implicits._
     val (dot, nrm2, l2) = luts(model, queryVec)
+    val lutDf = broadcast(Seq((dot, nrm2, l2)).toDF("__dot", "__nrm2", "__l2"))
     val qvNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     val approx = metric match {
       case "COSINE" =>
-        val d = adcSum(col(cc), dot)
-        val rn = sqrt(adcSum(col(cc), nrm2))
+        val d = adcSumCol(col(cc), col("__dot"))
+        val rn = sqrt(adcSumCol(col(cc), col("__nrm2")))
         when(rn === 0.0d || lit(qvNorm) === 0.0d, lit(0.0d))
           .otherwise(d / (rn * lit(qvNorm)))
-      case "DOT_PRODUCT" => adcSum(col(cc), dot)
-      case "EUCLIDEAN_DISTANCE" => sqrt(greatest(adcSum(col(cc), l2), lit(0.0d)))
+      case "DOT_PRODUCT" => adcSumCol(col(cc), col("__dot"))
+      case "EUCLIDEAN_DISTANCE" =>
+        sqrt(greatest(adcSumCol(col(cc), col("__l2")), lit(0.0d)))
       case other => throw new IllegalArgumentException(s"unknown metric: $other")
     }
     store
       .select(col(idCol), col(cc))
+      .crossJoin(lutDf)
       .withColumn("__approx", approx)
       .filter(col("__approx").isNotNull)
       .orderBy(ordering(metric, col("__approx")), col(idCol))
       .limit(n)
+      .select(col(idCol), col(cc), col("__approx"))
   }
 
   /** Top-k nearest rows via the ADC coarse pass + exact rescore —
@@ -278,9 +281,11 @@ object Pq {
     *   - euclid: `|q - cent_cl|² - 2·Σ_j qcLUT_cl(j)(code_j) + Σ_j nrm2LUT(j)(code_j)`
     *     with `qcLUT_cl(j)(c) = <(q - cent_cl)_j, codebook_jc>`
     *
-    * The per-cluster LUTs are one literal `array<array<array<double>>>`
-    * indexed by cluster id — `element_at` twice plus the zip_with sum,
-    * all codegen'd.
+    * The per-cluster LUTs and scalars ride a BROADCAST 1-row frame
+    * (`element_at` twice plus the zip_with sum on attribute references)
+    * — not plan literals, for the same cold-start reason as
+    * [[coarseCandidates]]: a k×m×256-double literal tree forced a large
+    * first-run codegen compile; as data the plan is query-independent.
     */
   private[graft] def coarseResidualCandidates(store: DataFrame, idCol: String,
                                               embCol: String, clusterCol: String,
@@ -324,40 +329,48 @@ object Pq {
     }.toSeq
     val cl = col(clusterCol)
     val codes = col(cc)
-    def perClusterScalar(xs: Array[Double]): Column =
-      element_at(typedlit(xs.toSeq), cl.cast("int") + 1)
-    def perClusterLutSum(lut: Seq[Seq[Seq[Double]]]): Column =
+    val spark = store.sparkSession
+    import spark.implicits._
+    val qc2Scalars = centNrm2.zip(centDot)
+      .map { case (n2, d) => n2 - 2.0d * d + qvNorm * qvNorm }.toSeq
+    val lutDf = broadcast(Seq((
+        dotQ, nrm2, centDotBook,
+        centDot.toSeq, centNrm2.toSeq, qc2Scalars))
+      .toDF("__dotq", "__nrm2", "__cdb", "__centdot", "__centnrm2", "__qc2"))
+    def perClusterScalar(c: Column): Column = element_at(c, cl.cast("int") + 1)
+    def perClusterLutSum(lut: Column): Column =
       aggregate(
-        zip_with(codes, element_at(typedlit(lut), cl.cast("int") + 1),
+        zip_with(codes, element_at(lut, cl.cast("int") + 1),
           (c, row) => element_at(row, c.cast("int") + 129)),
         lit(0.0d), (acc, x) => acc + x)
-    val residDot = adcSum(codes, dotQ)        // <q, rec_resid>
-    val residNrm2 = adcSum(codes, nrm2)       // |rec_resid|²
+    val residDot = adcSumCol(codes, col("__dotq"))   // <q, rec_resid>
+    val residNrm2 = adcSumCol(codes, col("__nrm2"))  // |rec_resid|²
     val approx = metric match {
       case "COSINE" =>
-        val d = perClusterScalar(centDot) + residDot
-        val rn2 = perClusterScalar(centNrm2) +
-          lit(2.0d) * perClusterLutSum(centDotBook) + residNrm2
+        val d = perClusterScalar(col("__centdot")) + residDot
+        val rn2 = perClusterScalar(col("__centnrm2")) +
+          lit(2.0d) * perClusterLutSum(col("__cdb")) + residNrm2
         val rn = sqrt(greatest(rn2, lit(0.0d)))
         when(rn === 0.0d || lit(qvNorm) === 0.0d, lit(0.0d))
           .otherwise(d / (rn * lit(qvNorm)))
-      case "DOT_PRODUCT" => perClusterScalar(centDot) + residDot
+      case "DOT_PRODUCT" => perClusterScalar(col("__centdot")) + residDot
       case "EUCLIDEAN_DISTANCE" =>
         // |q - cent - rec|² = |q - cent|² - 2<q - cent, rec> + |rec|²
         //                   = |q-cent|² - 2(<q,rec> - <cent,rec>) + |rec|²
-        val qc2 = perClusterScalar(
-          centNrm2.zip(centDot).map { case (n2, d) => n2 - 2.0d * d + qvNorm * qvNorm })
         sqrt(greatest(
-          qc2 - lit(2.0d) * (residDot - perClusterLutSum(centDotBook)) + residNrm2,
+          perClusterScalar(col("__qc2")) -
+            lit(2.0d) * (residDot - perClusterLutSum(col("__cdb"))) + residNrm2,
           lit(0.0d)))
       case other => throw new IllegalArgumentException(s"unknown metric: $other")
     }
     store
       .select(col(idCol), codes, cl)
+      .crossJoin(lutDf)
       .withColumn("__approx", approx)
       .filter(col("__approx").isNotNull)
       .orderBy(ordering(metric, col("__approx")), col(idCol))
       .limit(n)
+      .select(col(idCol), codes, cl, col("__approx"))
   }
 
   /** IVF-PQ serve: probe the `nProbe` nearest cells (partition pruning

@@ -356,21 +356,25 @@ object VectorSearch {
             x => x.getField("snip"))).as("context"))
     }),
 
-    // §3.3 evaluation pipeline end-to-end as one query (rows-only: the
-    // RAG answer text is engine-defined): build an in-memory vector
-    // store from documents, derive a deterministic QA set (question =
-    // doc's first 5 tokens, reference = the doc itself, topic = lang),
-    // answer every question through retrieval + template generation,
-    // keyword-judge, and report correctness by topic (A2/A3).
-    "testbed_eval_report" -> ((s, d) => evalReportByTopic(s, d)),
+    // §3.3 evaluation pipeline end-to-end as one query, FULL hash
+    // oracle (the rag_e2e_pipeline construction: table embeddings make
+    // retrieval relationally recomputable): corpus = docs >= 50, QA =
+    // docs < 50 querying with their own table vectors, top-1 cosine
+    // retrieval, grounded "generation" = top-1 context, keyword judge,
+    // correctness by topic (A2/A3).
+    "testbed_eval_report" -> ((s, d) => {
+      import s.implicits._
+      evalReportByTopic(s, d)
+        .select($"topic", $"n", round($"correctness", 6).as("correctness"))
+        .orderBy($"topic")
+    }),
 
-    // Oracle anchor for the report family (the report's correctness
-    // VALUES hinge on engine-defined answer text, so testbed_eval_report
-    // stays rows-only — but its aggregate contract does not): every
-    // per-topic correctness lies in [0,1] (constant-truth), and the
-    // question/topic coverage is INDEPENDENTLY recomputable — one report
-    // row per QA question (sum(n) = count of source docs) over exactly
-    // the topics those docs carry (count of distinct langs).
+    // Contract anchor for the report family (kept alongside the full
+    // oracle): every per-topic correctness lies in [0,1]
+    // (constant-truth), and the question/topic coverage is
+    // INDEPENDENTLY recomputable — one report row per QA question
+    // (sum(n) = count of source docs with vectors) over exactly the
+    // topics those docs carry.
     "testbed_eval_report_invariants" -> ((s, d) => {
       import s.implicits._
       evalReportByTopic(s, d).agg(
@@ -506,38 +510,38 @@ object VectorSearch {
     }),
   )
 
-  /** §3.3 evaluation pipeline end-to-end (rows-only as a report: the RAG
-    * answer text is engine-defined): build an in-memory vector store from
-    * documents, derive a deterministic QA set (question = doc's first 5
-    * tokens, reference = the doc itself, topic = lang), answer every
-    * question through retrieval + template generation, keyword-judge, and
-    * report correctness by topic (A2/A3). Shared by `testbed_eval_report`
-    * and its oracle-anchored invariants sibling.
+  /** §3.3 evaluation pipeline end-to-end, FULLY oracle-checkable (the
+    * rag_e2e_pipeline construction): the corpus is docs ≥ 50 with their
+    * TABLE embeddings, the QA set is docs < 50 querying with their own
+    * table vectors (question = doc's first 5 tokens, reference = the
+    * doc, topic = lang) — so retrieval (top-1 cosine), the grounded
+    * "generation" (= top-1 context), the keyword judge, and the A2/A3
+    * aggregates are all relationally recomputable by the SQL oracle.
+    * Shared by `testbed_eval_report` and its invariants sibling.
     */
   private def evalReportByTopic(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.embed.{EmbedText, HashEmbedder}
     import graft.ops.{Similarity, Testbed}
-    val embedder = HashEmbedder(64)
-    val store = documents(s, d)
-      .select($"doc_id", $"text", EmbedText.embedText($"text", embedder).as("embedding"))
+    val joined = documents(s, d)
+      .join(embeddings(s, d), $"doc_id" === $"vec_id")
+    val store = joined.filter($"doc_id" >= 50)
+      .select($"doc_id", $"text", $"embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // qa (with its qid) feeds both the retrieval batch and the report
-    // join — persist so the documents scan + embed runs once, not twice
-    val qa = documents(s, d).filter($"doc_id" < 50)
+    // join — persist so the documents scan runs once, not twice
+    val qa = joined.filter($"doc_id" < 50)
       .select(
+        $"doc_id".as("qid"),
         concat_ws(" ", slice(split($"text", "\\s+"), 1, 5)).as("question"),
         $"text".as("reference_answer"),
-        $"text".as("reference_context"),
-        $"lang".as("topic"))
-      .withColumn("qid", xxhash64($"question"))
+        $"lang".as("topic"),
+        $"embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distributed retrieval for the whole question batch at once
     // (similarity join, k=1 already enforces rank 1), then grounded
     // "generation" = top-1 context.
     val answered = Similarity.similarityJoin(
-        qa.withColumn("embedding", EmbedText.embedText($"question", embedder)),
-        store, "qid", "embedding", "doc_id", "embedding", k = 1)
+        qa, store, "qid", "embedding", "doc_id", "embedding", k = 1)
       .join(store.select($"doc_id", $"text".as("answer")), "doc_id")
       .select($"qid", $"answer")
     val report = qa
@@ -595,12 +599,46 @@ object VectorSearch {
         |  WHERE e.vec_id <> 0 AND d.lang = 'en'
         |  ORDER BY s DESC, e.vec_id LIMIT 10)
         |ORDER BY sim DESC, vec_id""".stripMargin,
-    // coverage recomputed independently from the QA source slice; the
-    // [0,1] bound is constant-truth
+    // the full §3.3 report replay: top-1 cosine retrieval from the
+    // disjoint corpus, answer = retrieved text, first-keyword judge,
+    // by-topic aggregation — every leg from the same parquet tables
+    "testbed_eval_report" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id >= 50),
+        |qa AS (
+        |  SELECT d.doc_id AS qid, d.text AS reference_answer,
+        |    d.lang AS topic, e.embedding AS qemb
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id < 50),
+        |top1 AS (
+        |  SELECT qid, doc_id FROM (
+        |    SELECT q.qid, c.doc_id, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                      q.qemb::DOUBLE[]) DESC,
+        |      c.doc_id) AS rank
+        |    FROM qa q, corpus c)
+        |  WHERE rank = 1),
+        |judged AS (
+        |  SELECT q.topic,
+        |    coalesce(
+        |      len(regexp_split_to_array(q.reference_answer, '\s+')[1]) > 0 AND
+        |      contains(lower(c.text),
+        |        lower(regexp_split_to_array(q.reference_answer, '\s+')[1])),
+        |      false) AS correct
+        |  FROM qa q JOIN top1 t USING (qid) JOIN corpus c USING (doc_id))
+        |SELECT topic, count(*)::BIGINT AS n,
+        |  round(avg(correct::INT), 6) AS correctness
+        |FROM judged GROUP BY topic ORDER BY topic""".stripMargin,
+    // coverage recomputed independently from the QA source slice (docs
+    // with vectors); the [0,1] bound is constant-truth
     "testbed_eval_report_invariants" ->
       """SELECT true AS correctness_in_unit,
-        |  (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_questions,
-        |  (SELECT count(DISTINCT lang) FROM documents WHERE doc_id < 50) AS n_topics""".stripMargin,
+        |  (SELECT count(*) FROM documents d JOIN embeddings e
+        |     ON e.vec_id = d.doc_id WHERE d.doc_id < 50) AS n_questions,
+        |  (SELECT count(DISTINCT d.lang) FROM documents d JOIN embeddings e
+        |     ON e.vec_id = d.doc_id WHERE d.doc_id < 50) AS n_topics""".stripMargin,
     // the invariants ARE the oracle (cluster sizes stay engine-defined)
     "cluster_balanced_sample" ->
       """SELECT true AS quota_exact, true AS at_most_k_clusters,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorMean
+
+/** The dim-scalable k-means fit seam: [[graft.functions.VectorMean]]
+  * (one aggregate expression, 2·dim-double buffer) must be BIT-IDENTICAL
+  * to the dim-wide `avg(col[i])` fan-out it replaced in [[Ivf.fit]] —
+  * same double sums, same per-element null skipping on ragged arrays,
+  * same NULL for empty positions — and must keep the planner healthy at
+  * production embedding dims where the fan-out meant thousands of
+  * aggregate expressions per Lloyd round.
+  */
+class IvfFitSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("VectorMean equals the avg-expression fan-out bit for bit (ragged + null cases)") {
+    val dim = 5
+    val rows = Seq(
+      (0, Seq[java.lang.Float](1.1f, 2.2f, 3.3f, 4.4f, 5.5f)),
+      (0, Seq[java.lang.Float](0.3f, null, 1.7f, 2.9f, 0.1f)),   // null element
+      (0, Seq[java.lang.Float](9.9f, 8.8f, 7.7f)),               // short array
+      (1, Seq[java.lang.Float](0.25f, 0.5f, 0.75f, 1.0f, 1.25f)),
+      (1, null.asInstanceOf[Seq[java.lang.Float]]),              // null array
+      (2, Seq[java.lang.Float](null, null, null, null, null))    // all-null
+    ).toDF("cluster_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+
+    // get() (NULL out of bounds) rather than getItem (ANSI error on the
+    // short array) — the null-tolerant access whose avg-skip semantics
+    // VectorMean reproduces
+    val fanout = rows.groupBy($"cluster_id")
+      .agg(avg(get(col("emb"), lit(0))).as("m0"),
+        (1 until dim).map(i => avg(get(col("emb"), lit(i))).as(s"m$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> (1 to dim).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+      .toMap
+
+    val vm = rows.groupBy($"cluster_id")
+      .agg(VectorMean.vectorMean(col("emb"), dim).as("mean"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Any](1).map {
+        case d: java.lang.Double => Some(d.doubleValue())
+        case _ => None
+      })
+      .toMap
+
+    assert(vm.keySet == fanout.keySet)
+    vm.keySet.foreach { c =>
+      assert(vm(c) == fanout(c), s"cluster $c: ${vm(c)} vs ${fanout(c)}")
+      // bit-for-bit, not epsilon: the doubles must be identical
+      vm(c).zip(fanout(c)).foreach {
+        case (Some(a), Some(b)) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ==
+            java.lang.Double.doubleToRawLongBits(b), s"cluster $c ulp drift")
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
+  test("Ivf.fit at dim 1024 stays a single aggregate expression and converges") {
+    val dim = 1024
+    val k = 4
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated blobs so the fit is deterministic and checkable
+    val rows = (0 until 200).map { i =>
+      val c = i % k
+      val v = Array.tabulate(dim)(j =>
+        (if (j % k == c) 10f else 0f) + rnd.nextFloat() * 0.01f)
+      (i.toLong, v)
+    }.toDF("id", "emb")
+    val model = graft.ops.Ivf.fit(rows, "id", "emb", k, iters = 2)
+    assert(model.k == k && model.centroids.head.length == dim)
+    // every point lands with its blob: assignment is pure and total
+    val assigned = graft.ops.Ivf.assign(rows, "emb", model)
+      .groupBy($"cluster_id").count().collect()
+    assert(assigned.length == k, "no cluster collapsed")
+    assert(assigned.map(_.getLong(1)).sum == 200L)
+    // the Lloyd-mean aggregation is ONE expression — the plan must not
+    // enumerate per-dim aggregates (the fan-out printed m0..m1023)
+    val plan = rows.groupBy(lit(1))
+      .agg(VectorMean.vectorMean(col("emb"), dim).as("mean"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vector_mean"))
+    assert(!plan.contains("m512"), "no per-dim aggregate fan-out in the plan")
+  }
+}
