@@ -449,6 +449,70 @@ class MergeSpec extends AnyFunSuite {
     assert(stale.isEmpty, "old terms of a replaced doc must not match")
   }
 
+  test("interleaved churn: all three sidecars stay correct through append/merge/delete/compact") {
+    import graft.ops.Dedup
+    val t = freshTable("churn")
+    val root = java.nio.file.Files.createTempDirectory("churn-sc").toString
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(j => if (j == (i % 8).toInt) 1f else 0.05f * ((i % 3) + 1))
+    val mk = (r: Range) => r.map(i => (i.toLong,
+      s"alpha beta gamma token$i delta epsilon", vec(i.toLong)))
+      .toDF("doc_id", "text", "embedding")
+    VersionedStore.append(spark, t, mk(1 to 20))
+    Keyword.registerLexicalIndex(spark, t, "doc_id", "text", s"$root/lex")
+    Dedup.registerMinhashSidecar(spark, t, "doc_id", "text", s"$root/mh")
+    Dedup.registerSrpSidecar(spark, t, "doc_id", "embedding", s"$root/srp")
+    def checkDup(target: Long, label: String): Unit = {
+      val probe = mk(target.toInt to target.toInt)
+        .select(($"doc_id" + 1000L).as("doc_id"), $"text", $"embedding")
+      val nText = Dedup.nearDupAgainstStore(spark, probe, "doc_id", "text",
+        t, s"$root/mh", threshold = 0.9).count()
+      val nEmb = Dedup.embNearDupAgainstStore(spark, probe, "doc_id",
+        "embedding", t, s"$root/srp", threshold = 0.999).count()
+      assert(nText >= 1 && nEmb >= 1, s"$label: dup of doc $target missed " +
+        s"(text=$nText emb=$nEmb)")
+    }
+    // 1. append folds — a dup of the NEW rows is visible immediately
+    Ingest.appendRespectingLayout(spark, t, mk(21 to 30))
+    checkDup(25, "post-append")
+    // 2. merge rewrites doc 5 — sidecars rebuild; dup of the NEW text is
+    // found, and an untouched appended row stays visible
+    Ingest.mergeRespectingLayout(spark, t,
+      mk(5 to 5).select($"doc_id",
+        lit("totally rewritten content for doc five").as("text"), $"embedding"),
+      "doc_id")
+    checkDup(25, "post-merge")
+    val editedProbe = Seq((9005L, "totally rewritten content for doc five"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupAgainstStore(spark, editedProbe, "doc_id", "text",
+      t, s"$root/mh", threshold = 0.9).count() >= 1,
+      "post-merge: the REPLACED text must be signaturable")
+    // 3. keyed delete — the deleted row's dup no longer matches; others do
+    Ingest.deleteKeysRespectingLayout(spark, t,
+      Seq(7L).toDF("doc_id"), "doc_id")
+    checkDup(25, "post-delete")
+    assert(Dedup.nearDupAgainstStore(spark,
+      mk(7 to 7).select(($"doc_id" + 1000L).as("doc_id"), $"text", $"embedding"),
+      "doc_id", "text", t, s"$root/mh", threshold = 0.95).count() == 0,
+      "post-delete: a deleted row must not match from the sidecar")
+    // 4. compaction right after the delete-rebuild restamps O(1): the
+    // band files on disk are untouched, and checks keep serving
+    val bandsBefore = spark.read.parquet(s"$root/mh/bands").inputFiles.toSet
+    Ingest.compactTable(spark, t)
+    assert(spark.read.parquet(s"$root/mh/bands").inputFiles.toSet == bandsBefore,
+      "row-preserving compaction must restamp, not rebuild, the fresh sidecar")
+    checkDup(25, "post-compact")
+    // 5. another append folds on top of the restamped state
+    Ingest.appendRespectingLayout(spark, t, mk(31 to 35))
+    checkDup(33, "post-second-append")
+    // final: fold state ≡ a from-scratch rebuild (the invariant every
+    // interleaving must preserve)
+    Dedup.buildMinhashSidecarForStore(spark, t, "doc_id", "text", s"$root/mh2")
+    val a = spark.read.parquet(s"$root/mh/bands").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$root/mh2/bands").collect().map(_.toSeq).toSet
+    assert(a == b, "interleaved maintenance must converge to the rebuild state")
+  }
+
   test("diffVersions classifies added/removed/changed and tolerates evolved columns") {
     val t = freshTable("vdiff")
     VersionedStore.append(spark, t,

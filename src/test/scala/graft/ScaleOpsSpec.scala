@@ -73,6 +73,21 @@ class ScaleOpsSpec extends AnyFunSuite {
         .as[(String, String)].collect().toMap
       assert(streamedSplit == batchSplit,
         "split membership must be identical however the rows arrived")
+      // register the MinHash near-dup sidecar mid-stream: every later
+      // micro-batch folds through the same seam, so an ingestion-time
+      // near-dup check against the WHOLE streamed history is always
+      // fresh — no manual maintenance between batches
+      val mhIdx = Files.createTempDirectory("stream-mhidx").toString
+      graft.ops.Dedup.registerMinhashSidecar(spark, store, "id", "text", mhIdx)
+      writeDocs("b5.json", Seq((7L, "chi psi omega alef bet gimel")))
+      q.processAllAvailable()
+      val dupProbe = Seq(("probe-dup-1", "chi psi omega alef bet gimel"))
+        .toDF("id", "text")
+      val found = graft.ops.Dedup.nearDupAgainstStore(spark, dupProbe,
+        "id", "text", store, mhIdx, threshold = 0.9).count()
+      assert(found >= 1,
+        "a dup of a doc streamed AFTER sidecar registration must be caught " +
+          "without manual maintenance — the micro-batch seam folds it")
     } finally q.stop()
   }
 
