@@ -247,9 +247,35 @@ object SimHash64 {
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
 
+  /** [[hash64]] as a scalar Column over a STRING — the one ENGINE-
+    * PORTABLE 64-bit hash primitive (md5 first 8 bytes, big-endian,
+    * two's-complement signed) every sketch here derives from.
+    */
+  def md5Prefix64(text: Column): Column =
+    ColumnShim.column(Md5Prefix64(ColumnShim.expression(text)))
+
   /** Hamming distance between two 64-bit fingerprints as a Column. */
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+}
+
+/** Scalar [[SimHash64.hash64]]: the first 8 bytes of md5(utf8(text)) as
+  * a signed 64-bit integer — the u64 any SQL engine spells
+  * `('0x' || substr(md5(x), 1, 16))::UBIGINT`, reinterpreted as two's
+  * complement. The single portable hash primitive behind SimHash,
+  * MinHash, SRP, and the HLL registers.
+  */
+case class Md5Prefix64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "md5_prefix64"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix64 requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.hash64(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Canonical text normalization for training corpora: Unicode NFC

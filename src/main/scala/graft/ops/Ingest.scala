@@ -177,6 +177,7 @@ object Ingest {
     // growing history stay fresh without polling
     if (n > 0) Dedup.maintainRegisteredSidecar(spark, table)
     if (n > 0) Dedup.maintainRegisteredSrpSidecar(spark, table)
+    if (n > 0) Sketch.maintainRegisteredHllSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -224,6 +225,7 @@ object Ingest {
     // path — stale-but-marked is the one state this seam must never leave
     Dedup.maintainRegisteredSidecar(spark, table)
     Dedup.maintainRegisteredSrpSidecar(spark, table)
+    Sketch.maintainRegisteredHllSidecar(spark, table)
     rewritten
   }
 
@@ -248,6 +250,7 @@ object Ingest {
     // path — stale-but-marked is the one state this seam must never leave
     Dedup.maintainRegisteredSidecar(spark, table)
     Dedup.maintainRegisteredSrpSidecar(spark, table)
+    Sketch.maintainRegisteredHllSidecar(spark, table)
     rewritten
   }
 
@@ -271,6 +274,7 @@ object Ingest {
     // path — stale-but-marked is the one state this seam must never leave
     Dedup.maintainRegisteredSidecar(spark, table)
     Dedup.maintainRegisteredSrpSidecar(spark, table)
+    Sketch.maintainRegisteredHllSidecar(spark, table)
     rewritten
   }
 
@@ -314,6 +318,7 @@ object Ingest {
     Keyword.maintainRegisteredIndexAfterCompact(spark, path, preVersion, post, files)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, path, preVersion, post, files)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, path, preVersion, post, files)
+    Sketch.maintainRegisteredHllSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 
@@ -352,6 +357,7 @@ object Ingest {
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, files)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, files)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, files)
+    Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, files)
     files
   }
 

@@ -434,6 +434,7 @@ object Ivf {
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, nFiles)
+    Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 

@@ -611,6 +611,7 @@ object Pq {
     Keyword.maintainRegisteredIndexAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, nFiles)
+    Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     model
   }
 }

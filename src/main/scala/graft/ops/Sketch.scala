@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/** Distributed sketches whose every intermediate is ENGINE-PORTABLE —
+  * the 100 TB profiling primitives (cardinality, dimensionality
+  * reduction) built exclusively from the md5 hash family, so a SQL
+  * oracle regenerates registers, projections, and estimates rather than
+  * trusting seed-defined values.
+  *
+  * Extends the reference's aggregation surface (SURVEY.md §2.4: its
+  * profiling is exact COUNT/GROUP BY over Oracle tables) with the
+  * sketch tier a corpus-scale profiler needs: a 100 TB vocabulary
+  * cannot be `count(DISTINCT token)`'d per slice interactively, but 256
+  * HLL registers per slice merge associatively and answer it within
+  * ~6.5%.
+  */
+object Sketch {
+
+  /** HyperLogLog parameters: p = 8 ⇒ m = 256 registers; the standard
+    * bias-corrected alpha. Registers derive from
+    * [[SimHash64.hash64]] — top 8 bits select the register, the
+    * remaining 56 carry the rank (leading-zero count + 1, so rho ∈
+    * [1, 57]) — which is exactly what DuckDB replays from
+    * `('0x'||substr(md5(t),1,16))::UBIGINT`.
+    */
+  val HllP = 8
+  val HllM = 256
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** `(register, rho)` — the max rank observed per register over the
+    * DISTINCT hash stream of `valueCol`. One hash-aggregate shuffle of
+    * ≤ m rows out; at 100 TB the map-side partial max collapses each
+    * partition to ≤ m rows before the exchange, and register frames
+    * from different slices/days MERGE by groupBy-max (the HLL merge
+    * operator) without touching raw data again.
+    */
+  def hllRegisters(df: DataFrame, valueCol: String): DataFrame = {
+    val h = SimHash64.md5Prefix64(col(valueCol))
+    val w = h.bitwiseAND(lit(0x00FFFFFFFFFFFFFFL))
+    df.filter(col(valueCol).isNotNull)
+      .select(
+        shiftrightunsigned(h, 64 - HllP).cast("int").as("register"),
+        when(w === 0L, lit(57)).otherwise(lit(57) - length(bin(w)))
+          .cast("int").as("__rho"))
+      .groupBy(col("register"))
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** The HLL cardinality estimate from a register frame — raw
+    * harmonic-mean estimate with the standard small-range linear
+    * counting correction (E ≤ 2.5m with empty registers present).
+    * One row out; everything is closed-form over ≤ m rows, and the
+    * same arithmetic is one SQL expression for the oracle.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val m = lit(HllM.toDouble)
+    registers
+      .agg(count(lit(1)).as("__present"),
+        sum(pow(lit(2.0), -col("rho"))).as("__s"))
+      .select(
+        (m - col("__present")).cast("long").as("__zeros"),
+        (lit(HllAlpha) * m * m /
+          (col("__s") + (m - col("__present")))).as("__raw"))
+      .select(
+        when(col("__raw") <= lit(2.5 * HllM) && col("__zeros") > 0,
+          m * log(m / col("__zeros")))
+          .otherwise(col("__raw")).as("hll_estimate"),
+        col("__zeros"))
+      .select(round(col("hll_estimate"), 4).as("hll_estimate"))
+  }
+
+  // ---- incremental HLL: the vocabulary-cardinality sidecar ----
+
+  private def tokenRows(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+
+  def hllSidecarMarkerPath(table: String): String = s"$table/_hll_sidecar"
+
+  /** Build the HLL register sidecar for a [[VersionedStore]] table — the
+    * THIRD [[SidecarRegistry]] client (after the lexical index and the
+    * MinHash/SRP near-dup sidecars), and the one that shows why the
+    * registry's merge algebra matters: registers max-merge, so the
+    * append seam folds a batch's registers in at O(batch) and the
+    * corpus-wide vocabulary cardinality is always one 256-row read away
+    * — never a corpus rescan. `_stats`: `"<p> v<version>"` under the
+    * registry's stamp discipline. Merges/deletes can't "un-max" a
+    * register, so those seams correctly fall through to the LOUD
+    * rebuild; compaction restamps O(1) (rows preserved ⇒ registers
+    * identical).
+    */
+  def buildHllSidecarForStore(spark: org.apache.spark.sql.SparkSession,
+                              table: String, idCol: String, textCol: String,
+                              path: String): Unit = {
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val docs = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to sketch at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    hllRegisters(tokenRows(docs, textCol), "t")
+      .write.mode("overwrite").parquet(s"$path/registers")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == v0,
+      s"store $table moved from version $v0 to $v1 during the sidecar build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats", s"$HllP v$v0")
+  }
+
+  /** Fold the store's NEW segments into the register sidecar —
+    * max-merge of the batch's registers with the existing 256 (the HLL
+    * merge operator), O(appended docs) + a bounded 256-row read-back.
+    * The [[Dedup.appendToMinhashSidecar]] discipline verbatim:
+    * damaged stats and non-pure-append histories refuse as
+    * IllegalArgumentException (the registry's rebuild trigger), stamp
+    * retired before the write.
+    */
+  def appendToHllSidecar(spark: org.apache.spark.sql.SparkSession,
+                         table: String, idCol: String, textCol: String,
+                         path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 2 && stats(1).startsWith("v"),
+      s"HLL sidecar at $path has a damaged/unstamped _stats; rebuild with buildHllSidecarForStore")
+    require(stats(0).toInt == HllP,
+      s"HLL sidecar at $path was built at p=${stats(0)}, engine expects p=$HllP; rebuild")
+    val v0 = stats(1).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"HLL sidecar stamp v$v0 is ahead of $table's version ${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; max-merged " +
+        "registers cannot subtract rewritten rows — rebuild with buildHllSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty) {
+      // the existing frame is ≤ m rows — collect it so the overwrite
+      // never reads the path it writes
+      val spark2 = spark
+      import spark2.implicits._
+      val existing = spark.read.parquet(s"$path/registers")
+        .select(col("register").cast("int"), col("rho").cast("int"))
+        .as[(Int, Int)].collect().toSeq.toDF("register", "rho")
+      val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+      hllRegisters(tokenRows(docs, textCol), "t")
+        .unionByName(existing)
+        .groupBy(col("register")).agg(max(col("rho")).as("rho"))
+        .write.mode("overwrite").parquet(s"$path/registers")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats", s"$HllP v${cur.version}")
+  }
+
+  def registerHllSidecar(spark: org.apache.spark.sql.SparkSession,
+                         table: String, idCol: String, textCol: String,
+                         path: String): Unit =
+    SidecarRegistry.register(spark, table, hllSidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, idCol, textCol)) {
+      buildHllSidecarForStore(spark, table, idCol, textCol, path)
+    }
+
+  def maintainRegisteredHllSidecar(spark: org.apache.spark.sql.SparkSession,
+                                   table: String): Unit =
+    SidecarRegistry.maintain(spark, table, hllSidecarMarkerPath(table),
+      "hll sidecar") { reg =>
+      appendToHllSidecar(spark, table, reg.idCol, reg.textCol, reg.path)
+    } { reg =>
+      buildHllSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  def maintainRegisteredHllSidecarAfterCompact(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      preVersion: Long, post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      hllSidecarMarkerPath(table), "hll sidecar", preVersion, post, files) { reg =>
+      buildHllSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  /** The corpus vocabulary-cardinality estimate from the maintained
+    * sidecar — refuses a stale sidecar loudly (stamp ≠ store version),
+    * exactly like [[Dedup.nearDupAgainstStore]]: a stale cardinality
+    * silently under-reports freshly appended vocabulary.
+    */
+  def estimateFromSidecar(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 2,
+      s"HLL sidecar at $path has a damaged _stats; rebuild with buildHllSidecarForStore")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(1) == s"v$cur",
+      s"HLL sidecar at $path (${stats.lift(1).getOrElse("-")}) is stale against " +
+        s"$table (v$cur) — run appendToHllSidecar first")
+    hllEstimate(spark.read.parquet(s"$path/registers"))
+  }
+
+  /** Johnson-Lindenstrauss random projection of an `ARRAY<FLOAT>`
+    * embedding column to `outDim` dimensions via the md5-derived
+    * Rademacher planes ([[Dedup.rademacherPlanes]] — the SRP-LSH
+    * construction, here keeping the VALUES instead of the signs):
+    * `out_j = <v, plane_j> / sqrt(outDim)`, which preserves pairwise
+    * distances within (1 ± ε) w.h.p. (JL lemma; Achlioptas 2003 shows
+    * ±1 entries suffice). The projection matrix is derived, never
+    * stored or broadcast — any executor (or SQL engine) regenerates
+    * plane (j, i) from md5, so the 100 TB shape is a pure narrow map
+    * with zero model state.
+    *
+    * Use it to cut ANN/dedup cost at high dim: bucket or cluster in
+    * the reduced space, verify in the original.
+    */
+  def jlProject(df: DataFrame, embCol: String, dim: Int, outDim: Int,
+                seed: Long = 42L, outCol: String = "jl"): DataFrame = {
+    val planes = Dedup.rademacherPlanes(outDim, dim, table = 0, seed = seed)
+    val scale = math.sqrt(outDim.toDouble)
+    df.withColumn(outCol,
+      when(col(embCol).isNotNull, array(planes.map { p =>
+        graft.functions.VectorFunctions.dotProduct(col(embCol),
+          typedlit(p.toSeq)) / lit(scale)
+      }: _*)))
+  }
+}

@@ -525,6 +525,58 @@ object TextQueries {
       TextAnalysis.vocabTopK(documents(s, d), "text", 25)
     }),
 
+    // HyperLogLog vocabulary cardinality — the 100 TB distinct-count
+    // primitive, FULLY hash-exact (unlike the seed-defined CMS): the
+    // registers derive from the md5 hash family, so the oracle
+    // regenerates register indices, ranks, the harmonic estimate, and
+    // the linear-counting branch bit-for-bit. Register frames merge by
+    // groupBy-max, which is what lets per-slice sketches roll up
+    // without rescanning the corpus.
+    "vocab_hll_registers" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(split($"text", "\\s+")).as("t"))
+        .filter(length($"t") > 0)
+      graft.ops.Sketch.hllRegisters(toks, "t").orderBy($"register")
+    }),
+
+    "vocab_hll_estimate" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(split($"text", "\\s+")).as("t"))
+        .filter(length($"t") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val result = graft.ops.Sketch.hllEstimate(
+          graft.ops.Sketch.hllRegisters(toks, "t"))
+        .crossJoin(toks.agg(count_distinct($"t").as("exact_distinct")))
+        .select($"exact_distinct", $"hll_estimate",
+          (abs($"hll_estimate" - $"exact_distinct") <=
+            lit(0.195) * $"exact_distinct").as("within_3sigma"))
+        .localCheckpoint()
+      toks.unpersist()
+      result
+    }),
+
+    // The HLL sidecar lifecycle, FULLY hash-checked: half the corpus
+    // into a versioned store + sidecar build, the rest appended through
+    // the maintenance seam (registers max-merge at O(batch)), then the
+    // estimate served FROM THE SIDECAR — which must equal the oracle's
+    // from-scratch estimate over the whole corpus (fold ≡ rebuild is
+    // the algebra HLL registers guarantee).
+    "incremental_hll_estimate" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-hllsc-" +
+        s"${Integer.toHexString(d.hashCode)}-${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val table = s"$root/store"
+      val docs = documents(s, d).select($"doc_id", $"text")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 2 === 0))
+      graft.ops.Sketch.registerHllSidecar(s, table, "doc_id", "text", s"$root/hll")
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 2 =!= 0)): Unit
+      graft.ops.Sketch.estimateFromSidecar(s, table, s"$root/hll")
+    }),
+
     // Count-min-sketch heavy hitters anchored on the exact counts: the
     // sketch is the 100 TB profiler; per top-token, the CMS estimate
     // must sit in [n, n + eps*N] (overestimate-only). The estimate
@@ -2099,6 +2151,74 @@ object TextQueries {
       s"""SELECT token, count(*)::BIGINT AS n, true AS within_bound
          |FROM (SELECT unnest($docTokens) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    // the HLL registers regenerated from scratch: md5-u64 per token, top
+    // 8 bits select the register, rank = leading zeros of the low 56
+    // bits + 1 (via len(bin(w)): 57 - bit length, w = 0 -> 57)
+    "vocab_hll_registers" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents),
+        |h AS (
+        |  SELECT ('0x'||substr(md5(t),1,16))::UBIGINT AS h
+        |  FROM tok WHERE t <> ''),
+        |r AS (
+        |  SELECT (h >> 56)::INT AS register,
+        |    CASE WHEN (h & 72057594037927935::UBIGINT) = 0::UBIGINT THEN 57
+        |         ELSE (57 - len(bin(h & 72057594037927935::UBIGINT)))::INT
+        |    END AS rho
+        |  FROM h)
+        |SELECT register, max(rho)::INT AS rho FROM r
+        |GROUP BY register ORDER BY register""".stripMargin,
+    // the sidecar estimate must equal the from-scratch estimate over
+    // the WHOLE corpus — registers max-merge, so the fold is exact
+    "incremental_hll_estimate" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents),
+        |tt AS (SELECT t FROM tok WHERE t <> ''),
+        |h AS (SELECT ('0x'||substr(md5(t),1,16))::UBIGINT AS h FROM tt),
+        |r AS (
+        |  SELECT (h >> 56)::INT AS register,
+        |    CASE WHEN (h & 72057594037927935::UBIGINT) = 0::UBIGINT THEN 57
+        |         ELSE (57 - len(bin(h & 72057594037927935::UBIGINT)))::INT
+        |    END AS rho
+        |  FROM h),
+        |m AS (SELECT register, max(rho) AS rho FROM r GROUP BY register),
+        |agg AS (SELECT count(*) AS present, sum(power(2.0, -rho)) AS s FROM m),
+        |est AS (
+        |  SELECT (256 - present)::BIGINT AS zeros,
+        |    0.7213/(1.0 + 1.079/256) * 256 * 256 / (s + (256.0 - present)) AS raw
+        |  FROM agg)
+        |SELECT round(CASE WHEN raw <= 640.0 AND zeros > 0
+        |  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS hll_estimate
+        |FROM est""".stripMargin,
+    // the full estimate replay: harmonic mean over the 256 registers
+    // (absent registers contribute 2^0), bias alpha, and the standard
+    // linear-counting branch when raw E <= 2.5m with empty registers
+    "vocab_hll_estimate" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents),
+        |tt AS (SELECT t FROM tok WHERE t <> ''),
+        |h AS (SELECT ('0x'||substr(md5(t),1,16))::UBIGINT AS h FROM tt),
+        |r AS (
+        |  SELECT (h >> 56)::INT AS register,
+        |    CASE WHEN (h & 72057594037927935::UBIGINT) = 0::UBIGINT THEN 57
+        |         ELSE (57 - len(bin(h & 72057594037927935::UBIGINT)))::INT
+        |    END AS rho
+        |  FROM h),
+        |m AS (SELECT register, max(rho) AS rho FROM r GROUP BY register),
+        |agg AS (SELECT count(*) AS present, sum(power(2.0, -rho)) AS s FROM m),
+        |est AS (
+        |  SELECT (256 - present)::BIGINT AS zeros,
+        |    0.7213/(1.0 + 1.079/256) * 256 * 256 / (s + (256.0 - present)) AS raw
+        |  FROM agg),
+        |fin AS (
+        |  SELECT round(CASE WHEN raw <= 640.0 AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS he
+        |  FROM est),
+        |ex AS (SELECT count(DISTINCT t)::BIGINT AS exact_distinct FROM tt)
+        |SELECT ex.exact_distinct, fin.he AS hll_estimate,
+        |  (abs(fin.he - ex.exact_distinct) <= 0.195 * ex.exact_distinct)
+        |    AS within_3sigma
+        |FROM fin, ex""".stripMargin,
     "quality_quantile_filter" ->
       s"""WITH sc AS (
          |  SELECT doc_id,

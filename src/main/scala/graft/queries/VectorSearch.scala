@@ -412,6 +412,23 @@ object VectorSearch {
           (sum(coalesce($"__n", lit(0L))) >= 1).as("found_rows"))
     }),
 
+    // Johnson-Lindenstrauss random projection to 8 dims via md5-derived
+    // Rademacher planes (the SRP construction keeping VALUES instead of
+    // signs; Achlioptas 2003) — the dimensionality-reduction primitive
+    // for cheap bucketing/clustering at high dim, with the projection
+    // matrix derived from md5 (zero model state, any engine
+    // regenerates it). One narrow map; fully hash-exact.
+    "embedding_jl_project" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sketch.jlProject(
+          embeddings(s, d).filter($"embedding".isNotNull), "embedding",
+          dim = 64, outDim = 8)
+        .select($"vec_id", posexplode($"jl"))
+        .select($"vec_id", $"pos".cast("long").as("j"),
+          round($"col", 6).as("c"))
+        .orderBy($"vec_id", $"j")
+    }),
+
     // V1 batch embedding over documents through the pluggable embedder
     // expression. The embedding VALUES are engine-defined, so the query
     // emits exactly the declared invariants — dimension and unit L2 norm
@@ -643,6 +660,22 @@ object VectorSearch {
     "cluster_balanced_sample" ->
       """SELECT true AS quota_exact, true AS at_most_k_clusters,
         |  true AS found_rows""".stripMargin,
+    // the projection replayed: md5-sign planes (srp:0:<j>:<i>:42, the
+    // rademacherPlanes spelling), per-(vec, j) sign-weighted sum over
+    // the 64 components, scaled 1/sqrt(8)
+    "embedding_jl_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |planes AS (
+        |  SELECT j, i,
+        |    CASE WHEN ('0x' || substr(md5('srp:0:'||j||':'||(i-1)||':42'),1,1))::INT
+        |              % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,8) r1(j), range(1,65) r2(i))
+        |SELECT e.vec_id, p.j::BIGINT AS j,
+        |  round(SUM(e.v[p.i::INT] * p.w) / sqrt(8.0), 6) AS c
+        |FROM e, planes p GROUP BY e.vec_id, p.j
+        |ORDER BY vec_id, j""".stripMargin,
     "embed_documents" ->
       """SELECT doc_id, 64::INT AS dim,
         |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm

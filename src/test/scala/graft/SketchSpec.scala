@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Sketch}
+
+/** The md5-portable sketches: HLL register derivation, estimate
+  * accuracy, the associative merge, and the JL projection against
+  * driver-side recomputation from the same md5 planes.
+  */
+class SketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def md5u64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  test("hllRegisters derive register/rank exactly from the md5 u64") {
+    val vals = Seq("alpha", "beta", "gamma", "alpha") // dup must not change max
+    val got = Sketch.hllRegisters(vals.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val want = vals.distinct
+      .map { s =>
+        val h = md5u64(s)
+        val idx = (h >>> 56).toInt
+        val w = h & 0x00FFFFFFFFFFFFFFL
+        val rho = if (w == 0L) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        idx -> rho
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(got == want)
+  }
+
+  test("hll estimate lands within the 3-sigma band on 10k distinct values") {
+    val n = 10000
+    val df = (0 until n).map(i => s"tok-$i").toDF("v")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "v"))
+      .collect().head.getDouble(0)
+    // 3 * 1.04 / sqrt(256) ≈ 19.5%
+    assert(math.abs(est - n) <= 0.195 * n, s"estimate $est vs $n")
+  }
+
+  test("register frames merge associatively: registers(A ∪ B) == max-merge of parts") {
+    val a = (0 until 3000).map(i => s"a$i").toDF("v")
+    val b = (1500 until 4500).map(i => s"a$i").toDF("v") // overlaps a
+    val whole = Sketch.hllRegisters(a.union(b), "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val merged = Sketch.hllRegisters(a, "v")
+      .unionByName(Sketch.hllRegisters(b, "v"))
+      .groupBy($"register").agg(max($"rho").as("rho"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(whole == merged)
+  }
+
+  test("hll sidecar: seam folds at O(batch), fold equals rebuild, merge rebuilds, stale refuses") {
+    import graft.ops.{Ingest, VersionedStore}
+    val root = {
+      val p = java.nio.file.Files.createTempDirectory("hllsc").toString
+      new java.io.File(p).delete(); p
+    }
+    val t = s"$root/t"
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"tok$i shared common words tok${i * 7}")).toDF("doc_id", "text")
+    VersionedStore.append(spark, t, mk(1 to 50))
+    Sketch.registerHllSidecar(spark, t, "doc_id", "text", s"$root/hll")
+    // the append seam folds — no manual maintenance
+    Ingest.appendRespectingLayout(spark, t, mk(51 to 100))
+    val viaSidecar = Sketch.estimateFromSidecar(spark, t, s"$root/hll")
+      .collect().head.getDouble(0)
+    // fold ≡ rebuild
+    Sketch.buildHllSidecarForStore(spark, t, "doc_id", "text", s"$root/hll2")
+    val rebuilt = Sketch.hllEstimate(
+        spark.read.parquet(s"$root/hll2/registers"))
+      .collect().head.getDouble(0)
+    assert(viaSidecar == rebuilt, "max-merged fold must equal the rebuild exactly")
+    // a merge REPLACES rows — registers can't un-max, so the seam
+    // rebuilds; the estimate must reflect the post-merge corpus
+    Ingest.mergeRespectingLayout(spark, t,
+      Seq((5L, "entirely new vocabulary here")).toDF("doc_id", "text"), "doc_id")
+    val postMerge = Sketch.estimateFromSidecar(spark, t, s"$root/hll")
+      .collect().head.getDouble(0)
+    Sketch.buildHllSidecarForStore(spark, t, "doc_id", "text", s"$root/hll3")
+    val postMergeRebuilt = Sketch.hllEstimate(
+        spark.read.parquet(s"$root/hll3/registers"))
+      .collect().head.getDouble(0)
+    assert(postMerge == postMergeRebuilt)
+    // out-of-band append (not through the seam) leaves it stale — refuse
+    VersionedStore.append(spark, t, mk(101 to 105))
+    val e = intercept[IllegalArgumentException] {
+      Sketch.estimateFromSidecar(spark, t, s"$root/hll")
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
+  test("jlProject equals driver-side recomputation from the same planes") {
+    val dim = 16
+    val outDim = 4
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 20).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val got = Sketch.jlProject(rows.toDF("id", "emb"), "emb", dim, outDim)
+      .select($"id", $"jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val planes = Dedup.rademacherPlanes(outDim, dim, table = 0, seed = 42L)
+    val scale = math.sqrt(outDim.toDouble)
+    rows.foreach { case (id, v) =>
+      val want = planes.map { p =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i).toDouble * p(i).toDouble; i += 1 }
+        s / scale
+      }
+      got(id).zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-12, s"vec $id")
+      }
+    }
+    // null embeddings project to null, not a crash
+    val withNull = Sketch.jlProject(
+      Seq((1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]]))
+        .toDF("id", "emb"), "emb", 2, 2)
+    assert(withNull.filter($"id" === 2L).select($"jl").head().isNullAt(0))
+  }
+}
