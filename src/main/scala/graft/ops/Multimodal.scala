@@ -51,6 +51,45 @@ object Multimodal {
       Map("size_bytes" -> bytes.length.toString, "kind" -> kind)
   }
 
+  /** REAL decoder over the pure-JVM codecs ([[graft.sources.WavCodec]] /
+    * [[graft.sources.BmpCodec]]): `audio` payloads decode as RIFF/WAVE
+    * PCM (features = `dim`-window RMS envelope), `image` as uncompressed
+    * 24-bpp BMP (features = grid luma scaled to [0,1], truncated/padded
+    * to `dim`). This closes the decode stub for the formats a JVM can
+    * parse byte-exactly; other formats keep the pluggable seam. Probe
+    * metadata carries the real decode facts (rate/frames/dims).
+    */
+  final case class CodecDecoder(dim: Int = 8) extends MediaDecoder {
+    private def fit(vals: Array[Double]): Array[Float] = {
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < math.min(dim, vals.length)) { v(i) = vals(i).toFloat; i += 1 }
+      v
+    }
+    def features(kind: String, bytes: Array[Byte]): Array[Float] = kind match {
+      case "audio" => fit(graft.sources.WavCodec.windowRms(bytes, dim))
+      case "image" =>
+        val grid = math.ceil(math.sqrt(dim.toDouble)).toInt
+        fit(graft.sources.BmpCodec.gridLuma(bytes, grid).map(_ / 255.0))
+      case other => throw new IllegalArgumentException(
+        s"CodecDecoder handles audio|image, got $other — plug a codec for it")
+    }
+    def probe(kind: String, bytes: Array[Byte]): Map[String, String] = kind match {
+      case "audio" =>
+        val i = graft.sources.WavCodec.probe(bytes)
+        Map("channels" -> i.channels.toString,
+          "sample_rate" -> i.sampleRate.toString,
+          "bits" -> i.bitsPerSample.toString,
+          "n_frames" -> i.nFrames.toString,
+          "duration_ms" -> i.durationMs.toString)
+      case "image" =>
+        val i = graft.sources.BmpCodec.probe(bytes)
+        Map("width" -> i.width.toString, "height" -> i.height.toString)
+      case other => throw new IllegalArgumentException(
+        s"CodecDecoder handles audio|image, got $other")
+    }
+  }
+
   /** Read a directory of media files as the canonical schema via Spark's
     * binaryFile source (one row per file; files >
     * `spark.sql.files.maxPartitionBytes` stay one row — binary payloads

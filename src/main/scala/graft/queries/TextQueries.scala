@@ -1104,6 +1104,51 @@ object TextQueries {
         .orderBy($"question")
     }),
 
+    // REAL multimodal codecs (the PdfCodec treatment for media): the
+    // committed fixtures/media WAV/BMP binaries (regenerated
+    // deterministically by Test/runMain graft.GenMediaFixtures,
+    // byte-asserted in MediaSpec) are parsed by the pure-JVM
+    // WavCodec/BmpCodec — RIFF chunk walk, PCM 8/16-bit decode,
+    // BITMAPINFOHEADER + bottom-up padded rows — and the oracle pins
+    // the probe values + window features as literals the engine must
+    // extract from the bytes.
+    "wav_extract" -> ((s, _) => {
+      import s.implicits._
+      val probe = udf((b: Array[Byte]) => graft.sources.WavCodec.probe(b))
+      val wrms = udf((b: Array[Byte]) => graft.sources.WavCodec.windowRms(b, 4))
+      s.read.format("binaryFile").load("/root/repo/fixtures/media/*.wav")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          probe($"content").as("p"), wrms($"content").as("w"))
+        .select($"media_id",
+          $"p.channels".as("channels"), $"p.sampleRate".as("sample_rate"),
+          $"p.bitsPerSample".as("bits"), $"p.nFrames".as("n_frames"),
+          $"p.durationMs".as("duration_ms"),
+          round($"p.peak", 6).as("peak"), round($"p.rms", 6).as("rms"),
+          round(element_at($"w", 1), 6).as("w0"),
+          round(element_at($"w", 2), 6).as("w1"),
+          round(element_at($"w", 3), 6).as("w2"),
+          round(element_at($"w", 4), 6).as("w3"))
+        .orderBy($"media_id")
+    }),
+
+    "bmp_extract" -> ((s, _) => {
+      import s.implicits._
+      val probe = udf((b: Array[Byte]) => graft.sources.BmpCodec.probe(b))
+      val luma = udf((b: Array[Byte]) => graft.sources.BmpCodec.gridLuma(b, 2))
+      s.read.format("binaryFile").load("/root/repo/fixtures/media/*.bmp")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          probe($"content").as("p"), luma($"content").as("g"))
+        .select($"media_id",
+          $"p.width".as("width"), $"p.height".as("height"),
+          round($"p.meanR", 6).as("mean_r"), round($"p.meanG", 6).as("mean_g"),
+          round($"p.meanB", 6).as("mean_b"),
+          round(element_at($"g", 1), 6).as("g0"),
+          round(element_at($"g", 2), 6).as("g1"),
+          round(element_at($"g", 3), 6).as("g2"),
+          round(element_at($"g", 4), 6).as("g3"))
+        .orderBy($"media_id")
+    }),
+
     "multimodal_segment_invariants" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
@@ -1775,6 +1820,33 @@ object TextQueries {
         |FROM read_json('/root/repo/fixtures/jsonl/testset_array.json',
         |               format='array')
         |ORDER BY question""".stripMargin,
+    // the expected WAV probe values as literals — the engine must decode
+    // the committed PCM bytes (square wave ±0.5, stereo ±0.25 constant,
+    // 8-bit +0.5 constant) to land on them
+    "wav_extract" ->
+      """SELECT media_id, channels, sample_rate, bits, n_frames, duration_ms,
+        |  peak, rms, w0, w1, w2, w3 FROM (VALUES
+        |  ('byte8.wav', 1::INT, 8000::INT, 8::INT, 8::BIGINT, 1::BIGINT,
+        |   0.5, 0.5, 0.5, 0.5, 0.5, 0.5),
+        |  ('stereo.wav', 2::INT, 4000::INT, 16::INT, 8::BIGINT, 2::BIGINT,
+        |   0.25, 0.25, 0.25, 0.25, 0.25, 0.25),
+        |  ('tone.wav', 1::INT, 8000::INT, 16::INT, 16::BIGINT, 2::BIGINT,
+        |   0.5, 0.5, 0.5, 0.5, 0.5, 0.5)
+        |) t(media_id, channels, sample_rate, bits, n_frames, duration_ms,
+        |    peak, rms, w0, w1, w2, w3)
+        |ORDER BY media_id""".stripMargin,
+    // the expected BMP decode as literals — bottom-up padded rows, exact
+    // channel means, 2x2 grid luma (rgb.bmp's bottom grid row is empty
+    // at height 1 -> 0.0)
+    "bmp_extract" ->
+      """SELECT media_id, width, height, mean_r, mean_g, mean_b,
+        |  g0, g1, g2, g3 FROM (VALUES
+        |  ('halves.bmp', 4::INT, 2::INT, 127.5, 127.5, 127.5,
+        |   0.0, 255.0, 0.0, 255.0),
+        |  ('rgb.bmp', 3::INT, 1::INT, 85.0, 85.0, 85.0,
+        |   85.0, 85.0, 0.0, 0.0)
+        |) t(media_id, width, height, mean_r, mean_g, mean_b, g0, g1, g2, g3)
+        |ORDER BY media_id""".stripMargin,
     // the expected HTML sections as literals — header metadata, preamble,
     // idx gap from the dropped empty section, undecoded entities
     "html_sections_extract" ->

@@ -1,0 +1,193 @@
+package graft.sources
+
+/** Real pure-JVM media codecs for the multimodal column pipeline — the
+  * [[graft.ops.Multimodal.MediaDecoder]] seam made concrete for the two
+  * formats a JVM can parse byte-exactly with no native libraries:
+  * RIFF/WAVE PCM audio and uncompressed 24-bpp BMP images. The
+  * [[PdfCodec]] treatment for media: committed fixtures
+  * (`fixtures/media`, regenerated deterministically by
+  * `Test/runMain graft.GenMediaFixtures`) are parsed by these codecs and
+  * the driver oracle pins the expected probe values as literals the
+  * engine must extract from the bytes.
+  *
+  * Both parsers are per-FILE work inside a binaryFile scan — the decode
+  * distributes with the files, exactly like [[PdfCodec]].
+  */
+object WavCodec {
+
+  /** Probe result of one RIFF/WAVE PCM payload. Amplitudes are
+    * normalized to [-1, 1] (16-bit: s/32768; 8-bit unsigned:
+    * (s-128)/128), peak = max |amplitude| over every channel sample,
+    * rms over every channel sample.
+    */
+  final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                           nFrames: Long, durationMs: Long,
+                           peak: Double, rms: Double)
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def s16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort.toInt
+
+  /** Locate the fmt and data chunks (RIFF chunk walk — chunks are
+    * (tag, size, payload) with 2-byte alignment padding).
+    */
+  private def chunks(bytes: Array[Byte]): Map[String, (Int, Int)] = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      "not a RIFF/WAVE payload")
+    val out = scala.collection.mutable.Map[String, (Int, Int)]()
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val tag = new String(bytes, o, 4, "US-ASCII")
+      val sz = u32(bytes, o + 4).toInt
+      out.getOrElseUpdate(tag, (o + 8, sz))
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    out.toMap
+  }
+
+  /** Decode every normalized sample (channel-interleaved). */
+  def samples(bytes: Array[Byte]): (WavInfo, Array[Double]) = {
+    val ch = chunks(bytes)
+    val (fmtOff, _) = ch.getOrElse("fmt ",
+      throw new IllegalArgumentException("WAVE payload lacks a fmt chunk"))
+    val audioFormat = u16(bytes, fmtOff)
+    require(audioFormat == 1, s"only PCM (format 1) supported, got $audioFormat")
+    val channels = u16(bytes, fmtOff + 2)
+    val sampleRate = u32(bytes, fmtOff + 4).toInt
+    val bits = u16(bytes, fmtOff + 14)
+    require(bits == 8 || bits == 16, s"only 8/16-bit PCM supported, got $bits")
+    require(channels >= 1 && sampleRate >= 1, "malformed fmt chunk")
+    val (dataOff, dataSz) = ch.getOrElse("data",
+      throw new IllegalArgumentException("WAVE payload lacks a data chunk"))
+    val bytesPerSample = bits / 8
+    val n = math.min(dataSz, bytes.length - dataOff) / bytesPerSample
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (bits == 16) s16(bytes, dataOff + 2 * i) / 32768.0
+        else ((bytes(dataOff + i) & 0xff) - 128) / 128.0
+      i += 1
+    }
+    val nFrames = n.toLong / channels
+    var peak = 0.0
+    var sq = 0.0
+    i = 0
+    while (i < n) {
+      val a = math.abs(out(i)); if (a > peak) peak = a
+      sq += out(i) * out(i); i += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sq / n)
+    (WavInfo(channels, sampleRate, bits, nFrames,
+      nFrames * 1000L / sampleRate, peak, rms), out)
+  }
+
+  def probe(bytes: Array[Byte]): WavInfo = samples(bytes)._1
+
+  /** Fixed-length audio feature: RMS energy of `windows` equal time
+    * slices (all channels pooled) — the deterministic spectral-envelope
+    * stand-in a real pipeline would replace with a filterbank, with the
+    * same shape and partitioning.
+    */
+  def windowRms(bytes: Array[Byte], windows: Int): Array[Double] = {
+    require(windows >= 1)
+    val (_, s) = samples(bytes)
+    val out = new Array[Double](windows)
+    if (s.isEmpty) return out
+    var w = 0
+    while (w < windows) {
+      val from = (s.length.toLong * w / windows).toInt
+      val until = (s.length.toLong * (w + 1) / windows).toInt
+      var sq = 0.0
+      var i = from
+      while (i < until) { sq += s(i) * s(i); i += 1 }
+      out(w) = if (until > from) math.sqrt(sq / (until - from)) else 0.0
+      w += 1
+    }
+    out
+  }
+}
+
+/** Uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up) parser. */
+object BmpCodec {
+
+  final case class BmpInfo(width: Int, height: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Decode to a row-major (top-down) `(r, g, b)` pixel array. */
+  def pixels(bytes: Array[Byte]): (BmpInfo, Array[(Int, Int, Int)]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val dataOff = i32(bytes, 10)
+    val hdrSize = i32(bytes, 14)
+    require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    val width = i32(bytes, 18)
+    val height = i32(bytes, 22)
+    val bpp = u16(bytes, 28)
+    val compression = i32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"only uncompressed 24-bpp BMP supported (got bpp=$bpp compression=$compression)")
+    require(width >= 1 && height >= 1, "malformed BMP dimensions")
+    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4 bytes
+    val px = new Array[(Int, Int, Int)](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOff + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val o = srcRow + 3 * x
+        px(y * width + x) = ((bytes(o + 2) & 0xff), (bytes(o + 1) & 0xff), (bytes(o) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    px.foreach { case (r, g, b) => sr += r; sg += g; sb += b }
+    val n = px.length.toDouble
+    (BmpInfo(width, height, sr / n, sg / n, sb / n), px)
+  }
+
+  def probe(bytes: Array[Byte]): BmpInfo = pixels(bytes)._1
+
+  /** Fixed-length image feature: mean luma `(r+g+b)/3` over a
+    * `grid × grid` partition of the image (the thumbnail-pool a real
+    * pipeline would replace with an encoder, same shape).
+    */
+  def gridLuma(bytes: Array[Byte], grid: Int): Array[Double] = {
+    require(grid >= 1)
+    val (info, px) = pixels(bytes)
+    val out = new Array[Double](grid * grid)
+    val cnt = new Array[Long](grid * grid)
+    var y = 0
+    while (y < info.height) {
+      val gy = (y.toLong * grid / info.height).toInt
+      var x = 0
+      while (x < info.width) {
+        val gx = (x.toLong * grid / info.width).toInt
+        val (r, g, b) = px(y * info.width + x)
+        out(gy * grid + gx) += (r + g + b) / 3.0
+        cnt(gy * grid + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < out.length) {
+      if (cnt(i) > 0) out(i) /= cnt(i)
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BmpCodec, WavCodec}
+
+/** Byte-level coverage of the real media codecs and their committed
+  * fixtures — the PdfSpec discipline: the fixtures on disk must equal
+  * the deterministic generator's bytes, and the codecs must land on the
+  * hand-computed decode of those bytes.
+  */
+class MediaSpec extends AnyFunSuite {
+
+  test("committed media fixtures are byte-identical to the generator") {
+    MediaFixtures.all.foreach { case (name, bytes) =>
+      val p = java.nio.file.Paths.get(s"/root/repo/fixtures/media/$name")
+      assert(java.nio.file.Files.exists(p),
+        s"missing fixture $name — run Test/runMain graft.GenMediaFixtures fixtures/media")
+      assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes),
+        s"fixture $name drifted from the generator")
+    }
+  }
+
+  test("WavCodec probes PCM16 mono/stereo and PCM8 exactly") {
+    val tone = WavCodec.probe(MediaFixtures.toneWav)
+    assert(tone == WavCodec.WavInfo(1, 8000, 16, 16, 2, 0.5, 0.5))
+    val st = WavCodec.probe(MediaFixtures.stereoWav)
+    assert(st == WavCodec.WavInfo(2, 4000, 16, 8, 2, 0.25, 0.25))
+    val b8 = WavCodec.probe(MediaFixtures.byteWav)
+    assert(b8 == WavCodec.WavInfo(1, 8000, 8, 8, 1, 0.5, 0.5))
+    assert(WavCodec.windowRms(MediaFixtures.toneWav, 4).toSeq ==
+      Seq(0.5, 0.5, 0.5, 0.5))
+  }
+
+  test("BmpCodec decodes 24bpp with row padding and bottom-up order") {
+    val (info, px) = BmpCodec.pixels(MediaFixtures.halvesBmp)
+    assert(info.width == 4 && info.height == 2)
+    assert(info.meanR == 127.5 && info.meanG == 127.5 && info.meanB == 127.5)
+    // top-left pixel must be the TOP row's (bottom-up storage inverted)
+    assert(px(0) == ((0, 0, 0)) && px(3) == ((255, 255, 255)))
+    assert(BmpCodec.gridLuma(MediaFixtures.halvesBmp, 2).toSeq ==
+      Seq(0.0, 255.0, 0.0, 255.0))
+    val (rgb, rpx) = BmpCodec.pixels(MediaFixtures.rgbBmp)
+    assert(rgb.width == 3 && rgb.height == 1)
+    assert(rpx.toSeq == Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)))
+    assert(rgb.meanR == 85.0 && rgb.meanG == 85.0 && rgb.meanB == 85.0)
+  }
+
+  test("CodecDecoder plugs the real codecs into the multimodal pipeline") {
+    import TestSpark._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      ("a1", "audio", MediaFixtures.toneWav),
+      ("i1", "image", MediaFixtures.halvesBmp)
+    ).toDF("media_id", "kind", "bytes")
+    val feats = graft.ops.Multimodal
+      .extractFeatures(media, graft.ops.Multimodal.CodecDecoder(4))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Float](2), r.getMap[String, String](3)))).toMap
+    assert(feats("a1")._1 == Seq(0.5f, 0.5f, 0.5f, 0.5f))
+    assert(feats("a1")._2("sample_rate") == "8000" &&
+      feats("a1")._2("duration_ms") == "2")
+    assert(feats("i1")._1 == Seq(0f, 1f, 0f, 1f))
+    assert(feats("i1")._2("width") == "4" && feats("i1")._2("height") == "2")
+  }
+
+  test("malformed payloads refuse loudly, never decode garbage") {
+    intercept[IllegalArgumentException] {
+      WavCodec.probe("not a wav at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      BmpCodec.probe(Array[Byte](1, 2, 3))
+    }
+    // a float-format wav (format 3) must refuse, not misread PCM
+    val f32 = MediaFixtures.wav16(1, 8000, Array(0, 0))
+    f32(20) = 3 // audioFormat = 3 (IEEE float)
+    val e = intercept[IllegalArgumentException] { WavCodec.probe(f32) }
+    assert(e.getMessage.contains("PCM"))
+  }
+}
