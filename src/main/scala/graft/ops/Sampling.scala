@@ -274,6 +274,37 @@ object Sampling {
     df.withColumn(splitName, label)
   }
 
+  /** Near-dup-AWARE (leakage-safe) split: every document follows its
+    * near-dup CLUSTER REPRESENTATIVE's hash point instead of its own,
+    * so no near-duplicate pair can straddle a train/test boundary — the
+    * leakage a plain per-document [[hashSplit]] cannot prevent (a doc
+    * and its 95%-identical copy hash independently and land on opposite
+    * sides ~2·p·(1−p) of the time, silently inflating eval scores).
+    * `pairs` is any `(id_a, id_b)` near-dup relation (the
+    * [[Dedup.ngramJaccardPairs]] / MinHash / SemDeDup outputs all fit);
+    * its connected components ([[Dedup.connectedComponents]]) assign
+    * each clustered doc its component representative, singletons
+    * represent themselves, and the split is [[hashSplit]] on the
+    * representative — same portability contract (pure md5 string CASE),
+    * same determinism, one extra bounded join.
+    *
+    * Scale: the component relation is |clustered docs| rows — a small
+    * fraction of the corpus — and joins SHUFFLE_HASH on the id;
+    * everything else is the map-side hashSplit expression.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)], seed: String,
+                       splitName: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("__component"))
+    hashSplit(
+      df.join(comp.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+        .withColumn("__rep", coalesce(col("__component"), col(idCol)))
+        .drop("__component"),
+      "__rep", splits, seed, splitName)
+      .drop("__rep")
+  }
+
   /** Deliver the corpus as fixed-size training shards: a seeded
     * [[deterministicShuffle]], then `shard = (position-1) / rowsPerShard`
     * written as one parquet file per `shard=k` directory, rows inside

@@ -38,17 +38,22 @@ object Sketch {
     * from different slices/days MERGE by groupBy-max (the HLL merge
     * operator) without touching raw data again.
     */
-  def hllRegisters(df: DataFrame, valueCol: String): DataFrame = {
-    val h = SimHash64.md5Prefix64(col(valueCol))
-    val w = h.bitwiseAND(lit(0x00FFFFFFFFFFFFFFL))
+  /** Register index of a value — the md5-u64's top `p` bits. */
+  def registerCol(value: Column): Column =
+    shiftrightunsigned(SimHash64.md5Prefix64(value), 64 - HllP).cast("int")
+
+  /** Rank of a value — leading zeros of the low 56 bits + 1 ∈ [1, 57]. */
+  def rhoCol(value: Column): Column = {
+    val w = SimHash64.md5Prefix64(value).bitwiseAND(lit(0x00FFFFFFFFFFFFFFL))
+    when(w === 0L, lit(57)).otherwise(lit(57) - length(bin(w))).cast("int")
+  }
+
+  def hllRegisters(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull)
-      .select(
-        shiftrightunsigned(h, 64 - HllP).cast("int").as("register"),
-        when(w === 0L, lit(57)).otherwise(lit(57) - length(bin(w)))
-          .cast("int").as("__rho"))
+      .select(registerCol(col(valueCol)).as("register"),
+        rhoCol(col(valueCol)).as("__rho"))
       .groupBy(col("register"))
       .agg(max(col("__rho")).as("rho"))
-  }
 
   /** The HLL cardinality estimate from a register frame — raw
     * harmonic-mean estimate with the standard small-range linear

@@ -117,6 +117,40 @@ object DedupQueries {
         .orderBy($"id")
     }),
 
+    // LSH recall measurement — the production monitoring op for any
+    // banded dedup: on a deterministic sample, exact-Jaccard ground
+    // truth vs the MinHash+LSH pair set, recall = caught/exact. The
+    // 1-(1-j^r)^b curve is theory; THIS measures it on the corpus's own
+    // similarity distribution, and the md5-portable hash family means
+    // the oracle replays both legs and the statistic bit-for-bit.
+    "minhash_recall_probe" -> ((s, d) => {
+      import s.implicits._
+      val sample = documents(s, d).filter($"doc_id" < 200)
+      val exact = Dedup.ngramJaccardPairs(sample, "doc_id", "text",
+        threshold = 0.2).select($"id_a", $"id_b")
+      val lsh = Dedup.minhashNearDupPairs(sample, "doc_id", "text",
+          threshold = 0.2)
+        .select($"id_a", $"id_b", lit(1L).as("__c"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce($"__c", lit(0L))).as("n_caught"),
+          round(avg(coalesce($"__c", lit(0L)).cast("double")), 6).as("recall"))
+    }),
+
+    // Leakage-safe train/test split: every doc follows its near-dup
+    // CLUSTER representative's hash point, so no near-duplicate pair
+    // straddles the boundary — the eval-inflation leak a per-document
+    // hash split cannot prevent. Oracle replays the cluster closure and
+    // the md5 split on the representative.
+    "leakage_safe_split" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      graft.ops.Sampling.leakageSafeSplit(docs.select($"doc_id"), "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2),
+          Seq("train" -> 0.8, "test" -> 0.2), seed = "ls0")
+        .orderBy($"doc_id")
+    }),
+
     // Survivor selection: the corpus minus every doc whose cluster
     // representative is a smaller id (the actual "dedup the corpus" step).
     "dedup_survivors" -> ((s, d) => {
@@ -540,6 +574,86 @@ object DedupQueries {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // both legs replayed on the sample: exact pairs brute-force, LSH
+    // pairs via the md5 universal-hash MinHash replay, then the recall
+    // aggregate (::BIGINT casts per the exact-hash gate discipline)
+    "minhash_recall_probe" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+        |        FROM documents WHERE doc_id < 200)),
+        |exact AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.2),
+        |p AS (
+        |  SELECT j,
+        |    (1 + ('0x'||substr(md5('minhash-a:'||j::VARCHAR),1,16))::UBIGINT
+        |         % 2147483646)::BIGINT AS a,
+        |    (('0x'||substr(md5('minhash-b:'||j::VARCHAR),1,16))::UBIGINT
+        |         % 2147483647)::BIGINT AS b
+        |  FROM range(32) t(j)),
+        |x AS (
+        |  SELECT doc_id,
+        |    (('0x'||substr(md5(s),1,16))::UBIGINT % 2147483647)::BIGINT AS x
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM g WHERE len(sh) > 0)),
+        |sigs AS (
+        |  SELECT doc_id, j, min((a * x + b) % 2147483647) AS sig
+        |  FROM x CROSS JOIN p GROUP BY doc_id, j),
+        |bk AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(sig::VARCHAR, ',' ORDER BY j) AS bh
+        |  FROM sigs GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |lsh AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.id_a
+        |  JOIN g gb ON gb.doc_id = c.id_b
+        |  WHERE len(list_intersect(ga.sh, gb.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(ga.sh, gb.sh))) >= 0.2)
+        |SELECT count(*)::BIGINT AS n_exact,
+        |  sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_caught,
+        |  round(avg(CASE WHEN l.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS recall
+        |FROM exact e LEFT JOIN lsh l USING (id_a, id_b)""".stripMargin,
+    // cluster closure + md5 split on the representative (singletons
+    // represent themselves); the threshold literal is the engine's own
+    // hexThreshold rendering, so the boundary can never drift
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE g AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+        |p AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.2),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |rep AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS r
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(r::VARCHAR || ':ls0'), 1, 8)
+        |            < '${graft.ops.Sampling.hexThreshold(0.8)}'
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin,
     "dedup_survivors" ->
       """WITH RECURSIVE g AS MATERIALIZED (
         |  SELECT doc_id,

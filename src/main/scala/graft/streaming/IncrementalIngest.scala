@@ -256,6 +256,27 @@ object IncrementalIngest {
     l.join(r, cond, joinType)
   }
 
+  /** Watermarked per-window HLL registers over a stream — the
+    * bounded-state distinct-count monitor (unique users/tokens/keys per
+    * window on an unbounded stream): state is ≤ 256 register rows per
+    * OPEN window whatever the cardinality, evicted once the watermark
+    * passes. The registers are [[graft.ops.Sketch]]'s md5-portable
+    * construction, so a window's streamed registers are row-identical
+    * to the batch [[graft.ops.Sketch.hllRegisters]] over that window's
+    * rows (asserted live in ScaleOpsSpec) and estimate through the same
+    * [[graft.ops.Sketch.hllEstimate]].
+    */
+  def windowedHllRegisters(events: DataFrame, tsCol: String, valueCol: String,
+                           windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(valueCol).isNotNull)
+      .select(window(col(tsCol), windowLen).as("window"),
+        graft.ops.Sketch.registerCol(col(valueCol)).as("register"),
+        graft.ops.Sketch.rhoCol(col(valueCol)).as("__rho"))
+      .groupBy(col("window"), col("register"))
+      .agg(max(col("__rho")).as("rho"))
+
   /** Windowed event aggregation over a stream — the watermark/tumbling-
     * window shape (§2.8's Spark mapping), exposed for the events table:
     * per (window, event_type) counts and exact value cents.

@@ -65,6 +65,33 @@ class MediaSpec extends AnyFunSuite {
     assert(feats("i1")._2("width") == "4" && feats("i1")._2("height") == "2")
   }
 
+  test("property: random PCM16/PCM8 round-trips generator -> codec exactly") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 20) {
+      val channels = 1 + rnd.nextInt(2)
+      val rate = 1000 + rnd.nextInt(47000)
+      val frames = 1 + rnd.nextInt(64)
+      val samples = Array.fill(frames * channels)(rnd.nextInt(65536) - 32768)
+      val (info, decoded) = WavCodec.samples(
+        MediaFixtures.wav16(channels, rate, samples))
+      assert(info.channels == channels && info.sampleRate == rate &&
+        info.bitsPerSample == 16 && info.nFrames == frames, s"trial $trial")
+      assert(decoded.toSeq == samples.map(_ / 32768.0).toSeq, s"trial $trial")
+      val s8 = Array.fill(frames)(rnd.nextInt(256))
+      val (i8, d8) = WavCodec.samples(MediaFixtures.wav8(1, rate, s8))
+      assert(i8.bitsPerSample == 8 && i8.nFrames == frames)
+      assert(d8.toSeq == s8.map(v => (v - 128) / 128.0).toSeq, s"trial $trial")
+    }
+    // random 24bpp BMPs round-trip pixels through padding at every width
+    for (w <- 1 to 6; h <- 1 to 3) {
+      val px = Seq.tabulate(w * h)(i =>
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val (info, got) = BmpCodec.pixels(MediaFixtures.bmp24(w, h, px))
+      assert(info.width == w && info.height == h)
+      assert(got.toSeq == px, s"dims ${w}x$h")
+    }
+  }
+
   test("malformed payloads refuse loudly, never decode garbage") {
     intercept[IllegalArgumentException] {
       WavCodec.probe("not a wav at all".getBytes)

@@ -226,6 +226,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total == ev.count())
   }
 
+  test("streaming windowed HLL registers equal batch registers once the window closes") {
+    import graft.ops.Sketch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = IncrementalIngest.windowedHllRegisters(
+      stream.toDS().toDF("ts", "user"), "ts", "user", "5 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("hll_win")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      val w1users = Seq("u1", "u2", "u3", "u1", "u4")
+      stream.addData(w1users.map(u => (t(0), u)): _*)
+      q.processAllAvailable()
+      // a much later event advances the watermark past window 1's end,
+      // so the closed window's registers emit (and its state evicts)
+      stream.addData((t(12), "u9"))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_win")
+        .select($"register", $"rho").as[(Int, Int)].collect().toSet
+      val batch = Sketch.hllRegisters(w1users.toDF("u"), "u")
+        .as[(Int, Int)].collect().toSet
+      assert(streamed == batch,
+        "a closed window's streamed registers must equal the batch sketch " +
+          "over that window's rows — same md5 construction, same estimate")
+    } finally q.stop()
+  }
+
   test("stateful session history tracks across micro-batches with pop and reset semantics") {
     import graft.streaming.SessionState
     import graft.streaming.SessionState.Msg
@@ -1309,6 +1337,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     intercept[Exception] {
       Sampling.deterministicShuffle(withNull, "doc_id", "e0").collect()
     }
+
+    // leakage-safe split: near-dup pairs can never straddle a boundary
+    // (each doc follows its cluster representative), singletons equal
+    // the plain hashSplit on their own id
+    val pairs = Seq((1L, 2L), (2L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val safe = Sampling.leakageSafeSplit(docs.select($"doc_id"), "doc_id",
+        pairs, Seq("train" -> 0.5, "test" -> 0.5), seed = "ls")
+      .as[(Long, String)].collect().toMap
+    assert(safe.size == n)
+    assert(safe(1L) == safe(2L) && safe(2L) == safe(9L),
+      "a connected near-dup cluster must land on one side")
+    assert(safe(5L) == safe(6L))
+    val plain = Sampling.hashSplit(docs.select($"doc_id"), "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5), seed = "ls")
+      .as[(Long, String)].collect().toMap
+    docs.select($"doc_id").as[Long].collect()
+      .filterNot(Set(1L, 2L, 9L, 5L, 6L)).foreach { id =>
+        assert(safe(id) == plain(id), s"singleton $id must split by its own id")
+      }
 
     // upsample: factor-k strata emit k tagged copies, factor-0 drop
     val up = Sampling.upsampleByStratum(docs, "lang",
