@@ -165,4 +165,36 @@ object Curation {
         quotas = Map.empty, defaultQuota = perCluster)
       .withColumn("cluster_id", col("cluster_id").cast("int"))
   }
+
+  /** Quality-ordered token-budget fill — the mixture-allocation step
+    * when a training run has a TOKEN budget and domains of unequal
+    * quality: domains are taken whole in (quality desc, domain asc)
+    * order until the budget runs out, the boundary domain gets the
+    * remainder, everything after gets 0. The greedy waterline is a
+    * prefix sum, not a loop: `allocated = clamp(budget − Σ tokens of
+    * strictly-better domains, 0, own tokens)` — fully relational, so
+    * any engine replays the allocation exactly (ties broken by the
+    * domain name; order on a ROUNDED quality so a last-ulp aggregate
+    * difference can never flip the waterline cross-engine).
+    *
+    * Scale: `perDomain` is the |domains|-row aggregate (dozens — the
+    * [[Sampling.temperatureQuotas]] boundedness argument), so the one
+    * global window is over bounded rows; the corpus-side aggregation
+    * that produces it partial-aggregates map-side as usual.
+    */
+  def budgetFillMix(perDomain: DataFrame, domainCol: String,
+                    tokensCol: String, qualityCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .orderBy(col(qualityCol).desc, col(domainCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDomain
+      .withColumn("__prev", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("allocated",
+        greatest(lit(0L), least(col(tokensCol).cast("long"),
+          lit(budget) - col("__prev"))))
+      .drop("__prev")
+  }
 }

@@ -590,6 +590,22 @@ object TextQueries {
         .select($"token", $"n", $"within_bound")
     }),
 
+    // Token-budget mixture allocation: domains taken whole in quality
+    // order until the budget runs out, boundary domain partial, rest 0
+    // — the greedy waterline as a prefix sum (no loop), replayed
+    // exactly by the oracle's window. Budget 50k tokens over the lang
+    // domains.
+    "budget_fill_mix" -> ((s, d) => {
+      import s.implicits._
+      val perDomain = documents(s, d).groupBy($"lang")
+        .agg(sum(TextAnalysis.tokenCount($"text")).as("n_tokens"),
+          round(avg(TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn)), 6)
+            .as("quality"))
+      graft.ops.Curation.budgetFillMix(perDomain, "lang", "n_tokens",
+          "quality", budget = 50000L)
+        .orderBy($"quality".desc, $"lang")
+    }),
+
     // Quality-quantile gate: keep documents at or above the corpus
     // median quality — the threshold comes from the corpus
     // DISTRIBUTION, not a hand-picked constant. Exact percentile here
@@ -2291,6 +2307,24 @@ object TextQueries {
         |  (abs(fin.he - ex.exact_distinct) <= 0.195 * ex.exact_distinct)
         |    AS within_3sigma
         |FROM fin, ex""".stripMargin,
+    // the same waterline as a window prefix sum over the per-domain
+    // aggregate (quality rounded BEFORE ordering on both sides)
+    "budget_fill_mix" ->
+      s"""WITH q AS (
+         |  SELECT lang, sum(len($docTokens))::BIGINT AS n_tokens,
+         |    round(avg(
+         |      0.4*(len(list_distinct($docTokens))::DOUBLE/len($docTokens)) +
+         |      0.3*(${hits(enList)}::DOUBLE/len($docTokens)) +
+         |      0.3*least(len($docTokens)/100.0, 1.0)), 6) AS quality
+         |  FROM documents GROUP BY lang),
+         |f AS (
+         |  SELECT lang, n_tokens, quality,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM q)
+         |SELECT lang, n_tokens, quality,
+         |  greatest(0, least(n_tokens, 50000 - prev))::BIGINT AS allocated
+         |FROM f ORDER BY quality DESC, lang""".stripMargin,
     "quality_quantile_filter" ->
       s"""WITH sc AS (
          |  SELECT doc_id,

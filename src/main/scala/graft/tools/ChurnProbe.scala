@@ -63,6 +63,7 @@ object ChurnProbe {
         graft.ops.Keyword.registerLexicalIndex(spark, t, "doc_id", "text", s"$root/lex")
         graft.ops.Dedup.registerMinhashSidecar(spark, t, "doc_id", "text", s"$root/mh")
         graft.ops.Dedup.registerSrpSidecar(spark, t, "doc_id", "embedding", s"$root/srp")
+        graft.ops.Sketch.registerHllSidecar(spark, t, "doc_id", "text", s"$root/hll")
       })
       // fixed-size fresh batch, disjoint from every replica
       def freshBatch(tag: Int): DataFrame =
@@ -91,6 +92,11 @@ object ChurnProbe {
         require(nText >= nPlanted && nEmb >= nPlanted,
           s"$label: planted dups missed (text=$nText emb=$nEmb of $nPlanted) — " +
             "sidecar stale or wrong")
+        // the HLL sidecar must serve fresh through every phase too (a
+        // stale stamp would throw; a wrong fold would drift the estimate)
+        val est = graft.ops.Sketch.estimateFromSidecar(spark, t, s"$root/hll")
+          .collect().head.getDouble(0)
+        require(est > 0, s"$label: HLL estimate degenerate ($est)")
       }
       out += Phase("neardup_check", time { checkBoth("post-append") })
       out += Phase("merge_rebuild", time {

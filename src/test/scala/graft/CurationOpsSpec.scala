@@ -399,6 +399,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("budgetFillMix: whole domains in quality order, partial boundary, zeros after") {
+    import graft.ops.Curation
+    val pd = Seq(("a", 100L, 0.9), ("b", 200L, 0.8), ("c", 300L, 0.7),
+      ("d", 50L, 0.95)).toDF("dom", "n_tokens", "quality")
+    val got = Curation.budgetFillMix(pd, "dom", "n_tokens", "quality", 320L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // order: d(0.95) a(0.9) b(0.8) c(0.7); waterline at 320
+    assert(got == Map("d" -> 50L, "a" -> 100L, "b" -> 170L, "c" -> 0L))
+    // quality ties break by domain name ascending
+    val tie = Curation.budgetFillMix(
+        Seq(("x", 10L, 0.5), ("w", 10L, 0.5)).toDF("dom", "n_tokens", "quality"),
+        "dom", "n_tokens", "quality", 15L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tie == Map("w" -> 10L, "x" -> 5L))
+    // degenerate budgets
+    val all = Curation.budgetFillMix(pd, "dom", "n_tokens", "quality", 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(all == Map("a" -> 100L, "b" -> 200L, "c" -> 300L, "d" -> 50L))
+    val none = Curation.budgetFillMix(pd, "dom", "n_tokens", "quality", 0L)
+      .collect().map(_.getLong(3)).toSet
+    assert(none == Set(0L))
+  }
+
   // ---- parent-document retrieval ----
 
   test("parentTopK: chunk hits roll up to parents by best score") {
