@@ -388,6 +388,25 @@ object TextQueries {
         .orderBy($"logweight".desc, $"doc_id")
     }),
 
+    // Trained quality gate: hashed-logreg fit INSIDE the engine (3
+    // full-batch GD steps, weights rounded per step so the whole
+    // training trajectory replays in any engine), then scored over the
+    // corpus. Labels: en vs rest — the classic "looks like the target
+    // distribution" discriminator.
+    "classifier_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val labeled = docs.withColumn("y",
+        when($"lang" === "en", 1.0).otherwise(0.0))
+      val w = graft.ops.Classifier.fitLogReg(labeled, "doc_id", "text", "y",
+        iters = 12, lr = 2.0)
+      graft.ops.Classifier.score(docs, "doc_id", "text", w)
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"doc_id", $"lang", $"prob")
+        .orderBy($"prob".desc, $"doc_id")
+        .limit(100)
+    }),
+
     // The allocated quotas applied as the md5-rank stratified take: the
     // end-to-end "mix the corpus to temperature-τ proportions" step.
     "mix_temperature_sample" -> ((s, d) => {
@@ -1229,6 +1248,51 @@ object TextQueries {
     s"""length(text) > 0
        |    AND NOT regexp_matches(text, '[\\n\\t\\r]|  |^ | $$')
        |    AND list_max(list_transform(string_split(text, ' '), w -> length(w))) <= $maxWordLen""".stripMargin
+
+  /** Unrolled-GD oracle for `classifier_quality_gate`: `iters`
+    * full-batch logistic-regression steps as chained CTEs (the
+    * pagerank/BPE unrolled-iteration pattern). Replay is exact because
+    * the engine rounds the weight vector to 6 decimals after every
+    * step, so last-ulp float-sum divergence never compounds.
+    */
+  private def logregOracleSql(iters: Int, lr: Double): String = {
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT f.doc_id, max(f.y) AS y,
+         |    1.0 / (1.0 + exp(-(sum(w.w * f.x)))) AS p
+         |  FROM feat f JOIN w${k - 1} w USING (b) GROUP BY f.doc_id),
+         |g$k AS MATERIALIZED (
+         |  SELECT f.b, sum((p.p - f.y) * f.x) AS g
+         |  FROM feat f JOIN p$k p USING (doc_id) GROUP BY f.b),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.b, round(w.w - st.step * g.g, 6) AS w
+         |  FROM w${k - 1} w JOIN g$k g USING (b), st)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tb AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    ('0x' || substr(md5(t), 1, 3))::INT AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_filter(regexp_split_to_array(trim(text),
+       |            '\\s+'), t -> t <> '')) AS t
+       |        FROM documents)),
+       |nd AS (SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id),
+       |feat AS MATERIALIZED (
+       |  SELECT tb.doc_id, max(y) AS y, b, count(*)::DOUBLE / max(n) AS x
+       |  FROM tb JOIN nd USING (doc_id) GROUP BY tb.doc_id, b
+       |  UNION ALL
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    -1 AS b, 1.0 AS x FROM documents),
+       |st AS (SELECT $lr / count(*) AS step FROM documents),
+       |w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS w FROM feat),
+       |$steps,
+       |sc AS (
+       |  SELECT f.doc_id, sum(coalesce(w.w, 0.0) * f.x) AS s
+       |  FROM feat f LEFT JOIN w$iters w USING (b) GROUP BY f.doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  round(1.0 / (1.0 + exp(-(sc.s))), 6) AS prob
+       |FROM sc JOIN documents d USING (doc_id)
+       |ORDER BY prob DESC, d.doc_id LIMIT 100""".stripMargin
+  }
 
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
   private def hits(lst: String): String =
@@ -2083,6 +2147,7 @@ object TextQueries {
         |  coalesce(w.logweight, 0.0) AS logweight
         |FROM documents doc LEFT JOIN w ON w.doc_id = doc.doc_id
         |ORDER BY logweight DESC, doc.doc_id LIMIT 100""".stripMargin,
+    "classifier_quality_gate" -> logregOracleSql(iters = 12, lr = 2.0),
     "mix_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
