@@ -227,4 +227,75 @@ object Sketch {
           typedlit(p.toSeq)) / lit(scale)
       }: _*)))
   }
+
+  // ---- bottom-k minwise signatures: corpus-level set similarity ----
+
+  /** 60-bit md5 hash of a value as a POSITIVE long — 15 hex chars, so
+    * signed (Spark BIGINT) and unsigned (DuckDB) comparisons order
+    * identically; the bottom-k ranking depends on that.
+    */
+  def hash60(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(value.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Bottom-k minwise signature per slice: the `k` smallest distinct
+    * [[hash60]] values over the slice's distinct word `n`-shingles —
+    * `(sliceCol, hv)`, ≤ k rows per slice. The KMV/bottom-k sketch
+    * (Bar-Yossef et al. 2002; Broder 1997's minwise estimator): unlike
+    * per-document MinHash it summarizes a whole CORPUS SLICE in k
+    * longs, and two slices' signatures alone estimate their
+    * distinct-shingle Jaccard (bottom-k of a union is computable from
+    * the unions' bottom-ks).
+    *
+    * Scale shape: explode → distinct (slice, hv) collapses map-side;
+    * the per-slice bottom-k is a window over the distinct-hash stream
+    * — at 100 TB swap the window for groupBy + a bounded-heap typed
+    * aggregate, same contract. Signatures are |slices|·k rows total:
+    * corpus-size-independent state that merges by union + re-rank.
+    */
+  def bottomkSignatures(df: DataFrame, sliceCol: String, textCol: String,
+                        k: Int, n: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sliceCol)).orderBy(col("hv"))
+    df.select(col(sliceCol), explode(
+        TextAnalysis.wordGrams(TextAnalysis.tokens(col(textCol)), n)).as("__sh"))
+      .select(col(sliceCol), hash60(col("__sh")).as("hv"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(sliceCol), col("hv"))
+  }
+
+  /** Pairwise Jaccard estimates between every two slices from their
+    * bottom-k signatures alone — `(slice_a, slice_b, n_common, denom,
+    * est_jaccard)` for slice_a < slice_b. For each pair the union's
+    * bottom-k is re-ranked from the two signatures (a subset of their
+    * union, so no raw data is touched); the estimate is the fraction
+    * of those union-minima present in BOTH signatures. When the union
+    * carries fewer than k hashes the denominator drops to the union
+    * size and the estimate becomes the exact Jaccard. All work is over
+    * ≤ |slices|²·k sketch rows — corpus-size-independent.
+    */
+  def bottomkJaccard(signatures: DataFrame, sliceCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val slices = signatures.select(col(sliceCol)).distinct()
+    val pairs = slices.select(col(sliceCol).as("slice_a"))
+      .crossJoin(slices.select(col(sliceCol).as("slice_b")))
+      .filter(col("slice_a") < col("slice_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("slice_a"), col("slice_b")).orderBy(col("hv"))
+    broadcast(pairs)
+      .join(signatures,
+        col(sliceCol) === col("slice_a") || col(sliceCol) === col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"), col("hv"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(sum(when(col("__cnt") === 2, 1L).otherwise(0L)).as("n_common"),
+        count(lit(1)).as("denom"))
+      .withColumn("est_jaccard",
+        round(col("n_common").cast("double") / col("denom"), 6))
+  }
 }

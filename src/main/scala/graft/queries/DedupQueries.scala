@@ -117,6 +117,41 @@ object DedupQueries {
         .orderBy($"id")
     }),
 
+    // Duplication-rate report: cluster-size histogram over the near-dup
+    // components (singletons derived relationally from total − member
+    // counts — no driver round-trip), the "how duplicated is this
+    // corpus" number a curation run reports before choosing thresholds.
+    "dedup_cluster_histogram" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val comp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2))
+      val hist = comp.groupBy($"component").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      val singles = docs.agg(count(lit(1)).as("__t"))
+        .crossJoin(comp.agg(count(lit(1)).as("__m")))
+        .select(lit(1L).as("sz"), ($"__t" - $"__m").as("n_clusters"))
+      hist.unionByName(singles)
+        .filter($"n_clusters" > 0)
+        .select($"sz".as("cluster_size"), $"n_clusters",
+          ($"sz" * $"n_clusters").as("n_docs"))
+        .orderBy($"cluster_size")
+    }),
+
+    // Corpus-level set similarity from bottom-k minwise sketches: every
+    // lang-slice pair's distinct-shingle Jaccard estimated from k=256
+    // longs per slice — the dataset-overlap question ("how much does
+    // crawl A overlap crawl B") answered WITHOUT joining raw corpora.
+    // md5-derived hashes make both signatures and the estimate
+    // bit-replayable by the oracle.
+    "corpus_bottomk_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val sig = graft.ops.Sketch.bottomkSignatures(
+        documents(s, d), "lang", "text", k = 256, n = 3)
+      graft.ops.Sketch.bottomkJaccard(sig, "lang", k = 256)
+        .orderBy($"slice_a", $"slice_b")
+    }),
+
     // LSH recall measurement — the production monitoring op for any
     // banded dedup: on a deterministic sample, exact-Jaccard ground
     // truth vs the MinHash+LSH pair set, recall = caught/exact. The
@@ -574,6 +609,75 @@ object DedupQueries {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // the component closure again, aggregated to the size histogram;
+    // singleton clusters = total docs − component members
+    "dedup_cluster_histogram" ->
+      """WITH RECURSIVE g AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |p AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.2),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |comp AS MATERIALIZED (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |hist AS (
+        |  SELECT sz, count(*) AS n_clusters FROM (
+        |    SELECT component, count(*) AS sz FROM comp GROUP BY component)
+        |  GROUP BY sz),
+        |single AS (
+        |  SELECT 1 AS sz,
+        |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+        |      AS n_clusters)
+        |SELECT sz::BIGINT AS cluster_size, n_clusters::BIGINT AS n_clusters,
+        |  (sz * n_clusters)::BIGINT AS n_docs
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
+        |WHERE n_clusters > 0 ORDER BY cluster_size""".stripMargin,
+    // signatures: k smallest 60-bit md5 hashes over each slice's
+    // distinct 3-shingles; estimate: re-rank each pair's signature
+    // union, fraction of union-minima present in both
+    "corpus_bottomk_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT lang, unnest(list_transform(range(1, len(w)-1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |              FROM documents))),
+        |sig AS (
+        |  SELECT lang, hv FROM (
+        |    SELECT lang, hv,
+        |      row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |    FROM sh) WHERE rn <= 256),
+        |pr AS (
+        |  SELECT a.lang AS slice_a, b.lang AS slice_b
+        |  FROM (SELECT DISTINCT lang FROM sig) a,
+        |       (SELECT DISTINCT lang FROM sig) b
+        |  WHERE a.lang < b.lang),
+        |u AS (
+        |  SELECT slice_a, slice_b, hv, count(*) AS cnt
+        |  FROM pr JOIN sig s ON s.lang = slice_a OR s.lang = slice_b
+        |  GROUP BY slice_a, slice_b, hv),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY slice_a, slice_b ORDER BY hv) AS rn FROM u)
+        |SELECT slice_a, slice_b,
+        |  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+        |  count(*)::BIGINT AS denom,
+        |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS est_jaccard
+        |FROM r WHERE rn <= 256 GROUP BY slice_a, slice_b
+        |ORDER BY slice_a, slice_b""".stripMargin,
     // both legs replayed on the sample: exact pairs brute-force, LSH
     // pairs via the md5 universal-hash MinHash replay, then the recall
     // aggregate (::BIGINT casts per the exact-hash gate discipline)

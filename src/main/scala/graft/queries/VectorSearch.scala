@@ -429,6 +429,21 @@ object VectorSearch {
         .orderBy($"vec_id", $"j")
     }),
 
+    // Embedding mean-pooling: many vectors → one unit-norm prototype
+    // per group (chunk→doc embeddings, label centroids) through the
+    // single VectorMean aggregate — O(1) aggregate expressions at any
+    // dim. Pooled per embeddings.label, exploded to (label, j, c) rows.
+    "embedding_mean_pool" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Pool.meanPool(
+          embeddings(s, d).filter($"embedding".isNotNull),
+          "label", "embedding", dim = 64)
+        .select($"label", $"n_vecs", posexplode($"pooled"))
+        .select($"label", $"n_vecs", $"pos".cast("long").as("j"),
+          round($"col", 6).as("c"))
+        .orderBy($"label", $"j")
+    }),
+
     // V1 batch embedding over documents through the pluggable embedder
     // expression. The embedding VALUES are engine-defined, so the query
     // emits exactly the declared invariants — dimension and unit L2 norm
@@ -663,6 +678,23 @@ object VectorSearch {
     // the projection replayed: md5-sign planes (srp:0:<j>:<i>:42, the
     // rademacherPlanes spelling), per-(vec, j) sign-weighted sum over
     // the 64 components, scaled 1/sqrt(8)
+    // mean per (label, element) = sum/count (VectorMean's exact
+    // semantics), then unit-norm from the pooled vector; the all-zero
+    // guard mirrors Pool.meanPool
+    "embedding_mean_pool" ->
+      """WITH e AS (
+        |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT label, i.j, avg(v[i.j::INT]) AS mv
+        |  FROM e, range(1, 65) i(j) GROUP BY label, i.j),
+        |n AS (SELECT label, sqrt(sum(mv * mv)) AS nrm FROM m GROUP BY label),
+        |c AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT m.label, c.n_vecs::BIGINT AS n_vecs, (m.j - 1)::BIGINT AS j,
+        |  CASE WHEN n.nrm > 0 THEN round(m.mv / n.nrm, 6)
+        |       ELSE round(m.mv, 6) END AS c
+        |FROM m JOIN n USING (label) JOIN c USING (label)
+        |ORDER BY label, j""".stripMargin,
     "embedding_jl_project" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

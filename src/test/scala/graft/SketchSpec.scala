@@ -122,4 +122,31 @@ class SketchSpec extends AnyFunSuite {
         .toDF("id", "emb"), "emb", 2, 2)
     assert(withNull.filter($"id" === 2L).select($"jl").head().isNullAt(0))
   }
+
+  // ---- bottom-k minwise signatures ----
+
+  test("bottomkJaccard: exact when the union fits in k, estimate tracks overlap") {
+    // slice A: shingles over "a b c d e f"; slice B shares a suffix
+    val df = Seq(
+      ("A", "t1 t2 t3 t4 t5 t6"),
+      ("B", "t3 t4 t5 t6 t7 t8")).toDF("slice", "text")
+    val sig = Sketch.bottomkSignatures(df, "slice", "text", k = 64, n = 3)
+    // A has 4 distinct 3-shingles, B has 4; shared: "t3 t4 t5","t4 t5 t6"
+    assert(sig.groupBy($"slice").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("A" -> 4L, "B" -> 4L))
+    val est = Sketch.bottomkJaccard(sig, "slice", k = 64).collect().head
+    assert(est.getAs[Long]("n_common") == 2L)
+    assert(est.getAs[Long]("denom") == 6L) // |union| < k → exact Jaccard
+    assert(est.getAs[Double]("est_jaccard") == 0.333333) // round(1/3, 6)
+  }
+
+  test("bottomkSignatures: per-slice size capped at k, identical slices estimate 1") {
+    val txt = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq(("X", txt), ("Y", txt)).toDF("slice", "text")
+    val sig = Sketch.bottomkSignatures(df, "slice", "text", k = 16, n = 3)
+    assert(sig.groupBy($"slice").count().collect().forall(_.getLong(1) == 16L))
+    val est = Sketch.bottomkJaccard(sig, "slice", k = 16).collect().head
+    assert(est.getAs[Double]("est_jaccard") == 1.0)
+    assert(est.getAs[Long]("denom") == 16L)
+  }
 }
