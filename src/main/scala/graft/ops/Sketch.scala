@@ -279,14 +279,18 @@ object Sketch {
   def bottomkJaccard(signatures: DataFrame, sliceCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val slices = signatures.select(col(sliceCol)).distinct()
+    // the signature frame is referenced three times below (slice-a
+    // pairs, slice-b pairs, membership); materialize its ≤|slices|·k
+    // rows once so the corpus-sized signature build never re-runs
+    val sig = signatures.localCheckpoint()
+    val slices = sig.select(col(sliceCol)).distinct()
     val pairs = slices.select(col(sliceCol).as("slice_a"))
       .crossJoin(slices.select(col(sliceCol).as("slice_b")))
       .filter(col("slice_a") < col("slice_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("slice_a"), col("slice_b")).orderBy(col("hv"))
     broadcast(pairs)
-      .join(signatures,
+      .join(sig,
         col(sliceCol) === col("slice_a") || col(sliceCol) === col("slice_b"))
       .groupBy(col("slice_a"), col("slice_b"), col("hv"))
       .agg(count(lit(1)).as("__cnt"))
