@@ -277,4 +277,55 @@ object TextAnalysis {
           col("rule_symbol_ratio") && col("rule_alpha_ratio") &&
           col("rule_bullet_ratio") && col("rule_stopwords"))
   }
+
+  /** Pairwise Jensen-Shannon divergence (nats) between every two
+    * slices' hashed-unigram distributions — the corpus DRIFT monitor:
+    * where [[graft.ops.Sketch.bottomkJaccard]] measures what shingle
+    * SETS two slices share, this measures how differently they WEIGHT
+    * a shared vocabulary (two crawl snapshots with identical vocab but
+    * shifted topic mix have Jaccard ≈ 1 and JSD ≫ 0). Distributions
+    * live on the 4096 [[Importance.tokenBucket]] md5 buckets with
+    * additive `alpha` smoothing over the full support, so the measure
+    * is total (no zero-probability terms), bounded by ln 2, and every
+    * term replays in SQL.
+    *
+    * Scale shape: one corpus scan collapsing map-side to ≤4096 rows
+    * per slice (the DSIR distribution shape); everything after —
+    * pair enumeration, the 4096-bucket support expansion, the
+    * divergence sum — is over |slices|²·4096 bounded rows.
+    */
+  def vocabJsDivergence(df: DataFrame, sliceCol: String, textCol: String,
+                        alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val spark = df.sparkSession
+    val buckets = 4096
+    val cnt = df.select(col(sliceCol).as("__s"),
+        explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__tok"))
+      .withColumn("__b", Importance.tokenBucket(col("__tok")))
+      .groupBy(col("__s"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tot = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__t"))
+    val slices = cnt.select(col("__s")).distinct()
+    val pairs = slices.select(col("__s").as("slice_a"))
+      .crossJoin(slices.select(col("__s").as("slice_b")))
+      .filter(col("slice_a") < col("slice_b"))
+      .join(tot.select(col("__s").as("slice_a"), col("__t").as("__ta")), Seq("slice_a"))
+      .join(tot.select(col("__s").as("slice_b"), col("__t").as("__tb")), Seq("slice_b"))
+    val support = broadcast(pairs)
+      .crossJoin(spark.range(buckets).select(col("id").cast("int").as("__b")))
+    val za = col("__ta") + lit(alpha * buckets)
+    val zb = col("__tb") + lit(alpha * buckets)
+    support
+      .join(cnt.select(col("__s").as("slice_a"), col("__b"), col("__c").as("__ca")),
+        Seq("slice_a", "__b"), "left")
+      .join(cnt.select(col("__s").as("slice_b"), col("__b"), col("__c").as("__cb")),
+        Seq("slice_b", "__b"), "left")
+      .withColumn("__p", (coalesce(col("__ca"), lit(0L)) + alpha) / za)
+      .withColumn("__q", (coalesce(col("__cb"), lit(0L)) + alpha) / zb)
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(round(sum(
+        lit(0.5) * col("__p") * log(col("__p") / col("__m")) +
+        lit(0.5) * col("__q") * log(col("__q") / col("__m"))), 6).as("jsd"))
+  }
 }

@@ -388,6 +388,17 @@ object TextQueries {
         .orderBy($"logweight".desc, $"doc_id")
     }),
 
+    // Corpus drift monitor: pairwise Jensen-Shannon divergence between
+    // lang slices' hashed-unigram distributions (4096 md5 buckets,
+    // additive smoothing over the full support). Complements
+    // corpus_bottomk_jaccard: Jaccard sees shared vocabulary SETS, JSD
+    // sees shifted WEIGHTS over a shared vocabulary.
+    "vocab_jsd_drift" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.TextAnalysis.vocabJsDivergence(documents(s, d), "lang", "text")
+        .orderBy($"slice_a", $"slice_b")
+    }),
+
     // Trained quality gate: hashed-logreg fit INSIDE the engine (3
     // full-batch GD steps, weights rounded per step so the whole
     // training trajectory replays in any engine), then scored over the
@@ -2147,6 +2158,34 @@ object TextQueries {
         |  coalesce(w.logweight, 0.0) AS logweight
         |FROM documents doc LEFT JOIN w ON w.doc_id = doc.doc_id
         |ORDER BY logweight DESC, doc.doc_id LIMIT 100""".stripMargin,
+    // the full-support JSD: every (pair, bucket) cell smoothed, both
+    // KL halves against the midpoint, ln = nats
+    "vocab_jsd_drift" ->
+      """WITH tb AS (
+        |  SELECT lang AS s, ('0x' || substr(md5(t), 1, 3))::INT AS b
+        |  FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(
+        |          trim(text), '\s+'), t -> t <> '')) AS t FROM documents)),
+        |cnt AS MATERIALIZED (SELECT s, b, count(*) AS c FROM tb GROUP BY s, b),
+        |tot AS (SELECT s, sum(c) AS t FROM cnt GROUP BY s),
+        |pr AS (
+        |  SELECT a.s AS slice_a, b.s AS slice_b, ta.t AS ta, tb2.t AS tb2
+        |  FROM (SELECT DISTINCT s FROM cnt) a, (SELECT DISTINCT s FROM cnt) b,
+        |       tot ta, tot tb2
+        |  WHERE a.s < b.s AND ta.s = a.s AND tb2.s = b.s),
+        |sup AS (
+        |  SELECT pr.*, r.b
+        |  FROM pr, (SELECT unnest(range(0, 4096))::INT AS b) r),
+        |j AS (
+        |  SELECT slice_a, slice_b,
+        |    (coalesce(ca.c, 0) + 1.0) / (ta + 1.0 * 4096) AS p,
+        |    (coalesce(cb.c, 0) + 1.0) / (tb2 + 1.0 * 4096) AS q
+        |  FROM sup
+        |  LEFT JOIN cnt ca ON ca.s = sup.slice_a AND ca.b = sup.b
+        |  LEFT JOIN cnt cb ON cb.s = sup.slice_b AND cb.b = sup.b)
+        |SELECT slice_a, slice_b,
+        |  round(sum(0.5 * p * ln(p / ((p + q) / 2)) +
+        |            0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd
+        |FROM j GROUP BY slice_a, slice_b ORDER BY slice_a, slice_b""".stripMargin,
     "classifier_quality_gate" -> logregOracleSql(iters = 12, lr = 2.0),
     "mix_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

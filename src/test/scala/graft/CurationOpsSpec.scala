@@ -422,6 +422,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(none == Set(0L))
   }
 
+  // ---- vocabulary JS divergence ----
+
+  test("vocabJsDivergence: 0 for identical slices, near ln 2 for disjoint, between for mixed") {
+    import graft.ops.TextAnalysis
+    val same = Seq(("A", "x y z x y"), ("B", "x y z x y")).toDF("s", "text")
+    val j0 = TextAnalysis.vocabJsDivergence(same, "s", "text")
+      .collect().head.getDouble(2)
+    assert(j0 == 0.0)
+    // disjoint vocabularies approach ln 2 (smoothing keeps it below)
+    val disj = Seq(("A", ("p1 " * 20000).trim), ("B", ("q1 " * 20000).trim))
+      .toDF("s", "text")
+    val jd = TextAnalysis.vocabJsDivergence(disj, "s", "text")
+      .collect().head.getDouble(2)
+    assert(jd > 0.4 && jd <= math.log(2.0) + 1e-9, s"disjoint jsd $jd")
+    // a shared-vocab frequency tilt lands strictly between
+    val tilt = Seq(("A", ("x " * 12000 + "y " * 4000).trim),
+      ("B", ("x " * 4000 + "y " * 12000).trim)).toDF("s", "text")
+    val jt = TextAnalysis.vocabJsDivergence(tilt, "s", "text")
+      .collect().head.getDouble(2)
+    assert(jt > 0.0 && jt < jd, s"tilt jsd $jt vs disjoint $jd")
+  }
+
   // ---- parent-document retrieval ----
 
   test("parentTopK: chunk hits roll up to parents by best score") {
