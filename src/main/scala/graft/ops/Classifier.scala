@@ -116,4 +116,35 @@ object Classifier {
         exp(-sum(coalesce(col("__w"), lit(0.0)) * col("__x")))), 6).as("prob"))
       .select(col("__id").as(idCol), col("prob"))
   }
+
+  /** Collect a trained weight frame into the literal map
+    * [[scoreMapSide]] embeds — bounded by construction (≤4097 rows).
+    */
+  def collectWeights(weights: DataFrame): Map[Int, Double] =
+    weights.select(col("b").cast("int"), col("w").cast("double"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** Shuffle-FREE scoring — the serving/streaming path. Because
+    * `x_b = cnt_b / n`, the logit telescopes to
+    * `bias + (Σ_tokens w_bucket(tok)) / n`: one fold over the row's own
+    * token array against an embedded weight map, no explode, no
+    * aggregation, no exchange. Safe in Structured Streaming append mode
+    * (stateless narrow map) and the shape a 1000-executor scoring pass
+    * wants — the model rides the plan, the corpus never shuffles.
+    * Agrees with [[score]] up to the last ulp of the pre-round logit
+    * (the fold visits tokens in document order; the grouped sum is
+    * partial-aggregation order).
+    */
+  def scoreMapSide(df: DataFrame, idCol: String, textCol: String,
+                   weights: Map[Int, Double]): DataFrame = {
+    val bias = weights.getOrElse(-1, 0.0)
+    val wmap = typedlit(weights.filter { case (b, _) => b >= 0 })
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    val s = aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(wmap(Importance.tokenBucket(t)), lit(0.0)))
+    val logit = when(size(toks) > 0, s / size(toks)).otherwise(lit(0.0)) +
+      lit(bias)
+    df.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("prob"))
+  }
 }

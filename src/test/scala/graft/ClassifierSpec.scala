@@ -50,6 +50,38 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got == Map(20L -> expected, 21L -> expected))
   }
 
+  test("scoreMapSide: shuffle-free scoring matches the grouped path, streams in append mode") {
+    val wdf = Classifier.fitLogReg(labeled, "doc_id", "text", "y")
+    val wmap = Classifier.collectWeights(wdf)
+    val grouped = Classifier.score(labeled, "doc_id", "text", wdf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mapSide = Classifier.scoreMapSide(labeled, "doc_id", "text", wmap)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    grouped.foreach { case (id, p) =>
+      assert(math.abs(mapSide(id) - p) <= 1.1e-6, s"doc $id: $p vs ${mapSide(id)}")
+    }
+    // no exchange anywhere in the scoring plan
+    val plan = Classifier.scoreMapSide(labeled, "doc_id", "text", wmap)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side scoring must not shuffle:\n$plan")
+    // the same expression runs unchanged as a stateless streaming map
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = Classifier.scoreMapSide(stream.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", wmap)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(labeled.select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == mapSide)
+    } finally q.stop()
+  }
+
   test("fitLogReg: model stays bucket-bounded and training is replayable") {
     val w1 = Classifier.fitLogReg(labeled, "doc_id", "text", "y")
     assert(w1.count() <= 4097)
