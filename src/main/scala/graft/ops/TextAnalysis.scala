@@ -278,6 +278,48 @@ object TextAnalysis {
           col("rule_bullet_ratio") && col("rule_stopwords"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every char `k`-gram, then
+    * in each sliding window of `w` consecutive hashes select the
+    * minimum (rightmost on ties). Guarantee: any substring match of
+    * length ≥ k + w − 1 between two documents shares at least one
+    * selected fingerprint, at expected density 2/(w+1) — the
+    * position-robust plagiarism/content-reuse detector the rolling
+    * [[bagOfWordsFingerprint]] (order-invariant, whole-doc) cannot
+    * provide. Returns `(idCol, pos, fp)` — distinct selections,
+    * 1-based gram position.
+    *
+    * The "rightmost minimum per window" selection is ONE window pass:
+    * `min(struct(hash, −pos))` over a `w`-row frame picks the min hash
+    * and, among ties, the largest position — no self-join in the
+    * engine (the oracle replays it as the equivalent window + w-bounded
+    * join). Hashes are [[graft.ops.Sketch.hash60]] (15 md5 hex chars,
+    * positive), so signed/unsigned window minima agree cross-engine.
+    * Scale: explode is O(chars); the window partitions by document —
+    * no global ordering, no shuffle beyond the per-doc key.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(w >= 1, s"w must be >= 1 (got $w)")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val frame = byDoc.rowsBetween(-(w - 1), 0)
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("__p"),
+        col(textCol))
+      .select(col(idCol), col("__p"),
+        graft.ops.Sketch.hash60(col(textCol).substr(col("__p"), lit(k))).as("__h"))
+      .withColumn("__rn", row_number().over(byDoc))
+      .withColumn("__sel",
+        min(struct(col("__h"), (-col("__p")).as("np"))).over(frame))
+      .filter(col("__rn") >= w)
+      .select(col(idCol), (-col("__sel.np")).cast("long").as("pos"),
+        col("__sel.__h").as("fp"))
+      .distinct()
+  }
+
   /** Pairwise Jensen-Shannon divergence (nats) between every two
     * slices' hashed-unigram distributions — the corpus DRIFT monitor:
     * where [[graft.ops.Sketch.bottomkJaccard]] measures what shingle

@@ -388,6 +388,47 @@ object TextQueries {
         .orderBy($"logweight".desc, $"doc_id")
     }),
 
+    // Generation-diversity metrics: distinct-n ratios per slice
+    // (distinct n-grams / total n-grams, n = 1..3) — the standard
+    // corpus-diversity panel for synthetic/generated data (low
+    // distinct-2 = mode collapse). One explode per n, two-stage aggs.
+    "corpus_distinct_ngrams" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val toks = graft.ops.TextAnalysis.tokens($"text")
+      val grams = (1 to 3).map { n =>
+        docs.select($"lang", lit(n).as("n"),
+          explode(graft.ops.TextAnalysis.wordGrams(toks, n)).as("g"))
+      }.reduce(_ unionByName _)
+      grams.groupBy($"lang", $"n")
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct($"g").as("distinct_grams"))
+        .withColumn("distinct_ratio",
+          round($"distinct_grams".cast("double") / $"total_grams", 6))
+        .orderBy($"lang", $"n")
+    }),
+
+    // Packing-efficiency report: per slice, the padding waste of
+    // naive ceil-to-context batching at ctx=512 — the number sequence
+    // packing (pack_sequence_windows / pack_bpe_windows) exists to
+    // reclaim. Pure integer arithmetic, one scan.
+    "padding_waste_report" -> ((s, d) => {
+      import s.implicits._
+      val ctx = 512L
+      documents(s, d)
+        .select($"lang",
+          graft.ops.TextAnalysis.tokenCount($"text").as("__l"))
+        .withColumn("__padded", expr(s"((__l + ${ctx - 1}) div $ctx) * $ctx"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"__l").as("total_tokens"),
+          sum($"__padded").as("padded_tokens"))
+        .withColumn("waste_ratio",
+          round(($"padded_tokens" - $"total_tokens").cast("double") /
+            $"padded_tokens", 6))
+        .orderBy($"lang")
+    }),
+
     // Corpus drift monitor: pairwise Jensen-Shannon divergence between
     // lang slices' hashed-unigram distributions (4096 md5 buckets,
     // additive smoothing over the full support). Complements
@@ -702,6 +743,17 @@ object TextQueries {
       documents(s, d)
         .select($"doc_id", TextAnalysis.bagOfWordsFingerprint($"text").as("fp"))
         .orderBy($"doc_id")
+    }),
+
+    // Winnowing fingerprints (MOSS): rightmost-min-per-window selection
+    // over char 5-gram hashes, w=4 — any shared substring ≥ 8 chars
+    // between docs shares a fingerprint. One window pass in the engine;
+    // the oracle replays the selection as window-min + w-bounded join.
+    "fingerprint_winnowing" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.winnowingFingerprints(
+          documents(s, d).filter($"doc_id" < 50), "doc_id", "text")
+        .orderBy($"doc_id", $"pos")
     }),
 
     // Corpus stats rollup by source.
@@ -2158,6 +2210,54 @@ object TextQueries {
         |  coalesce(w.logweight, 0.0) AS logweight
         |FROM documents doc LEFT JOIN w ON w.doc_id = doc.doc_id
         |ORDER BY logweight DESC, doc.doc_id LIMIT 100""".stripMargin,
+    // window-min per end position; the rightmost tie resolved by a
+    // w-bounded join back to positions carrying the minimum
+    "fingerprint_winnowing" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(substr(text, p::INT, 5)), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 3)) AS p
+        |        FROM documents WHERE doc_id < 50 AND len(text) >= 5)),
+        |wm AS (
+        |  SELECT doc_id, p AS e,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+        |  FROM h),
+        |sel AS (
+        |  SELECT w.doc_id, max(h2.p) AS pos, w.minh AS fp
+        |  FROM wm w JOIN h h2 ON h2.doc_id = w.doc_id
+        |    AND h2.p BETWEEN w.e - 3 AND w.e AND h2.h = w.minh
+        |  WHERE w.rn >= 4
+        |  GROUP BY w.doc_id, w.e, w.minh)
+        |SELECT DISTINCT doc_id, pos::BIGINT AS pos, fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "corpus_distinct_ngrams" ->
+      """WITH w AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, 1 AS n, unnest(w) AS g FROM w
+        |  UNION ALL
+        |  SELECT lang, 2, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) FROM w
+        |  UNION ALL
+        |  SELECT lang, 3, unnest(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM w)
+        |SELECT lang, n::INT AS n, count(*)::BIGINT AS total_grams,
+        |  count(DISTINCT g)::BIGINT AS distinct_grams,
+        |  round(count(DISTINCT g)::DOUBLE / count(*), 6) AS distinct_ratio
+        |FROM g GROUP BY lang, n ORDER BY lang, n""".stripMargin,
+    "padding_waste_report" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS l
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(l)::BIGINT AS total_tokens,
+        |  sum(((l + 511) // 512) * 512)::BIGINT AS padded_tokens,
+        |  round((sum(((l + 511) // 512) * 512) - sum(l))::DOUBLE /
+        |        (sum(((l + 511) // 512) * 512))::DOUBLE, 6) AS waste_ratio
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // the full-support JSD: every (pair, bucket) cell smoothed, both
     // KL halves against the midpoint, ln = nats
     "vocab_jsd_drift" ->

@@ -422,6 +422,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(none == Set(0L))
   }
 
+  // ---- winnowing fingerprints ----
+
+  test("winnowingFingerprints: shared substrings >= k+w-1 share a fingerprint; density bounded") {
+    import graft.ops.TextAnalysis
+    // docs 1 and 2 share an 8-char substring (k=5, w=4 → guarantee
+    // threshold k+w−1 = 8); doc 3 is disjoint text
+    val docs = Seq(
+      (1L, "xxxxSHAREDOKyyyyzzzz"),
+      (2L, "ppppppSHAREDOKqqqq"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "the >= k+w-1 shared substring must share a selected fingerprint")
+    // selections stay within the position range and are sparse
+    val doc1 = fp.filter(_._1 == 1L)
+    assert(doc1.forall(t => t._2 >= 1 && t._2 <= 20 - 4))
+    assert(doc1.length < 20 - 4, "winnowing must select a strict subset")
+    // identical documents select identical fingerprint sets
+    val twin = Seq((10L, "abcdefghijklmnop"), (11L, "abcdefghijklmnop"))
+      .toDF("doc_id", "text")
+    val tw = TextAnalysis.winnowingFingerprints(twin, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val g = tw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(g(10L) == g(11L))
+    // below-k documents produce nothing
+    assert(TextAnalysis.winnowingFingerprints(
+      Seq((20L, "abc")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   // ---- vocabulary JS divergence ----
 
   test("vocabJsDivergence: 0 for identical slices, near ln 2 for disjoint, between for mixed") {
