@@ -320,6 +320,34 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Content-reuse pairs from winnowing fingerprints: an inverted-index
+    * equi-join on the fingerprint hash, counting DISTINCT shared
+    * fingerprints per document pair. `maxDf` drops fingerprints present
+    * in more than that many documents BEFORE the join — MOSS's own
+    * "ignore ubiquitous matches" step, and the lever that kills the
+    * hot-posting quadratic blowup at corpus scale (a boilerplate gram
+    * shared by 10⁵ docs would otherwise emit 10¹⁰ pairs); the df
+    * computation is one bounded agg over the fingerprint relation.
+    * Returns `(id_a, id_b, n_shared)` with `n_shared >= minShared`,
+    * id_a < id_b.
+    */
+  def winnowingOverlapPairs(fingerprints: DataFrame, idCol: String,
+                            maxDf: Int = 20, minShared: Int = 2): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val fp = fingerprints.select(col(idCol).as("__id"), col("fp")).distinct()
+      .localCheckpoint()
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("fp"))
+    val kept = fp.join(rare, Seq("fp"))
+    kept.select(col("__id").as("id_a"), col("fp"))
+      .join(kept.select(col("__id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Pairwise Jensen-Shannon divergence (nats) between every two
     * slices' hashed-unigram distributions — the corpus DRIFT monitor:
     * where [[graft.ops.Sketch.bottomkJaccard]] measures what shingle

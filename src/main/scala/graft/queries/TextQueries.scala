@@ -756,6 +756,18 @@ object TextQueries {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // The reuse detector on top of winnowing: pairs sharing >= 3
+    // rare fingerprints (df <= 20 — MOSS's ubiquitous-match drop, and
+    // the hot-posting guard at scale).
+    "winnowing_overlap_pairs" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.winnowingOverlapPairs(
+          TextAnalysis.winnowingFingerprints(
+            documents(s, d).filter($"doc_id" < 250), "doc_id", "text"),
+          "doc_id", maxDf = 20, minShared = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Corpus stats rollup by source.
     "doc_stats_by_source" -> ((s, d) => {
       import s.implicits._
@@ -2210,6 +2222,28 @@ object TextQueries {
         |  coalesce(w.logweight, 0.0) AS logweight
         |FROM documents doc LEFT JOIN w ON w.doc_id = doc.doc_id
         |ORDER BY logweight DESC, doc.doc_id LIMIT 100""".stripMargin,
+    // the fingerprint relation re-derived, df-capped, self-joined
+    "winnowing_overlap_pairs" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(substr(text, p::INT, 5)), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 3)) AS p
+        |        FROM documents WHERE doc_id < 250 AND len(text) >= 5)),
+        |wm AS (
+        |  SELECT doc_id, p AS e,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+        |  FROM h),
+        |fp AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, minh AS fp FROM wm WHERE rn >= 4),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+        |         WHERE df <= 20),
+        |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // window-min per end position; the rightmost tie resolved by a
     // w-bounded join back to positions carrying the minimum
     "fingerprint_winnowing" ->

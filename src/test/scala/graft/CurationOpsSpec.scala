@@ -453,6 +453,23 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq((20L, "abc")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
   }
 
+  test("winnowingOverlapPairs: reuse pairs surface, ubiquitous fingerprints drop") {
+    import graft.ops.TextAnalysis
+    // docs 1/2 share a long run; doc 3 disjoint; a gram present in ALL
+    // docs ("COMMONBIT") must not connect 3 to anything at maxDf=2
+    val docs = Seq(
+      (1L, "COMMONBIT abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "COMMONBIT abcdefghijklmnopqrstuvwxyz9876543210"),
+      (3L, "COMMONBIT zzz yyy xxx www vvv uuu ttt sss rrr")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text")
+    val pairs = TextAnalysis.winnowingOverlapPairs(fp, "doc_id",
+        maxDf = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(t => (t._1, t._2)).toSet == Set((1L, 2L)),
+      s"only the long shared run should pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 2)
+  }
+
   // ---- vocabulary JS divergence ----
 
   test("vocabJsDivergence: 0 for identical slices, near ln 2 for disjoint, between for mixed") {
