@@ -266,15 +266,18 @@ object Sketch {
       .select(col(sliceCol), col("hv"))
   }
 
-  /** Pairwise Jaccard estimates between every two slices from their
-    * bottom-k signatures alone — `(slice_a, slice_b, n_common, denom,
-    * est_jaccard)` for slice_a < slice_b. For each pair the union's
-    * bottom-k is re-ranked from the two signatures (a subset of their
-    * union, so no raw data is touched); the estimate is the fraction
-    * of those union-minima present in BOTH signatures. When the union
-    * carries fewer than k hashes the denominator drops to the union
-    * size and the estimate becomes the exact Jaccard. All work is over
-    * ≤ |slices|²·k sketch rows — corpus-size-independent.
+  /** Pairwise Jaccard AND containment estimates between every two
+    * slices from their bottom-k signatures alone — `(slice_a, slice_b,
+    * n_common, denom, est_jaccard, est_containment_a,
+    * est_containment_b)` for slice_a < slice_b. For each pair the
+    * union's bottom-k is re-ranked from the two signatures (a subset
+    * of their union, so no raw data is touched); est_jaccard is the
+    * fraction of those union-minima present in BOTH signatures, and
+    * est_containment_a = |A∩B|/|A| ≈ common / (union-minima from A)
+    * — the asymmetric "how much of crawl A is inside crawl B"
+    * question Jaccard can't answer when sizes differ. When the union
+    * carries fewer than k hashes every denominator is exact. All work
+    * is over ≤ |slices|²·k sketch rows — corpus-size-independent.
     */
   def bottomkJaccard(signatures: DataFrame, sliceCol: String,
                      k: Int): DataFrame = {
@@ -293,13 +296,22 @@ object Sketch {
       .join(sig,
         col(sliceCol) === col("slice_a") || col(sliceCol) === col("slice_b"))
       .groupBy(col("slice_a"), col("slice_b"), col("hv"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"),
+        max(col(sliceCol) === col("slice_a")).as("__in_a"),
+        max(col(sliceCol) === col("slice_b")).as("__in_b"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(col("slice_a"), col("slice_b"))
       .agg(sum(when(col("__cnt") === 2, 1L).otherwise(0L)).as("n_common"),
-        count(lit(1)).as("denom"))
+        count(lit(1)).as("denom"),
+        sum(when(col("__in_a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__in_b"), 1L).otherwise(0L)).as("__nb"))
       .withColumn("est_jaccard",
         round(col("n_common").cast("double") / col("denom"), 6))
+      .withColumn("est_containment_a",
+        round(col("n_common").cast("double") / col("__na"), 6))
+      .withColumn("est_containment_b",
+        round(col("n_common").cast("double") / col("__nb"), 6))
+      .drop("__na", "__nb")
   }
 }

@@ -665,7 +665,9 @@ object DedupQueries {
         |       (SELECT DISTINCT lang FROM sig) b
         |  WHERE a.lang < b.lang),
         |u AS (
-        |  SELECT slice_a, slice_b, hv, count(*) AS cnt
+        |  SELECT slice_a, slice_b, hv, count(*) AS cnt,
+        |    max(CASE WHEN s.lang = slice_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.lang = slice_b THEN 1 ELSE 0 END) AS in_b
         |  FROM pr JOIN sig s ON s.lang = slice_a OR s.lang = slice_b
         |  GROUP BY slice_a, slice_b, hv),
         |r AS (
@@ -675,7 +677,11 @@ object DedupQueries {
         |  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_common,
         |  count(*)::BIGINT AS denom,
         |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-        |    AS est_jaccard
+        |    AS est_jaccard,
+        |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / sum(in_a), 6)
+        |    AS est_containment_a,
+        |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / sum(in_b), 6)
+        |    AS est_containment_b
         |FROM r WHERE rn <= 256 GROUP BY slice_a, slice_b
         |ORDER BY slice_a, slice_b""".stripMargin,
     // both legs replayed on the sample: exact pairs brute-force, LSH
