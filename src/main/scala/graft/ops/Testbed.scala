@@ -367,6 +367,65 @@ object Testbed {
         .otherwise(lit(2.0) * p * r / (p + r)))
   }
 
+  /** ROUGE-L (Lin 2004) per candidate/reference pair via BIT-PARALLEL
+    * LCS (Allison & Dix 1986): the reference's first `maxRef` (≤ 60)
+    * tokens become one 64-bit match mask per distinct token
+    * (`bit_or(1L << pos)`), and the whole LCS DP row collapses to a
+    * single BIGINT folded over the candidate tokens in order —
+    * `x = M[c] | r; r = x & ~(x − ((r << 1) | 1))`; LCS = popcount(r).
+    * No UDF, no O(n·m) cell relation: the fold is one `aggregate()`
+    * expression per row, and the oracle replays it verbatim with
+    * `list_reduce` (two's-complement subtraction is mod-2⁶⁴ in both
+    * engines, and the trailing `& x` confines every bit below 2⁶⁰, so
+    * the negative intermediates are portable). `maxRef` ≤ 60 keeps
+    * `r << 1` inside the signed-long range under ANSI arithmetic.
+    *
+    * Returns `(idCol, n_cand_tokens, n_ref_tokens, lcs, precision,
+    * recall, f1)` — recall against the (truncated) reference,
+    * precision against the full candidate, F1 as in [[rougeN]]; null/
+    * empty sides report zeros on the one-row-per-pair contract.
+    */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+             maxRef: Int = 60): DataFrame = {
+    require(maxRef >= 1 && maxRef <= 60,
+      s"maxRef must be in [1, 60] to fit the bit-parallel row (got $maxRef)")
+    def toks(c: Column): Column =
+      filter(TextAnalysis.tokens(coalesce(c, lit(""))), t => length(t) > 0)
+    val base = pairs.select(col(idCol), toks(col(candCol)).as("__cw"),
+        slice(toks(col(refCol)), 1, maxRef).as("__rw"))
+      .localCheckpoint()
+    val refMasks = base
+      .select(col(idCol), posexplode(col("__rw")).as(Seq("__pos", "__tok")))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(expr("bit_or(shiftleft(1L, __pos))").as("__m"))
+    val folded = base
+      .select(col(idCol), posexplode(col("__cw")).as(Seq("__ord", "__tok")))
+      .join(refMasks.hint("SHUFFLE_HASH"), Seq(idCol, "__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(org.apache.spark.sql.functions.transform(
+        sort_array(collect_list(struct(col("__ord"),
+          coalesce(col("__m"), lit(0L)).as("__mm")))),
+        s => s.getField("__mm")).as("__masks"))
+      .select(col(idCol), bit_count(aggregate(col("__masks"), lit(0L),
+        (r, m) => {
+          val x = m.bitwiseOR(r)
+          x.bitwiseAND(bitwise_not(x - (shiftleft(r, 1).bitwiseOR(lit(1L)))))
+        })).cast("long").as("lcs"))
+    val p = when(col("n_cand_tokens") === 0, lit(0.0))
+      .otherwise(col("lcs").cast("double") / col("n_cand_tokens"))
+    val r = when(col("n_ref_tokens") === 0, lit(0.0))
+      .otherwise(col("lcs").cast("double") / col("n_ref_tokens"))
+    base.select(col(idCol), size(col("__cw")).cast("long").as("n_cand_tokens"),
+        size(col("__rw")).cast("long").as("n_ref_tokens"))
+      .join(folded.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .select(col(idCol), col("n_cand_tokens"), col("n_ref_tokens"),
+        coalesce(col("lcs"), lit(0L)).as("lcs"))
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1", when(p + r === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * p * r / (p + r)))
+  }
+
   /** chrF-style character n-gram F-score (Popović 2015) per candidate/
     * reference pair: whitespace is stripped entirely (the chrF
     * convention — char grams measure subword overlap, not spacing),

@@ -204,6 +204,27 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // ROUGE-L over the same pairing: LCS computed BIT-PARALLEL
+    // (Allison-Dix — the whole DP row is one BIGINT folded over the
+    // candidate tokens; no UDF, no O(n·m) cell relation), reference
+    // truncated to 60 tokens so the row fits the word. The oracle
+    // replays the identical fold with list_reduce.
+    "eval_rouge_l" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter($"doc_id" < 20).select($"doc_id", $"text")
+      val ref = docs.select($"doc_id", $"text".as("ref_text"))
+      val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
+        array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
+          t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      graft.ops.Testbed.rougeL(ref.join(cand, "doc_id"),
+          "doc_id", "cand_text", "ref_text")
+        .select($"doc_id", $"n_cand_tokens", $"n_ref_tokens", $"lcs",
+          round($"precision", 6).as("precision"),
+          round($"recall", 6).as("recall"),
+          round($"f1", 6).as("f1"))
+        .orderBy($"doc_id")
+    }),
+
     // chrF2 over the same candidate/reference pairing: whitespace
     // stripped, char-gram orders 1..6, per-order F2 macro-averaged.
     // The oracle regenerates every order's grams and replays the
@@ -1876,6 +1897,45 @@ object TextQueries {
     "bpe_encode_docs" -> bpeEncodeOracle,
     "pack_bpe_windows" -> bpePackOracle,
     "eval_rouge2" -> rouge2Oracle,
+    // the bit-parallel LCS replayed: per-token reference masks, the
+    // Allison-Dix fold as list_reduce, popcount = LCS
+    "eval_rouge_l" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text),
+        |        '\s+'), t -> t <> '') AS w FROM documents WHERE doc_id < 20),
+        |pr AS MATERIALIZED (
+        |  SELECT r.doc_id, r.w[1:least(len(r.w), 60)] AS rw, c.cw
+        |  FROM d r JOIN (
+        |    SELECT (doc_id + 19) % 20 AS doc_id,
+        |      w[1:least(len(w), 25)] AS cw FROM d) c USING (doc_id)),
+        |rm AS (
+        |  SELECT doc_id, tok, bit_or(1::BIGINT << (p - 1)) AS m
+        |  FROM (SELECT doc_id, unnest(rw) AS tok,
+        |          generate_subscripts(rw, 1) AS p FROM pr)
+        |  GROUP BY doc_id, tok),
+        |ct AS (SELECT doc_id, unnest(cw) AS tok,
+        |         generate_subscripts(cw, 1) AS p FROM pr),
+        |cm AS (
+        |  SELECT ct.doc_id, list(coalesce(rm.m, 0::BIGINT) ORDER BY ct.p) AS masks
+        |  FROM ct LEFT JOIN rm ON rm.doc_id = ct.doc_id AND rm.tok = ct.tok
+        |  GROUP BY ct.doc_id),
+        |f AS (
+        |  SELECT doc_id, bit_count(list_reduce(list_prepend(0::BIGINT, masks),
+        |    (r, m) -> (m | r) & ~((m | r) - ((r << 1) | 1))))::BIGINT AS lcs
+        |  FROM cm),
+        |m AS (
+        |  SELECT pr.doc_id, len(pr.cw)::BIGINT AS n_cand_tokens,
+        |    len(pr.rw)::BIGINT AS n_ref_tokens, coalesce(f.lcs, 0) AS lcs
+        |  FROM pr LEFT JOIN f USING (doc_id)),
+        |pm AS (SELECT *,
+        |    CASE WHEN n_cand_tokens = 0 THEN 0.0
+        |         ELSE lcs::DOUBLE / n_cand_tokens END AS p,
+        |    CASE WHEN n_ref_tokens = 0 THEN 0.0
+        |         ELSE lcs::DOUBLE / n_ref_tokens END AS r FROM m)
+        |SELECT doc_id, n_cand_tokens, n_ref_tokens, lcs::BIGINT AS lcs,
+        |  round(p, 6) AS precision, round(r, 6) AS recall,
+        |  round(CASE WHEN p + r = 0 THEN 0.0
+        |        ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+        |FROM pm ORDER BY doc_id""".stripMargin,
     "validate_expectations" ->
       """WITH t AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents
