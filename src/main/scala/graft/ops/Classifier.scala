@@ -124,6 +124,31 @@ object Classifier {
     weights.select(col("b").cast("int"), col("w").cast("double"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
 
+  /** Reliability table for a scored, labeled frame — the calibration
+    * check every deployed quality gate needs before its probabilities
+    * are used as thresholds: `prob` binned into `bins` equal-width
+    * bins, per bin the count, mean predicted probability, observed
+    * positive fraction, their absolute gap, and the global expected
+    * calibration error (ECE = Σ nᵢ·gapᵢ / N, identical on every row).
+    * Bounded output (≤ bins rows); one aggregation over the scored
+    * frame.
+    */
+  def calibrationTable(scored: DataFrame, probCol: String, labelCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2 (got $bins)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    scored
+      .withColumn("__bin",
+        least(floor(col(probCol) * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(probCol)), 6).as("avg_prob"),
+        round(avg(col(labelCol).cast("double")), 6).as("frac_pos"))
+      .withColumn("gap", round(abs(col("avg_prob") - col("frac_pos")), 6))
+      .withColumn("ece",
+        round(sum(col("n") * col("gap")).over(w) / sum(col("n")).over(w), 6))
+  }
+
   /** Shuffle-FREE scoring — the serving/streaming path. Because
     * `x_b = cnt_b / n`, the logit telescopes to
     * `bias + (Σ_tokens w_bucket(tok)) / n`: one fold over the row's own

@@ -480,6 +480,25 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Calibration check for the trained gate: probs binned into a
+    // 10-bin reliability table (count, mean prob, observed positive
+    // fraction, gap) with the global ECE — whether the classifier's
+    // probabilities mean what they say before anyone thresholds on
+    // them. Fewer GD steps than the gate query: calibration is about
+    // the prob distribution, not the ranking tail.
+    "classifier_calibration" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val labeled = docs.withColumn("y",
+        when($"lang" === "en", 1.0).otherwise(0.0))
+      val w = graft.ops.Classifier.fitLogReg(labeled, "doc_id", "text", "y",
+        iters = 4, lr = 2.0)
+      val scored = graft.ops.Classifier.score(docs, "doc_id", "text", w)
+        .join(labeled.select($"doc_id", $"y"), Seq("doc_id"))
+      graft.ops.Classifier.calibrationTable(scored, "prob", "y", bins = 10)
+        .orderBy($"bin")
+    }),
+
     // The allocated quotas applied as the md5-rank stratified take: the
     // end-to-end "mix the corpus to temperature-τ proportions" step.
     "mix_temperature_sample" -> ((s, d) => {
@@ -1351,7 +1370,7 @@ object TextQueries {
     * the engine rounds the weight vector to 6 decimals after every
     * step, so last-ulp float-sum divergence never compounds.
     */
-  private def logregOracleSql(iters: Int, lr: Double): String = {
+  private def logregOracleCore(iters: Int, lr: Double): String = {
     val steps = (1 to iters).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT f.doc_id, max(f.y) AS y,
@@ -1383,12 +1402,34 @@ object TextQueries {
        |$steps,
        |sc AS (
        |  SELECT f.doc_id, sum(coalesce(w.w, 0.0) * f.x) AS s
-       |  FROM feat f LEFT JOIN w$iters w USING (b) GROUP BY f.doc_id)
+       |  FROM feat f LEFT JOIN w$iters w USING (b) GROUP BY f.doc_id)""".stripMargin
+  }
+
+  /** The gate query's final select over [[logregOracleCore]]. */
+  private def logregOracleSql(iters: Int, lr: Double): String =
+    s"""${logregOracleCore(iters, lr)}
        |SELECT d.doc_id, d.lang,
        |  round(1.0 / (1.0 + exp(-(sc.s))), 6) AS prob
        |FROM sc JOIN documents d USING (doc_id)
        |ORDER BY prob DESC, d.doc_id LIMIT 100""".stripMargin
-  }
+
+  /** Calibration oracle: the same trained scores binned into a
+    * reliability table with the global ECE on every row.
+    */
+  private def logregCalibrationSql(iters: Int, lr: Double): String =
+    s"""${logregOracleCore(iters, lr)},
+       |p0 AS (
+       |  SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    round(1.0 / (1.0 + exp(-(sc.s))), 6) AS prob
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |b0 AS (
+       |  SELECT least(floor(prob * 10), 9)::INT AS bin, count(*) AS n,
+       |    round(avg(prob), 6) AS avg_prob, round(avg(y), 6) AS frac_pos
+       |  FROM p0 GROUP BY 1),
+       |g AS (SELECT *, round(abs(avg_prob - frac_pos), 6) AS gap FROM b0)
+       |SELECT bin, n::BIGINT AS n, avg_prob, frac_pos, gap,
+       |  round(sum(n * gap) OVER () / sum(n) OVER (), 6) AS ece
+       |FROM g ORDER BY bin""".stripMargin
 
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
   private def hits(lst: String): String =
@@ -2381,6 +2422,7 @@ object TextQueries {
         |            0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd
         |FROM j GROUP BY slice_a, slice_b ORDER BY slice_a, slice_b""".stripMargin,
     "classifier_quality_gate" -> logregOracleSql(iters = 12, lr = 2.0),
+    "classifier_calibration" -> logregCalibrationSql(iters = 4, lr = 2.0),
     "mix_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),

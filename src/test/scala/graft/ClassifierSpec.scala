@@ -82,6 +82,28 @@ class ClassifierSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("calibrationTable: bins, gaps, and ECE; prob 1.0 clamps to the top bin") {
+    val scored = Seq(
+      (0.05, 0.0), (0.08, 0.0), (0.12, 0.0),  // low bins, all negative
+      (0.95, 1.0), (0.97, 1.0), (1.0, 1.0),   // top bin (1.0 clamps to 9)
+      (0.45, 1.0), (0.47, 0.0)                // mid bin, half positive
+    ).toDF("prob", "y")
+    val got = Classifier.calibrationTable(scored, "prob", "y")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == Set(0, 1, 4, 9))
+    assert(got(9)._1 == 3L, "prob = 1.0 must land in bin 9, not a phantom bin 10")
+    assert(got(4)._3 == 0.5)
+    // perfect extremes have tiny gaps; the mid bin carries |0.46 - 0.5|
+    assert(got(4)._4 == 0.04)
+    // ECE = sum(n*gap)/N, constant across rows
+    val ece = got.values.map(_._5).toSet
+    assert(ece.size == 1)
+    val want = got.values.map(t => t._1 * t._4).sum / 8.0
+    assert(math.abs(ece.head - want) < 1e-6)
+  }
+
   test("fitLogReg: model stays bucket-bounded and training is replayable") {
     val w1 = Classifier.fitLogReg(labeled, "doc_id", "text", "y")
     assert(w1.count() <= 4097)
