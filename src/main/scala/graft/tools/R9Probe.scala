@@ -76,6 +76,27 @@ object R9Probe {
     report("budget_fill_mix",
       time(bfm(docs1).count()), time(bfm(docsN).count()))
 
+    def jsd(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.vocabJsDivergence(d, "lang", "text")
+    report("vocab_jsd_drift",
+      time(jsd(docs1).count()), time(jsd(docsN).count()))
+
+    def winn(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.winnowingOverlapPairs(
+        graft.ops.TextAnalysis.winnowingFingerprints(d, "doc_id", "text"),
+        "doc_id", maxDf = 20, minShared = 3)
+    report("winnowing_pairs",
+      time(winn(docs1).count()), time(winn(docsN).count()))
+
+    def rl(d: org.apache.spark.sql.DataFrame) = {
+      val pairs = d.select($"doc_id", $"text".as("ref_text"))
+        .join(d.select(($"doc_id" + 1L).as("doc_id"),
+          $"text".as("cand_text")), "doc_id")
+      graft.ops.Testbed.rougeL(pairs, "doc_id", "cand_text", "ref_text")
+    }
+    report("rouge_l",
+      time(rl(docs1).count()), time(rl(docsN).count()))
+
     spark.stop()
   }
 }
