@@ -95,4 +95,74 @@ object Contrastive {
       .select(col(anchorIdCol), col("pos_id"), col("pos_score"),
         col("neg_rank"), col("neg_id"), col("neg_score"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): for every `a`-side vector,
+    * the best `b`-side candidate by MARGIN score — cosine divided by
+    * the mean of both sides' average top-`k` cosines — kept when the
+    * margin clears `minMargin`. The margin normalizes away hubness:
+    * a vector whose neighborhood is uniformly close scores no pair,
+    * while a genuinely isolated translation pair stands out.
+    *
+    * Engine-portability here is STRONGER than the usual round-before-
+    * rank convention: margins are ratios of neighborhood AVERAGES, and
+    * a last-ulp cosine difference inside an average survives rounding.
+    * So every float reduction is a SEQUENTIAL FOLD with a defined
+    * order — cosine as a left-to-right `aggregate` over the zipped
+    * arrays, the top-k average as a fold over the rank-sorted score
+    * list — making cosines, averages, margins, and the argmax
+    * BIT-identical in any engine with IEEE doubles (DuckDB replays the
+    * folds with `list_reduce`); outputs round only for display.
+    *
+    * Scale: this exact form materializes the |A|×|B| scored cross join
+    * (checkpointed once, reused by both direction rankings) — the
+    * oracle-able base. At corpus scale swap the candidate generator
+    * for [[Similarity.ivfJoinTopK]] in both directions (identical
+    * rounded-score ranking), which prunes the cross join to cell-local
+    * work; everything downstream of the top-k relations is k-bounded
+    * per id.
+    */
+  def mineBitext(a: DataFrame, b: DataFrame, idACol: String, idBCol: String,
+                 embCol: String, k: Int = 4,
+                 minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+    // left-to-right fold: the element order IS the summation order
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // rank-ordered sequential average of a top-k group
+    def foldAvg(rankCol: String): Column = {
+      val sorted = org.apache.spark.sql.functions.transform(
+        sort_array(collect_list(struct(col(rankCol), col("cos").as("__c")))),
+        s => s.getField("__c"))
+      aggregate(sorted, lit(0.0), (acc, v) => acc + v) / size(sorted)
+    }
+    val pa = a.select(col(idACol).as("id_a"), col(embCol).as("__ea"))
+      .filter(col("__ea").isNotNull)
+      .withColumn("__na", sqrt(dot(col("__ea"), col("__ea"))))
+    val pb = b.select(col(idBCol).as("id_b"), col(embCol).as("__eb"))
+      .filter(col("__eb").isNotNull)
+      .withColumn("__nb", sqrt(dot(col("__eb"), col("__eb"))))
+    val scored = pa.crossJoin(pb)
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb"))).as("cos"))
+      .localCheckpoint()
+    val topA = scored.withColumn("__ra", row_number().over(
+        w.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("__ra") <= k)
+    val topB = scored.withColumn("__rb", row_number().over(
+        w.partitionBy(col("id_b")).orderBy(col("cos").desc, col("id_a"))))
+      .filter(col("__rb") <= k)
+    val avgA = topA.groupBy(col("id_a")).agg(foldAvg("__ra").as("__avga"))
+    val avgB = topB.groupBy(col("id_b")).agg(foldAvg("__rb").as("__avgb"))
+    topA.join(avgA, Seq("id_a")).join(avgB, Seq("id_b"))
+      .withColumn("margin",
+        col("cos") / ((col("__avga") + col("__avgb")) / 2))
+      .withColumn("__rbest", row_number().over(
+        w.partitionBy(col("id_a")).orderBy(col("margin").desc, col("id_b"))))
+      .filter(col("__rbest") === 1 && col("margin") >= minMargin)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+  }
 }

@@ -429,6 +429,22 @@ object VectorSearch {
         .orderBy($"vec_id", $"j")
     }),
 
+    // Margin-based bitext mining (LASER/CCMatrix): best cross-side
+    // pair per a-vector by cosine normalized against both sides'
+    // average top-k neighborhoods — hubs score no pair, isolated
+    // translation pairs stand out. Label halves stand in for the two
+    // languages; every score rounds before ranking so the oracle
+    // replays candidates, averages, and the argmax exactly.
+    "bitext_mining_pairs" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).filter($"embedding".isNotNull)
+      graft.ops.Contrastive.mineBitext(
+          e.filter($"label" < 4).select($"vec_id", $"embedding"),
+          e.filter($"label" >= 4).select($"vec_id", $"embedding"),
+          "vec_id", "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy($"id_a")
+    }),
+
     // Embedding mean-pooling: many vectors → one unit-norm prototype
     // per group (chunk→doc embeddings, label centroids) through the
     // single VectorMean aggregate — O(1) aggregate expressions at any
@@ -678,6 +694,50 @@ object VectorSearch {
     // the projection replayed: md5-sign planes (srp:0:<j>:<i>:42, the
     // rademacherPlanes spelling), per-(vec, j) sign-weighted sum over
     // the 64 components, scaled 1/sqrt(8)
+    // every reduction is the engine's sequential fold replayed with
+    // list_reduce — cosines, neighborhood averages, and margins are
+    // BIT-identical, so no rounding is needed before any ranking
+    "bitext_mining_pairs" ->
+      """WITH ea AS (
+        |  SELECT vec_id AS id_a, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> v[i] * v[i])), (x, y) -> x + y)) AS na
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL AND label < 4)),
+        |eb AS (
+        |  SELECT vec_id AS id_b, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> v[i] * v[i])), (x, y) -> x + y)) AS nb
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL AND label >= 4)),
+        |sc AS MATERIALIZED (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> ea.v[i] * eb.v[i])), (x, y) -> x + y) / (ea.na * eb.nb)
+        |      AS cos
+        |  FROM ea, eb),
+        |ta AS MATERIALIZED (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY cos DESC, id_b) AS ra FROM sc)
+        |  WHERE ra <= 4),
+        |tb AS MATERIALIZED (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY id_b ORDER BY cos DESC, id_a) AS rb FROM sc)
+        |  WHERE rb <= 4),
+        |aa AS (SELECT id_a, list_reduce(list_prepend(0.0,
+        |         list(cos ORDER BY ra)), (x, y) -> x + y) / count(*) AS avga
+        |       FROM ta GROUP BY id_a),
+        |ab AS (SELECT id_b, list_reduce(list_prepend(0.0,
+        |         list(cos ORDER BY rb)), (x, y) -> x + y) / count(*) AS avgb
+        |       FROM tb GROUP BY id_b),
+        |cand AS (
+        |  SELECT ta.id_a, ta.id_b, ta.cos,
+        |    ta.cos / ((aa.avga + ab.avgb) / 2) AS margin
+        |  FROM ta JOIN aa USING (id_a) JOIN ab USING (id_b)),
+        |best AS (SELECT *, row_number() OVER (
+        |  PARTITION BY id_a ORDER BY margin DESC, id_b) AS rbest FROM cand)
+        |SELECT id_a, id_b, round(cos, 6) AS cos, round(margin, 6) AS margin
+        |FROM best WHERE rbest = 1 AND margin >= 1.0 ORDER BY id_a""".stripMargin,
     // mean per (label, element) = sum/count (VectorMean's exact
     // semantics), then unit-norm from the pooled vector; the all-zero
     // guard mirrors Pool.meanPool

@@ -1,4 +1,5 @@
 package graft
+// (bitext mining spec appended at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -54,5 +55,30 @@ class ContrastiveSpec extends AnyFunSuite {
     val one = Contrastive.hardNegatives(anchors, corpus,
       "qid", "qemb", "qlabel", "vec_id", "embedding", "label", k = 1)
     assert(one.count() == 1 && one.head().getLong(2) == 20L)
+  }
+
+  test("mineBitext: exact translation pairs mine, hubs are margin-filtered") {
+    // a1 has an exact counterpart b1; h is a hub equally close to all
+    // of B — its margin hovers near its neighborhood average, so a
+    // high threshold keeps only the genuine pair
+    val h = 0.5f
+    val sideA = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(h, h, h, h))).toDF("vec_id", "embedding")
+    val sideB = Seq(
+      (11L, Array(1f, 0f, 0f, 0f)),
+      (12L, Array(0f, 1f, 0f, 0f)),
+      (13L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val mined = Contrastive.mineBitext(sideA, sideB, "vec_id", "vec_id",
+        "embedding", k = 2, minMargin = 1.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(mined.map(t => (t._1, t._2)).toSeq == Seq((1L, 11L)),
+      s"only the exact pair clears the margin, got ${mined.toSeq}")
+    assert(mined.head._3 > 1.5)
+    // at a permissive threshold the hub also surfaces (sanity that the
+    // filter, not candidate generation, removed it above)
+    val loose = Contrastive.mineBitext(sideA, sideB, "vec_id", "vec_id",
+      "embedding", k = 2, minMargin = 1.0)
+    assert(loose.count() == 2)
   }
 }
