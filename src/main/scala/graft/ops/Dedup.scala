@@ -398,6 +398,34 @@ object Dedup {
     df.join(losers.hint("SHUFFLE_HASH"), Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivor selection: within each near-dup cluster
+    * keep the row with the HIGHEST `scoreCol` (ties to the smallest
+    * id) instead of [[nearDupSurvivors]]'s smallest-id convention —
+    * what production dedup actually wants ("of these near-identical
+    * crawls, keep the cleanest"). Rank on the 6-decimal-ROUNDED score
+    * (the portable-ranking convention) so the per-cluster argmax
+    * replays in any engine. Non-clustered rows survive untouched.
+    *
+    * Scale shape: the cluster relation is |clustered-ids| rows of bare
+    * (id, component); the winner-per-component window runs over
+    * (component)-keyed score rows — never the document payloads —
+    * and the loser set anti-joins back SHUFFLE_HASH like
+    * [[nearDupSurvivors]] (unbroadcastable at real dup rates).
+    */
+  def nearDupSurvivorsByQuality(df: DataFrame, idCol: String,
+                                scoreCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(round(col("__s"), 6).desc, col("id"))
+    val losers = comp
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers.hint("SHUFFLE_HASH"), Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit token-weight fingerprints, banded
     * candidate generation, exact Hamming verify. Pigeonhole completeness:
     * two fingerprints within Hamming distance `maxHamming` differ in at

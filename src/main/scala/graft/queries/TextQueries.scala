@@ -450,6 +450,21 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Quality-aware dedup: within each near-dup cluster keep the
+    // HIGHEST-quality document (ties to smallest id) — "of these
+    // near-identical crawls, keep the cleanest", the refinement of
+    // dedup_survivors' min-id convention production pipelines want.
+    "dedup_survivors_quality" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val scored = docs.withColumn("q",
+        TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn))
+      graft.ops.Dedup.nearDupSurvivorsByQuality(scored, "doc_id", "q",
+          graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            threshold = 0.2))
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // Corpus drift monitor: pairwise Jensen-Shannon divergence between
     // lang slices' hashed-unigram distributions (4096 md5 buckets,
     // additive smoothing over the full support). Complements
@@ -2393,6 +2408,42 @@ object TextQueries {
         |  round((sum(((l + 511) // 512) * 512) - sum(l))::DOUBLE /
         |        (sum(((l + 511) // 512) * 512))::DOUBLE, 6) AS waste_ratio
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // component closure + per-cluster argmax on the rounded quality
+    "dedup_survivors_quality" ->
+      s"""WITH RECURSIVE g AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(w)-1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+         |p AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.2),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |comp AS MATERIALIZED (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    0.4*(len(list_distinct($docTokens))::DOUBLE/len($docTokens)) +
+         |    0.3*(${hits(enList)}::DOUBLE/len($docTokens)) +
+         |    0.3*least(len($docTokens)/100.0, 1.0) AS q
+         |  FROM documents),
+         |losers AS (
+         |  SELECT id FROM (
+         |    SELECT comp.id, row_number() OVER (PARTITION BY component
+         |      ORDER BY round(q.q, 6) DESC, comp.id) AS rk
+         |    FROM comp JOIN q ON q.doc_id = comp.id) WHERE rk > 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     // the full-support JSD: every (pair, bucket) cell smoothed, both
     // KL halves against the midpoint, ln = nats
     "vocab_jsd_drift" ->

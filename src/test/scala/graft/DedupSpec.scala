@@ -153,6 +153,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDupSurvivors(docs, "doc_id", noPairs).count() == docs.count())
   }
 
+  test("nearDupSurvivorsByQuality: the best-scored member survives, not min-id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),  // cluster {1,2,3}: 2 wins
+      (5L, 0.4), (6L, 0.4),             // tie → smaller id 5 wins
+      (9L, 0.0)).toDF("doc_id", "q")    // unpaired: untouched
+    val surv = graft.ops.Dedup
+      .nearDupSurvivorsByQuality(docs, "doc_id", "q", pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(surv == Set(2L, 5L, 9L), s"got $surv")
+    // the rank cuts on the ROUNDED score: a sub-1e-6 edge cannot flip it
+    val near = Seq((1L, 0.5000000001), (2L, 0.5)).toDF("doc_id", "q")
+    val s2 = graft.ops.Dedup
+      .nearDupSurvivorsByQuality(near, "doc_id", "q",
+        Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s2 == Set(1L), "rounded-equal scores break by id")
+  }
+
   test("connected components converge in O(log n) rounds on a 10^4-node path graph") {
     // the adversarial worst case for plain min-label propagation: one
     // chain of 10,000 nodes (diameter 9,999). Pointer jumping through the
