@@ -364,6 +364,51 @@ object TextAnalysis {
     * pair enumeration, the 4096-bucket support expansion, the
     * divergence sum — is over |slices|²·4096 bounded rows.
     */
+  /** Hashed-unigram bucket counts of `df` per `sliceCol` — the
+    * distribution relation [[jsdToReference]] consumes; ≤4096 rows per
+    * slice after the map-side collapse. Shared by the batch and
+    * streaming drift monitors so their distributions can never drift
+    * apart in definition.
+    */
+  def vocabBuckets(df: DataFrame, sliceCol: String, textCol: String): DataFrame =
+    df.select(col(sliceCol).as("__s"),
+        explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__tok"))
+      .withColumn("__b", Importance.tokenBucket(col("__tok")))
+      .groupBy(col("__s"), col("__b")).agg(count(lit(1)).as("__c"))
+
+  /** JS divergence of every slice's bucket distribution against ONE
+    * reference distribution — the production drift-monitor shape: the
+    * reference (yesterday's corpus, the accepted baseline) is a ≤4096-
+    * row broadcast, and each incoming slice/window compares against it
+    * independently. `dist` is [[vocabBuckets]] output (`__s`,`__b`,
+    * `__c`); `ref` is `(__b, __c)`. Same full-support smoothing and
+    * arithmetic as [[vocabJsDivergence]]. Returns `(slice, jsd)`.
+    */
+  def jsdToReference(dist: DataFrame, ref: DataFrame,
+                     alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    val spark = dist.sparkSession
+    val buckets = 4096
+    val cnt = dist.localCheckpoint()
+    val tot = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__t"))
+    val refTot = ref.agg(sum(col("__c")).as("__rt"))
+    val support = broadcast(tot.crossJoin(refTot))
+      .crossJoin(spark.range(buckets).select(col("id").cast("int").as("__b")))
+    val zp = col("__t") + lit(alpha * buckets)
+    val zq = col("__rt") + lit(alpha * buckets)
+    support
+      .join(cnt, Seq("__s", "__b"), "left")
+      .join(broadcast(ref.select(col("__b"), col("__c").as("__rc"))),
+        Seq("__b"), "left")
+      .withColumn("__p", (coalesce(col("__c"), lit(0L)) + alpha) / zp)
+      .withColumn("__q", (coalesce(col("__rc"), lit(0L)) + alpha) / zq)
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .groupBy(col("__s").as("slice"))
+      .agg(round(sum(
+        lit(0.5) * col("__p") * log(col("__p") / col("__m")) +
+        lit(0.5) * col("__q") * log(col("__q") / col("__m"))), 6).as("jsd"))
+  }
+
   def vocabJsDivergence(df: DataFrame, sliceCol: String, textCol: String,
                         alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (got $alpha)")

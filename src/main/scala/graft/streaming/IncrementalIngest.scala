@@ -277,6 +277,28 @@ object IncrementalIngest {
       .groupBy(col("window"), col("register"))
       .agg(max(col("__rho")).as("rho"))
 
+  /** Watermarked per-window hashed-vocabulary distribution over a
+    * document stream — the streaming leg of the corpus drift monitor:
+    * state is ≤4096 bucket rows per OPEN window whatever the vocabulary
+    * (the [[windowedHllRegisters]] boundedness argument), evicted at
+    * the watermark. Buckets are the [[graft.ops.Importance.tokenBucket]]
+    * md5 construction via [[graft.ops.TextAnalysis.vocabBuckets]]'s
+    * definition, so a closed window's streamed rows are row-identical
+    * to the batch distribution over the same rows, and feed
+    * [[graft.ops.TextAnalysis.jsdToReference]] directly (window as the
+    * slice key) to score drift against a broadcast reference.
+    */
+  def windowedVocabBuckets(docs: DataFrame, tsCol: String, textCol: String,
+                           windowLen: String, watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("window"),
+        explode(filter(graft.ops.TextAnalysis.tokens(col(textCol)),
+          t => length(t) > 0)).as("__tok"))
+      .withColumn("__b", graft.ops.Importance.tokenBucket(col("__tok")))
+      .groupBy(col("window"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+
   /** Windowed event aggregation over a stream — the watermark/tumbling-
     * window shape (§2.8's Spark mapping), exposed for the events table:
     * per (window, event_type) counts and exact value cents.

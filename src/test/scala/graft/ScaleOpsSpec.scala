@@ -254,6 +254,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed vocab buckets equal batch; closed windows score drift vs a reference") {
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = IncrementalIngest.windowedVocabBuckets(
+      stream.toDS().toDF("ts", "text"), "ts", "text", "5 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("vocab_win")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      val w1 = Seq("alpha beta gamma", "alpha beta beta")     // on-reference
+      val w2 = Seq("zz qq ww zz", "qq ww zz pp")              // drifted
+      stream.addData(w1.map(d => (t(0), d)): _*)
+      stream.addData(w2.map(d => (t(6), d)): _*)
+      q.processAllAvailable()
+      stream.addData((t(20), "late watermark push"))
+      q.processAllAvailable()
+      val streamed = spark.table("vocab_win")
+        .select($"window.start".cast("string").as("__s"), $"__b", $"__c")
+      // closed-window rows equal the batch distribution over the same docs
+      val batchW1 = TextAnalysis.vocabBuckets(
+        w1.map(d => ("w1", d)).toDF("s", "text"), "s", "text")
+        .select($"__b", $"__c").as[(Int, Long)].collect().toSet
+      val streamedW1 = streamed.filter($"__s".startsWith("2026-01-01 10:00"))
+        .select($"__b", $"__c").as[(Int, Long)].collect().toSet
+      assert(streamedW1 == batchW1,
+        "a closed window's streamed buckets must equal the batch distribution")
+      // drift scoring: reference = w1's own distribution → w1 scores 0,
+      // the drifted window scores well above it
+      val ref = TextAnalysis.vocabBuckets(
+          w1.map(d => ("r", d)).toDF("s", "text"), "s", "text")
+        .select($"__b", $"__c")
+      val jsd = TextAnalysis.jsdToReference(streamed, ref)
+        .collect().map(r => r.getString(0).take(16) -> r.getDouble(1)).toMap
+      assert(jsd("2026-01-01 10:00") == 0.0, s"on-reference window: $jsd")
+      assert(jsd("2026-01-01 10:05") > jsd("2026-01-01 10:00"), s"drift: $jsd")
+    } finally q.stop()
+  }
+
   test("stateful session history tracks across micro-batches with pop and reset semantics") {
     import graft.streaming.SessionState
     import graft.streaming.SessionState.Msg
