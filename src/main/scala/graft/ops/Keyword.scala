@@ -96,6 +96,51 @@ object Keyword {
     result
   }
 
+  /** Positional exact-phrase search: documents containing the
+    * `phrase` word sequence contiguously, with occurrence counts and the
+    * first match position — the phrase-query capability a bag-of-words
+    * BM25 can't express (the lexical sidecar stores per-(term,doc)
+    * aggregates; phrase matching needs positions).
+    *
+    * Plan shape: positional postings `(doc, pos, term)` from one
+    * posexplode, filtered to the m phrase terms AT THE SCAN (everything
+    * else never leaves the projection); leg i maps matches of term_i to
+    * its implied phrase start `pos − i`; a start is a real occurrence iff
+    * all m distinct legs agree ⇒ ONE hash-aggregate on (doc, start)
+    * counting distinct leg indices — one shuffle total, no self-join
+    * chain, no positional array intersection. Hot terms inflate only
+    * their own leg's rows, never a join key; the exchange carries
+    * (doc, start, leg) triples bounded by Σ tf(term_i), the same volume
+    * an inverted index would read for the query.
+    *
+    * A repeated term in the phrase contributes one leg per position it
+    * occupies (distinct leg indices, so "a b a" needs 'a' at start AND
+    * start+2). Matching is case-sensitive whitespace-token equality —
+    * [[TextAnalysis.tokens]], the corpus-wide tokenizer contract.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    val m = phrase.length
+    val postings = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
+      .toDF(idCol, "__pos", "__term")
+      .filter(col("__term").isInCollection(phrase.distinct))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("__term") === t)
+        .select(col(idCol), (col("__pos") - i).as("__start"), lit(i).as("__leg"))
+    }.reduce(_ unionByName _)
+    legs.filter(col("__start") >= 0)
+      .groupBy(col(idCol), col("__start"))
+      .agg(countDistinct(col("__leg")).as("__hits"))
+      .filter(col("__hits") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__start")).cast("long").as("first_pos"))
+  }
+
   /** Build the persistent lexical index for [[bm25Indexed]]: the
     * production shape for a store queried repeatedly, where [[bm25]]'s
     * per-query corpus scan (tokenize + filter) is the dominant cost.

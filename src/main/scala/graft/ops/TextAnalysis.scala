@@ -106,6 +106,40 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  /** Blocklist ("bad words") document gate — the C4 cleaning rule
+    * (Raffel et al. 2020 §2.2 drops any page containing a listed word)
+    * plus the softer ratio gate successors use (drop only when listed
+    * tokens exceed `maxPermille` per mille of the document). Reports
+    * counts, both verdicts, and the ratio so a pipeline can pick its
+    * severity; the ratio gate is an integer cross-multiplication
+    * (`1000·n_blocked > maxPermille·n_tokens`) — no float boundary can
+    * flip it between engines (the gopherRules discipline).
+    *
+    * Scale: one narrow scan; the blocklist is a literal array evaluated
+    * per row (no join, no shuffle) — sized for curated lists (10²-10³
+    * terms). Null text ⇒ zero counts, both gates pass.
+    */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String],
+                    maxPermille: Int = 20): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    require(maxPermille >= 0 && maxPermille <= 1000,
+      s"maxPermille must be in [0,1000] (got $maxPermille)")
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val clean = filter(toks, t => length(t) > 0)
+    val blocked = filter(clean, t => t.isInCollection(blocklist))
+    df.select(col(idCol),
+        size(clean).cast("long").as("n_tokens"),
+        size(blocked).cast("long").as("n_blocked"))
+      .withColumn("blocked_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_blocked").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0d)))
+      .withColumn("drop_any", col("n_blocked") > 0)
+      .withColumn("drop_ratio",
+        lit(1000L) * col("n_blocked") > lit(maxPermille.toLong) * col("n_tokens"))
+  }
+
   /** Corpus vocabulary profile: the `k` most frequent whitespace tokens
     * with exact counts, ordered (count desc, token asc) — the total
     * order makes the boundary deterministic under ties.

@@ -211,6 +211,21 @@ object KeywordQueries {
           round($"score", 6).as("score"))
         .orderBy($"doc_id", $"rank")
     }),
+
+    // Positional exact-phrase search — the capability the bag-of-words
+    // sidecar can't serve: a bigram and a trigram phrase, each matched
+    // through the one-shuffle leg-agreement plan (no self-join chain).
+    "phrase_search_positional" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Keyword.phraseSearch(docs, "doc_id", "text", Seq("fast", "merge"))
+        .withColumn("phrase", lit("fast merge"))
+        .unionByName(
+          Keyword.phraseSearch(docs, "doc_id", "text", Seq("hash", "join", "key"))
+            .withColumn("phrase", lit("hash join key")))
+        .select($"phrase", $"doc_id", $"n_matches", $"first_pos")
+        .orderBy($"phrase", $"doc_id")
+    }),
   )
 
   /** The PRF loop replayed relationally — shared by the scan-path and
@@ -354,5 +369,22 @@ object KeywordQueries {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
         |SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // phrase occurrences recomputed by direct positional scan over the
+    // token arrays (1-based list indexing; the engine's first_pos is
+    // 0-based, hence the -1)
+    "phrase_search_positional" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |m1 AS (SELECT 'fast merge' AS phrase, doc_id,
+        |    list_filter(range(1, len(w)),
+        |      i -> w[i] = 'fast' AND w[i+1] = 'merge') AS starts FROM base),
+        |m2 AS (SELECT 'hash join key' AS phrase, doc_id,
+        |    list_filter(range(1, len(w) - 1),
+        |      i -> w[i] = 'hash' AND w[i+1] = 'join' AND w[i+2] = 'key') AS starts
+        |  FROM base),
+        |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+        |SELECT phrase, doc_id, len(starts)::BIGINT AS n_matches,
+        |  (list_min(starts) - 1)::BIGINT AS first_pos
+        |FROM u WHERE len(starts) > 0 ORDER BY phrase, doc_id""".stripMargin,
   )
 }

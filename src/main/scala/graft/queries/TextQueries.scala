@@ -1355,6 +1355,27 @@ object TextQueries {
       media.unpersist()
       result
     }),
+
+    // Blocklist document gate — the C4 bad-words rule (drop on any hit)
+    // next to the softer per-mille ratio gate; integer
+    // cross-multiplication keeps the ratio verdict float-free.
+    "blocklist_gate" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.blocklistGate(documents(s, d), "doc_id", "text",
+          blocklist = Seq("slow", "dup"), maxPermille = 50)
+        .orderBy($"doc_id")
+    }),
+
+    // SIF document embeddings (Arora et al. 2017) with md5-Rademacher
+    // word vectors at dim 8 — corpus frequencies damp stopword-like
+    // terms; the FULL embedding matrix is hash-checked because weights
+    // are one integer division and the per-dim sums fold in document
+    // order on both engines (the sequential-fold discipline).
+    "sif_embedding" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Pool.sifEmbed(documents(s, d), "doc_id", "text", dim = 8)
+        .orderBy($"doc_id")
+    }),
   )
 
   /** Documents whose text is strictly single-space-separated words (no
@@ -2886,5 +2907,55 @@ object TextQueries {
         |SELECT doc_id, chunk_idx FROM chunks c
         |WHERE NOT EXISTS (SELECT 1 FROM chunks e WHERE e.doc_id < 250 AND e.ckey = c.ckey)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // both verdicts replayed with the same list kernels; the ratio gate
+    // is the identical integer cross-multiplication
+    "blocklist_gate" ->
+      """WITH c AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                t -> t <> '') AS w FROM documents),
+        |n AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        |    len(list_filter(w, t -> t IN ('slow', 'dup')))::BIGINT AS n_blocked
+        |  FROM c)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  CASE WHEN n_tokens > 0
+        |       THEN round(n_blocked::DOUBLE / n_tokens, 6) ELSE 0.0 END
+        |    AS blocked_ratio,
+        |  n_blocked > 0 AS drop_any,
+        |  1000 * n_blocked > 50 * n_tokens AS drop_ratio
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // the WHOLE SIF model replayed: corpus unigram counts, the one
+    // integer-division weight T/(T + 1000·cnt), md5-parity ±1 word
+    // vectors, and the per-dim sums folded in document order with
+    // list_reduce — bit-for-bit the engine's sequential fold
+    "sif_embedding" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                t -> t <> '') AS w FROM documents),
+        |tok AS (SELECT doc_id, r['pos'] AS pos, r['term'] AS term FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |      i -> {'pos': i, 'term': w[i]})) AS r FROM base)),
+        |cnt AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM tok),
+        |vocab AS (SELECT term, c, list_transform(range(0, 8), d ->
+        |    CASE WHEN ('0x' || substr(md5('sif:' || term || ':' || d), 1, 1))::INT
+        |              % 2 = 0 THEN 1.0 ELSE -1.0 END) AS vec
+        |  FROM cnt),
+        |wtok AS (SELECT k.doc_id, k.pos,
+        |    list_transform(v.vec,
+        |      x -> ((tot.t)::DOUBLE / (tot.t + 1000 * v.c)::DOUBLE) * x) AS contrib
+        |  FROM tok k JOIN vocab v USING (term), tot),
+        |folded AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    list_reduce(
+        |      list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        |                   list(contrib ORDER BY pos)),
+        |      (acc, x) -> list_transform(range(1, 9),
+        |                    i -> acc[i] + x[i])) AS emb
+        |  FROM wtok GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(emb[1], 6) AS e0, round(emb[2], 6) AS e1,
+        |  round(emb[3], 6) AS e2, round(emb[4], 6) AS e3,
+        |  round(emb[5], 6) AS e4, round(emb[6], 6) AS e5,
+        |  round(emb[7], 6) AS e6, round(emb[8], 6) AS e7
+        |FROM folded ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Keyword, TextAnalysis}
+
+/** Positional phrase search (leg-agreement plan) and the C4 blocklist
+  * document gate.
+  */
+class PhraseBlocklistSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "fast merge is fast merge"),      // two occurrences
+    (2L, "merge fast"),                    // reversed — no match
+    (3L, "fast x merge"),                  // gap — no match
+    (4L, "tail fast merge")                // one occurrence at pos 1
+  ).toDF("doc_id", "text")
+
+  test("phraseSearch: contiguous matches only, counts and first position") {
+    val got = Keyword.phraseSearch(docs, "doc_id", "text", Seq("fast", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(got == List((1L, 2L, 0L), (4L, 1L, 1L)))
+  }
+
+  test("phraseSearch: repeated term needs BOTH positions (a b a)") {
+    val df = Seq(
+      (1L, "a b a"),       // match at 0
+      (2L, "a b c a"),     // 'a' at 0 and 3, but not at 2 — no match
+      (3L, "a b a b a")    // matches at 0 and 2 (overlapping)
+    ).toDF("doc_id", "text")
+    val got = Keyword.phraseSearch(df, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(got == List((1L, 1L, 0L), (3L, 2L, 0L)))
+  }
+
+  test("phraseSearch: null text and no-hit corpora return empty, not error") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "x y")).toDF("doc_id", "text")
+    assert(Keyword.phraseSearch(df, "doc_id", "text", Seq("fast", "merge")).count() == 0L)
+  }
+
+  test("blocklistGate: counts, ratio, and both verdicts") {
+    val df = Seq(
+      (1L, "clean text only"),
+      (2L, "one bad word"),
+      (3L, "bad bad bad bad text"),   // 4/5 blocked
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .blocklistGate(df, "doc_id", "text", Seq("bad"), maxPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4), r.getBoolean(5))).sortBy(_._1).toList
+    assert(got == List(
+      (1L, 3L, 0L, false, false),
+      (2L, 3L, 1L, true, false),   // 1/3 < 50% — ratio gate passes
+      (3L, 5L, 4L, true, true),    // 4/5 > 50% — ratio gate drops
+      (4L, 0L, 0L, false, false))) // null text: zero counts, both pass
+  }
+}
