@@ -443,14 +443,27 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands > maxHamming, "pigeonhole completeness needs bands >= maxHamming + 1")
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         graft.functions.SimHash64.simhash64(split(trim(col(textCol)), "\\s+")).as("h"))
+    hamming64Pairs(hashed, maxHamming, bands)
+  }
+
+  /** Banded Hamming-pair core over `(id, h)` 64-bit fingerprints — the
+    * pigeonhole candidate join + exact verify shared by
+    * [[simhashNearDupPairs]] (text) and
+    * [[Multimodal.imageDHashPairs]] (perceptual image hashes). Same
+    * completeness argument: Hamming ≤ maxHamming < bands ⇒ at least one
+    * of the disjoint bit bands agrees exactly.
+    */
+  private[ops] def hamming64Pairs(fingerprints: DataFrame, maxHamming: Int,
+                                  bands: Int): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands >= maxHamming + 1")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashed = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count() // eager: the banding self-join scans this twice
     val banded = hashed.select(col("id"), col("h"), posexplode(array(

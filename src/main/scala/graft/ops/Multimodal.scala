@@ -143,4 +143,47 @@ object Multimodal {
     * vectors for [[Similarity]] / [[Dedup.embeddingNearDupPairs]].
     */
   def featureColumn(df: DataFrame): Column = col("features")
+
+  /** Perceptual image near-dup pairs: 64-bit difference hashes
+    * ([[graft.sources.BmpCodec.dHash64]] — gradient-direction bits that
+    * survive re-encoding/resizing/brightness shifts) matched through the
+    * SimHash banded pigeonhole ([[Dedup.hamming64Pairs]]): candidates
+    * come from an equi-join on (band, bits), NEVER all-pairs, and the
+    * Hamming verify on the few candidates is exact. Returns
+    * `(id_a, id_b, hamming)` with `id_a < id_b`.
+    *
+    * The decode is a per-row JVM kernel (a UDF by necessity — codecs
+    * aren't expressions); it runs ONCE per image inside the projection
+    * that feeds the banding, so the bytes never shuffle — only
+    * (id, 64-bit hash) rows do.
+    */
+  def imageDHashPairs(df: DataFrame, idCol: String, bytesCol: String,
+                      maxHamming: Int = 10, bands: Int = 16): DataFrame = {
+    val dhash = udf((b: Array[Byte]) => graft.sources.BmpCodec.dHash64(b))
+    Dedup.hamming64Pairs(
+      df.select(col(idCol).as("id"), dhash(col(bytesCol)).as("h")),
+      maxHamming, bands)
+  }
+
+  /** Per-file audio activity segmentation over the RMS envelope
+    * ([[graft.sources.WavCodec.activity]]) — the silence-trimming /
+    * dead-air-drop gate of an audio-corpus pipeline. One narrow
+    * projection, decode once per row, no shuffle.
+    */
+  def audioActivity(df: DataFrame, idCol: String, bytesCol: String,
+                    windows: Int, threshold: Double): DataFrame = {
+    require(windows >= 1)
+    val act = udf((b: Array[Byte]) => {
+      val (n, a, run, first) = graft.sources.WavCodec.activity(b, windows, threshold)
+      (n, a, run, first)
+    })
+    df.select(col(idCol), act(col(bytesCol)).as("__a"))
+      .select(col(idCol),
+        col("__a._1").cast("long").as("n_windows"),
+        col("__a._2").cast("long").as("n_active"),
+        col("__a._3").cast("long").as("longest_run"),
+        col("__a._4").cast("long").as("first_active"))
+      .withColumn("active_ratio",
+        round(col("n_active").cast("double") / col("n_windows"), 6))
+  }
 }

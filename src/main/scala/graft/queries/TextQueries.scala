@@ -1356,6 +1356,34 @@ object TextQueries {
       result
     }),
 
+    // Perceptual image near-dup: dHash fingerprints over the decoded
+    // BMP fixtures + banded Hamming pairs. pattern2.bmp is the planted
+    // near-dup of pattern.bmp (a blown-out corner changes every raw
+    // byte of that region, Hamming 2 of 64); the low-detail pair
+    // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
+    // the oracle pins exactly the planted pair.
+    "image_dhash_pairs" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .readMediaDir(s, "/root/repo/fixtures/media/*.bmp", "image")
+      graft.ops.Multimodal
+        .imageDHashPairs(media, "media_id", "bytes", maxHamming = 4, bands = 8)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Audio activity segmentation over the RMS envelope: quiet.wav is
+    // the planted half-silent file (first half digital zeros) — the
+    // engine must decode PCM and find exactly windows 4..7 active.
+    "audio_activity_report" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .readMediaDir(s, "/root/repo/fixtures/media/*.wav", "audio")
+      graft.ops.Multimodal
+        .audioActivity(media, "media_id", "bytes", windows = 8, threshold = 0.01)
+        .orderBy($"media_id")
+    }),
+
     // Blocklist document gate — the C4 bad-words rule (drop on any hit)
     // next to the softer per-mille ratio gate; integer
     // cross-multiplication keeps the ratio verdict float-free.
@@ -2120,6 +2148,8 @@ object TextQueries {
         |  peak, rms, w0, w1, w2, w3 FROM (VALUES
         |  ('byte8.wav', 1::INT, 8000::INT, 8::INT, 8::BIGINT, 1::BIGINT,
         |   0.5, 0.5, 0.5, 0.5, 0.5, 0.5),
+        |  ('quiet.wav', 1::INT, 8000::INT, 16::INT, 16::BIGINT, 2::BIGINT,
+        |   0.5, 0.353553, 0.0, 0.0, 0.5, 0.5),
         |  ('stereo.wav', 2::INT, 4000::INT, 16::INT, 8::BIGINT, 2::BIGINT,
         |   0.25, 0.25, 0.25, 0.25, 0.25, 0.25),
         |  ('tone.wav', 1::INT, 8000::INT, 16::INT, 16::BIGINT, 2::BIGINT,
@@ -2135,6 +2165,10 @@ object TextQueries {
         |  g0, g1, g2, g3 FROM (VALUES
         |  ('halves.bmp', 4::INT, 2::INT, 127.5, 127.5, 127.5,
         |   0.0, 255.0, 0.0, 255.0),
+        |  ('pattern.bmp', 18::INT, 16::INT, 90.0, 90.0, 90.0,
+        |   90.0, 90.0, 90.0, 90.0),
+        |  ('pattern2.bmp', 18::INT, 16::INT, 100.833333, 100.833333, 100.833333,
+        |   133.333333, 90.0, 90.0, 90.0),
         |  ('rgb.bmp', 3::INT, 1::INT, 85.0, 85.0, 85.0,
         |   85.0, 85.0, 0.0, 0.0)
         |) t(media_id, width, height, mean_r, mean_g, mean_b, g0, g1, g2, g3)
@@ -2907,6 +2941,25 @@ object TextQueries {
         |SELECT doc_id, chunk_idx FROM chunks c
         |WHERE NOT EXISTS (SELECT 1 FROM chunks e WHERE e.doc_id < 250 AND e.ckey = c.ckey)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the planted perceptual pair as literals — the engine must decode
+    // both patterns, land on dHashes 2 bits apart, and keep the
+    // hamming-5 low-detail pair out
+    "image_dhash_pairs" ->
+      """SELECT id_a, id_b, hamming FROM (VALUES
+        |  ('pattern.bmp', 'pattern2.bmp', 2::BIGINT)) t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // expected activity segmentation as literals — PCM decode +
+    // 8-window RMS envelope; quiet.wav's first half is digital silence
+    "audio_activity_report" ->
+      """SELECT media_id, n_windows, n_active, longest_run, first_active,
+        |  active_ratio FROM (VALUES
+        |  ('byte8.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
+        |  ('quiet.wav', 8::BIGINT, 4::BIGINT, 4::BIGINT, 4::BIGINT, 0.5),
+        |  ('stereo.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
+        |  ('tone.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0)
+        |) t(media_id, n_windows, n_active, longest_run, first_active,
+        |    active_ratio)
+        |ORDER BY media_id""".stripMargin,
     // both verdicts replayed with the same list kernels; the ratio gate
     // is the identical integer cross-multiplication
     "blocklist_gate" ->

@@ -112,6 +112,32 @@ object WavCodec {
     }
     out
   }
+
+  /** Voice/tone-activity segmentation over the [[windowRms]] envelope:
+    * a window is active when its RMS exceeds `threshold` (amplitude in
+    * [0,1] — the silence-trimming gate an audio-corpus pipeline runs
+    * before feature extraction). Returns `(nWindows, nActive,
+    * longestRun, firstActive)`; `firstActive` is −1 when fully silent.
+    */
+  def activity(bytes: Array[Byte], windows: Int,
+               threshold: Double): (Int, Int, Int, Int) = {
+    val rms = windowRms(bytes, windows)
+    var nActive = 0
+    var longest = 0
+    var run = 0
+    var first = -1
+    var i = 0
+    while (i < rms.length) {
+      if (rms(i) > threshold) {
+        nActive += 1
+        run += 1
+        if (run > longest) longest = run
+        if (first < 0) first = i
+      } else run = 0
+      i += 1
+    }
+    (windows, nActive, longest, first)
+  }
 }
 
 /** Uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up) parser. */
@@ -189,5 +215,55 @@ object BmpCodec {
       i += 1
     }
     out
+  }
+
+  /** [[gridLuma]] over a rectangular `gw × gh` grid (row-major), for
+    * the 9×8 difference-hash layout.
+    */
+  def gridLumaRect(bytes: Array[Byte], gw: Int, gh: Int): Array[Double] = {
+    require(gw >= 1 && gh >= 1)
+    val (info, px) = pixels(bytes)
+    val out = new Array[Double](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < info.height) {
+      val gy = (y.toLong * gh / info.height).toInt
+      var x = 0
+      while (x < info.width) {
+        val gx = (x.toLong * gw / info.width).toInt
+        val (r, g, b) = px(y * info.width + x)
+        out(gy * gw + gx) += (r + g + b) / 3.0
+        cnt(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < out.length) {
+      if (cnt(i) > 0) out(i) /= cnt(i)
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash): mean luma over a 9×8 grid; bit
+    * `r·8 + c` is set iff `luma(r,c) > luma(r,c+1)` — the standard
+    * perceptual fingerprint (gradient directions survive resizing,
+    * re-encoding, and brightness shifts that change every raw byte).
+    * Near-duplicate images land within a small Hamming distance.
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val g = gridLumaRect(bytes, 9, 8)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
   }
 }

@@ -96,9 +96,42 @@ object MediaFixtures {
   def rgbBmp: Array[Byte] =
     bmp24(3, 1, Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)))
 
+  /** 18×16 gray diagonal-ramp pattern (luma `((x/2 + y/2) % 4) · 60`) —
+    * structured gradients in both axes, so the 9×8 dHash grid sees a
+    * non-trivial bit pattern.
+    */
+  def patternBmp: Array[Byte] =
+    bmp24(18, 16, Seq.tabulate(18 * 16) { i =>
+      val x = i % 18; val y = i / 18
+      val v = ((x / 2 + y / 2) % 4) * 60
+      (v, v, v)
+    })
+
+  /** [[patternBmp]] with the top-left 4×4 corner blown to white — every
+    * raw byte of that corner changes but the gradient structure
+    * elsewhere is identical: a planted perceptual NEAR-duplicate
+    * (small dHash Hamming distance, far from the other images).
+    */
+  def pattern2Bmp: Array[Byte] =
+    bmp24(18, 16, Seq.tabulate(18 * 16) { i =>
+      val x = i % 18; val y = i / 18
+      if (x < 4 && y < 4) (255, 255, 255)
+      else { val v = ((x / 2 + y / 2) % 4) * 60; (v, v, v) }
+    })
+
+  /** mono 16-bit 8 kHz, 16 frames: first half digital silence, second
+    * half the ±0.5 square — windowRms(4) = [0, 0, 0.5, 0.5], the
+    * planted half-silent file for the activity gate.
+    */
+  def quietWav: Array[Byte] =
+    wav16(1, 8000, Array.tabulate(16)(i =>
+      if (i < 8) 0 else if (i % 2 == 0) 16384 else -16384))
+
   val all: Seq[(String, Array[Byte])] = Seq(
     "tone.wav" -> toneWav, "stereo.wav" -> stereoWav, "byte8.wav" -> byteWav,
-    "halves.bmp" -> halvesBmp, "rgb.bmp" -> rgbBmp)
+    "quiet.wav" -> quietWav,
+    "halves.bmp" -> halvesBmp, "rgb.bmp" -> rgbBmp,
+    "pattern.bmp" -> patternBmp, "pattern2.bmp" -> pattern2Bmp)
 }
 
 object GenMediaFixtures {

@@ -92,6 +92,54 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash64: invariant to uniform brightness, sensitive to structure") {
+    // brightness shift changes every raw byte but no gradient DIRECTION:
+    // identical dHash; transposing the pattern flips many comparisons
+    def gray(f: (Int, Int) => Int, w: Int = 18, h: Int = 16): Array[Byte] =
+      MediaFixtures.bmp24(w, h, Seq.tabulate(w * h) { i =>
+        val v = f(i % w, i / w); (v, v, v)
+      })
+    val base = gray((x, y) => ((x / 2 + y / 2) % 4) * 60)
+    val brighter = gray((x, y) => ((x / 2 + y / 2) % 4) * 60 + 15)
+    assert(BmpCodec.dHash64(base) == BmpCodec.dHash64(brighter))
+    val ramp = gray((x, _) => x * 14)       // strictly increasing rows
+    val rampRev = gray((x, _) => (17 - x) * 14)
+    // monotone-decreasing rows: every within-row comparison flips
+    assert(BmpCodec.dHash64(ramp) == 0L)
+    assert(java.lang.Long.bitCount(BmpCodec.dHash64(rampRev)) == 64)
+    // the committed near-dup plant: 2 bits of 64
+    val d = java.lang.Long.bitCount(
+      BmpCodec.dHash64(MediaFixtures.patternBmp) ^
+        BmpCodec.dHash64(MediaFixtures.pattern2Bmp))
+    assert(d == 2)
+  }
+
+  test("activity: silence gate finds the active half of quiet.wav") {
+    assert(WavCodec.activity(MediaFixtures.quietWav, 8, 0.01) == ((8, 4, 4, 4)))
+    assert(WavCodec.activity(MediaFixtures.toneWav, 4, 0.01) == ((4, 4, 4, 0)))
+    // fully silent: no active window, firstActive = -1
+    val silent = MediaFixtures.wav16(1, 8000, Array.fill(8)(0))
+    assert(WavCodec.activity(silent, 4, 0.01) == ((4, 0, 0, -1)))
+    // threshold above the tone's amplitude: everything is "silence"
+    assert(WavCodec.activity(MediaFixtures.toneWav, 4, 0.9) == ((4, 0, 0, -1)))
+  }
+
+  test("imageDHashPairs: banded join finds exactly the planted pair") {
+    import TestSpark._
+    import spark.implicits._
+    val media = graft.ops.Multimodal
+      .readMediaDir(spark, "/root/repo/fixtures/media/*.bmp", "image")
+    val got = graft.ops.Multimodal
+      .imageDHashPairs(media, "media_id", "bytes", maxHamming = 4, bands = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toList
+    assert(got == List(("pattern.bmp", "pattern2.bmp", 2)))
+    // widening the gate admits the hamming-5 low-detail pair too
+    val wide = graft.ops.Multimodal
+      .imageDHashPairs(media, "media_id", "bytes", maxHamming = 5, bands = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(wide.contains(("halves.bmp", "rgb.bmp", 5)) && wide.size == 2)
+  }
+
   test("malformed payloads refuse loudly, never decode garbage") {
     intercept[IllegalArgumentException] {
       WavCodec.probe("not a wav at all".getBytes)
