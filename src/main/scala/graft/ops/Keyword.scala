@@ -141,6 +141,111 @@ object Keyword {
         min(col("__start")).cast("long").as("first_pos"))
   }
 
+  /** Positional inverted index for [[phraseSearchIndexed]] — the
+    * position-aware sibling of [[buildLexicalIndex]] (the bag-of-words
+    * postings can't serve phrase queries). Writes
+    * `path/postings`: `(term, id, positions ARRAY<INT>)` partitioned by
+    * `bucket = xxhash64(term) % buckets` (a phrase's term set prunes to
+    * its buckets at the file index), and `path/_stats`: `"N buckets
+    * stamp"`. Positions are 0-based token offsets in ascending order.
+    *
+    * Same store-stamp discipline as the lexical index: built FOR a
+    * [[VersionedStore]] table it refuses to serve once the store moves
+    * (stamp checked by the query path); stats retire first so a
+    * mid-build failure leaves an index that refuses, never one serving
+    * partial postings. No incremental fold is provided — positional
+    * postings are per-(doc, term) facts exactly like the lexical ones,
+    * so the [[appendToLexicalIndexForStore]] pattern applies verbatim
+    * when a deployment needs it.
+    */
+  def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String, buckets: Int = 64,
+                           store: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val stamp = store.map(t => (t, VersionedStore.currentState(spark, t)
+      .map(_.version).getOrElse(0L)))
+    graft.Fs.delete(spark, s"$path/_stats")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
+      .toDF("id", "__pos", "term")
+      .filter(length(col("term")) > 0)
+    val n = docs.count()
+    toks.groupBy(col("term"), col("id"))
+      .agg(array_sort(collect_list(col("__pos").cast("int"))).as("positions"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+      .repartition(col("bucket")) // bounded file count, as in writePostings
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    stamp.foreach { case (table, v0) =>
+      val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+      require(v1 == v0,
+        s"store $table moved from version $v0 to $v1 during the index build — " +
+          "the postings describe a superseded snapshot; rebuild")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$n $buckets ${stamp.map("v" + _._2).getOrElse("-")}")
+  }
+
+  /** [[phraseSearch]] served from a [[buildPositionalIndex]] sidecar:
+    * the same one-shuffle leg-agreement plan, but the legs read ONLY the
+    * phrase terms' postings — bucket partition pruning at the file
+    * index plus a term filter inside each bucket; the corpus text is
+    * never touched. Output matches [[phraseSearch]] column for column
+    * (`id`, n_matches, first_pos), and serving a maintained index is
+    * bit-identical to the scan path (spec'd).
+    *
+    * `store`: when given, refuses to serve if the store's manifest
+    * version moved past the index stamp (the [[bm25Indexed]] staleness
+    * contract).
+    */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, phrase: Seq[String],
+                          store: Option[String] = None): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    val stats = graft.Fs.readString(spark, s"$indexPath/_stats").trim.split(" ")
+    require(stats.length >= 3, s"damaged _stats at $indexPath — rebuild")
+    val buckets = stats(1).toInt
+    val stamp = stats(2)
+    store.foreach { t =>
+      val v = VersionedStore.currentState(spark, t).map(_.version).getOrElse(0L)
+      require(stamp == s"v$v",
+        s"positional index at $indexPath is stamped $stamp but store $t is at " +
+          s"v$v — stale index; rebuild")
+    }
+    val m = phrase.length
+    val terms = phrase.distinct
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(bucketsOfTerms(spark, terms, buckets): _*) &&
+        col("term").isInCollection(terms))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("id"), explode(col("positions")).as("__p"))
+        .select(col("id"), (col("__p") - i).as("__start"), lit(i).as("__leg"))
+    }.reduce(_ unionByName _)
+    legs.filter(col("__start") >= 0)
+      .groupBy(col("id"), col("__start"))
+      .agg(countDistinct(col("__leg")).as("__hits"))
+      .filter(col("__hits") === m)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__start")).cast("long").as("first_pos"))
+  }
+
+  /** The bucket ids [[buildPositionalIndex]]/[[writePostings]] assign
+    * the given terms — evaluated through the engine's own `xxhash64`
+    * expression (ONE tiny local job for the whole query-bounded term
+    * set) so build and probe can never disagree on the partitioning
+    * function.
+    */
+  private def bucketsOfTerms(spark: org.apache.spark.sql.SparkSession,
+                             terms: Seq[String], buckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(buckets)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+  }
+
   /** Build the persistent lexical index for [[bm25Indexed]]: the
     * production shape for a store queried repeatedly, where [[bm25]]'s
     * per-query corpus scan (tokenize + filter) is the dominant cost.

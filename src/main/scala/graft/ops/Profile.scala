@@ -139,4 +139,52 @@ object Profile {
       .withColumn("contribution",
         (col("cur_share") - col("ref_share")) * log(col("cur_share") / col("ref_share")))
   }
+
+  /** Activity-anomaly panel over an event stream (the ops monitor a
+    * pipeline runs on its own ingest volume): events bucket into fixed
+    * time windows per group, and each bucket's count is z-scored
+    * against that group's OWN bucket-count distribution; |z| above the
+    * threshold flags the bucket (outage, replay storm, bot burst).
+    *
+    * Exactness contract: counts are integers, so μ and σ² derive from
+    * the integer sums `(n, Σx, Σx²)` with a pinned parenthesization —
+    * `σ² = (n·Σx² − (Σx)²) / (n·(n−1))` — meaning both engines perform
+    * the SAME double operations on exact integer inputs; z is reported
+    * rounded to 6 and the verdict compares the raw z (identical doubles
+    * cross-engine) to the threshold. Degenerate groups (n < 2 or zero
+    * variance) emit null z / false verdict. Integer-sum bound: Σx² must
+    * stay under 2⁶³ — at per-bucket counts ≥ ~10⁹ use wider buckets or
+    * the streaming HLL panel.
+    *
+    * Scale: one (group, bucket) count agg over the events (map-side
+    * combined); moments aggregate over BUCKET rows, not events; the
+    * |groups|-row moments table broadcasts back onto the bucket rows.
+    * Timestamps are raw nanos with exact floor division (the
+    * [[Funnel.cohortRetention]] Long-arithmetic rule).
+    */
+  def activityAnomalies(events: DataFrame, groupCol: String, tsNanosCol: String,
+                        bucketNs: Long, zThreshold: Double = 2.0): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val q = expr(s"`$tsNanosCol` div ${bucketNs}L")
+    val r = expr(s"`$tsNanosCol` % ${bucketNs}L")
+    val bucket = when(r < 0, q - 1).otherwise(q)
+    val counts = events
+      .select(col(groupCol), bucket.as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val moments = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("n_events")).as("__s1"),
+        sum(col("n_events") * col("n_events")).as("__s2"))
+    val varNum = col("__n") * col("__s2") - col("__s1") * col("__s1")
+    val z = (col("n_events") - col("__s1").cast("double") / col("__n")) /
+      sqrt(varNum.cast("double") / (col("__n") * (col("__n") - 1)))
+    counts.join(broadcast(moments), Seq(groupCol))
+      .withColumn("__z", when(col("__n") > 1 && varNum > 0, z))
+      .select(col(groupCol), col("bucket"), col("n_events"),
+        round(col("__s1").cast("double") / col("__n"), 6).as("mean_events"),
+        round(col("__z"), 6).as("z"),
+        coalesce(abs(col("__z")) > lit(zThreshold), lit(false)).as("is_anomaly"))
+  }
 }

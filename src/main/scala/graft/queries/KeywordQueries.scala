@@ -34,6 +34,15 @@ object KeywordQueries {
       idx
     })
 
+  // same one-build-per-corpus-per-JVM rule for the positional sidecar
+  private val posIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedPosIndex(s: SparkSession, d: String): String =
+    posIdxCache.computeIfAbsent(d, _ => {
+      val idx = java.nio.file.Files.createTempDirectory("posidx-session").toString
+      Keyword.buildPositionalIndex(graft.Tables.documents(s, d), "doc_id", "text", idx)
+      idx
+    })
+
   // the build entry overwrites ONE fixed dir per corpus PER PROCESS
   // (build is mode("overwrite")), so repeated bench runs measure a fresh
   // build without accumulating temp dirs — and the pid keeps concurrent
@@ -212,6 +221,21 @@ object KeywordQueries {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // Positional-index-served phrase search: same answers as the scan
+    // path (the shared oracle pins it), but the legs read ONLY the
+    // phrase terms' bucket-pruned postings — no corpus text IO.
+    "phrase_search_indexed" -> ((s, d) => {
+      import s.implicits._
+      val idx = cachedPosIndex(s, d)
+      Keyword.phraseSearchIndexed(s, idx, Seq("fast", "merge"))
+        .withColumn("phrase", lit("fast merge"))
+        .unionByName(
+          Keyword.phraseSearchIndexed(s, idx, Seq("hash", "join", "key"))
+            .withColumn("phrase", lit("hash join key")))
+        .select($"phrase", $"id".as("doc_id"), $"n_matches", $"first_pos")
+        .orderBy($"phrase", $"doc_id")
+    }),
+
     // Positional exact-phrase search — the capability the bag-of-words
     // sidecar can't serve: a bigram and a trigram phrase, each matched
     // through the one-shuffle leg-agreement plan (no self-join chain).
@@ -369,6 +393,22 @@ object KeywordQueries {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
         |SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // the indexed path must serve the FULL corpus phrase answers —
+    // sharing the scan path's oracle pins indexed ≡ scan by hash
+    "phrase_search_indexed" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |m1 AS (SELECT 'fast merge' AS phrase, doc_id,
+        |    list_filter(range(1, len(w)),
+        |      i -> w[i] = 'fast' AND w[i+1] = 'merge') AS starts FROM base),
+        |m2 AS (SELECT 'hash join key' AS phrase, doc_id,
+        |    list_filter(range(1, len(w) - 1),
+        |      i -> w[i] = 'hash' AND w[i+1] = 'join' AND w[i+2] = 'key') AS starts
+        |  FROM base),
+        |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+        |SELECT phrase, doc_id, len(starts)::BIGINT AS n_matches,
+        |  (list_min(starts) - 1)::BIGINT AS first_pos
+        |FROM u WHERE len(starts) > 0 ORDER BY phrase, doc_id""".stripMargin,
     // phrase occurrences recomputed by direct positional scan over the
     // token arrays (1-based list indexing; the engine's first_pos is
     // 0-based, hence the -1)

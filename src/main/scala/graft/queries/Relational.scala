@@ -329,6 +329,17 @@ object Relational {
     // monitor a pipeline runs on each corpus/feature drop. 20 fixed-
     // width bins over the reference range, Laplace-smoothed shares;
     // the oracle replays the identical closed-form binning and ln sum.
+    // Activity-anomaly panel: daily event-type counts z-scored against
+    // the type's own 30-day distribution — the volume monitor a
+    // pipeline runs on its ingest (outage/burst detection). Moments
+    // from exact integer sums; |z| > 2 flags 3 of 150 buckets.
+    "events_anomaly_daily" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profile.activityAnomalies(events(s, d), "event_type", "ts",
+          bucketNs = 86400L * 1000000000L, zThreshold = 2.0)
+        .orderBy($"event_type", $"bucket")
+    }),
+
     "drift_psi_price" -> ((s, d) => {
       import s.implicits._
       val o = orders(s, d)
@@ -699,6 +710,27 @@ object Relational {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
         |) ORDER BY step""".stripMargin,
+    // the identical pinned parenthesization over the same integer sums;
+    // the verdict compares the RAW z (same doubles), rounding only the
+    // reported columns
+    "events_anomaly_daily" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS bucket,
+        |    count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(n_events)::BIGINT AS s1,
+        |    sum(n_events * n_events)::BIGINT AS s2 FROM b GROUP BY 1),
+        |z AS (SELECT b.event_type, b.bucket, b.n_events,
+        |    m.s1::DOUBLE / m.n AS mean_raw,
+        |    CASE WHEN m.n > 1 AND m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+        |      (b.n_events - m.s1::DOUBLE / m.n) /
+        |      sqrt((m.n * m.s2 - m.s1 * m.s1)::DOUBLE / (m.n * (m.n - 1)))
+        |    END AS zraw
+        |  FROM b JOIN m USING (event_type))
+        |SELECT event_type, bucket, n_events,
+        |  round(mean_raw, 6) AS mean_events, round(zraw, 6) AS z,
+        |  coalesce(abs(zraw) > 2.0, false) AS is_anomaly
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
     "drift_psi_price" ->
       """WITH ref AS (SELECT o_totalprice AS x FROM orders
         |             WHERE o_orderdate < TIMESTAMP '1998-01-01'),

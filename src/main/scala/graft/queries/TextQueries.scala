@@ -1372,6 +1372,21 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Media dedup end-to-end: perceptual pairs feed the SAME
+    // survivor machinery text dedup uses (connected components +
+    // min-id representative) — pattern2.bmp loses to pattern.bmp,
+    // everything else survives.
+    "media_dedup_survivors" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .readMediaDir(s, "/root/repo/fixtures/media/*.bmp", "image")
+      val pairs = graft.ops.Multimodal
+        .imageDHashPairs(media, "media_id", "bytes", maxHamming = 4, bands = 8)
+      graft.ops.Dedup.nearDupSurvivors(media, "media_id", pairs)
+        .select($"media_id", $"kind")
+        .orderBy($"media_id")
+    }),
+
     // Audio activity segmentation over the RMS envelope: quiet.wav is
     // the planted half-silent file (first half digital zeros) — the
     // engine must decode PCM and find exactly windows 4..7 active.
@@ -2948,6 +2963,12 @@ object TextQueries {
       """SELECT id_a, id_b, hamming FROM (VALUES
         |  ('pattern.bmp', 'pattern2.bmp', 2::BIGINT)) t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
+    // the survivor set as literals — the perceptual loser must drop
+    "media_dedup_survivors" ->
+      """SELECT media_id, kind FROM (VALUES
+        |  ('halves.bmp', 'image'), ('pattern.bmp', 'image'),
+        |  ('rgb.bmp', 'image')) t(media_id, kind)
+        |ORDER BY media_id""".stripMargin,
     // expected activity segmentation as literals — PCM decode +
     // 8-window RMS envelope; quiet.wav's first half is digital silence
     "audio_activity_report" ->

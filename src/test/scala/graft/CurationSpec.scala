@@ -240,6 +240,33 @@ class CurationSpec extends AnyFunSuite {
     assert(edge.getLong(2) == 1L, "out-of-range current value must clamp to the top bin")
   }
 
+  test("activityAnomalies: planted burst flagged, steady groups clean, degenerates null") {
+    import graft.ops.Profile
+    // group A: 11 steady buckets of 10 events + 1 burst bucket of 100;
+    // group B: one bucket only (n < 2 -> null z, never an anomaly)
+    val ns = 1000000000L
+    val a = (0 until 11).flatMap(b => (0 until 10).map(_ => ("a", b * ns + 1L))) ++
+      (0 until 100).map(_ => ("a", 11 * ns + 1L))
+    val bSingle = (0 until 5).map(_ => ("b", 1L))
+    val df = (a ++ bSingle).toDF("g", "ts")
+    val got = Profile.activityAnomalies(df, "g", "ts", bucketNs = ns,
+        zThreshold = 2.0)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))).toMap
+    // hand-computed: n=12, s1=210, s2=11100, mean=17.5,
+    // var=(12*11100-210*210)/(12*11) = 675, sd=25.98...; burst z=(100-17.5)/sd≈3.18
+    assert(got(("a", 11L))._3, "the burst bucket must flag")
+    assert(got(("a", 11L))._2.get > 3.0)
+    (0 until 11).foreach(b => assert(!got(("a", b.toLong))._3, s"steady bucket $b"))
+    assert(got(("b", 0L)) == ((5L, None, false)), "single-bucket group: null z, clean")
+    // zero-variance group: identical buckets -> null z, never anomalous
+    val flat = (0 until 4).flatMap(b => (0 until 7).map(_ => ("c", b * ns + 1L))).toDF("g", "ts")
+    val fz = Profile.activityAnomalies(flat, "g", "ts", ns)
+      .collect()
+    assert(fz.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+  }
+
   test("charBigramEntropy matches hand-computed values") {
     val df = Seq(
       (1L, "aaaa"),   // bigrams aa,aa,aa -> H = 0

@@ -42,6 +42,48 @@ class PhraseBlocklistSpec extends AnyFunSuite {
     assert(Keyword.phraseSearch(df, "doc_id", "text", Seq("fast", "merge")).count() == 0L)
   }
 
+  test("phraseSearchIndexed: bit-identical to the scan path, bucket-pruned") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("posidx").toString
+    graft.ops.Keyword.buildPositionalIndex(corpus, "doc_id", "text", idx)
+    val scan = graft.ops.Keyword
+      .phraseSearch(corpus, "doc_id", "text", Seq("fast", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = graft.ops.Keyword
+      .phraseSearchIndexed(spark, idx, Seq("fast", "merge"))
+    assert(served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == scan)
+    assert(scan.nonEmpty) // the equality must not be vacuous
+    // the postings scan must carry a bucket partition filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "expected bucket partition pruning in:\n" + plan.take(2000))
+  }
+
+  test("phraseSearchIndexed: store stamp refuses after the store moves") {
+    val root = java.nio.file.Files.createTempDirectory("posidx-store").toString
+    val t = s"$root/t"
+    graft.ops.VersionedStore.append(spark, t,
+      Seq((1L, "fast merge here")).toDF("doc_id", "text"))
+    val idx = s"$root/idx"
+    graft.ops.Keyword.buildPositionalIndex(
+      graft.ops.VersionedStore.read(spark, t).get, "doc_id", "text", idx,
+      store = Some(t))
+    // fresh: serves
+    assert(graft.ops.Keyword
+      .phraseSearchIndexed(spark, idx, Seq("fast", "merge"), store = Some(t))
+      .count() == 1L)
+    // store moves on → the stamped index must refuse
+    graft.ops.VersionedStore.append(spark, t,
+      Seq((2L, "fast merge again")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Keyword
+        .phraseSearchIndexed(spark, idx, Seq("fast", "merge"), store = Some(t))
+        .count()
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
   test("blocklistGate: counts, ratio, and both verdicts") {
     val df = Seq(
       (1L, "clean text only"),
