@@ -163,16 +163,41 @@ object Profile {
     * [[Funnel.cohortRetention]] Long-arithmetic rule).
     */
   def activityAnomalies(events: DataFrame, groupCol: String, tsNanosCol: String,
-                        bucketNs: Long, zThreshold: Double = 2.0): DataFrame = {
-    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
-    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
-    val q = expr(s"`$tsNanosCol` div ${bucketNs}L")
-    val r = expr(s"`$tsNanosCol` % ${bucketNs}L")
-    val bucket = when(r < 0, q - 1).otherwise(q)
-    val counts = events
-      .select(col(groupCol), bucket.as("bucket"))
+                        bucketNs: Long, zThreshold: Double = 2.0): DataFrame =
+    anomaliesFromCounts(
+      bucketCounts(events, groupCol, tsNanosCol, bucketNs), groupCol, zThreshold)
+
+  /** The `(group, bucket, n_events)` relation [[activityAnomalies]]
+    * scores — exposed separately because bucket counts are ASSOCIATIVE
+    * state: a streaming ingest folds each micro-batch's counts into a
+    * materialized rollup ([[Rollup.maintain]] keyed (group, bucket))
+    * and scores the folded state with [[anomaliesFromCounts]], landing
+    * on bit-for-bit the batch answer without ever re-scanning history
+    * (spec'd + the shared-oracle query `anomaly_monitor_incremental`).
+    */
+  def bucketCounts(events: DataFrame, groupCol: String, tsNanosCol: String,
+                   bucketNs: Long): DataFrame =
+    events
+      .select(col(groupCol), bucketOf(tsNanosCol, bucketNs).as("bucket"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).cast("long").as("n_events"))
+
+  /** Exact floor-division time bucket of a raw-nanos column (the
+    * [[Funnel.cohortRetention]] Long-arithmetic rule).
+    */
+  def bucketOf(tsNanosCol: String, bucketNs: Long): Column = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val q = expr(s"`$tsNanosCol` div ${bucketNs}L")
+    val r = expr(s"`$tsNanosCol` % ${bucketNs}L")
+    when(r < 0, q - 1).otherwise(q)
+  }
+
+  /** The z-score panel over an existing `(group, bucket, n_events)`
+    * relation (see [[activityAnomalies]] for the exactness contract).
+    */
+  def anomaliesFromCounts(counts: DataFrame, groupCol: String,
+                          zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
     val moments = counts.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("__n"),
         sum(col("n_events")).as("__s1"),

@@ -86,4 +86,27 @@ object Validate {
       .reduce(_ unionByName _)
       .withColumn("passed", col("violations") === 0L)
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the re-ID-risk
+    * check a training-data governance pass runs before a corpus with
+    * user-linked metadata ships: every quasi-identifier combination
+    * with fewer than `k` rows is a re-identification risk (its members
+    * are distinguishable by those attributes alone). Returns one row
+    * per group: the quasi columns, `n`, and `risky = n < k` — the
+    * relation a suppression/generalization step consumes directly;
+    * roll it up for the k_min / risky-share summary.
+    *
+    * Scale: ONE map-side-combined count aggregation keyed by the quasi
+    * tuple — group cardinality is the product of attribute domains,
+    * bounded far below the corpus. Null attribute values form their own
+    * groups (SQL grouping semantics) — deliberately: "unknown" is a
+    * distinguishing value for re-identification too.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("risky", col("n") < k)
+  }
 }

@@ -329,6 +329,41 @@ object Relational {
     // monitor a pipeline runs on each corpus/feature drop. 20 fixed-
     // width bins over the reference range, Laplace-smoothed shares;
     // the oracle replays the identical closed-form binning and ln sum.
+    // k-anonymity audit: quasi-identifier (nation, market segment)
+    // group sizes over customers — groups under k=10 are
+    // re-identification risks (35 of 125 groups, 279 rows at sf0.01).
+    "k_anonymity_report" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Validate.kAnonymity(customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }),
+
+    // The SAME anomaly panel served from an incrementally-maintained
+    // volume rollup: three event chunks stand in for ingest
+    // micro-batches, each folded into the materialized (type, bucket)
+    // count state via Rollup.maintain — history is never re-scanned,
+    // yet the panel must EQUAL the direct computation (bucket counts
+    // are associative), which is exactly what the shared oracle pins.
+    "anomaly_monitor_incremental" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-volmon-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/agg"
+      graft.Fs.delete(s, root)
+      val rows = events(s, d).select($"event_id", $"event_type",
+        graft.ops.Profile.bucketOf("ts", 86400L * 1000000000L).as("bucket"))
+      Seq(rows.filter($"event_id" % 3 === 0),
+          rows.filter($"event_id" % 3 === 1),
+          rows.filter($"event_id" % 3 === 2))
+        .foreach(b => graft.ops.Rollup.maintain(s, root,
+          b.drop("event_id"), Seq("event_type", "bucket"), Seq()))
+      val counts = graft.ops.Rollup.readRollup(s, root, Seq()).get
+        .withColumnRenamed("n", "n_events")
+      graft.ops.Profile.anomaliesFromCounts(counts, "event_type", zThreshold = 2.0)
+        .orderBy($"event_type", $"bucket")
+    }),
+
     // Activity-anomaly panel: daily event-type counts z-scored against
     // the type's own 30-day distribution — the volume monitor a
     // pipeline runs on its ingest (outage/burst detection). Moments
@@ -710,6 +745,31 @@ object Relational {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
         |) ORDER BY step""".stripMargin,
+    "k_anonymity_report" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+        |  count(*) < 10 AS risky
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // the incremental fold must serve the FULL-history panel — sharing
+    // events_anomaly_daily's oracle pins fold ≡ direct by hash
+    "anomaly_monitor_incremental" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS bucket,
+        |    count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(n_events)::BIGINT AS s1,
+        |    sum(n_events * n_events)::BIGINT AS s2 FROM b GROUP BY 1),
+        |z AS (SELECT b.event_type, b.bucket, b.n_events,
+        |    m.s1::DOUBLE / m.n AS mean_raw,
+        |    CASE WHEN m.n > 1 AND m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+        |      (b.n_events - m.s1::DOUBLE / m.n) /
+        |      sqrt((m.n * m.s2 - m.s1 * m.s1)::DOUBLE / (m.n * (m.n - 1)))
+        |    END AS zraw
+        |  FROM b JOIN m USING (event_type))
+        |SELECT event_type, bucket, n_events,
+        |  round(mean_raw, 6) AS mean_events, round(zraw, 6) AS z,
+        |  coalesce(abs(zraw) > 2.0, false) AS is_anomaly
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
     // the identical pinned parenthesization over the same integer sums;
     // the verdict compares the RAW z (same doubles), rounding only the
     // reported columns

@@ -267,6 +267,40 @@ class CurationSpec extends AnyFunSuite {
     assert(fz.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
 
+  test("live stream volume monitor: foreachBatch rollup fold equals the direct panel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{Profile, Rollup}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("volmon").toString + "/agg"
+    val ns = 1000000000L
+    // (group, tsNanos): group a gets a burst in bucket 7 — n=8, s1=95,
+    // s2=3775 ⇒ sd≈19.45, z(60)≈2.47 > 2; group b is zero-variance
+    val all = (0 until 7).flatMap(b => (0 until 5).map(_ => ("a", b * ns + 1L))) ++
+      (0 until 60).map(_ => ("a", 7 * ns + 1L)) ++
+      (0 until 8).flatMap(b => Seq(("b", b * ns + 1L)))
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDS().toDF("g", "ts").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Rollup.maintain(spark, root,
+          batch.select($"g", Profile.bucketOf("ts", ns).as("bucket")),
+          Seq("g", "bucket"), Seq()): Unit
+      }.start()
+    try {
+      // three micro-batches in arbitrary interleaving
+      val (b1, rest) = all.splitAt(20)
+      val (b2, b3) = rest.splitAt(15)
+      Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val folded = Profile.anomaliesFromCounts(
+      Rollup.readRollup(spark, root, Seq()).get.withColumnRenamed("n", "n_events"),
+      "g", zThreshold = 2.0)
+    val direct = Profile.activityAnomalies(all.toDF("g", "ts"), "g", "ts", ns)
+    assert(folded.orderBy($"g", $"bucket").collect().toSeq ==
+      direct.orderBy($"g", $"bucket").collect().toSeq)
+    assert(folded.filter($"is_anomaly").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet == Set(("a", 7L)))
+  }
+
   test("charBigramEntropy matches hand-computed values") {
     val df = Seq(
       (1L, "aaaa"),   // bigrams aa,aa,aa -> H = 0
