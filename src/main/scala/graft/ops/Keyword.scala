@@ -102,39 +102,56 @@ object Keyword {
     * BM25 can't express (the lexical sidecar stores per-(term,doc)
     * aggregates; phrase matching needs positions).
     *
-    * Plan shape: positional postings `(doc, pos, term)` from one
-    * posexplode, filtered to the m phrase terms AT THE SCAN (everything
-    * else never leaves the projection); leg i maps matches of term_i to
-    * its implied phrase start `pos − i`; a start is a real occurrence iff
-    * all m distinct legs agree ⇒ ONE hash-aggregate on (doc, start)
-    * counting distinct leg indices — one shuffle total, no self-join
-    * chain, no positional array intersection. Hot terms inflate only
-    * their own leg's rows, never a join key; the exchange carries
-    * (doc, start, leg) triples bounded by Σ tf(term_i), the same volume
-    * an inverted index would read for the query.
+    * Plan shape: ONE pass — positional postings `(doc, pos, term)` from
+    * one posexplode, filtered to the m phrase terms AT THE SCAN
+    * (everything else never leaves the projection); each posting emits
+    * one `(start = pos − i, leg = i)` row per phrase slot i its term
+    * occupies (a transform+filter+explode over the literal phrase — no
+    * per-leg plan branches, no re-scan); a start is a real occurrence
+    * iff all m legs agree ⇒ one hash-aggregate on (doc, start) and one
+    * on doc — two narrow shuffles total, no self-join chain. The
+    * (doc, start, leg) triples are UNIQUE by construction (token
+    * positions are unique within a doc), so plain `count` equals the
+    * distinct-leg count without a dedup round. Hot terms inflate only
+    * their own postings, never a join key; the exchange volume is
+    * Σ tf(term_i) — what an inverted index would read for the query.
     *
     * A repeated term in the phrase contributes one leg per position it
-    * occupies (distinct leg indices, so "a b a" needs 'a' at start AND
-    * start+2). Matching is case-sensitive whitespace-token equality —
+    * occupies ("a b a" needs 'a' at start AND start+2). Matching is
+    * case-sensitive whitespace-token equality —
     * [[TextAnalysis.tokens]], the corpus-wide tokenizer contract.
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phrase must be non-empty")
-    require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
-    val m = phrase.length
     val postings = docs
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
       .toDF(idCol, "__pos", "__term")
       .filter(col("__term").isInCollection(phrase.distinct))
-    val legs = phrase.zipWithIndex.map { case (t, i) =>
-      postings.filter(col("__term") === t)
-        .select(col(idCol), (col("__pos") - i).as("__start"), lit(i).as("__leg"))
-    }.reduce(_ unionByName _)
-    legs.filter(col("__start") >= 0)
+    phraseAgree(postings, idCol, "__pos", "__term", phrase)
+  }
+
+  /** The leg-agreement tail shared by [[phraseSearch]] (scan postings)
+    * and [[phraseSearchIndexed]] (sidecar postings): expand each
+    * `(id, pos, term)` row into its matching (start, leg) slots, then
+    * the two-aggregate agreement count.
+    */
+  private def phraseAgree(postings: DataFrame, idCol: String, posCol: String,
+                          termCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    val m = phrase.length
+    val phraseLit = array(phrase.map(lit): _*)
+    val slots = filter(
+      transform(sequence(lit(0), lit(m - 1)),
+        i => struct((col(posCol) - i).as("start"), i.as("leg"))),
+      x => element_at(phraseLit, x("leg") + 1) === col(termCol) &&
+        x("start") >= 0)
+    postings
+      .select(col(idCol), explode(slots).as("__sl"))
+      .select(col(idCol), col("__sl.start").as("__start"))
       .groupBy(col(idCol), col("__start"))
-      .agg(countDistinct(col("__leg")).as("__hits"))
+      .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === m)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"),
@@ -213,23 +230,12 @@ object Keyword {
         s"positional index at $indexPath is stamped $stamp but store $t is at " +
           s"v$v — stale index; rebuild")
     }
-    val m = phrase.length
     val terms = phrase.distinct
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val flat = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(bucketsOfTerms(spark, terms, buckets): _*) &&
         col("term").isInCollection(terms))
-    val legs = phrase.zipWithIndex.map { case (t, i) =>
-      postings.filter(col("term") === t)
-        .select(col("id"), explode(col("positions")).as("__p"))
-        .select(col("id"), (col("__p") - i).as("__start"), lit(i).as("__leg"))
-    }.reduce(_ unionByName _)
-    legs.filter(col("__start") >= 0)
-      .groupBy(col("id"), col("__start"))
-      .agg(countDistinct(col("__leg")).as("__hits"))
-      .filter(col("__hits") === m)
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_matches"),
-        min(col("__start")).cast("long").as("first_pos"))
+      .select(col("id"), col("term"), explode(col("positions")).as("__p"))
+    phraseAgree(flat, "id", "__p", "term", phrase)
   }
 
   /** The bucket ids [[buildPositionalIndex]]/[[writePostings]] assign

@@ -31,7 +31,11 @@ object ExplainAudit {
       // wave-5/6 surfaces: cluster-scoped dedup, vocabulary-keyed joins,
       // eval panels, contrastive mining, LM scoring
       "semantic_dedup_pairs", "tfidf_top_terms", "retrieval_eval_metrics",
-      "contrastive_triples", "ngram_lm_score", "mix_temperature_sample")
+      "contrastive_triples", "ngram_lm_score", "mix_temperature_sample",
+      // round-9 third-wave surfaces: SIF vocab join, phrase legs
+      // (scan + bucket-pruned index), blocklist battery, anomaly panel
+      "sif_embedding", "phrase_search_positional", "phrase_search_indexed",
+      "blocklist_gate", "events_anomaly_daily", "k_anonymity_report")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)
