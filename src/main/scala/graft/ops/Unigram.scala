@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (the SentencePiece/Kudo 2018 family) —
+  * the OTHER standard tokenizer next to BPE: pieces carry corpus
+  * log-probabilities and each word segments to its maximum-likelihood
+  * piece sequence by Viterbi, instead of replaying greedy merges.
+  *
+  * This is the deterministic single-round variant: the vocabulary is
+  * the count-weighted top-V multi-character substrings plus ALL single
+  * characters (the closure that keeps every word segmentable), with
+  * `logp = ln(cnt / total)`. Real SentencePiece prunes this same seed
+  * vocabulary with EM rounds; the engine exposes the identical plan
+  * shape and swapping in EM-refined scores changes only the vocab
+  * relation. Extends the BPE family (`Bpe.scala`; reference splitter
+  * surface at /root/reference/src/server/utils/embedding.py:161-176).
+  *
+  * Everything is hash-checkable: piece scores are ONE double division
+  * + ln of exact integers; the Viterbi DP adds those doubles in a
+  * PINNED order (position-ascending, candidates compared max-logp →
+  * fewer-pieces → earliest-split) so an external engine replaying the
+  * same recurrence lands on bit-identical path scores; per-document
+  * log-likelihoods fold in document order (the sequential-fold rule).
+  */
+object Unigram {
+
+  /** Candidate substrings of `word` with length 1..maxPieceLen, as a
+    * column expression (no UDF — stays inside codegen).
+    */
+  private def subPieces(word: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(0), length(word) - 1), s =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - s)),
+        l => word.substr(s + 1, l))))
+
+  /** Learn the piece vocabulary from a `(word, cnt)` relation
+    * ([[Bpe.wordCounts]]): top `vocabSize` multi-char substrings by
+    * (weighted count desc, piece asc) ∪ all single characters.
+    * Returns `(piece, pcnt, logp)`.
+    *
+    * Scale: the substring explode is over the DISTINCT-word relation
+    * (vocabulary-sized, the [[Bpe]] discipline), never the corpus; the
+    * counts aggregate map-side; the top-V cut is a TakeOrdered. The
+    * one action computes the vocabulary total for the score constant.
+    */
+  def learnVocab(words: DataFrame, maxPieceLen: Int = 4,
+                 vocabSize: Int = 50): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+    require(vocabSize >= 0, s"vocabSize must be >= 0 (got $vocabSize)")
+    val pieces = words
+      // sequence(0, len-1) on an empty word would generate DESCENDING —
+      // guard here rather than rely on upstream hygiene
+      .filter(length(col("word")) > 0)
+      .select(col("cnt"), explode(subPieces(col("word"), maxPieceLen)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("pcnt"))
+    val multi = pieces.filter(length(col("piece")) > 1)
+      .orderBy(col("pcnt").desc, col("piece")).limit(vocabSize)
+    val vocab = pieces.filter(length(col("piece")) === 1)
+      .unionByName(multi)
+      .localCheckpoint() // two consumers (total + result); vocab-sized
+    val total = vocab.agg(sum(col("pcnt"))).head().getLong(0)
+    vocab.withColumn("logp",
+      log(col("pcnt").cast("double") / lit(total).cast("double")))
+  }
+
+  /** Collect the vocab relation to the broadcastable score map — bounded
+    * by the configured vocabulary size (SentencePiece vocabs are
+    * megabytes at production scale; the reference's own tokenizer ships
+    * in-process the same way).
+    */
+  def vocabMap(vocab: DataFrame): Map[String, Double] =
+    vocab.select(col("piece"), col("logp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Maximum-likelihood segmentation of one word: `(nPieces, logp)`.
+    * DP over end positions; candidates at each position are compared
+    * by (path logp desc, piece count asc, earliest split) — the pinned
+    * total order the oracle replays. Every single char is in the vocab
+    * by construction, so the DP never strands (a char absent from the
+    * vocab means the word was not in the training corpus — those score
+    * -inf and are reported as OOV by the caller).
+    */
+  def viterbi(word: String, logp: Map[String, Double],
+              maxPieceLen: Int): (Int, Double) = {
+    val L = word.length
+    val best = Array.fill(L + 1)(Double.NegativeInfinity)
+    val nPieces = Array.fill(L + 1)(Int.MaxValue)
+    best(0) = 0.0
+    nPieces(0) = 0
+    var i = 1
+    while (i <= L) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          logp.get(word.substring(j, i)) match {
+            case Some(lp) =>
+              val cand = best(j) + lp
+              val np = nPieces(j) + 1
+              if (cand > best(i) || (cand == best(i) && np < nPieces(i))) {
+                best(i) = cand
+                nPieces(i) = np
+              }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(L) == Double.NegativeInfinity) (0, Double.NegativeInfinity)
+    else (nPieces(L), best(L))
+  }
+
+  /** Per-document segmentation stats under a learned vocabulary:
+    * `(idCol, n_words, n_pieces, logp, pieces_per_word)` — subword
+    * fertility and corpus likelihood, the panel that drives tokenizer
+    * selection for a training run.
+    *
+    * Scale shape: Viterbi runs once per DISTINCT word (the
+    * [[Bpe.encodeStats]] trick — vocabulary-sized work, broadcast
+    * scores); the word→stats table broadcasts into the per-document
+    * join, so corpus rows never shuffle to be measured; the per-doc
+    * log-likelihood folds position-ascending (collect + sort +
+    * sequential aggregate — bit-identical cross-engine); `n_pieces` is
+    * an integer sum (order-free). Words containing characters unseen at
+    * vocab time (impossible when scored on the training corpus itself)
+    * are dropped from the panel with their documents' OOV count
+    * reported — never silently scored.
+    */
+  def segmentStats(docs: DataFrame, idCol: String, textCol: String,
+                   vocab: Map[String, Double],
+                   maxPieceLen: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val vit = udf((w: String) => {
+      val (np, lp) = viterbi(w, vocab, maxPieceLen)
+      (np, lp)
+    })
+    val toks = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
+      .toDF(idCol, "__pos", "__word")
+      .filter(length(col("__word")) > 0)
+    val wordStats = toks.select(col("__word")).distinct()
+      .withColumn("__s", vit(col("__word")))
+      .select(col("__word"), col("__s._1").as("__np"),
+        col("__s._2").as("__lp"))
+    toks.join(broadcast(wordStats), Seq("__word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__lp") === Double.NegativeInfinity, 1L).otherwise(0L))
+          .as("n_oov_words"),
+        sum(when(col("__lp") =!= Double.NegativeInfinity, col("__np"))
+          .otherwise(0L)).cast("long").as("n_pieces"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("__pos"),
+              when(col("__lp") =!= Double.NegativeInfinity, col("__lp"))
+                .otherwise(lit(0.0d)).as("lp")))),
+            x => x("lp")),
+          lit(0.0d), (acc, x) => acc + x).as("__logp"))
+      .select(col(idCol), col("n_words"), col("n_oov_words"), col("n_pieces"),
+        round(col("__logp"), 6).as("logp"),
+        when(col("n_words") > col("n_oov_words"),
+          round(col("n_pieces").cast("double") /
+            (col("n_words") - col("n_oov_words")), 6))
+          .otherwise(lit(0.0d)).as("pieces_per_word"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Bpe, Unigram}
+
+/** Unigram-LM tokenizer: vocabulary learning, Viterbi segmentation
+  * (max-likelihood path, pinned tie rules, OOV), per-doc stats.
+  */
+class UnigramSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("viterbi: picks the max-likelihood split, not the greedy one") {
+    // greedy longest-match would take 'ab' + stranded 'c' (-1.0 -4.0 = -5.0);
+    // best is 'a' + 'bc' (-2.0 - 1.5 = -3.5)
+    val v = Map("a" -> -2.0, "b" -> -3.0, "c" -> -4.0, "ab" -> -1.0, "bc" -> -1.5)
+    assert(Unigram.viterbi("abc", v, 4) == ((2, -3.5)))
+    // single pieces
+    assert(Unigram.viterbi("a", v, 4) == ((1, -2.0)))
+    assert(Unigram.viterbi("ab", v, 4) == ((1, -1.0)))
+  }
+
+  test("viterbi: equal-likelihood paths resolve to fewer pieces") {
+    // 'aa' via piece 'aa' (-2.0) ties 'a'+'a' (-1.0 + -1.0): fewer pieces wins
+    val v = Map("a" -> -1.0, "aa" -> -2.0)
+    assert(Unigram.viterbi("aa", v, 4) == ((1, -2.0)))
+  }
+
+  test("viterbi: maxPieceLen bounds the lookback; OOV chars score -inf") {
+    val v = Map("a" -> -1.0, "aaaa" -> -0.5)
+    // maxPieceLen 2: the 4-char piece is unreachable
+    assert(Unigram.viterbi("aaaa", v, 2) == ((4, -4.0)))
+    assert(Unigram.viterbi("aaaa", v, 4) == ((1, -0.5)))
+    val (np, lp) = Unigram.viterbi("ax", v, 4) // 'x' not in vocab
+    assert(np == 0 && lp == Double.NegativeInfinity)
+  }
+
+  test("learnVocab: all single chars kept, multi-char cut at (count desc, piece asc)") {
+    val words = Seq(("abab", 10L), ("cd", 1L)).toDF("word", "cnt")
+    val vocab = Unigram.learnVocab(words, maxPieceLen = 2, vocabSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // chars: a,b appear 20x each in 'abab'(2 each x10), c,d 1x
+    assert(vocab("a") == 20L && vocab("b") == 20L && vocab("c") == 1L && vocab("d") == 1L)
+    // 2-grams of 'abab': ab(2x10=20), ba(10); 'cd': cd(1). top-2 = ab, ba
+    assert(vocab.contains("ab") && vocab.contains("ba") && !vocab.contains("cd"))
+    assert(vocab.size == 6)
+  }
+
+  test("segmentStats: per-doc fertility over distinct-word Viterbi") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "cd")).toDF("doc_id", "text")
+    val vocab = Unigram.vocabMap(
+      Unigram.learnVocab(Bpe.wordCounts(docs, "text"), 2, vocabSize = 4))
+    val got = Unigram.segmentStats(docs, "doc_id", "text", vocab, 2)
+      .orderBy($"doc_id").collect()
+    // 'abab' -> ab+ab (2 pieces); 'cd' -> ... depends on learned scores, but
+    // counts are structural: doc 1 has 3 words, doc 2 has 1
+    assert(got(0).getLong(1) == 3L && got(1).getLong(1) == 1L)
+    assert(got(0).getLong(2) == 0L) // no OOV when scored on the training corpus
+    assert(got(0).getLong(3) >= 2L + 2L + 1L) // at least the piece minimum
+    // doc 2's single word must match the distinct-word Viterbi directly
+    val (npCd, lpCd) = Unigram.viterbi("cd", vocab, 2)
+    assert(got(1).getLong(3) == npCd.toLong)
+    assert(got(1).getDouble(4) ==
+      BigDecimal(lpCd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
