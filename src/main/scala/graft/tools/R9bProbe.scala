@@ -69,6 +69,28 @@ object R9bProbe {
     report("blocklist_gate",
       time(bl(docs1).count()), time(bl(docsN).count()))
 
+    // unigram: the vocab-disjoint replication multiplies DISTINCT words
+    // by N — the worst case for the per-distinct-word Viterbi
+    def uni(d: org.apache.spark.sql.DataFrame) = {
+      val vocab = graft.ops.Unigram.learnVocab(
+        graft.ops.Bpe.wordCounts(d, "text"), maxPieceLen = 4, vocabSize = 50)
+      graft.ops.Unigram.segmentStats(d, "doc_id", "text",
+        graft.ops.Unigram.vocabMap(vocab), maxPieceLen = 4)
+    }
+    report("unigram_segment_stats",
+      time(uni(docs1).count()), time(uni(docsN).count()))
+
+    val ev1 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select($"event_type", $"ts").localCheckpoint()
+    val evN = (0 until n).map { i =>
+      ev1.select(concat($"event_type", lit("_" + i)).as("event_type"), $"ts")
+    }.reduce(_ union _).localCheckpoint()
+    def anom(e: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.activityAnomalies(e, "event_type", "ts",
+        bucketNs = 86400L * 1000000000L)
+    report("events_anomaly",
+      time(anom(ev1).count()), time(anom(evN).count()))
+
     spark.stop()
   }
 }
