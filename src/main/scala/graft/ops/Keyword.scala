@@ -170,10 +170,9 @@ object Keyword {
     * [[VersionedStore]] table it refuses to serve once the store moves
     * (stamp checked by the query path); stats retire first so a
     * mid-build failure leaves an index that refuses, never one serving
-    * partial postings. No incremental fold is provided — positional
-    * postings are per-(doc, term) facts exactly like the lexical ones,
-    * so the [[appendToLexicalIndexForStore]] pattern applies verbatim
-    * when a deployment needs it.
+    * partial postings. [[appendToPositionalIndexForStore]] folds
+    * appended rows in O(new docs) — positional postings are
+    * per-(doc, term) facts exactly like the lexical ones.
     */
   def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String, buckets: Int = 64,
@@ -182,6 +181,28 @@ object Keyword {
     val stamp = store.map(t => (t, VersionedStore.currentState(spark, t)
       .map(_.version).getOrElse(0L)))
     graft.Fs.delete(spark, s"$path/_stats")
+    val n = writePositionalPostings(docs, idCol, textCol, path, buckets,
+      "overwrite")
+    stamp.foreach { case (table, v0) =>
+      val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+      require(v1 == v0,
+        s"store $table moved from version $v0 to $v1 during the index build — " +
+          "the postings describe a superseded snapshot; rebuild")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$n $buckets ${stamp.map("v" + _._2).getOrElse("-")}")
+  }
+
+  /** Tokenize `docs` and write `(term, id, positions)` rows into
+    * `path/postings` under the bucket layout; returns the doc count of
+    * exactly the rows written. Shared by the full build ("overwrite")
+    * and the incremental appender ("append" — per-(doc, term) facts, so
+    * new-doc rows land next to the old ones and query-time matching
+    * needs no merge step).
+    */
+  private def writePositionalPostings(docs: DataFrame, idCol: String,
+                                      textCol: String, path: String,
+                                      buckets: Int, mode: String): Long = {
     val toks = docs
       .select(col(idCol).as("id"),
         posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
@@ -192,15 +213,49 @@ object Keyword {
       .agg(array_sort(collect_list(col("__pos").cast("int"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
       .repartition(col("bucket")) // bounded file count, as in writePostings
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    stamp.foreach { case (table, v0) =>
-      val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-      require(v1 == v0,
-        s"store $table moved from version $v0 to $v1 during the index build — " +
-          "the postings describe a superseded snapshot; rebuild")
-    }
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+    n
+  }
+
+  /** Incremental positional-index maintenance — the
+    * [[appendToLexicalIndexForStore]] contract verbatim: fold the rows
+    * appended to `table` since the index's stamp and advance it;
+    * O(new docs) tokenize + append, exact (per-(doc, term) facts, no
+    * merge step), valid only over pure-append history (a compaction
+    * fails loudly — rebuild), stamp-first crash-safety.
+    */
+  def appendToPositionalIndexForStore(spark: org.apache.spark.sql.SparkSession,
+                                      table: String, idCol: String,
+                                      textCol: String, path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3, s"damaged _stats at $path — rebuild")
+    val (n0, buckets, stamp) = (stats(0).toLong, stats(1).toInt, stats(2))
+    require(stamp.startsWith("v"),
+      s"positional index at $path carries no store stamp — incremental " +
+        "maintenance needs the build-time snapshot version; rebuild with " +
+        "buildPositionalIndex(store = ...)")
+    val v0 = stamp.drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return // already fresh
+    require(cur.version > v0,
+      s"index stamp v$v0 is ahead of $table's current version ${cur.version} — " +
+        "the index describes a store state that no longer exists; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append — " +
+        "incremental postings would double-count rewritten rows; rebuild")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats") // stamp-first crash-safety
+    val nNew =
+      if (newSegs.isEmpty) 0L
+      else writePositionalPostings(
+        newSegs.map(sg => spark.read.parquet(s"$table/$sg")).reduce(_ unionByName _),
+        idCol, textCol, path, buckets, "append")
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"$n $buckets ${stamp.map("v" + _._2).getOrElse("-")}")
+      s"${n0 + nNew} $buckets v${cur.version}")
   }
 
   /** [[phraseSearch]] served from a [[buildPositionalIndex]] sidecar:

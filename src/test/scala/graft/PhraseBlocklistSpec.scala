@@ -84,6 +84,43 @@ class PhraseBlocklistSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("phrase index incremental fold equals rebuild; compaction refuses") {
+    val root = java.nio.file.Files.createTempDirectory("posidx-inc").toString
+    val t = s"$root/t"
+    graft.ops.VersionedStore.append(spark, t, Seq(
+      (1L, "fast merge a"), (2L, "x fast merge")).toDF("doc_id", "text"))
+    val idx = s"$root/idx"
+    graft.ops.Keyword.buildPositionalIndex(
+      graft.ops.VersionedStore.read(spark, t).get, "doc_id", "text", idx,
+      store = Some(t))
+    graft.ops.VersionedStore.append(spark, t, Seq(
+      (3L, "fast merge fast merge")).toDF("doc_id", "text"))
+    graft.ops.Keyword.appendToPositionalIndexForStore(spark, t,
+      "doc_id", "text", idx)
+    val served = graft.ops.Keyword
+      .phraseSearchIndexed(spark, idx, Seq("fast", "merge"), store = Some(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fold must equal a fresh rebuild at the same version
+    val idx2 = s"$root/idx2"
+    graft.ops.Keyword.buildPositionalIndex(
+      graft.ops.VersionedStore.read(spark, t).get, "doc_id", "text", idx2,
+      store = Some(t))
+    val rebuilt = graft.ops.Keyword
+      .phraseSearchIndexed(spark, idx2, Seq("fast", "merge"), store = Some(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == rebuilt)
+    assert(served == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 2L, 0L)))
+    // a compaction rewrites covered segments -> the fold must refuse
+    graft.ops.VersionedStore.compact(spark, t)
+    graft.ops.VersionedStore.append(spark, t,
+      Seq((4L, "fast merge")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Keyword.appendToPositionalIndexForStore(spark, t,
+        "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("pure-append"))
+  }
+
   test("blocklistGate: counts, ratio, and both verdicts") {
     val df = Seq(
       (1L, "clean text only"),
