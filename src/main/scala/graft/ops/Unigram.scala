@@ -130,7 +130,8 @@ object Unigram {
     */
   def segmentStats(docs: DataFrame, idCol: String, textCol: String,
                    vocab: Map[String, Double],
-                   maxPieceLen: Int = 4): DataFrame = {
+                   maxPieceLen: Int = 4,
+                   broadcastWords: Boolean = true): DataFrame = {
     require(vocab.nonEmpty, "vocab must not be empty")
     val vit = udf((w: String) => {
       val (np, lp) = viterbi(w, vocab, maxPieceLen)
@@ -145,7 +146,13 @@ object Unigram {
       .withColumn("__s", vit(col("__word")))
       .select(col("__word"), col("__s._1").as("__np"),
         col("__s._2").as("__lp"))
-    toks.join(broadcast(wordStats), Seq("__word"))
+    // the distinct-word relation is vocabulary-sized, not corpus-sized,
+    // but a web-scale corpus still grows it past the broadcast budget —
+    // flip broadcastWords off to join SHUFFLE_HASH (hot words stay off
+    // the sort path either way)
+    val wordSide = if (broadcastWords) broadcast(wordStats)
+                   else wordStats.hint("SHUFFLE_HASH")
+    toks.join(wordSide, Seq("__word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("__lp") === Double.NegativeInfinity, 1L).otherwise(0L))

@@ -1415,6 +1415,25 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Sequence packing measured in UNIGRAM pieces — the pack_bpe_windows
+    // construction under the other tokenizer family; the oracle chains
+    // the full unigram replay into the packing window.
+    "pack_unigram_windows" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val vocab = graft.ops.Unigram.learnVocab(
+        graft.ops.Bpe.wordCounts(docs, "text"), maxPieceLen = 4, vocabSize = 50)
+      val stats = graft.ops.Unigram.segmentStats(docs, "doc_id", "text",
+        graft.ops.Unigram.vocabMap(vocab), maxPieceLen = 4)
+      val counted = docs.select($"doc_id")
+        .join(stats.select($"doc_id", $"n_pieces"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_pieces", lit(0L)).as("tokens"))
+      graft.ops.Sampling.packWindows(counted, "doc_id", "tokens",
+          budget = 512, seed = "u0")
+        .select($"doc_id", $"position", $"offset", $"first_window", $"last_window")
+        .orderBy($"position")
+    }),
+
     // Blocklist document gate — the C4 bad-words rule (drop on any hit)
     // next to the softer per-mille ratio gate; integer
     // cross-multiplication keeps the ratio verdict float-free.
@@ -2026,6 +2045,53 @@ object TextQueries {
        |  round(coalesce(sc.chrf, 0), 6) AS chrf
        |FROM pr LEFT JOIN sc USING (doc_id) ORDER BY pr.doc_id""".stripMargin
   }
+
+  /** The unigram model CTE chain (tokenize → vocab → recursive-CTE
+    * Viterbi → per-doc folds) shared by the stats and packing
+    * oracles — packing must consume the SAME piece counts.
+    */
+  private val unigramCtes: String =
+    """WITH toks AS (SELECT doc_id, r['pos'] AS pos, r['w'] AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(a) + 1),
+        |        i -> {'pos': i, 'w': a[i]})) AS r
+        |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |            t -> t <> '') AS a FROM documents))),
+        |wc AS (SELECT w AS word, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+        |cand AS (SELECT piece, sum(cnt)::BIGINT AS pcnt FROM (
+        |    SELECT cnt, unnest(flatten(list_transform(range(0, len(word)),
+        |        s -> list_transform(range(1, least(4, len(word) - s) + 1),
+        |          l -> word[(s+1)::INT : (s+l)::INT])))) AS piece
+        |    FROM wc) GROUP BY piece),
+        |multi AS (SELECT piece, pcnt FROM cand WHERE len(piece) > 1
+        |  ORDER BY pcnt DESC, piece LIMIT 50),
+        |chars AS (SELECT piece, pcnt FROM cand WHERE len(piece) = 1),
+        |vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+        |tot AS (SELECT sum(pcnt)::BIGINT AS t FROM vocab0),
+        |vocab AS (SELECT piece, ln(pcnt::DOUBLE / t::DOUBLE) AS logp FROM vocab0, tot),
+        |dwords AS (SELECT DISTINCT w AS word FROM toks),
+        |vit AS (
+        |  WITH RECURSIVE v(word, i, best, pieces) AS (
+        |    SELECT word, 0, [0.0::DOUBLE], [0] FROM dwords
+        |    UNION ALL
+        |    SELECT v.word, v.i + 1, list_append(v.best, w.cand), list_append(v.pieces, w.np)
+        |    FROM v, LATERAL (
+        |      SELECT vb.cand, vb.np FROM (
+        |        SELECT v.best[(u.j+1)::INT] + vo.logp AS cand,
+        |               v.pieces[(u.j+1)::INT] + 1 AS np, u.j AS j
+        |        FROM unnest(range(greatest(0, v.i + 1 - 4), v.i + 1)) AS u(j)
+        |        JOIN vocab vo ON vo.piece = substr(v.word, (u.j+1)::INT, (v.i+1-u.j)::INT)
+        |      ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1
+        |    ) w
+        |    WHERE v.i < len(v.word))
+        |  SELECT word, pieces[(len(word)+1)::INT] AS np,
+        |         best[(len(word)+1)::INT] AS lp
+        |  FROM v WHERE i = len(word)),
+        |doc AS (SELECT t.doc_id, t.pos, ws.np, ws.lp FROM toks t JOIN vit ws ON ws.word = t.w),
+        |folded AS (SELECT doc_id, count(*)::BIGINT AS n_words, 0::BIGINT AS n_oov_words,
+        |    sum(np)::BIGINT AS n_pieces,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+        |      (acc, x) -> acc + x) AS logp_raw
+        |  FROM doc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "eval_chrf" -> chrfOracle,
@@ -3003,53 +3069,29 @@ object TextQueries {
     // (candidates ordered logp DESC, pieces ASC, split ASC -- the
     // engine's pinned tie rule), and the per-doc sequential fold
     "unigram_segment_stats" ->
-      """WITH toks AS (SELECT doc_id, r['pos'] AS pos, r['w'] AS w FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(a) + 1),
-        |        i -> {'pos': i, 'w': a[i]})) AS r
-        |    FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |            t -> t <> '') AS a FROM documents))),
-        |wc AS (SELECT w AS word, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
-        |cand AS (SELECT piece, sum(cnt)::BIGINT AS pcnt FROM (
-        |    SELECT cnt, unnest(flatten(list_transform(range(0, len(word)),
-        |        s -> list_transform(range(1, least(4, len(word) - s) + 1),
-        |          l -> word[(s+1)::INT : (s+l)::INT])))) AS piece
-        |    FROM wc) GROUP BY piece),
-        |multi AS (SELECT piece, pcnt FROM cand WHERE len(piece) > 1
-        |  ORDER BY pcnt DESC, piece LIMIT 50),
-        |chars AS (SELECT piece, pcnt FROM cand WHERE len(piece) = 1),
-        |vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
-        |tot AS (SELECT sum(pcnt)::BIGINT AS t FROM vocab0),
-        |vocab AS (SELECT piece, ln(pcnt::DOUBLE / t::DOUBLE) AS logp FROM vocab0, tot),
-        |dwords AS (SELECT DISTINCT w AS word FROM toks),
-        |vit AS (
-        |  WITH RECURSIVE v(word, i, best, pieces) AS (
-        |    SELECT word, 0, [0.0::DOUBLE], [0] FROM dwords
-        |    UNION ALL
-        |    SELECT v.word, v.i + 1, list_append(v.best, w.cand), list_append(v.pieces, w.np)
-        |    FROM v, LATERAL (
-        |      SELECT vb.cand, vb.np FROM (
-        |        SELECT v.best[(u.j+1)::INT] + vo.logp AS cand,
-        |               v.pieces[(u.j+1)::INT] + 1 AS np, u.j AS j
-        |        FROM unnest(range(greatest(0, v.i + 1 - 4), v.i + 1)) AS u(j)
-        |        JOIN vocab vo ON vo.piece = substr(v.word, (u.j+1)::INT, (v.i+1-u.j)::INT)
-        |      ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1
-        |    ) w
-        |    WHERE v.i < len(v.word))
-        |  SELECT word, pieces[(len(word)+1)::INT] AS np,
-        |         best[(len(word)+1)::INT] AS lp
-        |  FROM v WHERE i = len(word)),
-        |doc AS (SELECT t.doc_id, t.pos, ws.np, ws.lp FROM toks t JOIN vit ws ON ws.word = t.w),
-        |folded AS (SELECT doc_id, count(*)::BIGINT AS n_words, 0::BIGINT AS n_oov_words,
-        |    sum(np)::BIGINT AS n_pieces,
-        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
-        |      (acc, x) -> acc + x) AS logp_raw
-        |  FROM doc GROUP BY doc_id)
+      (unigramCtes + """
         |SELECT doc_id, n_words, n_oov_words, n_pieces, round(logp_raw, 6) AS logp,
         |  CASE WHEN n_words > n_oov_words
         |       THEN round(n_pieces::DOUBLE / (n_words - n_oov_words), 6)
         |       ELSE 0.0 END AS pieces_per_word
-        |FROM folded ORDER BY doc_id
-        |""".stripMargin,
+        |FROM folded ORDER BY doc_id""".stripMargin),
+    // the same piece counts chained into the deterministic packing
+    // window (the pack_bpe_windows construction, seed u0)
+    "pack_unigram_windows" ->
+      (unigramCtes + """,
+        |tk AS (SELECT doc.doc_id, coalesce(f.n_pieces, 0)::BIGINT AS tokens
+        |       FROM documents doc LEFT JOIN folded f ON f.doc_id = doc.doc_id)
+        |SELECT doc_id, position, "offset"::BIGINT AS "offset",
+        |  ("offset" // 512)::BIGINT AS first_window,
+        |  (("offset" + greatest(tokens - 1, 0)) // 512)::BIGINT AS last_window
+        |FROM (
+        |  SELECT doc_id, tokens,
+        |    row_number() OVER w AS position,
+        |    coalesce(sum(tokens) OVER (
+        |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+        |  FROM tk
+        |  WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':u0'), doc_id))
+        |ORDER BY position""".stripMargin),
     // both verdicts replayed with the same list kernels; the ratio gate
     // is the identical integer cross-multiplication
     "blocklist_gate" ->

@@ -63,5 +63,9 @@ class UnigramSpec extends AnyFunSuite {
     assert(got(1).getLong(3) == npCd.toLong)
     assert(got(1).getDouble(4) ==
       BigDecimal(lpCd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the SHUFFLE_HASH word-join fallback is bit-identical
+    val sh = Unigram.segmentStats(docs, "doc_id", "text", vocab, 2,
+      broadcastWords = false).orderBy($"doc_id").collect()
+    assert(sh.toSeq == got.toSeq)
   }
 }
