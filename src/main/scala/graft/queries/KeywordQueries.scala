@@ -221,6 +221,21 @@ object KeywordQueries {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // Search-within-results: documents containing the exact phrase,
+    // ranked by BM25 over the phrase-matching SUBSET (the filtered-
+    // collection semantics: N/avgdl/df describe what the user is
+    // searching). Both green legs composed; the phrase filter is a
+    // semi-join of bounded match ids into the scoring scan.
+    "phrase_filtered_bm25" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val matches = Keyword.phraseSearch(docs, "doc_id", "text",
+        Seq("fast", "merge")).select($"doc_id")
+      Keyword.bm25(docs.join(matches, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", Terms, K1, B, topK = 10)
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
     // Positional-index-served phrase search: same answers as the scan
     // path (the shared oracle pins it), but the legs read ONLY the
     // phrase terms' bucket-pruned postings — no corpus text IO.
@@ -393,6 +408,16 @@ object KeywordQueries {
         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
         |SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // the phrase filter as a CTE feeding bm25Sql's WHERE — subset
+    // stats, identical scoring arithmetic
+    "phrase_filtered_bm25" ->
+      s"""WITH pm AS (SELECT doc_id FROM (
+         |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |    FROM documents)
+         |  WHERE len(list_filter(range(1, len(w)),
+         |          i -> w[i] = 'fast' AND w[i+1] = 'merge')) > 0),
+         |${bm25Sql(where = "WHERE doc_id IN (SELECT doc_id FROM pm)", limit = 10)}
+         |SELECT doc_id, bm25 FROM kw ORDER BY bm25 DESC, doc_id""".stripMargin,
     // the indexed path must serve the FULL corpus phrase answers —
     // sharing the scan path's oracle pins indexed ≡ scan by hash
     "phrase_search_indexed" ->
