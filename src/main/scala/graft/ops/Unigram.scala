@@ -83,11 +83,37 @@ object Unigram {
     */
   def viterbi(word: String, logp: Map[String, Double],
               maxPieceLen: Int): (Int, Double) = {
+    val (best, nPieces, _) = viterbiTables(word, logp, maxPieceLen)
+    val L = word.length
+    if (best(L) == Double.NegativeInfinity) (0, Double.NegativeInfinity)
+    else (nPieces(L), best(L))
+  }
+
+  /** The max-likelihood piece sequence itself (tokenizer output):
+    * backpointer walk over the same DP — empty for OOV words.
+    */
+  def viterbiSegment(word: String, logp: Map[String, Double],
+                     maxPieceLen: Int): Seq[String] = {
+    val (best, _, back) = viterbiTables(word, logp, maxPieceLen)
+    val L = word.length
+    if (L == 0 || best(L) == Double.NegativeInfinity) Seq.empty
+    else {
+      val rev = scala.collection.mutable.ListBuffer.empty[String]
+      var i = L
+      while (i > 0) { rev.prepend(word.substring(back(i), i)); i = back(i) }
+      rev.toList
+    }
+  }
+
+  private def viterbiTables(word: String, logp: Map[String, Double],
+                            maxPieceLen: Int): (Array[Double], Array[Int], Array[Int]) = {
     val L = word.length
     val best = Array.fill(L + 1)(Double.NegativeInfinity)
     val nPieces = Array.fill(L + 1)(Int.MaxValue)
+    val back = Array.fill(L + 1)(-1)
     best(0) = 0.0
     nPieces(0) = 0
+    back(0) = 0
     var i = 1
     while (i <= L) {
       var j = math.max(0, i - maxPieceLen)
@@ -100,6 +126,7 @@ object Unigram {
               if (cand > best(i) || (cand == best(i) && np < nPieces(i))) {
                 best(i) = cand
                 nPieces(i) = np
+                back(i) = j
               }
             case None => ()
           }
@@ -108,8 +135,30 @@ object Unigram {
       }
       i += 1
     }
-    if (best(L) == Double.NegativeInfinity) (0, Double.NegativeInfinity)
-    else (nPieces(L), best(L))
+    (best, nPieces, back)
+  }
+
+  /** Tokenizer-apply over the corpus vocabulary: one row per DISTINCT
+    * word with its max-likelihood segmentation — what ships as the
+    * word→pieces table a training run's data loader consumes. Segmentations
+    * are space-joined (pieces contain no whitespace by construction:
+    * they are substrings of whitespace tokens).
+    */
+  def encodeWords(docs: DataFrame, textCol: String,
+                  vocab: Map[String, Double],
+                  maxPieceLen: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val seg = udf((w: String) =>
+      viterbiSegment(w, vocab, maxPieceLen).mkString(" "))
+    docs
+      .select(explode(
+        filter(TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
+          t => length(t) > 0)).as("word"))
+      .distinct()
+      .withColumn("segmentation", seg(col("word")))
+      .withColumn("n_pieces",
+        when(length(col("segmentation")) > 0,
+          size(split(col("segmentation"), " "))).otherwise(0).cast("long"))
   }
 
   /** Per-document segmentation stats under a learned vocabulary:

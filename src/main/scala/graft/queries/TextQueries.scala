@@ -1415,6 +1415,20 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // The tokenizer's actual output: one row per distinct word with its
+    // max-likelihood piece sequence (backpointer walk) — hash-exact
+    // against the oracle's DP + walk replay.
+    "unigram_encode_words" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val vocab = graft.ops.Unigram.learnVocab(
+        graft.ops.Bpe.wordCounts(docs, "text"), maxPieceLen = 4, vocabSize = 50)
+      graft.ops.Unigram.encodeWords(docs, "text",
+          graft.ops.Unigram.vocabMap(vocab), maxPieceLen = 4)
+        .select($"word", $"segmentation", $"n_pieces")
+        .orderBy($"word")
+    }),
+
     // Sequence packing measured in UNIGRAM pieces — the pack_bpe_windows
     // construction under the other tokenizer family; the oracle chains
     // the full unigram replay into the packing window.
@@ -2050,7 +2064,11 @@ object TextQueries {
     * Viterbi → per-doc folds) shared by the stats and packing
     * oracles — packing must consume the SAME piece counts.
     */
-  private val unigramCtes: String =
+  /** The unigram vocabulary CTE chain (tokenize → weighted substring
+    * counts → top-V + chars → scores → distinct words) shared by the
+    * stats, packing, and encode oracles.
+    */
+  private val unigramVocabCtes: String =
     """WITH toks AS (SELECT doc_id, r['pos'] AS pos, r['w'] AS w FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(a) + 1),
         |        i -> {'pos': i, 'w': a[i]})) AS r
@@ -2068,7 +2086,10 @@ object TextQueries {
         |vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
         |tot AS (SELECT sum(pcnt)::BIGINT AS t FROM vocab0),
         |vocab AS (SELECT piece, ln(pcnt::DOUBLE / t::DOUBLE) AS logp FROM vocab0, tot),
-        |dwords AS (SELECT DISTINCT w AS word FROM toks),
+        |dwords AS (SELECT DISTINCT w AS word FROM toks)""".stripMargin
+
+  private val unigramCtes: String =
+    unigramVocabCtes + """,
         |vit AS (
         |  WITH RECURSIVE v(word, i, best, pieces) AS (
         |    SELECT word, 0, [0.0::DOUBLE], [0] FROM dwords
@@ -3068,6 +3089,40 @@ object TextQueries {
     // DP as a recursive CTE with the best/pieces arrays as LIST state
     // (candidates ordered logp DESC, pieces ASC, split ASC -- the
     // engine's pinned tie rule), and the per-doc sequential fold
+    // the DP re-run with the backpointer list in the recursive state,
+    // then the segmentation reconstructed by a second recursive walk
+    "unigram_encode_words" ->
+      (unigramVocabCtes + """
+        |,
+        |vit AS (
+        |  WITH RECURSIVE v(word, i, best, pieces, back) AS (
+        |    SELECT word, 0, [0.0::DOUBLE], [0], [0] FROM dwords
+        |    UNION ALL
+        |    SELECT v.word, v.i + 1, list_append(v.best, w.cand),
+        |           list_append(v.pieces, w.np), list_append(v.back, w.j)
+        |    FROM v, LATERAL (
+        |      SELECT vb.cand, vb.np, vb.j FROM (
+        |        SELECT v.best[(u.j+1)::INT] + vo.logp AS cand,
+        |               v.pieces[(u.j+1)::INT] + 1 AS np, u.j AS j
+        |        FROM unnest(range(greatest(0, v.i + 1 - 4), v.i + 1)) AS u(j)
+        |        JOIN vocab vo ON vo.piece = substr(v.word, (u.j+1)::INT, (v.i+1-u.j)::INT)
+        |      ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1
+        |    ) w
+        |    WHERE v.i < len(v.word))
+        |  SELECT word, pieces[(len(word)+1)::INT] AS np, back
+        |  FROM v WHERE i = len(word)),
+        |walk AS (
+        |  WITH RECURSIVE wk(word, i, pieces) AS (
+        |    SELECT word, len(word), []::VARCHAR[] FROM vit
+        |    UNION ALL
+        |    SELECT wk.word, b.back[(wk.i+1)::INT]::INT,
+        |      list_prepend(substr(wk.word, (b.back[(wk.i+1)::INT]+1)::INT,
+        |        (wk.i - b.back[(wk.i+1)::INT])::INT), wk.pieces)
+        |    FROM wk JOIN vit b USING (word) WHERE wk.i > 0)
+        |  SELECT word, pieces FROM wk WHERE i = 0)
+        |SELECT w.word, array_to_string(w.pieces, ' ') AS segmentation,
+        |  v.np::BIGINT AS n_pieces
+        |FROM walk w JOIN vit v USING (word) ORDER BY w.word""".stripMargin),
     "unigram_segment_stats" ->
       (unigramCtes + """
         |SELECT doc_id, n_words, n_oov_words, n_pieces, round(logp_raw, 6) AS logp,

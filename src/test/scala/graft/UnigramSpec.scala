@@ -68,4 +68,25 @@ class UnigramSpec extends AnyFunSuite {
       broadcastWords = false).orderBy($"doc_id").collect()
     assert(sh.toSeq == got.toSeq)
   }
+
+  test("viterbiSegment: pieces concatenate to the word, count matches the DP") {
+    val v = Map("a" -> -2.0, "b" -> -3.0, "c" -> -4.0, "ab" -> -1.0, "bc" -> -1.5)
+    assert(Unigram.viterbiSegment("abc", v, 4) == Seq("a", "bc"))
+    assert(Unigram.viterbiSegment("ab", v, 4) == Seq("ab"))
+    assert(Unigram.viterbiSegment("ax", v, 4).isEmpty) // OOV
+    assert(Unigram.viterbiSegment("", v, 4).isEmpty)
+    // structural invariants on a larger random-ish word
+    val w = "abcabcbab"
+    val seg = Unigram.viterbiSegment(w, v, 4)
+    assert(seg.mkString("") == w)
+    assert(seg.length == Unigram.viterbi(w, v, 4)._1)
+  }
+
+  test("encodeWords: one row per distinct word, segmentation rebuilds the word") {
+    val docs = Seq((1L, "abc ab abc"), (2L, "ab")).toDF("doc_id", "text")
+    val v = Map("a" -> -2.0, "b" -> -3.0, "c" -> -4.0, "ab" -> -1.0, "bc" -> -1.5)
+    val got = Unigram.encodeWords(docs, "text", v, 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("abc", "a bc", 2L), ("ab", "ab", 1L)))
+  }
 }
