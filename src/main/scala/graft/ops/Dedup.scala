@@ -1242,4 +1242,47 @@ object Dedup {
       nearDupAgainstStore(spark, batch, idCol, textCol, table, path, threshold)
         .select(col("batch_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** LSH band planning — the parameter decision every MinHash dedup at
+    * scale starts with: for a signature of `numHashes` rows, every
+    * factorization `bands × rowsPerBand = numHashes` trades false
+    * positives (candidate pairs below the target similarity — wasted
+    * verify work) against false negatives (missed near-dups). For each
+    * factorization this emits the S-curve capture probability
+    * `P(candidate | s) = 1 − (1 − s^r)^b` at the target threshold and
+    * at ±0.1 around it, the curve's inflection `(1/b)^(1/r)`, and marks
+    * the plan whose inflection lands closest to the target (ties to
+    * fewer bands — cheaper candidate generation). Pure double
+    * arithmetic (pow/ln) in a pinned order, so an external engine
+    * replays every row; |divisors(numHashes)| rows total — a planning
+    * relation, not data.
+    */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession,
+                  numHashes: Int, threshold: Double): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1 (got $numHashes)")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1) (got $threshold)")
+    import spark.implicits._
+    val plans = (1 to numHashes).filter(numHashes % _ == 0).toDF("bands")
+    def pCand(s: Column, r: Column, b: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(s, r), b)
+    val r = (lit(numHashes) / col("bands")).cast("int")
+    val scored = plans
+      .withColumn("rows_per_band", r)
+      .withColumn("inflection",
+        pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")))
+      .withColumn("p_at_threshold",
+        round(pCand(lit(threshold), col("rows_per_band"), col("bands")), 6))
+      .withColumn("p_below",
+        round(pCand(lit(threshold - 0.1), col("rows_per_band"), col("bands")), 6))
+      .withColumn("p_above",
+        round(pCand(lit(threshold + 0.1), col("rows_per_band"), col("bands")), 6))
+      .withColumn("gap", round(abs(col("inflection") - lit(threshold)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gap"), col("bands"))
+    scored
+      .withColumn("chosen", row_number().over(w) === 1)
+      .withColumn("inflection", round(col("inflection"), 6))
+      .drop("gap")
+  }
 }

@@ -421,6 +421,16 @@ object DedupQueries {
         .select($"vec_id", $"label")
         .orderBy($"vec_id")
     }),
+
+    // LSH band planning: the (bands × rows) trade every MinHash dedup
+    // tunes before touching data — S-curve capture probabilities at the
+    // 0.8 target and ±0.1, inflection points, the chosen factorization.
+    "dedup_lsh_band_plan" -> ((s, d) => {
+      import s.implicits._
+      val _ = d // planning relation, corpus-independent
+      Dedup.lshBandPlan(s, numHashes = 32, threshold = 0.8)
+        .orderBy($"bands")
+    }),
   )
 
   /** Fixed-centroid model for the semantic-dedup oracle queries: the
@@ -966,5 +976,25 @@ object DedupQueries {
         |SELECT vec_id, label FROM corp
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // identical double arithmetic in the same order; the ±0.1 operands
+    // are written as EXPRESSIONS (0.8 - 0.1) so both engines evaluate
+    // the same IEEE sum, not a re-parsed decimal
+    "dedup_lsh_band_plan" ->
+      """WITH plans AS (SELECT unnest(list_filter(range(1, 33),
+        |    b -> 32 % b = 0))::INT AS bands),
+        |sc AS (SELECT bands, (32 // bands)::INT AS rows_per_band,
+        |    pow(1.0 / bands, 1.0 / ((32 // bands)::INT)) AS infl,
+        |    round(1.0 - pow(1.0 - pow(0.8, (32 // bands)::INT), bands), 6)
+        |      AS p_at_threshold,
+        |    round(1.0 - pow(1.0 - pow(0.8 - 0.1, (32 // bands)::INT), bands), 6)
+        |      AS p_below,
+        |    round(1.0 - pow(1.0 - pow(0.8 + 0.1, (32 // bands)::INT), bands), 6)
+        |      AS p_above
+        |  FROM plans)
+        |SELECT bands, rows_per_band, round(infl, 6) AS inflection,
+        |  p_at_threshold, p_below, p_above,
+        |  row_number() OVER (ORDER BY round(abs(infl - 0.8), 6), bands) = 1
+        |    AS chosen
+        |FROM sc ORDER BY bands""".stripMargin,
   )
 }

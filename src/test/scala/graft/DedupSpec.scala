@@ -352,4 +352,22 @@ class DedupSpec extends AnyFunSuite {
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(surv == Set(10L, 11L, 12L, 14L))
   }
+
+  test("lshBandPlan: one row per divisor, capture monotone in bands, sane choice") {
+    val plan = Dedup.lshBandPlan(spark, numHashes = 32, threshold = 0.8)
+      .orderBy($"bands").collect()
+    assert(plan.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16, 32))
+    plan.foreach(r => assert(r.getInt(0) * r.getInt(1) == 32))
+    // more bands -> higher capture probability at ANY similarity
+    val pAt = plan.map(_.getDouble(3))
+    assert(pAt.zip(pAt.tail).forall { case (a, b) => a <= b })
+    // a useful plan separates above from below the threshold
+    val chosen = plan.filter(_.getBoolean(6))
+    assert(chosen.length == 1)
+    assert(chosen.head.getDouble(5) > chosen.head.getDouble(4),
+      "capture above the threshold must exceed capture below it")
+    // inflection of the chosen plan is the closest to the target
+    val gaps = plan.map(r => math.abs(r.getDouble(2) - 0.8))
+    assert(math.abs(chosen.head.getDouble(2) - 0.8) == gaps.min)
+  }
 }
