@@ -109,4 +109,23 @@ object Validate {
       .agg(count(lit(1)).cast("long").as("n"))
       .withColumn("risky", col("n") < k)
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a
+    * quasi-identifier group can be large yet still leak if everyone in
+    * it shares the same SENSITIVE value (homogeneity attack). Per
+    * group: size, distinct sensitive values, `risky = n_sensitive < l`.
+    * Same single map-side-combined aggregation; the distinct count is
+    * exact (the group relation is domain-bounded, so the two-phase
+    * distinct agg is cheap — no sketch needed for an audit that gates
+    * a release).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2 (got $l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_distinct(col(sensitiveCol)).cast("long").as("n_sensitive"))
+      .withColumn("risky", col("n_sensitive") < l)
+  }
 }

@@ -422,6 +422,21 @@ object DedupQueries {
         .orderBy($"vec_id")
     }),
 
+    // What the dedup bought: per duplicated content group, the
+    // representative, copy count, and bytes reclaimed — the accounting
+    // row a curation run reports next to the cluster histogram.
+    "dedup_savings_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.exact(docs, "doc_id", "text")
+        .filter($"n_copies" > 1)
+        .join(docs.select($"doc_id",
+          length($"text").cast("long").as("bytes_each")), Seq("doc_id"))
+        .select($"doc_id", $"n_copies", $"bytes_each",
+          (($"n_copies" - 1) * $"bytes_each").as("bytes_saved"))
+        .orderBy($"doc_id")
+    }),
+
     // LSH band planning: the (bands × rows) trade every MinHash dedup
     // tunes before touching data — S-curve capture probabilities at the
     // 0.8 target and ±0.1, inflection points, the chosen factorization.
@@ -976,6 +991,13 @@ object DedupQueries {
         |SELECT vec_id, label FROM corp
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    "dedup_savings_report" ->
+      """WITH g AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+        |  FROM documents GROUP BY md5(text) HAVING count(*) > 1)
+        |SELECT g.doc_id, g.n_copies, length(d.text)::BIGINT AS bytes_each,
+        |  (g.n_copies - 1) * length(d.text)::BIGINT AS bytes_saved
+        |FROM g JOIN documents d ON d.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // identical double arithmetic in the same order; the ±0.1 operands
     // are written as EXPRESSIONS (0.8 - 0.1) so both engines evaluate
     // the same IEEE sum, not a re-parsed decimal

@@ -339,6 +339,20 @@ object Relational {
         .orderBy($"c_nationkey", $"c_mktsegment")
     }),
 
+    // l-diversity audit on the same quasi-identifiers: groups where
+    // everyone shares an account-balance band leak by homogeneity even
+    // when k-anonymous (5 of 125 groups under l=3). The band is exact
+    // integer arithmetic on cents, shifted non-negative so truncating
+    // and flooring division agree.
+    "l_diversity_report" -> ((s, d) => {
+      import s.implicits._
+      val c = customer(s, d).withColumn("bal_band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 400000"))
+      graft.ops.Validate.lDiversity(c,
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }),
+
     // The SAME anomaly panel served from an incrementally-maintained
     // volume rollup: three event chunks stand in for ingest
     // micro-batches, each folded into the materialized (type, bucket)
@@ -748,6 +762,14 @@ object Relational {
     "k_anonymity_report" ->
       """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
         |  count(*) < 10 AS risky
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "l_diversity_report" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+        |  count(DISTINCT ((round(c_acctbal * 100)::BIGINT + 100000) // 400000))
+        |    ::BIGINT AS n_sensitive,
+        |  count(DISTINCT ((round(c_acctbal * 100)::BIGINT + 100000) // 400000))
+        |    < 3 AS risky
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // the incremental fold must serve the FULL-history panel — sharing

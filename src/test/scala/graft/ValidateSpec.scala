@@ -49,6 +49,21 @@ class ValidateSpec extends AnyFunSuite {
     assert(got("min_rows_2") == ((0L, 2L)))
   }
 
+  test("lDiversity: homogeneous groups are risky even when large") {
+    val rows = Seq(
+      // group (1): 3 rows, all sensitive=10 → n=3, n_sensitive=1, risky
+      (1L, 10L), (1L, 10L), (1L, 10L),
+      // group (2): 2 rows, sensitive {10, 20} → n_sensitive=2, safe at l=2
+      (2L, 10L), (2L, 20L)
+    ).toDF("q", "sens")
+    val got = Validate.lDiversity(rows, Seq("q"), "sens", l = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((3L, 1L, true)))
+    assert(got(2L) == ((2L, 2L, false)))
+    intercept[IllegalArgumentException](Validate.lDiversity(rows, Nil, "sens", 2))
+    intercept[IllegalArgumentException](Validate.lDiversity(rows, Seq("q"), "sens", 1))
+  }
+
   test("one scan serves all row-level rules (single aggregate subtree)") {
     val report = Validate.validate(t, Seq(
       Validate.NotNull("s"), Validate.InRange("v", 0, 10),
