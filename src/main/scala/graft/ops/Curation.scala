@@ -188,7 +188,7 @@ object Curation {
     require(budget >= 0, s"budget must be >= 0 (got $budget)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-      .orderBy(col(qualityCol).desc, col(domainCol).asc)
+      .orderBy(round(col(qualityCol), 6).desc, col(domainCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     perDomain
       .withColumn("__prev", coalesce(sum(col(tokensCol)).over(w), lit(0L)))

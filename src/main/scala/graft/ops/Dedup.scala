@@ -866,6 +866,29 @@ object Dedup {
         array_sort(wordShingles(col(textCol), n)).as("sh")),
       "id", "sh", numHashes, bands)
 
+  /** The minhash sidecar `_stats` format/hash-family token. `mh2` = the
+    * current STRING comma-joined band keys ([[graft.functions]]'
+    * MinHashBands); the pre-token format carried BIGINT fold hashes in
+    * `bh`, and joining a pre-change sidecar against new STRING keys
+    * would implicit-cast to null on every comparison — zero candidates,
+    * silently. The token makes every reader refuse loudly instead.
+    */
+  private val MinhashSidecarFormat = "mh2"
+
+  private def parseMinhashStats(path: String,
+                                stats: Array[String]): (Int, Int, Int, String) = {
+    // length/format-check BEFORE indexing: truncated, partially-written,
+    // or pre-mh2 _stats must surface as IllegalArgumentException (the
+    // SidecarRegistry.maintain fold-refusal contract)
+    require(stats.length >= 5 && stats(0) == MinhashSidecarFormat &&
+        stats(4).startsWith("v"),
+      s"sidecar at $path has a damaged, unstamped, or pre-$MinhashSidecarFormat " +
+        "_stats (the band-key column type changed; a stale-format sidecar " +
+        "would null-join every candidate and silently report zero near-dups); " +
+        "rebuild with buildMinhashSidecarForStore")
+    (stats(1).toInt, stats(2).toInt, stats(3).toInt, stats(4))
+  }
+
   /** Build the MinHash band SIDECAR for a [[VersionedStore]] table — the
     * layout that lets every future ingest batch near-dup-check against
     * the WHOLE historical corpus without re-signaturing it:
@@ -889,7 +912,8 @@ object Dedup {
     require(v1 == v0,
       s"store $table moved from version $v0 to $v1 during the sidecar build — " +
         "the bands describe a superseded snapshot; rebuild")
-    graft.Fs.writeString(spark, s"$path/_stats", s"$n $numHashes $bands v$v0")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$MinhashSidecarFormat $n $numHashes $bands v$v0")
   }
 
   /** Fold the store's NEW segments into the sidecar — O(appended docs),
@@ -906,15 +930,8 @@ object Dedup {
                              table: String, idCol: String, textCol: String,
                              path: String): Unit = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
-    // length-check BEFORE indexing: a truncated/partially-written _stats
-    // must surface as IllegalArgumentException so SidecarRegistry.maintain's
-    // fold-refusal catch triggers the documented LOUD rebuild (an
-    // ArrayIndexOutOfBoundsException would escape it and fail the
-    // already-committed append retroactively)
-    require(stats.length >= 4 && stats(3).startsWith("v"),
-      s"sidecar at $path has a damaged/unstamped _stats; rebuild with buildMinhashSidecarForStore")
-    val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
-    val v0 = stats(3).drop(1).toLong
+    val (n, numHashes, bands, vTok) = parseMinhashStats(path, stats)
+    val v0 = vTok.drop(1).toLong
     val cur = VersionedStore.currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"$table has no committed state"))
     if (cur.version == v0) return
@@ -935,7 +952,7 @@ object Dedup {
         .write.mode("append").parquet(s"$path/bands")
     }
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"$n $numHashes $bands v${cur.version}")
+      s"$MinhashSidecarFormat $n $numHashes $bands v${cur.version}")
   }
 
   def sidecarMarkerPath(table: String): String = s"$table/_minhash_sidecar"
@@ -1005,12 +1022,10 @@ object Dedup {
                           table: String, path: String,
                           threshold: Double): DataFrame = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
-    require(stats.length >= 4,
-      s"sidecar at $path has a damaged _stats; rebuild with buildMinhashSidecarForStore")
-    val (n, numHashes, bands) = (stats(0).toInt, stats(1).toInt, stats(2).toInt)
+    val (n, numHashes, bands, vTok) = parseMinhashStats(path, stats)
     val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-    require(stats(3) == s"v$cur",
-      s"sidecar at $path (${stats.lift(3).getOrElse("-")}) is stale against " +
+    require(vTok == s"v$cur",
+      s"sidecar at $path ($vTok) is stale against " +
         s"$table (v$cur) — run appendToMinhashSidecar first; a stale check " +
         "silently misses near-dups of freshly appended rows")
     val bShingled = batch.select(col(idCol).as("batch_id"),

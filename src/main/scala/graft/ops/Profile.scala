@@ -194,18 +194,42 @@ object Profile {
 
   /** The z-score panel over an existing `(group, bucket, n_events)`
     * relation (see [[activityAnomalies]] for the exactness contract).
+    *
+    * Buckets are DENSIFIED per group over its observed [min, max]
+    * bucket range before scoring: a full-outage bucket (zero events)
+    * is absent from the counts relation, and without densification it
+    * would be excluded from the moments and could never be flagged —
+    * the opposite of what an outage monitor is for. Densification is
+    * bounded: each group contributes at most `maxBucketsPerGroup`
+    * synthetic rows (loud `raise_error` beyond that — widen bucketNs),
+    * and the range generator runs per |groups|-row, not per event.
     */
   def anomaliesFromCounts(counts: DataFrame, groupCol: String,
-                          zThreshold: Double = 2.0): DataFrame = {
+                          zThreshold: Double = 2.0,
+                          maxBucketsPerGroup: Long = 2000000L): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
-    val moments = counts.groupBy(col(groupCol))
+    val span = col("__hi") - col("__lo") + lit(1L)
+    val dense = counts.groupBy(col(groupCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .withColumn("__span",
+        when(span > lit(maxBucketsPerGroup), raise_error(concat(
+          lit("anomaliesFromCounts: bucket span "), span.cast("string"),
+          lit(s" exceeds maxBucketsPerGroup=$maxBucketsPerGroup — widen bucketNs"))))
+          .otherwise(span))
+      .select(col(groupCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val densified = dense
+      .join(counts, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val moments = densified.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("__n"),
         sum(col("n_events")).as("__s1"),
         sum(col("n_events") * col("n_events")).as("__s2"))
     val varNum = col("__n") * col("__s2") - col("__s1") * col("__s1")
     val z = (col("n_events") - col("__s1").cast("double") / col("__n")) /
       sqrt(varNum.cast("double") / (col("__n") * (col("__n") - 1)))
-    counts.join(broadcast(moments), Seq(groupCol))
+    densified.join(broadcast(moments), Seq(groupCol))
       .withColumn("__z", when(col("__n") > 1 && varNum > 0, z))
       .select(col(groupCol), col("bucket"), col("n_events"),
         round(col("__s1").cast("double") / col("__n"), 6).as("mean_events"),

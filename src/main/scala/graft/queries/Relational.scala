@@ -775,9 +775,16 @@ object Relational {
     // the incremental fold must serve the FULL-history panel — sharing
     // events_anomaly_daily's oracle pins fold ≡ direct by hash
     "anomaly_monitor_incremental" ->
-      """WITH b AS (SELECT event_type,
+      """WITH b0 AS (SELECT event_type,
         |    epoch_ns(ts) // 86400000000000 AS bucket,
         |    count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM b0 GROUP BY 1),
+        |d AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+        |      FROM r),
+        |b AS (SELECT d.event_type, d.bucket,
+        |        coalesce(b0.n_events, 0)::BIGINT AS n_events
+        |      FROM d LEFT JOIN b0 USING (event_type, bucket)),
         |m AS (SELECT event_type, count(*)::BIGINT AS n,
         |    sum(n_events)::BIGINT AS s1,
         |    sum(n_events * n_events)::BIGINT AS s2 FROM b GROUP BY 1),
@@ -796,9 +803,16 @@ object Relational {
     // the verdict compares the RAW z (same doubles), rounding only the
     // reported columns
     "events_anomaly_daily" ->
-      """WITH b AS (SELECT event_type,
+      """WITH b0 AS (SELECT event_type,
         |    epoch_ns(ts) // 86400000000000 AS bucket,
         |    count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM b0 GROUP BY 1),
+        |d AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+        |      FROM r),
+        |b AS (SELECT d.event_type, d.bucket,
+        |        coalesce(b0.n_events, 0)::BIGINT AS n_events
+        |      FROM d LEFT JOIN b0 USING (event_type, bucket)),
         |m AS (SELECT event_type, count(*)::BIGINT AS n,
         |    sum(n_events)::BIGINT AS s1,
         |    sum(n_events * n_events)::BIGINT AS s2 FROM b GROUP BY 1),

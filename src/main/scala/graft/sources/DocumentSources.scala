@@ -98,7 +98,7 @@ object DocumentSources {
     readText(spark, pathGlob)
       .withColumn("text",
         trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
-          "(?s)<(script|style)[^>]*>.*?</\\1>", " "),
+          "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
           "<[^>]+>", " "),
           "\\s+", " ")))
 
@@ -118,7 +118,7 @@ object DocumentSources {
   def readHtmlSections(spark: SparkSession, pathGlob: String): DataFrame = {
     val raw = readText(spark, pathGlob)
       .withColumn("text", regexp_replace(col("text"),
-        "(?s)<(script|style)[^>]*>.*?</\\1>", " "))
+        "(?is)<(script|style)[^>]*>.*?</\\1>", " "))
     val sectioned = raw.withColumn("__sec",
       split(col("text"), "(?i)(?=<h[1-5][^>]*>)"))
     sectioned

@@ -44,9 +44,17 @@ object WavCodec {
     var o = 12
     while (o + 8 <= bytes.length) {
       val tag = new String(bytes, o, 4, "US-ASCII")
-      val sz = u32(bytes, o + 4).toInt
+      // Size stays a Long until bounds-checked: a u32 >= 2^31 would wrap
+      // negative as Int and walk the offset backwards (infinite loop on a
+      // malformed/adversarial payload inside an executor).
+      val szL = u32(bytes, o + 4)
+      require(szL >= 0L && szL <= (bytes.length - o - 8).toLong,
+        s"malformed RIFF chunk '$tag': size $szL exceeds payload")
+      val sz = szL.toInt
       out.getOrElseUpdate(tag, (o + 8, sz))
-      o += 8 + sz + (sz & 1) // chunks are word-aligned
+      val next = o + 8 + sz + (sz & 1) // chunks are word-aligned
+      require(next > o, s"RIFF chunk walk stalled at offset $o")
+      o = next
     }
     out.toMap
   }

@@ -284,6 +284,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((99L, 13L)))
   }
 
+  test("minhash sidecar: pre-mh2-format _stats refuses loudly (no silent zero-candidate join)") {
+    import graft.ops.{Dedup, VersionedStore}
+    val root = tmpRoot("ndsc-premh2")
+    VersionedStore.append(spark, s"$root/t", (1 to 5).map(i =>
+      (i.toLong, s"alpha beta gamma token$i delta epsilon")).toDF("doc_id", "text"))
+    Dedup.buildMinhashSidecarForStore(spark, s"$root/t", "doc_id", "text", s"$root/sc")
+    // rewrite the stamp to the pre-format-token shape ("n hashes bands vN"):
+    // such a sidecar carries BIGINT band hashes that null-join against the
+    // current STRING band keys — the reader must refuse, not return 0 rows
+    graft.Fs.delete(spark, s"$root/sc/_stats")
+    graft.Fs.writeString(spark, s"$root/sc/_stats", "3 32 8 v1")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstStore(spark,
+        Seq((99L, "alpha beta gamma token3 delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/t", s"$root/sc", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("rebuild with buildMinhashSidecarForStore"))
+    assert(e.getMessage.contains("mh2"))
+  }
+
   test("SRP sidecar: dim-mismatched batch or append refuses loudly") {
     import graft.ops.{Dedup, VersionedStore}
     val root = tmpRoot("srpdim")
