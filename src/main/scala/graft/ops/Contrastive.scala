@@ -127,26 +127,9 @@ object Contrastive {
                  minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val w = org.apache.spark.sql.expressions.Window
-    // left-to-right fold: the element order IS the summation order
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    // rank-ordered sequential average of a top-k group
-    def foldAvg(rankCol: String): Column = {
-      val sorted = org.apache.spark.sql.functions.transform(
-        sort_array(collect_list(struct(col(rankCol), col("cos").as("__c")))),
-        s => s.getField("__c"))
-      aggregate(sorted, lit(0.0), (acc, v) => acc + v) / size(sorted)
-    }
-    val pa = a.select(col(idACol).as("id_a"), col(embCol).as("__ea"))
-      .filter(col("__ea").isNotNull)
-      .withColumn("__na", sqrt(dot(col("__ea"), col("__ea"))))
-    val pb = b.select(col(idBCol).as("id_b"), col(embCol).as("__eb"))
-      .filter(col("__eb").isNotNull)
-      .withColumn("__nb", sqrt(dot(col("__eb"), col("__eb"))))
+    val (pa, pb) = bitextSides(a, b, idACol, idBCol, embCol)
     val scored = pa.crossJoin(pb)
-      .select(col("id_a"), col("id_b"),
-        (dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb"))).as("cos"))
+      .select(col("id_a"), col("id_b"), seqCos.as("cos"))
       .localCheckpoint()
     val topA = scored.withColumn("__ra", row_number().over(
         w.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
@@ -154,8 +137,91 @@ object Contrastive {
     val topB = scored.withColumn("__rb", row_number().over(
         w.partitionBy(col("id_b")).orderBy(col("cos").desc, col("id_a"))))
       .filter(col("__rb") <= k)
-    val avgA = topA.groupBy(col("id_a")).agg(foldAvg("__ra").as("__avga"))
-    val avgB = topB.groupBy(col("id_b")).agg(foldAvg("__rb").as("__avgb"))
+    marginBest(topA, "__ra", topB, "__rb", minMargin)
+  }
+
+  /** IVF-pruned [[mineBitext]] — the corpus-scale form: candidates per
+    * direction come from the [[Similarity.ivfJoinTopK]] cell equi-join
+    * (each side probes its `nProbe` nearest cells of the shared
+    * `model`, candidates are cell-local — Σ |q-cell|·|c-cell| work,
+    * never |A|×|B|), and everything downstream of the two top-k
+    * relations is the identical k-bounded margin arithmetic.
+    *
+    * At `nProbe = model.k` every (a, b) pair is generated exactly once
+    * (a corpus row lives in ONE cell), the per-direction rankings use
+    * the same (cos desc, id asc) order, and the cosine is the SAME
+    * left-to-right sequential fold `dot/(‖a‖·‖b‖)` — NOT the codegen'd
+    * kernel's `dot/√(‖a‖²·‖b‖²)`, which differs in the last ulp and
+    * margins are ratios of unrounded averages — so full probe is
+    * BIT-identical to [[mineBitext]] (the `ann_join_full_probe`
+    * pin-to-exact contract; partial probe trades recall per the
+    * SCALE.md nprobe sweep).
+    */
+  def mineBitextIvf(a: DataFrame, b: DataFrame, idACol: String, idBCol: String,
+                    embCol: String, model: Ivf.IvfModel, nProbe: Int,
+                    k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"nProbe must be in [1, ${model.k}] (got $nProbe)")
+    val (pa, pb) = bitextSides(a, b, idACol, idBCol, embCol)
+    // each direction generates its own cell-local candidates: the probe
+    // side explodes into nProbe cells, the other side sits in its one
+    // home cell, SHUFFLE_HASH keeps the embedding payloads out of sorts
+    def candidates(probe: DataFrame, home: DataFrame): DataFrame =
+      Similarity.probeCellsExploded(probe, probe.columns(1), model, nProbe, "__cell")
+        .join(Ivf.assign(home, home.columns(1), model, clusterCol = "__cell")
+          .filter(col("__cell").isNotNull).hint("SHUFFLE_HASH"), Seq("__cell"))
+        .select(col("id_a"), col("id_b"), seqCos.as("cos"))
+    val topA = Similarity.boundedRank(
+      candidates(pa, pb).select(col("id_a").as("__qid"), col("id_b"), col("cos")),
+      "id_a", "id_b", k, "COSINE", "cos", "__ra")
+    val topB = Similarity.boundedRank(
+      candidates(pb, pa).select(col("id_b").as("__qid"), col("id_a"), col("cos")),
+      "id_b", "id_a", k, "COSINE", "cos", "__rb")
+    marginBest(topA, "__ra", topB, "__rb", minMargin)
+  }
+
+  /** Left-to-right fold dot product: the element order IS the summation
+    * order, so any IEEE-double engine replays the sum bit-identically.
+    */
+  private def seqDot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** `dot/(‖a‖·‖b‖)` over the prepared side columns — the pinned
+    * parenthesization both miners share (see [[mineBitextIvf]]).
+    */
+  private def seqCos: Column =
+    seqDot(col("__ea"), col("__eb")) / (col("__na") * col("__nb"))
+
+  private def bitextSides(a: DataFrame, b: DataFrame, idACol: String,
+                          idBCol: String, embCol: String): (DataFrame, DataFrame) = (
+    a.select(col(idACol).as("id_a"), col(embCol).as("__ea"))
+      .filter(col("__ea").isNotNull)
+      .withColumn("__na", sqrt(seqDot(col("__ea"), col("__ea")))),
+    b.select(col(idBCol).as("id_b"), col(embCol).as("__eb"))
+      .filter(col("__eb").isNotNull)
+      .withColumn("__nb", sqrt(seqDot(col("__eb"), col("__eb")))))
+
+  /** Shared margin tail: rank-ordered sequential neighborhood averages,
+    * margin = cos / mean(avg_a, avg_b), best-per-`id_a` argmax gated by
+    * `minMargin`. `topA`/`topB` carry (id, rank, other-id, cos) from
+    * either the window ranking or [[Similarity.boundedRank]] — both
+    * order (cos desc, id asc), so the fold order is identical.
+    */
+  private def marginBest(topA: DataFrame, rankACol: String,
+                         topB: DataFrame, rankBCol: String,
+                         minMargin: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // rank-ordered sequential average of a top-k group
+    def foldAvg(rankCol: String): Column = {
+      val sorted = org.apache.spark.sql.functions.transform(
+        sort_array(collect_list(struct(col(rankCol), col("cos").as("__c")))),
+        s => s.getField("__c"))
+      aggregate(sorted, lit(0.0), (acc, v) => acc + v) / size(sorted)
+    }
+    val avgA = topA.groupBy(col("id_a")).agg(foldAvg(rankACol).as("__avga"))
+    val avgB = topB.groupBy(col("id_b")).agg(foldAvg(rankBCol).as("__avgb"))
     topA.join(avgA, Seq("id_a")).join(avgB, Seq("id_b"))
       .withColumn("margin",
         col("cos") / ((col("__avga") + col("__avgb")) / 2))

@@ -156,19 +156,9 @@ object Similarity {
                   scoreName: String = "score", rankName: String = "rank"): DataFrame = {
     require(nProbe >= 1 && nProbe <= model.k,
       s"nProbe must be in [1, ${model.k}] (got $nProbe)")
-    // query side: the nProbe nearest cells, deterministic (distance,
-    // cell-id) order — array_sort on the (d, cid) struct is exactly the
-    // probeOrder the single-vector path uses
-    val distStructs = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        graft.functions.VectorFunctions.euclidean(col(queryEmbCol), typedlit(c.toSeq)).as("d"),
-        lit(i).as("cid"))
-    }: _*)
-    val q = queries
-      .filter(col(queryEmbCol).isNotNull)
-      .select(col(queryIdCol).as("__qid"), col(queryEmbCol).as("__qemb"),
-        explode(slice(array_sort(distStructs), 1, nProbe)).as("__p"))
-      .select(col("__qid"), col("__qemb"), col("__p.cid").as("__cell"))
+    val q = probeCellsExploded(
+      queries.select(col(queryIdCol).as("__qid"), col(queryEmbCol).as("__qemb")),
+      "__qemb", model, nProbe, "__cell")
     val c = Ivf.assign(
         corpus.select(col(corpusIdCol), col(corpusEmbCol)), corpusEmbCol, model,
         clusterCol = "__cell")
@@ -179,6 +169,26 @@ object Similarity {
       .filter(col(scoreName).isNotNull)
       .select(col("__qid"), col(corpusIdCol), col(scoreName))
     boundedRank(scored, queryIdCol, corpusIdCol, k, metric, scoreName, rankName)
+  }
+
+  /** Query-side probe fan-out shared by [[ivfJoinTopK]] and the IVF
+    * bitext miner ([[Contrastive.mineBitextIvf]]): each row explodes
+    * into its `nProbe` nearest cells, in deterministic (distance,
+    * cell-id) order — array_sort on the (d, cid) struct is exactly the
+    * probeOrder the single-vector path uses. Null embeddings drop (no
+    * cell); every other column passes through untouched.
+    */
+  private[ops] def probeCellsExploded(df: DataFrame, embCol: String,
+                                      model: Ivf.IvfModel, nProbe: Int,
+                                      cellCol: String): DataFrame = {
+    val distStructs = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.VectorFunctions.euclidean(col(embCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cid"))
+    }: _*)
+    df.filter(col(embCol).isNotNull)
+      .withColumn(cellCol, explode(slice(array_sort(distStructs), 1, nProbe)))
+      .withColumn(cellCol, col(cellCol)("cid"))
   }
 
   /** Shared ranking tail of every batch retrieval ([[similarityJoin]],

@@ -445,6 +445,25 @@ object VectorSearch {
         .orderBy($"id_a")
     }),
 
+    // The SAME miner through the IVF-pruned candidate generator — the
+    // corpus-scale form (cell equi-joins in both directions, never the
+    // |A|×|B| cross join). Run at FULL probe so the result is pinned
+    // BIT-identical to the exact miner: same oracle, same sequential
+    // folds, same tie orders (the ann_join_full_probe contract).
+    // Partial-probe recall is measured in SCALE.md, never shipped
+    // silently.
+    "bitext_mining_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).filter($"embedding".isNotNull)
+      val sideA = e.filter($"label" < 4).select($"vec_id", $"embedding")
+      val sideB = e.filter($"label" >= 4).select($"vec_id", $"embedding")
+      val model = graft.ops.Ivf.fit(sideB, "vec_id", "embedding", k = 8)
+      graft.ops.Contrastive.mineBitextIvf(sideA, sideB,
+          "vec_id", "vec_id", "embedding", model, nProbe = model.k,
+          k = 4, minMargin = 1.0)
+        .orderBy($"id_a")
+    }),
+
     // Embedding mean-pooling: many vectors → one unit-norm prototype
     // per group (chunk→doc embeddings, label centroids) through the
     // single VectorMean aggregate — O(1) aggregate expressions at any
@@ -606,6 +625,48 @@ object VectorSearch {
     result
   }
 
+  private val bitextMiningOracle: String =
+    """WITH ea AS (
+      |  SELECT vec_id AS id_a, v,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      i -> v[i] * v[i])), (x, y) -> x + y)) AS na
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |        WHERE embedding IS NOT NULL AND label < 4)),
+      |eb AS (
+      |  SELECT vec_id AS id_b, v,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      i -> v[i] * v[i])), (x, y) -> x + y)) AS nb
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |        WHERE embedding IS NOT NULL AND label >= 4)),
+      |sc AS MATERIALIZED (
+      |  SELECT id_a, id_b,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      i -> ea.v[i] * eb.v[i])), (x, y) -> x + y) / (ea.na * eb.nb)
+      |      AS cos
+      |  FROM ea, eb),
+      |ta AS MATERIALIZED (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY id_a ORDER BY cos DESC, id_b) AS ra FROM sc)
+      |  WHERE ra <= 4),
+      |tb AS MATERIALIZED (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY id_b ORDER BY cos DESC, id_a) AS rb FROM sc)
+      |  WHERE rb <= 4),
+      |aa AS (SELECT id_a, list_reduce(list_prepend(0.0,
+      |         list(cos ORDER BY ra)), (x, y) -> x + y) / count(*) AS avga
+      |       FROM ta GROUP BY id_a),
+      |ab AS (SELECT id_b, list_reduce(list_prepend(0.0,
+      |         list(cos ORDER BY rb)), (x, y) -> x + y) / count(*) AS avgb
+      |       FROM tb GROUP BY id_b),
+      |cand AS (
+      |  SELECT ta.id_a, ta.id_b, ta.cos,
+      |    ta.cos / ((aa.avga + ab.avgb) / 2) AS margin
+      |  FROM ta JOIN aa USING (id_a) JOIN ab USING (id_b)),
+      |best AS (SELECT *, row_number() OVER (
+      |  PARTITION BY id_a ORDER BY margin DESC, id_b) AS rbest FROM cand)
+      |SELECT id_a, id_b, round(cos, 6) AS cos, round(margin, 6) AS margin
+      |FROM best WHERE rbest = 1 AND margin >= 1.0 ORDER BY id_a""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // every statistic recomputed from the raw embedding lists
     "embedding_health_report" ->
@@ -697,47 +758,10 @@ object VectorSearch {
     // every reduction is the engine's sequential fold replayed with
     // list_reduce — cosines, neighborhood averages, and margins are
     // BIT-identical, so no rounding is needed before any ranking
-    "bitext_mining_pairs" ->
-      """WITH ea AS (
-        |  SELECT vec_id AS id_a, v,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |      i -> v[i] * v[i])), (x, y) -> x + y)) AS na
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |        WHERE embedding IS NOT NULL AND label < 4)),
-        |eb AS (
-        |  SELECT vec_id AS id_b, v,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |      i -> v[i] * v[i])), (x, y) -> x + y)) AS nb
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |        WHERE embedding IS NOT NULL AND label >= 4)),
-        |sc AS MATERIALIZED (
-        |  SELECT id_a, id_b,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |      i -> ea.v[i] * eb.v[i])), (x, y) -> x + y) / (ea.na * eb.nb)
-        |      AS cos
-        |  FROM ea, eb),
-        |ta AS MATERIALIZED (
-        |  SELECT * FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY id_a ORDER BY cos DESC, id_b) AS ra FROM sc)
-        |  WHERE ra <= 4),
-        |tb AS MATERIALIZED (
-        |  SELECT * FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY id_b ORDER BY cos DESC, id_a) AS rb FROM sc)
-        |  WHERE rb <= 4),
-        |aa AS (SELECT id_a, list_reduce(list_prepend(0.0,
-        |         list(cos ORDER BY ra)), (x, y) -> x + y) / count(*) AS avga
-        |       FROM ta GROUP BY id_a),
-        |ab AS (SELECT id_b, list_reduce(list_prepend(0.0,
-        |         list(cos ORDER BY rb)), (x, y) -> x + y) / count(*) AS avgb
-        |       FROM tb GROUP BY id_b),
-        |cand AS (
-        |  SELECT ta.id_a, ta.id_b, ta.cos,
-        |    ta.cos / ((aa.avga + ab.avgb) / 2) AS margin
-        |  FROM ta JOIN aa USING (id_a) JOIN ab USING (id_b)),
-        |best AS (SELECT *, row_number() OVER (
-        |  PARTITION BY id_a ORDER BY margin DESC, id_b) AS rbest FROM cand)
-        |SELECT id_a, id_b, round(cos, 6) AS cos, round(margin, 6) AS margin
-        |FROM best WHERE rbest = 1 AND margin >= 1.0 ORDER BY id_a""".stripMargin,
+    "bitext_mining_pairs" -> bitextMiningOracle,
+    // full probe is bit-identical to the exact miner by construction —
+    // the IVF query shares the SAME replayed-fold oracle
+    "bitext_mining_ivf" -> bitextMiningOracle,
     // mean per (label, element) = sum/count (VectorMean's exact
     // semantics), then unit-norm from the pooled vector; the all-zero
     // guard mirrors Pool.meanPool

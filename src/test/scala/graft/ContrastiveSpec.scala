@@ -81,4 +81,36 @@ class ContrastiveSpec extends AnyFunSuite {
       "embedding", k = 2, minMargin = 1.0)
     assert(loose.count() == 2)
   }
+
+  test("mineBitextIvf at full probe ≡ mineBitext bit-for-bit; plan has no cross join") {
+    import graft.ops.Ivf
+    // clustered sides wide enough that IVF cells are non-trivial
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(16)(j => (if (j == i % 16) 4f else 0f) + 0.01f * ((i * 7 + j) % 5))
+    val sideA = (1 to 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val sideB = (101 to 150).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val model = Ivf.fit(sideB, "vec_id", "embedding", k = 4)
+    val exact = Contrastive.mineBitext(sideA, sideB, "vec_id", "vec_id",
+      "embedding", k = 3, minMargin = 1.0)
+    val ivf = Contrastive.mineBitextIvf(sideA, sideB, "vec_id", "vec_id",
+      "embedding", model, nProbe = model.k, k = 3, minMargin = 1.0)
+    // margins are ratios of unrounded neighborhood averages — the
+    // full-probe contract is BIT equality, so compare the raw doubles
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"id_a").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows(ivf) == rows(exact))
+    assert(exact.count() > 0, "fixture must actually mine pairs")
+    // the scale path must candidate-generate via the cell equi-join,
+    // never the |A|×|B| cross join the exact form materializes
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF miner must not cross-join:\n$plan")
+    // partial probe stays a subset of the candidate universe and keeps
+    // the output contract (id_a unique)
+    val p1 = Contrastive.mineBitextIvf(sideA, sideB, "vec_id", "vec_id",
+      "embedding", model, nProbe = 1, k = 3, minMargin = 1.0)
+    val ids = p1.select($"id_a").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
 }
