@@ -8,12 +8,15 @@ import graft.embed.Embedder
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed batch-at-a-time inside the executors.
   *
-  * The decode step is STUBBED (this container ships no image/audio codecs)
-  * behind [[MediaDecoder]]; everything Spark-side — the schema, the
+  * The decode step is REAL for every format a stock JVM parses —
+  * RIFF/WAVE PCM and 24-bpp BMP through the byte-exact pure-JVM codecs,
+  * PNG/JPEG through the JDK's own `javax.imageio` readers
+  * ([[CodecDecoder]] / [[graft.sources.ImageCodec]]) — and pluggable
+  * behind [[MediaDecoder]] for anything else (MP3/MP4 need a codec the
+  * container doesn't ship). Everything Spark-side — the schema, the
   * binaryFile source, partition sizing, the batch-shaped executor loop,
-  * and the feature pipeline into the vector operators — is real and
-  * tested. Swapping [[FakeDecoder]] for a JNI/codec-backed implementation
-  * changes no plan shape.
+  * and the feature pipeline into the vector operators — is shared:
+  * swapping decoders changes no plan shape.
   */
 object Multimodal {
 
@@ -51,13 +54,15 @@ object Multimodal {
       Map("size_bytes" -> bytes.length.toString, "kind" -> kind)
   }
 
-  /** REAL decoder over the pure-JVM codecs ([[graft.sources.WavCodec]] /
-    * [[graft.sources.BmpCodec]]): `audio` payloads decode as RIFF/WAVE
-    * PCM (features = `dim`-window RMS envelope), `image` as uncompressed
-    * 24-bpp BMP (features = grid luma scaled to [0,1], truncated/padded
-    * to `dim`). This closes the decode stub for the formats a JVM can
-    * parse byte-exactly; other formats keep the pluggable seam. Probe
-    * metadata carries the real decode facts (rate/frames/dims).
+  /** REAL decoder over the in-JVM codecs ([[graft.sources.WavCodec]] /
+    * [[graft.sources.ImageCodec]]): `audio` payloads decode as RIFF/WAVE
+    * PCM (features = `dim`-window RMS envelope), `image` as BMP (the
+    * byte-exact pure-JVM parser) or PNG/JPEG (the JDK's own
+    * `javax.imageio` readers — no native libraries), features = grid
+    * luma scaled to [0,1], truncated/padded to `dim`. This closes the
+    * decode stub for every format a stock Java 17 runtime parses;
+    * other formats keep the pluggable seam. Probe metadata carries the
+    * real decode facts (rate/frames/dims/sniffed format).
     */
   final case class CodecDecoder(dim: Int = 8) extends MediaDecoder {
     private def fit(vals: Array[Double]): Array[Float] = {
@@ -70,7 +75,7 @@ object Multimodal {
       case "audio" => fit(graft.sources.WavCodec.windowRms(bytes, dim))
       case "image" =>
         val grid = math.ceil(math.sqrt(dim.toDouble)).toInt
-        fit(graft.sources.BmpCodec.gridLuma(bytes, grid).map(_ / 255.0))
+        fit(graft.sources.ImageCodec.gridLuma(bytes, grid).map(_ / 255.0))
       case other => throw new IllegalArgumentException(
         s"CodecDecoder handles audio|image, got $other — plug a codec for it")
     }
@@ -83,8 +88,9 @@ object Multimodal {
           "n_frames" -> i.nFrames.toString,
           "duration_ms" -> i.durationMs.toString)
       case "image" =>
-        val i = graft.sources.BmpCodec.probe(bytes)
-        Map("width" -> i.width.toString, "height" -> i.height.toString)
+        val i = graft.sources.ImageCodec.probe(bytes)
+        Map("width" -> i.width.toString, "height" -> i.height.toString,
+          "format" -> i.format)
       case other => throw new IllegalArgumentException(
         s"CodecDecoder handles audio|image, got $other")
     }
@@ -145,8 +151,10 @@ object Multimodal {
   def featureColumn(df: DataFrame): Column = col("features")
 
   /** Perceptual image near-dup pairs: 64-bit difference hashes
-    * ([[graft.sources.BmpCodec.dHash64]] — gradient-direction bits that
-    * survive re-encoding/resizing/brightness shifts) matched through the
+    * ([[graft.sources.ImageCodec.dHash64]] — gradient-direction bits that
+    * survive re-encoding/resizing/brightness shifts, computed identically
+    * for BMP, PNG, and JPEG payloads so near-dups match ACROSS formats —
+    * a lossless re-encode is Hamming 0) matched through the
     * SimHash banded pigeonhole ([[Dedup.hamming64Pairs]]): candidates
     * come from an equi-join on (band, bits), NEVER all-pairs, and the
     * Hamming verify on the few candidates is exact. Returns
@@ -159,7 +167,7 @@ object Multimodal {
     */
   def imageDHashPairs(df: DataFrame, idCol: String, bytesCol: String,
                       maxHamming: Int = 10, bands: Int = 16): DataFrame = {
-    val dhash = udf((b: Array[Byte]) => graft.sources.BmpCodec.dHash64(b))
+    val dhash = udf((b: Array[Byte]) => graft.sources.ImageCodec.dHash64(b))
     Dedup.hamming64Pairs(
       df.select(col(idCol).as("id"), dhash(col(bytesCol)).as("h")),
       maxHamming, bands)

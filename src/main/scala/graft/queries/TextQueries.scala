@@ -1372,14 +1372,32 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // Media dedup end-to-end: perceptual pairs feed the SAME
-    // survivor machinery text dedup uses (connected components +
-    // min-id representative) — pattern2.bmp loses to pattern.bmp,
-    // everything else survives.
+    // CROSS-FORMAT perceptual near-dup over a mixed BMP+PNG+JPEG corpus:
+    // the dHash pipeline decodes each payload by magic-byte sniff (BMP →
+    // pure-JVM codec, PNG/JPEG → the JDK's javax.imageio) into the SAME
+    // grid-luma arithmetic, so pattern.png — a lossless re-encode of
+    // pattern.bmp — lands at Hamming 0 ACROSS formats, and the planted
+    // JPEG pair (photo2's top-left cells re-striped with ≥20-luma
+    // decision margins, immune to JPEG decode noise) at exactly 4.
+    "image_dhash_mixed_pairs" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .readMediaDir(s, "/root/repo/fixtures/media/*.{bmp,png,jpg}", "image")
+      graft.ops.Multimodal
+        .imageDHashPairs(media, "media_id", "bytes", maxHamming = 4, bands = 8)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Media dedup end-to-end over the MIXED-format corpus: perceptual
+    // pairs feed the SAME survivor machinery text dedup uses (connected
+    // components + min-id representative) — the {pattern.bmp,
+    // pattern.png, pattern2.bmp} cross-format cluster keeps pattern.bmp,
+    // the JPEG pair keeps photo.jpg, everything else survives.
     "media_dedup_survivors" -> ((s, _) => {
       import s.implicits._
       val media = graft.ops.Multimodal
-        .readMediaDir(s, "/root/repo/fixtures/media/*.bmp", "image")
+        .readMediaDir(s, "/root/repo/fixtures/media/*.{bmp,png,jpg}", "image")
       val pairs = graft.ops.Multimodal
         .imageDHashPairs(media, "media_id", "bytes", maxHamming = 4, bands = 8)
       graft.ops.Dedup.nearDupSurvivors(media, "media_id", pairs)
@@ -3066,11 +3084,21 @@ object TextQueries {
       """SELECT id_a, id_b, hamming FROM (VALUES
         |  ('pattern.bmp', 'pattern2.bmp', 2::BIGINT)) t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
-    // the survivor set as literals — the perceptual loser must drop
+    // the cross-format pair set as literals — the engine must sniff and
+    // decode three codecs into one comparable hash family
+    "image_dhash_mixed_pairs" ->
+      """SELECT id_a, id_b, hamming FROM (VALUES
+        |  ('pattern.bmp', 'pattern.png', 0::BIGINT),
+        |  ('pattern.bmp', 'pattern2.bmp', 2::BIGINT),
+        |  ('pattern.png', 'pattern2.bmp', 2::BIGINT),
+        |  ('photo.jpg', 'photo2.jpg', 4::BIGINT)) t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the survivor set as literals — each perceptual cluster keeps its
+    // min-id member, across formats
     "media_dedup_survivors" ->
       """SELECT media_id, kind FROM (VALUES
         |  ('halves.bmp', 'image'), ('pattern.bmp', 'image'),
-        |  ('rgb.bmp', 'image')) t(media_id, kind)
+        |  ('photo.jpg', 'image'), ('rgb.bmp', 'image')) t(media_id, kind)
         |ORDER BY media_id""".stripMargin,
     // expected activity segmentation as literals — PCM decode +
     // 8-window RMS envelope; quiet.wav's first half is digital silence

@@ -275,3 +275,122 @@ object BmpCodec {
     h
   }
 }
+
+/** Format-dispatching image decode for the multimodal pipeline: BMP goes
+  * through the byte-exact pure-JVM [[BmpCodec]]; PNG and JPEG decode via
+  * the in-JDK `javax.imageio` readers (no native libraries — both codecs
+  * ship with every Java 17 runtime, headless-safe). The grid-luma
+  * accumulation and the dHash bit rule are the SAME arithmetic in the
+  * same pixel order as [[BmpCodec]], so a lossless re-encode of a BMP
+  * (e.g. as PNG) lands on the IDENTICAL 64-bit dHash — cross-format
+  * perceptual dedup needs no per-format calibration. JPEG decode is
+  * lossy, so fixtures planted for it keep ≥ 50-luma gaps between
+  * adjacent dHash cells (decode noise is ±2-3) — gradient DIRECTIONS,
+  * which is all dHash keeps, are unaffected.
+  */
+object ImageCodec {
+
+  final case class ImageInfo(format: String, width: Int, height: Int)
+
+  /** Magic-byte sniff — the payload, not the filename, decides the
+    * decoder (crawl corpora routinely mislabel extensions).
+    */
+  def format(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) "bmp"
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else "unknown"
+
+  /** Decode to top-down row-major per-pixel luma `(r+g+b)/3.0` — the
+    * exact per-pixel value [[BmpCodec.gridLumaRect]] accumulates.
+    */
+  private def lumaPixels(bytes: Array[Byte]): (Int, Int, Array[Double]) =
+    format(bytes) match {
+      case "bmp" =>
+        val (info, px) = BmpCodec.pixels(bytes)
+        val out = new Array[Double](px.length)
+        var i = 0
+        while (i < px.length) {
+          val (r, g, b) = px(i); out(i) = (r + g + b) / 3.0; i += 1
+        }
+        (info.width, info.height, out)
+      case "png" | "jpeg" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "javax.imageio could not decode the image payload")
+        val w = img.getWidth; val h = img.getHeight
+        require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+        val out = new Array[Double](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(y * w + x) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, out)
+      case other => throw new IllegalArgumentException(
+        s"unsupported image payload (sniffed '$other') — BMP/PNG/JPEG decode in-JVM; " +
+          "plug a codec for anything else")
+    }
+
+  def probe(bytes: Array[Byte]): ImageInfo = {
+    val (w, h, _) = lumaPixels(bytes)
+    ImageInfo(format(bytes), w, h)
+  }
+
+  /** Mean luma over a `gw × gh` grid (row-major) — [[BmpCodec.gridLumaRect]]'s
+    * accumulation verbatim, over the dispatched decode.
+    */
+  def gridLumaRect(bytes: Array[Byte], gw: Int, gh: Int): Array[Double] = {
+    require(gw >= 1 && gh >= 1)
+    val (w, h, lum) = lumaPixels(bytes)
+    val out = new Array[Double](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * gw / w).toInt
+        out(gy * gw + gx) += lum(y * w + x)
+        cnt(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < out.length) {
+      if (cnt(i) > 0) out(i) /= cnt(i)
+      i += 1
+    }
+    out
+  }
+
+  def gridLuma(bytes: Array[Byte], grid: Int): Array[Double] =
+    gridLumaRect(bytes, grid, grid)
+
+  /** 64-bit difference hash over the dispatched decode —
+    * [[BmpCodec.dHash64]]'s bit rule on the shared 9×8 grid; equal to it
+    * bit-for-bit on BMP payloads and on any lossless re-encode.
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val g = gridLumaRect(bytes, 9, 8)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+}

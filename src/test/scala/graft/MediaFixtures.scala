@@ -100,12 +100,123 @@ object MediaFixtures {
     * structured gradients in both axes, so the 9×8 dHash grid sees a
     * non-trivial bit pattern.
     */
-  def patternBmp: Array[Byte] =
-    bmp24(18, 16, Seq.tabulate(18 * 16) { i =>
+  def patternPixels: Seq[(Int, Int, Int)] =
+    Seq.tabulate(18 * 16) { i =>
       val x = i % 18; val y = i / 18
       val v = ((x / 2 + y / 2) % 4) * 60
       (v, v, v)
-    })
+    }
+
+  def patternBmp: Array[Byte] = bmp24(18, 16, patternPixels)
+
+  /** Minimal byte-stable PNG encoder: truecolor 8-bit, filter 0 rows,
+    * zlib stream of STORED deflate blocks — no `Deflater`, so the bytes
+    * depend on nothing but this code (the committed-fixture identity
+    * test stays valid across JDK builds). CRC32/Adler32 are the
+    * fully-specified JDK implementations.
+    */
+  def png24(width: Int, height: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(px.length == width * height)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be32(data.length.toLong))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+      out.toByteArray
+    }
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var i = 0
+    for (y <- 0 until height) {
+      raw(i) = 0 // filter: None
+      i += 1
+      for (x <- 0 until width) {
+        val (r, g, b) = px(y * width + x)
+        raw(i) = r.toByte; raw(i + 1) = g.toByte; raw(i + 2) = b.toByte
+        i += 3
+      }
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01) // zlib header, no preset dict
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65535, raw.length - off)
+      val last = if (off + n >= raw.length) 1 else 0
+      z.write(last) // BFINAL + BTYPE=00 (stored)
+      z.write(n & 0xff); z.write((n >> 8) & 0xff)
+      z.write((~n) & 0xff); z.write(((~n) >> 8) & 0xff)
+      z.write(raw, off, n)
+      off += n
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    z.write(be32(ad.getValue))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(be32(width.toLong)); ihdr.write(be32(height.toLong))
+    ihdr.write(8); ihdr.write(2) // bit depth 8, truecolor
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no interlace
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("IDAT", z.toByteArray))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** PNG re-encode of [[patternBmp]]'s pixels — LOSSLESS, so its dHash
+    * is bit-identical to pattern.bmp's: the planted CROSS-FORMAT
+    * perceptual duplicate (Hamming 0 to pattern.bmp, 2 to pattern2.bmp).
+    */
+  def patternPng: Array[Byte] = png24(18, 16, patternPixels)
+
+  /** Gray JPEG via the JDK's own encoder at an explicit quality. JPEG
+    * bytes are encoder-version-dependent, so these fixtures are NOT in
+    * the byte-identity set — the spec pins their decode facts instead.
+    */
+  def jpegGray(width: Int, height: Int, luma: (Int, Int) => Int,
+               quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val v = luma(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** 144×128 vertical stripes aligned to the 16×16 dHash cells (and to
+    * JPEG's 8×8 blocks, so every block is flat — decode noise is the DC
+    * quantization only, ≪ the 110-luma stripe gap): dHash row bits
+    * alternate 1010…, decisively.
+    */
+  def photoLuma(x: Int, y: Int): Int = if ((x / 16) % 2 == 0) 180 else 70
+
+  /** [[photoLuma]] with the top-left 2×2 dHash-cell region re-striped at
+    * 60/200 — flips exactly bits (r,c) ∈ {0,1}×{0,1} of the hash (each
+    * flip has a ≥ 20-luma margin): the planted JPEG near-dup at
+    * Hamming 4.
+    */
+  def photo2Luma(x: Int, y: Int): Int =
+    if (y < 32 && x < 32) { if ((x / 16) % 2 == 0) 60 else 200 }
+    else photoLuma(x, y)
+
+  def photoJpg: Array[Byte] = jpegGray(144, 128, photoLuma, 0.85f)
+  def photo2Jpg: Array[Byte] = jpegGray(144, 128, photo2Luma, 0.85f)
 
   /** [[patternBmp]] with the top-left 4×4 corner blown to white — every
     * raw byte of that corner changes but the gradient structure
@@ -131,14 +242,21 @@ object MediaFixtures {
     "tone.wav" -> toneWav, "stereo.wav" -> stereoWav, "byte8.wav" -> byteWav,
     "quiet.wav" -> quietWav,
     "halves.bmp" -> halvesBmp, "rgb.bmp" -> rgbBmp,
-    "pattern.bmp" -> patternBmp, "pattern2.bmp" -> pattern2Bmp)
+    "pattern.bmp" -> patternBmp, "pattern2.bmp" -> pattern2Bmp,
+    "pattern.png" -> patternPng)
+
+  /** Encoder-version-dependent fixtures (JPEG): written by the
+    * generator, but pinned by DECODE facts, not byte identity.
+    */
+  def rendered: Seq[(String, Array[Byte])] = Seq(
+    "photo.jpg" -> photoJpg, "photo2.jpg" -> photo2Jpg)
 }
 
 object GenMediaFixtures {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("fixtures/media")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    MediaFixtures.all.foreach { case (name, bytes) =>
+    (MediaFixtures.all ++ MediaFixtures.rendered).foreach { case (name, bytes) =>
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
       println(s"wrote $dir/$name (${bytes.length} bytes)")
     }

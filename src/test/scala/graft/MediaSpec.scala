@@ -114,6 +114,47 @@ class MediaSpec extends AnyFunSuite {
     assert(d == 2)
   }
 
+  test("ImageCodec: magic-byte sniff, cross-format dHash identity, JPEG decode facts") {
+    import graft.sources.ImageCodec
+    // sniff decides the decoder — the payload, never the filename
+    assert(ImageCodec.format(MediaFixtures.patternBmp) == "bmp")
+    assert(ImageCodec.format(MediaFixtures.patternPng) == "png")
+    assert(ImageCodec.format(MediaFixtures.photoJpg) == "jpeg")
+    assert(ImageCodec.format("not an image".getBytes) == "unknown")
+    intercept[IllegalArgumentException] { ImageCodec.dHash64("nope".getBytes) }
+    // BMP payloads route through BmpCodec bit-for-bit
+    assert(ImageCodec.dHash64(MediaFixtures.patternBmp) ==
+      BmpCodec.dHash64(MediaFixtures.patternBmp))
+    assert(ImageCodec.gridLuma(MediaFixtures.halvesBmp, 2).toSeq ==
+      BmpCodec.gridLuma(MediaFixtures.halvesBmp, 2).toSeq)
+    // a lossless PNG re-encode is the IDENTICAL hash — cross-format dedup
+    assert(ImageCodec.dHash64(MediaFixtures.patternPng) ==
+      BmpCodec.dHash64(MediaFixtures.patternBmp))
+    assert(ImageCodec.probe(MediaFixtures.patternPng) ==
+      ImageCodec.ImageInfo("png", 18, 16))
+    // the planted JPEG near-dup: decode through javax.imageio lands on
+    // exactly the 4 flipped top-left-cell bits (stripes align to JPEG
+    // blocks, so decode noise is DC-quantization only)
+    assert(ImageCodec.probe(MediaFixtures.photoJpg) ==
+      ImageCodec.ImageInfo("jpeg", 144, 128))
+    val d = java.lang.Long.bitCount(
+      ImageCodec.dHash64(MediaFixtures.photoJpg) ^
+        ImageCodec.dHash64(MediaFixtures.photo2Jpg))
+    assert(d == 4, s"planted JPEG pair drifted to Hamming $d")
+    // committed rendered fixtures decode to the same facts as the
+    // generator's output (bytes may differ across encoder versions —
+    // the semantic pin is what must hold)
+    MediaFixtures.rendered.foreach { case (name, gen) =>
+      val p = java.nio.file.Paths.get(s"/root/repo/fixtures/media/$name")
+      assert(java.nio.file.Files.exists(p),
+        s"missing fixture $name — run Test/runMain graft.GenMediaFixtures fixtures/media")
+      val committed = java.nio.file.Files.readAllBytes(p)
+      assert(ImageCodec.dHash64(committed) == ImageCodec.dHash64(gen) &&
+        ImageCodec.probe(committed) == ImageCodec.probe(gen),
+        s"fixture $name decodes differently from the generator")
+    }
+  }
+
   test("activity: silence gate finds the active half of quiet.wav") {
     assert(WavCodec.activity(MediaFixtures.quietWav, 8, 0.01) == ((8, 4, 4, 4)))
     assert(WavCodec.activity(MediaFixtures.toneWav, 4, 0.01) == ((4, 4, 4, 0)))
