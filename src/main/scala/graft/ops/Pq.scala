@@ -196,20 +196,17 @@ object Pq {
     * output `(idCol, score)` exactly as [[Similarity.knn]] scores it,
     * identical to the exact path whenever the true top-k survives the
     * `k × overfetch` coarse cut. PQ codes are coarser than SQ8's, so
-    * the default overfetch is wider; the candidate id set stays a
-    * bounded driver literal and the rescore scan prunes at the file
-    * index.
+    * the default overfetch is wider; the candidate set is bounded by
+    * contract and pruned via [[Similarity.pruneToCandidates]] (IN
+    * literal while small, broadcast semi-join beyond the cliff).
     */
   def knnPqRescore(store: DataFrame, idCol: String, embCol: String,
                    queryVec: Array[Float], k: Int, model: PqModel,
                    metric: String = "COSINE", overfetch: Int = 8,
                    scoreName: String = "score"): DataFrame = {
     require(k >= 1 && overfetch >= 1)
-    val ids = coarseCandidates(store, idCol, embCol, queryVec, k * overfetch, metric, model)
-      .select(col(idCol)).collect().map(_.get(0)).toSeq
-    val pruned =
-      if (ids.isEmpty) store.filter(lit(false))
-      else store.filter(col(idCol).isin(ids: _*))
+    val pruned = Similarity.pruneToCandidates(store, idCol,
+      coarseCandidates(store, idCol, embCol, queryVec, k * overfetch, metric, model))
     pruned
       .select(col(idCol), col(embCol))
       .withColumn(scoreName, VectorFunctions.score(metric)(col(embCol), typedlit(queryVec)))
@@ -389,12 +386,9 @@ object Pq {
     require(k >= 1 && nProbe >= 1 && overfetch >= 1)
     val probes = ivf.probeOrder(queryVec).take(nProbe).toSeq
     val probed = store.filter(col(clusterCol).isin(probes: _*))
-    val ids = coarseResidualCandidates(probed, idCol, embCol, clusterCol,
-      queryVec, k * overfetch, metric, ivf, model)
-      .select(col(idCol)).collect().map(_.get(0)).toSeq
-    val pruned =
-      if (ids.isEmpty) store.filter(lit(false))
-      else probed.filter(col(idCol).isin(ids: _*))
+    val pruned = Similarity.pruneToCandidates(probed, idCol,
+      coarseResidualCandidates(probed, idCol, embCol, clusterCol,
+        queryVec, k * overfetch, metric, ivf, model))
     pruned
       .select(col(idCol), col(embCol))
       .withColumn(scoreName, VectorFunctions.score(metric)(col(embCol), typedlit(queryVec)))

@@ -154,21 +154,18 @@ object Quantize {
   /** Top-k nearest rows via the quantized coarse pass + exact rescore.
     * Output `(idCol, score)` exactly as [[Similarity.knn]] scores it —
     * identical to the exact path whenever the true top-k survives the
-    * `k × overfetch` coarse cut. The candidate id set is a driver
-    * literal (bounded by k × overfetch, the same contract every batch
-    * collect in this engine rides on), so the rescore scan prunes at
-    * the file index instead of re-reading the corpus.
+    * `k × overfetch` coarse cut. The candidate set is k × overfetch
+    * bounded by contract; [[Similarity.pruneToCandidates]] compiles it
+    * as an IN literal while small (parquet row-group pruning at the
+    * scan) and as a broadcast semi-join beyond the literal-size cliff.
     */
   def knnQuantizedRescore(store: DataFrame, idCol: String, embCol: String,
                           queryVec: Array[Float], k: Int,
                           metric: String = "COSINE", overfetch: Int = 4,
                           scoreName: String = "score"): DataFrame = {
     require(k >= 1 && overfetch >= 1)
-    val ids = coarseCandidates(store, idCol, embCol, queryVec, k * overfetch, metric)
-      .select(col(idCol)).collect().map(_.get(0)).toSeq
-    val pruned =
-      if (ids.isEmpty) store.filter(lit(false))
-      else store.filter(col(idCol).isin(ids: _*))
+    val pruned = Similarity.pruneToCandidates(store, idCol,
+      coarseCandidates(store, idCol, embCol, queryVec, k * overfetch, metric))
     pruned
       .select(col(idCol), col(embCol))
       .withColumn(scoreName, VectorFunctions.score(metric)(col(embCol), typedlit(queryVec)))

@@ -171,6 +171,29 @@ object Similarity {
     boundedRank(scored, queryIdCol, corpusIdCol, k, metric, scoreName, rankName)
   }
 
+  /** Prune `store` to a bounded candidate-id relation — the shared
+    * rescore seam of the quantized serving ladder ([[Quantize]]/[[Pq]]).
+    * Small sets compile to an `IN` literal, which parquet row-group
+    * statistics can prune at the scan; beyond `maxInList` ids the
+    * literal becomes a liability (a 16k-element IN is a 16k-node
+    * predicate tree compiled into the plan), so the prune switches to a
+    * broadcast LEFT SEMI join — same row set, plan size O(1). The
+    * candidate relation is localCheckpointed once (it is k×overfetch
+    * bounded by the caller's contract) so the size probe and the join
+    * never recompute the coarse pass.
+    */
+  private[ops] def pruneToCandidates(store: DataFrame, idCol: String,
+                                     candidates: DataFrame,
+                                     maxInList: Int = 1024): DataFrame = {
+    val candIds = candidates.select(col(idCol)).localCheckpoint()
+    val n = candIds.count()
+    if (n == 0) store.filter(lit(false))
+    else if (n <= maxInList) {
+      val ids = candIds.collect().map(_.get(0)).toSeq
+      store.filter(col(idCol).isin(ids: _*))
+    } else store.join(broadcast(candIds), Seq(idCol), "left_semi")
+  }
+
   /** Query-side probe fan-out shared by [[ivfJoinTopK]] and the IVF
     * bitext miner ([[Contrastive.mineBitextIvf]]): each row explodes
     * into its `nProbe` nearest cells, in deterministic (distance,

@@ -779,6 +779,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 6.0)), s"constant vector must dequantize exactly: $got")
   }
 
+  test("rescore candidate prune: IN literal while small, broadcast semi-join past the cliff — results identical") {
+    import graft.ops.Quantize
+    // 1500-row corpus: k*overfetch beyond 1024 must NOT compile a
+    // 1500-node IN predicate into the plan
+    val corpus = Quantize.withQuantized(
+      (1 to 1500).map(i => (i.toLong,
+        Array.tabulate(8)(j => ((i * 31 + j * 7) % 97) / 97f))).toDF("vec_id", "embedding"),
+      "embedding")
+      .localCheckpoint()
+    val qv = Array.tabulate(8)(j => (j % 3) / 3f)
+    val small = Quantize.knnQuantizedRescore(corpus, "vec_id", "embedding", qv,
+      k = 5, overfetch = 4)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains(" IN ") || smallPlan.contains("INSET"),
+      s"small candidate sets keep the scan-prunable IN literal:\n$smallPlan")
+    val big = Quantize.knnQuantizedRescore(corpus, "vec_id", "embedding", qv,
+      k = 64, overfetch = 64) // 4096 candidates, capped at |corpus| = 1500
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains(" IN ") && !bigPlan.contains("INSET"),
+      s"large candidate sets must not compile an IN literal:\n$bigPlan")
+    assert(bigPlan.contains("LeftSemi"),
+      s"large candidate sets prune through a broadcast semi-join:\n$bigPlan")
+    // both paths stay the exact-rescore result: corpus-covering
+    // overfetch equals exact knn regardless of prune strategy
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    assert(pairs(Quantize.knnQuantizedRescore(corpus, "vec_id", "embedding", qv,
+        k = 10, overfetch = 500)) == // 5000 > cliff AND corpus-covering
+      pairs(Similarity.knn(corpus.select($"vec_id", $"embedding"), "embedding", qv, 10)))
+  }
+
   test("quantized store maintenance: the seam derives SQ8 columns on append; composes with IVF; search stays exact") {
     import graft.ops.{Quantize, VersionedStore}
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
