@@ -45,7 +45,7 @@ object Unigram {
     * one action computes the vocabulary total for the score constant.
     */
   def learnVocab(words: DataFrame, maxPieceLen: Int = 4,
-                 vocabSize: Int = 50): DataFrame = {
+                 vocabSize: Int = 50, emRounds: Int = 0): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
     require(vocabSize >= 0, s"vocabSize must be >= 0 (got $vocabSize)")
     val pieces = words
@@ -60,8 +60,106 @@ object Unigram {
       .unionByName(multi)
       .localCheckpoint() // two consumers (total + result); vocab-sized
     val total = vocab.agg(sum(col("pcnt"))).head().getLong(0)
-    vocab.withColumn("logp",
+    val seed = vocab.withColumn("logp",
       log(col("pcnt").cast("double") / lit(total).cast("double")))
+    emRefine(words, seed, maxPieceLen, emRounds)
+  }
+
+  /** Viterbi-EM refinement of a piece vocabulary (the hard-EM variant
+    * of Kudo 2018 §3.2's prune loop): each round re-segments every
+    * distinct word under the CURRENT scores, recounts pieces by their
+    * count-weighted usage in those max-likelihood segmentations, PRUNES
+    * multi-char pieces that no segmentation uses, and re-normalizes
+    * `logp = ln(usage/total)`. Single characters always survive (the
+    * closure that keeps every word segmentable) with a usage floor of
+    * 1 — a char every segmentation routes around still needs a finite
+    * score.
+    *
+    * Engine-portability is the quantized-checkpoint discipline
+    * ([[Classifier.fitLogReg]]'s replay trick, taken further): each
+    * round's DP runs on INTEGER micro-log-probs
+    * `round(logp · 10⁶)` — the checkpoint every engine lands on
+    * exactly — so path scores are integer sums, the (score desc,
+    * pieces asc, earliest split) tie order is exact, and a DuckDB
+    * recursive-CTE replay reproduces segmentations, usage counts, and
+    * the refined scores bit-for-bit. No float ever feeds float
+    * arithmetic across a round boundary.
+    *
+    * Scale: each round is one pass over the DISTINCT-word relation
+    * (vocabulary-sized — the [[Bpe]] discipline), one map-side-combined
+    * usage aggregate, and a vocab-sized driver collect for the next
+    * round's broadcast scores.
+    */
+  def emRefine(words: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
+               rounds: Int = 1): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
+    var v = vocab
+    for (_ <- 1 to rounds) {
+      // the quantized checkpoint: micro-log-prob integers
+      val lq: Map[String, Long] = v
+        .select(col("piece"), round(col("logp") * 1e6, 0).cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val segU = udf((w: String) => viterbiSegmentQ(w, lq, maxPieceLen))
+      val usage = words.filter(length(col("word")) > 0)
+        .select(col("cnt"), explode(segU(col("word"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("ucnt"))
+        .localCheckpoint() // vocab-sized; two consumers below
+      val merged = v.filter(length(col("piece")) === 1).select(col("piece"))
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("ucnt"), lit(1L)).as("pcnt"))
+        .unionByName(usage.filter(length(col("piece")) > 1)
+          .select(col("piece"), col("ucnt").as("pcnt")))
+        .localCheckpoint() // total + result
+      val total = merged.agg(sum(col("pcnt"))).head().getLong(0)
+      v = merged.withColumn("logp",
+        log(col("pcnt").cast("double") / lit(total).cast("double")))
+    }
+    v
+  }
+
+  /** [[viterbiSegment]] over integer micro-log-prob scores — the EM
+    * rounds' exact-arithmetic DP. Same recurrence, same (score desc,
+    * fewer pieces, earliest split) tie order, Long path sums.
+    */
+  def viterbiSegmentQ(word: String, lq: Map[String, Long],
+                      maxPieceLen: Int): Seq[String] = {
+    val L = word.length
+    if (L == 0) return Seq.empty
+    val NegInf = Long.MinValue / 4 // headroom: sums of per-piece scores never underflow
+    val best = Array.fill(L + 1)(NegInf)
+    val nPieces = Array.fill(L + 1)(Int.MaxValue)
+    val back = Array.fill(L + 1)(-1)
+    best(0) = 0L
+    nPieces(0) = 0
+    back(0) = 0
+    var i = 1
+    while (i <= L) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != NegInf) {
+          lq.get(word.substring(j, i)) match {
+            case Some(s) =>
+              val cand = best(j) + s
+              val np = nPieces(j) + 1
+              if (cand > best(i) || (cand == best(i) && np < nPieces(i))) {
+                best(i) = cand
+                nPieces(i) = np
+                back(i) = j
+              }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(L) == NegInf) Seq.empty
+    else {
+      val rev = scala.collection.mutable.ListBuffer.empty[String]
+      var i2 = L
+      while (i2 > 0) { rev.prepend(word.substring(back(i2), i2)); i2 = back(i2) }
+      rev.toList
+    }
   }
 
   /** Collect the vocab relation to the broadcastable score map — bounded

@@ -1447,6 +1447,24 @@ object TextQueries {
         .orderBy($"word")
     }),
 
+    // One Viterbi-EM refinement round over the seed vocabulary (the
+    // hard-EM variant of SentencePiece's prune loop): every distinct
+    // word re-segments under the seed scores QUANTIZED to integer
+    // micro-log-probs (the cross-engine checkpoint — the DP is pure
+    // Long arithmetic), pieces recount by count-weighted usage,
+    // unused multi-char pieces PRUNE, chars keep a usage floor of 1,
+    // and scores re-normalize. The oracle unrolls the whole round —
+    // quantize → DP → backpointer walk → usage agg → renormalize — as
+    // recursive CTEs.
+    "unigram_em_vocab" -> ((s, d) => {
+      import s.implicits._
+      val words = graft.ops.Bpe.wordCounts(documents(s, d), "text")
+      graft.ops.Unigram.learnVocab(words, maxPieceLen = 4, vocabSize = 50,
+          emRounds = 1)
+        .select($"piece", $"pcnt", round($"logp", 6).as("logp"))
+        .orderBy($"piece")
+    }),
+
     // Sequence packing measured in UNIGRAM pieces — the pack_bpe_windows
     // construction under the other tokenizer family; the oracle chains
     // the full unigram replay into the packing window.
@@ -3151,6 +3169,51 @@ object TextQueries {
         |SELECT w.word, array_to_string(w.pieces, ' ') AS segmentation,
         |  v.np::BIGINT AS n_pieces
         |FROM walk w JOIN vit v USING (word) ORDER BY w.word""".stripMargin),
+    // the EM round replayed end-to-end: integer micro-log-prob
+    // checkpoint, Long-arithmetic DP with backpointers, walk, usage
+    // recount, prune + char floor, renormalize
+    "unigram_em_vocab" ->
+      (unigramVocabCtes + """
+        |,
+        |vq AS (SELECT piece, round(logp * 1000000)::BIGINT AS lq FROM vocab),
+        |vitq AS (
+        |  WITH RECURSIVE v(word, i, best, pieces, back) AS (
+        |    SELECT word, 0, [0::BIGINT], [0], [0] FROM dwords
+        |    UNION ALL
+        |    SELECT v.word, v.i + 1, list_append(v.best, w.cand),
+        |           list_append(v.pieces, w.np), list_append(v.back, w.j)
+        |    FROM v, LATERAL (
+        |      SELECT vb.cand, vb.np, vb.j FROM (
+        |        SELECT v.best[(u.j+1)::INT] + vo.lq AS cand,
+        |               v.pieces[(u.j+1)::INT] + 1 AS np, u.j AS j
+        |        FROM unnest(range(greatest(0, v.i + 1 - 4), v.i + 1)) AS u(j)
+        |        JOIN vq vo ON vo.piece = substr(v.word, (u.j+1)::INT, (v.i+1-u.j)::INT)
+        |      ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1
+        |    ) w
+        |    WHERE v.i < len(v.word))
+        |  SELECT word, back FROM v WHERE i = len(word)),
+        |walkq AS (
+        |  WITH RECURSIVE wk(word, i, pieces) AS (
+        |    SELECT word, len(word), []::VARCHAR[] FROM vitq
+        |    UNION ALL
+        |    SELECT wk.word, b.back[(wk.i+1)::INT]::INT,
+        |      list_prepend(substr(wk.word, (b.back[(wk.i+1)::INT]+1)::INT,
+        |        (wk.i - b.back[(wk.i+1)::INT])::INT), wk.pieces)
+        |    FROM wk JOIN vitq b USING (word) WHERE wk.i > 0)
+        |  SELECT word, pieces FROM wk WHERE i = 0),
+        |usage AS (
+        |  SELECT piece, sum(cnt)::BIGINT AS ucnt FROM (
+        |    SELECT wc.cnt, unnest(w.pieces) AS piece
+        |    FROM walkq w JOIN wc ON wc.word = w.word) GROUP BY piece),
+        |merged AS (
+        |  SELECT c.piece, coalesce(u.ucnt, 1)::BIGINT AS pcnt
+        |  FROM (SELECT piece FROM vocab0 WHERE len(piece) = 1) c
+        |  LEFT JOIN usage u USING (piece)
+        |  UNION ALL
+        |  SELECT piece, ucnt AS pcnt FROM usage WHERE len(piece) > 1),
+        |tot1 AS (SELECT sum(pcnt)::BIGINT AS t FROM merged)
+        |SELECT piece, pcnt, round(ln(pcnt::DOUBLE / t::DOUBLE), 6) AS logp
+        |FROM merged, tot1 ORDER BY piece""".stripMargin),
     "unigram_segment_stats" ->
       (unigramCtes + """
         |SELECT doc_id, n_words, n_oov_words, n_pieces, round(logp_raw, 6) AS logp,

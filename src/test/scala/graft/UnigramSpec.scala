@@ -47,6 +47,36 @@ class UnigramSpec extends AnyFunSuite {
     assert(vocab.size == 6)
   }
 
+  test("emRefine: usage recount prunes unused multi pieces, chars survive with a floor, 0 rounds is identity") {
+    val words = Seq(("abab", 10L), ("cd", 1L)).toDF("word", "cnt")
+    val seed = Unigram.learnVocab(words, maxPieceLen = 2, vocabSize = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // rounds = 0 returns the seed relation untouched
+    assert(asMap(Unigram.emRefine(words, seed, maxPieceLen = 2, rounds = 0)) ==
+      asMap(seed))
+    val r1 = asMap(Unigram.emRefine(words, seed, maxPieceLen = 2, rounds = 1))
+    // Viterbi under the seed scores segments 'abab' as [ab, ab] (the
+    // 2-piece path beats any char path) and 'cd' as [c, d]:
+    // usage ab = 20, c = 1, d = 1; 'ba' is never used -> PRUNED;
+    // chars a, b route around -> floor 1
+    assert(!r1.contains("ba"), s"unused multi piece must prune: $r1")
+    assert(r1("ab")._1 == 20L)
+    assert(r1("a")._1 == 1L && r1("b")._1 == 1L, "unused chars keep the floor")
+    assert(r1("c")._1 == 1L && r1("d")._1 == 1L)
+    // scores renormalize over the refined totals (24)
+    assert(math.abs(r1("ab")._2 - math.log(20.0 / 24.0)) < 1e-12)
+    // a second round is stable here (the segmentations cannot change:
+    // 'ab' only got MORE likely relative to chars)
+    val r2 = asMap(Unigram.emRefine(words, seed, maxPieceLen = 2, rounds = 2))
+    assert(r2.keySet == r1.keySet && r2("ab")._1 == 20L)
+    // quantized-checkpoint DP: Long scores, same tie rules as the float DP
+    val lq = Map("a" -> -1000000L, "aa" -> -2000000L)
+    assert(Unigram.viterbiSegmentQ("aa", lq, 4) == Seq("aa"),
+      "equal path scores resolve to fewer pieces")
+    assert(Unigram.viterbiSegmentQ("ax", lq, 4).isEmpty, "OOV chars strand to empty")
+  }
+
   test("segmentStats: per-doc fertility over distinct-word Viterbi") {
     val docs = Seq((1L, "abab abab cd"), (2L, "cd")).toDF("doc_id", "text")
     val vocab = Unigram.vocabMap(
