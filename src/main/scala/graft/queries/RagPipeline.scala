@@ -132,6 +132,28 @@ object RagPipeline {
       qa.unpersist()
       result
     }),
+
+    // S12/S17: the catalog scan over store manifests — two ingests with
+    // distinct configs land their JSON sidecar manifests (the reference's
+    // GENAI table-comment registry, src/server/utils/embedding.py:43-58),
+    // and listStores reads the catalog back. The oracle pins the configs
+    // as literals: the engine must round-trip every field through the
+    // manifest write + JSON parse.
+    "store_catalog_scan" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-catalog-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).filter($"doc_id" < 10).select($"doc_id", $"text")
+      Ingest.ingest(s, docs, "doc_id", "text", root,
+        Ingest.StoreConfig("alpha", "hash64", 200, 40),
+        graft.embed.HashEmbedder(64))
+      Ingest.ingest(s, docs, "doc_id", "text", root,
+        Ingest.StoreConfig("beta", "hash32", 300, 0, "EUCLIDEAN_DISTANCE", "IVF"),
+        graft.embed.HashEmbedder(32))
+      Ingest.listStores(s, root).orderBy($"alias")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +163,15 @@ object RagPipeline {
     // terms, RRF fusion, rank-ordered context, the overlap-grader
     // routing, the template answer, the keyword judge, and the window
     // aggregates — all from the same parquet tables.
+    // the two ingested configs as literals — every field must round-trip
+    // the manifest write + JSON parse
+    "store_catalog_scan" ->
+      """SELECT alias, model, chunk_size, chunk_overlap, distance_metric,
+        |  index_type FROM (VALUES
+        |  ('alpha', 'hash64', 200::INTEGER, 40::INTEGER, 'COSINE', 'HNSW'),
+        |  ('beta', 'hash32', 300::INTEGER, 0::INTEGER, 'EUCLIDEAN_DISTANCE', 'IVF')
+        |) t(alias, model, chunk_size, chunk_overlap, distance_metric, index_type)
+        |ORDER BY alias""".stripMargin,
     "rag_e2e_pipeline" ->
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, e.embedding

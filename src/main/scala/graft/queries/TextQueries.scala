@@ -978,6 +978,26 @@ object TextQueries {
     // documents (the whole corpus today); multi-separator descent on
     // arbitrary whitespace stays covered by split_recursive_invariants
     // and the SplitSpec property tests.
+    // The sentence splitter (the testbed KB splitter shape — recursive
+    // with sentence-first separators ". ", "! ", "? ", "\n", " ") pinned
+    // on a committed inline fixture: boundary-preference order, overlap,
+    // and offsets are all engine-defined semantics the oracle pins as
+    // literals (the PdfCodec fixture treatment).
+    "split_sentences" -> ((s, _) => {
+      import s.implicits._
+      val texts = Seq(
+        (1L, "First sentence here. Second one follows! Third asks? Tail."),
+        (2L, "One line\nsecond line runs a bit longer than the cap\nthird"),
+        (3L, "Word soup without punctuation keeps splitting on spaces only"),
+        (4L, "Short.")
+      ).toDF("doc_id", "text")
+      Split.chunkDocs(texts, "doc_id", "text",
+          t => Split.sentences(t, size = 24, overlap = 0))
+        .select($"doc_id", $"chunk_idx", $"chunk_start",
+          $"chunk_text")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     "split_recursive" -> ((s, d) => {
       import s.implicits._
       Split.chunkDocs(singleSpaceDocs(s, d, maxWordLen = 199), "doc_id", "text",
@@ -2248,6 +2268,23 @@ object TextQueries {
     "ngram_lm_score" -> ngramLmOracle,
     "lm_perplexity_filter" -> pplFilterOracle(20.0),
     "bpe_learn_merges" -> bpeLearnOracle,
+    // the committed sentence-splitter fixture: boundary preference
+    // (". " > "! " > "? " > newline > space), offsets, and trailing
+    // separators pinned as literals
+    "split_sentences" ->
+      """SELECT doc_id, chunk_idx, chunk_start, chunk_text FROM (VALUES
+        |  (1::BIGINT, 0::BIGINT, 0::BIGINT, 'First sentence here. '),
+        |  (1::BIGINT, 1::BIGINT, 21::BIGINT, 'Second one follows! '),
+        |  (1::BIGINT, 2::BIGINT, 41::BIGINT, 'Third asks? Tail.'),
+        |  (2::BIGINT, 0::BIGINT, 0::BIGINT, 'One line' || chr(10) || 'second line '),
+        |  (2::BIGINT, 1::BIGINT, 21::BIGINT, 'runs a bit longer than '),
+        |  (2::BIGINT, 2::BIGINT, 44::BIGINT, 'the cap' || chr(10) || 'third'),
+        |  (3::BIGINT, 0::BIGINT, 0::BIGINT, 'Word soup without '),
+        |  (3::BIGINT, 1::BIGINT, 18::BIGINT, 'punctuation keeps '),
+        |  (3::BIGINT, 2::BIGINT, 36::BIGINT, 'splitting on spaces only'),
+        |  (4::BIGINT, 0::BIGINT, 0::BIGINT, 'Short.')
+        |) t(doc_id, chunk_idx, chunk_start, chunk_text)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "split_recursive" -> splitRecursiveOracle,
     "split_token_pack" -> splitTokenPackOracle,
     // the invariants ARE the oracle: per non-empty document the expected
