@@ -359,6 +359,39 @@ object Relational {
     // count state via Rollup.maintain — history is never re-scanned,
     // yet the panel must EQUAL the direct computation (bucket counts
     // are associative), which is exactly what the shared oracle pins.
+    // P9: the streaming ingest's data-contract gate replayed over
+    // batch-defined micro-batches: three event chunks run through
+    // IncrementalIngest.gatedBatch under (NotNull(user_id),
+    // InRange(value, 0..400)) — clean batches reach the "store" (the
+    // process callback), violating batches quarantine with their rows
+    // and report persisted. The output reads the ACTUAL artifacts (the
+    // callback's row count, the quarantine dir's row count), and the
+    // oracle recomputes the whole gate relationally: a batch is clean
+    // iff no row violates, so its rows route to exactly one side.
+    "stream_gate_filter" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-gate-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val rows = events(s, d).select($"event_id", $"user_id", $"value")
+      val rules = Seq[graft.ops.Validate.Rule](
+        graft.ops.Validate.NotNull("user_id"),
+        graft.ops.Validate.InRange("value", 0.0, 400.0))
+      val out = (0L until 3L).map { b =>
+        val batch = rows.filter($"event_id" % 3 === b)
+        var stored = 0L
+        val clean = graft.streaming.IncrementalIngest.gatedBatch(
+          batch, rules, s"$root/quarantine", b) { df => stored = df.count() }
+        val quarantined =
+          if (clean) 0L
+          else s.read.parquet(s"$root/quarantine/batch=$b/rows").count()
+        (b, clean, stored, quarantined)
+      }
+      out.toDF("batch_id", "clean", "n_stored", "n_quarantined")
+        .orderBy($"batch_id")
+    }),
+
     "anomaly_monitor_incremental" -> ((s, d) => {
       import s.implicits._
       val root = java.lang.System.getProperty("java.io.tmpdir") +
@@ -772,6 +805,21 @@ object Relational {
         |    < 3 AS risky
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // the gate recomputed relationally: a batch is clean iff no row
+    // violates (NotNull(user_id) ∨ value outside [0, 400]); rows route
+    // to exactly one side of the gate
+    "stream_gate_filter" ->
+      """WITH b AS (SELECT event_id % 3 AS batch_id,
+        |    CASE WHEN user_id IS NULL OR
+        |      (value IS NOT NULL AND (value < 0 OR value > 400))
+        |      THEN 1 ELSE 0 END AS bad
+        |  FROM events),
+        |g AS (SELECT batch_id, count(*)::BIGINT AS n, sum(bad)::BIGINT AS viol
+        |      FROM b GROUP BY 1)
+        |SELECT batch_id, viol = 0 AS clean,
+        |  (CASE WHEN viol = 0 THEN n ELSE 0 END)::BIGINT AS n_stored,
+        |  (CASE WHEN viol = 0 THEN 0 ELSE n END)::BIGINT AS n_quarantined
+        |FROM g ORDER BY batch_id""".stripMargin,
     // the incremental fold must serve the FULL-history panel — sharing
     // events_anomaly_daily's oracle pins fold ≡ direct by hash
     "anomaly_monitor_incremental" ->

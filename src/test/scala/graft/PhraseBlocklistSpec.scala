@@ -119,6 +119,41 @@ class PhraseBlocklistSpec extends AnyFunSuite {
         "doc_id", "text", idx)
     }
     assert(e.getMessage.contains("pure-append"))
+    // …and the stamped query path refuses the stale snapshot too — the
+    // index can never silently keep serving the pre-compaction store
+    intercept[Exception] {
+      graft.ops.Keyword
+        .phraseSearchIndexed(spark, idx, Seq("fast", "merge"), store = Some(t))
+        .count()
+    }
+    // HEAL end-to-end: rebuild at the compacted+appended version serves
+    // all four docs — the loud-rebuild path the refusal points at
+    graft.ops.Keyword.buildPositionalIndex(
+      graft.ops.VersionedStore.read(spark, t).get, "doc_id", "text", idx,
+      store = Some(t))
+    val healed = graft.ops.Keyword
+      .phraseSearchIndexed(spark, idx, Seq("fast", "merge"), store = Some(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(healed == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 2L, 0L), (4L, 1L, 0L)))
+    // a DELETE rewrites (or drops) covered segments: the fold refuses
+    // exactly like the compaction, and the post-rebuild index must NOT
+    // serve the deleted doc (O(deleted) rewrite on the store side)
+    graft.ops.VersionedStore.deleteByKeys(spark, t,
+      Seq(3L).toDF("doc_id"), "doc_id")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Keyword.appendToPositionalIndexForStore(spark, t,
+        "doc_id", "text", idx)
+    }
+    assert(e2.getMessage.contains("pure-append") ||
+      e2.getMessage.contains("ahead of"), e2.getMessage)
+    graft.ops.Keyword.buildPositionalIndex(
+      graft.ops.VersionedStore.read(spark, t).get, "doc_id", "text", idx,
+      store = Some(t))
+    val afterDelete = graft.ops.Keyword
+      .phraseSearchIndexed(spark, idx, Seq("fast", "merge"), store = Some(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterDelete == Set((1L, 1L, 0L), (2L, 1L, 1L), (4L, 1L, 0L)),
+      s"deleted doc 3 must leave the served results, got $afterDelete")
   }
 
   test("blocklistGate: counts, ratio, and both verdicts") {
