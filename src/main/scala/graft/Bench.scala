@@ -110,7 +110,7 @@ object Bench {
       "rag_e2e_pipeline", "stream_window_counts", "sessionize_events",
       "text_quality_score", "text_lang_id", "sketch_profile_invariants",
       "eval_bleu", "bpe_learn_merges", "funnel_conversion", "cohort_retention",
-      "retrieval_eval_metrics")
+      "retrieval_eval_metrics", "bitext_mining_ivf", "unigram_em_vocab")
     val byName = results.map(r => r._1 -> r).toMap
     val hq = new StringBuilder
     headline.foreach { k =>

@@ -209,15 +209,17 @@ object Profile {
                           maxBucketsPerGroup: Long = 2000000L): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
     val span = col("__hi") - col("__lo") + lit(1L)
+    // the guard is woven INTO the sequence bound (not a dropped side
+    // column Catalyst would prune away unevaluated): a span past the
+    // cap raises before any array materializes
+    val guardedLo = when(span > lit(maxBucketsPerGroup), raise_error(concat(
+        lit("anomaliesFromCounts: bucket span "), span.cast("string"),
+        lit(s" exceeds maxBucketsPerGroup=$maxBucketsPerGroup — widen bucketNs"))))
+      .otherwise(col("__lo"))
     val dense = counts.groupBy(col(groupCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
-      .withColumn("__span",
-        when(span > lit(maxBucketsPerGroup), raise_error(concat(
-          lit("anomaliesFromCounts: bucket span "), span.cast("string"),
-          lit(s" exceeds maxBucketsPerGroup=$maxBucketsPerGroup — widen bucketNs"))))
-          .otherwise(span))
       .select(col(groupCol),
-        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+        explode(sequence(guardedLo, col("__hi"))).as("bucket"))
     val densified = dense
       .join(counts, Seq(groupCol, "bucket"), "left")
       .select(col(groupCol), col("bucket"),

@@ -267,6 +267,33 @@ class CurationSpec extends AnyFunSuite {
     assert(fz.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
 
+  test("activityAnomalies: a full-outage bucket densifies to zero and flags; span cap raises") {
+    import graft.ops.Profile
+    val ns = 1000000000L
+    // 11 steady buckets of 10 events with bucket 5 MISSING entirely (the
+    // outage): densification scores it as n_events = 0 — without it the
+    // bucket would be absent from the panel and never flaggable
+    val ev = (0 until 12).filter(_ != 5)
+      .flatMap(b => (0 until 10).map(_ => ("a", b * ns + 1L))).toDF("g", "ts")
+    val got = Profile.activityAnomalies(ev, "g", "ts", bucketNs = ns,
+        zThreshold = 2.0)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getBoolean(5)))).toMap
+    assert(got.size == 12, s"densified panel must cover the full range: $got")
+    assert(got(5L)._1 == 0L, "the outage bucket scores a zero count")
+    // n=12, s1=110, s2=1100: var=(12*1100-110*110)/(12*11)=9.09, sd≈3.0;
+    // z(0)=(0-9.16)/3.0 ≈ -3.04 — the outage flags
+    assert(got(5L)._2, "the outage bucket must flag")
+    assert((0 until 12).filter(_ != 5).forall(b => !got(b.toLong)._2))
+    // the densification bound is LOUD, not a silent OOM: two events a
+    // universe apart under a tiny bucket would explode the sequence
+    val wide = Seq(("w", 0L), ("w", 4000000000000000L)).toDF("g", "ts")
+    val e = intercept[Exception] {
+      Profile.activityAnomalies(wide, "g", "ts", bucketNs = 1000L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxBucketsPerGroup"),
+      s"span past the cap must raise loudly, got: ${e.getMessage}")
+  }
+
   test("live stream volume monitor: foreachBatch rollup fold equals the direct panel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.{Profile, Rollup}
