@@ -57,6 +57,68 @@ object Contrastive {
     labelTopK(anchors, corpus, anchorIdCol, anchorEmbCol, anchorLabelCol,
       corpusIdCol, corpusEmbCol, corpusLabelCol, k, metric, sameLabel = false)
 
+  /** [[hardNegatives]] at CORPUS-SCALE anchors — the every-row-is-an-
+    * anchor mining pass a full training-set build runs, where the
+    * anchor side can no longer broadcast: both sides assign to the
+    * shared IVF model's cells ([[Similarity.ivfJoinTopK]]'s shape — the
+    * anchor explodes to its `nProbe` nearest cells, candidates are the
+    * cell equi-join, SHUFFLE_HASH so embedding payloads never sort),
+    * the label-mismatch predicate runs BEFORE the distance kernel, and
+    * the per-anchor top-k goes through the bounded-rank tail. At
+    * `nProbe = model.k` every wrong-label pair is scored exactly once
+    * and the result EQUALS [[hardNegatives]] rank for rank; at partial
+    * probe, recall follows the measured nprobe sweep (SCALE.md). Null
+    * labels stay excluded on both sides (the SQL null contract).
+    */
+  def hardNegativesIvf(anchors: DataFrame, corpus: DataFrame,
+                       anchorIdCol: String, anchorEmbCol: String, anchorLabelCol: String,
+                       corpusIdCol: String, corpusEmbCol: String, corpusLabelCol: String,
+                       model: Ivf.IvfModel, nProbe: Int, k: Int,
+                       metric: String = "COSINE"): DataFrame =
+    labelTopKIvf(anchors, corpus, anchorIdCol, anchorEmbCol, anchorLabelCol,
+      corpusIdCol, corpusEmbCol, corpusLabelCol, model, nProbe, k, metric,
+      sameLabel = false)
+
+  /** [[positives]] at corpus-scale anchors — [[hardNegativesIvf]] with
+    * the same-label predicate.
+    */
+  def positivesIvf(anchors: DataFrame, corpus: DataFrame,
+                   anchorIdCol: String, anchorEmbCol: String, anchorLabelCol: String,
+                   corpusIdCol: String, corpusEmbCol: String, corpusLabelCol: String,
+                   model: Ivf.IvfModel, nProbe: Int, k: Int,
+                   metric: String = "COSINE"): DataFrame =
+    labelTopKIvf(anchors, corpus, anchorIdCol, anchorEmbCol, anchorLabelCol,
+      corpusIdCol, corpusEmbCol, corpusLabelCol, model, nProbe, k, metric,
+      sameLabel = true)
+
+  private def labelTopKIvf(anchors: DataFrame, corpus: DataFrame,
+                           anchorIdCol: String, anchorEmbCol: String, anchorLabelCol: String,
+                           corpusIdCol: String, corpusEmbCol: String, corpusLabelCol: String,
+                           model: Ivf.IvfModel, nProbe: Int, k: Int,
+                           metric: String, sameLabel: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"nProbe must be in [1, ${model.k}] (got $nProbe)")
+    val q = Similarity.probeCellsExploded(
+      anchors.select(col(anchorIdCol).as("__qid"), col(anchorEmbCol).as("__qemb"),
+        col(anchorLabelCol).as("__qlab")),
+      "__qemb", model, nProbe, "__cell")
+    val c = Ivf.assign(
+        corpus.select(col(corpusIdCol), col(corpusEmbCol), col(corpusLabelCol)),
+        corpusEmbCol, model, clusterCol = "__cell")
+      .filter(col("__cell").isNotNull)
+    val keep =
+      if (sameLabel) col(corpusLabelCol) === col("__qlab")
+      else col(corpusLabelCol) =!= col("__qlab")
+    val scored = q.join(c.hint("SHUFFLE_HASH"), Seq("__cell"))
+      .filter(keep) // label predicate BEFORE the distance kernel
+      .withColumn("score", VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb")))
+      .filter(col("score").isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col("score"))
+    Similarity.boundedRank(scored, anchorIdCol, corpusIdCol, k, metric,
+      "score", "rank")
+  }
+
   /** Per anchor: the `k` highest-scoring SAME-label corpus items — the
     * positives of the contrastive pair. Same shape as
     * [[hardNegatives]].

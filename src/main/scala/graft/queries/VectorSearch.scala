@@ -510,6 +510,26 @@ object VectorSearch {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Corpus-scale hard-negative mining: EVERY embedding row is an
+    // anchor (the full training-set build — no broadcastable anchor
+    // batch exists), negatives come from the IVF cell equi-join with
+    // the label-mismatch predicate evaluated before the distance
+    // kernel. Full probe pins it to the exact per-anchor wrong-label
+    // top-k, which the oracle recomputes from the raw table.
+    "hard_negatives_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).filter($"embedding".isNotNull)
+      val anchors = e.select($"vec_id".as("qid"), $"embedding".as("qemb"),
+        $"label".as("qlabel"))
+      val model = graft.ops.Ivf.fit(e, "vec_id", "embedding", k = 8)
+      graft.ops.Contrastive.hardNegativesIvf(anchors, e,
+          "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+          model, nProbe = model.k, k = 3)
+        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id",
+          round($"score", 6).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Contrastive pair mining (DPR-style): per anchor, the single
     // nearest SAME-label positive × the 3 most-similar WRONG-label
     // hard negatives — the training triples an embedding-model trainer
@@ -889,6 +909,19 @@ object VectorSearch {
         |               c.vec_id) AS rank
         |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
         |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
+    // full probe ≡ exact: per-anchor wrong-label top-3 recomputed from
+    // the raw table (every row an anchor; null labels drop both sides)
+    "hard_negatives_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |r AS (SELECT a.vec_id AS qid, b.vec_id,
+        |        list_cosine_similarity(b.v, a.v) AS s,
+        |        row_number() OVER (PARTITION BY a.vec_id
+        |          ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id)
+        |          AS rank
+        |      FROM e a JOIN e b ON b.label <> a.label)
+        |SELECT qid, rank::BIGINT AS rank, vec_id, round(s, 6) AS sim
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "contrastive_triples" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
         |           FROM embeddings WHERE vec_id < 8),

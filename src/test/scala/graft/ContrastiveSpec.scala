@@ -82,6 +82,40 @@ class ContrastiveSpec extends AnyFunSuite {
     assert(loose.count() == 2)
   }
 
+  test("hardNegativesIvf at full probe ≡ broadcast hardNegatives; label filter precedes scoring") {
+    import graft.ops.Ivf
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(16)(j => (if (j == i % 16) 4f else 0f) + 0.01f * ((i * 7 + j) % 5))
+    val rows = (1 to 60).map(i =>
+      (i.toLong, vec(i), if (i % 10 == 0) None else Some("l" + (i % 3))))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = rows.select($"vec_id".as("qid"), $"embedding".as("qemb"),
+      $"label".as("qlabel"))
+    val model = Ivf.fit(rows, "vec_id", "embedding", k = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"qid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exact = Contrastive.hardNegatives(anchors, rows,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label", k = 3)
+    val ivf = Contrastive.hardNegativesIvf(anchors, rows,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+      model, nProbe = model.k, k = 3)
+    assert(pairs(ivf) == pairs(exact))
+    assert(exact.count() > 0)
+    // null-label anchors and corpus rows are excluded on both paths
+    assert(!pairs(ivf).exists(t => t._1 % 10 == 0 || t._3 % 10 == 0))
+    // positives too
+    val posIvf = Contrastive.positivesIvf(anchors, rows,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+      model, nProbe = model.k, k = 2)
+    val posExact = Contrastive.positives(anchors, rows,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label", k = 2)
+    assert(pairs(posIvf) == pairs(posExact))
+    // no cartesian anywhere: candidates come from the cell equi-join
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("mineBitextIvf at full probe ≡ mineBitext bit-for-bit; plan has no cross join") {
     import graft.ops.Ivf
     // clustered sides wide enough that IVF cells are non-trivial
