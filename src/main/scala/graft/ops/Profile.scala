@@ -203,11 +203,17 @@ object Profile {
     * bounded: each group contributes at most `maxBucketsPerGroup`
     * synthetic rows (loud `raise_error` beyond that — widen bucketNs),
     * and the range generator runs per |groups|-row, not per event.
+    *
+    * NULL-bucket rows (a null timestamp has no position on the time
+    * axis) are EXCLUDED from the panel and the moments — they cannot be
+    * densified into a range and a z-score for "no time" is meaningless.
+    * Callers needing a null-volume check should count them separately.
     */
-  def anomaliesFromCounts(counts: DataFrame, groupCol: String,
+  def anomaliesFromCounts(counts0: DataFrame, groupCol: String,
                           zThreshold: Double = 2.0,
                           maxBucketsPerGroup: Long = 2000000L): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val counts = counts0.filter(col("bucket").isNotNull)
     val span = col("__hi") - col("__lo") + lit(1L)
     // the guard is woven INTO the sequence bound (not a dropped side
     // column Catalyst would prune away unevaluated): a span past the

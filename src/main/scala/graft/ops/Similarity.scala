@@ -179,19 +179,19 @@ object Similarity {
     * predicate tree compiled into the plan), so the prune switches to a
     * broadcast LEFT SEMI join — same row set, plan size O(1). The
     * candidate relation is localCheckpointed once (it is k×overfetch
-    * bounded by the caller's contract) so the size probe and the join
-    * never recompute the coarse pass.
+    * bounded by the caller's contract); ONE bounded
+    * `limit(maxInList+1)` collect both sizes the set and supplies the
+    * literal ids — no separate count job on the serving path.
     */
   private[ops] def pruneToCandidates(store: DataFrame, idCol: String,
                                      candidates: DataFrame,
                                      maxInList: Int = 1024): DataFrame = {
     val candIds = candidates.select(col(idCol)).localCheckpoint()
-    val n = candIds.count()
-    if (n == 0) store.filter(lit(false))
-    else if (n <= maxInList) {
-      val ids = candIds.collect().map(_.get(0)).toSeq
-      store.filter(col(idCol).isin(ids: _*))
-    } else store.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val head = candIds.limit(maxInList + 1).collect()
+    if (head.isEmpty) store.filter(lit(false))
+    else if (head.length <= maxInList)
+      store.filter(col(idCol).isin(head.map(_.get(0)).toSeq: _*))
+    else store.join(broadcast(candIds), Seq(idCol), "left_semi")
   }
 
   /** Query-side probe fan-out shared by [[ivfJoinTopK]] and the IVF

@@ -374,7 +374,10 @@ object Relational {
         s"/graft-gate-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
         s"${java.lang.ProcessHandle.current().pid()}"
       graft.Fs.delete(s, root)
-      val rows = events(s, d).select($"event_id", $"user_id", $"value")
+      // null event_ids belong to no batch on either side — pin the
+      // domain explicitly so engine and oracle route identical rows
+      val rows = events(s, d).filter($"event_id".isNotNull)
+        .select($"event_id", $"user_id", $"value")
       val rules = Seq[graft.ops.Validate.Rule](
         graft.ops.Validate.NotNull("user_id"),
         graft.ops.Validate.InRange("value", 0.0, 400.0))
@@ -813,13 +816,18 @@ object Relational {
         |    CASE WHEN user_id IS NULL OR
         |      (value IS NOT NULL AND (value < 0 OR value > 400))
         |      THEN 1 ELSE 0 END AS bad
-        |  FROM events),
+        |  FROM events WHERE event_id IS NOT NULL),
         |g AS (SELECT batch_id, count(*)::BIGINT AS n, sum(bad)::BIGINT AS viol
-        |      FROM b GROUP BY 1)
-        |SELECT batch_id, viol = 0 AS clean,
-        |  (CASE WHEN viol = 0 THEN n ELSE 0 END)::BIGINT AS n_stored,
-        |  (CASE WHEN viol = 0 THEN 0 ELSE n END)::BIGINT AS n_quarantined
-        |FROM g ORDER BY batch_id""".stripMargin,
+        |      FROM b GROUP BY 1),
+        |-- all three batch slots exist even when a residue class is
+        |-- empty: an empty micro-batch gates clean with zero rows
+        |ids AS (SELECT unnest([0, 1, 2])::BIGINT AS batch_id)
+        |SELECT i.batch_id, coalesce(g.viol, 0) = 0 AS clean,
+        |  (CASE WHEN coalesce(g.viol, 0) = 0 THEN coalesce(g.n, 0)
+        |        ELSE 0 END)::BIGINT AS n_stored,
+        |  (CASE WHEN coalesce(g.viol, 0) = 0 THEN 0
+        |        ELSE g.n END)::BIGINT AS n_quarantined
+        |FROM ids i LEFT JOIN g USING (batch_id) ORDER BY batch_id""".stripMargin,
     // the incremental fold must serve the FULL-history panel — sharing
     // events_anomaly_daily's oracle pins fold ≡ direct by hash
     "anomaly_monitor_incremental" ->

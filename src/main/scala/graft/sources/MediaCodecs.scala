@@ -44,17 +44,16 @@ object WavCodec {
     var o = 12
     while (o + 8 <= bytes.length) {
       val tag = new String(bytes, o, 4, "US-ASCII")
-      // Size stays a Long until bounds-checked: a u32 >= 2^31 would wrap
-      // negative as Int and walk the offset backwards (infinite loop on a
-      // malformed/adversarial payload inside an executor).
+      // Size stays a Long until clamped: a u32 >= 2^31 would wrap
+      // negative as Int and walk the offset backwards (infinite loop on
+      // a malformed/adversarial payload inside an executor). An
+      // OVERSTATED size (truncated download, recorder cut mid-write) is
+      // clamped to the remaining bytes, not rejected — the decoder's
+      // documented tolerance: available samples still decode.
       val szL = u32(bytes, o + 4)
-      require(szL >= 0L && szL <= (bytes.length - o - 8).toLong,
-        s"malformed RIFF chunk '$tag': size $szL exceeds payload")
-      val sz = szL.toInt
+      val sz = math.min(szL, (bytes.length - o - 8).toLong).toInt
       out.getOrElseUpdate(tag, (o + 8, sz))
-      val next = o + 8 + sz + (sz & 1) // chunks are word-aligned
-      require(next > o, s"RIFF chunk walk stalled at offset $o")
-      o = next
+      o += 8 + sz + (sz & 1) // sz >= 0, so the walk always advances
     }
     out.toMap
   }
@@ -195,52 +194,66 @@ object BmpCodec {
 
   def probe(bytes: Array[Byte]): BmpInfo = pixels(bytes)._1
 
+  /** Top-down row-major per-pixel luma `(r+g+b)/3.0` — the single
+    * definition both [[BmpCodec]] and [[ImageCodec]] accumulate, so the
+    * cross-format Hamming-0 contract can never drift between copies.
+    */
+  private[sources] def lumaOf(px: Array[(Int, Int, Int)]): Array[Double] = {
+    val out = new Array[Double](px.length)
+    var i = 0
+    while (i < px.length) {
+      val (r, g, b) = px(i); out(i) = (r + g + b) / 3.0; i += 1
+    }
+    out
+  }
+
   /** Fixed-length image feature: mean luma `(r+g+b)/3` over a
     * `grid × grid` partition of the image (the thumbnail-pool a real
     * pipeline would replace with an encoder, same shape).
     */
-  def gridLuma(bytes: Array[Byte], grid: Int): Array[Double] = {
-    require(grid >= 1)
-    val (info, px) = pixels(bytes)
-    val out = new Array[Double](grid * grid)
-    val cnt = new Array[Long](grid * grid)
-    var y = 0
-    while (y < info.height) {
-      val gy = (y.toLong * grid / info.height).toInt
-      var x = 0
-      while (x < info.width) {
-        val gx = (x.toLong * grid / info.width).toInt
-        val (r, g, b) = px(y * info.width + x)
-        out(gy * grid + gx) += (r + g + b) / 3.0
-        cnt(gy * grid + gx) += 1
-        x += 1
-      }
-      y += 1
-    }
-    var i = 0
-    while (i < out.length) {
-      if (cnt(i) > 0) out(i) /= cnt(i)
-      i += 1
-    }
-    out
-  }
+  def gridLuma(bytes: Array[Byte], grid: Int): Array[Double] =
+    gridLumaRect(bytes, grid, grid)
 
   /** [[gridLuma]] over a rectangular `gw × gh` grid (row-major), for
     * the 9×8 difference-hash layout.
     */
   def gridLumaRect(bytes: Array[Byte], gw: Int, gh: Int): Array[Double] = {
-    require(gw >= 1 && gh >= 1)
     val (info, px) = pixels(bytes)
+    LumaGrid.accumulate(info.width, info.height, lumaOf(px), gw, gh)
+  }
+
+  /** 64-bit difference hash (dHash): mean luma over a 9×8 grid; bit
+    * `r·8 + c` is set iff `luma(r,c) > luma(r,c+1)` — the standard
+    * perceptual fingerprint (gradient directions survive resizing,
+    * re-encoding, and brightness shifts that change every raw byte).
+    * Near-duplicate images land within a small Hamming distance.
+    */
+  def dHash64(bytes: Array[Byte]): Long =
+    LumaGrid.dHashFromGrid(gridLumaRect(bytes, 9, 8))
+}
+
+/** The ONE copy of the grid-mean accumulation and the dHash bit rule —
+  * [[BmpCodec]] and [[ImageCodec]] both delegate here, which is what
+  * makes a lossless cross-format re-encode land on the identical hash
+  * by construction rather than by parallel maintenance of two loops.
+  */
+private[sources] object LumaGrid {
+
+  /** Mean luma over a `gw × gh` grid (row-major) of a `w × h` top-down
+    * luma array; cells accumulate in pixel order.
+    */
+  def accumulate(w: Int, h: Int, lum: Array[Double],
+                 gw: Int, gh: Int): Array[Double] = {
+    require(gw >= 1 && gh >= 1)
     val out = new Array[Double](gw * gh)
     val cnt = new Array[Long](gw * gh)
     var y = 0
-    while (y < info.height) {
-      val gy = (y.toLong * gh / info.height).toInt
+    while (y < h) {
+      val gy = (y.toLong * gh / h).toInt
       var x = 0
-      while (x < info.width) {
-        val gx = (x.toLong * gw / info.width).toInt
-        val (r, g, b) = px(y * info.width + x)
-        out(gy * gw + gx) += (r + g + b) / 3.0
+      while (x < w) {
+        val gx = (x.toLong * gw / w).toInt
+        out(gy * gw + gx) += lum(y * w + x)
         cnt(gy * gw + gx) += 1
         x += 1
       }
@@ -254,14 +267,8 @@ object BmpCodec {
     out
   }
 
-  /** 64-bit difference hash (dHash): mean luma over a 9×8 grid; bit
-    * `r·8 + c` is set iff `luma(r,c) > luma(r,c+1)` — the standard
-    * perceptual fingerprint (gradient directions survive resizing,
-    * re-encoding, and brightness shifts that change every raw byte).
-    * Near-duplicate images land within a small Hamming distance.
-    */
-  def dHash64(bytes: Array[Byte]): Long = {
-    val g = gridLumaRect(bytes, 9, 8)
+  /** Bit `r·8 + c` set iff `g(r,c) > g(r,c+1)` over a 9×8 grid. */
+  def dHashFromGrid(g: Array[Double]): Long = {
     var h = 0L
     var r = 0
     while (r < 8) {
@@ -304,18 +311,15 @@ object ImageCodec {
     else "unknown"
 
   /** Decode to top-down row-major per-pixel luma `(r+g+b)/3.0` — the
-    * exact per-pixel value [[BmpCodec.gridLumaRect]] accumulates.
+    * exact per-pixel value [[BmpCodec]] accumulates ([[BmpCodec.lumaOf]]
+    * for BMP payloads; the identical formula over `getRGB` for the
+    * imageio decodes).
     */
-  private def lumaPixels(bytes: Array[Byte]): (Int, Int, Array[Double]) =
-    format(bytes) match {
+  private def lumaPixels(fmt: String, bytes: Array[Byte]): (Int, Int, Array[Double]) =
+    fmt match {
       case "bmp" =>
         val (info, px) = BmpCodec.pixels(bytes)
-        val out = new Array[Double](px.length)
-        var i = 0
-        while (i < px.length) {
-          val (r, g, b) = px(i); out(i) = (r + g + b) / 3.0; i += 1
-        }
-        (info.width, info.height, out)
+        (info.width, info.height, BmpCodec.lumaOf(px))
       case "png" | "jpeg" =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null, "javax.imageio could not decode the image payload")
@@ -339,58 +343,62 @@ object ImageCodec {
           "plug a codec for anything else")
     }
 
-  def probe(bytes: Array[Byte]): ImageInfo = {
-    val (w, h, _) = lumaPixels(bytes)
-    ImageInfo(format(bytes), w, h)
+  /** Dimensions + format from the HEADERS alone — no pixel decode.
+    * A media scan probes every payload; paying a full JPEG decode just
+    * to read two ints would double the per-row decode cost
+    * ([[graft.ops.Multimodal.CodecDecoder]] calls probe next to
+    * features).
+    */
+  def probe(bytes: Array[Byte]): ImageInfo = format(bytes) match {
+    case "bmp" =>
+      require(bytes.length >= 54, "truncated BMP header")
+      (ImageInfo("bmp", le32(bytes, 18), le32(bytes, 22)))
+    case "png" =>
+      // IHDR is mandated first: width/height big-endian at 16/20
+      require(bytes.length >= 24, "truncated PNG header")
+      ImageInfo("png", be32(bytes, 16), be32(bytes, 20))
+    case "jpeg" =>
+      // scan markers for the first SOFn (0xC0-0xCF minus C4/C8/CC):
+      // length(2) precision(1) height(2) width(2)
+      var o = 2
+      while (o + 9 <= bytes.length) {
+        require((bytes(o) & 0xff) == 0xff, s"JPEG marker desync at $o")
+        val m = bytes(o + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          return ImageInfo("jpeg",
+            ((bytes(o + 7) & 0xff) << 8) | (bytes(o + 8) & 0xff),
+            ((bytes(o + 5) & 0xff) << 8) | (bytes(o + 6) & 0xff))
+        }
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) o += 2
+        else o += 2 + (((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff))
+      }
+      throw new IllegalArgumentException("JPEG payload has no SOF frame header")
+    case other => throw new IllegalArgumentException(
+      s"unsupported image payload (sniffed '$other') — BMP/PNG/JPEG decode in-JVM")
   }
 
-  /** Mean luma over a `gw × gh` grid (row-major) — [[BmpCodec.gridLumaRect]]'s
-    * accumulation verbatim, over the dispatched decode.
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** Mean luma over a `gw × gh` grid (row-major) — [[LumaGrid]]'s ONE
+    * accumulation over the dispatched decode.
     */
   def gridLumaRect(bytes: Array[Byte], gw: Int, gh: Int): Array[Double] = {
-    require(gw >= 1 && gh >= 1)
-    val (w, h, lum) = lumaPixels(bytes)
-    val out = new Array[Double](gw * gh)
-    val cnt = new Array[Long](gw * gh)
-    var y = 0
-    while (y < h) {
-      val gy = (y.toLong * gh / h).toInt
-      var x = 0
-      while (x < w) {
-        val gx = (x.toLong * gw / w).toInt
-        out(gy * gw + gx) += lum(y * w + x)
-        cnt(gy * gw + gx) += 1
-        x += 1
-      }
-      y += 1
-    }
-    var i = 0
-    while (i < out.length) {
-      if (cnt(i) > 0) out(i) /= cnt(i)
-      i += 1
-    }
-    out
+    val (w, h, lum) = lumaPixels(format(bytes), bytes)
+    LumaGrid.accumulate(w, h, lum, gw, gh)
   }
 
   def gridLuma(bytes: Array[Byte], grid: Int): Array[Double] =
     gridLumaRect(bytes, grid, grid)
 
-  /** 64-bit difference hash over the dispatched decode —
-    * [[BmpCodec.dHash64]]'s bit rule on the shared 9×8 grid; equal to it
+  /** 64-bit difference hash over the dispatched decode — [[LumaGrid]]'s
+    * ONE bit rule on the shared 9×8 grid; equal to [[BmpCodec.dHash64]]
     * bit-for-bit on BMP payloads and on any lossless re-encode.
     */
-  def dHash64(bytes: Array[Byte]): Long = {
-    val g = gridLumaRect(bytes, 9, 8)
-    var h = 0L
-    var r = 0
-    while (r < 8) {
-      var c = 0
-      while (c < 8) {
-        if (g(r * 9 + c) > g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
-        c += 1
-      }
-      r += 1
-    }
-    h
-  }
+  def dHash64(bytes: Array[Byte]): Long =
+    LumaGrid.dHashFromGrid(gridLumaRect(bytes, 9, 8))
 }

@@ -193,5 +193,12 @@ class MediaSpec extends AnyFunSuite {
     f32(20) = 3 // audioFormat = 3 (IEEE float)
     val e = intercept[IllegalArgumentException] { WavCodec.probe(f32) }
     assert(e.getMessage.contains("PCM"))
+    // an OVERSTATED data-chunk size (truncated download; also the u32 >=
+    // 2^31 wrap that once looped the chunk walk) clamps and decodes the
+    // available samples — the documented tolerance, and it terminates
+    val trunc = MediaFixtures.wav16(1, 8000, Array.fill(8)(16384))
+    java.util.Arrays.fill(trunc, 40, 44, 0xff.toByte) // data size = 2^32-1
+    val info = WavCodec.probe(trunc)
+    assert(info.nFrames == 8 && info.peak == 0.5)
   }
 }
