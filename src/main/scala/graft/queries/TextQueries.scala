@@ -1233,6 +1233,20 @@ object TextQueries {
     // entities NOT decoded, tags stripped + whitespace collapsed in
     // header and text. The oracle pins the expected sections as
     // literals: the engine must EXTRACT them from the markup.
+    // S3 sections: ATX-heading markdown split over the committed
+    // fixtures — preamble is section 0 at level 0, a '#' inside a ```
+    // code fence must NOT open a section (the HTML script-tag rule,
+    // markdown edition). Boundaries/levels/titles pinned as literals.
+    "markdown_sections_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readMarkdownSections(s, "/root/repo/fixtures/md/*.md")
+        .select($"doc_id", $"section_idx", $"level".cast("long").as("level"),
+          $"title", length($"body").cast("long").as("body_len"),
+          md5($"body".cast("binary")).as("body_md5"))
+        .orderBy($"doc_id", $"section_idx")
+    }),
+
     "html_sections_extract" -> ((s, _) => {
       import s.implicits._
       graft.sources.DocumentSources
@@ -2268,6 +2282,23 @@ object TextQueries {
     "ngram_lm_score" -> ngramLmOracle,
     "lm_perplexity_filter" -> pplFilterOracle(20.0),
     "bpe_learn_merges" -> bpeLearnOracle,
+    // the committed markdown fixtures: preamble section, heading levels,
+    // and the fenced '#' that must NOT split — pinned as literals
+    "markdown_sections_extract" ->
+      """SELECT doc_id, section_idx, level, title, body_len, body_md5
+        |FROM (VALUES
+        |  ('guide', 0::BIGINT, 0::BIGINT, '', 56::BIGINT,
+        |   'c5c7054b2bf5b2dfdd1f60922b628f14'),
+        |  ('guide', 1::BIGINT, 1::BIGINT, 'Getting started', 127::BIGINT,
+        |   'e71c9104b9b47d46cd429d4e421af5ed'),
+        |  ('guide', 2::BIGINT, 2::BIGINT, 'Configuration', 14::BIGINT,
+        |   '5e371f610198257f9338d12b84271eb5'),
+        |  ('guide', 3::BIGINT, 3::BIGINT, 'Deep dive', 14::BIGINT,
+        |   '9dc1fb7c7047408b8467fe311f7c49b8'),
+        |  ('notes', 0::BIGINT, 1::BIGINT, 'Only one heading', 30::BIGINT,
+        |   'b4b3b12f9bd8f807b165388aebaafb26')
+        |) t(doc_id, section_idx, level, title, body_len, body_md5)
+        |ORDER BY doc_id, section_idx""".stripMargin,
     // the committed sentence-splitter fixture: boundary preference
     // (". " > "! " > "? " > newline > space), offsets, and trailing
     // separators pinned as literals

@@ -20,6 +20,59 @@ object DocumentSources {
         col("value").as("text"),
         map(lit("source"), col("path")).as("metadata"))
 
+  /** S3 sections: markdown heading split — ATX headings (`# ` through
+    * `###### `) at line start open a section; text before the first
+    * heading is section 0 with an empty title at level 0. A heading
+    * marker INSIDE a ``` code fence must NOT open a section (the
+    * [[readHtmlSections]] script-tag rule, markdown edition — a shell
+    * comment in an example block is not a document heading); the fence
+    * state is a per-FILE line scan, one call per file like
+    * [[splitCsvRecords]], never a hot-path UDF.
+    */
+  def readMarkdownSections(spark: SparkSession, pathGlob: String): DataFrame = {
+    val raw = readText(spark, pathGlob)
+    val sectionize = udf((text: String) => splitMarkdownSections(
+      Option(text).getOrElse("")))
+    raw
+      .select(col("doc_id"), posexplode(sectionize(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("section_idx"),
+        col("col._1").as("level"), col("col._2").as("title"),
+        col("col._3").as("body"))
+  }
+
+  private[graft] def splitMarkdownSections(
+      content: String): Seq[(Int, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var level = 0
+    var title = ""
+    val body = new StringBuilder
+    var fenced = false
+    var started = false // becomes true at the first heading OR content line
+    def flush(): Unit = {
+      if (started) out += ((level, title, body.result().stripLineEnd))
+      body.clear()
+    }
+    val heading = "^(#{1,6}) (.*)$".r
+    content.split("\n", -1).foreach { line =>
+      if (line.trim.startsWith("```")) {
+        fenced = !fenced
+        started = true
+        body.append(line).append('\n')
+      } else line match {
+        case heading(hashes, t) if !fenced =>
+          flush()
+          started = true
+          level = hashes.length
+          title = t.trim
+        case _ =>
+          if (line.nonEmpty) started = true
+          body.append(line).append('\n')
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
   /** Quote-aware CSV record split (RFC 4180): record boundaries are
     * newlines *outside* double quotes, so quoted fields may embed
     * newlines — the reference CSVLoader's (python csv) behavior. A

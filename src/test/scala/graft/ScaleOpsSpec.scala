@@ -1730,6 +1730,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.count(_._1 == "guide") == 4)
   }
 
+  test("splitMarkdownSections: fence-aware headings, preamble, edge shapes") {
+    import DocumentSources.splitMarkdownSections
+    // a '#' line inside a ``` fence never opens a section; the fence
+    // closes and a real heading after it does
+    val fenced = "intro\n```\n# not a heading\n```\n# Real\nbody"
+    assert(splitMarkdownSections(fenced).map(s => (s._1, s._2)) ==
+      Seq((0, ""), (1, "Real")))
+    // blank-only preamble is not emitted as a section
+    assert(splitMarkdownSections("\n\n# A\nx").map(_._2) == Seq("A"))
+    // heading with no body keeps an empty body; 7 hashes is NOT ATX
+    assert(splitMarkdownSections("# A\n## B") ==
+      Seq((1, "A", ""), (2, "B", "")))
+    assert(splitMarkdownSections("####### seven\nx") ==
+      Seq((0, "", "####### seven\nx")))
+    // '#heading' without the space is prose, not a heading
+    assert(splitMarkdownSections("#nope\n# yes\nb").map(_._2) == Seq("", "yes"))
+    assert(splitMarkdownSections("") == Seq.empty)
+  }
+
   // The driver once recorded a hash mismatch for this entry that no
   // single-process reproduction could explain; this spec makes the
   // artifact defend itself — if the driver reds again while this is
