@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-pattern dictionary matching at corpus scale — the gazetteer /
+  * banned-phrase / PII-term scan of a training-data pipeline, built on
+  * the Aho–Corasick automaton (Aho & Corasick 1975): ONE left-to-right
+  * pass over each document finds every occurrence of every dictionary
+  * term, so the per-document cost is O(chars + matches) and does NOT
+  * grow with the dictionary. That is the scale lever over the
+  * per-term approach ([[TextAnalysis.blocklistGate]]'s token-set
+  * membership is fine for dozens of words; a 10k-phrase gazetteer
+  * through per-term regex/LIKE pays O(terms) per document — the
+  * automaton pays it once, at build time, on the driver).
+  *
+  * The automaton is built once from the bounded dictionary (gazetteers
+  * are vocabulary-sized by nature) and ships to executors by closure
+  * broadcast, exactly like a tokenizer vocab. The per-row traversal is
+  * a documented per-bounded-row imperative kernel (the packing-fold /
+  * codec rule) — an automaton has no codegen'd expression form.
+  *
+  * Match semantics (pinned for the oracle): case-sensitive substring
+  * occurrences, ALL of them including overlapping and nested ones (the
+  * automaton's dict-suffix links emit every term ending at every
+  * position). Counts and first match offsets replay in SQL as
+  * per-position substring equality — O(chars × terms) for the oracle,
+  * which is the whole point of not shipping that plan.
+  */
+object Gazetteer {
+
+  /** Immutable Aho–Corasick automaton over `terms`. Arrays, not maps,
+    * on the hot fields so the executor-side traversal allocates
+    * nothing per character.
+    */
+  final class Automaton private (
+      val terms: Array[String],
+      gotoMap: Array[Map[Char, Int]],
+      fail: Array[Int],
+      emits: Array[Array[Int]]) extends Serializable {
+
+    /** Per-term (occurrence count, first match 0-based start offset or
+      * -1) over one text — a single left-to-right pass.
+      */
+    def scan(text: String): (Array[Long], Array[Int]) = {
+      val counts = new Array[Long](terms.length)
+      val firsts = Array.fill(terms.length)(-1)
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !gotoMap(s).contains(c)) s = fail(s)
+        s = gotoMap(s).getOrElse(c, 0)
+        val out = emits(s)
+        var j = 0
+        while (j < out.length) {
+          val t = out(j)
+          counts(t) += 1L
+          val start = i - terms(t).length + 1
+          if (firsts(t) < 0) firsts(t) = start
+          j += 1
+        }
+        i += 1
+      }
+      (counts, firsts)
+    }
+  }
+
+  object Automaton {
+    /** Classic construction: trie + BFS failure links; each node's emit
+      * set is its own terms plus its fail target's (dict-suffix
+      * closure), so every occurrence is reported.
+      */
+    def apply(terms: Seq[String]): Automaton = {
+      require(terms.nonEmpty, "dictionary must not be empty")
+      require(terms.forall(_.nonEmpty), "dictionary terms must be non-empty")
+      require(terms.distinct.length == terms.length,
+        "dictionary terms must be distinct (duplicate counts would double)")
+      val ts = terms.toArray
+      val gotoB = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Map.empty[Char, Int])
+      val emitB = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      ts.zipWithIndex.foreach { case (t, ti) =>
+        var s = 0
+        t.foreach { c =>
+          s = gotoB(s).getOrElseUpdate(c, {
+            gotoB += scala.collection.mutable.Map.empty[Char, Int]
+            emitB += scala.collection.mutable.ArrayBuffer.empty[Int]
+            gotoB.length - 1
+          })
+        }
+        emitB(s) += ti
+      }
+      val n = gotoB.length
+      val fail = new Array[Int](n)
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoB(0).valuesIterator.foreach { s => fail(s) = 0; queue += s }
+      while (queue.nonEmpty) {
+        val r = queue.dequeue()
+        gotoB(r).foreach { case (c, s) =>
+          queue += s
+          var f = fail(r)
+          while (f != 0 && !gotoB(f).contains(c)) f = fail(f)
+          fail(s) = if (gotoB(f).contains(c) && gotoB(f)(c) != s) gotoB(f)(c) else 0
+          emitB(s) ++= emitB(fail(s)) // dict-suffix closure
+        }
+      }
+      new Automaton(ts, gotoB.map(_.toMap).toArray, fail,
+        emitB.map(_.toArray).toArray)
+    }
+  }
+
+  /** Per-(doc, term) match report: `(idCol, term, n_matches, first_pos)`
+    * for terms with at least one occurrence (`first_pos` 0-based).
+    * One narrow projection + explode — the corpus never shuffles to be
+    * matched; callers aggregate downstream as usual.
+    */
+  def matchCounts(df: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String]): DataFrame = {
+    val auto = Automaton(terms)
+    val scan = udf((text: String) => {
+      val (counts, firsts) = auto.scan(Option(text).getOrElse(""))
+      auto.terms.indices.collect {
+        case t if counts(t) > 0 => (auto.terms(t), counts(t), firsts(t))
+      }.toSeq
+    })
+    df.select(col(idCol), explode(scan(col(textCol))).as("__m"))
+      .select(col(idCol), col("__m._1").as("term"),
+        col("__m._2").as("n_matches"),
+        col("__m._3").cast("long").as("first_pos"))
+  }
+}

@@ -1518,6 +1518,20 @@ object TextQueries {
         .orderBy($"position")
     }),
 
+    // Aho–Corasick gazetteer scan: one automaton pass per document finds
+    // every occurrence of every dictionary term — per-doc cost O(chars),
+    // independent of dictionary size (the 10k-term scale lever over
+    // per-term regex). The dictionary plants nesting ('a' ⊂ 'an' ⊂
+    // 'and') and overlap so the dict-suffix emission is exercised; the
+    // oracle replays counts and first offsets as per-position substring
+    // equality — the O(chars × terms) plan the automaton exists to avoid.
+    "gazetteer_match_counts" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Gazetteer.matchCounts(documents(s, d), "doc_id", "text",
+          Seq("a", "an", "and", "data", "the", "ing "))
+        .orderBy($"doc_id", $"term")
+    }),
+
     // Blocklist document gate — the C4 bad-words rule (drop on any hit)
     // next to the softer per-mille ratio gate; integer
     // cross-multiplication keeps the ratio verdict float-free.
@@ -2282,6 +2296,24 @@ object TextQueries {
     "ngram_lm_score" -> ngramLmOracle,
     "lm_perplexity_filter" -> pplFilterOracle(20.0),
     "bpe_learn_merges" -> bpeLearnOracle,
+    // every occurrence (overlapping and nested included) as per-position
+    // substring equality; first_pos 0-based
+    "gazetteer_match_counts" ->
+      """WITH t(term) AS (
+        |  SELECT unnest(['a', 'an', 'and', 'data', 'the', 'ing '])),
+        |m AS (
+        |  SELECT d.doc_id, t.term,
+        |    coalesce(list_sum(list_transform(
+        |      range(1, greatest(len(d.text) - len(t.term) + 2, 1)),
+        |      i -> (d.text[i::INT:(i + len(t.term) - 1)::INT] = t.term)::INT)),
+        |      0)::BIGINT AS n_matches,
+        |    (list_min(list_filter(
+        |      range(1, greatest(len(d.text) - len(t.term) + 2, 1)),
+        |      i -> d.text[i::INT:(i + len(t.term) - 1)::INT] = t.term)) - 1
+        |    )::BIGINT AS first_pos
+        |  FROM documents d, t)
+        |SELECT doc_id, term, n_matches, first_pos FROM m WHERE n_matches > 0
+        |ORDER BY doc_id, term""".stripMargin,
     // the committed markdown fixtures: preamble section, heading levels,
     // and the fenced '#' that must NOT split — pinned as literals
     "markdown_sections_extract" ->

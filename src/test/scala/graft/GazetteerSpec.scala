@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Gazetteer
+
+/** Aho–Corasick gazetteer matcher: the textbook automaton cases
+  * (nesting, overlap, dict-suffix emission) against naive scanning.
+  */
+class GazetteerSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def naive(text: String, t: String): (Long, Int) = {
+    val hits = (0 to text.length - t.length)
+      .filter(i => text.regionMatches(i, t, 0, t.length))
+    (hits.size.toLong, hits.headOption.getOrElse(-1))
+  }
+
+  test("automaton scan equals naive counting on the classic he/she/his/hers case") {
+    val terms = Seq("he", "she", "his", "hers")
+    val auto = Gazetteer.Automaton(terms)
+    for (text <- Seq("ushers", "she sells seashells", "hehehers", "", "x")) {
+      val (counts, firsts) = auto.scan(text)
+      terms.zipWithIndex.foreach { case (t, i) =>
+        assert((counts(i), firsts(i)) == naive(text, t),
+          s"term '$t' over '$text'")
+      }
+    }
+    // 'ushers': she@1, he@2, hers@2 — the dict-suffix closure emits ALL
+    val (c, f) = auto.scan("ushers")
+    assert(c.toSeq == Seq(1L, 1L, 0L, 1L) && f.toSeq == Seq(2, 1, -1, 2))
+  }
+
+  test("overlapping occurrences all count; property vs naive on random texts") {
+    val auto = Gazetteer.Automaton(Seq("aa", "aba"))
+    val (c, _) = auto.scan("aaaa")
+    assert(c(0) == 3L, "overlapping 'aa' in 'aaaa' occurs 3 times")
+    val rnd = new scala.util.Random(7)
+    val terms = Seq("ab", "ba", "aab", "b", "abab")
+    val a2 = Gazetteer.Automaton(terms)
+    for (_ <- 0 until 50) {
+      val text = (0 until rnd.nextInt(30)).map(_ => "ab" (rnd.nextInt(2))).mkString
+      val (counts, firsts) = a2.scan(text)
+      terms.zipWithIndex.foreach { case (t, i) =>
+        assert((counts(i), firsts(i)) == naive(text, t), s"'$t' over '$text'")
+      }
+    }
+  }
+
+  test("matchCounts: per-(doc, term) rows, zero-hit terms absent, null text safe") {
+    val df = Seq((1L, "the cat and the hat"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Gazetteer.matchCounts(df, "doc_id", "text", Seq("the", "hat", "zzz"))
+      .orderBy($"doc_id", $"term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "hat", 1L, 16L), (1L, "the", 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Gazetteer.Automaton(Seq("a", "a"))
+    }
+  }
+}
