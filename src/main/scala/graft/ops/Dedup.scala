@@ -398,6 +398,37 @@ object Dedup {
     df.join(losers.hint("SHUFFLE_HASH"), Seq(idCol), "left_anti")
   }
 
+  /** Soft dedup: DOWN-WEIGHT near-dup clusters instead of dropping them
+    * (the SoftDeDup treatment — a cluster of n near-identical documents
+    * contributes total sampling mass 1, weight `1/n` each, so the
+    * information survives once without the n× repetition bias; modern
+    * mixture builders feed these weights into weighted sampling rather
+    * than hard-deleting). Returns `(idCol, cluster_size, weight)` for
+    * EVERY input row — unclustered docs carry size 1, weight 1.0;
+    * weights round to 6 (the portable-ranking convention — `1/n` is one
+    * exact division, identical cross-engine).
+    *
+    * Scale: the component relation is bounded by the corpus's
+    * DUPLICATED rows (unbroadcastable at a 30% dup rate — the
+    * [[nearDupSurvivors]] argument), so the weight join is
+    * SHUFFLE_HASH on bare ids; the size aggregate is component-keyed
+    * and map-side combined.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val sized = comp
+      .join(comp.groupBy(col("component")).agg(count(lit(1)).as("__sz")),
+        Seq("component"))
+      .select(col("id").as(idCol), col("__sz"))
+    df.select(col(idCol))
+      .join(sized.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("__sz"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Quality-aware survivor selection: within each near-dup cluster
     * keep the row with the HIGHEST `scoreCol` (ties to the smallest
     * id) instead of [[nearDupSurvivors]]'s smallest-id convention —

@@ -117,6 +117,18 @@ object DedupQueries {
         .orderBy($"id")
     }),
 
+    // Soft dedup: every document keeps a SAMPLING WEIGHT 1/cluster_size
+    // instead of near-dups being dropped — a cluster contributes total
+    // mass 1, so information survives without the repetition bias; the
+    // weights feed weighted mixture sampling downstream.
+    "softdedup_weights" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      Dedup.softDedupWeights(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2))
+        .orderBy($"doc_id")
+    }),
+
     // Duplication-rate report: cluster-size histogram over the near-dup
     // components (singletons derived relationally from total − member
     // counts — no driver round-trip), the "how duplicated is this
@@ -634,6 +646,36 @@ object DedupQueries {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // the component closure again, joined back to EVERY document with
+    // 1/cluster_size (exact single division) as the sampling weight
+    "softdedup_weights" ->
+      """WITH RECURSIVE g AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |p AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.2),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |comp AS MATERIALIZED (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |sz AS (SELECT c.id, n.n AS sz FROM comp c JOIN (
+        |  SELECT component, count(*)::BIGINT AS n FROM comp GROUP BY component) n
+        |  USING (component))
+        |SELECT d.doc_id, coalesce(sz.sz, 1)::BIGINT AS cluster_size,
+        |  round(1.0 / coalesce(sz.sz, 1), 6) AS weight
+        |FROM documents d LEFT JOIN sz ON sz.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the component closure again, aggregated to the size histogram;
     // singleton clusters = total docs − component members
     "dedup_cluster_histogram" ->

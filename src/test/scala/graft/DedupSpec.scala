@@ -153,6 +153,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDupSurvivors(docs, "doc_id", noPairs).count() == docs.count())
   }
 
+  test("softDedupWeights: 1/cluster_size per member, mass 1 per cluster, singletons weigh 1.0") {
+    // component {1,2,3,7} (size 4), {5,6} (size 2), 9 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 7L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val got = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(Seq(1L, 2L, 3L, 7L).forall(got(_) == ((4L, 0.25))))
+    assert(Seq(5L, 6L).forall(got(_) == ((2L, 0.5))))
+    assert(got(9L) == ((1L, 1.0)))
+    // each cluster contributes total sampling mass 1
+    val byCluster = got.values.groupBy(_._1).map { case (sz, ws) =>
+      sz -> ws.map(_._2).sum }
+    assert(byCluster.forall { case (sz, m) =>
+      math.abs(m - (if (sz == 1L) 1.0 else 1.0)) < 1e-9 })
+  }
+
   test("nearDupSurvivorsByQuality: the best-scored member survives, not min-id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val docs = Seq(
