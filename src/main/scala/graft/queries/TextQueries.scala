@@ -1499,6 +1499,18 @@ object TextQueries {
         .orderBy($"piece")
     }),
 
+    // TWO EM rounds: the second DP runs on the first round's
+    // re-quantized scores over the pruned vocab — the integer-checkpoint
+    // replay chains round over round with no float drift to compound.
+    "unigram_em2_vocab" -> ((s, d) => {
+      import s.implicits._
+      val words = graft.ops.Bpe.wordCounts(documents(s, d), "text")
+      graft.ops.Unigram.learnVocab(words, maxPieceLen = 4, vocabSize = 50,
+          emRounds = 2)
+        .select($"piece", $"pcnt", round($"logp", 6).as("logp"))
+        .orderBy($"piece")
+    }),
+
     // Sequence packing measured in UNIGRAM pieces — the pack_bpe_windows
     // construction under the other tokenizer family; the oracle chains
     // the full unigram replay into the packing window.
@@ -2171,6 +2183,88 @@ object TextQueries {
         |tot AS (SELECT sum(pcnt)::BIGINT AS t FROM vocab0),
         |vocab AS (SELECT piece, ln(pcnt::DOUBLE / t::DOUBLE) AS logp FROM vocab0, tot),
         |dwords AS (SELECT DISTINCT w AS word FROM toks)""".stripMargin
+
+  /** The Viterbi-EM round unrolled `rounds` times as chained CTEs (the
+    * logregOracleCore discipline): each round re-quantizes the previous
+    * scores to integer micro-log-probs, replays the Long-arithmetic DP,
+    * walks the backpointers, recounts usage, prunes, and renormalizes.
+    * Chars come from the seed vocab every round — the floor keeps them
+    * alive, so the char set is round-invariant.
+    *
+    * The DP and the walk are UNROLLED position-by-position as plain
+    * chained CTEs rather than recursive ones: DuckDB (observed on
+    * 1.0.0) silently evaluates a recursive-lineage CTE as partially
+    * empty when referenced from inside ANOTHER recursive CTE's
+    * recursive term, which broke round 2's DP (it saw only the
+    * char-leg of the round-1 vocab). Unrolling removes every recursion
+    * from the chain; `MaxOracleWordLen` bounds the unroll and a loud
+    * `error()` guard fires if the corpus ever exceeds it.
+    */
+  private val MaxOracleWordLen = 10
+
+  private def unigramEmOracle(rounds: Int): String = {
+    val L = MaxOracleWordLen
+    def dpStep(r: Int, i: Int): String =
+      s"""
+         |s${r}_$i AS (
+         |  SELECT s.word,
+         |    CASE WHEN len(s.word) >= $i THEN list_append(s.best, w.cand)
+         |         ELSE s.best END AS best,
+         |    CASE WHEN len(s.word) >= $i THEN list_append(s.np, w.np)
+         |         ELSE s.np END AS np,
+         |    CASE WHEN len(s.word) >= $i THEN list_append(s.back, w.j)
+         |         ELSE s.back END AS back
+         |  FROM s${r}_${i - 1} s LEFT JOIN LATERAL (
+         |    SELECT vb.cand, vb.np, vb.j FROM (
+         |      SELECT s.best[(u.j+1)::INT] + vo.lq AS cand,
+         |             s.np[(u.j+1)::INT] + 1 AS np, u.j AS j
+         |      FROM unnest(range(greatest(0, $i - 4), $i)) AS u(j)
+         |      JOIN vq$r vo ON vo.piece = substr(s.word, (u.j+1)::INT, ($i-u.j)::INT)
+         |    ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1) w ON true)""".stripMargin
+    def walkStep(r: Int, k: Int): String =
+      s"""
+         |w${r}_$k AS (
+         |  SELECT word,
+         |    CASE WHEN i > 0 THEN back[(i+1)::INT]::INT ELSE i END AS i,
+         |    CASE WHEN i > 0 THEN list_prepend(substr(word,
+         |        (back[(i+1)::INT]+1)::INT, (i - back[(i+1)::INT])::INT), pieces)
+         |      ELSE pieces END AS pieces,
+         |    back FROM w${r}_${k - 1})""".stripMargin
+    def round(r: Int): String = {
+      val prev = if (r == 1) "vocab" else s"vocab_r${r - 1}"
+      s"""
+         |vq$r AS (SELECT piece, round(logp * 1000000)::BIGINT AS lq FROM $prev),
+         |s${r}_0 AS (SELECT word, [0::BIGINT] AS best, [0] AS np, [0] AS back
+         |  FROM dwords),""".stripMargin +
+        (1 to L).map(dpStep(r, _)).mkString(",") + "," +
+        s"""
+           |w${r}_0 AS (SELECT word, len(word)::INT AS i, []::VARCHAR[] AS pieces,
+           |  back FROM s${r}_$L),""".stripMargin +
+        (1 to L).map(walkStep(r, _)).mkString(",") + "," +
+        s"""
+           |usage$r AS (
+           |  SELECT piece, sum(cnt)::BIGINT AS ucnt FROM (
+           |    SELECT wc.cnt, unnest(w.pieces) AS piece
+           |    FROM w${r}_$L w JOIN wc ON wc.word = w.word) GROUP BY piece),
+           |merged$r AS (
+           |  SELECT c.piece, coalesce(u.ucnt, 1)::BIGINT AS pcnt
+           |  FROM (SELECT piece FROM vocab0 WHERE len(piece) = 1) c
+           |  LEFT JOIN usage$r u USING (piece)
+           |  UNION ALL
+           |  SELECT piece, ucnt AS pcnt FROM usage$r WHERE len(piece) > 1),
+           |tot$r AS (SELECT sum(pcnt)::BIGINT AS t FROM merged$r),
+           |vocab_r$r AS (SELECT piece, pcnt,
+           |  ln(pcnt::DOUBLE / t::DOUBLE) AS logp FROM merged$r, tot$r)""".stripMargin
+    }
+    unigramVocabCtes + "," +
+      s"""
+         |chk AS (SELECT CASE WHEN max(len(word)) > $L
+         |  THEN error('unigram EM oracle: word exceeds the $L-position unroll')
+         |  ELSE 1 END AS ok FROM dwords),""".stripMargin +
+      (1 to rounds).map(round).mkString(",") + s"""
+         |SELECT piece, pcnt, round(logp, 6) AS logp
+         |FROM vocab_r$rounds, chk ORDER BY piece""".stripMargin
+  }
 
   private val unigramCtes: String =
     unigramVocabCtes + """,
@@ -3272,48 +3366,10 @@ object TextQueries {
     // the EM round replayed end-to-end: integer micro-log-prob
     // checkpoint, Long-arithmetic DP with backpointers, walk, usage
     // recount, prune + char floor, renormalize
-    "unigram_em_vocab" ->
-      (unigramVocabCtes + """
-        |,
-        |vq AS (SELECT piece, round(logp * 1000000)::BIGINT AS lq FROM vocab),
-        |vitq AS (
-        |  WITH RECURSIVE v(word, i, best, pieces, back) AS (
-        |    SELECT word, 0, [0::BIGINT], [0], [0] FROM dwords
-        |    UNION ALL
-        |    SELECT v.word, v.i + 1, list_append(v.best, w.cand),
-        |           list_append(v.pieces, w.np), list_append(v.back, w.j)
-        |    FROM v, LATERAL (
-        |      SELECT vb.cand, vb.np, vb.j FROM (
-        |        SELECT v.best[(u.j+1)::INT] + vo.lq AS cand,
-        |               v.pieces[(u.j+1)::INT] + 1 AS np, u.j AS j
-        |        FROM unnest(range(greatest(0, v.i + 1 - 4), v.i + 1)) AS u(j)
-        |        JOIN vq vo ON vo.piece = substr(v.word, (u.j+1)::INT, (v.i+1-u.j)::INT)
-        |      ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1
-        |    ) w
-        |    WHERE v.i < len(v.word))
-        |  SELECT word, back FROM v WHERE i = len(word)),
-        |walkq AS (
-        |  WITH RECURSIVE wk(word, i, pieces) AS (
-        |    SELECT word, len(word), []::VARCHAR[] FROM vitq
-        |    UNION ALL
-        |    SELECT wk.word, b.back[(wk.i+1)::INT]::INT,
-        |      list_prepend(substr(wk.word, (b.back[(wk.i+1)::INT]+1)::INT,
-        |        (wk.i - b.back[(wk.i+1)::INT])::INT), wk.pieces)
-        |    FROM wk JOIN vitq b USING (word) WHERE wk.i > 0)
-        |  SELECT word, pieces FROM wk WHERE i = 0),
-        |usage AS (
-        |  SELECT piece, sum(cnt)::BIGINT AS ucnt FROM (
-        |    SELECT wc.cnt, unnest(w.pieces) AS piece
-        |    FROM walkq w JOIN wc ON wc.word = w.word) GROUP BY piece),
-        |merged AS (
-        |  SELECT c.piece, coalesce(u.ucnt, 1)::BIGINT AS pcnt
-        |  FROM (SELECT piece FROM vocab0 WHERE len(piece) = 1) c
-        |  LEFT JOIN usage u USING (piece)
-        |  UNION ALL
-        |  SELECT piece, ucnt AS pcnt FROM usage WHERE len(piece) > 1),
-        |tot1 AS (SELECT sum(pcnt)::BIGINT AS t FROM merged)
-        |SELECT piece, pcnt, round(ln(pcnt::DOUBLE / t::DOUBLE), 6) AS logp
-        |FROM merged, tot1 ORDER BY piece""".stripMargin),
+    "unigram_em_vocab" -> unigramEmOracle(1),
+    // two rounds compound: round 2's DP runs on round 1's re-quantized
+    // scores over the PRUNED vocab — the checkpoint discipline chains
+    "unigram_em2_vocab" -> unigramEmOracle(2),
     "unigram_segment_stats" ->
       (unigramCtes + """
         |SELECT doc_id, n_words, n_oov_words, n_pieces, round(logp_raw, 6) AS logp,
