@@ -2197,7 +2197,9 @@ object TextQueries {
     * empty when referenced from inside ANOTHER recursive CTE's
     * recursive term, which broke round 2's DP (it saw only the
     * char-leg of the round-1 vocab). Unrolling removes every recursion
-    * from the chain; `MaxOracleWordLen` bounds the unroll and a loud
+    * from the chain (each step CTE is MATERIALIZED — single-referenced
+    * CTEs otherwise inline into a lateral pyramid, measured >600 s vs
+    * ~1 s); `MaxOracleWordLen` bounds the unroll and a loud
     * `error()` guard fires if the corpus ever exceeds it.
     */
   private val MaxOracleWordLen = 10
@@ -2206,7 +2208,7 @@ object TextQueries {
     val L = MaxOracleWordLen
     def dpStep(r: Int, i: Int): String =
       s"""
-         |s${r}_$i AS (
+         |s${r}_$i AS MATERIALIZED (
          |  SELECT s.word,
          |    CASE WHEN len(s.word) >= $i THEN list_append(s.best, w.cand)
          |         ELSE s.best END AS best,
@@ -2223,7 +2225,7 @@ object TextQueries {
          |    ) vb ORDER BY vb.cand DESC, vb.np ASC, vb.j ASC LIMIT 1) w ON true)""".stripMargin
     def walkStep(r: Int, k: Int): String =
       s"""
-         |w${r}_$k AS (
+         |w${r}_$k AS MATERIALIZED (
          |  SELECT word,
          |    CASE WHEN i > 0 THEN back[(i+1)::INT]::INT ELSE i END AS i,
          |    CASE WHEN i > 0 THEN list_prepend(substr(word,
@@ -2233,20 +2235,20 @@ object TextQueries {
     def round(r: Int): String = {
       val prev = if (r == 1) "vocab" else s"vocab_r${r - 1}"
       s"""
-         |vq$r AS (SELECT piece, round(logp * 1000000)::BIGINT AS lq FROM $prev),
-         |s${r}_0 AS (SELECT word, [0::BIGINT] AS best, [0] AS np, [0] AS back
+         |vq$r AS MATERIALIZED (SELECT piece, round(logp * 1000000)::BIGINT AS lq FROM $prev),
+         |s${r}_0 AS MATERIALIZED (SELECT word, [0::BIGINT] AS best, [0] AS np, [0] AS back
          |  FROM dwords),""".stripMargin +
         (1 to L).map(dpStep(r, _)).mkString(",") + "," +
         s"""
-           |w${r}_0 AS (SELECT word, len(word)::INT AS i, []::VARCHAR[] AS pieces,
+           |w${r}_0 AS MATERIALIZED (SELECT word, len(word)::INT AS i, []::VARCHAR[] AS pieces,
            |  back FROM s${r}_$L),""".stripMargin +
         (1 to L).map(walkStep(r, _)).mkString(",") + "," +
         s"""
-           |usage$r AS (
+           |usage$r AS MATERIALIZED (
            |  SELECT piece, sum(cnt)::BIGINT AS ucnt FROM (
            |    SELECT wc.cnt, unnest(w.pieces) AS piece
            |    FROM w${r}_$L w JOIN wc ON wc.word = w.word) GROUP BY piece),
-           |merged$r AS (
+           |merged$r AS MATERIALIZED (
            |  SELECT c.piece, coalesce(u.ucnt, 1)::BIGINT AS pcnt
            |  FROM (SELECT piece FROM vocab0 WHERE len(piece) = 1) c
            |  LEFT JOIN usage$r u USING (piece)
