@@ -39,12 +39,20 @@ object Gazetteer {
       fail: Array[Int],
       emits: Array[Array[Int]]) extends Serializable {
 
-    /** Per-term (occurrence count, first match 0-based start offset or
-      * -1) over one text — a single left-to-right pass.
+    /** Hit terms only, in first-hit order: `(term index, count, first
+      * 0-based start offset)` — one left-to-right pass, and the result
+      * assembly is O(matches), NOT O(|terms|): with a 10k-phrase
+      * gazetteer over short documents, per-row |terms|-sized arrays
+      * would dominate the scan ~100:1.
+      *
+      * Offsets are UTF-16 code-unit positions (`String.charAt`
+      * indexing) — identical to codepoint positions for BMP-only text
+      * (the committed corpora are ASCII); a supplementary-plane char
+      * before a match would shift them versus a codepoint-indexing
+      * engine (the cross-engine traps list).
       */
-    def scan(text: String): (Array[Long], Array[Int]) = {
-      val counts = new Array[Long](terms.length)
-      val firsts = Array.fill(terms.length)(-1)
+    def scanHits(text: String): Seq[(Int, Long, Int)] = {
+      val hits = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Int)]
       var s = 0
       var i = 0
       while (i < text.length) {
@@ -55,12 +63,27 @@ object Gazetteer {
         var j = 0
         while (j < out.length) {
           val t = out(j)
-          counts(t) += 1L
           val start = i - terms(t).length + 1
-          if (firsts(t) < 0) firsts(t) = start
+          hits.get(t) match {
+            case Some((n, first)) => hits.update(t, (n + 1L, first))
+            case None => hits.update(t, (1L, start))
+          }
           j += 1
         }
         i += 1
+      }
+      hits.iterator.map { case (t, (n, first)) => (t, n, first) }.toSeq
+    }
+
+    /** Dense per-term (count, first-offset-or-−1) arrays — the
+      * test-friendly view over [[scanHits]]; O(|terms|) by shape, so
+      * use scanHits on serving paths.
+      */
+    def scan(text: String): (Array[Long], Array[Int]) = {
+      val counts = new Array[Long](terms.length)
+      val firsts = Array.fill(terms.length)(-1)
+      scanHits(text).foreach { case (t, n, first) =>
+        counts(t) = n; firsts(t) = first
       }
       (counts, firsts)
     }
@@ -119,12 +142,9 @@ object Gazetteer {
   def matchCounts(df: DataFrame, idCol: String, textCol: String,
                   terms: Seq[String]): DataFrame = {
     val auto = Automaton(terms)
-    val scan = udf((text: String) => {
-      val (counts, firsts) = auto.scan(Option(text).getOrElse(""))
-      auto.terms.indices.collect {
-        case t if counts(t) > 0 => (auto.terms(t), counts(t), firsts(t))
-      }.toSeq
-    })
+    val scan = udf((text: String) =>
+      auto.scanHits(Option(text).getOrElse(""))
+        .map { case (t, n, first) => (auto.terms(t), n, first) })
     df.select(col(idCol), explode(scan(col(textCol))).as("__m"))
       .select(col(idCol), col("__m._1").as("term"),
         col("__m._2").as("n_matches"),

@@ -1224,15 +1224,6 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
-    // S2 front door on committed HTML fixtures (fixtures/html), the
-    // pdf_extract treatment for the second-most-used loader: sectioning
-    // on h1-h5 (case-insensitive, attribute-tolerant), script/style
-    // stripped BEFORE sectioning (a header tag inside a script string
-    // must not open a section), preamble section with empty header,
-    // empty sections dropped AFTER numbering (mixed's idx gap at 1),
-    // entities NOT decoded, tags stripped + whitespace collapsed in
-    // header and text. The oracle pins the expected sections as
-    // literals: the engine must EXTRACT them from the markup.
     // S3 sections: ATX-heading markdown split over the committed
     // fixtures — preamble is section 0 at level 0, a '#' inside a ```
     // code fence must NOT open a section (the HTML script-tag rule,
@@ -1247,6 +1238,15 @@ object TextQueries {
         .orderBy($"doc_id", $"section_idx")
     }),
 
+    // S2 front door on committed HTML fixtures (fixtures/html), the
+    // pdf_extract treatment for the second-most-used loader: sectioning
+    // on h1-h5 (case-insensitive, attribute-tolerant), script/style
+    // stripped BEFORE sectioning (a header tag inside a script string
+    // must not open a section), preamble section with empty header,
+    // empty sections dropped AFTER numbering (mixed's idx gap at 1),
+    // entities NOT decoded, tags stripped + whitespace collapsed in
+    // header and text. The oracle pins the expected sections as
+    // literals: the engine must EXTRACT them from the markup.
     "html_sections_extract" -> ((s, _) => {
       import s.implicits._
       graft.sources.DocumentSources
@@ -1487,9 +1487,11 @@ object TextQueries {
     // micro-log-probs (the cross-engine checkpoint — the DP is pure
     // Long arithmetic), pieces recount by count-weighted usage,
     // unused multi-char pieces PRUNE, chars keep a usage floor of 1,
-    // and scores re-normalize. The oracle unrolls the whole round —
+    // and scores re-normalize. The oracle replays the whole round —
     // quantize → DP → backpointer walk → usage agg → renormalize — as
-    // recursive CTEs.
+    // position-UNROLLED materialized CTEs (unigramEmOracle: DuckDB
+    // mis-evaluates recursive-lineage CTEs inside another recursion,
+    // and words past the MaxOracleWordLen unroll error loudly).
     "unigram_em_vocab" -> ((s, d) => {
       import s.implicits._
       val words = graft.ops.Bpe.wordCounts(documents(s, d), "text")

@@ -46,24 +46,36 @@ object DocumentSources {
     var level = 0
     var title = ""
     val body = new StringBuilder
-    var fenced = false
+    // CommonMark fence pairing: an open fence of N backticks closes only
+    // on a backticks-only line of >= N (an inner ```lang line is fence
+    // CONTENT, not a close) — naive toggling would desync on a
+    // 4-backtick fence wrapping a 3-backtick example, and a '# ' inside
+    // the still-open fence would open a phantom section
+    var fenceLen = 0 // 0 = not inside a fence
     var started = false // becomes true at the first heading OR content line
     def flush(): Unit = {
       if (started) out += ((level, title, body.result().stripLineEnd))
       body.clear()
     }
     val heading = "^(#{1,6}) (.*)$".r
+    def backtickRun(s: String): Int = s.segmentLength(_ == '`')
     content.split("\n", -1).foreach { line =>
-      if (line.trim.startsWith("```")) {
-        fenced = !fenced
+      val t = line.trim
+      val run = backtickRun(t)
+      if (fenceLen == 0 && run >= 3) {
+        fenceLen = run
+        started = true
+        body.append(line).append('\n')
+      } else if (fenceLen > 0 && run >= fenceLen && t.forall(_ == '`')) {
+        fenceLen = 0
         started = true
         body.append(line).append('\n')
       } else line match {
-        case heading(hashes, t) if !fenced =>
+        case heading(hashes, tt) if fenceLen == 0 =>
           flush()
           started = true
           level = hashes.length
-          title = t.trim
+          title = tt.trim
         case _ =>
           if (line.nonEmpty) started = true
           body.append(line).append('\n')

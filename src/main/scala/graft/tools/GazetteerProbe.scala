@@ -24,9 +24,19 @@ object GazetteerProbe {
     val docs8 = (0 until 8).map { i =>
       docs1.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text")
     }.reduce(_ union _).localCheckpoint()
-    val vocab = graft.ops.Bpe.wordCounts(docs1, "text")
-      .orderBy($"cnt".desc, $"word").limit(2000)
-      .collect().map(_.getString(0)).toSeq.distinct
+    // dictionary = distinct 3-word PHRASES of the corpus itself (the
+    // realistic gazetteer shape, and the worst case: every entry hits).
+    // The corpus vocabulary is only ~31 distinct WORDS — a word-level
+    // dictionary silently truncates and the flat-in-|terms| claim
+    // would be measured on 31 entries, not 2000.
+    val vocab = docs1
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 1))," +
+          " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3)))")).as("p"))
+      .filter(length($"p") > 0).distinct().orderBy($"p").limit(2000)
+      .collect().map(_.getString(0)).toSeq
+    require(vocab.length == 2000,
+      s"dictionary must really hold 2000 phrases, got ${vocab.length}")
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f
@@ -38,8 +48,8 @@ object GazetteerProbe {
     val (r10, t10) = run(docs1, 10)
     val (r2k, t2k) = run(docs1, 2000)
     val (r8x, t8x) = run(docs8, 2000)
-    println(f"SCALE gazetteer 1x/10t: $r10%9d rows $t10%6.1f s | 1x/2000t: " +
-      f"$r2k%9d rows $t2k%6.1f s (terms 200x, time ${t2k / t10}%4.1fx) | " +
+    println(f"SCALE gazetteer dict=${vocab.length} 1x/10t: $r10%9d rows $t10%6.1f s | " +
+      f"1x/2000t: $r2k%9d rows $t2k%6.1f s (terms 200x, time ${t2k / t10}%4.1fx) | " +
       f"8x/2000t: $r8x%9d rows $t8x%6.1f s (time ${t8x / t2k}%4.1fx)")
     spark.stop()
   }

@@ -162,11 +162,14 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 7L).forall(got(_) == ((4L, 0.25))))
     assert(Seq(5L, 6L).forall(got(_) == ((2L, 0.5))))
     assert(got(9L) == ((1L, 1.0)))
-    // each cluster contributes total sampling mass 1
-    val byCluster = got.values.groupBy(_._1).map { case (sz, ws) =>
-      sz -> ws.map(_._2).sum }
-    assert(byCluster.forall { case (sz, m) =>
-      math.abs(m - (if (sz == 1L) 1.0 else 1.0)) < 1e-9 })
+    // each cluster contributes total sampling mass 1 (sum by the REAL
+    // cluster membership, not by size — two same-size clusters must
+    // not pool)
+    val clusters = Seq(Seq(1L, 2L, 3L, 7L), Seq(5L, 6L), Seq(9L))
+    clusters.foreach { c =>
+      val mass = c.map(got(_)._2).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"cluster $c mass $mass")
+    }
   }
 
   test("nearDupSurvivorsByQuality: the best-scored member survives, not min-id") {

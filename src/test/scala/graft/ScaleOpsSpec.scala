@@ -1747,6 +1747,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     // '#heading' without the space is prose, not a heading
     assert(splitMarkdownSections("#nope\n# yes\nb").map(_._2) == Seq("", "yes"))
     assert(splitMarkdownSections("") == Seq.empty)
+    // CommonMark fence pairing: a 4-backtick fence wrapping a
+    // ```python example stays OPEN through the inner marker — the '#'
+    // inside must not open a section; the 4-backtick close ends it
+    val nested = "````\n```python\n# still fenced\n```\n````\n# After\nz"
+    assert(splitMarkdownSections(nested).map(s => (s._1, s._2)) ==
+      Seq((0, ""), (1, "After")),
+      s"inner fence markers must not desync: ${splitMarkdownSections(nested)}")
   }
 
   // The driver once recorded a hash mismatch for this entry that no
