@@ -29,15 +29,37 @@ import org.apache.spark.sql.functions._
   */
 object Gazetteer {
 
-  /** Immutable Aho–Corasick automaton over `terms`. Arrays, not maps,
-    * on the hot fields so the executor-side traversal allocates
-    * nothing per character.
+  /** Immutable Aho–Corasick automaton over `terms`. Transitions are
+    * per-node SORTED char arrays walked by binary search — primitive
+    * array probes, no boxing, no hashing, nothing allocated per
+    * character. (An earlier build used `Map[Char, Int]` per node; at
+    * 100 TB of characters the box-and-hash constant dominated the
+    * scan, so the hot representation is dense.)
     */
   final class Automaton private (
       val terms: Array[String],
-      gotoMap: Array[Map[Char, Int]],
+      gotoChars: Array[Array[Char]],
+      gotoTargets: Array[Array[Int]],
       fail: Array[Int],
       emits: Array[Array[Int]]) extends Serializable {
+
+    /** Target of the goto edge labelled `c` out of node `s`, or -1:
+      * binary search over the node's sorted edge labels (gazetteer
+      * nodes have few out-edges, so the search is 1-5 probes).
+      */
+    private def step(s: Int, c: Char): Int = {
+      val cs = gotoChars(s)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mc = cs(mid)
+        if (mc == c) return gotoTargets(s)(mid)
+        else if (mc < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
 
     /** Hit terms only, in first-hit order: `(term index, count, first
       * 0-based start offset)` — one left-to-right pass, and the result
@@ -57,8 +79,9 @@ object Gazetteer {
       var i = 0
       while (i < text.length) {
         val c = text.charAt(i)
-        while (s != 0 && !gotoMap(s).contains(c)) s = fail(s)
-        s = gotoMap(s).getOrElse(c, 0)
+        var next = step(s, c)
+        while (s != 0 && next < 0) { s = fail(s); next = step(s, c) }
+        s = if (next >= 0) next else 0
         val out = emits(s)
         var j = 0
         while (j < out.length) {
@@ -129,7 +152,16 @@ object Gazetteer {
           emitB(s) ++= emitB(fail(s)) // dict-suffix closure
         }
       }
-      new Automaton(ts, gotoB.map(_.toMap).toArray, fail,
+      val gotoChars = new Array[Array[Char]](n)
+      val gotoTargets = new Array[Array[Int]](n)
+      var node = 0
+      while (node < n) {
+        val edges = gotoB(node).toArray.sortBy(_._1)
+        gotoChars(node) = edges.map(_._1)
+        gotoTargets(node) = edges.map(_._2)
+        node += 1
+      }
+      new Automaton(ts, gotoChars, gotoTargets, fail,
         emitB.map(_.toArray).toArray)
     }
   }

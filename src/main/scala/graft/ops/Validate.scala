@@ -128,4 +128,72 @@ object Validate {
         count_distinct(col(sensitiveCol)).cast("long").as("n_sensitive"))
       .withColumn("risky", col("n_sensitive") < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung after [[kAnonymity]] and [[lDiversity]]: a group can be
+    * k-anonymous AND l-diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs sharply from the corpus-wide one (skewness
+    * attack: "this group is mostly the rare value"). Per group, the
+    * Earth Mover's Distance between the group's distribution over the
+    * ORDERED sensitive domain and the global distribution; for the
+    * ordered/numeric distance the closed form is
+    * `EMD = (1/(m-1)) * SUM_i |SUM_{j<=i} (Q(v_j) - P(v_j))|` over the
+    * m distinct sensitive values in order (the prefix-mass transport).
+    *
+    * Exact integer arithmetic (the cross-engine hash discipline):
+    * with group-value count c, global-value count C, group size n_g,
+    * corpus size N, each prefix term is
+    * `cum_i = SUM_{j<=i} (c_j*N - C_j*n_g)` (units of 1/(n_g*N)), so
+    * `EMD = SUM_i |cum_i| / ((m-1)*n_g*N)`. The audit emits the exact
+    * `emd_num`/`emd_den` pair and `risky = emd_num*tDen > tNum*emd_den`
+    * (EMD > t with t = tNum/tDen as a rational) — no float ever
+    * materializes, so the oracle replay is bit-stable.
+    *
+    * Scale: two map-side-combined aggregations (group sizes; group x
+    * value counts) plus a broadcast of the GLOBAL value histogram
+    * (domain-bounded, like a vocab). The densify step is groups x m
+    * rows — the same domain-bounded relation the other audits emit.
+    * Long arithmetic holds exactly for N <= ~3e9 (c*N < 2^63); the
+    * guard below trips loudly past it (an audit corpus above that
+    * wants the decimal variant, not silent overflow).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 0 && tDen > 0 && tNum <= tDen,
+      s"t must be a rational in [0, 1] (got $tNum/$tDen)")
+    val base = df.select(
+      (quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+    // global value histogram + totals: domain-bounded, broadcast both
+    val gv = base.groupBy(col("__v"))
+      .agg(count(lit(1)).cast("long").as("__cv"))
+    val tot = gv.agg(sum(col("__cv")).cast("long").as("__n_total"),
+      count(lit(1)).cast("long").as("__m"))
+    val n = tot.head()
+    val nTotal = n.getLong(0)
+    val m = n.getLong(1)
+    require(nTotal <= 3000000000L,
+      s"exact Long EMD arithmetic needs N <= 3e9 (got $nTotal)")
+    require(m >= 2, s"sensitive domain must have >= 2 values (got $m)")
+    val qc = quasiCols.map(col)
+    val gn = base.groupBy(qc: _*).agg(count(lit(1)).cast("long").as("n"))
+    val gvc = base.groupBy((qc :+ col("__v")): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    // densify: every (group, value) cell exists so prefix sums see the
+    // zero-count values too (a group missing a value still transports
+    // mass past it)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    gn.crossJoin(broadcast(gv))
+      .join(gvc, quasiCols :+ "__v", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__cum",
+        sum(col("__c") * lit(nTotal) - col("__cv") * col("n")).over(win))
+      .groupBy((qc :+ col("n")): _*)
+      .agg(sum(abs(col("__cum"))).cast("long").as("emd_num"))
+      .withColumn("emd_den", lit(m - 1) * col("n") * lit(nTotal))
+      .withColumn("risky",
+        col("emd_num") * lit(tDen) > lit(tNum) * col("emd_den"))
+  }
 }

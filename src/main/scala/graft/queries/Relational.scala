@@ -353,6 +353,22 @@ object Relational {
         .orderBy($"c_nationkey", $"c_mktsegment")
     }),
 
+    // t-closeness audit on the same quasi-identifiers and sensitive
+    // band: per-group Earth Mover's Distance (ordered domain, prefix-
+    // mass closed form) between the group's balance-band distribution
+    // and the corpus-wide one, emitted as the EXACT integer
+    // numerator/denominator pair so no float crosses the engine
+    // boundary; risky = EMD > 1/4. Catches the skewness attack that
+    // k-anonymity and l-diversity both wave through.
+    "t_closeness_report" -> ((s, d) => {
+      import s.implicits._
+      val c = customer(s, d).withColumn("bal_band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 400000"))
+      graft.ops.Validate.tCloseness(c,
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 1, tDen = 4)
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    }),
+
     // The SAME anomaly panel served from an incrementally-maintained
     // volume rollup: three event chunks stand in for ingest
     // micro-batches, each folded into the materialized (type, bucket)
@@ -807,6 +823,44 @@ object Relational {
         |  count(DISTINCT ((round(c_acctbal * 100)::BIGINT + 100000) // 400000))
         |    < 3 AS risky
         |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // ordered-EMD t-closeness replay: prefix-mass closed form in exact
+    // integer units of 1/(n_g * N); risky = emd_num/emd_den > 1/4
+    // cross-multiplied so nothing is ever a float
+    "t_closeness_report" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    ((round(c_acctbal * 100)::BIGINT + 100000) // 400000) AS v
+        |  FROM customer),
+        |gv AS MATERIALIZED (
+        |  SELECT v, count(*)::BIGINT AS cv FROM base GROUP BY 1),
+        |tot AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM base)::BIGINT AS n_total,
+        |    (SELECT count(*) FROM gv)::BIGINT AS m),
+        |gn AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+        |  FROM base GROUP BY 1, 2),
+        |gvc AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, v, count(*)::BIGINT AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |dense AS MATERIALIZED (
+        |  SELECT gn.c_nationkey, gn.c_mktsegment, gn.n, gv.v,
+        |    (coalesce(gvc.c, 0) * tot.n_total - gv.cv * gn.n)::BIGINT AS d
+        |  FROM gn CROSS JOIN gv CROSS JOIN tot
+        |  LEFT JOIN gvc ON gvc.c_nationkey = gn.c_nationkey
+        |    AND gvc.c_mktsegment = gn.c_mktsegment AND gvc.v = gv.v),
+        |cum AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_num
+        |  FROM dense)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  sum(abs(cum_num))::BIGINT AS emd_num,
+        |  (((SELECT m FROM tot) - 1) * n * (SELECT n_total FROM tot))
+        |    ::BIGINT AS emd_den,
+        |  sum(abs(cum_num))::BIGINT * 4 >
+        |    ((SELECT m FROM tot) - 1) * n * (SELECT n_total FROM tot) AS risky
+        |FROM cum GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // the gate recomputed relationally: a batch is clean iff no row
     // violates (NotNull(user_id) ∨ value outside [0, 400]); rows route

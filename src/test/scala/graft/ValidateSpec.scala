@@ -64,6 +64,37 @@ class ValidateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Validate.lDiversity(rows, Seq("q"), "sens", 1))
   }
 
+  test("tCloseness: exact integer EMD, hand-computed on a tiny corpus") {
+    // corpus: 9 rows over ordered domain {0, 1, 2}; global counts
+    // (5, 1, 3) → m=3, N=9. Per-group prefix sums in exact integer
+    // units of 1/(n_g*N): cum_i = SUM_{j<=i} (c_j*N - C_j*n_g).
+    val rows = Seq(
+      // g1 (n=3), all on the COMMON value 0 → cums (12, 9, 0),
+      //   emd = 21/54 ≈ 0.389 > 1/4 → risky
+      (1L, 0L), (1L, 0L), (1L, 0L),
+      // g2 (n=4), roughly global-shaped (2,1,1) → cums (-2, 3, 0),
+      //   emd = 5/72 ≈ 0.069 → safe
+      (2L, 0L), (2L, 0L), (2L, 1L), (2L, 2L),
+      // g3 (n=2), concentrated on the RARER tail value 2 →
+      //   cums (-10, -12, 0), emd = 22/36 ≈ 0.611 → risky
+      (3L, 2L), (3L, 2L)
+    ).toDF("q", "sens")
+    val got = Validate.tCloseness(rows, Seq("q"), "sens", tNum = 1, tDen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((3L, 21L, 54L, true)))
+    assert(got(2L) == ((4L, 5L, 72L, false)))
+    assert(got(3L) == ((2L, 22L, 36L, true)))
+    intercept[IllegalArgumentException](
+      Validate.tCloseness(rows, Nil, "sens", 1, 4))
+    intercept[IllegalArgumentException](
+      Validate.tCloseness(rows, Seq("q"), "sens", 5, 4))
+    // a single-valued sensitive domain has no transport distance
+    intercept[IllegalArgumentException](
+      Validate.tCloseness(rows.withColumn("sens", lit(7L)),
+        Seq("q"), "sens", 1, 4))
+  }
+
   test("one scan serves all row-level rules (single aggregate subtree)") {
     val report = Validate.validate(t, Seq(
       Validate.NotNull("s"), Validate.InRange("v", 0, 10),
