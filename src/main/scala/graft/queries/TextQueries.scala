@@ -2202,9 +2202,14 @@ object TextQueries {
     * from the chain (each step CTE is MATERIALIZED — single-referenced
     * CTEs otherwise inline into a lateral pyramid, measured >600 s vs
     * ~1 s); `MaxOracleWordLen` bounds the unroll and a loud
-    * `error()` guard fires if the corpus ever exceeds it.
+    * `error()` guard fires if the corpus ever exceeds it. 20 covers
+    * the committed fixtures with ~2x headroom (their longest token is
+    * 10 chars — UnigramSpec pins that margin so fixture growth trips
+    * a test before it trips the oracle); each extra position is one
+    * more materialized dwords-sized CTE per round, so the bound is a
+    * cost knob, not a correctness one (the chk CTE stays loud).
     */
-  private val MaxOracleWordLen = 10
+  private[graft] val MaxOracleWordLen = 20
 
   private def unigramEmOracle(rounds: Int): String = {
     val L = MaxOracleWordLen

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{length, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Bpe, Unigram}
@@ -118,5 +119,31 @@ class UnigramSpec extends AnyFunSuite {
     val got = Unigram.encodeWords(docs, "text", v, 4)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set(("abc", "a bc", 2L), ("ab", "ab", 1L)))
+  }
+
+  test("EM oracle unroll bound covers the fixtures with headroom, guard is loud") {
+    // the EM oracle's DP is position-unrolled to MaxOracleWordLen CTEs;
+    // the ENGINE is unbounded, so the only failure mode is losing
+    // oracle coverage. Pin (a) the guard is actually in the emitted
+    // SQL and (b) every committed fixture's longest token sits at
+    // <= half the unroll, so corpus growth trips this test before it
+    // trips the DuckDB error().
+    val bound = graft.queries.TextQueries.MaxOracleWordLen
+    Seq("unigram_em_vocab", "unigram_em2_vocab").foreach { q =>
+      val sql = SparkEntry.oracleSql(q)
+      assert(sql.contains(s"max(len(word)) > $bound"), s"$q guard missing")
+      assert(sql.contains("error("), s"$q guard must be loud")
+      // the unroll really is `bound` positions deep (round-1 DP steps)
+      (1 to bound).foreach(i => assert(sql.contains(s"s1_$i AS MATERIALIZED")))
+      assert(!sql.contains(s"s1_${bound + 1} "))
+    }
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val docs = Tables.documents(spark, d)
+      val maxLen = graft.ops.Bpe.wordCounts(docs, "text")
+        .agg(max(length($"word"))).head().getInt(0)
+      assert(maxLen * 2 <= bound,
+        s"$d max word length $maxLen leaves < 2x headroom under $bound — " +
+          "raise MaxOracleWordLen before the fixture outgrows the oracle")
+    }
   }
 }
