@@ -131,6 +131,125 @@ case class EuclideanDistance(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+object CentroidKernels {
+  /** The `n` nearest centroid ids to `x`, ordered by (euclidean
+    * distance asc, cid asc) — EXACTLY the `array_min`/`array_sort`
+    * struct order of the k-expression formulation this replaces
+    * (sqrt'd distance, `Double.compare` total order so NaN sorts
+    * last, strict-less keeps the smaller cid on ties). One pass over
+    * the centroid matrix per row instead of k separate expressions:
+    * at k = √N the expression fan-out dominated fit/assign/probe
+    * wall (139 codegen'd distance exprs + an array_sort of 139
+    * structs PER ROW at the 16× probe); this is the same flops with
+    * an O(1)-expression plan.
+    */
+  def rank(x: ArrayData, cents: Array[Array[Float]], n: Int): Array[Int] = {
+    val k = cents.length
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val m = math.min(x.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val d = x.getFloat(i).toDouble - cent(i).toDouble
+        s += d * d
+        i += 1
+      }
+      ds(c) = math.sqrt(s)
+      c += 1
+    }
+    val outLen = math.min(math.max(0, n), k)
+    val out = new Array[Int](outLen)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < outLen) {
+      var best = -1
+      var bd = 0.0
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && (best < 0 || java.lang.Double.compare(ds(c2), bd) < 0)) {
+          best = c2; bd = ds(c2)
+        }
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    out
+  }
+}
+
+/** `ARRAY<FLOAT> -> ARRAY<INT>`: the `n` nearest of a FIXED centroid
+  * matrix (the IVF model — broadcast by expression reference, like a
+  * tokenizer vocab), ordered (distance asc, cid asc). `n = 1` is
+  * cluster assignment; `n = nProbe` is the probe-cell ranking. The
+  * centroid payload rides the expression as a reference object, so the
+  * plan stays whole-stage-codegen with ONE expression whatever k is.
+  */
+case class NearestCentroids(child: Expression,
+                            centroids: Array[Array[Float]],
+                            n: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "centroid matrix must not be empty")
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      CentroidKernels.rank(input.asInstanceOf[ArrayData], centroids, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val k = centroids.length
+    // per-task scratch, allocated once — the selection state must not
+    // allocate k-sized arrays per row
+    val ds = ctx.addMutableState("double[]", "nearCentDs",
+      v => s"$v = new double[$k];")
+    val used = ctx.addMutableState("boolean[]", "nearCentUsed",
+      v => s"$v = new boolean[$k];")
+    nullSafeCodeGen(ctx, ev, x => {
+      val (c, i, m, s, d) = (ctx.freshName("c"), ctx.freshName("i"),
+        ctx.freshName("m"), ctx.freshName("s"), ctx.freshName("d"))
+      val (outLen, out, j, best, bd, c2) = (ctx.freshName("outLen"),
+        ctx.freshName("out"), ctx.freshName("j"), ctx.freshName("best"),
+        ctx.freshName("bd"), ctx.freshName("c2"))
+      s"""
+      for (int $c = 0; $c < $k; $c++) {
+        float[] cent = $cents[$c];
+        int $m = java.lang.Math.min($x.numElements(), cent.length);
+        double $s = 0.0;
+        for (int $i = 0; $i < $m; $i++) {
+          double $d = ((double) $x.getFloat($i)) - ((double) cent[$i]);
+          $s += $d * $d;
+        }
+        $ds[$c] = java.lang.Math.sqrt($s);
+        $used[$c] = false;
+      }
+      int $outLen = java.lang.Math.min(java.lang.Math.max(0, $n), $k);
+      int[] $out = new int[$outLen];
+      for (int $j = 0; $j < $outLen; $j++) {
+        int $best = -1; double $bd = 0.0;
+        for (int $c2 = 0; $c2 < $k; $c2++) {
+          if (!$used[$c2] && ($best < 0 || java.lang.Double.compare($ds[$c2], $bd) < 0)) {
+            $best = $c2; $bd = $ds[$c2];
+          }
+        }
+        $used[$best] = true;
+        $out[$j] = $best;
+      }
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector expressions (no registry needed). */
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
@@ -139,6 +258,8 @@ object VectorFunctions {
     ColumnShim.column(DotProductF(ColumnShim.expression(a), ColumnShim.expression(b)))
   def euclidean(a: Column, b: Column): Column =
     ColumnShim.column(EuclideanDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def nearestCentroids(emb: Column, centroids: Array[Array[Float]], n: Int): Column =
+    ColumnShim.column(NearestCentroids(ColumnShim.expression(emb), centroids, n))
 
   /** Score column for a metric name, mirroring the reference's metric enum. */
   def score(metric: String)(a: Column, b: Column): Column = metric match {

@@ -164,25 +164,67 @@ object Ivf {
     }
   }
 
-  /** Assign each row its nearest centroid id. Fully narrow: one
-    * projection computes all k distances as an array of (dist, cid)
-    * structs and `array_min`'s struct ordering gives the argmin with a
-    * cid tie-break — no join, no shuffle, no row ids, safe under task
+  /** Assign each row its nearest centroid id. Fully narrow: ONE
+    * [[graft.functions.NearestCentroids]] expression computes the
+    * argmin over the whole centroid matrix per row (distance asc, cid
+    * tie-break — the exact `array_min`-over-(d, cid)-structs order of
+    * the k-expression formulation this replaced, which at k = √N
+    * strained the planner and paid k expressions' worth of per-row
+    * overhead) — no join, no shuffle, no row ids, safe under task
     * retries. A NULL embedding yields a NULL cluster id (the Hive
-    * default partition on a partitioned write) — without the explicit
-    * branch, array_min's nulls-first struct ordering would resolve the
-    * all-null distance row to (null, cid=0) and silently file the row
-    * in cluster 0's partition.
+    * default partition on a partitioned write) rather than silently
+    * filing in some cluster's partition.
     */
   def assign(df: DataFrame, embCol: String, model: IvfModel,
-             clusterCol: String = "cluster_id"): DataFrame = {
-    val distStructs = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        VectorFunctions.euclidean(col(embCol), typedlit(c.toSeq)).as("d"),
-        lit(i).as("cid"))
-    }: _*)
+             clusterCol: String = "cluster_id"): DataFrame =
     df.withColumn(clusterCol,
-      when(col(embCol).isNotNull, array_min(distStructs).getField("cid")))
+      when(col(embCol).isNotNull,
+        VectorFunctions.nearestCentroids(col(embCol), model.centroids, 1)
+          .getItem(0)))
+
+  /** The k ∝ √N fit rule, centralized: every cell-join consumer
+    * ([[Similarity.ivfJoinTopK]], [[Contrastive.mineBitextIvf]]/
+    * `hardNegativesIvf`, SemDeDup) does Σ|cell|·|probe-cell| work, so
+    * its scaling claim rests on cells staying ≈√N-sized — which only
+    * holds if k GROWS with the corpus. `k = √n` keeps mean cell size
+    * at √n (probe cost per query grows as √N instead of N), floored
+    * at 2 and capped at `maxK`: [[assign]] materializes one distance
+    * expression per centroid, so k beyond a few thousand strains the
+    * planner — past the cap (n > ~16M rows at the default) a flat IVF
+    * wants the PQ ladder or a sharded/two-level layout, not more
+    * centroids, and the cap makes that cliff a visible constant
+    * instead of a planner stall.
+    */
+  def kForCorpus(n: Long, maxK: Int = 4096): Int = {
+    require(maxK >= 2, s"maxK must be >= 2 (got $maxK)")
+    math.min(maxK.toLong,
+      math.max(2L, math.round(math.sqrt(math.max(0L, n).toDouble)))).toInt
+  }
+
+  /** [[fit]] under the [[kForCorpus]] rule with a SAMPLE-bounded Lloyd
+    * phase: k-means cost is O(rows × k × dim) per iteration, so at
+    * k = √N a full-corpus fit would cost N^1.5 — the training set is
+    * instead the `256·k` rows with smallest xxhash64(id) (deterministic,
+    * engine-replayable; 256 training points per centroid is the
+    * classical k-means adequacy band), which caps the fit at O(k²·dim)
+    * regardless of corpus size. ASSIGNMENT of the corpus to the fitted
+    * centroids remains exact and full — only the centroid ESTIMATION
+    * samples, exactly the FAISS train/add split. Returns the model and
+    * the live (non-null-embedding) row count it was sized for.
+    */
+  def fitAuto(df: DataFrame, idCol: String, embCol: String,
+              iters: Int = 2, maxK: Int = 4096): (IvfModel, Long) = {
+    val live = df.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+    val n = live.count()
+    require(n > 0, "fitAuto needs at least one non-null embedding")
+    val k = kForCorpus(n, maxK)
+    val trainSize = 256L * k
+    val train =
+      if (n <= trainSize) live
+      else live.orderBy(xxhash64(col(idCol)).asc, col(idCol))
+        .limit(trainSize.toInt)
+    (fit(train, idCol, embCol, k, iters), n)
   }
 
   /** Deterministic k-means fit. Init: the k rows with smallest
@@ -412,13 +454,23 @@ object Ivf {
     * The model is written only after the swap commits, so a lost
     * compaction race cannot leave a sidecar describing a layout that
     * never landed. Returns the fitted model.
+    *
+    * `k = 0` (the default) auto-sizes the index: [[kForCorpus]] over
+    * the live row count with the sample-bounded [[fitAuto]] Lloyd
+    * phase — the k ∝ √N rule every cell-join consumer's scaling claim
+    * needs, applied where the index is actually built instead of left
+    * as caller folklore. Pass an explicit k > 0 to pin it (tests,
+    * oracle fixtures, known-degenerate corpora).
     */
   def indexStore(spark: SparkSession, table: String, idCol: String, embCol: String,
-                 k: Int, iters: Int = 2, rowsPerFile: Long = 1L << 20): IvfModel = {
+                 k: Int = 0, iters: Int = 2, rowsPerFile: Long = 1L << 20): IvfModel = {
+    require(k >= 0, s"k: 0 = auto (kForCorpus), or an explicit count (got $k)")
     val df = VersionedStore.read(spark, table).getOrElse(
       throw new IllegalStateException(s"no rows to index at $table"))
     val preVersion = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-    val model = fit(df, idCol, embCol, k, iters)
+    val model =
+      if (k > 0) fit(df, idCol, embCol, k, iters)
+      else fitAuto(df, idCol, embCol, iters)._1
     val (post, nFiles) = VersionedStore.compact(spark, table, rowsPerFile,
       reshape = assign(_, embCol, model), partitionBy = Seq("cluster_id"),
       marker = Some(model.fingerprint))

@@ -197,22 +197,20 @@ object Similarity {
   /** Query-side probe fan-out shared by [[ivfJoinTopK]] and the IVF
     * bitext miner ([[Contrastive.mineBitextIvf]]): each row explodes
     * into its `nProbe` nearest cells, in deterministic (distance,
-    * cell-id) order — array_sort on the (d, cid) struct is exactly the
-    * probeOrder the single-vector path uses. Null embeddings drop (no
-    * cell); every other column passes through untouched.
+    * cell-id) order — [[graft.functions.NearestCentroids]] ranks the
+    * whole centroid matrix in ONE expression with exactly the
+    * (d, cid)-struct array_sort order the k-expression formulation
+    * used (and the probeOrder the single-vector path uses); at
+    * k = √N the per-row sort of k structs this replaced dominated the
+    * probe wall. Null embeddings drop (no cell); every other column
+    * passes through untouched.
     */
   private[ops] def probeCellsExploded(df: DataFrame, embCol: String,
                                       model: Ivf.IvfModel, nProbe: Int,
-                                      cellCol: String): DataFrame = {
-    val distStructs = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        graft.functions.VectorFunctions.euclidean(col(embCol), typedlit(c.toSeq)).as("d"),
-        lit(i).as("cid"))
-    }: _*)
+                                      cellCol: String): DataFrame =
     df.filter(col(embCol).isNotNull)
-      .withColumn(cellCol, explode(slice(array_sort(distStructs), 1, nProbe)))
-      .withColumn(cellCol, col(cellCol)("cid"))
-  }
+      .withColumn(cellCol, explode(graft.functions.VectorFunctions
+        .nearestCentroids(col(embCol), model.centroids, nProbe)))
 
   /** Shared ranking tail of every batch retrieval ([[similarityJoin]],
     * [[Ivf.searchBatch]]): per-partition bounded top-k pre-prune

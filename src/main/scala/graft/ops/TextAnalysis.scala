@@ -140,6 +140,44 @@ object TextAnalysis {
         lit(1000L) * col("n_blocked") > lit(maxPermille.toLong) * col("n_tokens"))
   }
 
+  /** Phrase-blocklist document gate at GAZETTEER scale — the
+    * [[blocklistGate]] contract (any-hit verdict + a density verdict by
+    * integer cross-multiplication) when the list is 10⁴+ multi-word
+    * PHRASES instead of 10²-10³ single tokens: the per-token
+    * `isInCollection` membership can't see phrases, and per-phrase
+    * regex/LIKE pays O(|phrases|) per document — [[Gazetteer]]'s
+    * Aho–Corasick automaton finds every occurrence of every phrase in
+    * ONE pass per document (O(chars + matches), flat in |phrases|;
+    * GazetteerProbe: 200× the dictionary = 0.6× wall). Per doc:
+    * `(n_chars, n_matches, n_terms_hit, drop_any, drop_density)` with
+    * `drop_density ⇔ 1000·n_matches > maxPerMilleChars·n_chars` —
+    * float-free, so both verdicts replay exactly relationally.
+    *
+    * Scale: the scan is [[Gazetteer.matchCounts]]'s narrow projection +
+    * explode (the corpus never shuffles to be MATCHED); the per-doc
+    * rollup and the left join back to the full id set (zero-hit docs
+    * must report 0, not vanish) are one aggregation + one equi-join on
+    * the id — both map-side-combining, both id-keyed.
+    */
+  def gazetteerGate(df: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String],
+                    maxPerMilleChars: Int = 20): DataFrame = {
+    require(maxPerMilleChars >= 0 && maxPerMilleChars <= 1000,
+      s"maxPerMilleChars must be in [0,1000] (got $maxPerMilleChars)")
+    val hits = Gazetteer.matchCounts(df, idCol, textCol, phrases)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_matches")).cast("long").as("n_matches"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+    df.select(col(idCol),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .withColumn("n_terms_hit", coalesce(col("n_terms_hit"), lit(0L)))
+      .withColumn("drop_any", col("n_matches") > 0)
+      .withColumn("drop_density", lit(1000L) * col("n_matches") >
+        lit(maxPerMilleChars.toLong) * col("n_chars"))
+  }
+
   /** Corpus vocabulary profile: the `k` most frequent whitespace tokens
     * with exact counts, ordered (count desc, token asc) — the total
     * order makes the boundary deterministic under ties.

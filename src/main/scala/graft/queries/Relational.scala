@@ -511,6 +511,63 @@ object Relational {
         .orderBy($"question", $"reference_answer", $"topic")
     }),
 
+    // S18 testset upsert replayed against its contract: three upserts
+    // (t1 v1, t2 v1, t1 REPLACED by v2 rows with a different id range),
+    // then an upsert-to-empty that must DELETE t3 (dynamic partition
+    // overwrite would silently keep it). The final table must equal the
+    // relational replay: t1 = v2 rows only, t2 = v1 rows, t3 absent —
+    // pinning replace-not-merge semantics and the O(|incoming|) layout's
+    // partition values surviving the tid round trip.
+    "testset_upsert_replay" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-tset-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/qa"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d)
+      def qa(lo: Long, hi: Long, tag: String) =
+        docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+          .select(concat(lit("Q"), $"doc_id").as("question"),
+            concat($"text", lit(" " + tag)).as("reference_answer"))
+      graft.ops.Testbed.upsertTestset(s, root, "t1", "set one", qa(0, 100, "v1"))
+      graft.ops.Testbed.upsertTestset(s, root, "t2", "set two", qa(100, 200, "v1"))
+      graft.ops.Testbed.upsertTestset(s, root, "t3", "doomed", qa(200, 220, "v1"))
+      graft.ops.Testbed.upsertTestset(s, root, "t1", "set one v2", qa(50, 120, "v2"))
+      graft.ops.Testbed.upsertTestset(s, root, "t3", "gone", qa(0, 0, "v2"))
+      s.read.parquet(root)
+        .select($"tid", $"name", $"question", $"reference_answer")
+        .orderBy($"tid", $"question")
+    }),
+
+    // S19 evaluation sink replayed: three appendEvaluation calls (two
+    // testsets, pinned eids) land report rows plus one summary row each;
+    // the summary's correctness must equal the per-report mean the
+    // oracle recomputes from the same deterministic correct-flags, and
+    // the report partitions must hold exactly their call's rows.
+    "evaluation_append_replay" -> ((s, d) => {
+      import s.implicits._
+      val base = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-eval-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, base)
+      val (evalP, repP) = (s"$base/evals", s"$base/reports")
+      val docs = documents(s, d)
+      def report(lo: Long, hi: Long) =
+        docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+          .select(concat(lit("Q"), $"doc_id").as("question"),
+            ($"doc_id" % 3 === 0).as("correct"))
+      graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t1", report(0, 100), eid = "e1"): Unit
+      graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t1", report(100, 160), eid = "e2"): Unit
+      graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t2", report(200, 300), eid = "e3"): Unit
+      val evals = s.read.parquet(evalP)
+        .select($"tid", $"eid", round($"correctness", 6).as("correctness"))
+      val reps = s.read.parquet(repP).groupBy($"tid", $"eid")
+        .agg(count(lit(1)).as("n_report"),
+          sum($"correct".cast("long")).as("n_ok"))
+      evals.join(reps, Seq("tid", "eid"), "left")
+        .orderBy($"tid", $"eid")
+    }),
+
     // Evaluation aggregate A2: overall correctness mean.
     "eval_overall" -> ((s, d) => {
       import s.implicits._
@@ -1034,6 +1091,34 @@ object Relational {
         |  END AS question,
         |  chunk AS reference_answer, chunk AS reference_context, topic
         |FROM ranked ORDER BY question, reference_answer, topic""".stripMargin,
+    // the upsert sequence replayed relationally: t1 replaced wholesale
+    // by its second write, t2 untouched, t3 deleted by the empty upsert
+    "testset_upsert_replay" ->
+      """WITH final AS (
+        |  SELECT 't1' AS tid, 'set one v2' AS name,
+        |    'Q' || doc_id::VARCHAR AS question, text || ' v2' AS reference_answer
+        |  FROM documents WHERE doc_id >= 50 AND doc_id < 120
+        |  UNION ALL
+        |  SELECT 't2', 'set two', 'Q' || doc_id::VARCHAR, text || ' v1'
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 200)
+        |SELECT tid, name, question, reference_answer FROM final
+        |ORDER BY tid, question""".stripMargin,
+    // each append's summary correctness recomputed as the mean of the
+    // same deterministic correct flags its report rows carry
+    "evaluation_append_replay" ->
+      """WITH calls AS (
+        |  SELECT 't1' AS tid, 'e1' AS eid, 0 AS lo, 100 AS hi
+        |  UNION ALL SELECT 't1', 'e2', 100, 160
+        |  UNION ALL SELECT 't2', 'e3', 200, 300),
+        |agg AS (
+        |  SELECT c.tid, c.eid, count(*)::BIGINT AS n_report,
+        |    sum(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ok
+        |  FROM calls c JOIN documents d
+        |    ON d.doc_id >= c.lo AND d.doc_id < c.hi
+        |  GROUP BY 1, 2)
+        |SELECT tid, eid, round(n_ok::DOUBLE / n_report, 6) AS correctness,
+        |  n_report, n_ok
+        |FROM agg ORDER BY tid, eid""".stripMargin,
     "eval_overall" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,

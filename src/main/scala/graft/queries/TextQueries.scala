@@ -1113,6 +1113,30 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // S13 chunk JSON sink round-trip, oracle-anchored: chunks (id,
+    // text, metadata map) dump through writeChunksJson (the LangChain
+    // Document shape) and re-hydrate through the S9 reader; the final
+    // relation must EQUAL the chunk derivation computed directly from
+    // documents — pinning that the write→read pair is the identity on
+    // ids, page content, and metadata values (JSON escaping, the
+    // map→object→struct round trip, the id cast).
+    "chunks_json_sink_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-cjson-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/chunks"
+      graft.Fs.delete(s, root)
+      val chunks = documents(s, d).filter($"text".isNotNull)
+        .select(concat($"doc_id", lit("#0")).as("id"), $"text",
+          map(lit("lang"), $"lang", lit("source"), lit("documents"))
+            .as("metadata"))
+      graft.ops.Ingest.writeChunksJson(chunks, root)
+      graft.sources.DocumentSources.readChunksJson(s, root)
+        .select($"doc_id", $"text", $"metadata.lang".as("lang"),
+          $"metadata.source".as("source"))
+        .orderBy($"doc_id")
+    }),
+
     // Snapshot diff between two store versions: commit everything (v1),
     // merge-update the %7 docs under 150 + insert five shifted ids,
     // then delete the %13==1 docs — diff(v1, live) must classify every
@@ -1544,6 +1568,45 @@ object TextQueries {
       graft.ops.Gazetteer.matchCounts(documents(s, d), "doc_id", "text",
           Seq("a", "an", "and", "data", "the", "ing "))
         .orderBy($"doc_id", $"term")
+    }),
+
+    // The gazetteer SERVING composition: phrase-blocklist gate
+    // (Aho–Corasick, the 10k-phrase-capable form of blocklist_gate)
+    // feeding the STREAMING data-contract gate. Stage 1 gates documents
+    // on match density (1000·n_matches > 20·n_chars drops, integer
+    // cross-multiply); stage 2 routes the survivors through
+    // IncrementalIngest.gatedBatch in three micro-batches under
+    // InRange(n_matches <= 10) — one hot doc quarantines its whole
+    // batch (the contract-gate semantics). Output reads the ACTUAL
+    // artifacts (the process callback's count, the quarantine dir);
+    // the oracle replays the automaton totals per position, both
+    // verdicts, the batching, and the routing.
+    "gazetteer_gate_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-gazgate-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val gated = TextAnalysis.gazetteerGate(documents(s, d), "doc_id", "text",
+          phrases = Seq("and", "data", "the ", "ing "), maxPerMilleChars = 20)
+        .filter(!$"drop_density")
+        .select($"doc_id", $"n_chars", $"n_matches")
+        .localCheckpoint() // 3 batch filters + the gate reuse one scan
+      val rules = Seq[graft.ops.Validate.Rule](
+        graft.ops.Validate.NotNull("n_matches"),
+        graft.ops.Validate.InRange("n_matches", 0.0, 10.0))
+      val out = (0L until 3L).map { b =>
+        val batch = gated.filter($"doc_id" % 3 === b)
+        var stored = 0L
+        val clean = graft.streaming.IncrementalIngest.gatedBatch(
+          batch, rules, s"$root/quarantine", b) { df => stored = df.count() }
+        val quarantined =
+          if (clean) 0L
+          else s.read.parquet(s"$root/quarantine/batch=$b/rows").count()
+        (b, clean, stored, quarantined)
+      }
+      out.toDF("batch_id", "clean", "n_stored", "n_quarantined")
+        .orderBy($"batch_id")
     }),
 
     // Blocklist document gate — the C4 bad-words rule (drop on any hit)
@@ -3277,6 +3340,13 @@ object TextQueries {
     "store_evolve_schema" ->
       s"""SELECT doc_id, len($docTokens)::BIGINT AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the chunk relation computed directly — the sink+scan pair must be
+    // the identity on it
+    "chunks_json_sink_roundtrip" ->
+      """SELECT doc_id::VARCHAR || '#0' AS doc_id, text, lang,
+        |  'documents' AS source
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY 1""".stripMargin,
     // the upsert + delete recomputed relationally; the rewrite count is
     // pinned to 1 because every update key lives in the first segment
     "store_merge_upsert" ->
@@ -3403,6 +3473,32 @@ object TextQueries {
         |  FROM tk
         |  WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':u0'), doc_id))
         |ORDER BY position""".stripMargin),
+    // the full two-stage replay: automaton totals as per-position
+    // substring sums, the density gate, %3 batching, and the
+    // whole-batch contract routing (clean iff no survivor exceeds 10)
+    "gazetteer_gate_pipeline" ->
+      """WITH t(term) AS (
+        |  SELECT unnest(['and', 'data', 'the ', 'ing '])),
+        |m AS (
+        |  SELECT d.doc_id, len(d.text)::BIGINT AS n_chars,
+        |    sum(coalesce(list_sum(list_transform(
+        |      range(1, greatest(len(d.text) - len(t.term) + 2, 1)),
+        |      i -> (d.text[i::INT:(i + len(t.term) - 1)::INT] = t.term)::INT)),
+        |      0))::BIGINT AS n_matches
+        |  FROM documents d, t GROUP BY 1, 2),
+        |surv AS (
+        |  SELECT doc_id % 3 AS batch_id,
+        |    CASE WHEN n_matches > 10 THEN 1 ELSE 0 END AS bad
+        |  FROM m WHERE NOT (1000 * n_matches > 20 * n_chars)),
+        |g AS (SELECT batch_id, count(*)::BIGINT AS n, sum(bad)::BIGINT AS viol
+        |      FROM surv GROUP BY 1),
+        |ids AS (SELECT unnest([0, 1, 2])::BIGINT AS batch_id)
+        |SELECT i.batch_id, coalesce(g.viol, 0) = 0 AS clean,
+        |  (CASE WHEN coalesce(g.viol, 0) = 0 THEN coalesce(g.n, 0)
+        |        ELSE 0 END)::BIGINT AS n_stored,
+        |  (CASE WHEN coalesce(g.viol, 0) = 0 THEN 0
+        |        ELSE g.n END)::BIGINT AS n_quarantined
+        |FROM ids i LEFT JOIN g USING (batch_id) ORDER BY batch_id""".stripMargin,
     // both verdicts replayed with the same list kernels; the ratio gate
     // is the identical integer cross-multiplication
     "blocklist_gate" ->

@@ -106,6 +106,22 @@ object VectorSearch {
       (dir, ivf, pq)
     })
 
+  /** Materialize every session-cached serving artifact (SQ8 / IVF+SQ8 /
+    * PQ / IVF-PQ / IVF+metadata stores and their codebooks) for `d` —
+    * bench setup calls this so codebook FITS (a one-time build cost;
+    * production serves from persisted stores) never land inside the
+    * first measured run. Without it, every bench round's stalled list
+    * is the same known fit costs and a real cold-path regression hides
+    * inside them.
+    */
+  def prewarmStores(s: SparkSession, d: String): Unit = {
+    cachedQuantStore(s, d): Unit
+    cachedIvfQuantStore(s, d): Unit
+    cachedPqStore(s, d): Unit
+    cachedIvfPqStore(s, d): Unit
+    cachedIvfMetaStore(s, d): Unit
+  }
+
   /** Cluster-partitioned store carrying a METADATA column (lang, via
     * the vec_id ≡ doc_id join) alongside the embedding — the layout
     * filtered ANN serves from.

@@ -59,4 +59,24 @@ class GazetteerSpec extends AnyFunSuite {
       Gazetteer.Automaton(Seq("a", "a"))
     }
   }
+
+  test("gazetteerGate: zero-hit docs report 0 and survive; density cross-multiply") {
+    // doc 1: 19 chars, 'the'x2 + 'hat'x1 = 3 matches -> 1000*3 > 150*19
+    //   is 3000 > 2850 -> density-dropped at 150 per-mille
+    // doc 2: null text -> 0 chars, 0 matches, survives both verdicts
+    // doc 3: one hit in 30 chars -> 1000 < 4500 -> survives density,
+    //   still drop_any
+    val df = Seq((1L, "the cat and the hat"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "a hat somewhere in this text..")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.gazetteerGate(df, "doc_id", "text",
+        Seq("the", "hat", "zzz"), maxPerMilleChars = 150)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 19L, 3L, 2L, true, true),
+      (2L, 0L, 0L, 0L, false, false),
+      (3L, 30L, 1L, 1L, true, false)))
+  }
 }

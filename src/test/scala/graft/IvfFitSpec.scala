@@ -88,4 +88,42 @@ class IvfFitSpec extends AnyFunSuite {
     assert(plan.contains("vector_mean"))
     assert(!plan.contains("m512"), "no per-dim aggregate fan-out in the plan")
   }
+
+  test("kForCorpus: sqrt rule, floor 2, cap, and monotonicity") {
+    import graft.ops.Ivf.kForCorpus
+    assert(kForCorpus(0) == 2)
+    assert(kForCorpus(1) == 2)
+    assert(kForCorpus(4) == 2)
+    assert(kForCorpus(100) == 10)
+    assert(kForCorpus(10000) == 100)
+    // 16x the corpus = 4x the centroids — the rule the cell-join
+    // family's sublinear claim rests on (cells stay ≈√N-sized)
+    assert(kForCorpus(16L * 10000) == 4 * kForCorpus(10000))
+    assert(kForCorpus(1L << 50) == 4096, "planner cap binds")
+    assert(kForCorpus(1L << 50, maxK = 64) == 64)
+    intercept[IllegalArgumentException](kForCorpus(10, maxK = 1))
+  }
+
+  test("fitAuto: sizes k by the rule, samples the Lloyd phase, deterministic") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(8)(j => rnd.nextFloat() + (if (i % 3 == j) 5f else 0f)))
+    }.toDF("id", "emb")
+    val (m1, n1) = graft.ops.Ivf.fitAuto(rows, "id", "emb")
+    assert(n1 == 400L)
+    assert(m1.k == graft.ops.Ivf.kForCorpus(400)) // = 20
+    // deterministic: same corpus, same model, fingerprint-stable
+    val (m2, _) = graft.ops.Ivf.fitAuto(rows, "id", "emb")
+    assert(m1.fingerprint == m2.fingerprint)
+    // null embeddings neither count nor train
+    val withNull = rows.union(Seq((9999L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "emb"))
+    val (m3, n3) = graft.ops.Ivf.fitAuto(withNull, "id", "emb")
+    assert(n3 == 400L && m3.fingerprint == m1.fingerprint)
+    // the training set really is hash-bounded when n > 256*k: shrink
+    // the cap so the bound binds, and the model must differ from the
+    // full-corpus fit only via its training subset — still k centroids
+    val (m4, _) = graft.ops.Ivf.fitAuto(rows, "id", "emb", maxK = 2)
+    assert(m4.k == 2)
+  }
 }
