@@ -546,6 +546,36 @@ object VectorSearch {
         .orderBy($"qid", $"rank")
     }),
 
+    // The SAME corpus-scale mining run on the STREAMING append seam:
+    // three anchor chunks stand in for ingest micro-batches, each
+    // driven through ContrastiveStream.mineBatch (the foreachBatch
+    // body — the unchanged IVF cell join per batch, appending pairs).
+    // Per-anchor results are independent of batching (stateless
+    // stream-static join), so the accumulated artifact must EQUAL the
+    // one-shot batch run — it SHARES hard_negatives_ivf's exact-replay
+    // oracle, and the output reads the ACTUAL parquet the seam wrote.
+    "hard_negatives_stream" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-cstream-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/pairs"
+      graft.Fs.delete(s, root)
+      val e = embeddings(s, d).filter($"embedding".isNotNull).localCheckpoint()
+      val anchors = e.select($"vec_id".as("qid"), $"embedding".as("qemb"),
+        $"label".as("qlabel"))
+      val model = graft.ops.Ivf.fit(e, "vec_id", "embedding", k = 8)
+      (0L until 3L).foreach { b =>
+        graft.streaming.ContrastiveStream.mineBatch(
+          anchors.filter($"qid" % 3 === b), e,
+          "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+          model, nProbe = model.k, k = 3, metric = "COSINE", outDir = root)
+      }
+      s.read.parquet(root)
+        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id",
+          round($"score", 6).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Contrastive pair mining (DPR-style): per anchor, the single
     // nearest SAME-label positive × the 3 most-similar WRONG-label
     // hard negatives — the training triples an embedding-model trainer
@@ -928,6 +958,19 @@ object VectorSearch {
     // full probe ≡ exact: per-anchor wrong-label top-3 recomputed from
     // the raw table (every row an anchor; null labels drop both sides)
     "hard_negatives_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |r AS (SELECT a.vec_id AS qid, b.vec_id,
+        |        list_cosine_similarity(b.v, a.v) AS s,
+        |        row_number() OVER (PARTITION BY a.vec_id
+        |          ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id)
+        |          AS rank
+        |      FROM e a JOIN e b ON b.label <> a.label)
+        |SELECT qid, rank::BIGINT AS rank, vec_id, round(s, 6) AS sim
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // the stream seam shares the batch miner's oracle: batching cannot
+    // change any anchor's top-k (stateless stream-static join)
+    "hard_negatives_stream" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |           FROM embeddings WHERE embedding IS NOT NULL),
         |r AS (SELECT a.vec_id AS qid, b.vec_id,

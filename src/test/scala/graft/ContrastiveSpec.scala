@@ -147,4 +147,41 @@ class ContrastiveSpec extends AnyFunSuite {
     val ids = p1.select($"id_a").collect().map(_.getLong(0))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("streaming hard negatives: live micro-batches fold ≡ one-shot batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Ivf
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(16)(j => (if (j == i % 16) 4f else 0f) + 0.01f * ((i * 7 + j) % 5))
+    val corpusRows = (101 to 160).map(i => (i.toLong, vec(i), s"L${i % 3}"))
+    val anchorRows = (1 to 30).map(i => (i.toLong, vec(i), s"L${i % 3}"))
+    val corpus = corpusRows.toDF("vec_id", "embedding", "label").localCheckpoint()
+    val model = Ivf.fit(corpus, "vec_id", "embedding", k = 4)
+    val base = java.nio.file.Files.createTempDirectory("cstream").toString
+    val (outDir, ckpt) = (s"$base/pairs", s"$base/ckpt")
+    val stream = MemoryStream[(Long, Array[Float], String)]
+    val q = graft.streaming.ContrastiveStream.startHardNegatives(
+      stream.toDS().toDF("qid", "qemb", "qlabel"), corpus,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+      model, nProbe = model.k, k = 3, outDir = outDir, checkpointDir = ckpt)
+    try {
+      // three micro-batches in arbitrary sizes
+      val (b1, rest) = anchorRows.splitAt(11)
+      val (b2, b3) = rest.splitAt(7)
+      Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val folded = spark.read.parquet(outDir)
+    val direct = Contrastive.hardNegativesIvf(
+      anchorRows.toDF("qid", "qemb", "qlabel"), corpus,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+      model, nProbe = model.k, k = 3)
+    // stateless across batches: raw-double bit equality, full relation
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"vec_id", $"score")
+        .orderBy($"qid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(folded) == rows(direct))
+    assert(folded.count() == 30L * 3, "every anchor mined in exactly one batch")
+  }
 }
