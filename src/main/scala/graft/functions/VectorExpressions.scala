@@ -143,9 +143,19 @@ object CentroidKernels {
     * structs PER ROW at the 16× probe); this is the same flops with
     * an O(1)-expression plan.
     */
+  // per-thread scratch, grown to the largest k seen — the selection
+  // state must not allocate k-sized arrays per row (k can be 4096)
+  private val dsBuf = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+  private val usedBuf = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](0)
+  }
+
   def rank(x: ArrayData, cents: Array[Array[Float]], n: Int): Array[Int] = {
     val k = cents.length
-    val ds = new Array[Double](k)
+    var ds = dsBuf.get()
+    if (ds.length < k) { ds = new Array[Double](k); dsBuf.set(ds) }
     var c = 0
     while (c < k) {
       val cent = cents(c)
@@ -162,7 +172,9 @@ object CentroidKernels {
     }
     val outLen = math.min(math.max(0, n), k)
     val out = new Array[Int](outLen)
-    val used = new Array[Boolean](k)
+    var used = usedBuf.get()
+    if (used.length < k) { used = new Array[Boolean](k); usedBuf.set(used) }
+    else { var z = 0; while (z < k) { used(z) = false; z += 1 } }
     var j = 0
     while (j < outLen) {
       var best = -1
@@ -180,6 +192,18 @@ object CentroidKernels {
     }
     out
   }
+
+  /** Codegen entry point: one static call per row. The generated
+    * consume() must NOT inline the selection loops — a plan with many
+    * [[NearestCentroids]] instances (PQ encodes one per subspace) blew
+    * past the JVM's huge-method JIT limit and ran INTERPRETED, a
+    * measured ~50× cliff; a call into this ordinary (JIT-compiled)
+    * method keeps the stage's generated code tiny whatever k and the
+    * expression count are.
+    */
+  def rankArrayData(x: ArrayData, cents: Array[Array[Float]], n: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(rank(x, cents, n))
 }
 
 /** `ARRAY<FLOAT> -> ARRAY<INT>`: the `n` nearest of a FIXED centroid
@@ -201,50 +225,15 @@ case class NearestCentroids(child: Expression,
       s"$prettyName requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
   }
   override protected def nullSafeEval(input: Any): Any =
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-      CentroidKernels.rank(input.asInstanceOf[ArrayData], centroids, n))
+    CentroidKernels.rankArrayData(input.asInstanceOf[ArrayData], centroids, n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ONE static call into the JIT-compiled kernel — inlining the
+    // selection loops here pushed multi-instance stages (PQ encode: one
+    // expression per subspace) past the JVM's huge-method JIT limit and
+    // the whole stage ran interpreted (measured ~50× on m=32 encode)
     val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
-    val k = centroids.length
-    // per-task scratch, allocated once — the selection state must not
-    // allocate k-sized arrays per row
-    val ds = ctx.addMutableState("double[]", "nearCentDs",
-      v => s"$v = new double[$k];")
-    val used = ctx.addMutableState("boolean[]", "nearCentUsed",
-      v => s"$v = new boolean[$k];")
-    nullSafeCodeGen(ctx, ev, x => {
-      val (c, i, m, s, d) = (ctx.freshName("c"), ctx.freshName("i"),
-        ctx.freshName("m"), ctx.freshName("s"), ctx.freshName("d"))
-      val (outLen, out, j, best, bd, c2) = (ctx.freshName("outLen"),
-        ctx.freshName("out"), ctx.freshName("j"), ctx.freshName("best"),
-        ctx.freshName("bd"), ctx.freshName("c2"))
-      s"""
-      for (int $c = 0; $c < $k; $c++) {
-        float[] cent = $cents[$c];
-        int $m = java.lang.Math.min($x.numElements(), cent.length);
-        double $s = 0.0;
-        for (int $i = 0; $i < $m; $i++) {
-          double $d = ((double) $x.getFloat($i)) - ((double) cent[$i]);
-          $s += $d * $d;
-        }
-        $ds[$c] = java.lang.Math.sqrt($s);
-        $used[$c] = false;
-      }
-      int $outLen = java.lang.Math.min(java.lang.Math.max(0, $n), $k);
-      int[] $out = new int[$outLen];
-      for (int $j = 0; $j < $outLen; $j++) {
-        int $best = -1; double $bd = 0.0;
-        for (int $c2 = 0; $c2 < $k; $c2++) {
-          if (!$used[$c2] && ($best < 0 || java.lang.Double.compare($ds[$c2], $bd) < 0)) {
-            $best = $c2; $bd = $ds[$c2];
-          }
-        }
-        $used[$best] = true;
-        $out[$j] = $best;
-      }
-      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
-      """
-    })
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.CentroidKernels.rankArrayData($x, $cents, $n);")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

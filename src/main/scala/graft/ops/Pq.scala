@@ -91,21 +91,20 @@ object Pq {
 
   /** Append the codes column: per subspace, the nearest sub-centroid id
     * shifted to a byte (`cid - 128`) — `ARRAY<TINYINT>` of length `m`,
-    * 1 byte per subspace per row on disk. Same narrow argmin shape as
-    * [[Ivf.assign]] (all distances in one projection, `array_min`
-    * struct ordering breaks ties toward the lower cid); a NULL
-    * embedding yields NULL codes.
+    * 1 byte per subspace per row on disk. Same narrow argmin as
+    * [[Ivf.assign]]: ONE [[graft.functions.NearestCentroids]] per
+    * subspace over its sliced sub-vector (m expressions total; the
+    * m×ncent distance fan-out this replaced is a planner stall at
+    * production PQ shapes like m=64, ncent=256 — 16k expressions),
+    * identical (distance, cid) selection order; a NULL embedding
+    * yields NULL codes.
     */
   def encode(df: DataFrame, embCol: String, model: PqModel): DataFrame = {
     require(model.m > 0, "empty PQ model")
     val codes = array((0 until model.m).map { j =>
       val sub = slice(col(embCol), j * model.dsub + 1, model.dsub)
-      val dists = array(model.codebooks(j).zipWithIndex.map { case (c, i) =>
-        struct(
-          VectorFunctions.euclidean(sub, typedlit(c.toSeq)).as("d"),
-          lit(i).as("cid"))
-      }: _*)
-      (array_min(dists).getField("cid") - 128).cast("byte")
+      (VectorFunctions.nearestCentroids(sub, model.codebooks(j), 1).getItem(0)
+        - 128).cast("byte")
     }: _*)
     df.withColumn(codesCol(embCol), when(col(embCol).isNotNull, codes))
   }

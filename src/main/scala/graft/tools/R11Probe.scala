@@ -51,6 +51,20 @@ object R11Probe {
     println(f"SCALE bitext_mining_ivf_autok 1x: $r1%9d rows (k=$k1, fit $f1%5.1f s) $t1%6.1f s | " +
       f"${m}x: $rM%9d rows (k=$kM, fit $fM%5.1f s) $tM%6.1f s | time ${tM / t1}%4.2fx " +
       f"(pass: <= ~4x)")
+
+    // PQ encode at a PRODUCTION codebook shape (m=32 subspaces, 256
+    // centroids each over the dim-64 fixture): the round-11 encode is
+    // m NearestCentroids expressions; the m x ncent distance fan-out it
+    // replaced would be 8192 expressions here — a planner stall, not a
+    // slow plan. Timed fit + encode of the 16x corpus proves the shape
+    // is usable at real PQ sizes.
+    val e16 = embM.select($"vec_id", $"embedding").localCheckpoint()
+    val (pq, tFitPq) = time(graft.ops.Pq.fit(e16, "vec_id", "embedding",
+      m = 32, ncent = 256))
+    val (nEnc, tEnc) = time(graft.ops.Pq.encode(e16, "embedding", pq)
+      .selectExpr("sum(size(embedding_pq))").head().getLong(0))
+    println(f"SCALE pq_encode_m32x256 16x-corpus: fit $tFitPq%6.1f s | " +
+      f"encode ${e16.count()}%d rows ($nEnc%d codes) $tEnc%6.1f s")
     spark.stop()
   }
 }
