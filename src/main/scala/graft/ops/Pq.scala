@@ -57,13 +57,21 @@ object Pq {
     */
   def markerPath(table: String): String = s"$table/_pq"
 
-  /** Deterministic PQ fit: `m` independent k-means (the [[Ivf.fit]]
-    * Lloyd loop, same seeded init) over the sub-vector slices of a
-    * bounded deterministic sample. The sample is a CACHED DataFrame,
-    * not a driver collect — the `m × iters` Lloyd aggregations run over
-    * `min(sampleN, corpus)` rows in memory, so fitting cost is flat in
-    * corpus size (codebook training on a bounded sample is the standard
-    * PQ practice at scale).
+  /** Deterministic PQ fit: `m` independent k-means (hash-seeded init,
+    * `iters` Lloyd rounds — the [[Ivf.fit]] recipe per subspace) over
+    * the sub-vector slices of a bounded deterministic sample. The
+    * sample is a CACHED DataFrame, not a driver collect, so fitting
+    * cost is flat in corpus size (codebook training on a bounded
+    * sample is the standard PQ practice at scale) — and the m
+    * sub-k-means are BATCHED: every Lloyd round is ONE job (each
+    * sample row explodes to its m (subspace, cluster, sub-vector)
+    * assignments, one VectorMean aggregation updates all m×ncent
+    * centroids), not m separate assign+update jobs per round. At
+    * production shapes (m=32-64) the per-subspace loop was ~100 Lloyd
+    * jobs of pure scheduling overhead on a memory-resident sample;
+    * the batched form is `iters` jobs total. Init is identical to the
+    * per-subspace recipe: every subspace seeds from the SAME `ncent`
+    * smallest-hash rows, sliced.
     */
   def fit(df: DataFrame, idCol: String, embCol: String, m: Int,
           ncent: Int = 16, iters: Int = 2, sampleN: Int = 1 << 16): PqModel = {
@@ -80,11 +88,41 @@ object Pq {
       val dim = head(0).getSeq[Float](0).length
       require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
       val dsub = dim / m
-      val books = (0 until m).map { j =>
-        val sliced = sample.select(col(idCol),
-          slice(col(embCol), j * dsub + 1, dsub).as(embCol))
-        Ivf.fit(sliced, idCol, embCol, ncent, iters).centroids
-      }.toArray
+      val initRows = sample
+        .orderBy(xxhash64(col(idCol)).asc, col(idCol)).limit(ncent)
+        .select(col(embCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      var books = Array.tabulate(m)(j =>
+        initRows.map(r => r.slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 0 until iters) {
+        val subs = array((0 until m).map { j =>
+          val sub = slice(col(embCol), j * dsub + 1, dsub)
+          struct(lit(j).as("j"),
+            VectorFunctions.nearestCentroids(sub, books(j), 1)
+              .getItem(0).as("cid"),
+            sub.as("sub"))
+        }: _*)
+        val means = sample.select(explode(subs).as("a"))
+          .groupBy(col("a.j"), col("a.cid"))
+          .agg(graft.functions.VectorMean.vectorMean(col("a.sub"), dsub).as("mean"))
+          .collect()
+        val next = books.map(_.map(identity)) // empty clusters keep centroids
+        means.foreach { r =>
+          val (j, cid) = (r.getInt(0), r.getInt(1))
+          val mvec = r.getSeq[Any](2)
+          val v = new Array[Float](dsub)
+          var i = 0
+          while (i < dsub) {
+            mvec(i) match {
+              case x: java.lang.Double => v(i) = x.toFloat
+              case _ => // null element position keeps 0f (the Ivf.fit rule)
+            }
+            i += 1
+          }
+          next(j)(cid) = v
+        }
+        books = next
+      }
       PqModel(books)
     } finally { sample.unpersist(): Unit }
   }
