@@ -173,6 +173,22 @@ object Multimodal {
       maxHamming, bands)
   }
 
+  /** Audio perceptual near-dup pairs over the band-energy fingerprint
+    * ([[graft.sources.WavCodec.fingerprint64]] — Haitsma–Kalker-shape,
+    * exactly volume-invariant): same banded-LSH equi-join machinery as
+    * [[imageDHashPairs]] (pigeonhole-complete at `bands > maxHamming`,
+    * never all-pairs), so re-encoded / re-leveled audio dedups like
+    * re-encoded images do — the multimodal corpus's third dedup family
+    * next to text MinHash and image dHash.
+    */
+  def audioFingerprintPairs(df: DataFrame, idCol: String, bytesCol: String,
+                            maxHamming: Int = 8, bands: Int = 16): DataFrame = {
+    val fp = udf((b: Array[Byte]) => graft.sources.WavCodec.fingerprint64(b))
+    Dedup.hamming64Pairs(
+      df.select(col(idCol).as("id"), fp(col(bytesCol)).as("h")),
+      maxHamming, bands)
+  }
+
   /** Per-file audio activity segmentation over the RMS envelope
     * ([[graft.sources.WavCodec.activity]]) — the silence-trimming /
     * dead-air-drop gate of an audio-corpus pipeline. One narrow

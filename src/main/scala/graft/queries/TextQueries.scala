@@ -1475,6 +1475,24 @@ object TextQueries {
         .orderBy($"media_id")
     }),
 
+    // Audio perceptual near-dup pairs over the Haitsma–Kalker-shape
+    // band-energy fingerprint: the engine must DECODE the PCM, build
+    // the 5×17 Goertzel energy grid, and land the planted structure —
+    // {tone, stereo, tone_half} is one volume/channel-layout cluster
+    // (gain-scaling cancels exactly in the sign bits → Hamming 0),
+    // quiet (the same tone with its first half silenced) sits at
+    // Hamming 5, and the half-frequency sweep and DC byte8 stay out
+    // (25-38). The banded-LSH pair join is the image-dHash machinery.
+    "audio_fingerprint_pairs" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .readMediaDir(s, "/root/repo/fixtures/media/*.wav", "audio")
+      graft.ops.Multimodal
+        .audioFingerprintPairs(media, "media_id", "bytes", maxHamming = 6)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Unigram-LM (SentencePiece-family) tokenizer: learn the piece
     // vocabulary (top-50 weighted substrings + all chars), Viterbi-
     // segment every distinct word, report per-doc subword fertility and
@@ -2572,8 +2590,12 @@ object TextQueries {
         |   0.5, 0.353553, 0.0, 0.0, 0.5, 0.5),
         |  ('stereo.wav', 2::INT, 4000::INT, 16::INT, 8::BIGINT, 2::BIGINT,
         |   0.25, 0.25, 0.25, 0.25, 0.25, 0.25),
+        |  ('sweep.wav', 1::INT, 8000::INT, 16::INT, 16::BIGINT, 2::BIGINT,
+        |   0.5, 0.5, 0.5, 0.5, 0.5, 0.5),
         |  ('tone.wav', 1::INT, 8000::INT, 16::INT, 16::BIGINT, 2::BIGINT,
-        |   0.5, 0.5, 0.5, 0.5, 0.5, 0.5)
+        |   0.5, 0.5, 0.5, 0.5, 0.5, 0.5),
+        |  ('tone_half.wav', 1::INT, 8000::INT, 16::INT, 16::BIGINT, 2::BIGINT,
+        |   0.25, 0.25, 0.25, 0.25, 0.25, 0.25)
         |) t(media_id, channels, sample_rate, bits, n_frames, duration_ms,
         |    peak, rms, w0, w1, w2, w3)
         |ORDER BY media_id""".stripMargin,
@@ -3391,6 +3413,18 @@ object TextQueries {
         |  ('halves.bmp', 'image'), ('pattern.bmp', 'image'),
         |  ('photo.jpg', 'image'), ('rgb.bmp', 'image')) t(media_id, kind)
         |ORDER BY media_id""".stripMargin,
+    // the planted audio perceptual structure as literals — the
+    // volume/channel-layout cluster at Hamming 0, the half-silenced
+    // copy at 5, the spectral/DC outliers excluded
+    "audio_fingerprint_pairs" ->
+      """SELECT id_a, id_b, hamming FROM (VALUES
+        |  ('quiet.wav', 'stereo.wav', 5::BIGINT),
+        |  ('quiet.wav', 'tone.wav', 5::BIGINT),
+        |  ('quiet.wav', 'tone_half.wav', 5::BIGINT),
+        |  ('stereo.wav', 'tone.wav', 0::BIGINT),
+        |  ('stereo.wav', 'tone_half.wav', 0::BIGINT),
+        |  ('tone.wav', 'tone_half.wav', 0::BIGINT)) t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
     // expected activity segmentation as literals — PCM decode +
     // 8-window RMS envelope; quiet.wav's first half is digital silence
     "audio_activity_report" ->
@@ -3399,7 +3433,9 @@ object TextQueries {
         |  ('byte8.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
         |  ('quiet.wav', 8::BIGINT, 4::BIGINT, 4::BIGINT, 4::BIGINT, 0.5),
         |  ('stereo.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
-        |  ('tone.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0)
+        |  ('sweep.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
+        |  ('tone.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
+        |  ('tone_half.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0)
         |) t(media_id, n_windows, n_active, longest_run, first_active,
         |    active_ratio)
         |ORDER BY media_id""".stripMargin,

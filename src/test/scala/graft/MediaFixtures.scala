@@ -238,9 +238,27 @@ object MediaFixtures {
     wav16(1, 8000, Array.tabulate(16)(i =>
       if (i < 8) 0 else if (i % 2 == 0) 16384 else -16384))
 
+  /** [[toneWav]] at exactly HALF the amplitude (±0.25 square, mono
+    * 8 kHz) — a pure volume change: the planted audio perceptual
+    * duplicate (the band-energy fingerprint is scale-invariant, so its
+    * Hamming distance to tone.wav is 0; peak/rms/windowRms all halve).
+    */
+  def toneHalfWav: Array[Byte] =
+    wav16(1, 8000, Array.tabulate(16)(i => if (i % 2 == 0) 8192 else -8192))
+
+  /** Period-4 ±0.5 square (+,+,−,−) — same peak/RMS/activity as
+    * tone.wav but the fundamental at HALF the frequency: identical to
+    * tone under every envelope feature, different under the band-energy
+    * fingerprint — the planted spectral discriminator.
+    */
+  def sweepWav: Array[Byte] =
+    wav16(1, 8000, Array.tabulate(16)(i =>
+      if (i % 4 < 2) 16384 else -16384))
+
   val all: Seq[(String, Array[Byte])] = Seq(
     "tone.wav" -> toneWav, "stereo.wav" -> stereoWav, "byte8.wav" -> byteWav,
-    "quiet.wav" -> quietWav,
+    "quiet.wav" -> quietWav, "tone_half.wav" -> toneHalfWav,
+    "sweep.wav" -> sweepWav,
     "halves.bmp" -> halvesBmp, "rgb.bmp" -> rgbBmp,
     "pattern.bmp" -> patternBmp, "pattern2.bmp" -> pattern2Bmp,
     "pattern.png" -> patternPng)

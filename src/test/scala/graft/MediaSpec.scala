@@ -165,6 +165,47 @@ class MediaSpec extends AnyFunSuite {
     assert(WavCodec.activity(MediaFixtures.toneWav, 4, 0.9) == ((4, 0, 0, -1)))
   }
 
+  test("fingerprint64: exact volume invariance, spectral + envelope sensitivity") {
+    def d(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Long.bitCount(
+        WavCodec.fingerprint64(a) ^ WavCodec.fingerprint64(b))
+    // gain scaling cancels exactly in every sign bit — Hamming 0, and
+    // the stereo re-layout of the same waveform lands there too
+    assert(d(MediaFixtures.toneWav, MediaFixtures.toneHalfWav) == 0)
+    assert(d(MediaFixtures.toneWav, MediaFixtures.stereoWav) == 0)
+    // the same tone with its first half silenced is NEAR (envelope
+    // moved), the half-frequency square and the DC constant are FAR
+    // (spectrum moved) — the separation the activity gate cannot see
+    // (all three are 100% active at the 0.01 threshold)
+    assert(d(MediaFixtures.toneWav, MediaFixtures.quietWav) == 5)
+    assert(d(MediaFixtures.toneWav, MediaFixtures.sweepWav) == 25)
+    assert(d(MediaFixtures.toneWav, MediaFixtures.byteWav) == 38)
+    // arbitrary-gain property: scaling all samples by any positive
+    // factor reproduces the fingerprint bit for bit
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(40)(_ => rnd.nextInt(8000) - 4000)
+    val fp1 = WavCodec.fingerprint64(MediaFixtures.wav16(1, 8000, base))
+    val fp3 = WavCodec.fingerprint64(MediaFixtures.wav16(1, 8000, base.map(_ * 3)))
+    assert(fp1 == fp3)
+  }
+
+  test("audioFingerprintPairs: banded join lands the planted clusters") {
+    import TestSpark._
+    import spark.implicits._
+    val media = graft.ops.Multimodal
+      .readMediaDir(spark, "/root/repo/fixtures/media/*.wav", "audio")
+    val exact = graft.ops.Multimodal
+      .audioFingerprintPairs(media, "media_id", "bytes", maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(exact == Set(("stereo.wav", "tone.wav", 0),
+      ("stereo.wav", "tone_half.wav", 0), ("tone.wav", "tone_half.wav", 0)))
+    // widening to 6 admits the half-silenced near-dups, nothing else
+    val wide = graft.ops.Multimodal
+      .audioFingerprintPairs(media, "media_id", "bytes", maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(wide.size == 6 && wide.count(_._3 == 5) == 3)
+  }
+
   test("imageDHashPairs: banded join finds exactly the planted pair") {
     import TestSpark._
     import spark.implicits._
