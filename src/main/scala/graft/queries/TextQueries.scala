@@ -1463,6 +1463,23 @@ object TextQueries {
         .orderBy($"media_id")
     }),
 
+    // Audio dedup end-to-end: fingerprint pairs (volume-invariant, the
+    // tight maxHamming=4 gate → exactly the {stereo, tone, tone_half}
+    // gain/layout cluster) through the SAME nearDupSurvivors component
+    // machinery text and image dedup use — the cluster keeps its min-id
+    // member (stereo.wav), the near-but-not-dup quiet.wav and the
+    // spectral outliers all survive.
+    "audio_dedup_survivors" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .readMediaDir(s, "/root/repo/fixtures/media/*.wav", "audio")
+      val pairs = graft.ops.Multimodal
+        .audioFingerprintPairs(media, "media_id", "bytes", maxHamming = 4)
+      graft.ops.Dedup.nearDupSurvivors(media, "media_id", pairs)
+        .select($"media_id", $"kind")
+        .orderBy($"media_id")
+    }),
+
     // Audio activity segmentation over the RMS envelope: quiet.wav is
     // the planted half-silent file (first half digital zeros) — the
     // engine must decode PCM and find exactly windows 4..7 active.
@@ -3412,6 +3429,14 @@ object TextQueries {
       """SELECT media_id, kind FROM (VALUES
         |  ('halves.bmp', 'image'), ('pattern.bmp', 'image'),
         |  ('photo.jpg', 'image'), ('rgb.bmp', 'image')) t(media_id, kind)
+        |ORDER BY media_id""".stripMargin,
+    // the audio survivor set as literals — the gain/layout cluster
+    // keeps its min-id member, everything else is its own cluster
+    "audio_dedup_survivors" ->
+      """SELECT media_id, kind FROM (VALUES
+        |  ('byte8.wav', 'audio'), ('quiet.wav', 'audio'),
+        |  ('stereo.wav', 'audio'), ('sweep.wav', 'audio')
+        |) t(media_id, kind)
         |ORDER BY media_id""".stripMargin,
     // the planted audio perceptual structure as literals — the
     // volume/channel-layout cluster at Hamming 0, the half-silenced
