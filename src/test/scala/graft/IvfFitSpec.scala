@@ -89,6 +89,47 @@ class IvfFitSpec extends AnyFunSuite {
     assert(!plan.contains("m512"), "no per-dim aggregate fan-out in the plan")
   }
 
+  test("NearestCentroids ≡ the (sqrt-dist, cid) struct order it replaced (property)") {
+    // brute replica of the array_min/array_sort-over-(d, cid)-structs
+    // selection: Double.compare total order (NaN last), cid tiebreak
+    def brute(x: Array[Float], cents: Array[Array[Float]], n: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        val m = math.min(x.length, c.length)
+        while (j < m) { val d = x(j).toDouble - c(j).toDouble; s += d * d; j += 1 }
+        (math.sqrt(s), i)
+      }.sortWith { case ((d1, i1), (d2, i2)) =>
+        val c = java.lang.Double.compare(d1, d2)
+        c < 0 || (c == 0 && i1 < i2)
+      }.take(n).map(_._2).toSeq
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 30) {
+      val dim = 1 + rnd.nextInt(6)
+      val k = 1 + rnd.nextInt(9)
+      // small integer coordinates force frequent exact distance TIES;
+      // an occasional NaN coordinate exercises the NaN-last order
+      def v(): Array[Float] = Array.fill(dim)(
+        if (trial % 7 == 3 && rnd.nextInt(10) == 0) Float.NaN
+        else rnd.nextInt(3).toFloat)
+      val cents = Array.fill(k)(v())
+      val rows = (0 until 20).map(i => (i.toLong, v())).toDF("id", "emb")
+      val n = 1 + rnd.nextInt(k)
+      val got = rows.select($"id", graft.functions.VectorFunctions
+          .nearestCentroids($"emb", cents, n).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val embs = rows.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      embs.foreach { case (id, e) =>
+        assert(got(id) == brute(e, cents, n), s"trial $trial id $id")
+      }
+    }
+    // null input row yields null (the assign/probe null contract)
+    val withNull = Seq((1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "emb")
+    val r = withNull.select(graft.functions.VectorFunctions
+      .nearestCentroids($"emb", Array(Array(0f, 0f)), 1)).collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+  }
+
   test("kForCorpus: sqrt rule, floor 2, cap, and monotonicity") {
     import graft.ops.Ivf.kForCorpus
     assert(kForCorpus(0) == 2)
