@@ -443,6 +443,91 @@ object Ivf {
     Similarity.boundedRank(scored, queryIdCol, corpusIdCol, topK, metric, scoreName, rankName)
   }
 
+  /** Recall-targeted nProbe auto-tuning — the second half of the
+    * no-caller-folklore contract ([[kForCorpus]] sizes k; this sizes
+    * the probe width): the smallest nProbe whose measured recall@k on
+    * a bounded, deterministic query sample reaches `targetRecall`,
+    * plus the full recall curve for observability.
+    *
+    * Cost shape: ONE exact batch similarity join of the sample against
+    * the corpus (the broadcast-bounded [[Similarity.similarityJoin]] —
+    * ground truth), one bounded semi-join to assign the true
+    * neighbors' home cells, and driver-side probe ranks for the sample
+    * queries. The recall CURVE then needs no per-candidate searches:
+    * a true neighbor is recalled at probe width p iff its home cell
+    * ranks within the query's first p probe cells, and because the
+    * cell join scores candidates with the exact kernel, candidate
+    * coverage IS search recall@k — so one cumulative histogram over
+    * the cell ranks yields recall(p) for every p at once.
+    *
+    * Returns `(nProbe, curve)` where curve = one row per probe width
+    * `(n_probe, n_covered, recall)` (model.k rows, exact integer
+    * counts + one rounded division). `nProbe = model.k` when even the
+    * full probe misses the target (possible only when ground-truth
+    * neighbors tie at the k boundary); recall at full probe is 1.0 by
+    * construction otherwise.
+    */
+  def tuneNProbe(corpus: DataFrame, idCol: String, embCol: String,
+                 model: IvfModel, sampleQueries: DataFrame,
+                 qIdCol: String, qEmbCol: String, k: Int,
+                 targetRecall: Double,
+                 metric: String = "COSINE"): (Int, DataFrame) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1] (got $targetRecall)")
+    val spark = corpus.sparkSession
+    val q = sampleQueries.select(col(qIdCol), col(qEmbCol))
+      .filter(col(qEmbCol).isNotNull)
+    // driver-side probe ranks per sample query: (qid, cell) -> rank;
+    // bounded by the same contract that lets the exact join broadcast
+    val probeRank = q.collect().flatMap { r =>
+      val order = model.probeOrder(r.getSeq[Float](1).toArray)
+      order.iterator.zipWithIndex.map { case (cell, rank) =>
+        (r.get(0), cell, rank)
+      }
+    }
+    import spark.implicits._
+    val rankDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRank.toSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__qid",
+          q.schema.fields.head.dataType),
+        org.apache.spark.sql.types.StructField("__cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cellrank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    // ground truth: exact top-k per sample query (ONE corpus scan)
+    val exact = Similarity.similarityJoin(q, corpus, qIdCol, qEmbCol,
+        idCol, embCol, k, metric)
+      .select(col(qIdCol).as("__qid"), col(idCol))
+    // home cells of the true neighbors only: broadcast the bounded
+    // pair set into the corpus, assign the survivors (narrow)
+    val truthCells = assign(
+        corpus.select(col(idCol), col(embCol))
+          .join(broadcast(exact.select(col(idCol)).distinct()), Seq(idCol)),
+        embCol, model, clusterCol = "__cell")
+      .select(col(idCol), col("__cell"))
+    val ranked = exact.join(truthCells, Seq(idCol))
+      .join(broadcast(rankDf), Seq("__qid", "__cell"))
+    // cumulative coverage over cell ranks -> the whole recall curve
+    val total = exact.count()
+    require(total > 0, "tuneNProbe needs a non-empty ground-truth sample")
+    val byRank = ranked.groupBy(col("__cellrank"))
+      .agg(count(lit(1)).cast("long").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var covered = 0L
+    val rows = (0 until model.k).map { r =>
+      covered += byRank.getOrElse(r, 0L)
+      (r + 1, covered, covered.toDouble / total)
+    }
+    val curve = rows.toDF("n_probe", "n_covered", "recall")
+      .withColumn("recall", round(col("recall"), 6))
+    val chosen = rows.collectFirst {
+      case (p, _, rec) if rec >= targetRecall => p
+    }.getOrElse(model.k)
+    (chosen, curve)
+  }
+
   /** Index (or re-index) a [[VersionedStore]] table in place: fit a
     * k-means model on the current live rows, rewrite them into ONE
     * cluster-partitioned segment through the store's race-safe manifest

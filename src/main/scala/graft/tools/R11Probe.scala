@@ -52,6 +52,22 @@ object R11Probe {
       f"${m}x: $rM%9d rows (k=$kM, fit $fM%5.1f s) $tM%6.1f s | time ${tM / t1}%4.2fx " +
       f"(pass: <= ~4x)")
 
+    // Recall-targeted nProbe tuning on the real corpus under the
+    // auto-fit model: how much of the auto-k index must a 0.95-recall
+    // serving path actually probe, and what does the tuning cost?
+    val corpus1 = emb1.select($"vec_id", $"embedding")
+    val (am, _) = graft.ops.Ivf.fitAuto(corpus1, "vec_id", "embedding")
+    val sampleQ = emb1.filter($"vec_id" % 40 === 7)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    val ((pTuned, curve), tTune) = time(graft.ops.Ivf.tuneNProbe(
+      corpus1, "vec_id", "embedding", am, sampleQ, "qid", "qemb",
+      k = 10, targetRecall = 0.95))
+    val recAt = curve.filter($"n_probe" === pTuned)
+      .head().getDouble(2)
+    println(f"SCALE tune_nprobe k=${am.k}%d sample=${sampleQ.count()}%d: " +
+      f"target 0.95 -> nProbe $pTuned%d (${100.0 * pTuned / am.k}%4.1f%% of cells, " +
+      f"recall $recAt%5.3f) in $tTune%5.1f s")
+
     // PQ encode at a PRODUCTION codebook shape (m=32 subspaces, 256
     // centroids each over the dim-64 fixture): the round-11 encode is
     // m NearestCentroids expressions; the m x ncent distance fan-out it

@@ -145,6 +145,54 @@ class IvfFitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](kForCorpus(10, maxK = 1))
   }
 
+  test("tuneNProbe: recall curve is cumulative-exact, chosen width meets the target") {
+    // 4 tight blobs; each query sits BETWEEN its own blob and the next
+    // (offset toward blob (c+1)%4), so its exact top-k straddles two
+    // cells and nProbe=1 cannot reach full recall
+    val rnd = new scala.util.Random(5)
+    def pt(c: Int, eps: Float): Array[Float] =
+      Array.tabulate(8)(j => (if (j == c * 2) 10f else 0f) + eps)
+    // blobs of 5 < k = 10, so every query's exact top-10 MUST straddle
+    // its home cell and the neighbor it leans toward
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, pt(i % 4, rnd.nextFloat() * 0.01f))
+    }.toDF("id", "emb")
+    val queries = (0 until 8).map { i =>
+      val c = i % 4
+      val v = pt(c, 0.005f)
+      v(((c + 1) % 4) * 2) += 6f
+      (1000L + i, v)
+    }.toDF("qid", "qemb")
+    val model = graft.ops.Ivf.fit(corpus, "id", "emb", k = 4)
+    val (p, curveDf) = graft.ops.Ivf.tuneNProbe(corpus, "id", "emb", model,
+      queries, "qid", "qemb", k = 10, targetRecall = 1.0)
+    val curve = curveDf.orderBy($"n_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // monotone, full probe = exactly 1.0, and the straddle forces p > 1
+    assert(curve.length == 4)
+    assert(curve.sliding(2).forall(w => w(0)._2 <= w(1)._2))
+    assert(curve.last._3 == 1.0)
+    assert(p > 1, s"straddling queries must need more than one probe (got $p)")
+    assert(curve(p - 1)._3 >= 1.0 && (p == 1 || curve(p - 2)._3 < 1.0),
+      "chosen width is the SMALLEST meeting the target")
+    // the tuned width really delivers: the cell join at p recovers the
+    // exact top-k pair set bit-for-bit under the same tiebreak
+    val exact = graft.ops.Similarity.similarityJoin(queries, corpus,
+      "qid", "qemb", "id", "emb", 10)
+    val ivf = graft.ops.Similarity.ivfJoinTopK(queries, corpus,
+      "qid", "qemb", "id", "emb", model, nProbe = p, k = 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(ivf) == pairs(exact))
+    // a looser target picks a narrower probe
+    val (pLoose, _) = graft.ops.Ivf.tuneNProbe(corpus, "id", "emb", model,
+      queries, "qid", "qemb", k = 10, targetRecall = 0.5)
+    assert(pLoose <= p)
+    intercept[IllegalArgumentException](graft.ops.Ivf.tuneNProbe(
+      corpus, "id", "emb", model, queries, "qid", "qemb", 10, 0.0))
+  }
+
   test("fitAuto: sizes k by the rule, samples the Lloyd phase, deterministic") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 400).map { i =>
