@@ -528,6 +528,60 @@ object Ivf {
     (chosen, curve)
   }
 
+  /** Serving-config sidecar: the tuned probe width, stamped with the
+    * model fingerprint it was measured against (underscore-prefixed,
+    * invisible to the file index — the [[modelPath]] convention).
+    */
+  def servingConfigPath(table: String): String = s"$table/_ivf_serving"
+
+  /** [[tuneNProbe]] against a store's OWN rows and persisted model:
+    * samples `maxSample` deterministic queries from the table
+    * (smallest xxhash64(id) — the fit-init discipline), tunes, and
+    * persists the result to [[servingConfigPath]] so
+    * [[VectorServe.search]] serves at the measured operating point
+    * instead of a guessed constant. Returns (nProbe, recall curve).
+    */
+  def tuneStore(spark: SparkSession, table: String, idCol: String,
+                embCol: String, k: Int, targetRecall: Double,
+                maxSample: Int = 64, metric: String = "COSINE"): (Int, DataFrame) = {
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to tune at $table"))
+    val model = loadModel(spark, modelPath(table))
+    requireModelMatch(spark, table, model)
+    val sample = store.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol)).limit(maxSample)
+      .select(col(idCol).as("__tqid"), col(embCol).as("__tqemb"))
+    val (p, curve) = tuneNProbe(store, idCol, embCol, model, sample,
+      "__tqid", "__tqemb", k, targetRecall, metric)
+    graft.Fs.writeString(spark, servingConfigPath(table),
+      s"v1 ${model.fingerprint} $p $k $targetRecall $metric")
+    (p, curve)
+  }
+
+  /** The persisted tuned probe width for `table` under `model`, if a
+    * serving config exists. A config stamped by a DIFFERENT model is a
+    * stale operating point — its recall measurement says nothing about
+    * the current layout — and refuses loudly rather than silently
+    * serving at an unmeasured width ([[requireModelMatch]]'s
+    * philosophy). [[indexStore]] re-tunes automatically on re-index,
+    * so this fires only after an out-of-band model swap.
+    */
+  def tunedNProbe(spark: SparkSession, table: String,
+                  model: IvfModel): Option[Int] = {
+    val path = servingConfigPath(table)
+    if (!graft.Fs.exists(spark, path)) return None
+    val parts = graft.Fs.readString(spark, path).trim.split(" ")
+    require(parts.length >= 4 && parts(0) == "v1",
+      s"unrecognized serving config at $path")
+    require(parts(1) == model.fingerprint,
+      s"serving config at $path was tuned against model ${parts(1)}, the " +
+        s"store now carries ${model.fingerprint} — its recall measurement no " +
+        "longer applies; re-run Ivf.tuneStore (indexStore re-tunes " +
+        "automatically when it re-indexes)")
+    Some(parts(2).toInt)
+  }
+
   /** Index (or re-index) a [[VersionedStore]] table in place: fit a
     * k-means model on the current live rows, rewrite them into ONE
     * cluster-partitioned segment through the store's race-safe manifest
@@ -572,6 +626,18 @@ object Ivf {
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, nFiles)
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, nFiles)
+    // a tuned serving config describes the PREVIOUS model's recall —
+    // re-measure it under the new layout at its recorded (k, target)
+    // so serving keeps its contract across re-indexing without a
+    // caller change (the VectorServe motto)
+    val cfgPath = servingConfigPath(table)
+    if (graft.Fs.exists(spark, cfgPath)) {
+      val parts = graft.Fs.readString(spark, cfgPath).trim.split(" ")
+      if (parts.length >= 6 && parts(0) == "v1")
+        tuneStore(spark, table, idCol, embCol,
+          k = parts(3).toInt, targetRecall = parts(4).toDouble,
+          metric = parts(5)): Unit
+    }
     model
   }
 

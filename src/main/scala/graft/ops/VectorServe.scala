@@ -61,30 +61,38 @@ object VectorServe {
   /** Top-k rows of `table` nearest `queryVec`, output `(idCol, score)`
     * scored exactly — the [[Similarity.knn]] contract — via [[route]].
     * `nProbe` bounds the probed cells on IVF layouts (clamped to the
-    * model's k); `overfetch` bounds the coarse candidate cut on the
-    * quantized layouts. With `nProbe` and `overfetch` covering the
-    * corpus every route equals exact knn (the pin-to-exact contract
-    * the fixture queries and specs ride on).
+    * model's k); the default `nProbe = 0` means "the store's TUNED
+    * width" — the [[Ivf.tuneStore]]-persisted operating point when the
+    * sidecar exists (stale-model configs refuse loudly, the
+    * fingerprint contract), else the conservative 2. `overfetch`
+    * bounds the coarse candidate cut on the quantized layouts. With
+    * `nProbe` and `overfetch` covering the corpus every route equals
+    * exact knn (the pin-to-exact contract the fixture queries and
+    * specs ride on).
     */
   def search(spark: SparkSession, table: String, idCol: String, embCol: String,
              queryVec: Array[Float], k: Int, metric: String = "COSINE",
-             nProbe: Int = 2, overfetch: Int = 8): DataFrame = {
+             nProbe: Int = 0, overfetch: Int = 8): DataFrame = {
+    require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
     val store = VersionedStore.read(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no store at $table"))
+    def width(ivf: Ivf.IvfModel): Int = math.min(
+      if (nProbe > 0) nProbe
+      else Ivf.tunedNProbe(spark, table, ivf).getOrElse(2), ivf.k)
     val hits = route(spark, table) match {
       case Route.IvfPq =>
         val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
         Ivf.requireModelMatch(spark, table, ivf)
         val pq = Pq.loadModel(spark, Pq.modelPath(table))
         Pq.searchIvfPq(store, idCol, embCol, queryVec, k, ivf, pq,
-          nProbe = math.min(nProbe, ivf.k), metric = metric, overfetch = overfetch)
+          nProbe = width(ivf), metric = metric, overfetch = overfetch)
       case Route.PqOnly =>
         val pq = Pq.loadModel(spark, Pq.modelPath(table))
         Pq.knnPqRescore(store, idCol, embCol, queryVec, k, pq, metric, overfetch)
       case Route.IvfSq8 =>
         val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
         Ivf.requireModelMatch(spark, table, ivf)
-        val probes = ivf.probeOrder(queryVec).take(math.min(nProbe, ivf.k)).toSeq
+        val probes = ivf.probeOrder(queryVec).take(width(ivf)).toSeq
         Quantize.knnQuantizedRescore(
           store.filter(col("cluster_id").isin(probes: _*)),
           idCol, embCol, queryVec, k, metric, overfetch)
@@ -93,7 +101,7 @@ object VectorServe {
       case Route.IvfExact =>
         val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
         Ivf.search(store, embCol, ivf, queryVec, k,
-          nProbe = math.min(nProbe, ivf.k), metric = metric,
+          nProbe = width(ivf), metric = metric,
           storePath = Some(table))
       case Route.Exact =>
         Similarity.knn(store.select(col(idCol), col(embCol)), embCol, queryVec, k, metric)

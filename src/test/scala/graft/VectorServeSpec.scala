@@ -72,6 +72,42 @@ class VectorServeSpec extends AnyFunSuite {
     assert(served(t2, 5) == exactTop(t2, 5))
   }
 
+  test("tuned serving config: persisted width serves by default, survives re-index, stale refuses") {
+    val table = Files.createTempDirectory("serve-tuned").toString + "/store"
+    VersionedStore.append(spark, table, emb)
+    val m1 = Ivf.indexStore(spark, table, "id", "embedding", k = 4)
+    // no config yet: default width resolves to the conservative 2
+    assert(Ivf.tunedNProbe(spark, table, m1).isEmpty)
+    val (p, curve) = Ivf.tuneStore(spark, table, "id", "embedding",
+      k = 5, targetRecall = 0.9)
+    assert(p >= 1 && p <= m1.k)
+    assert(curve.count() == m1.k)
+    assert(Ivf.tunedNProbe(spark, table, m1).contains(p))
+    // default (nProbe = 0) serves at the tuned width — bit-equal to
+    // asking for it explicitly
+    def at(np: Int) = VectorServe.search(spark, table, "id", "embedding",
+        qv, 5, nProbe = np)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(at(0) == at(p))
+    // re-index with a DIFFERENT k: the config re-tunes automatically
+    // against the new model at its recorded (k, target)
+    val m2 = Ivf.indexStore(spark, table, "id", "embedding", k = 3)
+    assert(m2.fingerprint != m1.fingerprint)
+    val p2 = Ivf.tunedNProbe(spark, table, m2)
+    assert(p2.nonEmpty && p2.get <= m2.k, "re-index must re-tune the config")
+    assert(VectorServe.search(spark, table, "id", "embedding", qv, 5).count() == 5)
+    // an out-of-band model swap leaves a stale config: loud refusal
+    graft.Fs.writeString(spark, Ivf.servingConfigPath(table),
+      s"v1 deadbeef ${p2.get} 5 0.9 COSINE")
+    val err = intercept[IllegalArgumentException] {
+      VectorServe.search(spark, table, "id", "embedding", qv, 5)
+    }
+    assert(err.getMessage.contains("re-run Ivf.tuneStore"))
+    // an explicit width bypasses the config entirely
+    assert(VectorServe.search(spark, table, "id", "embedding", qv, 5,
+      nProbe = m2.k).count() == 5)
+  }
+
   test("residual codes with a missing IVF model refuse to serve") {
     val table = Files.createTempDirectory("serve-corrupt").toString + "/store"
     VersionedStore.append(spark, table, emb)
