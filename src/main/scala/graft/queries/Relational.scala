@@ -568,6 +568,43 @@ object Relational {
         .orderBy($"tid", $"eid")
     }),
 
+    // P13 delete-by-key CASCADE replayed against its contract: two
+    // testsets land QA rows, evaluations, and reports; deleting t1
+    // must drop its rows from ALL THREE tables (the reference's
+    // PL/SQL delete-children loop as three partition-directory drops)
+    // while t2's survive untouched. The output unions a per-table
+    // row count by tid read from the ACTUAL post-delete tables; the
+    // oracle recomputes the surviving counts relationally.
+    "testset_delete_cascade" -> ((s, d) => {
+      import s.implicits._
+      val base = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-cascade-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, base)
+      val (qaP, evalP, repP) = (s"$base/qa", s"$base/evals", s"$base/reports")
+      val docs = documents(s, d)
+      def qa(lo: Long, hi: Long) = docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select(concat(lit("Q"), $"doc_id").as("question"),
+          $"text".as("reference_answer"))
+      def report(lo: Long, hi: Long) = docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select(concat(lit("Q"), $"doc_id").as("question"),
+          ($"doc_id" % 2 === 0).as("correct"))
+      graft.ops.Testbed.upsertTestset(s, qaP, "t1", "one", qa(0, 80))
+      graft.ops.Testbed.upsertTestset(s, qaP, "t2", "two", qa(80, 200))
+      graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t1", report(0, 80), eid = "e1"): Unit
+      graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t2", report(80, 200), eid = "e2"): Unit
+      graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t2", report(90, 120), eid = "e3"): Unit
+      graft.ops.Testbed.deleteTestset(s, qaP, "t1", Some(evalP), Some(repP))
+      def counts(path: String, table: String) =
+        s.read.parquet(path).groupBy($"tid")
+          .agg(count(lit(1)).cast("long").as("n_rows"))
+          .select(lit(table).as("tbl"), $"tid", $"n_rows")
+      counts(qaP, "qa")
+        .unionByName(counts(evalP, "evals"))
+        .unionByName(counts(repP, "reports"))
+        .orderBy($"tbl", $"tid")
+    }),
+
     // Evaluation aggregate A2: overall correctness mean.
     "eval_overall" -> ((s, d) => {
       import s.implicits._
@@ -1103,6 +1140,16 @@ object Relational {
         |  FROM documents WHERE doc_id >= 100 AND doc_id < 200)
         |SELECT tid, name, question, reference_answer FROM final
         |ORDER BY tid, question""".stripMargin,
+    // only t2 survives the cascade, in all three tables
+    "testset_delete_cascade" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS c FROM documents
+        |           WHERE doc_id >= 80 AND doc_id < 200),
+        |n3 AS (SELECT count(*)::BIGINT AS c FROM documents
+        |       WHERE doc_id >= 90 AND doc_id < 120)
+        |SELECT 'evals' AS tbl, 't2' AS tid, 2::BIGINT AS n_rows
+        |UNION ALL SELECT 'qa', 't2', (SELECT c FROM n)
+        |UNION ALL SELECT 'reports', 't2', (SELECT c FROM n) + (SELECT c FROM n3)
+        |ORDER BY tbl, tid""".stripMargin,
     // each append's summary correctness recomputed as the mean of the
     // same deterministic correct flags its report rows carry
     "evaluation_append_replay" ->
