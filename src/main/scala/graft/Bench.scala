@@ -119,7 +119,9 @@ object Bench {
       "rag_e2e_pipeline", "stream_window_counts", "sessionize_events",
       "text_quality_score", "text_lang_id", "sketch_profile_invariants",
       "eval_bleu", "bpe_learn_merges", "funnel_conversion", "cohort_retention",
-      "retrieval_eval_metrics", "bitext_mining_ivf", "unigram_em_vocab")
+      "retrieval_eval_metrics", "bitext_mining_ivf", "unigram_em_vocab",
+      "hard_negatives_ivf", "gazetteer_gate_pipeline", "t_closeness_report",
+      "audio_fingerprint_pairs")
     val byName = results.map(r => r._1 -> r).toMap
     val hq = new StringBuilder
     headline.foreach { k =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Gazetteer
@@ -58,6 +59,50 @@ class GazetteerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Gazetteer.Automaton(Seq("a", "a"))
     }
+  }
+
+  test("gazetteer gate drives the LIVE streaming contract gate (micro-batch routing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gazgate").toString
+    // contract on the GATE's own feature column: > 2 phrase hits in any
+    // surviving doc quarantines the whole micro-batch
+    val rules = Seq[graft.ops.Validate.Rule](
+      graft.ops.Validate.InRange("n_matches", 0.0, 2.0))
+    val stored = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val gated = graft.ops.TextAnalysis.gazetteerGate(batch,
+            "doc_id", "text", Seq("bad phrase"), maxPerMilleChars = 50)
+          .filter(!col("drop_density"))
+          .select(col("doc_id"), col("n_matches"))
+        graft.streaming.IncrementalIngest.gatedBatch(
+          gated, rules, s"$root/quarantine", id) { df =>
+          stored ++= df.collect().map(_.getLong(0))
+        }: Unit
+      }.start()
+    try {
+      // batch 0: doc 1 = 1 hit in 54 chars (1000 < 2700 -> survives
+      // density, within the contract); doc 2 = no hits -> batch clean
+      stream.addData(
+        (1L, "a bad phrase inside a long enough clean document body"),
+        (2L, "clean text"))
+      q.processAllAvailable()
+      // batch 1: doc 5 = 2 hits in 20 chars (2000 > 1000) is density-
+      // DROPPED at stage 1 and never reaches the contract; doc 3 = 3
+      // hits in 61 chars (3000 < 3050) SURVIVES density but violates
+      // the contract -> the whole surviving batch {3, 4} quarantines
+      stream.addData(
+        (3L, "bad phrase bad phrase bad phrase and padding padding padding"),
+        (4L, "also clean"),
+        (5L, "bad phrasebad phrase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(stored.sorted == Seq(1L, 2L))
+    val quarantined = spark.read.parquet(s"$root/quarantine/batch=1/rows")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(quarantined == Set(3L, 4L))
   }
 
   test("gazetteerGate: zero-hit docs report 0 and survive; density cross-multiply") {
