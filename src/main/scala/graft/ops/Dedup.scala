@@ -794,6 +794,17 @@ object Dedup {
     nearDupSurvivors(df, idCol,
       semanticDedupPairs(df, idCol, embCol, model, threshold))
 
+  /** [[semanticDedup]] with the model auto-fit under the k ∝ √N rule
+    * ([[Ivf.fitAuto]]) — the standalone form for corpora that do NOT
+    * already maintain an ANN store: cluster-scoped pairwise work stays
+    * Σ|cluster|² with clusters ≈√N-sized, the scaling the SemDeDup
+    * trick needs, without the caller choosing k.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, embCol: String,
+                        threshold: Double): DataFrame =
+    semanticDedup(df, idCol, embCol,
+      Ivf.fitAuto(df, idCol, embCol)._1, threshold)
+
   /** Exact duplicated-SPAN removal — the substring-level dedup of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al., 2022), re-expressed relationally instead of via a corpus-wide

@@ -171,6 +171,46 @@ object Similarity {
     boundedRank(scored, queryIdCol, corpusIdCol, k, metric, scoreName, rankName)
   }
 
+  /** Self-tuned corpus kNN graph in one call — the building block a
+    * semantic-dedup / diversity / curriculum pass starts from: the IVF
+    * model auto-fits under the k ∝ √N rule ([[Ivf.fitAuto]]), the
+    * probe width tunes itself to `targetRecall` on a deterministic
+    * self-sample ([[Ivf.tuneNProbe]]), and every row retrieves its `k`
+    * nearest OTHER rows through the cell join. Output
+    * `(idCol, rankName, neighborName, scoreName)` with self-pairs
+    * removed and ranks recomputed 1..k over the survivors (the cell
+    * join fetches k+1 so dropping self never starves a row; under
+    * exact-duplicate ties self may not rank first, which is why the
+    * re-rank exists instead of a drop-rank-1 shortcut).
+    */
+  def knnGraphAuto(corpus: DataFrame, idCol: String, embCol: String, k: Int,
+                   targetRecall: Double = 0.95, metric: String = "COSINE",
+                   maxSample: Int = 64,
+                   neighborName: String = "neighbor_id",
+                   scoreName: String = "score",
+                   rankName: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val (model, _) = Ivf.fitAuto(corpus, idCol, embCol)
+    val sample = corpus.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol)).limit(maxSample)
+      .select(col(idCol).as("__tqid"), col(embCol).as("__tqemb"))
+    val (nProbe, _) = Ivf.tuneNProbe(corpus, idCol, embCol, model, sample,
+      "__tqid", "__tqemb", k + 1, targetRecall, metric)
+    val raw = ivfJoinTopK(
+      corpus.select(col(idCol).as("__gqid"), col(embCol).as("__gqemb")),
+      corpus, "__gqid", "__gqemb", idCol, embCol, model, nProbe, k + 1,
+      metric, scoreName, "__rawrank")
+    val w = Window.partitionBy(col("__gqid"))
+      .orderBy(ordering(metric, col(scoreName)), col(idCol).asc)
+    raw.filter(col("__gqid") =!= col(idCol))
+      .withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= k)
+      .select(col("__gqid").as(idCol + "_src"), col(rankName),
+        col(idCol).as(neighborName), col(scoreName))
+      .withColumnRenamed(idCol + "_src", idCol)
+  }
+
   /** Prune `store` to a bounded candidate-id relation — the shared
     * rescore seam of the quantized serving ladder ([[Quantize]]/[[Pq]]).
     * Small sets compile to an `IN` literal, which parquet row-group

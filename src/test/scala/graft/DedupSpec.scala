@@ -370,6 +370,15 @@ class DedupSpec extends AnyFunSuite {
     val surv = Dedup.semanticDedup(emb, "vec_id", "embedding", model, 0.95)
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(surv == Set(10L, 11L, 12L, 14L))
+    // the standalone auto form is exactly semanticDedup under fitAuto's
+    // model (the k ∝ √N entry point for store-less corpora)
+    val autoSurv = Dedup.semanticDedupAuto(emb, "vec_id", "embedding", 0.95)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val (autoModel, _) = graft.ops.Ivf.fitAuto(emb, "vec_id", "embedding")
+    val manualSurv = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        autoModel, 0.95)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(autoSurv == manualSurv)
   }
 
   test("lshBandPlan: one row per divisor, capture monotone in bands, sane choice") {

@@ -282,6 +282,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraphAuto: self-tuned graph equals the exact self-join graph at target 1.0") {
+    val corpus = emb.filter($"vec_id" < 120 && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val got = Similarity.knnGraphAuto(corpus, "vec_id", "embedding",
+        k = 3, targetRecall = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // exact reference: self-join top-(k+1), drop self, re-rank
+    val q = corpus.select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"vec_id".asc)
+    val exact = Similarity.similarityJoin(q, corpus,
+        "qid", "qemb", "vec_id", "embedding", k = 4)
+      .filter($"qid" =!= $"vec_id")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getInt(r.fieldIndex("rk")), r.getLong(r.fieldIndex("vec_id"))))
+      .toSeq.sorted
+    assert(got == exact)
+    // structural contract: no self-edges, exactly k neighbors per node
+    assert(got.forall { case (a, _, b) => a != b })
+    assert(got.groupBy(_._1).values.forall(_.length == 3))
+    assert(got.map(_._1).distinct.length == corpus.count())
+  }
+
   test("hash embedder is deterministic, unit-norm, and token-order invariant in aggregate") {
     val e = HashEmbedder(dim = 16)
     val v1 = e.embed("spark catalyst engine")
