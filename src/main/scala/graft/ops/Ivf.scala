@@ -496,10 +496,13 @@ object Ivf {
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("__cellrank",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
-    // ground truth: exact top-k per sample query (ONE corpus scan)
+    // ground truth: exact top-k per sample query (ONE corpus scan —
+    // checkpointed because both the total and the rank aggregation
+    // read it; without the cut the count action re-runs the join)
     val exact = Similarity.similarityJoin(q, corpus, qIdCol, qEmbCol,
         idCol, embCol, k, metric)
       .select(col(qIdCol).as("__qid"), col(idCol))
+      .localCheckpoint()
     // home cells of the true neighbors only: broadcast the bounded
     // pair set into the corpus, assign the survivors (narrow)
     val truthCells = assign(
