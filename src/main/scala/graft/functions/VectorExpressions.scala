@@ -172,23 +172,44 @@ object CentroidKernels {
     }
     val outLen = math.min(math.max(0, n), k)
     val out = new Array[Int](outLen)
-    var used = usedBuf.get()
-    if (used.length < k) { used = new Array[Boolean](k); usedBuf.set(used) }
-    else { var z = 0; while (z < k) { used(z) = false; z += 1 } }
-    var j = 0
-    while (j < outLen) {
-      var best = -1
-      var bd = 0.0
-      var c2 = 0
-      while (c2 < k) {
-        if (!used(c2) && (best < 0 || java.lang.Double.compare(ds(c2), bd) < 0)) {
-          best = c2; bd = ds(c2)
+    if (outLen <= 16) {
+      // narrow widths (assign's n=1, typical nProbe): repeated linear
+      // min-scan, no allocation beyond the output
+      var used = usedBuf.get()
+      if (used.length < k) { used = new Array[Boolean](k); usedBuf.set(used) }
+      else { var z = 0; while (z < k) { used(z) = false; z += 1 } }
+      var j = 0
+      while (j < outLen) {
+        var best = -1
+        var bd = 0.0
+        var c2 = 0
+        while (c2 < k) {
+          if (!used(c2) && (best < 0 || java.lang.Double.compare(ds(c2), bd) < 0)) {
+            best = c2; bd = ds(c2)
+          }
+          c2 += 1
         }
-        c2 += 1
+        used(best) = true
+        out(j) = best
+        j += 1
       }
-      used(best) = true
-      out(j) = best
-      j += 1
+    } else {
+      // wide widths (full-probe paths, tuned nProbe near k): the
+      // repeated scan is O(k·n) = O(k²) at n≈k, dwarfing the distance
+      // math — argsort the SAME total order (Double.compare, cid
+      // tiebreak) in O(k log k)
+      val idx = new Array[Integer](k)
+      var i = 0
+      while (i < k) { idx(i) = Integer.valueOf(i); i += 1 }
+      val dsf = ds
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int = {
+          val c = java.lang.Double.compare(dsf(a.intValue), dsf(b.intValue))
+          if (c != 0) c else Integer.compare(a.intValue, b.intValue)
+        }
+      })
+      var j = 0
+      while (j < outLen) { out(j) = idx(j).intValue; j += 1 }
     }
     out
   }

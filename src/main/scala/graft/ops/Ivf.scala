@@ -220,11 +220,18 @@ object Ivf {
     require(n > 0, "fitAuto needs at least one non-null embedding")
     val k = kForCorpus(n, maxK)
     val trainSize = 256L * k
-    val train =
+    // cached: fit runs 1 init collect + `iters` aggregation actions
+    // over the training set, and without the cut each would
+    // re-materialize the corpus-wide TakeOrdered — O(N) per Lloyd
+    // round, the exact cost the sample bound exists to avoid (the
+    // Pq.fit sample discipline)
+    val train = (
       if (n <= trainSize) live
       else live.orderBy(xxhash64(col(idCol)).asc, col(idCol))
         .limit(trainSize.toInt)
-    (fit(train, idCol, embCol, k, iters), n)
+    ).cache()
+    try (fit(train, idCol, embCol, k, iters), n)
+    finally { train.unpersist(): Unit }
   }
 
   /** Deterministic k-means fit. Init: the k rows with smallest
@@ -636,10 +643,15 @@ object Ivf {
     val cfgPath = servingConfigPath(table)
     if (graft.Fs.exists(spark, cfgPath)) {
       val parts = graft.Fs.readString(spark, cfgPath).trim.split(" ")
-      if (parts.length >= 6 && parts(0) == "v1")
-        tuneStore(spark, table, idCol, embCol,
-          k = parts(3).toInt, targetRecall = parts(4).toDouble,
-          metric = parts(5)): Unit
+      // an unparseable config must not be silently left behind stale —
+      // the next default-width search would refuse with a message
+      // claiming indexStore re-tunes automatically
+      require(parts.length >= 6 && parts(0) == "v1",
+        s"unrecognized serving config at $cfgPath — delete it or re-run " +
+          "Ivf.tuneStore before re-indexing")
+      tuneStore(spark, table, idCol, embCol,
+        k = parts(3).toInt, targetRecall = parts(4).toDouble,
+        metric = parts(5)): Unit
     }
     model
   }

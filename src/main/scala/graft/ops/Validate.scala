@@ -172,21 +172,38 @@ object Validate {
     val n = tot.head()
     val nTotal = n.getLong(0)
     val m = n.getLong(1)
-    require(nTotal <= 3000000000L,
-      s"exact Long EMD arithmetic needs N <= 3e9 (got $nTotal)")
     require(m >= 2, s"sensitive domain must have >= 2 values (got $m)")
+    // the largest Long this audit ever forms is bounded by
+    // max(tNum, tDen) * m * N² (emd_num <= m·N² before the risky
+    // cross-multiplication; emd_den = (m-1)·n_g·N <= (m-1)·N²) — check
+    // the actual bound exactly instead of a flat N cap, so a wide
+    // domain or a large t denominator trips LOUDLY instead of
+    // wrapping negative and flipping verdicts
+    require(BigInt(math.max(tNum, tDen)) * m * nTotal * nTotal <=
+      Long.MaxValue,
+      s"exact Long EMD arithmetic would overflow at N=$nTotal, m=$m, " +
+        s"t=$tNum/$tDen (needs max(tNum,tDen)*m*N^2 <= 2^63-1)")
     val qc = quasiCols.map(col)
     val gn = base.groupBy(qc: _*).agg(count(lit(1)).cast("long").as("n"))
     val gvc = base.groupBy((qc :+ col("__v")): _*)
       .agg(count(lit(1)).cast("long").as("__c"))
     // densify: every (group, value) cell exists so prefix sums see the
     // zero-count values too (a group missing a value still transports
-    // mass past it)
+    // mass past it). The join keys must be NULL-SAFE: SQL grouping
+    // formed a real group for NULL quasi values (and a real domain
+    // value for NULL sensitives), and a null-unsafe equi-join would
+    // score those groups as if empty — spuriously maximal EMD
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(qc: _*).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gvcR = gvc.select(
+      (quasiCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__v").as("__r_v") :+ col("__c")): _*)
+    val joinCond = (quasiCols.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__v") <=> col("__r_v"))).reduce(_ && _)
     gn.crossJoin(broadcast(gv))
-      .join(gvc, quasiCols :+ "__v", "left")
+      .join(gvcR, joinCond, "left")
+      .drop((quasiCols.map(c => s"__r_$c") :+ "__r_v"): _*)
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .withColumn("__cum",
         sum(col("__c") * lit(nTotal) - col("__cv") * col("n")).over(win))

@@ -941,8 +941,9 @@ object Relational {
         |  SELECT gn.c_nationkey, gn.c_mktsegment, gn.n, gv.v,
         |    (coalesce(gvc.c, 0) * tot.n_total - gv.cv * gn.n)::BIGINT AS d
         |  FROM gn CROSS JOIN gv CROSS JOIN tot
-        |  LEFT JOIN gvc ON gvc.c_nationkey = gn.c_nationkey
-        |    AND gvc.c_mktsegment = gn.c_mktsegment AND gvc.v = gv.v),
+        |  LEFT JOIN gvc ON gvc.c_nationkey IS NOT DISTINCT FROM gn.c_nationkey
+        |    AND gvc.c_mktsegment IS NOT DISTINCT FROM gn.c_mktsegment
+        |    AND gvc.v IS NOT DISTINCT FROM gv.v),
         |cum AS MATERIALIZED (
         |  SELECT c_nationkey, c_mktsegment, n,
         |    sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v

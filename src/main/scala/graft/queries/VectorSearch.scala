@@ -568,7 +568,8 @@ object VectorSearch {
         graft.streaming.ContrastiveStream.mineBatch(
           anchors.filter($"qid" % 3 === b), e,
           "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
-          model, nProbe = model.k, k = 3, metric = "COSINE", outDir = root)
+          model, nProbe = model.k, k = 3, metric = "COSINE", outDir = root,
+          batchId = b)
       }
       s.read.parquet(root)
         .select($"qid", $"rank".cast("long").as("rank"), $"vec_id",

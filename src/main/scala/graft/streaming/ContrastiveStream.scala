@@ -45,17 +45,24 @@ object ContrastiveStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mineBatch(batch, corpus, anchorIdCol, anchorEmbCol, anchorLabelCol,
           corpusIdCol, corpusEmbCol, corpusLabelCol, model, nProbe, k,
-          metric, outDir)
+          metric, outDir, batchId)
       }
       .start()
 
   /** The per-micro-batch body, shared with the batch-defined replay
     * (the `hard_negatives_stream` query): mine the batch's anchors
-    * against the static corpus and append the pairs. An empty batch
-    * appends nothing (foreachBatch fires on empty triggers too).
+    * against the static corpus and land the pairs under the batch's
+    * OWN partition via dynamic partition overwrite — a replayed
+    * micro-batch (crash after the data commit, before the streaming
+    * checkpoint records it) overwrites its partition instead of
+    * appending a duplicate copy, which is what keeps the accumulated
+    * artifact equal to the one-shot batch run (the fold ≡ batch
+    * contract; a plain append sink would silently 2× replayed
+    * anchors). An empty batch writes nothing (foreachBatch fires on
+    * empty triggers too).
     */
   def mineBatch(batch: DataFrame, corpus: DataFrame,
                 anchorIdCol: String, anchorEmbCol: String,
@@ -63,11 +70,15 @@ object ContrastiveStream {
                 corpusIdCol: String, corpusEmbCol: String,
                 corpusLabelCol: String,
                 model: Ivf.IvfModel, nProbe: Int, k: Int,
-                metric: String, outDir: String): Unit =
+                metric: String, outDir: String, batchId: Long): Unit =
     if (!batch.isEmpty)
       Contrastive.hardNegativesIvf(batch, corpus,
           anchorIdCol, anchorEmbCol, anchorLabelCol,
           corpusIdCol, corpusEmbCol, corpusLabelCol,
           model, nProbe, k, metric)
-        .write.mode("append").parquet(outDir)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
 }

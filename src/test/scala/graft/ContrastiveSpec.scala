@@ -183,5 +183,15 @@ class ContrastiveSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(rows(folded) == rows(direct))
     assert(folded.count() == 30L * 3, "every anchor mined in exactly one batch")
+    // replay idempotence: a crash-replayed micro-batch overwrites its
+    // own partition instead of appending a duplicate copy (the plain
+    // append sink measurably 2x'd replayed anchors)
+    graft.streaming.ContrastiveStream.mineBatch(
+      anchorRows.take(11).toDF("qid", "qemb", "qlabel"), corpus,
+      "qid", "qemb", "qlabel", "vec_id", "embedding", "label",
+      model, nProbe = model.k, k = 3, metric = "COSINE",
+      outDir = outDir, batchId = 0L)
+    val replayed = spark.read.parquet(outDir)
+    assert(rows(replayed) == rows(direct), "replay must not duplicate pairs")
   }
 }

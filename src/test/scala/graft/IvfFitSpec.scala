@@ -105,7 +105,9 @@ class IvfFitSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     for (trial <- 0 until 30) {
       val dim = 1 + rnd.nextInt(6)
-      val k = 1 + rnd.nextInt(9)
+      // spans the 16-width cutover: narrow trials take the linear
+      // min-scan, wide ones the argsort — both must match brute
+      val k = 1 + rnd.nextInt(if (trial % 2 == 0) 9 else 40)
       // small integer coordinates force frequent exact distance TIES;
       // an occasional NaN coordinate exercises the NaN-last order
       def v(): Array[Float] = Array.fill(dim)(
