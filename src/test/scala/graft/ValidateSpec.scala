@@ -85,6 +85,23 @@ class ValidateSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, 21L, 54L, true)))
     assert(got(2L) == ((4L, 5L, 72L, false)))
     assert(got(3L) == ((2L, 22L, 36L, true)))
+    // a NULL-quasi group is a real group (SQL grouping semantics): the
+    // densify join must match it null-safely — with a null-unsafe join
+    // it scored as empty and reported spuriously maximal EMD. Group
+    // null here is global-shaped (one of each value, like group 2), so
+    // its EMD must be exactly group 2's, scaled to the new corpus
+    // totals — NOT the maximal 'every value missing' distance.
+    val withNullGroup = rows.union(Seq(
+      (999L, 0L), (999L, 1L), (999L, 2L)).toDF("q", "sens"))
+      .withColumn("q", when($"q" === 999L, lit(null)).otherwise($"q"))
+    val gotN = Validate.tCloseness(withNullGroup, Seq("q"), "sens", 1, 4)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // N=12, global (6,2,4); null group c=(1,1,1), n=3:
+    //   cum1 = 1*12-6*3 = -6; cum2 = -6+(12-6) = 0; cum3 = 0+(12-12)=0
+    //   emd_num = 6, emd_den = 2*3*12 = 72 -> EMD 1/12, safe
+    assert(gotN(-1L) == ((3L, 6L, 72L, false)),
+      "null-quasi group must be scored against its REAL rows")
     intercept[IllegalArgumentException](
       Validate.tCloseness(rows, Nil, "sens", 1, 4))
     intercept[IllegalArgumentException](
