@@ -42,6 +42,32 @@ object VectorKernels {
     }
     math.sqrt(s)
   }
+
+  /** The `aggregate(zip_with(x, y, p·q), 0.0, +)` fold as one kernel:
+    * SAME double arithmetic in the SAME order (0.0 + v₀ + v₁ + …, each
+    * vᵢ the float→double product), so any IEEE engine — including this
+    * one — replays it bit-identically; that property is why the bitext
+    * miners pinned their oracles to this fold. Returns a boxed Double
+    * or NULL with exactly the higher-order form's null semantics
+    * (unequal lengths zip-pad with null, a null element nulls its
+    * product, and `acc + null` is null — so any of those nulls the
+    * whole dot). The point of the kernel: Spark's higher-order
+    * functions are CodegenFallback — per-element interpreted lambda
+    * dispatch — and this fold sat on the hot pair-scoring path of the
+    * IVF bitext miner.
+    */
+  def seqDot(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 /** Base for binary `ARRAY<FLOAT> -> DOUBLE` vector expressions.
@@ -227,6 +253,33 @@ object CentroidKernels {
       .fromPrimitiveArray(rank(x, cents, n))
 }
 
+/** `ARRAY<FLOAT> × ARRAY<FLOAT> -> DOUBLE`, the sequential-fold dot
+  * product ([[VectorKernels.seqDot]]) as a codegen'd expression. NOT
+  * interchangeable with [[DotProductF]]: that kernel truncates to the
+  * shorter array and skips no nulls; this one replays the
+  * `aggregate(zip_with(...))` fold's exact null semantics and is the
+  * form the engine-portable oracles pin (the sequential-fold
+  * discipline).
+  */
+case class SequentialDotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "sequential_dot"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.seqDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Double $r = graft.functions.VectorKernels.seqDot($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `ARRAY<FLOAT> -> ARRAY<INT>`: the `n` nearest of a FIXED centroid
   * matrix (the IVF model — broadcast by expression reference, like a
   * tokenizer vocab), ordered (distance asc, cid asc). `n = 1` is
@@ -270,6 +323,8 @@ object VectorFunctions {
     ColumnShim.column(EuclideanDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
   def nearestCentroids(emb: Column, centroids: Array[Array[Float]], n: Int): Column =
     ColumnShim.column(NearestCentroids(ColumnShim.expression(emb), centroids, n))
+  def seqDotProduct(a: Column, b: Column): Column =
+    ColumnShim.column(SequentialDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Score column for a metric name, mirroring the reference's metric enum. */
   def score(metric: String)(a: Column, b: Column): Column = metric match {

@@ -245,10 +245,15 @@ object Contrastive {
 
   /** Left-to-right fold dot product: the element order IS the summation
     * order, so any IEEE-double engine replays the sum bit-identically.
+    * Round 11: the fold runs as the codegen'd
+    * [[graft.functions.SequentialDotProduct]] kernel — bit-identical
+    * arithmetic and null semantics to the `aggregate(zip_with(...))`
+    * form it replaces (spec-pinned), which was CodegenFallback
+    * (per-element interpreted lambdas) on the miner's hot
+    * pair-scoring path.
     */
   private def seqDot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    VectorFunctions.seqDotProduct(x, y)
 
   /** `dot/(‖a‖·‖b‖)` over the prepared side columns — the pinned
     * parenthesization both miners share (see [[mineBitextIvf]]).

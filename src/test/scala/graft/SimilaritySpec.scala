@@ -182,6 +182,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("SequentialDotProduct ≡ aggregate(zip_with(...)) bit-for-bit, nulls included") {
+    // the miners' pinned fold, in both formulations, over real
+    // embeddings plus planted edge rows: unequal lengths (zip-pad
+    // null), a null element, a leading -0.0 product, and null inputs
+    val rows = Tables.embeddings(spark, sf).limit(40)
+      .select($"embedding".as("a"), $"embedding".as("b"))
+      .union(Seq(
+        (Seq(1f, 2f), Seq(3f)),                       // unequal length
+        (Seq(-0.0f, 2f), Seq(0.0f, 5f)),              // -0.0 first product
+        (null.asInstanceOf[Seq[Float]], Seq(1f))      // null input
+      ).toDF("a", "b"))
+      .union(Seq((Seq[java.lang.Float](1f, null), Seq[java.lang.Float](2f, 3f)))
+        .toDF("a", "b"))                              // null ELEMENT
+    val oldForm = aggregate(
+      zip_with($"a", $"b", (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val got = rows.select(
+        graft.functions.VectorFunctions.seqDotProduct($"a", $"b").as("k"),
+        oldForm.as("h"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+         if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    got.foreach { case (k, h) => assert(k == h, s"kernel $k != fold $h") }
+    assert(got.count(_._1.isEmpty) == 3, "all three planted nulls null out")
+  }
+
   test("registered SQL functions work from spark.sql") {
     graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
