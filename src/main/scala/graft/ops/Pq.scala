@@ -568,6 +568,81 @@ object Pq {
       scoreName, rankName)
   }
 
+  /** Batch plain-PQ (no IVF layout): every query's top-k in ONE
+    * codes-only corpus scan — [[searchIvfPqBatch]] minus the centroid
+    * decomposition. Each corpus row pairs with every query (the query
+    * batch broadcasts with its per-query ADC LUTs as columns), the
+    * coarse score is the same codegen'd `adcSumCol`, the bounded-rank
+    * tail cuts to `k × overfetch` per query, and one rescore join
+    * reads floats for exactly those candidates. At a corpus-covering
+    * overfetch this equals exact [[Similarity.similarityJoin]] per
+    * query (the pin-to-exact contract).
+    */
+  def knnPqRescoreBatch(queries: DataFrame, store: DataFrame,
+                        queryIdCol: String, queryEmbCol: String,
+                        corpusIdCol: String, corpusEmbCol: String,
+                        model: PqModel, topK: Int,
+                        metric: String = "COSINE", overfetch: Int = 8,
+                        scoreName: String = "score",
+                        rankName: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(topK >= 1 && overfetch >= 1)
+    val cc = codesCol(corpusEmbCol)
+    require(store.columns.contains(cc),
+      s"store lacks $cc — write it through Pq.encode first")
+    val qdf = queries.select(col(queryIdCol), col(queryEmbCol))
+    val qRows = new java.util.ArrayList[Row]()
+    qdf.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val qv = r.getSeq[Float](1).toArray
+        require(model.dim == qv.length,
+          s"query dim ${qv.length} != model dim ${model.dim}")
+        val (dot, nrm2, l2) = luts(model, qv)
+        val qvNorm = math.sqrt(qv.map(v => v.toDouble * v.toDouble).sum)
+        qRows.add(Row(r.get(0), r.get(1), dot, nrm2, l2, qvNorm))
+      }
+    }
+    val lutType = ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    val qSchema = StructType(qdf.schema.fields ++ Seq(
+      StructField("__lutd", lutType), StructField("__lutn", lutType),
+      StructField("__lutl2", lutType),
+      StructField("__qnorm", DoubleType, nullable = false)))
+    val probeDf = store.sparkSession.createDataFrame(qRows, qSchema)
+      .withColumnRenamed(queryIdCol, "__qid")
+      .withColumnRenamed(queryEmbCol, "__qemb")
+    val codes = col(cc)
+    val approx = metric match {
+      case "COSINE" =>
+        val d = adcSumCol(codes, col("__lutd"))
+        val rn = sqrt(adcSumCol(codes, col("__lutn")))
+        when(rn === 0.0d || col("__qnorm") === 0.0d, lit(0.0d))
+          .otherwise(d / (rn * col("__qnorm")))
+      case "DOT_PRODUCT" => adcSumCol(codes, col("__lutd"))
+      case "EUCLIDEAN_DISTANCE" =>
+        sqrt(greatest(adcSumCol(codes, col("__lutl2")), lit(0.0d)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    val coarse = store.select(col(corpusIdCol), codes)
+      .crossJoin(broadcast(probeDf))
+      .withColumn("__approx", approx)
+      .filter(col("__approx").isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col("__approx"))
+    val cands = Similarity.boundedRank(coarse, queryIdCol, corpusIdCol,
+        topK * overfetch, metric, "__approx", "__crank")
+      .select(col(queryIdCol).as("__qid"), col(corpusIdCol))
+    val qemb = probeDf.select(col("__qid"), col("__qemb"))
+    val rescored = store.select(col(corpusIdCol), col(corpusEmbCol))
+      .join(cands, corpusIdCol)
+      .join(broadcast(qemb), "__qid")
+      .withColumn(scoreName,
+        VectorFunctions.score(metric)(col(corpusEmbCol), col("__qemb")))
+      .filter(col(scoreName).isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    Similarity.boundedRank(rescored, queryIdCol, corpusIdCol, topK, metric,
+      scoreName, rankName)
+  }
+
   /** Persist the codebooks as text: line 1 `m ncent dsub fingerprint`,
     * then `m × ncent` space-separated centroid lines in subspace-major
     * order — the [[Ivf.saveModel]] portability contract.

@@ -151,6 +151,113 @@ object Quantize {
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, nFiles)
   }
 
+  /** Batch SQ8 serving: every query's top-k in ONE codes-only corpus
+    * scan (per query batch). Pairing mirrors [[Ivf.searchBatch]]: with
+    * `ivf = Some((model, nProbe))` the scan carries a static
+    * `cluster_id IN (union of probed cells)` predicate (partition
+    * pruning on an indexed store) and a broadcast equi-join pairs each
+    * row with exactly the queries probing its cell; without a model
+    * the bounded query batch cross-broadcasts over the codes scan. The
+    * coarse score is the SAME affine-dot arithmetic as the
+    * single-query [[coarseCandidates]] (the per-query scalars `Σqv`,
+    * `128·Σqv`, `‖q‖` ride the broadcast as columns), the bounded-rank
+    * tail cuts to `k × overfetch` per query, and one rescore join
+    * reads floats for exactly those candidates. At full probe + a
+    * corpus-covering overfetch this equals exact
+    * [[Similarity.similarityJoin]] per query.
+    */
+  def searchBatch(queries: DataFrame, store: DataFrame,
+                  queryIdCol: String, queryEmbCol: String,
+                  corpusIdCol: String, embCol: String,
+                  topK: Int, metric: String = "COSINE", overfetch: Int = 4,
+                  ivf: Option[(Ivf.IvfModel, Int)] = None,
+                  clusterCol: String = "cluster_id",
+                  scoreName: String = "score", rankName: String = "rank",
+                  storePath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(topK >= 1 && overfetch >= 1)
+    ivf.foreach { case (m, _) =>
+      storePath.foreach(p => Ivf.requireModelMatch(store.sparkSession, p, m))
+    }
+    val needed = Seq(s"${embCol}_q", s"${embCol}_qmin", s"${embCol}_qscale",
+      s"${embCol}_qnorm")
+    require(needed.forall(store.columns.contains),
+      s"store lacks ${needed.mkString(", ")} — write it through Quantize.withQuantized first")
+    val qdf = queries.select(col(queryIdCol), col(queryEmbCol))
+    val qRows = new java.util.ArrayList[Row]()
+    qdf.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val qv = r.getSeq[Float](1).toArray
+        val sQv = qv.map(_.toDouble).sum
+        val qvNorm = math.sqrt(qv.map(v => v.toDouble * v.toDouble).sum)
+        ivf match {
+          case Some((m, np)) =>
+            m.probeOrder(qv).take(math.max(1, math.min(np, m.k)))
+              .foreach(cl => qRows.add(
+                Row(r.get(0), r.get(1), cl, sQv, 128.0d * sQv, qvNorm)))
+          case None =>
+            qRows.add(Row(r.get(0), r.get(1), -1, sQv, 128.0d * sQv, qvNorm))
+        }
+      }
+    }
+    val qSchema = StructType(qdf.schema.fields ++ Seq(
+      StructField("__probe", IntegerType, nullable = false),
+      StructField("__sqv", DoubleType, nullable = false),
+      StructField("__sqv128", DoubleType, nullable = false),
+      StructField("__qnorm", DoubleType, nullable = false)))
+    val probeDf = store.sparkSession.createDataFrame(qRows, qSchema)
+      .withColumnRenamed(queryIdCol, "__qid")
+      .withColumnRenamed(queryEmbCol, "__qemb")
+    val pruned = ivf match {
+      case Some(_) =>
+        val union = (0 until qRows.size()).map(qRows.get(_).getInt(2)).distinct
+        if (union.isEmpty) store.filter(lit(false))
+        else store.filter(col(clusterCol).isin(union: _*))
+      case None => store
+    }
+    val scanCols = (corpusIdCol +: needed) ++ ivf.map(_ => clusterCol).toSeq
+    val paired = ivf match {
+      case Some(_) => pruned.select(scanCols.map(col): _*)
+        .join(broadcast(probeDf), col(clusterCol) === col("__probe"))
+      case None => pruned.select(scanCols.map(col): _*)
+        .crossJoin(broadcast(probeDf))
+    }
+    val dotInt = VectorFunctions.dotProduct(
+      col(s"${embCol}_q").cast("array<float>"), col("__qemb"))
+    val approxDot = col(s"${embCol}_qscale").cast("double") *
+      (dotInt + col("__sqv128")) +
+      col(s"${embCol}_qmin").cast("double") * col("__sqv")
+    val qn = col(s"${embCol}_qnorm").cast("double")
+    val approx = metric match {
+      case "COSINE" =>
+        when(qn === 0.0d || col("__qnorm") === 0.0d, lit(0.0d))
+          .otherwise(approxDot / (qn * col("__qnorm")))
+      case "DOT_PRODUCT" => approxDot
+      case "EUCLIDEAN_DISTANCE" =>
+        sqrt(greatest(qn * qn - lit(2.0d) * approxDot +
+          col("__qnorm") * col("__qnorm"), lit(0.0d)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    val coarse = paired
+      .withColumn("__approx", approx)
+      .filter(col("__approx").isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col("__approx"))
+    val cands = Similarity.boundedRank(coarse, queryIdCol, corpusIdCol,
+        topK * overfetch, metric, "__approx", "__crank")
+      .select(col(queryIdCol).as("__qid"), col(corpusIdCol))
+    val qemb = probeDf.select(col("__qid"), col("__qemb")).distinct()
+    val rescored = pruned.select(col(corpusIdCol), col(embCol))
+      .join(cands, corpusIdCol)
+      .join(broadcast(qemb), "__qid")
+      .withColumn(scoreName,
+        VectorFunctions.score(metric)(col(embCol), col("__qemb")))
+      .filter(col(scoreName).isNotNull)
+      .select(col("__qid"), col(corpusIdCol), col(scoreName))
+    Similarity.boundedRank(rescored, queryIdCol, corpusIdCol, topK, metric,
+      scoreName, rankName)
+  }
+
   /** Top-k nearest rows via the quantized coarse pass + exact rescore.
     * Output `(idCol, score)` exactly as [[Similarity.knn]] scores it —
     * identical to the exact path whenever the true top-k survives the

@@ -108,4 +108,58 @@ object VectorServe {
     }
     hits.select(col(idCol), col("score"))
   }
+
+  /** Batch [[search]]: every query row's top-k against `table` in the
+    * fewest scans the store's layout supports — the evaluation-shaped
+    * workload (a RAG testset retrieving for every question at once).
+    * Same dispatch, same guard rails, same tuned-width default as the
+    * single-query path; every route pairs the corpus scan with the
+    * BOUNDED broadcast query batch instead of rescanning per query
+    * (IVF layouts additionally prune to the union of probed cells).
+    * Output `(queryIdCol, rank, idCol, score)`, scored exactly. At
+    * covering settings every route equals the exact batch join — the
+    * same pin-to-exact contract as [[search]].
+    */
+  def searchBatch(spark: SparkSession, table: String,
+                  idCol: String, embCol: String,
+                  queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+                  k: Int, metric: String = "COSINE",
+                  nProbe: Int = 0, overfetch: Int = 8): DataFrame = {
+    require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no store at $table"))
+    def width(ivf: Ivf.IvfModel): Int = math.min(
+      if (nProbe > 0) nProbe
+      else Ivf.tunedNProbe(spark, table, ivf).getOrElse(2), ivf.k)
+    val hits = route(spark, table) match {
+      case Route.IvfPq =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Ivf.requireModelMatch(spark, table, ivf)
+        val pq = Pq.loadModel(spark, Pq.modelPath(table))
+        Pq.searchIvfPqBatch(queries, store, queryIdCol, queryEmbCol,
+          idCol, embCol, ivf, pq, topK = k, nProbe = width(ivf),
+          metric = metric, overfetch = overfetch)
+      case Route.PqOnly =>
+        val pq = Pq.loadModel(spark, Pq.modelPath(table))
+        Pq.knnPqRescoreBatch(queries, store, queryIdCol, queryEmbCol,
+          idCol, embCol, pq, topK = k, metric = metric, overfetch = overfetch)
+      case Route.IvfSq8 =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Quantize.searchBatch(queries, store, queryIdCol, queryEmbCol,
+          idCol, embCol, topK = k, metric = metric, overfetch = overfetch,
+          ivf = Some((ivf, width(ivf))), storePath = Some(table))
+      case Route.Sq8Only =>
+        Quantize.searchBatch(queries, store, queryIdCol, queryEmbCol,
+          idCol, embCol, topK = k, metric = metric, overfetch = overfetch)
+      case Route.IvfExact =>
+        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
+        Ivf.searchBatch(queries, store, queryIdCol, queryEmbCol, idCol, embCol,
+          ivf, topK = k, nProbe = width(ivf), metric = metric,
+          storePath = Some(table))
+      case Route.Exact =>
+        Similarity.similarityJoin(queries, store, queryIdCol, queryEmbCol,
+          idCol, embCol, k, metric)
+    }
+    hits.select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
 }

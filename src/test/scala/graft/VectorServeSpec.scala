@@ -72,6 +72,46 @@ class VectorServeSpec extends AnyFunSuite {
     assert(served(t2, 5) == exactTop(t2, 5))
   }
 
+  test("searchBatch routes every layout; covering settings equal the exact batch join") {
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb")).cache()
+    def exactBatch(table: String): Seq[(Long, Int, Long, Double)] =
+      Similarity.similarityJoin(queries,
+          VersionedStore.read(spark, table).get.select($"id", $"embedding"),
+          "qid", "qemb", "id", "embedding", k = 5)
+        .select($"qid", $"rank", $"id", round($"score", 9).as("s"))
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    def servedBatch(table: String): Seq[(Long, Int, Long, Double)] =
+      VectorServe.searchBatch(spark, table, "id", "embedding",
+          queries, "qid", "qemb", k = 5, nProbe = 64, overfetch = 1000)
+        .select($"qid", $"rank", $"id", round($"score", 9).as("s"))
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val table = Files.createTempDirectory("serve-batch").toString + "/store"
+    VersionedStore.append(spark, table, emb)
+    assert(VectorServe.route(spark, table) == Route.Exact)
+    assert(servedBatch(table) == exactBatch(table))
+    Quantize.quantizeStore(spark, table, "embedding")
+    assert(VectorServe.route(spark, table) == Route.Sq8Only)
+    assert(servedBatch(table) == exactBatch(table))
+    Ivf.indexStore(spark, table, "id", "embedding", k = 4): Unit
+    assert(VectorServe.route(spark, table) == Route.IvfSq8)
+    assert(servedBatch(table) == exactBatch(table))
+    Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16): Unit
+    assert(VectorServe.route(spark, table) == Route.IvfPq)
+    assert(servedBatch(table) == exactBatch(table))
+    // IVF-only and plain-PQ layouts route their own batch paths
+    val t1 = Files.createTempDirectory("serve-batch-ivf").toString + "/store"
+    VersionedStore.append(spark, t1, emb)
+    Ivf.indexStore(spark, t1, "id", "embedding", k = 4): Unit
+    assert(VectorServe.route(spark, t1) == Route.IvfExact)
+    assert(servedBatch(t1) == exactBatch(t1))
+    val t2 = Files.createTempDirectory("serve-batch-pq").toString + "/store"
+    VersionedStore.append(spark, t2, emb)
+    Pq.pqStore(spark, t2, "embedding", m = 8, ncent = 16): Unit
+    assert(VectorServe.route(spark, t2) == Route.PqOnly)
+    assert(servedBatch(t2) == exactBatch(t2))
+  }
+
   test("tuned serving config: persisted width serves by default, survives re-index, stale refuses") {
     val table = Files.createTempDirectory("serve-tuned").toString + "/store"
     VersionedStore.append(spark, table, emb)
