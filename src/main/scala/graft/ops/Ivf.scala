@@ -576,6 +576,12 @@ object Ivf {
     * serving at an unmeasured width ([[requireModelMatch]]'s
     * philosophy). [[indexStore]] re-tunes automatically on re-index,
     * so this fires only after an out-of-band model swap.
+    *
+    * The width was measured at the sidecar's recorded `k`: serving a
+    * SMALLER k at the same width only tightens coverage (the true
+    * top-k' ⊆ the measured top-k's cells plus closer ones), while a
+    * materially LARGER k dilutes the measurement — re-run
+    * [[tuneStore]] at the serving k when it differs.
     */
   def tunedNProbe(spark: SparkSession, table: String,
                   model: IvfModel): Option[Int] = {
