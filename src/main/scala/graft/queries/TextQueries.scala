@@ -1295,6 +1295,41 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // WARC front door, record level: the crawl-archive container format
+    // (ISO 28500) over the committed fixtures — plain .warc (6 records:
+    // warcinfo / request / 200-HTML / 404 / text resource / image
+    // response) AND a .warc.gz of two concatenated gzip members, one
+    // with bare-LF HTTP headers. The oracle restates every record's
+    // framing facts and PAYLOAD BYTES as literals (md5 recomputed by
+    // DuckDB from the declared payload text): the engine must honor
+    // Content-Length framing, strip bracketed URIs, split HTTP
+    // responses into status/type/body, and decompress gzip members to
+    // land on them.
+    "warc_records_scan" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readWarc(s, "/root/repo/fixtures/warc/*")
+        .select($"warc_file", $"record_idx", $"record_type", $"target_uri",
+          $"http_status", $"content_type",
+          length($"content").cast("long").as("body_len"),
+          md5($"content").as("body_md5"))
+        .orderBy($"warc_file", $"record_idx")
+    }),
+
+    // WARC → documents composition: 2xx responses + resources with a
+    // text payload land on the loader shape, HTML payloads through
+    // readHtml's exact flattening. Text + provenance pinned as
+    // literals.
+    "warc_documents_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readWarcDocuments(s, "/root/repo/fixtures/warc/*")
+        .select($"doc_id", $"text",
+          element_at($"metadata", "url").as("url"),
+          element_at($"metadata", "content_type").as("content_type"))
+        .orderBy($"doc_id")
+    }),
+
     // S9 front door: chunk JSONL re-hydration — unicode escapes,
     // embedded newlines/quotes/tabs, nested metadata struct; the oracle
     // re-reads the same file with read_json(newline_delimited).
@@ -2577,6 +2612,48 @@ object TextQueries {
         |FROM read_csv('/root/repo/fixtures/csv/people.csv',
         |              header=true, all_varchar=true)
         |ORDER BY doc_id""".stripMargin,
+    "warc_records_scan" ->
+      """WITH bodies(warc_file, record_idx, record_type, target_uri,
+        |            http_status, content_type, body) AS (VALUES
+        |  ('sample', 0, 'warcinfo', '', -1, 'application/warc-fields',
+        |   'software: graft-crawler/1.0' || chr(10) ||
+        |   'format: WARC File Format 1.1' || chr(10)),
+        |  ('sample', 1, 'request', 'http://example.com/index.html', -1,
+        |   'application/http; msgtype=request',
+        |   'GET /index.html HTTP/1.1' || chr(10) ||
+        |   'Host: example.com' || chr(10) || chr(10)),
+        |  ('sample', 2, 'response', 'http://example.com/index.html', 200,
+        |   'text/html; charset=UTF-8',
+        |   '<html><head><title>T</title><script>var x = "<h1>no</h1>";</script></head>'
+        |   || chr(10) ||
+        |   '<body><h1>Crawl Doc</h1><p>First &amp; second.</p></body></html>'),
+        |  ('sample', 3, 'response', 'http://example.com/missing', 404,
+        |   'text/html', '<html><body>Not found</body></html>'),
+        |  ('sample', 4, 'resource', 'http://example.com/readme.txt', -1,
+        |   'text/plain', 'Plain resource text.' || chr(10) || 'Second line.'),
+        |  ('sample', 5, 'response', 'http://example.com/logo.png', 200,
+        |   'image/png', 'FAKEPNGBYTES'),
+        |  ('sample2', 0, 'response', 'https://example.org/a', 200,
+        |   'text/plain; charset=utf-8',
+        |   'gzip member one payload — naïve café ✓'),
+        |  ('sample2', 1, 'response', 'https://example.org/b', 200,
+        |   'text/html', '<p>LF-header parsing</p> ok'))
+        |SELECT warc_file, record_idx::BIGINT AS record_idx, record_type,
+        |  target_uri, http_status::BIGINT AS http_status, content_type,
+        |  octet_length(encode(body))::BIGINT AS body_len,
+        |  md5(body) AS body_md5
+        |FROM bodies ORDER BY warc_file, record_idx""".stripMargin,
+    "warc_documents_extract" ->
+      """SELECT * FROM (VALUES
+        |  ('sample2_r0', 'gzip member one payload — naïve café ✓',
+        |   'https://example.org/a', 'text/plain; charset=utf-8'),
+        |  ('sample2_r1', 'LF-header parsing ok',
+        |   'https://example.org/b', 'text/html'),
+        |  ('sample_r2', 'T Crawl Doc First &amp; second.',
+        |   'http://example.com/index.html', 'text/html; charset=UTF-8'),
+        |  ('sample_r4', 'Plain resource text. Second line.',
+        |   'http://example.com/readme.txt', 'text/plain')
+        |) t(doc_id, text, url, content_type) ORDER BY doc_id""".stripMargin,
     "jsonl_chunks_scan" ->
       """SELECT id AS doc_id, page_content AS text,
         |  metadata.source AS source, metadata.page AS page

@@ -234,4 +234,72 @@ object DocumentSources {
     spark.read.json(path)
       .select(col("id").cast("string").as("doc_id"), col("page_content").as("text"),
         col("metadata"))
+
+  /** WARC scan — one row per WARC record, every record type. The
+    * crawl-archive front door ([[WarcCodec]]): parsing is per FILE
+    * inside the binaryFile scan, so the work distributes with the
+    * files; `.warc` and `.warc.gz` (concatenated gzip members) both
+    * work. At crawl scale each WARC file is ~1 GB by convention, so
+    * file-granular parallelism is the natural partitioning — no
+    * in-file splitting needed.
+    *
+    * Columns: `warc_file` (file stem), `record_idx` (0-based position
+    * in the file — stable provenance), `record_type`, `target_uri`,
+    * `warc_date`, `record_id`, `http_status` (-1 for non-HTTP
+    * records), `content_type` (effective payload type: HTTP header for
+    * response records, WARC header otherwise), `content` (payload
+    * bytes — HTTP body for response records).
+    */
+  def readWarc(spark: SparkSession, pathGlob: String): DataFrame = {
+    val parse = udf((bytes: Array[Byte]) =>
+      WarcCodec.parseAll(bytes).map(r =>
+        (r.recordType, r.targetUri, r.warcDate, r.recordId,
+          r.contentType, r.httpStatus, r.body)))
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        regexp_extract(col("path"), "([^/]+?)(\\.warc)?(\\.gz)?$", 1).as("warc_file"),
+        posexplode(parse(col("content"))))
+      .select(
+        col("warc_file"),
+        col("pos").cast("long").as("record_idx"),
+        col("col._1").as("record_type"),
+        col("col._2").as("target_uri"),
+        col("col._3").as("warc_date"),
+        col("col._4").as("record_id"),
+        col("col._6").cast("long").as("http_status"),
+        col("col._5").as("content_type"),
+        col("col._7").as("content"))
+  }
+
+  /** WARC → documents: successful (2xx) HTTP `response` records plus
+    * `resource` records whose payload is text or HTML land on the
+    * standard `(doc_id, text, metadata)` loader shape. HTML payloads go
+    * through [[readHtml]]'s exact flattening rule (script/style
+    * stripped first, tags stripped, whitespace collapsed, entities NOT
+    * decoded); other `text/` payloads are whitespace-collapsed only. Other
+    * media types (images, PDFs, …) are out of this front door's scope —
+    * read them via [[readWarc]] and route the binary `content` to the
+    * matching codec ([[PdfCodec]], [[graft.ops.Multimodal]]).
+    */
+  def readWarcDocuments(spark: SparkSession, pathGlob: String): DataFrame = {
+    val records = readWarc(spark, pathGlob)
+      .filter((col("record_type") === "response" &&
+        col("http_status") >= 200 && col("http_status") < 300) ||
+        col("record_type") === "resource")
+      .filter(col("content_type").rlike("(?i)^(text/|application/xhtml)"))
+    val raw = records.withColumn("__raw", decode(col("content"), "UTF-8"))
+    val isHtml = col("content_type").rlike("(?i)^(text/html|application/xhtml)")
+    val flattened = when(isHtml,
+      regexp_replace(regexp_replace(col("__raw"),
+        "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
+        "<[^>]+>", " ")).otherwise(col("__raw"))
+    raw.select(
+      concat(col("warc_file"), lit("_r"), col("record_idx")).as("doc_id"),
+      trim(regexp_replace(flattened, "\\s+", " ")).as("text"),
+      map(
+        lit("url"), col("target_uri"),
+        lit("date"), col("warc_date"),
+        lit("content_type"), col("content_type")).as("metadata"))
+      .filter(length(col("text")) > 0)
+  }
 }

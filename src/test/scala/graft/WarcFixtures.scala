@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Deterministic WARC fixture generator for
+  * [[graft.sources.WarcCodec]] — byte-stable so the committed files
+  * under `fixtures/warc/` are asserted identical to the generator's
+  * output ([[MediaFixtures]] treatment; for the `.gz` fixture the JDK's
+  * GZIPOutputStream header carries no timestamp, so the member bytes
+  * are deterministic for a fixed JDK).
+  *
+  * Run `Test/runMain graft.GenWarcFixtures <dir>` to (re)write them.
+  *
+  * Bodies use LF-only line breaks (Content-Length framing doesn't care)
+  * so the oracle can restate them with `chr(10)`; the WARC/HTTP header
+  * machinery itself uses spec CRLF — except one gzip member whose HTTP
+  * headers are bare-LF on purpose (real crawls contain both).
+  */
+object WarcFixtures {
+
+  private def record(headers: Seq[(String, String)],
+                     block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.1\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    sb.toString.getBytes(UTF_8) ++ block ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def httpResponse(statusLine: String, contentType: String,
+                           body: Array[Byte], eol: String = "\r\n"): Array[Byte] =
+    (s"HTTP/1.1 $statusLine${eol}Content-Type: $contentType$eol" +
+      s"Content-Length: ${body.length}$eol$eol").getBytes(UTF_8) ++ body
+
+  // -- payloads the oracle restates as literals ------------------------
+  val WarcinfoBody = "software: graft-crawler/1.0\nformat: WARC File Format 1.1\n"
+  val RequestBody = "GET /index.html HTTP/1.1\nHost: example.com\n\n"
+  val HtmlBody = "<html><head><title>T</title>" +
+    "<script>var x = \"<h1>no</h1>\";</script></head>\n" +
+    "<body><h1>Crawl Doc</h1><p>First &amp; second.</p></body></html>"
+  val NotFoundBody = "<html><body>Not found</body></html>"
+  val ResourceBody = "Plain resource text.\nSecond line."
+  val FakePngBody = "FAKEPNGBYTES"
+  val GzTextBody = "gzip member one payload — naïve café ✓"
+  val GzHtmlBody = "<p>LF-header parsing</p> ok"
+
+  /** Plain `.warc`: 6 records covering warcinfo, request (bracketed
+    * URI + LWS continuation header), 200 HTML response, 404 response,
+    * text resource, and a 200 response with a non-text payload.
+    */
+  def sampleWarc: Array[Byte] = {
+    val r0 = record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2026-08-01T00:00:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+      "Content-Type" -> "application/warc-fields"),
+      WarcinfoBody.getBytes(UTF_8))
+    val r1 = record(Seq(
+      "WARC-Type" -> "request",
+      // WARC 1.0 writers wrap the URI in <>: the parser must strip them
+      "WARC-Target-URI" -> "<http://example.com/index.html>",
+      "WARC-Date" -> "2026-08-01T00:00:01Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+      // LWS continuation line: value folds with a single space
+      "WARC-Concurrent-To" -> "<urn:uuid:00000000-0000-0000-0000-000000000002>\r\n (folded)",
+      "Content-Type" -> "application/http; msgtype=request"),
+      RequestBody.getBytes(UTF_8))
+    val r2 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/index.html",
+      "WARC-Date" -> "2026-08-01T00:00:01Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000002>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "text/html; charset=UTF-8", HtmlBody.getBytes(UTF_8)))
+    val r3 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/missing",
+      "WARC-Date" -> "2026-08-01T00:00:02Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000003>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("404 Not Found", "text/html", NotFoundBody.getBytes(UTF_8)))
+    val r4 = record(Seq(
+      "WARC-Type" -> "resource",
+      "WARC-Target-URI" -> "http://example.com/readme.txt",
+      "WARC-Date" -> "2026-08-01T00:00:03Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000004>",
+      "Content-Type" -> "text/plain"),
+      ResourceBody.getBytes(UTF_8))
+    val r5 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/logo.png",
+      "WARC-Date" -> "2026-08-01T00:00:04Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000005>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "image/png", FakePngBody.getBytes(UTF_8)))
+    r0 ++ r1 ++ r2 ++ r3 ++ r4 ++ r5
+  }
+
+  /** `.warc.gz`: TWO gzip members (the spec's one-record-per-member
+    * layout), the second with bare-LF HTTP headers.
+    */
+  def sample2WarcGz: Array[Byte] = {
+    def gz(bytes: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(bytes); g.close()
+      bo.toByteArray
+    }
+    val m0 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.org/a",
+      "WARC-Date" -> "2026-08-02T10:00:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000010>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "text/plain; charset=utf-8", GzTextBody.getBytes(UTF_8)))
+    val m1 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.org/b",
+      "WARC-Date" -> "2026-08-02T10:00:01Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000011>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "text/html", GzHtmlBody.getBytes(UTF_8), eol = "\n"))
+    gz(m0) ++ gz(m1)
+  }
+
+  def all: Seq[(String, Array[Byte])] = Seq(
+    "sample.warc" -> sampleWarc,
+    "sample2.warc.gz" -> sample2WarcGz)
+}
+
+object GenWarcFixtures {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("fixtures/warc")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    WarcFixtures.all.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+      println(s"wrote $dir/$name (${bytes.length} bytes)")
+    }
+  }
+}

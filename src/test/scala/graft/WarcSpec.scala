@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DocumentSources, WarcCodec}
+
+/** Byte-level coverage of the WARC parser and its committed fixtures —
+  * the MediaSpec discipline: fixtures on disk must equal the generator's
+  * bytes, and the codec must land on the hand-computed parse.
+  */
+class WarcSpec extends AnyFunSuite {
+  import WarcFixtures._
+
+  test("committed warc fixtures are byte-identical to the generator") {
+    all.foreach { case (name, bytes) =>
+      val p = java.nio.file.Paths.get(s"/root/repo/fixtures/warc/$name")
+      assert(java.nio.file.Files.exists(p),
+        s"missing fixture $name — run Test/runMain graft.GenWarcFixtures fixtures/warc")
+      assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes),
+        s"fixture $name drifted from the generator")
+    }
+  }
+
+  test("plain warc: record framing, types, bracket-stripped URI, HTTP split") {
+    val rs = WarcCodec.parseAll(sampleWarc)
+    assert(rs.map(_.recordType) ==
+      Seq("warcinfo", "request", "response", "response", "resource", "response"))
+    // warcinfo: no HTTP parse, WARC-level content type, whole block as body
+    assert(rs(0).httpStatus == -1)
+    assert(rs(0).contentType == "application/warc-fields")
+    assert(new String(rs(0).body, "UTF-8") == WarcinfoBody)
+    assert(rs(0).targetUri == "")
+    // request: bracketed URI stripped; block kept whole (msgtype=request
+    // blocks are not HTTP responses)
+    assert(rs(1).targetUri == "http://example.com/index.html")
+    assert(rs(1).httpStatus == -1)
+    assert(new String(rs(1).body, "UTF-8") == RequestBody)
+    // 200 HTML response: status + HTTP Content-Type win, body = HTTP body
+    assert(rs(2).httpStatus == 200)
+    assert(rs(2).contentType == "text/html; charset=UTF-8")
+    assert(new String(rs(2).body, "UTF-8") == HtmlBody)
+    // 404 keeps its parse
+    assert(rs(3).httpStatus == 404)
+    assert(new String(rs(3).body, "UTF-8") == NotFoundBody)
+    // resource: WARC-level type, raw block
+    assert(rs(4).httpStatus == -1)
+    assert(rs(4).contentType == "text/plain")
+    assert(new String(rs(4).body, "UTF-8") == ResourceBody)
+    // non-text payload parses like any response
+    assert(rs(5).httpStatus == 200)
+    assert(rs(5).contentType == "image/png")
+    assert(new String(rs(5).body, "UTF-8") == FakePngBody)
+    // record ids surface
+    assert(rs(2).recordId == "<urn:uuid:00000000-0000-0000-0000-000000000002>")
+    assert(rs(2).warcDate == "2026-08-01T00:00:01Z")
+  }
+
+  test("gzip warc: concatenated members decompress; bare-LF HTTP headers parse") {
+    val rs = WarcCodec.parseAll(sample2WarcGz)
+    assert(rs.length == 2)
+    assert(rs(0).httpStatus == 200)
+    assert(rs(0).contentType == "text/plain; charset=utf-8")
+    assert(new String(rs(0).body, "UTF-8") == GzTextBody)
+    assert(rs(1).httpStatus == 200)
+    assert(rs(1).contentType == "text/html")
+    assert(new String(rs(1).body, "UTF-8") == GzHtmlBody)
+  }
+
+  test("framing is Content-Length driven: a body containing WARC/1.1 lines does not split") {
+    val tricky = "WARC/1.1\r\nWARC-Type: response\r\n\r\nnot a real record"
+    val rec = ("WARC/1.1\r\nWARC-Type: resource\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${tricky.getBytes("UTF-8").length}\r\n\r\n" +
+      tricky + "\r\n\r\n").getBytes("UTF-8")
+    val rs = WarcCodec.parseAll(rec)
+    assert(rs.length == 1)
+    assert(new String(rs.head.body, "UTF-8") == tricky)
+  }
+
+  test("truncated record (Content-Length overrun) raises loudly") {
+    val rec = ("WARC/1.1\r\nWARC-Type: resource\r\nContent-Length: 100\r\n\r\nshort")
+      .getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException](WarcCodec.parseAll(rec))
+    assert(e.getMessage.contains("overruns"))
+  }
+
+  test("missing Content-Length raises loudly") {
+    val rec = "WARC/1.1\r\nWARC-Type: resource\r\n\r\nbody".getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException](WarcCodec.parseAll(rec))
+    assert(e.getMessage.contains("Content-Length"))
+  }
+
+  test("readWarc lands one row per record with stable provenance") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = DocumentSources.readWarc(spark, "/root/repo/fixtures/warc/*")
+      .orderBy($"warc_file", $"record_idx")
+    val rows = df.select($"warc_file", $"record_idx", $"record_type",
+      $"http_status").as[(String, Long, String, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("sample", 0L, "warcinfo", -1L), ("sample", 1L, "request", -1L),
+      ("sample", 2L, "response", 200L), ("sample", 3L, "response", 404L),
+      ("sample", 4L, "resource", -1L), ("sample", 5L, "response", 200L),
+      ("sample2", 0L, "response", 200L), ("sample2", 1L, "response", 200L)))
+  }
+
+  test("readWarcDocuments: 2xx text/html records only, readHtml flattening") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = DocumentSources
+      .readWarcDocuments(spark, "/root/repo/fixtures/warc/*")
+      .orderBy($"doc_id")
+    val got = docs.select($"doc_id", $"text", $"metadata"("url"))
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("sample2_r0", "gzip member one payload — naïve café ✓", "https://example.org/a"),
+      ("sample2_r1", "LF-header parsing ok", "https://example.org/b"),
+      ("sample_r2", "T Crawl Doc First &amp; second.", "http://example.com/index.html"),
+      ("sample_r4", "Plain resource text. Second line.", "http://example.com/readme.txt")))
+  }
+}
