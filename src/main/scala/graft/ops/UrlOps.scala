@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL curation for crawl corpora — canonicalization, registered-domain
+  * extraction, and canonical-URL dedup keys. At crawl scale the URL is
+  * the first dedup/grouping key (a Common Crawl snapshot carries ~3 B
+  * fetches whose URL list alone is ~200 GB), so these are pure column
+  * expressions end to end: parse once with Spark's codegen'd
+  * `parse_url`, then array/string functions — no UDF, no per-row
+  * regex beyond what codegen compiles, fully pushdown/codegen-friendly.
+  *
+  * Canonical form (the common crawl-dedup normalization):
+  *   - scheme and host lowercased; userinfo dropped; fragment dropped;
+  *   - default ports dropped (`:80` for http, `:443` for https), other
+  *     ports kept;
+  *   - empty path becomes `/` (other paths byte-preserved — path case
+  *     is significant per RFC 3986);
+  *   - tracking parameters dropped (`utm_*` prefix plus the
+  *     [[UrlOps.TrackingParams]] set), remaining parameters sorted
+  *     byte-wise; an emptied query drops its `?`.
+  *
+  * Invalid URLs (no scheme/authority) canonicalize to null — filter or
+  * quarantine on that.
+  */
+object UrlOps {
+
+  /** Exact-name tracking parameters dropped by [[canonicalize]] (the
+    * `utm_` prefix family is dropped by prefix, on top of these).
+    */
+  val TrackingParams: Seq[String] = Seq(
+    "fbclid", "gclid", "msclkid", "dclid", "yclid", "twclid", "igshid",
+    "mc_cid", "mc_eid", "ref_src", "spm", "_hsenc", "_hsmi")
+
+  private def hostPort(url: Column): Column = {
+    // AUTHORITY = [userinfo@]host[:port]; drop userinfo, lowercase
+    val auth = try_parse_url(url, lit("AUTHORITY"))
+    lower(element_at(split(auth, "@"), -1))
+  }
+
+  /** Lowercased host (no port, no userinfo); null for invalid URLs. */
+  def host(url: Column): Column =
+    regexp_replace(hostPort(url), ":\\d+$", "")
+
+  /** The canonical URL per the object contract; null when the URL has
+    * no parseable scheme/authority.
+    */
+  def canonicalize(url: Column): Column = {
+    val proto = lower(try_parse_url(url, lit("PROTOCOL")))
+    val hp = hostPort(url)
+    val h = regexp_replace(hp, ":\\d+$", "")
+    val port = regexp_extract(hp, ":(\\d+)$", 1)
+    val keepPort = (port =!= "") &&
+      !((proto === "http" && port === "80") ||
+        (proto === "https" && port === "443"))
+    val rawPath = try_parse_url(url, lit("PATH"))
+    val path = when(rawPath.isNull || rawPath === "", "/").otherwise(rawPath)
+    val query = try_parse_url(url, lit("QUERY"))
+    val params = filter(split(query, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      (p =!= "") && !name.startsWith("utm_") &&
+        !name.isInCollection(TrackingParams)
+    })
+    val kept = array_join(array_sort(params), "&")
+    when(proto.isNull || h.isNull || h === "", lit(null).cast("string"))
+      .otherwise(concat(
+        proto, lit("://"), h,
+        when(keepPort, concat(lit(":"), port)).otherwise(""),
+        path,
+        when(query.isNotNull && size(params) > 0, concat(lit("?"), kept))
+          .otherwise("")))
+  }
+
+  /** Multi-part public suffixes the heuristic recognizes — a documented
+    * SUBSET of the Mozilla Public Suffix List covering the highest-
+    * traffic ccTLD second-level registries. A full PSL-backed variant
+    * is a drop-in: broadcast the list and swap the membership check.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.za", "org.za")
+
+  /** Registered domain (the "site" key for per-site quotas, crawl
+    * politeness buckets, and domain-level quality priors): the last two
+    * host labels, or three when the last two are a known multi-part
+    * public suffix. IP-literal hosts and single-label hosts pass
+    * through unchanged.
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val isIpv4 = hostCol.rlike("^(\\d{1,3}\\.){3}\\d{1,3}$")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(hostCol.isNull, lit(null).cast("string"))
+      .when(isIpv4 || n <= 2, hostCol)
+      .when(last2.isInCollection(MultiPartSuffixes), last3)
+      .otherwise(last2)
+  }
+}
