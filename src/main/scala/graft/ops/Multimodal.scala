@@ -80,9 +80,22 @@ object Multimodal {
         s"CodecDecoder handles audio|image, got $other — plug a codec for it")
     }
     def probe(kind: String, bytes: Array[Byte]): Map[String, String] = kind match {
+      case "audio" if graft.sources.Mp3Codec.looksLikeMp3(bytes) =>
+        // MPEG audio: STRUCTURAL probe from the frame-header walk —
+        // duration/rate/layout metadata without a sample decoder
+        // (features still need one; the seam stays for that)
+        val i = graft.sources.Mp3Codec.probe(bytes)
+        Map("format" -> "mp3", "version" -> i.version,
+          "layer" -> i.layer.toString,
+          "bitrate_kbps" -> i.bitrateKbps.toString,
+          "sample_rate" -> i.sampleRate.toString,
+          "channels" -> i.channels.toString,
+          "n_frames" -> i.frames.toString,
+          "duration_ms" -> i.durationMs.toString,
+          "vbr" -> i.vbr.toString)
       case "audio" =>
         val i = graft.sources.WavCodec.probe(bytes)
-        Map("channels" -> i.channels.toString,
+        Map("format" -> "wav", "channels" -> i.channels.toString,
           "sample_rate" -> i.sampleRate.toString,
           "bits" -> i.bitsPerSample.toString,
           "n_frames" -> i.nFrames.toString,
@@ -91,8 +104,16 @@ object Multimodal {
         val i = graft.sources.ImageCodec.probe(bytes)
         Map("width" -> i.width.toString, "height" -> i.height.toString,
           "format" -> i.format)
+      case "video" =>
+        // ISO BMFF: box-walk probe (brand/duration/track inventory)
+        val i = graft.sources.Mp4Codec.probe(bytes)
+        Map("format" -> "mp4", "brand" -> i.brand,
+          "duration_ms" -> i.durationMs.toString,
+          "n_tracks" -> i.tracks.length.toString,
+          "tracks" -> i.tracks.map(t =>
+            s"${t.handler}:${t.codec}:${t.durationMs}").mkString(","))
       case other => throw new IllegalArgumentException(
-        s"CodecDecoder handles audio|image, got $other")
+        s"CodecDecoder handles audio|image|video, got $other")
     }
   }
 

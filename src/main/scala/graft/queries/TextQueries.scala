@@ -1407,6 +1407,35 @@ object TextQueries {
         .orderBy($"media_id")
     }),
 
+    // MP3 frame-header walk + MP4 box walk over the committed
+    // fixtures/av files (deterministic generator, byte-asserted in
+    // AvSpec): duration/rate/layout/track-inventory metadata WITHOUT a
+    // sample decoder — the crawl-curation route/filter facts for
+    // audio/video payloads. The oracle pins every probe value as
+    // literals the engine must extract from the container bytes
+    // (synchsafe ID3 skip, VBR detection across frame headers, v0/v1
+    // 64-bit mvhd/mdhd, stsd sample-entry fourcc).
+    "av_container_probe" -> ((s, _) => {
+      import s.implicits._
+      val dec = graft.ops.Multimodal.CodecDecoder()
+      val probe = udf((kind: String, b: Array[Byte]) => dec.probe(kind, b))
+      s.read.format("binaryFile").load("/root/repo/fixtures/av/*")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          when($"path".endsWith(".mp4"), "video").otherwise("audio").as("kind"),
+          $"content")
+        .select($"media_id", probe($"kind", $"content").as("p"))
+        .select($"media_id",
+          element_at($"p", "format").as("format"),
+          element_at($"p", "duration_ms").cast("long").as("duration_ms"),
+          coalesce(element_at($"p", "sample_rate").cast("long"), lit(-1L)).as("sample_rate"),
+          coalesce(element_at($"p", "channels").cast("long"), lit(-1L)).as("channels"),
+          coalesce(element_at($"p", "bitrate_kbps").cast("long"), lit(-1L)).as("bitrate_kbps"),
+          coalesce(element_at($"p", "vbr"), lit("")).as("vbr"),
+          coalesce(element_at($"p", "brand"), lit("")).as("brand"),
+          coalesce(element_at($"p", "tracks"), lit("")).as("tracks"))
+        .orderBy($"media_id")
+    }),
+
     "multimodal_segment_invariants" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
@@ -2730,6 +2759,21 @@ object TextQueries {
         |  ('manual_p0', 'Hello, (graft) World!' || chr(10) || '50% off & more', 0::BIGINT),
         |  ('manual_p1', 'Spark extracts page two' || chr(10) || 'hex string', 1::BIGINT)
         |) t(doc_id, text, page) ORDER BY doc_id""".stripMargin,
+    "av_container_probe" ->
+      """SELECT * FROM (VALUES
+        |  ('cbr.mp3', 'mp3', 261::BIGINT, 44100::BIGINT, 2::BIGINT,
+        |   128::BIGINT, 'false', '', ''),
+        |  ('clip.mp4', 'mp4', 5000::BIGINT, -1::BIGINT, -1::BIGINT,
+        |   -1::BIGINT, '', 'isom', 'soun:mp4a:5000,vide:avc1:5000'),
+        |  ('clip2.mp4', 'mp4', 2000::BIGINT, -1::BIGINT, -1::BIGINT,
+        |   -1::BIGINT, '', 'mp42', 'vide:hvc1:2000'),
+        |  ('mono2.mp3', 'mp3', 208::BIGINT, 22050::BIGINT, 1::BIGINT,
+        |   64::BIGINT, 'false', '', ''),
+        |  ('vbr.mp3', 'mp3', 156::BIGINT, 44100::BIGINT, 2::BIGINT,
+        |   128::BIGINT, 'true', '', '')
+        |) t(media_id, format, duration_ms, sample_rate, channels,
+        |    bitrate_kbps, vbr, brand, tracks)
+        |ORDER BY media_id""".stripMargin,
     // segment count and byte totals recomputed independently from the
     // payload length; the contract bits are constant-truth
     "multimodal_segment_invariants" ->

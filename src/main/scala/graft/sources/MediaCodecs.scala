@@ -466,3 +466,212 @@ object ImageCodec {
   def dHash64(bytes: Array[Byte]): Long =
     LumaGrid.dHashFromGrid(gridLumaRect(bytes, 9, 8))
 }
+
+/** MPEG audio (MP3) frame-header walker — STRUCTURAL metadata without a
+  * decoder: an MPEG audio stream is a sequence of self-describing
+  * frames (11-bit sync, then version/layer/bitrate/samplerate/padding/
+  * channel-mode fields; ISO/IEC 11172-3 §2.4.1), so duration, rate,
+  * channel layout, frame count, and CBR/VBR detection fall out of
+  * walking headers alone. That is exactly the metadata a crawl
+  * curation pipeline filters on (drop sub-second clips, cap hours-long
+  * payloads, route mono vs stereo) — full sample decode stays behind
+  * the [[graft.ops.Multimodal.MediaDecoder]] seam.
+  *
+  * An ID3v2 tag prefix (synchsafe-sized) is skipped; the walk is
+  * Content-Length-strict per frame and stops at the first non-frame
+  * byte after ≥1 parsed frame (trailing tags/garbage tolerated,
+  * a corrupt FIRST frame raises loudly).
+  */
+object Mp3Codec {
+
+  /** @param version    "MPEG1" | "MPEG2" | "MPEG2.5"
+    * @param layer      1-3
+    * @param bitrateKbps first frame's bitrate (nominal rate for CBR)
+    * @param vbr        true when frames carry ≠ bitrate indices
+    */
+  final case class Mp3Info(version: String, layer: Int, bitrateKbps: Int,
+                           sampleRate: Int, channels: Int, frames: Int,
+                           durationMs: Long, vbr: Boolean)
+
+  // bitrate tables (kbps), index 1-14; 0 = free, 15 = invalid
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  /** Skip an ID3v2 tag if present: "ID3" + 2 version bytes + flags +
+    * 4-byte synchsafe size (7 bits/byte); bit 4 of flags adds a
+    * 10-byte footer.
+    */
+  private def skipId3v2(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      10 + size + (if ((b(5) & 0x10) != 0) 10 else 0)
+    } else 0
+
+  private final case class Frame(version: String, layer: Int, bitrate: Int,
+                                 sampleRate: Int, channels: Int,
+                                 samples: Int, lengthBytes: Int)
+
+  /** Parse one frame header at `o`; None when the 4 bytes there are not
+    * a valid header (bad sync / reserved fields / invalid indices).
+    */
+  private def frameAt(b: Array[Byte], o: Int): Option[Frame] = {
+    if (o + 4 > b.length) return None
+    if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return None
+    val verBits = (b(o + 1) >> 3) & 3
+    val layBits = (b(o + 1) >> 1) & 3
+    if (verBits == 1 || layBits == 0) return None
+    val version = verBits match {
+      case 3 => "MPEG1"; case 2 => "MPEG2"; case 0 => "MPEG2.5"
+    }
+    val layer = 4 - layBits // bits 11/10/01 = layers 1/2/3
+    val brIdx = (b(o + 2) >> 4) & 15
+    val srIdx = (b(o + 2) >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/invalid
+    val padding = (b(o + 2) >> 1) & 1
+    val channels = if (((b(o + 3) >> 6) & 3) == 3) 1 else 2
+    val sr = (version match {
+      case "MPEG1" => SrV1; case "MPEG2" => SrV2; case _ => SrV25
+    })(srIdx)
+    val br = 1000 * ((version, layer) match {
+      case ("MPEG1", 1) => BrV1L1(brIdx)
+      case ("MPEG1", 2) => BrV1L2(brIdx)
+      case ("MPEG1", 3) => BrV1L3(brIdx)
+      case (_, 1) => BrV2L1(brIdx)
+      case _ => BrV2L23(brIdx)
+    })
+    val (samples, len) = layer match {
+      case 1 => (384, (12 * br / sr + padding) * 4)
+      case 2 => (1152, 144 * br / sr + padding)
+      case 3 =>
+        if (version == "MPEG1") (1152, 144 * br / sr + padding)
+        else (576, 72 * br / sr + padding)
+    }
+    Some(Frame(version, layer, br / 1000, sr, channels, samples, len))
+  }
+
+  def probe(bytes: Array[Byte]): Mp3Info = {
+    var pos = skipId3v2(bytes)
+    val first = frameAt(bytes, pos).getOrElse(throw new IllegalArgumentException(
+      s"no MPEG audio frame header at offset $pos"))
+    var frames = 0
+    var samples = 0L
+    var vbr = false
+    var cur = Option(first)
+    while (cur.isDefined) {
+      val f = cur.get
+      require(f.sampleRate == first.sampleRate && f.version == first.version &&
+        f.layer == first.layer,
+        s"mid-stream format change at frame $frames — not an MPEG audio stream")
+      if (f.bitrate != first.bitrate) vbr = true
+      frames += 1
+      samples += f.samples
+      pos += f.lengthBytes
+      cur = if (pos < bytes.length) frameAt(bytes, pos) else None
+    }
+    Mp3Info(first.version, first.layer, first.bitrate, first.sampleRate,
+      first.channels, frames, samples * 1000L / first.sampleRate, vbr)
+  }
+
+  /** Magic sniff: ID3v2 prefix or a valid frame header at byte 0. */
+  def looksLikeMp3(bytes: Array[Byte]): Boolean =
+    (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
+      frameAt(bytes, 0).isDefined
+}
+
+/** ISO BMFF (MP4/MOV, ISO/IEC 14496-12) box walker — STRUCTURAL
+  * metadata without a decoder: the container is a tree of
+  * length-prefixed boxes, so brand, movie duration, and per-track
+  * handler/codec/duration come from walking `ftyp` and
+  * `moov/{mvhd, trak/{mdia/{mdhd,hdlr,minf/stbl/stsd}}}` — the
+  * route/filter facts for video/audio payloads at crawl scale. Sample
+  * decode stays behind the [[graft.ops.Multimodal.MediaDecoder]] seam.
+  */
+object Mp4Codec {
+
+  /** @param handler  `soun` / `vide` / other 4cc from `hdlr`
+    * @param codec    first `stsd` sample-entry 4cc (`mp4a`, `avc1`, …)
+    */
+  final case class Mp4Track(handler: String, codec: String, durationMs: Long)
+  final case class Mp4Info(brand: String, durationMs: Long,
+                           tracks: Seq[Mp4Track])
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def cc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (fourcc, bodyStart, boxEnd) for each box in [from, to). */
+  private def boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var pos = from
+    while (pos + 8 <= to) {
+      val size32 = be32(b, pos)
+      val name = cc(b, pos + 4)
+      val (size, hdr) =
+        if (size32 == 1 && pos + 16 <= to) (be64(b, pos + 8), 16)
+        else if (size32 == 0) ((to - pos).toLong, 8) // box runs to end
+        else (size32, 8)
+      require(size >= hdr && pos + size <= to,
+        s"mp4 box '$name' at $pos has bad size $size")
+      out += ((name, pos + hdr, pos + size.toInt))
+      pos += size.toInt
+    }
+    out.toSeq
+  }
+
+  private def find(bs: Seq[(String, Int, Int)], name: String): Option[(Int, Int)] =
+    bs.collectFirst { case (`name`, s, e) => (s, e) }
+
+  def probe(bytes: Array[Byte]): Mp4Info = {
+    val top = boxes(bytes, 0, bytes.length)
+    val brand = find(top, "ftyp").map { case (s, _) => cc(bytes, s) }
+      .getOrElse(throw new IllegalArgumentException("no ftyp box — not ISO BMFF"))
+    val (ms, me) = find(top, "moov").getOrElse(
+      throw new IllegalArgumentException("no moov box"))
+    val moov = boxes(bytes, ms, me)
+    val movieMs = find(moov, "mvhd").map { case (s, _) =>
+      val v = bytes(s) & 0xff
+      val (ts, dur) =
+        if (v == 1) (be32(bytes, s + 20), be64(bytes, s + 24))
+        else (be32(bytes, s + 12), be32(bytes, s + 16))
+      dur * 1000L / ts
+    }.getOrElse(throw new IllegalArgumentException("no mvhd box"))
+    val tracks = moov.collect { case ("trak", s, e) =>
+      val trak = boxes(bytes, s, e)
+      val (mds, mde) = find(trak, "mdia").getOrElse(
+        throw new IllegalArgumentException("trak without mdia"))
+      val mdia = boxes(bytes, mds, mde)
+      val durMs = find(mdia, "mdhd").map { case (hs, _) =>
+        val v = bytes(hs) & 0xff
+        val (ts, dur) =
+          if (v == 1) (be32(bytes, hs + 20), be64(bytes, hs + 24))
+          else (be32(bytes, hs + 12), be32(bytes, hs + 16))
+        dur * 1000L / ts
+      }.getOrElse(0L)
+      val handler = find(mdia, "hdlr")
+        .map { case (hs, _) => cc(bytes, hs + 8) }.getOrElse("????")
+      val codec = (for {
+        (ms2, me2) <- find(mdia, "minf")
+        (ss, se) <- find(boxes(bytes, ms2, me2), "stbl")
+        (ds, de) <- find(boxes(bytes, ss, se), "stsd")
+        if be32(bytes, ds + 4) > 0 && de >= ds + 16
+      } yield cc(bytes, ds + 12)).getOrElse("????")
+      Mp4Track(handler, codec, durMs)
+    }
+    Mp4Info(brand, movieMs, tracks)
+  }
+
+  /** Magic sniff: a well-formed ftyp box at byte 0. */
+  def looksLikeMp4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && cc(bytes, 4) == "ftyp"
+}
