@@ -1248,6 +1248,20 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // DOCX front door on the committed OOXML fixtures (zip + StAX over
+    // word/document.xml): run splits invisible, tab-STOP definitions
+    // ignored while in-run w:tab/w:br become chars, entity + character
+    // references decoded, the empty paragraph leaves an index gap,
+    // table-cell paragraphs included. Paragraphs pinned as literals.
+    "docx_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readDocx(s, "/root/repo/fixtures/docx/*.docx")
+        .select($"doc_id", $"text",
+          element_at($"metadata", "para").cast("long").as("para"))
+        .orderBy($"doc_id")
+    }),
+
     // S3 sections: ATX-heading markdown split over the committed
     // fixtures — preamble is section 0 at level 0, a '#' inside a ```
     // code fence must NOT open a section (the HTML script-tag rule,
@@ -2751,6 +2765,16 @@ object TextQueries {
         |  ('mixed', 2::BIGINT, 'Beta &lt;tag&gt;', 'Beta &lt;tag&gt; Beta body here.'),
         |  ('mixed', 3::BIGINT, 'Gamma', 'Gamma')
         |) t(doc_id, section_idx, header, text) ORDER BY doc_id, section_idx""".stripMargin,
+    "docx_extract" ->
+      """SELECT doc_id, text, para FROM (VALUES
+        |  ('manual_p0', 'Title of the doc', 0::BIGINT),
+        |  ('manual_p1', 'Bold and plain & entities <ok>', 1::BIGINT),
+        |  ('manual_p3', 'Col A' || chr(9) || 'Col B' || chr(10) || 'line two', 3::BIGINT),
+        |  ('manual_p4', 'Café résumé', 4::BIGINT),
+        |  ('manual_p5', 'cell one', 5::BIGINT),
+        |  ('manual_p6', 'cell two', 6::BIGINT),
+        |  ('report_p0', 'Quarterly report.', 0::BIGINT)
+        |) t(doc_id, text, para) ORDER BY doc_id""".stripMargin,
     "pdf_extract" ->
       """SELECT doc_id, text, page FROM (VALUES
         |  ('flate_p0', 'Compressed alpha alpha alpha alpha', 0::BIGINT),

@@ -235,6 +235,26 @@ object DocumentSources {
       .select(col("id").cast("string").as("doc_id"), col("page_content").as("text"),
         col("metadata"))
 
+  /** DOCX scan — one row per non-empty paragraph in document order
+    * ([[DocxCodec]]: JDK zip + StAX over `word/document.xml`; run
+    * splits invisible, tab/br as chars, entity refs decoded,
+    * table-cell paragraphs included). `doc_id` = `<stem>_p<paraIdx>`
+    * with the paragraph index as stable provenance (gaps mark dropped
+    * empty paragraphs — the [[readPdf]] page-row pattern). Parsing is
+    * per FILE inside the binaryFile scan.
+    */
+  def readDocx(spark: SparkSession, pathGlob: String): DataFrame = {
+    val ex = udf((b: Array[Byte]) => DocxCodec.extractParagraphs(b))
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("stem"),
+        explode(ex(col("content"))).as("p"))
+      .select(
+        concat(col("stem"), lit("_p"), col("p._1")).as("doc_id"),
+        col("p._2").as("text"),
+        map(lit("para"), col("p._1").cast("string")).as("metadata"))
+  }
+
   /** WARC scan — one row per WARC record, every record type. The
     * crawl-archive front door ([[WarcCodec]]): parsing is per FILE
     * inside the binaryFile scan, so the work distributes with the
