@@ -118,6 +118,58 @@ object Dedup {
     pairs
   }
 
+  /** Optimal LSH banding (b, r) for a target Jaccard threshold — the
+    * no-caller-folklore rule for [[minhashNearDupPairs]]'s `bands`
+    * knob, the [[Ivf.kForCorpus]] treatment for MinHash. Over the
+    * divisor pairs b·r = numHashes it minimizes the weighted collision
+    * error of the S-curve P(s) = 1 − (1 − sʳ)ᵇ:
+    * fpW·∫₀ᵗ P + fnW·∫ₜ¹ (1 − P)  (the datasketch/"Mining of Massive
+    * Datasets" §3.4 integral, 1024-point midpoint rule — exact enough
+    * that the argmin is stable: P is smooth and divisor pairs are few).
+    * False negatives are weighted 2× by default: a missed near-dup
+    * ships a duplicate into training, a false positive only costs one
+    * exact-verify row that the Jaccard filter then rejects.
+    *
+    * Pure driver-side arithmetic over ≤ d(numHashes) pairs —
+    * deterministic, no data scan. [[lshBandPlan]] is the human-facing
+    * diagnostic of the same S-curves (its inflection-closest "chosen"
+    * row usually agrees; this integral form is what
+    * [[minhashNearDupPairsAuto]] plugs in, because it prices the two
+    * error kinds instead of centering the curve).
+    */
+  def optimalBands(numHashes: Int, threshold: Double,
+                   fpWeight: Double = 1.0, fnWeight: Double = 2.0): Int = {
+    require(numHashes >= 2, s"numHashes=$numHashes")
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    def err(b: Int): Double = {
+      val r = numHashes / b
+      val steps = 1024
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    candidates.minBy(err)
+  }
+
+  /** [[minhashNearDupPairs]] with the banding chosen by
+    * [[optimalBands]] from the threshold — same plan, no hand-tuned
+    * `bands` argument to get wrong (a b too low for the threshold
+    * silently loses recall; too high floods the candidate join).
+    */
+  def minhashNearDupPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, n: Int = 3,
+                              numHashes: Int = 32): DataFrame =
+    minhashNearDupPairs(df, idCol, textCol, threshold, n, numHashes,
+      optimalBands(numHashes, threshold))
+
   /** Rarest-first prefix index over an exploded `(id, sz, shingle)`
     * shingle index: keeps each doc's first |d| − ⌈t·|d|⌉ + 1 shingles
     * under the (global docfreq asc, shingle) order, df=1-pruned. The

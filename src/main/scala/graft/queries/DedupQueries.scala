@@ -107,6 +107,18 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Auto-banded MinHash+LSH: bands chosen by the weighted-error
+    // integral (Dedup.optimalBands — at t=0.2, n=32 it picks b=16/r=2,
+    // a higher-recall curve than the hand default b=8/r=4). The oracle
+    // replays the FULL pipeline at the auto operating point (j // 2
+    // band keys), so the query is green only if the engine actually
+    // runs the banding the rule chose.
+    "dedup_minhash_auto" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDupPairsAuto(documents(s, d), "doc_id", "text", threshold = 0.2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Near-dup clustering: connected components over the exact jaccard
     // pairs (min-id canonical representative) — the keep-one-per-cluster
     // step that follows pair generation in a dedup pipeline.
@@ -504,6 +516,42 @@ object DedupQueries {
         |  SELECT doc_id, j // 4 AS band,
         |    string_agg(sig::VARCHAR, ',' ORDER BY j) AS bh
         |  FROM sigs GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(ga.sh, gb.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(ga.sh, gb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN g ga ON ga.doc_id = cand.id_a
+        |  JOIN g gb ON gb.doc_id = cand.id_b)
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_auto" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT j,
+        |    (1 + ('0x'||substr(md5('minhash-a:'||j::VARCHAR),1,16))::UBIGINT
+        |         % 2147483646)::BIGINT AS a,
+        |    (('0x'||substr(md5('minhash-b:'||j::VARCHAR),1,16))::UBIGINT
+        |         % 2147483647)::BIGINT AS b
+        |  FROM range(32) t(j)),
+        |x AS (
+        |  SELECT doc_id,
+        |    (('0x'||substr(md5(s),1,16))::UBIGINT % 2147483647)::BIGINT AS x
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM g WHERE len(sh) > 0)),
+        |sigs AS (
+        |  SELECT doc_id, j, min((a * x + b) % 2147483647) AS sig
+        |  FROM x CROSS JOIN p GROUP BY doc_id, j),
+        |bk AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    string_agg(sig::VARCHAR, ',' ORDER BY j) AS bh
+        |  FROM sigs GROUP BY doc_id, j // 2),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bk a JOIN bk b

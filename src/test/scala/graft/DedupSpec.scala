@@ -398,4 +398,39 @@ class DedupSpec extends AnyFunSuite {
     val gaps = plan.map(r => math.abs(r.getDouble(2) - 0.8))
     assert(math.abs(chosen.head.getDouble(2) - 0.8) == gaps.min)
   }
+
+  test("optimalBands: pinned optima, divisor contract, monotone in threshold") {
+    // independently recomputed values (1024-pt midpoint integral)
+    assert(Dedup.optimalBands(128, 0.9) == 8)
+    assert(Dedup.optimalBands(128, 0.5) == 32)
+    assert(Dedup.optimalBands(64, 0.8) == 8)
+    assert(Dedup.optimalBands(32, 0.2) == 16)
+    assert(Dedup.optimalBands(32, 0.9) == 2)
+    // the shipped default (numHashes=32, bands=8) IS the auto choice
+    // for mid thresholds
+    assert(Dedup.optimalBands(32, 0.5) == 8 && Dedup.optimalBands(32, 0.6) == 8)
+    for (n <- Seq(16, 32, 64, 128); t <- Seq(0.2, 0.5, 0.8)) {
+      val b = Dedup.optimalBands(n, t)
+      assert(n % b == 0, s"bands=$b must divide numHashes=$n")
+    }
+    // tighter thresholds need steeper curves: b non-increasing in t
+    val bs = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(Dedup.optimalBands(128, _))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b }, bs.toString)
+  }
+
+  test("minhashNearDupPairsAuto: auto banding never loses exact-verified recall vs hand default") {
+    val docs = Tables.documents(spark, sf).limit(400)
+    val auto = Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text", threshold = 0.2)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hand = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.2)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at t=0.2 the auto rule picks b=16 (r=2) — a higher-recall curve
+    // than the hand default b=8 (r=4); both verify exact Jaccard, so
+    // auto must dominate
+    assert(hand.subsetOf(auto), s"auto lost ${(hand -- auto).size} verified pairs")
+    // and every auto pair is a TRUE pair of the exact path
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact))
+  }
 }
