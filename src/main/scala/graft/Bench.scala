@@ -121,7 +121,8 @@ object Bench {
       "eval_bleu", "bpe_learn_merges", "funnel_conversion", "cohort_retention",
       "retrieval_eval_metrics", "bitext_mining_ivf", "unigram_em_vocab",
       "hard_negatives_ivf", "gazetteer_gate_pipeline", "t_closeness_report",
-      "audio_fingerprint_pairs")
+      "audio_fingerprint_pairs", "url_canonicalize", "domain_cap_sample",
+      "dedup_minhash_auto")
     val byName = results.map(r => r._1 -> r).toMap
     val hq = new StringBuilder
     headline.foreach { k =>
