@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Robots
+
+class RobotsSpec extends AnyFunSuite {
+
+  private val sample =
+    """# robots for example.com
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Crawl-delay: 2.5
+      |
+      |User-agent: *
+      |Disallow: /tmp/
+      |Disallow: /*.png$
+      |Allow: /tmp/shared
+      |Disallow:
+      |
+      |Sitemap: https://example.com/sitemap.xml
+      |Sitemap: https://example.com/sitemap2.xml
+      |""".stripMargin
+
+  test("parse: groups, rules, crawl-delay, sitemaps, comments, empty Disallow") {
+    val r = Robots.parse(sample)
+    assert(r.groups.length == 2)
+    assert(r.groups(0).agents == Seq("graftbot"))
+    assert(r.groups(0).rules == Seq(
+      Robots.Rule(allow = false, "/private/"), Robots.Rule(allow = true, "/private/ok/")))
+    assert(r.groups(0).crawlDelay.contains(2.5))
+    // the empty Disallow: line adds no rule
+    assert(r.groups(1).rules.length == 3)
+    assert(r.sitemaps == Seq("https://example.com/sitemap.xml",
+      "https://example.com/sitemap2.xml"))
+  }
+
+  test("group selection: longest agent token wins, * is the fallback, case-insensitive") {
+    val r = Robots.parse(
+      "User-agent: bot\nDisallow: /a\n\nUser-agent: graftbot\nDisallow: /b\n\nUser-agent: *\nDisallow: /c\n")
+    assert(!Robots.isAllowed(r, "GraftBot/1.0", "/b")) // longest match: graftbot
+    assert(Robots.isAllowed(r, "graftbot/1.0", "/a")) // bot group not selected
+    assert(Robots.isAllowed(r, "graftbot/1.0", "/c"))
+    assert(!Robots.isAllowed(r, "otherbot", "/c")) // falls back to *
+    assert(Robots.isAllowed(r, "otherbot", "/b"))
+  }
+
+  test("decision: longest pattern wins, Allow wins length ties, no match allows") {
+    val r = Robots.parse(sample)
+    assert(!Robots.isAllowed(r, "graftbot", "/private/x"))
+    assert(Robots.isAllowed(r, "graftbot", "/private/ok/x")) // longer Allow
+    assert(Robots.isAllowed(r, "graftbot", "/anything"))
+    // tie: Allow and Disallow same length → Allow wins
+    val tie = Robots.parse("User-agent: *\nDisallow: /dir/\nAllow: /dir*\n")
+    assert(Robots.isAllowed(tie, "x", "/dir/page"))
+  }
+
+  test("wildcards and $ anchors, including the backtracking shape") {
+    val r = Robots.parse(sample)
+    assert(!Robots.isAllowed(r, "otherbot", "/img/photo.png"))
+    assert(Robots.isAllowed(r, "otherbot", "/img/photo.png.html")) // $ anchored
+    assert(!Robots.isAllowed(r, "otherbot", "/tmp/x"))
+    assert(Robots.isAllowed(r, "otherbot", "/tmp/shared/x"))
+    // greedy-leftmost would miss this anchored match
+    val bt = Robots.parse("User-agent: *\nDisallow: /a*b$\n")
+    assert(!Robots.isAllowed(bt, "x", "/axbyb"))
+    assert(Robots.isAllowed(bt, "x", "/axbyc"))
+    // '*' alone blocks everything for the group
+    val all = Robots.parse("User-agent: *\nDisallow: *\n")
+    assert(!Robots.isAllowed(all, "x", "/"))
+  }
+
+  test("consecutive User-agent lines share one group; a later agent starts a new one") {
+    val r = Robots.parse(
+      "User-agent: a\nUser-agent: b\nDisallow: /x\n\nUser-agent: c\nDisallow: /y\n")
+    assert(r.groups.length == 2)
+    assert(r.groups(0).agents == Seq("a", "b"))
+    assert(!Robots.isAllowed(r, "b", "/x1"))
+    assert(Robots.isAllowed(r, "b", "/y1"))
+    assert(!Robots.isAllowed(r, "c", "/y1"))
+  }
+
+  test("gateUrls: per-host join, no-robots hosts allowed, crawl_delay surfaces") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val urls = Seq(
+      "https://example.com/private/x", "https://example.com/ok",
+      "https://EXAMPLE.com:443/img/a.png", // host normalization meets the join key
+      "https://other.org/anything").toDF("url")
+    val robots = Seq(("example.com", sample)).toDF("host", "body")
+    val out = Robots.gateUrls(urls, "url", robots, "host", "body", "graftbot")
+      .select($"url", $"allowed", $"crawl_delay").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.get(2))))).toMap
+    assert(out("https://example.com/private/x") == ((false, Some(2.5))))
+    assert(out("https://example.com/ok") == ((true, Some(2.5))))
+    // graftbot's group has no *.png rule — the * group does not apply
+    assert(out("https://EXAMPLE.com:443/img/a.png")._1)
+    assert(out("https://other.org/anything") == ((true, None)))
+  }
+
+  test("sitemap XML: urlset and sitemapindex, lastmod optional") {
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://a.com/1</loc><lastmod>2026-01-01</lastmod></url>
+        |<url><loc>https://a.com/2</loc></url>
+        |</urlset>""".stripMargin
+    assert(Robots.parseSitemap(urlset) ==
+      Seq(("https://a.com/1", "2026-01-01"), ("https://a.com/2", "")))
+    val index =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(Robots.parseSitemap(index) == Seq(("https://a.com/s1.xml", "")))
+  }
+}
