@@ -2680,7 +2680,13 @@ object TextQueries {
         |   'text/plain; charset=utf-8',
         |   'gzip member one payload — naïve café ✓'),
         |  ('sample2', 1, 'response', 'https://example.org/b', 200,
-        |   'text/html', '<p>LF-header parsing</p> ok'))
+        |   'text/html', '<p>LF-header parsing</p> ok'),
+        |  ('sample3', 0, 'response', 'https://example.org/chunked', 200,
+        |   'text/plain', 'Wikipedia in chunks.'),
+        |  ('sample3', 1, 'response', 'https://example.org/gzipped', 200,
+        |   'text/html', '<p>gzipped body</p>'),
+        |  ('sample3', 2, 'response', 'https://example.org/both', 200,
+        |   'text/plain', 'both encodings survive'))
         |SELECT warc_file, record_idx::BIGINT AS record_idx, record_type,
         |  target_uri, http_status::BIGINT AS http_status, content_type,
         |  octet_length(encode(body))::BIGINT AS body_len,
@@ -2692,6 +2698,12 @@ object TextQueries {
         |   'https://example.org/a', 'text/plain; charset=utf-8'),
         |  ('sample2_r1', 'LF-header parsing ok',
         |   'https://example.org/b', 'text/html'),
+        |  ('sample3_r0', 'Wikipedia in chunks.',
+        |   'https://example.org/chunked', 'text/plain'),
+        |  ('sample3_r1', 'gzipped body',
+        |   'https://example.org/gzipped', 'text/html'),
+        |  ('sample3_r2', 'both encodings survive',
+        |   'https://example.org/both', 'text/plain'),
         |  ('sample_r2', 'T Crawl Doc First &amp; second.',
         |   'http://example.com/index.html', 'text/html; charset=UTF-8'),
         |  ('sample_r4', 'Plain resource text. Second line.',

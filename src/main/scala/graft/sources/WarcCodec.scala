@@ -180,11 +180,21 @@ object WarcCodec {
   /** Split an HTTP response block into (status code, Content-Type,
     * body). Header/body boundary is the first empty line; both CRLF and
     * bare-LF line endings are accepted (real crawls contain both).
+    *
+    * Real crawls store the wire bytes, so the body is DECODED here:
+    * `Transfer-Encoding: chunked` framing is removed, then
+    * `Content-Encoding: gzip|x-gzip|deflate` is decompressed (raw and
+    * zlib-wrapped deflate both occur in the wild). Decoding is
+    * tolerant — a truncated/corrupt encoded body falls back to the
+    * raw bytes rather than sinking the whole WARC file (one bad record
+    * in a million must not kill a partition).
     */
   private def splitHttpResponse(block: Array[Byte]): (Int, String, Array[Byte]) = {
     var pos = 0
     var status = -1
     var contentType = ""
+    var contentEncoding = ""
+    var chunked = false
     var firstLine = true
     var done = false
     while (!done && pos < block.length) {
@@ -201,10 +211,74 @@ object WarcCodec {
           status = parts(1).toInt
       } else {
         val i = line.indexOf(':')
-        if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("content-type"))
-          contentType = line.substring(i + 1).trim
+        if (i > 0) {
+          val name = line.substring(0, i).trim.toLowerCase
+          val value = line.substring(i + 1).trim
+          if (name == "content-type") contentType = value
+          else if (name == "content-encoding") contentEncoding = value.toLowerCase
+          else if (name == "transfer-encoding")
+            chunked = value.toLowerCase.contains("chunked")
+        }
       }
     }
-    (status, contentType, java.util.Arrays.copyOfRange(block, pos, block.length))
+    var body = java.util.Arrays.copyOfRange(block, pos, block.length)
+    if (chunked) body = dechunk(body).getOrElse(body)
+    contentEncoding match {
+      case "gzip" | "x-gzip" => body = tryDecode(body, gunzipAll)
+      case "deflate" => body = tryDecode(body, inflate)
+      case _ =>
+    }
+    (status, contentType, body)
+  }
+
+  private def tryDecode(body: Array[Byte],
+                        f: Array[Byte] => Array[Byte]): Array[Byte] =
+    try f(body) catch { case _: Exception => body }
+
+  /** Remove HTTP/1.1 chunked framing: hex size line (optional
+    * extensions after ';'), chunk bytes, CRLF, …, 0-chunk, optional
+    * trailers. None on malformed framing (caller keeps raw bytes).
+    */
+  private def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    while (true) {
+      val eol = lineEnd(body, pos)
+      if (eol >= body.length && pos >= body.length) return None
+      val sizeLine = new String(body, pos, eol - pos,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      pos = skipEol(body, eol)
+      val hexStr = sizeLine.takeWhile(_ != ';').trim
+      if (hexStr.isEmpty || !hexStr.forall(c => Character.digit(c, 16) >= 0))
+        return None
+      val size = java.lang.Long.parseLong(hexStr, 16)
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (pos + size > body.length) return None
+      out.write(body, pos, size.toInt)
+      pos += size.toInt
+      pos = skipEol(body, lineEnd(body, pos)) // chunk-terminating CRLF
+    }
+    None // unreachable
+  }
+
+  /** Inflate a deflate body — zlib-wrapped first, raw-deflate fallback
+    * (servers send both under the same header).
+    */
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished())
+          throw new java.util.zip.DataFormatException("stuck inflate")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+    try run(false) catch { case _: Exception => run(true) }
   }
 }

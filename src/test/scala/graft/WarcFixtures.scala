@@ -95,16 +95,25 @@ object WarcFixtures {
     r0 ++ r1 ++ r2 ++ r3 ++ r4 ++ r5
   }
 
+  private def gz(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(bytes); g.close()
+    bo.toByteArray
+  }
+
+  /** HTTP/1.1 chunked framing over `body`, split at `at` bytes. */
+  private def chunk2(body: Array[Byte], at: Int): Array[Byte] = {
+    val (a, b) = body.splitAt(at)
+    (a.length.toHexString + "\r\n").getBytes(UTF_8) ++ a ++ "\r\n".getBytes(UTF_8) ++
+      (b.length.toHexString + ";ext=1\r\n").getBytes(UTF_8) ++ b ++ "\r\n".getBytes(UTF_8) ++
+      "0\r\n\r\n".getBytes(UTF_8)
+  }
+
   /** `.warc.gz`: TWO gzip members (the spec's one-record-per-member
     * layout), the second with bare-LF HTTP headers.
     */
   def sample2WarcGz: Array[Byte] = {
-    def gz(bytes: Array[Byte]): Array[Byte] = {
-      val bo = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bo)
-      g.write(bytes); g.close()
-      bo.toByteArray
-    }
     val m0 = record(Seq(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> "https://example.org/a",
@@ -122,9 +131,48 @@ object WarcFixtures {
     gz(m0) ++ gz(m1)
   }
 
+  val ChunkedBody = "Wikipedia in chunks."
+  val GzEncBody = "<p>gzipped body</p>"
+  val BothEncBody = "both encodings survive"
+
+  /** Wire-encoding coverage: real crawls store the HTTP wire bytes, so
+    * bodies arrive chunked, gzip-encoded, or both (chunked framing
+    * applied over the gzip stream, per RFC 9112 ordering).
+    */
+  def sample3Warc: Array[Byte] = {
+    def resp(extraHeaders: String, body: Array[Byte], ct: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n$extraHeaders" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    val r0 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.org/chunked",
+      "WARC-Date" -> "2026-08-03T00:00:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000020>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      resp("Transfer-Encoding: chunked\r\n",
+        chunk2(ChunkedBody.getBytes(UTF_8), 4), "text/plain"))
+    val r1 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.org/gzipped",
+      "WARC-Date" -> "2026-08-03T00:00:01Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000021>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      resp("Content-Encoding: gzip\r\n", gz(GzEncBody.getBytes(UTF_8)), "text/html"))
+    val r2 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.org/both",
+      "WARC-Date" -> "2026-08-03T00:00:02Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000022>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      resp("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunk2(gz(BothEncBody.getBytes(UTF_8)), 10), "text/plain"))
+    r0 ++ r1 ++ r2
+  }
+
   def all: Seq[(String, Array[Byte])] = Seq(
     "sample.warc" -> sampleWarc,
-    "sample2.warc.gz" -> sample2WarcGz)
+    "sample2.warc.gz" -> sample2WarcGz,
+    "sample3.warc" -> sample3Warc)
 }
 
 object GenWarcFixtures {

@@ -66,6 +66,33 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(rs(1).body, "UTF-8") == GzHtmlBody)
   }
 
+  test("HTTP wire decodings: chunked, gzip, chunked-over-gzip") {
+    val rs = WarcCodec.parseAll(sample3Warc)
+    assert(rs.map(_.httpStatus) == Seq(200, 200, 200))
+    assert(new String(rs(0).body, "UTF-8") == ChunkedBody)
+    assert(new String(rs(1).body, "UTF-8") == GzEncBody)
+    assert(new String(rs(2).body, "UTF-8") == BothEncBody)
+  }
+
+  test("corrupt encoded bodies fall back to raw bytes, never throw") {
+    val raw = "not actually gzip".getBytes("UTF-8")
+    val rec = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n").length + raw.length}\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n").getBytes("UTF-8") ++
+      raw ++ "\r\n\r\n".getBytes("UTF-8")
+    val rs = WarcCodec.parseAll(rec)
+    assert(rs.length == 1 && new String(rs.head.body, "UTF-8") == "not actually gzip")
+    // malformed chunk framing likewise keeps the raw bytes
+    val badChunk = "zz\r\nbody".getBytes("UTF-8")
+    val rec2 = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n").length + badChunk.length}\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n").getBytes("UTF-8") ++
+      badChunk ++ "\r\n\r\n".getBytes("UTF-8")
+    assert(new String(WarcCodec.parseAll(rec2).head.body, "UTF-8") == "zz\r\nbody")
+  }
+
   test("framing is Content-Length driven: a body containing WARC/1.1 lines does not split") {
     val tricky = "WARC/1.1\r\nWARC-Type: response\r\n\r\nnot a real record"
     val rec = ("WARC/1.1\r\nWARC-Type: resource\r\nContent-Type: text/plain\r\n" +
@@ -100,7 +127,9 @@ class WarcSpec extends AnyFunSuite {
       ("sample", 0L, "warcinfo", -1L), ("sample", 1L, "request", -1L),
       ("sample", 2L, "response", 200L), ("sample", 3L, "response", 404L),
       ("sample", 4L, "resource", -1L), ("sample", 5L, "response", 200L),
-      ("sample2", 0L, "response", 200L), ("sample2", 1L, "response", 200L)))
+      ("sample2", 0L, "response", 200L), ("sample2", 1L, "response", 200L),
+      ("sample3", 0L, "response", 200L), ("sample3", 1L, "response", 200L),
+      ("sample3", 2L, "response", 200L)))
   }
 
   test("readWarcDocuments: 2xx text/html records only, readHtml flattening") {
@@ -114,6 +143,9 @@ class WarcSpec extends AnyFunSuite {
     assert(got == Seq(
       ("sample2_r0", "gzip member one payload — naïve café ✓", "https://example.org/a"),
       ("sample2_r1", "LF-header parsing ok", "https://example.org/b"),
+      ("sample3_r0", "Wikipedia in chunks.", "https://example.org/chunked"),
+      ("sample3_r1", "gzipped body", "https://example.org/gzipped"),
+      ("sample3_r2", "both encodings survive", "https://example.org/both"),
       ("sample_r2", "T Crawl Doc First &amp; second.", "http://example.com/index.html"),
       ("sample_r4", "Plain resource text. Second line.", "http://example.com/readme.txt")))
   }
