@@ -1262,6 +1262,20 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // EPUB front door: OCF container → OPF spine (reading order, which
+    // the fixture REVERSES vs zip order) → XHTML flatten with script/
+    // style skipped and titles captured; manifest-only items (nav,
+    // images) never extract. Sections pinned as literals.
+    "epub_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readEpub(s, "/root/repo/fixtures/epub/*.epub")
+        .select($"doc_id", $"text",
+          element_at($"metadata", "title").as("title"),
+          element_at($"metadata", "href").as("href"))
+        .orderBy($"doc_id")
+    }),
+
     // S3 sections: ATX-heading markdown split over the committed
     // fixtures — preamble is section 0 at level 0, a '#' inside a ```
     // code fence must NOT open a section (the HTML script-tag rule,
@@ -2777,6 +2791,12 @@ object TextQueries {
         |  ('mixed', 2::BIGINT, 'Beta &lt;tag&gt;', 'Beta &lt;tag&gt; Beta body here.'),
         |  ('mixed', 3::BIGINT, 'Gamma', 'Gamma')
         |) t(doc_id, section_idx, header, text) ORDER BY doc_id, section_idx""".stripMargin,
+    "epub_extract" ->
+      """SELECT doc_id, text, title, href FROM (VALUES
+        |  ('book_s0', 'Two Second chapter comes first in the spine & proves order.',
+        |   'Chapter Two', 'text/chapter2.xhtml'),
+        |  ('book_s1', 'First chapter text.', 'Chapter One', 'text/chapter1.xhtml')
+        |) t(doc_id, text, title, href) ORDER BY doc_id""".stripMargin,
     "docx_extract" ->
       """SELECT doc_id, text, para FROM (VALUES
         |  ('manual_p0', 'Title of the doc', 0::BIGINT),

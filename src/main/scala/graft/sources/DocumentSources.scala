@@ -255,6 +255,27 @@ object DocumentSources {
         map(lit("para"), col("p._1").cast("string")).as("metadata"))
   }
 
+  /** EPUB scan — one row per SPINE content document in reading order
+    * ([[EpubCodec]]: OCF container → OPF manifest/spine → XHTML
+    * flatten; script/style skipped, title captured separately).
+    * `doc_id` = `<stem>_s<spineIdx>`. Note: XML parsing decodes
+    * entity references (`&amp;` → `&`), unlike the tag-regex
+    * [[readHtml]] path — XHTML is well-formed XML, so the parser is
+    * the contract here.
+    */
+  def readEpub(spark: SparkSession, pathGlob: String): DataFrame = {
+    val ex = udf((b: Array[Byte]) => EpubCodec.extractSections(b))
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("stem"),
+        explode(ex(col("content"))).as("s"))
+      .select(
+        concat(col("stem"), lit("_s"), col("s._1")).as("doc_id"),
+        col("s._4").as("text"),
+        map(lit("href"), col("s._2"), lit("title"), col("s._3")).as("metadata"))
+      .filter(length(col("text")) > 0)
+  }
+
   /** WARC scan — one row per WARC record, every record type. The
     * crawl-archive front door ([[WarcCodec]]): parsing is per FILE
     * inside the binaryFile scan, so the work distributes with the
