@@ -106,6 +106,44 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  /** Mojibake (UTF-8-read-as-Latin-1) detection score: telltale
+    * two-char sequences per 1000 chars. When UTF-8 bytes are decoded
+    * as ISO-8859-1/Windows-1252, every multibyte char becomes a lead
+    * byte seen as \u00C2/\u00C3/\u00E0-\u00EF followed by a
+    * continuation byte (0x80-0xBF) seen as a C1 control, a
+    * \u00A0-\u00BF symbol, or a cp1252 printable — sequences
+    * vanishingly rare in clean text of any language. Pure codegen'd
+    * regexp count, no UDF.
+    */
+  def mojibakeScore(text: Column): Column = {
+    val marker = "[\u00C2\u00C3\u00E0-\u00EF][\u0080-\u00BF\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u017E\u0178]"
+    when(length(text) > 0,
+      regexp_count(text, lit(marker)) * lit(1000.0) / length(text))
+      .otherwise(lit(0.0))
+  }
+
+  /** Windows-1252 codepoints for bytes 0x80-0x9F in byte order (the
+    * five undefined bytes keep their C1 control so the map stays 1:1).
+    */
+  private val Cp1252High: String = "\u20AC\u0081\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160\u2039\u0152\u008D\u017D\u008F\u0090\u2018\u2019\u201C\u201D\u2022\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u009D\u017E\u0178"
+  private val C1Controls: String = (0x80 to 0x9f).map(_.toChar).mkString
+
+  /** Repair double-encoded text: fold cp1252-lens printables back to
+    * their byte-value C1 controls (`translate`, 1:1), re-encode the
+    * chars as ISO-8859-1 bytes (a bijection on 0x00-0xFF) and decode
+    * those bytes as UTF-8 — the exact inverse of the corruption
+    * (UTF-8 bytes shown through a Latin-1 or cp1252 lens). Only
+    * applied where [[mojibakeScore]] flags the row (`threshold`
+    * per-mille): the repair is identity on ASCII but lossy on REAL
+    * Latin-1 content, so the gate is the contract, not a nicety.
+    * Codegen'd translate/encode/decode — no UDF.
+    */
+  def fixMojibake(text: Column, threshold: Double = 5.0): Column =
+    when(mojibakeScore(text) >= threshold,
+      decode(encode(translate(text, Cp1252High, C1Controls), "ISO-8859-1"),
+        "UTF-8"))
+      .otherwise(text)
+
   /** Blocklist ("bad words") document gate — the C4 cleaning rule
     * (Raffel et al. 2020 §2.2 drops any page containing a listed word)
     * plus the softer ratio gate successors use (drop only when listed

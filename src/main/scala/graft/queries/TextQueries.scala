@@ -1262,6 +1262,29 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Mojibake detect + repair round trip: half the docs are corrupted
+    // IN-PLAN by the exact real-world mechanism (UTF-8 bytes decoded as
+    // ISO-8859-1), then every row runs the detector and the gated
+    // repair. The oracle constructs the same pre-corruption originals
+    // — so the query is green only if the detector flags EXACTLY the
+    // corrupted half (no false positives on clean text carrying real
+    // accents) and the repair restores the original bytes while
+    // leaving clean rows untouched.
+    "mojibake_repair_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val orig = concat($"text", lit(" «café № 42 — ünïcödé ✓ fin "), id)
+      val corrupted = pmod(ascii(substring(id, -1, 1)), lit(2)) === 0
+      val moji = when(corrupted, decode(encode(orig, "UTF-8"), "ISO-8859-1"))
+        .otherwise(orig)
+      documents(s, d)
+        .select($"doc_id", corrupted.as("flagged"), moji.as("__moji"))
+        .select($"doc_id", $"flagged",
+          (graft.ops.TextAnalysis.mojibakeScore($"__moji") >= 5.0).as("detected"),
+          graft.ops.TextAnalysis.fixMojibake($"__moji").as("text"))
+        .orderBy($"doc_id")
+    }),
+
     // EPUB front door: OCF container → OPF spine (reading order, which
     // the fixture REVERSES vs zip order) → XHTML flatten with script/
     // style skipped and titles captured; manifest-only items (nav,
@@ -1355,6 +1378,31 @@ object TextQueries {
         .select($"doc_id", $"text",
           element_at($"metadata", "url").as("url"),
           element_at($"metadata", "content_type").as("content_type"))
+        .orderBy($"doc_id")
+    }),
+
+    // The crawl-curation composition end to end: WARC archive → extract
+    // (gzip members, wire decodings, HTML flatten) → robots.txt gate
+    // (per-host rules; /b$ anchored so /both survives while /b would
+    // not — prefix vs anchor semantics live in the pin) → canonical
+    // URL + token-count
+    // quality gate. Expected survivors pinned: the engine must parse
+    // the archive, decode the bodies, match the robots rules, and gate
+    // to land on exactly these three rows.
+    "warc_curation_pipeline" -> ((s, _) => {
+      import s.implicits._
+      val docs = graft.sources.DocumentSources
+        .readWarcDocuments(s, "/root/repo/fixtures/warc/*")
+        .select($"doc_id", $"text", element_at($"metadata", "url").as("url"))
+      val robots = Seq(
+        ("example.org", "User-agent: graftbot\nDisallow: /b$\nDisallow: /chunk*\n"),
+        ("example.com", "User-agent: *\nDisallow: /readme*\n")).toDF("host", "body")
+      graft.ops.Robots.gateUrls(docs, "url", robots, "host", "body", "graftbot")
+        .filter($"allowed")
+        .select($"doc_id",
+          graft.ops.UrlOps.canonicalize($"url").as("canonical"),
+          graft.ops.TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .filter($"n_tokens" >= 3)
         .orderBy($"doc_id")
     }),
 
@@ -2723,6 +2771,12 @@ object TextQueries {
         |  ('sample_r4', 'Plain resource text. Second line.',
         |   'http://example.com/readme.txt', 'text/plain')
         |) t(doc_id, text, url, content_type) ORDER BY doc_id""".stripMargin,
+    "warc_curation_pipeline" ->
+      """SELECT * FROM (VALUES
+        |  ('sample2_r0', 'https://example.org/a', 8::BIGINT),
+        |  ('sample3_r2', 'https://example.org/both', 3::BIGINT),
+        |  ('sample_r2', 'http://example.com/index.html', 6::BIGINT)
+        |) t(doc_id, canonical, n_tokens) ORDER BY doc_id""".stripMargin,
     "jsonl_chunks_scan" ->
       """SELECT id AS doc_id, page_content AS text,
         |  metadata.source AS source, metadata.page AS page
@@ -2791,6 +2845,14 @@ object TextQueries {
         |  ('mixed', 2::BIGINT, 'Beta &lt;tag&gt;', 'Beta &lt;tag&gt; Beta body here.'),
         |  ('mixed', 3::BIGINT, 'Gamma', 'Gamma')
         |) t(doc_id, section_idx, header, text) ORDER BY doc_id, section_idx""".stripMargin,
+    "mojibake_repair_roundtrip" ->
+      """SELECT doc_id, flagged, flagged AS detected,
+        |  orig AS text
+        |FROM (SELECT doc_id,
+        |        (ascii(right(doc_id::VARCHAR, 1)) % 2 = 0) AS flagged,
+        |        text || ' «café № 42 — ünïcödé ✓ fin ' || doc_id AS orig
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "epub_extract" ->
       """SELECT doc_id, text, title, href FROM (VALUES
         |  ('book_s0', 'Two Second chapter comes first in the spine & proves order.',
