@@ -132,17 +132,31 @@ object TextAnalysis {
     * their byte-value C1 controls (`translate`, 1:1), re-encode the
     * chars as ISO-8859-1 bytes (a bijection on 0x00-0xFF) and decode
     * those bytes as UTF-8 — the exact inverse of the corruption
-    * (UTF-8 bytes shown through a Latin-1 or cp1252 lens). Only
-    * applied where [[mojibakeScore]] flags the row (`threshold`
-    * per-mille): the repair is identity on ASCII but lossy on REAL
-    * Latin-1 content, so the gate is the contract, not a nicety.
-    * Codegen'd translate/encode/decode — no UDF.
+    * (UTF-8 bytes shown through a Latin-1 or cp1252 lens).
+    *
+    * Three guards make the rewrite total (it never throws, whatever
+    * the corpus contains — Spark 4's encode/decode are strict):
+    *  1. [[mojibakeScore]] ≥ `threshold`: the repair is identity on
+    *     ASCII but lossy on REAL Latin-1 content, so the gate is the
+    *     contract, not a nicety;
+    *  2. after the fold every char must be ≤ U+00FF (a decoder that
+    *     already destroyed undefined cp1252 bytes leaves U+FFFD —
+    *     those rows are unrepairable and pass through);
+    *  3. the recovered bytes must be valid UTF-8 (a high score that
+    *     is NOT double-encoding, e.g. genuinely Latin-1-heavy noise,
+    *     must not die in the decode).
+    * All codegen'd (translate/rlike/encode/is_valid_utf8/decode, with
+    * CaseWhen/And short-circuiting keeping the strict calls inside
+    * their guards) — no UDF.
     */
-  def fixMojibake(text: Column, threshold: Double = 5.0): Column =
-    when(mojibakeScore(text) >= threshold,
-      decode(encode(translate(text, Cp1252High, C1Controls), "ISO-8859-1"),
-        "UTF-8"))
+  def fixMojibake(text: Column, threshold: Double = 5.0): Column = {
+    val folded = translate(text, Cp1252High, C1Controls)
+    val bytes = encode(folded, "ISO-8859-1")
+    when(mojibakeScore(text) >= threshold &&
+        !folded.rlike("[^\\x00-\\xFF]") && is_valid_utf8(bytes),
+      decode(bytes, "UTF-8"))
       .otherwise(text)
+  }
 
   /** Blocklist ("bad words") document gate — the C4 cleaning rule
     * (Raffel et al. 2020 §2.2 drops any page containing a listed word)
