@@ -322,8 +322,33 @@ object DocumentSources {
     * read them via [[readWarc]] and route the binary `content` to the
     * matching codec ([[PdfCodec]], [[graft.ops.Multimodal]]).
     */
-  def readWarcDocuments(spark: SparkSession, pathGlob: String): DataFrame = {
-    val records = readWarc(spark, pathGlob)
+  def readWarcDocuments(spark: SparkSession, pathGlob: String): DataFrame =
+    warcDocumentsFromBinary(spark.read.format("binaryFile").load(pathGlob))
+
+  /** The WARC→documents transform over any `(path, content)` relation —
+    * shared by the batch front door and the streaming drop-directory
+    * ingest ([[graft.streaming.IncrementalIngest.startWarcIngest]]):
+    * the SAME plan runs per micro-batch, so stream ≡ batch by
+    * construction.
+    */
+  def warcDocumentsFromBinary(binary: DataFrame): DataFrame = {
+    val parse = udf((bytes: Array[Byte]) =>
+      WarcCodec.parseAll(bytes).map(r =>
+        (r.recordType, r.targetUri, r.warcDate, r.recordId,
+          r.contentType, r.httpStatus, r.body)))
+    val records = binary
+      .select(
+        regexp_extract(col("path"), "([^/]+?)(\\.warc)?(\\.gz)?$", 1).as("warc_file"),
+        posexplode(parse(col("content"))))
+      .select(
+        col("warc_file"),
+        col("pos").cast("long").as("record_idx"),
+        col("col._1").as("record_type"),
+        col("col._2").as("target_uri"),
+        col("col._3").as("warc_date"),
+        col("col._6").cast("long").as("http_status"),
+        col("col._5").as("content_type"),
+        col("col._7").as("content"))
       .filter((col("record_type") === "response" &&
         col("http_status") >= 200 && col("http_status") < 300) ||
         col("record_type") === "resource")

@@ -41,6 +41,33 @@ object IncrementalIngest {
       .start()
   }
 
+  /** Streaming WARC ingest: watch a crawl drop directory for arriving
+    * `.warc` / `.warc.gz` files (the shape crawlers actually deliver —
+    * one ~1 GB archive at a time), extract documents with the SAME
+    * transform as the batch front door
+    * ([[graft.sources.DocumentSources.warcDocumentsFromBinary]] — so
+    * stream ≡ batch by construction), and merge each micro-batch into
+    * the versioned store through the dedup anti-join. File-granular
+    * micro-batches: an archive is parsed exactly once, and the store's
+    * manifest publishes complete batch boundaries.
+    */
+  def startWarcIngest(spark: SparkSession, inputDir: String, storePath: String,
+                      embedder: Embedder, chunkSize: Int, chunkOverlap: Int,
+                      checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    spark.readStream.format("binaryFile").schema(schema).load(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = graft.sources.DocumentSources.warcDocumentsFromBinary(batch)
+        mergeBatch(docs, storePath, embedder, chunkSize, chunkOverlap)
+      }
+      .start()
+  }
+
   /** Data-contract gate per micro-batch: every arriving batch is
     * validated against `rules` ([[graft.ops.Validate]] — the same
     * single-scan fold the batch gate uses); a CLEAN batch flows to

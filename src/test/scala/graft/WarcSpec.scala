@@ -132,6 +132,38 @@ class WarcSpec extends AnyFunSuite {
       ("sample3", 2L, "response", 200L)))
   }
 
+  test("streaming WARC ingest: drop-directory archives merge into the store, stream ≡ batch") {
+    val spark = TestSpark.spark
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("warc-in").toString
+    val store = Files.createTempDirectory("warc-store").toString + "/t"
+    val ckpt = Files.createTempDirectory("warc-ckpt").toString
+    val emb = graft.embed.HashEmbedder(16)
+    val q = graft.streaming.IncrementalIngest.startWarcIngest(
+      spark, in, store, emb, 64, 0, ckpt)
+    try {
+      // batch 1: the plain archive arrives
+      Files.write(java.nio.file.Paths.get(in, "sample.warc"), sampleWarc)
+      q.processAllAvailable()
+      val n1 = graft.ops.VersionedStore.read(spark, store).get.count()
+      assert(n1 > 0)
+      // batch 2: the gz archive + a RE-DELIVERED copy of batch 1's
+      // archive (crawlers re-deliver on retry; content dedup holds)
+      Files.write(java.nio.file.Paths.get(in, "sample2.warc.gz"), sample2WarcGz)
+      Files.write(java.nio.file.Paths.get(in, "resend.warc"), sampleWarc)
+      q.processAllAvailable()
+      val got = graft.ops.VersionedStore.read(spark, store).get
+        .select("text").collect().map(_.getString(0)).toSet
+      // ≡ batch: the same chunks the batch front door + splitter produce
+      val batchDocs = graft.sources.DocumentSources.readWarcDocuments(
+        spark, s"$in/*")
+      val expected = graft.ops.Split.chunkDocs(batchDocs, "doc_id", "text",
+          t => graft.ops.Split.recursive(t, 64, 0))
+        .select("chunk_text").collect().map(_.getString(0)).toSet
+      assert(got == expected, "streamed store content must equal the batch extraction")
+    } finally q.stop()
+  }
+
   test("readWarcDocuments: 2xx text/html records only, readHtml flattening") {
     val spark = TestSpark.spark
     import spark.implicits._
