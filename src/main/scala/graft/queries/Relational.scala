@@ -265,6 +265,39 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // Sitemap coverage audit: the publisher's sitemap (parsed from XML
+    // by ops.Robots.parseSitemap — bounded, ≤50k URLs per file by the
+    // sitemap spec) anti-joined against what the crawl actually
+    // fetched. The sitemap lists every even-numbered doc URL plus a
+    // '/missing/' page per thousand-block that the crawl never saw;
+    // the crawl holds every doc URL. Expected: every '/missing/' URL
+    // uncrawled, everything else covered.
+    "sitemap_coverage" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val docs = documents(s, d).select($"doc_id",
+        concat(lit("https://example.com/item/"), id).as("url"))
+      // input synthesis (not the operator): the sitemap FILE a
+      // publisher would serve, built from the corpus ids — the collect
+      // is bounded by |documents| and exists only to write the XML
+      val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+      val sitemapXml = {
+        val urls = ids.filter(_ % 2 == 0).map(i =>
+          s"<url><loc>https://example.com/item/$i</loc><lastmod>2026-08-01</lastmod></url>") ++
+          ids.map(_ / 1000).distinct.sorted.map(b =>
+            s"<url><loc>https://example.com/missing/$b</loc></url>")
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |${urls.mkString("\n")}
+           |</urlset>""".stripMargin
+      }
+      val sitemap = graft.ops.Robots.parseSitemap(sitemapXml)
+        .toDF("url", "lastmod")
+      sitemap.join(docs.select($"url"), Seq("url"), "left_anti")
+        .select($"url", $"lastmod")
+        .orderBy($"url")
+    }),
+
     // Per-domain cap — the crawl-diversity quota (no single site may
     // dominate the corpus): registeredDomain over the canonical URL
     // becomes the stratum, Sampling.stratifiedQuota keeps the md5-
@@ -952,6 +985,11 @@ object Relational {
         |  SELECT 'https://example.com/item/' || doc_id || '?page=2', 4
         |  FROM documents)
         |GROUP BY canonical ORDER BY canonical""".stripMargin,
+    "sitemap_coverage" ->
+      """SELECT 'https://example.com/missing/' || b::VARCHAR AS url,
+        |  '' AS lastmod
+        |FROM (SELECT DISTINCT doc_id // 1000 AS b FROM documents)
+        |ORDER BY url""".stripMargin,
     "robots_gate_urls" ->
       """SELECT doc_id,
         |  CASE v

@@ -352,6 +352,33 @@ object VectorSearch {
         .orderBy($"query_id", $"rank")
     }),
 
+    // The WHOLE serving ladder behind one front door, oracle-checked:
+    // a store is built up in place to its final composed layout
+    // (append → SQ8 quantize → IVF index → residual PQ), and
+    // VectorServe.searchBatch dispatches from the store's own sidecars
+    // (Route.IvfPq here — coarse PQ-LUT cut over probed cells, exact
+    // float rescore). At full probe with a corpus-covering overfetch
+    // the ladder MUST equal the exact batch join, so it shares the
+    // exact-knn oracle; any sidecar mis-dispatch, LUT error, or
+    // dropped-candidate bug breaks the hash.
+    "vectorserve_batch_ladder" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-serve-q").toString + "/store"
+      graft.ops.VersionedStore.append(s, table,
+        e.filter($"vec_id" >= 10).select($"vec_id".as("id"), $"embedding"))
+      graft.ops.Quantize.quantizeStore(s, table, "embedding")
+      graft.ops.Ivf.indexStore(s, table, "id", "embedding", k = 4): Unit
+      graft.ops.Pq.pqStore(s, table, "embedding", m = 8, ncent = 16): Unit
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+      graft.ops.VectorServe.searchBatch(s, table, "id", "embedding",
+          q, "query_id", "embedding", k = 4, nProbe = 4, overfetch = 200)
+        .select($"query_id", $"rank".cast("long").as("rank"),
+          $"id".as("vec_id"), round($"score", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // The full RAG retrieval shape in one oracle-checked query: V2 top-k
     // over embeddings → J3 lookup join to documents (vec_id ≡ doc_id in
     // the test data) → A9 rank-ordered context concatenation
@@ -928,6 +955,15 @@ object VectorSearch {
         |  FROM embeddings e WHERE e.vec_id <> 0)
         |WHERE s >= 0.15 ORDER BY vec_id""".stripMargin,
     // full probe ≡ exhaustive batch join, so the oracle is identical
+    "vectorserve_batch_ladder" ->
+      """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rank <= 4 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_batch_probe" ->
       """SELECT query_id, rank, vec_id, round(s, 6) AS sim FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
