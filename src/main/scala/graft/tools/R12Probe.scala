@@ -83,6 +83,26 @@ object R12Probe {
     println(f"url canonicalize: $c1%d rows in $u1%.3f s; 16x = $c16%d rows in " +
       f"$u16%.3f s — wall ratio ${u16 / u1}%.2f (≤16 = at-or-better than linear)")
 
+    // ---- 3. robots gate: 16x URLs against a 200-host robots table ---
+    val hosts = (0 until 200).map(h => (s"site$h.example.com",
+      s"User-agent: graftbot\nDisallow: /private/\nAllow: /private/ok/\n" +
+        s"Disallow: /*.png$$\nCrawl-delay: ${h % 9}\n"))
+    val robotsDf = hosts.toDF("host", "body").localCheckpoint()
+    def gateCount(df: org.apache.spark.sql.DataFrame): Long = {
+      val id = $"doc_id".cast("string")
+      val url = concat(lit("https://site"), pmod($"doc_id", lit(200)),
+        lit(".example.com/private/"), id)
+      graft.ops.Robots.gateUrls(df.select($"doc_id", url.as("url")),
+          "url", robotsDf, "host", "body", "graftbot")
+        .filter(!$"allowed").count()
+    }
+    gateCount(docs1) // warm
+    val (g1, r1) = time(gateCount(docs1))
+    val (g16, r16) = time(gateCount(docs16))
+    println(f"robots gate: $g1%d blocked of ${5000} in $r1%.3f s; 16x = $g16%d " +
+      f"blocked in $r16%.3f s — wall ratio ${r16 / r1}%.2f (≤16 = at-or-better " +
+      "than linear; per-host parse amortized by the executor cache)")
+
     spark.stop()
   }
 }
