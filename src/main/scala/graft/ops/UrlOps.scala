@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * extraction, and canonical-URL dedup keys. At crawl scale the URL is
   * the first dedup/grouping key (a Common Crawl snapshot carries ~3 B
   * fetches whose URL list alone is ~200 GB), so these are pure column
-  * expressions end to end: parse once with Spark's codegen'd
-  * `parse_url`, then array/string functions — no UDF, no per-row
-  * regex beyond what codegen compiles, fully pushdown/codegen-friendly.
+  * expressions end to end: parse once with `try_parse_url`, then
+  * array/string functions — no UDF, no shuffle, one projection. The
+  * query-param filter/sort are Spark higher-order functions
+  * (interpreted lambdas) over ≤ param-count elements — negligible next
+  * to the URL parse itself, and measured flat at 16× rows (SCALE.md
+  * round 12).
   *
   * Canonical form (the common crawl-dedup normalization):
   *   - scheme and host lowercased; userinfo dropped; fragment dropped;

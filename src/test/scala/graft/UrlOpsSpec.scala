@@ -52,6 +52,22 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(regdom("localhost") == Seq("localhost"))
   }
 
+  test("canonicalize + registeredDomain are pure expressions — no UDF in the plan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(
+      concat(lit("https://Example.com/x/"), col("id"),
+        lit("?utm_source=a&b=1#f")).as("url"))
+    val plan = df.select(UrlOps.canonicalize(col("url")).as("c"),
+        UrlOps.registeredDomain(UrlOps.host(col("url"))).as("d"))
+      .queryExecution.executedPlan.toString
+    // one stage, one projection, no UDF/Python nodes; the param
+    // filter/sort lambdas are Spark HOFs (CodegenFallback) over
+    // ≤ param-count elements — measured flat at 16x in R12Probe
+    assert(!plan.toLowerCase.contains("udf"),
+      s"URL ops must remain pure expressions; plan:\n$plan")
+    assert(!plan.contains("Exchange"), "canonicalization must not shuffle")
+  }
+
   test("host extraction strips port and userinfo, lowercases") {
     val h = Seq("https://User@WWW.Example.COM:8443/x")
       .toDF("url").select(UrlOps.host(col("url"))).as[String].collect()
