@@ -13,18 +13,28 @@ import org.apache.spark.sql.functions._
   *   - groups of `User-agent` lines share the following Allow/Disallow
   *     rules; group selection picks the LONGEST agent token that is a
   *     case-insensitive substring-prefix match of the product token,
-  *     falling back to `*`;
-  *   - rule matching is on the percent-decoded path + query; `*`
-  *     wildcards, `$` end-anchor; the MOST SPECIFIC (longest-pattern)
-  *     match wins, Allow winning length ties; no match ⇒ allowed;
+  *     falling back to `*`; any non-user-agent directive ends an
+  *     agent run (so `User-agent: a / Sitemap: x / User-agent: b`
+  *     starts a NEW group at `b` — Google's parser convention);
+  *   - rule matching is PERCENT-ENCODING-NORMALIZED on both sides
+  *     ([[Robots.normalizePercent]]: existing `%XY` escapes uppercase,
+  *     non-ASCII characters percent-encoded from their UTF-8 bytes, a
+  *     bare `%` escaped — so `Disallow: /café` matches the fetched
+  *     `/caf%C3%A9` and vice versa); `*` wildcards, `$` end-anchor;
+  *     the MOST SPECIFIC (longest-pattern) match wins, Allow winning
+  *     length ties; no match ⇒ allowed;
   *   - an empty `Disallow:` value disallows nothing; unknown
   *     directives are ignored; `#` starts a comment.
   *
   * The parse is a bounded per-host kernel (robots.txt is capped at
-  * 500 KiB by the RFC); the gate is a broadcast-or-shuffle equi-join
-  * of URLs to their host's parsed rules and a per-row match over the
-  * selected group's rules — O(urls × rules-per-host), never
-  * O(urls × hosts).
+  * 500 KiB by the RFC). The gate PRE-REDUCES the robots table to
+  * compact per-(host, selected-group) rule structs BEFORE the URL
+  * join ([[Robots.compileForAgent]]): the build side carries ~1 KB of
+  * rules per host instead of up-to-500-KB bodies, so it stays
+  * broadcastable to ~millions of hosts — and when it does outgrow a
+  * broadcast, the shuffle moves rule structs, not bodies, and AQE's
+  * skew-join split handles the one-mega-host key. The per-row decision
+  * is O(rules-in-selected-group), never O(urls × hosts).
   */
 object Robots {
 
@@ -67,15 +77,20 @@ object Robots {
             inAgentRun = true
           case "allow" =>
             inAgentRun = false
-            if (agents.nonEmpty && value.nonEmpty) rules += Rule(allow = true, value)
+            if (agents.nonEmpty && value.nonEmpty)
+              rules += Rule(allow = true, normalizePercent(value))
           case "disallow" =>
             inAgentRun = false
             // empty Disallow: disallows nothing (explicit allow-all)
-            if (agents.nonEmpty && value.nonEmpty) rules += Rule(allow = false, value)
+            if (agents.nonEmpty && value.nonEmpty)
+              rules += Rule(allow = false, normalizePercent(value))
           case "crawl-delay" =>
             inAgentRun = false
             if (agents.nonEmpty) delay = value.toDoubleOption
           case "sitemap" =>
+            // a sitemap line ends an agent run like any other directive
+            // (Google's parser: only consecutive user-agent lines merge)
+            inAgentRun = false
             if (value.nonEmpty) sitemaps += value
           case _ => inAgentRun = false // unknown directive: ignored
         }
@@ -83,6 +98,40 @@ object Robots {
     }
     flush()
     RobotsRules(groups.toSeq, sitemaps.toSeq)
+  }
+
+  private def isHexDigit(c: Char): Boolean = Character.digit(c, 16) >= 0
+
+  /** Percent-encoding normalization applied identically to rule
+    * patterns (at parse) and URL path+query (at match): valid `%XY`
+    * escapes keep their bytes with uppercase hex, non-ASCII characters
+    * are percent-encoded from their UTF-8 bytes, and a bare `%` (not
+    * followed by two hex digits) becomes `%25`. ASCII — including the
+    * `*` and `$` rule metacharacters — passes through, so the
+    * normalized form is still a rule pattern.
+    */
+  private[ops] def normalizePercent(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 < s.length && isHexDigit(s.charAt(i + 1)) &&
+            isHexDigit(s.charAt(i + 2))) {
+          sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+            .append(Character.toUpperCase(s.charAt(i + 2)))
+          i += 3
+        } else { sb.append("%25"); i += 1 }
+      } else if (c < 0x80) { sb.append(c); i += 1 }
+      else {
+        val cp = s.codePointAt(i)
+        new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+        i += Character.charCount(cp)
+      }
+    }
+    sb.toString
   }
 
   // per-JVM (executor-lifetime) caches: robots bodies repeat per host
@@ -138,22 +187,83 @@ object Robots {
     else rules.groups.find(_.agents.contains("*"))
   }
 
+  /** Longest-match Allow/Disallow decision over one group's rules
+    * (patterns already percent-normalized at parse; `pathQuery` raw).
+    */
+  private def decideRules(patterns: IndexedSeq[String],
+                          allows: IndexedSeq[Boolean],
+                          pathQuery: String): Boolean = {
+    val pq = normalizePercent(pathQuery)
+    var best = -1
+    var allowed = true
+    var i = 0
+    while (i < patterns.length) {
+      if (patternMatches(patterns(i), pq)) {
+        val len = patterns(i).length
+        // most specific wins; Allow wins length ties
+        if (len > best) { best = len; allowed = allows(i) }
+        else if (len == best && allows(i)) allowed = true
+      }
+      i += 1
+    }
+    allowed
+  }
+
   /** RFC 9309 decision for one URL path(+query) under one parsed
-    * rules object.
+    * rules object. `pathQuery` may arrive raw — it is
+    * percent-normalized here to match the parse-time rule form.
     */
   def isAllowed(rules: RobotsRules, userAgent: String,
                 pathQuery: String): Boolean =
     selectGroup(rules, userAgent) match {
       case None => true
       case Some(g) =>
-        val hits = g.rules.filter(r => patternMatches(r.pattern, pathQuery))
-        if (hits.isEmpty) true
-        else {
-          val best = hits.map(_.pattern.length).max
-          // Allow wins length ties
-          hits.filter(_.pattern.length == best).exists(_.allow)
-        }
+        decideRules(g.rules.map(_.pattern).toIndexedSeq,
+          g.rules.map(_.allow).toIndexedSeq, pathQuery)
     }
+
+  /** Path(+query) of a URL for rule matching, raw-escaped form; "/"
+    * for unparseable URLs or empty paths.
+    */
+  private def pathQueryOf(url: String): String = {
+    val u = try new java.net.URI(url) catch { case _: Exception => null }
+    if (u == null) "/"
+    else {
+      val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+      Option(u.getRawQuery).map(q => s"$p?$q").getOrElse(p)
+    }
+  }
+
+  /** Pre-reduce a per-host robots.txt table to the compact rule struct
+    * the gate join carries: `(host, __patterns, __allows, __delay)`
+    * for the group [[selectGroup]] picks for `userAgent` (group
+    * selection is agent-pure, so it happens ONCE per host here, not
+    * per URL). This is the 100-TB shape: rules for one agent are ~1 KB
+    * where the body is up to 500 KB, so the build side stays
+    * broadcastable to ~millions of hosts; past that the shuffle moves
+    * rule structs, never bodies.
+    */
+  def compileForAgent(robotsTxt: DataFrame, hostCol: String, bodyCol: String,
+                      userAgent: String): DataFrame = {
+    val compile = udf((body: String) => {
+      if (body == null) (Array.empty[String], Array.empty[Boolean],
+        Option.empty[Double])
+      else {
+        val rules = parseCached(body)
+        selectGroup(rules, userAgent) match {
+          case None =>
+            (Array.empty[String], Array.empty[Boolean], Option.empty[Double])
+          case Some(g) =>
+            (g.rules.map(_.pattern).toArray, g.rules.map(_.allow).toArray,
+              g.crawlDelay)
+        }
+      }
+    })
+    robotsTxt
+      .select(col(hostCol).as("host"), compile(col(bodyCol)).as("__r"))
+      .select(col("host"), col("__r._1").as("__patterns"),
+        col("__r._2").as("__allows"), col("__r._3").as("__delay"))
+  }
 
   /** Gate a URL table against a per-host robots table.
     *
@@ -163,39 +273,28 @@ object Robots {
     * @return urls plus `host`, `allowed`, `crawl_delay` (null when the
     *         host has no robots.txt — allowed per RFC, or no delay)
     *
-    * Plan shape: hosts derive from the URL via [[UrlOps.host]]
-    * (codegen'd), the join key is the scalar host string (robots
-    * bodies move once; broadcast when small), and the per-row decision
-    * is a bounded imperative kernel over the SELECTED group only.
+    * Plan shape: the robots side is first [[compileForAgent]]-reduced
+    * to per-host rule structs (bodies parsed once per host, never
+    * shipped); hosts derive from the URL via [[UrlOps.host]]
+    * (codegen'd); the join key is the scalar host string; and the
+    * per-row decision is a bounded imperative kernel over the selected
+    * group's rules only.
     */
   def gateUrls(urls: DataFrame, urlCol: String, robotsTxt: DataFrame,
                hostCol: String, bodyCol: String,
                userAgent: String): DataFrame = {
-    val decide = udf((body: String, url: String) => {
-      if (body == null) (true, null.asInstanceOf[java.lang.Double])
-      else {
-        val rules = parseCached(body)
-        val pq = {
-          val u = try new java.net.URI(url) catch { case _: Exception => null }
-          if (u == null) "/"
-          else {
-            val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
-            Option(u.getRawQuery).map(q => s"$p?$q").getOrElse(p)
-          }
-        }
-        val delay = selectGroup(rules, userAgent).flatMap(_.crawlDelay)
-          .map(java.lang.Double.valueOf).orNull
-        (isAllowed(rules, userAgent, pq), delay)
-      }
-    })
+    val compiled = compileForAgent(robotsTxt, hostCol, bodyCol, userAgent)
+    val decide = udf((patterns: Seq[String], allows: Seq[Boolean], url: String) =>
+      if (patterns == null) true // host with no robots.txt: allowed per RFC
+      else decideRules(patterns.toIndexedSeq, allows.toIndexedSeq,
+        pathQueryOf(url)))
     urls
       .withColumn("host", UrlOps.host(col(urlCol)))
-      .join(robotsTxt.select(col(hostCol).as("host"), col(bodyCol).as("__body")),
-        Seq("host"), "left")
-      .withColumn("__d", decide(col("__body"), col(urlCol)))
-      .withColumn("allowed", col("__d._1"))
-      .withColumn("crawl_delay", col("__d._2"))
-      .drop("__body", "__d")
+      .join(compiled, Seq("host"), "left")
+      .withColumn("allowed", decide(col("__patterns"), col("__allows"),
+        col(urlCol)))
+      .withColumn("crawl_delay", col("__delay"))
+      .drop("__patterns", "__allows", "__delay")
   }
 
   /** Sitemap XML (urlset/sitemapindex) → one row per `loc` with

@@ -792,6 +792,37 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // TRAINED multilingual language ID (Cavnar–Trenkle n-gram
+    // profiles, ops.LangId): profiles trained inside the engine from
+    // the committed ten-language fixture corpus, then ten per-doc test
+    // sentences (held out from training, selected by doc_id % 10)
+    // classified by integer out-of-place distance. The oracle replays
+    // the ENTIRE train+classify pipeline from the same fixture file —
+    // every quantity is an integer (counts, ranks, |Δrank|), so there
+    // is no float seam between the engines. The 3-language stopword
+    // heuristic (text_lang_id) stays as the cheap fallback.
+    "text_lang_id_trained" -> ((s, d) => {
+      import s.implicits._
+      val profiles = graft.ops.LangId.trainProfiles(
+        graft.ops.LangId.readTraining(s, "/root/repo/fixtures/langid/train.jsonl"),
+        "lang", "text")
+      val v = pmod($"doc_id", lit(10))
+      val phrase = when(v === 0, lit("the weather was cold yesterday and the trains were late again this morning"))
+        .when(v === 1, lit("la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas"))
+        .when(v === 2, lit("der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"))
+        .when(v === 3, lit("le petit garçon mange une pomme rouge dans la cuisine de sa grandmère"))
+        .when(v === 4, lit("la ragazza legge un libro interessante sulla storia della città antica"))
+        .when(v === 5, lit("o menino foi à escola de manhã e voltou para casa no final da tarde"))
+        .when(v === 6, lit("de kinderen spelen buiten in het park omdat het vandaag mooi weer is"))
+        .when(v === 7, lit("det lilla huset ligger vid sjön och har ett rött tak med vita knutar"))
+        .when(v === 8, lit("dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni"))
+        .otherwise(lit("çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor"))
+      val docs = documents(s, d).select($"doc_id",
+        concat(phrase, lit(" doc "), $"doc_id".cast("string")).as("text"))
+      graft.ops.LangId.classify(docs, "doc_id", "text", profiles)
+        .orderBy($"doc_id")
+    }),
+
     // Order-invariant bag-of-words fingerprint.
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -1382,17 +1413,20 @@ object TextQueries {
     }),
 
     // The crawl-curation composition end to end: WARC archive → extract
-    // (gzip members, wire decodings, HTML flatten) → robots.txt gate
+    // (gzip members, wire decodings, charset-aware decode, DOM-aware
+    // MAIN-CONTENT extraction with full-flatten fallback — sample5's
+    // nav/cookie-banner/footer chrome is gone from its token count
+    // while the short pages keep their full text) → robots.txt gate
     // (per-host rules; /b$ anchored so /both survives while /b would
     // not — prefix vs anchor semantics live in the pin) → canonical
     // URL + token-count
     // quality gate. Expected survivors pinned: the engine must parse
-    // the archive, decode the bodies, match the robots rules, and gate
-    // to land on exactly these three rows.
+    // the archive, decode the bodies, extract the main content, match
+    // the robots rules, and gate to land on exactly these rows.
     "warc_curation_pipeline" -> ((s, _) => {
       import s.implicits._
       val docs = graft.sources.DocumentSources
-        .readWarcDocuments(s, "/root/repo/fixtures/warc/*")
+        .readWarcDocuments(s, "/root/repo/fixtures/warc/*", mainContent = true)
         .select($"doc_id", $"text", element_at($"metadata", "url").as("url"))
       val robots = Seq(
         ("example.org", "User-agent: graftbot\nDisallow: /b$\nDisallow: /chunk*\n"),
@@ -1404,6 +1438,47 @@ object TextQueries {
           graft.ops.TextAnalysis.tokenCount($"text").as("n_tokens"))
         .filter($"n_tokens" >= 3)
         .orderBy($"doc_id")
+    }),
+
+    // DOM-aware main-content extraction over the committed chrome-laden
+    // portal fixture: the oracle pins each kept block — the engine must
+    // segment the DOM into blocks, score text mass vs link density,
+    // drop the header/nav/cookie-banner/aside/footer chrome, keep the
+    // article (headings with their sections, short blocks promoted by
+    // adjacency), and never leak head/script/style/comment text.
+    "html_main_content" -> ((s, _) => {
+      import s.implicits._
+      val ex = udf((html: String) => graft.ops.MainContent.extractBlocks(html))
+      s.read.option("wholetext", "true")
+        .text("/root/repo/fixtures/htmlmain/portal.html")
+        .select(posexplode(ex($"value")))
+        .select($"pos".cast("long").as("block_idx"), $"col".as("block_text"))
+        .orderBy($"block_idx")
+    }),
+
+    // WET-style plain-text derivative: one conversion row per 2xx text
+    // response — HTML through the charset-aware decode + main-content
+    // block extraction (newline-joined blocks; full-flatten fallback),
+    // plain text verbatim. The oracle restates every conversion as
+    // literals including the paragraph structure (chr(10) joins).
+    "warc_wet_extract" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readWarcWet(s, "/root/repo/fixtures/warc/*")
+        .select(concat($"warc_file", lit("_r"), $"record_idx").as("doc_id"),
+          $"target_uri", $"content_type", $"wet_text")
+        .orderBy($"doc_id")
+    }),
+
+    // WAT-style outlink derivative: raw hrefs per successful HTML
+    // response, document order — the metadata-record payload a link
+    // graph builds from. Pure regexp_extract_all + posexplode after
+    // the charset-aware decode.
+    "warc_wat_outlinks" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readWarcOutlinks(s, "/root/repo/fixtures/warc/*")
+        .orderBy($"doc_id", $"link_idx")
     }),
 
     // S9 front door: chunk JSONL re-hydration — unicode escapes,
@@ -2748,12 +2823,34 @@ object TextQueries {
         |  ('sample3', 1, 'response', 'https://example.org/gzipped', 200,
         |   'text/html', '<p>gzipped body</p>'),
         |  ('sample3', 2, 'response', 'https://example.org/both', 200,
-        |   'text/plain', 'both encodings survive'))
-        |SELECT warc_file, record_idx::BIGINT AS record_idx, record_type,
-        |  target_uri, http_status::BIGINT AS http_status, content_type,
-        |  octet_length(encode(body))::BIGINT AS body_len,
-        |  md5(body) AS body_md5
-        |FROM bodies ORDER BY warc_file, record_idx""".stripMargin,
+        |   'text/plain', 'both encodings survive'),
+        |  ('sample5', 0, 'response', 'http://portal.example.com/widgets', 200,
+        |   'text/html; charset=utf-8',
+        |   '<html><head><title>Widget Portal</title><script>var x = 1;</script></head><body><nav><a href="/">Home</a> <a href="/shop">Shop</a> <a href="/faq">FAQ</a></nav><div>Accept our cookie policy <a href="/ok">OK</a></div><main><h1>Widget care guide</h1><p>A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times.</p><p>Never oil the bearing.</p></main><footer>Copyright 2026 Widget Portal. <a href="/terms">Terms</a> of use apply worldwide.</footer></body></html>'))
+        |SELECT * FROM (
+        |  SELECT warc_file, record_idx::BIGINT AS record_idx, record_type,
+        |    target_uri, http_status::BIGINT AS http_status, content_type,
+        |    octet_length(encode(body))::BIGINT AS body_len,
+        |    md5(body) AS body_md5
+        |  FROM bodies
+        |  UNION ALL
+        |  -- sample4 bodies are NON-UTF-8 bytes (iso-8859-1/windows-1252
+        |  -- charset coverage), so their framing facts are pinned as
+        |  -- literals: md5/len computed over the raw fixture bytes
+        |  SELECT * FROM (VALUES
+        |    ('sample4', 0::BIGINT, 'response', 'http://latin1.example.net/menu',
+        |     200::BIGINT, 'text/html; charset=iso-8859-1',
+        |     74::BIGINT, '3421d7b1062f449f4b4701d417f05857'),
+        |    ('sample4', 1::BIGINT, 'response', 'http://cp1252.example.net/quotes',
+        |     200::BIGINT, 'text/html',
+        |     105::BIGINT, '4a70786a8466daebde8506616ff8e286'),
+        |    ('sample4', 2::BIGINT, 'response', 'http://utf8.example.net/plain',
+        |     200::BIGINT, 'text/plain',
+        |     27::BIGINT, '482bac4eeab57f43ff8de4e421b18420'),
+        |    ('sample4', 3::BIGINT, 'response', 'http://fallback.example.net/resume',
+        |     200::BIGINT, 'text/plain',
+        |     13::BIGINT, '3f7f292791c30de01e10f3bf860e1024'))
+        |) ORDER BY warc_file, record_idx""".stripMargin,
     "warc_documents_extract" ->
       """SELECT * FROM (VALUES
         |  ('sample2_r0', 'gzip member one payload — naïve café ✓',
@@ -2766,6 +2863,16 @@ object TextQueries {
         |   'https://example.org/gzipped', 'text/html'),
         |  ('sample3_r2', 'both encodings survive',
         |   'https://example.org/both', 'text/plain'),
+        |  ('sample4_r0', 'Café naïve déjà vu à Zürich ©1999',
+        |   'http://latin1.example.net/menu', 'text/html; charset=iso-8859-1'),
+        |  ('sample4_r1', '“Smart quotes” cost €99 — dash',
+        |   'http://cp1252.example.net/quotes', 'text/html'),
+        |  ('sample4_r2', 'UTF-8 sniffed → café ✓',
+        |   'http://utf8.example.net/plain', 'text/plain'),
+        |  ('sample4_r3', 'résumé façade',
+        |   'http://fallback.example.net/resume', 'text/plain'),
+        |  ('sample5_r0', 'Widget Portal Home Shop FAQ Accept our cookie policy OK Widget care guide A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times. Never oil the bearing. Copyright 2026 Widget Portal. Terms of use apply worldwide.',
+        |   'http://portal.example.com/widgets', 'text/html; charset=utf-8'),
         |  ('sample_r2', 'T Crawl Doc First &amp; second.',
         |   'http://example.com/index.html', 'text/html; charset=UTF-8'),
         |  ('sample_r4', 'Plain resource text. Second line.',
@@ -2775,8 +2882,58 @@ object TextQueries {
       """SELECT * FROM (VALUES
         |  ('sample2_r0', 'https://example.org/a', 8::BIGINT),
         |  ('sample3_r2', 'https://example.org/both', 3::BIGINT),
+        |  ('sample4_r0', 'http://latin1.example.net/menu', 7::BIGINT),
+        |  ('sample4_r1', 'http://cp1252.example.net/quotes', 6::BIGINT),
+        |  ('sample4_r2', 'http://utf8.example.net/plain', 5::BIGINT),
+        |  ('sample5_r0', 'http://portal.example.com/widgets', 28::BIGINT),
         |  ('sample_r2', 'http://example.com/index.html', 6::BIGINT)
         |) t(doc_id, canonical, n_tokens) ORDER BY doc_id""".stripMargin,
+    "html_main_content" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 'The Migration of Monarch Butterflies'),
+        |  (1::BIGINT, 'Every autumn millions of monarch butterflies leave their breeding grounds in southern Canada and fly nearly five thousand kilometres to the oyamel fir forests of central Mexico.'),
+        |  (2::BIGINT, 'Short aside.'),
+        |  (3::BIGINT, 'The navigation skills of the monarch remain an active research topic; the butterflies combine a time compensated sun compass with a magnetic backup sense, and no single individual survives the full round trip.'),
+        |  (4::BIGINT, 'Conservation status'),
+        |  (5::BIGINT, 'Logging pressure on the wintering forests &amp; the loss of milkweed corridors along the migration route have reduced the eastern population by more than eighty percent since the nineteen nineties.')
+        |) t(block_idx, block_text) ORDER BY block_idx""".stripMargin,
+    "warc_wet_extract" ->
+      """SELECT * FROM (VALUES
+        |  ('sample2_r0', 'https://example.org/a', 'text/plain; charset=utf-8',
+        |   'gzip member one payload — naïve café ✓'),
+        |  ('sample2_r1', 'https://example.org/b', 'text/html',
+        |   'LF-header parsing ok'),
+        |  ('sample3_r0', 'https://example.org/chunked', 'text/plain',
+        |   'Wikipedia in chunks.'),
+        |  ('sample3_r1', 'https://example.org/gzipped', 'text/html',
+        |   'gzipped body'),
+        |  ('sample3_r2', 'https://example.org/both', 'text/plain',
+        |   'both encodings survive'),
+        |  ('sample4_r0', 'http://latin1.example.net/menu',
+        |   'text/html; charset=iso-8859-1', 'Café naïve déjà vu à Zürich ©1999'),
+        |  ('sample4_r1', 'http://cp1252.example.net/quotes', 'text/html',
+        |   '“Smart quotes” cost €99 — dash'),
+        |  ('sample4_r2', 'http://utf8.example.net/plain', 'text/plain',
+        |   'UTF-8 sniffed → café ✓'),
+        |  ('sample4_r3', 'http://fallback.example.net/resume', 'text/plain',
+        |   'résumé façade'),
+        |  ('sample5_r0', 'http://portal.example.com/widgets',
+        |   'text/html; charset=utf-8',
+        |   'Widget care guide' || chr(10) ||
+        |   'A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times.'
+        |   || chr(10) || 'Never oil the bearing.'),
+        |  ('sample_r2', 'http://example.com/index.html',
+        |   'text/html; charset=UTF-8', 'T Crawl Doc First &amp; second.')
+        |) t(doc_id, target_uri, content_type, wet_text)
+        |ORDER BY doc_id""".stripMargin,
+    "warc_wat_outlinks" ->
+      """SELECT * FROM (VALUES
+        |  ('sample5_r0', 0::BIGINT, '/'),
+        |  ('sample5_r0', 1::BIGINT, '/shop'),
+        |  ('sample5_r0', 2::BIGINT, '/faq'),
+        |  ('sample5_r0', 3::BIGINT, '/ok'),
+        |  ('sample5_r0', 4::BIGINT, '/terms')
+        |) t(doc_id, link_idx, href) ORDER BY doc_id, link_idx""".stripMargin,
     "jsonl_chunks_scan" ->
       """SELECT id AS doc_id, page_content AS text,
         |  metadata.source AS source, metadata.page AS page
@@ -3530,6 +3687,59 @@ object TextQueries {
         |    text || chr(9) || 'CAFE' || chr(769) || '  ' || chr(937) ||
         |    'MEGA ' || chr(220) || 'BER  end ')), '[\t\n\f\r ]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full train+classify replay: same fixture JSONL, same
+    // normalization, same 1/2/3-gram explode, same (cnt desc, gram)
+    // ranking, same out-of-place distance — integers end to end
+    "text_lang_id_trained" ->
+      """WITH train AS (
+        |  SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM read_json('/root/repo/fixtures/langid/train.jsonl',
+        |                 format='newline_delimited')),
+        |tg AS (
+        |  SELECT lang, substr(t, p::INT, n::INT) AS gram
+        |  FROM (SELECT lang, t, unnest([1, 2, 3]) AS n FROM train) x,
+        |  LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS p) g),
+        |prof AS (
+        |  SELECT lang, gram,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY 1, 2)
+        |  QUALIFY rank <= 300),
+        |docs AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(
+        |    CASE doc_id % 10
+        |      WHEN 0 THEN 'the weather was cold yesterday and the trains were late again this morning'
+        |      WHEN 1 THEN 'la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas'
+        |      WHEN 2 THEN 'der schnelle zug fährt heute nicht weil die strecke gesperrt wurde'
+        |      WHEN 3 THEN 'le petit garçon mange une pomme rouge dans la cuisine de sa grandmère'
+        |      WHEN 4 THEN 'la ragazza legge un libro interessante sulla storia della città antica'
+        |      WHEN 5 THEN 'o menino foi à escola de manhã e voltou para casa no final da tarde'
+        |      WHEN 6 THEN 'de kinderen spelen buiten in het park omdat het vandaag mooi weer is'
+        |      WHEN 7 THEN 'det lilla huset ligger vid sjön och har ett rött tak med vita knutar'
+        |      WHEN 8 THEN 'dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni'
+        |      ELSE 'çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor'
+        |    END || ' doc ' || doc_id::VARCHAR), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, substr(t, p::INT, n::INT) AS gram
+        |  FROM (SELECT doc_id, t, unnest([1, 2, 3]) AS n FROM docs) x,
+        |  LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS p) g),
+        |dprof AS (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS drank
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM dg GROUP BY 1, 2)
+        |  QUALIFY drank <= 300),
+        |dist AS (
+        |  SELECT d.doc_id, l.lang,
+        |    sum(CASE WHEN p.rank IS NULL THEN 300
+        |             ELSE abs(d.drank - p.rank) END) AS dist
+        |  FROM dprof d
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang AS lang_pred, dist::BIGINT AS dist
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY dist, lang) AS rk FROM dist)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, en_hits, es_hits, de_hits,
          |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'

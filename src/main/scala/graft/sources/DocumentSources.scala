@@ -314,16 +314,30 @@ object DocumentSources {
 
   /** WARC → documents: successful (2xx) HTTP `response` records plus
     * `resource` records whose payload is text or HTML land on the
-    * standard `(doc_id, text, metadata)` loader shape. HTML payloads go
+    * standard `(doc_id, text, metadata)` loader shape. Bodies are
+    * decoded CHARSET-AWARE ([[WarcCodec.decodeBody]]: Content-Type
+    * `charset=` → HTML `<meta>` prescan → UTF-8 validity sniff →
+    * windows-1252 fallback, malformed sequences replaced never thrown —
+    * a strict UTF-8 `decode` would corrupt ISO-8859-1/1252 pages and
+    * throw on any invalid byte, killing the batch and wedging the
+    * streaming ingest's retry loop). HTML payloads then go
     * through [[readHtml]]'s exact flattening rule (script/style
     * stripped first, tags stripped, whitespace collapsed, entities NOT
     * decoded); other `text/` payloads are whitespace-collapsed only. Other
     * media types (images, PDFs, …) are out of this front door's scope —
     * read them via [[readWarc]] and route the binary `content` to the
     * matching codec ([[PdfCodec]], [[graft.ops.Multimodal]]).
+    *
+    * With `mainContent = true`, HTML payloads instead go through
+    * [[graft.ops.MainContent]]'s DOM-aware block extraction
+    * (nav/footer/cookie-banner chrome dropped), FALLING BACK to the
+    * full flatten when no block qualifies — favor-recall: short pages
+    * survive, template chrome on long pages goes.
     */
-  def readWarcDocuments(spark: SparkSession, pathGlob: String): DataFrame =
-    warcDocumentsFromBinary(spark.read.format("binaryFile").load(pathGlob))
+  def readWarcDocuments(spark: SparkSession, pathGlob: String,
+                        mainContent: Boolean = false): DataFrame =
+    warcDocumentsFromBinary(spark.read.format("binaryFile").load(pathGlob),
+      mainContent)
 
   /** The WARC→documents transform over any `(path, content)` relation —
     * shared by the batch front door and the streaming drop-directory
@@ -331,7 +345,8 @@ object DocumentSources {
     * the SAME plan runs per micro-batch, so stream ≡ batch by
     * construction.
     */
-  def warcDocumentsFromBinary(binary: DataFrame): DataFrame = {
+  def warcDocumentsFromBinary(binary: DataFrame,
+                              mainContent: Boolean = false): DataFrame = {
     val parse = udf((bytes: Array[Byte]) =>
       WarcCodec.parseAll(bytes).map(r =>
         (r.recordType, r.targetUri, r.warcDate, r.recordId,
@@ -353,12 +368,22 @@ object DocumentSources {
         col("http_status") >= 200 && col("http_status") < 300) ||
         col("record_type") === "resource")
       .filter(col("content_type").rlike("(?i)^(text/|application/xhtml)"))
-    val raw = records.withColumn("__raw", decode(col("content"), "UTF-8"))
+    val decodeText = udf((ct: String, body: Array[Byte]) =>
+      WarcCodec.decodeBody(ct, body))
+    val raw = records.withColumn("__raw",
+      decodeText(col("content_type"), col("content")))
     val isHtml = col("content_type").rlike("(?i)^(text/html|application/xhtml)")
-    val flattened = when(isHtml,
-      regexp_replace(regexp_replace(col("__raw"),
-        "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
-        "<[^>]+>", " ")).otherwise(col("__raw"))
+    val fullFlatten = regexp_replace(regexp_replace(col("__raw"),
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
+      "<[^>]+>", " ")
+    val htmlText = if (mainContent) {
+      val mainUdf = udf((html: String) => graft.ops.MainContent.extract(html))
+      // favor-recall fallback: a page with no qualifying block keeps its
+      // full flatten rather than vanishing from the corpus
+      val main = mainUdf(col("__raw"))
+      when(length(main) > 0, main).otherwise(fullFlatten)
+    } else fullFlatten
+    val flattened = when(isHtml, htmlText).otherwise(col("__raw"))
     raw.select(
       concat(col("warc_file"), lit("_r"), col("record_idx")).as("doc_id"),
       trim(regexp_replace(flattened, "\\s+", " ")).as("text"),
@@ -367,5 +392,60 @@ object DocumentSources {
         lit("date"), col("warc_date"),
         lit("content_type"), col("content_type")).as("metadata"))
       .filter(length(col("text")) > 0)
+  }
+
+  /** WARC → WET-style plain-text derivative (the Common Crawl
+    * `*.warc.wet` convention: one text "conversion" record per
+    * successful HTTP response): 2xx `response` records with a text
+    * payload land as `(warc_file, record_idx, target_uri, warc_date,
+    * content_type, wet_text)`. HTML payloads go through the
+    * charset-aware decode + [[graft.ops.MainContent]] block extraction
+    * (blocks newline-joined — WET preserves paragraph structure),
+    * falling back to the full flatten when no block qualifies; other
+    * text payloads are decoded and trimmed verbatim. One pass over the
+    * archive, per-file parallelism, same [[readWarc]] scan.
+    */
+  def readWarcWet(spark: SparkSession, pathGlob: String): DataFrame = {
+    val wet = udf((ct: String, body: Array[Byte]) => {
+      val raw = WarcCodec.decodeBody(ct, body)
+      if (ct != null &&
+          ct.toLowerCase.matches("^(text/html|application/xhtml).*")) {
+        val main = graft.ops.MainContent.extract(raw)
+        if (main.nonEmpty) main
+        else raw.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+          .replaceAll("<[^>]+>", " ").replaceAll("\\s+", " ").trim
+      } else raw.trim
+    })
+    readWarc(spark, pathGlob)
+      .filter(col("record_type") === "response" &&
+        col("http_status") >= 200 && col("http_status") < 300 &&
+        col("content_type").rlike("(?i)^(text/|application/xhtml)"))
+      .select(col("warc_file"), col("record_idx"), col("target_uri"),
+        col("warc_date"), col("content_type"),
+        wet(col("content_type"), col("content")).as("wet_text"))
+      .filter(length(col("wet_text")) > 0)
+  }
+
+  /** WARC → WAT-style outlink derivative (the metadata record family's
+    * most-used payload): one row per `<a href=…>` in each successful
+    * HTML response — `(doc_id, link_idx, href)`, href RAW as written
+    * (WAT stores unresolved links; resolution is a downstream join
+    * against the page URL). The href harvest is a pure
+    * `regexp_extract_all` + `posexplode` — no per-link UDF work.
+    */
+  def readWarcOutlinks(spark: SparkSession, pathGlob: String): DataFrame = {
+    val decodeText = udf((ct: String, body: Array[Byte]) =>
+      WarcCodec.decodeBody(ct, body))
+    readWarc(spark, pathGlob)
+      .filter(col("record_type") === "response" &&
+        col("http_status") >= 200 && col("http_status") < 300 &&
+        col("content_type").rlike("(?i)^(text/html|application/xhtml)"))
+      .select(
+        concat(col("warc_file"), lit("_r"), col("record_idx")).as("doc_id"),
+        posexplode(regexp_extract_all(
+          decodeText(col("content_type"), col("content")),
+          lit("(?i)<a[^>]*?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"), lit(1))))
+      .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
+        col("col").as("href"))
   }
 }

@@ -60,16 +60,27 @@ object WarcCodec {
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
-  /** Parse a whole WARC file (plain or gzip-member-concatenated). */
+  /** Parse a whole WARC file (plain or gzip-member-concatenated).
+    *
+    * Gzip archives are parsed INCREMENTALLY off the stream — a
+    * standard ~1 GB `.warc.gz` decompresses to 4-5 GB, past the JVM's
+    * 2 GiB array limit, so the decompressed archive is never buffered
+    * whole; only one record's block is in memory at a time (the spec's
+    * one-record-per-member layout keeps individual records bounded).
+    */
   def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val plain =
+    val base = new ByteArrayInputStream(bytes)
+    val in: java.io.InputStream =
       if (bytes.length >= 2 && bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
-        gunzipAll(bytes)
-      else bytes
-    parsePlain(plain)
+        new GZIPInputStream(base, 64 * 1024)
+      else base
+    try parseStream(in) finally in.close()
   }
 
-  /** Decompress a concatenation of gzip members into one byte array. */
+  /** Decompress a concatenation of gzip members into one byte array —
+    * used ONLY for per-record HTTP `Content-Encoding: gzip` bodies
+    * (bounded by the record, not the archive).
+    */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
@@ -80,54 +91,84 @@ object WarcCodec {
     out.toByteArray
   }
 
-  private def parsePlain(bytes: Array[Byte]): Seq[WarcRecord] = {
+  /** Parse records incrementally from an already-decompressed WARC
+    * stream: version+header lines to the first empty line, then exactly
+    * `Content-Length` block bytes, then inter-record CRLFs. Strict
+    * framing (a truncated record raises loudly), tolerant line endings.
+    */
+  def parseStream(in0: java.io.InputStream): Seq[WarcRecord] = {
+    val in = new java.io.BufferedInputStream(in0, 64 * 1024)
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    while (pos < bytes.length) {
-      // skip inter-record CRLFs (two per spec; tolerate any run)
-      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      if (pos < bytes.length) {
-        val (headers, blockStart) = readHeaderBlock(bytes, pos)
-        val version = headers.getOrElse("__version", "")
-        require(version.startsWith("WARC/"),
-          s"not a WARC record at offset $pos: version line '$version'")
-        val len = headers.get("content-length") match {
-          case Some(v) => v.trim.toLong
-          case None => throw new IllegalArgumentException(
-            s"WARC record at offset $pos has no Content-Length")
-        }
-        require(blockStart + len <= bytes.length,
-          s"WARC record at offset $pos: Content-Length $len overruns file " +
-            s"(${bytes.length - blockStart} bytes left)")
-        val block = java.util.Arrays.copyOfRange(
-          bytes, blockStart, blockStart + len.toInt)
-        out += toRecord(headers, block)
-        pos = blockStart + len.toInt
+    var idx = 0
+    var done = false
+    while (!done) {
+      readHeaderLines(in) match {
+        case None => done = true
+        case Some(lines) =>
+          val headers = foldHeaders(lines)
+          val version = headers.getOrElse("__version", "")
+          require(version.startsWith("WARC/"),
+            s"not a WARC record at record index $idx: version line '$version'")
+          val len = headers.get("content-length") match {
+            case Some(v) => v.trim.toLong
+            case None => throw new IllegalArgumentException(
+              s"WARC record $idx has no Content-Length")
+          }
+          require(len <= Int.MaxValue - 8,
+            s"WARC record $idx: Content-Length $len exceeds the 2 GiB " +
+              "JVM array limit (spec layout is one record per gzip member)")
+          val block = in.readNBytes(len.toInt)
+          require(block.length == len,
+            s"WARC record $idx: Content-Length $len overruns file " +
+              s"(${block.length} bytes left)")
+          out += toRecord(headers, block)
+          idx += 1
       }
     }
     out.toSeq
   }
 
-  /** Read the version line + header lines ending at the first empty
-    * line; returns (lower-cased name → value incl. "__version", offset
-    * of the first block byte). Handles CRLF and bare-LF line ends and
-    * LWS continuation lines.
+  /** Read one CRLF/LF-terminated line; None at EOF before any byte. */
+  private def readLine(in: java.io.BufferedInputStream): Option[String] = {
+    val first = in.read()
+    if (first < 0) return None
+    val buf = new java.io.ByteArrayOutputStream(96)
+    var c = first
+    while (c >= 0 && c != '\n' && c != '\r') { buf.write(c); c = in.read() }
+    if (c == '\r') { // consume a following \n if present
+      in.mark(1)
+      val n = in.read()
+      if (n != '\n' && n >= 0) in.reset()
+    }
+    Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Skip inter-record blank lines, then read header lines up to the
+    * first empty line. None when EOF arrives before a header line.
     */
-  private def readHeaderBlock(bytes: Array[Byte],
-                              start: Int): (Map[String, String], Int) = {
+  private def readHeaderLines(
+      in: java.io.BufferedInputStream): Option[Seq[String]] = {
+    var line = readLine(in)
+    while (line.contains("")) line = readLine(in)
+    line match {
+      case None => None
+      case Some(first) =>
+        val lines = scala.collection.mutable.ArrayBuffer(first)
+        var l = readLine(in)
+        while (l.exists(_.nonEmpty)) { lines += l.get; l = readLine(in) }
+        Some(lines.toSeq)
+    }
+  }
+
+  /** Fold header lines into (lower-cased name → value incl.
+    * "__version"), applying LWS continuation-line folding.
+    */
+  private def foldHeaders(lines: Seq[String]): Map[String, String] = {
     val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var pos = start
     var lastName: String = null
-    var first = true
-    var done = false
-    while (!done) {
-      val eol = lineEnd(bytes, pos)
-      val line = new String(bytes, pos, eol - pos,
-        java.nio.charset.StandardCharsets.UTF_8)
-      pos = skipEol(bytes, eol)
-      if (line.isEmpty) done = true
-      else if (first) { headers("__version") = line.trim; first = false }
-      else if (line(0) == ' ' || line(0) == '\t') {
+    headers("__version") = lines.head.trim
+    lines.tail.foreach { line =>
+      if (line(0) == ' ' || line(0) == '\t') {
         // LWS continuation of the previous header value
         if (lastName != null)
           headers(lastName) = headers(lastName) + " " + line.trim
@@ -137,9 +178,8 @@ object WarcCodec {
         lastName = line.substring(0, i).trim.toLowerCase
         headers(lastName) = line.substring(i + 1).trim
       }
-      if (pos >= bytes.length) done = true
     }
-    (headers.toMap, pos)
+    headers.toMap
   }
 
   private def lineEnd(bytes: Array[Byte], from: Int): Int = {
@@ -259,6 +299,105 @@ object WarcCodec {
       pos = skipEol(body, lineEnd(body, pos)) // chunk-terminating CRLF
     }
     None // unreachable
+  }
+
+  // ---- charset-aware text decode --------------------------------------
+  //
+  // Crawled pages are NOT all UTF-8: a real few percent of any crawl is
+  // ISO-8859-1/Windows-1252 (and long-tail encodings), and decoding
+  // those as UTF-8 either throws (Spark 4's strict `decode`) or yields
+  // replacement-char soup that poisons everything downstream (dedup
+  // keys, quality gates, tokenizers). Resolution order follows the
+  // WHATWG HTML encoding sniffing algorithm, the convention every
+  // browser and crawl pipeline implements:
+  //   1. the `charset=` parameter of the HTTP Content-Type;
+  //   2. for HTML/XML payloads, a `<meta charset=…>` /
+  //      `<meta http-equiv="Content-Type" …>` prescan of the first
+  //      1024 bytes (ASCII-compatible superset decode, per WHATWG);
+  //   3. content sniff: a body that validates as UTF-8 is UTF-8;
+  //   4. fallback: windows-1252 (the WHATWG default — every byte maps,
+  //      so decoding never fails).
+  // Per WHATWG, the labels iso-8859-1 / latin1 / us-ascii resolve to
+  // windows-1252 (servers routinely mislabel 1252 content as latin-1;
+  // the two agree outside 0x80-0x9F). Malformed sequences under the
+  // RESOLVED charset are replaced (U+FFFD), never thrown — one bad
+  // record must not kill a partition.
+
+  private val CharsetParam = java.util.regex.Pattern.compile(
+    "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:+-]+)\"?")
+
+  /** The `charset=` parameter of a Content-Type value, if any. */
+  def declaredCharset(contentType: String): Option[String] = {
+    if (contentType == null) None
+    else {
+      val m = CharsetParam.matcher(contentType)
+      if (m.find()) Some(m.group(1)) else None
+    }
+  }
+
+  /** WHATWG-style `<meta>` prescan over the first 1024 bytes (decoded
+    * as ISO-8859-1, an ASCII-transparent superset — charset labels are
+    * ASCII). Matches both `<meta charset=…>` and the `http-equiv`
+    * form's `content="…; charset=…"` (the regex keys on `charset=`
+    * inside a meta tag either way).
+    */
+  def sniffMetaCharset(body: Array[Byte]): Option[String] = {
+    val n = math.min(body.length, 1024)
+    val head = new String(body, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = java.util.regex.Pattern.compile(
+      "(?i)<meta[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)").matcher(head)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** True when `bytes` is well-formed UTF-8 in its entirety. */
+  def isValidUtf8(bytes: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(bytes))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  private val Windows1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** WHATWG label→encoding mapping for the labels where it diverges
+    * from the JVM's (the JVM takes iso-8859-1 literally; browsers and
+    * crawls treat it as windows-1252).
+    */
+  private def mapLabel(label: String): String = label.toLowerCase match {
+    case "iso-8859-1" | "iso8859-1" | "latin1" | "latin-1" | "l1" |
+         "us-ascii" | "ascii" | "ansi_x3.4-1968" => "windows-1252"
+    case other => other
+  }
+
+  private def isHtmlish(contentType: String): Boolean =
+    contentType != null &&
+      contentType.toLowerCase.matches("^(text/html|application/xhtml|text/xml|application/xml).*")
+
+  /** Resolve the effective charset of a payload per the object
+    * contract's sniffing order. Unknown/unsupported labels fall
+    * through to the content sniff.
+    */
+  def resolveCharset(contentType: String,
+                     body: Array[Byte]): java.nio.charset.Charset = {
+    val label = declaredCharset(contentType)
+      .orElse(if (isHtmlish(contentType)) sniffMetaCharset(body) else None)
+    label.flatMap { l =>
+      try Some(java.nio.charset.Charset.forName(mapLabel(l)))
+      catch { case _: Exception => None }
+    }.getOrElse(if (isValidUtf8(body)) java.nio.charset.StandardCharsets.UTF_8
+                else Windows1252)
+  }
+
+  /** Decode a payload to text under the resolved charset; malformed
+    * sequences become U+FFFD, never an exception.
+    */
+  def decodeBody(contentType: String, body: Array[Byte]): String = {
+    if (body == null) return null
+    val dec = resolveCharset(contentType, body).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(body)).toString
   }
 
   /** Inflate a deflate body — zlib-wrapped first, raw-deflate fallback

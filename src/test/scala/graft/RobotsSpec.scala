@@ -100,6 +100,59 @@ class RobotsSpec extends AnyFunSuite {
     assert(out("https://other.org/anything") == ((true, None)))
   }
 
+  test("a Sitemap line ends an agent run — later agents get their own group") {
+    val r = Robots.parse(
+      "User-agent: a\nSitemap: https://x.com/s.xml\n" +
+        "User-agent: b\nDisallow: /p\n")
+    // a's group exists with NO rules; b's group carries the Disallow
+    assert(r.groups.map(_.agents) == Seq(Seq("a"), Seq("b")))
+    assert(r.groups(0).rules.isEmpty)
+    assert(r.groups(1).rules == Seq(Robots.Rule(allow = false, "/p")))
+    assert(r.sitemaps == Seq("https://x.com/s.xml"))
+    assert(Robots.isAllowed(r, "a", "/p"))
+    assert(!Robots.isAllowed(r, "b", "/p"))
+  }
+
+  test("percent-encoding-normalized matching, both directions") {
+    // unencoded rule vs encoded URL
+    val r1 = Robots.parse("User-agent: *\nDisallow: /café\n")
+    assert(!Robots.isAllowed(r1, "bot", "/caf%C3%A9"))
+    assert(!Robots.isAllowed(r1, "bot", "/café"))
+    // encoded rule (lowercase hex) vs unencoded URL
+    val r2 = Robots.parse("User-agent: *\nDisallow: /caf%c3%a9\n")
+    assert(!Robots.isAllowed(r2, "bot", "/café"))
+    assert(!Robots.isAllowed(r2, "bot", "/caf%C3%A9"))
+    assert(Robots.isAllowed(r2, "bot", "/cafe"))
+    // bare % (not an escape) normalizes to %25 on both sides
+    val r3 = Robots.parse("User-agent: *\nDisallow: /100%\n")
+    assert(!Robots.isAllowed(r3, "bot", "/100%25off"))
+    // metacharacters survive normalization: anchor still anchors
+    val r4 = Robots.parse("User-agent: *\nDisallow: /é$\n")
+    assert(!Robots.isAllowed(r4, "bot", "/%C3%A9"))
+    assert(Robots.isAllowed(r4, "bot", "/%C3%A9x"))
+  }
+
+  test("compileForAgent: rules-sized build side, gate decision unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "User-agent: graftbot\nDisallow: /café\nCrawl-delay: 2\n" +
+      "User-agent: *\nDisallow: /\n"
+    val robots = Seq(("h.com", body)).toDF("host", "body")
+    val compiled = Robots.compileForAgent(robots, "host", "body", "graftbot")
+      .collect().head
+    // the compiled struct carries ONLY graftbot's group, pre-normalized
+    assert(compiled.getAs[scala.collection.Seq[String]]("__patterns").toSeq ==
+      Seq("/caf%C3%A9"))
+    assert(compiled.getAs[scala.collection.Seq[Boolean]]("__allows").toSeq ==
+      Seq(false))
+    assert(compiled.getAs[Double]("__delay") == 2.0)
+    val urls = Seq("https://h.com/caf%C3%A9", "https://h.com/tea").toDF("url")
+    val out = Robots.gateUrls(urls, "url", robots, "host", "body", "graftbot")
+      .select($"url", $"allowed").as[(String, Boolean)].collect().toMap
+    assert(out == Map("https://h.com/caf%C3%A9" -> false,
+      "https://h.com/tea" -> true))
+  }
+
   test("sitemap XML: urlset and sitemapindex, lastmod optional") {
     val urlset =
       """<?xml version="1.0" encoding="UTF-8"?>

@@ -169,10 +169,70 @@ object WarcFixtures {
     r0 ++ r1 ++ r2
   }
 
+  // charset coverage bodies — the STRINGS are what a correct decode
+  // yields; the fixture stores their ISO-8859-1 / windows-1252 bytes
+  val Latin1Body = "<html><body><h1>Café</h1><p>naïve déjà vu à Zürich ©1999</p></body></html>"
+  val Cp1252Body = "<html><head><meta charset=\"windows-1252\"></head>" +
+    "<body><p>“Smart quotes” cost €99 — dash</p></body></html>"
+  val Utf8SniffBody = "UTF-8 sniffed → café ✓"
+  val FallbackBody = "résumé façade"
+
+  /** Charset coverage: a crawl's bodies are NOT all UTF-8. Four 200
+    * responses exercising [[graft.sources.WarcCodec.decodeBody]]'s
+    * resolution order: declared `charset=iso-8859-1` (non-UTF-8
+    * bytes), `<meta charset=windows-1252>` prescan (no HTTP charset),
+    * undeclared valid UTF-8 (content sniff), and undeclared non-UTF-8
+    * (windows-1252 fallback).
+    */
+  def sample4Warc: Array[Byte] = {
+    def resp(uri: String, n: Int, ct: String, body: Array[Byte]): Array[Byte] =
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> s"2026-08-04T00:00:0${n}Z",
+        "WARC-Record-ID" -> s"<urn:uuid:00000000-0000-0000-0000-00000000003$n>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpResponse("200 OK", ct, body))
+    resp("http://latin1.example.net/menu", 0,
+      "text/html; charset=iso-8859-1",
+      Latin1Body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++
+      resp("http://cp1252.example.net/quotes", 1, "text/html",
+        Cp1252Body.getBytes(java.nio.charset.Charset.forName("windows-1252"))) ++
+      resp("http://utf8.example.net/plain", 2, "text/plain",
+        Utf8SniffBody.getBytes(UTF_8)) ++
+      resp("http://fallback.example.net/resume", 3, "text/plain",
+        FallbackBody.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  /** Chrome-laden page: nav + cookie banner + footer around a short
+    * article — the main-content extraction fixture (ASCII, single
+    * line, no quotes beyond attribute double-quotes, so the oracle can
+    * restate the body verbatim).
+    */
+  val ChromeBody: String =
+    "<html><head><title>Widget Portal</title><script>var x = 1;</script></head>" +
+      "<body><nav><a href=\"/\">Home</a> <a href=\"/shop\">Shop</a> <a href=\"/faq\">FAQ</a></nav>" +
+      "<div>Accept our cookie policy <a href=\"/ok\">OK</a></div>" +
+      "<main><h1>Widget care guide</h1>" +
+      "<p>A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times.</p>" +
+      "<p>Never oil the bearing.</p></main>" +
+      "<footer>Copyright 2026 Widget Portal. <a href=\"/terms\">Terms</a> of use apply worldwide.</footer></body></html>"
+
+  def sample5Warc: Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://portal.example.com/widgets",
+      "WARC-Date" -> "2026-08-05T00:00:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000040>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "text/html; charset=utf-8", ChromeBody.getBytes(UTF_8)))
+
   def all: Seq[(String, Array[Byte])] = Seq(
     "sample.warc" -> sampleWarc,
     "sample2.warc.gz" -> sample2WarcGz,
-    "sample3.warc" -> sample3Warc)
+    "sample3.warc" -> sample3Warc,
+    "sample4.warc" -> sample4Warc,
+    "sample5.warc" -> sample5Warc)
 }
 
 object GenWarcFixtures {

@@ -129,7 +129,62 @@ class WarcSpec extends AnyFunSuite {
       ("sample", 4L, "resource", -1L), ("sample", 5L, "response", 200L),
       ("sample2", 0L, "response", 200L), ("sample2", 1L, "response", 200L),
       ("sample3", 0L, "response", 200L), ("sample3", 1L, "response", 200L),
-      ("sample3", 2L, "response", 200L)))
+      ("sample3", 2L, "response", 200L),
+      ("sample4", 0L, "response", 200L), ("sample4", 1L, "response", 200L),
+      ("sample4", 2L, "response", 200L), ("sample4", 3L, "response", 200L),
+      ("sample5", 0L, "response", 200L)))
+  }
+
+  test("readWarcDocuments mainContent=true: chrome dropped, short pages fall back") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = DocumentSources
+      .readWarcDocuments(spark, "/root/repo/fixtures/warc/*", mainContent = true)
+      .select($"doc_id", $"text").as[(String, String)].collect().toMap
+    // the chrome page keeps only the article (title/nav/banner/footer gone)
+    assert(docs("sample5_r0") ==
+      "Widget care guide A widget lasts for decades when it is cleaned " +
+        "gently, stored dry, and kept away from direct sunlight at all " +
+        "times. Never oil the bearing.")
+    // short pages with no qualifying block keep their full flatten
+    assert(docs("sample_r2") == "T Crawl Doc First &amp; second.")
+    assert(docs("sample4_r0") == "Café naïve déjà vu à Zürich ©1999")
+    // non-HTML payloads are untouched
+    assert(docs("sample3_r0") == "Wikipedia in chunks.")
+  }
+
+  test("charset resolution: declared, meta prescan, utf-8 sniff, 1252 fallback") {
+    val rs = WarcCodec.parseAll(sample4Warc)
+    assert(WarcCodec.decodeBody(rs(0).contentType, rs(0).body) == Latin1Body)
+    assert(WarcCodec.decodeBody(rs(1).contentType, rs(1).body) == Cp1252Body)
+    assert(WarcCodec.decodeBody(rs(2).contentType, rs(2).body) == Utf8SniffBody)
+    assert(WarcCodec.decodeBody(rs(3).contentType, rs(3).body) == FallbackBody)
+    // declared charset wins over any sniff
+    assert(WarcCodec.resolveCharset("text/plain; charset=utf-8",
+      Array[Byte]()).name == "UTF-8")
+    // the iso-8859-1 label maps to windows-1252 (WHATWG)
+    assert(WarcCodec.resolveCharset("text/html; charset=ISO-8859-1",
+      Array[Byte]()).name == "windows-1252")
+    // unknown label falls through to the content sniff
+    assert(WarcCodec.resolveCharset("text/plain; charset=bogus-enc",
+      "plain".getBytes("UTF-8")).name == "UTF-8")
+    // meta prescan only applies to HTML-ish payloads
+    val metaBytes = "<meta charset=\"utf-8\">café".getBytes("ISO-8859-1")
+    assert(WarcCodec.resolveCharset("text/html", metaBytes).name == "UTF-8")
+    assert(WarcCodec.resolveCharset("text/plain", metaBytes).name == "windows-1252")
+    // malformed bytes under the RESOLVED charset replace, never throw
+    val bad = Array[Byte](0x41, 0xC3.toByte) // truncated UTF-8, declared utf-8
+    assert(WarcCodec.decodeBody("text/plain; charset=utf-8", bad) == "A�")
+  }
+
+  test("parseStream reads records incrementally off a gzip stream") {
+    // the decompressed archive is never buffered whole: parseStream
+    // consumes a GZIPInputStream directly (concatenated members)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(sample2WarcGz))
+    val rs = WarcCodec.parseStream(in)
+    assert(rs.map(_.targetUri) ==
+      Seq("https://example.org/a", "https://example.org/b"))
   }
 
   test("streaming WARC ingest: drop-directory archives merge into the store, stream ≡ batch") {
@@ -178,6 +233,17 @@ class WarcSpec extends AnyFunSuite {
       ("sample3_r0", "Wikipedia in chunks.", "https://example.org/chunked"),
       ("sample3_r1", "gzipped body", "https://example.org/gzipped"),
       ("sample3_r2", "both encodings survive", "https://example.org/both"),
+      ("sample4_r0", "Café naïve déjà vu à Zürich ©1999",
+        "http://latin1.example.net/menu"),
+      ("sample4_r1", "“Smart quotes” cost €99 — dash",
+        "http://cp1252.example.net/quotes"),
+      ("sample4_r2", "UTF-8 sniffed → café ✓", "http://utf8.example.net/plain"),
+      ("sample4_r3", "résumé façade", "http://fallback.example.net/resume"),
+      ("sample5_r0", "Widget Portal Home Shop FAQ Accept our cookie policy " +
+        "OK Widget care guide A widget lasts for decades when it is cleaned " +
+        "gently, stored dry, and kept away from direct sunlight at all " +
+        "times. Never oil the bearing. Copyright 2026 Widget Portal. Terms " +
+        "of use apply worldwide.", "http://portal.example.com/widgets"),
       ("sample_r2", "T Crawl Doc First &amp; second.", "http://example.com/index.html"),
       ("sample_r4", "Plain resource text. Second line.", "http://example.com/readme.txt")))
   }
