@@ -51,7 +51,11 @@ object Bench {
     graft.queries.KeywordQueries.prewarmIndexes(spark, sfDir)
     System.err.println(f"[bench] serving-artifact prewarm: " +
       f"${(System.nanoTime() - tSetup) / 1e9}%.1f s")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted regression triage
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val cpu0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
@@ -95,11 +99,18 @@ object Bench {
       s"\"" + k + "\":\"" + Jsons.escape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
-    // FULL per-query detail → stderr (kept for analysis; every round's
-    // artifact shows the driver records only the LAST ~2000 chars of
-    // stdout, and a 135-query detail line overflows that window — the
-    // reason BENCH_r01..r07 all landed with parsed:null)
-    System.err.println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}""")
+    // FULL per-query detail → stderr AND a committed sidecar file (the
+    // driver's tail buffer truncates the stderr line, which left 176 of
+    // 232 queries invisible in BENCH_r12 — the file preserves the whole
+    // map for round-over-round triage)
+    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+    System.err.println(fullLine)
+    val sideCar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sideCar),
+      fullLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: $e") }
     // stdout gets ONE compact line sized to survive a 2000-char tail:
     // the full-suite total plus a fixed headline subset (one per
     // operator family), 3-decimal seconds, hard char budget

@@ -185,6 +185,49 @@ object Chat {
   case class ChatResponse(id: String, created: Long, model: String,
                           usage: Usage, choices: Seq[Choice])
 
+  /** [[toResponse]] as pure columns — V9 at corpus scale (a batch-eval
+    * run assembles millions of wire responses; the per-row case-class
+    * path would be a collect). Same id derivation (UUIDv3 =
+    * `nameUUIDFromBytes(question+answer)`: md5 with the version nibble
+    * forced to 3 and the variant nibble to `(x & 0x3) | 0x8` — both
+    * replayed as hex-string surgery so any SQL engine lands on the
+    * identical id), same whitespace token accounting, same finish-reason
+    * normalization. Returns the wire JSON assembled by explicit concat
+    * (NOT `to_json`) so the byte layout is engine-formatter-independent;
+    * string fields are expected JSON-safe (no quotes/backslashes — the
+    * template-model answers are).
+    */
+  def responseJson(question: org.apache.spark.sql.Column,
+                   context: org.apache.spark.sql.Column,
+                   answer: org.apache.spark.sql.Column,
+                   model: String, createdEpoch: Long,
+                   rawFinishReason: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val finish = when(rawFinishReason === "COMPLETE", "stop")
+      .when(rawFinishReason === "MAX_TOKENS", "length")
+      .otherwise(lower(rawFinishReason))
+    def tok(c: org.apache.spark.sql.Column) =
+      size(filter(split(trim(c), "\\s+"), t => length(t) > 0)).cast("long")
+    val prompt = tok(question) + tok(context)
+    val completion = tok(answer)
+    val h = md5(concat(question, answer).cast("binary"))
+    val variant = when(substring(h, 17, 1).isin("0", "4", "8", "c"), "8")
+      .when(substring(h, 17, 1).isin("1", "5", "9", "d"), "9")
+      .when(substring(h, 17, 1).isin("2", "6", "a", "e"), "a")
+      .otherwise("b")
+    val id = concat(lit("chatcmpl-"),
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+      lit("3"), substring(h, 14, 3), lit("-"),
+      variant, substring(h, 18, 3), lit("-"), substring(h, 21, 12))
+    concat(
+      lit("{\"id\":\""), id,
+      lit(s"""","created":$createdEpoch,"model":"$model","usage":{"prompt_tokens":"""),
+      prompt, lit(",\"completion_tokens\":"), completion,
+      lit(",\"total_tokens\":"), prompt + completion,
+      lit("},\"choices\":[{\"index\":0,\"role\":\"assistant\",\"content\":\""),
+      answer, lit("\",\"finish_reason\":\""), finish, lit("\"}]}"))
+  }
+
   def toResponse(ans: RagAnswer, model: String, createdEpoch: Long,
                  rawFinishReason: String = "COMPLETE"): ChatResponse = {
     val finish = rawFinishReason match {

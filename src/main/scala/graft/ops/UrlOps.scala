@@ -89,6 +89,98 @@ object UrlOps {
     "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
     "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.za", "org.za")
 
+  // ---- RFC 3986 reference resolution -----------------------------------
+
+  private val UriRe = java.util.regex.Pattern.compile(
+    // RFC 3986 appendix B
+    "^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?$")
+
+  private final case class UriParts(scheme: String, authority: String,
+                                    path: String, query: String,
+                                    fragment: String)
+
+  private def parts(s: String): UriParts = {
+    val m = UriRe.matcher(s)
+    m.matches() // appendix-B regex matches every string
+    UriParts(m.group(2), m.group(4), Option(m.group(5)).getOrElse(""),
+      m.group(7), m.group(9))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, verbatim. */
+  private[ops] def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        val cut = out.lastIndexOf('/')
+        out.setLength(if (cut < 0) 0 else cut)
+      } else if (in == "/..") {
+        in = "/"
+        val cut = out.lastIndexOf('/')
+        out.setLength(if (cut < 0) 0 else cut)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val next = in.indexOf('/', 1)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out.append(seg)
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.result()
+  }
+
+  /** RFC 3986 §5.2 reference resolution (strict — `http:g` stays
+    * `http:g`), the WAT-outlink → absolute-URL step: java.net.URI's
+    * resolve deviates from the RFC on several of §5.4's own test
+    * vectors, so the algorithm is transcribed verbatim (§5.2.2
+    * transform + §5.2.3 merge + §5.2.4 remove_dot_segments —
+    * [[UrlOpsSpec]] pins all 41 §5.4 vectors). Null when the base has
+    * no scheme (a relative base cannot anchor resolution).
+    */
+  def resolveReference(base: String, ref: String): String = {
+    if (base == null || ref == null) return null
+    val b = parts(base)
+    if (b.scheme == null) return null
+    val r = parts(ref)
+    val t =
+      if (r.scheme != null)
+        r.copy(path = removeDotSegments(r.path))
+      else if (r.authority != null)
+        UriParts(b.scheme, r.authority, removeDotSegments(r.path),
+          r.query, r.fragment)
+      else if (r.path.isEmpty)
+        UriParts(b.scheme, b.authority, b.path,
+          if (r.query != null) r.query else b.query, r.fragment)
+      else {
+        val merged =
+          if (r.path.startsWith("/")) r.path
+          else if (b.authority != null && b.path.isEmpty) "/" + r.path
+          else {
+            val cut = b.path.lastIndexOf('/')
+            (if (cut < 0) "" else b.path.substring(0, cut + 1)) + r.path
+          }
+        UriParts(b.scheme, b.authority, removeDotSegments(merged),
+          r.query, r.fragment)
+      }
+    val sb = new StringBuilder
+    if (t.scheme != null) sb.append(t.scheme).append(':')
+    if (t.authority != null) sb.append("//").append(t.authority)
+    sb.append(t.path)
+    if (t.query != null) sb.append('?').append(t.query)
+    if (t.fragment != null) sb.append('#').append(t.fragment)
+    sb.toString
+  }
+
+  /** [[resolveReference]] as a column (bounded per-row kernel). */
+  def resolveUrl(base: Column, ref: Column): Column =
+    udf((b: String, r: String) => Option(resolveReference(b, r)))
+      .apply(base, ref)
+
   /** Registered domain (the "site" key for per-site quotas, crawl
     * politeness buckets, and domain-level quality priors): the last two
     * host labels, or three when the last two are a known multi-part

@@ -139,6 +139,28 @@ object RagPipeline {
     // and listStores reads the catalog back. The oracle pins the configs
     // as literals: the engine must round-trip every field through the
     // manifest write + JSON parse.
+    // V9 as a hash-exact query: the OpenAI-wire response assembly
+    // (id = UUIDv3 over question+answer replayed as md5 hex surgery,
+    // whitespace token usage accounting, finish-reason normalization
+    // incl. the unknown-reason lowercase path, the full wire JSON by
+    // explicit concat) over per-doc synthetic QA rows. The oracle
+    // rebuilds the identical byte string.
+    "chat_response_shape" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val q = concat(lit("what does document "), id, lit(" describe"))
+      val ctx = concat(lit("context tokens for doc "), id)
+      val ans = concat(lit("document "), id, lit(" covers topic "),
+        pmod($"doc_id", lit(7)).cast("string"))
+      val raw = when(pmod($"doc_id", lit(3)) === 0, "COMPLETE")
+        .when(pmod($"doc_id", lit(3)) === 1, "MAX_TOKENS")
+        .otherwise(lit("SAFETY"))
+      documents(s, d).select($"doc_id",
+        graft.ops.Chat.responseJson(q, ctx, ans, "graft-chat",
+          1754006400L, raw).as("response_json"))
+        .orderBy($"doc_id")
+    }),
+
     "store_catalog_scan" -> ((s, d) => {
       import s.implicits._
       val root = java.lang.System.getProperty("java.io.tmpdir") +
@@ -165,6 +187,42 @@ object RagPipeline {
     // aggregates — all from the same parquet tables.
     // the two ingested configs as literals — every field must round-trip
     // the manifest write + JSON parse
+    "chat_response_shape" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    'what does document ' || doc_id::VARCHAR || ' describe' AS q,
+        |    'context tokens for doc ' || doc_id::VARCHAR AS ctx,
+        |    'document ' || doc_id::VARCHAR || ' covers topic ' ||
+        |      (doc_id % 7)::VARCHAR AS ans,
+        |    CASE doc_id % 3 WHEN 0 THEN 'COMPLETE' WHEN 1 THEN 'MAX_TOKENS'
+        |      ELSE 'SAFETY' END AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ans,
+        |    CASE raw WHEN 'COMPLETE' THEN 'stop' WHEN 'MAX_TOKENS' THEN 'length'
+        |      ELSE lower(raw) END AS finish,
+        |    md5(q || ans) AS h,
+        |    len(list_filter(regexp_split_to_array(trim(q), '\s+'),
+        |        x -> len(x) > 0)) +
+        |    len(list_filter(regexp_split_to_array(trim(ctx), '\s+'),
+        |        x -> len(x) > 0)) AS prompt,
+        |    len(list_filter(regexp_split_to_array(trim(ans), '\s+'),
+        |        x -> len(x) > 0)) AS completion
+        |  FROM t)
+        |SELECT doc_id,
+        |  '{"id":"chatcmpl-' || substr(h, 1, 8) || '-' || substr(h, 9, 4) ||
+        |  '-3' || substr(h, 14, 3) || '-' ||
+        |  CASE WHEN substr(h, 17, 1) IN ('0', '4', '8', 'c') THEN '8'
+        |       WHEN substr(h, 17, 1) IN ('1', '5', '9', 'd') THEN '9'
+        |       WHEN substr(h, 17, 1) IN ('2', '6', 'a', 'e') THEN 'a'
+        |       ELSE 'b' END ||
+        |  substr(h, 18, 3) || '-' || substr(h, 21, 12) ||
+        |  '","created":1754006400,"model":"graft-chat","usage":{"prompt_tokens":'
+        |  || prompt::VARCHAR || ',"completion_tokens":' || completion::VARCHAR ||
+        |  ',"total_tokens":' || (prompt + completion)::VARCHAR ||
+        |  '},"choices":[{"index":0,"role":"assistant","content":"' || ans ||
+        |  '","finish_reason":"' || finish || '"}]}' AS response_json
+        |FROM c ORDER BY doc_id""".stripMargin,
     "store_catalog_scan" ->
       """SELECT alias, model, chunk_size, chunk_overlap, distance_metric,
         |  index_type FROM (VALUES

@@ -193,6 +193,31 @@ object Relational {
     // constructs the SAME urls from doc_id and pins the expected
     // canonical/host/registered-domain per shape: the engine must parse
     // and normalize to land on them.
+    // RFC 3986 §5 reference resolution over the RFC's OWN §5.4 test
+    // vectors (normal + abnormal), one case per doc_id residue — the
+    // WAT-outlink → absolute-URL step (ops.UrlOps.resolveReference, a
+    // verbatim transcription of §5.2.2/5.2.3/5.2.4; java.net.URI's
+    // resolve fails several of these). The oracle pins the RFC's
+    // published answers.
+    "url_resolve_cases" -> ((s, d) => {
+      import s.implicits._
+      val refs = Seq(
+        "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s", "g#s", "g?y#s",
+        ";x", "g;x", "g;x?y#s", "", ".", "./", "..", "../", "../g",
+        "../..", "../../", "../../g", "../../../g", "../../../../g",
+        "/./g", "/../g", "g.", ".g", "g..", "..g", "./../g", "./g/.",
+        "g/./h", "g/../h", "g;x=1/./y", "g;x=1/../y", "g?y/./x",
+        "g?y/../x", "g#s/./x", "g#s/../x")
+      documents(s, d)
+        .select(pmod($"doc_id", lit(40)).cast("int").as("case_id"))
+        .distinct()
+        .select($"case_id",
+          element_at(typedlit(refs), $"case_id" + 1).as("ref"))
+        .withColumn("resolved", graft.ops.UrlOps.resolveUrl(
+          lit("http://a/b/c/d;p?q"), $"ref"))
+        .orderBy($"case_id")
+    }),
+
     "url_canonicalize" -> ((s, d) => {
       import s.implicits._
       val id = $"doc_id".cast("string")
@@ -262,6 +287,32 @@ object Relational {
       ).toDF("host", "body")
       graft.ops.Robots.gateUrls(urls, "url", robots, "host", "body", "graftbot")
         .select($"doc_id", $"host", $"allowed", $"crawl_delay")
+        .orderBy($"doc_id")
+    }),
+
+    // Frontier politeness scheduling: robots gate → per-host fetch
+    // timeline (ops.Frontier.schedule — one window keyed by host;
+    // slot × crawl-delay ms, host-declared delay or the 1 s default).
+    // Three hosts: declared 2 s, no robots (default), declared 0.5 s.
+    // The oracle replays the md5-ordered row_number and the per-host
+    // delay arithmetic.
+    "crawl_schedule" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val host = when(pmod($"doc_id", lit(3)) === 0, "a.example.com")
+        .when(pmod($"doc_id", lit(3)) === 1, "b.example.com")
+        .otherwise(lit("c.example.com"))
+      val urls = documents(s, d).select($"doc_id",
+        concat(lit("https://"), host, lit("/item/"), id).as("url"))
+      val robots = Seq(
+        ("a.example.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        ("c.example.com", "User-agent: *\nCrawl-delay: 0.5\n"))
+        .toDF("host", "body")
+      val gated = graft.ops.Robots
+        .gateUrls(urls, "url", robots, "host", "body", "graftbot")
+        .filter($"allowed")
+      graft.ops.Frontier.schedule(gated, "url", "host", "crawl_delay")
+        .select($"doc_id", $"host", $"slot", $"fetch_ms")
         .orderBy($"doc_id")
     }),
 
@@ -951,6 +1002,49 @@ object Relational {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_f
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "url_resolve_cases" ->
+      """SELECT * FROM (VALUES
+        |  (0::INT, 'g', 'http://a/b/c/g'),
+        |  (1::INT, './g', 'http://a/b/c/g'),
+        |  (2::INT, 'g/', 'http://a/b/c/g/'),
+        |  (3::INT, '/g', 'http://a/g'),
+        |  (4::INT, '//g', 'http://g'),
+        |  (5::INT, '?y', 'http://a/b/c/d;p?y'),
+        |  (6::INT, 'g?y', 'http://a/b/c/g?y'),
+        |  (7::INT, '#s', 'http://a/b/c/d;p?q#s'),
+        |  (8::INT, 'g#s', 'http://a/b/c/g#s'),
+        |  (9::INT, 'g?y#s', 'http://a/b/c/g?y#s'),
+        |  (10::INT, ';x', 'http://a/b/c/;x'),
+        |  (11::INT, 'g;x', 'http://a/b/c/g;x'),
+        |  (12::INT, 'g;x?y#s', 'http://a/b/c/g;x?y#s'),
+        |  (13::INT, '', 'http://a/b/c/d;p?q'),
+        |  (14::INT, '.', 'http://a/b/c/'),
+        |  (15::INT, './', 'http://a/b/c/'),
+        |  (16::INT, '..', 'http://a/b/'),
+        |  (17::INT, '../', 'http://a/b/'),
+        |  (18::INT, '../g', 'http://a/b/g'),
+        |  (19::INT, '../..', 'http://a/'),
+        |  (20::INT, '../../', 'http://a/'),
+        |  (21::INT, '../../g', 'http://a/g'),
+        |  (22::INT, '../../../g', 'http://a/g'),
+        |  (23::INT, '../../../../g', 'http://a/g'),
+        |  (24::INT, '/./g', 'http://a/g'),
+        |  (25::INT, '/../g', 'http://a/g'),
+        |  (26::INT, 'g.', 'http://a/b/c/g.'),
+        |  (27::INT, '.g', 'http://a/b/c/.g'),
+        |  (28::INT, 'g..', 'http://a/b/c/g..'),
+        |  (29::INT, '..g', 'http://a/b/c/..g'),
+        |  (30::INT, './../g', 'http://a/b/g'),
+        |  (31::INT, './g/.', 'http://a/b/c/g/'),
+        |  (32::INT, 'g/./h', 'http://a/b/c/g/h'),
+        |  (33::INT, 'g/../h', 'http://a/b/c/h'),
+        |  (34::INT, 'g;x=1/./y', 'http://a/b/c/g;x=1/y'),
+        |  (35::INT, 'g;x=1/../y', 'http://a/b/c/y'),
+        |  (36::INT, 'g?y/./x', 'http://a/b/c/g?y/./x'),
+        |  (37::INT, 'g?y/../x', 'http://a/b/c/g?y/../x'),
+        |  (38::INT, 'g#s/./x', 'http://a/b/c/g#s/./x'),
+        |  (39::INT, 'g#s/../x', 'http://a/b/c/g#s/../x')
+        |) t(case_id, ref, resolved) ORDER BY case_id""".stripMargin,
     "url_canonicalize" ->
       """SELECT doc_id,
         |  CASE v
@@ -985,6 +1079,25 @@ object Relational {
         |  SELECT 'https://example.com/item/' || doc_id || '?page=2', 4
         |  FROM documents)
         |GROUP BY canonical ORDER BY canonical""".stripMargin,
+    "crawl_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'a.example.com'
+        |      WHEN 1 THEN 'b.example.com' ELSE 'c.example.com' END AS host,
+        |    'https://' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'a.example.com'
+        |      WHEN 1 THEN 'b.example.com' ELSE 'c.example.com' END ||
+        |    '/item/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |sched AS (
+        |  SELECT doc_id, host,
+        |    (row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+        |     - 1)::BIGINT AS slot
+        |  FROM u)
+        |SELECT doc_id, host, slot,
+        |  (slot * CASE host WHEN 'a.example.com' THEN 2000
+        |    WHEN 'c.example.com' THEN 500 ELSE 1000 END)::BIGINT AS fetch_ms
+        |FROM sched ORDER BY doc_id""".stripMargin,
     "sitemap_coverage" ->
       """SELECT 'https://example.com/missing/' || b::VARCHAR AS url,
         |  '' AS lastmod

@@ -2849,7 +2849,10 @@ object TextQueries {
         |     27::BIGINT, '482bac4eeab57f43ff8de4e421b18420'),
         |    ('sample4', 3::BIGINT, 'response', 'http://fallback.example.net/resume',
         |     200::BIGINT, 'text/plain',
-        |     13::BIGINT, '3f7f292791c30de01e10f3bf860e1024'))
+        |     13::BIGINT, '3f7f292791c30de01e10f3bf860e1024'),
+        |    ('sample4', 4::BIGINT, 'response', 'http://bom.example.net/utf16',
+        |     200::BIGINT, 'text/plain; charset=iso-8859-1',
+        |     42::BIGINT, '0b5ab00378ef30f6f6349e00d27b8cec'))
         |) ORDER BY warc_file, record_idx""".stripMargin,
     "warc_documents_extract" ->
       """SELECT * FROM (VALUES
@@ -2871,6 +2874,8 @@ object TextQueries {
         |   'http://utf8.example.net/plain', 'text/plain'),
         |  ('sample4_r3', 'résumé façade',
         |   'http://fallback.example.net/resume', 'text/plain'),
+        |  ('sample4_r4', 'BOM wins übermäßig ✓',
+        |   'http://bom.example.net/utf16', 'text/plain; charset=iso-8859-1'),
         |  ('sample5_r0', 'Widget Portal Home Shop FAQ Accept our cookie policy OK Widget care guide A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times. Never oil the bearing. Copyright 2026 Widget Portal. Terms of use apply worldwide.',
         |   'http://portal.example.com/widgets', 'text/html; charset=utf-8'),
         |  ('sample_r2', 'T Crawl Doc First &amp; second.',
@@ -2885,6 +2890,7 @@ object TextQueries {
         |  ('sample4_r0', 'http://latin1.example.net/menu', 7::BIGINT),
         |  ('sample4_r1', 'http://cp1252.example.net/quotes', 6::BIGINT),
         |  ('sample4_r2', 'http://utf8.example.net/plain', 5::BIGINT),
+        |  ('sample4_r4', 'http://bom.example.net/utf16', 4::BIGINT),
         |  ('sample5_r0', 'http://portal.example.com/widgets', 28::BIGINT),
         |  ('sample_r2', 'http://example.com/index.html', 6::BIGINT)
         |) t(doc_id, canonical, n_tokens) ORDER BY doc_id""".stripMargin,
@@ -2917,6 +2923,8 @@ object TextQueries {
         |   'UTF-8 sniffed → café ✓'),
         |  ('sample4_r3', 'http://fallback.example.net/resume', 'text/plain',
         |   'résumé façade'),
+        |  ('sample4_r4', 'http://bom.example.net/utf16',
+        |   'text/plain; charset=iso-8859-1', 'BOM wins übermäßig ✓'),
         |  ('sample5_r0', 'http://portal.example.com/widgets',
         |   'text/html; charset=utf-8',
         |   'Widget care guide' || chr(10) ||
@@ -2928,12 +2936,13 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
     "warc_wat_outlinks" ->
       """SELECT * FROM (VALUES
-        |  ('sample5_r0', 0::BIGINT, '/'),
-        |  ('sample5_r0', 1::BIGINT, '/shop'),
-        |  ('sample5_r0', 2::BIGINT, '/faq'),
-        |  ('sample5_r0', 3::BIGINT, '/ok'),
-        |  ('sample5_r0', 4::BIGINT, '/terms')
-        |) t(doc_id, link_idx, href) ORDER BY doc_id, link_idx""".stripMargin,
+        |  ('sample5_r0', 0::BIGINT, '/', 'http://portal.example.com/'),
+        |  ('sample5_r0', 1::BIGINT, '/shop', 'http://portal.example.com/shop'),
+        |  ('sample5_r0', 2::BIGINT, '/faq', 'http://portal.example.com/faq'),
+        |  ('sample5_r0', 3::BIGINT, '/ok', 'http://portal.example.com/ok'),
+        |  ('sample5_r0', 4::BIGINT, '/terms', 'http://portal.example.com/terms')
+        |) t(doc_id, link_idx, href, href_abs)
+        |ORDER BY doc_id, link_idx""".stripMargin,
     "jsonl_chunks_scan" ->
       """SELECT id AS doc_id, page_content AS text,
         |  metadata.source AS source, metadata.page AS page
@@ -3028,6 +3037,7 @@ object TextQueries {
         |) t(doc_id, text, para) ORDER BY doc_id""".stripMargin,
     "pdf_extract" ->
       """SELECT doc_id, text, page FROM (VALUES
+        |  ('cid_p0', 'cid αβγ 𝐀' || chr(10) || 'plain tail', 0::BIGINT),
         |  ('flate_p0', 'Compressed alpha alpha alpha alpha', 0::BIGINT),
         |  ('flate_p1', 'part one' || chr(10) || 'part two', 1::BIGINT),
         |  ('flate_p2', 'first' || chr(10) || 'second', 2::BIGINT),

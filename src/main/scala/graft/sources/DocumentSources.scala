@@ -428,10 +428,12 @@ object DocumentSources {
 
   /** WARC → WAT-style outlink derivative (the metadata record family's
     * most-used payload): one row per `<a href=…>` in each successful
-    * HTML response — `(doc_id, link_idx, href)`, href RAW as written
-    * (WAT stores unresolved links; resolution is a downstream join
-    * against the page URL). The href harvest is a pure
-    * `regexp_extract_all` + `posexplode` — no per-link UDF work.
+    * HTML response — `(doc_id, link_idx, href, href_abs)` with `href`
+    * RAW as written (the WAT convention) and `href_abs` resolved
+    * against the page URL per RFC 3986 §5
+    * ([[graft.ops.UrlOps.resolveReference]]) — the link-graph edge key.
+    * The href harvest is a pure `regexp_extract_all` + `posexplode`;
+    * resolution is one bounded per-link kernel.
     */
   def readWarcOutlinks(spark: SparkSession, pathGlob: String): DataFrame = {
     val decodeText = udf((ct: String, body: Array[Byte]) =>
@@ -442,10 +444,13 @@ object DocumentSources {
         col("content_type").rlike("(?i)^(text/html|application/xhtml)"))
       .select(
         concat(col("warc_file"), lit("_r"), col("record_idx")).as("doc_id"),
+        col("target_uri"),
         posexplode(regexp_extract_all(
           decodeText(col("content_type"), col("content")),
           lit("(?i)<a[^>]*?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"), lit(1))))
       .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
-        col("col").as("href"))
+        col("col").as("href"),
+        graft.ops.UrlOps.resolveUrl(col("target_uri"), col("col"))
+          .as("href_abs"))
   }
 }

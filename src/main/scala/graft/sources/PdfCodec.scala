@@ -22,12 +22,17 @@ import java.nio.charset.StandardCharsets
   *   - text operators inside content streams: `Tj`, `'`, `"`, `TJ`
   *     (strings concatenated; kerning numbers ignored), line breaks from
   *     `T*`/`Td`/`TD` (dy ≠ 0) — the same order-of-appearance extraction
-  *     a layout-free extractor performs. Font `/Encoding` maps are NOT
-  *     applied: bytes decode as PDFDoc/Latin-1, UTF-16BE for BOM-tagged
-  *     strings — correct for the standard-font PDFs the reference
-  *     ingests, and the accepted failure mode (garbled exotic CID text,
-  *     never a crash) degrades the same way `pypdf` without font data
-  *     does.
+  *     a layout-free extractor performs;
+  *   - fonts: the active font tracks `Tf`, and a font carrying a
+  *     `/ToUnicode` CMap (the CID-font case — every LaTeX/word-processor
+  *     PDF with subset fonts) has its strings decoded through the CMap
+  *     (codespacerange/bfchar/bfrange, 1- or 2-byte codes, UTF-16BE
+  *     targets; unmapped codes become U+FFFD, a broken CMap is ignored).
+  *     Simple-font `/Encoding` differences are NOT applied: bytes decode
+  *     as PDFDoc/Latin-1, UTF-16BE for BOM-tagged strings — correct for
+  *     standard-font PDFs, and the accepted failure mode (garbled exotic
+  *     unmapped text, never a crash) degrades the same way `pypdf`
+  *     without font data does.
   *
   * Parsing is per-FILE inside a `binaryFile` scan, so the work
   * distributes with the files; a 100 TB corpus is many PDFs, not one.
@@ -63,8 +68,151 @@ object PdfCodec {
           a.collect { case r: Ref => decodedStream(r, objects, s) }.mkString("\n")
         case _ => ""
       }
-      extractText(content)
+      extractText(content, fontCMaps(page, objects, s))
     }
+  }
+
+  // ---- ToUnicode CMaps --------------------------------------------------
+
+  /** A parsed ToUnicode CMap: fixed code width in bytes + code → text. */
+  private[graft] final case class CMap(codeBytes: Int, map: Map[Int, String])
+
+  /** The page's fonts that carry a /ToUnicode CMap, keyed by resource
+    * name (the `/F1` of `Tf`). `/Resources` is an inheritable page
+    * attribute — when the leaf lacks one, the nearest ancestor's is
+    * recorded under `__inheritedResources` by [[collectPages]]. A font
+    * whose CMap fails to parse is skipped (fallback byte decoding), not
+    * an error — one exotic font must not sink the page.
+    */
+  private def fontCMaps(page: Map[String, Any], objects: Map[Ref, Any],
+                        s: String): Map[String, CMap] = {
+    val res = page.get("Resources").orElse(page.get("__inheritedResources"))
+      .map(resolve(_, objects))
+    val fonts = res match {
+      case Some(d: Map[String, Any] @unchecked) =>
+        d.get("Font").map(resolve(_, objects)) match {
+          case Some(f: Map[String, Any] @unchecked) => f
+          case _ => Map.empty[String, Any]
+        }
+      case _ => Map.empty[String, Any]
+    }
+    fonts.flatMap { case (name, fref) =>
+      try {
+        resolve(fref, objects) match {
+          case fd: Map[String, Any] @unchecked =>
+            fd.get("ToUnicode").collect { case r: Ref =>
+              name -> parseToUnicodeCMap(decodedStream(r, objects, s))
+            }
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Parse a ToUnicode CMap stream: `begincodespacerange`,
+    * `beginbfchar`, `beginbfrange` (both the incrementing-hex and the
+    * explicit-array destination forms). Code width = the byte length of
+    * the first codespacerange low bound (2 for the Identity-H CID case,
+    * 1 for simple subset fonts), falling back to the first bfchar/
+    * bfrange source width when the codespace section is absent.
+    */
+  private[graft] def parseToUnicodeCMap(content: String): CMap = {
+    val p = new Parser(content, 0)
+    val map = scala.collection.mutable.HashMap.empty[Int, String]
+    var codeBytes = 0
+    val operands = scala.collection.mutable.ArrayBuffer[Any]()
+    def codeOf(t: Str): Int = {
+      if (codeBytes == 0) codeBytes = t.bytes.length
+      t.bytes.foldLeft(0)((acc, b) => (acc << 8) | (b & 0xff))
+    }
+    def dstOf(t: Str): String = new String(t.bytes, StandardCharsets.UTF_16BE)
+    while (p.hasMore) {
+      p.ws()
+      if (p.hasMore) {
+        if (p.peekDelim) {
+          try operands += p.parseValue()
+          catch { case _: Exception => p.i += 1 }
+        } else p.parseBareWord() match {
+          case "begincodespacerange" =>
+            operands.clear()
+            var w = nextWordOrValue(p, operands)
+            while (w != Some("endcodespacerange") && w.isDefined) {
+              w = nextWordOrValue(p, operands)
+            }
+            operands.collectFirst { case t: Str => codeBytes = t.bytes.length }
+              : Unit
+            operands.clear()
+          case "beginbfchar" =>
+            operands.clear()
+            var w = nextWordOrValue(p, operands)
+            while (w != Some("endbfchar") && w.isDefined) {
+              w = nextWordOrValue(p, operands)
+            }
+            operands.grouped(2).foreach {
+              case scala.collection.mutable.ArrayBuffer(src: Str, dst: Str) =>
+                map(codeOf(src)) = dstOf(dst)
+              case _ => ()
+            }
+            operands.clear()
+          case "beginbfrange" =>
+            operands.clear()
+            var w = nextWordOrValue(p, operands)
+            while (w != Some("endbfrange") && w.isDefined) {
+              w = nextWordOrValue(p, operands)
+            }
+            operands.grouped(3).foreach {
+              case scala.collection.mutable.ArrayBuffer(
+                  lo: Str, hi: Str, dst: Str) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                val base = dst.bytes
+                var c = l
+                while (c <= h) {
+                  // increment the LAST code unit (the spec's rule)
+                  val b = java.util.Arrays.copyOf(base, base.length)
+                  val off = c - l
+                  if (b.length >= 2) {
+                    val last = (((b(b.length - 2) & 0xff) << 8) |
+                      (b(b.length - 1) & 0xff)) + off
+                    b(b.length - 2) = ((last >> 8) & 0xff).toByte
+                    b(b.length - 1) = (last & 0xff).toByte
+                  }
+                  map(c) = new String(b, StandardCharsets.UTF_16BE)
+                  c += 1
+                }
+              case scala.collection.mutable.ArrayBuffer(
+                  lo: Str, hi: Str, dsts: Vector[Any] @unchecked) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                var c = l
+                while (c <= h && (c - l) < dsts.length) {
+                  dsts(c - l) match {
+                    case d: Str => map(c) = dstOf(d)
+                    case _ => ()
+                  }
+                  c += 1
+                }
+              case _ => ()
+            }
+            operands.clear()
+          case _ => operands.clear()
+        }
+      }
+    }
+    CMap(if (codeBytes <= 0) 1 else codeBytes, map.toMap)
+  }
+
+  /** Read the next token into `operands` when it is a value; return the
+    * bare word otherwise (None at end of input).
+    */
+  private def nextWordOrValue(
+      p: Parser,
+      operands: scala.collection.mutable.ArrayBuffer[Any]): Option[String] = {
+    p.ws()
+    if (!p.hasMore) None
+    else if (p.peekDelim) {
+      try operands += p.parseValue()
+      catch { case _: Exception => p.i += 1 }
+      nextWordOrValue(p, operands)
+    } else Some(p.parseBareWord())
   }
 
   // ---- object scan ----------------------------------------------------
@@ -136,20 +284,27 @@ object PdfCodec {
 
   /** Depth-first page-tree walk: /Pages nodes recurse through /Kids in
     * order, /Page leaves collect — cycle-guarded (a malformed tree is a
-    * loud error, not an infinite loop).
+    * loud error, not an infinite loop). `/Resources` is inheritable:
+    * the nearest ancestor's rides along as `__inheritedResources` on
+    * leaves that lack their own.
     */
   private def collectPages(ref: Ref, objects: Map[Ref, Any],
-                           seen: scala.collection.mutable.HashSet[Ref]): Vector[Map[String, Any]] = {
+                           seen: scala.collection.mutable.HashSet[Ref],
+                           inheritedRes: Option[Any] = None): Vector[Map[String, Any]] = {
     require(seen.add(ref), s"cycle in page tree at $ref")
     resolve(ref, objects) match {
       case d: Map[String, Any] @unchecked =>
         d.get("Type") match {
-          case Some(Name("Page")) => Vector(d)
+          case Some(Name("Page")) =>
+            if (d.contains("Resources")) Vector(d)
+            else Vector(inheritedRes
+              .map(r => d + ("__inheritedResources" -> r)).getOrElse(d))
           case _ =>
+            val inh = d.get("Resources").orElse(inheritedRes)
             d.get("Kids") match {
               case Some(kids: Vector[Any] @unchecked) =>
                 kids.collect { case r: Ref => r }
-                  .flatMap(collectPages(_, objects, seen)).toVector
+                  .flatMap(collectPages(_, objects, seen, inh)).toVector
               case _ => Vector.empty
             }
         }
@@ -210,14 +365,20 @@ object PdfCodec {
 
   // ---- content-stream text extraction ---------------------------------
 
-  /** Order-of-appearance text from one decoded content stream. */
-  private[sources] def extractText(content: String): String = {
+  /** Order-of-appearance text from one decoded content stream; `fonts`
+    * maps `Tf` resource names to their ToUnicode CMaps (strings shown
+    * under a CMap'd font decode through it).
+    */
+  private[sources] def extractText(content: String,
+                                   fonts: Map[String, CMap] = Map.empty): String = {
     val sb = new StringBuilder
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     val p = new Parser(content, 0)
     // operand stack: operators consume what precedes them
+    var curCMap: Option[CMap] = None
     val operands = scala.collection.mutable.ArrayBuffer[Any]()
+    def show(t: Str): Unit = sb.append(decodeString(t, curCMap))
     while (p.hasMore) {
       p.ws()
       if (!p.hasMore) ()
@@ -227,17 +388,22 @@ object PdfCodec {
       } else {
         val op = p.parseBareWord()
         op match {
+          case "Tf" =>
+            // [/FontName size Tf] — switch the active ToUnicode CMap
+            operands.dropRight(1).lastOption.collect {
+              case Name(f) => curCMap = fonts.get(f)
+            }: Unit
           case "Tj" =>
-            operands.lastOption.collect { case t: Str => sb.append(decodeString(t)) }: Unit
+            operands.lastOption.collect { case t: Str => show(t) }: Unit
           case "'" =>
             newline()
-            operands.lastOption.collect { case t: Str => sb.append(decodeString(t)) }: Unit
+            operands.lastOption.collect { case t: Str => show(t) }: Unit
           case "\"" =>
             newline()
-            operands.lastOption.collect { case t: Str => sb.append(decodeString(t)) }: Unit
+            operands.lastOption.collect { case t: Str => show(t) }: Unit
           case "TJ" =>
             operands.lastOption.collect { case a: Vector[Any] @unchecked =>
-              a.foreach { case t: Str => sb.append(decodeString(t)); case _ => () }
+              a.foreach { case t: Str => show(t); case _ => () }
             }: Unit
           case "T*" => newline()
           // each BT..ET text object is a block: break between blocks
@@ -263,13 +429,31 @@ object PdfCodec {
     sb.result().trim
   }
 
-  /** PDF string bytes → text: UTF-16BE when BOM-tagged, else
-    * PDFDocEncoding ≈ Latin-1.
+  /** PDF string bytes → text: through the active font's ToUnicode CMap
+    * when one applies (fixed-width codes big-endian; unmapped → U+FFFD,
+    * trailing partial code → U+FFFD), else UTF-16BE when BOM-tagged,
+    * else PDFDocEncoding ≈ Latin-1.
     */
-  private def decodeString(t: Str): String =
-    if (t.bytes.length >= 2 && (t.bytes(0) & 0xff) == 0xfe && (t.bytes(1) & 0xff) == 0xff)
-      new String(t.bytes, 2, t.bytes.length - 2, StandardCharsets.UTF_16BE)
-    else new String(t.bytes, StandardCharsets.ISO_8859_1)
+  private def decodeString(t: Str, cmap: Option[CMap] = None): String =
+    cmap match {
+      case Some(CMap(w, m)) =>
+        val out = new StringBuilder
+        var k = 0
+        while (k + w <= t.bytes.length) {
+          var code = 0
+          var j = 0
+          while (j < w) { code = (code << 8) | (t.bytes(k + j) & 0xff); j += 1 }
+          out.append(m.getOrElse(code, "�"))
+          k += w
+        }
+        if (k < t.bytes.length) out.append('�')
+        out.result()
+      case None =>
+        if (t.bytes.length >= 2 && (t.bytes(0) & 0xff) == 0xfe &&
+            (t.bytes(1) & 0xff) == 0xff)
+          new String(t.bytes, 2, t.bytes.length - 2, StandardCharsets.UTF_16BE)
+        else new String(t.bytes, StandardCharsets.ISO_8859_1)
+    }
 
   // ---- recursive-descent value parser ---------------------------------
 

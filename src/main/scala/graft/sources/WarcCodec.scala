@@ -310,6 +310,10 @@ object WarcCodec {
   // keys, quality gates, tokenizers). Resolution order follows the
   // WHATWG HTML encoding sniffing algorithm, the convention every
   // browser and crawl pipeline implements:
+  //   0. a byte-order mark wins over EVERYTHING, the declared charset
+  //      included (WHATWG "BOM sniffing"): EF BB BF → UTF-8,
+  //      FE FF → UTF-16BE, FF FE → UTF-16LE; the BOM itself is
+  //      stripped from the decoded text;
   //   1. the `charset=` parameter of the HTTP Content-Type;
   //   2. for HTML/XML payloads, a `<meta charset=…>` /
   //      `<meta http-equiv="Content-Type" …>` prescan of the first
@@ -374,30 +378,48 @@ object WarcCodec {
     contentType != null &&
       contentType.toLowerCase.matches("^(text/html|application/xhtml|text/xml|application/xml).*")
 
-  /** Resolve the effective charset of a payload per the object
-    * contract's sniffing order. Unknown/unsupported labels fall
-    * through to the content sniff.
+  /** The BOM's charset and BOM byte length, when `body` opens with
+    * one (WHATWG BOM sniffing — step 0, outranks the declared label).
     */
-  def resolveCharset(contentType: String,
-                     body: Array[Byte]): java.nio.charset.Charset = {
-    val label = declaredCharset(contentType)
-      .orElse(if (isHtmlish(contentType)) sniffMetaCharset(body) else None)
-    label.flatMap { l =>
-      try Some(java.nio.charset.Charset.forName(mapLabel(l)))
-      catch { case _: Exception => None }
-    }.getOrElse(if (isValidUtf8(body)) java.nio.charset.StandardCharsets.UTF_8
-                else Windows1252)
+  def sniffBom(body: Array[Byte]): Option[(java.nio.charset.Charset, Int)] = {
+    def b(i: Int) = body(i) & 0xff
+    if (body.length >= 3 && b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf)
+      Some((java.nio.charset.StandardCharsets.UTF_8, 3))
+    else if (body.length >= 2 && b(0) == 0xfe && b(1) == 0xff)
+      Some((java.nio.charset.StandardCharsets.UTF_16BE, 2))
+    else if (body.length >= 2 && b(0) == 0xff && b(1) == 0xfe)
+      Some((java.nio.charset.StandardCharsets.UTF_16LE, 2))
+    else None
   }
 
+  /** Resolve the effective charset of a payload per the object
+    * contract's sniffing order (BOM first). Unknown/unsupported labels
+    * fall through to the content sniff.
+    */
+  def resolveCharset(contentType: String,
+                     body: Array[Byte]): java.nio.charset.Charset =
+    sniffBom(body).map(_._1).getOrElse {
+      val label = declaredCharset(contentType)
+        .orElse(if (isHtmlish(contentType)) sniffMetaCharset(body) else None)
+      label.flatMap { l =>
+        try Some(java.nio.charset.Charset.forName(mapLabel(l)))
+        catch { case _: Exception => None }
+      }.getOrElse(if (isValidUtf8(body)) java.nio.charset.StandardCharsets.UTF_8
+                  else Windows1252)
+    }
+
   /** Decode a payload to text under the resolved charset; malformed
-    * sequences become U+FFFD, never an exception.
+    * sequences become U+FFFD, never an exception; a leading BOM is
+    * consumed, not emitted.
     */
   def decodeBody(contentType: String, body: Array[Byte]): String = {
     if (body == null) return null
+    val skip = sniffBom(body).map(_._2).getOrElse(0)
     val dec = resolveCharset(contentType, body).newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+    dec.decode(java.nio.ByteBuffer.wrap(body, skip, body.length - skip))
+      .toString
   }
 
   /** Inflate a deflate body — zlib-wrapped first, raw-deflate fallback

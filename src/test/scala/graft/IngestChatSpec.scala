@@ -782,6 +782,29 @@ class IngestChatSpec extends AnyFunSuite {
     assert(r.id == Chat.toResponse(ans, "m", 5L).id, "id is content-derived, deterministic")
   }
 
+  test("V9 relational responseJson agrees with toResponse field for field") {
+    for (raw <- Seq("COMPLETE", "MAX_TOKENS", "SAFETY")) {
+      val ans = Chat.RagAnswer("what is spark anyway", "what is spark anyway",
+        "spark is a distributed engine", "ctx alpha beta", Seq("1"),
+        relevant = true)
+      val r = Chat.toResponse(ans, "m-rel", 424242L, raw)
+      val json = Seq((ans.question, ans.context, ans.answer, raw))
+        .toDF("q", "c", "a", "raw")
+        .select(Chat.responseJson(col("q"), col("c"), col("a"), "m-rel",
+          424242L, col("raw")))
+        .as[String].head()
+      // the UUIDv3 id derivation must match java.util.UUID exactly
+      assert(json.contains("\"id\":\"" + r.id + "\""), s"$raw: $json vs ${r.id}")
+      assert(json.contains(s""""prompt_tokens":${r.usage.prompt_tokens}"""))
+      assert(json.contains(s""""completion_tokens":${r.usage.completion_tokens}"""))
+      assert(json.contains(s""""total_tokens":${r.usage.total_tokens}"""))
+      assert(json.contains(
+        s""""finish_reason":"${r.choices.head.finish_reason}""""))
+      assert(json.contains(s""""content":"${r.choices.head.content}""""))
+      assert(json.contains(""""created":424242,"model":"m-rel""""))
+    }
+  }
+
   test("testbed evaluate: report aggregates match hand-computed means (A2-A4)") {
     val qa = Seq(
       Testbed.QaRecord("what is spark", "spark is an engine", "ctx", "tech"),

@@ -110,10 +110,56 @@ object PdfFixtures {
     b.build(cat)
   }
 
+  /** One page under a CID font with a /ToUnicode CMap (bfchar incl. a
+    * surrogate-pair target, bfrange, 2-byte codespace), mixed with an
+    * unmapped simple font on the same line sequence; /Resources lives
+    * on the PAGES node (inheritable attribute), not the leaf.
+    */
+  def cidPdf: Array[Byte] = {
+    val b = new Builder
+    val cat = b.reserve(); val pages = b.reserve(); val p0 = b.reserve()
+    val c0 = b.reserve(); val f1 = b.reserve(); val f2 = b.reserve()
+    val tu = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p0 0 R] /Count 1 " +
+      s"/Resources << /Font << /F1 $f1 0 R /F2 $f2 0 R >> >> >>")
+    b.set(p0, s"<< /Type /Page /Parent $pages 0 R /Contents $c0 0 R >>")
+    b.set(f1, s"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      s"/Encoding /Identity-H /ToUnicode $tu 0 R >>")
+    b.set(f2, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.setRaw(tu, b.streamBody(
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |5 beginbfchar
+        |<0001> <03B1>
+        |<0002> <03B2>
+        |<0003> <03B3>
+        |<0004> <0020>
+        |<0005> <D835DC00>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0019> <0061>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin, compress = false))
+    b.setRaw(c0, b.streamBody(
+      "BT /F1 12 Tf <001200180013000400010002000300040005> Tj T* " +
+        "/F2 10 Tf (plain tail) Tj ET",
+      compress = false))
+    b.build(cat)
+  }
+
   /** Expected page texts, shared by the spec AND the `pdf_extract`
     * driver-query oracle.
     */
   val expected: Seq[(String, String)] = Seq(
+    "cid_p0" -> "cid αβγ 𝐀\nplain tail",
     "flate_p0" -> "Compressed alpha alpha alpha alpha",
     "flate_p1" -> "part one\npart two",
     "flate_p2" -> "first\nsecond",
@@ -127,6 +173,7 @@ object GenPdfFixtures {
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("manual.pdf"), PdfFixtures.manualPdf)
     java.nio.file.Files.write(dir.resolve("flate.pdf"), PdfFixtures.flatePdf)
+    java.nio.file.Files.write(dir.resolve("cid.pdf"), PdfFixtures.cidPdf)
     println(s"wrote ${dir.toAbsolutePath}")
   }
 }

@@ -21,6 +21,36 @@ class PdfSpec extends AnyFunSuite {
     assert(pages == PdfFixtures.expected.filter(_._1.startsWith("flate")).map(_._2))
   }
 
+  test("cid.pdf: ToUnicode CMap — bfchar, bfrange, surrogate pair, inherited /Resources, font switch") {
+    val pages = PdfCodec.extractPages(PdfFixtures.cidPdf)
+    assert(pages == PdfFixtures.expected.filter(_._1.startsWith("cid")).map(_._2))
+  }
+
+  test("CMap corners: 1-byte codes, unmapped code, trailing partial code, broken CMap ignored") {
+    val cm = PdfCodec.parseToUnicodeCMap(
+      "1 begincodespacerange <00> <FF> endcodespacerange\n" +
+        "2 beginbfchar <41> <0058> <42> <0059> endbfchar")
+    assert(cm.codeBytes == 1)
+    assert(cm.map == Map(0x41 -> "X", 0x42 -> "Y"))
+    // array-destination bfrange form
+    val cm2 = PdfCodec.parseToUnicodeCMap(
+      "1 beginbfrange <01> <02> [<0041> <0042>] endbfrange")
+    assert(cm2.map == Map(1 -> "A", 2 -> "B"))
+    // a font whose ToUnicode stream is junk must not sink the page
+    val b = new PdfFixtures.Builder
+    val cat = b.reserve(); val pages = b.reserve(); val p = b.reserve()
+    val c = b.reserve(); val f = b.reserve(); val tu = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p 0 R] /Count 1 >>")
+    b.set(p, s"<< /Type /Page /Parent $pages 0 R /Contents $c 0 R " +
+      s"/Resources << /Font << /F9 $f 0 R >> >> >>")
+    b.set(f, s"<< /Type /Font /ToUnicode $tu 0 R >>")
+    b.set(tu, "<< /Length 4 /Filter /LZWDecode >>\nstream\nabcd\nendstream")
+    b.setRaw(c, b.streamBody("BT /F9 9 Tf (fallback bytes) Tj ET",
+      compress = false))
+    assert(PdfCodec.extractPages(b.build(cat)) == Seq("fallback bytes"))
+  }
+
   test("committed fixtures are byte-identical to the generator (codec/fixture drift is loud)") {
     val dir = java.nio.file.Paths.get("fixtures/pdf")
     assert(Files.exists(dir.resolve("manual.pdf")),
@@ -29,6 +59,8 @@ class PdfSpec extends AnyFunSuite {
       PdfFixtures.manualPdf.toSeq)
     assert(Files.readAllBytes(dir.resolve("flate.pdf")).toSeq ==
       PdfFixtures.flatePdf.toSeq)
+    assert(Files.readAllBytes(dir.resolve("cid.pdf")).toSeq ==
+      PdfFixtures.cidPdf.toSeq)
   }
 
   test("string edge cases: octal escapes, line continuation, nested parens, UTF-16BE") {
@@ -88,6 +120,7 @@ class PdfSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("pdfs").toString
     Files.write(java.nio.file.Paths.get(dir, "manual.pdf"), PdfFixtures.manualPdf)
     Files.write(java.nio.file.Paths.get(dir, "flate.pdf"), PdfFixtures.flatePdf)
+    Files.write(java.nio.file.Paths.get(dir, "cid.pdf"), PdfFixtures.cidPdf)
     val docs = DocumentSources.readPdf(spark, s"$dir/*.pdf")
     val got = docs.select($"doc_id", $"text").as[(String, String)]
       .collect().sortBy(_._1).toSeq

@@ -153,6 +153,31 @@ class RobotsSpec extends AnyFunSuite {
       "https://h.com/tea" -> true))
   }
 
+  test("frontier schedule: per-host slots, declared vs default delay, md5 order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val urls = Seq(
+      ("u1", "https://a.com/1", "a.com", Some(2.0)),
+      ("u2", "https://a.com/2", "a.com", Some(2.0)),
+      ("u3", "https://a.com/3", "a.com", Some(2.0)),
+      ("u4", "https://b.com/1", "b.com", None))
+      .toDF("id", "url", "host", "crawl_delay")
+    val out = graft.ops.Frontier.schedule(urls, "url", "host", "crawl_delay")
+      .select($"id", $"slot", $"fetch_ms")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // a.com: three urls at 2 s spacing — slots 0,1,2 / 0,2000,4000 ms
+    val aSlots = Seq("u1", "u2", "u3").map(out(_)._1).sorted
+    assert(aSlots == Seq(0L, 1L, 2L))
+    Seq("u1", "u2", "u3").foreach { u =>
+      assert(out(u)._2 == out(u)._1 * 2000L) }
+    // b.com schedules independently at the 1 s default
+    assert(out("u4") == ((0L, 0L)))
+    // deterministic: same input, same schedule
+    val again = graft.ops.Frontier.schedule(urls, "url", "host", "crawl_delay")
+      .select($"id", $"slot").as[(String, Long)].collect().toMap
+    Seq("u1", "u2", "u3", "u4").foreach(u => assert(again(u) == out(u)._1))
+  }
+
   test("sitemap XML: urlset and sitemapindex, lastmod optional") {
     val urlset =
       """<?xml version="1.0" encoding="UTF-8"?>

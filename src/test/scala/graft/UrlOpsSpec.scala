@@ -73,4 +73,44 @@ class UrlOpsSpec extends AnyFunSuite {
       .toDF("url").select(UrlOps.host(col("url"))).as[String].collect()
     assert(h.toSeq == Seq("www.example.com"))
   }
+
+  test("RFC 3986 §5.4: all 41 reference-resolution vectors, normal and abnormal") {
+    val base = "http://a/b/c/d;p?q"
+    val vectors = Seq(
+      // §5.4.1 normal
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/", "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g", "../.." -> "http://a/",
+      "../../" -> "http://a/", "../../g" -> "http://a/g",
+      // §5.4.2 abnormal
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      "http:g" -> "http:g") // strict parser: scheme'd ref wins whole
+    vectors.foreach { case (ref, want) =>
+      assert(UrlOps.resolveReference(base, ref) == want,
+        s"ref '$ref': got ${UrlOps.resolveReference(base, ref)}, want $want")
+    }
+    // relative base cannot anchor; nulls propagate
+    assert(UrlOps.resolveReference("b/c", "g") == null)
+    assert(UrlOps.resolveReference(null, "g") == null)
+    assert(UrlOps.resolveReference(base, null) == null)
+    // empty base path + authority: merge gets a leading slash
+    assert(UrlOps.resolveReference("http://h", "g") == "http://h/g")
+  }
 }

@@ -176,13 +176,15 @@ object WarcFixtures {
     "<body><p>“Smart quotes” cost €99 — dash</p></body></html>"
   val Utf8SniffBody = "UTF-8 sniffed → café ✓"
   val FallbackBody = "résumé façade"
+  val BomBody = "BOM wins übermäßig ✓"
 
   /** Charset coverage: a crawl's bodies are NOT all UTF-8. Four 200
     * responses exercising [[graft.sources.WarcCodec.decodeBody]]'s
     * resolution order: declared `charset=iso-8859-1` (non-UTF-8
     * bytes), `<meta charset=windows-1252>` prescan (no HTTP charset),
-    * undeclared valid UTF-8 (content sniff), and undeclared non-UTF-8
-    * (windows-1252 fallback).
+    * undeclared valid UTF-8 (content sniff), undeclared non-UTF-8
+    * (windows-1252 fallback), and a UTF-16LE BOM page whose WRONG
+    * declared charset the BOM must override (WHATWG step 0).
     */
   def sample4Warc: Array[Byte] = {
     def resp(uri: String, n: Int, ct: String, body: Array[Byte]): Array[Byte] =
@@ -201,7 +203,10 @@ object WarcFixtures {
       resp("http://utf8.example.net/plain", 2, "text/plain",
         Utf8SniffBody.getBytes(UTF_8)) ++
       resp("http://fallback.example.net/resume", 3, "text/plain",
-        FallbackBody.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        FallbackBody.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++
+      resp("http://bom.example.net/utf16", 4, "text/plain; charset=iso-8859-1",
+        Array(0xff.toByte, 0xfe.toByte) ++
+          BomBody.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
   }
 
   /** Chrome-laden page: nav + cookie banner + footer around a short

@@ -132,7 +132,7 @@ class WarcSpec extends AnyFunSuite {
       ("sample3", 2L, "response", 200L),
       ("sample4", 0L, "response", 200L), ("sample4", 1L, "response", 200L),
       ("sample4", 2L, "response", 200L), ("sample4", 3L, "response", 200L),
-      ("sample5", 0L, "response", 200L)))
+      ("sample4", 4L, "response", 200L), ("sample5", 0L, "response", 200L)))
   }
 
   test("readWarcDocuments mainContent=true: chrome dropped, short pages fall back") {
@@ -175,6 +175,18 @@ class WarcSpec extends AnyFunSuite {
     // malformed bytes under the RESOLVED charset replace, never throw
     val bad = Array[Byte](0x41, 0xC3.toByte) // truncated UTF-8, declared utf-8
     assert(WarcCodec.decodeBody("text/plain; charset=utf-8", bad) == "A�")
+    // a BOM outranks even the declared charset (WHATWG step 0) and is
+    // consumed, not emitted
+    val rs4 = WarcCodec.parseAll(sample4Warc)
+    assert(rs4(4).contentType == "text/plain; charset=iso-8859-1")
+    assert(WarcCodec.decodeBody(rs4(4).contentType, rs4(4).body) == BomBody)
+    val utf8bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "bom stripped".getBytes("UTF-8")
+    assert(WarcCodec.decodeBody("text/html; charset=windows-1252", utf8bom) ==
+      "bom stripped")
+    val utf16be = Array(0xFE.toByte, 0xFF.toByte) ++
+      "big".getBytes("UTF-16BE")
+    assert(WarcCodec.decodeBody(null, utf16be) == "big")
   }
 
   test("parseStream reads records incrementally off a gzip stream") {
@@ -239,6 +251,7 @@ class WarcSpec extends AnyFunSuite {
         "http://cp1252.example.net/quotes"),
       ("sample4_r2", "UTF-8 sniffed → café ✓", "http://utf8.example.net/plain"),
       ("sample4_r3", "résumé façade", "http://fallback.example.net/resume"),
+      ("sample4_r4", "BOM wins übermäßig ✓", "http://bom.example.net/utf16"),
       ("sample5_r0", "Widget Portal Home Shop FAQ Accept our cookie policy " +
         "OK Widget care guide A widget lasts for decades when it is cleaned " +
         "gently, stored dry, and kept away from direct sunlight at all " +
