@@ -63,35 +63,151 @@ object LangId {
       .select(col("lang"), col("gram"), col("rank"))
   }
 
+  /** Collect trained profiles into the literal map [[classifyMapSide]]
+    * embeds — bounded by construction (≤ |langs|·K rows).
+    */
+  def collectProfiles(profiles: DataFrame): Map[String, Map[String, Int]] =
+    profiles.select(col("lang"), col("gram"), col("rank").cast("int"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getInt(2)).toMap }
+
+  /** Shuffle-FREE classification — the serving/streaming path (the
+    * [[Classifier.scoreMapSide]] treatment): the collected profiles
+    * ride the plan and each row is one bounded kernel (gram count →
+    * top-K rank → per-language out-of-place distance), no explode, no
+    * aggregation, no exchange — safe in Structured Streaming append
+    * mode. Agrees with [[classify]] EXACTLY (integer method): grams
+    * iterate by CODE POINT and rank ties compare in code-point order,
+    * matching Spark's `substr`/string-ordering semantics, spec-pinned
+    * on accented multilingual text.
+    */
+  def classifyMapSide(docs: DataFrame, idCol: String, textCol: String,
+                      profileMap: Map[String, Map[String, Int]],
+                      k: Int = DefaultK): DataFrame = {
+    val langs = profileMap.keys.toSeq.sorted
+    val kernel = udf((text: String) => {
+      val ranked = profileOf(text, k) // the SAME kernel classify explodes
+      var bestLang: String = null
+      var bestDist = Long.MaxValue
+      langs.foreach { l =>
+        val prof = profileMap(l)
+        var d = 0L
+        var r = 0
+        while (r < ranked.length) {
+          val (g, drank) = ranked(r)
+          d += (prof.get(g) match {
+            case Some(pr) => math.abs(drank - pr).toLong
+            case None => k.toLong
+          })
+          r += 1
+        }
+        if (d < bestDist) { bestDist = d; bestLang = l } // langs sorted: ties keep first
+      }
+      (bestLang, bestDist)
+    })
+    docs.select(col(idCol), kernel(col(textCol)).as("__r"))
+      .select(col(idCol), col("__r._1").as("lang_pred"),
+        col("__r._2").as("dist"))
+  }
+
+  /** Code-point-order string comparison — Spark's binary UTF8String
+    * ordering, which Java's UTF-16 `compareTo` diverges from for
+    * supplementary characters.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The document's top-`k` profile: `(gram, drank)` pairs ranked by
+    * (count desc, gram asc in code-point order) — one bounded
+    * imperative kernel per document, matching the SQL-replayable
+    * semantics exactly (code-point gram iteration ≡ Spark `substr`;
+    * code-point tie order ≡ Spark string ordering). A kernel, not
+    * column HOFs: the composed array-expression form re-evaluates its
+    * `array_sort` subtree per lambda ELEMENT (Column composition
+    * clones subtrees — measured as a hang, not a slowdown, at sf0.01),
+    * the same interpreted-HOF cliff the sequential-fold kernel
+    * replaced (SCALE.md round 11).
+    */
+  private[ops] def profileOf(text: String, k: Int): Array[(String, Int)] = {
+    val norm = Option(text).getOrElse("").trim
+      .replaceAll("\\s+", " ").toLowerCase
+    val cps = norm.codePoints().toArray
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    var n = 1
+    while (n <= 3) {
+      var i = 0
+      while (i + n <= cps.length) {
+        val g = new String(cps, i, n)
+        counts(g) = counts.getOrElse(g, 0) + 1
+        i += 1
+      }
+      n += 1
+    }
+    counts.toArray
+      .sortWith { case ((g1, c1), (g2, c2)) =>
+        if (c1 != c2) c1 > c2 else cpCompare(g1, g2) < 0 }
+      .take(k)
+      .zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
+  }
+
   /** Classify documents against trained `profiles`: per document the
     * predicted language and its out-of-place distance
     * `Σ_gram |rank_doc − rank_lang|` (missing gram → `k` penalty),
     * argmin with language-code tie-break. Output
-    * `(idCol, lang_pred, dist)`.
+    * `(idCol, lang_pred, dist)`. Documents with no grams (empty text)
+    * produce no row.
+    *
+    * Plan shape (the 100 TB stance): the doc profile builds INSIDE the
+    * row ([[profileOf]] — narrow map, no per-doc shuffle, no rank
+    * window); the gram match is an inner join against the BROADCAST
+    * profiles (a gram joins only the languages that rank it —
+    * |Δrank| < k per hit, so any hit language strictly beats every
+    * zero-hit language and a per-gram ×|langs| blowup never exists); a
+    * doc-sized seed row per (doc, language) carries the `k·G_doc`
+    * no-hit floor. Two map-side-combinable aggregations total —
+    * `(doc, lang)` then the `min(struct(dist, lang))` argmin — and
+    * zero windows.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
                profiles: DataFrame, k: Int = DefaultK): DataFrame = {
-    val dw = Window.partitionBy(col("__id"))
-      .orderBy(col("cnt").desc, col("gram"))
-    val docProfile = docs
-      .select(col(idCol).as("__id"), explode(grams(col(textCol))).as("gram"))
-      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("drank", row_number().over(dw))
-      .filter(col("drank") <= k)
-      .select(col("__id"), col("gram"), col("drank"))
+    val prof = udf((text: String) => profileOf(text, k))
+    val base = docs
+      .select(col(idCol).as("__id"), prof(col(textCol)).as("__p"))
+      .withColumn("__ng", size(col("__p")).cast("long"))
+      .filter(col("__ng") > 0)
+    val exploded = base
+      .select(col("__id"), col("__ng"), explode(col("__p")).as("__g"))
+      .select(col("__id"), col("__ng"),
+        col("__g._2").as("drank"), col("__g._1").as("gram"))
+    val contribs = exploded
+      .join(broadcast(profiles), Seq("gram")) // inner: matched langs only
+      .select(col("__id"), col("lang"), col("__ng"),
+        abs(col("drank") - col("rank")).cast("long").as("__delta"),
+        lit(1L).as("__hit"))
     val langs = profiles.select(col("lang")).distinct()
-    val dist = docProfile
-      .crossJoin(broadcast(langs)) // bounded ×|langs| multiplier
-      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+    val seed = base.select(col("__id"), col("__ng"))
+      .crossJoin(broadcast(langs)) // one row per (doc, lang) — doc-sized
+      .select(col("__id"), col("lang"), col("__ng"),
+        lit(0L).as("__delta"), lit(0L).as("__hit"))
+    val dist = contribs.unionByName(seed)
       .groupBy(col("__id"), col("lang"))
-      .agg(sum(when(col("rank").isNotNull, abs(col("drank") - col("rank")))
-        .otherwise(lit(k))).as("dist"))
-    val best = Window.partitionBy(col("__id"))
-      .orderBy(col("dist"), col("lang"))
+      .agg(max(col("__ng")).as("__ng"), sum(col("__hit")).as("__nhit"),
+        sum(col("__delta")).as("__shit"))
+      .select(col("__id"), col("lang"),
+        (col("__shit") + (col("__ng") - col("__nhit")) * k).as("dist"))
     dist
-      .withColumn("__rk", row_number().over(best))
-      .filter(col("__rk") === 1)
-      .select(col("__id").as(idCol), col("lang").as("lang_pred"),
-        col("dist").cast("long").as("dist"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("dist"), col("lang"))).as("__b"))
+      .select(col("__id").as(idCol), col("__b.lang").as("lang_pred"),
+        col("__b.dist").cast("long").as("dist"))
   }
 }

@@ -316,6 +316,63 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // Crawl-ops health rollup by registered domain: per-site response
+    // volume, 2xx rate, HTML share, and body mass — the dashboard a
+    // fetch fleet is steered by. One agg over the record scan; the
+    // oracle pins the per-domain facts the engine must assemble from
+    // the archive bytes (WARC framing + wire decodings + status split
+    // + registered-domain extraction all feed the counts).
+    "crawl_health_by_domain" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.DocumentSources
+        .readWarc(s, "/root/repo/fixtures/warc/*")
+        .filter($"record_type" === "response")
+        .withColumn("domain", graft.ops.UrlOps.registeredDomain(
+          graft.ops.UrlOps.host($"target_uri")))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_responses"),
+          sum(when($"http_status" >= 200 && $"http_status" < 300, 1L)
+            .otherwise(0L)).as("n_2xx"),
+          sum(when($"content_type".rlike("(?i)^(text/html|application/xhtml)"),
+            1L).otherwise(0L)).as("n_html"),
+          sum(length($"content")).cast("long").as("body_bytes"))
+        .orderBy($"domain")
+    }),
+
+    // Sitemap-driven recrawl delta: the publisher's sitemap lastmod
+    // against the crawl log — refetch what is NEW (never crawled) or
+    // STALE (modified after the last fetch). The incremental-recrawl
+    // planning step between sitemap_coverage and the frontier.
+    "sitemap_recrawl_delta" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      // input synthesis (not the operator): the sitemap FILE, built
+      // from the corpus ids — collect bounded by |documents|, exists
+      // only to write the XML (the sitemap_coverage convention)
+      val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+      val sitemapXml = {
+        val urls = ids.filter(_ % 2 == 0).map(i =>
+          f"<url><loc>https://example.com/item/$i</loc>" +
+            f"<lastmod>2026-08-${i % 28 + 1}%02d</lastmod></url>")
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |${urls.mkString("\n")}
+           |</urlset>""".stripMargin
+      }
+      val sitemap = graft.ops.Robots.parseSitemap(sitemapXml)
+        .toDF("url", "lastmod")
+      val crawled = docs.filter($"doc_id" % 3 === 0)
+        .select(concat(lit("https://example.com/item/"),
+          $"doc_id".cast("string")).as("url"),
+          lit("2026-08-10").as("fetched_on"))
+      sitemap.join(crawled, Seq("url"), "left")
+        .filter($"fetched_on".isNull || $"lastmod" > $"fetched_on")
+        .select($"url", $"lastmod",
+          when($"fetched_on".isNull, "new").otherwise(lit("stale"))
+            .as("reason"))
+        .orderBy($"url")
+    }),
+
     // Sitemap coverage audit: the publisher's sitemap (parsed from XML
     // by ops.Robots.parseSitemap — bounded, ≤50k URLs per file by the
     // sitemap spec) anti-joined against what the crawl actually
@@ -1071,6 +1128,27 @@ object Relational {
         |    WHEN 4 THEN 'example.net' ELSE 'example.com' END AS reg_domain
         |FROM (SELECT doc_id, ascii(right(doc_id::VARCHAR, 1)) % 6 AS v FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "crawl_health_by_domain" ->
+      """SELECT * FROM (VALUES
+        |  ('example.com', 4::BIGINT, 3::BIGINT, 3::BIGINT, 701::BIGINT),
+        |  ('example.net', 5::BIGINT, 5::BIGINT, 2::BIGINT, 261::BIGINT),
+        |  ('example.org', 5::BIGINT, 5::BIGINT, 2::BIGINT, 132::BIGINT)
+        |) t(domain, n_responses, n_2xx, n_html, body_bytes)
+        |ORDER BY domain""".stripMargin,
+    "sitemap_recrawl_delta" ->
+      """WITH sm AS (
+        |  SELECT 'https://example.com/item/' || doc_id::VARCHAR AS url,
+        |    '2026-08-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS lastmod
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |crawled AS (
+        |  SELECT 'https://example.com/item/' || doc_id::VARCHAR AS url,
+        |    '2026-08-10' AS fetched_on
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT sm.url AS url, sm.lastmod AS lastmod,
+        |  CASE WHEN c.url IS NULL THEN 'new' ELSE 'stale' END AS reason
+        |FROM sm LEFT JOIN crawled c ON sm.url = c.url
+        |WHERE c.url IS NULL OR sm.lastmod > c.fetched_on
+        |ORDER BY sm.url""".stripMargin,
     "url_dedup_survivors" ->
       """SELECT canonical, count(*)::BIGINT AS n_variants FROM (
         |  SELECT 'https://example.com/item/' || doc_id AS canonical, u

@@ -57,6 +57,35 @@ class LangIdSpec extends AnyFunSuite {
     assert(byCnt == byCnt.sorted || prof.nonEmpty) // rank order is stable
   }
 
+  test("classifyMapSide agrees with classify exactly on multilingual text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val profiles = LangId.trainProfiles(
+      LangId.readTraining(spark, "/root/repo/fixtures/langid/train.jsonl"),
+      "lang", "text")
+    val pmap = LangId.collectProfiles(profiles)
+    assert(pmap.size == 10 && pmap.values.forall(_.nonEmpty))
+    val docs = Seq(
+      (0L, "det lilla huset ligger vid sjön och har ett rött tak"),
+      (1L, "çocuklar bahçede oynuyor ve anneleri yemek hazırlıyor"),
+      (2L, "MIXED Case   And\t\twhitespace   collapse test here"),
+      (3L, "dzieci bawią się w ogrodzie przy stole w kuchni"),
+      (4L, "")).toDF("id", "text")
+    val rel = LangId.classify(docs.filter($"id" =!= 4), "id", "text", profiles)
+      .as[(Long, String, Long)].collect().toSet
+    val map = LangId.classifyMapSide(docs.filter($"id" =!= 4), "id", "text", pmap)
+      .as[(Long, String, Long)].collect().toSet
+    assert(rel == map, s"relational $rel vs map-side $map")
+    // the map-side path handles empty text without a row dropping out
+    val empt = LangId.classifyMapSide(docs.filter($"id" === 4), "id", "text", pmap)
+      .as[(Long, String, Long)].collect()
+    assert(empt.length == 1)
+    // the plan is shuffle-free (streaming-safe narrow map)
+    val plan = LangId.classifyMapSide(docs, "id", "text", pmap)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side scoring must not shuffle:\n$plan")
+  }
+
   test("out-of-place distance: missing gram costs k, prediction tie-breaks on lang") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -153,6 +153,23 @@ class RobotsSpec extends AnyFunSuite {
       "https://h.com/tea" -> true))
   }
 
+  test("gateUrls plan: the compiled rules side broadcasts, bodies never ride the join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val robots = Seq(("h.com", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "body")
+    val urls = spark.range(1000).select(
+      concat(lit("https://h.com/p"), $"id").as("url"))
+    val plan = Robots.gateUrls(urls, "url", robots, "host", "body", "bot")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules-sized build side must broadcast; plan:\n$plan")
+    // the join's streamed side carries url+host only; the body column
+    // exists solely inside the build side's compile projection
+    val joinLine = plan.linesIterator.find(_.contains("BroadcastHashJoin")).get
+    assert(!joinLine.contains("body"), s"bodies must not ride the join: $joinLine")
+  }
+
   test("frontier schedule: per-host slots, declared vs default delay, md5 order") {
     val spark = TestSpark.spark
     import spark.implicits._
