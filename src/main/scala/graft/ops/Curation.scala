@@ -197,4 +197,44 @@ object Curation {
           lit(budget) - col("__prev"))))
       .drop("__prev")
   }
+
+  /** Fill-in-the-middle training transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * for a deterministic `ratePct`% of documents, split the text at
+    * two md5-derived cut points and emit the PSM rearrangement
+    * `<PRE> prefix <SUF> suffix <MID> middle` (the paper's
+    * prefix-suffix-middle order with sentinel tokens); the rest pass
+    * through unchanged with `fim_applied = false` — the paper's
+    * finding is that a FIM fraction costs no left-to-right capability,
+    * so the mix IS the product.
+    *
+    * Everything is exact integers off md5 prefixes (the tokenBucket
+    * discipline), so cut points replay bit-for-bit in SQL:
+    * `c1 = h1 % (len+1)`, `c2 = c1 + h2 % (len−c1+1)` over CHARACTER
+    * offsets — empty prefix/middle/suffix segments are legal FIM rows
+    * (the paper trains on them too). Pure column expressions; one
+    * narrow map, no shuffle.
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   ratePct: Long = 50, preTok: String = "<PRE>",
+                   sufTok: String = "<SUF>", midTok: String = "<MID>")
+      : DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct $ratePct not in 0..100")
+    val t = coalesce(col(textCol), lit(""))
+    val n = length(t).cast("long")
+    def h(salt: String) = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 6), 16, 10)
+      .cast("long")
+    val applied = h("_fim") % 100 < lit(ratePct)
+    val c1 = h("_c1") % (n + 1)
+    val c2 = c1 + h("_c2") % (n - c1 + 1)
+    // substring is 1-based; slice [a, b) of the char sequence
+    val prefix = substring(t, lit(1), c1.cast("int"))
+    val middle = t.substr((c1 + 1).cast("int"), (c2 - c1).cast("int"))
+    val suffix = t.substr((c2 + 1).cast("int"), (n - c2).cast("int"))
+    df.withColumn("fim_applied", applied)
+      .withColumn("fim_text",
+        when(applied, concat(lit(preTok), prefix, lit(sufTok), suffix,
+          lit(midTok), middle)).otherwise(t))
+  }
 }

@@ -687,4 +687,29 @@ object Testbed {
       .agg(count(lit(1)).as("n_rows"),
         round(avg(col(valueCol)), 6).as("mean_value"))
   }
+
+  /** RLHF/DPO preference-pair construction from scored generations —
+    * the step between the evaluation sink and preference training: per
+    * prompt, the best-scored candidate becomes `chosen` and the
+    * worst-scored `rejected` (score ties break on the answer string,
+    * so the pair is deterministic), kept only when the margin clears
+    * `minMargin` (equal-score pairs carry no preference signal and are
+    * dropped at the default 0). ONE map-side-combinable aggregation —
+    * `max(struct(score, answer))` / `min(struct(score, answer))` —
+    * never a self-join of candidates; margin rounded to 6 decimals
+    * (the cross-engine float convention).
+    */
+  def preferencePairs(scored: DataFrame, qidCol: String, answerCol: String,
+                      scoreCol: String, minMargin: Double = 0.0): DataFrame = {
+    scored
+      .groupBy(col(qidCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), col(answerCol).as("a"))).as("__c"),
+        min(struct(col(scoreCol).as("s"), col(answerCol).as("a"))).as("__r"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("__c.s") - col("__r.s") > minMargin)
+      .select(col(qidCol), col("__c.a").as("chosen"), col("__r.a").as("rejected"),
+        round(col("__c.s") - col("__r.s"), 6).as("margin"),
+        col("n_candidates"))
+  }
 }

@@ -86,6 +86,48 @@ object TextAnalysis {
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 
+  /** StarCoder-pipeline code filters (Li et al. 2023, "StarCoder: may
+    * the source be with you", §3 data curation — the line-length +
+    * alphanumeric screens every code-corpus pipeline runs): per-doc
+    * line stats and the three gates — max line ≤ `maxLineLen`
+    * (minified/data blobs), mean line ≤ `maxAvgLineLen` (same, in
+    * aggregate), alphanumeric fraction ≥ `alnumPctMin`% (binary/
+    * art/table junk), plus an auto-generated-marker screen. Pure
+    * column expressions; every ratio decided by exact integer
+    * cross-multiplication (the gopherRules discipline — no float
+    * boundary can flip a gate between engines). Empty/null text gates
+    * false on the alnum rule (no content ⇒ not code worth keeping).
+    */
+  def codeStats(df: DataFrame, idCol: String, textCol: String,
+                maxLineLen: Long = 1000, maxAvgLineLen: Long = 100,
+                alnumPctMin: Long = 25): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    df.select(col(idCol), t.as("__t"), lines.as("__l"))
+      .select(col(idCol),
+        size(col("__l")).cast("long").as("n_lines"),
+        length(col("__t")).cast("long").as("n_chars"),
+        aggregate(col("__l"), lit(0L),
+          (acc, l) => greatest(acc, length(l).cast("long")))
+          .as("max_line_len"),
+        length(regexp_replace(col("__t"), "[^A-Za-z0-9]", ""))
+          .cast("long").as("n_alnum"),
+        col("__t").rlike("(?i)auto-?generated|do not edit")
+          .as("autogen_marker"))
+      .withColumn("rule_max_line", col("max_line_len") <= maxLineLen)
+      // mean line length ≤ maxAvg ⇔ n_chars ≤ maxAvg · n_lines (the
+      // newline chars excluded from the numerator would only help, so
+      // charge them: strictest consistent integer form)
+      .withColumn("rule_avg_line",
+        col("n_chars") <= lit(maxAvgLineLen) * col("n_lines"))
+      .withColumn("rule_alnum_frac",
+        lit(100L) * col("n_alnum") >= lit(alnumPctMin) * col("n_chars") &&
+          col("n_chars") > 0)
+      .withColumn("passed",
+        col("rule_max_line") && col("rule_avg_line") &&
+          col("rule_alnum_frac") && !col("autogen_marker"))
+  }
+
   /** PII redaction — the scrubbing pass every large-corpus pipeline runs
     * before training: emails, URLs, IPv4 addresses, and phone-like digit
     * runs become typed placeholder tokens. Pure codegen'd

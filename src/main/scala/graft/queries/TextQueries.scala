@@ -823,6 +823,50 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // StarCoder-pipeline code filters (Li et al. 2023): planted
+    // variants per doc — as-is prose (single long line), space-stripped
+    // "minified" blob, 60-char re-lined, auto-generated-marker — each
+    // judged by the exact-integer line/alnum gates. The oracle replays
+    // every count and cross-multiplication.
+    "code_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      val t = $"text"
+      val v = pmod($"doc_id", lit(4))
+      val planted = when(v === 0, t)
+        .when(v === 1, regexp_replace(t, " ", ""))
+        .when(v === 2, concat_ws("\n", substring(t, 1, 60),
+          substring(t, 61, 60), substring(t, 121, 60)))
+        .otherwise(concat(lit("# AUTO-GENERATED do not edit\n"), t))
+      val docs = documents(s, d).select($"doc_id", planted.as("code"))
+      graft.ops.TextAnalysis.codeStats(docs, "doc_id", "code")
+        .orderBy($"doc_id")
+    }),
+
+    // FIM training transform (Bavarian et al. 2022): PSM rearrangement
+    // with md5-derived cut points for a deterministic 50% of docs —
+    // exact integer cuts, so the oracle replays every split character
+    // for character.
+    "fim_transform" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Curation.fimTransform(
+          documents(s, d).select($"doc_id", $"text"), "doc_id", "text")
+        .select($"doc_id", $"fim_applied", $"fim_text")
+        .orderBy($"doc_id")
+    }),
+
+    // RLHF/DPO preference pairs: candidates grouped by prompt, best vs
+    // worst by score (answer-string tie-break), zero-margin pairs
+    // dropped; one max/min-struct aggregation, no candidate self-join.
+    "preference_pairs" -> ((s, d) => {
+      import s.implicits._
+      val cand = documents(s, d).select(
+        pmod($"doc_id", lit(500)).as("qid"),
+        concat(lit("ans "), $"doc_id".cast("string")).as("answer"),
+        (pmod($"doc_id" * 13, lit(11)).cast("double") / 11.0).as("score"))
+      graft.ops.Testbed.preferencePairs(cand, "qid", "answer", "score")
+        .orderBy($"qid")
+    }),
+
     // Order-invariant bag-of-words fingerprint.
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -3759,6 +3803,70 @@ object TextQueries {
          |    ${hits(deList)} AS de_hits
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "code_quality_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN replace(text, ' ', '')
+        |      WHEN 2 THEN concat_ws(chr(10), substr(text, 1, 60),
+        |        substr(text, 61, 60), substr(text, 121, 60))
+        |      ELSE '# AUTO-GENERATED do not edit' || chr(10) || text
+        |    END AS code
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(string_split(code, chr(10)))::BIGINT AS n_lines,
+        |    length(code)::BIGINT AS n_chars,
+        |    list_max(list_transform(string_split(code, chr(10)),
+        |      l -> length(l)))::BIGINT AS max_line_len,
+        |    length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g'))::BIGINT
+        |      AS n_alnum,
+        |    regexp_matches(code, '(?i)auto-?generated|do not edit')
+        |      AS autogen_marker
+        |  FROM d)
+        |SELECT doc_id, n_lines, n_chars, max_line_len, n_alnum, autogen_marker,
+        |  max_line_len <= 1000 AS rule_max_line,
+        |  n_chars <= 100 * n_lines AS rule_avg_line,
+        |  (100 * n_alnum >= 25 * n_chars AND n_chars > 0) AS rule_alnum_frac,
+        |  (max_line_len <= 1000 AND n_chars <= 100 * n_lines AND
+        |   100 * n_alnum >= 25 * n_chars AND n_chars > 0 AND
+        |   NOT autogen_marker) AS passed
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "fim_transform" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    length(coalesce(text, ''))::BIGINT AS n,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_fim'), 1, 6))::BIGINT
+        |      % 100 < 50 AS applied,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_c1'), 1, 6))::BIGINT AS h1,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_c2'), 1, 6))::BIGINT AS h2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, n, applied, h1 % (n + 1) AS c1,
+        |    (h1 % (n + 1)) + (h2 % (n - (h1 % (n + 1)) + 1)) AS c2
+        |  FROM d)
+        |SELECT doc_id, applied AS fim_applied,
+        |  CASE WHEN applied THEN
+        |    '<PRE>' || substr(t, 1, c1::INT) ||
+        |    '<SUF>' || substr(t, (c2 + 1)::INT, (n - c2)::INT) ||
+        |    '<MID>' || substr(t, (c1 + 1)::INT, (c2 - c1)::INT)
+        |  ELSE t END AS fim_text
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "preference_pairs" ->
+      """WITH cand AS (
+        |  SELECT doc_id % 500 AS qid, 'ans ' || doc_id::VARCHAR AS answer,
+        |    ((doc_id * 13) % 11) / 11.0 AS s
+        |  FROM documents),
+        |agg AS (
+        |  SELECT qid,
+        |    max(struct_pack(s := s, a := answer)) AS c,
+        |    min(struct_pack(s := s, a := answer)) AS r,
+        |    count(*)::BIGINT AS n_candidates
+        |  FROM cand GROUP BY qid)
+        |SELECT qid, c.a AS chosen, r.a AS rejected,
+        |  round(c.s - r.s, 6) AS margin, n_candidates
+        |FROM agg WHERE c.s - r.s > 0 ORDER BY qid""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($docTokens)), ' ')) AS fp
