@@ -1706,6 +1706,52 @@ object TextQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // EXIF metadata report (JEITA CP-3451 TIFF walk over the JPEG APP1):
+    // camera/exposure/GPS tags in IFD order, values rendered EXACTLY
+    // (RATIONALs as num/den — no float). photo.jpg/photo2.jpg carry no
+    // EXIF (the JDK encoder writes JFIF) and contribute no rows; the
+    // spliced photo_exif.jpg pins all 12 tags incl. the planted GPS
+    // coordinates — the PII surface the strip op exists for.
+    "image_exif_report" -> ((s, _) => {
+      import s.implicits._
+      val tags = udf((b: Array[Byte]) => graft.sources.ExifCodec.parse(b))
+      s.read.format("binaryFile").load("/root/repo/fixtures/media/*.jpg")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          posexplode(tags($"content")))
+        .select($"media_id", $"pos".cast("long").as("tag_idx"),
+          $"col._1".as("tag"), $"col._2".as("value"))
+        .orderBy($"media_id", $"tag_idx")
+    }),
+
+    // GPS strip audit: per JPEG — GPS/total tag counts before, tags
+    // after the APP1 strip, and the PROOFS that stripping is safe
+    // (dimensions preserved, dHash bit-identical: the entropy-coded
+    // pixels never moved). The compliance gate a multimodal corpus
+    // runs before training.
+    "image_gps_strip" -> ((s, _) => {
+      import s.implicits._
+      val audit = udf((b: Array[Byte]) => {
+        val stripped = graft.sources.ExifCodec.stripExif(b)
+        val pre = graft.sources.ExifCodec.parse(b)
+        val post = graft.sources.ExifCodec.parse(stripped)
+        val d0 = graft.sources.ImageCodec.probe(b)
+        val d1 = graft.sources.ImageCodec.probe(stripped)
+        (pre.count(_._1.startsWith("gps_")).toLong, pre.size.toLong,
+          post.size.toLong, graft.sources.ExifCodec.hasGps(stripped),
+          d0.width == d1.width && d0.height == d1.height,
+          graft.sources.ImageCodec.dHash64(b) ==
+            graft.sources.ImageCodec.dHash64(stripped))
+      })
+      s.read.format("binaryFile").load("/root/repo/fixtures/media/*.jpg")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          audit($"content").as("a"))
+        .select($"media_id",
+          $"a._1".as("n_gps_tags"), $"a._2".as("n_tags"),
+          $"a._3".as("n_tags_after"), $"a._4".as("gps_after"),
+          $"a._5".as("dims_preserved"), $"a._6".as("dhash_preserved"))
+        .orderBy($"media_id")
+    }),
+
     // Media dedup end-to-end over the MIXED-format corpus: perceptual
     // pairs feed the SAME survivor machinery text dedup uses (connected
     // components + min-id representative) — the {pattern.bmp,
@@ -3988,10 +4034,36 @@ object TextQueries {
         |  ('pattern.bmp', 'pattern.png', 0::BIGINT),
         |  ('pattern.bmp', 'pattern2.bmp', 2::BIGINT),
         |  ('pattern.png', 'pattern2.bmp', 2::BIGINT),
-        |  ('photo.jpg', 'photo2.jpg', 4::BIGINT)) t(id_a, id_b, hamming)
+        |  ('photo.jpg', 'photo2.jpg', 4::BIGINT),
+        |  ('photo.jpg', 'photo_exif.jpg', 0::BIGINT),
+        |  ('photo2.jpg', 'photo_exif.jpg', 4::BIGINT)) t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
     // the survivor set as literals — each perceptual cluster keeps its
     // min-id member, across formats
+    "image_exif_report" ->
+      """SELECT * FROM (VALUES
+        |  ('photo_exif.jpg', 0::BIGINT, 'make', 'GraftCam'),
+        |  ('photo_exif.jpg', 1::BIGINT, 'model', 'Mark II'),
+        |  ('photo_exif.jpg', 2::BIGINT, 'orientation', '6'),
+        |  ('photo_exif.jpg', 3::BIGINT, 'datetime', '2026:08:05 12:00:00'),
+        |  ('photo_exif.jpg', 4::BIGINT, 'exposure_time', '1/250'),
+        |  ('photo_exif.jpg', 5::BIGINT, 'f_number', '28/10'),
+        |  ('photo_exif.jpg', 6::BIGINT, 'iso', '200'),
+        |  ('photo_exif.jpg', 7::BIGINT, 'datetime_original', '2026:08:05 11:58:30'),
+        |  ('photo_exif.jpg', 8::BIGINT, 'gps_latitude_ref', 'N'),
+        |  ('photo_exif.jpg', 9::BIGINT, 'gps_latitude', '48/1,51/1,2979/100'),
+        |  ('photo_exif.jpg', 10::BIGINT, 'gps_longitude_ref', 'E'),
+        |  ('photo_exif.jpg', 11::BIGINT, 'gps_longitude', '2/1,17/1,4038/100')
+        |) t(media_id, tag_idx, tag, value)
+        |ORDER BY media_id, tag_idx""".stripMargin,
+    "image_gps_strip" ->
+      """SELECT * FROM (VALUES
+        |  ('photo.jpg', 0::BIGINT, 0::BIGINT, 0::BIGINT, false, true, true),
+        |  ('photo2.jpg', 0::BIGINT, 0::BIGINT, 0::BIGINT, false, true, true),
+        |  ('photo_exif.jpg', 4::BIGINT, 12::BIGINT, 0::BIGINT, false, true, true)
+        |) t(media_id, n_gps_tags, n_tags, n_tags_after, gps_after,
+        |    dims_preserved, dhash_preserved)
+        |ORDER BY media_id""".stripMargin,
     "media_dedup_survivors" ->
       """SELECT media_id, kind FROM (VALUES
         |  ('halves.bmp', 'image'), ('pattern.bmp', 'image'),

@@ -675,3 +675,174 @@ object Mp4Codec {
   def looksLikeMp4(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 && cc(bytes, 4) == "ftyp"
 }
+
+/** EXIF metadata (JEITA CP-3451 / TIFF 6.0) from JPEG APP1 segments —
+  * the provenance AND PII surface of a multimodal crawl: camera
+  * make/model/timestamps feed dedup and provenance joins, while GPS
+  * coordinates are personal data most training-corpus policies require
+  * stripped before use. Pure-JVM byte walk, no decode: the JPEG
+  * segment scan finds the `Exif\0\0` APP1, then a TIFF IFD
+  * walk over IFD0 → Exif IFD → GPS IFD renders tag values as strings
+  * (ASCII trimmed at NUL; integer types comma-joined; RATIONALs as
+  * `num/den` — EXACT, no float crosses an engine boundary).
+  *
+  * [[ExifCodec.stripExif]] removes every APP1 segment wholesale (the
+  * `exiftool -all=` convention) — pixel data untouched, so the image
+  * still decodes identically; a blunt instrument by design, because
+  * rewriting TIFF offsets to excise ONLY the GPS IFD is where
+  * strip-tools historically leaked data.
+  */
+object ExifCodec {
+
+  /** Well-known tag names; unknown tags render as `tag_0xXXXX`. */
+  private val TagNames: Map[Int, String] = Map(
+    0x010f -> "make", 0x0110 -> "model", 0x0112 -> "orientation",
+    0x011a -> "x_resolution", 0x011b -> "y_resolution",
+    0x0131 -> "software", 0x0132 -> "datetime",
+    0x829a -> "exposure_time", 0x829d -> "f_number",
+    0x8827 -> "iso", 0x9003 -> "datetime_original",
+    0x9004 -> "datetime_digitized", 0x920a -> "focal_length",
+    0xa002 -> "pixel_x_dimension", 0xa003 -> "pixel_y_dimension")
+
+  private val GpsTagNames: Map[Int, String] = Map(
+    0x0001 -> "gps_latitude_ref", 0x0002 -> "gps_latitude",
+    0x0003 -> "gps_longitude_ref", 0x0004 -> "gps_longitude",
+    0x0005 -> "gps_altitude_ref", 0x0006 -> "gps_altitude",
+    0x001d -> "gps_date")
+
+  /** Parse EXIF tags from a JPEG payload: `(tag_name, value)` in IFD
+    * walk order, GPS tags named per [[GpsTagNames]]. Empty when the
+    * payload has no Exif APP1 (or is not a JPEG); malformed TIFF
+    * structures yield the tags parsed up to the fault, never a throw —
+    * one corrupt image must not kill a partition.
+    */
+  def parse(bytes: Array[Byte]): Seq[(String, String)] =
+    try {
+      exifTiffOffset(bytes) match {
+        case None => Seq.empty
+        case Some(off) => parseTiff(bytes, off)
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** Locate the Exif APP1's TIFF block offset. */
+  private def exifTiffOffset(b: Array[Byte]): Option[Int] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var o = 2
+    while (o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
+      val m = b(o + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return None // image data: no APP1 seen
+      val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      if (m == 0xe1 && len >= 8 + 6 && o + 10 <= b.length &&
+          new String(b, o + 4, 6, java.nio.charset.StandardCharsets.US_ASCII)
+            == "Exif\u0000\u0000")
+        return Some(o + 10)
+      o += 2 + len
+    }
+    None
+  }
+
+  private def parseTiff(b: Array[Byte], tiff: Int): Seq[(String, String)] = {
+    val le = b(tiff) == 'I'.toByte && b(tiff + 1) == 'I'.toByte
+    def u16(o: Int): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    require(u16(tiff + 2) == 42, "bad TIFF magic")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exifIfd = -1L
+    var gpsIfd = -1L
+
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 7 => 1
+      case 3 => 2
+      case 4 | 9 => 4
+      case 5 | 10 => 8
+      case _ => 1
+    }
+
+    def render(t: Int, n: Int, vo: Int): String = t match {
+      case 2 => // ASCII, NUL-terminated
+        val raw = new String(b, vo, n,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val nul = raw.indexOf('\u0000')
+        if (nul >= 0) raw.substring(0, nul) else raw
+      case 3 => (0 until n).map(i => u16(vo + 2 * i)).mkString(",")
+      case 4 => (0 until n).map(i => u32(vo + 4 * i)).mkString(",")
+      case 5 => (0 until n).map(i =>
+        s"${u32(vo + 8 * i)}/${u32(vo + 8 * i + 4)}").mkString(",")
+      case 9 => (0 until n).map(i => u32(vo + 4 * i).toInt).mkString(",")
+      case 10 => (0 until n).map(i =>
+        s"${u32(vo + 8 * i).toInt}/${u32(vo + 8 * i + 4).toInt}").mkString(",")
+      case _ => // BYTE/UNDEFINED: hex, capped
+        (0 until math.min(n, 32)).map(i => f"${b(vo + i) & 0xff}%02x").mkString
+    }
+
+    def walkIfd(ifdOff: Long, names: Map[Int, String], gps: Boolean): Unit = {
+      val base = tiff + ifdOff.toInt
+      if (ifdOff < 0 || base + 2 > b.length) return
+      val n = u16(base)
+      var i = 0
+      while (i < n) {
+        val e = base + 2 + 12 * i
+        if (e + 12 > b.length) return
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4).toInt
+        val size = typeSize(typ) * cnt
+        val vo = if (size <= 4) e + 8 else tiff + u32(e + 8).toInt
+        if (vo >= 0 && size >= 0 && vo + size <= b.length) {
+          if (!gps && tag == 0x8769) exifIfd = u32(e + 8)
+          else if (!gps && tag == 0x8825) gpsIfd = u32(e + 8)
+          else out += (names.getOrElse(tag, f"tag_0x$tag%04X") ->
+            render(typ, cnt, vo))
+        }
+        i += 1
+      }
+    }
+
+    walkIfd(u32(tiff + 4), TagNames, gps = false)
+    if (exifIfd >= 0) walkIfd(exifIfd, TagNames, gps = false)
+    if (gpsIfd >= 0) walkIfd(gpsIfd, GpsTagNames, gps = true)
+    out.toSeq
+  }
+
+  /** True when the payload carries any GPS EXIF tag — the PII flag a
+    * corpus gate quarantines on.
+    */
+  def hasGps(bytes: Array[Byte]): Boolean =
+    parse(bytes).exists(_._1.startsWith("gps_"))
+
+  /** Remove every APP1 segment (EXIF and XMP ride in APP1); all other
+    * segments and the entropy-coded image data pass through verbatim,
+    * so the stripped payload decodes pixel-identically. Non-JPEG
+    * payloads return unchanged.
+    */
+  def stripExif(bytes: Array[Byte]): Array[Byte] = {
+    val b = bytes
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return bytes
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    out.write(b, 0, 2)
+    var o = 2
+    var done = false
+    while (!done && o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
+      val m = b(o + 1) & 0xff
+      if (m == 0xda || m == 0xd9) {
+        // start of scan / end marker: copy the rest verbatim
+        out.write(b, o, b.length - o)
+        done = true
+      } else {
+        val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        if (m != 0xe1) out.write(b, o, 2 + len)
+        o += 2 + len
+      }
+    }
+    if (!done && o < b.length) out.write(b, o, b.length - o)
+    out.toByteArray
+  }
+}

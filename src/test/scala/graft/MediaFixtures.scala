@@ -266,8 +266,97 @@ object MediaFixtures {
   /** Encoder-version-dependent fixtures (JPEG): written by the
     * generator, but pinned by DECODE facts, not byte identity.
     */
+  /** Hand-built Exif APP1 payload (little-endian TIFF): IFD0 camera
+    * facts, Exif IFD exposure facts, GPS IFD coordinates
+    * (48°51'29.79"N 2°17'40.38"E) — the planted PII the strip op must
+    * remove. Deterministic bytes regardless of the JPEG encoder, so
+    * the tag VALUES are oracle-pinnable even though the carrier JPEG
+    * is not byte-pinned.
+    */
+  def exifApp1: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def ascii(s: String): Array[Byte] =
+      (s + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val make = ascii("GraftCam")
+    val model = ascii("Mark II")
+    val dt = ascii("2026:08:05 12:00:00")
+    val dto = ascii("2026:08:05 11:58:30")
+    // fixed layout: header(8) | IFD0(6 entries) | Exif IFD(4) | GPS IFD(4)
+    val ifd0Off = 8
+    val exifOff = ifd0Off + 2 + 6 * 12 + 4
+    val gpsOff = exifOff + 2 + 4 * 12 + 4
+    var dataOff = gpsOff + 2 + 4 * 12 + 4
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val makeOff = alloc(make.length)
+    val modelOff = alloc(model.length)
+    val dtOff = alloc(dt.length)
+    val expOff = alloc(8)
+    val fnumOff = alloc(8)
+    val dtoOff = alloc(dto.length)
+    val gpsLatOff = alloc(24)
+    val gpsLonOff = alloc(24)
+    def entry(tag: Int, typ: Int, cnt: Int)(value: => Unit): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      val before = bos.size()
+      value
+      while (bos.size() < before + 4) bos.write(0) // pad inline to 4
+    }
+    // TIFF header
+    bos.write('I'); bos.write('I'); w16(42); w32(ifd0Off)
+    // IFD0
+    w16(6)
+    entry(0x010f, 2, make.length)(w32(makeOff))
+    entry(0x0110, 2, model.length)(w32(modelOff))
+    entry(0x0112, 3, 1)(w16(6))
+    entry(0x0132, 2, dt.length)(w32(dtOff))
+    entry(0x8769, 4, 1)(w32(exifOff))
+    entry(0x8825, 4, 1)(w32(gpsOff))
+    w32(0)
+    // Exif IFD
+    w16(4)
+    entry(0x829a, 5, 1)(w32(expOff))
+    entry(0x829d, 5, 1)(w32(fnumOff))
+    entry(0x8827, 3, 1)(w16(200))
+    entry(0x9003, 2, dto.length)(w32(dtoOff))
+    w32(0)
+    // GPS IFD
+    w16(4)
+    entry(0x0001, 2, 2) { bos.write('N'); bos.write(0) }
+    entry(0x0002, 5, 3)(w32(gpsLatOff))
+    entry(0x0003, 2, 2) { bos.write('E'); bos.write(0) }
+    entry(0x0004, 5, 3)(w32(gpsLonOff))
+    w32(0)
+    // data area, in alloc order
+    bos.write(make); bos.write(model); bos.write(dt)
+    w32(1); w32(250) // exposure 1/250
+    w32(28); w32(10) // f/2.8
+    bos.write(dto)
+    w32(48); w32(1); w32(51); w32(1); w32(2979); w32(100) // lat 48°51'29.79"
+    w32(2); w32(1); w32(17); w32(1); w32(4038); w32(100) // lon 2°17'40.38"
+    "Exif\u0000\u0000".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ bos.toByteArray
+  }
+
+  /** [[photoJpg]] with the Exif APP1 spliced after SOI — the
+    * EXIF/GPS-bearing fixture for the metadata report and strip ops.
+    */
+  def photoExifJpg: Array[Byte] = {
+    val base = photoJpg
+    val app1 = exifApp1
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((app1.length + 2) >> 8) & 0xff).toByte,
+      ((app1.length + 2) & 0xff).toByte) ++ app1
+    base.take(2) ++ seg ++ base.drop(2)
+  }
+
   def rendered: Seq[(String, Array[Byte])] = Seq(
-    "photo.jpg" -> photoJpg, "photo2.jpg" -> photo2Jpg)
+    "photo.jpg" -> photoJpg, "photo2.jpg" -> photo2Jpg,
+    "photo_exif.jpg" -> photoExifJpg)
 }
 
 object GenMediaFixtures {

@@ -242,4 +242,40 @@ class MediaSpec extends AnyFunSuite {
     val info = WavCodec.probe(trunc)
     assert(info.nFrames == 8 && info.peak == 0.5)
   }
+
+  test("EXIF: APP1 TIFF walk — IFD0, Exif IFD, GPS IFD, exact rationals") {
+    val tags = graft.sources.ExifCodec.parse(MediaFixtures.photoExifJpg).toMap
+    assert(tags("make") == "GraftCam" && tags("model") == "Mark II")
+    assert(tags("orientation") == "6")
+    assert(tags("exposure_time") == "1/250" && tags("f_number") == "28/10")
+    assert(tags("iso") == "200")
+    assert(tags("gps_latitude") == "48/1,51/1,2979/100")
+    assert(tags("gps_longitude_ref") == "E")
+    assert(graft.sources.ExifCodec.hasGps(MediaFixtures.photoExifJpg))
+    // JFIF-only JPEGs (the JDK encoder's output) carry no EXIF
+    assert(graft.sources.ExifCodec.parse(MediaFixtures.photoJpg).isEmpty)
+    assert(!graft.sources.ExifCodec.hasGps(MediaFixtures.photoJpg))
+  }
+
+  test("EXIF strip: APP1 gone, pixels untouched, non-JPEG pass-through, junk tolerated") {
+    val src = MediaFixtures.photoExifJpg
+    val stripped = graft.sources.ExifCodec.stripExif(src)
+    assert(graft.sources.ExifCodec.parse(stripped).isEmpty)
+    assert(stripped.length < src.length)
+    // the entropy-coded data never moved: decode is pixel-identical
+    assert(graft.sources.ImageCodec.dHash64(stripped) ==
+      graft.sources.ImageCodec.dHash64(src))
+    assert(graft.sources.ImageCodec.probe(stripped).width ==
+      graft.sources.ImageCodec.probe(src).width)
+    // a no-EXIF JPEG strips to itself byte-for-byte
+    assert(java.util.Arrays.equals(
+      graft.sources.ExifCodec.stripExif(MediaFixtures.photoJpg),
+      MediaFixtures.photoJpg))
+    // non-JPEG payloads pass through; junk never throws
+    val bmp = MediaFixtures.patternBmp
+    assert(graft.sources.ExifCodec.stripExif(bmp) eq bmp)
+    assert(graft.sources.ExifCodec.parse("junk".getBytes).isEmpty)
+    val cut = java.util.Arrays.copyOf(src, 40) // truncated mid-APP1
+    assert(graft.sources.ExifCodec.parse(cut).isEmpty)
+  }
 }
