@@ -89,6 +89,38 @@ object UrlOps {
     "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
     "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.za", "org.za")
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the
+    * webarchive-commons/Common Crawl index convention): scheme and
+    * userinfo dropped, host lowercased with a leading `www.` removed
+    * and labels REVERSED comma-joined, then `)` + path (empty → `/`)
+    * + `?query` — so one site's URLs sort contiguously and a host
+    * range-scan is a prefix scan. Pure column expressions (the
+    * [[canonicalize]] treatment); null for unparseable URLs. Fragments
+    * are dropped (they never reach a server). Non-default ports ride
+    * after the reversed host as `:port`.
+    */
+  def surtKey(url: Column): Column = {
+    val proto = lower(try_parse_url(url, lit("PROTOCOL")))
+    val hp = hostPort(url)
+    val h0 = regexp_replace(hp, ":\\d+$", "")
+    val h = regexp_replace(h0, "^www\\.", "")
+    val port = regexp_extract(hp, ":(\\d+)$", 1)
+    val keepPort = (port =!= "") &&
+      !((proto === "http" && port === "80") ||
+        (proto === "https" && port === "443"))
+    val revHost = array_join(reverse(split(h, "\\.")), ",")
+    val rawPath = try_parse_url(url, lit("PATH"))
+    val path = when(rawPath.isNull || rawPath === "", "/").otherwise(rawPath)
+    val query = try_parse_url(url, lit("QUERY"))
+    when(proto.isNull || h.isNull || h === "", lit(null).cast("string"))
+      .otherwise(concat(
+        revHost,
+        when(keepPort, concat(lit(":"), port)).otherwise(""),
+        lit(")"), path,
+        when(query.isNotNull && query =!= "", concat(lit("?"), query))
+          .otherwise("")))
+  }
+
   // ---- RFC 3986 reference resolution -----------------------------------
 
   private val UriRe = java.util.regex.Pattern.compile(

@@ -426,6 +426,33 @@ object DocumentSources {
       .filter(length(col("wet_text")) > 0)
   }
 
+  /** CDXJ crawl-index scan (the Common Crawl / pywb index convention:
+    * one line per capture — `SURT-key timestamp {json}` — the lookup
+    * structure that makes a 100 TB WARC corpus randomly addressable):
+    * `(surt, ts, url, mime, status, digest, length, offset, filename)`
+    * — `offset`/`length` locate the record inside its named `.warc.gz`
+    * for a ranged fetch, which is how selective re-processing avoids
+    * scanning archives. Line splitting + JSON field extraction are
+    * pure expressions; the text scan distributes per file.
+    */
+  def readCdxj(spark: SparkSession, pathGlob: String): DataFrame = {
+    val line = col("value")
+    val json = regexp_extract(line, "^\\S+ \\S+ (.*)$", 1)
+    def field(name: String) = get_json_object(json, s"$$.$name")
+    spark.read.text(pathGlob)
+      .filter(length(trim(line)) > 0)
+      .select(
+        regexp_extract(line, "^(\\S+)", 1).as("surt"),
+        regexp_extract(line, "^\\S+ (\\S+)", 1).as("ts"),
+        field("url").as("url"),
+        field("mime").as("mime"),
+        field("status").cast("long").as("status"),
+        field("digest").as("digest"),
+        field("length").cast("long").as("rec_length"),
+        field("offset").cast("long").as("rec_offset"),
+        field("filename").as("filename"))
+  }
+
   /** WARC → WAT-style outlink derivative (the metadata record family's
     * most-used payload): one row per `<a href=…>` in each successful
     * HTML response — `(doc_id, link_idx, href, href_abs)` with `href`
