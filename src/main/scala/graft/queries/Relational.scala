@@ -368,6 +368,24 @@ object Relational {
         .orderBy($"surt")
     }),
 
+    // The index's payoff end to end: CDXJ rows with REAL member
+    // offsets into the committed sample2.warc.gz → ranged fetch (seek
+    // to the gzip member, parse exactly one record) → decoded bodies.
+    // The oracle pins the fetched records' facts as literals — the
+    // engine must seek the right byte ranges and decode the members to
+    // land on them.
+    "cdx_ranged_fetch" -> ((s, _) => {
+      import s.implicits._
+      val idx = graft.sources.DocumentSources
+        .readCdxj(s, "/root/repo/fixtures/cdx/fetch.cdxj")
+      graft.sources.DocumentSources
+        .fetchWarcRecords(s, idx, "/root/repo/fixtures/warc")
+        .select($"surt", $"url", $"record_type", $"http_status",
+          $"content_type",
+          decode($"content", "UTF-8").as("body_text"))
+        .orderBy($"surt")
+    }),
+
     // Crawl-ops health rollup by registered domain: per-site response
     // volume, 2xx rate, HTML share, and body mass — the dashboard a
     // fetch fleet is steered by. One agg over the record scan; the
@@ -1220,6 +1238,15 @@ object Relational {
         |  ('org,example)/a', 'https://example.org/a',
         |   'sample2.warc.gz', 0::BIGINT, 96::BIGINT)
         |) t(surt, url, filename, rec_offset, rec_length)
+        |ORDER BY surt""".stripMargin,
+    "cdx_ranged_fetch" ->
+      """SELECT * FROM (VALUES
+        |  ('org,example)/a', 'https://example.org/a', 'response',
+        |   200::BIGINT, 'text/plain; charset=utf-8',
+        |   'gzip member one payload — naïve café ✓'),
+        |  ('org,example)/b', 'https://example.org/b', 'response',
+        |   200::BIGINT, 'text/html', '<p>LF-header parsing</p> ok')
+        |) t(surt, url, record_type, http_status, content_type, body_text)
         |ORDER BY surt""".stripMargin,
     "crawl_health_by_domain" ->
       """SELECT * FROM (VALUES

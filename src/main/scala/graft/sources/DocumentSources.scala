@@ -453,6 +453,49 @@ object DocumentSources {
         field("filename").as("filename"))
   }
 
+  /** Ranged WARC record fetch — the index's payoff: each CDXJ row's
+    * `(filename, rec_offset, rec_length)` seeks straight to its gzip
+    * member (one record per member by spec, so any member boundary is
+    * a valid entry point) and parses exactly that record — a corpus
+    * slice re-processes by reading index-selected BYTE RANGES, never
+    * scanning archives. Per-row bounded kernel over the Hadoop
+    * FileSystem API (S3/GCS ranged GETs on a real cluster; seek+read
+    * locally); output `(surt, ts, url, record_type, http_status,
+    * content_type, content)`. A row whose range fails to parse
+    * surfaces `record_type = "error"` with the message in
+    * `content_type` — one bad index row must not kill the fetch job.
+    */
+  def fetchWarcRecords(spark: SparkSession, index: DataFrame,
+                       archiveDir: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fetch = udf((filename: String, offset: Long, length: Long) => {
+      try {
+        val path = new org.apache.hadoop.fs.Path(archiveDir, filename)
+        val fs = path.getFileSystem(conf.value)
+        val in = fs.open(path)
+        try {
+          in.seek(offset)
+          val bytes = new Array[Byte](length.toInt)
+          in.readFully(bytes)
+          val r = WarcCodec.parseAll(bytes).head
+          (r.recordType, r.targetUri, r.contentType, r.httpStatus, r.body)
+        } finally in.close()
+      } catch {
+        case e: Exception =>
+          ("error", "", e.toString.takeWhile(_ != '\n').take(120), -1,
+            Array.empty[Byte])
+      }
+    })
+    index
+      .withColumn("__r", fetch(col("filename"), col("rec_offset"),
+        col("rec_length")))
+      .select(col("surt"), col("ts"),
+        col("__r._2").as("url"), col("__r._1").as("record_type"),
+        col("__r._4").cast("long").as("http_status"),
+        col("__r._3").as("content_type"), col("__r._5").as("content"))
+  }
+
   /** WARC → WAT-style outlink derivative (the metadata record family's
     * most-used payload): one row per `<a href=…>` in each successful
     * HTML response — `(doc_id, link_idx, href, href_abs)` with `href`

@@ -36,7 +36,36 @@ object CdxFixtures {
       "sha1:AAAA000011112222", 96, 0, "sample2.warc.gz")
   ).mkString("", "\n", "\n")
 
-  def all: Seq[(String, String)] = Seq("sample.cdxj" -> SampleCdxj)
+  /** Index over the COMMITTED `fixtures/warc/sample2.warc.gz` with REAL
+    * member offsets/lengths (computed from the same generator bytes the
+    * archive is byte-asserted against): the spec's
+    * one-record-per-gzip-member layout is exactly what makes a ranged
+    * fetch start at any member boundary.
+    */
+  def FetchCdxj: String = {
+    val m0 = WarcFixtures.sample2WarcGz
+    // locate the second gzip member by magic scan (deterministic on the
+    // committed bytes: gzip magic 1f 8b 08 at a member boundary)
+    var split = -1
+    var i = 1
+    while (split < 0 && i + 2 < m0.length) {
+      if ((m0(i) & 0xff) == 0x1f && (m0(i + 1) & 0xff) == 0x8b &&
+          (m0(i + 2) & 0xff) == 0x08) split = i
+      i += 1
+    }
+    require(split > 0, "sample2.warc.gz must contain two gzip members")
+    Seq(
+      line("org,example)/a", "20260802100000", "https://example.org/a",
+        "text/plain", 200, "sha1:RANGEDA", split, 0, "sample2.warc.gz"),
+      line("org,example)/b", "20260802100001", "https://example.org/b",
+        "text/html", 200, "sha1:RANGEDB", m0.length - split, split,
+        "sample2.warc.gz")
+    ).mkString("", "\n", "\n")
+  }
+
+  def all: Seq[(String, String)] = Seq(
+    "sample.cdxj" -> SampleCdxj,
+    "fetch.cdxj" -> FetchCdxj)
 }
 
 object GenCdxFixtures {

@@ -33,6 +33,28 @@ class CdxSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("ts") == "20260808120000")
   }
 
+  test("ranged fetch: seek to a gzip member, parse exactly one record; bad ranges surface") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val idx = graft.sources.DocumentSources
+      .readCdxj(spark, "/root/repo/fixtures/cdx/fetch.cdxj")
+    val got = graft.sources.DocumentSources
+      .fetchWarcRecords(spark, idx, "/root/repo/fixtures/warc")
+      .select($"surt", $"record_type", $"http_status")
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("org,example)/a", "response", 200L),
+      ("org,example)/b", "response", 200L)))
+    // a corrupt index row (offset into the middle of a member) errors
+    // per ROW, never killing the fetch
+    val bad = Seq(("x)", "1", "u", "m", 200L, "d", 50L, 7L, "sample2.warc.gz"))
+      .toDF("surt", "ts", "url", "mime", "status", "digest",
+        "rec_length", "rec_offset", "filename")
+    val errRow = graft.sources.DocumentSources
+      .fetchWarcRecords(spark, bad, "/root/repo/fixtures/warc")
+      .select($"record_type").as[String].collect()
+    assert(errRow.toSeq == Seq("error"))
+  }
+
   test("surtKey: www strip, label reversal, ports, empty path, fragment drop") {
     val spark = TestSpark.spark
     import spark.implicits._
