@@ -368,6 +368,25 @@ object Relational {
         .orderBy($"surt")
     }),
 
+    // The CDX WRITE side + the full loop: build the index OF the
+    // committed archive (gzip member boundaries from decompression
+    // bookkeeping — never magic-byte scans), then ranged-fetch every
+    // indexed record THROUGH that index and pin offsets, lengths, AND
+    // the fetched bodies. Build → index → seek → parse ≡ the direct
+    // scan, with every byte range a literal in the oracle.
+    "warc_index_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val idx = graft.sources.DocumentSources
+        .indexWarcGz(s, "/root/repo/fixtures/warc/sample2.warc.gz")
+      val fetched = graft.sources.DocumentSources
+        .fetchWarcRecords(s, idx, "/root/repo/fixtures/warc")
+        .select($"surt", decode($"content", "UTF-8").as("body_text"))
+      idx.join(fetched, Seq("surt"))
+        .select($"surt", $"ts", $"url", $"status", $"mime",
+          $"rec_offset", $"rec_length", $"body_text")
+        .orderBy($"surt")
+    }),
+
     // The index's payoff end to end: CDXJ rows with REAL member
     // offsets into the committed sample2.warc.gz → ranged fetch (seek
     // to the gzip member, parse exactly one record) → decoded bodies.
@@ -1238,6 +1257,16 @@ object Relational {
         |  ('org,example)/a', 'https://example.org/a',
         |   'sample2.warc.gz', 0::BIGINT, 96::BIGINT)
         |) t(surt, url, filename, rec_offset, rec_length)
+        |ORDER BY surt""".stripMargin,
+    "warc_index_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('org,example)/a', '20260802100000', 'https://example.org/a',
+        |   200::BIGINT, 'text/plain; charset=utf-8', 0::BIGINT, 271::BIGINT,
+        |   'gzip member one payload — naïve café ✓'),
+        |  ('org,example)/b', '20260802100001', 'https://example.org/b',
+        |   200::BIGINT, 'text/html', 271::BIGINT, 235::BIGINT,
+        |   '<p>LF-header parsing</p> ok')
+        |) t(surt, ts, url, status, mime, rec_offset, rec_length, body_text)
         |ORDER BY surt""".stripMargin,
     "cdx_ranged_fetch" ->
       """SELECT * FROM (VALUES

@@ -453,6 +453,40 @@ object DocumentSources {
         field("filename").as("filename"))
   }
 
+  /** Build the CDX index OF a `.warc.gz` archive — the write side of
+    * the [[readCdxj]]/[[fetchWarcRecords]] loop: per file, gzip member
+    * boundaries from real decompression bookkeeping
+    * ([[WarcCodec.gzipMemberRanges]]) pair each record with its ranged-
+    * fetch `(rec_offset, rec_length)`; the record itself supplies
+    * `surt` ([[graft.ops.UrlOps.surtKey]]), the 14-digit CDX timestamp
+    * (digits of `WARC-Date`), url, type, status, and mime. One
+    * binaryFile scan, per-file kernels — indexing distributes with the
+    * archives exactly like parsing.
+    */
+  def indexWarcGz(spark: SparkSession, pathGlob: String): DataFrame = {
+    val index = udf((bytes: Array[Byte]) =>
+      WarcCodec.gzipMemberRanges(bytes).map { case (off, len) =>
+        val r = WarcCodec.parseAll(
+          java.util.Arrays.copyOfRange(bytes, off.toInt,
+            (off + len).toInt)).head
+        (off, len, r.recordType, r.targetUri, r.warcDate, r.contentType,
+          r.httpStatus)
+      })
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+        explode(index(col("content"))).as("m"))
+      .select(
+        graft.ops.UrlOps.surtKey(col("m._4")).as("surt"),
+        substring(regexp_replace(col("m._5"), "[^0-9]", ""), 1, 14).as("ts"),
+        col("m._4").as("url"),
+        col("m._3").as("record_type"),
+        col("m._7").cast("long").as("status"),
+        col("m._6").as("mime"),
+        col("m._2").as("rec_length"),
+        col("m._1").as("rec_offset"),
+        col("filename"))
+  }
+
   /** Ranged WARC record fetch — the index's payoff: each CDXJ row's
     * `(filename, rec_offset, rec_length)` seeks straight to its gzip
     * member (one record per member by spec, so any member boundary is

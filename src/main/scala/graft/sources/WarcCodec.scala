@@ -301,6 +301,51 @@ object WarcCodec {
     None // unreachable
   }
 
+  /** Byte ranges `(offset, length)` of each gzip MEMBER in a
+    * concatenated `.warc.gz` — the CDX indexer's core: the spec's
+    * one-record-per-member layout means these ranges ARE the ranged-
+    * fetch entry points. Boundaries come from real decompression
+    * bookkeeping (RFC 1952 header parse + raw-deflate
+    * `Inflater.getBytesRead` + the 8-byte CRC32/ISIZE trailer), never
+    * from scanning for magic bytes — `1f 8b` can occur inside
+    * compressed data.
+    */
+  def gzipMemberRanges(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 10 <= bytes.length &&
+        bytes(off) == GzipMagic0 && bytes(off + 1) == GzipMagic1,
+        s"not a gzip member at offset $off")
+      val flg = bytes(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val buf = new Array[Byte](64 * 1024)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished())
+            throw new IllegalArgumentException(
+              s"truncated gzip member at offset $off")
+        }
+        val end = p + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE trailer
+        require(end <= bytes.length,
+          s"gzip member at $off overruns the file trailer")
+        out += ((off.toLong, (end - off).toLong))
+        off = end
+      } finally inf.end()
+    }
+    out.toSeq
+  }
+
   // ---- charset-aware text decode --------------------------------------
   //
   // Crawled pages are NOT all UTF-8: a real few percent of any crawl is

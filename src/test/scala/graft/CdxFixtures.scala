@@ -43,22 +43,16 @@ object CdxFixtures {
     * fetch start at any member boundary.
     */
   def FetchCdxj: String = {
-    val m0 = WarcFixtures.sample2WarcGz
-    // locate the second gzip member by magic scan (deterministic on the
-    // committed bytes: gzip magic 1f 8b 08 at a member boundary)
-    var split = -1
-    var i = 1
-    while (split < 0 && i + 2 < m0.length) {
-      if ((m0(i) & 0xff) == 0x1f && (m0(i + 1) & 0xff) == 0x8b &&
-          (m0(i + 2) & 0xff) == 0x08) split = i
-      i += 1
-    }
-    require(split > 0, "sample2.warc.gz must contain two gzip members")
+    val gz = WarcFixtures.sample2WarcGz
+    val ranges = graft.sources.WarcCodec.gzipMemberRanges(gz)
+    require(ranges.length == 2, "sample2.warc.gz must contain two gzip members")
+    val Seq((o0, l0), (o1, l1)) = ranges
     Seq(
       line("org,example)/a", "20260802100000", "https://example.org/a",
-        "text/plain", 200, "sha1:RANGEDA", split, 0, "sample2.warc.gz"),
+        "text/plain", 200, "sha1:RANGEDA", l0.toInt, o0.toInt,
+        "sample2.warc.gz"),
       line("org,example)/b", "20260802100001", "https://example.org/b",
-        "text/html", 200, "sha1:RANGEDB", m0.length - split, split,
+        "text/html", 200, "sha1:RANGEDB", l1.toInt, o1.toInt,
         "sample2.warc.gz")
     ).mkString("", "\n", "\n")
   }

@@ -55,6 +55,43 @@ class CdxSpec extends AnyFunSuite {
     assert(errRow.toSeq == Seq("error"))
   }
 
+  test("gzipMemberRanges: real boundaries from inflate bookkeeping, junk rejected") {
+    val gz = WarcFixtures.sample2WarcGz
+    val ranges = graft.sources.WarcCodec.gzipMemberRanges(gz)
+    assert(ranges == Seq((0L, 271L), (271L, 235L)))
+    assert(ranges.map(_._2).sum == gz.length)
+    // each range independently parses to exactly its record
+    ranges.foreach { case (off, len) =>
+      val rs = graft.sources.WarcCodec.parseAll(
+        java.util.Arrays.copyOfRange(gz, off.toInt, (off + len).toInt))
+      assert(rs.length == 1)
+    }
+    // non-gzip input raises loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.WarcCodec.gzipMemberRanges("plain".getBytes)
+    }
+    // truncated member raises loudly
+    intercept[Exception] {
+      graft.sources.WarcCodec.gzipMemberRanges(
+        java.util.Arrays.copyOf(gz, 100))
+    }
+  }
+
+  test("indexWarcGz agrees with the committed fetch.cdxj offsets") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val built = graft.sources.DocumentSources
+      .indexWarcGz(spark, "/root/repo/fixtures/warc/sample2.warc.gz")
+      .select($"surt", $"rec_offset", $"rec_length", $"filename")
+      .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val committed = graft.sources.DocumentSources
+      .readCdxj(spark, "/root/repo/fixtures/cdx/fetch.cdxj")
+      .select($"surt", $"rec_offset", $"rec_length", $"filename")
+      .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(built == committed,
+      "the built index must match the committed fixture's ranges")
+  }
+
   test("surtKey: www strip, label reversal, ports, empty path, fragment drop") {
     val spark = TestSpark.spark
     import spark.implicits._
