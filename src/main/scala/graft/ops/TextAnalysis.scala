@@ -86,6 +86,28 @@ object TextAnalysis {
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 
+  /** Unicode normalization (UAX #15) — the first transform of every
+    * serious text pipeline (C4/Gopher lineage runs NFKC before
+    * tokenization): visually-identical strings with different
+    * codepoint sequences (é composed vs e+combining-acute, ligatures,
+    * fullwidth forms) would otherwise defeat exact dedup keys,
+    * stopword matches, and tokenizer vocabularies. Bounded per-row
+    * kernels over `java.text.Normalizer`; NFC is the oracle-checkable
+    * form (DuckDB ships `nfc_normalize`; both sides implement the same
+    * published algorithm, so parity is exact), NFKC adds the
+    * compatibility foldings (ligature/fullwidth/superscript collapse)
+    * tokenizer pipelines prefer.
+    */
+  def nfcNormalize(text: Column): Column =
+    udf((s: String) => Option(s).map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+      .apply(text)
+
+  def nfkcNormalize(text: Column): Column =
+    udf((s: String) => Option(s).map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFKC)))
+      .apply(text)
+
   /** StarCoder-pipeline code filters (Li et al. 2023, "StarCoder: may
     * the source be with you", §3 data curation — the line-length +
     * alphanumeric screens every code-corpus pipeline runs): per-doc

@@ -823,6 +823,28 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Unicode NFC normalization (UAX #15) over planted decomposed/
+    // composed variants — combining marks compose, already-NFC text is
+    // a fixpoint, ASCII is the identity; both engines implement the
+    // same published algorithm (JDK Normalizer vs DuckDB
+    // nfc_normalize), so the comparison is exact, incl. the char
+    // counts shrinking where marks compose.
+    "text_nfc_normalize" -> ((s, d) => {
+      import s.implicits._
+      val v = pmod($"doc_id", lit(4))
+      val planted = when(v === 0, $"text")
+        .when(v === 1, concat($"text", lit(" cafe\u0301 vu")))
+        .when(v === 2, concat($"text", lit(" A\u030Angstro\u0308m n\u0303")))
+        .otherwise(concat($"text", lit(" caf\u00e9 \u00c5 \u00f1")))
+      documents(s, d)
+        .select($"doc_id", planted.as("__in"))
+        .select($"doc_id",
+          length($"__in").cast("long").as("n_chars_in"),
+          graft.ops.TextAnalysis.nfcNormalize($"__in").as("norm_text"))
+        .withColumn("n_chars_out", length($"norm_text").cast("long"))
+        .orderBy($"doc_id")
+    }),
+
     // StarCoder-pipeline code filters (Li et al. 2023): planted
     // variants per doc — as-is prose (single long line), space-stripped
     // "minified" blob, 60-char re-lined, auto-generated-marker — each
@@ -3849,6 +3871,21 @@ object TextQueries {
          |    ${hits(deList)} AS de_hits
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "text_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN text || ' cafe' || chr(769) || ' vu'
+        |      WHEN 2 THEN text || ' A' || chr(778) || 'ngstro' || chr(776)
+        |        || 'm n' || chr(771)
+        |      ELSE text || ' caf' || chr(233) || ' ' || chr(197) || ' ' || chr(241)
+        |    END AS i
+        |  FROM documents)
+        |SELECT doc_id, length(i)::BIGINT AS n_chars_in,
+        |  nfc_normalize(i) AS norm_text,
+        |  length(nfc_normalize(i))::BIGINT AS n_chars_out
+        |FROM d ORDER BY doc_id""".stripMargin,
     "code_quality_gate" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -36,6 +36,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got(6L)._2, "null text never passes")
   }
 
+  // ---- unicode normalization ----
+
+  test("NFC composes marks, NFKC folds compatibility forms, nulls ride through") {
+    val rows = Seq(
+      (1L, "cafe\u0301"), // decomposed e + combining acute
+      (2L, "caf\u00e9"), // composed: fixpoint
+      (3L, "ﬁle Ａwide ⁵"), // ﬁ ligature, fullwidth A, superscript 5
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = rows.select($"id",
+        TextAnalysis.nfcNormalize($"t").as("nfc"),
+        TextAnalysis.nfkcNormalize($"t").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == (("caf\u00e9", "caf\u00e9")))
+    assert(got(2L) == (("caf\u00e9", "caf\u00e9")))
+    // NFC leaves compatibility forms; NFKC folds them
+    assert(got(3L)._1 == "ﬁle Ａwide ⁵")
+    assert(got(3L)._2 == "file Awide 5")
+    assert(got(4L) == ((null, null)))
+  }
+
   // ---- FIM ----
 
   test("fimTransform: segments reassemble to the original, rate bounds hold") {
