@@ -463,7 +463,17 @@ object DocumentSources {
     * binaryFile scan, per-file kernels — indexing distributes with the
     * archives exactly like parsing.
     */
-  def indexWarcGz(spark: SparkSession, pathGlob: String): DataFrame = {
+  def indexWarcGz(spark: SparkSession, pathGlob: String): DataFrame =
+    indexWarcGzFromBinary(spark.read.format("binaryFile").load(pathGlob))
+
+  /** The indexing transform over any `(path, content)` relation —
+    * shared by the batch indexer and the streaming drop-directory
+    * index maintenance
+    * ([[graft.streaming.IncrementalIngest.startWarcIndexing]]): the
+    * SAME plan runs per micro-batch, so stream ≡ batch by construction
+    * (the [[warcDocumentsFromBinary]] discipline).
+    */
+  def indexWarcGzFromBinary(binary: DataFrame): DataFrame = {
     val index = udf((bytes: Array[Byte]) =>
       WarcCodec.gzipMemberRanges(bytes).map { case (off, len) =>
         val r = WarcCodec.parseAll(
@@ -472,7 +482,7 @@ object DocumentSources {
         (off, len, r.recordType, r.targetUri, r.warcDate, r.contentType,
           r.httpStatus)
       })
-    spark.read.format("binaryFile").load(pathGlob)
+    binary
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
         explode(index(col("content"))).as("m"))
       .select(

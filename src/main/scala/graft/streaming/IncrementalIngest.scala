@@ -68,6 +68,35 @@ object IncrementalIngest {
       .start()
   }
 
+  /** Streaming CDX index maintenance: as `.warc.gz` archives land in
+    * the drop directory, each is indexed by the SAME member-boundary
+    * kernel as the batch indexer
+    * ([[graft.sources.DocumentSources.indexWarcGzFromBinary]] —
+    * stream ≡ batch by construction) and the rows append to a
+    * versioned store — the crawl's index stays current as archives
+    * arrive, so ranged fetches ([[graft.sources.DocumentSources
+    * .fetchWarcRecords]]) never wait on a batch re-index. An archive
+    * is indexed exactly once (file-granular micro-batches); the
+    * store's manifest publishes complete batch boundaries.
+    */
+  def startWarcIndexing(spark: SparkSession, inputDir: String,
+                        indexStorePath: String,
+                        checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    spark.readStream.format("binaryFile").schema(schema).load(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = graft.sources.DocumentSources.indexWarcGzFromBinary(batch)
+        if (!rows.isEmpty)
+          graft.ops.VersionedStore.append(spark, indexStorePath, rows): Unit
+      }
+      .start()
+  }
+
   /** Data-contract gate per micro-batch: every arriving batch is
     * validated against `rules` ([[graft.ops.Validate]] — the same
     * single-scan fold the batch gate uses); a CLEAN batch flows to

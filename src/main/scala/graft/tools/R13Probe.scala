@@ -97,6 +97,36 @@ object R13Probe {
     println(f"[maincontent] 20k pages: $m1%.2f s (${mbps}%.0f MB/s across " +
       f"32 cores); 16x: $m16%.2f s; per-row ratio ${m16 / m1 / 16}%.2fx")
 
+    // ---- 2b. CDX indexer throughput (member boundaries + parse) ----
+    def warcGz(nRecords: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(nRecords * 600)
+      val body = ("<html><body>" + ("lorem ipsum dolor sit amet " * 20) +
+        "</body></html>").getBytes("UTF-8")
+      var i = 0
+      while (i < nRecords) {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+        val block = http ++ body
+        val rec = (s"WARC/1.1\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://h$i.example.com/p$i\r\n" +
+          s"WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+          s"Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8") ++
+          block ++ "\r\n\r\n".getBytes("UTF-8")
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rec); g.finish()
+        i += 1
+      }
+      out.toByteArray
+    }
+    (0 until 3).foreach(_ =>
+      graft.sources.WarcCodec.gzipMemberRanges(warcGz(200)))
+    val arch = warcGz(4000)
+    val (nm, tIdx) = time(graft.sources.WarcCodec.gzipMemberRanges(arch).length)
+    println(f"[cdxindex] ${arch.length / 1e6}%.1f MB archive, $nm members: " +
+      f"boundaries in $tIdx%.2f s (${arch.length / 1e6 / tIdx}%.0f MB/s " +
+      "single-threaded; the binaryFile scan adds file parallelism)")
+
     // ---- 3. trained language ID at 16x ----
     val profiles = graft.ops.LangId.trainProfiles(
       graft.ops.LangId.readTraining(spark,

@@ -92,6 +92,37 @@ class CdxSpec extends AnyFunSuite {
       "the built index must match the committed fixture's ranges")
   }
 
+  test("streaming index maintenance: drop-dir archives index once, stream ≡ batch, fetch works") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("cdx-in").toString
+    val store = Files.createTempDirectory("cdx-store").toString + "/idx"
+    val ckpt = Files.createTempDirectory("cdx-ckpt").toString
+    val gz = WarcFixtures.sample2WarcGz
+    val q = graft.streaming.IncrementalIngest.startWarcIndexing(
+      spark, in, store, ckpt)
+    try {
+      Files.write(java.nio.file.Paths.get(in, "a.warc.gz"), gz)
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(in, "b.warc.gz"), gz)
+      q.processAllAvailable()
+      val streamed = graft.ops.VersionedStore.read(spark, store).get
+      val batch = graft.sources.DocumentSources
+        .indexWarcGz(spark, s"$in/*.warc.gz")
+      val key = (df: org.apache.spark.sql.DataFrame) => df
+        .select($"filename", $"rec_offset", $"rec_length", $"surt")
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(key(streamed) == key(batch), "stream must equal the batch index")
+      assert(streamed.count() == 4) // 2 archives × 2 members, each once
+      // the streamed index drives a working ranged fetch
+      val fetched = graft.sources.DocumentSources
+        .fetchWarcRecords(spark, streamed, in)
+        .select($"record_type").as[String].collect()
+      assert(fetched.length == 4 && fetched.forall(_ == "response"))
+    } finally q.stop()
+  }
+
   test("surtKey: www strip, label reversal, ports, empty path, fragment drop") {
     val spark = TestSpark.spark
     import spark.implicits._
