@@ -108,6 +108,31 @@ object TextAnalysis {
       java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFKC)))
       .apply(text)
 
+  /** Deflate size of the UTF-8 text (zlib BEST_COMPRESSION) — the
+    * compression-ratio quality signal the RefinedWeb/MassiveText
+    * lineage uses: highly repetitive spam compresses far below prose,
+    * random/encrypted junk barely compresses at all, and the ratio
+    * needs no language model. Emitted as the exact BYTE COUNT (pair it
+    * with `octet_length` for the ratio) so no float crosses the engine
+    * boundary; deterministic for a fixed JDK zlib (the gzip-fixture
+    * convention — the committed oracle literals pin the container's
+    * JDK). [[charBigramEntropy]] remains the fully engine-portable
+    * cousin for corpora where the JDK pin is unacceptable.
+    */
+  def deflateSize(text: Column): Column =
+    udf((s: String) => Option(s).map { t =>
+      val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_COMPRESSION)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }).apply(text)
+
   /** StarCoder-pipeline code filters (Li et al. 2023, "StarCoder: may
     * the source be with you", §3 data curation — the line-length +
     * alphanumeric screens every code-corpus pipeline runs): per-doc

@@ -1279,7 +1279,7 @@ object Relational {
         |ORDER BY surt""".stripMargin,
     "crawl_health_by_domain" ->
       """SELECT * FROM (VALUES
-        |  ('example.com', 4::BIGINT, 3::BIGINT, 3::BIGINT, 701::BIGINT),
+        |  ('example.com', 4::BIGINT, 3::BIGINT, 3::BIGINT, 777::BIGINT),
         |  ('example.net', 5::BIGINT, 5::BIGINT, 2::BIGINT, 261::BIGINT),
         |  ('example.org', 5::BIGINT, 5::BIGINT, 2::BIGINT, 132::BIGINT)
         |) t(domain, n_responses, n_2xx, n_html, body_bytes)

@@ -1506,6 +1506,92 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // HTML document metadata harvest over the crawl fixtures: the
+    // `<html lang>` attribute (the self-declared language prior the
+    // trained lang-ID calibrates against), the collapsed <title>, and
+    // the meta description — charset-aware decode first, then pure
+    // regexp extraction; absent fields are empty, never null. Pins
+    // cover declared-vs-absent on every 2xx HTML record.
+    "html_meta_extract" -> ((s, _) => {
+      import s.implicits._
+      val decodeText = udf((ct: String, b: Array[Byte]) =>
+        graft.sources.WarcCodec.decodeBody(ct, b))
+      graft.sources.DocumentSources
+        .readWarc(s, "/root/repo/fixtures/warc/*")
+        .filter($"record_type" === "response" &&
+          $"http_status" >= 200 && $"http_status" < 300 &&
+          $"content_type".rlike("(?i)^(text/html|application/xhtml)"))
+        .withColumn("__raw", decodeText($"content_type", $"content"))
+        .select(concat($"warc_file", lit("_r"), $"record_idx").as("doc_id"),
+          regexp_extract($"__raw",
+            "(?is)<html[^>]*?\\blang\\s*=\\s*[\"']?([A-Za-z-]+)", 1)
+            .as("html_lang"),
+          trim(regexp_replace(regexp_extract($"__raw",
+            "(?is)<title[^>]*>(.*?)</title>", 1), "\\s+", " ")).as("title"),
+          regexp_extract($"__raw",
+            "(?is)<meta[^>]*?name\\s*=\\s*[\"']description[\"']" +
+              "[^>]*?content\\s*=\\s*[\"']([^\"']*)", 1)
+            .as("meta_description"))
+        .orderBy($"doc_id")
+    }),
+
+    // Discovery → politeness composition: the sitemap's UNCRAWLED URLs
+    // (the sitemap_coverage delta) seed the frontier at the default
+    // per-host delay — the complete new-page onboarding path.
+    "sitemap_frontier_seed" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val docs = documents(s, d).select($"doc_id",
+        concat(lit("https://example.com/item/"), id).as("url"))
+      // input synthesis (not the operator): the publisher's sitemap
+      // FILE, built from the corpus ids — bounded collect, the
+      // sitemap_coverage convention
+      val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+      val sitemapXml = {
+        val urls = ids.filter(_ % 2 == 0).map(i =>
+          s"<url><loc>https://example.com/item/$i</loc></url>") ++
+          ids.map(_ / 1000).distinct.sorted.map(b =>
+            s"<url><loc>https://example.com/missing/$b</loc></url>")
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |${urls.mkString("\n")}
+           |</urlset>""".stripMargin
+      }
+      val sitemap = graft.ops.Robots.parseSitemap(sitemapXml)
+        .toDF("url", "lastmod")
+      val uncrawled = sitemap
+        .join(docs.select($"url"), Seq("url"), "left_anti")
+        .withColumn("host", graft.ops.UrlOps.host($"url"))
+        .withColumn("crawl_delay", lit(null).cast("double"))
+      graft.ops.Frontier.schedule(uncrawled, "url", "host", "crawl_delay")
+        .select($"url", $"slot", $"fetch_ms")
+        .orderBy($"url")
+    }),
+
+    // Compression-ratio quality signal (RefinedWeb/MassiveText
+    // lineage): repetitive spam compresses far below prose, junk
+    // barely compresses — exact deflate byte counts over four planted
+    // regimes (prose / spam repeat / mixed-symbol / single-char run),
+    // pinned as literals for the container's JDK zlib.
+    "text_compression_ratio" -> ((s, d) => {
+      import s.implicits._
+      val v = pmod($"doc_id", lit(4))
+      val planted = when(v === 0,
+        "the quick brown fox jumps over the lazy dog and runs far away " +
+          "while the hunters sleep soundly through the cold night")
+        .when(v === 1, repeat(lit("buy now "), 40))
+        .when(v === 2,
+          "q7#kP2@mZ9!xB4$vN8&wC1*rT6%yH3(uJ5)eL0-sD2_fG7+aK9=cM4~nR1")
+        .otherwise(repeat(lit("a"), 300))
+      documents(s, d)
+        .select(v.as("variant"), planted.as("__t"))
+        .distinct()
+        .select($"variant",
+          octet_length($"__t").cast("long").as("n_raw"),
+          graft.ops.TextAnalysis.deflateSize($"__t").as("n_deflate"))
+        .orderBy($"variant")
+    }),
+
     // DOM-aware main-content extraction over the committed chrome-laden
     // portal fixture: the oracle pins each kept block — the engine must
     // segment the DOM into blocks, score text mass vs link density,
@@ -2938,7 +3024,7 @@ object TextQueries {
         |   'text/plain', 'both encodings survive'),
         |  ('sample5', 0, 'response', 'http://portal.example.com/widgets', 200,
         |   'text/html; charset=utf-8',
-        |   '<html><head><title>Widget Portal</title><script>var x = 1;</script></head><body><nav><a href="/">Home</a> <a href="/shop">Shop</a> <a href="/faq">FAQ</a></nav><div>Accept our cookie policy <a href="/ok">OK</a></div><main><h1>Widget care guide</h1><p>A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times.</p><p>Never oil the bearing.</p></main><footer>Copyright 2026 Widget Portal. <a href="/terms">Terms</a> of use apply worldwide.</footer></body></html>'))
+        |   '<html lang="en-US"><head><title>Widget Portal</title><meta name="description" content="Widget care tips and guides"><script>var x = 1;</script></head><body><nav><a href="/">Home</a> <a href="/shop">Shop</a> <a href="/faq">FAQ</a></nav><div>Accept our cookie policy <a href="/ok">OK</a></div><main><h1>Widget care guide</h1><p>A widget lasts for decades when it is cleaned gently, stored dry, and kept away from direct sunlight at all times.</p><p>Never oil the bearing.</p></main><footer>Copyright 2026 Widget Portal. <a href="/terms">Terms</a> of use apply worldwide.</footer></body></html>'))
         |SELECT * FROM (
         |  SELECT warc_file, record_idx::BIGINT AS record_idx, record_type,
         |    target_uri, http_status::BIGINT AS http_status, content_type,
@@ -3871,6 +3957,33 @@ object TextQueries {
          |    ${hits(deList)} AS de_hits
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "html_meta_extract" ->
+      """SELECT * FROM (VALUES
+        |  ('sample2_r1', '', '', ''),
+        |  ('sample3_r1', '', '', ''),
+        |  ('sample4_r0', '', '', ''),
+        |  ('sample4_r1', '', '', ''),
+        |  ('sample5_r0', 'en-US', 'Widget Portal', 'Widget care tips and guides'),
+        |  ('sample_r2', '', 'T', '')
+        |) t(doc_id, html_lang, title, meta_description)
+        |ORDER BY doc_id""".stripMargin,
+    "sitemap_frontier_seed" ->
+      """WITH missing AS (
+        |  SELECT DISTINCT
+        |    'https://example.com/missing/' || (doc_id // 1000)::VARCHAR AS url
+        |  FROM documents)
+        |SELECT url,
+        |  (row_number() OVER (ORDER BY md5(url), url) - 1)::BIGINT AS slot,
+        |  ((row_number() OVER (ORDER BY md5(url), url) - 1) * 1000)::BIGINT
+        |    AS fetch_ms
+        |FROM missing ORDER BY url""".stripMargin,
+    "text_compression_ratio" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 116::BIGINT, 93::BIGINT),
+        |  (1::BIGINT, 320::BIGINT, 20::BIGINT),
+        |  (2::BIGINT, 58::BIGINT, 66::BIGINT),
+        |  (3::BIGINT, 300::BIGINT, 13::BIGINT)
+        |) t(variant, n_raw, n_deflate) ORDER BY variant""".stripMargin,
     "text_nfc_normalize" ->
       """WITH d AS (
         |  SELECT doc_id,

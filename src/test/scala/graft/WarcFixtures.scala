@@ -215,7 +215,9 @@ object WarcFixtures {
     * restate the body verbatim).
     */
   val ChromeBody: String =
-    "<html><head><title>Widget Portal</title><script>var x = 1;</script></head>" +
+    "<html lang=\"en-US\"><head><title>Widget Portal</title>" +
+      "<meta name=\"description\" content=\"Widget care tips and guides\">" +
+      "<script>var x = 1;</script></head>" +
       "<body><nav><a href=\"/\">Home</a> <a href=\"/shop\">Shop</a> <a href=\"/faq\">FAQ</a></nav>" +
       "<div>Accept our cookie policy <a href=\"/ok\">OK</a></div>" +
       "<main><h1>Widget care guide</h1>" +
