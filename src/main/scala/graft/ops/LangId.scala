@@ -178,7 +178,38 @@ object LangId {
     * zero windows.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
-               profiles: DataFrame, k: Int = DefaultK): DataFrame = {
+               profiles: DataFrame, k: Int = DefaultK): DataFrame =
+    languageDistances(docs, idCol, textCol, profiles, k)
+      .groupBy(col("__id"))
+      .agg(min(struct(col("dist"), col("lang"))).as("__b"))
+      .select(col("__id").as(idCol), col("__b.lang").as("lang_pred"),
+        col("__b.dist").cast("long").as("dist"))
+
+  /** [[classify]] plus a CONFIDENCE signal: the runner-up language and
+    * the distance margin to it — the routing number a corpus pipeline
+    * thresholds to mark documents "und" (close margins mean mixed or
+    * out-of-model text). Same distance relation, one
+    * `collect_list`-of-|langs| per doc (bounded) sorted in-row.
+    */
+  def classifyTop2(docs: DataFrame, idCol: String, textCol: String,
+                   profiles: DataFrame, k: Int = DefaultK): DataFrame =
+    languageDistances(docs, idCol, textCol, profiles, k)
+      .groupBy(col("__id"))
+      .agg(slice(array_sort(collect_list(struct(col("dist"), col("lang")))),
+        1, 2).as("__t"))
+      .select(col("__id").as(idCol),
+        col("__t")(0)("lang").as("lang_pred"),
+        col("__t")(0)("dist").cast("long").as("dist"),
+        col("__t")(1)("lang").as("runner_up"),
+        (col("__t")(1)("dist") - col("__t")(0)("dist")).cast("long")
+          .as("margin"))
+
+  /** The shared `(doc, lang, dist)` relation behind [[classify]] and
+    * [[classifyTop2]] — see [[classify]]'s plan-shape contract.
+    */
+  private def languageDistances(docs: DataFrame, idCol: String,
+                                textCol: String, profiles: DataFrame,
+                                k: Int): DataFrame = {
     val prof = udf((text: String) => profileOf(text, k))
     val base = docs
       .select(col(idCol).as("__id"), prof(col(textCol)).as("__p"))
@@ -198,16 +229,11 @@ object LangId {
       .crossJoin(broadcast(langs)) // one row per (doc, lang) — doc-sized
       .select(col("__id"), col("lang"), col("__ng"),
         lit(0L).as("__delta"), lit(0L).as("__hit"))
-    val dist = contribs.unionByName(seed)
+    contribs.unionByName(seed)
       .groupBy(col("__id"), col("lang"))
       .agg(max(col("__ng")).as("__ng"), sum(col("__hit")).as("__nhit"),
         sum(col("__delta")).as("__shit"))
       .select(col("__id"), col("lang"),
         (col("__shit") + (col("__ng") - col("__nhit")) * k).as("dist"))
-    dist
-      .groupBy(col("__id"))
-      .agg(min(struct(col("dist"), col("lang"))).as("__b"))
-      .select(col("__id").as(idCol), col("__b.lang").as("lang_pred"),
-        col("__b.dist").cast("long").as("dist"))
   }
 }

@@ -823,6 +823,32 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Language ID with a CONFIDENCE margin: runner-up language and the
+    // distance gap to it — the routing number a pipeline thresholds to
+    // mark mixed/out-of-model documents "und". Shares the trained
+    // query's replay oracle (same CTEs, rank ≤ 2 pivot).
+    "text_lang_id_margin" -> ((s, d) => {
+      import s.implicits._
+      val profiles = graft.ops.LangId.trainProfiles(
+        graft.ops.LangId.readTraining(s, "/root/repo/fixtures/langid/train.jsonl"),
+        "lang", "text")
+      val v = pmod($"doc_id", lit(10))
+      val phrase = when(v === 0, lit("the weather was cold yesterday and the trains were late again this morning"))
+        .when(v === 1, lit("la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas"))
+        .when(v === 2, lit("der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"))
+        .when(v === 3, lit("le petit garçon mange une pomme rouge dans la cuisine de sa grandmère"))
+        .when(v === 4, lit("la ragazza legge un libro interessante sulla storia della città antica"))
+        .when(v === 5, lit("o menino foi à escola de manhã e voltou para casa no final da tarde"))
+        .when(v === 6, lit("de kinderen spelen buiten in het park omdat het vandaag mooi weer is"))
+        .when(v === 7, lit("det lilla huset ligger vid sjön och har ett rött tak med vita knutar"))
+        .when(v === 8, lit("dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni"))
+        .otherwise(lit("çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor"))
+      val docs = documents(s, d).select($"doc_id",
+        concat(phrase, lit(" doc "), $"doc_id".cast("string")).as("text"))
+      graft.ops.LangId.classifyTop2(docs, "doc_id", "text", profiles)
+        .orderBy($"doc_id")
+    }),
+
     // Unicode NFC normalization (UAX #15) over planted decomposed/
     // composed variants — combining marks compose, already-NFC text is
     // a fixpoint, ASCII is the identity; both engines implement the
@@ -2167,6 +2193,55 @@ object TextQueries {
        |SELECT bin, n::BIGINT AS n, avg_prob, frac_pos, gap,
        |  round(sum(n * gap) OVER () / sum(n) OVER (), 6) AS ece
        |FROM g ORDER BY bin""".stripMargin
+
+  // the full Cavnar-Trenkle train+classify replay (shared by the
+  // prediction and confidence-margin oracles)
+  private val langIdReplayCtes: String =
+    """WITH train AS (
+        |  SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM read_json('/root/repo/fixtures/langid/train.jsonl',
+        |                 format='newline_delimited')),
+        |tg AS (
+        |  SELECT lang, substr(t, p::INT, n::INT) AS gram
+        |  FROM (SELECT lang, t, unnest([1, 2, 3]) AS n FROM train) x,
+        |  LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS p) g),
+        |prof AS (
+        |  SELECT lang, gram,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY 1, 2)
+        |  QUALIFY rank <= 300),
+        |docs AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(
+        |    CASE doc_id % 10
+        |      WHEN 0 THEN 'the weather was cold yesterday and the trains were late again this morning'
+        |      WHEN 1 THEN 'la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas'
+        |      WHEN 2 THEN 'der schnelle zug fährt heute nicht weil die strecke gesperrt wurde'
+        |      WHEN 3 THEN 'le petit garçon mange une pomme rouge dans la cuisine de sa grandmère'
+        |      WHEN 4 THEN 'la ragazza legge un libro interessante sulla storia della città antica'
+        |      WHEN 5 THEN 'o menino foi à escola de manhã e voltou para casa no final da tarde'
+        |      WHEN 6 THEN 'de kinderen spelen buiten in het park omdat het vandaag mooi weer is'
+        |      WHEN 7 THEN 'det lilla huset ligger vid sjön och har ett rött tak med vita knutar'
+        |      WHEN 8 THEN 'dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni'
+        |      ELSE 'çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor'
+        |    END || ' doc ' || doc_id::VARCHAR), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, substr(t, p::INT, n::INT) AS gram
+        |  FROM (SELECT doc_id, t, unnest([1, 2, 3]) AS n FROM docs) x,
+        |  LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS p) g),
+        |dprof AS (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS drank
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM dg GROUP BY 1, 2)
+        |  QUALIFY drank <= 300),
+        |dist AS (
+        |  SELECT d.doc_id, l.lang,
+        |    sum(CASE WHEN p.rank IS NULL THEN 300
+        |             ELSE abs(d.drank - p.rank) END) AS dist
+        |  FROM dprof d
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+        |  GROUP BY 1, 2)""".stripMargin
 
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
   private def hits(lst: String): String =
@@ -3899,55 +3974,22 @@ object TextQueries {
     // normalization, same 1/2/3-gram explode, same (cnt desc, gram)
     // ranking, same out-of-place distance — integers end to end
     "text_lang_id_trained" ->
-      """WITH train AS (
-        |  SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
-        |  FROM read_json('/root/repo/fixtures/langid/train.jsonl',
-        |                 format='newline_delimited')),
-        |tg AS (
-        |  SELECT lang, substr(t, p::INT, n::INT) AS gram
-        |  FROM (SELECT lang, t, unnest([1, 2, 3]) AS n FROM train) x,
-        |  LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS p) g),
-        |prof AS (
-        |  SELECT lang, gram,
-        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
-        |  FROM (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY 1, 2)
-        |  QUALIFY rank <= 300),
-        |docs AS (
-        |  SELECT doc_id, lower(regexp_replace(trim(
-        |    CASE doc_id % 10
-        |      WHEN 0 THEN 'the weather was cold yesterday and the trains were late again this morning'
-        |      WHEN 1 THEN 'la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas'
-        |      WHEN 2 THEN 'der schnelle zug fährt heute nicht weil die strecke gesperrt wurde'
-        |      WHEN 3 THEN 'le petit garçon mange une pomme rouge dans la cuisine de sa grandmère'
-        |      WHEN 4 THEN 'la ragazza legge un libro interessante sulla storia della città antica'
-        |      WHEN 5 THEN 'o menino foi à escola de manhã e voltou para casa no final da tarde'
-        |      WHEN 6 THEN 'de kinderen spelen buiten in het park omdat het vandaag mooi weer is'
-        |      WHEN 7 THEN 'det lilla huset ligger vid sjön och har ett rött tak med vita knutar'
-        |      WHEN 8 THEN 'dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni'
-        |      ELSE 'çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor'
-        |    END || ' doc ' || doc_id::VARCHAR), '\s+', ' ', 'g')) AS t
-        |  FROM documents),
-        |dg AS (
-        |  SELECT doc_id, substr(t, p::INT, n::INT) AS gram
-        |  FROM (SELECT doc_id, t, unnest([1, 2, 3]) AS n FROM docs) x,
-        |  LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS p) g),
-        |dprof AS (
-        |  SELECT doc_id, gram,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS drank
-        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM dg GROUP BY 1, 2)
-        |  QUALIFY drank <= 300),
-        |dist AS (
-        |  SELECT d.doc_id, l.lang,
-        |    sum(CASE WHEN p.rank IS NULL THEN 300
-        |             ELSE abs(d.drank - p.rank) END) AS dist
-        |  FROM dprof d
-        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
-        |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
-        |  GROUP BY 1, 2)
+      s"""$langIdReplayCtes
         |SELECT doc_id, lang AS lang_pred, dist::BIGINT AS dist
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY doc_id ORDER BY dist, lang) AS rk FROM dist)
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "text_lang_id_margin" ->
+      s"""$langIdReplayCtes
+        |SELECT doc_id,
+        |  max(CASE WHEN rk = 1 THEN lang END) AS lang_pred,
+        |  max(CASE WHEN rk = 1 THEN dist END)::BIGINT AS dist,
+        |  max(CASE WHEN rk = 2 THEN lang END) AS runner_up,
+        |  (max(CASE WHEN rk = 2 THEN dist END) -
+        |   max(CASE WHEN rk = 1 THEN dist END))::BIGINT AS margin
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY dist, lang) AS rk FROM dist)
+        |WHERE rk <= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, en_hits, es_hits, de_hits,
          |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'

@@ -86,6 +86,34 @@ class LangIdSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"map-side scoring must not shuffle:\n$plan")
   }
 
+  test("classifyTop2: margin ranks confidence, best row equals classify") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val profiles = LangId.trainProfiles(
+      LangId.readTraining(spark, "/root/repo/fixtures/langid/train.jsonl"),
+      "lang", "text")
+    val docs = Seq(
+      (0L, "der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"),
+      (1L, "zzz qqq xxx")) // out-of-model junk: small margin expected
+      .toDF("id", "text")
+    val top2 = LangId.classifyTop2(docs, "id", "text", profiles)
+      .as[(Long, String, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val top1 = LangId.classify(docs, "id", "text", profiles)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(top2(id)._2 == top1(id)._2 && top2(id)._3 == top1(id)._3,
+        "top-1 of classifyTop2 must equal classify")
+      assert(top2(id)._5 >= 0, "margin is non-negative")
+      assert(top2(id)._4 != top2(id)._2, "runner-up differs from the winner")
+    }
+    // real German text separates decisively; junk barely separates
+    assert(top2(0L)._2 == "de")
+    assert(top2(0L)._5 > top2(1L)._5,
+      s"in-model text must out-margin junk: ${top2(0L)._5} vs ${top2(1L)._5}")
+  }
+
   test("out-of-place distance: missing gram costs k, prediction tie-breaks on lang") {
     val spark = TestSpark.spark
     import spark.implicits._
