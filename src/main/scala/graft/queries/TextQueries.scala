@@ -1857,6 +1857,25 @@ object TextQueries {
         .orderBy($"media_id", $"tag_idx")
     }),
 
+    // PNG textual metadata (tEXt latin-1 + uncompressed iTXt utf-8):
+    // the PNG counterpart of the EXIF report — authorship/software
+    // provenance pinned from the committed chunk bytes, incl. the
+    // utf-8 iTXt payload with its language tag skipped per spec; the
+    // pixel-identical base pattern.png contributes no rows (no text
+    // chunks).
+    "png_text_metadata" -> ((s, _) => {
+      import s.implicits._
+      val tags = udf((b: Array[Byte]) => graft.sources.PngMeta.parse(b))
+      s.read.format("binaryFile")
+        .load("/root/repo/fixtures/pngmeta/*.png",
+          "/root/repo/fixtures/media/*.png")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          posexplode(tags($"content")))
+        .select($"media_id", $"pos".cast("long").as("tag_idx"),
+          $"col._1".as("keyword"), $"col._2".as("value"))
+        .orderBy($"media_id", $"tag_idx")
+    }),
+
     // GPS strip audit: per JPEG — GPS/total tag counts before, tags
     // after the APP1 strip, and the PROOFS that stripping is safe
     // (dimensions preserved, dHash bit-identical: the entropy-coded
@@ -4247,6 +4266,13 @@ object TextQueries {
         |  ('photo_exif.jpg', 10::BIGINT, 'gps_longitude_ref', 'E'),
         |  ('photo_exif.jpg', 11::BIGINT, 'gps_longitude', '2/1,17/1,4038/100')
         |) t(media_id, tag_idx, tag, value)
+        |ORDER BY media_id, tag_idx""".stripMargin,
+    "png_text_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('meta.png', 0::BIGINT, 'Title', 'Diagonal ramp pattern'),
+        |  ('meta.png', 1::BIGINT, 'Software', 'graft png24'),
+        |  ('meta.png', 2::BIGINT, 'Comment', 'café ✓ utf-8 comment')
+        |) t(media_id, tag_idx, keyword, value)
         |ORDER BY media_id, tag_idx""".stripMargin,
     "image_gps_strip" ->
       """SELECT * FROM (VALUES

@@ -676,6 +676,64 @@ object Mp4Codec {
     bytes.length >= 12 && cc(bytes, 4) == "ftyp"
 }
 
+/** PNG textual metadata (ISO 15948 §11.3.4: `tEXt` latin-1 and
+  * uncompressed `iTXt` utf-8 chunks) — the PNG counterpart of
+  * [[ExifCodec]]: authorship/software/comment provenance a multimodal
+  * corpus joins on, and occasionally PII (author names, GPS dumped as
+  * comments by tools). One chunk walk, no pixel decode; compressed
+  * `zTXt`/`iTXt` payloads are skipped by design (a metadata scan must
+  * not inflate attacker-sized streams); malformed chunks end the walk
+  * with the tags collected so far, never a throw.
+  */
+object PngMeta {
+
+  def parse(bytes: Array[Byte]): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      if (bytes.length < 8 || (bytes(0) & 0xff) != 0x89 ||
+          bytes(1) != 'P'.toByte) return Seq.empty
+      var o = 8
+      def be32(i: Int): Int =
+        ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      while (o + 8 <= bytes.length) {
+        val len = be32(o)
+        val tag = new String(bytes, o + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val data = o + 8
+        if (len >= 0 && data + len <= bytes.length) {
+          if (tag == "tEXt") {
+            val nul = (data until data + len).find(bytes(_) == 0)
+            nul.foreach { n =>
+              out += (new String(bytes, data, n - data, "ISO-8859-1") ->
+                new String(bytes, n + 1, data + len - n - 1, "ISO-8859-1"))
+            }
+          } else if (tag == "iTXt") {
+            val n1 = (data until data + len).find(bytes(_) == 0)
+            n1.foreach { k =>
+              // keyword NUL compFlag compMethod NUL lang NUL translated NUL text
+              if (k + 2 < data + len && bytes(k + 1) == 0) { // uncompressed
+                var p = k + 3
+                var nuls = 0
+                while (p < data + len && nuls < 2) {
+                  if (bytes(p) == 0) nuls += 1
+                  p += 1
+                }
+                if (nuls == 2)
+                  out += (new String(bytes, data, k - data, "ISO-8859-1") ->
+                    new String(bytes, p, data + len - p, "UTF-8"))
+              }
+            }
+          }
+        }
+        if (tag == "IEND") return out.toSeq
+        o += 12 + len // length + tag + data + crc
+      }
+      out.toSeq
+    } catch { case _: Exception => out.toSeq }
+  }
+}
+
 /** EXIF metadata (JEITA CP-3451 / TIFF 6.0) from JPEG APP1 segments —
   * the provenance AND PII surface of a multimodal crawl: camera
   * make/model/timestamps feed dedup and provenance joins, while GPS

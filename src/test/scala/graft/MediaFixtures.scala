@@ -357,6 +357,49 @@ object MediaFixtures {
   def rendered: Seq[(String, Array[Byte])] = Seq(
     "photo.jpg" -> photoJpg, "photo2.jpg" -> photo2Jpg,
     "photo_exif.jpg" -> photoExifJpg)
+
+  /** [[patternPng]] with planted `tEXt` + uncompressed `iTXt` chunks
+    * spliced after IHDR — the PNG textual-metadata fixture (separate
+    * `fixtures/pngmeta/` dir so the perceptual-dedup globs over
+    * `fixtures/media` never see this pixel-identical copy).
+    */
+  def metaPng: Array[Byte] = {
+    val base = patternPng
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(be32(data.length.toLong))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+      out.toByteArray
+    }
+    def latin1(s: String) = s.getBytes("ISO-8859-1")
+    val t1 = chunk("tEXt",
+      latin1("Title") ++ Array(0.toByte) ++ latin1("Diagonal ramp pattern"))
+    val t2 = chunk("tEXt",
+      latin1("Software") ++ Array(0.toByte) ++ latin1("graft png24"))
+    val it = chunk("iTXt",
+      latin1("Comment") ++ Array[Byte](0, 0, 0) ++ latin1("en") ++
+        Array(0.toByte) ++ Array(0.toByte) ++
+        "café ✓ utf-8 comment".getBytes("UTF-8"))
+    // IHDR ends at offset 33 (8 sig + 4 len + 4 tag + 13 data + 4 crc)
+    base.take(33) ++ t1 ++ t2 ++ it ++ base.drop(33)
+  }
+}
+
+object GenPngMetaFixtures {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("fixtures/pngmeta")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "meta.png"), MediaFixtures.metaPng)
+    println(s"wrote $dir/meta.png (${MediaFixtures.metaPng.length} bytes)")
+  }
 }
 
 object GenMediaFixtures {

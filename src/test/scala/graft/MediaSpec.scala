@@ -243,6 +243,25 @@ class MediaSpec extends AnyFunSuite {
     assert(info.nFrames == 8 && info.peak == 0.5)
   }
 
+  test("PNG text chunks: tEXt latin-1, uncompressed iTXt utf-8, junk tolerated") {
+    val p = java.nio.file.Paths.get("/root/repo/fixtures/pngmeta/meta.png")
+    assert(java.nio.file.Files.exists(p),
+      "run Test/runMain graft.GenPngMetaFixtures fixtures/pngmeta")
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p),
+      MediaFixtures.metaPng), "fixture drifted from the generator")
+    val tags = graft.sources.PngMeta.parse(MediaFixtures.metaPng)
+    assert(tags == Seq("Title" -> "Diagonal ramp pattern",
+      "Software" -> "graft png24", "Comment" -> "café ✓ utf-8 comment"))
+    // the metadata splice never touches pixels: dHash is bit-identical
+    assert(graft.sources.ImageCodec.dHash64(MediaFixtures.metaPng) ==
+      graft.sources.ImageCodec.dHash64(MediaFixtures.patternPng))
+    // chunk-free PNG and junk both yield no tags, never a throw
+    assert(graft.sources.PngMeta.parse(MediaFixtures.patternPng).isEmpty)
+    assert(graft.sources.PngMeta.parse("junk".getBytes).isEmpty)
+    assert(graft.sources.PngMeta.parse(
+      java.util.Arrays.copyOf(MediaFixtures.metaPng, 50)).length <= 1)
+  }
+
   test("EXIF: APP1 TIFF walk — IFD0, Exif IFD, GPS IFD, exact rationals") {
     val tags = graft.sources.ExifCodec.parse(MediaFixtures.photoExifJpg).toMap
     assert(tags("make") == "GraftCam" && tags("model") == "Mark II")
