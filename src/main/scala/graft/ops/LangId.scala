@@ -81,7 +81,9 @@ object LangId {
     * mode. Agrees with [[classify]] EXACTLY (integer method): grams
     * iterate by CODE POINT and rank ties compare in code-point order,
     * matching Spark's `substr`/string-ordering semantics, spec-pinned
-    * on accented multilingual text.
+    * on accented multilingual text. Documents with no grams (empty or
+    * all-whitespace text) produce no row — the same contract as
+    * [[classify]], whose explode drops them.
     */
   def classifyMapSide(docs: DataFrame, idCol: String, textCol: String,
                       profileMap: Map[String, Map[String, Int]],
@@ -89,25 +91,29 @@ object LangId {
     val langs = profileMap.keys.toSeq.sorted
     val kernel = udf((text: String) => {
       val ranked = profileOf(text, k) // the SAME kernel classify explodes
-      var bestLang: String = null
-      var bestDist = Long.MaxValue
-      langs.foreach { l =>
-        val prof = profileMap(l)
-        var d = 0L
-        var r = 0
-        while (r < ranked.length) {
-          val (g, drank) = ranked(r)
-          d += (prof.get(g) match {
-            case Some(pr) => math.abs(drank - pr).toLong
-            case None => k.toLong
-          })
-          r += 1
+      if (ranked.isEmpty) null // no grams → no row, agreeing with classify
+      else {
+        var bestLang: String = null
+        var bestDist = Long.MaxValue
+        langs.foreach { l =>
+          val prof = profileMap(l)
+          var d = 0L
+          var r = 0
+          while (r < ranked.length) {
+            val (g, drank) = ranked(r)
+            d += (prof.get(g) match {
+              case Some(pr) => math.abs(drank - pr).toLong
+              case None => k.toLong
+            })
+            r += 1
+          }
+          if (d < bestDist) { bestDist = d; bestLang = l } // langs sorted: ties keep first
         }
-        if (d < bestDist) { bestDist = d; bestLang = l } // langs sorted: ties keep first
+        (bestLang, bestDist)
       }
-      (bestLang, bestDist)
     })
     docs.select(col(idCol), kernel(col(textCol)).as("__r"))
+      .filter(col("__r").isNotNull)
       .select(col(idCol), col("__r._1").as("lang_pred"),
         col("__r._2").as("dist"))
   }
@@ -138,7 +144,16 @@ object LangId {
     * replaced (SCALE.md round 11).
     */
   private[ops] def profileOf(text: String, k: Int): Array[(String, Int)] = {
-    val norm = Option(text).getOrElse("").trim
+    // Space-only edge strip: Spark `trim` and the DuckDB replay oracle
+    // strip ASCII ' ' only, whereas Java String.trim strips every char
+    // <= U+0020 (\t/\n/\r) — a leading tab must yield the SAME edge
+    // grams here as in the column path (grams()) and the SQL replay.
+    val raw = Option(text).getOrElse("")
+    var s = 0
+    var e = raw.length
+    while (s < e && raw.charAt(s) == ' ') s += 1
+    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+    val norm = raw.substring(s, e)
       .replaceAll("\\s+", " ").toLowerCase
     val cps = norm.codePoints().toArray
     val counts = scala.collection.mutable.HashMap.empty[String, Int]

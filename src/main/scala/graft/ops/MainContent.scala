@@ -106,17 +106,32 @@ object MainContent {
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
           val name = html.substring(nameStart, j).toLowerCase
           // advance to the tag's '>' (tolerate '>' inside quoted attrs
-          // being absent — real crawls are full of malformed markup)
+          // being absent — real crawls are full of malformed markup).
+          // Track unquoted attribute values so a trailing '/' that is
+          // part of one (e.g. <a href=/x/>) is NOT read as XML-style
+          // self-closing — that would skip the anchor-depth increment
+          // and undercount link density.
           var k = j
           var inQuote = 0.toChar
+          var afterEq = false // saw '=', awaiting the value
+          var inUnq = false   // inside an unquoted attribute value
+          var lastInUnq = false // was the last consumed char in one?
           while (k < n && (inQuote != 0 || html.charAt(k) != '>')) {
             val ch = html.charAt(k)
-            if (inQuote == 0 && (ch == '"' || ch == '\'')) inQuote = ch
-            else if (ch == inQuote) inQuote = 0.toChar
+            lastInUnq = (inUnq && !ch.isWhitespace) ||
+              (afterEq && !ch.isWhitespace && ch != '"' && ch != '\'')
+            if (inQuote != 0) {
+              if (ch == inQuote) inQuote = 0.toChar
+            } else if (inUnq) {
+              if (ch.isWhitespace) inUnq = false
+            } else if (afterEq) {
+              if (ch == '"' || ch == '\'') { inQuote = ch; afterEq = false }
+              else if (!ch.isWhitespace) { inUnq = true; afterEq = false }
+            } else if (ch == '=') afterEq = true
             k += 1
           }
           val selfClosed = k > i && k <= n - 1 && k >= 1 &&
-            html.charAt(k - 1) == '/'
+            html.charAt(k - 1) == '/' && !lastInUnq
           val tagEnd = if (k < n) k + 1 else n
           if (name.isEmpty) {
             // stray '<' — literal text
@@ -124,8 +139,17 @@ object MainContent {
             i += 1
           } else if (DropTags.contains(name) && !closing) {
             // skip the subtree to the matching close tag (first close —
-            // these tags don't nest in practice)
-            val close = lowerHtml.indexOf(s"</$name", tagEnd)
+            // these tags don't nest in practice). The tag name must end
+            // at a boundary ('>', whitespace, '/') so </styles> does
+            // not terminate a <style> subtree and leak CSS into blocks.
+            var close = lowerHtml.indexOf(s"</$name", tagEnd)
+            while (close >= 0 && {
+              val after = close + 2 + name.length
+              after < n && {
+                val ch = lowerHtml.charAt(after)
+                ch != '>' && ch != '/' && !ch.isWhitespace
+              }
+            }) close = lowerHtml.indexOf(s"</$name", close + 1)
             flush()
             i = if (close < 0) n
             else {

@@ -878,29 +878,38 @@ object ExifCodec {
   /** Remove every APP1 segment (EXIF and XMP ride in APP1); all other
     * segments and the entropy-coded image data pass through verbatim,
     * so the stripped payload decodes pixel-identically. Non-JPEG
-    * payloads return unchanged.
+    * payloads return unchanged. A truncated/malformed segment walk
+    * (length field overrunning the buffer) returns the ORIGINAL bytes
+    * untouched — one corrupt image must not kill a partition, the same
+    * defensive contract as [[parse]] and [[PngMeta.parse]].
     */
   def stripExif(bytes: Array[Byte]): Array[Byte] = {
     val b = bytes
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return bytes
-    val out = new java.io.ByteArrayOutputStream(b.length)
-    out.write(b, 0, 2)
-    var o = 2
-    var done = false
-    while (!done && o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
-      val m = b(o + 1) & 0xff
-      if (m == 0xda || m == 0xd9) {
-        // start of scan / end marker: copy the rest verbatim
-        out.write(b, o, b.length - o)
-        done = true
-      } else {
-        val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-        if (m != 0xe1) out.write(b, o, 2 + len)
-        o += 2 + len
+    try {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      out.write(b, 0, 2)
+      var o = 2
+      var done = false
+      while (!done && o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
+        val m = b(o + 1) & 0xff
+        if (m == 0xda || m == 0xd9) {
+          // start of scan / end marker: copy the rest verbatim
+          out.write(b, o, b.length - o)
+          done = true
+        } else {
+          val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+          if (len < 2 || o + 2 + len > b.length)
+            return bytes // segment overruns the buffer: malformed, pass through
+          if (m != 0xe1) out.write(b, o, 2 + len)
+          o += 2 + len
+        }
       }
+      if (!done && o < b.length) out.write(b, o, b.length - o)
+      out.toByteArray
+    } catch {
+      case scala.util.control.NonFatal(_) => bytes
     }
-    if (!done && o < b.length) out.write(b, o, b.length - o)
-    out.toByteArray
   }
 }

@@ -76,10 +76,22 @@ class LangIdSpec extends AnyFunSuite {
     val map = LangId.classifyMapSide(docs.filter($"id" =!= 4), "id", "text", pmap)
       .as[(Long, String, Long)].collect().toSet
     assert(rel == map, s"relational $rel vs map-side $map")
-    // the map-side path handles empty text without a row dropping out
+    // empty text produces NO row in either path — classify's explode
+    // drops gramless docs, and the map-side kernel now matches that
+    // instead of confidently labeling them alphabetically-first at 0.
     val empt = LangId.classifyMapSide(docs.filter($"id" === 4), "id", "text", pmap)
       .as[(Long, String, Long)].collect()
-    assert(empt.length == 1)
+    assert(empt.isEmpty)
+    assert(LangId.classify(docs.filter($"id" === 4), "id", "text", profiles)
+      .count() == 0)
+    // a leading tab must not change edge grams vs the column path
+    // (Java .trim vs Spark space-only trim)
+    val tabbed = Seq((9L, "\tdet lilla huset ligger vid sjön")).toDF("id", "text")
+    val relTab = LangId.classify(tabbed, "id", "text", profiles)
+      .as[(Long, String, Long)].collect().toSet
+    val mapTab = LangId.classifyMapSide(tabbed, "id", "text", pmap)
+      .as[(Long, String, Long)].collect().toSet
+    assert(relTab == mapTab && relTab.nonEmpty, s"$relTab vs $mapTab")
     // the plan is shuffle-free (streaming-safe narrow map)
     val plan = LangId.classifyMapSide(docs, "id", "text", pmap)
       .queryExecution.executedPlan.toString

@@ -64,6 +64,28 @@ class MainContentSpec extends AnyFunSuite {
         "link text inside it</nav>") == "")
   }
 
+  test("close-tag boundary: </styles> does not terminate a <style> subtree") {
+    val html = "<body><style>.c{}</styles> p{color:red}</style>" +
+      "<p>Honest article text with well over eight words of real " +
+      "content for the block gate.</p></body>"
+    val out = MainContent.extract(html)
+    assert(out.contains("Honest article text"))
+    assert(!out.contains("color:red") && !out.contains("</styles>"))
+  }
+
+  test("unquoted attr ending in slash is not self-closing: anchor depth holds") {
+    // <a href=/x/> must still open the anchor — its text is link text
+    val html = "<body><p><a href=/news/>Read the rest of this story on " +
+      "our portal pages now</a></p><p>Second paragraph has more than " +
+      "eight honest words of plain article content here.</p></body>"
+    val bs = MainContent.blocks(html)
+    val linky = bs.find(_.text.startsWith("Read the rest")).get
+    assert(linky.linkWords == linky.words) // all words inside the <a>
+    // XML-style voids still self-close: <br/> must not push depth
+    val voids = MainContent.blocks("<body><p>alpha<br/>beta gamma</p></body>")
+    assert(voids.exists(_.text.contains("beta")))
+  }
+
   test("malformed markup is tolerated: unbalanced tags, stray <, missing close") {
     val html = "<div>An unclosed paragraph that still has more than eight " +
       "words of honest text in it <p>and a stray < angle plus another " +

@@ -296,5 +296,11 @@ class MediaSpec extends AnyFunSuite {
     assert(graft.sources.ExifCodec.parse("junk".getBytes).isEmpty)
     val cut = java.util.Arrays.copyOf(src, 40) // truncated mid-APP1
     assert(graft.sources.ExifCodec.parse(cut).isEmpty)
+    // stripExif honors the same contract: a segment length field that
+    // overruns the buffer returns the ORIGINAL bytes, never throws
+    assert(graft.sources.ExifCodec.stripExif(cut) eq cut)
+    val badLen = src.clone() // corrupt the first segment's length field
+    badLen(4) = 0xff.toByte; badLen(5) = 0xff.toByte
+    assert(graft.sources.ExifCodec.stripExif(badLen) eq badLen)
   }
 }
