@@ -75,20 +75,6 @@ object UrlOps {
           .otherwise("")))
   }
 
-  /** Multi-part public suffixes the heuristic recognizes — a documented
-    * SUBSET of the Mozilla Public Suffix List covering the highest-
-    * traffic ccTLD second-level registries. A full PSL-backed variant
-    * is a drop-in: broadcast the list and swap the membership check.
-    */
-  val MultiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.nz", "net.nz", "org.nz",
-    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
-    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.za", "org.za")
-
   /** SURT key (Sort-friendly URI Reordering Transform — the
     * webarchive-commons/Common Crawl index convention): scheme and
     * userinfo dropped, host lowercased with a leading `www.` removed
@@ -214,20 +200,13 @@ object UrlOps {
       .apply(base, ref)
 
   /** Registered domain (the "site" key for per-site quotas, crawl
-    * politeness buckets, and domain-level quality priors): the last two
-    * host labels, or three when the last two are a known multi-part
-    * public suffix. IP-literal hosts and single-label hosts pass
-    * through unchanged.
+    * politeness buckets, and domain-level quality priors) — PSL-backed:
+    * delegates to [[Psl.registeredDomain]] over the committed
+    * public-suffix-list snapshot (exceptions, wildcards, and exact
+    * rules to 4 labels; the full upstream list is a drop-in resource
+    * swap). IP-literal hosts and hosts that are themselves a public
+    * suffix pass through unchanged.
     */
-  def registeredDomain(hostCol: Column): Column = {
-    val labels = split(hostCol, "\\.")
-    val n = size(labels)
-    val isIpv4 = hostCol.rlike("^(\\d{1,3}\\.){3}\\d{1,3}$")
-    val last2 = concat_ws(".", slice(labels, -2, 2))
-    val last3 = concat_ws(".", slice(labels, -3, 3))
-    when(hostCol.isNull, lit(null).cast("string"))
-      .when(isIpv4 || n <= 2, hostCol)
-      .when(last2.isInCollection(MultiPartSuffixes), last3)
-      .otherwise(last2)
-  }
+  def registeredDomain(hostCol: Column): Column =
+    Psl.registeredDomain(hostCol)
 }

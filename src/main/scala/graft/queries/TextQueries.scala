@@ -1359,10 +1359,12 @@ object TextQueries {
     // S1/S11 front door, end to end on REAL PDF bytes: the committed
     // fixture PDFs (fixtures/pdf, regenerated deterministically by
     // Test/runMain graft.GenPdfFixtures, byte-asserted in PdfSpec) are
-    // parsed by the pure-JVM PdfCodec — object scan, page tree,
-    // FlateDecode, Tj/TJ/'/T* text ops — one row per page in page-tree
-    // order. The oracle pins the expected page texts as literals: the
-    // engine side must EXTRACT them from the binary.
+    // parsed by the pure-JVM PdfCodec — object scan, compressed object
+    // streams (/Type /ObjStm: objstm.pdf keeps its ENTIRE page tree
+    // inside one), page tree, FlateDecode, Tj/TJ/'/T* text ops — one
+    // row per page in page-tree order. The oracle pins the expected
+    // page texts as literals: the engine side must EXTRACT them from
+    // the binary.
     "pdf_extract" -> ((s, _) => {
       import s.implicits._
       graft.sources.DocumentSources.readPdf(s, "/root/repo/fixtures/pdf/*.pdf")
@@ -3334,7 +3336,9 @@ object TextQueries {
         |  ('flate_p1', 'part one' || chr(10) || 'part two', 1::BIGINT),
         |  ('flate_p2', 'first' || chr(10) || 'second', 2::BIGINT),
         |  ('manual_p0', 'Hello, (graft) World!' || chr(10) || '50% off & more', 0::BIGINT),
-        |  ('manual_p1', 'Spark extracts page two' || chr(10) || 'hex string', 1::BIGINT)
+        |  ('manual_p1', 'Spark extracts page two' || chr(10) || 'hex string', 1::BIGINT),
+        |  ('objstm_p0', 'Object-stream page one: the page tree itself is compressed', 0::BIGINT),
+        |  ('objstm_p1', 'Object-stream page two' || chr(10) || 'catalog found inside ObjStm', 1::BIGINT)
         |) t(doc_id, text, page) ORDER BY doc_id""".stripMargin,
     "av_container_probe" ->
       """SELECT * FROM (VALUES

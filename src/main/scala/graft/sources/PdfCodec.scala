@@ -13,7 +13,12 @@ import java.nio.charset.StandardCharsets
   *   - classic cross-reference tables AND xref-stream files (objects are
   *     discovered by a full `N G obj` scan, so both layouts parse; the
   *     trailer/catalog is located structurally, not via offsets — a
-  *     damaged or split xref cannot hide pages);
+  *     damaged or split xref cannot hide pages), INCLUDING objects
+  *     packed inside `/Type /ObjStm` compressed object streams (the
+  *     PDF 1.5+ layout modern producers emit, where the page tree
+  *     itself lives compressed — each ObjStm is inflated, its
+  *     `objnum offset` pair header parsed, and the contained objects
+  *     merged into the object map);
   *   - object graph: dicts, arrays, names, numbers, booleans, null,
   *     literal + hex strings, indirect references (including indirect
   *     `/Length`), streams;
@@ -54,7 +59,7 @@ object PdfCodec {
     // undamaged and substring slicing stays exact
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     require(s.startsWith("%PDF-"), "not a PDF (missing %PDF- header)")
-    val objects = scanObjects(s)
+    val objects = withObjStmObjects(scanObjects(s), s)
     val catalog = findCatalog(s, objects)
     val pagesRef = catalog.get("Pages") match {
       case Some(r: Ref) => r
@@ -316,6 +321,13 @@ object PdfCodec {
 
   private def decodedStream(ref: Ref, objects: Map[Ref, Any], s: String): String =
     resolve(ref, objects) match {
+      case so: StreamObj => decodeStreamObj(so, objects, s)
+      case other =>
+        throw new IllegalArgumentException(s"content ref $ref is not a stream: $other")
+    }
+
+  private def decodeStreamObj(so: StreamObj, objects: Map[Ref, Any], s: String): String = {
+    so match {
       case StreamObj(dict, dataStart) =>
         val len = resolve(dict.getOrElse("Length",
           throw new IllegalArgumentException("stream without /Length")), objects) match {
@@ -339,9 +351,59 @@ object PdfCodec {
               "PdfCodec handles FlateDecode and unfiltered streams")
         }
         new String(decoded, StandardCharsets.ISO_8859_1)
-      case other =>
-        throw new IllegalArgumentException(s"content ref $ref is not a stream: $other")
     }
+  }
+
+  // ---- object streams (/Type /ObjStm, PDF 1.5+) -------------------------
+
+  /** Merge objects packed inside compressed object streams into the
+    * raw-scan object map. Modern xref-stream producers keep the page
+    * tree (catalog, /Pages nodes, page dicts) inside `/Type /ObjStm`
+    * streams, invisible to the `N G obj` text scan — without this pass
+    * those pages are silently lost. Each ObjStm decodes (FlateDecode),
+    * its header (`/N` space-separated `objnum offset` integer pairs,
+    * data starting at `/First`) is parsed, and every contained object
+    * joins the map with generation 0 (the spec fixes gen 0 for
+    * compressed objects). A raw-scanned object with the same number
+    * wins on conflict (an incremental update appending a raw
+    * replacement is the only case both exist). A structurally broken
+    * ObjStm is a LOUD error — it means real objects are unreachable,
+    * the exact silent-page-loss failure this pass exists to close.
+    */
+  private def withObjStmObjects(raw: Map[Ref, Any], s: String): Map[Ref, Any] = {
+    val extra = scala.collection.mutable.LinkedHashMap[Ref, Any]()
+    raw.foreach {
+      case (_, so @ StreamObj(dict, _))
+          if dict.get("Type").contains(Name("ObjStm")) =>
+        val content = decodeStreamObj(so, raw, s)
+        val n = resolve(dict.getOrElse("N",
+          throw new IllegalArgumentException("ObjStm without /N")), raw) match {
+          case v: Long => v.toInt
+          case other => throw new IllegalArgumentException(s"bad ObjStm /N: $other")
+        }
+        val first = resolve(dict.getOrElse("First",
+          throw new IllegalArgumentException("ObjStm without /First")), raw) match {
+          case v: Long => v.toInt
+          case other => throw new IllegalArgumentException(s"bad ObjStm /First: $other")
+        }
+        if (first > content.length)
+          throw new IllegalArgumentException("ObjStm /First beyond stream end")
+        val header = content.substring(0, first).trim.split("\\s+")
+        if (header.length < 2 * n)
+          throw new IllegalArgumentException(
+            s"ObjStm header has ${header.length} ints, need ${2 * n}")
+        var i = 0
+        while (i < n) {
+          val num = header(2 * i).toLong
+          val off = header(2 * i + 1).toInt
+          val p = new Parser(content, first + off)
+          extra(Ref(num, 0L)) = p.parseValue()
+          i += 1
+        }
+      case _ => ()
+    }
+    raw ++ extra.filterNot { case (r, _) => raw.contains(r) }
+  }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()

@@ -155,6 +155,70 @@ object PdfFixtures {
     b.build(cat)
   }
 
+  /** A modern PDF 1.5+ layout: the whole page tree (catalog, /Pages,
+    * both page dicts) lives inside a FlateDecode'd `/Type /ObjStm`
+    * compressed object stream, the cross-reference is an xref STREAM
+    * (`/Type /XRef`, `W [1 2 1]`, type-2 entries pointing into the
+    * ObjStm) and there is NO classic `trailer` keyword — the layout
+    * pdflatex/word-processor exports emit, where a raw `N G obj` scan
+    * alone sees zero page objects.
+    */
+  def objstmPdf: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    def obj(n: Int, body: Array[Byte]): Unit = {
+      offsets(n) = out.size()
+      w(s"$n 0 obj\n"); out.write(body); w("\nendobj\n")
+    }
+    def flateStream(data: String, dictExtra: String = ""): Array[Byte] = {
+      val payload = deflate(data.getBytes(ISO_8859_1))
+      (s"<< /Length ${payload.length} /Filter /FlateDecode$dictExtra >>\nstream\n")
+        .getBytes(ISO_8859_1) ++ payload ++ "\nendstream".getBytes(ISO_8859_1)
+    }
+    w("%PDF-1.5\n%âãÏÓ\n")
+    // 1, 2: the content streams (raw objects — streams may not live in
+    // an ObjStm); 3: the ObjStm holding objects 4-7; 8: the xref stream
+    obj(1, flateStream(
+      "BT /F1 11 Tf 72 720 Td (Object-stream page one: the page tree " +
+        "itself is compressed) Tj ET"))
+    obj(2, flateStream(
+      "BT (Object-stream page two) Tj T* (catalog found inside ObjStm) Tj ET"))
+    val inner = Seq(
+      4 -> "<< /Type /Catalog /Pages 5 0 R >>",
+      5 -> "<< /Type /Pages /Kids [6 0 R 7 0 R] /Count 2 >>",
+      6 -> "<< /Type /Page /Parent 5 0 R /MediaBox [0 0 612 792] /Contents 1 0 R >>",
+      7 -> "<< /Type /Page /Parent 5 0 R /Contents 2 0 R >>")
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    val bodyBuf = new StringBuilder
+    inner.foreach { case (_, b) =>
+      offs += bodyBuf.length; bodyBuf.append(b).append('\n') }
+    val header = inner.zip(offs)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    obj(3, flateStream(header + bodyBuf,
+      s" /Type /ObjStm /N ${inner.length} /First ${header.length}"))
+    // xref stream: W [1 2 1] — 1-byte type, 2-byte offset/objstm-num,
+    // 1-byte gen/index. Objects 4-7 are type-2 entries into ObjStm 3.
+    val xrefPos = out.size()
+    val entries = new java.io.ByteArrayOutputStream()
+    def entry(t: Int, mid: Int, last: Int): Unit = {
+      entries.write(t)
+      entries.write((mid >> 8) & 0xff); entries.write(mid & 0xff)
+      entries.write(last)
+    }
+    entry(0, 0, 255) // object 0: head of the free list
+    entry(1, offsets(1), 0); entry(1, offsets(2), 0); entry(1, offsets(3), 0)
+    var idx = 0
+    while (idx < inner.length) { entry(2, 3, idx); idx += 1 }
+    entry(1, xrefPos, 0) // the xref stream object itself
+    val xd = entries.toByteArray
+    obj(8, (s"<< /Type /XRef /Size 9 /W [1 2 1] /Root 4 0 R " +
+      s"/Length ${xd.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+      xd ++ "\nendstream".getBytes(ISO_8859_1))
+    w(s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Expected page texts, shared by the spec AND the `pdf_extract`
     * driver-query oracle.
     */
@@ -164,7 +228,9 @@ object PdfFixtures {
     "flate_p1" -> "part one\npart two",
     "flate_p2" -> "first\nsecond",
     "manual_p0" -> "Hello, (graft) World!\n50% off & more",
-    "manual_p1" -> "Spark extracts page two\nhex string")
+    "manual_p1" -> "Spark extracts page two\nhex string",
+    "objstm_p0" -> "Object-stream page one: the page tree itself is compressed",
+    "objstm_p1" -> "Object-stream page two\ncatalog found inside ObjStm")
 }
 
 object GenPdfFixtures {
@@ -174,6 +240,7 @@ object GenPdfFixtures {
     java.nio.file.Files.write(dir.resolve("manual.pdf"), PdfFixtures.manualPdf)
     java.nio.file.Files.write(dir.resolve("flate.pdf"), PdfFixtures.flatePdf)
     java.nio.file.Files.write(dir.resolve("cid.pdf"), PdfFixtures.cidPdf)
+    java.nio.file.Files.write(dir.resolve("objstm.pdf"), PdfFixtures.objstmPdf)
     println(s"wrote ${dir.toAbsolutePath}")
   }
 }

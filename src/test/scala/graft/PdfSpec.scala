@@ -26,6 +26,34 @@ class PdfSpec extends AnyFunSuite {
     assert(pages == PdfFixtures.expected.filter(_._1.startsWith("cid")).map(_._2))
   }
 
+  test("objstm.pdf: page tree inside a compressed object stream, xref stream, no trailer") {
+    val pages = PdfCodec.extractPages(PdfFixtures.objstmPdf)
+    assert(pages == PdfFixtures.expected.filter(_._1.startsWith("objstm")).map(_._2))
+    // the fixture really has NO page objects visible to a raw text scan
+    val s = new String(PdfFixtures.objstmPdf,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!s.contains("/Type /Catalog") && !s.contains("/Type /Page"),
+      "page tree must only exist Flate-compressed inside the ObjStm")
+    assert(!s.contains("trailer"))
+  }
+
+  test("a structurally broken ObjStm fails loudly, not with silent page loss") {
+    // corrupt the ObjStm header: /N claims more pairs than present
+    val b = new PdfFixtures.Builder
+    val cat = b.reserve(); val stm = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages 9 0 R >>") // pages live "in" the ObjStm
+    val payload = PdfFixtures.deflate("9 0\n<< /Type /Pages /Kids [] /Count 0 >>\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    b.setRaw(stm, (s"<< /Type /ObjStm /N 4 /First 4 /Length ${payload.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ payload ++
+      "\nendstream".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val e = intercept[IllegalArgumentException] {
+      PdfCodec.extractPages(b.build(cat))
+    }
+    assert(e.getMessage.contains("ObjStm"))
+  }
+
   test("CMap corners: 1-byte codes, unmapped code, trailing partial code, broken CMap ignored") {
     val cm = PdfCodec.parseToUnicodeCMap(
       "1 begincodespacerange <00> <FF> endcodespacerange\n" +
@@ -61,6 +89,8 @@ class PdfSpec extends AnyFunSuite {
       PdfFixtures.flatePdf.toSeq)
     assert(Files.readAllBytes(dir.resolve("cid.pdf")).toSeq ==
       PdfFixtures.cidPdf.toSeq)
+    assert(Files.readAllBytes(dir.resolve("objstm.pdf")).toSeq ==
+      PdfFixtures.objstmPdf.toSeq)
   }
 
   test("string edge cases: octal escapes, line continuation, nested parens, UTF-16BE") {
@@ -121,6 +151,7 @@ class PdfSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(dir, "manual.pdf"), PdfFixtures.manualPdf)
     Files.write(java.nio.file.Paths.get(dir, "flate.pdf"), PdfFixtures.flatePdf)
     Files.write(java.nio.file.Paths.get(dir, "cid.pdf"), PdfFixtures.cidPdf)
+    Files.write(java.nio.file.Paths.get(dir, "objstm.pdf"), PdfFixtures.objstmPdf)
     val docs = DocumentSources.readPdf(spark, s"$dir/*.pdf")
     val got = docs.select($"doc_id", $"text").as[(String, String)]
       .collect().sortBy(_._1).toSeq

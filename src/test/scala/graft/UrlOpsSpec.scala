@@ -52,6 +52,40 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(regdom("localhost") == Seq("localhost"))
   }
 
+  test("PSL: wildcard, exception, 3-label exact, default; snapshot parses non-trivially") {
+    import graft.ops.Psl
+    // snapshot sanity: all rule classes populated, plausible breadth
+    assert(Psl.rules.exact2.size > 400, s"exact2=${Psl.rules.exact2.size}")
+    assert(Psl.rules.exact3.contains("k12.ca.us"))
+    assert(Psl.rules.wild1.contains("ck") && Psl.rules.wild2.contains("kawasaki.jp"))
+    assert(Psl.rules.exc2.contains("www.ck") && Psl.rules.exc3.contains("city.kawasaki.jp"))
+    // wildcard *.ck: one extra label is part of the suffix
+    assert(regdom("a.site.ck") == Seq("a.site.ck"))
+    assert(regdom("x.a.site.ck") == Seq("a.site.ck"))
+    // exception !www.ck beats the wildcard
+    assert(regdom("www.ck") == Seq("www.ck"))
+    assert(regdom("deep.www.ck") == Seq("www.ck"))
+    // wildcard *.kawasaki.jp with exception !city.kawasaki.jp
+    assert(regdom("foo.bar.kawasaki.jp") == Seq("foo.bar.kawasaki.jp"))
+    assert(regdom("x.foo.bar.kawasaki.jp") == Seq("foo.bar.kawasaki.jp"))
+    assert(regdom("city.kawasaki.jp") == Seq("city.kawasaki.jp"))
+    assert(regdom("sub.city.kawasaki.jp") == Seq("city.kawasaki.jp"))
+    // 3-label exact rule (US locality scheme)
+    assert(regdom("www.school.k12.ca.us") == Seq("school.k12.ca.us"))
+    // a host that IS a public suffix passes through
+    assert(regdom("co.uk") == Seq("co.uk"))
+    assert(regdom("kawasaki.jp") == Seq("kawasaki.jp"))
+    // unlisted TLD: default rule (suffix = last label)
+    assert(regdom("a.b.example.zz") == Seq("example.zz"))
+    // parser: full-format lines, comments, single-label rules skipped
+    val r = Psl.parse(Iterator(
+      "// comment", "", "com", "co.uk", "*.ck", "!www.ck", "k12.ca.us",
+      "a.b.c.d", "extra.tokens here-ignored"))
+    assert(r.exact2 == Set("co.uk", "extra.tokens"))
+    assert(r.exact3 == Set("k12.ca.us") && r.exact4 == Set("a.b.c.d"))
+    assert(r.wild1 == Set("ck") && r.exc2 == Set("www.ck"))
+  }
+
   test("canonicalize + registeredDomain are pure expressions — no UDF in the plan") {
     import org.apache.spark.sql.functions._
     val df = spark.range(100).select(
