@@ -147,7 +147,12 @@ object DedupQueries {
     // corpus" number a curation run reports before choosing thresholds.
     "dedup_cluster_histogram" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      // deterministic md5 slice (50%): the exact-pair ground-truth leg
+      // is verification ballast, not a production plan — the slice
+      // keeps the invariant oracle-checked while the suite scales
+      // (the minhash_recall_probe convention, VERDICT r13 task 5)
+      val docs = documents(s, d).filter(
+        substring(md5($"doc_id".cast("string")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"))
       val comp = Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2))
       val hist = comp.groupBy($"component").agg(count(lit(1)).as("sz"))
@@ -203,7 +208,9 @@ object DedupQueries {
     // the md5 split on the representative.
     "leakage_safe_split" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      // deterministic md5 slice (50%) — see dedup_cluster_histogram
+      val docs = documents(s, d).filter(
+        substring(md5($"doc_id".cast("string")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"))
       graft.ops.Sampling.leakageSafeSplit(docs.select($"doc_id"), "doc_id",
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2),
           Seq("train" -> 0.8, "test" -> 0.2), seed = "ls0")
@@ -360,7 +367,9 @@ object DedupQueries {
 
     "dedup_minhash_subset_invariant" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      // deterministic md5 slice (50%) — see dedup_cluster_histogram
+      val docs = documents(s, d).filter(
+        substring(md5($"doc_id".cast("string")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"))
       val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.2)
         .select($"id_a", $"id_b", $"jaccard".as("__j_lsh"))
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.2)
@@ -731,7 +740,8 @@ object DedupQueries {
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(w)-1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+        |        WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7'))),
         |p AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -753,8 +763,9 @@ object DedupQueries {
         |  GROUP BY sz),
         |single AS (
         |  SELECT 1 AS sz,
-        |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
-        |      AS n_clusters)
+        |    (SELECT count(*) FROM documents
+        |     WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7'))
+        |      - (SELECT count(*) FROM comp) AS n_clusters)
         |SELECT sz::BIGINT AS cluster_size, n_clusters::BIGINT AS n_clusters,
         |  (sz * n_clusters)::BIGINT AS n_docs
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
@@ -856,7 +867,8 @@ object DedupQueries {
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(w)-1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+        |        WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7'))),
         |p AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -873,7 +885,8 @@ object DedupQueries {
         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
         |rep AS (
         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS r
-        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |  WHERE substr(md5(d.doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7'))
         |SELECT doc_id,
         |  CASE WHEN substr(md5(r::VARCHAR || ':ls0'), 1, 8)
         |            < '${graft.ops.Sampling.hexThreshold(0.8)}'

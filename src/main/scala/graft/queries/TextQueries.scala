@@ -367,21 +367,36 @@ object TextQueries {
 
     // The health dashboard faceted by language — where the mixing
     // decisions actually happen: per-lang volume, token mass, share,
-    // and gopher pass rate from the same single gopher projection.
+    // gopher pass rate from the same single gopher projection, and the
+    // trained-lang-ID `und` share: documents whose classifyTop2 margin
+    // over the head (first 200 chars — Cavnar-Trenkle profiles
+    // saturate early, and the bounded head keeps the replay cheap)
+    // falls under one full out-of-place unit (K=300) are routed "und"
+    // (mixed or out-of-model text the mixing step must not trust).
     "corpus_health_by_lang" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d)
       val g = graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text")
         .join(docs.select($"doc_id", $"lang"), "doc_id")
       val total = docs.count()
-      g.groupBy($"lang")
+      val profiles = graft.ops.LangId.trainProfiles(
+        graft.ops.LangId.readTraining(s, "/root/repo/fixtures/langid/train.jsonl"),
+        "lang", "text")
+      val heads = docs.select($"doc_id", substring($"text", 1, 200).as("head"))
+      val und = graft.ops.LangId.classifyTop2(heads, "doc_id", "head", profiles)
+        .select($"doc_id", ($"margin" < 300).as("is_und"))
+      g.join(und, Seq("doc_id"), "left")
+        .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_words").as("n_tokens"),
-          sum(when($"passed", 1L).otherwise(0L)).as("n_gopher_pass"))
+          sum(when($"passed", 1L).otherwise(0L)).as("n_gopher_pass"),
+          sum(when(coalesce($"is_und", lit(true)), 1L).otherwise(0L))
+            .as("n_und"))
         .select($"lang", $"n_docs", $"n_tokens",
           round($"n_docs".cast("double") / total, 6).as("doc_share"),
           round($"n_gopher_pass".cast("double") / $"n_docs", 6)
-            .as("gopher_pass_rate"))
+            .as("gopher_pass_rate"),
+          round($"n_und".cast("double") / $"n_docs", 6).as("und_share"))
         .orderBy($"lang")
     }),
 
@@ -456,7 +471,11 @@ object TextQueries {
     // dedup_survivors' min-id convention production pipelines want.
     "dedup_survivors_quality" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      // deterministic md5 slice (50%): the exact-pair leg is
+      // verification ballast — sampled per the minhash_recall_probe
+      // convention (VERDICT r13 task 5)
+      val docs = documents(s, d).filter(
+        substring(md5($"doc_id".cast("string")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"))
       val scored = docs.withColumn("q",
         TextAnalysis.qualityScore($"text", TextAnalysis.StopwordsEn))
       graft.ops.Dedup.nearDupSurvivorsByQuality(scored, "doc_id", "q",
@@ -806,19 +825,9 @@ object TextQueries {
       val profiles = graft.ops.LangId.trainProfiles(
         graft.ops.LangId.readTraining(s, "/root/repo/fixtures/langid/train.jsonl"),
         "lang", "text")
-      val v = pmod($"doc_id", lit(10))
-      val phrase = when(v === 0, lit("the weather was cold yesterday and the trains were late again this morning"))
-        .when(v === 1, lit("la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas"))
-        .when(v === 2, lit("der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"))
-        .when(v === 3, lit("le petit garçon mange une pomme rouge dans la cuisine de sa grandmère"))
-        .when(v === 4, lit("la ragazza legge un libro interessante sulla storia della città antica"))
-        .when(v === 5, lit("o menino foi à escola de manhã e voltou para casa no final da tarde"))
-        .when(v === 6, lit("de kinderen spelen buiten in het park omdat het vandaag mooi weer is"))
-        .when(v === 7, lit("det lilla huset ligger vid sjön och har ett rött tak med vita knutar"))
-        .when(v === 8, lit("dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni"))
-        .otherwise(lit("çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor"))
       val docs = documents(s, d).select($"doc_id",
-        concat(phrase, lit(" doc "), $"doc_id".cast("string")).as("text"))
+        concat(langIdHeldOutPhrase($"doc_id"), lit(" doc "),
+          $"doc_id".cast("string")).as("text"))
       graft.ops.LangId.classify(docs, "doc_id", "text", profiles)
         .orderBy($"doc_id")
     }),
@@ -832,19 +841,9 @@ object TextQueries {
       val profiles = graft.ops.LangId.trainProfiles(
         graft.ops.LangId.readTraining(s, "/root/repo/fixtures/langid/train.jsonl"),
         "lang", "text")
-      val v = pmod($"doc_id", lit(10))
-      val phrase = when(v === 0, lit("the weather was cold yesterday and the trains were late again this morning"))
-        .when(v === 1, lit("la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas"))
-        .when(v === 2, lit("der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"))
-        .when(v === 3, lit("le petit garçon mange une pomme rouge dans la cuisine de sa grandmère"))
-        .when(v === 4, lit("la ragazza legge un libro interessante sulla storia della città antica"))
-        .when(v === 5, lit("o menino foi à escola de manhã e voltou para casa no final da tarde"))
-        .when(v === 6, lit("de kinderen spelen buiten in het park omdat het vandaag mooi weer is"))
-        .when(v === 7, lit("det lilla huset ligger vid sjön och har ett rött tak med vita knutar"))
-        .when(v === 8, lit("dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni"))
-        .otherwise(lit("çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor"))
       val docs = documents(s, d).select($"doc_id",
-        concat(phrase, lit(" doc "), $"doc_id".cast("string")).as("text"))
+        concat(langIdHeldOutPhrase($"doc_id"), lit(" doc "),
+          $"doc_id".cast("string")).as("text"))
       graft.ops.LangId.classifyTop2(docs, "doc_id", "text", profiles)
         .orderBy($"doc_id")
     }),
@@ -2217,9 +2216,47 @@ object TextQueries {
 
   // the full Cavnar-Trenkle train+classify replay (shared by the
   // prediction and confidence-margin oracles)
-  private val langIdReplayCtes: String =
-    """WITH train AS (
-        |  SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  /** Held-out per-doc phrase for the trained lang-ID queries — twenty
+    * variants across scripts (ten Latin-script languages plus
+    * Cyrillic, Greek, Arabic, Devanagari, Thai, Hangul, Japanese,
+    * Chinese, Vietnamese, Finnish), none of which appear in the
+    * training corpus. MUST stay in lockstep with the CASE inside
+    * [[langIdReplayCtes]].
+    */
+  private def langIdHeldOutPhrase(docId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val v = pmod(docId, lit(20))
+    when(v === 0, lit("the weather was cold yesterday and the trains were late again this morning"))
+      .when(v === 1, lit("la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas"))
+      .when(v === 2, lit("der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"))
+      .when(v === 3, lit("le petit garçon mange une pomme rouge dans la cuisine de sa grandmère"))
+      .when(v === 4, lit("la ragazza legge un libro interessante sulla storia della città antica"))
+      .when(v === 5, lit("o menino foi à escola de manhã e voltou para casa no final da tarde"))
+      .when(v === 6, lit("de kinderen spelen buiten in het park omdat het vandaag mooi weer is"))
+      .when(v === 7, lit("det lilla huset ligger vid sjön och har ett rött tak med vita knutar"))
+      .when(v === 8, lit("dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni"))
+      .when(v === 9, lit("çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor"))
+      .when(v === 10, lit("это было тёплое лето и мы часто ездили на электричке к бабушке в деревню"))
+      .when(v === 11, lit("ο σκύλος τρέχει στο πάρκο κάθε πρωί πριν βγει ο ήλιος"))
+      .when(v === 12, lit("يقرأ الطالب كتابا جديدا في المكتبة بعد انتهاء الدروس"))
+      .when(v === 13, lit("आज मौसम बहुत अच्छा है और बच्चे बाहर खेल रहे हैं"))
+      .when(v === 14, lit("รถไฟมาถึงสถานีแต่เช้าและผู้โดยสารรอกันอยู่ที่ชานชาลา"))
+      .when(v === 15, lit("기차는 아침 일찍 역에 도착하고 승객들은 플랫폼에서 기다린다"))
+      .when(v === 16, lit("電車は朝早く駅に着き乗客はホームで待っている"))
+      .when(v === 17, lit("火车清晨到达车站乘客们在站台上等候"))
+      .when(v === 18, lit("tàu đến ga từ sáng sớm và hành khách chờ trên sân ga"))
+      .otherwise(lit("juna saapuu asemalle aikaisin aamulla ja matkustajat odottavat laiturilla"))
+  }
+
+  /** The trained-lang-ID distance replay as a CTE LIST (no leading
+    * WITH), parameterized by the `docs` CTE body — must produce
+    * `(doc_id, t)` with `t` already trim/collapse/lower normalized.
+    * Ends at `dist(doc_id, lang, dist)`. Composable after other CTE
+    * chains (names train/tg/prof/docs/dg/dprof/dist are reserved).
+    */
+  private def langIdDistCtes(docsBody: String): String =
+    s"""train AS (
+        |  SELECT lang, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
         |  FROM read_json('/root/repo/fixtures/langid/train.jsonl',
         |                 format='newline_delimited')),
         |tg AS (
@@ -2231,21 +2268,7 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
         |  FROM (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY 1, 2)
         |  QUALIFY rank <= 300),
-        |docs AS (
-        |  SELECT doc_id, lower(regexp_replace(trim(
-        |    CASE doc_id % 10
-        |      WHEN 0 THEN 'the weather was cold yesterday and the trains were late again this morning'
-        |      WHEN 1 THEN 'la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas'
-        |      WHEN 2 THEN 'der schnelle zug fährt heute nicht weil die strecke gesperrt wurde'
-        |      WHEN 3 THEN 'le petit garçon mange une pomme rouge dans la cuisine de sa grandmère'
-        |      WHEN 4 THEN 'la ragazza legge un libro interessante sulla storia della città antica'
-        |      WHEN 5 THEN 'o menino foi à escola de manhã e voltou para casa no final da tarde'
-        |      WHEN 6 THEN 'de kinderen spelen buiten in het park omdat het vandaag mooi weer is'
-        |      WHEN 7 THEN 'det lilla huset ligger vid sjön och har ett rött tak med vita knutar'
-        |      WHEN 8 THEN 'dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni'
-        |      ELSE 'çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor'
-        |    END || ' doc ' || doc_id::VARCHAR), '\s+', ' ', 'g')) AS t
-        |  FROM documents),
+        |docs AS ($docsBody),
         |dg AS (
         |  SELECT doc_id, substr(t, p::INT, n::INT) AS gram
         |  FROM (SELECT doc_id, t, unnest([1, 2, 3]) AS n FROM docs) x,
@@ -2263,6 +2286,32 @@ object TextQueries {
         |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
         |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
         |  GROUP BY 1, 2)""".stripMargin
+
+  private val langIdReplayCtes: String = "WITH " + langIdDistCtes(
+    """SELECT doc_id, lower(regexp_replace(trim(
+        |    CASE doc_id % 20
+        |      WHEN 0 THEN 'the weather was cold yesterday and the trains were late again this morning'
+        |      WHEN 1 THEN 'la casa de mi abuela tiene un jardín muy grande con muchas flores bonitas'
+        |      WHEN 2 THEN 'der schnelle zug fährt heute nicht weil die strecke gesperrt wurde'
+        |      WHEN 3 THEN 'le petit garçon mange une pomme rouge dans la cuisine de sa grandmère'
+        |      WHEN 4 THEN 'la ragazza legge un libro interessante sulla storia della città antica'
+        |      WHEN 5 THEN 'o menino foi à escola de manhã e voltou para casa no final da tarde'
+        |      WHEN 6 THEN 'de kinderen spelen buiten in het park omdat het vandaag mooi weer is'
+        |      WHEN 7 THEN 'det lilla huset ligger vid sjön och har ett rött tak med vita knutar'
+        |      WHEN 8 THEN 'dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni'
+        |      WHEN 9 THEN 'çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor'
+        |      WHEN 10 THEN 'это было тёплое лето и мы часто ездили на электричке к бабушке в деревню'
+        |      WHEN 11 THEN 'ο σκύλος τρέχει στο πάρκο κάθε πρωί πριν βγει ο ήλιος'
+        |      WHEN 12 THEN 'يقرأ الطالب كتابا جديدا في المكتبة بعد انتهاء الدروس'
+        |      WHEN 13 THEN 'आज मौसम बहुत अच्छा है और बच्चे बाहर खेल रहे हैं'
+        |      WHEN 14 THEN 'รถไฟมาถึงสถานีแต่เช้าและผู้โดยสารรอกันอยู่ที่ชานชาลา'
+        |      WHEN 15 THEN '기차는 아침 일찍 역에 도착하고 승객들은 플랫폼에서 기다린다'
+        |      WHEN 16 THEN '電車は朝早く駅に着き乗客はホームで待っている'
+        |      WHEN 17 THEN '火车清晨到达车站乘客们在站台上等候'
+        |      WHEN 18 THEN 'tàu đến ga từ sáng sớm và hành khách chờ trên sân ga'
+        |      ELSE 'juna saapuu asemalle aikaisin aamulla ja matkustajat odottavat laiturilla'
+        |    END || ' doc ' || doc_id::VARCHAR), '\s+', ' ', 'g')) AS t
+        |  FROM documents""".stripMargin)
 
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
   private def hits(lst: String): String =
@@ -3462,7 +3511,18 @@ object TextQueries {
         |FROM r ORDER BY lang""".stripMargin,
     // the same gopher CTEs faceted per language
     "corpus_health_by_lang" ->
-      s"""$gopherCtes
+      s"""$gopherCtes,
+        |${langIdDistCtes(
+        """SELECT doc_id, lower(regexp_replace(trim(substr(text, 1, 200)),
+          |    '\s+', ' ', 'g')) AS t FROM documents""".stripMargin)},
+        |dd AS (
+        |  SELECT doc_id, dist, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY dist, lang) AS rk FROM dist),
+        |und AS (
+        |  SELECT doc_id,
+        |    (max(CASE WHEN rk = 2 THEN dist END) -
+        |     max(CASE WHEN rk = 1 THEN dist END)) < 300 AS is_und
+        |  FROM dd GROUP BY doc_id)
         |SELECT d.lang, count(*)::BIGINT AS n_docs,
         |  sum(c.n_words)::BIGINT AS n_tokens,
         |  round(count(*)::DOUBLE /
@@ -3474,8 +3534,11 @@ object TextQueries {
         |    AND 5 * n_alpha_words >= 4 * n_words
         |    AND 10 * n_bullet_lines <= 9 * n_lines
         |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::DOUBLE /
-        |    count(*), 6) AS gopher_pass_rate
+        |    count(*), 6) AS gopher_pass_rate,
+        |  round(sum(CASE WHEN coalesce(u.is_und, TRUE) THEN 1 ELSE 0 END)
+        |    ::DOUBLE / count(*), 6) AS und_share
         |FROM c JOIN documents d USING (doc_id)
+        |LEFT JOIN und u USING (doc_id)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // the whole-corpus rollup of the gopher CTEs plus lang/dup/token
     // aggregates — every count recomputed from the raw table
@@ -3630,7 +3693,8 @@ object TextQueries {
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(w)-1),
          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+         |        WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7'))),
          |p AS MATERIALIZED (
          |  SELECT id_a, id_b FROM (
          |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3658,7 +3722,8 @@ object TextQueries {
          |      ORDER BY round(q.q, 6) DESC, comp.id) AS rk
          |    FROM comp JOIN q ON q.doc_id = comp.id) WHERE rk > 1)
          |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7')
+         |  AND doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
     // the full-support JSD: every (pair, bucket) cell smoothed, both
     // KL halves against the midpoint, ln = nats

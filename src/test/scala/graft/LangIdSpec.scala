@@ -16,7 +16,7 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
-  test("held-out sentences classify to their language, all ten") {
+  test("held-out sentences classify to their language, all thirty") {
     val spark = TestSpark.spark
     import spark.implicits._
     val profiles = LangId.trainProfiles(
@@ -33,7 +33,27 @@ class LangIdSpec extends AnyFunSuite {
       "nl" -> "de kinderen spelen buiten in het park omdat het vandaag mooi weer is",
       "sv" -> "det lilla huset ligger vid sjön och har ett rött tak med vita knutar",
       "pl" -> "dzieci bawią się w ogrodzie a ich rodzice rozmawiają przy stole w kuchni",
-      "tr" -> "çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor")
+      "tr" -> "çocuklar bahçede oynuyor ve anneleri mutfakta akşam yemeği hazırlıyor",
+      "ru" -> "это было тёплое лето и мы часто ездили на электричке к бабушке в деревню",
+      "uk" -> "потяг прибуває на станцію рано вранці а пасажири чекають на пероні",
+      "bg" -> "влакът пристига на гарата рано сутринта а пътниците чакат на перона",
+      "el" -> "ο σκύλος τρέχει στο πάρκο κάθε πρωί πριν βγει ο ήλιος",
+      "ar" -> "يقرأ الطالب كتابا جديدا في المكتبة بعد انتهاء الدروس",
+      "fa" -> "قطار صبح زود به ایستگاه می رسد و مسافران در سکو منتظرند",
+      "he" -> "הרכבת מגיעה לתחנה מוקדם בבוקר והנוסעים מחכים ברציף",
+      "hi" -> "आज मौसम बहुत अच्छा है और बच्चे बाहर खेल रहे हैं",
+      "bn" -> "আজ আবহাওয়া খুব ভালো এবং শিশুরা বাইরে খেলছে",
+      "ta" -> "இன்று வானிலை மிகவும் நன்றாக உள்ளது குழந்தைகள் வெளியே விளையாடுகிறார்கள்",
+      "th" -> "รถไฟมาถึงสถานีแต่เช้าและผู้โดยสารรอกันอยู่ที่ชานชาลา",
+      "ko" -> "기차는 아침 일찍 역에 도착하고 승객들은 플랫폼에서 기다린다",
+      "ja" -> "電車は朝早く駅に着き乗客はホームで待っている",
+      "zh" -> "火车清晨到达车站乘客们在站台上等候",
+      "vi" -> "tàu đến ga từ sáng sớm và hành khách chờ trên sân ga",
+      "id" -> "kereta tiba di stasiun pagi sekali dan para penumpang menunggu di peron",
+      "ro" -> "trenul ajunge în gară dimineața devreme iar călătorii așteaptă pe peron",
+      "cs" -> "vlak přijíždí na nádraží brzy ráno a cestující čekají na nástupišti",
+      "hu" -> "a vonat kora reggel érkezik az állomásra és az utasok a peronon várnak",
+      "fi" -> "juna saapuu asemalle aikaisin aamulla ja matkustajat odottavat laiturilla")
       .toDF("want", "text").withColumn("id",
         org.apache.spark.sql.functions.monotonically_increasing_id())
     val got = LangId.classify(held, "id", "text", profiles)
@@ -64,7 +84,9 @@ class LangIdSpec extends AnyFunSuite {
       LangId.readTraining(spark, "/root/repo/fixtures/langid/train.jsonl"),
       "lang", "text")
     val pmap = LangId.collectProfiles(profiles)
-    assert(pmap.size == 10 && pmap.values.forall(_.nonEmpty))
+    assert(pmap.size == 30 && pmap.values.forall(_.nonEmpty))
+    // the broadcastable profile stays bounded: ≤ |langs|·K rows
+    assert(pmap.values.map(_.size).sum <= 30 * LangId.DefaultK)
     val docs = Seq(
       (0L, "det lilla huset ligger vid sjön och har ett rött tak"),
       (1L, "çocuklar bahçede oynuyor ve anneleri yemek hazırlıyor"),
