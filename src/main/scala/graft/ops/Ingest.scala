@@ -421,6 +421,20 @@ object Ingest {
   private def writeManifest(spark: SparkSession, storeDir: String, config: StoreConfig): Unit =
     graft.Fs.writeString(spark, s"$storeDir/${config.tableName}.manifest.json", config.toJson)
 
+  /** S17: the raw manifest sidecars as `(file, json)` rows — the
+    * table-comment metadata SHAPE itself (field order and spelling of
+    * [[StoreConfig.toJson]]), so the manifest format is pinned by an
+    * oracle, not just the parsed fields [[listStores]] re-derives.
+    */
+  def listManifests(spark: SparkSession, storeDir: String): DataFrame = {
+    val rows = graft.Fs.list(spark, storeDir)
+      .filter(_.endsWith(".manifest.json"))
+      .map(p => (p.substring(p.lastIndexOf('/') + 1),
+        graft.Fs.readString(spark, p)))
+    import spark.implicits._
+    rows.toDF("file", "json")
+  }
+
   /** S12: catalog scan — list store configs from the manifest sidecars. */
   def listStores(spark: SparkSession, storeDir: String): DataFrame = {
     val rows = graft.Fs.list(spark, storeDir)

@@ -176,6 +176,28 @@ object RagPipeline {
         graft.embed.HashEmbedder(32))
       Ingest.listStores(s, root).orderBy($"alias")
     }),
+
+    // S17 graduated to a full oracle row: the manifest/table-comment
+    // metadata SHAPE itself. Two stores ingest through the real
+    // pipeline, then the raw manifest sidecars read back as
+    // (file, json) — the oracle pins BOTH the reference table-name
+    // derivation (upper, non-alnum -> '_') and the exact JSON field
+    // order/spelling of StoreConfig.toJson as literals.
+    "store_manifest_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-manifest-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val docs = documents(s, d).filter($"doc_id" < 10).select($"doc_id", $"text")
+      Ingest.ingest(s, docs, "doc_id", "text", root,
+        Ingest.StoreConfig("alpha", "hash64", 200, 40),
+        graft.embed.HashEmbedder(64))
+      Ingest.ingest(s, docs, "doc_id", "text", root,
+        Ingest.StoreConfig("beta", "hash32", 300, 0, "EUCLIDEAN_DISTANCE", "IVF"),
+        graft.embed.HashEmbedder(32))
+      Ingest.listManifests(s, root).orderBy($"file")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +252,13 @@ object RagPipeline {
         |  ('beta', 'hash32', 300::INTEGER, 0::INTEGER, 'EUCLIDEAN_DISTANCE', 'IVF')
         |) t(alias, model, chunk_size, chunk_overlap, distance_metric, index_type)
         |ORDER BY alias""".stripMargin,
+    "store_manifest_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('ALPHA_HASH64_200_40_COSINE_HNSW.manifest.json',
+        |   '{"alias":"alpha","model":"hash64","chunk_size":200,"chunk_overlap":40,"distance_metric":"COSINE","index_type":"HNSW"}'),
+        |  ('BETA_HASH32_300_0_EUCLIDEAN_DISTANCE_IVF.manifest.json',
+        |   '{"alias":"beta","model":"hash32","chunk_size":300,"chunk_overlap":0,"distance_metric":"EUCLIDEAN_DISTANCE","index_type":"IVF"}')
+        |) t(file, json) ORDER BY file""".stripMargin,
     "rag_e2e_pipeline" ->
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, e.embedding

@@ -438,9 +438,12 @@ object Relational {
       import s.implicits._
       val docs = documents(s, d)
       // input synthesis (not the operator): the sitemap FILE, built
-      // from the corpus ids — collect bounded by |documents|, exists
-      // only to write the XML (the sitemap_coverage convention)
-      val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+      // from a capped deterministic sample of corpus ids (first 2000 —
+      // the collect is CONSTANT-bounded regardless of corpus size, so
+      // the harness obeys the no-unbounded-collect rule it audits
+      // operators for)
+      val ids = docs.select($"doc_id").orderBy($"doc_id").limit(2000)
+        .collect().map(_.getLong(0))
       val sitemapXml = {
         val urls = ids.filter(_ % 2 == 0).map(i =>
           f"<url><loc>https://example.com/item/$i</loc>" +
@@ -477,9 +480,10 @@ object Relational {
       val docs = documents(s, d).select($"doc_id",
         concat(lit("https://example.com/item/"), id).as("url"))
       // input synthesis (not the operator): the sitemap FILE a
-      // publisher would serve, built from the corpus ids — the collect
-      // is bounded by |documents| and exists only to write the XML
-      val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+      // publisher would serve, built from a capped deterministic
+      // sample (first 2000 ids — constant-bounded collect)
+      val ids = docs.select($"doc_id").orderBy($"doc_id").limit(2000)
+        .collect().map(_.getLong(0))
       val sitemapXml = {
         val urls = ids.filter(_ % 2 == 0).map(i =>
           s"<url><loc>https://example.com/item/$i</loc><lastmod>2026-08-01</lastmod></url>") ++
@@ -1324,7 +1328,8 @@ object Relational {
       """WITH sm AS (
         |  SELECT 'https://example.com/item/' || doc_id::VARCHAR AS url,
         |    '2026-08-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS lastmod
-        |  FROM documents WHERE doc_id % 2 = 0),
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2000)
+        |  WHERE doc_id % 2 = 0),
         |crawled AS (
         |  SELECT 'https://example.com/item/' || doc_id::VARCHAR AS url,
         |    '2026-08-10' AS fetched_on
@@ -1364,7 +1369,8 @@ object Relational {
     "sitemap_coverage" ->
       """SELECT 'https://example.com/missing/' || b::VARCHAR AS url,
         |  '' AS lastmod
-        |FROM (SELECT DISTINCT doc_id // 1000 AS b FROM documents)
+        |FROM (SELECT DISTINCT doc_id // 1000 AS b FROM
+        |      (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2000))
         |ORDER BY url""".stripMargin,
     "robots_gate_urls" ->
       """SELECT doc_id,

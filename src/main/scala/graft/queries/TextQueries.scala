@@ -1571,9 +1571,11 @@ object TextQueries {
       val docs = documents(s, d).select($"doc_id",
         concat(lit("https://example.com/item/"), id).as("url"))
       // input synthesis (not the operator): the publisher's sitemap
-      // FILE, built from the corpus ids — bounded collect, the
-      // sitemap_coverage convention
-      val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+      // FILE, built from a capped deterministic sample (first 2000
+      // ids — constant-bounded collect, the sitemap_coverage
+      // convention)
+      val ids = docs.select($"doc_id").orderBy($"doc_id").limit(2000)
+        .collect().map(_.getLong(0))
       val sitemapXml = {
         val urls = ids.filter(_ % 2 == 0).map(i =>
           s"<url><loc>https://example.com/item/$i</loc></url>") ++
@@ -1858,7 +1860,8 @@ object TextQueries {
         .orderBy($"media_id", $"tag_idx")
     }),
 
-    // PNG textual metadata (tEXt latin-1 + uncompressed iTXt utf-8):
+    // PNG textual metadata (tEXt latin-1, iTXt utf-8 BOTH compression
+    // flags, zTXt deflate-latin-1 — inflated under a 1 MiB bomb cap):
     // the PNG counterpart of the EXIF report — authorship/software
     // provenance pinned from the committed chunk bytes, incl. the
     // utf-8 iTXt payload with its language tag skipped per spec; the
@@ -4101,7 +4104,7 @@ object TextQueries {
       """WITH missing AS (
         |  SELECT DISTINCT
         |    'https://example.com/missing/' || (doc_id // 1000)::VARCHAR AS url
-        |  FROM documents)
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2000))
         |SELECT url,
         |  (row_number() OVER (ORDER BY md5(url), url) - 1)::BIGINT AS slot,
         |  ((row_number() OVER (ORDER BY md5(url), url) - 1) * 1000)::BIGINT
@@ -4340,7 +4343,10 @@ object TextQueries {
       """SELECT * FROM (VALUES
         |  ('meta.png', 0::BIGINT, 'Title', 'Diagonal ramp pattern'),
         |  ('meta.png', 1::BIGINT, 'Software', 'graft png24'),
-        |  ('meta.png', 2::BIGINT, 'Comment', 'café ✓ utf-8 comment')
+        |  ('meta.png', 2::BIGINT, 'Comment', 'café ✓ utf-8 comment'),
+        |  ('meta.png', 3::BIGINT, 'Description',
+        |   'deflate compressed latin-1 æøå description'),
+        |  ('meta.png', 4::BIGINT, 'Annotation', 'compressed utf-8 ✓ annotation')
         |) t(media_id, tag_idx, keyword, value)
         |ORDER BY media_id, tag_idx""".stripMargin,
     "image_gps_strip" ->

@@ -687,6 +687,39 @@ object Mp4Codec {
   */
 object PngMeta {
 
+  /** Decompressed-size ceiling per text chunk (1 MiB): real-world
+    * zTXt/iTXt payloads are provenance strings, so anything larger is
+    * either junk or a decompression bomb — skipped, never inflated
+    * past the cap.
+    */
+  val MaxInflatedChunk: Int = 1 << 20
+
+  /** Bounded inflate of `len` bytes at `off`: None on corrupt/
+    * truncated streams or when output would exceed
+    * [[MaxInflatedChunk]].
+    */
+  private def inflateCapped(b: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    if (len <= 0) return None
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.min(len * 4, 65536))
+      val buf = new Array[Byte](8192)
+      var ok = true
+      while (ok && !inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) ok = false
+        else {
+          out.write(buf, 0, n)
+          if (out.size > MaxInflatedChunk) ok = false
+        }
+      }
+      if (ok && inf.finished()) Some(out.toByteArray) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
   def parse(bytes: Array[Byte]): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
@@ -711,18 +744,35 @@ object PngMeta {
           } else if (tag == "iTXt") {
             val n1 = (data until data + len).find(bytes(_) == 0)
             n1.foreach { k =>
-              // keyword NUL compFlag compMethod NUL lang NUL translated NUL text
-              if (k + 2 < data + len && bytes(k + 1) == 0) { // uncompressed
+              // keyword NUL compFlag compMethod lang NUL translated NUL text
+              if (k + 2 < data + len) {
+                val compFlag = bytes(k + 1)
+                val compMethod = bytes(k + 2)
                 var p = k + 3
                 var nuls = 0
                 while (p < data + len && nuls < 2) {
                   if (bytes(p) == 0) nuls += 1
                   p += 1
                 }
-                if (nuls == 2)
-                  out += (new String(bytes, data, k - data, "ISO-8859-1") ->
-                    new String(bytes, p, data + len - p, "UTF-8"))
+                if (nuls == 2) {
+                  val key = new String(bytes, data, k - data, "ISO-8859-1")
+                  if (compFlag == 0)
+                    out += (key -> new String(bytes, p, data + len - p, "UTF-8"))
+                  else if (compFlag == 1 && compMethod == 0)
+                    // deflate-compressed payload, inflated under the cap
+                    inflateCapped(bytes, p, data + len - p).foreach(t =>
+                      out += (key -> new String(t, "UTF-8")))
+                }
               }
+            }
+          } else if (tag == "zTXt") {
+            // keyword NUL compMethod(0=deflate) compressed-latin1-text
+            val nul = (data until data + len).find(bytes(_) == 0)
+            nul.foreach { n =>
+              if (n + 1 < data + len && bytes(n + 1) == 0)
+                inflateCapped(bytes, n + 2, data + len - n - 2).foreach(t =>
+                  out += (new String(bytes, data, n - data, "ISO-8859-1") ->
+                    new String(t, "ISO-8859-1")))
             }
           }
         }

@@ -387,8 +387,27 @@ object MediaFixtures {
       latin1("Comment") ++ Array[Byte](0, 0, 0) ++ latin1("en") ++
         Array(0.toByte) ++ Array(0.toByte) ++
         "café ✓ utf-8 comment".getBytes("UTF-8"))
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(data); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } finally d.end()
+    }
+    // zTXt: keyword NUL method(0) deflate-compressed latin-1 text
+    val zt = chunk("zTXt",
+      latin1("Description") ++ Array[Byte](0, 0) ++
+        deflate(latin1("deflate compressed latin-1 æøå description")))
+    // compressed iTXt: compFlag=1, compMethod=0, deflate utf-8 payload
+    val itc = chunk("iTXt",
+      latin1("Annotation") ++ Array[Byte](0, 1, 0) ++ latin1("en") ++
+        Array(0.toByte) ++ Array(0.toByte) ++
+        deflate("compressed utf-8 ✓ annotation".getBytes("UTF-8")))
     // IHDR ends at offset 33 (8 sig + 4 len + 4 tag + 13 data + 4 crc)
-    base.take(33) ++ t1 ++ t2 ++ it ++ base.drop(33)
+    base.take(33) ++ t1 ++ t2 ++ it ++ zt ++ itc ++ base.drop(33)
   }
 }
 

@@ -243,7 +243,7 @@ class MediaSpec extends AnyFunSuite {
     assert(info.nFrames == 8 && info.peak == 0.5)
   }
 
-  test("PNG text chunks: tEXt latin-1, uncompressed iTXt utf-8, junk tolerated") {
+  test("PNG text chunks: tEXt latin-1, iTXt utf-8 both flags, zTXt, junk tolerated") {
     val p = java.nio.file.Paths.get("/root/repo/fixtures/pngmeta/meta.png")
     assert(java.nio.file.Files.exists(p),
       "run Test/runMain graft.GenPngMetaFixtures fixtures/pngmeta")
@@ -251,7 +251,9 @@ class MediaSpec extends AnyFunSuite {
       MediaFixtures.metaPng), "fixture drifted from the generator")
     val tags = graft.sources.PngMeta.parse(MediaFixtures.metaPng)
     assert(tags == Seq("Title" -> "Diagonal ramp pattern",
-      "Software" -> "graft png24", "Comment" -> "café ✓ utf-8 comment"))
+      "Software" -> "graft png24", "Comment" -> "café ✓ utf-8 comment",
+      "Description" -> "deflate compressed latin-1 æøå description",
+      "Annotation" -> "compressed utf-8 ✓ annotation"))
     // the metadata splice never touches pixels: dHash is bit-identical
     assert(graft.sources.ImageCodec.dHash64(MediaFixtures.metaPng) ==
       graft.sources.ImageCodec.dHash64(MediaFixtures.patternPng))
@@ -260,6 +262,25 @@ class MediaSpec extends AnyFunSuite {
     assert(graft.sources.PngMeta.parse("junk".getBytes).isEmpty)
     assert(graft.sources.PngMeta.parse(
       java.util.Arrays.copyOf(MediaFixtures.metaPng, 50)).length <= 1)
+    // decompression-bomb guard: a zTXt inflating past the 1 MiB cap is
+    // skipped (2 MiB of zeros deflates to ~2 KB — cheap to plant)
+    val d = new java.util.zip.Deflater()
+    d.setInput(new Array[Byte](2 << 20)); d.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) zbuf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val payload = "Bomb".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+      zbuf.toByteArray
+    val be = (v: Int) => Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update("zTXt".getBytes("US-ASCII")); crc.update(payload)
+    val bomb = be(payload.length) ++ "zTXt".getBytes("US-ASCII") ++
+      payload ++ be(crc.getValue.toInt)
+    val base = MediaFixtures.patternPng
+    assert(graft.sources.PngMeta.parse(
+      base.take(33) ++ bomb ++ base.drop(33)).isEmpty)
   }
 
   test("EXIF: APP1 TIFF walk — IFD0, Exif IFD, GPS IFD, exact rationals") {
