@@ -3384,6 +3384,9 @@ object TextQueries {
     "pdf_extract" ->
       """SELECT doc_id, text, page FROM (VALUES
         |  ('cid_p0', 'cid αβγ 𝐀' || chr(10) || 'plain tail', 0::BIGINT),
+        |  ('filters_p0', 'lzw page: banana bandana ban', 0::BIGINT),
+        |  ('filters_p1', 'hex page', 1::BIGINT),
+        |  ('filters_p2', 'ascii85 over flate cascade page', 2::BIGINT),
         |  ('flate_p0', 'Compressed alpha alpha alpha alpha', 0::BIGINT),
         |  ('flate_p1', 'part one' || chr(10) || 'part two', 1::BIGINT),
         |  ('flate_p2', 'first' || chr(10) || 'second', 2::BIGINT),

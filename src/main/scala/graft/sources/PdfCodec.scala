@@ -344,14 +344,164 @@ object PdfCodec {
           case Some(a: Vector[Any] @unchecked) => a.collect { case Name(f) => f }
           case Some(other) => throw new IllegalArgumentException(s"bad /Filter: $other")
         }
-        val decoded = filters.foldLeft(raw) {
-          case (data, "FlateDecode") => inflate(data)
-          case (_, f) =>
+        // /DecodeParms (or legacy /DP): dict, or array parallel to the
+        // filter array — only /EarlyChange (LZW) is consulted
+        val parms: Int => Option[Map[String, Any]] = {
+          val dp = dict.get("DecodeParms").orElse(dict.get("DP"))
+            .map(resolve(_, objects))
+          i => dp match {
+            case Some(m: Map[String, Any] @unchecked) if i == 0 => Some(m)
+            case Some(a: Vector[Any] @unchecked) if i < a.length =>
+              resolve(a(i), objects) match {
+                case m: Map[String, Any] @unchecked => Some(m)
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        val decoded = filters.zipWithIndex.foldLeft(raw) {
+          case (data, ("FlateDecode", _)) => inflate(data)
+          case (data, ("ASCIIHexDecode", _)) => asciiHexDecode(data)
+          case (data, ("ASCII85Decode", _)) => ascii85Decode(data)
+          case (data, ("LZWDecode", i)) =>
+            val early = parms(i).flatMap(_.get("EarlyChange")).map {
+              case n: Long => n.toInt
+              case _ => 1
+            }
+            early match {
+              case Some(e) => lzwDecode(data, e)
+              case None =>
+                // convention unstated: try the spec default (early
+                // change), fall back to the late convention — desynced
+                // widths surface as out-of-range codes, loudly
+                try lzwDecode(data, 1)
+                catch { case _: IllegalArgumentException => lzwDecode(data, 0) }
+            }
+          case (_, (f, _)) =>
             throw new IllegalArgumentException(s"unsupported stream filter /$f — " +
-              "PdfCodec handles FlateDecode and unfiltered streams")
+              "PdfCodec handles FlateDecode, LZWDecode, ASCIIHexDecode, " +
+              "ASCII85Decode, and unfiltered streams")
         }
         new String(decoded, StandardCharsets.ISO_8859_1)
     }
+  }
+
+  // ---- non-Flate stream filters ----------------------------------------
+
+  /** ASCIIHexDecode (PDF 7.4.2): hex pairs, whitespace ignored, `>`
+    * ends the data, an odd trailing digit is padded with 0.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0)
+          throw new IllegalArgumentException(s"bad ASCIIHexDecode char '$c'")
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble = 0
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (PDF 7.4.3): base-85 groups of 5 chars (`!`..`u`)
+    * to 4 bytes, `z` = four zero bytes, whitespace ignored, `~>` ends
+    * the data; a partial group of n chars yields n−1 bytes (padded
+    * with `u` before decode).
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < count) grp(i) else 84); i += 1 }
+      if (v > 0xffffffffL)
+        throw new IllegalArgumentException("ASCII85Decode group overflow")
+      val bytes = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, count - 1)
+      n = 0
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u')
+          throw new IllegalArgumentException(s"bad ASCII85Decode char '$c'")
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) flush(5)
+      }
+      i += 1
+    }
+    if (n == 1)
+      throw new IllegalArgumentException("ASCII85Decode: lone trailing char")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** LZWDecode (PDF 7.4.4 / TIFF 6.0 LZW): MSB-first variable-width
+    * codes 9→12 bits, Clear=256, EOD=257. `earlyChange = 1` (the
+    * default) widens the code one step early — the deferred-entry
+    * decoder compensates with the `− 1` in the bump test below, the
+    * classic off-by-one the PDF spec inherited from TIFF. Out-of-range
+    * codes are a loud error (which is also how the caller detects a
+    * stream written under the other convention and retries).
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var codeLen = 9
+    var prev: Array[Byte] = null
+    def reset(): Unit = { dictSize = 258; codeLen = 9; prev = null }
+    reset()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    var eod = false
+    while (!eod && (bitCnt >= codeLen || i < data.length)) {
+      while (bitCnt < codeLen && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xff); bitCnt += 8; i += 1
+      }
+      if (bitCnt < codeLen) eod = true // trailing pad bits
+      else {
+        val code = ((bitBuf >>> (bitCnt - codeLen)) & ((1L << codeLen) - 1)).toInt
+        bitCnt -= codeLen
+        if (code == 256) reset()
+        else if (code == 257) eod = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && dict(code) != null) dict(code)
+            else if (prev != null && code == dictSize) prev :+ prev(0) // KwKwK
+            else throw new IllegalArgumentException(
+              s"corrupt LZWDecode stream: code $code, dict $dictSize")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          prev = entry
+          if (dictSize >= (1 << codeLen) - 1 - earlyChange && codeLen < 12)
+            codeLen += 1
+        }
+      }
+    }
+    out.toByteArray
   }
 
   // ---- object streams (/Type /ObjStm, PDF 1.5+) -------------------------

@@ -219,11 +219,112 @@ object PdfFixtures {
     out.toByteArray
   }
 
+  /** TIFF-6.0-convention LZW encoder (MSB-first, 9→12-bit codes,
+    * Clear=256, EOD=257), the exact inverse of `PdfCodec.lzwDecode` —
+    * the encoder bumps the code width when its next-assignable code
+    * reaches `(1<<len) − earlyChange`, the decoder (one deferred entry
+    * behind) at `(1<<len) − 1 − earlyChange`.
+    */
+  def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeLen = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeLen) | code; bitCnt += codeLen
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    def reset(): Unit = {
+      dict.clear(); (0 until 256).foreach(b => dict(Seq(b.toByte)) = b)
+    }
+    reset()
+    var nextCode = 258
+    emit(256) // leading Clear, per the TIFF/PDF convention
+    var w = Vector.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        emit(dict(w))
+        if (nextCode < 4096) { dict(wb) = nextCode; nextCode += 1 }
+        if (nextCode >= (1 << codeLen) - earlyChange && codeLen < 12)
+          codeLen += 1
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) emit(dict(w))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** ASCII85 encoder — inverse of `PdfCodec.ascii85Decode`. */
+  def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < n) data(i + j) & 0xff else 0); j += 1
+      }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** Three pages, one per non-Flate filter: LZWDecode (crossing no
+    * width boundary — the big-text boundary case lives in the spec),
+    * ASCIIHexDecode with whitespace + odd trailing digit semantics
+    * avoided (exact pairs), and an [ASCII85Decode, FlateDecode]
+    * CASCADE proving the filter array applies in order.
+    */
+  def filtersPdf: Array[Byte] = {
+    val b = new Builder
+    val cat = b.reserve(); val pages = b.reserve()
+    val p0 = b.reserve(); val p1 = b.reserve(); val p2 = b.reserve()
+    val c0 = b.reserve(); val c1 = b.reserve(); val c2 = b.reserve()
+    b.set(cat, s"<< /Type /Catalog /Pages $pages 0 R >>")
+    b.set(pages, s"<< /Type /Pages /Kids [$p0 0 R $p1 0 R $p2 0 R] /Count 3 >>")
+    b.set(p0, s"<< /Type /Page /Parent $pages 0 R /Contents $c0 0 R >>")
+    b.set(p1, s"<< /Type /Page /Parent $pages 0 R /Contents $c1 0 R >>")
+    b.set(p2, s"<< /Type /Page /Parent $pages 0 R /Contents $c2 0 R >>")
+    def rawStream(payload: Array[Byte], filter: String): Array[Byte] =
+      (s"<< /Length ${payload.length} /Filter $filter >>\nstream\n")
+        .getBytes(ISO_8859_1) ++ payload ++ "\nendstream".getBytes(ISO_8859_1)
+    b.setRaw(c0, rawStream(
+      lzwEncode("BT (lzw page: banana bandana ban) Tj ET".getBytes(ISO_8859_1)),
+      "/LZWDecode"))
+    b.setRaw(c1, rawStream(
+      ("42 54 20 28 68 65 78 20 70 61 67 65 29 20 54 6A 20 45 54 >")
+        .getBytes(ISO_8859_1), // "BT (hex page) Tj ET"
+      "/ASCIIHexDecode"))
+    b.setRaw(c2, rawStream(
+      ascii85Encode(deflate(
+        "BT (ascii85 over flate cascade page) Tj ET".getBytes(ISO_8859_1))),
+      "[/ASCII85Decode /FlateDecode]"))
+    b.build(cat)
+  }
+
   /** Expected page texts, shared by the spec AND the `pdf_extract`
     * driver-query oracle.
     */
   val expected: Seq[(String, String)] = Seq(
     "cid_p0" -> "cid αβγ 𝐀\nplain tail",
+    "filters_p0" -> "lzw page: banana bandana ban",
+    "filters_p1" -> "hex page",
+    "filters_p2" -> "ascii85 over flate cascade page",
     "flate_p0" -> "Compressed alpha alpha alpha alpha",
     "flate_p1" -> "part one\npart two",
     "flate_p2" -> "first\nsecond",
@@ -241,6 +342,7 @@ object GenPdfFixtures {
     java.nio.file.Files.write(dir.resolve("flate.pdf"), PdfFixtures.flatePdf)
     java.nio.file.Files.write(dir.resolve("cid.pdf"), PdfFixtures.cidPdf)
     java.nio.file.Files.write(dir.resolve("objstm.pdf"), PdfFixtures.objstmPdf)
+    java.nio.file.Files.write(dir.resolve("filters.pdf"), PdfFixtures.filtersPdf)
     println(s"wrote ${dir.toAbsolutePath}")
   }
 }

@@ -54,6 +54,56 @@ class PdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ObjStm"))
   }
 
+  test("filters.pdf: LZWDecode, ASCIIHexDecode, ASCII85+Flate cascade") {
+    val pages = PdfCodec.extractPages(PdfFixtures.filtersPdf)
+    assert(pages == PdfFixtures.expected.filter(_._1.startsWith("filters")).map(_._2))
+  }
+
+  test("LZW: TIFF-spec vector, width-boundary round-trips, KwKwK, corrupt is loud") {
+    // the TIFF 6.0 worked example: codes <Clear> 7 258 8 8 258 6 6 <EOD>
+    // decode to 7 7 7 8 8 7 7 6 6 — all 9-bit, externally anchored
+    val codes = Seq(256, 7, 258, 8, 8, 258, 6, 6, 257)
+    val packed = {
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var cnt = 0
+      codes.foreach { c =>
+        buf = (buf << 9) | c; cnt += 9
+        while (cnt >= 8) { out.write(((buf >>> (cnt - 8)) & 0xff).toInt); cnt -= 8 }
+      }
+      if (cnt > 0) out.write(((buf << (8 - cnt)) & 0xff).toInt)
+      out.toByteArray
+    }
+    assert(PdfCodec.lzwDecode(packed).toSeq ==
+      Seq[Byte](7, 7, 7, 8, 8, 7, 7, 6, 6))
+    // round-trips crossing the 9->10->11 bit boundaries, both
+    // early-change conventions (encoder and decoder must stay in sync
+    // across >1800 dictionary entries)
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill(20000)((rnd.nextInt(8) + 'a').toByte)
+    for (e <- Seq(0, 1))
+      assert(java.util.Arrays.equals(
+        PdfCodec.lzwDecode(PdfFixtures.lzwEncode(big, e), e), big),
+        s"LZW round-trip failed at earlyChange=$e")
+    // corrupt stream: out-of-range code is a loud error
+    intercept[IllegalArgumentException] {
+      PdfCodec.lzwDecode(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte))
+    }
+  }
+
+  test("ASCIIHex + ASCII85 corners: whitespace, odd digit, z, partial group, loud errors") {
+    assert(PdfCodec.asciiHexDecode("42 54\n20 7>".getBytes).toSeq ==
+      "BT p".getBytes.toSeq) // odd trailing digit pads low nibble 0
+    intercept[IllegalArgumentException] { PdfCodec.asciiHexDecode("4G>".getBytes) }
+    // 'z' = four zero bytes; partial group of n chars -> n-1 bytes
+    assert(PdfCodec.ascii85Decode("z~>".getBytes).toSeq == Seq[Byte](0, 0, 0, 0))
+    val roundTrip = "filter cascade sample!".getBytes
+    assert(PdfCodec.ascii85Decode(PdfFixtures.ascii85Encode(roundTrip)).toSeq ==
+      roundTrip.toSeq)
+    assert(PdfCodec.ascii85Decode("ab~>".getBytes).length == 1) // 2 chars -> 1 byte
+    intercept[IllegalArgumentException] { PdfCodec.ascii85Decode("a~>".getBytes) }
+    intercept[IllegalArgumentException] { PdfCodec.ascii85Decode("|~>".getBytes) }
+  }
+
   test("CMap corners: 1-byte codes, unmapped code, trailing partial code, broken CMap ignored") {
     val cm = PdfCodec.parseToUnicodeCMap(
       "1 begincodespacerange <00> <FF> endcodespacerange\n" +
@@ -91,6 +141,8 @@ class PdfSpec extends AnyFunSuite {
       PdfFixtures.cidPdf.toSeq)
     assert(Files.readAllBytes(dir.resolve("objstm.pdf")).toSeq ==
       PdfFixtures.objstmPdf.toSeq)
+    assert(Files.readAllBytes(dir.resolve("filters.pdf")).toSeq ==
+      PdfFixtures.filtersPdf.toSeq)
   }
 
   test("string edge cases: octal escapes, line continuation, nested parens, UTF-16BE") {
@@ -152,6 +204,7 @@ class PdfSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(dir, "flate.pdf"), PdfFixtures.flatePdf)
     Files.write(java.nio.file.Paths.get(dir, "cid.pdf"), PdfFixtures.cidPdf)
     Files.write(java.nio.file.Paths.get(dir, "objstm.pdf"), PdfFixtures.objstmPdf)
+    Files.write(java.nio.file.Paths.get(dir, "filters.pdf"), PdfFixtures.filtersPdf)
     val docs = DocumentSources.readPdf(spark, s"$dir/*.pdf")
     val got = docs.select($"doc_id", $"text").as[(String, String)]
       .collect().sortBy(_._1).toSeq
