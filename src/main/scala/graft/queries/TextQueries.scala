@@ -1816,6 +1816,37 @@ object TextQueries {
     // byte of that region, Hamming 2 of 64); the low-detail pair
     // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
     // the oracle pins exactly the planted pair.
+    // GIF/TIFF structural probe — the remaining ubiquitous crawl image
+    // containers, walked without any pixel decode (the MP3/MP4
+    // treatment): GIF frame count + animation flag + NETSCAPE loop
+    // count from the real block grammar; TIFF byte order, IFD0
+    // dimensions and multi-page count from the next-IFD chain. The
+    // oracle pins every structural fact of the committed fixtures.
+    "image_container_probe" -> ((s, _) => {
+      import s.implicits._
+      val probe = udf((b: Array[Byte]) =>
+        graft.sources.ImageCodec.format(b) match {
+          case "gif" =>
+            val g = graft.sources.GifCodec.probe(b)
+            ("gif", g.width.toLong, g.height.toLong, g.nFrames.toLong,
+              g.animated, g.loopCount.toLong)
+          case "tiff" =>
+            val t = graft.sources.TiffCodec.probe(b)
+            ("tiff_" + t.byteOrder, t.width.toLong, t.height.toLong,
+              t.nPages.toLong, false, -1L)
+          case other => (other, -1L, -1L, -1L, false, -1L)
+        })
+      s.read.format("binaryFile")
+        .load("/root/repo/fixtures/media/*.gif",
+          "/root/repo/fixtures/media/*.tif")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("media_id"),
+          probe($"content").as("p"))
+        .select($"media_id", $"p._1".as("container"), $"p._2".as("width"),
+          $"p._3".as("height"), $"p._4".as("n_units"),
+          $"p._5".as("animated"), $"p._6".as("loop_count"))
+        .orderBy($"media_id")
+    }),
+
     "image_dhash_pairs" -> ((s, _) => {
       import s.implicits._
       val media = graft.ops.Multimodal
@@ -4309,6 +4340,13 @@ object TextQueries {
     // the planted perceptual pair as literals — the engine must decode
     // both patterns, land on dHashes 2 bits apart, and keep the
     // hamming-5 low-detail pair out
+    "image_container_probe" ->
+      """SELECT * FROM (VALUES
+        |  ('anim.gif', 'gif', 2::BIGINT, 1::BIGINT, 2::BIGINT, true, 3::BIGINT),
+        |  ('pages.tif', 'tiff_II', 8::BIGINT, 4::BIGINT, 2::BIGINT, false,
+        |   -1::BIGINT)
+        |) t(media_id, container, width, height, n_units, animated, loop_count)
+        |ORDER BY media_id""".stripMargin,
     "image_dhash_pairs" ->
       """SELECT id_a, id_b, hamming FROM (VALUES
         |  ('pattern.bmp', 'pattern2.bmp', 2::BIGINT)) t(id_a, id_b, hamming)

@@ -372,6 +372,16 @@ object ImageCodec {
       bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) "png"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else if (bytes.length >= 6 && bytes(0) == 'G'.toByte &&
+      bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
+      bytes(3) == '8'.toByte &&
+      (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
+      bytes(5) == 'a'.toByte) "gif"
+    else if (bytes.length >= 4 &&
+      ((bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 42 && bytes(3) == 0) ||
+       (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte &&
+        bytes(2) == 0 && bytes(3) == 42))) "tiff"
     else "unknown"
 
   /** Decode to top-down row-major per-pixel luma `(r+g+b)/3.0` — the
@@ -437,6 +447,12 @@ object ImageCodec {
         else o += 2 + (((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff))
       }
       throw new IllegalArgumentException("JPEG payload has no SOF frame header")
+    case "gif" =>
+      val g = GifCodec.probe(bytes)
+      ImageInfo("gif", g.width, g.height)
+    case "tiff" =>
+      val t = TiffCodec.probe(bytes)
+      ImageInfo("tiff", t.width, t.height)
     case other => throw new IllegalArgumentException(
       s"unsupported image payload (sniffed '$other') — BMP/PNG/JPEG decode in-JVM")
   }
@@ -465,6 +481,127 @@ object ImageCodec {
     */
   def dHash64(bytes: Array[Byte]): Long =
     LumaGrid.dHashFromGrid(gridLumaRect(bytes, 9, 8))
+}
+
+/** GIF (87a/89a) block walker — STRUCTURAL metadata without an LZW
+  * pixel decode (the [[Mp3Codec]]/[[Mp4Codec]] treatment for the
+  * remaining ubiquitous crawl image format): logical-screen size,
+  * frame count (image descriptors), animation flag (≥2 frames) and the
+  * NETSCAPE 2.0 loop count. The walk honors the real wire grammar —
+  * global/local color tables, extension sub-block chains, data
+  * sub-block chains — so a frame count is exact, not a magic-byte
+  * guess. Malformed payloads fail loudly; the caller's decode contract
+  * handles quarantine.
+  */
+object GifCodec {
+
+  final case class GifInfo(width: Int, height: Int, nFrames: Int,
+                           animated: Boolean, loopCount: Int)
+
+  def probe(bytes: Array[Byte]): GifInfo = {
+    require(bytes.length >= 13 && ImageCodec.format(bytes) == "gif",
+      "not a GIF payload")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    val packed = bytes(10) & 0xff
+    var o = 13
+    if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 7) + 1)) // GCT
+    var frames = 0
+    var loop = -1 // -1 = no NETSCAPE loop extension
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < bytes.length && (bytes(p) & 0xff) != 0)
+        p += 1 + (bytes(p) & 0xff)
+      require(p < bytes.length, "GIF sub-block chain runs off the payload")
+      p + 1 // the 0x00 terminator
+    }
+    var done = false
+    while (!done) {
+      require(o < bytes.length, "GIF block stream runs off the payload")
+      (bytes(o) & 0xff) match {
+        case 0x2c => // image descriptor
+          require(o + 10 <= bytes.length, "truncated GIF image descriptor")
+          frames += 1
+          val lpacked = bytes(o + 9) & 0xff
+          var p = o + 10
+          if ((lpacked & 0x80) != 0) p += 3 * (1 << ((lpacked & 7) + 1)) // LCT
+          p += 1 // LZW minimum code size
+          o = skipSubBlocks(p)
+        case 0x21 => // extension: label + sub-blocks
+          require(o + 2 <= bytes.length, "truncated GIF extension")
+          val label = bytes(o + 1) & 0xff
+          if (label == 0xff && o + 14 <= bytes.length &&
+              (bytes(o + 2) & 0xff) == 11 &&
+              new String(bytes, o + 3, 11, "US-ASCII") == "NETSCAPE2.0") {
+            // app sub-block: 0x03 0x01 loop_lo loop_hi
+            val p = o + 14
+            if (p + 4 <= bytes.length && (bytes(p) & 0xff) == 3 &&
+                (bytes(p + 1) & 0xff) == 1)
+              loop = u16(p + 2)
+          }
+          o = skipSubBlocks(o + 2)
+        case 0x3b => done = true // trailer
+        case other => throw new IllegalArgumentException(
+          f"unknown GIF block 0x$other%02x at offset $o")
+      }
+    }
+    GifInfo(w, h, frames, frames >= 2, loop)
+  }
+}
+
+/** Baseline TIFF 6.0 IFD pager — STRUCTURAL metadata without a strip
+  * decode: byte order, IFD0 image dimensions, and the page count from
+  * the next-IFD chain (multi-page TIFFs are the scanned-document norm).
+  * Shares the EXIF walk's discipline (bounded entries, loud on
+  * malformed offsets) but pages through the top-level chain, which the
+  * APP1-embedded [[ExifCodec]] never does. Cycle-guarded.
+  */
+object TiffCodec {
+
+  final case class TiffInfo(byteOrder: String, width: Int, height: Int,
+                            nPages: Int)
+
+  def probe(bytes: Array[Byte]): TiffInfo = {
+    require(bytes.length >= 8 && ImageCodec.format(bytes) == "tiff",
+      "not a TIFF payload")
+    val le = bytes(0) == 'I'.toByte
+    def u16(o: Int): Int =
+      if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var ifd = u32(4)
+    var pages = 0
+    var w = -1; var h = -1
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    while (ifd != 0) {
+      require(seen.add(ifd), s"cycle in TIFF IFD chain at $ifd")
+      require(ifd + 2 <= bytes.length, "TIFF IFD offset beyond payload")
+      val o = ifd.toInt
+      val n = u16(o)
+      require(o + 2 + 12 * n + 4 <= bytes.length, "truncated TIFF IFD")
+      if (pages == 0) { // dimensions from IFD0 only
+        var i = 0
+        while (i < n) {
+          val e = o + 2 + 12 * i
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          // SHORT inline values sit in the first 2 value bytes; LONG in 4
+          val v = if (typ == 3) u16(e + 8) else u32(e + 8).toInt
+          if (tag == 0x0100) w = v
+          else if (tag == 0x0101) h = v
+          i += 1
+        }
+      }
+      pages += 1
+      ifd = u32(o + 2 + 12 * n)
+    }
+    require(pages > 0 && w > 0 && h > 0, "TIFF payload has no sized IFD0")
+    TiffInfo(if (le) "II" else "MM", w, h, pages)
+  }
 }
 
 /** MPEG audio (MP3) frame-header walker — STRUCTURAL metadata without a

@@ -261,7 +261,70 @@ object MediaFixtures {
     "sweep.wav" -> sweepWav,
     "halves.bmp" -> halvesBmp, "rgb.bmp" -> rgbBmp,
     "pattern.bmp" -> patternBmp, "pattern2.bmp" -> pattern2Bmp,
-    "pattern.png" -> patternPng)
+    "pattern.png" -> patternPng,
+    "anim.gif" -> animGif, "pages.tif" -> twoPageTiff)
+
+  /** Two-frame animated GIF89a: 2×1 logical screen, 2-entry global
+    * color table, NETSCAPE 2.0 loop extension (loop=3), a graphic
+    * control extension per frame, and 1×1 frames carrying the
+    * canonical minimal VALID LZW block (`02 02 44 01 00`) — a real
+    * decodable animation, probed structurally by
+    * [[graft.sources.GifCodec]].
+    */
+  def animGif: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    b('G', 'I', 'F', '8', '9', 'a')
+    b(2, 0, 1, 0)            // logical screen 2×1 (LE16)
+    b(0x80, 0, 0)            // GCT present (2 entries), bg 0, aspect 0
+    b(0, 0, 0, 0xff, 0xff, 0xff) // GCT: black, white
+    b(0x21, 0xff, 11)        // application extension
+    "NETSCAPE2.0".getBytes("US-ASCII").foreach(c => b(c.toInt))
+    b(3, 1, 3, 0, 0)         // sub-block: id=1, loop=3 (LE16), term
+    var x = 0
+    while (x < 2) {
+      b(0x21, 0xf9, 4, 0x04, 10, 0, 0, 0) // GCE: 0.10 s delay
+      b(0x2c, x, 0, 0, 0, 1, 0, 1, 0, 0)  // 1×1 frame at (x, 0), no LCT
+      b(2, 2, 0x44, 0x01, 0)              // LZW min 2 + data + term
+      x += 1
+    }
+    b(0x3b)
+    out.toByteArray
+  }
+
+  /** Two-page baseline TIFF (little-endian): page 0 = 8×4 gray8
+    * uncompressed, page 1 = 4×2, IFDs chained through the next-IFD
+    * pointer — the multi-page scanned-document layout
+    * [[graft.sources.TiffCodec]] pages through.
+    */
+  def twoPageTiff: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { b(v); b(v >> 8) }
+    def w32(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16); b(v >> 24) }
+    b('I'); b('I'); w16(42); w32(8)
+    val nE = 8
+    val ifdSize = 2 + nE * 12 + 4
+    val ifd1 = 8 + ifdSize
+    val data0 = ifd1 + ifdSize
+    val data1 = data0 + 8 * 4
+    def eShort(tag: Int, v: Int): Unit = { w16(tag); w16(3); w32(1); w16(v); w16(0) }
+    def eLong(tag: Int, v: Int): Unit = { w16(tag); w16(4); w32(1); w32(v) }
+    def ifd(w: Int, h: Int, dataOff: Int, next: Int): Unit = {
+      w16(nE)
+      eShort(0x0100, w); eShort(0x0101, h); eShort(0x0102, 8)
+      eShort(0x0103, 1); eShort(0x0106, 1)
+      eLong(0x0111, dataOff)
+      eShort(0x0116, h)
+      eLong(0x0117, w * h)
+      w32(next)
+    }
+    ifd(8, 4, data0, ifd1)
+    ifd(4, 2, data1, 0)
+    (0 until 32).foreach(i => b((i * 7) & 0xff))   // page-0 strip
+    (0 until 8).foreach(i => b((255 - i) & 0xff))  // page-1 strip
+    out.toByteArray
+  }
 
   /** Encoder-version-dependent fixtures (JPEG): written by the
     * generator, but pinned by DECODE facts, not byte identity.

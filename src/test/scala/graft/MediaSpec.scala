@@ -283,6 +283,31 @@ class MediaSpec extends AnyFunSuite {
       base.take(33) ++ bomb ++ base.drop(33)).isEmpty)
   }
 
+  test("GIF/TIFF structural probes: frames, loop count, multi-page IFD chain") {
+    import graft.sources.{GifCodec, ImageCodec, TiffCodec}
+    val g = GifCodec.probe(MediaFixtures.animGif)
+    assert(g == GifCodec.GifInfo(2, 1, 2, animated = true, loopCount = 3))
+    assert(ImageCodec.format(MediaFixtures.animGif) == "gif")
+    assert(ImageCodec.probe(MediaFixtures.animGif) ==
+      ImageCodec.ImageInfo("gif", 2, 1))
+    val t = TiffCodec.probe(MediaFixtures.twoPageTiff)
+    assert(t == TiffCodec.TiffInfo("II", 8, 4, 2))
+    assert(ImageCodec.format(MediaFixtures.twoPageTiff) == "tiff")
+    assert(ImageCodec.probe(MediaFixtures.twoPageTiff) ==
+      ImageCodec.ImageInfo("tiff", 8, 4))
+    // malformed inputs are loud, never silent garbage
+    intercept[IllegalArgumentException] {
+      GifCodec.probe(java.util.Arrays.copyOf(MediaFixtures.animGif, 20))
+    }
+    intercept[IllegalArgumentException] { GifCodec.probe("junk".getBytes) }
+    // TIFF IFD cycle: next-IFD pointing back at IFD0 must not loop
+    val cyc = MediaFixtures.twoPageTiff.clone()
+    // IFD0's next pointer sits at 8 + 2 + 8*12 = 106; point it at 8
+    cyc(106) = 8; cyc(107) = 0; cyc(108) = 0; cyc(109) = 0
+    val e = intercept[IllegalArgumentException] { TiffCodec.probe(cyc) }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("EXIF: APP1 TIFF walk — IFD0, Exif IFD, GPS IFD, exact rationals") {
     val tags = graft.sources.ExifCodec.parse(MediaFixtures.photoExifJpg).toMap
     assert(tags("make") == "GraftCam" && tags("model") == "Mark II")
