@@ -1816,6 +1816,82 @@ object TextQueries {
     // byte of that region, Hamming 2 of 64); the low-detail pair
     // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
     // the oracle pins exactly the planted pair.
+    // JSON-LD structured metadata (schema.org provenance: publisher,
+    // product, authorship facts riding in <script type="application/
+    // ld+json"> blocks) — PURE column expressions end to end:
+    // regexp_extract_all isolates the payloads (quote-style and
+    // attribute-order tolerant, plain <script> blocks never match),
+    // posexplode indexes them, get_json_object pulls @type/name/
+    // nested paths. No UDF, whole-stage codegen keeps the hot path.
+    "html_jsonld_extract" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(4))
+      val html = when(v === 0, concat(
+          lit("<html><head><script>var x = '<p>not ld</p>';</script>" +
+            "<script type=\"application/ld+json\">{\"@context\":" +
+            "\"https://schema.org\",\"@type\":\"Article\",\"name\":\"Story "),
+          id,
+          lit("\",\"datePublished\":\"2026-07-14\",\"author\":{\"@type\":" +
+            "\"Person\",\"name\":\"A. Writer\"}}</script></head></html>")))
+        .when(v === 1, concat(
+          lit("<body><script type='application/ld+json' async>{\"@type\":" +
+            "\"Product\",\"name\":\"Widget "),
+          id,
+          lit("\",\"offers\":{\"@type\":\"Offer\",\"price\":\"19.99\"}}" +
+            "</script></body>")))
+        .when(v === 2, lit("<script type=\"application/ld+json\">" +
+          "{\"@type\":\"Organization\",\"name\":\"Example Corp\"}</script>" +
+          "<script type=\"application/ld+json\">{\"@type\":\"WebSite\"," +
+          "\"name\":\"Example Site\"}</script>"))
+        .otherwise(lit("<script>plainJs();</script><p>no structured data</p>"))
+      val blocks = regexp_extract_all(html,
+        lit("(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"']" +
+          "[^>]*>(.*?)</script>"), lit(1))
+      documents(s, d)
+        .select($"doc_id", posexplode(blocks))
+        .select($"doc_id", $"pos".cast("long").as("block_idx"),
+          get_json_object($"col", "$['@type']").as("jsonld_type"),
+          get_json_object($"col", "$.name").as("name"),
+          get_json_object($"col", "$.datePublished").as("date_published"),
+          get_json_object($"col", "$.offers.price").as("price"),
+          get_json_object($"col", "$.author.name").as("author_name"))
+        .orderBy($"doc_id", $"block_idx")
+    }),
+
+    // HTML TABLE extraction — the structured-data recovery plain
+    // text-soup extraction destroys: each top-level <table> becomes
+    // structure counts + a GitHub-markdown rendering (the LLM-ready
+    // linearization). Four planted variants per doc: th-header +
+    // entities, headerless ragged + pipe escape + nested tags, nested
+    // table folding + two sibling tables, and a tableless page that
+    // must contribute no rows. Every markdown string is pinned as an
+    // oracle literal the kernel must reproduce byte-for-byte.
+    "html_tables_extract" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(4))
+      val html = when(v === 0, concat(
+          lit("<html><body><table><tr><th>name</th><th>qty</th></tr>" +
+            "<tr><td>item "), id,
+          lit("</td><td>3</td></tr><tr><td>b&amp;w</td><td>7</td></tr>" +
+            "</table></body></html>")))
+        .when(v === 1, lit("<table><tr><td>a|b</td><td><b>bold</b> text" +
+          "</td></tr><tr><td>only</td></tr></table>"))
+        .when(v === 2, lit("<table><tr><td>outer <table><tr><td>inner" +
+          "</td></tr></table> tail</td></tr></table><p>x</p>" +
+          "<table><tr><td>t2</td></tr></table>"))
+        .otherwise(lit("<p>no tables on this page at all</p>"))
+      val tables = udf((h: String) => graft.ops.HtmlTables.extract(h))
+      documents(s, d)
+        .select($"doc_id", explode(tables(html)).as("t"))
+        .select($"doc_id", $"t.index".cast("long").as("table_idx"),
+          $"t.nRows".cast("long").as("n_rows"),
+          $"t.nCols".cast("long").as("n_cols"),
+          $"t.hasHeader".as("has_header"), $"t.markdown".as("markdown"))
+        .orderBy($"doc_id", $"table_idx")
+    }),
+
     // GIF/TIFF structural probe — the remaining ubiquitous crawl image
     // containers, walked without any pixel decode (the MP3/MP4
     // treatment): GIF frame count + animation flag + NETSCAPE loop
@@ -4340,6 +4416,50 @@ object TextQueries {
     // the planted perceptual pair as literals — the engine must decode
     // both patterns, land on dHashes 2 bits apart, and keep the
     // hamming-5 low-detail pair out
+    "html_jsonld_extract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS v FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, 0::BIGINT AS block_idx, 'Article' AS jsonld_type,
+        |    'Story ' || doc_id::VARCHAR AS name,
+        |    '2026-07-14' AS date_published, NULL::VARCHAR AS price,
+        |    'A. Writer' AS author_name
+        |  FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 'Product', 'Widget ' || doc_id::VARCHAR,
+        |    NULL, '19.99', NULL
+        |  FROM d WHERE v = 1
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 'Organization', 'Example Corp',
+        |    NULL, NULL, NULL
+        |  FROM d WHERE v = 2
+        |  UNION ALL
+        |  SELECT doc_id, 1::BIGINT, 'WebSite', 'Example Site',
+        |    NULL, NULL, NULL
+        |  FROM d WHERE v = 2)
+        |ORDER BY doc_id, block_idx""".stripMargin,
+    "html_tables_extract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS v FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, 0::BIGINT AS table_idx, 2::BIGINT AS n_rows,
+        |    2::BIGINT AS n_cols, true AS has_header,
+        |    '| name | qty |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |      '| item ' || doc_id::VARCHAR || ' | 3 |' || chr(10) ||
+        |      '| b&w | 7 |' AS markdown
+        |  FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 2::BIGINT, 2::BIGINT, false,
+        |    '|  |  |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |      '| a\|b | bold text |' || chr(10) || '| only |  |'
+        |  FROM d WHERE v = 1
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 1::BIGINT, 1::BIGINT, false,
+        |    '|  |' || chr(10) || '| --- |' || chr(10) || '| outer inner tail |'
+        |  FROM d WHERE v = 2
+        |  UNION ALL
+        |  SELECT doc_id, 1::BIGINT, 1::BIGINT, 1::BIGINT, false,
+        |    '|  |' || chr(10) || '| --- |' || chr(10) || '| t2 |'
+        |  FROM d WHERE v = 2)
+        |ORDER BY doc_id, table_idx""".stripMargin,
     "image_container_probe" ->
       """SELECT * FROM (VALUES
         |  ('anim.gif', 'gif', 2::BIGINT, 1::BIGINT, 2::BIGINT, true, 3::BIGINT),
