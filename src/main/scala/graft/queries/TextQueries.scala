@@ -1816,6 +1816,34 @@ object TextQueries {
     // byte of that region, Hamming 2 of 64); the low-detail pair
     // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
     // the oracle pins exactly the planted pair.
+    // WARC revisit-record dedup (ISO 28500 identical-payload-digest
+    // profile) — the storage-saving layout every dedup-aware crawl
+    // emits: a `revisit` record carries the payload DIGEST and a
+    // WARC-Refers-To pointer instead of the body. The op resolves each
+    // revisit to its original capture by digest, validates the
+    // refers-to pointer against the original's record id, and reports
+    // the bytes the crawl avoided re-storing. Own fixture dir so the
+    // fixtures/warc/* oracles keep their pinned row sets.
+    "warc_revisit_dedup" -> ((s, _) => {
+      import s.implicits._
+      val recs = graft.sources.DocumentSources
+        .readWarc(s, "/root/repo/fixtures/warc-revisit/*")
+      val orig = recs.filter($"record_type" === "response")
+        .select($"payload_digest",
+          $"target_uri".as("original_uri"),
+          regexp_replace($"record_id", "^<|>$", "").as("__orig_id"),
+          length($"content").cast("long").as("bytes_saved"))
+      recs.filter($"record_type" === "revisit")
+        .select($"target_uri".as("revisit_uri"),
+          $"warc_date".as("revisit_date"), $"payload_digest", $"refers_to")
+        .join(orig, Seq("payload_digest"))
+        .select($"revisit_uri", $"revisit_date", $"original_uri",
+          $"payload_digest",
+          ($"refers_to" === $"__orig_id").as("refers_match"),
+          $"bytes_saved")
+        .orderBy($"revisit_date")
+    }),
+
     // JSON-LD structured metadata (schema.org provenance: publisher,
     // product, authorship facts riding in <script type="application/
     // ld+json"> blocks) — PURE column expressions end to end:
@@ -4416,6 +4444,17 @@ object TextQueries {
     // the planted perceptual pair as literals — the engine must decode
     // both patterns, land on dHashes 2 bits apart, and keep the
     // hamming-5 low-detail pair out
+    "warc_revisit_dedup" ->
+      """SELECT * FROM (VALUES
+        |  ('http://mirror.example.org/page', '2026-08-02T09:00:00Z',
+        |   'http://example.com/page',
+        |   'sha1:AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHHIIIIJJJJ', true, 45::BIGINT),
+        |  ('http://example.com/page', '2026-08-03T09:00:00Z',
+        |   'http://example.com/page',
+        |   'sha1:AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHHIIIIJJJJ', true, 45::BIGINT)
+        |) t(revisit_uri, revisit_date, original_uri, payload_digest,
+        |    refers_match, bytes_saved)
+        |ORDER BY revisit_date""".stripMargin,
     "html_jsonld_extract" ->
       """WITH d AS (SELECT doc_id, doc_id % 4 AS v FROM documents)
         |SELECT * FROM (

@@ -295,7 +295,7 @@ object DocumentSources {
     val parse = udf((bytes: Array[Byte]) =>
       WarcCodec.parseAll(bytes).map(r =>
         (r.recordType, r.targetUri, r.warcDate, r.recordId,
-          r.contentType, r.httpStatus, r.body)))
+          r.contentType, r.httpStatus, r.body, r.payloadDigest, r.refersTo)))
     spark.read.format("binaryFile").load(pathGlob)
       .select(
         regexp_extract(col("path"), "([^/]+?)(\\.warc)?(\\.gz)?$", 1).as("warc_file"),
@@ -309,7 +309,9 @@ object DocumentSources {
         col("col._4").as("record_id"),
         col("col._6").cast("long").as("http_status"),
         col("col._5").as("content_type"),
-        col("col._7").as("content"))
+        col("col._7").as("content"),
+        col("col._8").as("payload_digest"),
+        col("col._9").as("refers_to"))
   }
 
   /** WARC → documents: successful (2xx) HTTP `response` records plus

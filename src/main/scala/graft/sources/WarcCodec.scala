@@ -55,7 +55,9 @@ object WarcCodec {
       recordId: String,
       contentType: String,
       httpStatus: Int,
-      body: Array[Byte])
+      body: Array[Byte],
+      payloadDigest: String = "",
+      refersTo: String = "")
 
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
@@ -206,14 +208,24 @@ object WarcCodec {
     val isHttpResponse = rtype == "response" &&
       block.length >= 5 && new String(block, 0, 5,
         java.nio.charset.StandardCharsets.US_ASCII) == "HTTP/"
+    // dedup-crawl provenance: the payload digest every capture carries
+    // and the original-record pointer a `revisit` record names
+    val digest = headers.getOrElse("warc-payload-digest", "")
+    val refers0 = headers.getOrElse("warc-refers-to", "")
+    val refers =
+      if (refers0.length >= 2 && refers0.head == '<' && refers0.last == '>')
+        refers0.substring(1, refers0.length - 1)
+      else refers0
     if (isHttpResponse) {
       val (status, httpCt, body) = splitHttpResponse(block)
       WarcRecord(rtype, uri, headers.getOrElse("warc-date", ""),
         headers.getOrElse("warc-record-id", ""),
-        if (httpCt.nonEmpty) httpCt else warcCt, status, body)
+        if (httpCt.nonEmpty) httpCt else warcCt, status, body,
+        digest, refers)
     } else {
       WarcRecord(rtype, uri, headers.getOrElse("warc-date", ""),
-        headers.getOrElse("warc-record-id", ""), warcCt, -1, block)
+        headers.getOrElse("warc-record-id", ""), warcCt, -1, block,
+        digest, refers)
     }
   }
 

@@ -240,6 +240,61 @@ object WarcFixtures {
     "sample3.warc" -> sample3Warc,
     "sample4.warc" -> sample4Warc,
     "sample5.warc" -> sample5Warc)
+
+  val RevisitHtmlBody = "<html><body>canonical page body</body></html>"
+  val RevisitOtherBody = "<html><body>a different page</body></html>"
+  val DigestA = "sha1:AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHHIIIIJJJJ"
+  val DigestB = "sha1:ZZZZYYYYXXXXWWWWVVVVUUUUTTTTSSSSRRRRQQQQ"
+
+  /** Dedup-aware crawl: two original 200 captures plus two `revisit`
+    * records (identical-payload-digest profile) whose
+    * `WARC-Payload-Digest` matches capture A and whose
+    * `WARC-Refers-To` names its record id — the storage-saving layout
+    * every large crawl emits. Lives in its OWN fixture dir so the
+    * `fixtures/warc` glob oracles stay untouched.
+    */
+  def revisitWarc: Array[Byte] = {
+    val origId = "<urn:uuid:00000000-0000-0000-0000-0000000000a0>"
+    val r0 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/page",
+      "WARC-Date" -> "2026-08-01T10:00:00Z",
+      "WARC-Record-ID" -> origId,
+      "WARC-Payload-Digest" -> DigestA,
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "text/html", RevisitHtmlBody.getBytes(UTF_8)))
+    val r1 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/other",
+      "WARC-Date" -> "2026-08-01T10:01:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-0000000000a1>",
+      "WARC-Payload-Digest" -> DigestB,
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpResponse("200 OK", "text/html", RevisitOtherBody.getBytes(UTF_8)))
+    val r2 = record(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Target-URI" -> "http://mirror.example.org/page",
+      "WARC-Date" -> "2026-08-02T09:00:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-0000000000a2>",
+      "WARC-Payload-Digest" -> DigestA,
+      "WARC-Refers-To" -> origId,
+      "WARC-Profile" ->
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Array.emptyByteArray)
+    val r3 = record(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Target-URI" -> "http://example.com/page", // recrawl, unchanged
+      "WARC-Date" -> "2026-08-03T09:00:00Z",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-0000000000a3>",
+      "WARC-Payload-Digest" -> DigestA,
+      "WARC-Refers-To" -> origId,
+      "WARC-Profile" ->
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Array.emptyByteArray)
+    r0 ++ r1 ++ r2 ++ r3
+  }
 }
 
 object GenWarcFixtures {
@@ -250,5 +305,12 @@ object GenWarcFixtures {
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
       println(s"wrote $dir/$name (${bytes.length} bytes)")
     }
+    // the revisit fixture lives in its own dir (fixtures/warc/* globs
+    // must keep their pinned row sets)
+    val rdir = java.nio.file.Paths.get(dir).getParent.resolve("warc-revisit")
+    java.nio.file.Files.createDirectories(rdir)
+    java.nio.file.Files.write(rdir.resolve("revisit.warc"),
+      WarcFixtures.revisitWarc)
+    println(s"wrote $rdir/revisit.warc (${WarcFixtures.revisitWarc.length} bytes)")
   }
 }

@@ -21,6 +21,24 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("revisit records: payload digest, bracket-stripped refers-to, empty body") {
+    val p = java.nio.file.Paths.get("/root/repo/fixtures/warc-revisit/revisit.warc")
+    assert(java.nio.file.Files.exists(p),
+      "missing fixture — run Test/runMain graft.GenWarcFixtures fixtures/warc")
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p),
+      WarcFixtures.revisitWarc), "revisit fixture drifted from the generator")
+    val rs = graft.sources.WarcCodec.parseAll(WarcFixtures.revisitWarc)
+    assert(rs.length == 4)
+    assert(rs(0).recordType == "response" &&
+      rs(0).payloadDigest == WarcFixtures.DigestA && rs(0).refersTo == "")
+    assert(rs(1).payloadDigest == WarcFixtures.DigestB)
+    val rv = rs(2)
+    assert(rv.recordType == "revisit" && rv.body.isEmpty)
+    assert(rv.payloadDigest == WarcFixtures.DigestA)
+    assert(rv.refersTo == "urn:uuid:00000000-0000-0000-0000-0000000000a0")
+    assert(rs(3).targetUri == "http://example.com/page") // unchanged recrawl
+  }
+
   test("plain warc: record framing, types, bracket-stripped URI, HTTP split") {
     val rs = WarcCodec.parseAll(sampleWarc)
     assert(rs.map(_.recordType) ==
