@@ -314,4 +314,60 @@ object Sketch {
         round(col("n_common").cast("double") / col("__nb"), 6))
       .drop("__na", "__nb")
   }
+
+  // ---- Bloom filter (the frontier seen-set) ----------------------------
+
+  /** Bloom filter over a value column — the crawl frontier's "have I
+    * already fetched this URL" membership structure at corpus scale:
+    * `mBits` bits (a multiple of 64) packed into `mBits/64` longs, `k`
+    * md5-derived positions per value (seeds `bloom:<i>:` through the
+    * [[hash60]] family, so build AND probe replay bit-for-bit in SQL).
+    * Standard `(1 − e^(−kn/m))^k` false-positive rate, never a false
+    * negative. Two map-side-combinable stages (explode the k seeds →
+    * `bit_or` per word); output is ≤ `mBits/64` `(word_idx, word)`
+    * rows — zero words omitted, which [[collectBloom]] densifies.
+    */
+  def bloomBuild(df: DataFrame, valueCol: String, mBits: Int,
+                 k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(valueCol).as("__v"),
+        explode(array((0 until k).map(lit(_)): _*)).as("__seed"))
+      .select(pmod(hash60(concat(lit("bloom:"), col("__seed").cast("string"),
+        lit(":"), col("__v"))), lit(mBits)).as("__pos"))
+      .select((col("__pos") / 64).cast("long").as("word_idx"),
+        pmod(col("__pos"), lit(64)).cast("int").as("__bit"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), __bit))").as("word"))
+  }
+
+  /** Densify a built bloom into the literal array the probe embeds —
+    * the collect is bounded by CONSTRUCTION at `mBits/64` longs (256
+    * rows for a 16 Ki-bit filter), the broadcast-small serving
+    * artifact, never corpus-sized.
+    */
+  def collectBloom(bloom: DataFrame, mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    bloom.select(col("word_idx"), col("word")).collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Membership probe: appends `might_contain` — pure narrow
+    * expressions over the literal word array (the filter rides the
+    * PLAN, no join, no shuffle — streaming-safe), testing all `k`
+    * seeded bit positions.
+    */
+  def bloomMightContain(df: DataFrame, valueCol: String,
+                        words: Array[Long], k: Int): DataFrame = {
+    val mBits = words.length * 64
+    val test = (0 until k).map { i =>
+      val pos = pmod(hash60(concat(lit(s"bloom:$i:"), col(valueCol))),
+        lit(mBits))
+      val word = element_at(lit(words), (pos / 64).cast("int") + 1)
+      call_function("shiftrightunsigned", word, pmod(pos, lit(64)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    df.withColumn("might_contain", test)
+  }
 }

@@ -173,6 +173,32 @@ object DedupQueries {
     // crawl A overlap crawl B") answered WITHOUT joining raw corpora.
     // md5-derived hashes make both signatures and the estimate
     // bit-replayable by the oracle.
+    // Frontier seen-set membership: a 16 Ki-bit / 5-hash Bloom filter
+    // built from the crawled URL set, then EVERY candidate URL probed
+    // map-side against the literal word array (no join — the filter
+    // rides the plan, the shape a 1000-executor frontier needs). The
+    // md5-derived positions make build and probe bit-replayable, so
+    // the oracle recomputes the exact filter AND the exact
+    // false-positive count; no-false-negatives is structural.
+    "frontier_bloom_seen" -> ((s, d) => {
+      import s.implicits._
+      val urls = documents(s, d).select($"doc_id",
+        concat(lit("https://example.com/item/"), $"doc_id".cast("string"))
+          .as("url"),
+        ($"doc_id" % 2 === 0).as("truth"))
+      val crawled = urls.filter($"truth").select($"url")
+      val words = graft.ops.Sketch.collectBloom(
+        graft.ops.Sketch.bloomBuild(crawled, "url", 16384, 5), 16384)
+      graft.ops.Sketch.bloomMightContain(urls, "url", words, 5)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"truth", 1L).otherwise(0L)).as("n_seen"),
+          sum(when($"might_contain", 1L).otherwise(0L)).as("n_hits"),
+          sum(when($"might_contain" && !$"truth", 1L).otherwise(0L))
+            .as("n_false_positives"),
+          sum(when($"truth" && !$"might_contain", 1L).otherwise(0L))
+            .as("n_false_negatives"))
+    }),
+
     "corpus_bottomk_jaccard" -> ((s, d) => {
       import s.implicits._
       val sig = graft.ops.Sketch.bottomkSignatures(
@@ -773,6 +799,39 @@ object DedupQueries {
     // signatures: k smallest 60-bit md5 hashes over each slice's
     // distinct 3-shingles; estimate: re-rank each pair's signature
     // union, fraction of union-minima present in both
+    "frontier_bloom_seen" ->
+      """WITH urls AS (
+        |  SELECT doc_id, 'https://example.com/item/' || doc_id::VARCHAR AS url,
+        |    doc_id % 2 = 0 AS truth
+        |  FROM documents),
+        |bpos AS (
+        |  SELECT (('0x' || substr(md5('bloom:' || i::VARCHAR || ':' || url),
+        |           1, 15))::BIGINT % 16384) AS p
+        |  FROM urls, (SELECT unnest(range(0, 5)) AS i) s
+        |  WHERE truth),
+        |words AS (
+        |  -- UBIGINT: DuckDB's signed << overflows at bit 63; the bit
+        |  -- patterns match Spark's signed longs and only counts output
+        |  SELECT p // 64 AS word_idx, bit_or(1::UBIGINT << (p % 64)::INT) AS word
+        |  FROM bpos GROUP BY 1),
+        |cpos AS (
+        |  SELECT url, truth,
+        |    (('0x' || substr(md5('bloom:' || i::VARCHAR || ':' || url),
+        |     1, 15))::BIGINT % 16384) AS p
+        |  FROM urls, (SELECT unnest(range(0, 5)) AS i) s),
+        |probe AS (
+        |  SELECT url, truth,
+        |    bool_and(coalesce((w.word >> (c.p % 64)::INT) & 1, 0) = 1) AS hit
+        |  FROM cpos c LEFT JOIN words w ON w.word_idx = c.p // 64
+        |  GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_candidates,
+        |  sum(CASE WHEN truth THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+        |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |  sum(CASE WHEN hit AND NOT truth THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_false_positives,
+        |  sum(CASE WHEN truth AND NOT hit THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_false_negatives
+        |FROM probe""".stripMargin,
     "corpus_bottomk_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv

@@ -149,4 +149,38 @@ class SketchSpec extends AnyFunSuite {
     assert(est.getAs[Double]("est_jaccard") == 1.0)
     assert(est.getAs[Long]("denom") == 16L)
   }
+
+  test("bloom: no false negatives, probe matches a driver recomputation, shuffle-free") {
+    import spark.implicits._
+    val member = (0 until 300).map(i => s"https://example.com/u/$i")
+    val df = member.toDF("url")
+    val mBits = 4096
+    val k = 5
+    val words = Sketch.collectBloom(Sketch.bloomBuild(df, "url", mBits, k), mBits)
+    assert(words.length == mBits / 64)
+    // driver recomputation of the same md5 positions
+    def positions(v: String): Seq[Int] = (0 until k).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bloom:$i:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % mBits).toInt
+    }
+    val expect = new Array[Long](mBits / 64)
+    member.foreach(v => positions(v).foreach(p =>
+      expect(p / 64) |= (1L << (p % 64))))
+    assert(words.toSeq == expect.toSeq, "built words must equal the kernel")
+    // every member probes true (structural no-false-negative)
+    val probed = Sketch.bloomMightContain(df, "url", words, k)
+    assert(probed.filter(!$"might_contain").count() == 0)
+    // non-members: any hit must be a genuine all-bits-set collision
+    val others = (0 until 300).map(i => s"https://other.org/x/$i").toDF("url")
+    val fp = Sketch.bloomMightContain(others, "url", words, k)
+      .filter($"might_contain").select($"url").as[String].collect()
+    fp.foreach { v =>
+      assert(positions(v).forall(p => (expect(p / 64) >> (p % 64) & 1L) == 1L))
+    }
+    // the probe is a pure narrow map — the filter rides the plan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom probe must not shuffle:\n$plan")
+  }
 }
