@@ -178,6 +178,7 @@ object Ingest {
     if (n > 0) Dedup.maintainRegisteredSidecar(spark, table)
     if (n > 0) Dedup.maintainRegisteredSrpSidecar(spark, table)
     if (n > 0) Sketch.maintainRegisteredHllSidecar(spark, table)
+    if (n > 0) Sketch.maintainRegisteredBloomSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -226,6 +227,7 @@ object Ingest {
     Dedup.maintainRegisteredSidecar(spark, table)
     Dedup.maintainRegisteredSrpSidecar(spark, table)
     Sketch.maintainRegisteredHllSidecar(spark, table)
+    Sketch.maintainRegisteredBloomSidecar(spark, table)
     rewritten
   }
 
@@ -251,6 +253,7 @@ object Ingest {
     Dedup.maintainRegisteredSidecar(spark, table)
     Dedup.maintainRegisteredSrpSidecar(spark, table)
     Sketch.maintainRegisteredHllSidecar(spark, table)
+    Sketch.maintainRegisteredBloomSidecar(spark, table)
     rewritten
   }
 
@@ -275,6 +278,7 @@ object Ingest {
     Dedup.maintainRegisteredSidecar(spark, table)
     Dedup.maintainRegisteredSrpSidecar(spark, table)
     Sketch.maintainRegisteredHllSidecar(spark, table)
+    Sketch.maintainRegisteredBloomSidecar(spark, table)
     rewritten
   }
 
@@ -319,6 +323,7 @@ object Ingest {
     Dedup.maintainRegisteredSidecarAfterCompact(spark, path, preVersion, post, files)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, path, preVersion, post, files)
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, path, preVersion, post, files)
+    Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 
@@ -358,6 +363,7 @@ object Ingest {
     Dedup.maintainRegisteredSidecarAfterCompact(spark, table, preVersion, post, files)
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, files)
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, files)
+    Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, table, preVersion, post, files)
     files
   }
 

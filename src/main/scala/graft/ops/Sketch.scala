@@ -370,4 +370,135 @@ object Sketch {
     }.reduce(_ && _)
     df.withColumn("might_contain", test)
   }
+
+  // ---- Bloom sidecar (incremental frontier seen-set) --------------------
+
+  /** Sidecar filter geometry: 64 Ki bits / 5 hashes — ~1% false
+    * positives at 8 k members, the per-store default; rebuild at a
+    * wider geometry when a store outgrows it (the stamp carries m:k,
+    * so a mismatch refuses loudly instead of probing the wrong bits).
+    */
+  val BloomSidecarM: Int = 1 << 16
+  val BloomSidecarK: Int = 5
+
+  def bloomSidecarMarkerPath(table: String): String = s"$table/_bloom_sidecar"
+
+  /** Build the Bloom seen-set sidecar for a [[VersionedStore]] table —
+    * the FOURTH [[SidecarRegistry]] client, with the same merge
+    * algebra as the HLL registers: words `bit_or`-merge, so the append
+    * seam folds a batch in at O(batch) and "was this URL ever
+    * ingested" is always one ≤ m/64-row read away. Deletes can't
+    * un-set a bit, so non-pure-append histories fall through to the
+    * LOUD rebuild; compaction restamps O(1) when row-preserving.
+    * `_stats`: `"<m>:<k> v<version>"`.
+    */
+  def buildBloomSidecarForStore(spark: org.apache.spark.sql.SparkSession,
+                                table: String, idCol: String, valueCol: String,
+                                path: String): Unit = {
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val rows = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to sketch at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    bloomBuild(rows, valueCol, BloomSidecarM, BloomSidecarK)
+      .write.mode("overwrite").parquet(s"$path/words")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == v0,
+      s"store $table moved from version $v0 to $v1 during the sidecar build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$BloomSidecarM:$BloomSidecarK v$v0")
+  }
+
+  /** Fold the store's NEW segments into the word sidecar — `bit_or`
+    * of the batch's words with the existing ≤ m/64 (the Bloom union
+    * operator), O(appended rows). The [[appendToHllSidecar]]
+    * discipline verbatim: damaged stats, geometry mismatches and
+    * non-pure-append histories refuse as IllegalArgumentException
+    * (the registry's rebuild trigger), stamp retired before the write.
+    */
+  def appendToBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+                           table: String, idCol: String, valueCol: String,
+                           path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 2 && stats(1).startsWith("v"),
+      s"bloom sidecar at $path has a damaged/unstamped _stats; rebuild with buildBloomSidecarForStore")
+    require(stats(0) == s"$BloomSidecarM:$BloomSidecarK",
+      s"bloom sidecar at $path was built at geometry ${stats(0)}, engine expects " +
+        s"$BloomSidecarM:$BloomSidecarK; rebuild")
+    val v0 = stats(1).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"bloom sidecar stamp v$v0 is ahead of $table's version ${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; bit_or-merged " +
+        "words cannot subtract rewritten rows — rebuild with buildBloomSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty) {
+      // the existing frame is ≤ m/64 rows — collect it so the
+      // overwrite never reads the path it writes
+      val spark2 = spark
+      import spark2.implicits._
+      val existing = spark.read.parquet(s"$path/words")
+        .select(col("word_idx").cast("long"), col("word").cast("long"))
+        .as[(Long, Long)].collect().toSeq.toDF("word_idx", "word")
+      val rows = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+      bloomBuild(rows, valueCol, BloomSidecarM, BloomSidecarK)
+        .unionByName(existing)
+        .groupBy(col("word_idx")).agg(expr("bit_or(word)").as("word"))
+        .write.mode("overwrite").parquet(s"$path/words")
+    }
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"$BloomSidecarM:$BloomSidecarK v${cur.version}")
+  }
+
+  def registerBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+                           table: String, idCol: String, valueCol: String,
+                           path: String): Unit =
+    SidecarRegistry.register(spark, table, bloomSidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, idCol, valueCol)) {
+      buildBloomSidecarForStore(spark, table, idCol, valueCol, path)
+    }
+
+  def maintainRegisteredBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): Unit =
+    SidecarRegistry.maintain(spark, table, bloomSidecarMarkerPath(table),
+      "bloom sidecar") { reg =>
+      appendToBloomSidecar(spark, table, reg.idCol, reg.textCol, reg.path)
+    } { reg =>
+      buildBloomSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  def maintainRegisteredBloomSidecarAfterCompact(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      preVersion: Long, post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      bloomSidecarMarkerPath(table), "bloom sidecar", preVersion, post, files) { reg =>
+      buildBloomSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  /** Probe candidates against the maintained sidecar — refuses a stale
+    * sidecar loudly (stamp ≠ store version): a stale seen-set silently
+    * re-crawls freshly ingested URLs.
+    */
+  def probeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+                        table: String, path: String,
+                        candidates: DataFrame, valueCol: String): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 2,
+      s"bloom sidecar at $path has a damaged _stats; rebuild with buildBloomSidecarForStore")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(1) == s"v$cur",
+      s"bloom sidecar at $path (${stats.lift(1).getOrElse("-")}) is stale against " +
+        s"$table (v$cur) — run appendToBloomSidecar first")
+    val words = new Array[Long](BloomSidecarM / 64)
+    spark.read.parquet(s"$path/words").collect()
+      .foreach(r => words(r.getAs[Long]("word_idx").toInt) = r.getAs[Long]("word"))
+    bloomMightContain(candidates, valueCol, words, BloomSidecarK)
+  }
 }

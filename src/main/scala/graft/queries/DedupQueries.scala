@@ -199,6 +199,48 @@ object DedupQueries {
             .as("n_false_negatives"))
     }),
 
+    // The seen-set maintained INCREMENTALLY as the crawl ingests: half
+    // the crawled URLs land in a versioned store and build the bloom
+    // sidecar, the other half appends and FOLDS in at O(batch)
+    // (bit_or merge — the HLL-sidecar discipline). The fold must equal
+    // a from-scratch rebuild word-for-word (asserted into the output),
+    // and the probe counts replay exactly in the oracle.
+    "frontier_bloom_incremental" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-bloomsc-" +
+        s"${Integer.toHexString(d.hashCode)}-${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val table = s"$root/seen"
+      val side = s"$root/bloom"
+      val urls = documents(s, d).select($"doc_id",
+        concat(lit("https://example.com/item/"), $"doc_id".cast("string"))
+          .as("url"),
+        ($"doc_id" % 3 === 0).as("truth"))
+      graft.ops.VersionedStore.append(s, table,
+        urls.filter($"doc_id" % 6 === 0).select($"url"))
+      graft.ops.Sketch.buildBloomSidecarForStore(s, table, "url", "url", side)
+      graft.ops.VersionedStore.append(s, table,
+        urls.filter($"doc_id" % 6 === 3).select($"url"))
+      graft.ops.Sketch.appendToBloomSidecar(s, table, "url", "url", side)
+      // fold ≡ rebuild, word for word (bounded: m/64 longs each)
+      val folded = s.read.parquet(s"$side/words")
+        .collect().map(r => r.getAs[Long]("word_idx") -> r.getAs[Long]("word")).toMap
+      val rebuilt = graft.ops.Sketch.bloomBuild(
+          graft.ops.VersionedStore.read(s, table).get, "url",
+          graft.ops.Sketch.BloomSidecarM, graft.ops.Sketch.BloomSidecarK)
+        .collect().map(r => r.getAs[Long]("word_idx") -> r.getAs[Long]("word")).toMap
+      val foldEq = folded == rebuilt
+      graft.ops.Sketch.probeBloomSidecar(s, table, side, urls, "url")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"truth", 1L).otherwise(0L)).as("n_seen"),
+          sum(when($"might_contain", 1L).otherwise(0L)).as("n_hits"),
+          sum(when($"might_contain" && !$"truth", 1L).otherwise(0L))
+            .as("n_false_positives"),
+          sum(when($"truth" && !$"might_contain", 1L).otherwise(0L))
+            .as("n_false_negatives"))
+        .withColumn("fold_equals_rebuild", lit(foldEq))
+    }),
+
     "corpus_bottomk_jaccard" -> ((s, d) => {
       import s.implicits._
       val sig = graft.ops.Sketch.bottomkSignatures(
@@ -799,6 +841,38 @@ object DedupQueries {
     // signatures: k smallest 60-bit md5 hashes over each slice's
     // distinct 3-shingles; estimate: re-rank each pair's signature
     // union, fraction of union-minima present in both
+    "frontier_bloom_incremental" ->
+      """WITH urls AS (
+        |  SELECT doc_id, 'https://example.com/item/' || doc_id::VARCHAR AS url,
+        |    doc_id % 3 = 0 AS truth
+        |  FROM documents),
+        |bpos AS (
+        |  SELECT (('0x' || substr(md5('bloom:' || i::VARCHAR || ':' || url),
+        |           1, 15))::BIGINT % 65536) AS p
+        |  FROM urls, (SELECT unnest(range(0, 5)) AS i) s
+        |  WHERE truth),
+        |words AS (
+        |  SELECT p // 64 AS word_idx, bit_or(1::UBIGINT << (p % 64)::INT) AS word
+        |  FROM bpos GROUP BY 1),
+        |cpos AS (
+        |  SELECT url, truth,
+        |    (('0x' || substr(md5('bloom:' || i::VARCHAR || ':' || url),
+        |     1, 15))::BIGINT % 65536) AS p
+        |  FROM urls, (SELECT unnest(range(0, 5)) AS i) s),
+        |probe AS (
+        |  SELECT url, truth,
+        |    bool_and(coalesce((w.word >> (c.p % 64)::INT) & 1, 0) = 1) AS hit
+        |  FROM cpos c LEFT JOIN words w ON w.word_idx = c.p // 64
+        |  GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_candidates,
+        |  sum(CASE WHEN truth THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+        |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |  sum(CASE WHEN hit AND NOT truth THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_false_positives,
+        |  sum(CASE WHEN truth AND NOT hit THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_false_negatives,
+        |  true AS fold_equals_rebuild
+        |FROM probe""".stripMargin,
     "frontier_bloom_seen" ->
       """WITH urls AS (
         |  SELECT doc_id, 'https://example.com/item/' || doc_id::VARCHAR AS url,

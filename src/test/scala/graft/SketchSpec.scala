@@ -183,4 +183,39 @@ class SketchSpec extends AnyFunSuite {
     val plan = probed.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bloom probe must not shuffle:\n$plan")
   }
+
+  test("bloom sidecar: fold equals rebuild, stale probe refuses, non-pure-append refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("bloomsc").toString
+    val table = s"$root/t"
+    val side = s"$root/b"
+    val a = (0 until 200).map(i => s"https://x.com/u$i").toDF("url")
+    val b = (200 until 400).map(i => s"https://x.com/u$i").toDF("url")
+    graft.ops.VersionedStore.append(spark, table, a)
+    Sketch.buildBloomSidecarForStore(spark, table, "url", "url", side)
+    graft.ops.VersionedStore.append(spark, table, b)
+    // a stale sidecar must refuse the probe, never silently re-crawl
+    intercept[IllegalArgumentException] {
+      Sketch.probeBloomSidecar(spark, table, side, a, "url")
+    }
+    Sketch.appendToBloomSidecar(spark, table, "url", "url", side)
+    val probed = Sketch.probeBloomSidecar(spark, table, side,
+      (0 until 400).map(i => s"https://x.com/u$i").toDF("url"), "url")
+    assert(probed.filter(!col("might_contain")).count() == 0,
+      "every ingested URL must probe true after the fold")
+    // the O(batch) fold equals a from-scratch rebuild word for word
+    def words(p: String): Map[Long, Long] =
+      spark.read.parquet(s"$p/words").select(col("word_idx"), col("word"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Sketch.buildBloomSidecarForStore(spark, table, "url", "url", s"$root/b2")
+    assert(words(side) == words(s"$root/b2"))
+    // a delete REPLACES rows: bits can't be un-set, the fold must refuse
+    graft.ops.VersionedStore.deleteWhere(spark, table,
+      col("url") === "https://x.com/u0")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.appendToBloomSidecar(spark, table, "url", "url", side)
+    }
+    assert(e.getMessage.contains("pure-append"))
+  }
 }
