@@ -1816,6 +1816,74 @@ object TextQueries {
     // byte of that region, Hamming 2 of 64); the low-detail pair
     // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
     // the oracle pins exactly the planted pair.
+    // LaTeX source -> plain training text (the arXiv-class corpus
+    // step): comments, math (inline/display/environments), cite/ref/
+    // label machinery and preamble commands go; sectioning, text
+    // commands, footnotes and href texts keep their prose; escapes
+    // unescape. Four planted variants pin the stripped text
+    // byte-for-byte (a trailing doc-id token proves per-row work).
+    "latex_strip" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(4))
+      val src = when(v === 0, concat(
+          lit("\\documentclass{article}\\begin{document}\\section{Intro}" +
+            "We study \\textbf{large} corpora\\footnote{see appendix}. doc "),
+          id, lit("\\end{document}")))
+        .when(v === 1, concat(
+          lit("Let $x^2 + y_i$ hold \\cite{fermat1637}; cost is 50\\% " +
+            "\\& rising~now. % comment\ndoc "), id))
+        .when(v === 2, concat(
+          lit("\\begin{equation}\\label{eq:1}E=mc^2\\end{equation}As " +
+            "\\eqref{eq:1} shows, it holds. doc "), id))
+        .otherwise(concat(
+          lit("See \\href{https://example.com}{the docs}\\\\and \\ldots " +
+            "end. doc "), id))
+      val stripped = udf((t: String) => graft.ops.Latex.strip(t))
+      documents(s, d)
+        .select($"doc_id", stripped(src).as("text"))
+        .orderBy($"doc_id")
+    }),
+
+    // License-aware corpus filtering (The Stack lineage): detect the
+    // license of each file header — explicit SPDX tag first (verbatim,
+    // incl. compound expressions), characteristic phrases second
+    // (Apache/GPL/LGPL/AGPL/MPL/MIT/BSD-3-vs-2/Unlicense/CC) — then
+    // the permissive-for-training gate. Pure column expressions over
+    // one bounded header substring; eight planted variants pin the
+    // whole decision tree, incl. SPDX-beats-phrase precedence and the
+    // BSD endorsement-clause split.
+    "code_license_detect" -> ((s, d) => {
+      import s.implicits._
+      val v = pmod($"doc_id", lit(8))
+      val text = when(v === 0, lit("// SPDX-License-Identifier: Apache-2.0\n" +
+          "// Permission is hereby granted, free of charge, to any person\n" +
+          "fn main() {}"))
+        .when(v === 1, lit("/* Permission is hereby granted, free of charge," +
+          " to any person obtaining a copy of this software */\nint x;"))
+        .when(v === 2, lit("# Redistribution and use in source and binary" +
+          " forms, with or without modification, are permitted provided" +
+          " that ... Neither the name of the project nor the names of its" +
+          " contributors may be used to endorse\ndef f(): pass"))
+        .when(v === 3, lit("# Redistribution and use in source and binary" +
+          " forms, with or without modification, are permitted.\ndef g(): pass"))
+        .when(v === 4, lit("// This program is free software: you can" +
+          " redistribute it under the terms of the GNU General Public" +
+          " License as published by the Free Software Foundation, version 3." +
+          "\nint y;"))
+        .when(v === 5, lit("/* Licensed under the Apache License," +
+          " Version 2.0 (the \"License\"); you may not use this file */" +
+          "\nclass A {}"))
+        .when(v === 6, lit("-- SPDX-License-Identifier: MIT OR Apache-2.0\n" +
+          "select 1;"))
+        .otherwise(lit("function plain() { return 42; } // no license here"))
+      documents(s, d)
+        .select($"doc_id", graft.ops.License.detect(text).as("d"))
+        .select($"doc_id", $"d.license".as("license"), $"d.method".as("method"))
+        .withColumn("permissive", graft.ops.License.isPermissive($"license"))
+        .orderBy($"doc_id")
+    }),
+
     // WARC revisit-record dedup (ISO 28500 identical-payload-digest
     // profile) — the storage-saving layout every dedup-aware crawl
     // emits: a `revisit` record carries the payload DIGEST and a
@@ -4444,6 +4512,28 @@ object TextQueries {
     // the planted perceptual pair as literals — the engine must decode
     // both patterns, land on dHashes 2 bits apart, and keep the
     // hamming-5 low-detail pair out
+    "latex_strip" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Intro We study large corpora see appendix . doc '
+        |      || doc_id::VARCHAR
+        |    WHEN 1 THEN 'Let hold ; cost is 50% & rising now. doc '
+        |      || doc_id::VARCHAR
+        |    WHEN 2 THEN 'As shows, it holds. doc ' || doc_id::VARCHAR
+        |    ELSE 'See the docs and ... end. doc ' || doc_id::VARCHAR
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "code_license_detect" ->
+      """SELECT doc_id,
+        |  CASE v WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'BSD-3-Clause' WHEN 3 THEN 'BSD-2-Clause'
+        |    WHEN 4 THEN 'GPL-3.0' WHEN 5 THEN 'Apache-2.0'
+        |    WHEN 6 THEN 'MIT OR Apache-2.0' ELSE 'unknown' END AS license,
+        |  CASE v WHEN 0 THEN 'spdx' WHEN 6 THEN 'spdx'
+        |    WHEN 7 THEN 'none' ELSE 'phrase' END AS method,
+        |  CASE WHEN v IN (0, 1, 2, 3, 5) THEN true ELSE false END AS permissive
+        |FROM (SELECT doc_id, doc_id % 8 AS v FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "warc_revisit_dedup" ->
       """SELECT * FROM (VALUES
         |  ('http://mirror.example.org/page', '2026-08-02T09:00:00Z',
