@@ -218,4 +218,23 @@ class SketchSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("pure-append"))
   }
+
+  test("registered bloom sidecar stays fresh through the real append seam") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("bloomseam").toString
+    val table = s"$root/t"
+    val side = s"$root/b"
+    graft.ops.VersionedStore.append(spark, table,
+      (0 until 100).map(i => s"https://s.com/a$i").toDF("url"))
+    Sketch.registerBloomSidecar(spark, table, "url", "url", side)
+    // every writer comes through appendRespectingLayout — the seam the
+    // streaming ingest uses — and must fold the registered sidecar
+    graft.ops.Ingest.appendRespectingLayout(spark, table,
+      (100 until 200).map(i => s"https://s.com/a$i").toDF("url"))
+    // fresh (no stale refusal) and complete
+    val probed = Sketch.probeBloomSidecar(spark, table, side,
+      (0 until 200).map(i => s"https://s.com/a$i").toDF("url"), "url")
+    assert(probed.filter(!col("might_contain")).count() == 0)
+  }
 }
