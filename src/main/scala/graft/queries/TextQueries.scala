@@ -1816,6 +1816,67 @@ object TextQueries {
     // byte of that region, Hamming 2 of 64); the low-detail pair
     // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
     // the oracle pins exactly the planted pair.
+    // SubRip subtitle parsing — the transcript leg of a speech/video
+    // corpus: cue time spans (exact millisecond arithmetic) and
+    // joined cue text, as pure column expressions (split -> transform
+    // -> regexp -> filter), no UDF. Variants cover CRLF rips,
+    // dot-millisecond timecodes, junk blocks without a timecode
+    // (dropped), renumbered counters (ignored) and spaced arrows.
+    "srt_cues_extract" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(3))
+      val srt = when(v === 0, concat(
+          lit("1\n00:00:01,000 --> 00:00:03,500\nhello doc "), id,
+          lit("\n\n2\n00:00:04,000 --> 00:00:06,250\nsecond cue\nline b")))
+        .when(v === 1, lit("7\r\n00:01:00.000 --> 00:01:02.000\r\n" +
+          "resync rip\r\n\r\njunk block without a timecode\r\n\r\n" +
+          "9\r\n01:00:00,000 --> 01:00:01,000\r\nhour mark"))
+        .otherwise(lit("1\n00:00:00,500  -->  00:00:01,000\nspaced arrow"))
+      documents(s, d)
+        .select($"doc_id", posexplode(graft.ops.Subtitles.srtCues(srt)))
+        .select($"doc_id", $"pos".cast("long").as("cue_idx"),
+          $"col.start_ms".as("start_ms"), $"col.end_ms".as("end_ms"),
+          $"col.text".as("text"))
+        .orderBy($"doc_id", $"cue_idx")
+    }),
+
+    // Jupyter notebooks — a first-class code-corpus format: the ipynb
+    // JSON parsed with from_json (typed nested schema), cells exploded
+    // in order, source-line arrays joined, kernel language carried.
+    // Pure column expressions end to end; markdown and code cells both
+    // land, output blobs never leak (the schema doesn't select them).
+    "notebook_cells_extract" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(3))
+      val nb = when(v === 0, concat(
+          lit("""{"cells":[{"cell_type":"markdown","source":["# Title doc """),
+          id,
+          lit("""\n","intro line"]},{"cell_type":"code","source":["x = 1\n","print(x)"],"outputs":[{"output_type":"stream","text":["1\n"]}]}],"metadata":{"kernelspec":{"language":"python"}}}""")))
+        .when(v === 1, concat(
+          lit("""{"cells":[{"cell_type":"code","source":["val y = """),
+          id,
+          lit(""""]}],"metadata":{"kernelspec":{"language":"scala"}}}""")))
+        .otherwise(
+          lit("""{"cells":[],"metadata":{"kernelspec":{"language":"python"}}}"""))
+      val schema = "STRUCT<cells: ARRAY<STRUCT<cell_type: STRING, " +
+        "source: ARRAY<STRING>>>, metadata: STRUCT<kernelspec: " +
+        "STRUCT<language: STRING>>>"
+      documents(s, d)
+        .select($"doc_id", from_json(nb, org.apache.spark.sql.types
+          .StructType.fromDDL(
+            "cells ARRAY<STRUCT<cell_type: STRING, source: ARRAY<STRING>>>, " +
+              "metadata STRUCT<kernelspec: STRUCT<language: STRING>>"))
+          .as("n"))
+        .select($"doc_id", $"n.metadata.kernelspec.language".as("language"),
+          posexplode($"n.cells"))
+        .select($"doc_id", $"language", $"pos".cast("long").as("cell_idx"),
+          $"col.cell_type".as("cell_type"),
+          concat_ws("", $"col.source").as("source"))
+        .orderBy($"doc_id", $"cell_idx")
+    }),
+
     // LaTeX source -> plain training text (the arXiv-class corpus
     // step): comments, math (inline/display/environments), cite/ref/
     // label machinery and preamble commands go; sectioning, text
@@ -4512,6 +4573,39 @@ object TextQueries {
     // the planted perceptual pair as literals — the engine must decode
     // both patterns, land on dHashes 2 bits apart, and keep the
     // hamming-5 low-detail pair out
+    "srt_cues_extract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS v FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, 0::BIGINT AS cue_idx, 1000::BIGINT AS start_ms,
+        |    3500::BIGINT AS end_ms, 'hello doc ' || doc_id::VARCHAR AS text
+        |  FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1::BIGINT, 4000::BIGINT, 6250::BIGINT,
+        |    'second cue line b' FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 60000::BIGINT, 62000::BIGINT,
+        |    'resync rip' FROM d WHERE v = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1::BIGINT, 3600000::BIGINT, 3601000::BIGINT,
+        |    'hour mark' FROM d WHERE v = 1
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 500::BIGINT, 1000::BIGINT,
+        |    'spaced arrow' FROM d WHERE v = 2)
+        |ORDER BY doc_id, cue_idx""".stripMargin,
+    "notebook_cells_extract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS v FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, 'python' AS language, 0::BIGINT AS cell_idx,
+        |    'markdown' AS cell_type,
+        |    '# Title doc ' || doc_id::VARCHAR || chr(10) || 'intro line' AS source
+        |  FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'python', 1::BIGINT, 'code',
+        |    'x = 1' || chr(10) || 'print(x)' FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'scala', 0::BIGINT, 'code',
+        |    'val y = ' || doc_id::VARCHAR FROM d WHERE v = 1)
+        |ORDER BY doc_id, cell_idx""".stripMargin,
     "latex_strip" ->
       """SELECT doc_id,
         |  CASE doc_id % 4
