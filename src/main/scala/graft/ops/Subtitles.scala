@@ -44,4 +44,38 @@ object Subtitles {
     })
     filter(cue, c => c.isNotNull)
   }
+
+  /** WebVTT cues — same output shape as [[srtCues]], with the VTT
+    * grammar: `WEBVTT` header and `NOTE`/`STYLE` blocks dropped,
+    * OPTIONAL hours in timecodes (`MM:SS.mmm` is legal), cue settings
+    * after the end timecode ignored, arbitrary cue-identifier lines
+    * (not just numeric) skipped because the text is everything AFTER
+    * the arrow line, inline markup (`<v Name>`, `<b>`, timestamps)
+    * stripped.
+    */
+  def vttCues(vtt: Column): Column = {
+    val blocks = split(regexp_replace(vtt, "\r\n", "\n"), "\n{2,}")
+    val tcRe = "(?:(\\d+):)?(\\d{2}):(\\d{2})\\.(\\d{3})\\s*-->\\s*" +
+      "(?:(\\d+):)?(\\d{2}):(\\d{2})\\.(\\d{3})"
+    val cue = transform(blocks, b => {
+      val tc = regexp_extract(b, tcRe, 0)
+      def part(i: Int): Column = {
+        // the hour group is optional: "" must become 0, and ANSI mode
+        // refuses to cast "" — branch before the cast
+        val g = regexp_extract(b, tcRe, i)
+        coalesce(when(g =!= "", g).cast("long"), lit(0L))
+      }
+      val startMs = part(1) * 3600000L + part(2) * 60000L +
+        part(3) * 1000L + part(4)
+      val endMs = part(5) * 3600000L + part(6) * 60000L +
+        part(7) * 1000L + part(8)
+      val textRaw = regexp_extract(b, "(?s)-->[^\\n]*\\n(.*)$", 1)
+      val text = trim(regexp_replace(
+        regexp_replace(textRaw, "<[^>]*>", ""), "\\s+", " "))
+      when(tc =!= "" && !trim(b).startsWith("NOTE") &&
+        !trim(b).startsWith("STYLE") && !trim(b).startsWith("WEBVTT"),
+        struct(startMs.as("start_ms"), endMs.as("end_ms"), text.as("text")))
+    })
+    filter(cue, c => c.isNotNull)
+  }
 }

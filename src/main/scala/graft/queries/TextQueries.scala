@@ -1841,6 +1841,30 @@ object TextQueries {
         .orderBy($"doc_id", $"cue_idx")
     }),
 
+    // WebVTT — the web-native sibling: header/NOTE blocks dropped,
+    // optional hours (MM:SS.mmm is legal), cue settings ignored,
+    // arbitrary cue identifiers skipped, inline voice/markup tags
+    // stripped. Same pure-expression shape as srt_cues_extract.
+    "vtt_cues_extract" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(2))
+      val vtt = when(v === 0, concat(
+          lit("WEBVTT\n\n00:00.500 --> 00:02.000 align:start\n" +
+            "hello vtt doc "), id,
+          lit("\n\nNOTE internal comment\n\n00:03.000 --> 00:04.000\n" +
+            "plain tail")))
+        .otherwise(lit("WEBVTT - header text\n\nintro-cue-7\n" +
+          "01:00:03.000 --> 01:00:04.250 line:0\n" +
+          "<v Ann>second <b>cue</b> text"))
+      documents(s, d)
+        .select($"doc_id", posexplode(graft.ops.Subtitles.vttCues(vtt)))
+        .select($"doc_id", $"pos".cast("long").as("cue_idx"),
+          $"col.start_ms".as("start_ms"), $"col.end_ms".as("end_ms"),
+          $"col.text".as("text"))
+        .orderBy($"doc_id", $"cue_idx")
+    }),
+
     // Jupyter notebooks — a first-class code-corpus format: the ipynb
     // JSON parsed with from_json (typed nested schema), cells exploded
     // in order, source-line arrays joined, kernel language carried.
@@ -4591,6 +4615,20 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id, 0::BIGINT, 500::BIGINT, 1000::BIGINT,
         |    'spaced arrow' FROM d WHERE v = 2)
+        |ORDER BY doc_id, cue_idx""".stripMargin,
+    "vtt_cues_extract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 2 AS v FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, 0::BIGINT AS cue_idx, 500::BIGINT AS start_ms,
+        |    2000::BIGINT AS end_ms,
+        |    'hello vtt doc ' || doc_id::VARCHAR AS text
+        |  FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1::BIGINT, 3000::BIGINT, 4000::BIGINT,
+        |    'plain tail' FROM d WHERE v = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT, 3603000::BIGINT, 3604250::BIGINT,
+        |    'second cue text' FROM d WHERE v = 1)
         |ORDER BY doc_id, cue_idx""".stripMargin,
     "notebook_cells_extract" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS v FROM documents)
