@@ -35,7 +35,14 @@ object ExplainAudit {
       // round-9 third-wave surfaces: SIF vocab join, phrase legs
       // (scan + bucket-pruned index), blocklist battery, anomaly panel
       "sif_embedding", "phrase_search_positional", "phrase_search_indexed",
-      "blocklist_gate", "events_anomaly_daily", "k_anonymity_report")
+      "blocklist_gate", "events_anomaly_daily", "k_anonymity_report",
+      // round-14 surfaces: PSL InSet domains, format extractors (all
+      // narrow maps — the only Exchange is the oracle-mandated final
+      // sort), digest-broadcast revisit join, bloom aggregate
+      "psl_registered_domain", "html_tables_extract", "html_jsonld_extract",
+      "code_license_detect", "latex_strip", "srt_cues_extract",
+      "vtt_cues_extract", "notebook_cells_extract", "warc_revisit_dedup",
+      "frontier_bloom_seen", "image_container_probe")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)
