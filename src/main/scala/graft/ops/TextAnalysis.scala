@@ -52,6 +52,34 @@ object TextAnalysis {
   def avgWordLen(text: Column, toks: Column): Column =
     length(regexp_replace(text, "\\s", "")).cast("double") / size(toks)
 
+  /** Homoglyph confusables → their Latin look-alikes — the
+    * spam/evasion counter for dedup and blocklist KEYS: visually
+    * identical strings written with Cyrillic/Greek/ligature
+    * substitutions collapse to one canonical form before hashing.
+    * Curated pair table (Unicode TR39's high-traffic rows), applied
+    * with `translate` — a single codegen'd pass, and the SAME function
+    * with the same pairs replays in DuckDB/Postgres.
+    */
+  val HomoglyphFrom: String =
+    "аеорсхуіѕјԛѡАВЕКМНОРСТХУ" + // Cyrillic look-alikes
+      "αονρτυικη" + // Greek lowercase
+      "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" + // Greek uppercase
+      "ℓ" // script small l
+  val HomoglyphTo: String =
+    "aeopcxyisjqwABEKMHOPCTXY" +
+      "aovptuikn" +
+      "ABEZHIKMNOPTYX" +
+      "l"
+
+  def homoglyphNormalize(text: Column): Column =
+    translate(text, HomoglyphFrom, HomoglyphTo)
+
+  /** Count of confusable code points in the text (the evasion
+    * suspicion signal): length minus length-with-confusables-deleted.
+    */
+  def homoglyphCount(text: Column): Column =
+    length(text) - length(translate(text, HomoglyphFrom, ""))
+
   /** Composite quality score in [0,1]: rewards vocabulary diversity,
     * function-word presence (gibberish has none), and non-trivial length.
     * The exact weights are engine-defined; the point is the shape —

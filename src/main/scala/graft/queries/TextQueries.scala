@@ -1816,6 +1816,27 @@ object TextQueries {
     // byte of that region, Hamming 2 of 64); the low-detail pair
     // halves/rgb sits at Hamming 5, outside the maxHamming=4 gate —
     // the oracle pins exactly the planted pair.
+    // Homoglyph normalization — the spam/evasion counter for dedup
+    // and blocklist keys: Cyrillic/Greek look-alike substitutions
+    // (the classic "рауpal"/"frее mοnеy" trick) collapse to canonical
+    // Latin before hashing, with a confusable-count suspicion signal.
+    // One codegen'd translate pass; expected outputs pinned literally.
+    "text_homoglyph_normalize" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val v = pmod($"doc_id", lit(3))
+      val raw = when(v === 0, concat(lit("verify your рауpal account doc "), id))
+        .when(v === 1, concat(lit("frее mοnеy inside doc "), id))
+        .otherwise(concat(lit("plain honest text doc "), id))
+      documents(s, d)
+        .select($"doc_id", raw.as("raw"))
+        .select($"doc_id", $"raw",
+          graft.ops.TextAnalysis.homoglyphNormalize($"raw").as("normalized"),
+          graft.ops.TextAnalysis.homoglyphCount($"raw").cast("long")
+            .as("n_confusables"))
+        .orderBy($"doc_id")
+    }),
+
     // SubRip subtitle parsing — the transcript leg of a speech/video
     // corpus: cue time spans (exact millisecond arithmetic) and
     // joined cue text, as pure column expressions (split -> transform
@@ -4597,6 +4618,19 @@ object TextQueries {
     // the planted perceptual pair as literals — the engine must decode
     // both patterns, land on dHashes 2 bits apart, and keep the
     // hamming-5 low-detail pair out
+    "text_homoglyph_normalize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'verify your рауpal account doc ' || doc_id::VARCHAR
+        |    WHEN 1 THEN 'frее mοnеy inside doc ' || doc_id::VARCHAR
+        |    ELSE 'plain honest text doc ' || doc_id::VARCHAR END AS raw,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'verify your paypal account doc ' || doc_id::VARCHAR
+        |    WHEN 1 THEN 'free money inside doc ' || doc_id::VARCHAR
+        |    ELSE 'plain honest text doc ' || doc_id::VARCHAR END AS normalized,
+        |  (CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 0 END)::BIGINT
+        |    AS n_confusables
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "srt_cues_extract" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS v FROM documents)
         |SELECT * FROM (
