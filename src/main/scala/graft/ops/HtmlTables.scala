@@ -190,7 +190,11 @@ object HtmlTables {
   private def collapse(s: String): String = {
     val numeric = "&#(\\d{1,6});".r.replaceAllIn(s, m => {
       val cp = m.group(1).toInt
-      if (cp <= 0x10ffff && Character.isValidCodePoint(cp))
+      // surrogate code points (U+D800-U+DFFF) are valid code points to
+      // Character.toChars but emit a LONE UTF-16 surrogate — an
+      // ill-formed string that corrupts downstream UTF-8 hashing
+      if (cp <= 0x10ffff && Character.isValidCodePoint(cp) &&
+          !(cp >= 0xD800 && cp <= 0xDFFF))
         java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
       else ""
     })

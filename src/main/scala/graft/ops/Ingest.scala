@@ -62,9 +62,12 @@ object Ingest {
     val chunksIn = chunks.count()
 
     // P5 exact dedup by content (embedding.py:296-304) — content-keyed id
-    // makes dropDuplicates(id) equivalent to dedup-by-text.
-    val deduped = chunks.dropDuplicates("id")
-      .withColumn("embedding", EmbedText.embedText(col("text"), embedder))
+    // makes dropDuplicates(id) equivalent to dedup-by-text. The embed
+    // runs through [[embedBatched]]: batches of 500 per partition, one
+    // Embedder.embedBatch (= one throttle token under a
+    // RateLimitedEmbedder) per batch — the reference's quantitative
+    // ingest contract (embedding.py:320-338).
+    val deduped = embedBatched(chunks.dropDuplicates("id"), "text", embedder)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dedupedN = deduped.count()
     chunks.unpersist()
@@ -95,6 +98,50 @@ object Ingest {
     writeManifest(spark, storeDir, config)
     deduped.unpersist()
     IngestResult(chunksIn, dedupedN, appendedN, existingN + appendedN)
+  }
+
+  /** S14's quantitative embed contract, engine-side: append an
+    * `outCol` ARRAY<FLOAT> embedding column computed in batches of
+    * `batchSize` rows per partition through ONE [[Embedder.embedBatch]]
+    * call each. The reference ingests in batches of 500 and sleeps
+    * `60/rpm` seconds between them (`src/server/utils/embedding.py:
+    * 320-338`); here the batch is exactly the unit a
+    * [[graft.embed.RateLimitedEmbedder]] throttles (one token per
+    * `embedBatch` call), so wrapping the embedder reproduces the
+    * reference cadence: ceil(partitionRows/batchSize) model calls,
+    * one sleep interval between each. `withBatchMeta` additionally
+    * emits the 0-based per-partition batch index and the batch's row
+    * count — the observable batch-boundary arithmetic an oracle can
+    * replay. Values are identical to the per-row
+    * [[graft.embed.EmbedText]] expression (the default `embedBatch`
+    * maps `embed`); what batching buys at scale is amortizing the
+    * per-call overhead of a REAL model API, which charges per request.
+    */
+  def embedBatched(df: DataFrame, textCol: String, embedder: Embedder,
+                   batchSize: Int = 500, outCol: String = "embedding",
+                   withBatchMeta: Boolean = false): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import org.apache.spark.sql.types._
+    val base = df.schema
+      .add(outCol, ArrayType(FloatType, containsNull = false), nullable = false)
+    val schema =
+      if (withBatchMeta)
+        base.add("batch_idx", LongType, nullable = false)
+          .add("batch_size", IntegerType, nullable = false)
+      else base
+    val ti = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).zipWithIndex.flatMap { case (rows, bi) =>
+        val vecs = embedder.embedBatch(
+          rows.map(r => if (r.isNullAt(ti)) null else r.getString(ti)))
+        rows.lazyZip(vecs).map { (r, v) =>
+          val extra: Seq[Any] =
+            if (withBatchMeta) Seq(v.toSeq, bi.toLong, rows.size)
+            else Seq(v.toSeq)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Append chunk rows into a store table WITHOUT degrading its layout:

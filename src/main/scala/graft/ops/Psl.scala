@@ -10,49 +10,66 @@ import org.apache.spark.sql.functions._
   *
   * The list is the committed snapshot at
   * `src/main/resources/graft/public_suffix_list.dat` (publicsuffix.org
-  * format — the full upstream file is a drop-in; see the header there).
-  * Matching follows the published PSL algorithm: among all matching
-  * rules the LONGEST wins, an exception rule (`!www.ck`) always wins
-  * and denotes the rule minus its leftmost label, a wildcard rule
-  * (`*.ck`) matches exactly one extra label, and when nothing matches
-  * the prevailing rule is `*` (the bare TLD is the suffix). The
+  * format). The full upstream file is a drop-in: the parser accepts
+  * exact rules to 6 labels, wildcard bases to 4 and exceptions to 4 —
+  * strictly deeper than anything in the published list (deepest today:
+  * 6-label exact `s3.dualstack.<region>.amazonaws.com.cn`-class rules,
+  * 4-label wildcard bases like `*.compute.amazonaws.com.cn`, 3-label
+  * exceptions like `!city.kawasaki.jp`) — and FAILS LOUDLY on a rule
+  * deeper than that, so a future list revision can never be silently
+  * mis-parsed into wrong registered domains.
+  *
+  * Matching follows the published PSL algorithm: an exception rule
+  * (`!www.ck`) ALWAYS wins regardless of any other matching rule's
+  * length and denotes the rule minus its leftmost label; otherwise
+  * among matching rules the LONGEST wins; a wildcard rule (`*.ck`)
+  * matches exactly one extra label; when nothing matches the
+  * prevailing rule is `*` (the bare TLD is the suffix). The
   * registered domain is the suffix plus one label; a host that IS a
   * public suffix (or shorter) passes through unchanged, as do IPv4
   * literals and single-label hosts.
   *
   * Scale shape: the parsed rule sets become literal `InSet` predicates
   * compiled INTO the plan (whole-stage-codegen hash-set probes over the
-  * last 1-4 host labels) — no join, no broadcast variable to ship, no
+  * last 1-6 host labels) — no join, no broadcast variable to ship, no
   * per-row regex beyond the IPv4 literal check. Rule depth is bounded
-  * by the list format itself (exact rules to 4 labels, wildcard bases
-  * to 2), so the expression is a fixed 6-arm CASE regardless of list
-  * size.
+  * by the parser's loud ceiling, so the expression is a fixed-arm CASE
+  * regardless of list size.
   */
 object Psl {
 
-  /** Parsed rule sets, keyed by what the match probes: exact rules by
-    * label count, wildcard bases by label count, exceptions by label
-    * count of the exception name itself.
+  /** Deepest accepted exact rule (labels), wildcard base (labels) and
+    * exception name (labels). `parse` throws on anything deeper.
     */
-  final case class Rules(exact2: Set[String], exact3: Set[String],
-                         exact4: Set[String], wild1: Set[String],
-                         wild2: Set[String], exc2: Set[String],
-                         exc3: Set[String]) {
-    def size: Int = exact2.size + exact3.size + exact4.size +
-      wild1.size + wild2.size + exc2.size + exc3.size
+  val MaxExact = 6
+  val MaxWildBase = 4
+  val MaxException = 4
+
+  /** Parsed rule sets, keyed by what the match probes: exact rules by
+    * label count (2..[[MaxExact]]), wildcard bases by label count
+    * (1..[[MaxWildBase]]), exceptions by label count of the exception
+    * name itself (2..[[MaxException]]).
+    */
+  final case class Rules(exact: Map[Int, Set[String]],
+                         wild: Map[Int, Set[String]],
+                         exc: Map[Int, Set[String]]) {
+    def size: Int = exact.valuesIterator.map(_.size).sum +
+      wild.valuesIterator.map(_.size).sum +
+      exc.valuesIterator.map(_.size).sum
   }
 
   /** Parse PSL-format lines: `//` comments and blank lines skipped,
     * the rule is the first whitespace-delimited token, `!` marks an
     * exception, `*.` a wildcard. Single-label exact rules are dropped —
     * behaviorally identical to the default `*` rule the matcher
-    * applies when nothing longer hits.
+    * applies when nothing longer hits. A rule deeper than the matcher's
+    * fixed CASE ([[MaxExact]]/[[MaxWildBase]]/[[MaxException]]) is an
+    * IllegalArgumentException, never a silent drop.
     */
   def parse(lines: Iterator[String]): Rules = {
-    val e2 = Set.newBuilder[String]; val e3 = Set.newBuilder[String]
-    val e4 = Set.newBuilder[String]
-    val w1 = Set.newBuilder[String]; val w2 = Set.newBuilder[String]
-    val x2 = Set.newBuilder[String]; val x3 = Set.newBuilder[String]
+    val e = Map((2 to MaxExact).map(_ -> Set.newBuilder[String]): _*)
+    val w = Map((1 to MaxWildBase).map(_ -> Set.newBuilder[String]): _*)
+    val x = Map((2 to MaxException).map(_ -> Set.newBuilder[String]): _*)
     lines.foreach { raw =>
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("//")) {
@@ -60,28 +77,27 @@ object Psl {
         def nLabels(s: String) = s.count(_ == '.') + 1
         if (rule.startsWith("!")) {
           val name = rule.substring(1)
-          nLabels(name) match {
-            case 2 => x2 += name
-            case 3 => x3 += name
-            case _ => () // deeper exceptions don't occur in the list
-          }
+          val n = nLabels(name)
+          require(n >= 2 && n <= MaxException,
+            s"PSL exception rule '$rule' has $n labels — matcher supports 2..$MaxException; widen Psl.suffixLen")
+          x(n) += name
         } else if (rule.startsWith("*.")) {
           val base = rule.substring(2)
-          nLabels(base) match {
-            case 1 => w1 += base
-            case 2 => w2 += base
-            case _ => ()
-          }
-        } else nLabels(rule) match {
-          case 2 => e2 += rule
-          case 3 => e3 += rule
-          case 4 => e4 += rule
-          case _ => () // 1-label ≡ default rule
+          val n = nLabels(base)
+          require(n <= MaxWildBase,
+            s"PSL wildcard rule '$rule' has a $n-label base — matcher supports 1..$MaxWildBase; widen Psl.suffixLen")
+          w(n) += base
+        } else {
+          val n = nLabels(rule)
+          require(n <= MaxExact,
+            s"PSL exact rule '$rule' has $n labels — matcher supports 2..$MaxExact; widen Psl.suffixLen")
+          if (n >= 2) e(n) += rule // 1-label ≡ default rule
         }
       }
     }
-    Rules(e2.result(), e3.result(), e4.result(), w1.result(), w2.result(),
-      x2.result(), x3.result())
+    Rules(e.map { case (k, b) => k -> b.result() },
+      w.map { case (k, b) => k -> b.result() },
+      x.map { case (k, b) => k -> b.result() })
   }
 
   /** The committed snapshot, parsed once per JVM. */
@@ -93,20 +109,36 @@ object Psl {
   }
 
   /** The public-suffix label count for a host column, per the PSL
-    * algorithm (exceptions first, then longest match, default 1).
+    * algorithm: EVERY exception arm precedes every ordinary arm (the
+    * published "the prevailing rule is the exception rule" — an
+    * exception beats even a longer exact/wildcard match), then ordinary
+    * rules longest-first, default 1.
     */
   private def suffixLen(labels: Column, r: Rules): Column = {
-    def lastK(k: Int) = concat_ws(".", slice(labels, -k, k))
+    def lastK(k: Int): Column =
+      if (k == 1) element_at(labels, -1) else concat_ws(".", slice(labels, -k, k))
     def inSet(c: Column, s: Set[String]): Column =
       if (s.isEmpty) lit(false) else c.isInCollection(s)
-    val last1 = element_at(labels, -1)
-    val last2 = lastK(2); val last3 = lastK(3); val last4 = lastK(4)
-    when(inSet(last3, r.exc3), lit(2))
-      .when(inSet(last4, r.exact4), lit(4))
-      .when(inSet(last3, r.exact3) || inSet(last2, r.wild2), lit(3))
-      .when(inSet(last2, r.exc2), lit(1))
-      .when(inSet(last2, r.exact2) || inSet(last1, r.wild1), lit(2))
-      .otherwise(lit(1))
+    // exceptions first, deepest first (an exception name of n labels
+    // denotes a suffix of n-1)
+    val excArms = (MaxException to 2 by -1).map { n =>
+      (inSet(lastK(n), r.exc(n)), lit(n - 1))
+    }
+    // ordinary rules by match length descending: an exact rule of n
+    // labels yields suffix n; a wildcard base of n labels yields n+1
+    // (its rule is n+1 labels long), so exact(n) ties wild(n-1)
+    val ordArms = (MaxExact to 2 by -1).map { n =>
+      val exactHit = inSet(lastK(n), r.exact(n))
+      val wildHit =
+        if (n - 1 >= 1 && n - 1 <= MaxWildBase) inSet(lastK(n - 1), r.wild(n - 1))
+        else lit(false)
+      (exactHit || wildHit, lit(n))
+    }
+    (excArms ++ ordArms)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (cond, v)) => Some(when(cond, v))
+        case (Some(c), (cond, v)) => Some(c.when(cond, v))
+      }.get.otherwise(lit(1))
   }
 
   /** Registered domain (public suffix + one label) for a lowercase

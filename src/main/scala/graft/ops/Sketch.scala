@@ -331,7 +331,10 @@ object Sketch {
                  k: Int): DataFrame = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(col(valueCol).as("__v"),
+    // a null value can't be a member (concat would null the position and
+    // crash collectBloom on a null word_idx group) — drop, don't throw
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
         explode(array((0 until k).map(lit(_)): _*)).as("__seed"))
       .select(pmod(hash60(concat(lit("bloom:"), col("__seed").cast("string"),
         lit(":"), col("__v"))), lit(mBits)).as("__pos"))
@@ -492,6 +495,10 @@ object Sketch {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
     require(stats.length >= 2,
       s"bloom sidecar at $path has a damaged _stats; rebuild with buildBloomSidecarForStore")
+    require(stats(0) == s"$BloomSidecarM:$BloomSidecarK",
+      s"bloom sidecar at $path was built at geometry ${stats(0)}, engine expects " +
+        s"$BloomSidecarM:$BloomSidecarK — probing foreign geometry would test the " +
+        "wrong bit positions; rebuild with buildBloomSidecarForStore")
     val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
     require(stats(1) == s"v$cur",
       s"bloom sidecar at $path (${stats.lift(1).getOrElse("-")}) is stale against " +

@@ -525,10 +525,20 @@ object DedupQueries {
 
     // What the dedup bought: per duplicated content group, the
     // representative, copy count, and bytes reclaimed — the accounting
-    // row a curation run reports next to the cluster histogram.
+    // row a curation run reports next to the cluster histogram. The
+    // corpus has no exact duplicates at oracle scale, so duplicates are
+    // PLANTED in-plan (the mojibake_repair_roundtrip convention): every
+    // doc_id % 4 == 1 collapses to one of four bucket texts of distinct
+    // lengths, so n_copies > 1 is non-empty and the copy-count ×
+    // bytes-saved arithmetic actually faces the oracle.
     "dedup_savings_report" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      val bucket = pmod($"doc_id", lit(16))
+      val planted = when(pmod($"doc_id", lit(4)) === 1,
+          concat(lit("dup "), bucket.cast("string"), lit(" "),
+            repeat(lit("pad "), (bucket + 1).cast("int"))))
+        .otherwise($"text")
+      val docs = documents(s, d).select($"doc_id", planted.as("text"))
       Dedup.exact(docs, "doc_id", "text")
         .filter($"n_copies" > 1)
         .join(docs.select($"doc_id",
@@ -1228,11 +1238,18 @@ object DedupQueries {
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
     "dedup_savings_report" ->
-      """WITH g AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
-        |  FROM documents GROUP BY md5(text) HAVING count(*) > 1)
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1
+        |      THEN 'dup ' || (doc_id % 16)::VARCHAR || ' '
+        |           || repeat('pad ', (doc_id % 16 + 1)::INT)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |g AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+        |  FROM docs GROUP BY md5(text) HAVING count(*) > 1)
         |SELECT g.doc_id, g.n_copies, length(d.text)::BIGINT AS bytes_each,
         |  (g.n_copies - 1) * length(d.text)::BIGINT AS bytes_saved
-        |FROM g JOIN documents d ON d.doc_id = g.doc_id
+        |FROM g JOIN docs d ON d.doc_id = g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
     // identical double arithmetic in the same order; the ±0.1 operands
     // are written as EXPRESSIONS (0.8 - 0.1) so both engines evaluate

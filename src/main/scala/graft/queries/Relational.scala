@@ -1103,6 +1103,182 @@ object Relational {
         .select($"c_custkey".as("custkey"))
       active.intersect(positive).except(building).orderBy($"custkey")
     }),
+
+    // §1.2 DecimalType parity — the reference carries Oracle NUMBER
+    // decimals through vector-search metadata (chatbot.py:83-88's
+    // DecimalEncoder); everywhere else this engine handles money as
+    // exact integer cents, but the declared TYPE must also round-trip:
+    // DECIMAL(12,2) casts, exact decimal +/-/× and sums, and the final
+    // scales pinned on both engines so the parquet logical type equals
+    // the oracle's result type column for column.
+    "decimal_pricing_summary" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_extendedprice".cast("decimal(12,2)").as("price"),
+          $"l_discount".cast("decimal(12,2)").as("disc"))
+        .groupBy($"l_returnflag")
+        .agg(
+          sum($"price").cast("decimal(18,2)").as("sum_price"),
+          sum($"price" * (lit(1).cast("decimal(12,2)") - $"disc"))
+            .cast("decimal(22,4)").as("sum_disc_price"),
+          max($"price").cast("decimal(12,2)").as("max_price"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_price",
+          round($"sum_price".cast("double") / $"n", 6))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Z-order layout is semantics-preserving — THE oracle-checkable
+    // claim for a layout op: the clustered copy written by
+    // Layout.writeZOrdered must answer a non-leading-column filter +
+    // aggregate exactly like the source table (the multi-dimensional
+    // data-skipping win itself is measured in ScaleOpsSpec via scan
+    // numOutputRows; a hash check can't see IO).
+    "layout_zorder_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val path = java.nio.file.Files
+        .createTempDirectory("zorder-q").toString + "/lineitem_z"
+      val src = lineitem(s, d).select($"l_orderkey", $"l_partkey",
+        $"l_quantity".cast("long").as("qty"),
+        cents($"l_extendedprice").as("price_c"))
+      graft.ops.Layout.writeZOrdered(src, Seq("l_orderkey", "l_partkey"),
+        path, bits = 5, nFiles = 16)
+      s.read.parquet(path)
+        .filter($"l_partkey" <= 200)
+        .groupBy(pmod($"l_partkey", lit(8)).as("pk_bucket"))
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sum_qty"),
+          sum($"price_c").as("sum_price_c"))
+        .orderBy($"pk_bucket")
+    }),
+
+    // Bucketed co-located join: both sides written bucketBy(8) on the
+    // join key, joined shuffle-free — the plan facts (scan reports
+    // buckets, no hash Exchange under the join) ride INTO the output as
+    // oracle-checked booleans, and the join result must equal the plain
+    // oracle join. Broadcast is disabled while planning so the asserted
+    // path is the sort-merge-over-buckets a 100 TB fact join takes.
+    "layout_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      val l = lineitem(s, d)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+      for (t <- Seq("graft_q_b_orders", "graft_q_b_lines")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.Fs.delete(s, s.conf.get("spark.sql.warehouse.dir",
+          "spark-warehouse") + s"/$t")
+      }
+      graft.ops.Layout.writeBucketed(o, "graft_q_b_orders", "o_orderkey", 8)
+      graft.ops.Layout.writeBucketed(l, "graft_q_b_lines", "o_orderkey", 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = graft.ops.Layout.bucketedJoin(
+          s, "graft_q_b_orders", "graft_q_b_lines", "o_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        val bucketed = plan.contains("Bucketed: true")
+        val noShuffle = !plan.contains("Exchange hashpartitioning")
+        joined.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("long")).as("sum_qty"))
+          .withColumn("scan_bucketed", lit(bucketed))
+          .withColumn("join_shuffle_free", lit(noShuffle))
+          .orderBy($"o_orderpriority")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    // Salted two-phase aggregation ≡ plain groupBy — the skew remedy
+    // must be invisible in the result (counts and LONG sums recombine
+    // exactly over the salt partials).
+    "layout_salted_agg" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Layout.saltedSumCount(
+          lineitem(s, d).select($"l_suppkey", $"l_quantity"),
+          "l_suppkey", $"l_quantity".cast("long"), factor = 8)
+        .orderBy($"l_suppkey")
+    }),
+
+    // Salted join ≡ plain equi-join: the dimension replicates per salt,
+    // the fact spreads its hot keys over 8 sub-keys, and the joined
+    // multiset must be IDENTICAL — pinned through a group-and-sum the
+    // oracle recomputes from the plain join.
+    "layout_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val fact = lineitem(s, d)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+      val dim = orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      graft.ops.Layout.saltedJoin(fact, dim, "o_orderkey", factor = 8)
+        .groupBy($"o_orderpriority", pmod($"o_orderkey", lit(3)).as("key_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("long")).as("sum_qty"))
+        .orderBy($"o_orderpriority", $"key_mod")
+    }),
+
+    // Streaming CDC (changelog apply) — the startCdc seam run over
+    // three micro-batches exactly as its foreachBatch would invoke it
+    // (applyCdcBatch IS that callback's body): upserts, within-batch
+    // out-of-order duplicates (last-write-wins by seq), tombstones, a
+    // later batch re-inserting deleted keys with a LOWER seq (batch
+    // order beats sequence across batches), and a fourth batch carrying
+    // a tied winning seq that must REFUSE without touching the store.
+    // The output reads the ACTUAL versioned store; the oracle replays
+    // the whole changelog relationally (row_number over batch desc,
+    // seq desc per key, tombstones drop).
+    "cdc_apply_replay" -> ((s, d) => {
+      import s.implicits._
+      val store = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-cdc-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/store"
+      graft.Fs.delete(s, store)
+      val docs = documents(s, d)
+        .select($"doc_id", length($"text").cast("long").as("n_chars"))
+      def batch(rows: DataFrame): Unit =
+        graft.streaming.IncrementalIngest.applyCdcBatch(
+          rows, store, "doc_id", "seq", Some("deleted"))
+      // batch 1: initial inserts
+      batch(docs.filter($"doc_id" < 60).select($"doc_id",
+        $"doc_id".as("seq"), lit("r1").as("rev"), $"n_chars",
+        lit(false).as("deleted")))
+      // batch 2: two competing upserts per key (seq resolves r2b) plus
+      // tombstones that outrank both (seq 300+)
+      val b2u = docs.filter($"doc_id" % 3 === 0 && $"doc_id" < 90)
+      batch(b2u.select($"doc_id", ($"doc_id" + 100).as("seq"),
+          lit("r2a").as("rev"), $"n_chars", lit(false).as("deleted"))
+        .unionByName(b2u.select($"doc_id", ($"doc_id" + 200).as("seq"),
+          lit("r2b").as("rev"), $"n_chars", lit(false).as("deleted")))
+        .unionByName(docs.filter($"doc_id" % 5 === 0 && $"doc_id" < 60)
+          .select($"doc_id", ($"doc_id" + 300).as("seq"),
+            lit("del").as("rev"), lit(null).cast("long").as("n_chars"),
+            lit(true).as("deleted"))))
+      // batch 3: re-inserts + new keys at a LOW seq — batch order wins
+      batch(docs.filter($"doc_id" % 4 === 0 && $"doc_id" < 80)
+        .select($"doc_id", $"doc_id".as("seq"), lit("r3").as("rev"),
+          $"n_chars", lit(false).as("deleted")))
+      // batch 4: a tied winning seq is a malformed changelog — must
+      // refuse loudly and leave the store at its pre-batch version
+      val vBefore = graft.ops.VersionedStore
+        .currentState(s, store).map(_.version).getOrElse(-1L)
+      val tied = docs.filter($"doc_id" === 7)
+      val refused =
+        try {
+          batch(tied.select($"doc_id", lit(999L).as("seq"),
+              lit("x").as("rev"), $"n_chars", lit(false).as("deleted"))
+            .unionByName(tied.select($"doc_id", lit(999L).as("seq"),
+              lit("y").as("rev"), $"n_chars", lit(false).as("deleted"))))
+          false
+        } catch { case e: Throwable =>
+          // the raise rides on an executor — walk the cause chain
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .exists(_.toString.contains("tied"))
+        }
+      val vAfter = graft.ops.VersionedStore
+        .currentState(s, store).map(_.version).getOrElse(-1L)
+      graft.ops.VersionedStore.read(s, store).get
+        .select($"doc_id", $"rev", $"n_chars")
+        .withColumn("tied_refused", lit(refused))
+        .withColumn("refusal_left_store_untouched", lit(vBefore == vAfter))
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1844,5 +2020,68 @@ object Relational {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+    // exact decimal arithmetic: both engines cast the monetary doubles
+    // to DECIMAL(12,2) first (the true values are 2-decimal, so the
+    // cast is exact), then sum/multiply in decimal and pin the result
+    // scales explicitly so the parquet logical types match too
+    "decimal_pricing_summary" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DECIMAL(22,4)) AS sum_disc_price,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
+        |  COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))::DOUBLE
+        |    / COUNT(*), 6) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_zorder_roundtrip" ->
+      """SELECT l_partkey % 8 AS pk_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem WHERE l_partkey <= 200 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  true AS scan_bucketed, true AS join_shuffle_free
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_salted_agg" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_salted_join" ->
+      """SELECT o_orderpriority, o_orderkey % 3 AS key_mod, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the full changelog replayed relationally: per key the row from
+    // the LAST batch that touched it (batch order beats sequence),
+    // last-write-wins by seq within a batch, tombstones drop the key;
+    // the tied batch 4 was refused so it does not appear in the log
+    "cdc_apply_replay" ->
+      """WITH log AS (
+        |  SELECT 1 AS b, doc_id, doc_id AS seq, 'r1' AS rev,
+        |    length(text)::BIGINT AS n_chars, false AS del
+        |  FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT 2, doc_id, doc_id + 100, 'r2a', length(text)::BIGINT, false
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 90
+        |  UNION ALL
+        |  SELECT 2, doc_id, doc_id + 200, 'r2b', length(text)::BIGINT, false
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 90
+        |  UNION ALL
+        |  SELECT 2, doc_id, doc_id + 300, 'del', NULL, true
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT 3, doc_id, doc_id, 'r3', length(text)::BIGINT, false
+        |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < 80),
+        |last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY b DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT doc_id, rev, n_chars,
+        |  true AS tied_refused, true AS refusal_left_store_untouched
+        |FROM last WHERE rn = 1 AND NOT del ORDER BY doc_id""".stripMargin,
   )
 }

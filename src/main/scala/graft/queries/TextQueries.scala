@@ -904,12 +904,18 @@ object TextQueries {
     // RLHF/DPO preference pairs: candidates grouped by prompt, best vs
     // worst by score (answer-string tie-break), zero-margin pairs
     // dropped; one max/min-struct aggregation, no candidate self-join.
+    // qid = doc_id % 100 gives 5 candidates per prompt at oracle scale;
+    // scores cycle mod 3 (100 ≡ 1 mod 3, so each prompt sees repeated
+    // scores → the answer-string tie-break lands in the OUTPUT), and
+    // prompts with qid < 10 get a constant score → every candidate
+    // tied → zero margin → the drop path faces the oracle too.
     "preference_pairs" -> ((s, d) => {
       import s.implicits._
       val cand = documents(s, d).select(
-        pmod($"doc_id", lit(500)).as("qid"),
+        pmod($"doc_id", lit(100)).as("qid"),
         concat(lit("ans "), $"doc_id".cast("string")).as("answer"),
-        (pmod($"doc_id" * 13, lit(11)).cast("double") / 11.0).as("score"))
+        when(pmod($"doc_id", lit(100)) < 10, lit(0.5))
+          .otherwise(pmod($"doc_id", lit(3)).cast("double") / 4.0).as("score"))
       graft.ops.Testbed.preferencePairs(cand, "qid", "answer", "score")
         .orderBy($"qid")
     }),
@@ -4496,8 +4502,9 @@ object TextQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
     "preference_pairs" ->
       """WITH cand AS (
-        |  SELECT doc_id % 500 AS qid, 'ans ' || doc_id::VARCHAR AS answer,
-        |    ((doc_id * 13) % 11) / 11.0 AS s
+        |  SELECT doc_id % 100 AS qid, 'ans ' || doc_id::VARCHAR AS answer,
+        |    CASE WHEN doc_id % 100 < 10 THEN 0.5
+        |         ELSE (doc_id % 3) / 4.0 END AS s
         |  FROM documents),
         |agg AS (
         |  SELECT qid,

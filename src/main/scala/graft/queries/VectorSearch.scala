@@ -535,6 +535,26 @@ object VectorSearch {
         .orderBy($"doc_id")
     }),
 
+    // S14's batch contract made observable: embedBatched over a single
+    // deterministic partition (repartition(1) + sort) emits each row's
+    // 0-based batch index and its batch's row count — ceil(N/64)
+    // batches, every batch full except the last, one embedBatch (= one
+    // RateLimitedEmbedder throttle token) per batch. The oracle replays
+    // the boundary arithmetic from row_number; the embedding invariants
+    // ride along as in embed_documents.
+    "ingest_batched_embed" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"text")
+        .repartition(1).sortWithinPartitions($"doc_id")
+      graft.ops.Ingest.embedBatched(docs, "text", HashEmbedder(64),
+          batchSize = 64, withBatchMeta = true)
+        .select($"doc_id", $"batch_idx",
+          $"batch_size".cast("long").as("batch_size"),
+          size($"embedding").as("dim"),
+          round(sqrt(aggregate($"embedding", lit(0.0d), (acc, x) => acc + x * x)), 4).as("l2norm"))
+        .orderBy($"doc_id")
+    }),
+
     // IVF-bucketed similarity JOIN at full probe: the scale path for a
     // query side too large to broadcast, pinned to the exact batch join
     // by the full-probe contract — shares similarity_join_topk's
@@ -890,6 +910,16 @@ object VectorSearch {
       """SELECT doc_id, 64::INT AS dim,
         |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_batched_embed" ->
+      """WITH o AS (
+        |  SELECT doc_id, text,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // 64 AS batch_idx
+        |  FROM documents)
+        |SELECT doc_id, batch_idx,
+        |  (COUNT(*) OVER (PARTITION BY batch_idx))::BIGINT AS batch_size,
+        |  64::INT AS dim,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS l2norm
+        |FROM o ORDER BY doc_id""".stripMargin,
     "knn_cosine_topk" -> knnOracle("list_cosine_similarity", desc = true),
     "knn_quantized_rescore" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_quantized_probe" -> knnOracle("list_cosine_similarity", desc = true),

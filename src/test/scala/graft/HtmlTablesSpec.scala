@@ -65,4 +65,13 @@ class HtmlTablesSpec extends AnyFunSuite {
     assert(t.nRows == 1)
     assert(t.markdown.endsWith("| line one line two |"))
   }
+
+  test("numeric entities: surrogate code points are rejected, never emitted lone") {
+    // &#55296; = U+D800 (high surrogate) — Character.toChars would emit
+    // a lone UTF-16 surrogate, an ill-formed string
+    val html = "<table><tr><td>a&#55296;b &#57343;c &#233;</td></tr></table>"
+    val Seq(t) = HtmlTables.extract(html)
+    assert(t.markdown.endsWith("| ab c é |"), t.markdown)
+    assert(!t.markdown.exists(ch => Character.isSurrogate(ch)))
+  }
 }

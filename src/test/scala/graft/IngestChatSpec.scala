@@ -32,6 +32,41 @@ class IngestChatSpec extends AnyFunSuite {
     assert(r3.storeRows == r1.storeRows + r3.appended)
   }
 
+  test("S14 batch/throttle contract: ceil(n/500) embedBatch calls, one throttle token each, batches never exceed 500") {
+    import graft.embed.RateLimitedEmbedder
+    CountingEmbedder.reset()
+    val docs = spark.range(0, 1230).select($"id".as("doc_id"),
+        concat(lit("document text number "), $"id".cast("string")).as("text"))
+      .repartition(1)
+    val counted = CountingEmbedder(8)
+    // rpm 6000 = 10 ms/token: 3 batches pay >= 2 full intervals beyond
+    // the first — wall time is a LOWER bound, so this cannot flake fast
+    val t0 = System.nanoTime()
+    val out = Ingest.embedBatched(docs, "text",
+      RateLimitedEmbedder(counted, rpm = 6000), batchSize = 500,
+      withBatchMeta = true).collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(out.length == 1230)
+    // the reference contract: batches of 500 → ceil(1230/500) = 3 calls
+    assert(CountingEmbedder.batchCalls.get() == 3,
+      s"expected 3 embedBatch calls, got ${CountingEmbedder.batchCalls.get()}")
+    assert(CountingEmbedder.maxBatch.get() == 500)
+    // batch metadata: idx 0,1 full at 500; idx 2 carries the 230 tail
+    val sizes = out.map(r => r.getLong(r.fieldIndex("batch_idx")) ->
+      r.getInt(r.fieldIndex("batch_size"))).distinct.sortBy(_._1).toSeq
+    assert(sizes == Seq(0L -> 500, 1L -> 500, 2L -> 230))
+    // one throttle token per batch: >= 2 x 10 ms intervals after the first
+    assert(elapsedMs >= 20, s"throttle must space the 3 batches, ran in ${elapsedMs}ms")
+    // and the values are identical to the per-row expression path
+    val perRow = docs.withColumn("embedding",
+      graft.embed.EmbedText.embedText($"text", HashEmbedder(8)))
+      .select($"doc_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.foreach { r =>
+      assert(r.getSeq[Float](r.fieldIndex("embedding")) == perRow(r.getLong(0)))
+    }
+  }
+
   test("ingest keeps an IVF-indexed store cluster-partitioned across appends and compaction") {
     import graft.ops.{Ivf, Similarity, VersionedStore}
     val dir = Files.createTempDirectory("graft-ivf-ingest").toString
@@ -872,4 +907,25 @@ class IngestChatSpec extends AnyFunSuite {
 class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "mockobj"
   override def getUri: java.net.URI = java.net.URI.create("mockobj://bucket/")
+}
+
+/** Instrumented embedder for the S14 batch/throttle contract spec:
+  * counts embedBatch invocations and the largest batch seen. Static
+  * counters are safe in local mode (executors share the JVM); value
+  * equality (case class) keeps RateLimitedEmbedder's per-identity
+  * clock shared across deserialized task copies.
+  */
+object CountingEmbedder {
+  val batchCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { batchCalls.set(0); maxBatch.set(0) }
+}
+case class CountingEmbedder(dim: Int) extends graft.embed.Embedder {
+  private val inner = graft.embed.HashEmbedder(dim)
+  def embed(text: String): Array[Float] = inner.embed(text)
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    CountingEmbedder.batchCalls.incrementAndGet()
+    CountingEmbedder.maxBatch.getAndAccumulate(texts.size, Math.max(_, _))
+    inner.embedBatch(texts)
+  }
 }

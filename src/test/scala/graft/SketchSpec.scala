@@ -184,6 +184,32 @@ class SketchSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bloom probe must not shuffle:\n$plan")
   }
 
+  test("bloom: null values are dropped, not crashed on; geometry mismatch refuses") {
+    import spark.implicits._
+    val df = Seq(Some("https://x.com/a"), None, Some("https://x.com/b"), None)
+      .toDF("url")
+    val mBits = 512
+    // nulls can't be members — the build must not produce a null word_idx
+    val words = Sketch.collectBloom(Sketch.bloomBuild(df, "url", mBits, 3), mBits)
+    val clean = Sketch.collectBloom(Sketch.bloomBuild(
+      Seq("https://x.com/a", "https://x.com/b").toDF("url"), "url", mBits, 3), mBits)
+    assert(words.toSeq == clean.toSeq)
+    // a sidecar stamped at a foreign geometry refuses the probe loudly
+    val root = java.nio.file.Files.createTempDirectory("bloomgeo").toString
+    val table = s"$root/t"
+    graft.ops.VersionedStore.append(spark, table,
+      Seq("https://x.com/a").toDF("url"))
+    Sketch.buildBloomSidecarForStore(spark, table, "url", "url", s"$root/b")
+    val v = graft.ops.VersionedStore.currentState(spark, table).get.version
+    graft.Fs.delete(spark, s"$root/b/_stats")
+    graft.Fs.writeString(spark, s"$root/b/_stats", s"1024:3 v$v")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.probeBloomSidecar(spark, table, s"$root/b",
+        Seq("https://x.com/a").toDF("url"), "url")
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("bloom sidecar: fold equals rebuild, stale probe refuses, non-pure-append refuses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

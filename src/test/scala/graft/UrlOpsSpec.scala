@@ -55,10 +55,10 @@ class UrlOpsSpec extends AnyFunSuite {
   test("PSL: wildcard, exception, 3-label exact, default; snapshot parses non-trivially") {
     import graft.ops.Psl
     // snapshot sanity: all rule classes populated, plausible breadth
-    assert(Psl.rules.exact2.size > 400, s"exact2=${Psl.rules.exact2.size}")
-    assert(Psl.rules.exact3.contains("k12.ca.us"))
-    assert(Psl.rules.wild1.contains("ck") && Psl.rules.wild2.contains("kawasaki.jp"))
-    assert(Psl.rules.exc2.contains("www.ck") && Psl.rules.exc3.contains("city.kawasaki.jp"))
+    assert(Psl.rules.exact(2).size > 400, s"exact2=${Psl.rules.exact(2).size}")
+    assert(Psl.rules.exact(3).contains("k12.ca.us"))
+    assert(Psl.rules.wild(1).contains("ck") && Psl.rules.wild(2).contains("kawasaki.jp"))
+    assert(Psl.rules.exc(2).contains("www.ck") && Psl.rules.exc(3).contains("city.kawasaki.jp"))
     // wildcard *.ck: one extra label is part of the suffix
     assert(regdom("a.site.ck") == Seq("a.site.ck"))
     assert(regdom("x.a.site.ck") == Seq("a.site.ck"))
@@ -81,9 +81,57 @@ class UrlOpsSpec extends AnyFunSuite {
     val r = Psl.parse(Iterator(
       "// comment", "", "com", "co.uk", "*.ck", "!www.ck", "k12.ca.us",
       "a.b.c.d", "extra.tokens here-ignored"))
-    assert(r.exact2 == Set("co.uk", "extra.tokens"))
-    assert(r.exact3 == Set("k12.ca.us") && r.exact4 == Set("a.b.c.d"))
-    assert(r.wild1 == Set("ck") && r.exc2 == Set("www.ck"))
+    assert(r.exact(2) == Set("co.uk", "extra.tokens"))
+    assert(r.exact(3) == Set("k12.ca.us") && r.exact(4) == Set("a.b.c.d"))
+    assert(r.wild(1) == Set("ck") && r.exc(2) == Set("www.ck"))
+  }
+
+  test("PSL: full-upstream depth — 5/6-label exact, 3/4-label wildcard bases, loud beyond") {
+    import graft.ops.Psl
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the upstream list's deepest real shapes (amazonaws S3/compute class)
+    val r = Psl.parse(Iterator(
+      "s3.dualstack.ap-south-1.amazonaws.com",      // 5-label exact
+      "s3.dualstack.cn-north-1.amazonaws.com.cn",   // 6-label exact
+      "*.compute.amazonaws.com",                    // 3-label wildcard base
+      "*.compute.amazonaws.com.cn",                 // 4-label wildcard base
+      "com", "com.cn"))
+    def rd(h: String) = Seq(h).toDF("h")
+      .select(Psl.registeredDomain(col("h"), r)).as[String].collect().toSeq
+    assert(rd("bkt.s3.dualstack.ap-south-1.amazonaws.com") ==
+      Seq("bkt.s3.dualstack.ap-south-1.amazonaws.com"))
+    assert(rd("x.bkt.s3.dualstack.cn-north-1.amazonaws.com.cn") ==
+      Seq("bkt.s3.dualstack.cn-north-1.amazonaws.com.cn"))
+    assert(rd("ec2-1-2-3-4.us-east-1.compute.amazonaws.com") ==
+      Seq("ec2-1-2-3-4.us-east-1.compute.amazonaws.com"))
+    assert(rd("a.ec2-1-2-3-4.cn-north-1.compute.amazonaws.com.cn") ==
+      Seq("ec2-1-2-3-4.cn-north-1.compute.amazonaws.com.cn"))
+    // a longer host still resolves through the plain 2-label rule
+    assert(rd("www.example.amazonaws.com") == Seq("amazonaws.com"))
+    // out-of-depth rules refuse LOUDLY instead of silently mis-parsing
+    intercept[IllegalArgumentException] {
+      Psl.parse(Iterator("a.b.c.d.e.f.g")) }        // 7-label exact
+    intercept[IllegalArgumentException] {
+      Psl.parse(Iterator("*.a.b.c.d.e")) }          // 5-label wildcard base
+    intercept[IllegalArgumentException] {
+      Psl.parse(Iterator("!a.b.c.d.e")) }           // 5-label exception
+  }
+
+  test("PSL: exception beats a LONGER exact/wildcard match (published precedence)") {
+    import graft.ops.Psl
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // hypothetical collision: a 4-label exact rule whose tail is inside
+    // a 2-label exception's match domain — the published algorithm says
+    // the exception prevails regardless of rule length
+    val r = Psl.parse(Iterator("*.ck", "!www.ck", "a.b.www.ck"))
+    def rd(h: String) = Seq(h).toDF("h")
+      .select(Psl.registeredDomain(col("h"), r)).as[String].collect().toSeq
+    // !www.ck → suffix "ck", registered domain "www.ck" — even though
+    // the 4-label exact rule also matches and is longer
+    assert(rd("x.a.b.www.ck") == Seq("www.ck"))
+    assert(rd("a.b.www.ck") == Seq("www.ck"))
   }
 
   test("canonicalize + registeredDomain are pure expressions — no UDF in the plan") {
