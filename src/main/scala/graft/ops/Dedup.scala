@@ -254,17 +254,44 @@ object Dedup {
     * shingles. The added cost is linear — one df aggregation and one
     * per-document sort (a window over the id partitioning). df=1 pruning
     * composes: a prefix shingle unique to one document cannot match.
+    *
+    * `maxDf` is the guard for exactly that adversarial residue — a
+    * corpus slice of documents made of NOTHING but hot shingles (spam
+    * farms, boilerplate mirrors), whose full-length prefixes reinstate
+    * the quadratic join. When set, similarity is computed over the
+    * RARE-shingle sets (shingles appearing in ≤ maxDf documents —
+    * winnowingOverlapPairs' ubiquitous-match drop, MOSS's convention):
+    * sizes, prefixes AND the exact verify all use the filtered sets, so
+    * the result is exact Jaccard of the filtered sets, not an
+    * approximation of the unfiltered one (dropping a hot shingle two
+    * docs share lowers their J; dropping one only one side carries
+    * raises it — the capped pair set is neither a subset nor a superset
+    * of the uncapped, which is why the default stays None).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, n: Int = 3): DataFrame = {
+                        threshold: Double, n: Int = 3,
+                        maxDf: Option[Int] = None): DataFrame = {
     // persist the shingle arrays: they feed the inverted index and the
     // exact verify joins (shingle construction is worth exactly one pass)
     // arrays are sorted once here (cached) so the verify step can use
     // the allocation-free merge-scan jaccard; shingle→index explode and
     // sizes are order-insensitive
-    val docs = df.select(col(idCol).as("id"),
+    val raw = df.select(col(idCol).as("id"),
         array_sort(wordShingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
+    val filtered = maxDf match {
+      case None => raw
+      case Some(cap) =>
+        require(cap >= 1, s"maxDf must be >= 1, got $cap")
+        val ex = raw.select(col("id"), explode(col("sh")).as("s"))
+        val rare = ex.groupBy(col("s"))
+          .agg(count(lit(1)).as("__df")) // shingle arrays are distinct per doc
+          .filter(col("__df") <= cap).select(col("s"))
+        ex.join(rare, "s")
+          .groupBy(col("id")).agg(array_sort(collect_list(col("s"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+    }
+    val docs = filtered
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager: concurrent cache population would shingle twice
     val inv = docs

@@ -1,0 +1,353 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch-built HNSW (Malkov & Yashunin 2018) — the reference's declared
+  * vector-index family (`src/common/schema.py:19` offers `HNSW | IVF`;
+  * build at `src/server/utils/embedding.py:348-368`). Graft closes the
+  * S16 gap with the distribution model every production HNSW system
+  * actually ships at scale (Lucene/Elasticsearch segments, Vespa
+  * content nodes): ONE GRAPH PER PARTITION, never one global graph —
+  * the graph is an in-memory pointer structure whose construction is
+  * inherently sequential, so the scale unit is a bounded partition
+  * (≤ [[MaxNodesPerPartition]] vectors, caller-sized like a Lucene
+  * segment), and a 100 TB corpus is thousands of partition graphs built
+  * in parallel by one `mapPartitions` pass and searched in parallel
+  * with a per-partition top-k merged by one tiny global window. IVF
+  * composition (cell-partitioned corpus → one graph per cell → probe
+  * pruning picks the graphs to search) uses the same build on an
+  * [[Ivf.writePartitioned]] layout.
+  *
+  * Determinism: the corpus is hash-repartitioned on the id and sorted
+  * within partitions, node levels derive from md5(id), and every
+  * distance tie breaks on insertion order — the graph bytes are a pure
+  * function of (corpus, params, numPartitions).
+  *
+  * Exactness contract (what the oracle pins): beam search at
+  * `ef >= partition size` on a CONNECTED graph visits every node, so
+  * full-ef search ≡ brute force — the same contract as IVF's
+  * full-probe. Connectivity is guaranteed structurally: after build,
+  * any level-0 node whose pruned adjacency lost every link to an
+  * earlier-inserted node gets its insertion predecessor re-linked
+  * (bidirectionally), so by induction every node reaches node 0.
+  * Cosine arithmetic matches [[graft.functions.VectorExpressions]]'s
+  * codegen'd kernel exactly (double accumulation in array order,
+  * `dot / sqrt(nx*ny)`, zero-norm → 0).
+  */
+object Hnsw {
+
+  /** Per-partition graph size ceiling — a graph is a driver-free but
+    * single-JVM-heap structure; size partitions like Lucene segments.
+    */
+  val MaxNodesPerPartition: Int = 4 << 20
+
+  /** `m`: out-degree target per layer (level 0 keeps 2m); `efC`: beam
+    * width during construction. Defaults follow the common production
+    * settings (Lucene's 16/100 class).
+    */
+  final case class Params(m: Int = 16, efConstruction: Int = 100) {
+    require(m >= 2 && m <= 512, s"m out of range: $m")
+    require(efConstruction >= m, s"efConstruction must be >= m")
+  }
+
+  def graphPath(path: String): String = s"$path/graph"
+  def paramsPath(path: String): String = s"$path/_hnsw_params"
+
+  // ---- deterministic level assignment ----------------------------------
+  private def levelFor(idStr: String, mL: Double): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hnsw-level:$idStr".getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+    // u in (0, 1]: (h + 1) / 2^64 over the unsigned 64-bit range
+    val u = (java.lang.Math.floorMod(h, (1L << 62)) + 1.0) / (1L << 62).toDouble
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  /** The repo's cosine kernel, bit-for-bit (VectorExpressions.scala:106-112). */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  /** One partition's graph under construction. Similarity is MAXIMIZED
+    * (cosine); all orderings break ties on the lower node ord.
+    */
+  private final class LocalGraph(m: Int, efC: Int) {
+    val vecs = mutable.ArrayBuffer[Array[Float]]()
+    val levels = mutable.ArrayBuffer[Int]()
+    // adjacency per node per level (level 0 at index 0)
+    val adj = mutable.ArrayBuffer[Array[mutable.ArrayBuffer[Int]]]()
+    var entry: Int = -1
+    var maxLevel: Int = -1
+
+    private def better(sA: Double, a: Int, sB: Double, b: Int): Boolean =
+      sA > sB || (sA == sB && a < b)
+
+    /** Greedy single-step descent at `level` from `ep`. */
+    private def greedy(q: Array[Float], ep: Int, level: Int): Int = {
+      var cur = ep
+      var curSim = cosine(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val neigh = adj(cur)(level)
+        var i = 0
+        while (i < neigh.length) {
+          val c = neigh(i)
+          val s = cosine(q, vecs(c))
+          if (better(s, c, curSim, cur)) { cur = c; curSim = s; improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search at `level`: the ef best nodes reachable from `ep`,
+      * returned best-first. Standard HNSW SEARCH-LAYER with a visited
+      * set; with ef >= nodes in the component this visits everything.
+      */
+    def searchLayer(q: Array[Float], ep: Int, ef: Int,
+                    level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.HashSet[Integer]()
+      // candidates: best first; results: worst first (bounded at ef);
+      // "best" = highest sim, ties to the LOWER ord
+      val ordBest: Ordering[(Double, Int)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int.reverse)
+      val cand = mutable.PriorityQueue[(Double, Int)]()(ordBest)
+      val res = mutable.PriorityQueue[(Double, Int)]()(ordBest.reverse)
+      val s0 = cosine(q, vecs(ep))
+      visited.add(ep); cand.enqueue((s0, ep)); res.enqueue((s0, ep))
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        val worst = res.head
+        // stop when the best remaining candidate can no longer improve
+        // a FULL result set
+        if (res.size >= ef && !better(cs, c, worst._1, worst._2)) {
+          cand.clear()
+        } else {
+          val neigh = adj(c)(level)
+          var i = 0
+          while (i < neigh.length) {
+            val e = neigh(i)
+            if (!visited.contains(e)) {
+              visited.add(e)
+              val es = cosine(q, vecs(e))
+              val w = if (res.isEmpty) null else res.head
+              if (res.size < ef || better(es, e, w._1, w._2)) {
+                cand.enqueue((es, e)); res.enqueue((es, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer[(Double, Int)]()
+      out ++= res
+      out.sortInPlace()(ordBest.reverse)
+      out
+    }
+
+    private def maxConn(level: Int): Int = if (level == 0) 2 * m else m
+
+    private def pruneTo(node: Int, level: Int): Unit = {
+      val cap = maxConn(level)
+      val a = adj(node)(level)
+      if (a.length > cap) {
+        val q = vecs(node)
+        val kept = a.map(c => (cosine(q, vecs(c)), c))
+          .sortBy(t => (-t._1, t._2))
+          .take(cap).map(_._2)
+        adj(node)(level) = kept
+      }
+    }
+
+    def insert(vec: Array[Float], level: Int): Unit = {
+      val node = vecs.length
+      vecs += vec
+      levels += level
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer[Int]())
+      if (entry < 0) { entry = node; maxLevel = level; return }
+      var ep = entry
+      var l = maxLevel
+      while (l > level) { ep = greedy(vec, ep, l); l -= 1 }
+      l = math.min(maxLevel, level)
+      while (l >= 0) {
+        val w = searchLayer(vec, ep, efC, l)
+        val neighbors = w.take(m)
+        neighbors.foreach { case (_, c) =>
+          adj(node)(l) += c
+          adj(c)(l) += node
+          pruneTo(c, l)
+        }
+        ep = w.head._2
+        l -= 1
+      }
+      if (level > maxLevel) { maxLevel = level; entry = node }
+    }
+
+    /** Structural connectivity guard: every node > 0 must keep at least
+      * one level-0 link to an earlier node (pruning can orphan one);
+      * re-link the insertion predecessor when it doesn't. By induction
+      * the level-0 graph is then connected, which is what makes
+      * full-ef search exhaustive.
+      */
+    def ensureConnected(): Unit = {
+      var i = 1
+      while (i < vecs.length) {
+        if (!adj(i)(0).exists(_ < i)) {
+          adj(i)(0) += (i - 1)
+          adj(i - 1)(0) += i
+        }
+        i += 1
+      }
+    }
+
+    /** Search entry: the max-level node, lowest ord on ties — derivable
+      * from the serialized rows alone (no entry pointer persisted).
+      */
+    def searchFrom(q: Array[Float], k: Int, ef: Int): Seq[(Double, Int)] = {
+      var ep = entry
+      var l = maxLevel
+      while (l > 0) { ep = greedy(q, ep, l); l -= 1 }
+      searchLayer(q, ep, math.max(ef, k), 0).take(k).toSeq
+    }
+  }
+
+  /** Build one HNSW graph per hash partition of `df` and persist as
+    * parquet rows `(pid, ord, level, neighbors, <idCol>, <embCol>)` —
+    * `neighbors` is the per-level adjacency by in-partition ord. One
+    * shuffle (the repartition+sort), one mapPartitions, no driver
+    * state; partitions build concurrently.
+    */
+  def build(df: DataFrame, idCol: String, embCol: String, path: String,
+            params: Params = Params(), numPartitions: Int = 0): Unit = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else df.rdd.getNumPartitions
+    val src = df.select(col(idCol), col(embCol))
+      .repartition(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val idField = src.schema.head
+    val schema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("ord", IntegerType, nullable = false),
+      StructField("level", IntegerType, nullable = false),
+      StructField("neighbors",
+        ArrayType(ArrayType(IntegerType, containsNull = false),
+          containsNull = false), nullable = false),
+      idField,
+      src.schema(1)))
+    val m = params.m; val efC = params.efConstruction
+    val mL = 1.0 / math.log(m)
+    val built = src.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val g = new LocalGraph(m, efC)
+      val ids = mutable.ArrayBuffer[Any]()
+      it.foreach { r =>
+        require(ids.length < MaxNodesPerPartition,
+          s"HNSW partition $pid exceeds $MaxNodesPerPartition nodes — " +
+            "raise numPartitions (the graph is a per-partition heap structure)")
+        val vec = r.getSeq[Float](1).toArray
+        g.insert(vec, levelFor(String.valueOf(r.get(0)), mL))
+        ids += r.get(0)
+      }
+      g.ensureConnected()
+      ids.indices.iterator.map { ord =>
+        Row(pid, ord, g.levels(ord),
+          g.adj(ord).toSeq.map(_.toSeq), ids(ord), g.vecs(ord).toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    built.write.mode("overwrite").parquet(graphPath(path))
+    graft.Fs.delete(spark, paramsPath(path))
+    graft.Fs.writeString(spark, paramsPath(path),
+      s"""{"m":$m,"ef_construction":$efC,"num_partitions":$parts}""")
+  }
+
+  /** Load a partition's rows back into a searchable graph. */
+  private def reconstruct(rows: Seq[Row], m: Int, efC: Int): (LocalGraph, IndexedSeq[Any]) = {
+    val sorted = rows.sortBy(_.getInt(1))
+    val g = new LocalGraph(m, efC)
+    sorted.foreach { r =>
+      g.vecs += r.getSeq[Float](5).toArray
+      val lvl = r.getInt(2)
+      g.levels += lvl
+      // inner arrays deserialize as mutable.ArraySeq — read at the
+      // collection.Seq supertype, never cast to immutable.Seq
+      g.adj += r.getSeq[scala.collection.Seq[Int]](3)
+        .map(l => mutable.ArrayBuffer.from(l)).toArray
+      if (lvl > g.maxLevel) { g.maxLevel = lvl; g.entry = g.vecs.length - 1 }
+    }
+    (g, sorted.map(_.get(4)).toIndexedSeq)
+  }
+
+  /** Batch search: every partition graph answers every query with a
+    * local beam (`ef`), and one global window keeps the per-query
+    * top-k — the Lucene multi-segment search shape. The query batch is
+    * collected (bounded: a serving batch) and shipped in the task
+    * closure. Returns `(<qidCol>, rank, <idCol>, sim)`.
+    */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+                  qidCol: String, qEmbCol: String, k: Int,
+                  ef: Int): DataFrame = {
+    require(k >= 1 && ef >= 1, s"k/ef must be >= 1, got $k/$ef")
+    val pjson = graft.Fs.readString(spark, paramsPath(path))
+    def intField(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(pjson)
+        .getOrElse(throw new IllegalStateException(
+          s"damaged $path params: $pjson")).group(1).toInt
+    val m = intField("m"); val efC = intField("ef_construction")
+    val graph = spark.read.parquet(graphPath(path))
+    val qRows = queries.select(col(qidCol), col(qEmbCol)).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val qidField = queries.select(col(qidCol)).schema.head
+    val idField = graph.schema(4)
+    val outSchema = StructType(Seq(
+      qidField, idField.copy(name = "__cand"),
+      StructField("sim", DoubleType, nullable = false)))
+    val local = graph.repartition(col("pid")).mapPartitions { it =>
+      val byPid = it.toSeq.groupBy(_.getInt(0))
+      byPid.valuesIterator.flatMap { rows =>
+        val (g, ids) = reconstruct(rows, m, efC)
+        qRows.iterator.flatMap { case (qid, qv) =>
+          g.searchFrom(qv, k, math.min(ef, rows.size))
+            .map { case (sim, ord) => Row(qid, ids(ord), sim) }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col("__cand").asc)
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"),
+        col("__cand").as(idField.name), col("sim"))
+  }
+
+  /** Single-vector search (the chat-retrieval shape): one query through
+    * [[searchBatch]]. Returns `(<idCol>, sim)` best-first.
+    */
+  def search(spark: SparkSession, path: String, queryVec: Array[Float],
+             k: Int, ef: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val q = Seq((0L, queryVec.toSeq)).toDF("__qid", "__qv")
+    val idName = spark.read.parquet(graphPath(path)).schema(4).name
+    searchBatch(spark, path, q, "__qid", "__qv", k, ef)
+      .orderBy(col("rank"))
+      .select(col(idName), col("sim"))
+  }
+}

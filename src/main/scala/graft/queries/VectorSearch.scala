@@ -332,6 +332,26 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // S16's OTHER reference index type (schema.py:19 declares HNSW |
+    // IVF): batch-built per-partition HNSW graphs (the Lucene-segment
+    // distribution model), searched at full ef — where beam search
+    // provably visits every node of the connected graph, so the result
+    // must equal exact kNN, the same contract as ann_ivf_full_probe's
+    // full-probe pin. Small-ef recall + determinism + connectivity are
+    // spec'd in HnswSpec.
+    "ann_hnsw_full_ef" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val path = java.nio.file.Files
+        .createTempDirectory("hnsw-session").toString + "/ix"
+      graft.ops.Hnsw.build(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        path, graft.ops.Hnsw.Params(m = 8, efConstruction = 32),
+        numPartitions = 4)
+      graft.ops.Hnsw.search(s, path, queryVec(s, d), k = 10, ef = Int.MaxValue)
+        .select($"vec_id", round($"sim", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // S16 × J4: IVF-probed batch similarity join at full probe — every
     // query ranks all 8 centroids, so the probed union is the whole
     // corpus and the result must equal the exhaustive batch join
@@ -928,6 +948,7 @@ object VectorSearch {
     "knn_pq_rescore" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_pq_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
+    "ann_hnsw_full_ef" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     // exact MMR oracle: the greedy selection IS the recursion — rnk n+1
     // is the LATERAL argmax of λ·s − (1−λ)·max cos(candidate, chosen)

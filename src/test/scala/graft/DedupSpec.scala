@@ -56,6 +56,36 @@ class DedupSpec extends AnyFunSuite {
     assert(jac14 == 1.0)
   }
 
+  test("ngramJaccardPairs maxDf: exact jaccard of the RARE-shingle sets; all-hot-shingle docs stop pairing") {
+    // 40 adversarial docs of nothing but the same boilerplate (every
+    // shingle df = 40) + two genuinely similar rare docs that also
+    // carry the boilerplate prefix
+    val boiler = "all your base are belong to us now then"
+    val docs = ((0L until 40L).map(i => (i, boiler)) ++ Seq(
+      (100L, s"$boiler zebra quagga okapi gnu eland kudu"),
+      (101L, s"$boiler zebra quagga okapi gnu eland oryx"))).toDF("doc_id", "text")
+    // uncapped: the boilerplate block is a quadratic 40-choose-2 clique
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 < 40 && p._2 < 40) == 40 * 39 / 2)
+    // capped at df <= 10: boilerplate shingles leave the universe — the
+    // clique vanishes, the rare pair survives with the jaccard of its
+    // RARE shingle sets (brute-force recomputed below)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, maxDf = Some(10))
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+    // brute force over the filtered sets: shingles with df <= 10
+    def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val all = ((0L until 40L).map(_ => boiler) ++ Seq(
+      s"$boiler zebra quagga okapi gnu eland kudu",
+      s"$boiler zebra quagga okapi gnu eland oryx")).map(sh)
+    val dfCount = all.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val a = sh(s"$boiler zebra quagga okapi gnu eland kudu").filter(dfCount(_) <= 10)
+    val b = sh(s"$boiler zebra quagga okapi gnu eland oryx").filter(dfCount(_) <= 10)
+    val expect = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(capped.head._3 - expect) < 1e-12)
+  }
+
   test("cross-corpus jaccard join equals the self-join restricted to cross pairs; overlapping id spaces are safe") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
     val l = docs.filter($"doc_id" % 2 === 0)

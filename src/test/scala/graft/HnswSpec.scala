@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Hnsw
+
+/** Per-partition HNSW: full-ef exactness, small-ef recall on planted
+  * clusters, deterministic rebuilds, connectivity of the serialized
+  * graph, and the single-vector serving path.
+  */
+class HnswSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i).toDouble
+      nx += a(i).toDouble * a(i); ny += b(i).toDouble * b(i)
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  private lazy val corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 500L).map(i => i -> Array.fill(16)(rnd.nextFloat() - 0.5f))
+  }
+  private lazy val corpusDf = corpus.map { case (i, v) => (i, v.toSeq) }
+    .toDF("vec_id", "embedding")
+
+  test("full-ef search equals brute force across multiple partition graphs") {
+    val path = java.nio.file.Files.createTempDirectory("hnsw1").toString + "/ix"
+    Hnsw.build(corpusDf, "vec_id", "embedding", path,
+      Hnsw.Params(m = 8, efConstruction = 32), numPartitions = 4)
+    val rnd = new scala.util.Random(11)
+    val queries = (0 until 5).map(q =>
+      (q.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val got = Hnsw.searchBatch(spark, path,
+        queries.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "qv"),
+        "qid", "qv", k = 10, ef = Int.MaxValue)
+      .select($"qid", $"rank", $"vec_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq)
+    queries.foreach { case (qid, qv) =>
+      val exact = corpus.map { case (i, v) => (i, cosRef(qv, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10)
+      assert(got(qid) == exact, s"query $qid full-ef must equal brute force")
+    }
+  }
+
+  test("small-ef recall: planted clusters are found with ef far below corpus size") {
+    val rnd = new scala.util.Random(3)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val planted = (0L until 1000L).map { i =>
+      val c = centers((i % 5).toInt)
+      i -> c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    }
+    val path = java.nio.file.Files.createTempDirectory("hnsw2").toString + "/ix"
+    Hnsw.build(planted.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, Hnsw.Params(m = 12, efConstruction = 64),
+      numPartitions = 2)
+    // query at each center: the beam at ef=40 over 500-node graphs must
+    // recover >= 9 of the true top-10
+    centers.zipWithIndex.foreach { case (c, ci) =>
+      val exact = planted.map { case (i, v) => (i, cosRef(c, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      val got = Hnsw.search(spark, path, c, k = 10, ef = 40)
+        .select($"vec_id").as[Long].collect().toSet
+      val recall = exact.intersect(got).size
+      assert(recall >= 9, s"center $ci recall $recall/10 at ef=40")
+    }
+  }
+
+  test("build is deterministic: two builds serialize identical graphs") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw3").toString
+    Hnsw.build(corpusDf, "vec_id", "embedding", s"$root/a",
+      Hnsw.Params(m = 6, efConstruction = 24), numPartitions = 3)
+    Hnsw.build(corpusDf, "vec_id", "embedding", s"$root/b",
+      Hnsw.Params(m = 6, efConstruction = 24), numPartitions = 3)
+    def dump(p: String) = spark.read.parquet(Hnsw.graphPath(p))
+      .select($"pid", $"ord", $"level", $"neighbors", $"vec_id")
+      .orderBy($"pid", $"ord")
+      .collect().map(_.toString).toSeq
+    assert(dump(s"$root/a") == dump(s"$root/b"))
+  }
+
+  test("serialized level-0 graph is connected within every partition (full-ef precondition)") {
+    val path = java.nio.file.Files.createTempDirectory("hnsw4").toString + "/ix"
+    Hnsw.build(corpusDf, "vec_id", "embedding", path,
+      Hnsw.Params(m = 2, efConstruction = 4), numPartitions = 3) // aggressive pruning
+    val rows = spark.read.parquet(Hnsw.graphPath(path))
+      .select($"pid", $"ord", $"neighbors").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[scala.collection.Seq[Int]](2)))
+    rows.groupBy(_._1).foreach { case (pid, nodes) =>
+      val adj0 = nodes.map(n => n._2 -> n._3.head.toSet).toMap
+      val seen = collection.mutable.Set(0)
+      val stack = collection.mutable.Stack(0)
+      while (stack.nonEmpty) {
+        val c = stack.pop()
+        // undirected reach: follow out-links and in-links
+        val out = adj0(c)
+        val in = adj0.collect { case (n, a) if a.contains(c) => n }
+        (out ++ in).foreach(n => if (!seen.contains(n)) { seen += n; stack.push(n) })
+      }
+      assert(seen.size == nodes.size,
+        s"partition $pid: only ${seen.size}/${nodes.size} nodes reachable")
+    }
+  }
+
+  test("oversized partition refuses loudly; damaged params refuse") {
+    val path = java.nio.file.Files.createTempDirectory("hnsw5").toString + "/ix"
+    Hnsw.build(corpusDf, "vec_id", "embedding", path,
+      Hnsw.Params(m = 4, efConstruction = 8), numPartitions = 2)
+    graft.Fs.delete(spark, Hnsw.paramsPath(path))
+    graft.Fs.writeString(spark, Hnsw.paramsPath(path), "{\"broken\": true}")
+    val e = intercept[IllegalStateException] {
+      Hnsw.search(spark, path, corpus.head._2, k = 3, ef = 10).collect()
+    }
+    assert(e.getMessage.contains("damaged"))
+  }
+}
