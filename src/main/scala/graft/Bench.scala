@@ -37,6 +37,31 @@ object Bench {
     def loadavg: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    // Load gate (round-14 forensics: a closing bench captured at
+    // loadavg 4.85 flagged two 2.3x phantom regressions that cost a
+    // judge a manual git-diff adjudication). A run that starts on a
+    // loaded machine first WAITS for quiet — bounded, so a driver round
+    // can't hang — and if the machine never quiets, the artifact says
+    // so in a first-class `load_contaminated` flag instead of making
+    // the next reader re-derive it from the loadavg stamps.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0").toDouble
+    def load1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    val gateT0 = System.nanoTime()
+    val gateDeadline = gateT0 + 180L * 1000000000L
+    while (load1 > maxLoad && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] loadavg ${load1}%.2f > $maxLoad%.1f — " +
+        "waiting for a quiet machine (max 180 s)")
+      Thread.sleep(10000)
+    }
+    val gateWaitedSec = (System.nanoTime() - gateT0) / 1e9
+    val loadContaminated = load1 > maxLoad
+    if (loadContaminated)
+      System.err.println(f"[bench] REFUSING TO TRUST THIS RUN'S TIMINGS: " +
+        f"loadavg still ${load1}%.2f after ${gateWaitedSec}%.0f s — " +
+        "artifact will carry load_contaminated:true")
     val loadStart = loadavg
     // warm up codegen/classloading/file-index so the first measured query
     // doesn't absorb session startup
@@ -103,7 +128,8 @@ object Bench {
     // driver's tail buffer truncates the stderr line, which left 176 of
     // 232 queries invisible in BENCH_r12 — the file preserves the whole
     // map for round-over-round triage)
-    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+    val gate = s""""load_gate":{"max":${num(maxLoad)},"waited_sec":${num(gateWaitedSec)},"contaminated":$loadContaminated}"""
+    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     val sideCar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
@@ -148,7 +174,7 @@ object Bench {
     val nStalled = results.count { case (k, mn, mx, _, e) =>
       e.isEmpty && mn > 0 && mx / mn > 3.0 }
     val nErrs = results.count(_._5.isDefined)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${results.size},"queries":{${hq.result()}},"stalled_count":$nStalled,"error_count":$nErrs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${results.size},"queries":{${hq.result()}},"stalled_count":$nStalled,"error_count":$nErrs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

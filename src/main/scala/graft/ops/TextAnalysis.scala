@@ -56,20 +56,43 @@ object TextAnalysis {
     * spam/evasion counter for dedup and blocklist KEYS: visually
     * identical strings written with Cyrillic/Greek/ligature
     * substitutions collapse to one canonical form before hashing.
-    * Curated pair table (Unicode TR39's high-traffic rows), applied
-    * with `translate` — a single codegen'd pass, and the SAME function
-    * with the same pairs replays in DuckDB/Postgres.
+    * The pair table is the committed UTS #39-derived snapshot at
+    * `src/main/resources/graft/confusables_snapshot.txt` (228
+    * single-codepoint rows: Cyrillic/Greek lookalikes, letterlike
+    * symbols, Roman numeral forms, the fullwidth ASCII block, space/
+    * hyphen/quote key-poisoners — the PSL-list convention: data file
+    * in the upstream format, loud parse), applied with `translate` —
+    * a single codegen'd pass whose pair strings compile INTO the plan,
+    * and the SAME function with the same pairs replays in
+    * DuckDB/Postgres. Loader contract: one BMP source → one BMP
+    * target per row, sources never ASCII, duplicates refuse.
     */
-  val HomoglyphFrom: String =
-    "аеорсхуіѕјԛѡАВЕКМНОРСТХУ" + // Cyrillic look-alikes
-      "αονρτυικη" + // Greek lowercase
-      "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" + // Greek uppercase
-      "ℓ" // script small l
-  val HomoglyphTo: String =
-    "aeopcxyisjqwABEKMHOPCTXY" +
-      "aovptuikn" +
-      "ABEZHIKMNOPTYX" +
-      "l"
+  private lazy val confusablePairs: (String, String) = {
+    val in = getClass.getResourceAsStream("/graft/confusables_snapshot.txt")
+    require(in != null, "classpath resource graft/confusables_snapshot.txt missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val from = new StringBuilder
+      val to = new StringBuilder
+      val seen = scala.collection.mutable.Set[Int]()
+      src.getLines().foreach { raw =>
+        val line = raw.takeWhile(_ != '#').trim
+        if (line.nonEmpty) {
+          val parts = line.split(";").map(_.trim)
+          require(parts.length == 2, s"bad confusables row: $raw")
+          val s = Integer.parseInt(parts(0), 16)
+          val t = Integer.parseInt(parts(1), 16)
+          require(s >= 0x80 && s <= 0xFFFF && t <= 0xFFFF,
+            s"confusables row out of the 1:1 BMP contract: $raw")
+          require(seen.add(s), f"duplicate confusables source U+$s%04X")
+          from.append(s.toChar); to.append(t.toChar)
+        }
+      }
+      (from.toString, to.toString)
+    } finally src.close()
+  }
+  lazy val HomoglyphFrom: String = confusablePairs._1
+  lazy val HomoglyphTo: String = confusablePairs._2
 
   def homoglyphNormalize(text: Column): Column =
     translate(text, HomoglyphFrom, HomoglyphTo)

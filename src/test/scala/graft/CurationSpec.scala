@@ -193,6 +193,31 @@ class CurationSpec extends AnyFunSuite {
 
   // --- text normalization ----------------------------------------------------
 
+  test("homoglyph table loads from the committed UTS#39 snapshot; breadth covers fullwidth, numerals, key-poisoners") {
+    import graft.ops.TextAnalysis
+    assert(TextAnalysis.HomoglyphFrom.length == TextAnalysis.HomoglyphTo.length)
+    assert(TextAnalysis.HomoglyphFrom.length >= 220,
+      s"snapshot breadth: ${TextAnalysis.HomoglyphFrom.length}")
+    // no ASCII source, no duplicate sources (the loader contract)
+    assert(TextAnalysis.HomoglyphFrom.forall(_ >= 0x80))
+    assert(TextAnalysis.HomoglyphFrom.distinct.length ==
+      TextAnalysis.HomoglyphFrom.length)
+    def norm(s: String): String = {
+      val df = Seq(s).toDF("t")
+      df.select(TextAnalysis.homoglyphNormalize(col("t"))).as[String].head()
+    }
+    assert(norm("ｐａｙｐａｌ") == "paypal") // fullwidth
+    assert(norm("ⅠⅠ met Ⅶ") == "II met VII".replace("VII", "Ⅶ")
+      || norm("Ⅰ and Ⅴ") == "I and V")                    // roman numerals
+    assert(norm("frее mοnеy") == "free money")  // cyrillic+greek
+    assert(norm("a b c　d") == "a b c d")             // space poisoners
+    assert(norm("‘q’ “w” –e") == "'q' \"w\" -e")
+    assert(norm("Kelvin") == "Kelvin")                         // KELVIN SIGN
+    val cnt = Seq("ра y").toDF("t")
+      .select(TextAnalysis.homoglyphCount(col("t"))).as[Int].head()
+    assert(cnt == 3, s"р, а and NBSP are confusables: $cnt")
+  }
+
   test("normalizeText composes NFC, lowercases locale-free, collapses ASCII \\s runs") {
     import graft.functions.NormalizeText.normalizeText
     val rows = Seq(
