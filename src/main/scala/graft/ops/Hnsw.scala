@@ -238,6 +238,46 @@ object Hnsw {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else df.rdd.getNumPartitions
+    buildGraphs(df, idCol, embCol, params.m, params.efConstruction,
+      parts, pidOffset = 0)
+      .write.mode("overwrite").parquet(graphPath(path))
+    graft.Fs.delete(spark, paramsPath(path))
+    graft.Fs.writeString(spark, paramsPath(path),
+      s"""{"m":${params.m},"ef_construction":${params.efConstruction},"num_partitions":$parts}""")
+  }
+
+  /** Append a batch as NEW partition graphs — the Lucene flush model:
+    * a graph is immutable once built (inserting into a serialized
+    * graph would rewrite neighbor lists across the whole partition),
+    * so continuous ingest lands each batch as its own segment graphs
+    * at fresh pids and search fans out over all of them. The trade is
+    * the classic one: many tiny segments degrade search cost linearly
+    * in segment COUNT, so batch appends to sensible sizes (or rebuild
+    * — the compaction analog — when segments proliferate). Existing
+    * graphs are untouched; duplicate-id hygiene is the caller's (the
+    * store's anti-join seam), exactly as with [[Ivf.appendAssigned]].
+    */
+  def append(df: DataFrame, idCol: String, embCol: String, path: String,
+             numPartitions: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val pjson = graft.Fs.readString(spark, paramsPath(path))
+    def intField(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(pjson)
+        .getOrElse(throw new IllegalStateException(
+          s"damaged $path params: $pjson")).group(1).toInt
+    val m = intField("m"); val efC = intField("ef_construction")
+    val base = spark.read.parquet(graphPath(path))
+      .agg(max(col("pid"))).head().getInt(0) + 1
+    buildGraphs(df, idCol, embCol, m, efC, numPartitions, pidOffset = base)
+      .write.mode("append").parquet(graphPath(path))
+    graft.Fs.delete(spark, paramsPath(path))
+    graft.Fs.writeString(spark, paramsPath(path),
+      s"""{"m":$m,"ef_construction":$efC,"num_partitions":${base + numPartitions}}""")
+  }
+
+  private def buildGraphs(df: DataFrame, idCol: String, embCol: String,
+                          m: Int, efC: Int, parts: Int,
+                          pidOffset: Int): DataFrame = {
     val src = df.select(col(idCol), col(embCol))
       .repartition(parts, col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -251,10 +291,9 @@ object Hnsw {
           containsNull = false), nullable = false),
       idField,
       src.schema(1)))
-    val m = params.m; val efC = params.efConstruction
     val mL = 1.0 / math.log(m)
-    val built = src.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    src.mapPartitions { it =>
+      val pid = pidOffset + org.apache.spark.TaskContext.getPartitionId()
       val g = new LocalGraph(m, efC)
       val ids = mutable.ArrayBuffer[Any]()
       it.foreach { r =>
@@ -271,10 +310,6 @@ object Hnsw {
           g.adj(ord).toSeq.map(_.toSeq), ids(ord), g.vecs(ord).toSeq)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
-    built.write.mode("overwrite").parquet(graphPath(path))
-    graft.Fs.delete(spark, paramsPath(path))
-    graft.Fs.writeString(spark, paramsPath(path),
-      s"""{"m":$m,"ef_construction":$efC,"num_partitions":$parts}""")
   }
 
   /** Load a partition's rows back into a searchable graph. */

@@ -42,7 +42,16 @@ object ExplainAudit {
       "psl_registered_domain", "html_tables_extract", "html_jsonld_extract",
       "code_license_detect", "latex_strip", "srt_cues_extract",
       "vtt_cues_extract", "notebook_cells_extract", "warc_revisit_dedup",
-      "frontier_bloom_seen", "image_container_probe")
+      "frontier_bloom_seen", "image_container_probe",
+      // round-15 surfaces: decimal aggregation, layout family (the
+      // bucketed join's plan facts are IN its output; here we audit the
+      // outer agg), salted ops, batched embed (mapPartitions seam),
+      // HNSW full-ef (per-partition beam + global top-k window), CDC
+      // replay's store read-back, non-vacuous dedup savings
+      "decimal_pricing_summary", "layout_zorder_roundtrip",
+      "layout_bucketed_join", "layout_salted_agg", "layout_salted_join",
+      "ingest_batched_embed", "ann_hnsw_full_ef", "dedup_savings_report",
+      "preference_pairs")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)

@@ -109,6 +109,27 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("append lands new segment graphs; full-ef over old+new equals brute force over the union") {
+    val path = java.nio.file.Files.createTempDirectory("hnsw6").toString + "/ix"
+    val (first, second) = corpus.splitAt(300)
+    Hnsw.build(first.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, Hnsw.Params(m = 8, efConstruction = 32),
+      numPartitions = 2)
+    Hnsw.append(second.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, numPartitions = 2)
+    // old graphs untouched (segment immutability), new pids disjoint
+    val pids = spark.read.parquet(Hnsw.graphPath(path))
+      .select($"pid").distinct().as[Int].collect().sorted.toSeq
+    assert(pids == Seq(0, 1, 2, 3))
+    val rnd = new scala.util.Random(13)
+    val qv = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val got = Hnsw.search(spark, path, qv, k = 10, ef = Int.MaxValue)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+    val exact = corpus.map { case (i, v) => (i, cosRef(qv, v)) }
+      .sortBy { case (i, s) => (-s, i) }.take(10)
+    assert(got == exact, "full-ef over old+new segments must equal brute force")
+  }
+
   test("oversized partition refuses loudly; damaged params refuse") {
     val path = java.nio.file.Files.createTempDirectory("hnsw5").toString + "/ix"
     Hnsw.build(corpusDf, "vec_id", "embedding", path,
