@@ -47,12 +47,45 @@ object Hnsw {
 
   /** `m`: out-degree target per layer (level 0 keeps 2m); `efC`: beam
     * width during construction. Defaults follow the common production
-    * settings (Lucene's 16/100 class).
+    * settings (Lucene's 16/100 class). `metric` is the reference's
+    * distance enum (`COSINE`/`DOT_PRODUCT`/`EUCLIDEAN_DISTANCE` —
+    * schema.py's store config): graph construction and search both
+    * maximize the metric's SCORE (cosine similarity, dot product, or
+    * negated euclidean distance), so the emitted `sim` column is
+    * always higher-is-better.
     */
-  final case class Params(m: Int = 16, efConstruction: Int = 100) {
+  final case class Params(m: Int = 16, efConstruction: Int = 100,
+                          metric: String = "COSINE") {
     require(m >= 2 && m <= 512, s"m out of range: $m")
     require(efConstruction >= m, s"efConstruction must be >= m")
+    require(Set("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE")(metric),
+      s"unknown metric: $metric")
   }
+
+  /** Maximizing score kernel per metric, double accumulation in array
+    * order — the same arithmetic as the codegen'd
+    * [[graft.functions.VectorExpressions]] kernels, so full-ef results
+    * agree with the knn family bit for bit.
+    */
+  private def scoreFn(metric: String): (Array[Float], Array[Float]) => Double =
+    metric match {
+      case "COSINE" => cosine
+      case "DOT_PRODUCT" => (a, b) => {
+        val n = math.min(a.length, b.length)
+        var d = 0.0; var i = 0
+        while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+        d
+      }
+      case "EUCLIDEAN_DISTANCE" => (a, b) => {
+        val n = math.min(a.length, b.length)
+        var s = 0.0; var i = 0
+        while (i < n) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+        }
+        -math.sqrt(s)
+      }
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
 
   def graphPath(path: String): String = s"$path/graph"
   def paramsPath(path: String): String = s"$path/_hnsw_params"
@@ -85,7 +118,8 @@ object Hnsw {
   /** One partition's graph under construction. Similarity is MAXIMIZED
     * (cosine); all orderings break ties on the lower node ord.
     */
-  private final class LocalGraph(m: Int, efC: Int) {
+  private final class LocalGraph(m: Int, efC: Int,
+                                 score: (Array[Float], Array[Float]) => Double) {
     val vecs = mutable.ArrayBuffer[Array[Float]]()
     val levels = mutable.ArrayBuffer[Int]()
     // adjacency per node per level (level 0 at index 0)
@@ -99,7 +133,7 @@ object Hnsw {
     /** Greedy single-step descent at `level` from `ep`. */
     private def greedy(q: Array[Float], ep: Int, level: Int): Int = {
       var cur = ep
-      var curSim = cosine(q, vecs(cur))
+      var curSim = score(q, vecs(cur))
       var improved = true
       while (improved) {
         improved = false
@@ -107,7 +141,7 @@ object Hnsw {
         var i = 0
         while (i < neigh.length) {
           val c = neigh(i)
-          val s = cosine(q, vecs(c))
+          val s = score(q, vecs(c))
           if (better(s, c, curSim, cur)) { cur = c; curSim = s; improved = true }
           i += 1
         }
@@ -128,7 +162,7 @@ object Hnsw {
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int.reverse)
       val cand = mutable.PriorityQueue[(Double, Int)]()(ordBest)
       val res = mutable.PriorityQueue[(Double, Int)]()(ordBest.reverse)
-      val s0 = cosine(q, vecs(ep))
+      val s0 = score(q, vecs(ep))
       visited.add(ep); cand.enqueue((s0, ep)); res.enqueue((s0, ep))
       while (cand.nonEmpty) {
         val (cs, c) = cand.dequeue()
@@ -144,7 +178,7 @@ object Hnsw {
             val e = neigh(i)
             if (!visited.contains(e)) {
               visited.add(e)
-              val es = cosine(q, vecs(e))
+              val es = score(q, vecs(e))
               val w = if (res.isEmpty) null else res.head
               if (res.size < ef || better(es, e, w._1, w._2)) {
                 cand.enqueue((es, e)); res.enqueue((es, e))
@@ -168,7 +202,7 @@ object Hnsw {
       val a = adj(node)(level)
       if (a.length > cap) {
         val q = vecs(node)
-        val kept = a.map(c => (cosine(q, vecs(c)), c))
+        val kept = a.map(c => (score(q, vecs(c)), c))
           .sortBy(t => (-t._1, t._2))
           .take(cap).map(_._2)
         adj(node)(level) = kept
@@ -239,11 +273,11 @@ object Hnsw {
     val parts = if (numPartitions > 0) numPartitions
       else df.rdd.getNumPartitions
     buildGraphs(df, idCol, embCol, params.m, params.efConstruction,
-      parts, pidOffset = 0)
+      params.metric, parts, pidOffset = 0)
       .write.mode("overwrite").parquet(graphPath(path))
     graft.Fs.delete(spark, paramsPath(path))
     graft.Fs.writeString(spark, paramsPath(path),
-      s"""{"m":${params.m},"ef_construction":${params.efConstruction},"num_partitions":$parts}""")
+      s"""{"m":${params.m},"ef_construction":${params.efConstruction},"metric":"${params.metric}","num_partitions":$parts}""")
   }
 
   /** Append a batch as NEW partition graphs — the Lucene flush model:
@@ -260,23 +294,33 @@ object Hnsw {
   def append(df: DataFrame, idCol: String, embCol: String, path: String,
              numPartitions: Int = 1): Unit = {
     val spark = df.sparkSession
-    val pjson = graft.Fs.readString(spark, paramsPath(path))
-    def intField(name: String): Int =
-      s""""$name":(\\d+)""".r.findFirstMatchIn(pjson)
-        .getOrElse(throw new IllegalStateException(
-          s"damaged $path params: $pjson")).group(1).toInt
-    val m = intField("m"); val efC = intField("ef_construction")
+    val (m, efC, metric) = readParams(spark, path)
     val base = spark.read.parquet(graphPath(path))
       .agg(max(col("pid"))).head().getInt(0) + 1
-    buildGraphs(df, idCol, embCol, m, efC, numPartitions, pidOffset = base)
+    buildGraphs(df, idCol, embCol, m, efC, metric, numPartitions,
+      pidOffset = base)
       .write.mode("append").parquet(graphPath(path))
     graft.Fs.delete(spark, paramsPath(path))
     graft.Fs.writeString(spark, paramsPath(path),
-      s"""{"m":$m,"ef_construction":$efC,"num_partitions":${base + numPartitions}}""")
+      s"""{"m":$m,"ef_construction":$efC,"metric":"$metric","num_partitions":${base + numPartitions}}""")
+  }
+
+  /** Shared loud params reader: (m, efConstruction, metric). */
+  private def readParams(spark: SparkSession, path: String): (Int, Int, String) = {
+    val pjson = graft.Fs.readString(spark, paramsPath(path))
+    def field(name: String, re: String): String =
+      (s""""$name":""" + re).r.findFirstMatchIn(pjson)
+        .getOrElse(throw new IllegalStateException(
+          s"damaged $path params: $pjson")).group(1)
+    val metric =
+      if (pjson.contains("\"metric\"")) field("metric", "\"([A-Z_]+)\"")
+      else "COSINE" // pre-metric graphs were cosine-built
+    (field("m", "(\\d+)").toInt, field("ef_construction", "(\\d+)").toInt,
+      metric)
   }
 
   private def buildGraphs(df: DataFrame, idCol: String, embCol: String,
-                          m: Int, efC: Int, parts: Int,
+                          m: Int, efC: Int, metric: String, parts: Int,
                           pidOffset: Int): DataFrame = {
     val src = df.select(col(idCol), col(embCol))
       .repartition(parts, col(idCol))
@@ -294,7 +338,7 @@ object Hnsw {
     val mL = 1.0 / math.log(m)
     src.mapPartitions { it =>
       val pid = pidOffset + org.apache.spark.TaskContext.getPartitionId()
-      val g = new LocalGraph(m, efC)
+      val g = new LocalGraph(m, efC, scoreFn(metric))
       val ids = mutable.ArrayBuffer[Any]()
       it.foreach { r =>
         require(ids.length < MaxNodesPerPartition,
@@ -313,9 +357,10 @@ object Hnsw {
   }
 
   /** Load a partition's rows back into a searchable graph. */
-  private def reconstruct(rows: Seq[Row], m: Int, efC: Int): (LocalGraph, IndexedSeq[Any]) = {
+  private def reconstruct(rows: Seq[Row], m: Int, efC: Int,
+                          metric: String): (LocalGraph, IndexedSeq[Any]) = {
     val sorted = rows.sortBy(_.getInt(1))
-    val g = new LocalGraph(m, efC)
+    val g = new LocalGraph(m, efC, scoreFn(metric))
     sorted.foreach { r =>
       g.vecs += r.getSeq[Float](5).toArray
       val lvl = r.getInt(2)
@@ -339,12 +384,7 @@ object Hnsw {
                   qidCol: String, qEmbCol: String, k: Int,
                   ef: Int): DataFrame = {
     require(k >= 1 && ef >= 1, s"k/ef must be >= 1, got $k/$ef")
-    val pjson = graft.Fs.readString(spark, paramsPath(path))
-    def intField(name: String): Int =
-      s""""$name":(\\d+)""".r.findFirstMatchIn(pjson)
-        .getOrElse(throw new IllegalStateException(
-          s"damaged $path params: $pjson")).group(1).toInt
-    val m = intField("m"); val efC = intField("ef_construction")
+    val (m, efC, metric) = readParams(spark, path)
     val graph = spark.read.parquet(graphPath(path))
     val qRows = queries.select(col(qidCol), col(qEmbCol)).collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
@@ -356,7 +396,7 @@ object Hnsw {
     val local = graph.repartition(col("pid")).mapPartitions { it =>
       val byPid = it.toSeq.groupBy(_.getInt(0))
       byPid.valuesIterator.flatMap { rows =>
-        val (g, ids) = reconstruct(rows, m, efC)
+        val (g, ids) = reconstruct(rows, m, efC, metric)
         qRows.iterator.flatMap { case (qid, qv) =>
           g.searchFrom(qv, k, math.min(ef, rows.size))
             .map { case (sim, ord) => Row(qid, ids(ord), sim) }

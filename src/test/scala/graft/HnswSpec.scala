@@ -72,6 +72,29 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("dot-product and euclidean metrics: full-ef equals brute force under each score") {
+    def dotRef(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    def eucRef(a: Array[Float], b: Array[Float]): Double =
+      -math.sqrt(a.indices.map(i =>
+        (a(i).toDouble - b(i).toDouble) * (a(i).toDouble - b(i).toDouble)).sum)
+    val rnd = new scala.util.Random(17)
+    val qv = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    for ((metric, ref) <- Seq(
+        "DOT_PRODUCT" -> dotRef _, "EUCLIDEAN_DISTANCE" -> eucRef _)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"hnsw-$metric").toString + "/ix"
+      Hnsw.build(corpusDf, "vec_id", "embedding", path,
+        Hnsw.Params(m = 8, efConstruction = 32, metric = metric),
+        numPartitions = 3)
+      val got = Hnsw.search(spark, path, qv, k = 10, ef = Int.MaxValue)
+        .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+      val exact = corpus.map { case (i, v) => (i, ref(qv, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10)
+      assert(got == exact, s"$metric full-ef must equal brute force")
+    }
+  }
+
   test("build is deterministic: two builds serialize identical graphs") {
     val root = java.nio.file.Files.createTempDirectory("hnsw3").toString
     Hnsw.build(corpusDf, "vec_id", "embedding", s"$root/a",
