@@ -356,6 +356,72 @@ object Hnsw {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** IVF×HNSW composition: one graph PER IVF CELL (pid = cluster_id
+    * from the model's assignment), so probed search
+    * ([[searchBatchProbed]]) prunes whole graphs the way IVF probe
+    * filters prune partitions — the coarse quantizer picks the
+    * segments, the graph replaces the in-cell exhaustive scan. Build
+    * is one shuffle on cluster_id + one streaming pass (cells are
+    * contiguous after the sort, so memory holds ONE cell's graph at a
+    * time, whatever the cell count per task).
+    */
+  def buildIvf(df: DataFrame, idCol: String, embCol: String,
+               model: Ivf.IvfModel, path: String,
+               params: Params = Params()): Unit = {
+    val spark = df.sparkSession
+    val assigned = Ivf.assign(df, embCol, model)
+    val src = assigned.select(col("cluster_id").cast("int").as("pid"),
+        col(idCol), col(embCol))
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col(idCol))
+    val idField = src.schema(1)
+    val schema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("ord", IntegerType, nullable = false),
+      StructField("level", IntegerType, nullable = false),
+      StructField("neighbors",
+        ArrayType(ArrayType(IntegerType, containsNull = false),
+          containsNull = false), nullable = false),
+      idField,
+      src.schema(2)))
+    val m = params.m; val efC = params.efConstruction
+    val metric = params.metric
+    val mL = 1.0 / math.log(m)
+    val built = src.mapPartitions { it0 =>
+      val it = it0.buffered
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = out.hasNext || it.hasNext
+        def next(): Row = {
+          if (!out.hasNext) {
+            val pid = it.head.getInt(0)
+            val g = new LocalGraph(m, efC, scoreFn(metric))
+            val ids = mutable.ArrayBuffer[Any]()
+            while (it.hasNext && it.head.getInt(0) == pid) {
+              val r = it.next()
+              require(ids.length < MaxNodesPerPartition,
+                s"HNSW cell $pid exceeds $MaxNodesPerPartition nodes — refit " +
+                  "the IVF model with more cells")
+              g.insert(r.getSeq[Float](2).toArray,
+                levelFor(String.valueOf(r.get(1)), mL))
+              ids += r.get(1)
+            }
+            g.ensureConnected()
+            out = ids.indices.iterator.map { ord =>
+              Row(pid, ord, g.levels(ord),
+                g.adj(ord).toSeq.map(_.toSeq), ids(ord), g.vecs(ord).toSeq)
+            }
+          }
+          out.next()
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    built.write.mode("overwrite").parquet(graphPath(path))
+    graft.Fs.delete(spark, paramsPath(path))
+    graft.Fs.writeString(spark, paramsPath(path),
+      s"""{"m":$m,"ef_construction":$efC,"metric":"$metric","num_partitions":${model.k}}""")
+  }
+
   /** Load a partition's rows back into a searchable graph. */
   private def reconstruct(rows: Seq[Row], m: Int, efC: Int,
                           metric: String): (LocalGraph, IndexedSeq[Any]) = {
@@ -382,12 +448,39 @@ object Hnsw {
     */
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
                   qidCol: String, qEmbCol: String, k: Int,
-                  ef: Int): DataFrame = {
+                  ef: Int): DataFrame =
+    searchImpl(spark, path, queries, qidCol, qEmbCol, k, ef,
+      probesFor = _ => Set.empty)
+
+  /** IVF×HNSW probed batch search over a [[buildIvf]] index: each
+    * query computes its `nProbe` nearest cells from the SAME IvfModel
+    * the index was built with, and only those cells' graphs run its
+    * beam — the two-level 100 TB shape (coarse quantizer prunes
+    * segments, graph search replaces the in-cell scan). At
+    * `nProbe = model.k` every cell is probed and the result equals
+    * [[searchBatch]] (and, at full ef, exact kNN).
+    */
+  def searchBatchProbed(spark: SparkSession, path: String,
+                        queries: DataFrame, qidCol: String, qEmbCol: String,
+                        k: Int, ef: Int, model: Ivf.IvfModel,
+                        nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    searchImpl(spark, path, queries, qidCol, qEmbCol, k, ef,
+      probesFor = qv => model.probeOrder(qv).take(nProbe).toSet)
+  }
+
+  private def searchImpl(spark: SparkSession, path: String,
+                         queries: DataFrame, qidCol: String, qEmbCol: String,
+                         k: Int, ef: Int,
+                         probesFor: Array[Float] => Set[Int]): DataFrame = {
     require(k >= 1 && ef >= 1, s"k/ef must be >= 1, got $k/$ef")
     val (m, efC, metric) = readParams(spark, path)
     val graph = spark.read.parquet(graphPath(path))
     val qRows = queries.select(col(qidCol), col(qEmbCol)).collect()
-      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+      .map { r =>
+        val qv = r.getSeq[Float](1).toArray
+        (r.get(0), qv, probesFor(qv))
+      }
     val qidField = queries.select(col(qidCol)).schema.head
     val idField = graph.schema(4)
     val outSchema = StructType(Seq(
@@ -395,11 +488,17 @@ object Hnsw {
       StructField("sim", DoubleType, nullable = false)))
     val local = graph.repartition(col("pid")).mapPartitions { it =>
       val byPid = it.toSeq.groupBy(_.getInt(0))
-      byPid.valuesIterator.flatMap { rows =>
-        val (g, ids) = reconstruct(rows, m, efC, metric)
-        qRows.iterator.flatMap { case (qid, qv) =>
-          g.searchFrom(qv, k, math.min(ef, rows.size))
-            .map { case (sim, ord) => Row(qid, ids(ord), sim) }
+      byPid.iterator.flatMap { case (pid, rows) =>
+        // empty probe set = unprobed search (every graph participates);
+        // a graph with no interested queries is never even reconstructed
+        val interested = qRows.filter(q => q._3.isEmpty || q._3.contains(pid))
+        if (interested.isEmpty) Iterator.empty
+        else {
+          val (g, ids) = reconstruct(rows, m, efC, metric)
+          interested.iterator.flatMap { case (qid, qv, _) =>
+            g.searchFrom(qv, k, math.min(ef, rows.size))
+              .map { case (sim, ord) => Row(qid, ids(ord), sim) }
+          }
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -352,6 +352,29 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // IVF × HNSW composition at full probe + full ef: one graph per
+    // IVF cell, the query's probe set picks the graphs (the two-level
+    // 100 TB serving shape — coarse quantizer prunes whole graphs,
+    // beam search replaces the in-cell scan); probing every cell at
+    // exhaustive ef must equal exact kNN. Partial-probe score
+    // preservation and probe-pruning recall are spec'd in HnswSpec.
+    "ann_hnsw_ivf_probe" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val c = e.filter($"vec_id" =!= 0)
+      val model = graft.ops.Ivf.fit(c, "vec_id", "embedding", k = 8)
+      val path = java.nio.file.Files
+        .createTempDirectory("hnswivf-session").toString + "/ix"
+      graft.ops.Hnsw.buildIvf(c, "vec_id", "embedding", model, path,
+        graft.ops.Hnsw.Params(m = 8, efConstruction = 32))
+      val q = e.filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.ops.Hnsw.searchBatchProbed(s, path, q, "qid", "qv", k = 10,
+          ef = Int.MaxValue, model, nProbe = model.k)
+        .select($"vec_id", round($"sim", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // S16 × J4: IVF-probed batch similarity join at full probe — every
     // query ranks all 8 centroids, so the probed union is the whole
     // corpus and the result must equal the exhaustive batch join
@@ -949,6 +972,7 @@ object VectorSearch {
     "ann_ivf_pq_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_full_ef" -> knnOracle("list_cosine_similarity", desc = true),
+    "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     // exact MMR oracle: the greedy selection IS the recursion — rnk n+1
     // is the LATERAL argmax of λ·s − (1−λ)·max cos(candidate, chosen)

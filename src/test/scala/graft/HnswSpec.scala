@@ -153,6 +153,46 @@ class HnswSpec extends AnyFunSuite {
     assert(got == exact, "full-ef over old+new segments must equal brute force")
   }
 
+  test("IVF x HNSW: full-probe full-ef equals brute force; partial probe is a subset with identical scores") {
+    import graft.ops.Ivf
+    val path = java.nio.file.Files.createTempDirectory("hnsw7").toString + "/ix"
+    val model = Ivf.fit(corpusDf, "vec_id", "embedding", k = 6)
+    Hnsw.buildIvf(corpusDf, "vec_id", "embedding", model, path,
+      Hnsw.Params(m = 8, efConstruction = 32))
+    // pid space = cell ids, cells contiguous per graph
+    val pids = spark.read.parquet(Hnsw.graphPath(path))
+      .select($"pid").distinct().as[Int].collect().toSet
+    assert(pids.subsetOf((0 until model.k).toSet) && pids.nonEmpty)
+    val rnd = new scala.util.Random(23)
+    val queries = (0 until 4).map(q =>
+      (q.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val qDf = queries.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "qv")
+    def run(nProbe: Int, ef: Int) =
+      Hnsw.searchBatchProbed(spark, path, qDf, "qid", "qv", k = 10,
+          ef = ef, model, nProbe)
+        .select($"qid", $"rank", $"vec_id", $"sim")
+        .as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val full = run(model.k, Int.MaxValue)
+    queries.foreach { case (qid, qv) =>
+      val exact = corpus.map { case (i, v) => (i, cosRef(qv, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10)
+      assert(full(qid) == exact, s"query $qid: full probe+ef must be exact")
+    }
+    // partial probe: pruning changes RECALL, never a surviving score —
+    // every returned (id, sim) carries the true exact score
+    val byId = corpus.toMap
+    val partial = run(2, Int.MaxValue)
+    queries.foreach { case (qid, qv) =>
+      assert(partial(qid).nonEmpty)
+      partial(qid).foreach { case (id, sim) =>
+        assert(sim == cosRef(qv, byId(id)),
+          s"query $qid id $id: probed score must be the exact score")
+      }
+    }
+  }
+
   test("oversized partition refuses loudly; damaged params refuse") {
     val path = java.nio.file.Files.createTempDirectory("hnsw5").toString + "/ix"
     Hnsw.build(corpusDf, "vec_id", "embedding", path,
