@@ -50,8 +50,8 @@ object ExplainAudit {
       // replay's store read-back, non-vacuous dedup savings
       "decimal_pricing_summary", "layout_zorder_roundtrip",
       "layout_bucketed_join", "layout_salted_agg", "layout_salted_join",
-      "ingest_batched_embed", "ann_hnsw_full_ef", "dedup_savings_report",
-      "preference_pairs")
+      "ingest_batched_embed", "ann_hnsw_full_ef", "ann_hnsw_ivf_probe",
+      "dedup_savings_report", "preference_pairs")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)
