@@ -524,4 +524,117 @@ object Hnsw {
       .orderBy(col("rank"))
       .select(col(idName), col("sim"))
   }
+
+  // ---- HNSW sidecar (graph index maintained through the store seams) ----
+
+  /** Sidecar graph parameters — fixed like the Bloom sidecar's
+    * geometry (the stamp carries them, so a mismatch refuses loudly):
+    * the store default metric is cosine; a store wanting another
+    * metric or shape builds a standalone [[build]] index instead.
+    */
+  val SidecarParams: Params = Params(m = 16, efConstruction = 100)
+
+  def sidecarMarkerPath(table: String): String = s"$table/_hnsw_sidecar"
+
+  private def paramsTag: String =
+    s"${SidecarParams.m}:${SidecarParams.efConstruction}:${SidecarParams.metric}"
+
+  /** Build the graph sidecar for a [[VersionedStore]] table — the FIFTH
+    * [[SidecarRegistry]] client. Appends fold in as new segment graphs
+    * ([[append]] — the Lucene flush model, O(batch) build cost);
+    * merges/deletes REPLACE rows a graph cannot un-link, so
+    * non-pure-append histories refuse to the registry's loud rebuild.
+    * `_stats`: `"<m>:<efC>:<metric> v<version>"`.
+    */
+  def buildHnswSidecarForStore(spark: SparkSession, table: String,
+                               idCol: String, embCol: String,
+                               path: String): Unit = {
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val rows = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"no rows to index at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    build(rows, idCol, embCol, path, SidecarParams)
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == v0,
+      s"store $table moved from version $v0 to $v1 during the graph build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats", s"$paramsTag v$v0")
+  }
+
+  /** Fold the store's NEW segments into the sidecar as fresh segment
+    * graphs — O(appended rows). The bloom-sidecar discipline verbatim:
+    * damaged stats, parameter mismatches and non-pure-append histories
+    * refuse as IllegalArgumentException (the registry's rebuild
+    * trigger), stamp retired before the write.
+    */
+  def appendToHnswSidecar(spark: SparkSession, table: String,
+                          idCol: String, embCol: String,
+                          path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 2 && stats(1).startsWith("v"),
+      s"hnsw sidecar at $path has a damaged/unstamped _stats; rebuild with buildHnswSidecarForStore")
+    require(stats(0) == paramsTag,
+      s"hnsw sidecar at $path was built at ${stats(0)}, engine expects $paramsTag; rebuild")
+    val v0 = stats(1).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"hnsw sidecar stamp v$v0 is ahead of $table's version ${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; a graph " +
+        "cannot un-link replaced rows — rebuild with buildHnswSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty) {
+      val rows = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+        .reduce(_.unionByName(_))
+      append(rows, idCol, embCol, path, numPartitions = 1)
+    }
+    graft.Fs.writeString(spark, s"$path/_stats", s"$paramsTag v${cur.version}")
+  }
+
+  def registerHnswSidecar(spark: SparkSession, table: String, idCol: String,
+                          embCol: String, path: String): Unit =
+    SidecarRegistry.register(spark, table, sidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, idCol, embCol)) {
+      buildHnswSidecarForStore(spark, table, idCol, embCol, path)
+    }
+
+  def maintainRegisteredHnswSidecar(spark: SparkSession, table: String): Unit =
+    SidecarRegistry.maintain(spark, table, sidecarMarkerPath(table),
+      "hnsw sidecar") { reg =>
+      appendToHnswSidecar(spark, table, reg.idCol, reg.textCol, reg.path)
+    } { reg =>
+      buildHnswSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  def maintainRegisteredHnswSidecarAfterCompact(
+      spark: SparkSession, table: String, preVersion: Long,
+      post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      sidecarMarkerPath(table), "hnsw sidecar", preVersion, post, files) { reg =>
+      buildHnswSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
+    }
+
+  /** Serve a query batch from the maintained sidecar — refuses a stale
+    * sidecar loudly (stamp ≠ store version): a stale graph silently
+    * misses freshly ingested rows.
+    */
+  def searchHnswSidecar(spark: SparkSession, table: String, path: String,
+                        queries: DataFrame, qidCol: String, qEmbCol: String,
+                        k: Int, ef: Int): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 2,
+      s"hnsw sidecar at $path has a damaged _stats; rebuild with buildHnswSidecarForStore")
+    require(stats(0) == paramsTag,
+      s"hnsw sidecar at $path was built at ${stats(0)}, engine expects $paramsTag; rebuild")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(1) == s"v$cur",
+      s"hnsw sidecar at $path (${stats.lift(1).getOrElse("-")}) is stale against " +
+        s"$table (v$cur) — run appendToHnswSidecar first")
+    searchBatch(spark, path, queries, qidCol, qEmbCol, k, ef)
+  }
 }

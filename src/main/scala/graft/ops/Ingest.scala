@@ -226,6 +226,9 @@ object Ingest {
     if (n > 0) Dedup.maintainRegisteredSrpSidecar(spark, table)
     if (n > 0) Sketch.maintainRegisteredHllSidecar(spark, table)
     if (n > 0) Sketch.maintainRegisteredBloomSidecar(spark, table)
+    // and a registered HNSW graph sidecar: each batch folds in as new
+    // segment graphs (the Lucene flush model) — O(batch), no rebuild
+    if (n > 0) Hnsw.maintainRegisteredHnswSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -275,6 +278,7 @@ object Ingest {
     Dedup.maintainRegisteredSrpSidecar(spark, table)
     Sketch.maintainRegisteredHllSidecar(spark, table)
     Sketch.maintainRegisteredBloomSidecar(spark, table)
+    Hnsw.maintainRegisteredHnswSidecar(spark, table)
     rewritten
   }
 
@@ -301,6 +305,7 @@ object Ingest {
     Dedup.maintainRegisteredSrpSidecar(spark, table)
     Sketch.maintainRegisteredHllSidecar(spark, table)
     Sketch.maintainRegisteredBloomSidecar(spark, table)
+    Hnsw.maintainRegisteredHnswSidecar(spark, table)
     rewritten
   }
 
@@ -326,6 +331,7 @@ object Ingest {
     Dedup.maintainRegisteredSrpSidecar(spark, table)
     Sketch.maintainRegisteredHllSidecar(spark, table)
     Sketch.maintainRegisteredBloomSidecar(spark, table)
+    Hnsw.maintainRegisteredHnswSidecar(spark, table)
     rewritten
   }
 
@@ -371,6 +377,7 @@ object Ingest {
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, path, preVersion, post, files)
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, path, preVersion, post, files)
     Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, path, preVersion, post, files)
+    Hnsw.maintainRegisteredHnswSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 
@@ -411,6 +418,7 @@ object Ingest {
     Dedup.maintainRegisteredSrpSidecarAfterCompact(spark, table, preVersion, post, files)
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, files)
     Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, table, preVersion, post, files)
+    Hnsw.maintainRegisteredHnswSidecarAfterCompact(spark, table, preVersion, post, files)
     files
   }
 

@@ -193,6 +193,39 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("registered hnsw sidecar stays fresh through the real append seam; merges rebuild; stale probes refuse") {
+    import graft.ops.{Ingest, VersionedStore}
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("hnswseam").toString
+    val table = s"$root/t"
+    val side = s"$root/g"
+    def mk(r: Range) = r.map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    VersionedStore.append(spark, table, mk(0 until 120))
+    graft.ops.Hnsw.registerHnswSidecar(spark, table, "vec_id", "embedding", side)
+    // the append seam folds the batch in as new segment graphs
+    Ingest.appendRespectingLayout(spark, table, mk(120 until 200))
+    val q = Seq((0L, mk(5 to 5).select($"embedding").as[Seq[Float]].head()))
+      .toDF("qid", "qv")
+    def served() = graft.ops.Hnsw.searchHnswSidecar(spark, table, side,
+        q, "qid", "qv", k = 1000, ef = Int.MaxValue)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(served() == (0L until 200L).toSet,
+      "full-ef sidecar serve must cover every ingested row after the fold")
+    // a merge REPLACES rows — the fold refuses and the seam rebuilds;
+    // the rebuilt graph serves the post-merge truth
+    Ingest.mergeRespectingLayout(spark, table,
+      mk(150 until 260), "vec_id")
+    assert(served() == (0L until 260L).toSet,
+      "post-merge rebuild must serve the merged store")
+    // a stale sidecar (store moved without maintenance) refuses loudly
+    VersionedStore.append(spark, table, mk(260 until 270))
+    val e = intercept[IllegalArgumentException] { served() }
+    assert(e.getMessage.contains("stale"))
+  }
+
   test("oversized partition refuses loudly; damaged params refuse") {
     val path = java.nio.file.Files.createTempDirectory("hnsw5").toString + "/ix"
     Hnsw.build(corpusDf, "vec_id", "embedding", path,
