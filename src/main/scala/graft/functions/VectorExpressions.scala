@@ -251,6 +251,40 @@ object CentroidKernels {
   def rankArrayData(x: ArrayData, cents: Array[Array[Float]], n: Int): ArrayData =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(rank(x, cents, n))
+
+  /** Max cosine of `x` against a fixed vector matrix — the semantic-
+    * decontamination kernel: one pass over the (bounded, reference-
+    * object) eval matrix per row, the [[VectorKernels]] cosine
+    * arithmetic per vector (double accumulation in array order,
+    * zero-norm → 0). Returns -1 for an empty matrix slot... the matrix
+    * is require'd non-empty at expression construction, so the loop
+    * always improves on the -infinity seed.
+    */
+  def maxCosine(x: ArrayData, vecs: Array[Array[Float]]): Double = {
+    val xn = x.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < xn) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var vi = 0
+    while (vi < vecs.length) {
+      val w = vecs(vi)
+      val n = java.lang.Math.min(xn, w.length)
+      var dot = 0.0; var ny = 0.0
+      var j = 0
+      while (j < n) {
+        val a = x.getFloat(j).toDouble; val b = w(j).toDouble
+        dot += a * b; ny += b * b
+        j += 1
+      }
+      // nx here spans the FULL x like CosineSimilarity's same-length
+      // case; ragged inputs are a caller contract violation either way
+      val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / java.lang.Math.sqrt(nx * ny)
+      if (s > best) best = s
+      vi += 1
+    }
+    best
+  }
 }
 
 /** `ARRAY<FLOAT> × ARRAY<FLOAT> -> DOUBLE`, the sequential-fold dot
@@ -313,6 +347,37 @@ case class NearestCentroids(child: Expression,
     copy(child = newChild)
 }
 
+/** `ARRAY<FLOAT> -> DOUBLE`: max cosine against a FIXED vector matrix
+  * (the collected eval-set embeddings — bounded by construction: eval
+  * sets are thousands of rows, not corpus-sized). The matrix rides the
+  * expression as a reference object like [[NearestCentroids]]' model,
+  * so semantic decontamination is ONE whole-stage-codegen expression
+  * per corpus row — no join, no shuffle, whatever the eval size.
+  */
+case class MaxCosineToSet(child: Expression,
+                          vecs: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(vecs.nonEmpty, "eval vector matrix must not be empty")
+  override def prettyName: String = "max_cosine_to_set"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidKernels.maxCosine(input.asInstanceOf[ArrayData], vecs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one static call into the JIT-compiled kernel (the NearestCentroids
+    // huge-method discipline)
+    val m = ctx.addReferenceObj("evalVecs", vecs, "float[][]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.CentroidKernels.maxCosine($x, $m);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector expressions (no registry needed). */
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
@@ -323,6 +388,8 @@ object VectorFunctions {
     ColumnShim.column(EuclideanDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
   def nearestCentroids(emb: Column, centroids: Array[Array[Float]], n: Int): Column =
     ColumnShim.column(NearestCentroids(ColumnShim.expression(emb), centroids, n))
+  def maxCosineToSet(emb: Column, vecs: Array[Array[Float]]): Column =
+    ColumnShim.column(MaxCosineToSet(ColumnShim.expression(emb), vecs))
   def seqDotProduct(a: Column, b: Column): Column =
     ColumnShim.column(SequentialDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 

@@ -737,6 +737,56 @@ object Dedup {
       contaminatedIdsBloom(corpus, idCol, textCol, evalSet, evalTextCol, n, fpp),
       Seq(idCol), "left_anti")
 
+  /** Collect an eval set's embedding vectors for the semantic-
+    * decontamination kernel — bounded LOUDLY at `maxRows` (eval sets
+    * are thousands of rows by construction; a corpus-sized argument is
+    * a bug, and a silent giant collect is the failure mode this
+    * ceiling exists to prevent).
+    */
+  def collectEvalVectors(evalSet: DataFrame, embCol: String,
+                         maxRows: Int = 65536): Array[Array[Float]] = {
+    val rows = evalSet.select(col(embCol)).filter(col(embCol).isNotNull)
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"eval set exceeds $maxRows vectors — semantic decontamination " +
+        "broadcasts the eval matrix by construction; shard the eval set " +
+        "or raise maxRows deliberately")
+    rows.map(_.getSeq[Float](0).toArray)
+  }
+
+  /** Semantic (embedding-space) contamination report — the paraphrase
+    * leg of test-set decontamination: [[contaminatedIds]] catches
+    * verbatim n-gram overlap, this catches REWORDED eval material
+    * (the SemDeDup observation applied to eval leakage). Appends
+    * `max_eval_sim` (max cosine to any eval vector, rounded to the
+    * cross-engine 6 decimals) and `leaked` (≥ threshold on the rounded
+    * value) to every corpus row.
+    *
+    * Scale: the eval matrix rides a single codegen'd expression
+    * ([[graft.functions.MaxCosineToSet]]) as a reference object — the
+    * corpus is scanned ONCE with a narrow map, no join, no shuffle,
+    * whatever the corpus size; cost is |corpus|·|eval| multiply-adds
+    * spread embarrassingly parallel over the scan.
+    */
+  def semanticContamination(corpus: DataFrame, embCol: String,
+                            evalVecs: Array[Array[Float]],
+                            threshold: Double): DataFrame =
+    corpus
+      .withColumn("max_eval_sim",
+        round(VectorFunctions.maxCosineToSet(col(embCol), evalVecs), 6))
+      .withColumn("leaked", col("max_eval_sim") >= threshold)
+
+  /** Semantic decontamination, the drop half: corpus rows whose
+    * nearest eval vector stays below `threshold`.
+    */
+  def decontaminateSemantic(corpus: DataFrame, embCol: String,
+                            evalSet: DataFrame, evalEmbCol: String,
+                            threshold: Double): DataFrame =
+    semanticContamination(corpus, embCol,
+        collectEvalVectors(evalSet, evalEmbCol), threshold)
+      .filter(!col("leaked"))
+      .drop("max_eval_sim", "leaked")
+
   /** Exact embedding-cosine near-dup pairs (a < b, cosine > threshold).
     * Quadratic by definition — the correctness oracle for
     * [[embeddingNearDupLsh]], and fine up to ~10^4 vectors per run; at

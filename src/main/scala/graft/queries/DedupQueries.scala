@@ -523,6 +523,24 @@ object DedupQueries {
         .orderBy($"vec_id")
     }),
 
+    // Semantic decontamination — the paraphrase leg of eval-leakage
+    // removal: n-gram decontamination catches verbatim overlap; this
+    // catches REWORDED eval material by max cosine to the (collected,
+    // bounded) eval matrix riding ONE codegen'd expression — corpus
+    // scanned once, no join, no shuffle. The oracle replays every
+    // corpus×eval cosine and the max/threshold relationally.
+    "decontaminate_semantic" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val evalVecs = Dedup.collectEvalVectors(
+        emb.filter($"vec_id" < 20), "embedding")
+      Dedup.semanticContamination(
+          emb.filter($"vec_id" >= 20).select($"vec_id", $"embedding"),
+          "embedding", evalVecs, threshold = 0.35)
+        .select($"vec_id", $"max_eval_sim", $"leaked")
+        .orderBy($"vec_id")
+    }),
+
     // What the dedup bought: per duplicated content group, the
     // representative, copy count, and bytes reclaimed — the accounting
     // row a curation run reports next to the cluster histogram. The
@@ -1237,6 +1255,18 @@ object DedupQueries {
         |SELECT vec_id, label FROM corp
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    "decontaminate_semantic" ->
+      """WITH ev AS (
+        |  SELECT embedding FROM embeddings
+        |  WHERE vec_id < 20 AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+        |m AS (
+        |  SELECT c.vec_id,
+        |    round(max(list_cosine_similarity(c.embedding::DOUBLE[],
+        |      ev.embedding::DOUBLE[])), 6) AS max_eval_sim
+        |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
+        |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS leaked
+        |FROM m ORDER BY vec_id""".stripMargin,
     "dedup_savings_report" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -331,6 +331,39 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(h(1L), h(4L)) > ham(h(1L), h(3L)))
   }
 
+  test("semantic decontamination: near-copies of eval vectors leak, orthogonal survive, no shuffle, bounded collect") {
+    import org.apache.spark.sql.functions.col
+    // eval: two unit axes; corpus: a near-copy of each (leaks), an
+    // orthogonal axis and an opposite vector (survive at 0.8)
+    val ev = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)),   // ~eval 0
+      (11L, Seq(0.05f, 1f, 0f, 0f)),    // ~eval 1
+      (12L, Seq(0f, 0f, 1f, 0f)),       // orthogonal
+      (13L, Seq(-1f, 0f, 0f, 0f))       // anti-aligned
+    ).toDF("vec_id", "embedding")
+    val vecs = Dedup.collectEvalVectors(ev, "embedding")
+    val rep = Dedup.semanticContamination(corpus, "embedding", vecs, 0.8)
+    val leaked = rep.filter(col("leaked")).select($"vec_id").as[Long].collect().toSet
+    assert(leaked == Set(10L, 11L))
+    val survivors = Dedup.decontaminateSemantic(corpus, "embedding", ev,
+      "embedding", 0.8).select($"vec_id").as[Long].collect().toSet
+    assert(survivors == Set(12L, 13L))
+    // the report is a pure narrow map — no join, no shuffle in the plan
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"semantic contamination must not shuffle:\n$plan")
+    // the eval collect refuses a corpus-sized argument loudly
+    val big = spark.range(100).select($"id".as("vec_id"),
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(1f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.collectEvalVectors(big, "embedding", maxRows = 50)
+    }
+    assert(e.getMessage.contains("exceeds"))
+  }
+
   test("embedding LSH near-dup pairs are a subset of exact pairs") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
