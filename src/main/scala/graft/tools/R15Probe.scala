@@ -32,6 +32,19 @@ object R15Probe {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+    def minOfK2(label: String)(f: => Long): (Long, Double) = {
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        (wall, rows)
+      }
+      val best = samples.minBy(_._1)
+      println(f"[r15] $label: min ${best._1}%7.2f s max ${samples.map(_._1).max}%7.2f s rows ${best._2}")
+      (best._2, best._1)
+    }
+
     def minOfK[A](label: String)(f: => Long): Double = {
       val samples = (1 to runs).map { _ =>
         val c0 = osBean.getProcessCpuTime
@@ -95,6 +108,22 @@ object R15Probe {
     }
     println(f"[r15] hnsw search wall ratio at 16x corpus: ${s16 / s1}%5.2f " +
       "(beam is ef-bound: expect << 16)")
+
+    // ---- 3. semantic decontamination (one expression, no shuffle) ----
+    // fixed 1k-vector eval matrix; corpus 1x vs 16x — per-row work is
+    // |eval| multiply-adds inside one codegen'd kernel, so wall must be
+    // ~linear in corpus with a fixed floor
+    val evalVecs = vecs(1000).collect()
+      .map(_.getSeq[Float](1).toArray)
+    def decon(n: Long): Long =
+      graft.ops.Dedup.semanticContamination(vecs(n), "embedding",
+          evalVecs, threshold = 0.9)
+        .filter(col("leaked")).count()
+    decon(10000) // warm
+    val (d1c, d1) = minOfK2("semdecon 1x (50k x 1k eval)") { decon(50000) }
+    val (d16c, d16) = minOfK2("semdecon 16x (800k x 1k eval)") { decon(800000) }
+    println(f"[r15] semantic decon wall ratio at 16x: ${d16 / d1}%5.2f " +
+      f"(ideal <= 16; leaked $d1c -> $d16c)")
     spark.stop()
   }
 }
