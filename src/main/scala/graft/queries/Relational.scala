@@ -779,6 +779,59 @@ object Relational {
         .orderBy($"batch_id")
     }),
 
+    // Streaming dedup with BOUNDED state, run LIVE: three event-derived
+    // micro-batch files flow through a real file-source stream into
+    // dropDuplicatesWithinWatermark (all rows share one event time, so
+    // every later duplicate is inside the watermark and must drop), the
+    // parquet ARTIFACT is read back, and the oracle replays the claim
+    // relationally: exactly one surviving row per key however many
+    // arrivals the batches carried (a duplicate survivor would double a
+    // join row and hash-mismatch; a lost key would drop one).
+    "stream_dedup_watermark" -> ((s, d) => {
+      import s.implicits._
+      val root = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-sdedup-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      graft.Fs.delete(s, root)
+      val rows = events(s, d)
+        .filter($"event_id".isNotNull && $"user_id".isNotNull)
+        .select(pmod($"user_id", lit(50)).cast("string").as("key"),
+          $"event_id")
+      val in = s"$root/in"; val out = s"$root/rows"; val ckpt = s"$root/ckpt"
+      new java.io.File(in).mkdirs()
+      def publishBatch(b: Long): Unit = {
+        val stage = s"$root/stage$b"
+        rows.filter($"event_id" % 3 === b)
+          .select(to_json(struct($"key",
+            lit("2026-01-01T10:00:00").as("ts")))).coalesce(1)
+          .write.mode("overwrite").text(stage)
+        // Fs.list returns full paths
+        val part = graft.Fs.list(s, stage).find(_.contains("part-")).get
+        graft.Fs.rename(s, part, s"$in/b$b.json")
+      }
+      publishBatch(0)
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("key STRING, ts TIMESTAMP")
+      val stream = s.readStream.schema(schema).json(in)
+      val q = graft.streaming.IncrementalIngest
+        .dedupWithinWatermark(stream, "ts", "key", watermark = "10 minutes")
+        .select($"key")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      try {
+        q.processAllAvailable()
+        publishBatch(1); q.processAllAvailable()
+        publishBatch(2); q.processAllAvailable()
+      } finally q.stop()
+      val arrivals = rows.groupBy($"key")
+        .agg(count(lit(1)).as("n_arrivals"))
+      s.read.parquet(out).select($"key")
+        .join(arrivals, Seq("key"))
+        .orderBy($"key")
+    }),
+
     "anomaly_monitor_incremental" -> ((s, d) => {
       import s.implicits._
       val root = java.lang.System.getProperty("java.io.tmpdir") +
@@ -1742,6 +1795,11 @@ object Relational {
         |    ((SELECT m FROM tot) - 1) * n * (SELECT n_total FROM tot) AS risky
         |FROM cum GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "stream_dedup_watermark" ->
+      """SELECT (user_id % 50)::VARCHAR AS key, COUNT(*) AS n_arrivals
+        |FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the gate recomputed relationally: a batch is clean iff no row
     // violates (NotNull(user_id) ∨ value outside [0, 400]); rows route
     // to exactly one side of the gate

@@ -375,6 +375,34 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // The HNSW sidecar on the real store lifecycle: half the corpus
+    // lands in a versioned store, registration builds the graph
+    // sidecar, the second half arrives through the PRODUCTION append
+    // seam (appendRespectingLayout — which must fold it in as new
+    // segment graphs, or the serve below refuses as stale), and the
+    // full-ef serve over ALL segments must equal exact kNN. One query
+    // pins registration, the seam fold, the staleness guard's pass
+    // path and graph-search exactness together.
+    "ann_hnsw_sidecar_serve" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("hnswside-session").toString
+      val table = s"$root/store"
+      val c = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+      graft.ops.VersionedStore.append(s, table, c.filter($"vec_id" % 2 === 1))
+      graft.ops.Hnsw.registerHnswSidecar(s, table, "vec_id", "embedding",
+        s"$root/graph")
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        c.filter($"vec_id" % 2 === 0))
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.ops.Hnsw.searchHnswSidecar(s, table, s"$root/graph", q,
+          "qid", "qv", k = 10, ef = Int.MaxValue)
+        .select($"vec_id", round($"sim", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // S16 × J4: IVF-probed batch similarity join at full probe — every
     // query ranks all 8 centroids, so the probed union is the whole
     // corpus and the result must equal the exhaustive batch join
@@ -973,6 +1001,7 @@ object VectorSearch {
     "ann_ivf_full_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_full_ef" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
+    "ann_hnsw_sidecar_serve" -> knnOracle("list_cosine_similarity", desc = true),
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     // exact MMR oracle: the greedy selection IS the recursion — rnk n+1
     // is the LATERAL argmax of λ·s − (1−λ)·max cos(candidate, chosen)
