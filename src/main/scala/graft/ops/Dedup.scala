@@ -777,14 +777,18 @@ object Dedup {
       .withColumn("leaked", col("max_eval_sim") >= threshold)
 
   /** Semantic decontamination, the drop half: corpus rows whose
-    * nearest eval vector stays below `threshold`.
+    * nearest eval vector stays below `threshold`. A row with a NULL
+    * embedding cannot be implicated and SURVIVES (its `leaked` is
+    * null; a bare `!leaked` filter would silently delete it under
+    * three-valued logic — the n-gram path's anti-join keeps such rows,
+    * and this path must agree).
     */
   def decontaminateSemantic(corpus: DataFrame, embCol: String,
                             evalSet: DataFrame, evalEmbCol: String,
                             threshold: Double): DataFrame =
     semanticContamination(corpus, embCol,
         collectEvalVectors(evalSet, evalEmbCol), threshold)
-      .filter(!col("leaked"))
+      .filter(coalesce(!col("leaked"), lit(true)))
       .drop("max_eval_sim", "leaked")
 
   /** Exact embedding-cosine near-dup pairs (a < b, cosine > threshold).

@@ -233,18 +233,38 @@ object Hnsw {
       if (level > maxLevel) { maxLevel = level; entry = node }
     }
 
-    /** Structural connectivity guard: every node > 0 must keep at least
-      * one level-0 link to an earlier node (pruning can orphan one);
-      * re-link the insertion predecessor when it doesn't. By induction
-      * the level-0 graph is then connected, which is what makes
-      * full-ef search exhaustive.
+    /** Structural connectivity guard — the full-ef ≡ brute-force
+      * theorem's precondition, in two steps:
+      *
+      *   1. every node > 0 keeps at least one level-0 link to an
+      *      earlier node (pruning can orphan one; re-link the
+      *      insertion predecessor), so the UNDIRECTED level-0 graph is
+      *      connected by induction;
+      *   2. the level-0 adjacency is SYMMETRIZED: search follows
+      *      out-links only, and [[pruneTo]] breaks the insert-time
+      *      bidirectionality — a directed orphan (in-degree 0 after
+      *      its backlinks were all evicted) would be invisible to the
+      *      beam at ANY ef. On a symmetric graph directed reach equals
+      *      undirected reach, so step 1's connectivity makes full-ef
+      *      search exhaustive from any entry. Hub nodes may exceed the
+      *      2m cap after symmetrization — a bounded search-cost tax
+      *      paid for an exactness GUARANTEE (stock HNSW implementations
+      *      keep the directed graph and only promise high recall).
       */
     def ensureConnected(): Unit = {
       var i = 1
       while (i < vecs.length) {
-        if (!adj(i)(0).exists(_ < i)) {
-          adj(i)(0) += (i - 1)
-          adj(i - 1)(0) += i
+        if (!adj(i)(0).exists(_ < i)) adj(i)(0) += (i - 1)
+        i += 1
+      }
+      i = 0
+      while (i < vecs.length) {
+        val out = adj(i)(0)
+        var j = 0
+        while (j < out.length) {
+          val v = out(j)
+          if (!adj(v)(0).contains(i)) adj(v)(0) += i
+          j += 1
         }
         i += 1
       }
@@ -295,8 +315,9 @@ object Hnsw {
              numPartitions: Int = 1): Unit = {
     val spark = df.sparkSession
     val (m, efC, metric) = readParams(spark, path)
-    val base = spark.read.parquet(graphPath(path))
-      .agg(max(col("pid"))).head().getInt(0) + 1
+    // an empty index (built from zero rows) has no max pid — base 0
+    val maxRow = spark.read.parquet(graphPath(path)).agg(max(col("pid"))).head()
+    val base = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
     buildGraphs(df, idCol, embCol, m, efC, metric, numPartitions,
       pidOffset = base)
       .write.mode("append").parquet(graphPath(path))
@@ -450,15 +471,19 @@ object Hnsw {
                   qidCol: String, qEmbCol: String, k: Int,
                   ef: Int): DataFrame =
     searchImpl(spark, path, queries, qidCol, qEmbCol, k, ef,
-      probesFor = _ => Set.empty)
+      probesFor = _ => Set.empty, cellCeiling = Int.MaxValue)
 
   /** IVF×HNSW probed batch search over a [[buildIvf]] index: each
     * query computes its `nProbe` nearest cells from the SAME IvfModel
     * the index was built with, and only those cells' graphs run its
     * beam — the two-level 100 TB shape (coarse quantizer prunes
-    * segments, graph search replaces the in-cell scan). At
-    * `nProbe = model.k` every cell is probed and the result equals
-    * [[searchBatch]] (and, at full ef, exact kNN).
+    * segments, graph search replaces the in-cell scan). Segment graphs
+    * at pids >= model.k — batches landed by [[append]] AFTER the cell
+    * build, which belong to no cell — are ALWAYS searched (probe
+    * pruning only applies to cells; silently skipping appended data
+    * would be the stale-sidecar failure mode this module refuses
+    * elsewhere). At `nProbe = model.k` every cell is probed and the
+    * result equals [[searchBatch]] (and, at full ef, exact kNN).
     */
   def searchBatchProbed(spark: SparkSession, path: String,
                         queries: DataFrame, qidCol: String, qEmbCol: String,
@@ -466,13 +491,15 @@ object Hnsw {
                         nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     searchImpl(spark, path, queries, qidCol, qEmbCol, k, ef,
-      probesFor = qv => model.probeOrder(qv).take(nProbe).toSet)
+      probesFor = qv => model.probeOrder(qv).take(nProbe).toSet,
+      cellCeiling = model.k)
   }
 
   private def searchImpl(spark: SparkSession, path: String,
                          queries: DataFrame, qidCol: String, qEmbCol: String,
                          k: Int, ef: Int,
-                         probesFor: Array[Float] => Set[Int]): DataFrame = {
+                         probesFor: Array[Float] => Set[Int],
+                         cellCeiling: Int): DataFrame = {
     require(k >= 1 && ef >= 1, s"k/ef must be >= 1, got $k/$ef")
     val (m, efC, metric) = readParams(spark, path)
     val graph = spark.read.parquet(graphPath(path))
@@ -486,22 +513,40 @@ object Hnsw {
     val outSchema = StructType(Seq(
       qidField, idField.copy(name = "__cand"),
       StructField("sim", DoubleType, nullable = false)))
-    val local = graph.repartition(col("pid")).mapPartitions { it =>
-      val byPid = it.toSeq.groupBy(_.getInt(0))
-      byPid.iterator.flatMap { case (pid, rows) =>
-        // empty probe set = unprobed search (every graph participates);
-        // a graph with no interested queries is never even reconstructed
-        val interested = qRows.filter(q => q._3.isEmpty || q._3.contains(pid))
-        if (interested.isEmpty) Iterator.empty
-        else {
-          val (g, ids) = reconstruct(rows, m, efC, metric)
-          interested.iterator.flatMap { case (qid, qv, _) =>
-            g.searchFrom(qv, k, math.min(ef, rows.size))
-              .map { case (sim, ord) => Row(qid, ids(ord), sim) }
+    // sort pids contiguous so a task holds ONE graph's rows at a time
+    // (the buildIvf streaming discipline — a task co-hashing several
+    // 4M-node graphs must not materialize them together), and ords
+    // arrive pre-sorted for reconstruct
+    val local = graph.repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("ord"))
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        val groups = new Iterator[Seq[Row]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Seq[Row] = {
+            val pid = it.head.getInt(0)
+            val buf = mutable.ArrayBuffer[Row]()
+            while (it.hasNext && it.head.getInt(0) == pid) buf += it.next()
+            buf.toSeq
           }
         }
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+        groups.flatMap { rows =>
+          val pid = rows.head.getInt(0)
+          // empty probe set = unprobed search; pids at/above the cell
+          // ceiling are appended segments — always searched; a graph
+          // with no interested queries is never even reconstructed
+          val interested = qRows.filter(q =>
+            q._3.isEmpty || pid >= cellCeiling || q._3.contains(pid))
+          if (interested.isEmpty) Iterator.empty
+          else {
+            val (g, ids) = reconstruct(rows, m, efC, metric)
+            interested.iterator.flatMap { case (qid, qv, _) =>
+              g.searchFrom(qv, k, math.min(ef, rows.size))
+                .map { case (sim, ord) => Row(qid, ids(ord), sim) }
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol))
       .orderBy(col("sim").desc, col("__cand").asc)

@@ -134,6 +134,11 @@ object Ingest {
       it.grouped(batchSize).zipWithIndex.flatMap { case (rows, bi) =>
         val vecs = embedder.embedBatch(
           rows.map(r => if (r.isNullAt(ti)) null else r.getString(ti)))
+        // a real model API can return a partial batch after a per-item
+        // failure; zipping short would silently DROP input rows
+        require(vecs.length == rows.length,
+          s"embedBatch returned ${vecs.length} vectors for ${rows.length} " +
+            "texts — a partial batch must fail loudly, not lose rows")
         rows.lazyZip(vecs).map { (r, v) =>
           val extra: Seq[Any] =
             if (withBatchMeta) Seq(v.toSeq, bi.toLong, rows.size)

@@ -84,6 +84,11 @@ object TextAnalysis {
           val t = Integer.parseInt(parts(1), 16)
           require(s >= 0x80 && s <= 0xFFFF && t <= 0xFFFF,
             s"confusables row out of the 1:1 BMP contract: $raw")
+          // a surrogate code point would embed a LONE UTF-16 surrogate
+          // into the translate pair strings and corrupt every
+          // normalized string fed to UTF-8 hashing
+          require(!(s >= 0xD800 && s <= 0xDFFF) && !(t >= 0xD800 && t <= 0xDFFF),
+            s"confusables row maps a surrogate code point: $raw")
           require(seen.add(s), f"duplicate confusables source U+$s%04X")
           from.append(s.toChar); to.append(t.toChar)
         }

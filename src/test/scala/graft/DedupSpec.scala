@@ -341,15 +341,18 @@ class DedupSpec extends AnyFunSuite {
       (10L, Seq(0.9f, 0.1f, 0f, 0f)),   // ~eval 0
       (11L, Seq(0.05f, 1f, 0f, 0f)),    // ~eval 1
       (12L, Seq(0f, 0f, 1f, 0f)),       // orthogonal
-      (13L, Seq(-1f, 0f, 0f, 0f))       // anti-aligned
+      (13L, Seq(-1f, 0f, 0f, 0f)),      // anti-aligned
+      (14L, null.asInstanceOf[Seq[Float]]) // no embedding — cannot leak
     ).toDF("vec_id", "embedding")
     val vecs = Dedup.collectEvalVectors(ev, "embedding")
     val rep = Dedup.semanticContamination(corpus, "embedding", vecs, 0.8)
     val leaked = rep.filter(col("leaked")).select($"vec_id").as[Long].collect().toSet
     assert(leaked == Set(10L, 11L))
+    // a row with NO embedding cannot be implicated and must SURVIVE
+    // (three-valued logic would silently drop it on a bare !leaked)
     val survivors = Dedup.decontaminateSemantic(corpus, "embedding", ev,
       "embedding", 0.8).select($"vec_id").as[Long].collect().toSet
-    assert(survivors == Set(12L, 13L))
+    assert(survivors == Set(12L, 13L, 14L))
     // the report is a pure narrow map — no join, no shuffle in the plan
     val plan = rep.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"),

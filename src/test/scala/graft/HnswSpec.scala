@@ -108,27 +108,34 @@ class HnswSpec extends AnyFunSuite {
     assert(dump(s"$root/a") == dump(s"$root/b"))
   }
 
-  test("serialized level-0 graph is connected within every partition (full-ef precondition)") {
+  test("serialized level-0 graph: every node DIRECTED-reachable from the search entry (full-ef precondition)") {
     val path = java.nio.file.Files.createTempDirectory("hnsw4").toString + "/ix"
     Hnsw.build(corpusDf, "vec_id", "embedding", path,
       Hnsw.Params(m = 2, efConstruction = 4), numPartitions = 3) // aggressive pruning
     val rows = spark.read.parquet(Hnsw.graphPath(path))
-      .select($"pid", $"ord", $"neighbors").collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[scala.collection.Seq[Int]](2)))
+      .select($"pid", $"ord", $"level", $"neighbors").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getSeq[scala.collection.Seq[Int]](3)))
     rows.groupBy(_._1).foreach { case (pid, nodes) =>
-      val adj0 = nodes.map(n => n._2 -> n._3.head.toSet).toMap
-      val seen = collection.mutable.Set(0)
-      val stack = collection.mutable.Stack(0)
+      val adj0 = nodes.map(n => n._2 -> n._4.head.toSet).toMap
+      // the search entry: max level, lowest ord on ties — and beam
+      // search follows OUT-links only, so the reach check must be
+      // DIRECTED from the entry (pruning evicts backlinks; the
+      // symmetrization step is what makes this hold)
+      val entry = nodes.maxBy(n => (n._3, -n._2))._2
+      // serialized adjacency must be symmetric at level 0
+      adj0.foreach { case (u, vs) =>
+        vs.foreach(v => assert(adj0(v).contains(u),
+          s"partition $pid: level-0 edge $u->$v has no reverse edge"))
+      }
+      val seen = collection.mutable.Set(entry)
+      val stack = collection.mutable.Stack(entry)
       while (stack.nonEmpty) {
         val c = stack.pop()
-        // undirected reach: follow out-links and in-links
-        val out = adj0(c)
-        val in = adj0.collect { case (n, a) if a.contains(c) => n }
-        (out ++ in).foreach(n => if (!seen.contains(n)) { seen += n; stack.push(n) })
+        adj0(c).foreach(n => if (!seen.contains(n)) { seen += n; stack.push(n) })
       }
       assert(seen.size == nodes.size,
-        s"partition $pid: only ${seen.size}/${nodes.size} nodes reachable")
+        s"partition $pid: only ${seen.size}/${nodes.size} nodes reachable from entry $entry")
     }
   }
 

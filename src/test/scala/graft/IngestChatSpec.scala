@@ -65,6 +65,20 @@ class IngestChatSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getSeq[Float](r.fieldIndex("embedding")) == perRow(r.getLong(0)))
     }
+    // a PARTIAL batch from a flaky model API must fail loudly — zipping
+    // short would silently drop input rows from the ingest
+    val partial = new graft.embed.Embedder {
+      def dim = 4
+      def embed(t: String): Array[Float] = Array.fill(4)(0.1f)
+      override def embedBatch(ts: Seq[String]): Seq[Array[Float]] =
+        ts.drop(1).map(embed) // loses one vector per batch
+    }
+    val e = intercept[Exception] {
+      Ingest.embedBatched(docs.limit(10), "text", partial, batchSize = 5).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("partial batch")),
+      s"partial-batch loss must surface loudly, got: $e")
   }
 
   test("ingest keeps an IVF-indexed store cluster-partitioned across appends and compaction") {
