@@ -779,6 +779,57 @@ object Relational {
         .orderBy($"batch_id")
     }),
 
+    // The store's audit log: a deterministic five-commit lifecycle
+    // (append, append, compact, delete, append) read back through
+    // describeHistory — the governance surface for "who changed this
+    // table when". committed_at is wall-clock and excluded; version,
+    // operation and live-segment count are exact oracle literals.
+    "store_history_audit" -> ((s, d) => {
+      import s.implicits._
+      val table = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-hist-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
+      graft.Fs.delete(s, table)
+      val docs = documents(s, d).select($"doc_id", $"text")
+      def batch(r: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        docs.filter(r($"doc_id")).coalesce(1)
+      graft.ops.VersionedStore.append(s, table, batch(_ < 30))
+      graft.ops.VersionedStore.append(s, table, batch(c => c >= 30 && c < 50))
+      graft.ops.Ingest.compactTable(s, table, rowsPerFile = 1L << 20)
+      graft.ops.Ingest.deleteRespectingLayout(s, table, $"doc_id" < 5)
+      graft.ops.VersionedStore.append(s, table, batch(c => c >= 50 && c < 60))
+      graft.ops.VersionedStore.describeHistory(s, table)
+        .select($"version", $"op", $"n_segments")
+        .orderBy($"version")
+    }),
+
+    // The layout advisory that gates auto-maintenance: five single-file
+    // appends trip the segment-count threshold, one compaction clears
+    // it — both advisory readings (counts + the advised booleans, byte
+    // sizes excluded as encoder-dependent) pinned as oracle literals.
+    "layout_advisory_report" -> ((s, d) => {
+      import s.implicits._
+      val table = java.lang.System.getProperty("java.io.tmpdir") +
+        s"/graft-adv-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
+        s"${java.lang.ProcessHandle.current().pid()}/t"
+      graft.Fs.delete(s, table)
+      val docs = documents(s, d).select($"doc_id", $"text")
+      for (i <- 0 until 5)
+        graft.ops.VersionedStore.append(s, table,
+          docs.filter($"doc_id" % 5 === i).coalesce(1))
+      def reading(phase: String) = {
+        val a = graft.ops.Ingest.layoutAdvisory(s, table,
+          maxSegments = 3, minAvgFileBytes = 1L).get
+        (phase, a.liveSegments, a.dataFiles, a.compactionAdvised)
+      }
+      val before = reading("before_compact")
+      graft.ops.Ingest.compactTable(s, table, rowsPerFile = 1L << 20)
+      val after = reading("after_compact")
+      Seq(before, after)
+        .toDF("phase", "live_segments", "data_files", "compaction_advised")
+        .orderBy($"phase")
+    }),
+
     // Streaming dedup with BOUNDED state, run LIVE: three event-derived
     // micro-batch files flow through a real file-source stream into
     // dropDuplicatesWithinWatermark (all rows share one event time, so
@@ -1795,6 +1846,19 @@ object Relational {
         |    ((SELECT m FROM tot) - 1) * n * (SELECT n_total FROM tot) AS risky
         |FROM cum GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // the five-commit lifecycle's audit rows are exact literals: the
+    // engine must stamp each op and count live segments correctly
+    "store_history_audit" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'append', 1::INT), (2, 'append', 2),
+        |  (3, 'compact', 1), (4, 'delete', 1), (5, 'append', 2))
+        |AS t(version, op, n_segments) ORDER BY version""".stripMargin,
+    "layout_advisory_report" ->
+      """SELECT * FROM (VALUES
+        |  ('after_compact', 1::INT, 1::INT, false),
+        |  ('before_compact', 5::INT, 5::INT, true))
+        |AS t(phase, live_segments, data_files, compaction_advised)
+        |ORDER BY phase""".stripMargin,
     "stream_dedup_watermark" ->
       """SELECT (user_id % 50)::VARCHAR AS key, COUNT(*) AS n_arrivals
         |FROM events
