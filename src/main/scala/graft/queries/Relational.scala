@@ -844,8 +844,13 @@ object Relational {
         s"/graft-sdedup-${d.replaceAll("[^A-Za-z0-9]", "_")}-" +
         s"${java.lang.ProcessHandle.current().pid()}"
       graft.Fs.delete(s, root)
+      // deterministic 1/7th downsample: the claim needs multiple
+      // arrivals per key, not the whole event volume — the stream's
+      // cost should not grow linearly with corpus scale in a
+      // correctness query (the oracle applies the same cut)
       val rows = events(s, d)
-        .filter($"event_id".isNotNull && $"user_id".isNotNull)
+        .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+          $"event_id" % 7 === 0)
         .select(pmod($"user_id", lit(50)).cast("string").as("key"),
           $"event_id")
       val in = s"$root/in"; val out = s"$root/rows"; val ckpt = s"$root/ckpt"
@@ -1863,6 +1868,7 @@ object Relational {
       """SELECT (user_id % 50)::VARCHAR AS key, COUNT(*) AS n_arrivals
         |FROM events
         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_id % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the gate recomputed relationally: a batch is clean iff no row
     // violates (NotNull(user_id) ∨ value outside [0, 400]); rows route
