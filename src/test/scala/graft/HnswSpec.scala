@@ -95,6 +95,27 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial ties: identical vectors and zero vectors — full-ef still exact, ties to lower id") {
+    val dup = Array(0.5f, 0.5f, 0.1f, 0f)
+    val adversarial: Seq[(Long, Array[Float])] =
+      (0L until 50L).map(i => i -> dup.clone()) ++        // one big tie class
+      (50L until 55L).map(i => i -> Array(0f, 0f, 0f, 0f)) ++ // zero norm
+      Seq(60L -> Array(1f, 0f, 0f, 0f), 61L -> Array(0f, 1f, 0f, 0f))
+    val df = adversarial.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("hnswtie").toString + "/ix"
+    Hnsw.build(df, "vec_id", "embedding", path,
+      Hnsw.Params(m = 4, efConstruction = 8), numPartitions = 2)
+    val q = Array(0.4f, 0.6f, 0f, 0f)
+    val got = Hnsw.search(spark, path, q, k = 10, ef = Int.MaxValue)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+    val exact = adversarial.map { case (i, v) => (i, cosRef(q, v)) }
+      .sortBy { case (i, s) => (-s, i) }.take(10)
+    assert(got == exact,
+      "full-ef must equal brute force with (score desc, id asc) tie-break " +
+        "even when the corpus is one giant tie class plus zero vectors")
+  }
+
   test("build is deterministic: two builds serialize identical graphs") {
     val root = java.nio.file.Files.createTempDirectory("hnsw3").toString
     Hnsw.build(corpusDf, "vec_id", "embedding", s"$root/a",
