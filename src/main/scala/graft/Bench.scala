@@ -19,8 +19,23 @@ import java.lang.management.ManagementFactory
   * re-derivation. `cpu_util` records per-query process-CPU-seconds /
   * wall-seconds for the min run: a genuinely expensive query shows
   * utilization >> 1 on local[N]; an environment stall shows ~0.
+  *
+  * Per-RUN load attribution (round 16 — the start-of-run gate only
+  * guards the first query; r15's closing run started at loadavg 0.9
+  * and ENDED at 4.1, leaving 7 ≥2x stalls unattributable): every run
+  * stamps 1-min loadavg and the cgroup CPU pressure (`/proc/pressure/
+  * cpu` `some avg10` — the %-of-time-stalled-on-CPU signal that sees
+  * contention loadavg lags on) at its start; `load` carries
+  * `[loadMinRun, psiMinRun, loadMaxRun, psiMaxRun]` per query and each
+  * `stalled` entry is annotated with the max run's load+psi, so a
+  * stall with psi ≫ 0 is provably environmental from the artifact
+  * alone.
   */
 object Bench {
+  private final case class QR(name: String, min: Double, max: Double,
+                              util: Double, err: Option[String],
+                              loadMin: Double, psiMin: Double,
+                              loadMax: Double, psiMax: Double)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,6 +64,16 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble
       catch { case _: Throwable => 0.0 }
+    // cgroup CPU pressure: fraction of recent wall time ANY runnable
+    // task waited for a CPU — the direct "someone else is eating the
+    // cores" signal; -1 when the kernel doesn't expose PSI
+    def cpuPressure: Double =
+      try {
+        val line = scala.io.Source.fromFile("/proc/pressure/cpu")
+          .getLines().find(_.startsWith("some")).getOrElse("")
+        "avg10=([0-9.]+)".r.findFirstMatchIn(line)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
     val gateT0 = System.nanoTime()
     val gateDeadline = gateT0 + 180L * 1000000000L
     while (load1 > maxLoad && System.nanoTime() < gateDeadline) {
@@ -82,6 +107,8 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
+        val runLoad = load1
+        val runPsi = cpuPressure
         val cpu0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // a broken query must surface in the JSON (err + sentinel -1
@@ -98,38 +125,48 @@ object Bench {
         // measured up to 8x CPU apart from that state alone)
         spark.catalog.clearCache()
         System.gc()
-        (wall, cpu, err)
+        (wall, cpu, err, runLoad, runPsi)
       }
-      val err = samples.collectFirst { case (_, _, Some(e)) => e }
+      val err = samples.collectFirst { case (_, _, Some(e), _, _) => e }
       val best = samples.minBy(_._1)
       val worst = samples.maxBy(_._1)
       val util = if (best._1 > 0) best._2 / best._1 else 0.0
-      (name, if (err.isDefined) -1.0 else best._1, worst._1, util, err)
+      QR(name, if (err.isDefined) -1.0 else best._1, worst._1, util, err,
+        best._4, best._5, worst._4, worst._5)
     }
     // Locale.ROOT: the f"" interpolator honors the JVM default locale, and
     // a comma decimal separator would make the emitted line invalid JSON
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + num(v) }
+    val qs = results.map(r => s"\"" + r.name + "\":" + num(r.min))
       .mkString("{", ",", "}")
-    val qmax = results.map { case (k, _, mx, _, _) => s"\"" + k + "\":" + num(mx) }
+    val qmax = results.map(r => s"\"" + r.name + "\":" + num(r.max))
       .mkString("{", ",", "}")
-    val utils = results.map { case (k, _, _, u, _) => s"\"" + k + "\":" + num(u) }
+    val utils = results.map(r => s"\"" + r.name + "\":" + num(r.util))
+      .mkString("{", ",", "}")
+    // per-query environment stamps: [load@minRun, psi@minRun,
+    // load@maxRun, psi@maxRun] — the min run's stamps qualify the
+    // headline number, the max run's attribute any stall
+    val loads = results.map(r => s"\"" + r.name + "\":[" +
+        num(r.loadMin) + "," + num(r.psiMin) + "," +
+        num(r.loadMax) + "," + num(r.psiMax) + "]")
       .mkString("{", ",", "}")
     val stalled = results.collect {
-      case (k, mn, mx, _, None) if mn > 0 && mx / mn > 3.0 =>
-        s"\"" + k + "\":" + num(mx / mn)
+      case r if r.err.isEmpty && r.min > 0 && r.max / r.min > 3.0 =>
+        s"\"" + r.name + "\":{\"ratio\":" + num(r.max / r.min) +
+          ",\"max_run_load\":" + num(r.loadMax) +
+          ",\"max_run_psi\":" + num(r.psiMax) + "}"
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) =>
-      s"\"" + k + "\":\"" + Jsons.escape(e) + "\""
+    val errs = results.collect { case r if r.err.isDefined =>
+      s"\"" + r.name + "\":\"" + Jsons.escape(r.err.get) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
+    val total = results.map(r => math.max(r.min, 0.0)).sum
     // FULL per-query detail → stderr AND a committed sidecar file (the
     // driver's tail buffer truncates the stderr line, which left 176 of
     // 232 queries invisible in BENCH_r12 — the file preserves the whole
     // map for round-over-round triage)
     val gate = s""""load_gate":{"max":${num(maxLoad)},"waited_sec":${num(gateWaitedSec)},"contaminated":$loadContaminated}"""
-    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"load":$loads,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     val sideCar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
@@ -160,20 +197,20 @@ object Bench {
       "hard_negatives_ivf", "gazetteer_gate_pipeline", "t_closeness_report",
       "audio_fingerprint_pairs", "url_canonicalize", "domain_cap_sample",
       "dedup_minhash_auto")
-    val byName = results.map(r => r._1 -> r).toMap
+    val byName = results.map(r => r.name -> r).toMap
     val hq = new StringBuilder
     headline.foreach { k =>
-      byName.get(k).foreach { case (_, v, _, _, _) =>
-        val entry = "\"" + k + "\":" + num3(v)
+      byName.get(k).foreach { r =>
+        val entry = "\"" + k + "\":" + num3(r.min)
         if (hq.length + entry.length < 1450) {
           if (hq.nonEmpty) hq.append(',')
           hq.append(entry)
         }
       }
     }
-    val nStalled = results.count { case (k, mn, mx, _, e) =>
-      e.isEmpty && mn > 0 && mx / mn > 3.0 }
-    val nErrs = results.count(_._5.isDefined)
+    val nStalled = results.count(r =>
+      r.err.isEmpty && r.min > 0 && r.max / r.min > 3.0)
+    val nErrs = results.count(_.err.isDefined)
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${results.size},"queries":{${hq.result()}},"stalled_count":$nStalled,"error_count":$nErrs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -45,6 +45,13 @@ object Hnsw {
     */
   val MaxNodesPerPartition: Int = 4 << 20
 
+  /** Hard ceiling on a search batch: queries ship in every task
+    * closure, so the batch must be serving-sized, never corpus-sized
+    * (64k × 384-dim floats ≈ 100 MB closure — already the practical
+    * edge; anything larger is a bug caught loudly, not a driver OOM).
+    */
+  val MaxQueryBatch: Int = 65536
+
   /** `m`: out-degree target per layer (level 0 keeps 2m); `efC`: beam
     * width during construction. Defaults follow the common production
     * settings (Lucene's 16/100 class). `metric` is the reference's
@@ -247,9 +254,16 @@ object Hnsw {
       *      beam at ANY ef. On a symmetric graph directed reach equals
       *      undirected reach, so step 1's connectivity makes full-ef
       *      search exhaustive from any entry. Hub nodes may exceed the
-      *      2m cap after symmetrization — a bounded search-cost tax
-      *      paid for an exactness GUARANTEE (stock HNSW implementations
-      *      keep the directed graph and only promise high recall).
+      *      2m cap after symmetrization, and the symmetrized degree is
+      *      UNBOUNDED in principle: an adversarial corpus (e.g. one
+      *      giant tie class, where pruning sends every node's links to
+      *      the same few hubs) can inflate hub degree toward O(n),
+      *      degrading every beam hop that touches the hub. That tax is
+      *      accepted deliberately — capping back-link degree would
+      *      reopen directed-orphan holes and void the exactness
+      *      GUARANTEE (stock HNSW keeps the directed graph and only
+      *      promises high recall; HnswSpec's adversarial-ties spec
+      *      pins that full-ef stays exact on exactly such corpora).
       */
     def ensureConnected(): Unit = {
       var i = 1
@@ -314,10 +328,18 @@ object Hnsw {
   def append(df: DataFrame, idCol: String, embCol: String, path: String,
              numPartitions: Int = 1): Unit = {
     val spark = df.sparkSession
-    val (m, efC, metric) = readParams(spark, path)
-    // an empty index (built from zero rows) has no max pid — base 0
+    val (m, efC, metric, declaredParts) = readParams(spark, path)
+    // base at max(observed max pid + 1, declared num_partitions): a
+    // buildIvf index leaves EMPTY cells unrepresented in the graph
+    // rows, so max(pid) alone can sit below model.k and an appended
+    // segment would land at a pid < cellCeiling — searchBatchProbed
+    // would then treat it as a probe-prunable cell, silently skipping
+    // its rows and breaking the "appended segments are ALWAYS
+    // searched" guarantee. The params sidecar's num_partitions is the
+    // authoritative ceiling (an empty index has no max pid — base 0).
     val maxRow = spark.read.parquet(graphPath(path)).agg(max(col("pid"))).head()
-    val base = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
+    val base = math.max(
+      if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1, declaredParts)
     buildGraphs(df, idCol, embCol, m, efC, metric, numPartitions,
       pidOffset = base)
       .write.mode("append").parquet(graphPath(path))
@@ -326,8 +348,10 @@ object Hnsw {
       s"""{"m":$m,"ef_construction":$efC,"metric":"$metric","num_partitions":${base + numPartitions}}""")
   }
 
-  /** Shared loud params reader: (m, efConstruction, metric). */
-  private def readParams(spark: SparkSession, path: String): (Int, Int, String) = {
+  /** Shared loud params reader: (m, efConstruction, metric,
+    * numPartitions) — numPartitions 0 for a pre-field sidecar.
+    */
+  private def readParams(spark: SparkSession, path: String): (Int, Int, String, Int) = {
     val pjson = graft.Fs.readString(spark, paramsPath(path))
     def field(name: String, re: String): String =
       (s""""$name":""" + re).r.findFirstMatchIn(pjson)
@@ -336,8 +360,11 @@ object Hnsw {
     val metric =
       if (pjson.contains("\"metric\"")) field("metric", "\"([A-Z_]+)\"")
       else "COSINE" // pre-metric graphs were cosine-built
+    val parts =
+      if (pjson.contains("\"num_partitions\"")) field("num_partitions", "(\\d+)").toInt
+      else 0
     (field("m", "(\\d+)").toInt, field("ef_construction", "(\\d+)").toInt,
-      metric)
+      metric, parts)
   }
 
   private def buildGraphs(df: DataFrame, idCol: String, embCol: String,
@@ -470,8 +497,9 @@ object Hnsw {
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
                   qidCol: String, qEmbCol: String, k: Int,
                   ef: Int): DataFrame =
-    searchImpl(spark, path, queries, qidCol, qEmbCol, k, ef,
+    searchImpl(spark, path, queries, qidCol, qEmbCol, k, Seq(ef),
       probesFor = _ => Set.empty, cellCeiling = Int.MaxValue)
+      .drop("__ef")
 
   /** IVF×HNSW probed batch search over a [[buildIvf]] index: each
     * query computes its `nProbe` nearest cells from the SAME IvfModel
@@ -490,20 +518,38 @@ object Hnsw {
                         k: Int, ef: Int, model: Ivf.IvfModel,
                         nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    searchImpl(spark, path, queries, qidCol, qEmbCol, k, ef,
+    searchImpl(spark, path, queries, qidCol, qEmbCol, k, Seq(ef),
       probesFor = qv => model.probeOrder(qv).take(nProbe).toSet,
       cellCeiling = model.k)
+      .drop("__ef")
   }
 
+  /** Shared search core over a ladder of beam widths: every graph is
+    * reconstructed ONCE and answers every (query, ef) rung from memory
+    * (the reconstruct dominates a tuning sweep — beams share it).
+    * Emits a `__ef` column; single-ef callers drop it, [[tuneEf]]
+    * groups on it.
+    */
   private def searchImpl(spark: SparkSession, path: String,
                          queries: DataFrame, qidCol: String, qEmbCol: String,
-                         k: Int, ef: Int,
+                         k: Int, efs: Seq[Int],
                          probesFor: Array[Float] => Set[Int],
                          cellCeiling: Int): DataFrame = {
-    require(k >= 1 && ef >= 1, s"k/ef must be >= 1, got $k/$ef")
-    val (m, efC, metric) = readParams(spark, path)
+    require(k >= 1 && efs.nonEmpty && efs.forall(_ >= 1),
+      s"k and every ef must be >= 1, got k=$k efs=$efs")
+    val (m, efC, metric, _) = readParams(spark, path)
     val graph = spark.read.parquet(graphPath(path))
-    val qRows = queries.select(col(qidCol), col(qEmbCol)).collect()
+    // the query batch ships in every task closure — bounded LOUDLY
+    // (the collectEvalVectors discipline): a corpus-sized `queries`
+    // argument is a bug, and a silent driver-OOM is the failure mode
+    // this ceiling exists to prevent
+    val qCollected = queries.select(col(qidCol), col(qEmbCol))
+      .limit(MaxQueryBatch + 1).collect()
+    require(qCollected.length <= MaxQueryBatch,
+      s"query batch exceeds $MaxQueryBatch rows — batch search ships " +
+        "queries in the task closure by construction; split the batch " +
+        "or join against the index instead")
+    val qRows = qCollected
       .map { r =>
         val qv = r.getSeq[Float](1).toArray
         (r.get(0), qv, probesFor(qv))
@@ -511,7 +557,8 @@ object Hnsw {
     val qidField = queries.select(col(qidCol)).schema.head
     val idField = graph.schema(4)
     val outSchema = StructType(Seq(
-      qidField, idField.copy(name = "__cand"),
+      qidField, StructField("__ef", IntegerType, nullable = false),
+      idField.copy(name = "__cand"),
       StructField("sim", DoubleType, nullable = false)))
     // sort pids contiguous so a task holds ONE graph's rows at a time
     // (the buildIvf streaming discipline — a task co-hashing several
@@ -541,18 +588,20 @@ object Hnsw {
           else {
             val (g, ids) = reconstruct(rows, m, efC, metric)
             interested.iterator.flatMap { case (qid, qv, _) =>
-              g.searchFrom(qv, k, math.min(ef, rows.size))
-                .map { case (sim, ord) => Row(qid, ids(ord), sim) }
+              efs.iterator.flatMap { ef =>
+                g.searchFrom(qv, k, math.min(ef, rows.size))
+                  .map { case (sim, ord) => Row(qid, ef, ids(ord), sim) }
+              }
             }
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qidCol))
+      .partitionBy(col(qidCol), col("__ef"))
       .orderBy(col("sim").desc, col("__cand").asc)
     local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"),
+      .select(col(qidCol), col("__ef"), col("rank"),
         col("__cand").as(idField.name), col("sim"))
   }
 
@@ -568,6 +617,67 @@ object Hnsw {
     searchBatch(spark, path, q, "__qid", "__qv", k, ef)
       .orderBy(col("rank"))
       .select(col(idName), col("sim"))
+  }
+
+  /** ef auto-tuning — [[Ivf.tuneNProbe]]'s mirror for the graph index
+    * (the recall curve a production deployment needs before it can
+    * pick its beam width): the smallest ef in `efLadder` whose
+    * measured recall@k on a bounded, deterministic query sample
+    * reaches `targetRecall`, plus the whole curve for observability.
+    *
+    * Cost shape: ONE exact batch similarity join of the sample against
+    * the indexed vectors (ground truth — the graph parquet already
+    * carries id+embedding, so no source table is touched), then ONE
+    * multi-ef search pass through [[searchImpl]]: every graph is
+    * reconstructed once and answers every (query, ef) rung from
+    * memory. Recall@k here counts true-neighbor retrievals, so a
+    * returned candidate tying a truth row's score but differing in id
+    * counts as a miss — the strict reading, matching tuneNProbe.
+    *
+    * Returns `(ef, curve)` where curve = one row per rung
+    * `(ef, n_hits, recall)` — exact integer counts + one rounded
+    * division. Falls back to the ladder max when even it misses the
+    * target; include a rung ≥ the largest partition size to make that
+    * rung exact by the full-ef theorem.
+    */
+  def tuneEf(spark: SparkSession, path: String, sampleQueries: DataFrame,
+             qidCol: String, qEmbCol: String, k: Int, targetRecall: Double,
+             efLadder: Seq[Int] = Seq(16, 32, 64, 128, 256)): (Int, DataFrame) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1] (got $targetRecall)")
+    require(efLadder.nonEmpty && efLadder.forall(_ >= 1),
+      s"efLadder must be non-empty positive (got $efLadder)")
+    val (_, _, metric, _) = readParams(spark, path)
+    val graph = spark.read.parquet(graphPath(path))
+    val idName = graph.schema(4).name
+    val embName = graph.schema(5).name
+    val q = sampleQueries.select(col(qidCol), col(qEmbCol))
+      .filter(col(qEmbCol).isNotNull)
+    // ground truth: exact top-k over the indexed vectors, checkpointed
+    // because both the denominator count and the hit join read it
+    val truth = Similarity.similarityJoin(q,
+        graph.select(col(idName), col(embName)),
+        qidCol, qEmbCol, idName, embName, k, metric)
+      .select(col(qidCol), col(idName))
+      .localCheckpoint()
+    val total = truth.count()
+    require(total > 0, "tuneEf needs a non-empty ground-truth sample")
+    val efs = efLadder.distinct.sorted
+    val hits = searchImpl(spark, path, q, qidCol, qEmbCol, k, efs,
+      probesFor = _ => Set.empty, cellCeiling = Int.MaxValue)
+    val perEf = hits.join(truth, Seq(qidCol, idName))
+      .groupBy(col("__ef")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = efs.map(e =>
+      (e, perEf.getOrElse(e, 0L), perEf.getOrElse(e, 0L).toDouble / total))
+    val spark2 = spark
+    import spark2.implicits._
+    val curve = rows.toDF("ef", "n_hits", "recall")
+      .withColumn("recall", round(col("recall"), 6))
+    val chosen = rows.collectFirst {
+      case (e, _, rec) if rec >= targetRecall => e
+    }.getOrElse(efs.last)
+    (chosen, curve)
   }
 
   // ---- HNSW sidecar (graph index maintained through the store seams) ----

@@ -122,8 +122,12 @@ object Ingest {
                    withBatchMeta: Boolean = false): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     import org.apache.spark.sql.types._
+    // outCol is nullable: null text rows pass through embedBatch, and
+    // an embedder that maps null text → null vector must surface that
+    // as a null embedding (matching the per-row EmbedText expression's
+    // null semantics), not as a bare NullPointerException in the encoder
     val base = df.schema
-      .add(outCol, ArrayType(FloatType, containsNull = false), nullable = false)
+      .add(outCol, ArrayType(FloatType, containsNull = false), nullable = true)
     val schema =
       if (withBatchMeta)
         base.add("batch_idx", LongType, nullable = false)
@@ -140,9 +144,10 @@ object Ingest {
           s"embedBatch returned ${vecs.length} vectors for ${rows.length} " +
             "texts — a partial batch must fail loudly, not lose rows")
         rows.lazyZip(vecs).map { (r, v) =>
+          val vSeq: Any = if (v == null) null else v.toSeq
           val extra: Seq[Any] =
-            if (withBatchMeta) Seq(v.toSeq, bi.toLong, rows.size)
-            else Seq(v.toSeq)
+            if (withBatchMeta) Seq(vSeq, bi.toLong, rows.size)
+            else Seq(vSeq)
           org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
         }
       }

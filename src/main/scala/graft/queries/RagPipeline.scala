@@ -43,7 +43,125 @@ object RagPipeline {
     }
   }
 
+  /** Deterministic rewrite model shared by the provenance rows and the
+    * e2e pipeline: rewritten = question + last history turn (value the
+    * oracle recomputes as a string concat).
+    */
+  private object CtxRewriteModel extends Chat.ChatModel {
+    def rewrite(q: String, h: Seq[String]): String = s"$q ${h.last}"
+    def generate(sys: String, c: String, q: String): String =
+      Chat.TemplateModel.generate(sys, c, q)
+  }
+
+  /** Shared fixture for the V6/V7/V8/V10 seam rows (each seam gets its
+    * OWN oracle row so a regression names the seam instead of failing
+    * `rag_e2e_pipeline` opaquely — reference `chatbot.py:223-287`
+    * grading, `:290-313` grounded generation, `:330-341` plain
+    * generation, `:272-284` provenance): corpus = docs ≥ 20; 20
+    * questions from docs < 20. `qid % 4 == 0` questions are synthetic
+    * non-words (no token overlap with any corpus text ⇒ the grading NO
+    * branch / plain generation); the rest carry the doc's first 5
+    * tokens (YES branch / grounded). Even qids carry a one-turn
+    * history for the V5 rewrite gate. The embedder is the
+    * deterministic lookup contract, primed for both the raw and
+    * rewritten spelling of every question with the SAME vector. Even
+    * if a synthetic token ever did appear in a corpus text, both
+    * engines replay the identical overlap arithmetic — branch
+    * diversity is test power, not a correctness dependency.
+    */
+  private def seamFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, LookupEmbedder) = {
+    import s.implicits._
+    val joined = documents(s, d).join(embeddings(s, d), $"doc_id" === $"vec_id")
+    val corpus = joined.filter($"doc_id" >= 20)
+      .select($"doc_id", $"text", $"embedding")
+    val qa = joined.filter($"doc_id" < 20)
+      .select($"doc_id".as("qid"),
+        when($"doc_id" % 4 === 0,
+          concat(lit("q"), $"doc_id".cast("string"), lit(" zzqx7kq vvkw9jx")))
+          .otherwise(concat(lit("q"), $"doc_id".cast("string"), lit(" "),
+            concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 5))))
+          .as("question"),
+        $"lang".as("topic"), $"embedding")
+      .withColumn("hist",
+        when($"qid" % 2 === 0,
+          array(concat(lit("prior turn about "), $"topic")))
+          .otherwise(array().cast("array<string>")))
+    val qvecs = qa
+      .select($"question", $"embedding",
+        concat($"question", lit(" prior turn about "), $"topic").as("rw"))
+      .collect()
+      .flatMap(r => Seq(r.getString(0) -> r.getSeq[Float](1),
+                        r.getString(2) -> r.getSeq[Float](1))).toMap
+    (corpus, qa, LookupEmbedder(qvecs))
+  }
+
   val queries: Map[String, Q] = Map(
+    // V6 as its own row: per-question grading branch + routing decision
+    // + suite-level branch counts, all replayed relationally by the
+    // oracle from the overlap arithmetic (reference chatbot.py:223-287:
+    // the binary relevance judge routes grounded vs plain generation).
+    // No history/rewrite here — the grade runs on the raw question, so
+    // a failure isolates OverlapGrader, not the V5 gate.
+    "rag_grading_branches" -> ((s, d) => {
+      import s.implicits._
+      val (corpus, qa, emb) = seamFixture(s, d)
+      Chat.answerBatch(
+          qa.select($"qid", $"question"), "qid", "question",
+          corpus, "doc_id", "text", "embedding",
+          emb, Chat.TemplateModel, Chat.OverlapGrader,
+          topK = TopK, useHistory = false)
+        .select($"qid", $"relevant",
+          when($"relevant", "grounded").otherwise("plain").as("route"),
+          sum(when($"relevant", 1L).otherwise(0L))
+            .over(Window.partitionBy(lit(1))).as("n_grounded"),
+          sum(when($"relevant", 0L).otherwise(1L))
+            .over(Window.partitionBy(lit(1))).as("n_plain"))
+        .orderBy($"qid")
+    }),
+
+    // V7/V8 as their own row: the template answer string (grounded
+    // fill chatbot.py:290-313, plain fill :330-341) plus the chunk
+    // count it embeds, both recomputed byte-for-byte by the oracle.
+    // The grounded branch counts non-empty \n\n chunks of the REAL
+    // retrieved context; the plain branch must say 0 chunks.
+    "rag_generation_template" -> ((s, d) => {
+      import s.implicits._
+      val (corpus, qa, emb) = seamFixture(s, d)
+      Chat.answerBatch(
+          qa.select($"qid", $"question"), "qid", "question",
+          corpus, "doc_id", "text", "embedding",
+          emb, Chat.TemplateModel, Chat.OverlapGrader,
+          topK = TopK, useHistory = false)
+        .select($"qid", $"relevant",
+          when($"relevant",
+            size(filter(split($"context", "\n\n"), x => length(x) > 0)))
+            .otherwise(0).cast("long").as("n_chunks"),
+          $"answer")
+        .orderBy($"qid")
+    }),
+
+    // V10 + V5 as their own row: provenance (`retrieved_ids` in rank
+    // order, chatbot.py:272-284) and the rewrite gate (history-on ∧
+    // ctx-prompt-set ∧ prior turns ⇒ rewritten = question + last turn;
+    // odd qids decline the gate and flow through untouched) — the
+    // oracle pins the rewritten string as a concat and re-derives the
+    // id list from the cosine ranking.
+    "rag_provenance_rewrite" -> ((s, d) => {
+      import s.implicits._
+      val (corpus, qa, emb) = seamFixture(s, d)
+      Chat.answerBatch(
+          qa.select($"qid", $"question", $"hist"), "qid", "question",
+          corpus, "doc_id", "text", "embedding",
+          emb, CtxRewriteModel, Chat.OverlapGrader,
+          topK = TopK, historyCol = Some("hist"),
+          useHistory = true, ctxPrompt = Some("rephrase for retrieval"))
+        .select($"qid", $"question", $"rewritten_query",
+          concat_ws(",", $"retrieved_ids").as("retrieved"),
+          size($"retrieved_ids").cast("long").as("n_retrieved"))
+        .orderBy($"qid")
+    }),
+
     // End-to-end: even-id corpus rows land first (S14), then the FULL
     // corpus merge-appends through the S15 anti-join (evens contribute
     // zero rows), the store is IVF-clustered (S16) and lexically
@@ -200,7 +318,75 @@ object RagPipeline {
     }),
   )
 
+  /** Shared oracle prefix for the seam rows: the [[seamFixture]]
+    * corpus/questions, the cosine top-4 retrieval replay (same
+    * `score DESC, doc_id` tiebreak as [[graft.ops.Similarity
+    * .similarityJoin]]), rank-ordered provenance + context concat, and
+    * the overlap grade recomputed relationally.
+    */
+  private val SeamCte: String =
+    s"""WITH corpus AS (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  WHERE d.doc_id >= 20),
+       |qa AS (
+       |  SELECT d.doc_id AS qid,
+       |    CASE WHEN d.doc_id % 4 = 0
+       |      THEN 'q' || d.doc_id || ' zzqx7kq vvkw9jx'
+       |      ELSE 'q' || d.doc_id || ' ' ||
+       |        array_to_string(regexp_split_to_array(trim(d.text), '\\s+')[1:5], ' ')
+       |    END AS question,
+       |    d.lang AS topic, e.embedding AS qemb
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  WHERE d.doc_id < 20),
+       |top4 AS (
+       |  SELECT qid, doc_id, rank FROM (
+       |    SELECT q.qid, c.doc_id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qemb::DOUBLE[]) DESC,
+       |      c.doc_id) AS rank
+       |    FROM qa q, corpus c)
+       |  WHERE rank <= $TopK),
+       |perq AS (
+       |  SELECT t.qid,
+       |    string_agg(c.doc_id::VARCHAR, ',' ORDER BY t.rank) AS retrieved,
+       |    string_agg(c.text, chr(10) || chr(10) ORDER BY t.rank) AS context
+       |  FROM top4 t JOIN corpus c ON t.doc_id = c.doc_id
+       |  GROUP BY t.qid),
+       |graded AS (
+       |  SELECT q.qid, q.question, q.topic, p.retrieved, p.context,
+       |    list_has_any(
+       |      list_filter(regexp_split_to_array(lower(q.question), '\\s+'), t -> t <> ''),
+       |      regexp_split_to_array(lower(p.context), '\\s+')) AS relevant
+       |  FROM qa q JOIN perq p ON p.qid = q.qid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "rag_grading_branches" ->
+      s"""$SeamCte
+         |SELECT qid, relevant,
+         |  CASE WHEN relevant THEN 'grounded' ELSE 'plain' END AS route,
+         |  CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_grounded,
+         |  CAST(sum(CASE WHEN relevant THEN 0 ELSE 1 END) OVER () AS BIGINT) AS n_plain
+         |FROM graded ORDER BY qid""".stripMargin,
+    "rag_generation_template" ->
+      s"""$SeamCte
+         |SELECT qid, relevant,
+         |  CAST(CASE WHEN relevant THEN len(list_filter(
+         |      string_split(context, chr(10) || chr(10)), x -> x <> ''))
+         |    ELSE 0 END AS BIGINT) AS n_chunks,
+         |  '[you are helpful] Q: ' || question || ' | grounded on ' ||
+         |    len(list_filter(string_split(
+         |      CASE WHEN relevant THEN context ELSE '' END, chr(10) || chr(10)),
+         |      x -> x <> '')) || ' chunks' AS answer
+         |FROM graded ORDER BY qid""".stripMargin,
+    "rag_provenance_rewrite" ->
+      s"""$SeamCte
+         |SELECT g.qid, g.question,
+         |  CASE WHEN g.qid % 2 = 0
+         |    THEN g.question || ' prior turn about ' || g.topic
+         |    ELSE g.question END AS rewritten_query,
+         |  g.retrieved,
+         |  CAST(len(string_split(g.retrieved, ',')) AS BIGINT) AS n_retrieved
+         |FROM graded g ORDER BY g.qid""".stripMargin,
     // The whole lifecycle recomputed relationally: store contents ≡ the
     // joined corpus (the merge is idempotent by construction), vector
     // leg = cosine rank, lexical leg = the BM25 CTE with per-question

@@ -861,9 +861,14 @@ object Relational {
           .select(to_json(struct($"key",
             lit("2026-01-01T10:00:00").as("ts")))).coalesce(1)
           .write.mode("overwrite").text(stage)
-        // Fs.list returns full paths
-        val part = graft.Fs.list(s, stage).find(_.contains("part-")).get
-        graft.Fs.rename(s, part, s"$in/b$b.json")
+        // Fs.list returns full paths. An empty slice (event_id%7==0 &&
+        // %3==b can be empty at a tiny scale factor) writes no part
+        // file — skip the publish; the oracle applies the same cut, so
+        // a batch with no rows contributes nothing on either side.
+        graft.Fs.list(s, stage).find(_.contains("part-")) match {
+          case Some(part) => graft.Fs.rename(s, part, s"$in/b$b.json")
+          case None => ()
+        }
       }
       publishBatch(0)
       val schema = org.apache.spark.sql.types.StructType
@@ -1233,8 +1238,14 @@ object Relational {
             .cast("decimal(22,4)").as("sum_disc_price"),
           max($"price").cast("decimal(12,2)").as("max_price"),
           count(lit(1)).as("n"))
-        .withColumn("avg_price",
-          round($"sum_price".cast("double") / $"n", 6))
+        // avg as EXACT integer micros: round(double, 6) at the output
+        // boundary is tie-sensitive and diverges across DuckDB builds
+        // (r15's one driver-red row). sum_price*100 is integral cents
+        // (scale-2 decimal), ×10000 = micros numerator, DIV truncates —
+        // all values positive so Spark DIV (toward zero) and DuckDB //
+        // agree. Long bound: cents ≤ ~9e14 at 100 TB, ×1e4 < 9.2e18.
+        .withColumn("avg_price_micros",
+          expr("CAST(CAST(sum_price * 100 AS BIGINT) * 10000 DIV n AS BIGINT)"))
         .orderBy($"l_returnflag")
     }),
 
@@ -2160,8 +2171,8 @@ object Relational {
         |    AS DECIMAL(22,4)) AS sum_disc_price,
         |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
         |  COUNT(*) AS n,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))::DOUBLE
-        |    / COUNT(*), 6) AS avg_price
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) * 10000 // COUNT(*) AS BIGINT) AS avg_price_micros
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "layout_zorder_roundtrip" ->
       """SELECT l_partkey % 8 AS pk_bucket, COUNT(*) AS n,

@@ -403,6 +403,49 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // Hnsw.tuneEf invariants as an oracle row (the tuner's CONTRACT —
+    // Ivf.tuneNProbe's mirror): tune toward recall@10 ≥ 0.95 over a
+    // 4-rung ladder whose cap exceeds every partition size, so the cap
+    // rung is exact by the full-ef theorem. The oracle declares the
+    // theorem facts: cap recall is exactly 1.0, hits never exceed the
+    // ground-truth size, the chosen ef meets the target and is the
+    // FIRST rung that does, and an independent searchBatch at the
+    // chosen ef reproduces the curve's hit count integer-for-integer.
+    "ann_hnsw_tune_ef" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val path = java.nio.file.Files
+        .createTempDirectory("hnswtune-session").toString + "/ix"
+      val corpus = e.filter($"vec_id" >= 20).select($"vec_id", $"embedding")
+      graft.ops.Hnsw.build(corpus, "vec_id", "embedding", path,
+        graft.ops.Hnsw.Params(m = 8, efConstruction = 32), numPartitions = 4)
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val k = 10; val target = 0.95
+      val ladder = Seq(4, 16, 64, 1 << 20)
+      val (chosen, curve) = graft.ops.Hnsw.tuneEf(
+        s, path, q, "qid", "qv", k, target, ladder)
+      val rungs = curve.orderBy($"ef").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      val truth = graft.ops.Similarity.similarityJoin(q, corpus,
+          "qid", "qv", "vec_id", "embedding", k, "COSINE")
+        .select($"qid", $"vec_id").localCheckpoint()
+      val total = truth.count()
+      val rehits = graft.ops.Hnsw.searchBatch(s, path, q, "qid", "qv", k, chosen)
+        .join(truth, Seq("qid", "vec_id")).count()
+      val firstMeeting = rungs.collectFirst {
+        case (ef2, _, rec) if rec >= target => ef2 }
+      Seq((rungs.length.toLong, total,
+          rungs.last._2 == total,
+          rungs.forall(_._2 <= total),
+          rungs.find(_._1 == chosen).exists(_._3 >= target),
+          firstMeeting.contains(chosen),
+          rungs.find(_._1 == chosen).exists(_._2 == rehits)))
+        .toDF("n_rungs", "total_truth", "cap_recall_one", "hits_bounded_all",
+          "chosen_meets_target", "chosen_is_first_meeting",
+          "recheck_hits_equal_curve")
+    }),
+
     // S16 × J4: IVF-probed batch similarity join at full probe — every
     // query ranks all 8 centroids, so the probed union is the whole
     // corpus and the result must equal the exhaustive batch join
@@ -1002,6 +1045,17 @@ object VectorSearch {
     "ann_hnsw_full_ef" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_sidecar_serve" -> knnOracle("list_cosine_similarity", desc = true),
+    // the tuner's theorem facts are engine-independent literals; the
+    // one data-shaped value (the ground-truth size) is replayed as a
+    // count — 10 true neighbors exist for every sample query at every
+    // scale factor, so |truth| = 10 · |queries|
+    "ann_hnsw_tune_ef" ->
+      """SELECT 4::BIGINT AS n_rungs,
+        |  ((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 10)::BIGINT
+        |    AS total_truth,
+        |  true AS cap_recall_one, true AS hits_bounded_all,
+        |  true AS chosen_meets_target, true AS chosen_is_first_meeting,
+        |  true AS recheck_hits_equal_curve""".stripMargin,
     "mmr_lambda1_equals_knn" -> knnOracle("list_cosine_similarity", desc = true),
     // exact MMR oracle: the greedy selection IS the recursion — rnk n+1
     // is the LATERAL argmax of λ·s − (1−λ)·max cos(candidate, chosen)

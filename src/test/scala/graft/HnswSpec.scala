@@ -254,6 +254,75 @@ class HnswSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("append after buildIvf with empty trailing cells lands at pid >= model.k; partial probe still searches it") {
+    import graft.ops.Ivf
+    val path = java.nio.file.Files.createTempDirectory("hnswfloor").toString + "/ix"
+    val model = Ivf.fit(corpusDf, "vec_id", "embedding", k = 8)
+    // keep only rows of the three lowest cells — cells 3..7 stay EMPTY,
+    // so the graph parquet's max pid sits BELOW model.k; a max(pid)+1
+    // append base would land the new segment INSIDE the cell range and
+    // partial probe would silently prune it
+    val lowCells = Ivf.assign(corpusDf, "embedding", model)
+      .filter($"cluster_id" < 3).drop("cluster_id")
+    assert(lowCells.count() > 0, "fixture needs occupied low cells")
+    Hnsw.buildIvf(lowCells, "vec_id", "embedding", model, path,
+      Hnsw.Params(m = 8, efConstruction = 32))
+    val maxCellPid = spark.read.parquet(Hnsw.graphPath(path))
+      .agg(max($"pid")).as[Int].head()
+    assert(maxCellPid < model.k, "fixture must leave trailing cells empty")
+    val extraVec = Array.fill(16)(0.9f)
+    val extra = Seq((9001L, extraVec.toSeq)).toDF("vec_id", "embedding")
+    Hnsw.append(extra, "vec_id", "embedding", path, numPartitions = 1)
+    val appendedPids = spark.read.parquet(Hnsw.graphPath(path))
+      .filter($"vec_id" === 9001L).select($"pid").as[Int].collect().toSeq
+    assert(appendedPids.nonEmpty && appendedPids.forall(_ >= model.k),
+      s"appended segment pids $appendedPids must clear the cell ceiling ${model.k}")
+    // the guarantee that motivated the floor: a 1-cell probe must STILL
+    // see the appended row (appended segments are always searched)
+    val q = Seq((1L, extraVec.toSeq)).toDF("qid", "qv")
+    val got = Hnsw.searchBatchProbed(spark, path, q, "qid", "qv",
+        k = 1, ef = Int.MaxValue, model, nProbe = 1)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == Seq(9001L),
+      "the appended vector must be found under partial probe")
+  }
+
+  test("tuneEf: chosen ef meets the target on planted clusters; cap rung is exact; curve is consistent") {
+    val rnd = new scala.util.Random(19)
+    val centers = (0 until 5).map(_ => Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val planted = (0L until 1000L).map { i =>
+      val c = centers((i % 5).toInt)
+      i -> c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    }
+    val path = java.nio.file.Files.createTempDirectory("hnswtune").toString + "/ix"
+    Hnsw.build(planted.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, Hnsw.Params(m = 12, efConstruction = 64),
+      numPartitions = 2)
+    val q = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("qid", "qv")
+    val ladder = Seq(8, 40, 1 << 20)
+    val (chosen, curveDf) = Hnsw.tuneEf(spark, path, q, "qid", "qv",
+      k = 10, targetRecall = 0.9, efLadder = ladder)
+    val curve = curveDf.orderBy($"ef").as[(Int, Long, Double)].collect().toSeq
+    assert(curve.map(_._1) == ladder, "one curve row per ladder rung, sorted")
+    assert(curve.last._3 == 1.0, "cap rung >= partition size is exact (full-ef theorem)")
+    assert(ladder.contains(chosen))
+    val recallAtChosen = curve.find(_._1 == chosen).get._3
+    assert(recallAtChosen >= 0.9, s"chosen ef=$chosen recall $recallAtChosen")
+    // minimality: every ladder rung BELOW the chosen one missed the target
+    assert(curve.filter(_._1 < chosen).forall(_._3 < 0.9),
+      "chosen must be the smallest rung meeting the target")
+    // independent recheck through the public API
+    val truth = graft.ops.Similarity.similarityJoin(q,
+        planted.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"),
+        "qid", "qv", "vec_id", "embedding", 10, "COSINE")
+      .select($"qid", $"vec_id")
+    val rehits = Hnsw.searchBatch(spark, path, q, "qid", "qv", 10, chosen)
+      .join(truth, Seq("qid", "vec_id")).count()
+    assert(curve.find(_._1 == chosen).get._2 == rehits,
+      "curve hit count must match an independent searchBatch at the chosen ef")
+  }
+
   test("oversized partition refuses loudly; damaged params refuse") {
     val path = java.nio.file.Files.createTempDirectory("hnsw5").toString + "/ix"
     Hnsw.build(corpusDf, "vec_id", "embedding", path,

@@ -79,6 +79,25 @@ class IngestChatSpec extends AnyFunSuite {
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => t.getMessage != null && t.getMessage.contains("partial batch")),
       s"partial-batch loss must surface loudly, got: $e")
+    // null text → null embedding propagates (the per-row EmbedText
+    // expression's null semantics), never an encoder NPE
+    val nullTolerant = new graft.embed.Embedder {
+      def dim = 4
+      def embed(t: String): Array[Float] =
+        if (t == null) null else Array.fill(4)(0.2f)
+    }
+    val withNulls = spark.range(0, 6).select($"id".as("doc_id"),
+      when($"id" % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("t"), $"id".cast("string"))).as("text"))
+    val got = Ingest.embedBatched(withNulls, "text", nullTolerant,
+        batchSize = 4).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("embedding"))) null
+         else r.getSeq[Float](r.fieldIndex("embedding")))).toMap
+    assert(got(0L) == null && got(3L) == null,
+      "null text rows must carry a null embedding")
+    assert(got(1L) != null && got(5L) != null,
+      "non-null rows still embed")
   }
 
   test("ingest keeps an IVF-indexed store cluster-partitioned across appends and compaction") {
