@@ -455,8 +455,15 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge after $it rounds " +
           s"($changed labels still changing); raise maxIters")
+    lastCcRounds = it
     labels
   }
+
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * probe/spec observability only (the scale claim is rounds ~
+    * O(log diameter), and a probe asserting it needs the count).
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
 
   /** Near-dup survivors: drop every document whose component
     * representative is a different (smaller-id) document — the "keep one

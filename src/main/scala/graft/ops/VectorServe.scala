@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions.col
   * layer's guard rails (model-fingerprint checks, staleness refusal),
   * so upgrading a store in place (indexStore, quantizeStore, pqStore)
   * upgrades its serving without a caller change.
+  *
+  * Serving many requests amortizes the dispatch: [[open]] resolves the
+  * route, loads the sidecar models and the tuned probe width ONCE into
+  * a [[Served]] handle; each call then pays only a version-stamp
+  * freshness check (one manifest read) instead of re-reading every
+  * sidecar (R16Probe: dispatch resolution is a measurable slice of a
+  * single small-batch call). The one-shot [[search]]/[[searchBatch]]
+  * wrappers stay for single-request callers — they open and serve in
+  * one step, so semantics are identical by construction.
   */
 object VectorServe {
 
@@ -58,108 +67,146 @@ object VectorServe {
     }
   }
 
-  /** Top-k rows of `table` nearest `queryVec`, output `(idCol, score)`
-    * scored exactly — the [[Similarity.knn]] contract — via [[route]].
-    * `nProbe` bounds the probed cells on IVF layouts (clamped to the
-    * model's k); the default `nProbe = 0` means "the store's TUNED
-    * width" — the [[Ivf.tuneStore]]-persisted operating point when the
-    * sidecar exists (stale-model configs refuse loudly, the
-    * fingerprint contract), else the conservative 2. `overfetch`
-    * bounds the coarse candidate cut on the quantized layouts. With
-    * `nProbe` and `overfetch` covering the corpus every route equals
-    * exact knn (the pin-to-exact contract the fixture queries and
-    * specs ride on).
+  /** A resolved serving context: route, sidecar models, tuned probe
+    * width and the store frame, loaded once by [[open]]. Every serve
+    * call re-checks only the store's version stamp — the table moving
+    * underneath a cached handle (an append, a compaction) refuses
+    * loudly, the same staleness contract as the lexical/graph
+    * sidecars; reopen after maintenance.
     */
-  def search(spark: SparkSession, table: String, idCol: String, embCol: String,
-             queryVec: Array[Float], k: Int, metric: String = "COSINE",
-             nProbe: Int = 0, overfetch: Int = 8): DataFrame = {
-    require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
-    val store = VersionedStore.read(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no store at $table"))
-    def width(ivf: Ivf.IvfModel): Int = math.min(
-      if (nProbe > 0) nProbe
-      else Ivf.tunedNProbe(spark, table, ivf).getOrElse(2), ivf.k)
-    val hits = route(spark, table) match {
-      case Route.IvfPq =>
-        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
-        Ivf.requireModelMatch(spark, table, ivf)
-        val pq = Pq.loadModel(spark, Pq.modelPath(table))
-        Pq.searchIvfPq(store, idCol, embCol, queryVec, k, ivf, pq,
-          nProbe = width(ivf), metric = metric, overfetch = overfetch)
-      case Route.PqOnly =>
-        val pq = Pq.loadModel(spark, Pq.modelPath(table))
-        Pq.knnPqRescore(store, idCol, embCol, queryVec, k, pq, metric, overfetch)
-      case Route.IvfSq8 =>
-        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
-        Ivf.requireModelMatch(spark, table, ivf)
-        val probes = ivf.probeOrder(queryVec).take(width(ivf)).toSeq
-        Quantize.knnQuantizedRescore(
-          store.filter(col("cluster_id").isin(probes: _*)),
-          idCol, embCol, queryVec, k, metric, overfetch)
-      case Route.Sq8Only =>
-        Quantize.knnQuantizedRescore(store, idCol, embCol, queryVec, k, metric, overfetch)
-      case Route.IvfExact =>
-        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
-        Ivf.search(store, embCol, ivf, queryVec, k,
-          nProbe = width(ivf), metric = metric,
-          storePath = Some(table))
-      case Route.Exact =>
-        Similarity.knn(store.select(col(idCol), col(embCol)), embCol, queryVec, k, metric)
+  final case class Served private[ops] (
+      spark: SparkSession, table: String, servedRoute: Route,
+      version: Long, store: DataFrame,
+      ivf: Option[Ivf.IvfModel], pq: Option[Pq.PqModel]) {
+
+    // resolved on FIRST tuned-width use (nProbe = 0), then cached: an
+    // explicit width must bypass a stale serving config entirely (its
+    // refusal belongs only to callers who actually consult it)
+    private lazy val tunedWidth: Option[Int] =
+      ivf.flatMap(m => Ivf.tunedNProbe(spark, table, m))
+
+    private def width(nProbe: Int): Int = {
+      val m = ivf.get
+      math.min(if (nProbe > 0) nProbe else tunedWidth.getOrElse(2), m.k)
     }
-    hits.select(col(idCol), col("score"))
+
+    private def requireFresh(): Unit = {
+      val cur = VersionedStore.currentState(spark, table)
+        .map(_.version).getOrElse(0L)
+      require(cur == version,
+        s"store $table moved from v$version to v$cur since open() — a " +
+          "cached serving handle over a changed table would silently miss " +
+          "rows; reopen after maintenance")
+    }
+
+    /** Top-k rows nearest `queryVec`, output `(idCol, score)` scored
+      * exactly — the [[Similarity.knn]] contract — via the cached
+      * route. `nProbe = 0` means the tuned-or-default probe width.
+      */
+    def search(idCol: String, embCol: String, queryVec: Array[Float],
+               k: Int, metric: String = "COSINE",
+               nProbe: Int = 0, overfetch: Int = 8): DataFrame = {
+      require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
+      requireFresh()
+      val hits = servedRoute match {
+        case Route.IvfPq =>
+          Pq.searchIvfPq(store, idCol, embCol, queryVec, k, ivf.get, pq.get,
+            nProbe = width(nProbe), metric = metric, overfetch = overfetch)
+        case Route.PqOnly =>
+          Pq.knnPqRescore(store, idCol, embCol, queryVec, k, pq.get, metric, overfetch)
+        case Route.IvfSq8 =>
+          val probes = ivf.get.probeOrder(queryVec).take(width(nProbe)).toSeq
+          Quantize.knnQuantizedRescore(
+            store.filter(col("cluster_id").isin(probes: _*)),
+            idCol, embCol, queryVec, k, metric, overfetch)
+        case Route.Sq8Only =>
+          Quantize.knnQuantizedRescore(store, idCol, embCol, queryVec, k, metric, overfetch)
+        case Route.IvfExact =>
+          Ivf.search(store, embCol, ivf.get, queryVec, k,
+            nProbe = width(nProbe), metric = metric, storePath = Some(table))
+        case Route.Exact =>
+          Similarity.knn(store.select(col(idCol), col(embCol)), embCol, queryVec, k, metric)
+      }
+      hits.select(col(idCol), col("score"))
+    }
+
+    /** Batch [[search]]: every query row's top-k in the fewest scans
+      * the layout supports — the evaluation-shaped workload. Output
+      * `(queryIdCol, rank, idCol, score)`, scored exactly.
+      */
+    def searchBatch(idCol: String, embCol: String,
+                    queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+                    k: Int, metric: String = "COSINE",
+                    nProbe: Int = 0, overfetch: Int = 8): DataFrame = {
+      require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
+      requireFresh()
+      val hits = servedRoute match {
+        case Route.IvfPq =>
+          Pq.searchIvfPqBatch(queries, store, queryIdCol, queryEmbCol,
+            idCol, embCol, ivf.get, pq.get, topK = k, nProbe = width(nProbe),
+            metric = metric, overfetch = overfetch)
+        case Route.PqOnly =>
+          Pq.knnPqRescoreBatch(queries, store, queryIdCol, queryEmbCol,
+            idCol, embCol, pq.get, topK = k, metric = metric, overfetch = overfetch)
+        case Route.IvfSq8 =>
+          Quantize.searchBatch(queries, store, queryIdCol, queryEmbCol,
+            idCol, embCol, topK = k, metric = metric, overfetch = overfetch,
+            ivf = Some((ivf.get, width(nProbe))), storePath = Some(table))
+        case Route.Sq8Only =>
+          Quantize.searchBatch(queries, store, queryIdCol, queryEmbCol,
+            idCol, embCol, topK = k, metric = metric, overfetch = overfetch)
+        case Route.IvfExact =>
+          Ivf.searchBatch(queries, store, queryIdCol, queryEmbCol, idCol, embCol,
+            ivf.get, topK = k, nProbe = width(nProbe), metric = metric,
+            storePath = Some(table))
+        case Route.Exact =>
+          Similarity.similarityJoin(queries, store, queryIdCol, queryEmbCol,
+            idCol, embCol, k, metric)
+      }
+      hits.select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+    }
   }
 
-  /** Batch [[search]]: every query row's top-k against `table` in the
-    * fewest scans the store's layout supports — the evaluation-shaped
-    * workload (a RAG testset retrieving for every question at once).
-    * Same dispatch, same guard rails, same tuned-width default as the
-    * single-query path; every route pairs the corpus scan with the
-    * BOUNDED broadcast query batch instead of rescanning per query
-    * (IVF layouts additionally prune to the union of probed cells).
-    * Output `(queryIdCol, rank, idCol, score)`, scored exactly. At
-    * covering settings every route equals the exact batch join — the
-    * same pin-to-exact contract as [[search]].
+  /** Resolve `table`'s serving context once: route, models (with their
+    * fingerprint guards), tuned probe width, version stamp and the
+    * store frame. The handle serves any number of calls until the
+    * table changes.
     */
+  def open(spark: SparkSession, table: String): Served = {
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no store at $table"))
+    val version = VersionedStore.currentState(spark, table)
+      .map(_.version).getOrElse(0L)
+    val r = route(spark, table)
+    val ivf = r match {
+      case Route.IvfPq | Route.IvfSq8 | Route.IvfExact =>
+        val m = Ivf.loadModel(spark, Ivf.modelPath(table))
+        // the fingerprint guard runs at open; per-call freshness is the
+        // version stamp (a changed model implies a changed version)
+        if (r != Route.IvfExact) Ivf.requireModelMatch(spark, table, m)
+        Some(m)
+      case _ => None
+    }
+    val pq = r match {
+      case Route.IvfPq | Route.PqOnly =>
+        Some(Pq.loadModel(spark, Pq.modelPath(table)))
+      case _ => None
+    }
+    Served(spark, table, r, version, store, ivf, pq)
+  }
+
+  /** One-shot [[Served.search]]: open + serve in a single call. */
+  def search(spark: SparkSession, table: String, idCol: String, embCol: String,
+             queryVec: Array[Float], k: Int, metric: String = "COSINE",
+             nProbe: Int = 0, overfetch: Int = 8): DataFrame =
+    open(spark, table).search(idCol, embCol, queryVec, k, metric, nProbe, overfetch)
+
+  /** One-shot [[Served.searchBatch]]: open + serve in a single call. */
   def searchBatch(spark: SparkSession, table: String,
                   idCol: String, embCol: String,
                   queries: DataFrame, queryIdCol: String, queryEmbCol: String,
                   k: Int, metric: String = "COSINE",
-                  nProbe: Int = 0, overfetch: Int = 8): DataFrame = {
-    require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
-    val store = VersionedStore.read(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no store at $table"))
-    def width(ivf: Ivf.IvfModel): Int = math.min(
-      if (nProbe > 0) nProbe
-      else Ivf.tunedNProbe(spark, table, ivf).getOrElse(2), ivf.k)
-    val hits = route(spark, table) match {
-      case Route.IvfPq =>
-        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
-        Ivf.requireModelMatch(spark, table, ivf)
-        val pq = Pq.loadModel(spark, Pq.modelPath(table))
-        Pq.searchIvfPqBatch(queries, store, queryIdCol, queryEmbCol,
-          idCol, embCol, ivf, pq, topK = k, nProbe = width(ivf),
-          metric = metric, overfetch = overfetch)
-      case Route.PqOnly =>
-        val pq = Pq.loadModel(spark, Pq.modelPath(table))
-        Pq.knnPqRescoreBatch(queries, store, queryIdCol, queryEmbCol,
-          idCol, embCol, pq, topK = k, metric = metric, overfetch = overfetch)
-      case Route.IvfSq8 =>
-        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
-        Quantize.searchBatch(queries, store, queryIdCol, queryEmbCol,
-          idCol, embCol, topK = k, metric = metric, overfetch = overfetch,
-          ivf = Some((ivf, width(ivf))), storePath = Some(table))
-      case Route.Sq8Only =>
-        Quantize.searchBatch(queries, store, queryIdCol, queryEmbCol,
-          idCol, embCol, topK = k, metric = metric, overfetch = overfetch)
-      case Route.IvfExact =>
-        val ivf = Ivf.loadModel(spark, Ivf.modelPath(table))
-        Ivf.searchBatch(queries, store, queryIdCol, queryEmbCol, idCol, embCol,
-          ivf, topK = k, nProbe = width(ivf), metric = metric,
-          storePath = Some(table))
-      case Route.Exact =>
-        Similarity.similarityJoin(queries, store, queryIdCol, queryEmbCol,
-          idCol, embCol, k, metric)
-    }
-    hits.select(col(queryIdCol), col("rank"), col(idCol), col("score"))
-  }
+                  nProbe: Int = 0, overfetch: Int = 8): DataFrame =
+    open(spark, table).searchBatch(idCol, embCol, queries, queryIdCol,
+      queryEmbCol, k, metric, nProbe, overfetch)
 }

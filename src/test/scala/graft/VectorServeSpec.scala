@@ -148,6 +148,44 @@ class VectorServeSpec extends AnyFunSuite {
       nProbe = m2.k).count() == 5)
   }
 
+  test("open(): a cached handle serves repeatedly bit-equal to one-shot calls, and refuses once the table moves") {
+    val table = Files.createTempDirectory("serve-handle").toString + "/store"
+    VersionedStore.append(spark, table, emb)
+    Quantize.quantizeStore(spark, table, "embedding")
+    Ivf.indexStore(spark, table, "id", "embedding", k = 4): Unit
+    Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16): Unit
+    val h = VectorServe.open(spark, table)
+    assert(h.servedRoute == Route.IvfPq)
+    def viaHandle(k: Int): Seq[(Long, Double)] =
+      h.search("id", "embedding", qv, k, nProbe = 64, overfetch = 1000)
+        .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    // two serves from one open, equal to the one-shot wrapper and exact
+    assert(viaHandle(5) == served(table, 5))
+    assert(viaHandle(7) == exactTop(table, 7))
+    // batch through the handle matches the one-shot batch wrapper
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"rank", $"id", round($"score", 9).as("s"))
+      .orderBy($"qid", $"rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows(h.searchBatch("id", "embedding", q, "qid", "embedding", 4,
+        nProbe = 64, overfetch = 1000)) ==
+      rows(VectorServe.searchBatch(spark, table, "id", "embedding", q,
+        "qid", "embedding", 4, nProbe = 64, overfetch = 1000)))
+    // the table moves underneath the handle: loud staleness refusal
+    val more = Tables.embeddings(spark, sf)
+      .filter($"vec_id" >= 300).limit(10).select($"vec_id".as("id"), $"embedding")
+    assert(Ingest.appendRespectingLayout(spark, table, more) == 10)
+    val err = intercept[IllegalArgumentException] {
+      h.search("id", "embedding", qv, 5, nProbe = 64)
+    }
+    assert(err.getMessage.contains("reopen"))
+    // reopening serves the grown table again
+    assert(VectorServe.open(spark, table)
+      .search("id", "embedding", qv, 5, nProbe = 64, overfetch = 1000)
+      .count() == 5)
+  }
+
   test("residual codes with a missing IVF model refuse to serve") {
     val table = Files.createTempDirectory("serve-corrupt").toString + "/store"
     VersionedStore.append(spark, table, emb)
