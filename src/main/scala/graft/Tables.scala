@@ -66,4 +66,25 @@ object Tables {
     * (double-sum reassociation never enters the plan).
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact cross-engine 6-decimal pin for a ratio-of-integers double:
+    * `floor(x·10⁶ + 0.5)` as BIGINT. Both engines execute the same two
+    * IEEE operations on the same input double, so the result is
+    * bit-identical by construction — immune to `round(double, n)`
+    * implementation differences at a .5·10⁻ⁿ boundary (the class of
+    * bug behind r15's one driver-red row, `decimal_pricing_summary`:
+    * Spark rounds the exact binary value HALF_UP via BigDecimal,
+    * DuckDB rounds the scaled double, and they disagree at ties —
+    * differently across DuckDB versions). Convention: any OUTPUT
+    * column whose pre-round value is an exact rational (count ratios,
+    * cents averages, shares) must go through this or stay an integer;
+    * values reached through transcendentals (ln/exp/sqrt/cosine) may
+    * keep `round(x, n)` — a tie there needs the double within ~1 ulp
+    * of a boundary, measure-zero and absorbed identically by both
+    * engines' rounding of a non-boundary value.
+    */
+  def micros(c: Column): Column = floor(c * lit(1000000d) + lit(0.5d)).cast("long")
+
+  /** [[micros]] at 8 decimals — for share columns previously round-8. */
+  def e8(c: Column): Column = floor(c * lit(100000000d) + lit(0.5d)).cast("long")
 }

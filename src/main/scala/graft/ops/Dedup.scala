@@ -635,7 +635,7 @@ object Dedup {
   /** Memorization audit — [[contaminatedIds]] from the EVAL side's point
     * of view: for every eval document, how much of it the training
     * corpus already contains — `(idCol, n_grams, n_memorized,
-    * overlap_ratio)`, one row per eval doc (0/0/0.0 for docs shorter
+    * overlap_ratio_micros)`, one row per eval doc (0/0/0 for docs shorter
     * than `n` words), where `n_memorized` counts the doc's DISTINCT
     * word n-grams that occur anywhere in the corpus. The governance
     * number a benchmark owner reports ("12% of this eval set is
@@ -669,8 +669,11 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_memorized"), lit(0L)).as("n_memorized"),
-        round(coalesce(col("n_memorized").cast("double") / col("n_grams"),
-          lit(0.0)), 6).as("overlap_ratio"))
+        // ratio of exact integers — tie-capable at a round boundary,
+        // so it leaves as the bit-identical floor pin (Tables.micros)
+        graft.Tables.micros(coalesce(
+          col("n_memorized").cast("double") / col("n_grams"),
+          lit(0.0))).as("overlap_ratio_micros"))
   }
 
   /** Bloom-filter decontamination, the flag half — the scale path of

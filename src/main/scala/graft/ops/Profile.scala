@@ -240,7 +240,12 @@ object Profile {
     densified.join(broadcast(moments), Seq(groupCol))
       .withColumn("__z", when(col("__n") > 1 && varNum > 0, z))
       .select(col(groupCol), col("bucket"), col("n_events"),
-        round(col("__s1").cast("double") / col("__n"), 6).as("mean_events"),
+        // mean = s1/n is a ratio of exact integers — tie-capable at a
+        // round(double, 6) boundary, so it leaves as Tables.micros
+        // (bit-identical floor pin); z passes through a sqrt, so its
+        // boundary measure is zero and round(6) is cross-engine safe
+        graft.Tables.micros(col("__s1").cast("double") / col("__n"))
+          .as("mean_events_micros"),
         round(col("__z"), 6).as("z"),
         coalesce(abs(col("__z")) > lit(zThreshold), lit(false)).as("is_anomaly"))
   }

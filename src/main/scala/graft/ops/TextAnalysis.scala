@@ -328,10 +328,12 @@ object TextAnalysis {
     df.select(col(idCol),
         size(clean).cast("long").as("n_tokens"),
         size(blocked).cast("long").as("n_blocked"))
-      .withColumn("blocked_ratio",
+      // exact-integer ratio — tie-capable at a round boundary, so it
+      // leaves as the bit-identical floor pin (Tables.micros)
+      .withColumn("blocked_ratio_micros",
         when(col("n_tokens") > 0,
-          round(col("n_blocked").cast("double") / col("n_tokens"), 6))
-          .otherwise(lit(0.0d)))
+          graft.Tables.micros(col("n_blocked").cast("double") / col("n_tokens")))
+          .otherwise(lit(0L)))
       .withColumn("drop_any", col("n_blocked") > 0)
       .withColumn("drop_ratio",
         lit(1000L) * col("n_blocked") > lit(maxPermille.toLong) * col("n_tokens"))

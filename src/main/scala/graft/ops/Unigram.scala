@@ -260,7 +260,7 @@ object Unigram {
   }
 
   /** Per-document segmentation stats under a learned vocabulary:
-    * `(idCol, n_words, n_pieces, logp, pieces_per_word)` — subword
+    * `(idCol, n_words, n_pieces, logp, pieces_per_word_micros)` — subword
     * fertility and corpus likelihood, the panel that drives tokenizer
     * selection for a training run.
     *
@@ -315,9 +315,12 @@ object Unigram {
           lit(0.0d), (acc, x) => acc + x).as("__logp"))
       .select(col(idCol), col("n_words"), col("n_oov_words"), col("n_pieces"),
         round(col("__logp"), 6).as("logp"),
+        // exact-integer ratio — tie-capable at a round boundary, so it
+        // leaves as the bit-identical floor pin (Tables.micros); logp
+        // passes through log-space sums (measure-zero boundary)
         when(col("n_words") > col("n_oov_words"),
-          round(col("n_pieces").cast("double") /
-            (col("n_words") - col("n_oov_words")), 6))
-          .otherwise(lit(0.0d)).as("pieces_per_word"))
+          graft.Tables.micros(col("n_pieces").cast("double") /
+            (col("n_words") - col("n_oov_words"))))
+          .otherwise(lit(0L)).as("pieces_per_word_micros"))
   }
 }

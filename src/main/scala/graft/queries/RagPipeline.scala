@@ -243,6 +243,12 @@ object RagPipeline {
           concat_ws(",", $"retrieved_ids").as("retrieved"),
           $"relevant", $"correct", $"answer",
           count(lit(1)).over(wTopic).as("n_topic"),
+          // k/n ratios with n ≤ 20: provably tie-free at round(·, 6) —
+          // a tie needs frac(k·10⁶/n) = ½, i.e. n | 2k·10⁶ with an odd
+          // quotient, impossible for every n ≤ 20 (all even n ≤ 20
+          // divide 10⁶ exactly), and the nearest boundary sits ≥
+          // 1/(2n)·10⁻⁶ away, 8 orders above double error — so these
+          // may keep round() (the Tables.micros convention's safe case)
           round(avg($"correct".cast("int")).over(wTopic), 6).as("topic_correctness"),
           round(avg($"correct".cast("int")).over(wAll), 6).as("overall_correctness"))
         .orderBy($"qid")

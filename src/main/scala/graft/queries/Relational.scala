@@ -932,8 +932,11 @@ object Relational {
           o.filter($"o_orderdate" >= split),
           "o_totalprice", nBins = 20)
         .select($"bin", $"ref_n", $"cur_n",
-          round($"ref_share", 8).as("ref_share"),
-          round($"cur_share", 8).as("cur_share"),
+          // shares are (count+1)/total — exact rationals, tie-capable
+          // at a round boundary → e8 floor pin; contribution passes
+          // through ln (measure-zero boundary), round(8) stays
+          e8($"ref_share").as("ref_share_e8"),
+          e8($"cur_share").as("cur_share_e8"),
           round($"contribution", 8).as("contribution"))
         .orderBy($"bin")
     }),
@@ -1042,6 +1045,9 @@ object Relational {
       graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t1", report(100, 160), eid = "e2"): Unit
       graft.ops.Testbed.appendEvaluation(s, evalP, repP, "t2", report(200, 300), eid = "e3"): Unit
       val evals = s.read.parquet(evalP)
+        // correctness = k/n with fixed report sizes n ∈ {100, 60}: both
+        // divide 2·10⁶ with an EVEN quotient, so frac(k·10⁶/n) can never
+        // be ½ — provably tie-free, round(6) is cross-engine safe here
         .select($"tid", $"eid", round($"correctness", 6).as("correctness"))
       val reps = s.read.parquet(repP).groupBy($"tid", $"eid")
         .agg(count(lit(1)).as("n_report"),
@@ -1925,7 +1931,8 @@ object Relational {
         |    END AS zraw
         |  FROM b JOIN m USING (event_type))
         |SELECT event_type, bucket, n_events,
-        |  round(mean_raw, 6) AS mean_events, round(zraw, 6) AS z,
+        |  CAST(floor(mean_raw * 1000000 + 0.5) AS BIGINT) AS mean_events_micros,
+        |  round(zraw, 6) AS z,
         |  coalesce(abs(zraw) > 2.0, false) AS is_anomaly
         |FROM z ORDER BY event_type, bucket""".stripMargin,
     // the identical pinned parenthesization over the same integer sums;
@@ -1953,7 +1960,8 @@ object Relational {
         |    END AS zraw
         |  FROM b JOIN m USING (event_type))
         |SELECT event_type, bucket, n_events,
-        |  round(mean_raw, 6) AS mean_events, round(zraw, 6) AS z,
+        |  CAST(floor(mean_raw * 1000000 + 0.5) AS BIGINT) AS mean_events_micros,
+        |  round(zraw, 6) AS z,
         |  coalesce(abs(zraw) > 2.0, false) AS is_anomaly
         |FROM z ORDER BY event_type, bucket""".stripMargin,
     "drift_psi_price" ->
@@ -1978,8 +1986,10 @@ object Relational {
         |t AS (SELECT CAST(sum(ref_n) + 20 AS DOUBLE) AS rt,
         |        CAST(sum(cur_n) + 20 AS DOUBLE) AS ct FROM j)
         |SELECT j.bin, j.ref_n, j.cur_n,
-        |  round(CAST(j.ref_n + 1 AS DOUBLE) / t.rt, 8) AS ref_share,
-        |  round(CAST(j.cur_n + 1 AS DOUBLE) / t.ct, 8) AS cur_share,
+        |  CAST(floor(CAST(j.ref_n + 1 AS DOUBLE) / t.rt * 100000000 + 0.5)
+        |    AS BIGINT) AS ref_share_e8,
+        |  CAST(floor(CAST(j.cur_n + 1 AS DOUBLE) / t.ct * 100000000 + 0.5)
+        |    AS BIGINT) AS cur_share_e8,
         |  round((CAST(j.cur_n + 1 AS DOUBLE) / t.ct -
         |         CAST(j.ref_n + 1 AS DOUBLE) / t.rt) *
         |        ln((CAST(j.cur_n + 1 AS DOUBLE) / t.ct) /

@@ -337,8 +337,9 @@ object TextQueries {
       agg.crossJoin(vocab)
         .select($"n_distinct_words", $"n_word_occurrences",
           $"n_symbol_occurrences",
-          round($"n_symbol_occurrences".cast("double") /
-            $"n_word_occurrences", 6).as("fertility"),
+          // exact-integer ratio → bit-identical floor pin, not round
+          micros($"n_symbol_occurrences".cast("double") /
+            $"n_word_occurrences").as("fertility_micros"),
           $"n_vocab_symbols")
     }),
 
@@ -361,8 +362,8 @@ object TextQueries {
       base.crossJoin(langs).crossJoin(dups)
         .select($"n_docs", $"n_langs", $"n_tokens", $"n_exact_dup_docs",
           $"n_gopher_pass",
-          round($"n_gopher_pass".cast("double") / $"n_docs", 6)
-            .as("gopher_pass_rate"))
+          micros($"n_gopher_pass".cast("double") / $"n_docs")
+            .as("gopher_pass_rate_micros"))
     }),
 
     // The health dashboard faceted by language — where the mixing
@@ -393,10 +394,10 @@ object TextQueries {
           sum(when(coalesce($"is_und", lit(true)), 1L).otherwise(0L))
             .as("n_und"))
         .select($"lang", $"n_docs", $"n_tokens",
-          round($"n_docs".cast("double") / total, 6).as("doc_share"),
-          round($"n_gopher_pass".cast("double") / $"n_docs", 6)
-            .as("gopher_pass_rate"),
-          round($"n_und".cast("double") / $"n_docs", 6).as("und_share"))
+          micros($"n_docs".cast("double") / total).as("doc_share_micros"),
+          micros($"n_gopher_pass".cast("double") / $"n_docs")
+            .as("gopher_pass_rate_micros"),
+          micros($"n_und".cast("double") / $"n_docs").as("und_share_micros"))
         .orderBy($"lang")
     }),
 
@@ -439,8 +440,8 @@ object TextQueries {
       grams.groupBy($"lang", $"n")
         .agg(count(lit(1)).as("total_grams"),
           countDistinct($"g").as("distinct_grams"))
-        .withColumn("distinct_ratio",
-          round($"distinct_grams".cast("double") / $"total_grams", 6))
+        .withColumn("distinct_ratio_micros",
+          micros($"distinct_grams".cast("double") / $"total_grams"))
         .orderBy($"lang", $"n")
     }),
 
@@ -459,9 +460,9 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum($"__l").as("total_tokens"),
           sum($"__padded").as("padded_tokens"))
-        .withColumn("waste_ratio",
-          round(($"padded_tokens" - $"total_tokens").cast("double") /
-            $"padded_tokens", 6))
+        .withColumn("waste_ratio_micros",
+          micros(($"padded_tokens" - $"total_tokens").cast("double") /
+            $"padded_tokens"))
         .orderBy($"lang")
     }),
 
@@ -1310,7 +1311,7 @@ object TextQueries {
           Seq("lang"), Seq("n_tokens")))
       graft.ops.Rollup.readRollup(s, root, Seq("n_tokens")).get
         .select($"lang", $"n", $"sum_n_tokens", $"min_n_tokens", $"max_n_tokens",
-          round($"avg_n_tokens", 6).as("avg_n_tokens"))
+          micros($"avg_n_tokens").as("avg_n_tokens_micros"))
         .orderBy($"lang")
     }),
 
@@ -3013,7 +3014,8 @@ object TextQueries {
        |SELECT count(*) AS n_distinct_words,
        |  sum(cnt)::BIGINT AS n_word_occurrences,
        |  sum(cnt * len(syms))::BIGINT AS n_symbol_occurrences,
-       |  round(CAST(sum(cnt * len(syms)) AS DOUBLE) / sum(cnt), 6) AS fertility,
+       |  CAST(floor(CAST(sum(cnt * len(syms)) AS DOUBLE) / sum(cnt)
+       |    * 1000000 + 0.5) AS BIGINT) AS fertility_micros,
        |  (SELECT count(DISTINCT s) FROM
        |     (SELECT unnest(syms) AS s FROM s4)) AS n_vocab_symbols
        |FROM s4""".stripMargin
@@ -3846,18 +3848,19 @@ object TextQueries {
         |  FROM dd GROUP BY doc_id)
         |SELECT d.lang, count(*)::BIGINT AS n_docs,
         |  sum(c.n_words)::BIGINT AS n_tokens,
-        |  round(count(*)::DOUBLE /
-        |    (SELECT count(*) FROM documents), 6) AS doc_share,
-        |  round(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |  CAST(floor(count(*)::DOUBLE /
+        |    (SELECT count(*) FROM documents) * 1000000 + 0.5) AS BIGINT)
+        |    AS doc_share_micros,
+        |  CAST(floor(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
         |    AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
         |         AND n_words > 0)
         |    AND 10 * n_symbol_words <= n_words
         |    AND 5 * n_alpha_words >= 4 * n_words
         |    AND 10 * n_bullet_lines <= 9 * n_lines
         |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::DOUBLE /
-        |    count(*), 6) AS gopher_pass_rate,
-        |  round(sum(CASE WHEN coalesce(u.is_und, TRUE) THEN 1 ELSE 0 END)
-        |    ::DOUBLE / count(*), 6) AS und_share
+        |    count(*) * 1000000 + 0.5) AS BIGINT) AS gopher_pass_rate_micros,
+        |  CAST(floor(sum(CASE WHEN coalesce(u.is_und, TRUE) THEN 1 ELSE 0 END)
+        |    ::DOUBLE / count(*) * 1000000 + 0.5) AS BIGINT) AS und_share_micros
         |FROM c JOIN documents d USING (doc_id)
         |LEFT JOIN und u USING (doc_id)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
@@ -3879,14 +3882,14 @@ object TextQueries {
         |    AND 10 * n_bullet_lines <= 9 * n_lines
         |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_gopher_pass,
-        |  round(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |  CAST(floor(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
         |    AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
         |         AND n_words > 0)
         |    AND 10 * n_symbol_words <= n_words
         |    AND 5 * n_alpha_words >= 4 * n_words
         |    AND 10 * n_bullet_lines <= 9 * n_lines
         |    AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::DOUBLE /
-        |    count(*), 6) AS gopher_pass_rate
+        |    count(*) * 1000000 + 0.5) AS BIGINT) AS gopher_pass_rate_micros
         |FROM c""".stripMargin,
     // every Gopher rule replayed with the same integer
     // cross-multiplications over DuckDB's list kernels
@@ -3996,7 +3999,8 @@ object TextQueries {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM w)
         |SELECT lang, n::INT AS n, count(*)::BIGINT AS total_grams,
         |  count(DISTINCT g)::BIGINT AS distinct_grams,
-        |  round(count(DISTINCT g)::DOUBLE / count(*), 6) AS distinct_ratio
+        |  CAST(floor(count(DISTINCT g)::DOUBLE / count(*) * 1000000 + 0.5)
+        |    AS BIGINT) AS distinct_ratio_micros
         |FROM g GROUP BY lang, n ORDER BY lang, n""".stripMargin,
     "padding_waste_report" ->
       """WITH t AS (
@@ -4005,8 +4009,9 @@ object TextQueries {
         |  FROM documents)
         |SELECT lang, count(*)::BIGINT AS n_docs, sum(l)::BIGINT AS total_tokens,
         |  sum(((l + 511) // 512) * 512)::BIGINT AS padded_tokens,
-        |  round((sum(((l + 511) // 512) * 512) - sum(l))::DOUBLE /
-        |        (sum(((l + 511) // 512) * 512))::DOUBLE, 6) AS waste_ratio
+        |  CAST(floor((sum(((l + 511) // 512) * 512) - sum(l))::DOUBLE /
+        |        (sum(((l + 511) // 512) * 512))::DOUBLE * 1000000 + 0.5)
+        |    AS BIGINT) AS waste_ratio_micros
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // component closure + per-cluster argmax on the rounded quality
     "dedup_survivors_quality" ->
@@ -4183,8 +4188,8 @@ object TextQueries {
         |  FROM eg LEFT JOIN cg ON cg.s = eg.s GROUP BY eg.doc_id)
         |SELECT d.doc_id, coalesce(m.n_grams, 0)::BIGINT AS n_grams,
         |  coalesce(m.n_mem, 0)::BIGINT AS n_memorized,
-        |  round(coalesce(m.n_mem / (m.n_grams::DOUBLE), 0.0), 6)
-        |    AS overlap_ratio
+        |  CAST(floor(coalesce(m.n_mem / (m.n_grams::DOUBLE), 0.0)
+        |    * 1000000 + 0.5) AS BIGINT) AS overlap_ratio_micros
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
         |LEFT JOIN m ON m.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
@@ -4586,7 +4591,8 @@ object TextQueries {
          |  sum(len($docTokens))::BIGINT AS sum_n_tokens,
          |  min(len($docTokens))::BIGINT AS min_n_tokens,
          |  max(len($docTokens))::BIGINT AS max_n_tokens,
-         |  round(sum(len($docTokens))::DOUBLE / count(*), 6) AS avg_n_tokens
+         |  CAST(floor(sum(len($docTokens))::DOUBLE / count(*) * 1000000 + 0.5)
+         |    AS BIGINT) AS avg_n_tokens_micros
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "store_restore" ->
       """SELECT doc_id, len(text)::BIGINT AS n_chars FROM documents
@@ -4908,9 +4914,10 @@ object TextQueries {
     "unigram_segment_stats" ->
       (unigramCtes + """
         |SELECT doc_id, n_words, n_oov_words, n_pieces, round(logp_raw, 6) AS logp,
-        |  CASE WHEN n_words > n_oov_words
-        |       THEN round(n_pieces::DOUBLE / (n_words - n_oov_words), 6)
-        |       ELSE 0.0 END AS pieces_per_word
+        |  CAST(CASE WHEN n_words > n_oov_words
+        |       THEN floor(n_pieces::DOUBLE / (n_words - n_oov_words)
+        |         * 1000000 + 0.5)
+        |       ELSE 0 END AS BIGINT) AS pieces_per_word_micros
         |FROM folded ORDER BY doc_id""".stripMargin),
     // the same piece counts chained into the deterministic packing
     // window (the pack_bpe_windows construction, seed u0)
@@ -4965,9 +4972,9 @@ object TextQueries {
         |    len(list_filter(w, t -> t IN ('slow', 'dup')))::BIGINT AS n_blocked
         |  FROM c)
         |SELECT doc_id, n_tokens, n_blocked,
-        |  CASE WHEN n_tokens > 0
-        |       THEN round(n_blocked::DOUBLE / n_tokens, 6) ELSE 0.0 END
-        |    AS blocked_ratio,
+        |  CAST(CASE WHEN n_tokens > 0
+        |       THEN floor(n_blocked::DOUBLE / n_tokens * 1000000 + 0.5)
+        |       ELSE 0 END AS BIGINT) AS blocked_ratio_micros,
         |  n_blocked > 0 AS drop_any,
         |  1000 * n_blocked > 50 * n_tokens AS drop_ratio
         |FROM n ORDER BY doc_id""".stripMargin,

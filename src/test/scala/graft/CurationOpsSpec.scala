@@ -678,11 +678,12 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = Dedup.memorizationOverlap(eval, "doc_id", "text",
         corpus, "text", n = 4)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(got(1L) == ((5L, 5L, 1.0)))
-    assert(got(2L) == ((5L, 1L, 0.2)))
-    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
-    assert(got(4L) == ((0L, 0L, 0.0)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // overlap_ratio leaves as exact integer micros (Tables.micros)
+    assert(got(1L) == ((5L, 5L, 1000000L)))
+    assert(got(2L) == ((5L, 1L, 200000L)))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0L)
+    assert(got(4L) == ((0L, 0L, 0L)))
   }
 
   test("memorizationOverlap plan: corpus side never exchanges") {
