@@ -96,6 +96,29 @@ object R16Probe {
       graft.queries.DedupQueries.queries("training_mix_e2e")(spark, sfDir).count()
     }
 
+    // ---- 2b. tuneEf recall curve at sf scale (the SCALE.md curve) ----
+    {
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val path = java.nio.file.Files
+        .createTempDirectory("r16-tune").toString + "/ix"
+      val corpus = e.filter(col("vec_id") >= 50)
+      val t0 = System.nanoTime()
+      graft.ops.Hnsw.build(corpus, "vec_id", "embedding", path,
+        graft.ops.Hnsw.Params(m = 16, efConstruction = 100), numPartitions = 8)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val t1 = System.nanoTime()
+      val (chosen, curve) = graft.ops.Hnsw.tuneEf(spark, path, q, "qid", "qv",
+        k = 10, targetRecall = 0.99,
+        efLadder = Seq(10, 20, 40, 80, 160, 320, 1 << 20))
+      val tTune = (System.nanoTime() - t1) / 1e9
+      val pts = curve.orderBy(col("ef")).collect()
+        .map(r => s"ef=${r.getInt(0)}:${r.getDouble(2)}").mkString(" ")
+      println(f"[r16] tuneEf sf-corpus: build ${tBuild}%.2f s, tune ${tTune}%.2f s " +
+        f"(ground truth + ONE multi-ef pass), chosen ef=$chosen, curve: $pts")
+    }
+
     // ---- 3. vectorserve ladder stage profile ----
     probe("ladder: FULL vectorserve_batch_ladder") {
       graft.queries.VectorSearch.queries("vectorserve_batch_ladder")(spark, sfDir).count()
