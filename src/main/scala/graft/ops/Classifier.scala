@@ -141,12 +141,22 @@ object Classifier {
       .withColumn("__bin",
         least(floor(col(probCol) * bins), lit(bins - 1)).cast("int"))
       .groupBy(col("__bin").as("bin"))
+      // frac_pos is an exact integer ratio (tie-capable at a round
+      // boundary) and gap/ECE chain off it — the whole table leaves as
+      // integer micros (Tables.micros floor pin), keeping every
+      // downstream op exact integer arithmetic: gap is an integer
+      // difference, ECE an integer-valued double division both engines
+      // floor identically. avg_prob's pre-pin sum is order-sensitive in
+      // its last ulp either way; the pin absorbs it exactly as round did.
       .agg(count(lit(1)).as("n"),
-        round(avg(col(probCol)), 6).as("avg_prob"),
-        round(avg(col(labelCol).cast("double")), 6).as("frac_pos"))
-      .withColumn("gap", round(abs(col("avg_prob") - col("frac_pos")), 6))
-      .withColumn("ece",
-        round(sum(col("n") * col("gap")).over(w) / sum(col("n")).over(w), 6))
+        graft.Tables.micros(avg(col(probCol))).as("avg_prob_micros"),
+        graft.Tables.micros(avg(col(labelCol).cast("double")))
+          .as("frac_pos_micros"))
+      .withColumn("gap_micros",
+        abs(col("avg_prob_micros") - col("frac_pos_micros")))
+      .withColumn("ece_micros",
+        floor(sum(col("n") * col("gap_micros")).over(w).cast("double") /
+          sum(col("n")).over(w).cast("double")).cast("long"))
   }
 
   /** Shuffle-FREE scoring — the serving/streaming path. Because

@@ -2526,11 +2526,14 @@ object TextQueries {
        |  FROM sc JOIN documents d USING (doc_id)),
        |b0 AS (
        |  SELECT least(floor(prob * 10), 9)::INT AS bin, count(*) AS n,
-       |    round(avg(prob), 6) AS avg_prob, round(avg(y), 6) AS frac_pos
+       |    CAST(floor(avg(prob) * 1000000 + 0.5) AS BIGINT) AS avg_prob_micros,
+       |    CAST(floor(avg(y) * 1000000 + 0.5) AS BIGINT) AS frac_pos_micros
        |  FROM p0 GROUP BY 1),
-       |g AS (SELECT *, round(abs(avg_prob - frac_pos), 6) AS gap FROM b0)
-       |SELECT bin, n::BIGINT AS n, avg_prob, frac_pos, gap,
-       |  round(sum(n * gap) OVER () / sum(n) OVER (), 6) AS ece
+       |g AS (SELECT *, abs(avg_prob_micros - frac_pos_micros) AS gap_micros
+       |      FROM b0)
+       |SELECT bin, n::BIGINT AS n, avg_prob_micros, frac_pos_micros, gap_micros,
+       |  CAST(floor(sum(n * gap_micros) OVER ()::DOUBLE /
+       |    sum(n) OVER ()::DOUBLE) AS BIGINT) AS ece_micros
        |FROM g ORDER BY bin""".stripMargin
 
   // the full Cavnar-Trenkle train+classify replay (shared by the

@@ -90,18 +90,19 @@ class ClassifierSpec extends AnyFunSuite {
     ).toDF("prob", "y")
     val got = Classifier.calibrationTable(scored, "prob", "y")
       .collect().map(r => r.getInt(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
     assert(got.keySet == Set(0, 1, 4, 9))
     assert(got(9)._1 == 3L, "prob = 1.0 must land in bin 9, not a phantom bin 10")
-    assert(got(4)._3 == 0.5)
+    // the table leaves as exact integer micros (Tables.micros)
+    assert(got(4)._3 == 500000L)
     // perfect extremes have tiny gaps; the mid bin carries |0.46 - 0.5|
-    assert(got(4)._4 == 0.04)
-    // ECE = sum(n*gap)/N, constant across rows
+    assert(got(4)._4 == 40000L)
+    // ECE = floor(sum(n*gap_micros)/N), constant across rows
     val ece = got.values.map(_._5).toSet
     assert(ece.size == 1)
-    val want = got.values.map(t => t._1 * t._4).sum / 8.0
-    assert(math.abs(ece.head - want) < 1e-6)
+    val want = math.floor(got.values.map(t => (t._1 * t._4).toDouble).sum / 8.0).toLong
+    assert(ece.head == want)
   }
 
   test("fitLogReg: model stays bucket-bounded and training is replayable") {
