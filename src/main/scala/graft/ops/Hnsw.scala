@@ -774,13 +774,65 @@ object Hnsw {
       buildHnswSidecarForStore(spark, table, reg.idCol, reg.textCol, reg.path)
     }
 
-  /** Serve a query batch from the maintained sidecar — refuses a stale
-    * sidecar loudly (stamp ≠ store version): a stale graph silently
-    * misses freshly ingested rows.
+  def servingConfigPath(path: String): String = s"$path/_hnsw_serving"
+
+  /** Tune the sidecar's serving beam width and PERSIST the operating
+    * point — [[Ivf.tuneStore]]'s philosophy for the graph index: a
+    * production serve should run at a beam width whose recall was
+    * MEASURED, not folklore. Samples `maxSample` of the indexed
+    * vectors themselves (deterministic hash order, the tuneStore
+    * discipline), runs [[tuneEf]], and writes
+    * `v1 <paramsTag> v<storeVersion> <ef> <k> <target>` to
+    * [[servingConfigPath]]. The stamp binds the measurement to BOTH
+    * the graph parameters and the store version: appended segments
+    * change the graphs the beam runs over, so a moved store invalidates
+    * the measurement — [[searchHnswSidecar]] at the tuned default then
+    * refuses loudly instead of serving at an unmeasured width.
     */
-  def searchHnswSidecar(spark: SparkSession, table: String, path: String,
-                        queries: DataFrame, qidCol: String, qEmbCol: String,
-                        k: Int, ef: Int): DataFrame = {
+  def tuneSidecarEf(spark: SparkSession, table: String, path: String,
+                    k: Int, targetRecall: Double,
+                    efLadder: Seq[Int] = Seq(16, 32, 64, 128, 256),
+                    maxSample: Int = 256): (Int, DataFrame) = {
+    requireFreshSidecar(spark, table, path)
+    val graph = spark.read.parquet(graphPath(path))
+    val idName = graph.schema(4).name
+    val embName = graph.schema(5).name
+    val sample = graph.select(col(idName), col(embName))
+      .orderBy(xxhash64(col(idName)).asc, col(idName)).limit(maxSample)
+      .select(col(idName).as("__tqid"), col(embName).as("__tqemb"))
+    val (ef, curve) = tuneEf(spark, path, sample, "__tqid", "__tqemb",
+      k, targetRecall, efLadder)
+    val v = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    graft.Fs.delete(spark, servingConfigPath(path))
+    graft.Fs.writeString(spark, servingConfigPath(path),
+      s"v1 $paramsTag v$v $ef $k $targetRecall")
+    (ef, curve)
+  }
+
+  /** The persisted tuned beam width, if a serving config exists and
+    * still describes this sidecar: parameter or version drift refuses
+    * loudly — a config measured over different graphs (or a moved
+    * store) says nothing about current recall.
+    */
+  def tunedEf(spark: SparkSession, table: String, path: String): Option[Int] = {
+    val p = servingConfigPath(path)
+    if (!graft.Fs.exists(spark, p)) return None
+    val parts = graft.Fs.readString(spark, p).trim.split(" ")
+    require(parts.length >= 5 && parts(0) == "v1",
+      s"unrecognized hnsw serving config at $p")
+    require(parts(1) == paramsTag,
+      s"hnsw serving config at $p was tuned at ${parts(1)}, the sidecar " +
+        s"builds at $paramsTag — re-run tuneSidecarEf")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(parts(2) == s"v$cur",
+      s"hnsw serving config at $p (${parts(2)}) was measured before $table " +
+        s"moved to v$cur — appended segments change the graphs the beam " +
+        "runs over; re-run tuneSidecarEf")
+    Some(parts(3).toInt)
+  }
+
+  private def requireFreshSidecar(spark: SparkSession, table: String,
+                                  path: String): Unit = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
     require(stats.length >= 2,
       s"hnsw sidecar at $path has a damaged _stats; rebuild with buildHnswSidecarForStore")
@@ -790,6 +842,23 @@ object Hnsw {
     require(stats(1) == s"v$cur",
       s"hnsw sidecar at $path (${stats.lift(1).getOrElse("-")}) is stale against " +
         s"$table (v$cur) — run appendToHnswSidecar first")
-    searchBatch(spark, path, queries, qidCol, qEmbCol, k, ef)
+  }
+
+  /** Serve a query batch from the maintained sidecar — refuses a stale
+    * sidecar loudly (stamp ≠ store version): a stale graph silently
+    * misses freshly ingested rows. `ef = 0` (the default) serves at
+    * the [[tuneSidecarEf]]-persisted width when the config exists —
+    * and at the conservative `max(64, 4k)` otherwise; an explicit
+    * `ef > 0` bypasses the config entirely.
+    */
+  def searchHnswSidecar(spark: SparkSession, table: String, path: String,
+                        queries: DataFrame, qidCol: String, qEmbCol: String,
+                        k: Int, ef: Int = 0): DataFrame = {
+    require(ef >= 0, s"ef: 0 = tuned-or-default, else explicit (got $ef)")
+    requireFreshSidecar(spark, table, path)
+    val width =
+      if (ef > 0) ef
+      else tunedEf(spark, table, path).getOrElse(math.max(64, 4 * k))
+    searchBatch(spark, path, queries, qidCol, qEmbCol, k, width)
   }
 }

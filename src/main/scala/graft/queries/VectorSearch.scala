@@ -403,6 +403,54 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // Streaming × graph-index freshness: two-thirds of the corpus
+    // arrives as file-source micro-batches (parquet moved into a
+    // watched dir — the crawler-drop shape), each folded into the
+    // versioned store through the PRODUCTION append seam inside
+    // foreachBatch; the registered HNSW sidecar must therefore fold
+    // every micro-batch as new segment graphs (one missed fold and the
+    // serve below REFUSES as stale), and the full-ef serve over all
+    // segments must equal exact kNN over everything that arrived. One
+    // query pins stream arrival, the seam's sidecar maintenance, the
+    // staleness guard's pass path and graph exactness together.
+    "stream_hnsw_live_serve" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("hnswlive-session").toString
+      val table = s"$root/store"; val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val c = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+      // batch 0 lands batch-side so registration has rows to index
+      graft.ops.VersionedStore.append(s, table, c.filter($"vec_id" % 3 === 0))
+      graft.ops.Hnsw.registerHnswSidecar(s, table, "vec_id", "embedding",
+        s"$root/graph")
+      def publish(b: Long): Unit = {
+        val stage = s"$root/stage$b"
+        c.filter($"vec_id" % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        graft.Fs.list(s, stage)
+          .find(f => f.contains("part-") && f.endsWith(".parquet"))
+          .foreach(part => graft.Fs.rename(s, part, s"$in/b$b.parquet"))
+      }
+      val stream = s.readStream.schema(c.schema).parquet(in)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.Ingest.appendRespectingLayout(s, table, batch): Unit
+        }.start()
+      try {
+        publish(1); q.processAllAvailable()
+        publish(2); q.processAllAvailable()
+      } finally q.stop()
+      val qv = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.ops.Hnsw.searchHnswSidecar(s, table, s"$root/graph", qv,
+          "qid", "qv", k = 10, ef = Int.MaxValue)
+        .select($"vec_id", round($"sim", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // Hnsw.tuneEf invariants as an oracle row (the tuner's CONTRACT —
     // Ivf.tuneNProbe's mirror): tune toward recall@10 ≥ 0.95 over a
     // 4-rung ladder whose cap exceeds every partition size, so the cap
@@ -1045,6 +1093,7 @@ object VectorSearch {
     "ann_hnsw_full_ef" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_sidecar_serve" -> knnOracle("list_cosine_similarity", desc = true),
+    "stream_hnsw_live_serve" -> knnOracle("list_cosine_similarity", desc = true),
     // the tuner's theorem facts are engine-independent literals; the
     // one data-shaped value (the ground-truth size) is replayed as a
     // count — 10 true neighbors exist for every sample query at every

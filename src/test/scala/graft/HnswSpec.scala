@@ -323,6 +323,40 @@ class HnswSpec extends AnyFunSuite {
       "curve hit count must match an independent searchBatch at the chosen ef")
   }
 
+  test("tuneSidecarEf persists a measured operating point; default serve uses it; a moved store refuses until re-tuned") {
+    import graft.ops.{Ingest, VersionedStore}
+    val root = java.nio.file.Files.createTempDirectory("hnswtunecfg").toString
+    val table = s"$root/store"; val gpath = s"$root/graph"
+    val df = corpus.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    VersionedStore.append(spark, table, df.filter($"vec_id" < 400))
+    graft.ops.Hnsw.registerHnswSidecar(spark, table, "vec_id", "embedding", gpath)
+    val (ef, curve) = Hnsw.tuneSidecarEf(spark, table, gpath,
+      k = 5, targetRecall = 0.9, efLadder = Seq(8, 32, 1 << 20), maxSample = 32)
+    assert(Hnsw.tunedEf(spark, table, gpath).contains(ef))
+    assert(curve.count() == 3)
+    val q = Seq((1L, corpus.head._2.toSeq)).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select($"qid", $"rank", $"vec_id").as[(Long, Int, Long)].collect().toSeq
+    // default (ef = 0) ≡ asking for the tuned width explicitly
+    assert(rows(Hnsw.searchHnswSidecar(spark, table, gpath, q, "qid", "qv", 5)) ==
+      rows(Hnsw.searchHnswSidecar(spark, table, gpath, q, "qid", "qv", 5, ef)))
+    // the store moves through the production seam: the sidecar folds
+    // (serve itself stays legal at an explicit ef) but the MEASURED
+    // operating point no longer applies — tuned default refuses loudly
+    Ingest.appendRespectingLayout(spark, table, df.filter($"vec_id" >= 400)): Unit
+    assert(rows(Hnsw.searchHnswSidecar(spark, table, gpath, q, "qid", "qv",
+      5, ef = 1 << 20)).nonEmpty)
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.searchHnswSidecar(spark, table, gpath, q, "qid", "qv", 5)
+    }
+    assert(err.getMessage.contains("re-run tuneSidecarEf"))
+    // re-tuning restores the default path over the grown index
+    val (ef2, _) = Hnsw.tuneSidecarEf(spark, table, gpath,
+      k = 5, targetRecall = 0.9, efLadder = Seq(8, 32, 1 << 20), maxSample = 32)
+    assert(rows(Hnsw.searchHnswSidecar(spark, table, gpath, q, "qid", "qv", 5)) ==
+      rows(Hnsw.searchHnswSidecar(spark, table, gpath, q, "qid", "qv", 5, ef2)))
+  }
+
   test("oversized partition refuses loudly; damaged params refuse") {
     val path = java.nio.file.Files.createTempDirectory("hnsw5").toString + "/ix"
     Hnsw.build(corpusDf, "vec_id", "embedding", path,
