@@ -418,6 +418,48 @@ object Sampling {
         expr(s"(offset + greatest(`$tokensCol` - 1, 0)) div $budget"))
   }
 
+  /** Loss-mask spans for packed SFT windows — the piece between
+    * "packed token stream" and "trainer": each example is a prompt
+    * followed by a completion, both concatenated into the
+    * [[packWindows]] stream, and the LOSS applies only to completion
+    * tokens. Returns one row per (example, window) whose completion
+    * tokens intersect that window:
+    * `(keyCol, posName, window, span_start, span_end)` with
+    * window-local token coordinates `[span_start, span_end)` — the
+    * mask a trainer applies so prompt tokens (and neighboring
+    * examples' tokens) never contribute loss. A window an example
+    * touches with PROMPT tokens only (a long prompt straddling a
+    * boundary) emits no row, and a zero-completion example emits
+    * nothing at all. Pure integer arithmetic over [[packWindows]]'s
+    * offsets: deterministic per (key, seed), no shuffle beyond the
+    * pack's own, and the explode is bounded by tokens/budget + 1
+    * windows per example.
+    */
+  def packLossMaskSpans(df: DataFrame, keyCol: String,
+                        promptTokensCol: String, completionTokensCol: String,
+                        budget: Long, seed: String,
+                        posName: String = "position"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    // negative counts would let a span reach into a NEIGHBOR example's
+    // tokens — refuse loudly at the row (nulls refuse in packWindows)
+    val withTotal = df.withColumn("__tokens",
+      expr(s"IF(`$promptTokensCol` >= 0 AND `$completionTokensCol` >= 0, " +
+        s"CAST(`$promptTokensCol` AS LONG) + CAST(`$completionTokensCol` AS LONG), " +
+        s"raise_error(CONCAT('packLossMaskSpans: negative token count for ', " +
+        s"CAST(`$keyCol` AS STRING))))"))
+    packWindows(withTotal, keyCol, "__tokens", budget, seed, posName)
+      .withColumn("__w", explode(sequence(col("first_window"), col("last_window"))))
+      .withColumn("__lo",
+        greatest(col("offset") + col(promptTokensCol).cast("long"),
+          col("__w") * budget))
+      .withColumn("__hi",
+        least(col("offset") + col("__tokens"), (col("__w") + 1) * budget))
+      .filter(col("__hi") > col("__lo"))
+      .select(col(keyCol), col(posName), col("__w").as("window"),
+        (col("__lo") - col("__w") * budget).as("span_start"),
+        (col("__hi") - col("__w") * budget).as("span_end"))
+  }
+
   /** Per-stratum integer upsampling (epoch mixing): emit each row
     * `factors(stratum)` times (default `defaultFactor`), tagged 1..n in
     * `epochName`; factor 0 drops the stratum. The "2 epochs of

@@ -591,6 +591,25 @@ object TextQueries {
         .orderBy($"position")
     }),
 
+    // SFT loss masking over the packed stream: each doc stands in for
+    // a prompt+completion example (first half of its tokens = prompt,
+    // rest = completion), packed into the SAME 512-token windows as
+    // pack_sequence_windows; the output is the per-(example, window)
+    // completion span in window-local coordinates — the mask a trainer
+    // applies so prompt (and neighbor-example) tokens carry no loss.
+    // Prompt-only window touches emit no row. Pure integer arithmetic,
+    // fully replayed by the oracle's window prefix sum.
+    "pack_loss_mask_spans" -> ((s, d) => {
+      import s.implicits._
+      val ex = documents(s, d)
+        .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n"))
+        .select($"doc_id", expr("n div 2").as("prompt_tokens"),
+          expr("n - n div 2").as("completion_tokens"))
+      graft.ops.Sampling.packLossMaskSpans(ex, "doc_id",
+          "prompt_tokens", "completion_tokens", budget = 512, seed = "e0")
+        .orderBy($"position", $"window")
+    }),
+
     // Test-set decontamination: docs doc_id < 20 stand in for the eval
     // set; corpus docs sharing any word 4-gram with them are dropped
     // (the leakage gate before training). Broadcast semi-join — the
@@ -4115,6 +4134,35 @@ object TextQueries {
         |        FROM documents)
         |  WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':e0'), doc_id))
         |ORDER BY position""".stripMargin,
+    // the pack prefix sum again, then per (example, touched window) the
+    // completion-span intersection in window-local coordinates
+    "pack_loss_mask_spans" ->
+      """WITH e AS (
+        |  SELECT doc_id, n // 2 AS p, n AS tokens FROM (
+        |    SELECT doc_id,
+        |      len(regexp_split_to_array(text, '\s+'))::BIGINT AS n
+        |    FROM documents)),
+        |packed AS (
+        |  SELECT doc_id, p, tokens,
+        |    row_number() OVER w AS position,
+        |    coalesce(sum(tokens) OVER (
+        |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM e WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':e0'), doc_id)),
+        |ex AS (
+        |  SELECT doc_id, position, off, p, tokens,
+        |    unnest(generate_series((off // 512)::BIGINT,
+        |      ((off + greatest(tokens - 1, 0)) // 512)::BIGINT)) AS w
+        |  FROM packed),
+        |sp AS (
+        |  SELECT doc_id, position, w,
+        |    greatest(off + p, w * 512) AS s_g,
+        |    least(off + tokens, (w + 1) * 512) AS e_g
+        |  FROM ex)
+        |SELECT doc_id, position, w::BIGINT AS "window",
+        |  (s_g - w * 512)::BIGINT AS span_start,
+        |  (e_g - w * 512)::BIGINT AS span_end
+        |FROM sp WHERE e_g > s_g
+        |ORDER BY position, "window"""".stripMargin,
     "shuffle_deterministic" ->
       """SELECT doc_id, row_number() OVER (
         |    ORDER BY md5(doc_id::VARCHAR || ':epoch0'), doc_id) AS position

@@ -1473,6 +1473,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._6 > r._5), "fixture must exercise window straddling")
   }
 
+  test("loss-mask spans: completion-only coverage, straddles, prompt-only windows, zero completion") {
+    import graft.ops.Sampling
+    // hand-checkable fixture under budget 10. Shuffle order is seeded,
+    // so derive expectations FROM the packed offsets rather than
+    // assuming an order.
+    val ex = Seq(
+      (1L, 3L, 4L),   // 7 tokens: prompt 3, completion 4
+      (2L, 8L, 9L),   // 17 tokens: straddles windows however placed
+      (3L, 12L, 0L),  // zero completion: must emit NOTHING
+      (4L, 0L, 5L)    // zero prompt: whole example is loss
+    ).toDF("id", "p", "c")
+    val spans = Sampling.packLossMaskSpans(ex, "id", "p", "c",
+        budget = 10, seed = "t0")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3)).toSeq
+    val packed = Sampling.packWindows(
+        ex.withColumn("t", $"p" + $"c"), "id", "t", 10, "t0")
+      .select($"id", $"p", $"t", $"offset").as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // per example: the union of its spans (globalized) must be exactly
+    // [offset + prompt, offset + total) and nothing else
+    for ((id, (_, p, t, off)) <- packed) {
+      val mine = spans.filter(_._1 == id)
+        .flatMap(s => (s._4 + s._3 * 10) until (s._5 + s._3 * 10))
+      val want = (off + p) until (off + t)
+      assert(mine.toSet == want.toSet && mine.sorted == mine,
+        s"example $id: spans must tile the completion exactly")
+      // every span stays inside its window
+      spans.filter(_._1 == id).foreach { s =>
+        assert(s._4 >= 0 && s._5 <= 10 && s._4 < s._5)
+      }
+    }
+    assert(spans.forall(_._1 != 3L), "zero-completion example emits no span")
+    // a 17-token example always spans >= 2 windows; with an 8-token
+    // prompt at least one window boundary case exists in the fixture
+    assert(spans.filter(_._1 == 2L).map(_._3).distinct.size >= 1)
+    // negative token counts refuse loudly
+    val err = intercept[Exception] {
+      Sampling.packLossMaskSpans(
+        Seq((9L, -1L, 4L)).toDF("id", "p", "c"), "id", "p", "c", 10, "t0")
+        .collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("negative token count")))
+  }
+
   test("training shards: uniform sizes, loader order inside each file, one file per shard") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, sf).select($"doc_id")
