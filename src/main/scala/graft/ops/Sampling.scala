@@ -460,6 +460,51 @@ object Sampling {
         (col("__hi") - col("__w") * budget).as("span_end"))
   }
 
+  /** Length-bucketed batch planning — the pad-to-bucket dynamic
+    * batching every inference/eval pipeline runs: each example pads to
+    * the least multiple of `quantum` covering its token count
+    * (`bucket_len`), and each bucket fills fixed-capacity batches of
+    * `budget div bucket_len` examples, so every batch costs ≤ `budget`
+    * padded tokens whatever it holds. Returns per example:
+    * `(keyCol, tokensCol, bucket_len, batch_id, batch_capacity,
+    * padded_tokens, waste)` with `batch_id` unique per (bucket, fill
+    * order) — fill order is the deterministic (seeded-hash, key) order,
+    * so any engine reproduces the same batches. An example longer than
+    * `budget` can fit NO batch and refuses loudly. Null token counts
+    * refuse like [[packWindows]].
+    *
+    * Scale shape: one exchange keyed on the bucket (the per-bucket
+    * sequence number is inherently bucket-local); buckets are few ×
+    * large, and a 100 TB run plans batches per training shard, so the
+    * window never sees more than a shard's rows.
+    */
+  def lengthBucketBatches(df: DataFrame, keyCol: String, tokensCol: String,
+                          quantum: Long, budget: Long,
+                          seed: String = "b0"): DataFrame = {
+    require(quantum >= 1 && budget >= quantum,
+      s"need quantum >= 1 and budget >= quantum (got $quantum/$budget)")
+    require(budget % quantum == 0,
+      s"budget must be a multiple of quantum (got $budget % $quantum != 0) — " +
+        "otherwise the top bucket's padded length exceeds the budget and " +
+        "its batch capacity is zero")
+    val t = col(tokensCol).cast("long")
+    df.withColumn("bucket_len",
+        expr(s"IF(`$tokensCol` IS NOT NULL AND `$tokensCol` >= 0 " +
+          s"AND `$tokensCol` <= $budget, " +
+          s"greatest((CAST(`$tokensCol` AS LONG) + ${quantum - 1}) div $quantum, 1L) * $quantum, " +
+          s"raise_error(CONCAT('lengthBucketBatches: token count out of [0, budget] for ', " +
+          s"CAST(`$keyCol` AS STRING))))"))
+      .withColumn("batch_capacity", expr(s"CAST($budget AS LONG) div bucket_len"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_len"))
+          .orderBy(md5(concat(col(keyCol).cast("string"), lit(s":$seed"))),
+            col(keyCol))))
+      .withColumn("batch_id", expr("CAST(__rn - 1 AS LONG) div batch_capacity"))
+      .withColumn("padded_tokens", col("bucket_len"))
+      .withColumn("waste", col("bucket_len") - t)
+      .drop("__rn")
+  }
+
   /** Per-stratum integer upsampling (epoch mixing): emit each row
     * `factors(stratum)` times (default `defaultFactor`), tagged 1..n in
     * `epochName`; factor 0 drops the stratum. The "2 epochs of

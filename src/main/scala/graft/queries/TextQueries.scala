@@ -591,6 +591,25 @@ object TextQueries {
         .orderBy($"position")
     }),
 
+    // Pad-to-bucket dynamic batching (the fairseq/eval-harness shape):
+    // each doc pads to the least multiple of 64 covering its token
+    // count, buckets fill fixed-capacity batches of (4096 div bucket)
+    // examples in deterministic seeded order, so every batch costs
+    // ≤ 4096 padded tokens. Docs longer than the budget are filtered
+    // (the refusal path is spec'd); the oracle replays the bucketing,
+    // the per-bucket fill order, and the waste arithmetic exactly.
+    "length_bucket_batches" -> ((s, d) => {
+      import s.implicits._
+      val ex = documents(s, d)
+        .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+        .filter($"n_tokens" <= 4096)
+      graft.ops.Sampling.lengthBucketBatches(ex, "doc_id", "n_tokens",
+          quantum = 64, budget = 4096, seed = "b0")
+        .select($"doc_id", $"n_tokens", $"bucket_len", $"batch_id",
+          $"batch_capacity", $"waste")
+        .orderBy($"doc_id")
+    }),
+
     // SFT loss masking over the packed stream: each doc stands in for
     // a prompt+completion example (first half of its tokens = prompt,
     // rest = completion), packed into the SAME 512-token windows as
@@ -4134,6 +4153,28 @@ object TextQueries {
         |        FROM documents)
         |  WINDOW w AS (ORDER BY md5(doc_id::VARCHAR || ':e0'), doc_id))
         |ORDER BY position""".stripMargin,
+    // same bucket arithmetic; the per-bucket fill order is the seeded
+    // md5 order, so batch membership replays exactly
+    "length_bucket_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    greatest((n_tokens + 63) // 64, 1) * 64 AS bucket_len
+        |  FROM t WHERE n_tokens <= 4096),
+        |r AS (
+        |  SELECT doc_id, n_tokens, bucket_len,
+        |    (4096 // bucket_len)::BIGINT AS batch_capacity,
+        |    row_number() OVER (PARTITION BY bucket_len
+        |      ORDER BY md5(doc_id::VARCHAR || ':b0'), doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket_len::BIGINT AS bucket_len,
+        |  ((rn - 1) // batch_capacity)::BIGINT AS batch_id,
+        |  batch_capacity,
+        |  (bucket_len - n_tokens)::BIGINT AS waste
+        |FROM r ORDER BY doc_id""".stripMargin,
     // the pack prefix sum again, then per (example, touched window) the
     // completion-span intersection in window-local coordinates
     "pack_loss_mask_spans" ->

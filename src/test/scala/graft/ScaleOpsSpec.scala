@@ -1519,6 +1519,54 @@ class ScaleOpsSpec extends AnyFunSuite {
       .exists(t => t.getMessage != null && t.getMessage.contains("negative token count")))
   }
 
+  test("length-bucket batching: capacity bound, full-batch fill, determinism, out-of-range refusal") {
+    import graft.ops.Sampling
+    val ex = Seq(10L, 64L, 65L, 100L, 128L, 200L, 250L, 256L, 300L, 400L,
+        500L, 512L, 1000L, 2000L, 4096L, 0L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "tok")
+    val fits = ex.filter($"tok" <= 512)
+    val got = Sampling.lengthBucketBatches(fits, "id", "tok",
+        quantum = 64, budget = 512, seed = "s")
+      .select($"id", $"tok", $"bucket_len", $"batch_id", $"batch_capacity",
+        $"waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got.foreach { case (_, tok, bl, _, cap, waste) =>
+      assert(bl % 64 == 0 && bl >= math.max(tok, 1) && bl - tok < 64 + (if (tok == 0) 64 else 0),
+        s"bucket covers with < one quantum of slack (tok=$tok bl=$bl)")
+      assert(cap == 512 / bl, "capacity = budget div bucket")
+      assert(waste == bl - tok)
+      assert(bl * cap <= 512, "a full batch never exceeds the budget")
+    }
+    // every batch except possibly the bucket's last is filled to capacity
+    got.groupBy(r => (r._3, r._4)).foreach { case ((bl, bid), rows) =>
+      val cap = rows.head._5
+      val lastBatch = got.filter(_._3 == bl).map(_._4).max
+      if (bid < lastBatch) assert(rows.size == cap,
+        s"non-final batch (bucket $bl, batch $bid) must be full")
+      else assert(rows.size <= cap)
+    }
+    // deterministic: same seed reproduces identical batch membership
+    val again = Sampling.lengthBucketBatches(fits.repartition(7), "id", "tok",
+        quantum = 64, budget = 512, seed = "s")
+      .select($"id", $"tok", $"bucket_len", $"batch_id", $"batch_capacity",
+        $"waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.sortBy(_._1) == again.sortBy(_._1))
+    // an example longer than the budget fits no batch: loud refusal
+    val err = intercept[Exception] {
+      Sampling.lengthBucketBatches(ex, "id", "tok", 64, 512, "s").collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("token count out of [0, budget]")))
+    // a budget that isn't a quantum multiple would create a zero-capacity
+    // top bucket: refused at the call
+    val err2 = intercept[IllegalArgumentException] {
+      Sampling.lengthBucketBatches(ex, "id", "tok", 64, 500, "s")
+    }
+    assert(err2.getMessage.contains("multiple of quantum"))
+  }
+
   test("training shards: uniform sizes, loader order inside each file, one file per shard") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, sf).select($"doc_id")
