@@ -591,6 +591,37 @@ object TextQueries {
         .orderBy($"position")
     }),
 
+    // Tokenizer-change impact — the report a team reads before swapping
+    // tokenizer versions: the SAME corpus encoded under v1 (3 merges)
+    // and v2 (5 merges — a strict extension, since greedy merge
+    // learning is deterministic), per-lang token sums, how many docs
+    // re-tokenize differently, and the relative token savings (exact
+    // integer ratio → micros pin). More merges only ever shrink a
+    // segmentation, so savings is non-negative by construction.
+    "tokenizer_drift_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val wc = graft.ops.Bpe.wordCounts(docs, "text")
+      val (m1, _) = graft.ops.Bpe.learnMerges(wc, nMerges = 3)
+      val (m2, _) = graft.ops.Bpe.learnMerges(wc, nMerges = 5)
+      val v1 = graft.ops.Bpe.encodeStats(docs, "doc_id", "text", m1)
+        .select($"doc_id", $"n_bpe_tokens".as("v1"))
+      val v2 = graft.ops.Bpe.encodeStats(docs, "doc_id", "text", m2)
+        .select($"doc_id", $"n_bpe_tokens".as("v2"))
+      docs.select($"doc_id", $"lang").join(v1, "doc_id").join(v2, "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"v1").as("sum_tokens_v1"),
+          sum($"v2").as("sum_tokens_v2"),
+          sum(when($"v1" =!= $"v2", 1L).otherwise(0L)).as("n_docs_changed"))
+        .withColumn("savings_micros",
+          when($"sum_tokens_v1" > 0,
+            micros(($"sum_tokens_v1" - $"sum_tokens_v2").cast("double") /
+              $"sum_tokens_v1"))
+            .otherwise(0L))
+        .orderBy($"lang")
+    }),
+
     // Pad-to-bucket dynamic batching (the fairseq/eval-harness shape):
     // each doc pads to the least multiple of 64 covering its token
     // count, buckets fill fixed-capacity batches of (4096 div bucket)
@@ -3108,6 +3139,36 @@ object TextQueries {
        |ag AS (SELECT doc_id, count(*) AS n_words, sum(len(s4.syms)) AS n_bpe
        |       FROM dw JOIN s4 USING (word) GROUP BY doc_id)""".stripMargin
 
+  /** Both tokenizer versions replayed from the shared merge chain
+    * (s4 = after 3 merges, s6 = after 5), diffed per lang.
+    */
+  private val bpeDriftOracle: String =
+    s"""WITH w AS (SELECT term AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |    FROM documents) WHERE term <> '' GROUP BY term),
+       |s1 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1),
+       |        i -> substr(word, CAST(i AS INT), 1)) AS syms FROM w),
+       |${bpeIter(1)},
+       |${bpeIter(2)},
+       |${bpeIter(3)},
+       |${bpeIter(4)},
+       |${bpeIter(5)},
+       |dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text),
+       |        '\\s+'), t -> t <> '')) AS word FROM documents),
+       |pd AS (SELECT dw.doc_id, sum(len(s4.syms)) AS v1, sum(len(s6.syms)) AS v2
+       |       FROM dw JOIN s4 USING (word) JOIN s6 USING (word)
+       |       GROUP BY dw.doc_id),
+       |fd AS (SELECT d.doc_id, d.lang,
+       |         coalesce(pd.v1, 0) AS v1, coalesce(pd.v2, 0) AS v2
+       |       FROM documents d LEFT JOIN pd USING (doc_id))
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(v1)::BIGINT AS sum_tokens_v1, sum(v2)::BIGINT AS sum_tokens_v2,
+       |  sum(CASE WHEN v1 <> v2 THEN 1 ELSE 0 END)::BIGINT AS n_docs_changed,
+       |  CAST(CASE WHEN sum(v1) > 0
+       |    THEN floor((sum(v1) - sum(v2))::DOUBLE / sum(v1) * 1000000 + 0.5)
+       |    ELSE 0 END AS BIGINT) AS savings_micros
+       |FROM fd GROUP BY lang ORDER BY lang""".stripMargin
+
   private val bpeEncodeOracle: String =
     bpeDocCtes + "\n" +
       """SELECT doc.doc_id, coalesce(ag.n_words, 0)::BIGINT AS n_words,
@@ -3322,6 +3383,7 @@ object TextQueries {
     "eval_chrf" -> chrfOracle,
     "bpe_segmentation_stats" -> bpeStatsOracle,
     "bpe_encode_docs" -> bpeEncodeOracle,
+    "tokenizer_drift_report" -> bpeDriftOracle,
     "pack_bpe_windows" -> bpePackOracle,
     "eval_rouge2" -> rouge2Oracle,
     // the bit-parallel LCS replayed: per-token reference masks, the
