@@ -1228,31 +1228,82 @@ object Relational {
     // decimals through vector-search metadata (chatbot.py:83-88's
     // DecimalEncoder); everywhere else this engine handles money as
     // exact integer cents, but the declared TYPE must also round-trip:
-    // DECIMAL(12,2) casts, exact decimal +/-/× and sums, and the final
-    // scales pinned on both engines so the parquet logical type equals
-    // the oracle's result type column for column.
+    // DECIMAL-typed output columns with pinned scales so the parquet
+    // logical type equals the oracle's result type column for column.
+    //
+    // No DOUBLE→DECIMAL value cast anywhere: 3,341/60,000 sf0.01
+    // prices sit strictly below their true 2-decimal value in binary
+    // (998.46 ≈ 998.4599…), so `CAST(double AS DECIMAL(12,2))` is at
+    // the mercy of each engine build's cast rounding (truncate vs
+    // half-up) — the r15/r16 driver-red axis. Instead BOTH engines
+    // source integer cents via the proven Tables.cents bridge
+    // (round(x*100)::BIGINT — x·100 is within an ulp of an integer,
+    // never near .5) and rebuild the DECIMAL outputs by exact
+    // integer×decimal-literal scaling: cents × 0.01 and e4 × 0.0001
+    // are pure integer multiplies with scale addition, identical on
+    // every engine, and the final down-casts to the pinned scales are
+    // exact because the values carry no extra fractional digits.
     "decimal_pricing_summary" -> ((s, d) => {
       import s.implicits._
       lineitem(s, d)
         .select($"l_returnflag",
-          $"l_extendedprice".cast("decimal(12,2)").as("price"),
-          $"l_discount".cast("decimal(12,2)").as("disc"))
+          cents($"l_extendedprice").as("price_c"),
+          cents($"l_discount").as("disc_c"))
         .groupBy($"l_returnflag")
         .agg(
-          sum($"price").cast("decimal(18,2)").as("sum_price"),
-          sum($"price" * (lit(1).cast("decimal(12,2)") - $"disc"))
-            .cast("decimal(22,4)").as("sum_disc_price"),
-          max($"price").cast("decimal(12,2)").as("max_price"),
+          sum($"price_c").as("sum_c"),
+          // price·(1−disc) at scale 4 = price_c·(100−disc_c) in e4
+          // units; summed as DECIMAL(30,0) so the 100 TB sum
+          // (≤ ~1e9/row · ~6e11 rows) can't overflow BIGINT.
+          sum(($"price_c" * (lit(100L) - $"disc_c"))
+            .cast("decimal(30,0)")).as("sum_e4"),
+          max($"price_c").as("max_c"),
           count(lit(1)).as("n"))
-        // avg as EXACT integer micros: round(double, 6) at the output
-        // boundary is tie-sensitive and diverges across DuckDB builds
-        // (r15's one driver-red row). sum_price*100 is integral cents
-        // (scale-2 decimal), ×10000 = micros numerator, DIV truncates —
-        // all values positive so Spark DIV (toward zero) and DuckDB //
-        // agree. Long bound: cents ≤ ~9e14 at 100 TB, ×1e4 < 9.2e18.
-        .withColumn("avg_price_micros",
-          expr("CAST(CAST(sum_price * 100 AS BIGINT) * 10000 DIV n AS BIGINT)"))
+        .select($"l_returnflag",
+          expr("CAST(CAST(sum_c AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(18,2))")
+            .as("sum_price"),
+          // sum_e4 is DECIMAL(38,0) after SUM; narrow to (26,0) so the
+          // ×(5,4) scaling multiply stays within both engines' 38-digit
+          // cap (26+5+1 = 32) and is therefore exact on both
+          expr("CAST(CAST(sum_e4 AS DECIMAL(26,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(22,4))")
+            .as("sum_disc_price"),
+          expr("CAST(CAST(max_c AS DECIMAL(12,0)) * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(12,2))")
+            .as("max_price"),
+          $"n",
+          // avg as EXACT integer micros: sum_c is integral cents,
+          // ×10000 = micros numerator, DIV truncates — all values
+          // positive so Spark DIV (toward zero) and DuckDB // agree.
+          expr("CAST(sum_c * 10000 DIV n AS BIGINT)").as("avg_price_micros"))
         .orderBy($"l_returnflag")
+    }),
+
+    // §1.2 DECIMAL round-trip on literal decimal VALUES — pins the
+    // TYPE system claim (exact +/−/× and sums at pinned scales, and
+    // the parquet logical type) independently of any double→decimal
+    // cast: literals cannot diverge across engine builds. Values are
+    // chosen adversarially for a truncate-vs-round cast: .455, .999,
+    // .005 boundaries, negatives, and a scale-4 product that must
+    // come back exactly.
+    "decimal_literal_roundtrip" -> ((s, _) => {
+      s.sql("""
+        SELECT grp,
+          CAST(SUM(a) AS DECIMAL(18,2)) AS sum_a,
+          CAST(SUM(b) AS DECIMAL(18,2)) AS sum_b,
+          CAST(SUM(a + b) AS DECIMAL(18,2)) AS sum_ab,
+          CAST(SUM(a - b) AS DECIMAL(18,2)) AS sum_diff,
+          CAST(SUM(a * b) AS DECIMAL(22,4)) AS sum_prod,
+          CAST(MIN(a) AS DECIMAL(12,2)) AS min_a,
+          CAST(MAX(b) AS DECIMAL(12,2)) AS max_b,
+          COUNT(*) AS n
+        FROM VALUES
+          ('x', CAST(0.45 AS DECIMAL(12,2)), CAST(1.05 AS DECIMAL(12,2))),
+          ('x', CAST(99.99 AS DECIMAL(12,2)), CAST(0.01 AS DECIMAL(12,2))),
+          ('x', CAST(-12.34 AS DECIMAL(12,2)), CAST(12.34 AS DECIMAL(12,2))),
+          ('y', CAST(0.05 AS DECIMAL(12,2)), CAST(0.05 AS DECIMAL(12,2))),
+          ('y', CAST(123456789.99 AS DECIMAL(12,2)), CAST(-0.99 AS DECIMAL(12,2))),
+          ('z', CAST(2.50 AS DECIMAL(12,2)), CAST(4.04 AS DECIMAL(12,2)))
+          AS t(grp, a, b)
+        GROUP BY grp ORDER BY grp""")
     }),
 
     // Z-order layout is semantics-preserving — THE oracle-checkable
@@ -2169,21 +2220,48 @@ object Relational {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
-    // exact decimal arithmetic: both engines cast the monetary doubles
-    // to DECIMAL(12,2) first (the true values are 2-decimal, so the
-    // cast is exact), then sum/multiply in decimal and pin the result
-    // scales explicitly so the parquet logical types match too
+    // exact decimal arithmetic with NO double→decimal value cast:
+    // both engines source integer cents via the proven
+    // round(x*100)::BIGINT bridge, then rebuild the DECIMAL-typed
+    // outputs by exact integer×decimal-literal multiplies with the
+    // result scales pinned explicitly — immune to per-build
+    // double→decimal cast rounding (the r15/r16 driver-red axis).
     "decimal_pricing_summary" ->
-      """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |    AS DECIMAL(22,4)) AS sum_disc_price,
-        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount*100) AS BIGINT) AS disc_c
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(CAST(SUM(price_c) AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(30,0))) AS DECIMAL(26,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(22,4)) AS sum_disc_price,
+        |  CAST(CAST(MAX(price_c) AS DECIMAL(12,0)) * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(12,2)) AS max_price,
         |  COUNT(*) AS n,
-        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
-        |    AS BIGINT) * 10000 // COUNT(*) AS BIGINT) AS avg_price_micros
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  CAST(SUM(price_c) * 10000 // COUNT(*) AS BIGINT) AS avg_price_micros
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // literal-decimal round-trip: every input is a decimal LITERAL at
+    // a pinned scale, so no engine-build cast behavior can enter —
+    // the row pins exact decimal +/−/×/sum/min/max and the output
+    // logical types on their own
+    "decimal_literal_roundtrip" ->
+      """SELECT grp,
+        |  CAST(SUM(a) AS DECIMAL(18,2)) AS sum_a,
+        |  CAST(SUM(b) AS DECIMAL(18,2)) AS sum_b,
+        |  CAST(SUM(a + b) AS DECIMAL(18,2)) AS sum_ab,
+        |  CAST(SUM(a - b) AS DECIMAL(18,2)) AS sum_diff,
+        |  CAST(SUM(a * b) AS DECIMAL(22,4)) AS sum_prod,
+        |  CAST(MIN(a) AS DECIMAL(12,2)) AS min_a,
+        |  CAST(MAX(b) AS DECIMAL(12,2)) AS max_b,
+        |  COUNT(*) AS n
+        |FROM (VALUES
+        |  ('x', CAST(0.45 AS DECIMAL(12,2)), CAST(1.05 AS DECIMAL(12,2))),
+        |  ('x', CAST(99.99 AS DECIMAL(12,2)), CAST(0.01 AS DECIMAL(12,2))),
+        |  ('x', CAST(-12.34 AS DECIMAL(12,2)), CAST(12.34 AS DECIMAL(12,2))),
+        |  ('y', CAST(0.05 AS DECIMAL(12,2)), CAST(0.05 AS DECIMAL(12,2))),
+        |  ('y', CAST(123456789.99 AS DECIMAL(12,2)), CAST(-0.99 AS DECIMAL(12,2))),
+        |  ('z', CAST(2.50 AS DECIMAL(12,2)), CAST(4.04 AS DECIMAL(12,2))))
+        |  AS t(grp, a, b)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
     "layout_zorder_roundtrip" ->
       """SELECT l_partkey % 8 AS pk_bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
