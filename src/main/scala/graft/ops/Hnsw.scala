@@ -635,10 +635,16 @@ object Hnsw {
     * counts as a miss — the strict reading, matching tuneNProbe.
     *
     * Returns `(ef, curve)` where curve = one row per rung
-    * `(ef, n_hits, recall)` — exact integer counts + one rounded
-    * division. Falls back to the ladder max when even it misses the
-    * target; include a rung ≥ the largest partition size to make that
-    * rung exact by the full-ef theorem.
+    * `(ef, n_hits, recall_micros)` — exact integers only.
+    * `recall_micros` is the [[Tables.micros]] convention computed in
+    * pure integer arithmetic ([[recallMicros]]), and `chosen` is the
+    * first rung whose `recall_micros >= targetMicros(targetRecall)` —
+    * the SAME comparison a consumer re-deriving "first rung meeting
+    * target" from the published curve makes, so the two can never
+    * disagree (`round(double, n)` on an exact ratio is banned by the
+    * repo's own micros convention). Falls back to the ladder max when
+    * even it misses the target; include a rung ≥ the largest partition
+    * size to make that rung exact by the full-ef theorem.
     */
   def tuneEf(spark: SparkSession, path: String, sampleQueries: DataFrame,
              qidCol: String, qEmbCol: String, k: Int, targetRecall: Double,
@@ -669,16 +675,30 @@ object Hnsw {
       .groupBy(col("__ef")).agg(count(lit(1)).as("n_hits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rows = efs.map(e =>
-      (e, perEf.getOrElse(e, 0L), perEf.getOrElse(e, 0L).toDouble / total))
+      (e, perEf.getOrElse(e, 0L), recallMicros(perEf.getOrElse(e, 0L), total)))
     val spark2 = spark
     import spark2.implicits._
-    val curve = rows.toDF("ef", "n_hits", "recall")
-      .withColumn("recall", round(col("recall"), 6))
+    val curve = rows.toDF("ef", "n_hits", "recall_micros")
+    val tgt = targetMicros(targetRecall)
     val chosen = rows.collectFirst {
-      case (e, _, rec) if rec >= targetRecall => e
+      case (e, _, recM) if recM >= tgt => e
     }.getOrElse(efs.last)
     (chosen, curve)
   }
+
+  /** Exact integer micros of the recall ratio `nHits / total` —
+    * `floor(nHits·10⁶/total + ½)` computed entirely in Long arithmetic
+    * (no double ever enters), so every engine and every consumer of
+    * the published curve sees the identical value.
+    */
+  def recallMicros(nHits: Long, total: Long): Long = {
+    require(total > 0, s"recall needs a positive denominator (got $total)")
+    (2L * 1000000L * nHits + total) / (2L * total)
+  }
+
+  /** The target threshold in the same micros space as [[recallMicros]]. */
+  def targetMicros(target: Double): Long =
+    math.floor(target * 1000000d + 0.5d).toLong
 
   // ---- HNSW sidecar (graph index maintained through the store seams) ----
 
@@ -812,9 +832,15 @@ object Hnsw {
   /** The persisted tuned beam width, if a serving config exists and
     * still describes this sidecar: parameter or version drift refuses
     * loudly — a config measured over different graphs (or a moved
-    * store) says nothing about current recall.
+    * store) says nothing about current recall. `k >= 0` additionally
+    * pins the SERVE's k to the k the recall was measured at (the
+    * stamp's 5th field): a config tuned at k=5 may have picked ef=8,
+    * and serving k=50 at that width would silently void the "measured
+    * operating point" guarantee — so a k mismatch refuses loudly too.
+    * `k = -1` skips the check (route discovery, observability reads).
     */
-  def tunedEf(spark: SparkSession, table: String, path: String): Option[Int] = {
+  def tunedEf(spark: SparkSession, table: String, path: String,
+              k: Int = -1): Option[Int] = {
     val p = servingConfigPath(path)
     if (!graft.Fs.exists(spark, p)) return None
     val parts = graft.Fs.readString(spark, p).trim.split(" ")
@@ -828,11 +854,15 @@ object Hnsw {
       s"hnsw serving config at $p (${parts(2)}) was measured before $table " +
         s"moved to v$cur — appended segments change the graphs the beam " +
         "runs over; re-run tuneSidecarEf")
+    require(k < 0 || parts(4).toInt == k,
+      s"hnsw serving config at $p was tuned at k=${parts(4)} but this serve " +
+        s"asks k=$k — its recall says nothing about a different k; re-run " +
+        "tuneSidecarEf at this k (or pass an explicit ef)")
     Some(parts(3).toInt)
   }
 
-  private def requireFreshSidecar(spark: SparkSession, table: String,
-                                  path: String): Unit = {
+  private[ops] def requireFreshSidecar(spark: SparkSession, table: String,
+                                       path: String): Unit = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
     require(stats.length >= 2,
       s"hnsw sidecar at $path has a damaged _stats; rebuild with buildHnswSidecarForStore")
@@ -858,7 +888,7 @@ object Hnsw {
     requireFreshSidecar(spark, table, path)
     val width =
       if (ef > 0) ef
-      else tunedEf(spark, table, path).getOrElse(math.max(64, 4 * k))
+      else tunedEf(spark, table, path, k).getOrElse(math.max(64, 4 * k))
     searchBatch(spark, path, queries, qidCol, qEmbCol, k, width)
   }
 }

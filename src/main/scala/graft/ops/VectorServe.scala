@@ -27,6 +27,10 @@ object VectorServe {
   /** The dispatch decision, exposed for tests/operability. */
   sealed trait Route
   object Route {
+    /** Registered graph sidecar: per-partition HNSW beams at the
+      * [[Hnsw.tuneSidecarEf]]-measured width (exact scoring of every
+      * candidate by construction). */
+    case object Hnsw extends Route
     /** Residual IVF-PQ: partition-pruned cells, codes-only ADC, rescore. */
     case object IvfPq extends Route
     /** Plain PQ codes over the whole table, rescore. */
@@ -47,25 +51,51 @@ object VectorServe {
     * the centroids they are residuals against, so serving them as
     * plain codes would be silently wrong — refuse loudly instead, the
     * same contract the append seam applies.
+    *
+    * A REGISTERED graph sidecar ([[Hnsw.registerHnswSidecar]]) wins
+    * over every quantized/IVF layout — the reference treats HNSW|IVF
+    * as the two index types of ONE store concept
+    * (`src/common/schema.py:19`, build
+    * `src/server/utils/embedding.py:348-368`), and a registration is a
+    * declared intent to serve from the graph; silently degrading a
+    * graph-indexed store to a different recall/latency profile would
+    * be a surprise. The ingest seams maintain the sidecar
+    * automatically, so a registered-but-stale graph means out-of-band
+    * mutation — the freshness check refuses loudly (run
+    * maintainRegisteredHnswSidecar) rather than falling back.
     */
   def route(spark: SparkSession, table: String): Route = {
     val ivf = graft.Fs.exists(spark, Ivf.modelPath(table))
     val pq = Pq.readMarker(spark, table)
     val sq8 = graft.Fs.exists(spark, Quantize.markerPath(table))
+    // the corruption check stays FIRST: a broken residual-PQ layout is
+    // a store integrity problem the graph must not paper over
     pq match {
       case Some(mk) if mk.residual && !ivf =>
         throw new IllegalStateException(
           s"store $table carries residual PQ codes but no ${Ivf.modelPath(table)} — " +
             "the codes are undecodable without the IVF centroids; restore the model " +
             "or re-run Pq.pqStore")
-      case Some(mk) if mk.residual => Route.IvfPq
-      case Some(_)                 => Route.PqOnly
-      case None if sq8 && ivf      => Route.IvfSq8
-      case None if sq8             => Route.Sq8Only
-      case None if ivf             => Route.IvfExact
-      case None                    => Route.Exact
+      case _ => ()
+    }
+    hnswRegistration(spark, table) match {
+      case Some(reg) =>
+        Hnsw.requireFreshSidecar(spark, table, reg.path)
+        Route.Hnsw
+      case None => pq match {
+        case Some(mk) if mk.residual => Route.IvfPq
+        case Some(_)                 => Route.PqOnly
+        case None if sq8 && ivf      => Route.IvfSq8
+        case None if sq8             => Route.Sq8Only
+        case None if ivf             => Route.IvfExact
+        case None                    => Route.Exact
+      }
     }
   }
+
+  private def hnswRegistration(spark: SparkSession,
+                               table: String): Option[SidecarRegistry.Registration] =
+    SidecarRegistry.registered(spark, Hnsw.sidecarMarkerPath(table))
 
   /** A resolved serving context: route, sidecar models, tuned probe
     * width and the store frame, loaded once by [[open]]. Every serve
@@ -77,7 +107,17 @@ object VectorServe {
   final case class Served private[ops] (
       spark: SparkSession, table: String, servedRoute: Route,
       version: Long, store: DataFrame,
-      ivf: Option[Ivf.IvfModel], pq: Option[Pq.PqModel]) {
+      ivf: Option[Ivf.IvfModel], pq: Option[Pq.PqModel],
+      hnswPath: Option[String]) {
+
+    /** The graph route serves at the sidecar's build metric only — a
+      * beam tuned for cosine says nothing about dot-product order.
+      */
+    private def requireGraphMetric(metric: String): Unit =
+      require(metric == Hnsw.SidecarParams.metric,
+        s"store $table serves from its graph sidecar, which is built at " +
+          s"${Hnsw.SidecarParams.metric} — a $metric serve needs a " +
+          "standalone Hnsw.build index (or drop the sidecar registration)")
 
     // resolved on FIRST tuned-width use (nProbe = 0), then cached: an
     // explicit width must bypass a stale serving config entirely (its
@@ -101,7 +141,9 @@ object VectorServe {
 
     /** Top-k rows nearest `queryVec`, output `(idCol, score)` scored
       * exactly — the [[Similarity.knn]] contract — via the cached
-      * route. `nProbe = 0` means the tuned-or-default probe width.
+      * route. `nProbe = 0` means the tuned-or-default probe width; on
+      * the graph route the width IS the beam ef (0 = the
+      * [[Hnsw.tuneSidecarEf]]-measured point, which pins k too).
       */
     def search(idCol: String, embCol: String, queryVec: Array[Float],
                k: Int, metric: String = "COSINE",
@@ -109,6 +151,14 @@ object VectorServe {
       require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
       requireFresh()
       val hits = servedRoute match {
+        case Route.Hnsw =>
+          requireGraphMetric(metric)
+          val spark2 = spark
+          import spark2.implicits._
+          val q = Seq((0L, queryVec.toSeq)).toDF("__qid", "__qv")
+          Hnsw.searchHnswSidecar(spark, table, hnswPath.get, q,
+              "__qid", "__qv", k, ef = nProbe)
+            .withColumn("score", col("sim"))
         case Route.IvfPq =>
           Pq.searchIvfPq(store, idCol, embCol, queryVec, k, ivf.get, pq.get,
             nProbe = width(nProbe), metric = metric, overfetch = overfetch)
@@ -141,6 +191,11 @@ object VectorServe {
       require(nProbe >= 0, s"nProbe: 0 = tuned-or-default, else explicit (got $nProbe)")
       requireFresh()
       val hits = servedRoute match {
+        case Route.Hnsw =>
+          requireGraphMetric(metric)
+          Hnsw.searchHnswSidecar(spark, table, hnswPath.get, queries,
+              queryIdCol, queryEmbCol, k, ef = nProbe)
+            .withColumn("score", col("sim"))
         case Route.IvfPq =>
           Pq.searchIvfPqBatch(queries, store, queryIdCol, queryEmbCol,
             idCol, embCol, ivf.get, pq.get, topK = k, nProbe = width(nProbe),
@@ -173,10 +228,15 @@ object VectorServe {
     * table changes.
     */
   def open(spark: SparkSession, table: String): Served = {
-    val store = VersionedStore.read(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no store at $table"))
+    // version stamp FIRST, store frame second: if the table is appended
+    // between the two reads, the handle stamps the OLD version over the
+    // NEW frame and the first serve's requireFresh() refuses loudly —
+    // the reverse order would stamp the new version over the old frame
+    // and pass forever while serving stale rows
     val version = VersionedStore.currentState(spark, table)
       .map(_.version).getOrElse(0L)
+    val store = VersionedStore.read(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no store at $table"))
     val r = route(spark, table)
     val ivf = r match {
       case Route.IvfPq | Route.IvfSq8 | Route.IvfExact =>
@@ -192,7 +252,11 @@ object VectorServe {
         Some(Pq.loadModel(spark, Pq.modelPath(table)))
       case _ => None
     }
-    Served(spark, table, r, version, store, ivf, pq)
+    val hnsw = r match {
+      case Route.Hnsw => hnswRegistration(spark, table).map(_.path)
+      case _          => None
+    }
+    Served(spark, table, r, version, store, ivf, pq, hnsw)
   }
 
   /** One-shot [[Served.search]]: open + serve in a single call. */

@@ -403,6 +403,38 @@ object VectorSearch {
         .orderBy($"sim".desc, $"vec_id")
     }),
 
+    // The graph sidecar behind the ONE front door: a store with a
+    // REGISTERED HNSW sidecar must be served by VectorServe.open()
+    // itself (reference S16's HNSW|IVF store duality — schema.py:19,
+    // embedding.py:348-368), not by a separate graph API. The route
+    // must dispatch Route.Hnsw, the tuned default width must come from
+    // the tuneSidecarEf-persisted operating point (k pinned — the
+    // config here is the single cap rung, exact by the full-ef
+    // theorem), and the handle-served result must equal exact kNN —
+    // the same oracle every ann_* row pins.
+    "vectorserve_hnsw_route" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("hnswroute-session").toString
+      val table = s"$root/store"
+      val c = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+      graft.ops.VersionedStore.append(s, table, c)
+      graft.ops.Hnsw.registerHnswSidecar(s, table, "vec_id", "embedding",
+        s"$root/graph")
+      graft.ops.Hnsw.tuneSidecarEf(s, table, s"$root/graph",
+        k = 10, targetRecall = 1.0, efLadder = Seq(1 << 20), maxSample = 16)
+      val h = graft.ops.VectorServe.open(s, table)
+      require(h.servedRoute == graft.ops.VectorServe.Route.Hnsw,
+        s"a registered graph sidecar must dispatch Route.Hnsw, got ${h.servedRoute}")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      // nProbe = 0 → the persisted operating point (full ef, k-pinned)
+      h.searchBatch("vec_id", "embedding", q, "qid", "qv", k = 10)
+        .select($"vec_id", round($"score", 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // Streaming × graph-index freshness: two-thirds of the corpus
     // arrives as file-source micro-batches (parquet moved into a
     // watched dir — the crawler-drop shape), each folded into the
@@ -473,8 +505,12 @@ object VectorSearch {
       val ladder = Seq(4, 16, 64, 1 << 20)
       val (chosen, curve) = graft.ops.Hnsw.tuneEf(
         s, path, q, "qid", "qv", k, target, ladder)
+      // the curve is exact integers only (ef, n_hits, recall_micros);
+      // re-deriving "first rung meeting target" below uses the SAME
+      // micros comparison tuneEf chose with, so the two cannot disagree
       val rungs = curve.orderBy($"ef").collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val tgtMicros = graft.ops.Hnsw.targetMicros(target)
       val truth = graft.ops.Similarity.similarityJoin(q, corpus,
           "qid", "qv", "vec_id", "embedding", k, "COSINE")
         .select($"qid", $"vec_id").localCheckpoint()
@@ -482,11 +518,11 @@ object VectorSearch {
       val rehits = graft.ops.Hnsw.searchBatch(s, path, q, "qid", "qv", k, chosen)
         .join(truth, Seq("qid", "vec_id")).count()
       val firstMeeting = rungs.collectFirst {
-        case (ef2, _, rec) if rec >= target => ef2 }
+        case (ef2, _, recM) if recM >= tgtMicros => ef2 }
       Seq((rungs.length.toLong, total,
           rungs.last._2 == total,
           rungs.forall(_._2 <= total),
-          rungs.find(_._1 == chosen).exists(_._3 >= target),
+          rungs.find(_._1 == chosen).exists(_._3 >= tgtMicros),
           firstMeeting.contains(chosen),
           rungs.find(_._1 == chosen).exists(_._2 == rehits)))
         .toDF("n_rungs", "total_truth", "cap_recall_one", "hits_bounded_all",
@@ -1093,6 +1129,7 @@ object VectorSearch {
     "ann_hnsw_full_ef" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_sidecar_serve" -> knnOracle("list_cosine_similarity", desc = true),
+    "vectorserve_hnsw_route" -> knnOracle("list_cosine_similarity", desc = true),
     "stream_hnsw_live_serve" -> knnOracle("list_cosine_similarity", desc = true),
     // the tuner's theorem facts are engine-independent literals; the
     // one data-shaped value (the ground-truth size) is replayed as a

@@ -114,7 +114,7 @@ object R16Probe {
         efLadder = Seq(10, 20, 40, 80, 160, 320, 1 << 20))
       val tTune = (System.nanoTime() - t1) / 1e9
       val pts = curve.orderBy(col("ef")).collect()
-        .map(r => s"ef=${r.getInt(0)}:${r.getDouble(2)}").mkString(" ")
+        .map(r => s"ef=${r.getInt(0)}:${r.getLong(2)}us").mkString(" ")
       println(f"[r16] tuneEf sf-corpus: build ${tBuild}%.2f s, tune ${tTune}%.2f s " +
         f"(ground truth + ONE multi-ef pass), chosen ef=$chosen, curve: $pts")
     }

@@ -303,14 +303,16 @@ class HnswSpec extends AnyFunSuite {
     val ladder = Seq(8, 40, 1 << 20)
     val (chosen, curveDf) = Hnsw.tuneEf(spark, path, q, "qid", "qv",
       k = 10, targetRecall = 0.9, efLadder = ladder)
-    val curve = curveDf.orderBy($"ef").as[(Int, Long, Double)].collect().toSeq
+    val curve = curveDf.orderBy($"ef").as[(Int, Long, Long)].collect().toSeq
+    val tgtM = Hnsw.targetMicros(0.9)
     assert(curve.map(_._1) == ladder, "one curve row per ladder rung, sorted")
-    assert(curve.last._3 == 1.0, "cap rung >= partition size is exact (full-ef theorem)")
+    assert(curve.last._3 == 1000000L,
+      "cap rung >= partition size is exact (full-ef theorem)")
     assert(ladder.contains(chosen))
     val recallAtChosen = curve.find(_._1 == chosen).get._3
-    assert(recallAtChosen >= 0.9, s"chosen ef=$chosen recall $recallAtChosen")
+    assert(recallAtChosen >= tgtM, s"chosen ef=$chosen recall_micros $recallAtChosen")
     // minimality: every ladder rung BELOW the chosen one missed the target
-    assert(curve.filter(_._1 < chosen).forall(_._3 < 0.9),
+    assert(curve.filter(_._1 < chosen).forall(_._3 < tgtM),
       "chosen must be the smallest rung meeting the target")
     // independent recheck through the public API
     val truth = graft.ops.Similarity.similarityJoin(q,

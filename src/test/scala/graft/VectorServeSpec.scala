@@ -186,6 +186,62 @@ class VectorServeSpec extends AnyFunSuite {
       .count() == 5)
   }
 
+  test("a registered graph sidecar wins the route; full-ef serve is exact; k-pin, metric and staleness refuse loudly") {
+    val root = Files.createTempDirectory("serve-hnsw").toString
+    val table = s"$root/store"; val gpath = s"$root/graph"
+    VersionedStore.append(spark, table, emb)
+    // the graph outranks a composed quantized/IVF layout
+    Quantize.quantizeStore(spark, table, "embedding")
+    Ivf.indexStore(spark, table, "id", "embedding", k = 4): Unit
+    graft.ops.Hnsw.registerHnswSidecar(spark, table, "id", "embedding", gpath)
+    assert(VectorServe.route(spark, table) == Route.Hnsw)
+    val h = VectorServe.open(spark, table)
+    assert(h.servedRoute == Route.Hnsw && h.hnswPath.contains(gpath))
+    // explicit full beam (nProbe is ef on the graph route) ≡ exact knn
+    def at(np: Int, k: Int) = h.search("id", "embedding", qv, k, nProbe = np)
+      .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
+    assert(at(1 << 20, 5) == exactTop(table, 5))
+    // handle batch == the standalone sidecar API at the same ef
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def rows(df: org.apache.spark.sql.DataFrame, score: String) = df
+      .select($"qid", $"id", round(col(score), 9).as("s"))
+      .orderBy($"qid", $"id").as[(Long, Long, Double)].collect().toSeq
+    assert(rows(h.searchBatch("id", "embedding", q, "qid", "qemb", 4,
+        nProbe = 1 << 20), "score") ==
+      rows(graft.ops.Hnsw.searchHnswSidecar(spark, table, gpath, q,
+        "qid", "qemb", 4, ef = 1 << 20), "sim"))
+    // tuned default consults the persisted operating point — and PINS
+    // its k: a serve at a different k refuses instead of silently
+    // running at a beam whose recall was measured elsewhere
+    val (ef, _) = graft.ops.Hnsw.tuneSidecarEf(spark, table, gpath,
+      k = 5, targetRecall = 1.0, efLadder = Seq(1 << 20), maxSample = 16)
+    assert(at(0, 5) == at(ef, 5))
+    val kErr = intercept[IllegalArgumentException] { at(0, 7) }
+    assert(kErr.getMessage.contains("k=5") &&
+      kErr.getMessage.contains("re-run tuneSidecarEf"))
+    // the graph is cosine-built: another metric refuses loudly
+    val mErr = intercept[IllegalArgumentException] {
+      h.search("id", "embedding", qv, 5, metric = "DOT_PRODUCT", nProbe = 1 << 20)
+    }
+    assert(mErr.getMessage.contains("built at COSINE"))
+    // a graph stamped at an earlier REAL version (the out-of-band
+    // failure shape — ingest seams maintain the sidecar, so drift
+    // means someone bypassed them): the route refuses loudly instead
+    // of silently degrading to a different recall/latency profile
+    graft.Fs.delete(spark, s"$gpath/_stats")
+    graft.Fs.writeString(spark, s"$gpath/_stats", "16:100:COSINE v1")
+    val sErr = intercept[IllegalArgumentException] { VectorServe.route(spark, table) }
+    assert(sErr.getMessage.contains("stale"))
+    // the registry's maintenance heals it (the v1→now history replaced
+    // segments, so it rebuilds) and the route returns
+    graft.ops.Hnsw.maintainRegisteredHnswSidecar(spark, table)
+    assert(VectorServe.route(spark, table) == Route.Hnsw)
+    assert(VectorServe.open(spark, table)
+      .search("id", "embedding", qv, 5, nProbe = 1 << 20) // fresh handle, full beam
+      .count() == 5)
+  }
+
   test("residual codes with a missing IVF model refuse to serve") {
     val table = Files.createTempDirectory("serve-corrupt").toString + "/store"
     VersionedStore.append(spark, table, emb)
