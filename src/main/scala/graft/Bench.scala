@@ -30,12 +30,21 @@ import java.lang.management.ManagementFactory
   * `stalled` entry is annotated with the max run's load+psi, so a
   * stall with psi ≫ 0 is provably environmental from the artifact
   * alone.
+  *
+  * Per-RUN GC attribution (round 17 — r16 left three stalls at
+  * load ≈ 2 / psi 0.0 unattributable because JVM-internal pauses are
+  * invisible to both): every run also stamps the delta of total GC
+  * collection time (all collector beans) across the run; `gc_ms`
+  * carries `[gcMsMinRun, gcMsMaxRun]` per query and each `stalled`
+  * entry carries `max_run_gc_ms`, so a stall whose max run spent its
+  * extra wall inside the collector is provably GC, not workload.
   */
 object Bench {
   private final case class QR(name: String, min: Double, max: Double,
                               util: Double, err: Option[String],
                               loadMin: Double, psiMin: Double,
-                              loadMax: Double, psiMax: Double)
+                              loadMax: Double, psiMax: Double,
+                              gcMin: Long, gcMax: Long)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,6 +73,14 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble
       catch { case _: Throwable => 0.0 }
+    // cumulative stop-the-world time across every collector bean —
+    // deltas of this attribute a stall to the JVM itself (invisible
+    // to loadavg AND psi, which only see runnable-task contention)
+    def gcTimeMs: Long = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     // cgroup CPU pressure: fraction of recent wall time ANY runnable
     // task waited for a CPU — the direct "someone else is eating the
     // cores" signal; -1 when the kernel doesn't expose PSI
@@ -109,6 +126,7 @@ object Bench {
       val samples = (1 to runs).map { _ =>
         val runLoad = load1
         val runPsi = cpuPressure
+        val gc0 = gcTimeMs
         val cpu0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // a broken query must surface in the JSON (err + sentinel -1
@@ -118,6 +136,9 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - cpu0) / 1e9
+        // GC delta INSIDE the measured window — the between-query
+        // System.gc() below must not be charged to the query
+        val gcRun = gcTimeMs - gc0
         // operators that persist reuse-boundaries would otherwise pin
         // cache across all queries and skew later timings; checkpoint
         // blocks are reference-tracked, so nudge the GC or they
@@ -125,14 +146,14 @@ object Bench {
         // measured up to 8x CPU apart from that state alone)
         spark.catalog.clearCache()
         System.gc()
-        (wall, cpu, err, runLoad, runPsi)
+        (wall, cpu, err, runLoad, runPsi, gcRun)
       }
-      val err = samples.collectFirst { case (_, _, Some(e), _, _) => e }
+      val err = samples.collectFirst { case (_, _, Some(e), _, _, _) => e }
       val best = samples.minBy(_._1)
       val worst = samples.maxBy(_._1)
       val util = if (best._1 > 0) best._2 / best._1 else 0.0
       QR(name, if (err.isDefined) -1.0 else best._1, worst._1, util, err,
-        best._4, best._5, worst._4, worst._5)
+        best._4, best._5, worst._4, worst._5, best._6, worst._6)
     }
     // Locale.ROOT: the f"" interpolator honors the JVM default locale, and
     // a comma decimal separator would make the emitted line invalid JSON
@@ -151,11 +172,16 @@ object Bench {
         num(r.loadMin) + "," + num(r.psiMin) + "," +
         num(r.loadMax) + "," + num(r.psiMax) + "]")
       .mkString("{", ",", "}")
+    // per-query GC stamps: [gc_ms@minRun, gc_ms@maxRun]
+    val gcs = results.map(r => s"\"" + r.name + "\":[" +
+        r.gcMin + "," + r.gcMax + "]")
+      .mkString("{", ",", "}")
     val stalled = results.collect {
       case r if r.err.isEmpty && r.min > 0 && r.max / r.min > 3.0 =>
         s"\"" + r.name + "\":{\"ratio\":" + num(r.max / r.min) +
           ",\"max_run_load\":" + num(r.loadMax) +
-          ",\"max_run_psi\":" + num(r.psiMax) + "}"
+          ",\"max_run_psi\":" + num(r.psiMax) +
+          ",\"max_run_gc_ms\":" + r.gcMax + "}"
     }.mkString("{", ",", "}")
     val errs = results.collect { case r if r.err.isDefined =>
       s"\"" + r.name + "\":\"" + Jsons.escape(r.err.get) + "\""
@@ -166,7 +192,7 @@ object Bench {
     // 232 queries invisible in BENCH_r12 — the file preserves the whole
     // map for round-over-round triage)
     val gate = s""""load_gate":{"max":${num(maxLoad)},"waited_sec":${num(gateWaitedSec)},"contaminated":$loadContaminated}"""
-    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"load":$loads,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"load":$loads,"gc_ms":$gcs,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     val sideCar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")

@@ -441,12 +441,18 @@ object Sampling {
                         posName: String = "position"): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     // negative counts would let a span reach into a NEIGHBOR example's
-    // tokens — refuse loudly at the row (nulls refuse in packWindows)
+    // tokens, and a NULL count has no defined span at all — both
+    // refuse loudly at the row, each with its own message (a null
+    // comparison is itself null, so the null arm must come first or
+    // it would fall into the negative-count error with the wrong text)
     val withTotal = df.withColumn("__tokens",
-      expr(s"IF(`$promptTokensCol` >= 0 AND `$completionTokensCol` >= 0, " +
-        s"CAST(`$promptTokensCol` AS LONG) + CAST(`$completionTokensCol` AS LONG), " +
-        s"raise_error(CONCAT('packLossMaskSpans: negative token count for ', " +
-        s"CAST(`$keyCol` AS STRING))))"))
+      expr(s"CASE WHEN `$promptTokensCol` IS NULL OR `$completionTokensCol` IS NULL THEN " +
+        s"raise_error(CONCAT('packLossMaskSpans: null token count for ', " +
+        s"CAST(`$keyCol` AS STRING))) " +
+        s"WHEN `$promptTokensCol` >= 0 AND `$completionTokensCol` >= 0 THEN " +
+        s"CAST(`$promptTokensCol` AS LONG) + CAST(`$completionTokensCol` AS LONG) " +
+        s"ELSE raise_error(CONCAT('packLossMaskSpans: negative token count for ', " +
+        s"CAST(`$keyCol` AS STRING))) END"))
     packWindows(withTotal, keyCol, "__tokens", budget, seed, posName)
       .withColumn("__w", explode(sequence(col("first_window"), col("last_window"))))
       .withColumn("__lo",

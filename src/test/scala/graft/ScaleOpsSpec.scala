@@ -1517,6 +1517,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => t.getMessage != null && t.getMessage.contains("negative token count")))
+    // null token counts refuse loudly with their OWN message (a null
+    // IF condition must not fall into the negative-count arm)
+    val nullErr = intercept[Exception] {
+      Sampling.packLossMaskSpans(
+        Seq((9L, Some(3L), Option.empty[Long])).toDF("id", "p", "c"),
+        "id", "p", "c", 10, "t0")
+        .collect()
+    }
+    assert(Iterator.iterate(nullErr: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("null token count")))
   }
 
   test("length-bucket batching: capacity bound, full-batch fill, determinism, out-of-range refusal") {
