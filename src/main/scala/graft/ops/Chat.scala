@@ -336,7 +336,7 @@ object Chat {
           }
         Keyword.rrfFuse(legs, idCol, "rank", c, topK)
           .join(store.select(col(idCol), col(textCol)), Seq(idCol))
-          .orderBy(col("rrf").desc, col(idCol))
+          .orderBy(col("rrf_micros").desc, col(idCol))
           .select(col(idCol).cast("string"), col(textCol)).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
     }

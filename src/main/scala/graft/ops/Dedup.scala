@@ -490,9 +490,11 @@ object Dedup {
     * information survives once without the n× repetition bias; modern
     * mixture builders feed these weights into weighted sampling rather
     * than hard-deleting). Returns `(idCol, cluster_size, weight)` for
-    * EVERY input row — unclustered docs carry size 1, weight 1.0;
-    * weights round to 6 (the portable-ranking convention — `1/n` is one
-    * exact division, identical cross-engine).
+    * EVERY input row — unclustered docs carry size 1, weight 1.0.
+    * The weight leaves as `weight_micros` (pure-Long round-half-up
+    * micros of the exact rational `1/n`): `round(double, n)` on an
+    * exact ratio is the repo-banned tie- and engine-build-sensitive
+    * pattern; a consumer needing the double divides by 1e6.
     *
     * Scale: the component relation is bounded by the corpus's
     * DUPLICATED rows (unbroadcastable at a 30% dup rate — the
@@ -510,9 +512,9 @@ object Dedup {
     df.select(col(idCol))
       .join(sized.hint("SHUFFLE_HASH"), Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
-        round(lit(1.0) / coalesce(col("__sz"), lit(1L)).cast("double"), 6)
-          .as("weight"))
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micros",
+        expr("CAST((2*1000000 + cluster_size) DIV (2*cluster_size) AS BIGINT)"))
   }
 
   /** Quality-aware survivor selection: within each near-dup cluster

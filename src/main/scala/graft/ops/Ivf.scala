@@ -525,15 +525,21 @@ object Ivf {
     val byRank = ranked.groupBy(col("__cellrank"))
       .agg(count(lit(1)).cast("long").as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // recall is an exact integer ratio (covered/total): publish it as
+    // exact micros and choose from the SAME value the curve exposes —
+    // round(double, n) on an exact ratio is the repo-banned pattern
+    // (tie-sensitive and engine-build-sensitive), and choosing from a
+    // value the curve doesn't carry lets a consumer re-deriving "first
+    // rung meeting target" disagree with `chosen`
     var covered = 0L
     val rows = (0 until model.k).map { r =>
       covered += byRank.getOrElse(r, 0L)
-      (r + 1, covered, covered.toDouble / total)
+      (r + 1, covered, Hnsw.recallMicros(covered, total))
     }
-    val curve = rows.toDF("n_probe", "n_covered", "recall")
-      .withColumn("recall", round(col("recall"), 6))
+    val curve = rows.toDF("n_probe", "n_covered", "recall_micros")
+    val tgt = Hnsw.targetMicros(targetRecall)
     val chosen = rows.collectFirst {
-      case (p, _, rec) if rec >= targetRecall => p
+      case (p, _, recM) if recM >= tgt => p
     }.getOrElse(model.k)
     (chosen, curve)
   }

@@ -734,9 +734,14 @@ object Keyword {
   /** Reciprocal-rank fusion of independent rankings: each input carries
     * `(idCol, rankCol)` (rank 1 = best) and contributes `1/(c + rank)`;
     * ids absent from a ranking contribute nothing from it. Output:
-    * `(idCol, rrf DOUBLE)` rounded to 6 decimals, best first, top
-    * `topK`. One union + one hash aggregation — rankings are already
-    * top-k-bounded, so this is driver-cheap at any corpus size.
+    * `(idCol, rrf_micros BIGINT)` best first, top `topK`. The score is
+    * a sum of integer-ratio terms whose double is bit-identical on any
+    * engine (same IEEE divisions, commutative sum), so it leaves via
+    * [[graft.Tables.micros]] — `floor(x·10⁶ + ½)`, two more identical
+    * IEEE ops — instead of `round(double, 6)`, whose tie handling is
+    * engine-build-sensitive. One union + one hash aggregation —
+    * rankings are already top-k-bounded, so this is driver-cheap at
+    * any corpus size.
     */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
               c: Int = 60, topK: Int = 10): DataFrame = {
@@ -747,8 +752,8 @@ object Keyword {
       .reduce(_ union _)
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("__raw"))
-      .select(col(idCol), round(col("__raw"), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col(idCol))
+      .select(col(idCol), graft.Tables.micros(col("__raw")).as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col(idCol))
       .limit(topK)
   }
 

@@ -306,12 +306,15 @@ object Sketch {
         count(lit(1)).as("denom"),
         sum(when(col("__in_a"), 1L).otherwise(0L)).as("__na"),
         sum(when(col("__in_b"), 1L).otherwise(0L)).as("__nb"))
-      .withColumn("est_jaccard",
-        round(col("n_common").cast("double") / col("denom"), 6))
-      .withColumn("est_containment_a",
-        round(col("n_common").cast("double") / col("__na"), 6))
-      .withColumn("est_containment_b",
-        round(col("n_common").cast("double") / col("__nb"), 6))
+      // the estimates are exact integer ratios of sketch counts — leave
+      // as pure-Long micros (round-half-up), never round(double, n):
+      // that pattern is tie- and engine-build-sensitive on exact ratios
+      .withColumn("est_jaccard_micros",
+        expr("CAST((2*1000000*n_common + denom) DIV (2*denom) AS BIGINT)"))
+      .withColumn("est_containment_a_micros",
+        expr("CAST((2*1000000*n_common + __na) DIV (2*__na) AS BIGINT)"))
+      .withColumn("est_containment_b_micros",
+        expr("CAST((2*1000000*n_common + __nb) DIV (2*__nb) AS BIGINT)"))
       .drop("__na", "__nb")
   }
 

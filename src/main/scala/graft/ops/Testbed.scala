@@ -602,7 +602,7 @@ object Testbed {
     * and report per-bin empirical precision against the qrels — the
     * calibration curve that tells a RAG stack whether a 0.8 similarity
     * actually MEANS more than a 0.6 (and where to put a score
-    * threshold). Returns `(bin, n_scored, n_relevant, precision)` for
+    * threshold). Returns `(bin, n_scored, n_relevant, precision_micros)` for
     * the occupied bins, bin b covering `[b/nBins, (b+1)/nBins)` with
     * the top edge closed.
     *
@@ -625,8 +625,10 @@ object Testbed {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_scored"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_relevant"))
-      .withColumn("precision",
-        round(col("n_relevant").cast("double") / col("n_scored"), 6))
+      // per-bin precision is an exact integer ratio: pure-Long micros
+      // (round-half-up), never round(double, n) on an exact ratio
+      .withColumn("precision_micros",
+        expr("CAST((2*1000000*n_relevant + n_scored) DIV (2*n_scored) AS BIGINT)"))
   }
 
   /** Character edit-distance evaluation (the CER/TER-style complement
@@ -635,12 +637,13 @@ object Testbed {
     * reference-length-normalized rate (the number OCR/ASR-style
     * pipelines report). Distances are exact integers — Spark's and any
     * other engine's unit-cost `levenshtein` agree bit for bit — and the
-    * rate is one exact division rounded to 6dp. Null sides coalesce to
-    * empty (distance = other side's length, the standard convention).
-    * Returns `(idCol, n_cand_chars, n_ref_chars, edit_distance,
-    * edit_rate)`; an empty reference with an empty candidate rates 0.0,
-    * with a non-empty one 1.0-per-char normalized by the candidate
-    * (the max(len) denominator convention, so the rate stays in [0,1]).
+    * rate is the exact integer ratio dist/max(len), published as
+    * pure-Long micros. Null sides coalesce to empty (distance = other
+    * side's length, the standard convention). Returns `(idCol,
+    * n_cand_chars, n_ref_chars, edit_distance, edit_rate_micros)`; an
+    * empty reference with an empty candidate rates 0, with a non-empty
+    * one 10⁶-per-char normalized by the candidate (the max(len)
+    * denominator convention, so the rate stays in [0, 10⁶]).
     *
     * Pure codegen'd projection — no joins, no shuffle.
     */
@@ -649,13 +652,17 @@ object Testbed {
     val c = coalesce(col(candCol), lit(""))
     val r = coalesce(col(refCol), lit(""))
     val dist = levenshtein(c, r).cast("long")
-    val denom = greatest(length(c), length(r)).cast("double")
+    val denom = greatest(length(c), length(r)).cast("long")
     pairs.select(col(idCol),
-      length(c).cast("long").as("n_cand_chars"),
-      length(r).cast("long").as("n_ref_chars"),
-      dist.as("edit_distance"),
-      round(when(denom === 0.0, lit(0.0))
-        .otherwise(dist.cast("double") / denom), 6).as("edit_rate"))
+        length(c).cast("long").as("n_cand_chars"),
+        length(r).cast("long").as("n_ref_chars"),
+        dist.as("edit_distance"),
+        denom.as("__denom"))
+      // dist/denom is an exact integer ratio: pure-Long micros
+      // (round-half-up), never round(double, n) on an exact ratio
+      .withColumn("edit_rate_micros", expr("IF(__denom = 0, 0L, " +
+        "CAST((2*1000000*edit_distance + __denom) DIV (2*__denom) AS BIGINT))"))
+      .drop("__denom")
   }
 
   /** Deterministic subsampling bootstrap for a per-row metric: `b`
@@ -685,7 +692,11 @@ object Testbed {
         lit(":"), col(idCol).cast("string")).cast("binary")), 1, 8) < threshold)
       .groupBy(col("replicate"))
       .agg(count(lit(1)).as("n_rows"),
-        round(avg(col(valueCol)), 6).as("mean_value"))
+        // Tables.micros, not round(avg, 6): the mean of an
+        // integer-valued metric is an exact rational, where round is
+        // tie- and engine-build-sensitive; floor(x·10⁶ + ½) is two
+        // IEEE ops on the same double — identical everywhere
+        graft.Tables.micros(avg(col(valueCol))).as("mean_value_micros"))
   }
 
   /** RLHF/DPO preference-pair construction from scored generations —

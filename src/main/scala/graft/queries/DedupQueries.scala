@@ -265,8 +265,12 @@ object DedupQueries {
         .select($"id_a", $"id_b", lit(1L).as("__c"))
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce($"__c", lit(0L))).as("n_caught"),
-          round(avg(coalesce($"__c", lit(0L)).cast("double")), 6).as("recall"))
+          sum(coalesce($"__c", lit(0L))).as("n_caught"))
+        // recall = caught/exact is an exact integer ratio: leave as
+        // pure-Long micros (round-half-up), never round(double, 6) —
+        // the tie- and engine-build-sensitive pattern
+        .withColumn("recall_micros",
+          expr("CAST((2*1000000*n_caught + n_exact) DIV (2*n_exact) AS BIGINT)"))
     }),
 
     // Leakage-safe train/test split: every doc follows its near-dup
@@ -826,7 +830,8 @@ object DedupQueries {
         |  SELECT component, count(*)::BIGINT AS n FROM comp GROUP BY component) n
         |  USING (component))
         |SELECT d.doc_id, coalesce(sz.sz, 1)::BIGINT AS cluster_size,
-        |  round(1.0 / coalesce(sz.sz, 1), 6) AS weight
+        |  CAST((2*1000000 + coalesce(sz.sz, 1)) // (2*coalesce(sz.sz, 1))
+        |    AS BIGINT) AS weight_micros
         |FROM documents d LEFT JOIN sz ON sz.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // the component closure again, aggregated to the size histogram;
@@ -963,12 +968,12 @@ object DedupQueries {
         |SELECT slice_a, slice_b,
         |  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_common,
         |  count(*)::BIGINT AS denom,
-        |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-        |    AS est_jaccard,
-        |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / sum(in_a), 6)
-        |    AS est_containment_a,
-        |  round(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::DOUBLE / sum(in_b), 6)
-        |    AS est_containment_b
+        |  CAST((2*1000000*sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + count(*))
+        |    // (2*count(*)) AS BIGINT) AS est_jaccard_micros,
+        |  CAST((2*1000000*sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + sum(in_a))
+        |    // (2*sum(in_a)) AS BIGINT) AS est_containment_a_micros,
+        |  CAST((2*1000000*sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + sum(in_b))
+        |    // (2*sum(in_b)) AS BIGINT) AS est_containment_b_micros
         |FROM r WHERE rn <= 256 GROUP BY slice_a, slice_b
         |ORDER BY slice_a, slice_b""".stripMargin,
     // both legs replayed on the sample: exact pairs brute-force, LSH
@@ -1018,7 +1023,8 @@ object DedupQueries {
         |          len(list_distinct(list_concat(ga.sh, gb.sh))) >= 0.2)
         |SELECT count(*)::BIGINT AS n_exact,
         |  sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_caught,
-        |  round(avg(CASE WHEN l.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS recall
+        |  CAST((2*1000000*sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+        |      + count(*)) // (2*count(*)) AS BIGINT) AS recall_micros
         |FROM exact e LEFT JOIN lsh l USING (id_a, id_b)""".stripMargin,
     // cluster closure + md5 split on the representative (singletons
     // represent themselves); the threshold literal is the engine's own

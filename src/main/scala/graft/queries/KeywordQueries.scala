@@ -168,7 +168,7 @@ object KeywordQueries {
         .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy($"bm25".desc, $"doc_id")))
         .select($"doc_id", $"rank")
       Keyword.rrfFuse(Seq(vecRank, kwRank), "doc_id", "rank", c = 60, topK = 10)
-        .orderBy($"rrf".desc, $"doc_id")
+        .orderBy($"rrf_micros".desc, $"doc_id")
     }),
 
     // Weighted hybrid (relative-score fusion): both legs min-max
@@ -375,8 +375,9 @@ object KeywordQueries {
          |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM kwr
          |  UNION ALL
          |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vecr)
-         |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
-         |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+         |SELECT doc_id,
+         |  CAST(floor(sum(c) * 1000000 + 0.5) AS BIGINT) AS rrf_micros FROM u
+         |GROUP BY doc_id ORDER BY rrf_micros DESC, doc_id LIMIT 10""".stripMargin,
     // min-max over each leg's rounded top-50 scores, 0.7/0.3 blend,
     // rounded-rank cut — normalization and blend replayed term for term
     "hybrid_alpha_fusion" ->

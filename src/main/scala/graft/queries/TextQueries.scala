@@ -161,10 +161,14 @@ object TextQueries {
       val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
         array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
           t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      // p1/p2 are ratio-of-integers doubles → Tables.micros (the exact
+      // cross-engine pin); bleu passes through exp/log (the brevity
+      // penalty and geometric mean) so it keeps round(·, 6)
       graft.ops.Testbed.bleu(ref.join(cand, "doc_id"),
           "doc_id", "cand_text", "ref_text", maxN = 2)
         .select($"doc_id", $"n_cand", $"n_ref",
-          round($"p1", 6).as("p1"), round($"p2", 6).as("p2"),
+          graft.Tables.micros($"p1").as("p1_micros"),
+          graft.Tables.micros($"p2").as("p2_micros"),
           round($"bleu", 6).as("bleu"))
         .orderBy($"doc_id")
     }),
@@ -195,12 +199,19 @@ object TextQueries {
       val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
         array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
           t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      // P = o/c, R = o/r and F1 = 2PR/(P+R) = 2o/(c+r) are EXACT
+      // integer ratios — leave as pure-Long micros (round-half-up)
+      // computed from the integer columns, never round(double, 6)
       graft.ops.Testbed.rougeN(ref.join(cand, "doc_id"),
           "doc_id", "cand_text", "ref_text", n = 2)
-        .select($"doc_id", $"n_cand_grams", $"n_ref_grams", $"overlap",
-          round($"precision", 6).as("precision"),
-          round($"recall", 6).as("recall"),
-          round($"f1", 6).as("f1"))
+        .select($"doc_id", $"n_cand_grams", $"n_ref_grams", $"overlap")
+        .withColumn("precision_micros", expr("IF(n_cand_grams = 0, 0L, " +
+          "CAST((2*1000000*overlap + n_cand_grams) DIV (2*n_cand_grams) AS BIGINT))"))
+        .withColumn("recall_micros", expr("IF(n_ref_grams = 0, 0L, " +
+          "CAST((2*1000000*overlap + n_ref_grams) DIV (2*n_ref_grams) AS BIGINT))"))
+        .withColumn("f1_micros", expr("IF(n_cand_grams + n_ref_grams = 0, 0L, " +
+          "CAST((2*1000000*2*overlap + n_cand_grams + n_ref_grams) " +
+          "DIV (2*(n_cand_grams + n_ref_grams)) AS BIGINT))"))
         .orderBy($"doc_id")
     }),
 
@@ -216,12 +227,18 @@ object TextQueries {
       val cand = docs.select((($"doc_id" + lit(19L)) % 20).as("doc_id"),
         array_join(slice(filter(graft.ops.TextAnalysis.tokens($"text"),
           t => length(t) > 0), 1, 25), " ").as("cand_text"))
+      // same exact-ratio micros convention as eval_rouge2 (lcs is the
+      // overlap integer here)
       graft.ops.Testbed.rougeL(ref.join(cand, "doc_id"),
           "doc_id", "cand_text", "ref_text")
-        .select($"doc_id", $"n_cand_tokens", $"n_ref_tokens", $"lcs",
-          round($"precision", 6).as("precision"),
-          round($"recall", 6).as("recall"),
-          round($"f1", 6).as("f1"))
+        .select($"doc_id", $"n_cand_tokens", $"n_ref_tokens", $"lcs")
+        .withColumn("precision_micros", expr("IF(n_cand_tokens = 0, 0L, " +
+          "CAST((2*1000000*lcs + n_cand_tokens) DIV (2*n_cand_tokens) AS BIGINT))"))
+        .withColumn("recall_micros", expr("IF(n_ref_tokens = 0, 0L, " +
+          "CAST((2*1000000*lcs + n_ref_tokens) DIV (2*n_ref_tokens) AS BIGINT))"))
+        .withColumn("f1_micros", expr("IF(n_cand_tokens + n_ref_tokens = 0, 0L, " +
+          "CAST((2*1000000*2*lcs + n_cand_tokens + n_ref_tokens) " +
+          "DIV (2*(n_cand_tokens + n_ref_tokens)) AS BIGINT))"))
         .orderBy($"doc_id")
     }),
 
@@ -3028,7 +3045,8 @@ object TextQueries {
       |l AS (SELECT doc_id, len(cw) AS n_cand, len(rw) AS n_ref FROM pr)
       |SELECT l.doc_id, CAST(l.n_cand AS BIGINT) AS n_cand,
       |  CAST(l.n_ref AS BIGINT) AS n_ref,
-      |  round(coalesce(p1, 0), 6) AS p1, round(coalesce(p2, 0), 6) AS p2,
+      |  CAST(floor(coalesce(p1, 0) * 1000000 + 0.5) AS BIGINT) AS p1_micros,
+      |  CAST(floor(coalesce(p2, 0) * 1000000 + 0.5) AS BIGINT) AS p2_micros,
       |  round(CASE WHEN l.n_cand = 0 OR coalesce(p1, 0) = 0
       |               OR coalesce(p2, 0) = 0 THEN 0.0
       |        ELSE (CASE WHEN l.n_cand >= l.n_ref THEN 1.0
@@ -3060,19 +3078,19 @@ object TextQueries {
       |    coalesce(ov.ctot, 0) AS n_cand_grams,
       |    coalesce(rt.rtot, 0) AS n_ref_grams,
       |    coalesce(ov.overlap, 0) AS overlap
-      |  FROM pr LEFT JOIN ov USING (doc_id) LEFT JOIN rt USING (doc_id)),
-      |pm AS (SELECT doc_id, n_cand_grams, n_ref_grams, overlap,
-      |    CASE WHEN n_cand_grams = 0 THEN 0.0
-      |         ELSE CAST(overlap AS DOUBLE) / n_cand_grams END AS p,
-      |    CASE WHEN n_ref_grams = 0 THEN 0.0
-      |         ELSE CAST(overlap AS DOUBLE) / n_ref_grams END AS r
-      |  FROM m)
+      |  FROM pr LEFT JOIN ov USING (doc_id) LEFT JOIN rt USING (doc_id))
       |SELECT doc_id, n_cand_grams::BIGINT AS n_cand_grams,
       |  n_ref_grams::BIGINT AS n_ref_grams, overlap::BIGINT AS overlap,
-      |  round(p, 6) AS precision, round(r, 6) AS recall,
-      |  round(CASE WHEN p + r = 0 THEN 0.0
-      |        ELSE 2.0 * p * r / (p + r) END, 6) AS f1
-      |FROM pm ORDER BY doc_id""".stripMargin
+      |  CASE WHEN n_cand_grams = 0 THEN 0 ELSE
+      |    CAST((2*1000000*overlap + n_cand_grams) // (2*n_cand_grams) AS BIGINT)
+      |    END AS precision_micros,
+      |  CASE WHEN n_ref_grams = 0 THEN 0 ELSE
+      |    CAST((2*1000000*overlap + n_ref_grams) // (2*n_ref_grams) AS BIGINT)
+      |    END AS recall_micros,
+      |  CASE WHEN n_cand_grams + n_ref_grams = 0 THEN 0 ELSE
+      |    CAST((2*1000000*2*overlap + n_cand_grams + n_ref_grams)
+      |      // (2*(n_cand_grams + n_ref_grams)) AS BIGINT) END AS f1_micros
+      |FROM m ORDER BY doc_id""".stripMargin
 
   private val bpeStatsOracle: String =
     s"""WITH w AS (SELECT term AS word, count(*) AS cnt FROM (
@@ -3414,17 +3432,18 @@ object TextQueries {
         |m AS (
         |  SELECT pr.doc_id, len(pr.cw)::BIGINT AS n_cand_tokens,
         |    len(pr.rw)::BIGINT AS n_ref_tokens, coalesce(f.lcs, 0) AS lcs
-        |  FROM pr LEFT JOIN f USING (doc_id)),
-        |pm AS (SELECT *,
-        |    CASE WHEN n_cand_tokens = 0 THEN 0.0
-        |         ELSE lcs::DOUBLE / n_cand_tokens END AS p,
-        |    CASE WHEN n_ref_tokens = 0 THEN 0.0
-        |         ELSE lcs::DOUBLE / n_ref_tokens END AS r FROM m)
+        |  FROM pr LEFT JOIN f USING (doc_id))
         |SELECT doc_id, n_cand_tokens, n_ref_tokens, lcs::BIGINT AS lcs,
-        |  round(p, 6) AS precision, round(r, 6) AS recall,
-        |  round(CASE WHEN p + r = 0 THEN 0.0
-        |        ELSE 2.0 * p * r / (p + r) END, 6) AS f1
-        |FROM pm ORDER BY doc_id""".stripMargin,
+        |  CASE WHEN n_cand_tokens = 0 THEN 0 ELSE
+        |    CAST((2*1000000*lcs + n_cand_tokens) // (2*n_cand_tokens) AS BIGINT)
+        |    END AS precision_micros,
+        |  CASE WHEN n_ref_tokens = 0 THEN 0 ELSE
+        |    CAST((2*1000000*lcs + n_ref_tokens) // (2*n_ref_tokens) AS BIGINT)
+        |    END AS recall_micros,
+        |  CASE WHEN n_cand_tokens + n_ref_tokens = 0 THEN 0 ELSE
+        |    CAST((2*1000000*2*lcs + n_cand_tokens + n_ref_tokens)
+        |      // (2*(n_cand_tokens + n_ref_tokens)) AS BIGINT) END AS f1_micros
+        |FROM m ORDER BY doc_id""".stripMargin,
     "validate_expectations" ->
       """WITH t AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents
@@ -3471,9 +3490,11 @@ object TextQueries {
         |  length(ct)::BIGINT AS n_cand_chars,
         |  length(rt)::BIGINT AS n_ref_chars,
         |  levenshtein(ct, rt)::BIGINT AS edit_distance,
-        |  round(CASE WHEN greatest(length(ct), length(rt)) = 0 THEN 0.0
-        |        ELSE levenshtein(ct, rt)::DOUBLE /
-        |             greatest(length(ct), length(rt)) END, 6) AS edit_rate
+        |  CASE WHEN greatest(length(ct), length(rt)) = 0 THEN 0
+        |    ELSE CAST((2*1000000*levenshtein(ct, rt)
+        |        + greatest(length(ct), length(rt)))
+        |      // (2*greatest(length(ct), length(rt))) AS BIGINT)
+        |    END AS edit_rate_micros
         |FROM pr ORDER BY doc_id""".stripMargin,
     "ngram_lm_score" -> ngramLmOracle,
     "lm_perplexity_filter" -> pplFilterOracle(20.0),
@@ -4297,7 +4318,7 @@ object TextQueries {
          |      || doc_id::VARCHAR), 1, 8)
          |    < '${graft.ops.Sampling.hexThreshold(0.8)}')
          |SELECT replicate::BIGINT AS replicate, count(*)::BIGINT AS n_rows,
-         |  round(avg(value), 6) AS mean_value
+         |  CAST(floor(avg(value) * 1000000 + 0.5) AS BIGINT) AS mean_value_micros
          |FROM s GROUP BY replicate ORDER BY replicate""".stripMargin,
     // same synthetic conversations; the frame-ordered list window and
     // the last-4 slice replayed

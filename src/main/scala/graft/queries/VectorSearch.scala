@@ -1304,7 +1304,8 @@ object VectorSearch {
         |        ON rel.qid = run.qid AND rel.vec_id = run.vec_id)
         |SELECT bin, count(*)::BIGINT AS n_scored,
         |  sum(hit)::BIGINT AS n_relevant,
-        |  round(sum(hit)::DOUBLE / count(*), 6) AS precision
+        |  CAST((2*1000000*sum(hit) + count(*)) // (2*count(*)) AS BIGINT)
+        |    AS precision_micros
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "retrieval_eval_metrics" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel

@@ -63,10 +63,10 @@ object R11Probe {
       corpus1, "vec_id", "embedding", am, sampleQ, "qid", "qemb",
       k = 10, targetRecall = 0.95))
     val recAt = curve.filter($"n_probe" === pTuned)
-      .head().getDouble(2)
+      .head().getLong(2)
     println(f"SCALE tune_nprobe k=${am.k}%d sample=${sampleQ.count()}%d: " +
       f"target 0.95 -> nProbe $pTuned%d (${100.0 * pTuned / am.k}%4.1f%% of cells, " +
-      f"recall $recAt%5.3f) in $tTune%5.1f s")
+      f"recall ${recAt}%d us) in $tTune%5.1f s")
 
     // PQ encode at a PRODUCTION codebook shape (m=32 subspaces, 256
     // centroids each over the dim-64 fixture): the round-11 encode is

@@ -544,10 +544,10 @@ class CurationOpsSpec extends AnyFunSuite {
     val qrels = Seq((1L, 10L), (2L, 12L)).toDF("qid", "doc")
     val got = Testbed.scoreCalibration(run, qrels, "qid", "doc", "score")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3)))).toMap
-    assert(got(9L) == ((2L, 1L, 0.5)))  // s=0.8 (hit) and s=1.0 (miss)
-    assert(got(5L) == ((1L, 0L, 0.0)))
-    assert(got(2L) == ((1L, 1L, 1.0)))
+        r.getLong(3)))).toMap
+    assert(got(9L) == ((2L, 1L, 500000L)))  // s=0.8 (hit) and s=1.0 (miss)
+    assert(got(5L) == ((1L, 0L, 0L)))
+    assert(got(2L) == ((1L, 1L, 1000000L)))
     assert(got.size == 3)
   }
 
@@ -563,13 +563,12 @@ class CurationOpsSpec extends AnyFunSuite {
       (5L, "abcd", "")                     // empty ref → rate 1.0
     ).toDF("id", "cand", "ref")
     val got = Testbed.editDistance(pairs, "id", "cand", "ref")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
-    assert(got(1L) == ((3L, 3.0 / 7)) || got(1L)._1 == 3L)
-    assert(got(1L)._2 == 0.428571) // round(3/7, 6)
-    assert(got(2L) == ((0L, 0.0)))
-    assert(got(3L) == ((2L, 1.0)))
-    assert(got(4L) == ((0L, 0.0)))
-    assert(got(5L) == ((4L, 1.0)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 428571L))) // micros(3/7), round-half-up
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(3L) == ((2L, 1000000L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((4L, 1000000L)))
   }
 
   // ---- bootstrap CI ----
@@ -578,9 +577,9 @@ class CurationOpsSpec extends AnyFunSuite {
     import graft.ops.Testbed
     val vals = (1L to 400L).map(i => (i, i.toDouble)).toDF("id", "value")
     val a = Testbed.bootstrapCi(vals, "id", "value", b = 10, sampleFrac = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val b2 = Testbed.bootstrapCi(vals, "id", "value", b = 10, sampleFrac = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(a.toSeq == b2.toSeq)            // deterministic
     assert(a.length == 10)
     // each replicate holds ~50% of rows (binomial n=400 p=.5: ±5σ ≈ 50)

@@ -188,17 +188,18 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 7L)).toDF("id_a", "id_b")
     val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("doc_id")
     val got = Dedup.softDedupWeights(docs, "doc_id", pairs)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(Seq(1L, 2L, 3L, 7L).forall(got(_) == ((4L, 0.25))))
-    assert(Seq(5L, 6L).forall(got(_) == ((2L, 0.5))))
-    assert(got(9L) == ((1L, 1.0)))
-    // each cluster contributes total sampling mass 1 (sum by the REAL
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(Seq(1L, 2L, 3L, 7L).forall(got(_) == ((4L, 250000L))))
+    assert(Seq(5L, 6L).forall(got(_) == ((2L, 500000L))))
+    assert(got(9L) == ((1L, 1000000L)))
+    // each cluster contributes total sampling mass ~1 (sum by the REAL
     // cluster membership, not by size — two same-size clusters must
-    // not pool)
+    // not pool); micros quantization bounds the drift by n/2 µ
     val clusters = Seq(Seq(1L, 2L, 3L, 7L), Seq(5L, 6L), Seq(9L))
     clusters.foreach { c =>
       val mass = c.map(got(_)._2).sum
-      assert(math.abs(mass - 1.0) < 1e-9, s"cluster $c mass $mass")
+      assert(math.abs(mass - 1000000L) <= c.size / 2 + 1,
+        s"cluster $c mass $mass")
     }
   }
 

@@ -169,13 +169,14 @@ class IvfFitSpec extends AnyFunSuite {
     val (p, curveDf) = graft.ops.Ivf.tuneNProbe(corpus, "id", "emb", model,
       queries, "qid", "qemb", k = 10, targetRecall = 1.0)
     val curve = curveDf.orderBy($"n_probe").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-    // monotone, full probe = exactly 1.0, and the straddle forces p > 1
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // monotone, full probe = exactly 1.0 (in exact micros), and the
+    // straddle forces p > 1
     assert(curve.length == 4)
     assert(curve.sliding(2).forall(w => w(0)._2 <= w(1)._2))
-    assert(curve.last._3 == 1.0)
+    assert(curve.last._3 == 1000000L)
     assert(p > 1, s"straddling queries must need more than one probe (got $p)")
-    assert(curve(p - 1)._3 >= 1.0 && (p == 1 || curve(p - 2)._3 < 1.0),
+    assert(curve(p - 1)._3 >= 1000000L && (p == 1 || curve(p - 2)._3 < 1000000L),
       "chosen width is the SMALLEST meeting the target")
     // the tuned width really delivers: the cell join at p recovers the
     // exact top-k pair set bit-for-bit under the same tiebreak

@@ -137,7 +137,7 @@ class SketchSpec extends AnyFunSuite {
     val est = Sketch.bottomkJaccard(sig, "slice", k = 64).collect().head
     assert(est.getAs[Long]("n_common") == 2L)
     assert(est.getAs[Long]("denom") == 6L) // |union| < k → exact Jaccard
-    assert(est.getAs[Double]("est_jaccard") == 0.333333) // round(1/3, 6)
+    assert(est.getAs[Long]("est_jaccard_micros") == 333333L) // micros(1/3)
   }
 
   test("bottomkSignatures: per-slice size capped at k, identical slices estimate 1") {
@@ -146,7 +146,7 @@ class SketchSpec extends AnyFunSuite {
     val sig = Sketch.bottomkSignatures(df, "slice", "text", k = 16, n = 3)
     assert(sig.groupBy($"slice").count().collect().forall(_.getLong(1) == 16L))
     val est = Sketch.bottomkJaccard(sig, "slice", k = 16).collect().head
-    assert(est.getAs[Double]("est_jaccard") == 1.0)
+    assert(est.getAs[Long]("est_jaccard_micros") == 1000000L)
     assert(est.getAs[Long]("denom") == 16L)
   }
 
