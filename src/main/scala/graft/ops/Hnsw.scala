@@ -878,8 +878,10 @@ object Hnsw {
     * sidecar loudly (stamp ≠ store version): a stale graph silently
     * misses freshly ingested rows. `ef = 0` (the default) serves at
     * the [[tuneSidecarEf]]-persisted width when the config exists —
-    * and at the conservative `max(64, 4k)` otherwise; an explicit
-    * `ef > 0` bypasses the config entirely.
+    * which also pins this serve's `k` to the tuned k (a width whose
+    * recall was measured at k=5 says nothing about k=50; mismatches
+    * refuse loudly) — and at the conservative `max(64, 4k)` otherwise;
+    * an explicit `ef > 0` bypasses the config entirely.
     */
   def searchHnswSidecar(spark: SparkSession, table: String, path: String,
                         queries: DataFrame, qidCol: String, qEmbCol: String,

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-17 scaling evidence: `Sampling.lengthBucketBatches` at 16×.
+  *
+  * The plan's one wide op is `row_number() OVER (PARTITION BY
+  * bucket_len ORDER BY md5(key))` — one reducer per bucket BY DESIGN
+  * (the per-bucket fill sequence is inherently bucket-local), with a
+  * documented per-shard planning contract for 100 TB. Two legs
+  * isolate the two shapes:
+  *
+  * 1. MIXED lengths (tokens = 1 + id % 512, quantum 64 → 8 buckets):
+  *    the production shape — 8 reducers share the window; wall and
+  *    shuffle bytes should grow ~linearly from 1× to 16×.
+  * 2. SINGLE-BUCKET worst case (every row the same length → ONE
+  *    bucket, ONE reducer sorts everything): the adversarial shape
+  *    the per-shard contract exists for — measure where the
+  *    single-reducer sort actually cracks on serving-class row
+  *    volumes, so SCALE.md can state the measured boundary instead
+  *    of an assumption.
+  *
+  * Rows are planning-sized (key + token count, ~16 B), so 16× here is
+  * a row-count scale probe, not an IO probe. Min-of-K wall because
+  * this sandbox stalls runs at random; shuffle read bytes from a
+  * stage listener.
+  */
+object R17Probe {
+  def main(args: Array[String]): Unit = {
+    val runs = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    graft.Tables.bootstrap(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.remoteBytesRead +
+          sc.stageInfo.taskMetrics.shuffleReadMetrics.localBytesRead): Unit
+    })
+
+    def probe(label: String)(f: => Long): Unit = {
+      val samples = (1 to runs).map { _ =>
+        shuffleBytes.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        Thread.sleep(200)
+        (wall, shuffleBytes.get(), rows)
+      }
+      val best = samples.minBy(_._1)
+      println(f"[r17] $label%-40s min ${best._1}%7.2f s  max ${samples.map(_._1).max}%7.2f s  " +
+        f"shuffle ${best._2 / 1e6}%8.1f MB  rows ${best._3}")
+    }
+
+    val base = 1L << 20
+    // the result is consumed with a full-plan action: count() after an
+    // agg over batch_id forces the window AND the downstream batch
+    // bookkeeping a planner would read, not just the row count
+    def plan(n: Long, tokensExpr: String): Long =
+      graft.ops.Sampling.lengthBucketBatches(
+          spark.range(n).select(col("id").as("key"),
+            expr(tokensExpr).as("tok")),
+          "key", "tok", quantum = 64, budget = 512)
+        .groupBy(col("bucket_len"), col("batch_id"))
+        .agg(count(lit(1)).as("n"), max(col("waste")).as("w"))
+        .count()
+
+    for (mult <- Seq(1L, 4L, 16L)) {
+      probe(s"mixed 8-bucket ${mult}x (${base * mult} rows)") {
+        plan(base * mult, "1 + id % 512")
+      }
+    }
+    for (mult <- Seq(1L, 4L, 16L)) {
+      probe(s"single-bucket worst ${mult}x (${base * mult} rows)") {
+        plan(base * mult, "256")
+      }
+    }
+  }
+}
