@@ -295,6 +295,9 @@ object Contrastive {
       .withColumn("__rbest", row_number().over(
         w.partitionBy(col("id_a")).orderBy(col("margin").desc, col("id_b"))))
       .filter(col("__rbest") === 1 && col("margin") >= minMargin)
+      // cosine-derived doubles (transcendental chain): round(6) is the
+      // knn-score convention — tie boundary has measure zero here,
+      // unlike exact integer ratios (those leave as micros)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
         round(col("margin"), 6).as("margin"))
   }

@@ -188,6 +188,9 @@ object Curation {
     require(budget >= 0, s"budget must be >= 0 (got $budget)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
+      // internal portable-ranking round: the cut happens on the SAME
+      // rounded value in any engine replaying this plan, and the
+      // domain tiebreak makes the order total — never an output column
       .orderBy(round(col(qualityCol), 6).desc, col(domainCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     perDomain

@@ -784,6 +784,8 @@ object Dedup {
                             evalVecs: Array[Array[Float]],
                             threshold: Double): DataFrame =
     corpus
+      // cosine-derived (transcendental): round(6) is the knn-score
+      // convention; exact integer ratios leave as micros instead
       .withColumn("max_eval_sim",
         round(VectorFunctions.maxCosineToSet(col(embCol), evalVecs), 6))
       .withColumn("leaked", col("max_eval_sim") >= threshold)
@@ -1469,6 +1471,8 @@ object Dedup {
     def pCand(s: Column, r: Column, b: Column): Column =
       lit(1.0) - pow(lit(1.0) - pow(s, r), b)
     val r = (lit(numHashes) / col("bands")).cast("int")
+    // every rounded column below passes through pow (transcendental):
+    // round(6) is the score convention, never an exact-ratio round
     val scored = plans
       .withColumn("rows_per_band", r)
       .withColumn("inflection",

@@ -88,6 +88,9 @@ object Keyword {
         termScore(col("__tf"), col("__dl"), col("__df"), nDocs, avgdl, k1, b))
       .groupBy(col(idCol))
       .agg(sum(col("__s")).as("__raw"))
+      // bm25 passes through ln (idf) — transcendental, so round(6) is
+      // the score convention here and at every other bm25 site; exact
+      // integer ratios leave as micros instead
       .select(col(idCol), round(col("__raw"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)

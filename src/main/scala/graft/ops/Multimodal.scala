@@ -228,7 +228,9 @@ object Multimodal {
         col("__a._2").cast("long").as("n_active"),
         col("__a._3").cast("long").as("longest_run"),
         col("__a._4").cast("long").as("first_active"))
-      .withColumn("active_ratio",
-        round(col("n_active").cast("double") / col("n_windows"), 6))
+      // n_active/n_windows is an exact integer ratio: pure-Long micros
+      // (round-half-up), never round(double, n) on an exact ratio
+      .withColumn("active_ratio_micros",
+        expr("CAST((2*1000000*n_active + n_windows) DIV (2*n_windows) AS BIGINT)"))
   }
 }

@@ -134,6 +134,8 @@ object NgramLm {
     scoreStupidBackoff(docs, idCol, textCol, counts, alpha)
       .filter(col("n_zero") === 0)
       .select(col(idCol), col("n_tokens"),
+        // exp/ln chain (transcendental): round(6) is the score
+        // convention, never an exact-ratio round
         round(exp(-col("logprob") / col("n_tokens")), 6).as("ppl"))
       .filter(col("ppl") <= maxPpl)
   }

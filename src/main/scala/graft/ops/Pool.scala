@@ -108,6 +108,9 @@ object Pool {
         transform(array_sort(collect_list(struct(col("__pos"), col("__contrib")))),
           x => x("__contrib")),
         zero, (acc, c) => zip_with(acc, c, (a, b) => a + b)).as("__emb"))
+    // pooled float sums (data floats, not integer ratios), accumulated
+    // in the array_sort-pinned order so the pre-round double is
+    // engine-identical: round(6) is the embedding-output convention
     folded.select(col(idCol) +: col("n_tokens") +:
       (0 until dim).map(d => round(element_at(col("__emb"), d + 1), 6).as(s"e$d")): _*)
   }

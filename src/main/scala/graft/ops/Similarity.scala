@@ -65,6 +65,8 @@ object Similarity {
     knn(chunks, embCol, queryVec, kChunks, metric)
       .groupBy(col(parentIdCol))
       .agg(count(lit(1)).as("n_hit_chunks"),
+        // metric scores are transcendental-derived (cosine/sqrt):
+        // round(6) is the knn-score convention, tie measure zero
         round(if (metric == "EUCLIDEAN_DISTANCE") min(col("score"))
           else max(col("score")), 6).as("best_score"))
       .orderBy(ordering(metric, col("best_score")), col(parentIdCol))

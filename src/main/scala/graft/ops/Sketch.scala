@@ -75,6 +75,8 @@ object Sketch {
           m * log(m / col("__zeros")))
           .otherwise(col("__raw")).as("hll_estimate"),
         col("__zeros"))
+      // the estimate passes through a harmonic mean and ln (transcendental
+      // chain): round(4) is safe — never an exact integer ratio
       .select(round(col("hll_estimate"), 4).as("hll_estimate"))
   }
 

@@ -720,6 +720,8 @@ object Testbed {
         count(lit(1)).as("n_candidates"))
       .filter(col("__c.s") - col("__r.s") > minMargin)
       .select(col(qidCol), col("__c.a").as("chosen"), col("__r.a").as("rejected"),
+        // generation scores are transcendental-derived model outputs:
+        // round(6) is the score convention, not an exact-ratio round
         round(col("__c.s") - col("__r.s"), 6).as("margin"),
         col("n_candidates"))
   }

@@ -5030,15 +5030,15 @@ object TextQueries {
     // 8-window RMS envelope; quiet.wav's first half is digital silence
     "audio_activity_report" ->
       """SELECT media_id, n_windows, n_active, longest_run, first_active,
-        |  active_ratio FROM (VALUES
-        |  ('byte8.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
-        |  ('quiet.wav', 8::BIGINT, 4::BIGINT, 4::BIGINT, 4::BIGINT, 0.5),
-        |  ('stereo.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
-        |  ('sweep.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
-        |  ('tone.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0),
-        |  ('tone_half.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1.0)
+        |  active_ratio_micros FROM (VALUES
+        |  ('byte8.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1000000::BIGINT),
+        |  ('quiet.wav', 8::BIGINT, 4::BIGINT, 4::BIGINT, 4::BIGINT, 500000::BIGINT),
+        |  ('stereo.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1000000::BIGINT),
+        |  ('sweep.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1000000::BIGINT),
+        |  ('tone.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1000000::BIGINT),
+        |  ('tone_half.wav', 8::BIGINT, 8::BIGINT, 8::BIGINT, 0::BIGINT, 1000000::BIGINT)
         |) t(media_id, n_windows, n_active, longest_run, first_active,
-        |    active_ratio)
+        |    active_ratio_micros)
         |ORDER BY media_id""".stripMargin,
     // the WHOLE unigram model replayed: weighted substring counts, the
     // top-50 + all-chars vocabulary, ln(cnt/total) scores, the Viterbi
