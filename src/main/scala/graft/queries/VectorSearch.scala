@@ -577,6 +577,45 @@ object VectorSearch {
         .orderBy($"query_id", $"rank")
     }),
 
+    // The dispatch TABLE itself, driver-checked: one store upgraded in
+    // place through every layout (append → SQ8 → IVF → residual PQ →
+    // graph sidecar), and after each stage the route VectorServe picks
+    // is emitted as a row alongside the serve's top-k at covering
+    // settings — which must equal exact kNN at EVERY stage (the
+    // serving ladder's invariant). A mis-dispatch changes the route
+    // string; a route-specific bug breaks that stage's hits; both
+    // break the hash. (The spec twin drives refusal paths; this row
+    // pins the happy-path matrix in the driver gate.)
+    "vectorserve_route_matrix" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-routes-q").toString + "/store"
+      graft.ops.VersionedStore.append(s, table,
+        e.filter($"vec_id" >= 10).select($"vec_id".as("id"), $"embedding"))
+      val qv = e.filter($"vec_id" === 0)
+        .head().getSeq[Float](1).toArray
+      def stage(n: Int, width: Int): DataFrame = {
+        val h = graft.ops.VectorServe.open(s, table)
+        h.search("id", "embedding", qv, k = 4, nProbe = width, overfetch = 1000)
+          .select(lit(n.toLong).as("stage"),
+            lit(h.servedRoute.toString).as("route"),
+            $"id".as("vec_id"), round($"score", 6).as("sim"))
+      }
+      val s1 = stage(1, width = 4)
+      graft.ops.Quantize.quantizeStore(s, table, "embedding")
+      val s2 = stage(2, width = 4)
+      graft.ops.Ivf.indexStore(s, table, "id", "embedding", k = 4): Unit
+      val s3 = stage(3, width = 4)
+      graft.ops.Pq.pqStore(s, table, "embedding", m = 8, ncent = 16): Unit
+      val s4 = stage(4, width = 4)
+      graft.ops.Hnsw.registerHnswSidecar(s, table, "id", "embedding",
+        s"$table/../graph")
+      val s5 = stage(5, width = 1 << 20) // width is ef on the graph route
+      s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+        .orderBy($"stage", $"sim".desc, $"vec_id")
+    }),
+
     // The full RAG retrieval shape in one oracle-checked query: V2 top-k
     // over embeddings → J3 lookup join to documents (vec_id ≡ doc_id in
     // the test data) → A9 rank-ordered context concatenation
@@ -605,8 +644,12 @@ object VectorSearch {
     // correctness by topic (A2/A3).
     "testbed_eval_report" -> ((s, d) => {
       import s.implicits._
+      // correctness = n_correct/n with per-topic n arbitrary across
+      // scale factors: an exact integer ratio leaves as Tables.micros
+      // (identical IEEE ops both engines), never round(double, 6)
       evalReportByTopic(s, d)
-        .select($"topic", $"n", round($"correctness", 6).as("correctness"))
+        .select($"topic", $"n",
+          graft.Tables.micros($"correctness").as("correctness_micros"))
         .orderBy($"topic")
     }),
 
@@ -1050,7 +1093,8 @@ object VectorSearch {
         |      false) AS correct
         |  FROM qa q JOIN top1 t USING (qid) JOIN corpus c USING (doc_id))
         |SELECT topic, count(*)::BIGINT AS n,
-        |  round(avg(correct::INT), 6) AS correctness
+        |  CAST(floor(avg(correct::INT) * 1000000 + 0.5) AS BIGINT)
+        |    AS correctness_micros
         |FROM judged GROUP BY topic ORDER BY topic""".stripMargin,
     // coverage recomputed independently from the QA source slice (docs
     // with vectors); the [0,1] bound is constant-truth
@@ -1130,6 +1174,21 @@ object VectorSearch {
     "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_sidecar_serve" -> knnOracle("list_cosine_similarity", desc = true),
     "vectorserve_hnsw_route" -> knnOracle("list_cosine_similarity", desc = true),
+    // the dispatch matrix: stage/route pairs are the engine's declared
+    // dispatch table (literals), and every stage's hits are the SAME
+    // exact top-4 — the covering-settings ladder invariant
+    "vectorserve_route_matrix" ->
+      """WITH topk AS (
+        |  SELECT vec_id, round(s, 6) AS sim FROM (
+        |    SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+        |    FROM embeddings e WHERE e.vec_id >= 10
+        |    ORDER BY s DESC, e.vec_id LIMIT 4)),
+        |st AS (SELECT * FROM (VALUES
+        |  (1::BIGINT, 'Exact'), (2::BIGINT, 'Sq8Only'), (3::BIGINT, 'IvfSq8'),
+        |  (4::BIGINT, 'IvfPq'), (5::BIGINT, 'Hnsw')) t(stage, route))
+        |SELECT stage, route, vec_id, sim FROM st, topk
+        |ORDER BY stage, sim DESC, vec_id""".stripMargin,
     "stream_hnsw_live_serve" -> knnOracle("list_cosine_similarity", desc = true),
     // the tuner's theorem facts are engine-independent literals; the
     // one data-shaped value (the ground-truth size) is replayed as a
