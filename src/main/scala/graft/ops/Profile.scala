@@ -249,4 +249,48 @@ object Profile {
         round(col("__z"), 6).as("z"),
         coalesce(abs(col("__z")) > lit(zThreshold), lit(false)).as("is_anomaly"))
   }
+
+  /** Order-invariant MULTISET fingerprint of a dataset — the corpus
+    * equality assertion a 100 TB reproducibility check needs: two
+    * pipeline runs (or a migration's before/after, or a replica pair)
+    * compare one tiny row each instead of sorting and diffing
+    * petabytes. One scan, one map-side-combined aggregation, no sort,
+    * no shuffle beyond the single-row combine; any row order, any
+    * partitioning, any file layout produces the identical fingerprint.
+    *
+    * Per row: the selected columns canonicalize to one string
+    * (`\u0001` field separator; NULL ≠ empty via a `\u0002` sentinel — NUL itself truncates varchars in some engines)
+    * and hash through the repo's md5-portable 60-bit bridge — md5 is
+    * md5 in every engine, so an external system can recompute the
+    * fingerprint from the same rows. Two one-row aggregates:
+    *
+    *   - `xor_fingerprint` = bit_xor of the row hashes — order- and
+    *     layout-invariant, but an EVEN number of copies of a row
+    *     cancels out;
+    *   - `sum_fingerprint` = Σ hashes mod 2⁶¹−1 (Mersenne prime;
+    *     summed in DECIMAL(38,0) so no width overflows before the
+    *     mod) — counts multiplicity, closing exactly the duplicate
+    *     blindness xor has.
+    *
+    * Together with `n_rows` they form a multiset fingerprint: equal
+    * triples ⇔ equal multisets up to md5-collision odds (~2⁻⁶⁰ per
+    * pair). Columns must stringify portably for CROSS-ENGINE replay —
+    * integers, strings, booleans, dates do; raw doubles differ in
+    * rendering across engines, so pin them to integer micros/cents
+    * first (the repo-wide money/ratio convention already does).
+    */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "datasetFingerprint needs at least one column")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(h.as("__h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_fingerprint"),
+        expr("CAST(CAST(sum(CAST(__h AS DECIMAL(38,0))) % " +
+          "2305843009213693951 AS DECIMAL(19,0)) AS BIGINT)")
+          .as("sum_fingerprint"))
+  }
 }

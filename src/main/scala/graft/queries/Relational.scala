@@ -635,6 +635,29 @@ object Relational {
         .orderBy($"column")
     }),
 
+    // Order-invariant multiset fingerprint — the 100 TB corpus-equality
+    // assertion (two runs compare ONE row each instead of sorting and
+    // diffing petabytes): per-row md5-portable 60-bit hashes folded by
+    // bit_xor AND by sum mod 2⁶¹−1 (xor alone is blind to even
+    // duplicate counts; the modular sum counts multiplicity). The
+    // oracle recomputes both folds from the same md5 bridge, and the
+    // layout_invariant bit asserts IN-PLAN that a repartitioned,
+    // differently-sorted copy fingerprints identically — the property
+    // that makes the assertion meaningful across layouts.
+    "dataset_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val base = graft.ops.Profile.datasetFingerprint(docs, cols)
+      val shuffled = graft.ops.Profile.datasetFingerprint(
+        docs.repartition(7, $"lang").sortWithinPartitions($"n_chars"), cols)
+      base.crossJoin(shuffled.select($"n_rows".as("__n2"),
+          $"xor_fingerprint".as("__x2"), $"sum_fingerprint".as("__s2")))
+        .select($"n_rows", $"xor_fingerprint", $"sum_fingerprint",
+          ($"n_rows" === $"__n2" && $"xor_fingerprint" === $"__x2" &&
+            $"sum_fingerprint" === $"__s2").as("layout_invariant"))
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -1819,6 +1842,20 @@ object Relational {
         |    max(o_orderpriority), true
         |  FROM orders)
         |ORDER BY "column"""".stripMargin,
+    // the same md5 bridge, xor fold and Mersenne-mod sum replayed;
+    // layout invariance is constant truth for a relational engine
+    "dataset_fingerprint" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
+        |      coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(lang, chr(2)) || chr(1) ||
+        |      coalesce(n_chars::VARCHAR, chr(2))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  bit_xor(h)::BIGINT AS xor_fingerprint,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
+        |  true AS layout_invariant
+        |FROM h""".stripMargin,
     "percentile_values" ->
       """SELECT event_type,
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4) AS p50_c,

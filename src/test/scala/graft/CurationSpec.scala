@@ -162,6 +162,40 @@ class CurationSpec extends AnyFunSuite {
       "checked profile reports the EXACT distinct counts")
   }
 
+  test("datasetFingerprint: layout-invariant, multiset-sensitive, null ≠ empty") {
+    import graft.ops.Profile
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (3L, None))
+      .toDF("k", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Profile.datasetFingerprint(d, Seq("k", "s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val base = fp(df)
+    assert(base._1 == 3L)
+    // any partitioning / in-partition order fingerprints identically
+    assert(fp(df.repartition(5)) == base)
+    assert(fp(df.orderBy($"s".desc_nulls_first)) == base)
+    // a changed cell changes it; swapping values BETWEEN rows does too
+    assert(fp(Seq((1L, Option("a")), (2L, Option("b")), (4L, None))
+      .toDF("k", "s")) != base)
+    assert(fp(Seq((1L, Option("b")), (2L, Option("a")), (3L, None))
+      .toDF("k", "s")) != base)
+    // duplicating a row flips n_rows AND the modular sum even though a
+    // double xor contribution cancels — the blindness the sum closes
+    val dup = Profile.datasetFingerprint(df.unionAll(df.limit(1).unionAll(df.limit(1))),
+        Seq("k", "s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(dup._1 == 5L && dup._2 == base._2 && dup._3 != base._3,
+      s"xor cancels the even duplicate pair but the sum must not: $dup vs $base")
+    // null and empty string are distinct rows
+    assert(fp(Seq((3L, Option(""))).toDF("k", "s")) !=
+      fp(Seq((3L, Option.empty[String])).toDF("k", "s")))
+    // one aggregation job — no sort, no join
+    val plan = Profile.datasetFingerprint(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Sort"),
+      s"fingerprint must stay one aggregation pass:\n$plan")
+  }
+
   // --- bloom decontamination ------------------------------------------------
 
   test("decontaminateBloom equals the exact decontaminate on every fpp") {
