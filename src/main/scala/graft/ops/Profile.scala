@@ -281,11 +281,7 @@ object Profile {
     */
   def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "datasetFingerprint needs at least one column")
-    val canon = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
-    val h = conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    df.select(h.as("__h"))
+    df.select(rowFingerprintHash(cols).as("__h"))
       .agg(
         count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_fingerprint"),
@@ -293,4 +289,48 @@ object Profile {
           "2305843009213693951 AS DECIMAL(19,0)) AS BIGINT)")
           .as("sum_fingerprint"))
   }
+
+  /** The per-row 60-bit hash [[datasetFingerprint]] folds -- exposed so
+    * grouped/segmented fingerprints share the exact row bridge.
+    */
+  private def rowFingerprintHash(cols: Seq[String]): Column = {
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10).cast("long")
+  }
+
+  /** [[datasetFingerprint]] per group -- the INCREMENTAL form: both
+    * folds are commutative and associative (xor; modular sum), so the
+    * whole-table fingerprint is exactly the fold of any disjoint
+    * cover's group fingerprints ([[foldFingerprints]]). A 100 TB store
+    * therefore maintains one tiny fingerprint row per immutable
+    * segment/shard and re-fingerprints only APPENDED segments --
+    * O(new data) per maintenance, never a full-corpus rescan -- while
+    * any auditor can still recompute the total from scratch and match.
+    */
+  def datasetFingerprintBy(df: DataFrame, groupCol: String,
+                           cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "datasetFingerprintBy needs at least one column")
+    df.select(col(groupCol), rowFingerprintHash(cols).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_fingerprint"),
+        expr("CAST(CAST(sum(CAST(__h AS DECIMAL(38,0))) % " +
+          "2305843009213693951 AS DECIMAL(19,0)) AS BIGINT)")
+          .as("sum_fingerprint"))
+  }
+
+  /** Fold a set of group fingerprints ([[datasetFingerprintBy]] rows)
+    * into the whole-dataset fingerprint -- the identity that makes
+    * fingerprint maintenance incremental. Pure integer arithmetic:
+    * counts add, xors xor, modular sums add mod the same prime.
+    */
+  def foldFingerprints(parts: DataFrame): DataFrame =
+    parts.agg(
+      sum(col("n_rows")).as("n_rows"),
+      expr("bit_xor(xor_fingerprint)").as("xor_fingerprint"),
+      expr("CAST(CAST(sum(CAST(sum_fingerprint AS DECIMAL(38,0))) % " +
+        "2305843009213693951 AS DECIMAL(19,0)) AS BIGINT)")
+        .as("sum_fingerprint"))
 }

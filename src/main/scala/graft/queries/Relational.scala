@@ -658,6 +658,31 @@ object Relational {
             $"sum_fingerprint" === $"__s2").as("layout_invariant"))
     }),
 
+    // The identity that makes fingerprint maintenance INCREMENTAL at
+    // 100 TB: both folds are commutative/associative, so per-shard
+    // fingerprints (one tiny row per immutable segment) fold to
+    // exactly the whole-table fingerprint — appends re-fingerprint
+    // only new segments, and an auditor recomputing from scratch
+    // still matches. The query runs both paths (direct; per-lang
+    // groups folded) and pins their equality alongside the values.
+    "fingerprint_fold_identity" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val direct = graft.ops.Profile.datasetFingerprint(docs, cols)
+      val parts = graft.ops.Profile.datasetFingerprintBy(docs, "lang", cols)
+        .localCheckpoint() // both the fold and the count read it
+      val folded = graft.ops.Profile.foldFingerprints(parts)
+        .select($"n_rows".as("__fn"), $"xor_fingerprint".as("__fx"),
+          $"sum_fingerprint".as("__fs"))
+      val nGroups = parts.count()
+      direct.crossJoin(folded)
+        .select($"n_rows", $"xor_fingerprint", $"sum_fingerprint",
+          lit(nGroups).as("n_groups"),
+          ($"n_rows" === $"__fn" && $"xor_fingerprint" === $"__fx" &&
+            $"sum_fingerprint" === $"__fs").as("fold_matches_direct"))
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -1855,6 +1880,22 @@ object Relational {
         |  bit_xor(h)::BIGINT AS xor_fingerprint,
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
         |  true AS layout_invariant
+        |FROM h""".stripMargin,
+    // the direct fingerprint replayed; the fold identity is a theorem
+    // (commutative/associative folds over a disjoint cover), so its
+    // bit is constant truth — the group count pins the cover used
+    "fingerprint_fold_identity" ->
+      """WITH h AS (
+        |  SELECT lang, ('0x' || substr(md5(
+        |      coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(lang, chr(2)) || chr(1) ||
+        |      coalesce(n_chars::VARCHAR, chr(2))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  bit_xor(h)::BIGINT AS xor_fingerprint,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
+        |  (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_groups,
+        |  true AS fold_matches_direct
         |FROM h""".stripMargin,
     "percentile_values" ->
       """SELECT event_type,

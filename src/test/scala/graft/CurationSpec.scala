@@ -194,6 +194,15 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Sort"),
       s"fingerprint must stay one aggregation pass:\n$plan")
+    // the incremental identity: per-group fingerprints (null group
+    // included) fold to exactly the direct whole-table fingerprint
+    val big = (1 to 500).map(i =>
+      (i.toLong, if (i % 11 == 0) None else Some(s"g${i % 7}"))).toDF("k", "s")
+    val direct = fp(big)
+    val foldedRow = Profile.foldFingerprints(
+        Profile.datasetFingerprintBy(big, "s", Seq("k", "s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(foldedRow == direct, "fold over a disjoint cover ≡ direct")
   }
 
   // --- bloom decontamination ------------------------------------------------
