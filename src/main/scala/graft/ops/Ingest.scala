@@ -239,6 +239,9 @@ object Ingest {
     // and a registered HNSW graph sidecar: each batch folds in as new
     // segment graphs (the Lucene flush model) — O(batch), no rebuild
     if (n > 0) Hnsw.maintainRegisteredHnswSidecar(spark, table)
+    // and the fingerprint ledger: the corpus checksum folds in the new
+    // segments at O(batch) via the fold identity
+    if (n > 0) Profile.maintainRegisteredFingerprintSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -289,6 +292,7 @@ object Ingest {
     Sketch.maintainRegisteredHllSidecar(spark, table)
     Sketch.maintainRegisteredBloomSidecar(spark, table)
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
+    Profile.maintainRegisteredFingerprintSidecar(spark, table)
     rewritten
   }
 
@@ -316,6 +320,7 @@ object Ingest {
     Sketch.maintainRegisteredHllSidecar(spark, table)
     Sketch.maintainRegisteredBloomSidecar(spark, table)
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
+    Profile.maintainRegisteredFingerprintSidecar(spark, table)
     rewritten
   }
 
@@ -342,6 +347,7 @@ object Ingest {
     Sketch.maintainRegisteredHllSidecar(spark, table)
     Sketch.maintainRegisteredBloomSidecar(spark, table)
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
+    Profile.maintainRegisteredFingerprintSidecar(spark, table)
     rewritten
   }
 
@@ -388,6 +394,7 @@ object Ingest {
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, path, preVersion, post, files)
     Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, path, preVersion, post, files)
     Hnsw.maintainRegisteredHnswSidecarAfterCompact(spark, path, preVersion, post, files)
+    Profile.maintainRegisteredFingerprintSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 
@@ -429,6 +436,7 @@ object Ingest {
     Sketch.maintainRegisteredHllSidecarAfterCompact(spark, table, preVersion, post, files)
     Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, table, preVersion, post, files)
     Hnsw.maintainRegisteredHnswSidecarAfterCompact(spark, table, preVersion, post, files)
+    Profile.maintainRegisteredFingerprintSidecarAfterCompact(spark, table, preVersion, post, files)
     files
   }
 

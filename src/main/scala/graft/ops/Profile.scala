@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-pass table profiling — the ANALYZE/data-quality report a pipeline
@@ -333,4 +333,131 @@ object Profile {
       expr("CAST(CAST(sum(CAST(sum_fingerprint AS DECIMAL(38,0))) % " +
         "2305843009213693951 AS DECIMAL(19,0)) AS BIGINT)")
         .as("sum_fingerprint"))
+
+  // ---- fingerprint sidecar (corpus checksum through the store seams) ----
+
+  def fingerprintSidecarMarkerPath(table: String): String =
+    s"$table/_fingerprint_sidecar"
+
+  private def colsOf(reg: SidecarRegistry.Registration): Seq[String] =
+    reg.textCol.split(",").toSeq
+
+  /** Build the fingerprint sidecar for a [[VersionedStore]] table --
+    * the SIXTH [[SidecarRegistry]] client, and the simplest possible
+    * merge algebra: one fingerprint row PER SEGMENT
+    * (`$path/parts`: segment, n_rows, xor_fingerprint,
+    * sum_fingerprint), total = [[foldFingerprints]] over the parts
+    * (exact by the fold identity -- xor and the modular sum are
+    * commutative/associative over any disjoint cover). The append seam
+    * therefore fingerprints ONLY new segments (O(batch)); the
+    * corpus-equality checksum is always one tiny parts read away,
+    * never a corpus rescan. `_stats`: `"v1 <cols,joined> v<version>"`
+    * under the registry's stamp discipline; merges/deletes rewrite
+    * segments a per-segment ledger cannot un-count, so non-pure-append
+    * histories refuse to the registry's loud rebuild.
+    */
+  def buildFingerprintSidecarForStore(spark: SparkSession, table: String,
+                                      cols: Seq[String],
+                                      path: String): Unit = {
+    require(cols.nonEmpty, "fingerprint sidecar needs at least one column")
+    val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    val st = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed state at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    segmentParts(spark, table, st.segments, cols)
+      .write.mode("overwrite").parquet(s"$path/parts")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == v0,
+      s"store $table moved from version $v0 to $v1 during the fingerprint build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"v1 ${cols.mkString(",")} v$v0")
+  }
+
+  private def segmentParts(spark: SparkSession, table: String,
+                           segments: Seq[String],
+                           cols: Seq[String]): DataFrame =
+    segments.map { seg =>
+      datasetFingerprint(spark.read.parquet(s"$table/$seg"), cols)
+        .select(lit(seg).as("segment"), col("n_rows"),
+          col("xor_fingerprint"), col("sum_fingerprint"))
+    }.reduce(_.unionByName(_))
+
+  /** Fingerprint the store's NEW segments into the sidecar ledger --
+    * O(appended rows), one parts append. The bloom-sidecar discipline
+    * verbatim: damaged stats, column-set mismatches and
+    * non-pure-append histories refuse as IllegalArgumentException
+    * (the registry's rebuild trigger), stamp retired before the write.
+    */
+  def appendToFingerprintSidecar(spark: SparkSession, table: String,
+                                 cols: Seq[String], path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1" && stats(2).startsWith("v"),
+      s"fingerprint sidecar at $path has a damaged/unstamped _stats; " +
+        "rebuild with buildFingerprintSidecarForStore")
+    require(stats(1) == cols.mkString(","),
+      s"fingerprint sidecar at $path ledgers columns ${stats(1)}, this " +
+        s"maintenance asks ${cols.mkString(",")}; rebuild")
+    val v0 = stats(2).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"fingerprint sidecar stamp v$v0 is ahead of $table's version ${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable -- cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; a " +
+        "per-segment ledger cannot un-count rewritten rows -- rebuild " +
+        "with buildFingerprintSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty)
+      segmentParts(spark, table, newSegs, cols)
+        .write.mode("append").parquet(s"$path/parts")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"v1 ${cols.mkString(",")} v${cur.version}")
+  }
+
+  /** The maintained whole-store fingerprint: one tiny parts read + the
+    * exact fold -- refuses a stale ledger loudly (a stale checksum
+    * silently vouches for rows it never saw). Output matches
+    * [[datasetFingerprint]] row for row.
+    */
+  def storeFingerprint(spark: SparkSession, table: String,
+                       path: String): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1",
+      s"fingerprint sidecar at $path has a damaged _stats; rebuild")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(2) == s"v$cur",
+      s"fingerprint sidecar at $path (${stats(2)}) is stale against $table " +
+        s"(v$cur) -- run appendToFingerprintSidecar first")
+    foldFingerprints(spark.read.parquet(s"$path/parts"))
+  }
+
+  def registerFingerprintSidecar(spark: SparkSession, table: String,
+                                 cols: Seq[String], path: String): Unit =
+    SidecarRegistry.register(spark, table, fingerprintSidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, cols.head, cols.mkString(","))) {
+      buildFingerprintSidecarForStore(spark, table, cols, path)
+    }
+
+  def maintainRegisteredFingerprintSidecar(spark: SparkSession,
+                                           table: String): Unit =
+    SidecarRegistry.maintain(spark, table, fingerprintSidecarMarkerPath(table),
+      "fingerprint sidecar") { reg =>
+      appendToFingerprintSidecar(spark, table, colsOf(reg), reg.path)
+    } { reg =>
+      buildFingerprintSidecarForStore(spark, table, colsOf(reg), reg.path)
+    }
+
+  def maintainRegisteredFingerprintSidecarAfterCompact(
+      spark: SparkSession, table: String, preVersion: Long,
+      post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      fingerprintSidecarMarkerPath(table), "fingerprint sidecar",
+      preVersion, post, files) { reg =>
+      buildFingerprintSidecarForStore(spark, table, colsOf(reg), reg.path)
+    }
 }

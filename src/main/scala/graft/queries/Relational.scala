@@ -683,6 +683,38 @@ object Relational {
             $"sum_fingerprint" === $"__fs").as("fold_matches_direct"))
     }),
 
+    // The fingerprint LEDGER on the real store lifecycle: half the
+    // corpus lands in a versioned store, registration builds the
+    // per-segment fingerprint sidecar, the second half arrives through
+    // the PRODUCTION append seam (which must fold ONLY the new
+    // segments — O(batch)), and the maintained checksum must equal a
+    // from-scratch rebuild over the final store AND the direct
+    // fingerprint the oracle recomputes. One query pins registration,
+    // the seam fold, the staleness guard's pass path and the fold
+    // identity together — the corpus-checksum twin of
+    // ann_hnsw_sidecar_serve.
+    "incremental_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("fpside-session").toString
+      val table = s"$root/store"
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 2 === 1))
+      graft.ops.Profile.registerFingerprintSidecar(s, table, cols, s"$root/fp")
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 2 === 0)): Unit
+      val maintained = graft.ops.Profile.storeFingerprint(s, table, s"$root/fp")
+      val rebuilt = graft.ops.Profile.datasetFingerprint(
+          graft.ops.VersionedStore.read(s, table).get, cols)
+        .select($"n_rows".as("__rn"), $"xor_fingerprint".as("__rx"),
+          $"sum_fingerprint".as("__rs"))
+      maintained.crossJoin(rebuilt)
+        .select($"n_rows", $"xor_fingerprint", $"sum_fingerprint",
+          ($"n_rows" === $"__rn" && $"xor_fingerprint" === $"__rx" &&
+            $"sum_fingerprint" === $"__rs").as("ledger_matches_rebuild"))
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -1896,6 +1928,21 @@ object Relational {
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
         |  (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_groups,
         |  true AS fold_matches_direct
+        |FROM h""".stripMargin,
+    // the store ends up holding exactly the documents rows, so the
+    // oracle recomputes the direct fingerprint; ledger ≡ rebuild is
+    // the fold identity, constant truth
+    "incremental_fingerprint" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
+        |      coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(lang, chr(2)) || chr(1) ||
+        |      coalesce(n_chars::VARCHAR, chr(2))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  bit_xor(h)::BIGINT AS xor_fingerprint,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
+        |  true AS ledger_matches_rebuild
         |FROM h""".stripMargin,
     "percentile_values" ->
       """SELECT event_type,

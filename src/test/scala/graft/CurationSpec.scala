@@ -205,6 +205,42 @@ class CurationSpec extends AnyFunSuite {
     assert(foldedRow == direct, "fold over a disjoint cover ≡ direct")
   }
 
+  test("fingerprint sidecar: seam appends fold O(batch), stale refuses, rebuild heals") {
+    import graft.ops.{Ingest, Profile, VersionedStore}
+    val root = java.nio.file.Files.createTempDirectory("fpside").toString
+    val table = s"$root/store"; val fpath = s"$root/fp"
+    val cols = Seq("k", "s")
+    val all = (1 to 300).map(i => (i.toLong, s"v${i % 13}")).toDF("k", "s")
+    VersionedStore.append(spark, table, all.filter($"k" <= 100))
+    Profile.registerFingerprintSidecar(spark, table, cols, fpath)
+    // the production seam folds each batch as new parts rows
+    Ingest.appendRespectingLayout(spark, table, all.filter($"k" > 100 && $"k" <= 200)): Unit
+    Ingest.appendRespectingLayout(spark, table, all.filter($"k" > 200)): Unit
+    val parts = spark.read.parquet(s"$fpath/parts")
+    assert(parts.count() >= 3, "each appended segment ledgers its own row")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(row(Profile.storeFingerprint(spark, table, fpath)) ==
+      row(Profile.datasetFingerprint(all, cols)),
+      "maintained ledger must fingerprint exactly the full multiset")
+    // out-of-band append (bypassing the seam) leaves the ledger stale:
+    // loud refusal, then the registry maintenance heals by folding
+    VersionedStore.append(spark, table, Seq((999L, "x")).toDF("k", "s"))
+    val err = intercept[IllegalArgumentException] {
+      Profile.storeFingerprint(spark, table, fpath)
+    }
+    assert(err.getMessage.contains("stale"))
+    Profile.maintainRegisteredFingerprintSidecar(spark, table)
+    assert(row(Profile.storeFingerprint(spark, table, fpath)) ==
+      row(Profile.datasetFingerprint(
+        all.unionAll(Seq((999L, "x")).toDF("k", "s")), cols)))
+    // a column-set mismatch refuses to the rebuild path loudly
+    val colErr = intercept[IllegalArgumentException] {
+      Profile.appendToFingerprintSidecar(spark, table, Seq("k"), fpath)
+    }
+    assert(colErr.getMessage.contains("ledgers columns"))
+  }
+
   // --- bloom decontamination ------------------------------------------------
 
   test("decontaminateBloom equals the exact decontaminate on every fpp") {
