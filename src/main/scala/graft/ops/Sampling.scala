@@ -530,4 +530,54 @@ object Sampling {
         explode(when(factorCol >= 1, sequence(lit(1L), factorCol.cast("long")))
           .otherwise(array().cast("array<long>"))))
   }
+
+  /** Deterministic weighted k-sample WITHOUT replacement — the
+    * Efraimidis–Spirakis exponential-keys method (A-ES, 2006), the
+    * standard one-pass distributed weighted reservoir: each row draws
+    * its uniform u from the md5-portable 60-bit bridge on
+    * `(key, seed)` and scores `−ln(u)/w`; the k SMALLEST scores are
+    * exactly a weight-proportional sample without replacement (rank by
+    * `−ln(u)/w` asc ⟺ `u^(1/w)` desc, the published form). This is
+    * the consumer [[graft.ops.Dedup.softDedupWeights]] documents —
+    * cluster weights 1/n feed straight in, so a deduplicated corpus
+    * samples each near-dup cluster with total mass 1.
+    *
+    * Determinism/portability: u is a pure function of (key, seed) via
+    * md5, so any engine regenerates the identical sample; ranking cuts
+    * on the 6dp-ROUNDED score (ln is transcendental — the bm25
+    * portable-ranking convention) with the key as total tiebreak.
+    * Weights NORMALIZE by their max before scoring (one narrow agg):
+    * raw `−ln(u)/w` under a 6dp absolute round would quantize
+    * large-unit weights (integer micros, token counts) into mass score
+    * ties, silently degrading to id-order sampling — normalizing puts
+    * the heaviest key at `−ln(u)` exactly, so the 6dp cut always has
+    * resolution where the competition is, whatever unit the weights
+    * arrive in. Weights must be > 0 — null/zero/negative refuse loudly
+    * (a zero weight's score is +∞ which silently never samples; the
+    * caller should filter, not discover that at readout).
+    *
+    * Scale shape: one narrow max agg + one narrow projection +
+    * TakeOrdered top-k — no full sort, no shuffle beyond the k-row
+    * merge; the classic reservoir's sequential state becomes
+    * embarrassingly parallel.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(s":$seed")).cast("binary")), 1, 15), 16, 10).cast("double") +
+      lit(1.0)) / lit(math.pow(2, 60))
+    val w = expr(s"IF(`$weightCol` IS NOT NULL AND `$weightCol` > 0, " +
+      s"CAST(`$weightCol` AS DOUBLE), " +
+      s"raise_error(CONCAT('weightedSample: weight must be > 0 for ', " +
+      s"CAST(`$keyCol` AS STRING))))")
+    // the max-agg also runs the refusal over every row, so bad weights
+    // fail the call even when they would not have been sampled
+    val wmaxRow = df.agg(max(w)).head()
+    require(!wmaxRow.isNullAt(0), "weightedSample needs at least one row")
+    val wmax = wmaxRow.getDouble(0)
+    df.withColumn("sample_score", round(-log(u) * lit(wmax) / w, 6))
+      .orderBy(col("sample_score").asc, col(keyCol).asc)
+      .limit(k)
+  }
 }

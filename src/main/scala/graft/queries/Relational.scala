@@ -532,6 +532,23 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // Weighted k-sample without replacement (Efraimidis–Spirakis
+    // exponential keys, the one-pass distributed weighted reservoir):
+    // longer documents weight proportionally more; the md5-portable
+    // uniform makes the whole sample — scores included — replayable
+    // by any engine. The ranking is weight-UNIT-invariant (scaling
+    // every weight scales every score by the same factor), which is
+    // what lets softDedupWeights' integer-micros weights feed in
+    // directly at 100 TB.
+    "weighted_sample_topk" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.weightedSample(
+          documents(s, d).filter($"n_chars" > 0)
+            .select($"doc_id", $"n_chars"),
+          "doc_id", "n_chars", k = 50, seed = "ws0")
+        .orderBy($"sample_score", $"doc_id")
+    }),
+
     "domain_cap_sample" -> ((s, d) => {
       import s.implicits._
       val id = $"doc_id".cast("string")
@@ -1843,6 +1860,19 @@ object Relational {
         |FROM (SELECT doc_id, doc_id % 10 AS v FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // the A-ES scores replayed term for term: u from the md5 bridge,
+    // -ln(u)·wmax/w rounded 6 (ln is transcendental — the bm25 ranking
+    // convention; weights max-normalized so units can't quantize the
+    // 6dp cut), smallest k kept
+    "weighted_sample_topk" ->
+      """SELECT doc_id, n_chars, sample_score FROM (
+        |  SELECT doc_id, n_chars,
+        |    round(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':ws0'), 1, 15))::BIGINT
+        |        + 1.0) / 1152921504606846976.0)
+        |      * (SELECT max(n_chars::DOUBLE) FROM documents WHERE n_chars > 0)
+        |      / n_chars, 6) AS sample_score
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY sample_score, doc_id LIMIT 50""".stripMargin,
     "domain_cap_sample" ->
       """SELECT doc_id, domain FROM (
         |  SELECT doc_id, domain, row_number() OVER (

@@ -1529,6 +1529,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       .exists(t => t.getMessage != null && t.getMessage.contains("null token count")))
   }
 
+  test("weightedSample: deterministic, weight-dominant, unit-invariant, refuses bad weights") {
+    import graft.ops.Sampling
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1e9 else 1.0))
+      .toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").as[Long].collect().toSeq
+    val a = Sampling.weightedSample(df, "id", "w", k = 20, seed = "s1")
+    assert(a.count() == 20)
+    assert(ids(a) == ids(Sampling.weightedSample(df, "id", "w", 20, "s1")),
+      "same (keys, weights, seed) must reproduce the same sample in order")
+    // the overwhelming weight is deterministically in the sample
+    assert(ids(a).contains(7L))
+    // a different seed redraws (some membership changes on 200 keys)
+    assert(ids(a).toSet != ids(Sampling.weightedSample(df, "id", "w", 20, "s2")).toSet)
+    // ranking is weight-UNIT-invariant: scaling every weight by a
+    // constant preserves the sampled key sequence exactly
+    val scaled = df.select($"id", ($"w" * 1000000).as("w"))
+    assert(ids(Sampling.weightedSample(scaled, "id", "w", 20, "s1")) == ids(a))
+    // zero / null weights refuse loudly
+    val zeroErr = intercept[Exception] {
+      Sampling.weightedSample(Seq((1L, 0.0)).toDF("id", "w"), "id", "w", 1, "s")
+        .collect()
+    }
+    assert(Iterator.iterate(zeroErr: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("weight must be > 0")))
+    // plan shape: top-k, never a full global sort
+    val plan = Sampling.weightedSample(df, "id", "w", 20, "s1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as top-k, got:\n$plan")
+  }
+
   test("length-bucket batching: capacity bound, full-batch fill, determinism, out-of-range refusal") {
     import graft.ops.Sampling
     val ex = Seq(10L, 64L, 65L, 100L, 128L, 200L, 250L, 256L, 300L, 400L,
