@@ -580,4 +580,37 @@ object Sampling {
       .orderBy(col("sample_score").asc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** [[weightedSample]] per stratum — the mixture-building shape ("the
+    * k best-weighted documents of EVERY domain/language"): the same
+    * A-ES exponential keys, ranked by a window inside each stratum, so
+    * one pass samples every stratum at once. Normalization is
+    * PER-STRATUM max (the same window — no second shuffle), so each
+    * stratum's 6dp cut has resolution where its own competition is and
+    * strata with different weight units can coexist in one call.
+    *
+    * Scale shape: one exchange keyed on the stratum + the rank window —
+    * the [[stratifiedQuota]] plan with a weighted order; no stratum
+    * ever needs more than its own rows.
+    */
+  def weightedSamplePerStratum(df: DataFrame, strataCol: String,
+                               keyCol: String, weightCol: String,
+                               kPerStratum: Int, seed: String): DataFrame = {
+    require(kPerStratum >= 1, s"kPerStratum must be >= 1 (got $kPerStratum)")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(s":$seed")).cast("binary")), 1, 15), 16, 10).cast("double") +
+      lit(1.0)) / lit(math.pow(2, 60))
+    val w = expr(s"IF(`$weightCol` IS NOT NULL AND `$weightCol` > 0, " +
+      s"CAST(`$weightCol` AS DOUBLE), " +
+      s"raise_error(CONCAT('weightedSamplePerStratum: weight must be > 0 for ', " +
+      s"CAST(`$keyCol` AS STRING))))")
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.withColumn("__wmax", max(w).over(byStratum))
+      .withColumn("sample_score", round(-log(u) * col("__wmax") / w, 6))
+      .withColumn("__rk", row_number().over(
+        byStratum.orderBy(col("sample_score").asc, col(keyCol).asc)))
+      .filter(col("__rk") <= kPerStratum)
+      .drop("__wmax", "__rk")
+  }
 }

@@ -549,6 +549,18 @@ object Relational {
         .orderBy($"sample_score", $"doc_id")
     }),
 
+    // Per-stratum weighted sampling — the "k best-weighted docs of
+    // EVERY language" mixture step: one pass, per-stratum max
+    // normalization inside the same rank window.
+    "weighted_sample_by_lang" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sampling.weightedSamplePerStratum(
+          documents(s, d).filter($"n_chars" > 0)
+            .select($"doc_id", $"lang", $"n_chars"),
+          "lang", "doc_id", "n_chars", kPerStratum = 5, seed = "wl0")
+        .orderBy($"lang", $"sample_score", $"doc_id")
+    }),
+
     "domain_cap_sample" -> ((s, d) => {
       import s.implicits._
       val id = $"doc_id".cast("string")
@@ -1873,6 +1885,17 @@ object Relational {
         |      / n_chars, 6) AS sample_score
         |  FROM documents WHERE n_chars > 0)
         |ORDER BY sample_score, doc_id LIMIT 50""".stripMargin,
+    "weighted_sample_by_lang" ->
+      """SELECT doc_id, lang, n_chars, sample_score FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':wl0'), 1, 15))::BIGINT
+        |        + 1.0) / 1152921504606846976.0)
+        |      * max(n_chars::DOUBLE) OVER (PARTITION BY lang)
+        |      / n_chars, 6) AS sample_score
+        |  FROM documents WHERE n_chars > 0)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang ORDER BY sample_score, doc_id) <= 5
+        |ORDER BY lang, sample_score, doc_id""".stripMargin,
     "domain_cap_sample" ->
       """SELECT doc_id, domain FROM (
         |  SELECT doc_id, domain, row_number() OVER (

@@ -1559,6 +1559,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"weighted sample must plan as top-k, got:\n$plan")
+    // per-stratum: every stratum yields min(k, |stratum|) rows, and
+    // per-stratum max-normalization lets mixed weight UNITS coexist
+    // (stratum b's weights are micros-scale; a's are unit-scale)
+    val strat = ((1L to 50L).map(i => (i, "a", 1.0 + (i % 3))) ++
+      (100L to 102L).map(i => (i, "b", 250000.0 * (1 + i % 2))))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerStratum(strat, "g", "id", "w", 5, "s1")
+      .groupBy($"g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 5L, "b" -> 3L))
   }
 
   test("length-bucket batching: capacity bound, full-batch fill, determinism, out-of-range refusal") {
