@@ -851,6 +851,32 @@ object TextQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // The SKETCH quantile path itself, driver-checked (upgrades the
+    // spec-only seam): approx_percentile (Greenwald-Khanna, the
+    // fixed-memory 100 TB path) promises a returned ELEMENT whose rank
+    // sits within ε·n of the target; the query counts the corpus
+    // strictly below / at-or-below the sketch's threshold and rides
+    // the rank-bound bits into the hash next to engine-independent
+    // replays (n, the exact interpolated median). A broken sketch —
+    // or a broken exact percentile — breaks the row.
+    "quantile_sketch_checked" -> ((s, d) => {
+      import s.implicits._
+      val scored = documents(s, d)
+        .select($"doc_id", $"n_chars".cast("double").as("v"))
+      val eps = 0.01 // accuracy = 100
+      val thr = graft.ops.Curation.quantileThreshold(
+        scored, "v", 0.5, exact = false, accuracy = 100).get
+      scored.agg(
+          count(lit(1)).as("n"),
+          sum(when($"v" < thr, 1L).otherwise(0L)).as("__below"),
+          sum(when($"v" <= thr, 1L).otherwise(0L)).as("__at_or_below"),
+          round(expr("percentile(v, 0.5d)"), 4).as("p50_exact"))
+        .select($"n", $"p50_exact",
+          ($"__below" < ($"n" * (0.5 + eps)) &&
+            $"__at_or_below" >= ($"n" * (0.5 - eps)))
+            .as("sketch_within_rank_bound"))
+    }),
+
     // Curriculum ordering: long documents (>= 40 tokens) first, seeded
     // shuffle within each phase — the staged data-loader feed. Exact
     // cross-engine position via the md5 permutation + two-pass
@@ -4508,6 +4534,13 @@ object TextQueries {
          |SELECT doc_id FROM sc
          |WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM sc)
          |ORDER BY doc_id""".stripMargin,
+    // n and the exact interpolated median replayed; the sketch's rank
+    // bound is the GK guarantee — constant truth when the sketch works
+    "quantile_sketch_checked" ->
+      """SELECT count(*)::BIGINT AS n,
+        |  round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50_exact,
+        |  true AS sketch_within_rank_bound
+        |FROM documents""".stripMargin,
     "curriculum_order" ->
       s"""SELECT doc_id, row_number() OVER (ORDER BY
          |    CASE WHEN len($docTokens) >= 40 THEN 0 ELSE 1 END,
