@@ -51,7 +51,13 @@ object ExplainAudit {
       "decimal_pricing_summary", "layout_zorder_roundtrip",
       "layout_bucketed_join", "layout_salted_agg", "layout_salted_join",
       "ingest_batched_embed", "ann_hnsw_full_ef", "ann_hnsw_ivf_probe",
-      "dedup_savings_report", "preference_pairs")
+      "dedup_savings_report", "preference_pairs",
+      // round-17 surfaces: one-agg fingerprint (no sort/join), the
+      // A-ES top-k (TakeOrderedAndProject, never a global sort), the
+      // per-stratum variant (one exchange + rank window), the GK
+      // sketch check (two scans: threshold agg + bound agg)
+      "dataset_fingerprint", "weighted_sample_topk",
+      "weighted_sample_by_lang", "quantile_sketch_checked")
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = graft.SparkEntry.queries(n)(spark, sf)
