@@ -334,6 +334,40 @@ object Profile {
         "2305843009213693951 AS DECIMAL(19,0)) AS BIGINT)")
         .as("sum_fingerprint"))
 
+  /** Multiset DIFF of two datasets over the same columns — the
+    * drill-down a fingerprint mismatch calls for: WHICH rows differ,
+    * and by how many copies. Rows reduce to (canonical row string,
+    * count) per side and full-outer-join on the row identity; output
+    * one row per divergent row value: `(row_repr, n_left, n_right)`
+    * with the canonical `\u0001`-separated representation kept
+    * readable for triage. Equal multisets produce ZERO rows — the
+    * assertion form. Counts compare exactly, so even-copy differences
+    * that a bit_xor fingerprint alone cannot see are reported.
+    *
+    * Scale shape: two map-side-combined count aggregations keyed on
+    * the row hash + one hash join on that key; the join carries one
+    * row per DISTINCT row value, never per row. A near-equal pair of
+    * 100 TB corpora reduces to two count maps whose join output is the
+    * (small) divergence set.
+    */
+  def datasetDiff(left: DataFrame, right: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "datasetDiff needs at least one column")
+    def counted(df: DataFrame): DataFrame = {
+      val canon = concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      df.select(canon.as("row_repr"))
+        .groupBy(col("row_repr")).agg(count(lit(1)).as("n"))
+    }
+    counted(left).withColumnRenamed("n", "n_left")
+      .join(counted(right).withColumnRenamed("n", "n_right"),
+        Seq("row_repr"), "full_outer")
+      .select(col("row_repr"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .filter(col("n_left") =!= col("n_right"))
+  }
+
   // ---- fingerprint sidecar (corpus checksum through the store seams) ----
 
   def fingerprintSidecarMarkerPath(table: String): String =

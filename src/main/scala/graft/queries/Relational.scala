@@ -744,6 +744,24 @@ object Relational {
             $"sum_fingerprint" === $"__rs").as("ledger_matches_rebuild"))
     }),
 
+    // The fingerprint mismatch DRILL-DOWN: a planted divergence (one
+    // row dropped, one duplicated — the even-copy class a xor alone
+    // cannot see, one cell changed) must come back as exactly its
+    // divergent row values with per-side multiplicities, and nothing
+    // else. Equal multisets produce zero rows — the assertion form a
+    // reproducibility gate uses after a fingerprint mismatch.
+    "dataset_diff_report" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val left = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val right = left.filter(!$"doc_id".isin(3, 7))
+        .unionAll(left.filter($"doc_id" === 5))
+        .unionAll(left.filter($"doc_id" === 7)
+          .select($"doc_id", $"lang", ($"n_chars" + 1).as("n_chars")))
+      graft.ops.Profile.datasetDiff(left, right, cols)
+        .orderBy($"row_repr")
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -1997,6 +2015,27 @@ object Relational {
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
         |  true AS ledger_matches_rebuild
         |FROM h""".stripMargin,
+    // the planted right side and both count maps replayed; the full
+    // join keeps rows whose multiplicities differ
+    "dataset_diff_report" ->
+      """WITH l AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r AS (
+        |  SELECT * FROM l WHERE doc_id NOT IN (3, 7)
+        |  UNION ALL SELECT * FROM l WHERE doc_id = 5
+        |  UNION ALL SELECT doc_id, lang, n_chars + 1 FROM l WHERE doc_id = 7),
+        |lc AS (SELECT coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |    coalesce(lang, chr(2)) || chr(1) ||
+        |    coalesce(n_chars::VARCHAR, chr(2)) AS row_repr, count(*) AS nl
+        |  FROM l GROUP BY 1),
+        |rc AS (SELECT coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |    coalesce(lang, chr(2)) || chr(1) ||
+        |    coalesce(n_chars::VARCHAR, chr(2)) AS row_repr, count(*) AS nr
+        |  FROM r GROUP BY 1)
+        |SELECT row_repr, coalesce(nl, 0)::BIGINT AS n_left,
+        |  coalesce(nr, 0)::BIGINT AS n_right
+        |FROM lc FULL OUTER JOIN rc USING (row_repr)
+        |WHERE coalesce(nl, 0) <> coalesce(nr, 0)
+        |ORDER BY row_repr""".stripMargin,
     "percentile_values" ->
       """SELECT event_type,
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4) AS p50_c,

@@ -203,6 +203,16 @@ class CurationSpec extends AnyFunSuite {
         Profile.datasetFingerprintBy(big, "s", Seq("k", "s")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
     assert(foldedRow == direct, "fold over a disjoint cover ≡ direct")
+    // the diff drill-down: equal multisets report NOTHING (any layout),
+    // and a planted even-copy duplication (xor-invisible) is reported
+    // with exact per-side multiplicities
+    assert(Profile.datasetDiff(big, big.repartition(9), Seq("k", "s")).count() == 0)
+    val twice = big.filter($"k" === 5L)
+    val diff = Profile.datasetDiff(big, big.unionAll(twice).unionAll(twice),
+        Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(diff.length == 1 && diff.head._2 == 1L && diff.head._3 == 3L,
+      s"planted 2 extra copies must report (1, 3): ${diff.toSeq}")
   }
 
   test("fingerprint sidecar: seam appends fold O(batch), stale refuses, rebuild heals") {
