@@ -762,6 +762,53 @@ object Relational {
         .orderBy($"row_repr")
     }),
 
+    // Streaming × checksum freshness: two-thirds of the corpus arrives
+    // as file-source micro-batches folded through the PRODUCTION append
+    // seam inside foreachBatch; the registered fingerprint ledger must
+    // fold every micro-batch (one missed fold and the read below
+    // REFUSES as stale), and the maintained checksum over everything
+    // that arrived must equal the direct recompute the oracle replays.
+    // The stream_hnsw_live_serve construction with the graph swapped
+    // for the corpus checksum.
+    "stream_fingerprint_ledger" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("fplive-session").toString
+      val table = s"$root/store"; val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 3 === 0))
+      graft.ops.Profile.registerFingerprintSidecar(s, table, cols, s"$root/fp")
+      def publish(b: Long): Unit = {
+        val stage = s"$root/stage$b"
+        docs.filter($"doc_id" % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        graft.Fs.list(s, stage)
+          .find(f => f.contains("part-") && f.endsWith(".parquet"))
+          .foreach(part => graft.Fs.rename(s, part, s"$in/b$b.parquet"))
+      }
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.Ingest.appendRespectingLayout(s, table, batch): Unit
+        }.start()
+      try {
+        publish(1); q.processAllAvailable()
+        publish(2); q.processAllAvailable()
+      } finally q.stop()
+      val maintained = graft.ops.Profile.storeFingerprint(s, table, s"$root/fp")
+      val rebuilt = graft.ops.Profile.datasetFingerprint(
+          graft.ops.VersionedStore.read(s, table).get, cols)
+        .select($"n_rows".as("__rn"), $"xor_fingerprint".as("__rx"),
+          $"sum_fingerprint".as("__rs"))
+      maintained.crossJoin(rebuilt)
+        .select($"n_rows", $"xor_fingerprint", $"sum_fingerprint",
+          ($"n_rows" === $"__rn" && $"xor_fingerprint" === $"__rx" &&
+            $"sum_fingerprint" === $"__rs").as("ledger_matches_rebuild"))
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -1999,6 +2046,20 @@ object Relational {
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
         |  (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_groups,
         |  true AS fold_matches_direct
+        |FROM h""".stripMargin,
+    // identical oracle shape to incremental_fingerprint: the streamed
+    // store ends up holding exactly the documents rows
+    "stream_fingerprint_ledger" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
+        |      coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(lang, chr(2)) || chr(1) ||
+        |      coalesce(n_chars::VARCHAR, chr(2))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  bit_xor(h)::BIGINT AS xor_fingerprint,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
+        |  true AS ledger_matches_rebuild
         |FROM h""".stripMargin,
     // the store ends up holding exactly the documents rows, so the
     // oracle recomputes the direct fingerprint; ledger ≡ rebuild is
