@@ -82,5 +82,29 @@ object R17Probe {
         plan(base * mult, "256")
       }
     }
+
+    // ---- round-17 ops at 16×: fingerprint / weighted sample / diff ----
+    def synth(n: Long) = spark.range(n).select(col("id"),
+      expr("CAST(id % 37 AS STRING)").as("s"),
+      expr("1 + id % 512").as("w"))
+    for (mult <- Seq(1L, 16L)) {
+      val n = base * mult
+      probe(s"datasetFingerprint ${mult}x (${n} rows)") {
+        // read the fingerprint VALUE: a bare count() over a global agg
+        // lets Catalyst drop the aggregate expressions entirely
+        val r = graft.ops.Profile
+          .datasetFingerprint(synth(n), Seq("id", "s", "w")).head()
+        if (r.getLong(1) != 0L || r.getLong(2) != 0L) 1L else 0L
+      }
+      probe(s"weightedSample k=1000 ${mult}x (${n} rows)") {
+        graft.ops.Sampling.weightedSample(synth(n), "id", "w", 1000, "p17")
+          .count()
+      }
+      probe(s"datasetDiff near-equal ${mult}x (${n} rows)") {
+        // right side differs in 100 rows — the near-equal audit shape
+        graft.ops.Profile.datasetDiff(synth(n),
+          synth(n).filter(col("id") >= 100), Seq("id", "s", "w")).count()
+      }
+    }
   }
 }
