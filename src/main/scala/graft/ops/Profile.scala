@@ -470,6 +470,38 @@ object Profile {
     foldFingerprints(spark.read.parquet(s"$path/parts"))
   }
 
+  /** The maintained fingerprint of a HISTORICAL version — time-travel
+    * checksums at O(parts read), no data rescan: a pure-append
+    * history means version v's corpus is exactly a PREFIX of the
+    * segment ledger, so folding v's segments' rows reproduces the
+    * checksum that version would have published. Refuses loudly when
+    * v's segments are not all ledgered (a rewritten history) or the
+    * ledger is stale against the CURRENT version (its rows may lag).
+    * Audits "which snapshot did run X train on?" without reading the
+    * snapshot.
+    */
+  def storeFingerprintAt(spark: SparkSession, table: String,
+                         path: String, version: Long): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1",
+      s"fingerprint sidecar at $path has a damaged _stats; rebuild")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(2) == s"v$cur",
+      s"fingerprint sidecar at $path (${stats(2)}) is stale against $table " +
+        s"(v$cur) -- run appendToFingerprintSidecar first")
+    val at = VersionedStore.stateAt(spark, table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no readable manifest at v$version"))
+    val parts = spark.read.parquet(s"$path/parts")
+    val ledgered = parts.select(col("segment")).collect().map(_.getString(0)).toSet
+    val missing = at.segments.filterNot(ledgered)
+    require(missing.isEmpty,
+      s"v$version of $table holds segments the ledger never fingerprinted " +
+        s"(${missing.take(3).mkString(", ")}...) -- the history was rewritten; " +
+        "rebuild with buildFingerprintSidecarForStore")
+    foldFingerprints(parts.filter(col("segment").isin(at.segments: _*)))
+  }
+
   def registerFingerprintSidecar(spark: SparkSession, table: String,
                                  cols: Seq[String], path: String): Unit =
     SidecarRegistry.register(spark, table, fingerprintSidecarMarkerPath(table),

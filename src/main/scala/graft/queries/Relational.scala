@@ -809,6 +809,42 @@ object Relational {
             $"sum_fingerprint" === $"__rs").as("ledger_matches_rebuild"))
     }),
 
+    // Time-travel checksums at O(parts read): a pure-append history
+    // makes any version's corpus a PREFIX of the segment ledger, so
+    // the checksum that version would have published folds from the
+    // ledger without reading the snapshot. The query pins: the v1
+    // fold ≡ a direct recompute of the v1 snapshot (readAt), the
+    // current fold differs (an append changed the corpus), and both
+    // the v1 values ride the hash so the oracle replays them from the
+    // v1 slice definition.
+    "fingerprint_time_travel" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("fptravel-session").toString
+      val table = s"$root/store"
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val docs = documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 2 === 1))
+      graft.ops.Profile.registerFingerprintSidecar(s, table, cols, s"$root/fp")
+      val v1 = graft.ops.VersionedStore.currentState(s, table).get.version
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 2 === 0)): Unit
+      val atV1 = graft.ops.Profile.storeFingerprintAt(s, table, s"$root/fp", v1)
+      val directV1 = graft.ops.Profile.datasetFingerprint(
+          graft.ops.VersionedStore.readAt(s, table, v1).get, cols)
+        .select($"n_rows".as("__dn"), $"xor_fingerprint".as("__dx"),
+          $"sum_fingerprint".as("__ds"))
+      val current = graft.ops.Profile.storeFingerprint(s, table, s"$root/fp")
+        .select($"n_rows".as("__cn"), $"xor_fingerprint".as("__cx"),
+          $"sum_fingerprint".as("__cs"))
+      atV1.crossJoin(directV1).crossJoin(current)
+        .select($"n_rows", $"xor_fingerprint", $"sum_fingerprint",
+          ($"n_rows" === $"__dn" && $"xor_fingerprint" === $"__dx" &&
+            $"sum_fingerprint" === $"__ds").as("ledger_matches_snapshot"),
+          ($"xor_fingerprint" =!= $"__cx" || $"sum_fingerprint" =!= $"__cs")
+            .as("current_differs"))
+    }),
+
     // Exact percentiles with linear interpolation (quantile aggregate
     // family) over exact integer cents; interpolation results rounded to
     // 4 (the one place the two engines' arithmetic can differ in the
@@ -2046,6 +2082,21 @@ object Relational {
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
         |  (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_groups,
         |  true AS fold_matches_direct
+        |FROM h""".stripMargin,
+    // the v1 snapshot is exactly the odd-doc slice; both equality
+    // bits are fold-identity / append-changed-the-corpus truths
+    "fingerprint_time_travel" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(
+        |      coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(lang, chr(2)) || chr(1) ||
+        |      coalesce(n_chars::VARCHAR, chr(2))), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  bit_xor(h)::BIGINT AS xor_fingerprint,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_fingerprint,
+        |  true AS ledger_matches_snapshot,
+        |  true AS current_differs
         |FROM h""".stripMargin,
     // identical oracle shape to incremental_fingerprint: the streamed
     // store ends up holding exactly the documents rows
