@@ -106,5 +106,40 @@ object R17Probe {
           synth(n).filter(col("id") >= 100), Seq("id", "s", "w")).count()
       }
     }
+
+    // ---- fingerprint ledger maintenance: O(batch), not O(store) ----
+    // the incremental claim measured: appending a CONSTANT 64k batch
+    // to a 1-segment store vs a 16-segment/16x store must cost ~the
+    // same wall (the seam fingerprints only the new segment; the
+    // ledger read is segment-count rows, not corpus rows) — while the
+    // from-scratch rebuild the ledger replaces scales with the corpus
+    val cols = Seq("id", "s", "w")
+    def mkStore(label: String, segments: Int): String = {
+      val t = java.nio.file.Files.createTempDirectory(s"r17fp$label")
+        .toString + "/store"
+      (0 until segments).foreach { b =>
+        graft.ops.VersionedStore.append(spark, t,
+          synth(base).withColumn("id", col("id") + lit(b * base)))
+      }
+      graft.ops.Profile.registerFingerprintSidecar(spark, t, cols,
+        s"$t/../fp")
+      t
+    }
+    val small = mkStore("S", 1)
+    val big = mkStore("B", 16)
+    val batchN = 64L << 10
+    var off = 1L << 40
+    for ((label, t) <- Seq("1-seg store" -> small, "16-seg store" -> big)) {
+      probe(s"ledger append 64k batch onto $label") {
+        val b = synth(batchN).withColumn("id", col("id") + lit(off))
+        off += batchN
+        graft.ops.Ingest.appendRespectingLayout(spark, t, b).toLong
+      }
+    }
+    probe("ledger full rebuild on 16-seg store (contrast)") {
+      graft.ops.Profile.buildFingerprintSidecarForStore(spark, big, cols,
+        s"$big/../fp")
+      1L
+    }
   }
 }
