@@ -38,6 +38,24 @@ import java.lang.management.ManagementFactory
   * carries `[gcMsMinRun, gcMsMaxRun]` per query and each `stalled`
   * entry carries `max_run_gc_ms`, so a stall whose max run spent its
   * extra wall inside the collector is provably GC, not workload.
+  *
+  * Publishing policy (round 18 — the r17 closing artifact was taken at
+  * loadavg 2.56 against a 3.0 gate and stamped 11 environmental stalls
+  * the same code didn't show in a clean run hours earlier):
+  *   - the start gate waits for loadavg ≤ 85% of the ceiling, not the
+  *     ceiling itself — a start one background task below the gate is
+  *     a start that contaminates run 2;
+  *   - after the first pass, every query whose MIN run started above
+  *     the gate, or whose stall carries a max-run load above the gate,
+  *     is RE-MEASURED after re-waiting for quiet; the headline takes
+  *     the per-query minimum across both passes (min across gate-clean
+  *     runs), the retry's stamps replace the contaminated ones, and
+  *     `retried` preserves the first-pass ratio as evidence;
+  *   - `publishable` stamps whether the artifact is a clean closing
+  *     number (gate never refused + no surviving load-contaminated
+  *     stall), and a clean `BENCH_FULL.json` sidecar is never
+  *     overwritten by an unpublishable run (it lands at
+  *     `BENCH_FULL.json.contaminated` instead).
   */
 object Bench {
   private final case class QR(name: String, min: Double, max: Double,
@@ -91,15 +109,22 @@ object Bench {
         "avg10=([0-9.]+)".r.findFirstMatchIn(line)
           .map(_.group(1).toDouble).getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }
-    val gateT0 = System.nanoTime()
-    val gateDeadline = gateT0 + 180L * 1000000000L
-    while (load1 > maxLoad && System.nanoTime() < gateDeadline) {
-      System.err.println(f"[bench] loadavg ${load1}%.2f > $maxLoad%.1f — " +
-        "waiting for a quiet machine (max 180 s)")
-      Thread.sleep(10000)
+    // wait for ≤ 85% of the ceiling: a start WITHIN the gate but near
+    // it (r17 closed at 2.56 against 3.0) is one background task away
+    // from contaminating the later runs — refuse it up front
+    val startCeiling = maxLoad * 0.85
+    def waitQuiet(maxWaitSec: Long): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val deadline = t0 + maxWaitSec * 1000000000L
+      while (load1 > startCeiling && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] loadavg ${load1}%.2f > " +
+          f"$startCeiling%.2f (85%% of gate $maxLoad%.1f) — " +
+          f"waiting for a quiet machine (max $maxWaitSec s)")
+        Thread.sleep(10000)
+      }
+      ((System.nanoTime() - t0) / 1e9, load1 > startCeiling)
     }
-    val gateWaitedSec = (System.nanoTime() - gateT0) / 1e9
-    val loadContaminated = load1 > maxLoad
+    val (gateWaitedSec, loadContaminated) = waitQuiet(180L)
     if (loadContaminated)
       System.err.println(f"[bench] REFUSING TO TRUST THIS RUN'S TIMINGS: " +
         f"loadavg still ${load1}%.2f after ${gateWaitedSec}%.0f s — " +
@@ -120,9 +145,8 @@ object Bench {
       f"${(System.nanoTime() - tSetup) / 1e9}%.1f s")
     // optional comma-separated subset for targeted regression triage
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QR = {
       val samples = (1 to runs).map { _ =>
         val runLoad = load1
         val runPsi = cpuPressure
@@ -155,6 +179,47 @@ object Bench {
       QR(name, if (err.isDefined) -1.0 else best._1, worst._1, util, err,
         best._4, best._5, worst._4, worst._5, best._6, worst._6)
     }
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val firstPass = toRun.map { case (name, fn) => measure(name, fn) }
+    // RETRY pass: a query whose headline (min-run) was measured under
+    // load above the gate, or whose stall is attributed to a max-run
+    // load above the gate, is re-measured after re-waiting for quiet;
+    // the published number is the per-query MINIMUM across gate-clean
+    // runs, and the retry's samples replace the contaminated stamps
+    // (the first-pass ratio survives in `retried` as evidence).
+    def contaminatedQ(r: QR): Boolean = r.err.isEmpty && r.min > 0 &&
+      (r.loadMin > maxLoad ||
+        (r.max / r.min > 3.0 && r.loadMax > maxLoad))
+    val needRetry = firstPass.filter(contaminatedQ).map(_.name).toSet
+    val retriedEvidence = new StringBuilder
+    val results =
+      if (needRetry.isEmpty) firstPass
+      else {
+        System.err.println(s"[bench] re-measuring ${needRetry.size} " +
+          s"load-contaminated queries: ${needRetry.toSeq.sorted.mkString(",")}")
+        waitQuiet(120L)
+        val byName = toRun.toMap
+        firstPass.map { r =>
+          if (!needRetry(r.name)) r
+          else {
+            val again = measure(r.name, byName(r.name))
+            if (retriedEvidence.nonEmpty) retriedEvidence.append(',')
+            retriedEvidence.append("\"" + r.name + "\":{\"first_min\":" +
+              String.format(java.util.Locale.ROOT, "%.4f", Double.box(r.min)) +
+              ",\"first_ratio\":" +
+              String.format(java.util.Locale.ROOT, "%.4f",
+                Double.box(if (r.min > 0) r.max / r.min else -1.0)) +
+              ",\"first_max_run_load\":" +
+              String.format(java.util.Locale.ROOT, "%.4f", Double.box(r.loadMax)) + "}")
+            // min across both passes; stamps/stall stats from the
+            // retry (the clean pass) — unless the retry errored
+            if (again.err.isDefined) again
+            else if (r.min > 0 && r.min < again.min) again.copy(min = r.min)
+            else again
+          }
+        }
+      }
     // Locale.ROOT: the f"" interpolator honors the JVM default locale, and
     // a comma decimal separator would make the emitted line invalid JSON
     def num(d: Double): String =
@@ -191,13 +256,33 @@ object Bench {
     // driver's tail buffer truncates the stderr line, which left 176 of
     // 232 queries invisible in BENCH_r12 — the file preserves the whole
     // map for round-over-round triage)
-    val gate = s""""load_gate":{"max":${num(maxLoad)},"waited_sec":${num(gateWaitedSec)},"contaminated":$loadContaminated}"""
-    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"load":$loads,"gc_ms":$gcs,"stalled":$stalled,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
+    // a closing artifact is publishable iff the start gate never
+    // refused AND no surviving stall is attributed to external load
+    // above the gate (GC- or shape-annotated stalls may remain — they
+    // are the query's own behavior, not the machine's)
+    val publishable = !loadContaminated && !results.exists(r =>
+      r.err.isEmpty && r.min > 0 && r.max / r.min > 3.0 && r.loadMax > maxLoad)
+    val gate = s""""load_gate":{"max":${num(maxLoad)},"start_ceiling":${num(startCeiling)},"waited_sec":${num(gateWaitedSec)},"contaminated":$loadContaminated}"""
+    val retried = "{" + retriedEvidence.result() + "}"
+    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"publishable":$publishable,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"load":$loads,"gc_ms":$gcs,"stalled":$stalled,"retried":$retried,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     val sideCar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sideCar),
-      fullLine + "\n")
+    // never clobber a clean closing sidecar with an unpublishable run —
+    // the r17 submitted artifact was exactly that mistake
+    val sideCarPath = {
+      val p = java.nio.file.Paths.get(sideCar)
+      val prevClean = try {
+        java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.readString(p).contains("\"publishable\":true")
+      } catch { case _: Exception => false }
+      if (!publishable && prevClean) {
+        System.err.println(s"[bench] run is not publishable and $sideCar " +
+          "holds a clean artifact — writing to .contaminated instead")
+        java.nio.file.Paths.get(sideCar + ".contaminated")
+      } else p
+    }
+    try java.nio.file.Files.writeString(sideCarPath, fullLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: $e") }
     // stdout gets ONE compact line sized to survive a 2000-char tail:
@@ -237,7 +322,7 @@ object Bench {
     val nStalled = results.count(r =>
       r.err.isEmpty && r.min > 0 && r.max / r.min > 3.0)
     val nErrs = results.count(_.err.isDefined)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${results.size},"queries":{${hq.result()}},"stalled_count":$nStalled,"error_count":$nErrs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${results.size},"publishable":$publishable,"retried_count":${needRetry.size},"queries":{${hq.result()}},"stalled_count":$nStalled,"error_count":$nErrs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -259,7 +259,9 @@ object Profile {
     * partitioning, any file layout produces the identical fingerprint.
     *
     * Per row: the selected columns canonicalize to one string
-    * (`\u0001` field separator; NULL ≠ empty via a `\u0002` sentinel — NUL itself truncates varchars in some engines)
+    * (`\u0001` field separator; NULL ≠ empty via a `\u0002` sentinel — NUL itself truncates varchars in some engines;
+    * field VALUES are escaped so the frame characters cannot be
+    * forged by data — see [[escapeFingerprintField]])
     * and hash through the repo's md5-portable 60-bit bridge — md5 is
     * md5 in every engine, so an external system can recompute the
     * fingerprint from the same rows. Two one-row aggregates:
@@ -295,9 +297,32 @@ object Profile {
     */
   private def rowFingerprintHash(cols: Seq[String]): Column = {
     val canon = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      cols.map(c =>
+        coalesce(escapeFingerprintField(col(c).cast("string")),
+          lit("\u0002"))): _*)
     conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10).cast("long")
   }
+
+  /** Injective field canonicalization: a raw `concat_ws` is not — a
+    * value containing the `\u0001` separator (rows `('a\u0001b','c')`
+    * vs `('a','b\u0001c')`) or a literal `\u0002` string vs NULL would
+    * make DISTINCT multisets fingerprint identically with probability
+    * 1, not 2⁻⁶⁰. Escape the frame characters inside values
+    * (`\u0003`→`\u0003\u0005`, `\u0001`→`\u0003\u0006`,
+    * `\u0002`→`\u0003\u0007` — the escape char doubled FIRST, so
+    * decoding is a deterministic left-to-right parse and the encoding
+    * is injective); after escaping no bare separator or sentinel can
+    * appear inside a value, and the bare one-char sentinel stays
+    * distinct from any escaped literal. Mirrored verbatim in the
+    * DuckDB oracle (queries/Relational.scala fingerprint rows) so
+    * cross-engine replay reproduces the same 60-bit hashes.
+    */
+  private[graft] def escapeFingerprintField(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "\u0003", "\u0003\u0005"),
+        "\u0001", "\u0003\u0006"),
+      "\u0002", "\u0003\u0007")
 
   /** [[datasetFingerprint]] per group -- the INCREMENTAL form: both
     * folds are commutative and associative (xor; modular sum), so the
@@ -355,7 +380,9 @@ object Profile {
     require(cols.nonEmpty, "datasetDiff needs at least one column")
     def counted(df: DataFrame): DataFrame = {
       val canon = concat_ws("\u0001",
-        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+        cols.map(c =>
+          coalesce(escapeFingerprintField(col(c).cast("string")),
+            lit("\u0002"))): _*)
       df.select(canon.as("row_repr"))
         .groupBy(col("row_repr")).agg(count(lit(1)).as("n"))
     }
@@ -407,14 +434,36 @@ object Profile {
       s"v1 ${cols.mkString(",")} v$v0")
   }
 
+  /** Per-segment fingerprint rows in ONE scan. A union of n
+    * per-segment plans would make the Catalyst plan O(n segments) — a
+    * 100 TB store with thousands of segments would blow up the
+    * analyzer/driver before the first task ran. Instead all segment
+    * paths feed a single multi-root parquet scan, the segment is
+    * recovered from each file's path (segments are immutable
+    * directories directly under the table root — partition
+    * subdirectories inside a segment stay below it), and one grouped
+    * aggregation emits every segment's fingerprint. Attribution is
+    * guarded: a file whose path does not parse back to a requested
+    * segment raises rather than silently ledgering under a wrong key.
+    */
   private def segmentParts(spark: SparkSession, table: String,
                            segments: Seq[String],
-                           cols: Seq[String]): DataFrame =
-    segments.map { seg =>
-      datasetFingerprint(spark.read.parquet(s"$table/$seg"), cols)
-        .select(lit(seg).as("segment"), col("n_rows"),
-          col("xor_fingerprint"), col("sum_fingerprint"))
-    }.reduce(_.unionByName(_))
+                           cols: Seq[String]): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(table)
+    val abs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(tp).toUri.getPath
+    val segOf = regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(abs) + "/([^/]+)/", 1)
+    val segGuarded = when(segOf.isin(segments: _*), segOf)
+      .otherwise(expr("raise_error(concat('segmentParts: file outside " +
+        "the requested segments: ', input_file_name()))"))
+    datasetFingerprintBy(
+        spark.read.parquet(segments.map(s => s"$table/$s"): _*)
+          .withColumn("__segment", segGuarded),
+        "__segment", cols)
+      .select(col("__segment").as("segment"), col("n_rows"),
+        col("xor_fingerprint"), col("sum_fingerprint"))
+  }
 
   /** Fingerprint the store's NEW segments into the sidecar ledger --
     * O(appended rows), one parts append. The bloom-sidecar discipline

@@ -553,13 +553,18 @@ object Sampling {
     * the heaviest key at `−ln(u)` exactly, so the 6dp cut always has
     * resolution where the competition is, whatever unit the weights
     * arrive in. Weights must be > 0 — null/zero/negative refuse loudly
-    * (a zero weight's score is +∞ which silently never samples; the
-    * caller should filter, not discover that at readout).
+    * at action time (a zero weight's score is +∞ which silently never
+    * samples; the caller should filter, not discover that at readout);
+    * the refusal runs inside the max aggregate, so every row's weight
+    * is checked even when it would not have been sampled.
     *
-    * Scale shape: one narrow max agg + one narrow projection +
-    * TakeOrdered top-k — no full sort, no shuffle beyond the k-row
-    * merge; the classic reservoir's sequential state becomes
-    * embarrassingly parallel.
+    * Scale shape: one narrow max agg broadcast back as a single row
+    * (the plan stays LAZY — no eager driver action, the source is
+    * scanned once per invocation, like every other op in this module)
+    * + one narrow projection + TakeOrdered top-k — no full sort, no
+    * shuffle beyond the k-row merge; the classic reservoir's
+    * sequential state becomes embarrassingly parallel. An empty input
+    * yields an empty sample.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int, seed: String): DataFrame = {
@@ -571,27 +576,48 @@ object Sampling {
       s"CAST(`$weightCol` AS DOUBLE), " +
       s"raise_error(CONCAT('weightedSample: weight must be > 0 for ', " +
       s"CAST(`$keyCol` AS STRING))))")
-    // the max-agg also runs the refusal over every row, so bad weights
-    // fail the call even when they would not have been sampled
-    val wmaxRow = df.agg(max(w)).head()
-    require(!wmaxRow.isNullAt(0), "weightedSample needs at least one row")
-    val wmax = wmaxRow.getDouble(0)
-    df.withColumn("sample_score", round(-log(u) * lit(wmax) / w, 6))
+    // the 1-row max aggregate rides INSIDE the returned plan as a
+    // broadcast cross join (the single-row twin of the per-stratum
+    // window max) — constructing the sample never triggers a scan, and
+    // the max-agg still runs the refusal over every row
+    val wmaxDf = df.agg(max(w).as("__wmax"))
+    df.crossJoin(broadcast(wmaxDf))
+      .withColumn("sample_score", round(-log(u) * col("__wmax") / w, 6))
+      .drop("__wmax")
       .orderBy(col("sample_score").asc, col(keyCol).asc)
       .limit(k)
   }
 
   /** [[weightedSample]] per stratum — the mixture-building shape ("the
     * k best-weighted documents of EVERY domain/language"): the same
-    * A-ES exponential keys, ranked by a window inside each stratum, so
-    * one pass samples every stratum at once. Normalization is
-    * PER-STRATUM max (the same window — no second shuffle), so each
-    * stratum's 6dp cut has resolution where its own competition is and
-    * strata with different weight units can coexist in one call.
+    * A-ES exponential keys, top-k'd inside each stratum, so one pass
+    * samples every stratum at once. Normalization is PER-STRATUM max,
+    * so each stratum's 6dp cut has resolution where its own
+    * competition is and strata with different weight units can coexist
+    * in one call.
     *
-    * Scale shape: one exchange keyed on the stratum + the rank window —
-    * the [[stratifiedQuota]] plan with a weighted order; no stratum
-    * ever needs more than its own rows.
+    * Scale shape — SKEW-SAFE two-phase top-k (round 18; the previous
+    * plan's single stratum-keyed exchange put a 90%-one-language
+    * corpus's entire dominant stratum on one reducer):
+    *
+    *   1. per-stratum max via `groupBy(stratum).max` — map-side
+    *      combined, each map partition emits ≤ |strata| rows, then
+    *      broadcast back (strata are languages/domains — the same
+    *      broadcast-sized contract every mix/quota op in this module
+    *      carries), so the corpus itself is never exchanged for
+    *      normalization;
+    *   2. pre-filter: row_number over `(stratum, input partition)` —
+    *      the hot stratum spreads across ALL input partitions, so this
+    *      exchange is balanced whatever the stratum skew; every
+    *      `(stratum, partition)` keeps only its k best, which provably
+    *      contains the stratum's global k best (the TakeOrdered
+    *      argument, per stratum);
+    *   3. final rank over the stratum on ≤ k·partitions·strata
+    *      surviving rows — a trivially small exchange.
+    *
+    * The selection is EXACTLY the single-exchange plan's (same scores,
+    * same (score, key) total order, same k), so the oracle row is
+    * unchanged; only the exchange topology differs.
     */
   def weightedSamplePerStratum(df: DataFrame, strataCol: String,
                                keyCol: String, weightCol: String,
@@ -604,13 +630,25 @@ object Sampling {
       s"CAST(`$weightCol` AS DOUBLE), " +
       s"raise_error(CONCAT('weightedSamplePerStratum: weight must be > 0 for ', " +
       s"CAST(`$keyCol` AS STRING))))")
+    // null-SAFE equi-join: a null stratum is a legitimate group (the
+    // old window plan treated it as one) and must not be dropped
+    val wmax = df.groupBy(col(strataCol))
+      .agg(max(w).as("__wmax"))
+      .withColumnRenamed(strataCol, "__stratum_m")
+    val byStratumPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__part"))
     val byStratum = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
-    df.withColumn("__wmax", max(w).over(byStratum))
+    df.join(broadcast(wmax), col(strataCol) <=> col("__stratum_m"))
+      .drop("__stratum_m")
       .withColumn("sample_score", round(-log(u) * col("__wmax") / w, 6))
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__prk", row_number().over(
+        byStratumPart.orderBy(col("sample_score").asc, col(keyCol).asc)))
+      .filter(col("__prk") <= kPerStratum)
       .withColumn("__rk", row_number().over(
         byStratum.orderBy(col("sample_score").asc, col(keyCol).asc)))
       .filter(col("__rk") <= kPerStratum)
-      .drop("__wmax", "__rk")
+      .drop("__wmax", "__part", "__prk", "__rk")
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions.col
   * route, loads the sidecar models and the tuned probe width ONCE into
   * a [[Served]] handle; each call then pays only a version-stamp
   * freshness check (one manifest read) instead of re-reading every
-  * sidecar (R16Probe: dispatch resolution is a measurable slice of a
+  * sidecar (r16 probe, scaleprobe logs: dispatch resolution is a measurable slice of a
   * single small-batch call). The one-shot [[search]]/[[searchBatch]]
   * wrappers stay for single-request callers — they open and serve in
   * one step, so semantics are identical by construction.

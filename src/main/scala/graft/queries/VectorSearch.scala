@@ -577,15 +577,18 @@ object VectorSearch {
         .orderBy($"query_id", $"rank")
     }),
 
-    // The dispatch TABLE itself, driver-checked: one store upgraded in
-    // place through every layout (append → SQ8 → IVF → residual PQ →
-    // graph sidecar), and after each stage the route VectorServe picks
-    // is emitted as a row alongside the serve's top-k at covering
-    // settings — which must equal exact kNN at EVERY stage (the
-    // serving ladder's invariant). A mis-dispatch changes the route
-    // string; a route-specific bug breaks that stage's hits; both
-    // break the hash. (The spec twin drives refusal paths; this row
-    // pins the happy-path matrix in the driver gate.)
+    // The dispatch matrix's driver row, 2-STAGE since round 18: a
+    // fresh store (Route.Exact) and a graph-registered one
+    // (Route.Hnsw) — the two ends of the dispatch order — each emit
+    // the route VectorServe picks alongside the serve's top-k at
+    // covering settings, which must equal exact kNN at both stages. A
+    // mis-dispatch changes the route string; a route-specific bug
+    // breaks that stage's hits; both break the hash. The middle rungs
+    // (SQ8 → IVF → residual PQ) of the upgrade lifecycle are pinned in
+    // VectorServeSpec ("route upgrades with the store's layout", with
+    // open()-handle servedRoute assertions per rung) — re-running five
+    // store rewrites per bench bought no dispatch coverage the spec
+    // doesn't already prove (r17 verdict: 3rd-most-expensive row).
     "vectorserve_route_matrix" -> ((s, d) => {
       import s.implicits._
       val e = embeddings(s, d)
@@ -603,16 +606,10 @@ object VectorSearch {
             $"id".as("vec_id"), round($"score", 6).as("sim"))
       }
       val s1 = stage(1, width = 4)
-      graft.ops.Quantize.quantizeStore(s, table, "embedding")
-      val s2 = stage(2, width = 4)
-      graft.ops.Ivf.indexStore(s, table, "id", "embedding", k = 4): Unit
-      val s3 = stage(3, width = 4)
-      graft.ops.Pq.pqStore(s, table, "embedding", m = 8, ncent = 16): Unit
-      val s4 = stage(4, width = 4)
       graft.ops.Hnsw.registerHnswSidecar(s, table, "id", "embedding",
         s"$table/../graph")
-      val s5 = stage(5, width = 1 << 20) // width is ef on the graph route
-      s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+      val s2 = stage(2, width = 1 << 20) // width is ef on the graph route
+      s1.unionByName(s2)
         .orderBy($"stage", $"sim".desc, $"vec_id")
     }),
 
@@ -1174,9 +1171,11 @@ object VectorSearch {
     "ann_hnsw_ivf_probe" -> knnOracle("list_cosine_similarity", desc = true),
     "ann_hnsw_sidecar_serve" -> knnOracle("list_cosine_similarity", desc = true),
     "vectorserve_hnsw_route" -> knnOracle("list_cosine_similarity", desc = true),
-    // the dispatch matrix: stage/route pairs are the engine's declared
-    // dispatch table (literals), and every stage's hits are the SAME
-    // exact top-4 — the covering-settings ladder invariant
+    // the dispatch matrix (2-stage since r18 — middle rungs live in
+    // VectorServeSpec): stage/route pairs are the engine's declared
+    // dispatch table ends (fresh store, graph-registered store), and
+    // both stages' hits are the SAME exact top-4 — the
+    // covering-settings ladder invariant
     "vectorserve_route_matrix" ->
       """WITH topk AS (
         |  SELECT vec_id, round(s, 6) AS sim FROM (
@@ -1185,8 +1184,7 @@ object VectorSearch {
         |    FROM embeddings e WHERE e.vec_id >= 10
         |    ORDER BY s DESC, e.vec_id LIMIT 4)),
         |st AS (SELECT * FROM (VALUES
-        |  (1::BIGINT, 'Exact'), (2::BIGINT, 'Sq8Only'), (3::BIGINT, 'IvfSq8'),
-        |  (4::BIGINT, 'IvfPq'), (5::BIGINT, 'Hnsw')) t(stage, route))
+        |  (1::BIGINT, 'Exact'), (2::BIGINT, 'Hnsw')) t(stage, route))
         |SELECT stage, route, vec_id, sim FROM st, topk
         |ORDER BY stage, sim DESC, vec_id""".stripMargin,
     "stream_hnsw_live_serve" -> knnOracle("list_cosine_similarity", desc = true),

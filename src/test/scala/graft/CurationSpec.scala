@@ -189,6 +189,25 @@ class CurationSpec extends AnyFunSuite {
     // null and empty string are distinct rows
     assert(fp(Seq((3L, Option(""))).toDF("k", "s")) !=
       fp(Seq((3L, Option.empty[String])).toDF("k", "s")))
+    // INJECTIVITY under adversarial values: the frame characters are
+    // escaped inside fields, so a value containing the 
+    // separator cannot shift the field boundary...
+    def fp2(rows: Seq[(String, String)]) =
+      Profile.datasetFingerprint(rows.toDF("a", "b"), Seq("a", "b"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(fp2(Seq(("ab", "c"))) != fp2(Seq(("a", "bc"))),
+      "separator inside a value must not shift the field boundary")
+    // ...a literal  string is distinct from NULL...
+    assert(fp(Seq((3L, Option(""))).toDF("k", "s")) !=
+      fp(Seq((3L, Option.empty[String])).toDF("k", "s")),
+      "a literal sentinel character must not alias NULL")
+    // ...and a literal escape char round-trips (doubled first)
+    assert(fp2(Seq(("a", "b"))) != fp2(Seq(("a", "b"))))
+    // datasetDiff's row grouping uses the same injective encoding
+    val advL = Seq(("ab", "c")).toDF("a", "b")
+    val advR = Seq(("a", "bc")).toDF("a", "b")
+    assert(Profile.datasetDiff(advL, advR, Seq("a", "b")).count() == 2,
+      "adversarial rows are DIFFERENT multisets and must be reported")
     // one aggregation job — no sort, no join
     val plan = Profile.datasetFingerprint(df, Seq("k", "s"))
       .queryExecution.executedPlan.toString

@@ -1547,11 +1547,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     // constant preserves the sampled key sequence exactly
     val scaled = df.select($"id", ($"w" * 1000000).as("w"))
     assert(ids(Sampling.weightedSample(scaled, "id", "w", 20, "s1")) == ids(a))
-    // zero / null weights refuse loudly
-    val zeroErr = intercept[Exception] {
+    // constructing the sample is LAZY: a poisoned input (zero weight)
+    // must not throw until an action runs — the op scans its source
+    // once per invocation, like every other op in the module
+    val poisoned =
       Sampling.weightedSample(Seq((1L, 0.0)).toDF("id", "w"), "id", "w", 1, "s")
-        .collect()
-    }
+    // zero / null weights refuse loudly at action time
+    val zeroErr = intercept[Exception] { poisoned.collect() }
     assert(Iterator.iterate(zeroErr: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => t.getMessage != null && t.getMessage.contains("weight must be > 0")))
     // plan shape: top-k, never a full global sort
@@ -1568,6 +1570,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     val got = Sampling.weightedSamplePerStratum(strat, "g", "id", "w", 5, "s1")
       .groupBy($"g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 5L, "b" -> 3L))
+    // a NULL stratum is a legitimate group — the r18 broadcast-join
+    // rewrite must keep it (a plain using-column join would drop it)
+    val withNull = strat.unionAll(
+      Seq((900L, null.asInstanceOf[String], 2.0),
+          (901L, null.asInstanceOf[String], 3.0)).toDF("id", "g", "w"))
+    val gotNull = Sampling.weightedSamplePerStratum(withNull, "g", "id", "w", 5, "s1")
+      .groupBy($"g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotNull == Map(Some("a") -> 5L, Some("b") -> 3L, None -> 2L))
+    // skew-safe exchange topology: the rank pre-filter is keyed on
+    // (stratum, input partition) — a 90%-one-stratum corpus spreads
+    // across reducers instead of landing on one (SCALE.md r18 probe)
+    val stratPlan = Sampling.weightedSamplePerStratum(strat, "g", "id", "w", 5, "s1")
+      .queryExecution.executedPlan.toString
+    assert(stratPlan.contains("__part"),
+      s"per-stratum sample must pre-filter on (stratum, partition):\n$stratPlan")
   }
 
   test("length-bucket batching: capacity bound, full-batch fill, determinism, out-of-range refusal") {

@@ -32,22 +32,38 @@ class VectorServeSpec extends AnyFunSuite {
         nProbe = 64, overfetch = 1000)
       .select($"id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSeq
 
+  // this ladder is ALSO the spec twin of the driver's 2-stage
+  // vectorserve_route_matrix row (slimmed in r18): the middle rungs
+  // SQ8 → IVF → residual PQ are pinned here — including through the
+  // open() handle's servedRoute, the exact seam the driver row uses —
+  // so the bench no longer pays five store rewrites per round
+  private def openedRoute(table: String): Route = {
+    val h = VectorServe.open(spark, table)
+    h.search("id", "embedding", qv, k = 4, nProbe = 64, overfetch = 1000)
+      .count(): Unit
+    h.servedRoute
+  }
+
   test("route upgrades with the store's layout; every route equals exact knn at covering settings") {
     val table = Files.createTempDirectory("serve").toString + "/store"
     VersionedStore.append(spark, table, emb)
     assert(VectorServe.route(spark, table) == Route.Exact)
+    assert(openedRoute(table) == Route.Exact)
     assert(served(table, 5) == exactTop(table, 5))
 
     Quantize.quantizeStore(spark, table, "embedding")
     assert(VectorServe.route(spark, table) == Route.Sq8Only)
+    assert(openedRoute(table) == Route.Sq8Only)
     assert(served(table, 5) == exactTop(table, 5))
 
     Ivf.indexStore(spark, table, "id", "embedding", k = 4): Unit
     assert(VectorServe.route(spark, table) == Route.IvfSq8)
+    assert(openedRoute(table) == Route.IvfSq8)
     assert(served(table, 5) == exactTop(table, 5))
 
     Pq.pqStore(spark, table, "embedding", m = 8, ncent = 16): Unit
     assert(VectorServe.route(spark, table) == Route.IvfPq)
+    assert(openedRoute(table) == Route.IvfPq)
     assert(served(table, 5) == exactTop(table, 5))
 
     // appends through the seam keep the final composed layout servable
