@@ -242,6 +242,10 @@ object Ingest {
     // and the fingerprint ledger: the corpus checksum folds in the new
     // segments at O(batch) via the fold identity
     if (n > 0) Profile.maintainRegisteredFingerprintSidecar(spark, table)
+    // and the weighted-sample candidate ledger: each new segment folds
+    // in its own A-ES top-k at O(batch); the maintained corpus sample
+    // stays one (k x segments)-row fold away
+    if (n > 0) Sampling.maintainRegisteredSampleSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -293,6 +297,7 @@ object Ingest {
     Sketch.maintainRegisteredBloomSidecar(spark, table)
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
     Profile.maintainRegisteredFingerprintSidecar(spark, table)
+    Sampling.maintainRegisteredSampleSidecar(spark, table)
     rewritten
   }
 
@@ -321,6 +326,7 @@ object Ingest {
     Sketch.maintainRegisteredBloomSidecar(spark, table)
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
     Profile.maintainRegisteredFingerprintSidecar(spark, table)
+    Sampling.maintainRegisteredSampleSidecar(spark, table)
     rewritten
   }
 
@@ -348,6 +354,7 @@ object Ingest {
     Sketch.maintainRegisteredBloomSidecar(spark, table)
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
     Profile.maintainRegisteredFingerprintSidecar(spark, table)
+    Sampling.maintainRegisteredSampleSidecar(spark, table)
     rewritten
   }
 
@@ -395,6 +402,7 @@ object Ingest {
     Sketch.maintainRegisteredBloomSidecarAfterCompact(spark, path, preVersion, post, files)
     Hnsw.maintainRegisteredHnswSidecarAfterCompact(spark, path, preVersion, post, files)
     Profile.maintainRegisteredFingerprintSidecarAfterCompact(spark, path, preVersion, post, files)
+    Sampling.maintainRegisteredSampleSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 

@@ -448,21 +448,33 @@ object Profile {
     */
   private def segmentParts(spark: SparkSession, table: String,
                            segments: Seq[String],
-                           cols: Seq[String]): DataFrame = {
+                           cols: Seq[String]): DataFrame =
+    datasetFingerprintBy(
+        readWithSegment(spark, table, segments, "__segment"),
+        "__segment", cols)
+      .select(col("__segment").as("segment"), col("n_rows"),
+        col("xor_fingerprint"), col("sum_fingerprint"))
+
+  /** Multi-root read of the given segments with a guarded segment
+    * column recovered from each file's path — the one-pass shape every
+    * per-segment sidecar build shares (a union of n per-segment plans
+    * is O(n segments) in the Catalyst analyzer). A file whose path does
+    * not parse back to a requested segment raises rather than silently
+    * attributing rows to a wrong ledger key.
+    */
+  private[ops] def readWithSegment(spark: SparkSession, table: String,
+                                   segments: Seq[String],
+                                   segCol: String): DataFrame = {
     val tp = new org.apache.hadoop.fs.Path(table)
     val abs = tp.getFileSystem(spark.sessionState.newHadoopConf())
       .makeQualified(tp).toUri.getPath
     val segOf = regexp_extract(input_file_name(),
       java.util.regex.Pattern.quote(abs) + "/([^/]+)/", 1)
     val segGuarded = when(segOf.isin(segments: _*), segOf)
-      .otherwise(expr("raise_error(concat('segmentParts: file outside " +
+      .otherwise(expr("raise_error(concat('readWithSegment: file outside " +
         "the requested segments: ', input_file_name()))"))
-    datasetFingerprintBy(
-        spark.read.parquet(segments.map(s => s"$table/$s"): _*)
-          .withColumn("__segment", segGuarded),
-        "__segment", cols)
-      .select(col("__segment").as("segment"), col("n_rows"),
-        col("xor_fingerprint"), col("sum_fingerprint"))
+    spark.read.parquet(segments.map(s => s"$table/$s"): _*)
+      .withColumn(segCol, segGuarded)
   }
 
   /** Fingerprint the store's NEW segments into the sidecar ledger --

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data pipelines.
@@ -651,4 +651,215 @@ object Sampling {
       .filter(col("__rk") <= kPerStratum)
       .drop("__wmax", "__part", "__prk", "__rk")
   }
+
+  // ---- maintained weighted sample (sidecar through the store seams) ----
+
+  def sampleSidecarMarkerPath(table: String): String =
+    s"$table/_sample_sidecar"
+
+  /** The RAW A-ES ranking key `−ln(u)/w` — a pure function of
+    * (key, seed, weight), so any pass over any layout recomputes the
+    * identical double. The maintained sample ranks on THIS, not on
+    * [[weightedSample]]'s max-normalized 6dp-rounded output score:
+    * mergeability demands a total order that is STABLE UNDER APPENDS,
+    * and the corpus-max-scaled rounding is not (an append that raises
+    * the max re-buckets every 6dp tie, so a segment's locally-kept
+    * candidates could stop containing the global winners). Selection
+    * by the raw score is order-equivalent to the normalized score
+    * (×wmax is monotone) except exactly at those rounding ties; the
+    * rounded form remains the CROSS-ENGINE output convention, applied
+    * to the published score after selection.
+    */
+  private def rawScore(keyExpr: Column, wExpr: Column, seed: String): Column = {
+    val u = (conv(substring(md5(concat(keyExpr.cast("string"),
+        lit(s":$seed")).cast("binary")), 1, 15), 16, 10).cast("double") +
+      lit(1.0)) / lit(math.pow(2, 60))
+    -log(u) / wExpr
+  }
+
+  private def checkedWeight(keyCol: String, weightCol: String,
+                            what: String): Column =
+    expr(s"IF(`$weightCol` IS NOT NULL AND `$weightCol` > 0, " +
+      s"CAST(`$weightCol` AS DOUBLE), " +
+      s"raise_error(CONCAT('$what: weight must be > 0 for ', " +
+      s"CAST(`$keyCol` AS STRING))))")
+
+  /** [[weightedSample]]'s exact-selection twin: ranks by the unrounded
+    * raw score with the key as tiebreak — the order the maintained
+    * sidecar folds under, exposed so "maintained ≡ direct" is checkable
+    * in-engine with no rounding in the comparison. Output carries the
+    * key, the weight and the published (max-normalized, 6dp) score.
+    */
+  def weightedSampleExact(df: DataFrame, keyCol: String, weightCol: String,
+                          k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = checkedWeight(keyCol, weightCol, "weightedSampleExact")
+    val wmaxDf = df.agg(max(w).as("__wmax"))
+    df.crossJoin(broadcast(wmaxDf))
+      .withColumn("__raw", rawScore(col(keyCol), w, seed))
+      .withColumn("sample_score", round(col("__raw") * col("__wmax"), 6))
+      .orderBy(col("__raw").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__raw", "__wmax")
+  }
+
+  /** Per-segment A-ES candidate rows for the sample sidecar — ONE
+    * multi-root scan ([[Profile.readWithSegment]]), one window keyed on
+    * the segment: each segment ledgers its k smallest (raw score, key)
+    * rows plus its own weight maximum. The fold identity is the
+    * TakeOrdered argument per segment: the global k smallest over any
+    * disjoint segment cover is contained in the union of each
+    * segment's k smallest, and the global weight max is the max of
+    * segment maxima — so a 100 TB store maintains ≤ k rows per
+    * immutable segment and re-scans only APPENDED segments, while the
+    * maintained sample is always one (k × segments)-row fold away.
+    */
+  private def segmentCandidates(spark: SparkSession, table: String,
+                                segments: Seq[String], keyCol: String,
+                                weightCol: String, k: Int,
+                                seed: String): DataFrame = {
+    val bySeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__segment"))
+    val w = checkedWeight(keyCol, weightCol, "sample sidecar")
+    Profile.readWithSegment(spark, table, segments, "__segment")
+      .withColumn("__raw", rawScore(col(keyCol), w, seed))
+      .withColumn("__wmax_seg", max(w).over(bySeg))
+      .withColumn("__rk", row_number().over(
+        bySeg.orderBy(col("__raw").asc, col(keyCol).asc)))
+      .filter(col("__rk") <= k)
+      .select(col("__segment").as("segment"),
+        col(keyCol).as("key"),
+        w.as("w"),
+        col("__wmax_seg").as("wmax_seg"))
+  }
+
+  /** Build the weighted-sample sidecar for a [[VersionedStore]] table —
+    * the SEVENTH [[SidecarRegistry]] client: one candidate ledger row
+    * set per segment (`$path/parts`), `_stats` =
+    * `"v1 <keyCol>,<weightCol>,<k>,<seed> v<version>"` under the
+    * registry's stamp discipline. Merges/deletes rewrite segments a
+    * per-segment candidate ledger cannot un-sample, so non-pure-append
+    * histories refuse to the registry's loud rebuild.
+    */
+  def buildSampleSidecarForStore(spark: SparkSession, table: String,
+                                 keyCol: String, weightCol: String,
+                                 k: Int, seed: String, path: String): Unit = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(!Seq(keyCol, weightCol, seed).exists(_.contains(",")),
+      "sample sidecar config fields must not contain commas")
+    val st = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed state at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    segmentCandidates(spark, table, st.segments, keyCol, weightCol, k, seed)
+      .write.mode("overwrite").parquet(s"$path/parts")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == st.version,
+      s"store $table moved from version ${st.version} to $v1 during the " +
+        "sample sidecar build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"v1 $keyCol,$weightCol,$k,$seed v${st.version}")
+  }
+
+  private def parseSampleStats(spark: SparkSession,
+                               path: String): (String, String, Int, String, Long) = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1" && stats(2).startsWith("v"),
+      s"sample sidecar at $path has a damaged/unstamped _stats; rebuild " +
+        "with buildSampleSidecarForStore")
+    val cfg = stats(1).split(",")
+    require(cfg.length == 4,
+      s"sample sidecar at $path has a malformed config '${stats(1)}'; rebuild")
+    (cfg(0), cfg(1), cfg(2).toInt, cfg(3), stats(2).drop(1).toLong)
+  }
+
+  /** Fold the store's NEW segments into the candidate ledger —
+    * O(appended rows). The fingerprint-sidecar discipline verbatim:
+    * damaged stats, config mismatches and non-pure-append histories
+    * refuse as IllegalArgumentException (the registry's rebuild
+    * trigger), stamp retired before the write.
+    */
+  def appendToSampleSidecar(spark: SparkSession, table: String,
+                            path: String): Unit = {
+    val (keyCol, weightCol, k, seed, v0) = parseSampleStats(spark, path)
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"sample sidecar stamp v$v0 is ahead of $table's version " +
+        s"${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable -- cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; a " +
+        "per-segment candidate ledger cannot un-sample rewritten rows -- " +
+        "rebuild with buildSampleSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty)
+      segmentCandidates(spark, table, newSegs, keyCol, weightCol, k, seed)
+        .write.mode("append").parquet(s"$path/parts")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"v1 $keyCol,$weightCol,$k,$seed v${cur.version}")
+  }
+
+  /** The maintained sample: one (k × segments)-row parts read, the
+    * global weight max folded from segment maxima (broadcast in-plan,
+    * lazy), the k smallest (raw score, key) rows selected — NEVER a
+    * corpus rescan. Refuses a stale ledger loudly. Output matches
+    * [[weightedSampleExact]] over the store row for row: `key` (the
+    * store's key column, native type), `w`, `sample_score` (the
+    * published max-normalized 6dp score).
+    */
+  def maintainedWeightedSample(spark: SparkSession, table: String,
+                               path: String): DataFrame = {
+    val (_, _, k, seed, v0) = parseSampleStats(spark, path)
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v0 == cur,
+      s"sample sidecar at $path (v$v0) is stale against $table (v$cur) " +
+        "-- run appendToSampleSidecar first")
+    val parts = spark.read.parquet(s"$path/parts")
+    val wmaxDf = parts.agg(max(col("wmax_seg")).as("__wmax"))
+    parts.crossJoin(broadcast(wmaxDf))
+      .withColumn("__raw", rawScore(col("key"), col("w"), seed))
+      .withColumn("sample_score", round(col("__raw") * col("__wmax"), 6))
+      .orderBy(col("__raw").asc, col("key").asc)
+      .limit(k)
+      .select(col("key"), col("w"), col("sample_score"))
+  }
+
+  def registerSampleSidecar(spark: SparkSession, table: String,
+                            keyCol: String, weightCol: String, k: Int,
+                            seed: String, path: String): Unit =
+    SidecarRegistry.register(spark, table, sampleSidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, keyCol, s"$weightCol,$k,$seed")) {
+      buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed, path)
+    }
+
+  private def sampleCfg(reg: SidecarRegistry.Registration): (String, String, Int, String) = {
+    val cfg = reg.textCol.split(",")
+    (reg.idCol, cfg(0), cfg(1).toInt, cfg(2))
+  }
+
+  def maintainRegisteredSampleSidecar(spark: SparkSession,
+                                      table: String): Unit =
+    SidecarRegistry.maintain(spark, table, sampleSidecarMarkerPath(table),
+      "sample sidecar") { reg =>
+      appendToSampleSidecar(spark, table, reg.path)
+    } { reg =>
+      val (keyCol, weightCol, k, seed) = sampleCfg(reg)
+      buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
+        reg.path)
+    }
+
+  def maintainRegisteredSampleSidecarAfterCompact(
+      spark: SparkSession, table: String, preVersion: Long,
+      post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      sampleSidecarMarkerPath(table), "sample sidecar",
+      preVersion, post, files) { reg =>
+      val (keyCol, weightCol, k, seed) = sampleCfg(reg)
+      buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
+        reg.path)
+    }
 }

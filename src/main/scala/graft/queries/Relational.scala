@@ -561,6 +561,113 @@ object Relational {
         .orderBy($"lang", $"sample_score", $"doc_id")
     }),
 
+    // Maintained weighted sample — the SEVENTH sidecar: per-segment
+    // A-ES candidate ledgers folded through the production append
+    // seam, so a growing 100 TB store keeps a fresh weight-
+    // proportional sample at O(new batch) per append and the sample
+    // read is a (k × segments)-row fold, never a corpus rescan. The
+    // driver row builds a 3-segment store through the real seam, then
+    // checks the maintained sample ≡ the direct one-shot recompute
+    // (exact raw-score selection, in-engine — see
+    // Sampling.weightedSampleExact) alongside data-shaped ledger
+    // facts DuckDB replays: corpus rows covered, segment count,
+    // candidates ledgered (Σ min(k, |segment|)), the folded weight
+    // max.
+    "incremental_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("iws-q").toString
+      val table = s"$root/store"
+      val docs = documents(s, d).filter($"n_chars" > 0)
+        .select($"doc_id", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 3 === 0))
+      graft.ops.Sampling.registerSampleSidecar(s, table,
+        "doc_id", "n_chars", k = 20, seed = "iws", path = s"$root/smp")
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 3 === 1)): Unit
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 3 === 2)): Unit
+      val maintained = graft.ops.Sampling
+        .maintainedWeightedSample(s, table, s"$root/smp")
+        .select($"key".cast("long").as("doc_id"),
+          $"w".cast("long").as("w"), $"sample_score")
+      val direct = graft.ops.Sampling.weightedSampleExact(
+          graft.ops.VersionedStore.read(s, table).get,
+          "doc_id", "n_chars", k = 20, seed = "iws")
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"n_chars".cast("long").as("w"), $"sample_score")
+      val mismatch = maintained.exceptAll(direct)
+        .unionAll(direct.exceptAll(maintained))
+        .agg(count(lit(1)).as("__mismatch"))
+      val stats = graft.ops.VersionedStore.read(s, table).get
+        .agg(count(lit(1)).as("n_rows"))
+      val pstats = s.read.parquet(s"$root/smp/parts")
+        .agg(count_distinct($"segment").as("n_segments"),
+          count(lit(1)).as("candidates_ledgered"),
+          max($"wmax_seg").cast("long").as("wmax_w"))
+      stats.crossJoin(pstats).crossJoin(mismatch)
+        .select($"n_rows", $"n_segments", $"candidates_ledgered",
+          $"wmax_w", lit(20L).as("sample_k"),
+          ($"__mismatch" === 0).as("maintained_matches_direct"))
+    }),
+
+    // The streaming twin: micro-batches land through the production
+    // seam (readStream → foreachBatch → appendRespectingLayout) and
+    // the candidate ledger folds each batch in; end state ≡ the
+    // direct recompute, same ledger facts.
+    "stream_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sws-session").toString
+      val table = s"$root/store"; val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val docs = documents(s, d).filter($"n_chars" > 0)
+        .select($"doc_id", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 3 === 0))
+      graft.ops.Sampling.registerSampleSidecar(s, table,
+        "doc_id", "n_chars", k = 20, seed = "sws", path = s"$root/smp")
+      def publish(b: Long): Unit = {
+        val stage = s"$root/stage$b"
+        docs.filter($"doc_id" % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        graft.Fs.list(s, stage)
+          .find(f => f.contains("part-") && f.endsWith(".parquet"))
+          .foreach(part => graft.Fs.rename(s, part, s"$in/b$b.parquet"))
+      }
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.Ingest.appendRespectingLayout(s, table, batch): Unit
+        }.start()
+      try {
+        publish(1); q.processAllAvailable()
+        publish(2); q.processAllAvailable()
+      } finally q.stop()
+      val maintained = graft.ops.Sampling
+        .maintainedWeightedSample(s, table, s"$root/smp")
+        .select($"key".cast("long").as("doc_id"),
+          $"w".cast("long").as("w"), $"sample_score")
+      val direct = graft.ops.Sampling.weightedSampleExact(
+          graft.ops.VersionedStore.read(s, table).get,
+          "doc_id", "n_chars", k = 20, seed = "sws")
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"n_chars".cast("long").as("w"), $"sample_score")
+      val mismatch = maintained.exceptAll(direct)
+        .unionAll(direct.exceptAll(maintained))
+        .agg(count(lit(1)).as("__mismatch"))
+      val stats = graft.ops.VersionedStore.read(s, table).get
+        .agg(count(lit(1)).as("n_rows"))
+      val pstats = s.read.parquet(s"$root/smp/parts")
+        .agg(count_distinct($"segment").as("n_segments"),
+          count(lit(1)).as("candidates_ledgered"),
+          max($"wmax_seg").cast("long").as("wmax_w"))
+      stats.crossJoin(pstats).crossJoin(mismatch)
+        .select($"n_rows", $"n_segments", $"candidates_ledgered",
+          $"wmax_w", lit(20L).as("sample_k"),
+          ($"__mismatch" === 0).as("maintained_matches_direct"))
+    }),
+
     "domain_cap_sample" -> ((s, d) => {
       import s.implicits._
       val id = $"doc_id".cast("string")
@@ -2010,6 +2117,32 @@ object Relational {
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang ORDER BY sample_score, doc_id) <= 5
         |ORDER BY lang, sample_score, doc_id""".stripMargin,
+    // the candidate-ledger facts replayed data-shaped (rows covered,
+    // segments = the nonempty doc_id%3 slices, Σ min(k, |segment|)
+    // candidates, the folded weight max); maintained ≡ direct is the
+    // TakeOrdered-per-segment fold identity, checked in-engine on the
+    // exact raw-score order — constant truth here
+    "incremental_weighted_sample" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE n_chars > 0)::BIGINT AS n_rows,
+        |  (SELECT count(DISTINCT doc_id % 3) FROM documents WHERE n_chars > 0)::BIGINT AS n_segments,
+        |  (SELECT CAST(SUM(LEAST(20, c)) AS BIGINT) FROM (
+        |     SELECT count(*) AS c FROM documents WHERE n_chars > 0
+        |     GROUP BY doc_id % 3) t) AS candidates_ledgered,
+        |  (SELECT max(n_chars) FROM documents WHERE n_chars > 0)::BIGINT AS wmax_w,
+        |  20::BIGINT AS sample_k,
+        |  true AS maintained_matches_direct""".stripMargin,
+    // identical ledger facts through the streaming seam
+    "stream_weighted_sample" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE n_chars > 0)::BIGINT AS n_rows,
+        |  (SELECT count(DISTINCT doc_id % 3) FROM documents WHERE n_chars > 0)::BIGINT AS n_segments,
+        |  (SELECT CAST(SUM(LEAST(20, c)) AS BIGINT) FROM (
+        |     SELECT count(*) AS c FROM documents WHERE n_chars > 0
+        |     GROUP BY doc_id % 3) t) AS candidates_ledgered,
+        |  (SELECT max(n_chars) FROM documents WHERE n_chars > 0)::BIGINT AS wmax_w,
+        |  20::BIGINT AS sample_k,
+        |  true AS maintained_matches_direct""".stripMargin,
     "domain_cap_sample" ->
       """SELECT doc_id, domain FROM (
         |  SELECT doc_id, domain, row_number() OVER (

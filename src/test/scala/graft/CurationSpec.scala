@@ -270,6 +270,66 @@ class CurationSpec extends AnyFunSuite {
     assert(colErr.getMessage.contains("ledgers columns"))
   }
 
+  test("sample sidecar: seam folds per-segment candidates, maintained ≡ direct, stale/merge refuse, compact heals") {
+    import graft.ops.{Ingest, Sampling, VersionedStore}
+    val root = java.nio.file.Files.createTempDirectory("smpside").toString
+    val table = s"$root/store"; val spath = s"$root/smp"
+    // adversarial weights: one heavy outlier, ties, wide range
+    val all = (1 to 300).map(i =>
+      (i.toLong, if (i == 7) 1000000L else 1L + i % 50)).toDF("k", "w")
+    VersionedStore.append(spark, table, all.filter($"k" <= 100))
+    Sampling.registerSampleSidecar(spark, table, "k", "w", k = 10,
+      seed = "t", path = spath)
+    Ingest.appendRespectingLayout(spark, table,
+      all.filter($"k" > 100 && $"k" <= 200)): Unit
+    Ingest.appendRespectingLayout(spark, table, all.filter($"k" > 200)): Unit
+    val parts = spark.read.parquet(s"$spath/parts")
+    assert(parts.select($"segment").distinct().count() == 3,
+      "each appended segment ledgers its own candidates")
+    assert(parts.groupBy($"segment").count().agg(max($"count")).head()
+      .getLong(0) <= 10, "no segment ledgers more than k candidate rows")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    val maintained = sample(Sampling.maintainedWeightedSample(spark, table, spath)
+      .select($"key".cast("long"), $"w".cast("long"), $"sample_score"))
+    val direct = sample(Sampling.weightedSampleExact(all, "k", "w", 10, "t")
+      .select($"k", $"w".cast("long"), $"sample_score"))
+    assert(maintained == direct,
+      "maintained sample must equal the direct recompute row for row")
+    // the heavy weight is deterministically in the sample
+    assert(maintained.exists(_._1 == 7L))
+    // out-of-band append leaves the ledger stale: loud refusal, then
+    // the registry maintenance heals by folding the new segment
+    VersionedStore.append(spark, table, Seq((999L, 5L)).toDF("k", "w"))
+    val err = intercept[IllegalArgumentException] {
+      Sampling.maintainedWeightedSample(spark, table, spath)
+    }
+    assert(err.getMessage.contains("stale"))
+    Sampling.maintainRegisteredSampleSidecar(spark, table)
+    val healed = sample(Sampling.maintainedWeightedSample(spark, table, spath)
+      .select($"key".cast("long"), $"w".cast("long"), $"sample_score"))
+    assert(healed == sample(Sampling.weightedSampleExact(
+      all.unionAll(Seq((999L, 5L)).toDF("k", "w")), "k", "w", 10, "t")
+      .select($"k", $"w".cast("long"), $"sample_score")))
+    // a merge REPLACES rows — the per-segment fold refuses and the seam
+    // rebuilds, after which the maintained sample reflects the new rows
+    Ingest.mergeRespectingLayout(spark, table,
+      Seq((7L, 1L)).toDF("k", "w"), "k"): Unit
+    val postMerge = sample(Sampling.maintainedWeightedSample(spark, table, spath)
+      .select($"key".cast("long"), $"w".cast("long"), $"sample_score"))
+    assert(postMerge == sample(Sampling.weightedSampleExact(
+        VersionedStore.read(spark, table).get, "k", "w", 10, "t")
+      .select($"k", $"w".cast("long"), $"sample_score")),
+      "the rebuild path must heal a merged (non-pure-append) history")
+    // compaction rewrites segments; the compact seam rebuilds the ledger
+    Ingest.compactTable(spark, table): Unit
+    val postCompact = sample(Sampling.maintainedWeightedSample(spark, table, spath)
+      .select($"key".cast("long"), $"w".cast("long"), $"sample_score"))
+    assert(postCompact == postMerge,
+      "compaction preserves rows, so the maintained sample is unchanged")
+  }
+
   // --- bloom decontamination ------------------------------------------------
 
   test("decontaminateBloom equals the exact decontaminate on every fpp") {
