@@ -45,17 +45,23 @@ import java.lang.management.ManagementFactory
   *   - the start gate waits for loadavg ≤ 85% of the ceiling, not the
   *     ceiling itself — a start one background task below the gate is
   *     a start that contaminates run 2;
-  *   - after the first pass, every query whose MIN run started above
-  *     the gate, or whose stall carries a max-run load above the gate,
-  *     is RE-MEASURED after re-waiting for quiet; the headline takes
-  *     the per-query minimum across both passes (min across gate-clean
-  *     runs), the retry's stamps replace the contaminated ones, and
-  *     `retried` preserves the first-pass ratio as evidence;
+  *   - after the first pass, every STALLED query (max/min > 3×) is
+  *     RE-MEASURED after re-waiting for quiet; the headline takes the
+  *     per-query minimum across both passes, the retry's stamps
+  *     replace the first pass's, and `retried` preserves the
+  *     first-pass ratio as evidence. The retry trigger is the stall
+  *     RATIO, not an absolute load threshold: during a local[32]
+  *     suite, loadavg/PSI measure the suite's OWN 32 worker threads,
+  *     so an absolute load signal is only meaningful BEFORE the run
+  *     (the start gate) — mid-suite, identical code under identical
+  *     self-load across K runs makes the ratio the anomaly signal and
+  *     the load/psi/gc stamps its attribution;
   *   - `publishable` stamps whether the artifact is a clean closing
-  *     number (gate never refused + no surviving load-contaminated
-  *     stall), and a clean `BENCH_FULL.json` sidecar is never
-  *     overwritten by an unpublishable run (it lands at
-  *     `BENCH_FULL.json.contaminated` instead).
+  *     number (start gate never refused, zero errored queries, and
+  *     every surviving stall retried once under a quiet gate), and a
+  *     clean `BENCH_FULL.json` sidecar is never overwritten by an
+  *     unpublishable run (it lands at `BENCH_FULL.json.contaminated`
+  *     instead).
   */
 object Bench {
   private final case class QR(name: String, min: Double, max: Double,
@@ -182,15 +188,15 @@ object Bench {
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val firstPass = toRun.map { case (name, fn) => measure(name, fn) }
-    // RETRY pass: a query whose headline (min-run) was measured under
-    // load above the gate, or whose stall is attributed to a max-run
-    // load above the gate, is re-measured after re-waiting for quiet;
-    // the published number is the per-query MINIMUM across gate-clean
-    // runs, and the retry's samples replace the contaminated stamps
-    // (the first-pass ratio survives in `retried` as evidence).
+    // RETRY pass: every stalled query (max/min > 3x) is re-measured
+    // after re-waiting for quiet; the published number is the
+    // per-query MINIMUM across both passes, and the retry's samples
+    // replace the first pass's stamps (the first-pass ratio survives
+    // in `retried` as evidence). The trigger is the RATIO — absolute
+    // loadavg mid-suite measures the bench's own local[32] workers,
+    // not external contention, so it must not trigger anything here.
     def contaminatedQ(r: QR): Boolean = r.err.isEmpty && r.min > 0 &&
-      (r.loadMin > maxLoad ||
-        (r.max / r.min > 3.0 && r.loadMax > maxLoad))
+      r.max / r.min > 3.0
     val needRetry = firstPass.filter(contaminatedQ).map(_.name).toSet
     val retriedEvidence = new StringBuilder
     val results =
@@ -257,11 +263,10 @@ object Bench {
     // 232 queries invisible in BENCH_r12 — the file preserves the whole
     // map for round-over-round triage)
     // a closing artifact is publishable iff the start gate never
-    // refused AND no surviving stall is attributed to external load
-    // above the gate (GC- or shape-annotated stalls may remain — they
-    // are the query's own behavior, not the machine's)
-    val publishable = !loadContaminated && !results.exists(r =>
-      r.err.isEmpty && r.min > 0 && r.max / r.min > 3.0 && r.loadMax > maxLoad)
+    // refused, nothing errored, and every surviving stall already got
+    // its one retry under a quiet gate (its min is therefore a
+    // min-across-passes; the stall stamps annotate the worst run)
+    val publishable = !loadContaminated && !results.exists(_.err.isDefined)
     val gate = s""""load_gate":{"max":${num(maxLoad)},"start_ceiling":${num(startCeiling)},"waited_sec":${num(gateWaitedSec)},"contaminated":$loadContaminated}"""
     val retried = "{" + retriedEvidence.result() + "}"
     val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$runs,"publishable":$publishable,"queries":$qs,"queries_max":$qmax,"cpu_util":$utils,"load":$loads,"gc_ms":$gcs,"stalled":$stalled,"retried":$retried,"errors":$errs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$gate,"sf":"$sfDir"}"""

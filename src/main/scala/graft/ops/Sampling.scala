@@ -716,18 +716,28 @@ object Sampling {
     */
   private def segmentCandidates(spark: SparkSession, table: String,
                                 segments: Seq[String], keyCol: String,
-                                weightCol: String, k: Int,
-                                seed: String): DataFrame = {
+                                weightCol: String, k: Int, seed: String,
+                                strataCol: Option[String]): DataFrame = {
+    // stratified ledgers partition candidates per (segment, stratum) —
+    // the fold argument holds per stratum exactly as it does globally,
+    // and the ledger stays <= k * strata * segments rows. The stratum
+    // is ledgered as a STRING (null for the global form) so the parts
+    // schema is one shape for both kinds.
+    val stratum = strataCol.map(c => col(c).cast("string"))
+      .getOrElse(lit(null).cast("string"))
+    val partCols = col("__segment") +: strataCol.map(_ => col("__stratum")).toSeq
     val bySeg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__segment"))
+      .partitionBy(partCols: _*)
     val w = checkedWeight(keyCol, weightCol, "sample sidecar")
     Profile.readWithSegment(spark, table, segments, "__segment")
+      .withColumn("__stratum", stratum)
       .withColumn("__raw", rawScore(col(keyCol), w, seed))
       .withColumn("__wmax_seg", max(w).over(bySeg))
       .withColumn("__rk", row_number().over(
         bySeg.orderBy(col("__raw").asc, col(keyCol).asc)))
       .filter(col("__rk") <= k)
       .select(col("__segment").as("segment"),
+        col("__stratum").as("stratum"),
         col(keyCol).as("key"),
         w.as("w"),
         col("__wmax_seg").as("wmax_seg"))
@@ -735,41 +745,50 @@ object Sampling {
 
   /** Build the weighted-sample sidecar for a [[VersionedStore]] table —
     * the SEVENTH [[SidecarRegistry]] client: one candidate ledger row
-    * set per segment (`$path/parts`), `_stats` =
-    * `"v1 <keyCol>,<weightCol>,<k>,<seed> v<version>"` under the
-    * registry's stamp discipline. Merges/deletes rewrite segments a
-    * per-segment candidate ledger cannot un-sample, so non-pure-append
-    * histories refuse to the registry's loud rebuild.
+    * set per segment (per segment AND stratum when `strataCol` is
+    * given — the "fresh per-language sample of a growing corpus"
+    * form), `_stats` =
+    * `"v1 <keyCol>,<weightCol>,<k>,<seed>,<strataCol|-> v<version>"`
+    * under the registry's stamp discipline. Merges/deletes rewrite
+    * segments a per-segment candidate ledger cannot un-sample, so
+    * non-pure-append histories refuse to the registry's loud rebuild.
     */
   def buildSampleSidecarForStore(spark: SparkSession, table: String,
                                  keyCol: String, weightCol: String,
-                                 k: Int, seed: String, path: String): Unit = {
+                                 k: Int, seed: String, path: String,
+                                 strataCol: Option[String] = None): Unit = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    require(!Seq(keyCol, weightCol, seed).exists(_.contains(",")),
+    require(!(Seq(keyCol, weightCol, seed) ++ strataCol).exists(_.contains(",")),
       "sample sidecar config fields must not contain commas")
     val st = VersionedStore.currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed state at $table"))
     graft.Fs.delete(spark, s"$path/_stats")
-    segmentCandidates(spark, table, st.segments, keyCol, weightCol, k, seed)
+    segmentCandidates(spark, table, st.segments, keyCol, weightCol, k, seed,
+        strataCol)
       .write.mode("overwrite").parquet(s"$path/parts")
     val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
     require(v1 == st.version,
       s"store $table moved from version ${st.version} to $v1 during the " +
         "sample sidecar build; rebuild")
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"v1 $keyCol,$weightCol,$k,$seed v${st.version}")
+      s"v1 $keyCol,$weightCol,$k,$seed,${strataCol.getOrElse("-")} v${st.version}")
   }
 
+  private final case class SampleCfg(keyCol: String, weightCol: String,
+                                     k: Int, seed: String,
+                                     strataCol: Option[String], version: Long)
+
   private def parseSampleStats(spark: SparkSession,
-                               path: String): (String, String, Int, String, Long) = {
+                               path: String): SampleCfg = {
     val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
     require(stats.length >= 3 && stats(0) == "v1" && stats(2).startsWith("v"),
       s"sample sidecar at $path has a damaged/unstamped _stats; rebuild " +
         "with buildSampleSidecarForStore")
     val cfg = stats(1).split(",")
-    require(cfg.length == 4,
+    require(cfg.length == 5,
       s"sample sidecar at $path has a malformed config '${stats(1)}'; rebuild")
-    (cfg(0), cfg(1), cfg(2).toInt, cfg(3), stats(2).drop(1).toLong)
+    SampleCfg(cfg(0), cfg(1), cfg(2).toInt, cfg(3),
+      Some(cfg(4)).filter(_ != "-"), stats(2).drop(1).toLong)
   }
 
   /** Fold the store's NEW segments into the candidate ledger —
@@ -780,27 +799,29 @@ object Sampling {
     */
   def appendToSampleSidecar(spark: SparkSession, table: String,
                             path: String): Unit = {
-    val (keyCol, weightCol, k, seed, v0) = parseSampleStats(spark, path)
+    val c = parseSampleStats(spark, path)
     val cur = VersionedStore.currentState(spark, table).getOrElse(
       throw new IllegalStateException(s"$table has no committed state"))
-    if (cur.version == v0) return
-    require(cur.version > v0,
-      s"sample sidecar stamp v$v0 is ahead of $table's version " +
+    if (cur.version == c.version) return
+    require(cur.version > c.version,
+      s"sample sidecar stamp v${c.version} is ahead of $table's version " +
         s"${cur.version}; rebuild")
-    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+    val old = VersionedStore.stateAt(spark, table, c.version).getOrElse(
       throw new IllegalStateException(
-        s"manifest v$v0 of $table is unreadable -- cannot diff segments; rebuild"))
+        s"manifest v${c.version} of $table is unreadable -- cannot diff segments; rebuild"))
     require(old.segments.forall(cur.segments.contains),
-      s"$table's history v$v0 -> v${cur.version} is not pure-append; a " +
+      s"$table's history v${c.version} -> v${cur.version} is not pure-append; a " +
         "per-segment candidate ledger cannot un-sample rewritten rows -- " +
         "rebuild with buildSampleSidecarForStore")
     val newSegs = cur.segments.filterNot(old.segments.toSet)
     graft.Fs.delete(spark, s"$path/_stats")
     if (newSegs.nonEmpty)
-      segmentCandidates(spark, table, newSegs, keyCol, weightCol, k, seed)
+      segmentCandidates(spark, table, newSegs, c.keyCol, c.weightCol, c.k,
+          c.seed, c.strataCol)
         .write.mode("append").parquet(s"$path/parts")
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"v1 $keyCol,$weightCol,$k,$seed v${cur.version}")
+      s"v1 ${c.keyCol},${c.weightCol},${c.k},${c.seed}," +
+        s"${c.strataCol.getOrElse("-")} v${cur.version}")
   }
 
   /** The maintained sample: one (k × segments)-row parts read, the
@@ -813,32 +834,73 @@ object Sampling {
     */
   def maintainedWeightedSample(spark: SparkSession, table: String,
                                path: String): DataFrame = {
-    val (_, _, k, seed, v0) = parseSampleStats(spark, path)
-    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
-    require(v0 == cur,
-      s"sample sidecar at $path (v$v0) is stale against $table (v$cur) " +
-        "-- run appendToSampleSidecar first")
+    val c = freshSampleCfg(spark, table, path)
+    require(c.strataCol.isEmpty,
+      s"sample sidecar at $path is stratified (per ${c.strataCol.get}) " +
+        "-- read it with maintainedWeightedSamplePerStratum")
     val parts = spark.read.parquet(s"$path/parts")
     val wmaxDf = parts.agg(max(col("wmax_seg")).as("__wmax"))
     parts.crossJoin(broadcast(wmaxDf))
-      .withColumn("__raw", rawScore(col("key"), col("w"), seed))
+      .withColumn("__raw", rawScore(col("key"), col("w"), c.seed))
       .withColumn("sample_score", round(col("__raw") * col("__wmax"), 6))
       .orderBy(col("__raw").asc, col("key").asc)
-      .limit(k)
+      .limit(c.k)
       .select(col("key"), col("w"), col("sample_score"))
+  }
+
+  /** The per-stratum maintained sample — the "fresh per-language
+    * sample of a growing corpus" read: candidates fold per stratum
+    * (ledger rows <= k * strata * segments, all tiny), the stratum
+    * weight max folds from segment-stratum maxima (the per-stratum
+    * normalization convention of [[weightedSamplePerStratum]]), and
+    * each stratum's k smallest (raw score, key) rows are selected.
+    * Output: `stratum` (STRING, the ledgered form), `key`, `w`,
+    * `sample_score`.
+    */
+  def maintainedWeightedSamplePerStratum(spark: SparkSession, table: String,
+                                         path: String): DataFrame = {
+    val c = freshSampleCfg(spark, table, path)
+    require(c.strataCol.isDefined,
+      s"sample sidecar at $path is global -- read it with " +
+        "maintainedWeightedSample")
+    val parts = spark.read.parquet(s"$path/parts")
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+    parts
+      .withColumn("__wmax", max(col("wmax_seg")).over(byStratum))
+      .withColumn("__raw", rawScore(col("key"), col("w"), c.seed))
+      .withColumn("sample_score", round(col("__raw") * col("__wmax"), 6))
+      .withColumn("__rk", row_number().over(
+        byStratum.orderBy(col("__raw").asc, col("key").asc)))
+      .filter(col("__rk") <= c.k)
+      .select(col("stratum"), col("key"), col("w"), col("sample_score"))
+  }
+
+  private def freshSampleCfg(spark: SparkSession, table: String,
+                             path: String): SampleCfg = {
+    val c = parseSampleStats(spark, path)
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(c.version == cur,
+      s"sample sidecar at $path (v${c.version}) is stale against $table " +
+        s"(v$cur) -- run appendToSampleSidecar first")
+    c
   }
 
   def registerSampleSidecar(spark: SparkSession, table: String,
                             keyCol: String, weightCol: String, k: Int,
-                            seed: String, path: String): Unit =
+                            seed: String, path: String,
+                            strataCol: Option[String] = None): Unit =
     SidecarRegistry.register(spark, table, sampleSidecarMarkerPath(table),
-      SidecarRegistry.Registration(path, keyCol, s"$weightCol,$k,$seed")) {
-      buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed, path)
+      SidecarRegistry.Registration(path, keyCol,
+        s"$weightCol,$k,$seed,${strataCol.getOrElse("-")}")) {
+      buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
+        path, strataCol)
     }
 
-  private def sampleCfg(reg: SidecarRegistry.Registration): (String, String, Int, String) = {
+  private def sampleCfg(reg: SidecarRegistry.Registration): (String, String, Int, String, Option[String]) = {
     val cfg = reg.textCol.split(",")
-    (reg.idCol, cfg(0), cfg(1).toInt, cfg(2))
+    (reg.idCol, cfg(0), cfg(1).toInt, cfg(2),
+      Some(cfg(3)).filter(_ != "-"))
   }
 
   def maintainRegisteredSampleSidecar(spark: SparkSession,
@@ -847,9 +909,9 @@ object Sampling {
       "sample sidecar") { reg =>
       appendToSampleSidecar(spark, table, reg.path)
     } { reg =>
-      val (keyCol, weightCol, k, seed) = sampleCfg(reg)
+      val (keyCol, weightCol, k, seed, strataCol) = sampleCfg(reg)
       buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
-        reg.path)
+        reg.path, strataCol)
     }
 
   def maintainRegisteredSampleSidecarAfterCompact(
@@ -858,8 +920,38 @@ object Sampling {
     SidecarRegistry.maintainAfterCompact(spark, table,
       sampleSidecarMarkerPath(table), "sample sidecar",
       preVersion, post, files) { reg =>
-      val (keyCol, weightCol, k, seed) = sampleCfg(reg)
+      val (keyCol, weightCol, k, seed, strataCol) = sampleCfg(reg)
       buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
-        reg.path)
+        reg.path, strataCol)
     }
+
+  /** [[weightedSamplePerStratum]]'s exact-selection twin (raw-score
+    * order, per-stratum max published scores) — the order the
+    * stratified sidecar folds under; see [[weightedSampleExact]].
+    */
+  def weightedSamplePerStratumExact(df: DataFrame, strataCol: String,
+                                    keyCol: String, weightCol: String,
+                                    kPerStratum: Int, seed: String): DataFrame = {
+    require(kPerStratum >= 1, s"kPerStratum must be >= 1 (got $kPerStratum)")
+    val w = checkedWeight(keyCol, weightCol, "weightedSamplePerStratumExact")
+    val wmax = df.groupBy(col(strataCol))
+      .agg(max(w).as("__wmax"))
+      .withColumnRenamed(strataCol, "__stratum_m")
+    val byStratumPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__part"))
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.join(broadcast(wmax), col(strataCol) <=> col("__stratum_m"))
+      .drop("__stratum_m")
+      .withColumn("__raw", rawScore(col(keyCol), w, seed))
+      .withColumn("sample_score", round(col("__raw") * col("__wmax"), 6))
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__prk", row_number().over(
+        byStratumPart.orderBy(col("__raw").asc, col(keyCol).asc)))
+      .filter(col("__prk") <= kPerStratum)
+      .withColumn("__rk", row_number().over(
+        byStratum.orderBy(col("__raw").asc, col(keyCol).asc)))
+      .filter(col("__rk") <= kPerStratum)
+      .drop("__wmax", "__raw", "__part", "__prk", "__rk")
+  }
 }

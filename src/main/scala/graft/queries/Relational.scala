@@ -668,6 +668,51 @@ object Relational {
           ($"__mismatch" === 0).as("maintained_matches_direct"))
     }),
 
+    // The stratified maintained sample — "a fresh per-language sample
+    // of a growing corpus": candidates ledger per (segment, stratum),
+    // fold per stratum; maintained ≡ the direct per-stratum exact
+    // recompute, with the ledger facts replayed data-shaped.
+    "incremental_stratum_sample" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("iss-q").toString
+      val table = s"$root/store"
+      val docs = documents(s, d).filter($"n_chars" > 0)
+        .select($"doc_id", $"lang", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 3 === 0))
+      graft.ops.Sampling.registerSampleSidecar(s, table,
+        "doc_id", "n_chars", k = 5, seed = "iss", path = s"$root/smp",
+        strataCol = Some("lang"))
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 3 === 1)): Unit
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 3 === 2)): Unit
+      val maintained = graft.ops.Sampling
+        .maintainedWeightedSamplePerStratum(s, table, s"$root/smp")
+        .select($"stratum", $"key".cast("long").as("doc_id"),
+          $"w".cast("long").as("w"), $"sample_score")
+      val direct = graft.ops.Sampling.weightedSamplePerStratumExact(
+          graft.ops.VersionedStore.read(s, table).get,
+          "lang", "doc_id", "n_chars", kPerStratum = 5, seed = "iss")
+        .select($"lang".cast("string").as("stratum"),
+          $"doc_id".cast("long").as("doc_id"),
+          $"n_chars".cast("long").as("w"), $"sample_score")
+      val mismatch = maintained.exceptAll(direct)
+        .unionAll(direct.exceptAll(maintained))
+        .agg(count(lit(1)).as("__mismatch"))
+      val sampleRows = maintained.agg(count(lit(1)).as("sample_rows"))
+      val stats = graft.ops.VersionedStore.read(s, table).get
+        .agg(count(lit(1)).as("n_rows"))
+      val pstats = s.read.parquet(s"$root/smp/parts")
+        .agg(count_distinct($"segment").as("n_segments"),
+          count_distinct($"stratum").as("n_strata"),
+          count(lit(1)).as("candidates_ledgered"))
+      stats.crossJoin(pstats).crossJoin(sampleRows).crossJoin(mismatch)
+        .select($"n_rows", $"n_segments", $"n_strata",
+          $"candidates_ledgered", $"sample_rows",
+          ($"__mismatch" === 0).as("maintained_matches_direct"))
+    }),
+
     "domain_cap_sample" -> ((s, d) => {
       import s.implicits._
       val id = $"doc_id".cast("string")
@@ -2131,6 +2176,21 @@ object Relational {
         |     GROUP BY doc_id % 3) t) AS candidates_ledgered,
         |  (SELECT max(n_chars) FROM documents WHERE n_chars > 0)::BIGINT AS wmax_w,
         |  20::BIGINT AS sample_k,
+        |  true AS maintained_matches_direct""".stripMargin,
+    // stratified ledger facts replayed data-shaped: candidates per
+    // (doc_id%3 segment, lang) bounded by k, sample rows per lang
+    // bounded by k, the distinct segment/stratum counts
+    "incremental_stratum_sample" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE n_chars > 0)::BIGINT AS n_rows,
+        |  (SELECT count(DISTINCT doc_id % 3) FROM documents WHERE n_chars > 0)::BIGINT AS n_segments,
+        |  (SELECT count(DISTINCT lang) FROM documents WHERE n_chars > 0)::BIGINT AS n_strata,
+        |  (SELECT CAST(SUM(LEAST(5, c)) AS BIGINT) FROM (
+        |     SELECT count(*) AS c FROM documents WHERE n_chars > 0
+        |     GROUP BY doc_id % 3, lang) t) AS candidates_ledgered,
+        |  (SELECT CAST(SUM(LEAST(5, c)) AS BIGINT) FROM (
+        |     SELECT count(*) AS c FROM documents WHERE n_chars > 0
+        |     GROUP BY lang) t) AS sample_rows,
         |  true AS maintained_matches_direct""".stripMargin,
     // identical ledger facts through the streaming seam
     "stream_weighted_sample" ->

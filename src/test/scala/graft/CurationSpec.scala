@@ -330,6 +330,41 @@ class CurationSpec extends AnyFunSuite {
       "compaction preserves rows, so the maintained sample is unchanged")
   }
 
+  test("stratified sample sidecar: per-(segment,stratum) candidates, maintained ≡ direct, reader kind-mismatch refuses") {
+    import graft.ops.{Ingest, Sampling, VersionedStore}
+    val root = java.nio.file.Files.createTempDirectory("smpstrat").toString
+    val table = s"$root/store"; val spath = s"$root/smp"
+    val all = (1 to 200).map(i =>
+      (i.toLong, if (i % 5 == 0) "de" else "en", 1L + i % 40)).toDF("k", "g", "w")
+    VersionedStore.append(spark, table, all.filter($"k" <= 100))
+    Sampling.registerSampleSidecar(spark, table, "k", "w", k = 3,
+      seed = "t2", path = spath, strataCol = Some("g"))
+    Ingest.appendRespectingLayout(spark, table, all.filter($"k" > 100)): Unit
+    // ledger bound: <= k rows per (segment, stratum)
+    val parts = spark.read.parquet(s"$spath/parts")
+    assert(parts.groupBy($"segment", $"stratum").count()
+      .agg(max($"count")).head().getLong(0) <= 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val maintained = rows(Sampling
+      .maintainedWeightedSamplePerStratum(spark, table, spath)
+      .select($"stratum", $"key".cast("long"), $"w".cast("long"),
+        $"sample_score"))
+    val direct = rows(Sampling.weightedSamplePerStratumExact(
+        all, "g", "k", "w", 3, "t2")
+      .select($"g", $"k", $"w".cast("long"), $"sample_score"))
+    assert(maintained == direct,
+      "per-stratum maintained sample must equal the direct recompute")
+    assert(maintained.count(_._1 == "en") == 3 &&
+      maintained.count(_._1 == "de") == 3)
+    // a stratified ledger refuses the global reader, and vice versa
+    val kindErr = intercept[IllegalArgumentException] {
+      Sampling.maintainedWeightedSample(spark, table, spath)
+    }
+    assert(kindErr.getMessage.contains("stratified"))
+  }
+
   // --- bloom decontamination ------------------------------------------------
 
   test("decontaminateBloom equals the exact decontaminate on every fpp") {

@@ -1547,6 +1547,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     // constant preserves the sampled key sequence exactly
     val scaled = df.select($"id", ($"w" * 1000000).as("w"))
     assert(ids(Sampling.weightedSample(scaled, "id", "w", 20, "s1")) == ids(a))
+    // the sidecar's exact-selection twin (raw-score order) picks the
+    // same sample away from 6dp rounding ties
+    assert(ids(Sampling.weightedSampleExact(df, "id", "w", 20, "s1")) == ids(a))
     // constructing the sample is LAZY: a poisoned input (zero weight)
     // must not throw until an action runs — the op scans its source
     // once per invocation, like every other op in the module
