@@ -246,6 +246,10 @@ object Ingest {
     // in its own A-ES top-k at O(batch); the maintained corpus sample
     // stays one (k x segments)-row fold away
     if (n > 0) Sampling.maintainRegisteredSampleSidecar(spark, table)
+    // and the length-histogram ledger: per-segment bucket counts add,
+    // so the corpus length distribution (and its quantile reads) stays
+    // exact and fresh at O(batch)
+    if (n > 0) Sketch.maintainRegisteredHistogramSidecar(spark, table)
     // drift advisory: the model is frozen at fit time, so drifted
     // appends pile into few clusters and the nProbe/k probe-cost model
     // quietly erodes — surface it at the write, when the erosion
@@ -298,6 +302,7 @@ object Ingest {
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
     Profile.maintainRegisteredFingerprintSidecar(spark, table)
     Sampling.maintainRegisteredSampleSidecar(spark, table)
+    Sketch.maintainRegisteredHistogramSidecar(spark, table)
     rewritten
   }
 
@@ -327,6 +332,7 @@ object Ingest {
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
     Profile.maintainRegisteredFingerprintSidecar(spark, table)
     Sampling.maintainRegisteredSampleSidecar(spark, table)
+    Sketch.maintainRegisteredHistogramSidecar(spark, table)
     rewritten
   }
 
@@ -355,6 +361,7 @@ object Ingest {
     Hnsw.maintainRegisteredHnswSidecar(spark, table)
     Profile.maintainRegisteredFingerprintSidecar(spark, table)
     Sampling.maintainRegisteredSampleSidecar(spark, table)
+    Sketch.maintainRegisteredHistogramSidecar(spark, table)
     rewritten
   }
 
@@ -403,6 +410,7 @@ object Ingest {
     Hnsw.maintainRegisteredHnswSidecarAfterCompact(spark, path, preVersion, post, files)
     Profile.maintainRegisteredFingerprintSidecarAfterCompact(spark, path, preVersion, post, files)
     Sampling.maintainRegisteredSampleSidecarAfterCompact(spark, path, preVersion, post, files)
+    Sketch.maintainRegisteredHistogramSidecarAfterCompact(spark, path, preVersion, post, files)
     files
   }
 

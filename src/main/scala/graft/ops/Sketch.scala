@@ -205,6 +205,175 @@ object Sketch {
     hllEstimate(spark.read.parquet(s"$path/registers"))
   }
 
+  // ---- incremental histogram: the length-distribution sidecar ----
+
+  def histogramSidecarMarkerPath(table: String): String =
+    s"$table/_hist_sidecar"
+
+  /** Exact log2 bucketing via the binary-string length:
+    * `bucket(x) = length(bin(x)) = floor(log2 x) + 1` for x ≥ 1 — an
+    * INTEGER derivation both engines share bit for bit (a floating
+    * `log2`'s last ulp at exact powers of two differs per libm build,
+    * the same cross-engine axis the md5 bridge avoids). Bucket b
+    * covers `[2^(b-1), 2^b)`; x < 1 and NULL land in bucket 0. Log
+    * resolution is the right call for corpus length monitoring: the
+    * question a 100 TB pipeline asks is "what magnitude are documents
+    * now", feeding packing budgets and bucket plans — not the exact
+    * 50th-percentile byte.
+    */
+  def log2Bucket(c: Column): Column =
+    when(c.isNull || c < 1, lit(0))
+      .otherwise(length(bin(c.cast("long")))).cast("int")
+
+  /** One-pass exact histogram over the log2 buckets — map-side
+    * combined, ≤ 64 result rows at any corpus size.
+    */
+  def log2Histogram(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(log2Bucket(col(valueCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Build the length-histogram sidecar for a [[VersionedStore]]
+    * table — the EIGHTH [[SidecarRegistry]] client, with the simplest
+    * exact merge algebra of them all: per-segment bucket counts ADD,
+    * so the folded corpus histogram (and every quantile read off it)
+    * is exact, the append seam folds a batch in at O(batch), and the
+    * ledger grows ≤ 64 rows per immutable segment. `_stats`:
+    * `"v1 <valueCol> v<version>"`; merges/deletes rewrite segments a
+    * count ledger cannot un-count — refuse to the registry's rebuild.
+    */
+  def buildHistogramSidecarForStore(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, valueCol: String,
+                                    path: String): Unit = {
+    val st = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed state at $table"))
+    graft.Fs.delete(spark, s"$path/_stats")
+    segmentHistograms(spark, table, st.segments, valueCol)
+      .write.mode("overwrite").parquet(s"$path/parts")
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == st.version,
+      s"store $table moved from version ${st.version} to $v1 during the " +
+        "histogram sidecar build; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats", s"v1 $valueCol v${st.version}")
+  }
+
+  private def segmentHistograms(spark: org.apache.spark.sql.SparkSession,
+                                table: String, segments: Seq[String],
+                                valueCol: String): DataFrame =
+    Profile.readWithSegment(spark, table, segments, "__segment")
+      .groupBy(col("__segment").as("segment"),
+        log2Bucket(col(valueCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold the store's NEW segments into the ledger — O(appended rows),
+    * one parts append; the usual refusal discipline.
+    */
+  def appendToHistogramSidecar(spark: org.apache.spark.sql.SparkSession,
+                               table: String, path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1" && stats(2).startsWith("v"),
+      s"histogram sidecar at $path has a damaged/unstamped _stats; rebuild " +
+        "with buildHistogramSidecarForStore")
+    val valueCol = stats(1)
+    val v0 = stats(2).drop(1).toLong
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (cur.version == v0) return
+    require(cur.version > v0,
+      s"histogram sidecar stamp v$v0 is ahead of $table's version " +
+        s"${cur.version}; rebuild")
+    val old = VersionedStore.stateAt(spark, table, v0).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v0 of $table is unreadable — cannot diff segments; rebuild"))
+    require(old.segments.forall(cur.segments.contains),
+      s"$table's history v$v0 -> v${cur.version} is not pure-append; a " +
+        "count ledger cannot un-count rewritten rows — rebuild with " +
+        "buildHistogramSidecarForStore")
+    val newSegs = cur.segments.filterNot(old.segments.toSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (newSegs.nonEmpty)
+      segmentHistograms(spark, table, newSegs, valueCol)
+        .write.mode("append").parquet(s"$path/parts")
+    graft.Fs.writeString(spark, s"$path/_stats", s"v1 $valueCol v${cur.version}")
+  }
+
+  /** The maintained corpus histogram: fold the ≤ 64-rows-per-segment
+    * ledger by bucket — exact, never a corpus rescan; stale refuses.
+    */
+  def maintainedHistogram(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1",
+      s"histogram sidecar at $path has a damaged _stats; rebuild")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(2) == s"v$cur",
+      s"histogram sidecar at $path (${stats(2)}) is stale against $table " +
+        s"(v$cur) — run appendToHistogramSidecar first")
+    spark.read.parquet(s"$path/parts")
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Quantile read off a (maintained or direct) log2 histogram: for
+    * each requested permille q, the smallest bucket whose cumulative
+    * count reaches `ceil(q·total/1000)` — pure integer rank logic, so
+    * the answer is bit-identical on any engine. Output per q:
+    * `(q_pm, bucket, lo, hi, n_at_or_below)` with `[lo, hi]` the
+    * bucket's inclusive value range (`2^(b-1) … 2^b − 1` via integer
+    * shifts, never a floating power).
+    */
+  def quantilesFromHistogram(hist: DataFrame,
+                             permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(q => q >= 1 && q <= 1000),
+      "permilles must be in [1, 1000]")
+    val spark2 = hist.sparkSession
+    import spark2.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the histogram is ≤ 64 rows — every step below is driver-light
+    // and stays in-plan
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("__total"))))
+    cum.crossJoin(broadcast(permilles.toDF("q_pm")))
+      .filter(col("cum") * 1000 >= col("q_pm") * col("__total"))
+      .groupBy(col("q_pm"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum.select(col("bucket"), col("cum")), Seq("bucket"))
+      .select(col("q_pm"),
+        col("bucket"),
+        when(col("bucket") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")).as("lo"),
+        when(col("bucket") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")).as("hi"),
+        col("cum").as("n_at_or_below"))
+  }
+
+  def registerHistogramSidecar(spark: org.apache.spark.sql.SparkSession,
+                               table: String, idCol: String, valueCol: String,
+                               path: String): Unit =
+    SidecarRegistry.register(spark, table, histogramSidecarMarkerPath(table),
+      SidecarRegistry.Registration(path, idCol, valueCol)) {
+      buildHistogramSidecarForStore(spark, table, valueCol, path)
+    }
+
+  def maintainRegisteredHistogramSidecar(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    SidecarRegistry.maintain(spark, table, histogramSidecarMarkerPath(table),
+      "histogram sidecar") { reg =>
+      appendToHistogramSidecar(spark, table, reg.path)
+    } { reg =>
+      buildHistogramSidecarForStore(spark, table, reg.textCol, reg.path)
+    }
+
+  def maintainRegisteredHistogramSidecarAfterCompact(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      preVersion: Long, post: VersionedStore.State, files: Int): Unit =
+    SidecarRegistry.maintainAfterCompact(spark, table,
+      histogramSidecarMarkerPath(table), "histogram sidecar",
+      preVersion, post, files) { reg =>
+      buildHistogramSidecarForStore(spark, table, reg.textCol, reg.path)
+    }
+
   /** Johnson-Lindenstrauss random projection of an `ARRAY<FLOAT>`
     * embedding column to `outDim` dimensions via the md5-derived
     * Rademacher planes ([[Dedup.rademacherPlanes]] — the SRP-LSH

@@ -713,6 +713,34 @@ object Relational {
           ($"__mismatch" === 0).as("maintained_matches_direct"))
     }),
 
+    // Maintained length-distribution quantiles — the EIGHTH sidecar
+    // (exact log2-bucket histogram; per-segment counts ADD, so the
+    // fold is exact and O(batch) per append). Unlike the sketch rows,
+    // every output here is an exact integer both engines derive bit
+    // for bit (binary-string-length bucketing + integer rank logic +
+    // integer shifts) — the quantile VALUES are the hash oracle.
+    "incremental_length_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("ilq-q").toString
+      val table = s"$root/store"
+      val docs = documents(s, d).filter($"n_chars" > 0)
+        .select($"doc_id", $"n_chars")
+      graft.ops.VersionedStore.append(s, table, docs.filter($"doc_id" % 3 === 0))
+      graft.ops.Sketch.registerHistogramSidecar(s, table,
+        "doc_id", "n_chars", s"$root/hist")
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 3 === 1)): Unit
+      graft.ops.Ingest.appendRespectingLayout(s, table,
+        docs.filter($"doc_id" % 3 === 2)): Unit
+      val hist = graft.ops.Sketch.maintainedHistogram(s, table, s"$root/hist")
+      graft.ops.Sketch.quantilesFromHistogram(hist, Seq(500, 900, 990))
+        .select($"q_pm".cast("long").as("q_pm"),
+          $"bucket".cast("long").as("bucket"),
+          $"lo", $"hi", $"n_at_or_below")
+        .orderBy($"q_pm")
+    }),
+
     "domain_cap_sample" -> ((s, d) => {
       import s.implicits._
       val id = $"doc_id".cast("string")
@@ -2192,6 +2220,26 @@ object Relational {
         |     SELECT count(*) AS c FROM documents WHERE n_chars > 0
         |     GROUP BY lang) t) AS sample_rows,
         |  true AS maintained_matches_direct""".stripMargin,
+    // the maintained histogram's quantile reads replayed EXACTLY: the
+    // log2 bucket is the binary-string length (integer, no libm), the
+    // rank cut is integer arithmetic, the bucket range integer shifts
+    "incremental_length_quantiles" ->
+      """WITH h AS (
+        |  SELECT length(bin(n_chars)) AS bucket, count(*) AS n
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum,
+        |         (SELECT sum(n) FROM h) AS total FROM h),
+        |q AS (SELECT * FROM (VALUES (500),(900),(990)) t(q_pm)),
+        |sel AS (
+        |  SELECT q_pm, min(bucket) AS bucket
+        |  FROM q, c WHERE cum * 1000 >= q_pm * total GROUP BY q_pm)
+        |SELECT sel.q_pm::BIGINT AS q_pm, sel.bucket::BIGINT AS bucket,
+        |  (CAST(1 AS BIGINT) << (sel.bucket::INT - 1)) AS lo,
+        |  ((CAST(1 AS BIGINT) << sel.bucket::INT) - 1) AS hi,
+        |  c.cum::BIGINT AS n_at_or_below
+        |FROM sel JOIN c ON sel.bucket = c.bucket
+        |ORDER BY q_pm""".stripMargin,
     // identical ledger facts through the streaming seam
     "stream_weighted_sample" ->
       """SELECT

@@ -263,4 +263,58 @@ class SketchSpec extends AnyFunSuite {
       (0 until 200).map(i => s"https://s.com/a$i").toDF("url"), "url")
     assert(probed.filter(!col("might_contain")).count() == 0)
   }
+
+  test("log2 buckets are exact integer derivations; quantile reads cut at the integer rank") {
+    // bucket boundaries: 1→1, 2..3→2, 4..7→3, 1023→10, 1024→11
+    val got = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, 0L).toDF("v")
+      .select(Sketch.log2Bucket(col("v")).as("b")).as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 2, 3, 3, 4, 10, 11, 0))
+    // 10 ones + 10 thousands: p50 cuts in bucket 1 (cum 10 >= 10),
+    // p90 needs rank 18 -> bucket 10 (1000 = 0b1111101000)
+    val df = ((1 to 10).map(_ => 1L) ++ (1 to 10).map(_ => 1000L)).toDF("v")
+    val qs = Sketch.quantilesFromHistogram(Sketch.log2Histogram(df, "v"),
+        Seq(500, 900))
+      .orderBy(col("q_pm"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(qs == Seq((500, 1, 1L, 1L, 10L), (900, 10, 512L, 1023L, 20L)))
+  }
+
+  test("histogram sidecar: seam folds exact per-segment counts, maintained == direct, stale refuses, merge rebuilds") {
+    import graft.ops.{Ingest, VersionedStore}
+    val root = java.nio.file.Files.createTempDirectory("histside").toString
+    val table = s"$root/store"; val hpath = s"$root/hist"
+    val all = (1 to 300).map(i => (i.toLong, (i % 100) * 17L + 1L)).toDF("k", "len")
+    VersionedStore.append(spark, table, all.filter(col("k") <= 100))
+    Sketch.registerHistogramSidecar(spark, table, "k", "len", hpath)
+    Ingest.appendRespectingLayout(spark, table,
+      all.filter(col("k") > 100 && col("k") <= 200)): Unit
+    Ingest.appendRespectingLayout(spark, table, all.filter(col("k") > 200)): Unit
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(hist(Sketch.maintainedHistogram(spark, table, hpath)) ==
+      hist(Sketch.log2Histogram(all, "len")),
+      "folded per-segment counts must equal the direct corpus histogram")
+    // the ledger stays <= 64 rows per segment
+    assert(spark.read.parquet(s"$hpath/parts")
+      .groupBy(col("segment")).count().agg(max(col("count"))).head()
+      .getLong(0) <= 64)
+    // out-of-band append -> stale refusal -> seam maintenance heals
+    VersionedStore.append(spark, table, Seq((999L, 7L)).toDF("k", "len"))
+    val err = intercept[IllegalArgumentException] {
+      Sketch.maintainedHistogram(spark, table, hpath)
+    }
+    assert(err.getMessage.contains("stale"))
+    Sketch.maintainRegisteredHistogramSidecar(spark, table)
+    assert(hist(Sketch.maintainedHistogram(spark, table, hpath)) ==
+      hist(Sketch.log2Histogram(
+        all.unionAll(Seq((999L, 7L)).toDF("k", "len")), "len")))
+    // a merge REPLACES rows: the count ledger refuses, the seam rebuilds
+    Ingest.mergeRespectingLayout(spark, table,
+      Seq((7L, 100000L)).toDF("k", "len"), "k"): Unit
+    assert(hist(Sketch.maintainedHistogram(spark, table, hpath)) ==
+      hist(Sketch.log2Histogram(
+        VersionedStore.read(spark, table).get, "len")),
+      "the rebuild path must heal a merged history")
+  }
 }
