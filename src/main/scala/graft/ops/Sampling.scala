@@ -886,6 +886,42 @@ object Sampling {
     c
   }
 
+  /** The maintained sample of a HISTORICAL version — time-travel
+    * sampling at O(parts read): a pure-append history makes version
+    * v's corpus a prefix of the segment ledger, so folding v's
+    * segments' candidates (and weight maxima) reproduces exactly the
+    * sample that version would have served — "which weighted sample
+    * did run X train on?" answered without reading the snapshot.
+    * Global-config ledgers only (the per-stratum twin would mirror
+    * it); refuses a rewritten history or a stale ledger loudly.
+    */
+  def maintainedWeightedSampleAt(spark: SparkSession, table: String,
+                                 path: String, version: Long): DataFrame = {
+    val c = freshSampleCfg(spark, table, path)
+    require(c.strataCol.isEmpty,
+      s"sample sidecar at $path is stratified -- time-travel reads are " +
+        "global-config only")
+    val at = VersionedStore.stateAt(spark, table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no readable manifest at v$version"))
+    val parts = spark.read.parquet(s"$path/parts")
+    val ledgered = parts.select(col("segment")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = at.segments.filterNot(ledgered)
+    require(missing.isEmpty,
+      s"v$version of $table holds segments the ledger never sampled " +
+        s"(${missing.take(3).mkString(", ")}...) -- the history was " +
+        "rewritten; rebuild with buildSampleSidecarForStore")
+    val atParts = parts.filter(col("segment").isin(at.segments: _*))
+    val wmaxDf = atParts.agg(max(col("wmax_seg")).as("__wmax"))
+    atParts.crossJoin(broadcast(wmaxDf))
+      .withColumn("__raw", rawScore(col("key"), col("w"), c.seed))
+      .withColumn("sample_score", round(col("__raw") * col("__wmax"), 6))
+      .orderBy(col("__raw").asc, col("key").asc)
+      .limit(c.k)
+      .select(col("key"), col("w"), col("sample_score"))
+  }
+
   def registerSampleSidecar(spark: SparkSession, table: String,
                             keyCol: String, weightCol: String, k: Int,
                             seed: String, path: String,

@@ -348,6 +348,40 @@ object Sketch {
         col("cum").as("n_at_or_below"))
   }
 
+  /** The maintained histogram of a HISTORICAL version — time-travel
+    * length distributions at O(parts read), no data rescan: a
+    * pure-append history makes version v's corpus a prefix of the
+    * segment ledger, so folding v's segments' bucket counts reproduces
+    * the histogram that version would have published ("what magnitude
+    * were documents in the snapshot run X trained on?"). Refuses
+    * loudly when v's segments are not all ledgered (a rewritten
+    * history) or the ledger is stale against the CURRENT version.
+    */
+  def maintainedHistogramAt(spark: org.apache.spark.sql.SparkSession,
+                            table: String, path: String,
+                            version: Long): DataFrame = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1",
+      s"histogram sidecar at $path has a damaged _stats; rebuild")
+    val cur = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(stats(2) == s"v$cur",
+      s"histogram sidecar at $path (${stats(2)}) is stale against $table " +
+        s"(v$cur) — run appendToHistogramSidecar first")
+    val at = VersionedStore.stateAt(spark, table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no readable manifest at v$version"))
+    val parts = spark.read.parquet(s"$path/parts")
+    val ledgered = parts.select(col("segment")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = at.segments.filterNot(ledgered)
+    require(missing.isEmpty,
+      s"v$version of $table holds segments the ledger never counted " +
+        s"(${missing.take(3).mkString(", ")}...) — the history was " +
+        "rewritten; rebuild with buildHistogramSidecarForStore")
+    parts.filter(col("segment").isin(at.segments: _*))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+  }
+
   def registerHistogramSidecar(spark: org.apache.spark.sql.SparkSession,
                                table: String, idCol: String, valueCol: String,
                                path: String): Unit =

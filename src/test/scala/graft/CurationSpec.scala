@@ -280,6 +280,7 @@ class CurationSpec extends AnyFunSuite {
     VersionedStore.append(spark, table, all.filter($"k" <= 100))
     Sampling.registerSampleSidecar(spark, table, "k", "w", k = 10,
       seed = "t", path = spath)
+    val v1 = VersionedStore.currentState(spark, table).get.version
     Ingest.appendRespectingLayout(spark, table,
       all.filter($"k" > 100 && $"k" <= 200)): Unit
     Ingest.appendRespectingLayout(spark, table, all.filter($"k" > 200)): Unit
@@ -299,6 +300,14 @@ class CurationSpec extends AnyFunSuite {
       "maintained sample must equal the direct recompute row for row")
     // the heavy weight is deterministically in the sample
     assert(maintained.exists(_._1 == 7L))
+    // time travel: the v1 sample replays from the ledger prefix and
+    // equals a direct recompute over only the v1 slice
+    assert(sample(Sampling.maintainedWeightedSampleAt(spark, table, spath, v1)
+        .select($"key".cast("long"), $"w".cast("long"), $"sample_score")) ==
+      sample(Sampling.weightedSampleExact(
+          all.filter($"k" <= 100), "k", "w", 10, "t")
+        .select($"k", $"w".cast("long"), $"sample_score")),
+      "the historical sample must replay exactly from the ledger")
     // out-of-band append leaves the ledger stale: loud refusal, then
     // the registry maintenance heals by folding the new segment
     VersionedStore.append(spark, table, Seq((999L, 5L)).toDF("k", "w"))

@@ -287,6 +287,7 @@ class SketchSpec extends AnyFunSuite {
     val all = (1 to 300).map(i => (i.toLong, (i % 100) * 17L + 1L)).toDF("k", "len")
     VersionedStore.append(spark, table, all.filter(col("k") <= 100))
     Sketch.registerHistogramSidecar(spark, table, "k", "len", hpath)
+    val v1 = VersionedStore.currentState(spark, table).get.version
     Ingest.appendRespectingLayout(spark, table,
       all.filter(col("k") > 100 && col("k") <= 200)): Unit
     Ingest.appendRespectingLayout(spark, table, all.filter(col("k") > 200)): Unit
@@ -299,6 +300,10 @@ class SketchSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$hpath/parts")
       .groupBy(col("segment")).count().agg(max(col("count"))).head()
       .getLong(0) <= 64)
+    // time travel: the v1 histogram replays from the ledger prefix
+    assert(hist(Sketch.maintainedHistogramAt(spark, table, hpath, v1)) ==
+      hist(Sketch.log2Histogram(all.filter(col("k") <= 100), "len")),
+      "the historical histogram must replay exactly from the ledger")
     // out-of-band append -> stale refusal -> seam maintenance heals
     VersionedStore.append(spark, table, Seq((999L, 7L)).toDF("k", "len"))
     val err = intercept[IllegalArgumentException] {
