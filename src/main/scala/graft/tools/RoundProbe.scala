@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   *                    (stratum, partition) pre-filter must scale
   *                    ~linearly where the old single-exchange plan
   *                    put 90% of the corpus on one reducer
+  *   - `r18-seamstack` the write-amplification honesty probe: the
+  *                    cost of one 64k append with NO ledger sidecars
+  *                    vs with fingerprint + sample + histogram all
+  *                    registered — the full maintenance stack must
+  *                    stay O(batch) (each ledger folds only the new
+  *                    segment), and the probe prints what the stack
+  *                    actually adds per append
   */
 object RoundProbe {
   def main(args: Array[String]): Unit = {
@@ -173,6 +180,44 @@ object RoundProbe {
             graft.ops.Sampling.weightedSamplePerStratum(
               skewed(n), "g", "id", "w", 1000, "p18").count()
           }
+        }
+
+      case "r18-seamstack" =>
+        val batchN = 64L << 10
+        def freshStore(label: String): String = {
+          val t = java.nio.file.Files.createTempDirectory(s"rpss$label")
+            .toString + "/store"
+          graft.ops.VersionedStore.append(spark, t, synth(base))
+          t
+        }
+        var off = 1L << 41
+        def appendOnce(t: String): Long = {
+          val b = synth(batchN).withColumn("id", col("id") + lit(off))
+          off += batchN
+          graft.ops.Ingest.appendRespectingLayout(spark, t, b).toLong
+        }
+        val bare = freshStore("bare")
+        probe(s"64k append, NO ledger sidecars") { appendOnce(bare) }
+        val full = freshStore("full")
+        graft.ops.Profile.registerFingerprintSidecar(spark, full, cols,
+          s"$full/../fp")
+        graft.ops.Sampling.registerSampleSidecar(spark, full, "id", "w",
+          k = 100, seed = "ss", path = s"$full/../smp")
+        graft.ops.Sketch.registerHistogramSidecar(spark, full, "id", "w",
+          s"$full/../hist")
+        probe(s"64k append, fingerprint+sample+histogram ledgers") {
+          appendOnce(full)
+        }
+        // and the reads those ledgers buy, at their maintained cost
+        probe("maintained reads: checksum + sample + p50/p99 buckets") {
+          val f = graft.ops.Profile.storeFingerprint(spark, full,
+            s"$full/../fp").head()
+          val n = graft.ops.Sampling.maintainedWeightedSample(spark, full,
+            s"$full/../smp").count()
+          val q = graft.ops.Sketch.quantilesFromHistogram(
+            graft.ops.Sketch.maintainedHistogram(spark, full, s"$full/../hist"),
+            Seq(500, 990)).count()
+          f.getLong(0) + n + q
         }
 
       case other =>
