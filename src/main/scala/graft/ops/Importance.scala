@@ -64,8 +64,8 @@ object Importance {
     // map-side partial agg; totals become plan literals
     val src = dist(corpus).withColumnRenamed("__c", "__cs").localCheckpoint()
     val tgt = dist(target).withColumnRenamed("__c", "__ct").localCheckpoint()
-    val srcTotal = src.agg(sum(col("__cs"))).head.getLong(0)
-    val tgtTotal = tgt.agg(sum(col("__ct"))).head.getLong(0)
+    val srcTotal = src.agg(sum(col("__cs"))).head().getLong(0)
+    val tgtTotal = tgt.agg(sum(col("__ct"))).head().getLong(0)
     require(srcTotal > 0, "source corpus has no tokens")
     require(tgtTotal > 0, "target sample has no tokens")
     // λ over ALL buckets (zero-count buckets smooth to alpha), built on

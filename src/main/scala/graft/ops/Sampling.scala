@@ -218,7 +218,7 @@ object Sampling {
     // later actions instead of re-running the sort's reduce side each
     // time (map-side shuffle output is already reused across jobs, but
     // the reduce-side sort is not).
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (spark.createDataFrame(indexed, outSchema), indexed)

@@ -427,7 +427,7 @@ object Sketch {
     val planes = Dedup.rademacherPlanes(outDim, dim, table = 0, seed = seed)
     val scale = math.sqrt(outDim.toDouble)
     df.withColumn(outCol,
-      when(col(embCol).isNotNull, array(planes.map { p =>
+      when(col(embCol).isNotNull, array(scala.collection.immutable.ArraySeq.unsafeWrapArray(planes).map { p =>
         graft.functions.VectorFunctions.dotProduct(col(embCol),
           typedlit(p.toSeq)) / lit(scale)
       }: _*)))

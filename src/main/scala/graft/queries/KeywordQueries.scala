@@ -157,7 +157,7 @@ object KeywordQueries {
     "hybrid_rrf_fusion" -> ((s, d) => {
       import s.implicits._
       val qv = embeddings(s, d).filter($"vec_id" === 0)
-        .select($"embedding").head.getSeq[Float](0).toArray
+        .select($"embedding").head().getSeq[Float](0).toArray
       val vecRank = Similarity.knn(
           embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
           "embedding", qv, k = 50)
@@ -178,7 +178,7 @@ object KeywordQueries {
     "hybrid_alpha_fusion" -> ((s, d) => {
       import s.implicits._
       val qv = embeddings(s, d).filter($"vec_id" === 0)
-        .select($"embedding").head.getSeq[Float](0).toArray
+        .select($"embedding").head().getSeq[Float](0).toArray
       val vecLeg = Similarity.knn(
           embeddings(s, d).filter($"vec_id" =!= 0).select($"vec_id", $"embedding"),
           "embedding", qv, k = 50)

@@ -20,7 +20,7 @@ object VectorSearch {
     */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).toArray
+      .select(col("embedding")).head().getSeq[Float](0).toArray
 
   private def knnQuery(metric: String): Q = (s, d) => {
     import s.implicits._

@@ -132,7 +132,8 @@ object DocumentSources {
     val csvOpts = Map("header" -> "true", "multiLine" -> "true", "escape" -> "\"")
     val schema = spark.read.options(csvOpts).csv(path).schema
     val rendered = concat_ws("\n",
-      schema.fieldNames.map(c => concat_ws(": ", lit(c), col("row").getField(c))): _*)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(schema.fieldNames)
+        .map(c => concat_ws(": ", lit(c), col("row").getField(c))): _*)
     // blank records are dropped BEFORE numbering (Spark's CSV reader skips
     // them around the header the same way), so `rownum` enumerates actual
     // data rows 0,1,… like the reference's CSVLoader; the first non-blank

@@ -67,7 +67,7 @@ object CurationProbe {
       emb1.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"embedding")
     }.reduce(_ union _).localCheckpoint()
     val qv = emb1.filter($"vec_id" === 0).select($"embedding")
-      .head.getSeq[Float](0).toArray
+      .head().getSeq[Float](0).toArray
     def filteredSearch(e: org.apache.spark.sql.DataFrame) = {
       val withMeta = e.withColumn("lang",
         when($"vec_id" % 2 === 0, "en").otherwise("de"))

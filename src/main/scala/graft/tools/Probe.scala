@@ -144,7 +144,7 @@ object Probe {
         f"coarse-cols ${dirBytes(s"$base/q")}%10d " +
         f"(${dirBytes(s"$base/q").toDouble / dirBytes(s"$base/float")}%.2fx)")
       val store = spark.read.parquet(s"$base/full")
-      val qv = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+      val qv = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
       def minOf3(f: => Long): Double =
         (1 to 3).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

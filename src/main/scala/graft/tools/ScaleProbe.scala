@@ -177,7 +177,7 @@ object ScaleProbe {
     // probe is not a win).
     import java.nio.file.Files
     val qv = emb1.filter($"vec_id" === 0).select($"embedding")
-      .head.getSeq[Float](0).toArray
+      .head().getSeq[Float](0).toArray
     def ivfQuantStore(emb: DataFrame): String = {
       val t = Files.createTempDirectory("sp-ivfq").toString + "/t"
       graft.ops.VersionedStore.append(spark, t, emb)
