@@ -514,6 +514,78 @@ object Profile {
       s"v1 ${cols.mkString(",")} v${cur.version}")
   }
 
+  /** Reconcile the ledger against the CURRENT segment set at
+    * O(changed segments + parts) — the merge/delete repair path (the
+    * pure-append fold above stays the cheapest path for appends):
+    * scan ONLY current segments the ledger has never fingerprinted,
+    * drop rows for segments no longer live, keep everything else
+    * untouched. A merge that rewrites one segment of a 100 TB store
+    * therefore re-reads ONE segment where the previous behavior fell
+    * through to a full-corpus rebuild. Retired-name rows (left behind
+    * by the compact seam's O(1) restamp — harmless for totals, since
+    * any disjoint cover folds identically) are dropped here, and the
+    * segments that cover their rows rescanned, so the ledger returns
+    * to segment-accurate. Damaged stats / config mismatches still
+    * refuse to the registry's rebuild.
+    */
+  def reconcileFingerprintSidecar(spark: SparkSession, table: String,
+                                  cols: Seq[String], path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1" && stats(2).startsWith("v"),
+      s"fingerprint sidecar at $path has a damaged/unstamped _stats; " +
+        "rebuild with buildFingerprintSidecarForStore")
+    require(stats(1) == cols.mkString(","),
+      s"fingerprint sidecar at $path ledgers columns ${stats(1)}, this " +
+        s"maintenance asks ${cols.mkString(",")}; rebuild")
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (stats(2) == s"v${cur.version}") return
+    reconcileSegmentLedger(spark, table, path,
+      segs => segmentParts(spark, table, segs, cols), cur.segments)
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == cur.version,
+      s"store $table moved from version ${cur.version} to $v1 during the " +
+        "fingerprint reconcile; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"v1 ${cols.mkString(",")} v${cur.version}")
+  }
+
+  /** The shared segment-ledger reconcile: given the builder for new
+    * segments' rows and the current segment list, drop rows of retired
+    * segments and append rows for unledgered ones via a
+    * stage-and-swap. Used by every per-segment ledger sidecar
+    * (fingerprint / weighted-sample / histogram). The caller retires
+    * the stamp before and re-stamps after.
+    */
+  private[ops] def reconcileSegmentLedger(spark: SparkSession, table: String,
+                                          path: String,
+                                          buildFor: Seq[String] => DataFrame,
+                                          curSegments: Seq[String]): Unit = {
+    val partsPath = s"$path/parts"
+    val parts = spark.read.parquet(partsPath)
+    val ledgered = parts.select(col("segment")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val curSet = curSegments.toSet
+    val toAdd = curSegments.filterNot(ledgered)
+    val toDrop = ledgered.diff(curSet)
+    graft.Fs.delete(spark, s"$path/_stats")
+    if (toDrop.isEmpty && toAdd.nonEmpty)
+      // pure growth: a plain parts append, no rewrite
+      buildFor(toAdd).write.mode("append").parquet(partsPath)
+    else if (toDrop.nonEmpty) {
+      // stage-and-swap: materialize (kept ∪ new) BEFORE touching the
+      // live parts (the staged write reads them), then swap
+      val keep = parts.filter(col("segment").isin(curSegments: _*))
+      val next = if (toAdd.isEmpty) keep
+        else keep.unionByName(buildFor(toAdd))
+      val tmp = s"$path/parts.next-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      next.write.mode("overwrite").parquet(tmp)
+      graft.Fs.delete(spark, partsPath)
+      graft.Fs.rename(spark, tmp, partsPath)
+    }
+  }
+
   /** The maintained whole-store fingerprint: one tiny parts read + the
     * exact fold -- refuses a stale ledger loudly (a stale checksum
     * silently vouches for rows it never saw). Output matches
@@ -574,7 +646,15 @@ object Profile {
                                            table: String): Unit =
     SidecarRegistry.maintain(spark, table, fingerprintSidecarMarkerPath(table),
       "fingerprint sidecar") { reg =>
-      appendToFingerprintSidecar(spark, table, colsOf(reg), reg.path)
+      // appends take the manifest-prefix fast path; a rewritten
+      // history (merge/delete) reconciles at O(changed segments)
+      // instead of refusing through to the full-corpus rebuild
+      try appendToFingerprintSidecar(spark, table, colsOf(reg), reg.path)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("not pure-append") =>
+          reconcileFingerprintSidecar(spark, table, colsOf(reg), reg.path)
+      }
     } { reg =>
       buildFingerprintSidecarForStore(spark, table, colsOf(reg), reg.path)
     }
@@ -585,6 +665,12 @@ object Profile {
     SidecarRegistry.maintainAfterCompact(spark, table,
       fingerprintSidecarMarkerPath(table), "fingerprint sidecar",
       preVersion, post, files) { reg =>
-      buildFingerprintSidecarForStore(spark, table, colsOf(reg), reg.path)
+      // a non-provably-exact compaction reconciles at O(rewritten
+      // segments); only damaged stats fall through to the full build
+      try reconcileFingerprintSidecar(spark, table, colsOf(reg), reg.path)
+      catch {
+        case _: IllegalArgumentException =>
+          buildFingerprintSidecarForStore(spark, table, colsOf(reg), reg.path)
+      }
     }
 }

@@ -922,6 +922,31 @@ object Sampling {
       .select(col("key"), col("w"), col("sample_score"))
   }
 
+  /** Reconcile the candidate ledger against the CURRENT segment set
+    * at O(changed segments + parts) — the merge/delete repair path
+    * ([[Profile.reconcileSegmentLedger]] discipline): rescan only
+    * unledgered current segments, drop retired segments' candidates,
+    * keep the rest untouched. Damaged stats refuse to the rebuild.
+    */
+  def reconcileSampleSidecar(spark: SparkSession, table: String,
+                             path: String): Unit = {
+    val c = parseSampleStats(spark, path)
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (c.version == cur.version) return
+    Profile.reconcileSegmentLedger(spark, table, path,
+      segs => segmentCandidates(spark, table, segs, c.keyCol, c.weightCol,
+        c.k, c.seed, c.strataCol),
+      cur.segments)
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == cur.version,
+      s"store $table moved from version ${cur.version} to $v1 during the " +
+        "sample reconcile; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats",
+      s"v1 ${c.keyCol},${c.weightCol},${c.k},${c.seed}," +
+        s"${c.strataCol.getOrElse("-")} v${cur.version}")
+  }
+
   def registerSampleSidecar(spark: SparkSession, table: String,
                             keyCol: String, weightCol: String, k: Int,
                             seed: String, path: String,
@@ -943,7 +968,14 @@ object Sampling {
                                       table: String): Unit =
     SidecarRegistry.maintain(spark, table, sampleSidecarMarkerPath(table),
       "sample sidecar") { reg =>
-      appendToSampleSidecar(spark, table, reg.path)
+      // appends take the manifest-prefix fast path; rewritten
+      // histories reconcile at O(changed segments), not O(corpus)
+      try appendToSampleSidecar(spark, table, reg.path)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("not pure-append") =>
+          reconcileSampleSidecar(spark, table, reg.path)
+      }
     } { reg =>
       val (keyCol, weightCol, k, seed, strataCol) = sampleCfg(reg)
       buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
@@ -956,9 +988,13 @@ object Sampling {
     SidecarRegistry.maintainAfterCompact(spark, table,
       sampleSidecarMarkerPath(table), "sample sidecar",
       preVersion, post, files) { reg =>
-      val (keyCol, weightCol, k, seed, strataCol) = sampleCfg(reg)
-      buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
-        reg.path, strataCol)
+      try reconcileSampleSidecar(spark, table, reg.path)
+      catch {
+        case _: IllegalArgumentException =>
+          val (keyCol, weightCol, k, seed, strataCol) = sampleCfg(reg)
+          buildSampleSidecarForStore(spark, table, keyCol, weightCol, k, seed,
+            reg.path, strataCol)
+      }
     }
 
   /** [[weightedSamplePerStratum]]'s exact-selection twin (raw-score

@@ -382,6 +382,29 @@ object Sketch {
       .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
   }
 
+  /** Reconcile the count ledger against the CURRENT segment set at
+    * O(changed segments + parts) — the merge/delete repair path
+    * ([[Profile.reconcileSegmentLedger]] discipline).
+    */
+  def reconcileHistogramSidecar(spark: org.apache.spark.sql.SparkSession,
+                                table: String, path: String): Unit = {
+    val stats = graft.Fs.readString(spark, s"$path/_stats").trim.split(" ")
+    require(stats.length >= 3 && stats(0) == "v1" && stats(2).startsWith("v"),
+      s"histogram sidecar at $path has a damaged/unstamped _stats; rebuild " +
+        "with buildHistogramSidecarForStore")
+    val valueCol = stats(1)
+    val cur = VersionedStore.currentState(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed state"))
+    if (stats(2) == s"v${cur.version}") return
+    Profile.reconcileSegmentLedger(spark, table, path,
+      segs => segmentHistograms(spark, table, segs, valueCol), cur.segments)
+    val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
+    require(v1 == cur.version,
+      s"store $table moved from version ${cur.version} to $v1 during the " +
+        "histogram reconcile; rebuild")
+    graft.Fs.writeString(spark, s"$path/_stats", s"v1 $valueCol v${cur.version}")
+  }
+
   def registerHistogramSidecar(spark: org.apache.spark.sql.SparkSession,
                                table: String, idCol: String, valueCol: String,
                                path: String): Unit =
@@ -394,7 +417,14 @@ object Sketch {
       spark: org.apache.spark.sql.SparkSession, table: String): Unit =
     SidecarRegistry.maintain(spark, table, histogramSidecarMarkerPath(table),
       "histogram sidecar") { reg =>
-      appendToHistogramSidecar(spark, table, reg.path)
+      // appends take the manifest-prefix fast path; rewritten
+      // histories reconcile at O(changed segments), not O(corpus)
+      try appendToHistogramSidecar(spark, table, reg.path)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("not pure-append") =>
+          reconcileHistogramSidecar(spark, table, reg.path)
+      }
     } { reg =>
       buildHistogramSidecarForStore(spark, table, reg.textCol, reg.path)
     }
@@ -405,7 +435,11 @@ object Sketch {
     SidecarRegistry.maintainAfterCompact(spark, table,
       histogramSidecarMarkerPath(table), "histogram sidecar",
       preVersion, post, files) { reg =>
-      buildHistogramSidecarForStore(spark, table, reg.textCol, reg.path)
+      try reconcileHistogramSidecar(spark, table, reg.path)
+      catch {
+        case _: IllegalArgumentException =>
+          buildHistogramSidecarForStore(spark, table, reg.textCol, reg.path)
+      }
     }
 
   /** Johnson-Lindenstrauss random projection of an `ARRAY<FLOAT>`

@@ -220,6 +220,47 @@ object RoundProbe {
           f.getLong(0) + n + q
         }
 
+      case "r18-reconcile" =>
+        // merge maintenance on a 16-segment store, ISOLATED from the
+        // merge's own copy-on-write cost: the same 1-row merge against
+        // a bare twin store vs a fingerprint-ledgered one — the delta
+        // is what the seam's ledger maintenance adds. The reconcile
+        // path rescans ONLY the rewritten segment; the full rebuild it
+        // replaced rescans the corpus.
+        def mk16(register: Boolean): String = {
+          val t = java.nio.file.Files.createTempDirectory("rprec")
+            .toString + "/store"
+          (0 until 16).foreach { b =>
+            graft.ops.VersionedStore.append(spark, t,
+              synth(base).withColumn("id", col("id") + lit(b * base)))
+          }
+          if (register)
+            graft.ops.Profile.registerFingerprintSidecar(spark, t, cols,
+              s"$t/../fp")
+          t
+        }
+        val bare16 = mk16(register = false)
+        val led16 = mk16(register = true)
+        var victim = 5L
+        def mergeOne(t: String): Long = {
+          val r = graft.ops.Ingest.mergeRespectingLayout(spark, t,
+            synth(1).withColumn("id", lit(victim))
+              .withColumn("s", lit("MERGED")), "id").toLong.max(1L)
+          victim += 1
+          r
+        }
+        probe("merge 1 row into 16x store, NO ledger (merge baseline)") {
+          mergeOne(bare16)
+        }
+        probe("merge 1 row into 16x store + ledger RECONCILE (delta = maintenance)") {
+          mergeOne(led16)
+        }
+        probe("full ledger rebuild on the 16x store (the replaced path)") {
+          graft.ops.Profile.buildFingerprintSidecarForStore(spark, led16, cols,
+            s"$led16/../fp")
+          1L
+        }
+
       case other =>
         System.err.println(s"[RoundProbe] unknown suite: $other")
     }

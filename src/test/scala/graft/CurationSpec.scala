@@ -268,6 +268,26 @@ class CurationSpec extends AnyFunSuite {
       Profile.appendToFingerprintSidecar(spark, table, Seq("k"), fpath)
     }
     assert(colErr.getMessage.contains("ledgers columns"))
+    // a merge rewrites ONE segment: the seam RECONCILES the ledger at
+    // O(changed segments) — untouched segments' parts rows survive
+    // byte-identical (a full rebuild would have re-scanned the corpus),
+    // only the rewritten segment's row is replaced, and the folded
+    // checksum still equals the direct recompute
+    def partRows() = spark.read.parquet(s"$fpath/parts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val preParts = partRows()
+    Ingest.mergeRespectingLayout(spark, table,
+      Seq((2L, "MERGED")).toDF("k", "s"), "k"): Unit
+    val postParts = partRows()
+    assert((preParts & postParts).size == preParts.size - 1,
+      s"reconcile must replace exactly the rewritten segment's ledger " +
+        s"row: pre=${preParts.size} shared=${(preParts & postParts).size}")
+    val merged = all.filter($"k" =!= 2L)
+      .unionAll(Seq((2L, "MERGED"), (999L, "x")).toDF("k", "s"))
+    assert(row(Profile.storeFingerprint(spark, table, fpath)) ==
+      row(Profile.datasetFingerprint(merged, cols)),
+      "the reconciled ledger must checksum the merged corpus exactly")
   }
 
   test("sample sidecar: seam folds per-segment candidates, maintained ≡ direct, stale/merge refuse, compact heals") {
@@ -322,9 +342,21 @@ class CurationSpec extends AnyFunSuite {
       all.unionAll(Seq((999L, 5L)).toDF("k", "w")), "k", "w", 10, "t")
       .select($"k", $"w".cast("long"), $"sample_score")))
     // a merge REPLACES rows — the per-segment fold refuses and the seam
-    // rebuilds, after which the maintained sample reflects the new rows
+    // RECONCILES at O(changed segments): untouched segments' candidate
+    // rows survive byte-identical, only the rewritten segment's differ
+    def candRows() = spark.read.parquet(s"$spath/parts").collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("key"),
+        r.getAs[Double]("w"))).toSet
+    val preCand = candRows()
+    val preSegs = preCand.map(_._1)
     Ingest.mergeRespectingLayout(spark, table,
       Seq((7L, 1L)).toDF("k", "w"), "k"): Unit
+    val postCand = candRows()
+    val untouched = preSegs.intersect(postCand.map(_._1))
+    assert(untouched.nonEmpty &&
+      preCand.filter(c => untouched(c._1)) ==
+        postCand.filter(c => untouched(c._1)),
+      "reconcile must keep untouched segments' candidates unchanged")
     val postMerge = sample(Sampling.maintainedWeightedSample(spark, table, spath)
       .select($"key".cast("long"), $"w".cast("long"), $"sample_score"))
     assert(postMerge == sample(Sampling.weightedSampleExact(
