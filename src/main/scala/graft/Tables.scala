@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * (TESTDATA.md) plus shared numeric-determinism helpers.
   */
 object Tables {
+  // cached: the testdata tables are immutable for a process lifetime, and
+  // re-resolving (list + footer schema read) per call is pure driver-side
+  // overhead paid by every query construction (ParquetIO doc)
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    ParquetIO.readImmutable(spark, s"$dir/$name.parquet")
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

@@ -1135,7 +1135,7 @@ object Dedup {
     val newSegs = cur.segments.filterNot(old.segments.toSet)
     graft.Fs.delete(spark, s"$path/_stats")
     if (newSegs.nonEmpty) {
-      val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+      val docs = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
       bandRows(docs, idCol, textCol, n, numHashes, bands)
         .write.mode("append").parquet(s"$path/bands")
@@ -1343,7 +1343,7 @@ object Dedup {
     val newSegs = cur.segments.filterNot(old.segments.toSet)
     graft.Fs.delete(spark, s"$path/_stats")
     if (newSegs.nonEmpty) {
-      val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+      val docs = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
       requireSrpDim(docs, embCol, dim, s"appended segments of $table")
       srpBucketRows(docs, idCol, embCol, dim, nTables, nBits, seed)

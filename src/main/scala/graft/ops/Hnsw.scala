@@ -764,7 +764,7 @@ object Hnsw {
     val newSegs = cur.segments.filterNot(old.segments.toSet)
     graft.Fs.delete(spark, s"$path/_stats")
     if (newSegs.nonEmpty) {
-      val rows = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+      val rows = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
       append(rows, idCol, embCol, path, numPartitions = 1)
     }

@@ -255,7 +255,7 @@ object Keyword {
     val nNew =
       if (newSegs.isEmpty) 0L
       else writePositionalPostings(
-        newSegs.map(sg => spark.read.parquet(s"$table/$sg")).reduce(_ unionByName _),
+        newSegs.map(sg => graft.ParquetIO.readImmutable(spark, s"$table/$sg")).reduce(_ unionByName _),
         idCol, textCol, path, buckets, "append")
     graft.Fs.writeString(spark, s"$path/_stats",
       s"${n0 + nNew} $buckets v${cur.version}")
@@ -470,7 +470,7 @@ object Keyword {
     val (nNew, sumdlNew) =
       if (newSegs.isEmpty) (0L, 0L)
       else {
-        val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+        val docs = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
           .reduce(_.unionByName(_))
         writePostings(docs, idCol, textCol, path, buckets, "append")
       }

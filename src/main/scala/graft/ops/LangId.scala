@@ -118,6 +118,54 @@ object LangId {
         col("__r._2").as("dist"))
   }
 
+  /** [[classifyMapSide]] with the runner-up and margin — the shuffle-free
+    * twin of [[classifyTop2]], agreeing with it EXACTLY (all-integer
+    * distances; the sort key is (dist, lang) with lang compared in
+    * code-point order, matching `array_sort` over `struct(dist, lang)`
+    * under Spark's binary string ordering — spec-pinned). Output
+    * `(idCol, lang_pred, dist, runner_up, margin)`; with a single
+    * trained language runner_up/margin are null, as in the relational
+    * slice. Documents with no grams produce no row.
+    */
+  def classifyMapSideTop2(docs: DataFrame, idCol: String, textCol: String,
+                          profileMap: Map[String, Map[String, Int]],
+                          k: Int = DefaultK): DataFrame = {
+    val langs = profileMap.keys.toSeq.sorted
+    val kernel = udf((text: String) => {
+      val ranked = profileOf(text, k)
+      if (ranked.isEmpty) None
+      else {
+        // (dist, lang) for every language, then the two smallest under
+        // the (dist, code-point lang) order classifyTop2's array_sort uses
+        var b1l: String = null; var b1d = Long.MaxValue
+        var b2l: String = null; var b2d = Long.MaxValue
+        langs.foreach { l =>
+          val prof = profileMap(l)
+          var d = 0L
+          var r = 0
+          while (r < ranked.length) {
+            val (g, drank) = ranked(r)
+            d += (prof.get(g) match {
+              case Some(pr) => math.abs(drank - pr).toLong
+              case None => k.toLong
+            })
+            r += 1
+          }
+          // strict <: langs iterate in sorted order, so ties keep the
+          // code-point-smaller language — array_sort's struct order
+          if (d < b1d) { b2l = b1l; b2d = b1d; b1l = l; b1d = d }
+          else if (d < b2d) { b2l = l; b2d = d }
+        }
+        Some((b1l, b1d, Option(b2l), if (b2l == null) None else Some(b2d - b1d)))
+      }
+    })
+    docs.select(col(idCol), kernel(col(textCol)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(idCol), col("__r._1").as("lang_pred"),
+        col("__r._2").as("dist"), col("__r._3").as("runner_up"),
+        col("__r._4").as("margin"))
+  }
+
   /** Code-point-order string comparison — Spark's binary UTF8String
     * ordering, which Java's UTF-16 `compareTo` diverges from for
     * supplementary characters.

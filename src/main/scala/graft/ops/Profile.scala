@@ -25,15 +25,33 @@ object Profile {
                    exactDistinct: Boolean = false,
                    rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (exactDistinct) count_distinct(col(c))
-         else approx_count_distinct(col(c), rsd)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // min/max ride a SEPARATE grouping-free aggregate (minMaxWide below):
+    // a STRING min/max in the aggregation buffer is not hash-aggregable,
+    // and with the multi-distinct Expand rewrite in the same Aggregate it
+    // demoted the whole profile to chained SortAggregates over the
+    // Expand-multiplied rows — measured 2.2 s + 1.5 s of the 3.9 s
+    // table_profile wall at sf0.1 (round-18 job attribution). Split, the
+    // distinct path hash-aggregates and the min/max fold is a sortless
+    // single pass; the crossJoin glues two 1-row frames.
+    val wide =
+      if (exactDistinct)
+        df.agg(count(lit(1)).as("__n"),
+            cols.flatMap { c => Seq(
+              count(col(c)).as(s"__nn_$c"),
+              count_distinct(col(c)).as(s"__nd_$c"))
+            }: _*)
+          .crossJoin(broadcast(foldWide(df, cols, Seq.empty)))
+      else
+        // no distinct aggregate at all → no Expand rewrite: one
+        // single-group fold computes counts, HLL sketches, and min/max
+        // in ONE pass (the 100 TB profiler path — the sketch replaces
+        // the exact distinct precisely so the profile is one linear scan)
+        foldWide(df, cols,
+          count(lit(1)).as("__n") +:
+            cols.flatMap { c => Seq(
+              count(col(c)).as(s"__nn_$c"),
+              approx_count_distinct(col(c), rsd).as(s"__nd_$c"))
+            })
     // stack(k, name1, nn1, nd1, mn1, mx1, ...) -> one row per column
     val stackArgs = cols.flatMap { c =>
       Seq(lit(c), col(s"__nn_$c"), col(s"__nd_$c"), col(s"__mn_$c"), col(s"__mx_$c"))
@@ -55,18 +73,43 @@ object Profile {
     * sketch aggregates ride the SAME single aggregation job — the
     * anchored profile still scans the table once.
     */
+  /** A 1-row grouping-free fold over `df`: `extra` aggregates (counts,
+    * HLL sketches) plus the string-rendered min/max of every profiled
+    * column. No grouping keys means no Sort is required under the
+    * SortAggregate it plans to (string min/max buffers are not
+    * hash-aggregable), so this is a single sortless pass — kept OUT of
+    * any multi-distinct Expand aggregate, which it would otherwise
+    * demote to sorted execution over the Expand-multiplied rows AND
+    * give every expanded group its own HLL register buffer (measured:
+    * the combined form cost table_profile 2.2 s + 1.5 s of its 3.9 s
+    * wall at sf0.1; split, the distinct path hash-aggregates long
+    * buffers only).
+    */
+  private def foldWide(df: DataFrame, cols: Seq[String],
+                       extra: Seq[Column]): DataFrame = {
+    val all = extra ++ cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.agg(all.head, all.tail: _*)
+  }
+
   def tableProfileChecked(df: DataFrame, cols: Seq[String],
                           rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // exact counts ride the Expand rewrite with long-only buffers; the
+    // HLL sketches and string min/max ride the 1-row fold (foldWide doc:
+    // an HLL inside the Expand aggregate allocates registers PER
+    // EXPANDED GROUP — gigabytes at 10⁵ distinct values; the fold holds
+    // exactly |cols| register sets)
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__ad_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        count_distinct(col(c)).as(s"__nd_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .crossJoin(broadcast(foldWide(df, cols,
+        cols.map(c => approx_count_distinct(col(c), rsd).as(s"__ad_$c")))))
     val stackArgs = cols.flatMap { c =>
       Seq(lit(c), col(s"__nn_$c"), col(s"__nd_$c"), col(s"__ad_$c"),
         col(s"__mn_$c"), col(s"__mx_$c"))

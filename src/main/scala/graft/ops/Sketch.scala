@@ -153,7 +153,7 @@ object Sketch {
       val existing = spark.read.parquet(s"$path/registers")
         .select(col("register").cast("int"), col("rho").cast("int"))
         .as[(Int, Int)].collect().toSeq.toDF("register", "rho")
-      val docs = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+      val docs = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
       hllRegisters(tokenRows(docs, textCol), "t")
         .unionByName(existing)
@@ -691,7 +691,7 @@ object Sketch {
       val existing = spark.read.parquet(s"$path/words")
         .select(col("word_idx").cast("long"), col("word").cast("long"))
         .as[(Long, Long)].collect().toSeq.toDF("word_idx", "word")
-      val rows = newSegs.map(s => spark.read.parquet(s"$table/$s"))
+      val rows = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
       bloomBuild(rows, valueCol, BloomSidecarM, BloomSidecarK)
         .unionByName(existing)

@@ -90,7 +90,7 @@ object VersionedStore {
     * cluster predicate prune away every row of the flat segments.
     */
   private def readState(spark: SparkSession, table: String, st: State): DataFrame =
-    try st.segments.map(s => spark.read.parquet(s"$table/$s")).reduce(_.unionByName(_))
+    try st.segments.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s")).reduce(_.unionByName(_))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         // diagnose before blaming: only claim a mixed state (and point at
@@ -117,7 +117,7 @@ object VersionedStore {
     * every subsequent read.
     */
   private def segColumns(spark: SparkSession, table: String, seg: String): Set[String] =
-    spark.read.parquet(s"$table/$seg").schema.fieldNames.toSet
+    graft.ParquetIO.readImmutable(spark, s"$table/$seg").schema.fieldNames.toSet
 
   /** Live segment directory names of the latest committed state (empty
     * for unversioned/plain tables) — the audit surface for per-segment
@@ -565,7 +565,7 @@ object VersionedStore {
     */
   private def taggedState(spark: SparkSession, table: String, st: State): DataFrame =
     st.segments
-      .map(s => spark.read.parquet(s"$table/$s")
+      .map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s")
         .withColumn("__seg", org.apache.spark.sql.functions.lit(s)))
       .reduce(_.unionByName(_))
 
@@ -618,7 +618,7 @@ object VersionedStore {
     if (candidates.isEmpty)
       return keyed.filter(lit(false)).select(lit("").as("__seg")).limit(0)
     candidates
-      .map(s => spark.read.parquet(s"$table/$s")
+      .map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s")
         .withColumn("__seg", lit(s)))
       .reduce(_.unionByName(_))
       .join(keyed, Seq(keyCol), "left_semi")
@@ -720,7 +720,7 @@ object VersionedStore {
       // re-read ONLY the affected segments (the detection scan read
       // everything once; the rewrite must not)
       val keep = affected
-        .map(s => spark.read.parquet(s"$table/$s"))
+        .map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
         .join(updKeys, Seq(keyCol), "left_anti")
       val newData = keep.unionByName(checkedUpdates, allowMissingColumns = false)
@@ -827,7 +827,7 @@ object VersionedStore {
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return (st, 0)
       val keep = affected
-        .map(s => spark.read.parquet(s"$table/$s"))
+        .map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
         .join(keySet, Seq(keyCol), "left_anti")
       try {
@@ -869,7 +869,7 @@ object VersionedStore {
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return (st, 0)
       val keep = affected
-        .map(s => spark.read.parquet(s"$table/$s"))
+        .map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
         .reduce(_.unionByName(_))
         .filter(not(coalesce(predicate, lit(false))))
       try {
@@ -933,7 +933,7 @@ object VersionedStore {
     if (!layoutsMixed && !colsMixed)
       return None // one consistent shape — nothing to repair
     val perSeg = st.segments.map(s =>
-      (spark.read.parquet(s"$table/$s"), segPartitionKeys(spark, table, s)))
+      (graft.ParquetIO.readImmutable(spark, s"$table/$s"), segPartitionKeys(spark, table, s)))
     val dataCols = perSeg.flatMap { case (d, keys) =>
       d.schema.fieldNames.filterNot(keys)
     }.toSet

@@ -79,8 +79,16 @@ object DedupQueries {
     // Every leg is individually hash-green; this pins the COMPOSITION.
     "training_mix_e2e" -> ((s, d) => {
       import s.implicits._
+      // persist + eager count: normalizeText feeds THREE consumers (the
+      // span-dedup gram pass, its final token rebuild, and the entropy
+      // leg) — without the pin the corpus is re-read and re-normalized
+      // per consumer, and the consumers race the cache on first action
+      // (the Dedup.ngramJaccardPairs convention). One normalize pass
+      // instead of three; Bench's clearCache() releases it per run.
       val norm = documents(s, d).select($"doc_id",
         graft.functions.NormalizeText.normalizeText($"text").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      norm.count(): Unit
       val spanned = Dedup.removeDuplicatedSpans(norm, "doc_id", "text", k = 8)
       val ent = graft.ops.TextAnalysis.charBigramEntropy(norm, "doc_id", "text")
       val kept = spanned.join(ent, "doc_id")

@@ -941,7 +941,14 @@ object TextQueries {
       val docs = documents(s, d).select($"doc_id",
         concat(langIdHeldOutPhrase($"doc_id"), lit(" doc "),
           $"doc_id".cast("string")).as("text"))
-      graft.ops.LangId.classify(docs, "doc_id", "text", profiles)
+      // serve through the shuffle-free kernel (classifyMapSide ≡ classify
+      // exactly, spec-pinned): the corpus-sized explode → broadcast join →
+      // two aggregations become one narrow map with the ≤|langs|·K
+      // profile riding the plan — the 1000-executor scoring shape, and
+      // 2 exchanges → 0 before the output sort (round-18 opt, measured
+      // 3.40 s → 1.66 s at sf0.1)
+      graft.ops.LangId.classifyMapSide(docs, "doc_id", "text",
+          graft.ops.LangId.collectProfiles(profiles))
         .orderBy($"doc_id")
     }),
 
@@ -957,7 +964,10 @@ object TextQueries {
       val docs = documents(s, d).select($"doc_id",
         concat(langIdHeldOutPhrase($"doc_id"), lit(" doc "),
           $"doc_id".cast("string")).as("text"))
-      graft.ops.LangId.classifyTop2(docs, "doc_id", "text", profiles)
+      // shuffle-free twin of classifyTop2 (≡ exactly, spec-pinned) —
+      // see text_lang_id_trained (measured 3.41 s → 1.57 s at sf0.1)
+      graft.ops.LangId.classifyMapSideTop2(docs, "doc_id", "text",
+          graft.ops.LangId.collectProfiles(profiles))
         .orderBy($"doc_id")
     }),
 

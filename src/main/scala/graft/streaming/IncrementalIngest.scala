@@ -243,6 +243,13 @@ object IncrementalIngest {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    // localCheckpoint: the windowed last-write frame feeds the upsert
+    // AND the tombstone leg, and each leg's merge/delete re-executes its
+    // input several times (emptiness probe, detection semi-join,
+    // rewrite) — without the pin every re-execution re-runs the window
+    // over the raw batch. Materializing here also fires the tied-seq
+    // raise exactly once, BEFORE any store mutation — the
+    // refusal-leaves-store-untouched contract, now structural.
     val latest = batch
       .withColumn("__rn", row_number().over(w))
       .withColumn("__ntop",
@@ -252,6 +259,7 @@ object IncrementalIngest {
         .otherwise(raise_error(lit(s"CDC batch carries a tied $seqCol for a " +
           s"$keyCol — the changelog's final state for that key is ambiguous"))))
       .drop("__rn", "__ntop")
+      .localCheckpoint()
     deleteFlagCol match {
       case Some(f) =>
         val ups = latest.filter(!coalesce(col(f), lit(false))).drop(f, seqCol)

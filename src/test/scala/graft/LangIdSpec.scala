@@ -148,6 +148,43 @@ class LangIdSpec extends AnyFunSuite {
       s"in-model text must out-margin junk: ${top2(0L)._5} vs ${top2(1L)._5}")
   }
 
+  test("classifyMapSideTop2 agrees with classifyTop2 exactly, shuffle-free") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val profiles = LangId.trainProfiles(
+      LangId.readTraining(spark, "/root/repo/fixtures/langid/train.jsonl"),
+      "lang", "text")
+    val pmap = LangId.collectProfiles(profiles)
+    val docs = Seq(
+      (0L, "der schnelle zug fährt heute nicht weil die strecke gesperrt wurde"),
+      (1L, "zzz qqq xxx"), // out-of-model junk: ties/near-ties stress order
+      (2L, "MIXED Case   And\t\twhitespace   collapse test here"),
+      (3L, "det lilla huset ligger vid sjön och har ett rött tak"),
+      (4L, "")).toDF("id", "text")
+    val rel = LangId.classifyTop2(docs, "id", "text", profiles)
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    val map = LangId.classifyMapSideTop2(docs, "id", "text", pmap)
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    assert(rel == map, s"relational $rel vs map-side $map")
+    // gramless docs produce no row in either path
+    assert(!rel.exists(_._1 == 4L) && !map.exists(_._1 == 4L))
+    // a winning-distance TIE must resolve to the code-point-smaller
+    // language in BOTH paths (array_sort struct order vs kernel order)
+    val tied = Seq(("aa", "xyxyxy"), ("bb", "xyxyxy")).toDF("lang", "text")
+    val tiedProf = LangId.trainProfiles(tied, "lang", "text", k = 10)
+    val tdocs = Seq((1L, "xyxy")).toDF("id", "text")
+    val tRel = LangId.classifyTop2(tdocs, "id", "text", tiedProf, k = 10)
+      .as[(Long, String, Long, String, Long)].collect().head
+    val tMap = LangId.classifyMapSideTop2(tdocs, "id", "text",
+        LangId.collectProfiles(tiedProf), k = 10)
+      .as[(Long, String, Long, String, Long)].collect().head
+    assert(tRel == tMap && tRel._2 == "aa" && tRel._4 == "bb" && tRel._5 == 0L)
+    // the plan is shuffle-free (streaming-safe narrow map)
+    val plan = LangId.classifyMapSideTop2(docs, "id", "text", pmap)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side top2 must not shuffle:\n$plan")
+  }
+
   test("out-of-place distance: missing gram costs k, prediction tie-breaks on lang") {
     val spark = TestSpark.spark
     import spark.implicits._
