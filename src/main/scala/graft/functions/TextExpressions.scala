@@ -328,3 +328,104 @@ object NormalizeText {
   def normalizeText(text: Column): Column =
     ColumnShim.column(NormalizeText(ColumnShim.expression(text)))
 }
+
+/** Single-pass word n-grams WITH duplicates: `ARRAY<STRING> ->
+  * ARRAY<STRING>` — the non-deduping twin of [[WordNGrams]] for the
+  * counting operators (BLEU/chrF modified precision, n-gram LMs,
+  * distinct-n diversity ratios), where gram MULTIPLICITY is the
+  * statistic. Replicates the
+  * `transform(sequence(1, size-(n-1)), i => array_join(slice(toks, i, n), " "))`
+  * composition exactly — including `array_join`'s null handling (a null
+  * element is skipped along with its separator) — but in one imperative
+  * scan: the HOF composition is interpreted (CodegenFallback lambdas,
+  * re-evaluated per element) and measured as the dominant job of the
+  * gram-counting queries at sf0.1 (round-18 opt). Callers guard
+  * `size(toks) >= n` (and the null array) outside, as
+  * [[graft.ops.TextAnalysis.wordGrams]] always has.
+  */
+case class WordNGramsAll(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def prettyName: String = "word_ngrams_all"
+  // containsNull = true to match the transform/array_join composition's
+  // element nullability — downstream schemas must not change
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams_all requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null
+        else arr.get(i, StringType).asInstanceOf[UTF8String]
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < n) {
+        val t = toks(i + j)
+        if (t != null) { // array_join skips nulls AND their separators
+          if (!first) sb.append(' ')
+          sb.append(t.toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordNGramsAll {
+  def wordNGramsAll(toks: Column, n: Int): Column =
+    ColumnShim.column(WordNGramsAll(ColumnShim.expression(toks), n))
+}
+
+/** Single-pass character n-grams WITH duplicates: `STRING ->
+  * ARRAY<STRING>` — replaces the
+  * `transform(sequence(1, length-(n-1)), i => substr(s, i, n))`
+  * composition (interpreted HOF — see [[WordNGramsAll]]) with one
+  * imperative code-point scan. Windows are code-point windows, exactly
+  * as Spark's `length`/`substr` count characters, supplementary
+  * characters included. Callers guard `length(s) >= n` outside.
+  */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def prettyName: String = "char_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires STRING, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    if (cps.length < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps.length - n + 1)
+    var i = 0
+    while (i <= cps.length - n) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharNGrams {
+  def charNGrams(s: Column, n: Int): Column =
+    ColumnShim.column(CharNGrams(ColumnShim.expression(s), n))
+}

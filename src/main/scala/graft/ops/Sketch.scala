@@ -496,8 +496,17 @@ object Sketch {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sliceCol)).orderBy(col("hv"))
+    // gram kernel swap (round-18 opt): the transform/slice/array_join
+    // HOF composition is interpreted (CodegenFallback, re-evaluated per
+    // element) and was this op's single 3.6 s job at sf0.1. The
+    // imperative WordNGrams kernel emits the same grams — its
+    // splitWs(trim(text)) ≡ tokens() = split(trim(text), "\\s+"), and
+    // its per-document dedup is absorbed by the slice-level distinct
+    // below (it only shrinks the exploded row count on the way) — so
+    // the distinct (slice, hv) set, and every downstream signature, is
+    // bit-identical.
     df.select(col(sliceCol), explode(
-        TextAnalysis.wordGrams(TextAnalysis.tokens(col(textCol)), n)).as("__sh"))
+        graft.functions.WordNGrams.wordNGrams(trim(col(textCol)), n)).as("__sh"))
       .select(col(sliceCol), hash60(col("__sh")).as("hv"))
       .distinct()
       .withColumn("__rn", row_number().over(w))

@@ -23,10 +23,13 @@ object TextAnalysis {
     * gram definitions can never drift apart.
     */
   def wordGrams(toks: Column, n: Int): Column =
+    // imperative kernel behind the same guards (round-18 opt): the
+    // transform/slice/array_join composition is interpreted per element
+    // and dominated every gram-counting query; WordNGramsAll replicates
+    // it exactly (incl. array_join's null-element skipping), so every
+    // downstream count/set is bit-identical (property-tested)
     when(size(toks) >= n,
-      org.apache.spark.sql.functions.transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+      graft.functions.WordNGramsAll.wordNGramsAll(toks, n))
       .otherwise(array().cast("array<string>"))
 
   /** Character n-grams of order `n` over a string column — the char
@@ -34,10 +37,9 @@ object TextAnalysis {
     * array for strings shorter than `n` (null string included).
     */
   def charGrams(s: Column, n: Int): Column =
+    // imperative code-point kernel, same guards — see [[wordGrams]]
     when(length(s) >= n,
-      org.apache.spark.sql.functions.transform(
-        sequence(lit(1), length(s) - (n - 1)),
-        i => s.substr(i, lit(n))))
+      graft.functions.CharNGrams.charNGrams(s, n))
       .otherwise(array().cast("array<string>"))
 
   /** Count of tokens that appear in `stopwords`. */
@@ -471,12 +473,10 @@ object TextAnalysis {
     */
   def charBigramEntropy(df: DataFrame, idCol: String, textCol: String,
                         outCol: String = "entropy"): DataFrame = {
+    // charGrams(·, 2): same windows the inline transform/substr
+    // composition produced, through the imperative kernel (round-18 opt)
     val grams = df
-      .select(col(idCol), explode(
-        when(length(col(textCol)) >= 2, transform(
-          sequence(lit(0), length(col(textCol)) - 2),
-          i => col(textCol).substr(i + lit(1), lit(2))))
-          .otherwise(array().cast("array<string>"))).as("__g"))
+      .select(col(idCol), explode(charGrams(col(textCol), 2)).as("__g"))
     grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).as("__t"),

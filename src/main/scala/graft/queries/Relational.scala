@@ -1338,12 +1338,20 @@ object Relational {
     // same three iterations as chained CTEs in pure double arithmetic.
     "pagerank_purchase_graph" -> ((s, d) => {
       import s.implicits._
+      // numeric node ids through the iterations (parity-tagged:
+      // customers 2k, parts 2k+1 — collision-free for ANY key range,
+      // including the generated data's key 0); the "c<id>"/"p<id>"
+      // labels render once at the output instead of riding every
+      // per-iteration exchange as strings (guide §2.3 narrower types;
+      // pageRank is key-type-preserving since round 18)
       val e = orders(s, d)
         .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+        .select(($"o_custkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
       graft.ops.GraphOps.pageRank(e, "src", "dst", iters = 3)
-        .select($"node", round($"rank", 8).as("rank"))
+        .select(
+          when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long").cast("string")))
+            .otherwise(concat(lit("p"), (($"node" - 1) / 2).cast("long").cast("string"))).as("node"),
+          round($"rank", 8).as("rank"))
         .orderBy($"node")
     }),
 
