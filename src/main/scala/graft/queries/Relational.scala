@@ -1264,13 +1264,28 @@ object Relational {
       val schema = org.apache.spark.sql.types.StructType
         .fromDDL("key STRING, ts TIMESTAMP")
       val stream = s.readStream.schema(schema).json(in)
-      val q = graft.streaming.IncrementalIngest
-        .dedupWithinWatermark(stream, "ts", "key", watermark = "10 minutes")
-        .select($"key")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .format("parquet").option("path", out)
-        .start()
+      // state-store partition count = shuffle.partitions AT STREAM START
+      // (pinned into the checkpoint). This stream's key space is 50 keys
+      // by construction; at the suite-wide local[32] default that is 32
+      // state stores holding <2 keys each, paying 32 × (open + delta
+      // commit) per micro-batch — measured ~0.5 s/batch of this row's
+      // wall, pure state-machinery. Size it to the keyspace instead,
+      // parameterized (production: keys/throughput, never the core
+      // count); the dedup semantics are partitioning-independent.
+      val statePartitions =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+          graft.streaming.IncrementalIngest
+            .dedupWithinWatermark(stream, "ts", "key", watermark = "10 minutes")
+            .select($"key")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", out)
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         q.processAllAvailable()
         publishBatch(1); q.processAllAvailable()
