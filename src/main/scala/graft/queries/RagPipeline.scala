@@ -180,8 +180,14 @@ object RagPipeline {
       val root = java.nio.file.Files.createTempDirectory("rag-e2e").toString
       val store = s"$root/store"
       val idx = s"$root/lexidx"
+      // pin the docs⨝embeddings join once: it feeds BOTH ingest legs and
+      // the QA fixture — without the pin each append re-executes the
+      // join (two scans + one shuffle per consumer); eager count so the
+      // concurrent consumers can't race the cache population
       val joined = documents(s, d)
         .join(embeddings(s, d), $"doc_id" === $"vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      joined.count(): Unit
       val corpus = joined.filter($"doc_id" >= 20)
         .select($"doc_id", $"text", $"embedding")
       // S14 + S15: half the corpus lands, then the full set merge-appends
