@@ -398,6 +398,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    // BIGINT ids (every declared caller: doc_id/vec_id/media_id) take
+    // the RDD loop — identical algorithm, one job per round instead of
+    // ~10 (see [[ccLong]]); other id types keep the generic Catalyst
+    // path below
+    val sch = pairs.schema
+    if (sch(idACol).dataType == org.apache.spark.sql.types.LongType &&
+        sch(idBCol).dataType == org.apache.spark.sql.types.LongType)
+      return ccLong(pairs, idACol, idBCol, maxIters)
     // both directions from ONE pass over pairs (a union of two selects
     // would execute the upstream pair-generation plan twice — for the
     // dedup queries that upstream is the whole prefix join + verify);
@@ -457,6 +465,104 @@ object Dedup {
           s"($changed labels still changing); raise maxIters")
     lastCcRounds = it
     labels
+  }
+
+  /** [[connectedComponents]] specialized to BIGINT node ids, as an RDD
+    * loop (round 19, guide §1.2 "per-task work" applied to the DRIVER):
+    * the DataFrame formulation pays Catalyst analysis + AQE stage
+    * scheduling PER ROUND — measured ~10 jobs and ~0.3 s per round on a
+    * 1,634-edge graph whose per-round data work is microseconds, and
+    * the pointer-jumped loop runs ~log₂(diameter) ≈ 10 rounds on the
+    * chain-shaped semantic-dedup graphs. The same min-label +
+    * pointer-jump algorithm on co-partitioned RDDs runs ONE job per
+    * round (3 shuffles: neighbor-min combine, the jump rekey, the
+    * repartition back to id), with no per-round planning or codegen.
+    * Scale-honest: the fixed HashPartitioner keys every round's shuffle
+    * exactly like the DataFrame exchanges did, map-side combining in
+    * reduceByKey replaces the partial aggregation, and the per-round
+    * localCheckpoint keeps lineage truncation semantics. Labels only
+    * shrink, so the min-combination/jump arguments are unchanged from
+    * the generic path; results are identical (component = min reachable
+    * id, exact).
+    *
+    * The convergence test reads a LongAccumulator stamped where a
+    * neighbor-min strictly lowers a label. Accumulator updates from
+    * re-executed shuffle tasks can only OVER-count, never report 0 when
+    * a change occurred (a successful task's update is always applied),
+    * so the `changed == 0` exit is exact and an overcount merely runs
+    * one extra no-op round.
+    */
+  private def ccLong(pairs: DataFrame, idACol: String, idBCol: String,
+                     maxIters: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // keyed by dst: each round's message to src is label(dst); the graph
+    // is symmetric (both directions emitted), so per-node min-neighbor
+    // init reads off the same keying
+    val raw = pairs.select(col(idACol), col(idBCol)).as[(Long, Long)]
+      .rdd
+      .mapPartitions(_.flatMap { case (a, b) => Iterator((a, b), (b, a)) },
+        preservesPartitioning = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LOOP partition count derived from the MEASURED edge count, not the
+    // session's shuffle setting (guide §2.2 fewer-larger partitions):
+    // every round pays task-scheduling per partition ~16 times, so a
+    // 1,634-edge graph must not shuffle into 32 partitions per round
+    // (measured 0.2-0.3 s/round of pure scheduling), while a billions-
+    // of-edges graph keeps the cluster's configured width. The 64Ki
+    // rows-per-partition floor interpolates smoothly between the two.
+    val nEdges = raw.count()
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = math.max(
+      math.min(shufflePartitions.toLong, 1L + (nEdges >> 16)),
+      1L + (nEdges >> 20)).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val edgesByDst = raw
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init = min(id, min neighbor), co-partitioned with edges
+    var labels = edgesByDst
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (id, nbr) => (id, math.min(id, nbr)) },
+        preservesPartitioning = true)
+      .localCheckpoint()
+    labels.count(): Unit
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-$it")
+      // neighbor-min: co-partitioned narrow join, then one combined
+      // shuffle keyed on the receiving node
+      val nbrMin = edgesByDst.join(labels)
+        .map { case (_, (src, c)) => (src, c) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // adopt the smaller label; stamp strict improvements
+      val propagated = labels.leftOuterJoin(nbrMin)
+        .mapPartitions(_.map { case (id, (comp, nbrOpt)) =>
+          val nbr = nbrOpt.getOrElse(comp)
+          if (nbr < comp) acc.add(1L)
+          (id, math.min(comp, nbr))
+        }, preservesPartitioning = true)
+      // pointer jump through the PREVIOUS round's labels (same argument
+      // as the generic path: labels only shrink, fixpoint unchanged)
+      labels = propagated
+        .map { case (id, comp) => (comp, id) }
+        .leftOuterJoin(labels, part)
+        .map { case (comp, (id, ccOpt)) => (id, ccOpt.getOrElse(comp)) }
+        .partitionBy(part)
+        .localCheckpoint()
+      labels.count(): Unit
+      changed = acc.value
+      it += 1
+    }
+    raw.unpersist()
+    edgesByDst.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $it rounds " +
+          s"($changed labels still changing); raise maxIters")
+    lastCcRounds = it
+    labels.toDF("id", "component")
   }
 
   /** Rounds the last [[connectedComponents]] call took to converge —

@@ -177,14 +177,27 @@ object Keyword {
     * appended rows in O(new docs) — positional postings are
     * per-(doc, term) facts exactly like the lexical ones.
     */
+  /** Bucket count sized to the corpus (round 19, guide §6 small files /
+    * §2.2): the bucket layout exists for term-pruned reads at scale, but
+    * a FIXED 64 buckets makes a 5k-doc corpus write 64 near-empty
+    * parquet directories (measured: the bucket-partitioned write was the
+    * dominant job of rag_e2e's index build) while a billion-doc corpus
+    * would under-partition. One bucket per ~16Ki docs, clamped to
+    * [8, 4096]; the count is recorded in `_stats`, so readers and
+    * incremental appenders keep following whatever the build chose.
+    * Callers pass an explicit count to pin it (tests, fixtures).
+    */
+  private[ops] def bucketsForCorpus(n: Long): Int =
+    math.min(4096L, math.max(8L, (n + 16383) >> 14)).toInt
+
   def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
-                           path: String, buckets: Int = 64,
+                           path: String, buckets: Int = 0,
                            store: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val stamp = store.map(t => (t, VersionedStore.currentState(spark, t)
       .map(_.version).getOrElse(0L)))
     graft.Fs.delete(spark, s"$path/_stats")
-    val n = writePositionalPostings(docs, idCol, textCol, path, buckets,
+    val (n, bk) = writePositionalPostings(docs, idCol, textCol, path, buckets,
       "overwrite")
     stamp.foreach { case (table, v0) =>
       val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
@@ -193,7 +206,7 @@ object Keyword {
           "the postings describe a superseded snapshot; rebuild")
     }
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"$n $buckets ${stamp.map("v" + _._2).getOrElse("-")}")
+      s"$n $bk ${stamp.map("v" + _._2).getOrElse("-")}")
   }
 
   /** Tokenize `docs` and write `(term, id, positions)` rows into
@@ -205,19 +218,20 @@ object Keyword {
     */
   private def writePositionalPostings(docs: DataFrame, idCol: String,
                                       textCol: String, path: String,
-                                      buckets: Int, mode: String): Long = {
+                                      buckets: Int, mode: String): (Long, Int) = {
     val toks = docs
       .select(col(idCol).as("id"),
         posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))))
       .toDF("id", "__pos", "term")
       .filter(length(col("term")) > 0)
     val n = docs.count()
+    val bk = if (buckets > 0) buckets else bucketsForCorpus(n)
     toks.groupBy(col("term"), col("id"))
       .agg(array_sort(collect_list(col("__pos").cast("int"))).as("positions"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(bk)).cast("int"))
       .repartition(col("bucket")) // bounded file count, as in writePostings
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
-    n
+    (n, bk)
   }
 
   /** Incremental positional-index maintenance — the
@@ -256,7 +270,7 @@ object Keyword {
       if (newSegs.isEmpty) 0L
       else writePositionalPostings(
         newSegs.map(sg => graft.ParquetIO.readImmutable(spark, s"$table/$sg")).reduce(_ unionByName _),
-        idCol, textCol, path, buckets, "append")
+        idCol, textCol, path, buckets, "append")._1
     graft.Fs.writeString(spark, s"$path/_stats",
       s"${n0 + nNew} $buckets v${cur.version}")
   }
@@ -353,7 +367,7 @@ object Keyword {
     */
   def buildLexicalIndexForStore(spark: org.apache.spark.sql.SparkSession,
                                 table: String, idCol: String, textCol: String,
-                                path: String, buckets: Int = 64): Unit = {
+                                path: String, buckets: Int = 0): Unit = {
     val v0 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
     val docs = VersionedStore.read(spark, table).getOrElse(
       throw new IllegalStateException(s"no rows to index at $table"))
@@ -361,7 +375,7 @@ object Keyword {
   }
 
   def buildLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
-                        path: String, buckets: Int = 64,
+                        path: String, buckets: Int = 0,
                         store: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     buildIndexImpl(docs, idCol, textCol, path, buckets,
@@ -379,7 +393,7 @@ object Keyword {
     // that refuses to serve ("no stats") rather than one that silently
     // scores fresh postings under the superseded corpus totals
     graft.Fs.delete(spark, s"$path/_stats")
-    val (n, sumdl) = writePostings(docs, idCol, textCol, path, buckets, "overwrite")
+    val (n, sumdl, bk) = writePostings(docs, idCol, textCol, path, buckets, "overwrite")
     storeStamp.foreach { case (table, v0) =>
       val v1 = VersionedStore.currentState(spark, table).map(_.version).getOrElse(0L)
       require(v1 == v0,
@@ -387,7 +401,7 @@ object Keyword {
           "the postings describe a superseded snapshot; rebuild")
     }
     graft.Fs.writeString(spark, s"$path/_stats",
-      s"$n $sumdl $buckets ${storeStamp.map("v" + _._2).getOrElse("-")}")
+      s"$n $sumdl $bk ${storeStamp.map("v" + _._2).getOrElse("-")}")
   }
 
   /** Tokenize `docs` and write their `(term, id, tf, dl)` postings into
@@ -398,7 +412,7 @@ object Keyword {
     * and query-time df/tf aggregation needs no merge step at all).
     */
   private def writePostings(docs: DataFrame, idCol: String, textCol: String,
-                            path: String, buckets: Int, mode: String): (Long, Long) = {
+                            path: String, buckets: Int, mode: String): (Long, Long, Int) = {
     val toks = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -406,10 +420,11 @@ object Keyword {
     val statsRow = toks.agg(count(lit(1)), sum(size(col("__w")).cast("long"))).head()
     val n = statsRow.getLong(0)
     val sumdl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val bk = if (buckets > 0) buckets else bucketsForCorpus(n)
     toks.select(col("id"), size(col("__w")).cast("long").as("dl"),
         explode(col("__w")).as("term"))
       .groupBy(col("term"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(bk)).cast("int"))
       // co-locate each bucket before the Hive-partitioned write: without
       // this every write task spills a file into every bucket directory —
       // O(tasks × buckets) small files, a real file-index cost at scale;
@@ -418,7 +433,7 @@ object Keyword {
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     toks.unpersist()
-    (n, sumdl)
+    (n, sumdl, bk)
   }
 
   /** Incremental index maintenance: fold the rows appended to `table`
@@ -472,7 +487,8 @@ object Keyword {
       else {
         val docs = newSegs.map(s => graft.ParquetIO.readImmutable(spark, s"$table/$s"))
           .reduce(_.unionByName(_))
-        writePostings(docs, idCol, textCol, path, buckets, "append")
+        val (a, b, _) = writePostings(docs, idCol, textCol, path, buckets, "append")
+        (a, b)
       }
     // no moved-during-maintenance recheck needed, unlike the build: the
     // rows came from EXPLICIT immutable segment directories, so this run

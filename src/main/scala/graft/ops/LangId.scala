@@ -88,7 +88,7 @@ object LangId {
   def classifyMapSide(docs: DataFrame, idCol: String, textCol: String,
                       profileMap: Map[String, Map[String, Int]],
                       k: Int = DefaultK): DataFrame = {
-    val langs = profileMap.keys.toSeq.sorted
+    val langs = profileMap.keys.toSeq.sorted(CpOrdering)
     val kernel = udf((text: String) => {
       val ranked = profileOf(text, k) // the SAME kernel classify explodes
       if (ranked.isEmpty) null // no grams → no row, agreeing with classify
@@ -130,7 +130,7 @@ object LangId {
   def classifyMapSideTop2(docs: DataFrame, idCol: String, textCol: String,
                           profileMap: Map[String, Map[String, Int]],
                           k: Int = DefaultK): DataFrame = {
-    val langs = profileMap.keys.toSeq.sorted
+    val langs = profileMap.keys.toSeq.sorted(CpOrdering)
     val kernel = udf((text: String) => {
       val ranked = profileOf(text, k)
       if (ranked.isEmpty) None
@@ -164,6 +164,15 @@ object LangId {
       .select(col(idCol), col("__r._1").as("lang_pred"),
         col("__r._2").as("dist"), col("__r._3").as("runner_up"),
         col("__r._4").as("margin"))
+  }
+
+  /** [[cpCompare]] as an Ordering — the map-side kernels iterate langs
+    * in THIS order so their tie-breaks match `array_sort`'s binary
+    * UTF8String order unconditionally (Scala's default String ordering
+    * is UTF-16, which diverges for supplementary characters).
+    */
+  private object CpOrdering extends Ordering[String] {
+    def compare(a: String, b: String): Int = cpCompare(a, b)
   }
 
   /** Code-point-order string comparison — Spark's binary UTF8String

@@ -1078,6 +1078,14 @@ object VersionedStore {
           s"re-ingest them through append() or remove them: " +
           shadowed.take(5).mkString(", "))
     dead.foreach(graft.Fs.delete(spark, _))
+    // drop any cached relation over a reclaimed segment: the manifest no
+    // longer references them so nothing SHOULD re-read them, but a stale
+    // file index silently serving a deleted directory is exactly the
+    // failure the readImmutable contract must make impossible (the keys
+    // use the caller-form `$table/<seg>` path, same as every read site)
+    dead.foreach { p =>
+      graft.ParquetIO.invalidate(s"$table/${p.substring(p.lastIndexOf('/') + 1)}")
+    }
     dead
   }
 }

@@ -84,7 +84,10 @@ object DedupQueries {
       // leg) — without the pin the corpus is re-read and re-normalized
       // per consumer, and the consumers race the cache on first action
       // (the Dedup.ngramJaccardPairs convention). One normalize pass
-      // instead of three; Bench's clearCache() releases it per run.
+      // instead of three. REGISTRY CONTRACT: the returned frame is lazy,
+      // so the pin cannot be released in-body — every declared-query
+      // runner (Bench, Verify, OptProbe) calls catalog.clearCache()
+      // after its action; ad-hoc callers must do the same.
       val norm = documents(s, d).select($"doc_id",
         graft.functions.NormalizeText.normalizeText($"text").as("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -184,6 +184,12 @@ object RagPipeline {
       // the QA fixture — without the pin each append re-executes the
       // join (two scans + one shuffle per consumer); eager count so the
       // concurrent consumers can't race the cache population
+      // leg labels (guide §1.5): the composed lifecycle is opaque in the
+      // UI/OptProbe without them — each setJobDescription below names the
+      // leg the subsequent jobs belong to
+      def leg(name: String): Unit =
+        s.sparkContext.setJobDescription(s"rag_e2e: $name")
+      leg("pin docs⨝embeddings")
       val joined = documents(s, d)
         .join(embeddings(s, d), $"doc_id" === $"vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -192,13 +198,17 @@ object RagPipeline {
         .select($"doc_id", $"text", $"embedding")
       // S14 + S15: half the corpus lands, then the full set merge-appends
       // through the anti-join — re-ingested rows contribute nothing
+      leg("S14 first append")
       VersionedStore.append(s, store, corpus.filter($"doc_id" % 2 === 0))
       val existing = VersionedStore.read(s, store).get.select("doc_id")
+      leg("S15 anti-join merge append")
       Ingest.appendRespectingLayout(s, store,
         corpus.join(existing.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_anti")): Unit
       // S16: cluster-partition + model sidecar, THEN the lexical sidecar
       // (stamped at the post-compaction version — no staleness window)
+      leg("S16 IVF indexStore")
       val model = Ivf.indexStore(s, store, "doc_id", "embedding", k = 8)
+      leg("lexical index build")
       Keyword.buildLexicalIndexForStore(s, store, "doc_id", "text", idx)
       val stored = VersionedStore.read(s, store).get
       // V5 provenance leg: EVEN qids carry a one-turn history, so the
@@ -220,6 +230,7 @@ object RagPipeline {
       // the embedding lookup is primed for BOTH spellings of each
       // question (raw and rewritten) with the SAME vector — the embed
       // service contract: one semantic query, one vector
+      leg("QA fixture collect")
       val qvecs = qa
         .select($"question", $"embedding",
           concat($"question", lit(" prior turn about "), $"topic").as("rw"))
@@ -240,6 +251,7 @@ object RagPipeline {
           c = RrfC, fetchKPerLeg = FetchK, lexicalIndexPath = Some(idx)),
         indexStorePath = Some(store),
         useHistory = true, ctxPrompt = Some("rephrase for retrieval"))
+      leg("answer + grade + aggregate")
       val wTopic = Window.partitionBy($"topic")
       val wAll = Window.partitionBy(lit(1))
       val result = qa.select($"qid", $"reference_answer", $"topic")
@@ -258,9 +270,11 @@ object RagPipeline {
           round(avg($"correct".cast("int")).over(wTopic), 6).as("topic_correctness"),
           round(avg($"correct".cast("int")).over(wAll), 6).as("overall_correctness"))
         .orderBy($"qid")
-        .localCheckpoint() // 20 rows; releases the qa cache eagerly
+        .localCheckpoint() // 20 rows; releases the caches eagerly
       qa.unpersist()
-      result
+      joined.unpersist() // the result is materialized — drop the pin so
+      s.sparkContext.setJobDescription(null)
+      result             // non-Bench callers don't leak cached blocks
     }),
 
     // S12/S17: the catalog scan over store manifests — two ingests with

@@ -550,15 +550,23 @@ object VectorSearch {
         .orderBy($"query_id", $"rank")
     }),
 
-    // The WHOLE serving ladder behind one front door, oracle-checked:
-    // a store is built up in place to its final composed layout
-    // (append → SQ8 quantize → IVF index → residual PQ), and
-    // VectorServe.searchBatch dispatches from the store's own sidecars
-    // (Route.IvfPq here — coarse PQ-LUT cut over probed cells, exact
-    // float rescore). At full probe with a corpus-covering overfetch
-    // the ladder MUST equal the exact batch join, so it shares the
-    // exact-knn oracle; any sidecar mis-dispatch, LUT error, or
-    // dropped-candidate bug breaks the hash.
+    // The serving ladder's END STATE behind one front door,
+    // oracle-checked: a store is built up in place to the composed
+    // layout the dispatch order resolves deepest (append → IVF index →
+    // residual PQ), and VectorServe.searchBatch dispatches from the
+    // store's own sidecars (Route.IvfPq — coarse PQ-LUT cut over probed
+    // cells, exact float rescore). At full probe with a corpus-covering
+    // overfetch the ladder MUST equal the exact batch join, so it
+    // shares the exact-knn oracle; any sidecar mis-dispatch, LUT error,
+    // or dropped-candidate bug breaks the hash. 2-RUNG since round 19:
+    // the SQ8 rewrite used to run here too, but residual PQ OUTRANKS
+    // SQ8 in the dispatch order, so the serve never read the quantized
+    // columns — one full store rewrite per bench run bought nothing
+    // this row checks. The full rung-by-rung upgrade lifecycle
+    // (append → SQ8 → IVF(+SQ8) → residual PQ), including the
+    // served-route assertion and serve-equals-exact at EVERY rung, is
+    // pinned in VectorServeSpec ("route upgrades with the store's
+    // layout") — the route_matrix precedent (r17 verdict item 5).
     "vectorserve_batch_ladder" -> ((s, d) => {
       import s.implicits._
       val e = embeddings(s, d)
@@ -566,7 +574,6 @@ object VectorSearch {
         .createTempDirectory("graft-serve-q").toString + "/store"
       graft.ops.VersionedStore.append(s, table,
         e.filter($"vec_id" >= 10).select($"vec_id".as("id"), $"embedding"))
-      graft.ops.Quantize.quantizeStore(s, table, "embedding")
       graft.ops.Ivf.indexStore(s, table, "id", "embedding", k = 4): Unit
       graft.ops.Pq.pqStore(s, table, "embedding", m = 8, ncent = 16): Unit
       val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")

@@ -105,6 +105,44 @@ class ClassifierSpec extends AnyFunSuite {
     assert(ece.head == want)
   }
 
+  test("fitLogReg: trajectory equals the step-by-step relational reference exactly") {
+    // the r18 formulation, verbatim — the reference trajectory ANY
+    // restructure of the fit must replay bit-for-bit (round 19 measured
+    // a driver-held-weights loop against this pin: trajectory-exact but
+    // slower, reverted; the pin stays to guard the next attempt)
+    def fitReference(labeled: org.apache.spark.sql.DataFrame, iters: Int,
+                     lr: Double): Map[Int, Double] = {
+      val ydf = labeled.select($"doc_id".as("__id"), $"y".cast("double").as("__y"))
+      val feat = Classifier.hashedFeatures(labeled, "doc_id", "text").localCheckpoint()
+      val step = lr / ydf.count()
+      var w = feat.select($"__b").distinct()
+        .select($"__b", lit(0.0).as("__w")).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val p = feat.join(broadcast(w), Seq("__b"))
+          .groupBy($"__id").agg(sum($"__w" * $"__x").as("__s"))
+          .join(ydf, Seq("__id"))
+          .select($"__id", $"__y", (lit(1.0) / (lit(1.0) + exp(-$"__s"))).as("__p"))
+        val g = feat.join(p, Seq("__id"))
+          .groupBy($"__b").agg(sum(($"__p" - $"__y") * $"__x").as("__g"))
+        w = w.join(g, Seq("__b"))
+          .select($"__b", round($"__w" - lit(step) * $"__g", 6).as("__w"))
+          .localCheckpoint()
+      }
+      w.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    // the real corpus at sf0.001 under the declared queries' exact
+    // hyperparameters — 12 rounded steps compound any replay divergence
+    val docs = Tables.documents(spark, sf)
+      .withColumn("y", when($"lang" === "en", 1).otherwise(0))
+      .select($"doc_id", $"text", $"y")
+    val got = Classifier.fitLogReg(docs, "doc_id", "text", "y", iters = 12, lr = 2.0)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val want = fitReference(docs, iters = 12, lr = 2.0)
+    assert(got.keySet == want.keySet)
+    val diverged = got.collect { case (b, v) if want(b) != v => (b, v, want(b)) }
+    assert(diverged.isEmpty, s"weights diverged at ${diverged.take(5)}")
+  }
+
   test("fitLogReg: model stays bucket-bounded and training is replayable") {
     val w1 = Classifier.fitLogReg(labeled, "doc_id", "text", "y")
     assert(w1.count() <= 4097)
